@@ -1,0 +1,75 @@
+package graft.medallion
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Gold-layer executive KPI aggregate.
+  *
+  * Re-expresses the reference gold job (k8s/spark/41-spark-job-scripts-
+  * configmap.yaml:382-403) with *intended* semantics:
+  *  - the published script cannot run (Python builtin sum/max shadowing,
+  *    SURVEY §1.4-2) — the intent is Spark sum/avg/max, implemented here;
+  *  - `count(boolean_expr)` in the reference counts every row (§1.4-3);
+  *    the intended conditional counts use count_if here.
+  *
+  * One wide hash aggregate: partial aggregation map-side, single exchange on
+  * interaction_date (~30 groups), final aggregate. The three countDistinct
+  * columns expand to a multi-phase distinct aggregate — at 100 TB scale the
+  * `approx_count_distinct` variant (`kpisApprox`) replaces the exact
+  * Expand-based plan with mergeable HLL sketches and should be preferred.
+  */
+object Gold {
+
+  def kpis(silver: DataFrame): DataFrame =
+    silver.groupBy(col("interaction_date"))
+      .agg(
+        countDistinct(col("customer_id")).as("daily_active_customers"),
+        countDistinct(col("email_clean")).as("unique_email_addresses"),
+        sum(col("transaction_amount")).as("total_daily_revenue"),
+        avg(col("transaction_amount")).as("avg_transaction_value"),
+        max(col("transaction_amount")).as("largest_transaction"),
+        count_if(col("transaction_amount") > 0).as("total_transactions"),
+        sum(when(col("channel") === "web", col("transaction_amount")).otherwise(0))
+          .as("web_revenue"),
+        sum(when(col("channel") === "mobile_app", col("transaction_amount")).otherwise(0))
+          .as("mobile_revenue"),
+        sum(when(col("channel") === "store", col("transaction_amount")).otherwise(0))
+          .as("store_revenue"),
+        avg(col("engagement_score")).as("avg_engagement_score"),
+        avg(col("time_on_site_seconds")).as("avg_time_on_site"),
+        count_if(col("customer_journey_stage") === "conversion").as("daily_conversions"),
+        count_if(col("loyalty_member") === true).as("loyalty_member_interactions"),
+        sum(col("points_earned")).as("total_points_earned"),
+        sum(col("points_redeemed")).as("total_points_redeemed"),
+        countDistinct(col("support_ticket_id")).as("support_tickets_created"),
+        avg(col("satisfaction_score")).as("avg_satisfaction_score"),
+        count_if(col("churn_risk_indicator") === "high_risk").as("high_churn_risk_customers"),
+        sum(col("lifetime_value_estimate")).as("total_estimated_ltv"))
+
+  /** 100 TB-scale variant: HLL sketches instead of exact distinct Expand. */
+  def kpisApprox(silver: DataFrame, rsd: Double = 0.01): DataFrame =
+    silver.groupBy(col("interaction_date"))
+      .agg(
+        approx_count_distinct(col("customer_id"), rsd).as("daily_active_customers"),
+        approx_count_distinct(col("email_clean"), rsd).as("unique_email_addresses"),
+        sum(col("transaction_amount")).as("total_daily_revenue"),
+        avg(col("transaction_amount")).as("avg_transaction_value"),
+        max(col("transaction_amount")).as("largest_transaction"),
+        count_if(col("transaction_amount") > 0).as("total_transactions"),
+        sum(when(col("channel") === "web", col("transaction_amount")).otherwise(0))
+          .as("web_revenue"),
+        sum(when(col("channel") === "mobile_app", col("transaction_amount")).otherwise(0))
+          .as("mobile_revenue"),
+        sum(when(col("channel") === "store", col("transaction_amount")).otherwise(0))
+          .as("store_revenue"),
+        avg(col("engagement_score")).as("avg_engagement_score"),
+        avg(col("time_on_site_seconds")).as("avg_time_on_site"),
+        count_if(col("customer_journey_stage") === "conversion").as("daily_conversions"),
+        count_if(col("loyalty_member") === true).as("loyalty_member_interactions"),
+        sum(col("points_earned")).as("total_points_earned"),
+        sum(col("points_redeemed")).as("total_points_redeemed"),
+        approx_count_distinct(col("support_ticket_id"), rsd).as("support_tickets_created"),
+        avg(col("satisfaction_score")).as("avg_satisfaction_score"),
+        count_if(col("churn_risk_indicator") === "high_risk").as("high_churn_risk_customers"),
+        sum(col("lifetime_value_estimate")).as("total_estimated_ltv"))
+}

@@ -1,0 +1,232 @@
+package graft.medallion
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.util.control.NonFatal
+
+/** Medallion pipeline configuration — same env-var surface as the reference
+  * (MDP_* names, k8s/spark/41-spark-job-scripts-configmap.yaml:24-30,
+  * 153-154, 167), overridable per run. Sizes default small for local runs;
+  * the reference production posture is ingestGb=1024, payloadKb=256,
+  * partitions=768 (BASELINE.md).
+  */
+final case class MdpConfig(
+    baseDir: String,
+    ingestGb: Double,
+    partitions: Int,
+    compression: String,
+    targetFileMb: Int,
+    payloadKb: Int,
+    silverShufflePartitions: Int,
+    seed: Long,
+    baseEpochS: Long) {
+  def bronzeUri: String = s"$baseDir/bronze/customer/interactions/"
+  def silverFallbackUri: String = s"$baseDir/silver/customer_interactions_enriched/"
+  def smokeUri: String = s"$baseDir/bronze/_smoke/"
+}
+
+object MdpConfig {
+  def fromEnv(baseDir: String): MdpConfig = {
+    def env(k: String, d: String) = sys.env.getOrElse(k, d)
+    MdpConfig(
+      baseDir = baseDir,
+      ingestGb = env("MDP_INGEST_GB", "0.25").toDouble,
+      partitions = env("MDP_INGEST_PARTITIONS", "32").toInt,
+      compression = env("MDP_PARQUET_COMPRESSION", "none"),
+      targetFileMb = env("MDP_TARGET_FILE_MB", "128").toInt,
+      payloadKb = env("MDP_PAYLOAD_KB", "4").toInt,
+      silverShufflePartitions = env("MDP_SILVER_SHUFFLE_PARTITIONS", "32").toInt,
+      seed = env("MDP_SEED", "42").toLong,
+      baseEpochS = env("MDP_BASE_EPOCH_S", "1754982000").toLong)
+  }
+}
+
+/** Staged medallion pipeline: smoke | bronze | silver | gold | validate |
+  * full — the reference's orchestration contract (scripts/run_pipeline.py:
+  * 303-362) in a single Scala main: fail-fast stages, empty-input guards,
+  * `Rows:` / `Throughput:` / `SMOKE_OK` log markers.
+  *
+  * Storage model: bronze is path-addressed parquet (reference parity);
+  * silver/gold are catalog tables written through DataFrameWriterV2
+  * `writeTo(...).partitionedBy(...).createOrReplace()` — the same API the
+  * reference drives against Iceberg — backed here by the session catalog
+  * (parquet provider). On a cluster the same code targets Iceberg/Delta by
+  * swapping the catalog config. Catalog-write failure falls back to
+  * partitioned path parquet exactly like the reference (CM:331-340).
+  */
+object Pipeline {
+  private def log(msg: String): Unit = println(s"[mdp] $msg")
+
+  def session(cfg: MdpConfig): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("mdp-pipeline")
+      .config("spark.sql.shuffle.partitions", cfg.silverShufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", s"${cfg.baseDir}/warehouse")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  /** 100-row write/read round-trip; prints SMOKE_OK/SMOKE_FAIL (CM:416-448). */
+  def smoke(spark: SparkSession, cfg: MdpConfig): Boolean = {
+    val df = spark.range(100).toDF("test_id")
+      .withColumn("test_data", lit("smoke_test_data_12345"))
+    df.write.mode("overwrite").parquet(cfg.smokeUri)
+    val n = spark.read.parquet(cfg.smokeUri).count()
+    if (n == 100) { println("SMOKE_OK 100"); true }
+    else { println(s"SMOKE_FAIL Row count mismatch: expected 100, got $n"); false }
+  }
+
+  /** Bronze: seeded generation + parquet write with the reference's file
+    * shaping options (CM:127-133). */
+  def bronze(spark: SparkSession, cfg: MdpConfig): Long = {
+    val rows = BronzeGen.rowsFor(cfg.ingestGb, cfg.payloadKb, cfg.partitions)
+    val estRowBytes = 300L + cfg.payloadKb.toLong * 1024
+    log(s"Bronze ingest: target=${cfg.ingestGb}GB payload=${cfg.payloadKb}KB " +
+      s"rows=$rows partitions=${cfg.partitions}")
+    val t0 = System.nanoTime()
+    val df = BronzeGen.generate(spark, rows, cfg.partitions, cfg.payloadKb,
+      cfg.seed, cfg.baseEpochS)
+    val rowsPerFile = math.max(1L,
+      cfg.targetFileMb.toLong * 1024 * 1024 / estRowBytes)
+    df.write.mode("overwrite")
+      .option("compression", cfg.compression)
+      .option("parquet.block.size", (cfg.targetFileMb * 1024 * 1024).toString)
+      .option("maxRecordsPerFile", rowsPerFile.toString)
+      .option("parquet.page.size", "2097152")
+      .parquet(cfg.bronzeUri)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val gb = rows.toDouble * estRowBytes / (1024L * 1024 * 1024)
+    log(f"Rows: $rows")
+    log(f"Est. Size: $gb%.2fGB")
+    log(f"Throughput: ${gb / secs}%.3fGB/s (${gb / secs * 60}%.1fGB/min)")
+    rows
+  }
+
+  /** Write a catalog table: DataFrameWriterV2 replace-table-as-select first
+    * (the API the reference drives against Iceberg — works when a lakehouse
+    * catalog is configured), then V1 saveAsTable (session catalog, local),
+    * then the reference's partitioned-parquet path fallback (CM:326-340). */
+  private def writeTable(spark: SparkSession, df: DataFrame, db: String,
+                         table: String, fallbackUri: String,
+                         partitionCols: Seq[String]): String = {
+    val fqn = s"spark_catalog.$db.$table"
+    try {
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      try {
+        val writer = df.writeTo(fqn).using("parquet")
+        val partitioned = partitionCols match {
+          case Seq(a) => writer.partitionedBy(col(a))
+          case Seq(a, b) => writer.partitionedBy(col(a), col(b))
+          case _ => writer
+        }
+        partitioned.createOrReplace()
+        log(s"Wrote catalog table $fqn (RTAS) partitioned by ${partitionCols.mkString(",")}")
+      } catch {
+        case NonFatal(_) =>
+          // Session catalog has no atomic RTAS; V1 overwrite saveAsTable is
+          // the non-atomic equivalent.
+          df.write.mode("overwrite").format("parquet")
+            .partitionBy(partitionCols: _*).saveAsTable(fqn)
+          log(s"Wrote catalog table $fqn (saveAsTable) partitioned by ${partitionCols.mkString(",")}")
+      }
+      fqn
+    } catch {
+      case NonFatal(e) =>
+        log(s"Catalog write failed (${e.getMessage}); falling back to parquet $fallbackUri")
+        df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(fallbackUri)
+        fallbackUri
+    }
+  }
+
+  /** Read a layer back: catalog table if present, else its path fallback. */
+  private def readTable(spark: SparkSession, fqn: String, fallbackUri: String): DataFrame =
+    try spark.table(fqn)
+    catch { case NonFatal(_) => spark.read.parquet(fallbackUri) }
+
+  /** Silver: read bronze, enrich, write partitioned catalog table. */
+  def silver(spark: SparkSession, cfg: MdpConfig): Long = {
+    spark.conf.set("spark.sql.shuffle.partitions", cfg.silverShufflePartitions)
+    // Reference mitigation for 256KB payload rows (43-silver-build.yaml:92-94):
+    // columnar batches of wide strings blow up memory; shrink batch size.
+    if (cfg.payloadKb >= 64)
+      spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "1024")
+    val bronzeDf = spark.read.parquet(cfg.bronzeUri)
+    val bronzeCount = bronzeDf.count()
+    log(s"Bronze layer contains $bronzeCount customer interactions")
+    require(bronzeCount > 0, "Bronze dataset is empty - run bronze first")
+    val silverDf = Silver.enrich(bronzeDf,
+      clockDate = to_date(timestamp_seconds(lit(cfg.baseEpochS))),
+      clockTs = timestamp_seconds(lit(cfg.baseEpochS)),
+      clockEpochS = lit(cfg.baseEpochS))
+    val loc = writeTable(spark, silverDf, "silver", "customer_interactions_enriched",
+      cfg.silverFallbackUri, Seq("interaction_date", "channel"))
+    val n = readTable(spark, loc, cfg.silverFallbackUri).count()
+    log(s"Rows: $n")
+    n
+  }
+
+  /** Gold: KPI aggregate from the silver table. */
+  def gold(spark: SparkSession, cfg: MdpConfig): Long = {
+    val silverDf = readTable(spark, "silver.customer_interactions_enriched",
+      cfg.silverFallbackUri)
+    val silverCount = silverDf.count()
+    log(s"Silver table contains $silverCount enriched interactions")
+    require(silverCount > 0, "Silver table is empty - run silver first")
+    val kpis = Gold.kpis(silverDf)
+    val goldUri = s"${cfg.baseDir}/gold/customer_executive_dashboard/"
+    val loc = writeTable(spark, kpis, "gold", "customer_executive_dashboard",
+      goldUri, Seq("interaction_date"))
+    val n = readTable(spark, loc, goldUri).count()
+    log(s"Rows: $n")
+    n
+  }
+
+  /** The reference's external-validation SQL (run_pipeline.py:238-277) with
+    * the *correct* table names (the script checks stale iot_* names —
+    * SURVEY §1.4-2). */
+  def validate(spark: SparkSession, cfg: MdpConfig): Boolean = {
+    readTable(spark, "silver.customer_interactions_enriched", cfg.silverFallbackUri)
+      .createOrReplaceTempView("v_silver")
+    readTable(spark, "gold.customer_executive_dashboard",
+      s"${cfg.baseDir}/gold/customer_executive_dashboard/")
+      .createOrReplaceTempView("v_gold")
+    val silverN = spark.sql("SELECT COUNT(*) AS n FROM v_silver").head().getLong(0)
+    val goldN = spark.sql("SELECT COUNT(*) AS n FROM v_gold").head().getLong(0)
+    log(s"Validation: silver=$silverN gold=$goldN")
+    silverN > 0 && goldN > 0
+  }
+
+  def main(args: Array[String]): Unit = {
+    val stage = args.headOption.getOrElse("full")
+    val baseDir = args.lift(1).getOrElse("/tmp/mdp")
+    val cfg = MdpConfig.fromEnv(baseDir)
+    val spark = session(cfg)
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val res = f
+      log(f"Stage $name completed in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      res
+    }
+    try stage match {
+      case "smoke" => require(timed("smoke")(smoke(spark, cfg)), "smoke failed")
+      case "bronze" => timed("bronze")(bronze(spark, cfg))
+      case "silver" => timed("silver")(silver(spark, cfg))
+      case "gold" => timed("gold")(gold(spark, cfg))
+      case "validate" => require(timed("validate")(validate(spark, cfg)), "validate failed")
+      case "full" =>
+        require(timed("smoke")(smoke(spark, cfg)), "smoke failed")
+        timed("bronze")(bronze(spark, cfg))
+        timed("silver")(silver(spark, cfg))
+        timed("gold")(gold(spark, cfg))
+        require(timed("validate")(validate(spark, cfg)), "validate failed")
+        log("Pipeline completed successfully")
+      case other => sys.error(s"unknown stage: $other")
+    } finally spark.stop()
+  }
+}
