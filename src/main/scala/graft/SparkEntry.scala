@@ -8,9 +8,11 @@ object SparkEntry {
     Scalars.q26GoldKpisDaily(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Scalars.queries ++ Medallion.queries
+    Relational.queries ++ Scalars.queries ++ Medallion.queries ++
+      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Scalars.oracles ++ Medallion.oracles
+    Relational.oracles ++ Scalars.oracles ++ Medallion.oracles ++
+      TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles
 }

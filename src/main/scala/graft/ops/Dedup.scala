@@ -1,0 +1,237 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operator family over `documents` / `embeddings`:
+  *
+  *  - d01 exact dedup (content-hash groupBy);
+  *  - d02 MinHash + LSH banding (shingle -> 8 minhashes -> 4 bands ->
+  *    band-bucket self-join -> candidate pairs with signature agreement);
+  *  - d03 exact n-gram Jaccard verification over the LSH candidates;
+  *  - d04 SimHash (60-bit, word-level) signatures;
+  *  - d05 embedding-cosine nearest pairs.
+  *
+  * Scale design: nothing here is all-pairs. d02/d03 only ever join within
+  * LSH band buckets (the classic shuffle-on-band-key pattern: cost is
+  * sum of bucket^2, not n^2); d05 ranks pairs from a single shuffle-free
+  * top-N over a block-local cross join at test scale and is the baseline
+  * for the LSH-bucketed variant in Similarity. MinHash functions use
+  * md5-derived string minima so the DuckDB oracle can reproduce them
+  * engine-portably; a production variant would swap in xxhash64 (cheaper,
+  * Spark-codegen'd) without changing the dataflow shape.
+  */
+object Dedup {
+
+  private val NumHashes = 8 // 4 bands x 2 rows
+  private val JaccardBandThreshold = 4 // >=4/8 matching minhashes reported
+
+  /** Char 5-gram shingle multiset, exploded (for min-aggregation). */
+  private def explodedShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(transform(sequence(lit(1), length(col("text")) - 4),
+        i => col("text").substr(i, lit(5)))).as("s"))
+
+  /** Distinct shingle set as an array column (for exact Jaccard). */
+  private def shingleSet(c: Column): Column =
+    array_distinct(transform(sequence(lit(1), length(c) - 4),
+      i => c.substr(i, lit(5))))
+
+  /** MinHash signatures: h_i = min over shingles of md5(i || '|' || s).
+    * min over a 32-hex lowercase string == min over the 128-bit hash value,
+    * identical in any engine that sorts ASCII bytewise. */
+  def signatures(docs: DataFrame): DataFrame =
+    explodedShingles(docs).groupBy(col("doc_id"))
+      .agg(
+        min(md5(concat(lit("1|"), col("s")))).as("h1"),
+        (2 to NumHashes).map(i =>
+          min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i")): _*)
+
+  /** Band table: (band bucket key, doc_id), 4 bands of 2 hashes. */
+  private def bands(sigs: DataFrame): DataFrame =
+    (1 to 4).map { k =>
+      sigs.select(
+        concat(lit(s"$k:"), col(s"h${2 * k - 1}"), col(s"h${2 * k}")).as("bb"),
+        col("doc_id"))
+    }.reduce(_ union _)
+
+  /** Candidate pairs: docs sharing at least one LSH band bucket. */
+  private def candidatePairs(sigs: DataFrame): DataFrame = {
+    val b = bands(sigs)
+    val l = b.toDF("bb", "doc_a")
+    val r = b.toDF("bb", "doc_b")
+    l.join(r, "bb").where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** d01: exact duplicate grouping by content hash; keeper = min doc_id. */
+  def d01Exact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .groupBy(md5($"text").as("content_hash"))
+      .agg(min($"doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"keeper_doc_id")
+  }
+
+  /** d02: MinHash-LSH near-dup candidates with signature agreement >= 4/8. */
+  def d02MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val sigs = signatures(docs).cache()
+    val sa = sigs.toDF("doc_a" +: (1 to NumHashes).map(i => s"a$i"): _*)
+    val sb = sigs.toDF("doc_b" +: (1 to NumHashes).map(i => s"b$i"): _*)
+    val nMatch = (1 to NumHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    candidatePairs(sigs)
+      .join(sa, "doc_a").join(sb, "doc_b")
+      .select($"doc_a", $"doc_b", nMatch.as("n_match"))
+      .where($"n_match" >= JaccardBandThreshold)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** d03: exact char-5-gram Jaccard for LSH candidates (verify step of the
+    * dedup pipeline); reports pairs with J >= 0.5. */
+  def d03NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val sigs = signatures(docs).cache()
+    val sets = docs.select($"doc_id", shingleSet($"text").as("sh"))
+    val sa = sets.toDF("doc_a", "sh_a")
+    val sb = sets.toDF("doc_b", "sh_b")
+    val inter = size(array_intersect($"sh_a", $"sh_b")).cast(LongType)
+    val uni = size(array_union($"sh_a", $"sh_b")).cast(LongType)
+    candidatePairs(sigs)
+      .join(sa, "doc_a").join(sb, "doc_b")
+      .select($"doc_a", $"doc_b", inter.as("n_inter"), uni.as("n_union"),
+        (inter.cast(DoubleType) / uni).as("jaccard"))
+      .where($"jaccard" >= 0.5)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** d04: 60-bit word-level SimHash signatures. The per-bit +-1 sums are a
+    * single wide aggregate over the exploded token stream. */
+  def d04Simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.load(s, dir, "documents")
+      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("w"))
+      .select($"doc_id",
+        conv(substring(md5($"w"), 1, 15), 16, 10).cast(LongType).as("h"))
+    val bitSums = (0 until 60).map(i =>
+      sum(when(shiftright($"h", i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+    val simhash = (0 until 60)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+    words.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id", simhash.as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  /** d05: top-50 most-similar embedding pairs by cosine (the exact baseline
+    * an ANN index is judged against). Output has no float column — ranks
+    * only — so it is robust to last-ulp differences across engines. */
+  def d05EmbeddingPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast(DoubleType)).as("v"))
+    val withNorm = emb.select($"vec_id", $"v",
+      sqrt(aggregate(transform($"v", x => x * x), lit(0.0), (a, x) => a + x)).as("nrm"))
+    val l = withNorm.toDF("vec_a", "va", "na")
+    val r = withNorm.toDF("vec_b", "vb", "nb")
+    val dot = aggregate(zip_with($"va", $"vb", (x, y) => x * y), lit(0.0), (a, x) => a + x)
+    l.join(r, col("vec_a") < col("vec_b"))
+      .select($"vec_a", $"vec_b", (dot / ($"na" * $"nb")).as("cs"))
+      .orderBy($"cs".desc, $"vec_a", $"vec_b")
+      .limit(50)
+      .select($"vec_a", $"vec_b",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy($"cs".desc, $"vec_a", $"vec_b")).cast(LongType).as("rank"))
+      .orderBy($"rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup" -> d01Exact,
+    "d02_minhash_lsh" -> d02MinhashLsh,
+    "d03_ngram_jaccard" -> d03NgramJaccard,
+    "d04_simhash" -> d04Simhash,
+    "d05_embedding_pairs" -> d05EmbeddingPairs)
+
+  private val sigsSql =
+    s"""sh AS (
+       |  SELECT doc_id, substr(text, i, 5) AS s
+       |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text)-4)) AS i
+       |        FROM documents)),
+       |sigs AS (
+       |  SELECT doc_id, ${(1 to NumHashes)
+        .map(i => s"min(md5('$i|'||s)) AS h$i").mkString(", ")}
+       |  FROM sh GROUP BY doc_id),
+       |b AS (${(1 to 4)
+        .map(k => s"SELECT '$k:'||h${2 * k - 1}||h${2 * k} AS bb, doc_id FROM sigs")
+        .mkString(" UNION ALL ")}),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM b l JOIN b r USING (bb) WHERE l.doc_id < r.doc_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
+        | count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keeper_doc_id""".stripMargin,
+    "d02_minhash_lsh" ->
+      s"""WITH $sigsSql
+         |SELECT doc_a, doc_b,
+         | CAST(${(1 to NumHashes)
+          .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
+          .mkString(" + ")} AS BIGINT) AS n_match
+         |FROM cand
+         |JOIN sigs sa ON cand.doc_a = sa.doc_id
+         |JOIN sigs sb ON cand.doc_b = sb.doc_id
+         |WHERE ${(1 to NumHashes)
+          .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
+          .mkString(" + ")} >= $JaccardBandThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d03_ngram_jaccard" ->
+      s"""WITH $sigsSql,
+         |sets AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, length(text)-4), i -> substr(text, i, 5))) AS sh
+         |  FROM documents)
+         |SELECT doc_a, doc_b,
+         | CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_inter,
+         | CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT) AS n_union,
+         | CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |   / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+         |FROM cand
+         |JOIN sets sa ON cand.doc_a = sa.doc_id
+         |JOIN sets sb ON cand.doc_b = sb.doc_id
+         |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |   / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d04_simhash" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |  FROM documents),
+         |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h FROM w),
+         |bits AS (
+         |  SELECT doc_id, ${(0 until 60)
+          .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+          .mkString(", ")}
+         |  FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST(${(0 until 60)
+          .map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)")
+          .mkString(" + ")} AS BIGINT) AS simhash
+         |FROM bits ORDER BY doc_id""".stripMargin,
+    "d05_embedding_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |p AS (
+        |  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+        |   list_dot_product(l.v, r.v) / (l.nrm * r.nrm) AS cs
+        |  FROM n l JOIN n r ON l.vec_id < r.vec_id),
+        |top AS (SELECT vec_a, vec_b, cs FROM p ORDER BY cs DESC, vec_a, vec_b LIMIT 50)
+        |SELECT vec_a, vec_b,
+        | CAST(row_number() OVER (ORDER BY cs DESC, vec_a, vec_b) AS BIGINT) AS rank
+        |FROM top ORDER BY rank""".stripMargin)
+}

@@ -1,0 +1,141 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  *  - s01: brute-force cosine top-k — the exact baseline. The tiny query
+  *    side is broadcast, so the big side streams through one narrow pass:
+  *    no shuffle of the corpus, which is the only shape that survives a
+  *    100 TB corpus (cost = |corpus| x |queries|, embarrassingly parallel).
+  *  - s02: LSH-bucketed ANN — random-hyperplane signs bucket the corpus;
+  *    queries only score their own bucket (multi-probe over 4 tables).
+  *    The hyperplane matrix is a deterministic seeded constant folded into
+  *    the plan (and into the DuckDB oracle), so results are reproducible.
+  *
+  * Dot products run through `zip_with`/`aggregate` higher-order functions
+  * in pure double arithmetic — a strict left fold, bit-identical to the
+  * oracle's list_dot_product.
+  */
+object Similarity {
+
+  private val TopK = 5
+  private val NumQueries = 10
+  private val Dim = 64
+  private val NumTables = 4 // LSH hash tables
+  private val BitsPerTable = 8
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast(DoubleType))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (a, x) => a + x))
+
+  /** Deterministic pseudo-random hyperplanes (seeded, engine-independent —
+    * plain Scala so the same constants are embedded in the oracle SQL). */
+  private[ops] lazy val hyperplanes: Array[Array[Double]] = {
+    val rng = new scala.util.Random(20260812L)
+    Array.fill(NumTables * BitsPerTable)(Array.fill(Dim)(
+      math.rint(rng.nextGaussian() * 1000) / 1000.0))
+  }
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+
+  /** Sign-bit bucket key for LSH table `t`: 8 hyperplane signs -> int. */
+  private def bucketKey(v: Column, t: Int): Column =
+    (0 until BitsPerTable).map { b =>
+      val plane = hyperplanes(t * BitsPerTable + b)
+      val planeCol = array(plane.map(lit(_)): _*)
+      when(dot(v, planeCol) >= 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** s01: exact brute-force top-5 cosine neighbors for queries vec_id<10. */
+  def s01BruteForceTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = corpus(s, dir).select($"vec_id", $"v", norm($"v").as("nrm"))
+    val q = all.toDF("q_id", "qv", "qn").where($"q_id" < NumQueries)
+    val cs = dot($"qv", $"v") / ($"qn" * $"nrm")
+    val w = Window.partitionBy($"q_id").orderBy($"cs".desc, $"neighbor_id")
+    broadcast(q).join(all, $"q_id" =!= $"vec_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"), cs.as("cs"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .where($"rank" <= TopK)
+      .select($"q_id", $"rank", $"neighbor_id")
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** s02: LSH-bucketed ANN — same queries, candidates restricted to shared
+    * hash-table buckets, then exact re-rank. Recall < 1 by design; the
+    * oracle reproduces the identical bucketing so results still hash-match. */
+  def s02LshTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = corpus(s, dir).select($"vec_id", $"v", norm($"v").as("nrm"))
+    val buckets = (0 until NumTables).map { t =>
+      all.select($"vec_id", $"v", $"nrm", lit(t).as("tbl"),
+        bucketKey($"v", t).as("bkt"))
+    }.reduce(_ union _)
+    val q = buckets.toDF("q_id", "qv", "qn", "tbl", "bkt").where($"q_id" < NumQueries)
+    val cs = dot($"qv", $"v") / ($"qn" * $"nrm")
+    val w = Window.partitionBy($"q_id").orderBy($"cs".desc, $"neighbor_id")
+    broadcast(q).join(buckets, Seq("tbl", "bkt"))
+      .where($"q_id" =!= $"vec_id")
+      .select($"q_id", $"vec_id", $"v", $"nrm", $"qv", $"qn").distinct()
+      .select($"q_id", $"vec_id".as("neighbor_id"), cs.as("cs"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .where($"rank" <= TopK)
+      .select($"q_id", $"rank", $"neighbor_id")
+      .orderBy($"q_id", $"rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_ann_bruteforce" -> s01BruteForceTopK,
+    "s02_ann_lsh" -> s02LshTopK)
+
+  private def planeSql(t: Int, b: Int): String =
+    "[" + hyperplanes(t * BitsPerTable + b).mkString(", ") + "]"
+
+  private def bucketSql(t: Int): String =
+    (0 until BitsPerTable).map { b =>
+      s"(CASE WHEN list_dot_product(v, ${planeSql(t, b)}) >= 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "s01_ann_bruteforce" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < $NumQueries),
+         |sc AS (
+         |  SELECT q.q_id, n.vec_id AS neighbor_id,
+         |   list_dot_product(q.qv, n.v) / (q.qn * n.nrm) AS cs
+         |  FROM q JOIN n ON q.q_id <> n.vec_id),
+         |rk AS (SELECT q_id, neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, neighbor_id) AS BIGINT) AS rank
+         | FROM sc)
+         |SELECT q_id, rank, neighbor_id FROM rk WHERE rank <= $TopK
+         |ORDER BY q_id, rank""".stripMargin,
+    "s02_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |b AS (${(0 until NumTables).map(t =>
+            s"SELECT vec_id, v, nrm, $t AS tbl, ${bucketSql(t)} AS bkt FROM n")
+            .mkString(" UNION ALL ")}),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, tbl, bkt FROM b WHERE vec_id < $NumQueries),
+         |cand AS (
+         |  SELECT DISTINCT q.q_id, b.vec_id, q.qv, q.qn, b.v, b.nrm
+         |  FROM q JOIN b USING (tbl, bkt) WHERE q.q_id <> b.vec_id),
+         |sc AS (SELECT q_id, vec_id AS neighbor_id,
+         |  list_dot_product(qv, v) / (qn * nrm) AS cs FROM cand),
+         |rk AS (SELECT q_id, neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, neighbor_id) AS BIGINT) AS rank
+         | FROM sc)
+         |SELECT q_id, rank, neighbor_id FROM rk WHERE rank <= $TopK
+         |ORDER BY q_id, rank""".stripMargin)
+}

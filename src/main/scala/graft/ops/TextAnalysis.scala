@@ -1,0 +1,146 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators over the `documents` table: token statistics,
+  * quality scoring, language-ID heuristics, fingerprinting, vocabulary
+  * aggregation — the text side of a large-scale training-data pipeline.
+  *
+  * Everything is built-in codegen'd expressions (split / higher-order array
+  * functions / regexp), so the whole stage is a narrow projection that scales
+  * linearly; the only shuffle anywhere is the vocabulary groupBy in t04.
+  */
+object TextAnalysis {
+
+  private def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  private val StopWords = Seq("the", "a", "of", "to", "in")
+
+  /** t01: per-document token statistics + composite quality score.
+    * Ratios are single double divisions of exact ints — engine-portable. */
+  def t01TextStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = tokens($"text")
+    val nTok = size(t).cast(LongType)
+    val nDistinct = size(array_distinct(t)).cast(LongType)
+    val nStop = size(filter(t, x => x.isin(StopWords: _*))).cast(LongType)
+    val nChars = length($"text").cast(LongType)
+    val ttr = nDistinct.cast(DoubleType) / nTok
+    val stopRatio = nStop.cast(DoubleType) / nTok
+    val avgTokLen = length(regexp_replace($"text", "\\s", "")).cast(DoubleType) / nTok
+    Tables.load(s, dir, "documents")
+      .select(
+        $"doc_id", $"lang", $"source",
+        nChars.as("n_chars"),
+        nTok.as("n_tokens"),
+        nDistinct.as("n_distinct_tokens"),
+        nStop.as("n_stopwords"),
+        ttr.as("type_token_ratio"),
+        stopRatio.as("stopword_ratio"),
+        avgTokLen.as("avg_token_len"),
+        (when(nTok.between(20, 400), 0.4).otherwise(0.0) +
+          when(ttr > 0.3, 0.3).otherwise(0.0) +
+          when(stopRatio > 0.05, 0.3).otherwise(0.0)).as("quality_score"))
+      .orderBy($"doc_id")
+  }
+
+  /** t02: deterministic n-gram/character-heuristic language ID. The testdata
+    * text is synthetic, so this checks the *mechanics* (profile scoring +
+    * argmax) rather than linguistic accuracy. */
+  def t02LangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = tokens($"text")
+    val n = size(t).cast(DoubleType)
+    val scoreEn = size(filter(t, x => x.isin(StopWords: _*))).cast(DoubleType) / n
+    val scoreEs = size(filter(t, x => x.endsWith("o") || x.endsWith("a")))
+      .cast(DoubleType) / n
+    val scoreDe = size(filter(t, x => x.endsWith("en") || x.startsWith("sch")))
+      .cast(DoubleType) / n
+    Tables.load(s, dir, "documents")
+      .select(
+        $"doc_id", $"lang".as("lang_declared"),
+        scoreEn.as("score_en"), scoreEs.as("score_es"), scoreDe.as("score_de"),
+        when(scoreEn >= scoreEs && scoreEn >= scoreDe && scoreEn > 0, "en")
+          .when(scoreEs >= scoreDe && scoreEs > 0, "es")
+          .when(scoreDe > 0, "de")
+          .otherwise("und").as("lang_detected"))
+      .orderBy($"doc_id")
+  }
+
+  /** t03: document fingerprints — normalized-text md5, a 60-bit integer
+    * fingerprint, and a length bucket (dedup/sharding keys). */
+  def t03Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val norm = regexp_replace(trim($"text"), "\\s+", " ")
+    Tables.load(s, dir, "documents")
+      .select(
+        $"doc_id",
+        md5(norm).as("fp_md5"),
+        conv(substring(md5(norm), 1, 15), 16, 10).cast(LongType).as("fp_int60"),
+        floor(length($"text") / 100).cast(LongType).as("len_bucket"))
+      .orderBy($"doc_id")
+  }
+
+  /** t04: corpus vocabulary — explode tokens, global frequency, top-20.
+    * The generator/aggregate shape of tokenization at scale: one shuffle on
+    * the token key with map-side partial counts. */
+  def t04TopTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(explode(tokens($"text")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"token")
+      .limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_text_stats" -> t01TextStats,
+    "t02_lang_id" -> t02LangId,
+    "t03_fingerprint" -> t03Fingerprint,
+    "t04_top_tokens" -> t04TopTokens)
+
+  val oracles: Map[String, String] = Map(
+    "t01_text_stats" ->
+      s"""WITH d AS (SELECT doc_id, lang, source, text,
+         |  regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)
+         |SELECT doc_id, lang, source,
+         | length(text) AS n_chars,
+         | len(t) AS n_tokens,
+         | len(list_distinct(t)) AS n_distinct_tokens,
+         | len(list_filter(t, x -> x IN ('the','a','of','to','in'))) AS n_stopwords,
+         | CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS type_token_ratio,
+         | CAST(len(list_filter(t, x -> x IN ('the','a','of','to','in'))) AS DOUBLE) / len(t) AS stopword_ratio,
+         | CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(t) AS avg_token_len,
+         | (CASE WHEN len(t) BETWEEN 20 AND 400 THEN 0.4 ELSE 0.0 END
+         |  + CASE WHEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t) > 0.3 THEN 0.3 ELSE 0.0 END
+         |  + CASE WHEN CAST(len(list_filter(t, x -> x IN ('the','a','of','to','in'))) AS DOUBLE) / len(t) > 0.05 THEN 0.3 ELSE 0.0 END) AS quality_score
+         |FROM d ORDER BY doc_id""".stripMargin,
+    "t02_lang_id" ->
+      s"""WITH d AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |  CAST(len(list_filter(t, x -> x IN ('the','a','of','to','in'))) AS DOUBLE) / len(t) AS score_en,
+         |  CAST(len(list_filter(t, x -> x LIKE '%o' OR x LIKE '%a')) AS DOUBLE) / len(t) AS score_es,
+         |  CAST(len(list_filter(t, x -> x LIKE '%en' OR x LIKE 'sch%')) AS DOUBLE) / len(t) AS score_de
+         | FROM d)
+         |SELECT doc_id, lang AS lang_declared, score_en, score_es, score_de,
+         | CASE WHEN score_en >= score_es AND score_en >= score_de AND score_en > 0 THEN 'en'
+         |      WHEN score_es >= score_de AND score_es > 0 THEN 'es'
+         |      WHEN score_de > 0 THEN 'de'
+         |      ELSE 'und' END AS lang_detected
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "t03_fingerprint" ->
+      """WITH d AS (SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS h,
+        |  length(text) AS len FROM documents)
+        |SELECT doc_id, h AS fp_md5,
+        | CAST(concat('0x', substr(h, 1, 15)) AS BIGINT) AS fp_int60,
+        | CAST(floor(len / 100) AS BIGINT) AS len_bucket
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "t04_top_tokens" ->
+      """SELECT token, count(*) AS cnt FROM (
+        | SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents)
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin)
+}
