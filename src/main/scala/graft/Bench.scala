@@ -1,24 +1,65 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.medallion.{MdpConfig, Pipeline}
+
+/** Benchmark main (driver contract): runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR with a noop sink (full materialization — `count()`
+  * would let Catalyst prune the projected columns), plus a medallion
+  * bronze->silver->gold throughput run, and prints ONE JSON line.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def secs[A](f: => A): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      f
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // SPARK_GRAFT_ONLY=name1,name2 restricts the run (focused profiling);
+    // SPARK_GRAFT_SKIP_MDP=1 skips the medallion throughput stage.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
+        val t = try secs {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        } catch { case _: Throwable => -1.0 }
+        name -> t
+      }
+
+    // Medallion ETL throughput (bronze gen -> silver enrich -> gold KPIs).
+    val mdpDir = s"/tmp/graft_bench_mdp_${System.nanoTime()}"
+    val cfg = MdpConfig.fromEnv(mdpDir)
+    val mdp = if (sys.env.contains("SPARK_GRAFT_SKIP_MDP")) """"medallion_skipped":1"""
+    else try {
+      val tBronze = secs(Pipeline.bronze(spark, cfg))
+      val tSilver = secs(Pipeline.silver(spark, cfg))
+      val tGold = secs(Pipeline.gold(spark, cfg))
+      val gb = cfg.ingestGb
+      val gbpm = gb / (tBronze + tSilver + tGold) * 60
+      f""""medallion_bronze":$tBronze%.3f,"medallion_silver":$tSilver%.3f,"medallion_gold":$tGold%.3f,"medallion_gb":$gb%.3f,"medallion_gbpm":$gbpm%.3f"""
+    } catch { case _: Throwable => """"medallion_error":1""" }
+    try {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(mdpDir)).deleteRecursively()
+    } catch { case _: Throwable => () }
+
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$mdp,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -115,10 +115,16 @@ object Pipeline {
                          table: String, fallbackUri: String,
                          partitionCols: Seq[String]): String = {
     val fqn = s"spark_catalog.$db.$table"
+    // Hash-distribute rows by partition columns before the write (the
+    // Iceberg write.distribution-mode=hash posture, docs/TUNING.md:50-53):
+    // one shuffle, then each task writes whole partitions — without it every
+    // task writes a sliver of every partition (files = tasks x partitions).
+    val dist =
+      if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*) else df
     try {
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
       try {
-        val writer = df.writeTo(fqn).using("parquet")
+        val writer = dist.writeTo(fqn).using("parquet")
         val partitioned = partitionCols match {
           case Seq(a) => writer.partitionedBy(col(a))
           case Seq(a, b) => writer.partitionedBy(col(a), col(b))
@@ -130,7 +136,7 @@ object Pipeline {
         case NonFatal(_) =>
           // Session catalog has no atomic RTAS; V1 overwrite saveAsTable is
           // the non-atomic equivalent.
-          df.write.mode("overwrite").format("parquet")
+          dist.write.mode("overwrite").format("parquet")
             .partitionBy(partitionCols: _*).saveAsTable(fqn)
           log(s"Wrote catalog table $fqn (saveAsTable) partitioned by ${partitionCols.mkString(",")}")
       }
@@ -138,7 +144,7 @@ object Pipeline {
     } catch {
       case NonFatal(e) =>
         log(s"Catalog write failed (${e.getMessage}); falling back to parquet $fallbackUri")
-        df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(fallbackUri)
+        dist.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(fallbackUri)
         fallbackUri
     }
   }

@@ -28,6 +28,18 @@ object Dedup {
   private val NumHashes = 8 // 4 bands x 2 rows
   private val JaccardBandThreshold = 4 // >=4/8 matching minhashes reported
 
+  /** Universal-hash minhash: one md5 per shingle -> 60-bit int, then 8
+    * affine permutations h_i = (a_i*h + b_i) mod p over the 31-bit field
+    * (products stay < 2^62, no overflow in either engine). 8x cheaper than
+    * hashing every shingle 8 times, identical LSH semantics. Constants are
+    * seeded and embedded into the oracle SQL. */
+  private val P = 2147483647L // 2^31 - 1
+  private[ops] lazy val hashParams: Array[(Long, Long)] = {
+    val rng = new scala.util.Random(777L)
+    Array.fill(NumHashes)((rng.nextInt(Int.MaxValue - 1).toLong + 1L,
+      rng.nextInt(Int.MaxValue).toLong))
+  }
+
   /** Char 5-gram shingle multiset, exploded (for min-aggregation). */
   private def explodedShingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
@@ -39,21 +51,23 @@ object Dedup {
     array_distinct(transform(sequence(lit(1), length(c) - 4),
       i => c.substr(i, lit(5))))
 
-  /** MinHash signatures: h_i = min over shingles of md5(i || '|' || s).
-    * min over a 32-hex lowercase string == min over the 128-bit hash value,
-    * identical in any engine that sorts ASCII bytewise. */
-  def signatures(docs: DataFrame): DataFrame =
-    explodedShingles(docs).groupBy(col("doc_id"))
-      .agg(
-        min(md5(concat(lit("1|"), col("s")))).as("h1"),
-        (2 to NumHashes).map(i =>
-          min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i")): _*)
+  /** MinHash signatures via universal hashing over the md5-derived base. */
+  def signatures(docs: DataFrame): DataFrame = {
+    val base = conv(substring(md5(col("s")), 1, 15), 16, 10)
+      .cast(LongType) % P
+    val perms = hashParams.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h0") + lit(b)) % P).as(s"h${i + 1}")
+    }
+    explodedShingles(docs).select(col("doc_id"), base.as("h0"))
+      .groupBy(col("doc_id"))
+      .agg(perms.head, perms.tail: _*)
+  }
 
   /** Band table: (band bucket key, doc_id), 4 bands of 2 hashes. */
   private def bands(sigs: DataFrame): DataFrame =
     (1 to 4).map { k =>
       sigs.select(
-        concat(lit(s"$k:"), col(s"h${2 * k - 1}"), col(s"h${2 * k}")).as("bb"),
+        concat_ws(":", lit(k), col(s"h${2 * k - 1}"), col(s"h${2 * k}")).as("bb"),
         col("doc_id"))
     }.reduce(_ union _)
 
@@ -80,6 +94,13 @@ object Dedup {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
     val sigs = signatures(docs).cache()
+    agreedPairs(sigs).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Candidate pairs whose signatures agree on >= 4/8 minhashes (the d02
+    * output shape) — the cheap estimated-Jaccard prefilter that keeps the
+    * expensive exact verification off the long tail of band collisions. */
+  private def agreedPairs(sigs: DataFrame): DataFrame = {
     val sa = sigs.toDF("doc_a" +: (1 to NumHashes).map(i => s"a$i"): _*)
     val sb = sigs.toDF("doc_b" +: (1 to NumHashes).map(i => s"b$i"): _*)
     val nMatch = (1 to NumHashes)
@@ -87,13 +108,12 @@ object Dedup {
       .reduce(_ + _)
     candidatePairs(sigs)
       .join(sa, "doc_a").join(sb, "doc_b")
-      .select($"doc_a", $"doc_b", nMatch.as("n_match"))
-      .where($"n_match" >= JaccardBandThreshold)
-      .orderBy($"doc_a", $"doc_b")
+      .select(col("doc_a"), col("doc_b"), nMatch.as("n_match"))
+      .where(col("n_match") >= JaccardBandThreshold)
   }
 
-  /** d03: exact char-5-gram Jaccard for LSH candidates (verify step of the
-    * dedup pipeline); reports pairs with J >= 0.5. */
+  /** d03: exact char-5-gram Jaccard verification of the LSH+agreement
+    * candidates (the verify stage of the dedup pipeline); reports J >= 0.5. */
   def d03NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
@@ -103,8 +123,11 @@ object Dedup {
     val sb = sets.toDF("doc_b", "sh_b")
     val inter = size(array_intersect($"sh_a", $"sh_b")).cast(LongType)
     val uni = size(array_union($"sh_a", $"sh_b")).cast(LongType)
-    candidatePairs(sigs)
-      .join(sa, "doc_a").join(sb, "doc_b")
+    // The per-doc shingle sets are dimension-sized relative to the pair
+    // stream — broadcast them so the (much larger) pair set never shuffles
+    // its payload arrays.
+    agreedPairs(sigs).select($"doc_a", $"doc_b")
+      .join(broadcast(sa), "doc_a").join(broadcast(sb), "doc_b")
       .select($"doc_a", $"doc_b", inter.as("n_inter"), uni.as("n_union"),
         (inter.cast(DoubleType) / uni).as("jaccard"))
       .where($"jaccard" >= 0.5)
@@ -134,13 +157,13 @@ object Dedup {
     * only — so it is robust to last-ulp differences across engines. */
   def d05EmbeddingPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val dotF = graft.functions.VectorFunctions.dotF64 _
     val emb = Tables.load(s, dir, "embeddings")
       .select($"vec_id", transform($"embedding", x => x.cast(DoubleType)).as("v"))
-    val withNorm = emb.select($"vec_id", $"v",
-      sqrt(aggregate(transform($"v", x => x * x), lit(0.0), (a, x) => a + x)).as("nrm"))
+    val withNorm = emb.select($"vec_id", $"v", sqrt(dotF($"v", $"v")).as("nrm"))
     val l = withNorm.toDF("vec_a", "va", "na")
     val r = withNorm.toDF("vec_b", "vb", "nb")
-    val dot = aggregate(zip_with($"va", $"vb", (x, y) => x * y), lit(0.0), (a, x) => a + x)
+    val dot = dotF($"va", $"vb")
     l.join(r, col("vec_a") < col("vec_b"))
       .select($"vec_a", $"vec_b", (dot / ($"na" * $"nb")).as("cs"))
       .orderBy($"cs".desc, $"vec_a", $"vec_b")
@@ -163,16 +186,33 @@ object Dedup {
        |  SELECT doc_id, substr(text, i, 5) AS s
        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text)-4)) AS i
        |        FROM documents)),
+       |h0t AS (
+       |  SELECT doc_id,
+       |   CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % $P AS h0
+       |  FROM sh),
        |sigs AS (
-       |  SELECT doc_id, ${(1 to NumHashes)
-        .map(i => s"min(md5('$i|'||s)) AS h$i").mkString(", ")}
-       |  FROM sh GROUP BY doc_id),
+       |  SELECT doc_id, ${hashParams.zipWithIndex
+        .map { case ((a, b), i) => s"min((${a}*h0 + ${b}) % $P) AS h${i + 1}" }
+        .mkString(", ")}
+       |  FROM h0t GROUP BY doc_id),
        |b AS (${(1 to 4)
-        .map(k => s"SELECT '$k:'||h${2 * k - 1}||h${2 * k} AS bb, doc_id FROM sigs")
+        .map(k =>
+          s"SELECT '$k:'||CAST(h${2 * k - 1} AS VARCHAR)||':'||CAST(h${2 * k} AS VARCHAR) AS bb, doc_id FROM sigs")
         .mkString(" UNION ALL ")}),
        |cand AS (
        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-       |  FROM b l JOIN b r USING (bb) WHERE l.doc_id < r.doc_id)""".stripMargin
+       |  FROM b l JOIN b r USING (bb) WHERE l.doc_id < r.doc_id),
+       |agreed AS (
+       |  SELECT doc_a, doc_b,
+       |   CAST(${(1 to NumHashes)
+        .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")} AS BIGINT) AS n_match
+       |  FROM cand
+       |  JOIN sigs sa ON cand.doc_a = sa.doc_id
+       |  JOIN sigs sb ON cand.doc_b = sb.doc_id
+       |  WHERE ${(1 to NumHashes)
+        .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")} >= $JaccardBandThreshold)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "d01_exact_dedup" ->
@@ -181,17 +221,7 @@ object Dedup {
         |FROM documents GROUP BY md5(text) ORDER BY keeper_doc_id""".stripMargin,
     "d02_minhash_lsh" ->
       s"""WITH $sigsSql
-         |SELECT doc_a, doc_b,
-         | CAST(${(1 to NumHashes)
-          .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
-          .mkString(" + ")} AS BIGINT) AS n_match
-         |FROM cand
-         |JOIN sigs sa ON cand.doc_a = sa.doc_id
-         |JOIN sigs sb ON cand.doc_b = sb.doc_id
-         |WHERE ${(1 to NumHashes)
-          .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
-          .mkString(" + ")} >= $JaccardBandThreshold
-         |ORDER BY doc_a, doc_b""".stripMargin,
+         |SELECT doc_a, doc_b, n_match FROM agreed ORDER BY doc_a, doc_b""".stripMargin,
     "d03_ngram_jaccard" ->
       s"""WITH $sigsSql,
          |sets AS (
@@ -203,9 +233,9 @@ object Dedup {
          | CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT) AS n_union,
          | CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
          |   / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
-         |FROM cand
-         |JOIN sets sa ON cand.doc_a = sa.doc_id
-         |JOIN sets sb ON cand.doc_b = sb.doc_id
+         |FROM agreed
+         |JOIN sets sa ON agreed.doc_a = sa.doc_id
+         |JOIN sets sb ON agreed.doc_b = sb.doc_id
          |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
          |   / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,

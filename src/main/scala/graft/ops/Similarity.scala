@@ -31,11 +31,12 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast(DoubleType))
 
+  /** Native codegen'd dot product (graft.functions.DotProductF64): strict
+    * left fold, bit-identical to the oracle's list_dot_product. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dotF64(a, b)
 
-  private def norm(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (a, x) => a + x))
+  private def norm(v: Column): Column = sqrt(dot(v, v))
 
   /** Deterministic pseudo-random hyperplanes (seeded, engine-independent —
     * plain Scala so the same constants are embedded in the oracle SQL). */
