@@ -1,0 +1,125 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: opaque binary payloads + typed metadata,
+  * batch feature extraction, and a decode stage.
+  *
+  * The container has no image/audio codecs, so the *decode* is a
+  * deterministic stub (clearly marked below); everything around it — the
+  * (binary, struct metadata) schema, partition-parallel batched processing
+  * via typed mapPartitions, the feature-vector hand-off into the existing
+  * vector operators — is real and tested. On a cluster the stub body is
+  * replaced by the actual codec call; the dataflow does not change.
+  *
+  * The synthetic binary column is derived from documents.text through
+  * hex(sha2) -> unhex, reproducible bit-for-bit in DuckDB, so mm01's
+  * byte-level feature extraction is oracle-checked end to end.
+  */
+object Multimodal {
+
+  /** Synthetic multimodal table: binary payload + typed metadata struct. */
+  private def media(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(
+      $"doc_id".as("media_id"),
+      $"source",
+      // payload: 3 sha256 blocks of the text = 96 deterministic bytes
+      unhex(concat(sha2($"text", 256), sha2(concat($"text", lit("2")), 256),
+        sha2(concat($"text", lit("3")), 256))).as("payload"),
+      struct(
+        lit("fake/v1").as("format"),
+        ($"n_chars" % 640).cast(IntegerType).as("width"),
+        ($"n_chars" % 480).cast(IntegerType).as("height")).as("meta"))
+  }
+
+  /** mm01: byte-level feature extraction over the binary column (length,
+    * content hash, leading magic bytes, sampled "frame" slices) — all
+    * engine-portable binary expressions. */
+  def mm01BinaryFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // features are derived from the hex view of the bytes because the
+    // oracle engine (DuckDB 1.0) has no blob-typed md5/substring
+    val hx = lower(hex($"payload"))
+    media(s, dir).select(
+      $"media_id",
+      $"source",
+      $"meta.format".as("format"),
+      $"meta.width".as("width"),
+      $"meta.height".as("height"),
+      length($"payload").cast(LongType).as("n_bytes"),
+      md5(hx).as("payload_md5"),
+      substring(hx, 1, 8).as("magic"),
+      // "frame sampling": fixed-stride slices off the payload
+      substring(hx, 65, 16).as("frame_1"),
+      substring(hx, 129, 16).as("frame_2"))
+      .orderBy($"media_id")
+  }
+
+  final case class MediaRow(media_id: Long, source: String, payload: Array[Byte])
+  final case class DecodedRow(media_id: Long, source: String, feature: Array[Float])
+
+  /** The decode stub: a real codec (JPEG decode, resample, embed) would go
+    * here; this deterministic fake folds payload bytes into a fixed-dim
+    * float vector so the downstream dataflow is exercised honestly. */
+  private def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val dim = 16
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < payload.length) {
+      out(i % dim) += (payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    out
+  }
+
+  /** mm02: the decode stage — typed mapPartitions over binary rows (the
+    * batch shape a vectorized decoder needs: one partition = one batch,
+    * codecs initialized once per partition), then a per-source aggregate
+    * over the decoded feature vectors. Not SQL-expressible -> rows-only
+    * correctness check; semantics are pinned by MultimodalSpec. */
+  def mm02DecodeFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows: Dataset[MediaRow] = media(s, dir)
+      .select($"media_id", $"source", $"payload").as[MediaRow]
+    val decoded: Dataset[DecodedRow] = rows.mapPartitions { it =>
+      // per-partition init of the (stubbed) codec happens here
+      it.map(r => DecodedRow(r.media_id, r.source, decodeStub(r.payload)))
+    }
+    val featNorm = sqrt(graft.functions.VectorFunctions.dotF64(
+      transform($"feature", x => x.cast(DoubleType)),
+      transform($"feature", x => x.cast(DoubleType))))
+    decoded.toDF()
+      .select($"media_id", $"source", featNorm.as("feature_norm"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_media"),
+        sum($"feature_norm").as("total_norm"),
+        max($"feature_norm").as("max_norm"))
+      .orderBy($"source")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm01_binary_features" -> mm01BinaryFeatures,
+    "mm02_decode_features" -> mm02DecodeFeatures)
+
+  val oracles: Map[String, String] = Map(
+    "mm01_binary_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, source,
+        |   sha256(text) || sha256(text || '2') || sha256(text || '3') AS hx,
+        |   n_chars % 640 AS width, n_chars % 480 AS height
+        |  FROM documents)
+        |SELECT media_id, source,
+        | 'fake/v1' AS format,
+        | CAST(width AS INTEGER) AS width,
+        | CAST(height AS INTEGER) AS height,
+        | octet_length(from_hex(hx)) AS n_bytes,
+        | md5(hx) AS payload_md5,
+        | substring(hx, 1, 8) AS magic,
+        | substring(hx, 65, 16) AS frame_1,
+        | substring(hx, 129, 16) AS frame_2
+        |FROM m ORDER BY media_id""".stripMargin)
+}

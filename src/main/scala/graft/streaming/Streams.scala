@@ -1,0 +1,103 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming ingest over the events table.
+  *
+  * The reference is batch-only but ships an unused checkpoints bucket
+  * (k8s/s3/03-s3-buckets.yaml:32-40) — this is the streaming variant it
+  * implies (SURVEY.md §1.1): file-source stream -> event-time watermark ->
+  * tumbling-window aggregate. Locally the parquet file drives the stream
+  * through the memory sink synchronously, so results are a DataFrame the
+  * driver's correctness gate can compare against a batch SQL oracle.
+  *
+  * At scale this is `readStream` from the bronze landing prefix with the
+  * same transform graph as batch silver (the code paths share expression
+  * libraries), checkpointed to the checkpoints bucket; the watermark bounds
+  * the window state store.
+  */
+object Streams {
+
+  /** Read events as a file-source stream (handling the NANOS timestamp the
+    * same way Tables.load does for batch). The file source requires a
+    * directory, so the single parquet file is exposed through a symlink in
+    * a temp dir — the testdata itself is never touched. */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = Paths.get("/tmp/graft_stream_src", dir.replaceAll("[^A-Za-z0-9]", "_"))
+    Files.createDirectories(streamDir)
+    val link = streamDir.resolve("events.parquet")
+    if (!Files.exists(link))
+      Files.createSymbolicLink(link, Paths.get(dir, "events.parquet"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    s.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private var streamCounter = 0
+
+  /** Run a streaming aggregate synchronously to completion over the finite
+    * file source and return the materialized result. */
+  private def runToCompletion(agg: DataFrame, mode: String): DataFrame = {
+    streamCounter += 1
+    val name = s"graft_stream_$streamCounter"
+    val q = agg.writeStream.outputMode(mode)
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    agg.sparkSession.table(name)
+  }
+
+  /** st01: watermarked tumbling-window aggregate per (hour, event_type).
+    * Complete output mode so every window is emitted for the finite input;
+    * window boundaries surface as epoch seconds (engine-portable). */
+  def st01TumblingAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"value".cast(DecimalType(12, 2))).cast(DoubleType).as("total_value"),
+        max($"value").as("max_value"))
+      .select(
+        unix_timestamp($"window.start").as("window_start_s"),
+        $"event_type", $"n_events", $"total_value", $"max_value")
+    runToCompletion(agg, "complete").orderBy($"window_start_s", $"event_type")
+  }
+
+  /** st02: streaming exact dedup (dropDuplicates on event_id within the
+    * watermark) -> per-type counts; equals batch DISTINCT on this input. */
+  def st02StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"))
+    runToCompletion(agg, "complete").orderBy($"event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st01_stream_tumbling_agg" -> st01TumblingAgg,
+    "st02_stream_dedup" -> st02StreamDedup)
+
+  val oracles: Map[String, String] = Map(
+    "st01_stream_tumbling_agg" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start_s,
+        | event_type,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        | max(value) AS max_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "st02_stream_dedup" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM (SELECT DISTINCT ON (event_id) event_id, event_type FROM events ORDER BY event_id)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+}

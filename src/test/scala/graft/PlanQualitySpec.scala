@@ -1,0 +1,63 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the properties that make these queries survive a
+  * 100 TB scale-up are checked against the optimized physical plan, not
+  * just eyeballed — filter/projection pushdown into the parquet scan,
+  * broadcast of dimension sides, absence of cartesian products.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q02 pushes filters and prunes columns at the parquet scan") {
+    val plan = planOf(Relational.q02FilterPushdown(spark, dir))
+    assert(plan.contains("PushedFilters"), plan)
+    // quantity/discount predicates must reach the scan
+    assert(plan.contains("l_quantity") && plan.contains("LessThan"), plan)
+    // projection pruning: the 16-column lineitem scan reads only what's used
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_tax"), readSchema)
+  }
+
+  test("q03 broadcasts every dimension side") {
+    // formatted explain lists each node in the tree and again in the
+    // details section, so assert presence + absence, not exact counts
+    val plan = planOf(Relational.q03DimJoin(spark, dir))
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 3, plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q01 aggregates partially before the exchange") {
+    val plan = planOf(Relational.q01PricingSummary(spark, dir))
+    // partial-then-final hash aggregation around a hash exchange
+    assert(plan.split("HashAggregate").length - 1 >= 2, plan)
+    assert(plan.contains("hashpartitioning"), plan)
+  }
+
+  test("s01 keeps the corpus side shuffle-free (broadcast nested loop)") {
+    val plan = planOf(Similarity.s01BruteForceTopK(spark, dir))
+    assert(plan.contains("Broadcast"), plan)
+    // the only exchange should be for the window/top-k, not the join input
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("dedup band join is an equi-join on the band key (no cartesian)") {
+    val plan = planOf(Dedup.d02MinhashLsh(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
