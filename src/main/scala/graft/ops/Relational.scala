@@ -180,7 +180,31 @@ object Relational {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** q12: the q04 join with explicit key salting — the manual skew
+    * mitigation for when one join key dominates (AQE skew-join's static
+    * cousin): the fact side gets a deterministic salt from its own key,
+    * the build side is replicated across all salts, and the join runs on
+    * (key, salt) so a hot key spreads over `Salts` reducers. Must produce
+    * exactly q04's results — same oracle. */
+  def q12SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val salts = 8
+    val li = Tables.load(s, dir, "lineitem")
+      .withColumn("salt", pmod(crc32($"l_linenumber".cast(StringType)), lit(salts)))
+    val o = Tables.load(s, dir, "orders")
+      .withColumn("salt", explode(array((0 until salts).map(lit(_)): _*)))
+    li.join(o, li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
+      .groupBy($"o_orderpriority")
+      .agg(
+        sum(dec($"l_extendedprice") * (oneDec - dec($"l_discount")))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"),
+        countDistinct($"o_orderkey").as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q12_salted_join" -> q12SaltedJoin,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_pushdown" -> q02FilterPushdown,
     "q03_dim_join" -> q03DimJoin,
@@ -193,6 +217,14 @@ object Relational {
     "q10_sessionize" -> q10Sessionize)
 
   val oracles: Map[String, String] = Map(
+    // identical semantics to q04 — salting must not change results
+    "q12_salted_join" ->
+      """SELECT o_orderpriority,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        | count(*) AS n_lines,
+        | count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

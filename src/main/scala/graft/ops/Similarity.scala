@@ -96,9 +96,32 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** s03: same exact top-k as s01, but reduced through the custom
+    * TopKAggregator (partial top-k per partition before the exchange)
+    * instead of a window sort over all candidate scores — the formulation
+    * that scales; verified against the identical oracle as s01. */
+  def s03TopKAggregator(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val topk = udaf(new graft.functions.TopKAggregator(TopK),
+      ExpressionEncoder[graft.functions.Scored]())
+    val all = corpus(s, dir).select($"vec_id", $"v", norm($"v").as("nrm"))
+    val q = all.toDF("q_id", "qv", "qn").where($"q_id" < NumQueries)
+    val cs = dot($"qv", $"v") / ($"qn" * $"nrm")
+    broadcast(q).join(all, $"q_id" =!= $"vec_id")
+      .select($"q_id", cs.as("cs"), $"vec_id")
+      .groupBy($"q_id")
+      .agg(topk($"cs", $"vec_id").as("top"))
+      .select($"q_id", posexplode($"top"))
+      .select($"q_id", ($"pos" + 1).cast(LongType).as("rank"),
+        $"col.id".as("neighbor_id"))
+      .orderBy($"q_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> s01BruteForceTopK,
-    "s02_ann_lsh" -> s02LshTopK)
+    "s02_ann_lsh" -> s02LshTopK,
+    "s03_ann_topk_aggregator" -> s03TopKAggregator)
 
   private def planeSql(t: Int, b: Int): String =
     "[" + hyperplanes(t * BitsPerTable + b).mkString(", ") + "]"
@@ -110,6 +133,20 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "s01_ann_bruteforce" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < $NumQueries),
+         |sc AS (
+         |  SELECT q.q_id, n.vec_id AS neighbor_id,
+         |   list_dot_product(q.qv, n.v) / (q.qn * n.nrm) AS cs
+         |  FROM q JOIN n ON q.q_id <> n.vec_id),
+         |rk AS (SELECT q_id, neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, neighbor_id) AS BIGINT) AS rank
+         | FROM sc)
+         |SELECT q_id, rank, neighbor_id FROM rk WHERE rank <= $TopK
+         |ORDER BY q_id, rank""".stripMargin,
+    // s03 computes the same exact top-k as s01 through the aggregator path
+    "s03_ann_topk_aggregator" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
          |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < $NumQueries),
