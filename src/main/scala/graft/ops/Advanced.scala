@@ -95,7 +95,46 @@ object Advanced {
       .orderBy($"event_date")
   }
 
+  /** q18: time-series resample with gap filling — hourly per-user buckets
+    * densified over each user's own active span via sequence+explode and a
+    * left join, missing buckets filled with zeros. The explode side is
+    * generated (no shuffle); the join shuffles once on (user, bucket). */
+  def q18ResampleGapfill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "events")
+      .select($"user_id", (unix_timestamp($"ts") - unix_timestamp($"ts") % 3600).as("bucket_s"),
+        $"value")
+    val actual = e.groupBy($"user_id", $"bucket_s")
+      .agg(count(lit(1)).as("n_events"), moneySum($"value").as("total_value"))
+    val spans = e.groupBy($"user_id")
+      .agg(min($"bucket_s").as("b0"), max($"bucket_s").as("b1"))
+    val dense = spans.select($"user_id",
+      explode(sequence($"b0", $"b1", lit(3600L))).as("bucket_s"))
+    dense.join(actual, Seq("user_id", "bucket_s"), "left")
+      .select($"user_id", $"bucket_s",
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        coalesce($"total_value", lit(0.0)).as("total_value"))
+      .orderBy($"user_id", $"bucket_s")
+  }
+
+  /** q19: range-frame window — per event, the sum/count of the same user's
+    * events in the trailing hour (RANGE, not ROWS: peers by time value). */
+  def q19RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"sec")
+      .rangeBetween(-3600L, Window.currentRow)
+    Tables.load(s, dir, "events")
+      .select($"user_id", $"event_id", unix_timestamp($"ts").as("sec"), $"value")
+      .select($"user_id", $"event_id",
+        count(lit(1)).over(w).as("n_last_hour"),
+        sum(dec($"value")).over(w).cast(DoubleType).as("value_last_hour"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_resample_gapfill" -> q18ResampleGapfill,
+    "q19_range_frame" -> q19RangeFrame,
     "q13_json_funcs" -> q13JsonFuncs,
     "q14_percentiles" -> q14Percentiles,
     "q15_exact_moments" -> q15ExactMoments,
@@ -103,6 +142,34 @@ object Advanced {
     "q17_pivot" -> q17Pivot)
 
   val oracles: Map[String, String] = Map(
+    "q18_resample_gapfill" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |   CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) % 3600 AS bucket_s,
+        |   value
+        |  FROM events),
+        |actual AS (
+        |  SELECT user_id, bucket_s, count(*) AS n_events,
+        |   CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |  FROM e GROUP BY user_id, bucket_s),
+        |spans AS (SELECT user_id, min(bucket_s) AS b0, max(bucket_s) AS b1 FROM e GROUP BY user_id),
+        |dense AS (
+        |  SELECT user_id, unnest(generate_series(b0, b1, 3600)) AS bucket_s FROM spans)
+        |SELECT dense.user_id, dense.bucket_s,
+        | coalesce(actual.n_events, 0) AS n_events,
+        | coalesce(actual.total_value, 0.0) AS total_value
+        |FROM dense LEFT JOIN actual USING (user_id, bucket_s)
+        |ORDER BY user_id, bucket_s""".stripMargin,
+    "q19_range_frame" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+        |  FROM events)
+        |SELECT user_id, event_id,
+        | count(*) OVER w AS n_last_hour,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS value_last_hour
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q13_json_funcs" ->
       """SELECT event_id,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,

@@ -5,6 +5,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+// Top-level (public) so Catalyst's generated [de]serializers can reach them.
+final case class SessEvent(user_id: Long, event_id: Long, epochS: Long)
+final case class SessSummary(user_id: Long, n_sessions: Long, n_events: Long)
+
 /** Structured Streaming ingest over the events table.
   *
   * The reference is batch-only but ships an unused checkpoints bucket
@@ -84,9 +88,44 @@ object Streams {
     runToCompletion(agg, "complete").orderBy($"event_type")
   }
 
+  /** st03: custom stateful streaming — gap-based sessionization per user via
+    * flatMapGroupsWithState (Update mode: each batch emits the user's
+    * current session summary; on this finite single-batch input that equals
+    * the batch sessionization, which is what the oracle computes). */
+  def st03StatefulSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapS = 1800L
+    val events = eventsStream(s, dir)
+      .select($"user_id", $"event_id", unix_timestamp($"ts").as("epochS"))
+      .as[SessEvent]
+
+    def update(userId: Long, it: Iterator[SessEvent],
+               state: GroupState[SessSummary]): Iterator[SessSummary] = {
+      val sorted = it.toSeq.sortBy(e => (e.epochS, e.event_id))
+      var sessions = state.getOption.map(_.n_sessions).getOrElse(0L)
+      var events = state.getOption.map(_.n_events).getOrElse(0L)
+      var lastTs = Long.MinValue
+      sorted.foreach { e =>
+        if (lastTs == Long.MinValue || e.epochS - lastTs > gapS) sessions += 1
+        lastTs = e.epochS
+        events += 1
+      }
+      val out = SessSummary(userId, sessions, events)
+      state.update(out)
+      Iterator.single(out)
+    }
+
+    val sessions = events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+    runToCompletion(sessions.toDF(), "update")
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_tumbling_agg" -> st01TumblingAgg,
-    "st02_stream_dedup" -> st02StreamDedup)
+    "st02_stream_dedup" -> st02StreamDedup,
+    "st03_stateful_sessions" -> st03StatefulSessions)
 
   val oracles: Map[String, String] = Map(
     "st01_stream_tumbling_agg" ->
@@ -99,5 +138,21 @@ object Streams {
     "st02_stream_dedup" ->
       """SELECT event_type, count(*) AS n_events
         |FROM (SELECT DISTINCT ON (event_id) event_id, event_type FROM events ORDER BY event_id)
-        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // batch sessionization (q10's logic) per user == the single-batch
+    // stateful-streaming result
+    "st03_stateful_sessions" ->
+      """WITH e AS (
+        | SELECT user_id, event_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT)
+        |    - lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap,
+        |  ts
+        | FROM events),
+        |s AS (
+        | SELECT user_id,
+        |  CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        | FROM e)
+        |SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin)
 }
