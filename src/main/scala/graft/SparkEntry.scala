@@ -8,13 +8,13 @@ object SparkEntry {
     Scalars.q26GoldKpisDaily(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Scalars.queries ++ Advanced.queries ++ Medallion.queries ++
+    Relational.queries ++ Scalars.queries ++ Advanced.queries ++ SqlSurface.queries ++ Medallion.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       AsOf.queries ++ Multimodal.queries ++ graft.streaming.Streams.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Scalars.oracles ++ Advanced.oracles ++ Medallion.oracles ++
+    Relational.oracles ++ Scalars.oracles ++ Advanced.oracles ++ SqlSurface.oracles ++ Medallion.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       AsOf.oracles ++ Multimodal.oracles ++ graft.streaming.Streams.oracles
 }

@@ -1,0 +1,130 @@
+package graft.ops
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SQL-entry and remaining relational surface: correlated subqueries through
+  * `spark.sql` (parser -> decorrelation -> join rewrite), the full ranking
+  * window-function family, unpivot/melt, and bag-semantics set operations.
+  */
+object SqlSurface {
+  import Det._
+
+  /** q30: correlated scalar subquery via the SQL entry path — Catalyst
+    * decorrelates it into an aggregate + join; results must match DuckDB
+    * running the *same text*. */
+  def q30ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+    Tables.load(s, dir, "nation").createOrReplaceTempView("nation")
+    s.sql(
+      """SELECT c_custkey, c_nationkey,
+        | CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        |FROM customer c
+        |WHERE c_acctbal > (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |           / count(*) * 1.5
+        |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** q31: ranking window family — rank/dense_rank/ntile/percent_rank/
+    * cume_dist with a deterministic total order (tiebreak on orderkey). */
+  def q31RankFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.load(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey",
+        rank().over(w).cast(LongType).as("rnk"),
+        dense_rank().over(w).cast(LongType).as("drnk"),
+        ntile(4).over(w).cast(LongType).as("quartile"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** q32: unpivot/melt — the channel-revenue columns of a gold-style frame
+    * melted back to (date, channel, revenue) rows. */
+  def q32Unpivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wide = Tables.load(s, dir, "events")
+      .groupBy($"ts".cast(DateType).as("event_date"))
+      .agg(
+        sum(when($"event_type" === "click", dec($"value"))).cast(DoubleType).as("click"),
+        sum(when($"event_type" === "purchase", dec($"value"))).cast(DoubleType).as("purchase"),
+        sum(when($"event_type" === "view", dec($"value"))).cast(DoubleType).as("view"))
+    wide.unpivot(Array($"event_date"), Array($"click", $"purchase", $"view"),
+      "etype", "total_value")
+      .orderBy($"event_date", $"etype")
+  }
+
+  /** q33: bag-semantics set ops — INTERSECT ALL / EXCEPT ALL on the
+    * multiset of (custkey, orderstatus) pairs split by order priority. */
+  def q33SetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.load(s, dir, "orders")
+    val urgent = o.filter($"o_orderpriority".isin("1-URGENT", "2-HIGH"))
+      .select($"o_custkey".as("k"), $"o_orderstatus".as("st"))
+    val rest = o.filter(!$"o_orderpriority".isin("1-URGENT", "2-HIGH"))
+      .select($"o_custkey".as("k"), $"o_orderstatus".as("st"))
+    urgent.intersectAll(rest).withColumn("op", lit("in_both_bag"))
+      .union(urgent.exceptAll(rest).withColumn("op", lit("urgent_only_bag")))
+      .groupBy($"op", $"st")
+      .agg(count(lit(1)).as("n"), countDistinct($"k").as("n_keys"))
+      .orderBy($"op", $"st")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_scalar_subquery" -> q30ScalarSubquery,
+    "q31_rank_funcs" -> q31RankFuncs,
+    "q32_unpivot" -> q32Unpivot,
+    "q33_setops_all" -> q33SetOpsAll)
+
+  val oracles: Map[String, String] = Map(
+    "q30_scalar_subquery" ->
+      """SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        |FROM customer c
+        |WHERE c_acctbal > (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |           / count(*) * 1.5
+        |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q31_rank_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(rank() OVER w AS BIGINT) AS rnk,
+        | CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | percent_rank() OVER w AS prnk,
+        | cume_dist() OVER w AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q32_unpivot" ->
+      """WITH wide AS (
+        |  SELECT CAST(ts AS DATE) AS event_date,
+        |   CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS click,
+        |   CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase,
+        |   CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS view
+        |  FROM events GROUP BY 1)
+        |SELECT event_date, etype, total_value FROM (
+        |  SELECT event_date, 'click' AS etype, click AS total_value FROM wide
+        |  UNION ALL SELECT event_date, 'purchase', purchase FROM wide
+        |  UNION ALL SELECT event_date, 'view', view FROM wide)
+        |WHERE total_value IS NOT NULL
+        |ORDER BY event_date, etype""".stripMargin,
+    "q33_setops_all" ->
+      """WITH urgent AS (
+        |  SELECT o_custkey AS k, o_orderstatus AS st FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+        |rest AS (
+        |  SELECT o_custkey AS k, o_orderstatus AS st FROM orders
+        |  WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')),
+        |tagged AS (
+        |  SELECT k, st, 'in_both_bag' AS op FROM (SELECT k, st FROM urgent INTERSECT ALL SELECT k, st FROM rest)
+        |  UNION ALL
+        |  SELECT k, st, 'urgent_only_bag' AS op FROM (SELECT k, st FROM urgent EXCEPT ALL SELECT k, st FROM rest))
+        |SELECT op, st, count(*) AS n, count(DISTINCT k) AS n_keys
+        |FROM tagged GROUP BY op, st ORDER BY op, st""".stripMargin)
+}
