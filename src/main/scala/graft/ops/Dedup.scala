@@ -40,16 +40,20 @@ object Dedup {
       rng.nextInt(Int.MaxValue).toLong))
   }
 
-  /** Char 5-gram shingle multiset, exploded (for min-aggregation). */
+  /** Char 5-gram shingle multiset, streamed by the custom CharNGrams
+    * Generator (no per-row array materialization; bit-identical rows to the
+    * transform+sequence+explode formulation it replaced). */
   private def explodedShingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      explode(transform(sequence(lit(1), length(col("text")) - 4),
-        i => col("text").substr(i, lit(5)))).as("s"))
+      graft.functions.CharNGrams.charNGrams(col("text"), 5))
 
-  /** Distinct shingle set as an array column (for exact Jaccard). */
+  /** Distinct shingle set as an array column (for exact Jaccard). Guarded
+    * for strings shorter than the shingle width: sequence(1, 0) DESCENDS in
+    * Spark (auto step -1) and would fabricate bogus shingles. */
   private def shingleSet(c: Column): Column =
-    array_distinct(transform(sequence(lit(1), length(c) - 4),
-      i => c.substr(i, lit(5))))
+    when(length(c) < 5, array().cast(ArrayType(StringType)))
+      .otherwise(array_distinct(transform(sequence(lit(1), length(c) - 4),
+        i => c.substr(i, lit(5)))))
 
   /** MinHash signatures via universal hashing over the md5-derived base. */
   def signatures(docs: DataFrame): DataFrame = {
