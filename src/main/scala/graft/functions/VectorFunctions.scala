@@ -23,9 +23,22 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class DotProductF64(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // Inputs must be array<double>; call sites (VectorFunctions.dotF64 users)
-  // cast explicitly, mirroring the oracle's CAST(... AS DOUBLE[]).
   override def dataType: DataType = DoubleType
+
+  // ExpectsInputTypes is private[sql]; enforce array<double> inputs here so
+  // SQL-path misuse (graft_dot over int arrays) fails analysis, not runtime.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    def ok(dt: DataType) = dt match {
+      case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot needs two array<double> args, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
   override def prettyName: String = "graft_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {

@@ -19,57 +19,43 @@ import org.apache.spark.sql.functions._
   * Expand-based plan with mergeable HLL sketches and should be preferred.
   */
 object Gold {
+  import org.apache.spark.sql.Column
+
+  /** The 16 non-distinct KPI aggregates, shared by both variants. */
+  private def commonAggs: Seq[Column] = Seq(
+    sum(col("transaction_amount")).as("total_daily_revenue"),
+    avg(col("transaction_amount")).as("avg_transaction_value"),
+    max(col("transaction_amount")).as("largest_transaction"),
+    count_if(col("transaction_amount") > 0).as("total_transactions"),
+    sum(when(col("channel") === "web", col("transaction_amount")).otherwise(0))
+      .as("web_revenue"),
+    sum(when(col("channel") === "mobile_app", col("transaction_amount")).otherwise(0))
+      .as("mobile_revenue"),
+    sum(when(col("channel") === "store", col("transaction_amount")).otherwise(0))
+      .as("store_revenue"),
+    avg(col("engagement_score")).as("avg_engagement_score"),
+    avg(col("time_on_site_seconds")).as("avg_time_on_site"),
+    count_if(col("customer_journey_stage") === "conversion").as("daily_conversions"),
+    count_if(col("loyalty_member") === true).as("loyalty_member_interactions"),
+    sum(col("points_earned")).as("total_points_earned"),
+    sum(col("points_redeemed")).as("total_points_redeemed"),
+    avg(col("satisfaction_score")).as("avg_satisfaction_score"),
+    count_if(col("churn_risk_indicator") === "high_risk").as("high_churn_risk_customers"),
+    sum(col("lifetime_value_estimate")).as("total_estimated_ltv"))
+
+  private def build(silver: DataFrame, distinct: Column => Column): DataFrame = {
+    val aggs = Seq(
+      distinct(col("customer_id")).as("daily_active_customers"),
+      distinct(col("email_clean")).as("unique_email_addresses"),
+      distinct(col("support_ticket_id")).as("support_tickets_created")) ++
+      commonAggs
+    silver.groupBy(col("interaction_date")).agg(aggs.head, aggs.tail: _*)
+  }
 
   def kpis(silver: DataFrame): DataFrame =
-    silver.groupBy(col("interaction_date"))
-      .agg(
-        countDistinct(col("customer_id")).as("daily_active_customers"),
-        countDistinct(col("email_clean")).as("unique_email_addresses"),
-        sum(col("transaction_amount")).as("total_daily_revenue"),
-        avg(col("transaction_amount")).as("avg_transaction_value"),
-        max(col("transaction_amount")).as("largest_transaction"),
-        count_if(col("transaction_amount") > 0).as("total_transactions"),
-        sum(when(col("channel") === "web", col("transaction_amount")).otherwise(0))
-          .as("web_revenue"),
-        sum(when(col("channel") === "mobile_app", col("transaction_amount")).otherwise(0))
-          .as("mobile_revenue"),
-        sum(when(col("channel") === "store", col("transaction_amount")).otherwise(0))
-          .as("store_revenue"),
-        avg(col("engagement_score")).as("avg_engagement_score"),
-        avg(col("time_on_site_seconds")).as("avg_time_on_site"),
-        count_if(col("customer_journey_stage") === "conversion").as("daily_conversions"),
-        count_if(col("loyalty_member") === true).as("loyalty_member_interactions"),
-        sum(col("points_earned")).as("total_points_earned"),
-        sum(col("points_redeemed")).as("total_points_redeemed"),
-        countDistinct(col("support_ticket_id")).as("support_tickets_created"),
-        avg(col("satisfaction_score")).as("avg_satisfaction_score"),
-        count_if(col("churn_risk_indicator") === "high_risk").as("high_churn_risk_customers"),
-        sum(col("lifetime_value_estimate")).as("total_estimated_ltv"))
+    build(silver, c => countDistinct(c))
 
   /** 100 TB-scale variant: HLL sketches instead of exact distinct Expand. */
   def kpisApprox(silver: DataFrame, rsd: Double = 0.01): DataFrame =
-    silver.groupBy(col("interaction_date"))
-      .agg(
-        approx_count_distinct(col("customer_id"), rsd).as("daily_active_customers"),
-        approx_count_distinct(col("email_clean"), rsd).as("unique_email_addresses"),
-        sum(col("transaction_amount")).as("total_daily_revenue"),
-        avg(col("transaction_amount")).as("avg_transaction_value"),
-        max(col("transaction_amount")).as("largest_transaction"),
-        count_if(col("transaction_amount") > 0).as("total_transactions"),
-        sum(when(col("channel") === "web", col("transaction_amount")).otherwise(0))
-          .as("web_revenue"),
-        sum(when(col("channel") === "mobile_app", col("transaction_amount")).otherwise(0))
-          .as("mobile_revenue"),
-        sum(when(col("channel") === "store", col("transaction_amount")).otherwise(0))
-          .as("store_revenue"),
-        avg(col("engagement_score")).as("avg_engagement_score"),
-        avg(col("time_on_site_seconds")).as("avg_time_on_site"),
-        count_if(col("customer_journey_stage") === "conversion").as("daily_conversions"),
-        count_if(col("loyalty_member") === true).as("loyalty_member_interactions"),
-        sum(col("points_earned")).as("total_points_earned"),
-        sum(col("points_redeemed")).as("total_points_redeemed"),
-        approx_count_distinct(col("support_ticket_id"), rsd).as("support_tickets_created"),
-        avg(col("satisfaction_score")).as("avg_satisfaction_score"),
-        count_if(col("churn_risk_indicator") === "high_risk").as("high_churn_risk_customers"),
-        sum(col("lifetime_value_estimate")).as("total_estimated_ltv"))
+    build(silver, c => approx_count_distinct(c, rsd))
 }

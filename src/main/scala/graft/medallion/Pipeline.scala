@@ -95,7 +95,7 @@ object Pipeline {
       cfg.targetFileMb.toLong * 1024 * 1024 / estRowBytes)
     df.write.mode("overwrite")
       .option("compression", cfg.compression)
-      .option("parquet.block.size", (cfg.targetFileMb * 1024 * 1024).toString)
+      .option("parquet.block.size", (cfg.targetFileMb.toLong * 1024 * 1024).toString)
       .option("maxRecordsPerFile", rowsPerFile.toString)
       .option("parquet.page.size", "2097152")
       .parquet(cfg.bronzeUri)
@@ -125,11 +125,10 @@ object Pipeline {
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
       try {
         val writer = dist.writeTo(fqn).using("parquet")
-        val partitioned = partitionCols match {
-          case Seq(a) => writer.partitionedBy(col(a))
-          case Seq(a, b) => writer.partitionedBy(col(a), col(b))
-          case _ => writer
-        }
+        val partitioned =
+          if (partitionCols.isEmpty) writer
+          else writer.partitionedBy(col(partitionCols.head),
+            partitionCols.tail.map(col): _*)
         partitioned.createOrReplace()
         log(s"Wrote catalog table $fqn (RTAS) partitioned by ${partitionCols.mkString(",")}")
       } catch {

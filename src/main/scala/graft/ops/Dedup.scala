@@ -97,6 +97,10 @@ object Dedup {
   def d02MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
+    // cache: the DAG references sigs six times (4 bands + both join sides);
+    // bounded at one row per doc. Session-scoped by design — the returned
+    // frame is consumed lazily by the caller, so unpersisting here would
+    // defeat the reuse.
     val sigs = signatures(docs).cache()
     agreedPairs(sigs).orderBy($"doc_a", $"doc_b")
   }

@@ -22,8 +22,10 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   */
 object FuseDotProduct extends Rule[LogicalPlan] {
 
+  // containsNull must be false: zip_with/aggregate return NULL on null
+  // elements while DotProductF64 would read garbage from the null slot.
   private def isDoubleArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(DoubleType, _) => true
+    case ArrayType(DoubleType, containsNull) => !containsNull
     case _ => false
   }
 
@@ -53,5 +55,10 @@ object FuseDotProduct extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => FuseDotProduct)
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotProductF64].getCanonicalName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProductF64(exprs(0), exprs(1))))
   }
 }

@@ -7,6 +7,8 @@ import org.apache.spark.sql.types._
 
 // Top-level (public) so Catalyst's generated [de]serializers can reach them.
 final case class SessEvent(user_id: Long, event_id: Long, epochS: Long)
+final case class SessState(user_id: Long, n_sessions: Long, n_events: Long,
+    lastTs: Long)
 final case class SessSummary(user_id: Long, n_sessions: Long, n_events: Long)
 
 /** Structured Streaming ingest over the events table.
@@ -32,11 +34,15 @@ object Streams {
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val streamDir = Paths.get("/tmp/graft_stream_src", dir.replaceAll("[^A-Za-z0-9]", "_"))
+    val target = Paths.get(dir, "events.parquet").toAbsolutePath
+    val streamDir = Paths.get("/tmp/graft_stream_src",
+      target.toString.replaceAll("[^A-Za-z0-9]", "_"))
     Files.createDirectories(streamDir)
     val link = streamDir.resolve("events.parquet")
-    if (!Files.exists(link))
-      Files.createSymbolicLink(link, Paths.get(dir, "events.parquet"))
+    // isSymbolicLink (not exists) so a dangling link from moved testdata is
+    // replaced instead of tripping FileAlreadyExistsException forever
+    if (Files.isSymbolicLink(link)) Files.delete(link)
+    Files.createSymbolicLink(link, target)
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
@@ -101,24 +107,29 @@ object Streams {
       .as[SessEvent]
 
     def update(userId: Long, it: Iterator[SessEvent],
-               state: GroupState[SessSummary]): Iterator[SessSummary] = {
+               state: GroupState[SessState]): Iterator[SessSummary] = {
       val sorted = it.toSeq.sortBy(e => (e.epochS, e.event_id))
-      var sessions = state.getOption.map(_.n_sessions).getOrElse(0L)
-      var events = state.getOption.map(_.n_events).getOrElse(0L)
-      var lastTs = Long.MinValue
+      val prev = state.getOption.getOrElse(SessState(userId, 0L, 0L, Long.MinValue))
+      var sessions = prev.n_sessions
+      var events = prev.n_events
+      var lastTs = prev.lastTs // carried across batches: a session may span them
       sorted.foreach { e =>
         if (lastTs == Long.MinValue || e.epochS - lastTs > gapS) sessions += 1
         lastTs = e.epochS
         events += 1
       }
-      val out = SessSummary(userId, sessions, events)
-      state.update(out)
-      Iterator.single(out)
+      state.update(SessState(userId, sessions, events, lastTs))
+      Iterator.single(SessSummary(userId, sessions, events))
     }
 
     val sessions = events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+    // Update mode appends one summary per user per batch to the memory
+    // sink; the counts are cumulative, so the latest (= max) row per user
+    // is the answer regardless of how many batches the source produced.
     runToCompletion(sessions.toDF(), "update")
+      .groupBy($"user_id")
+      .agg(max($"n_sessions").as("n_sessions"), max($"n_events").as("n_events"))
       .orderBy($"user_id")
   }
 

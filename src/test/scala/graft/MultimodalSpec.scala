@@ -35,10 +35,11 @@ class MultimodalSpec extends AnyFunSuite {
     // to one of 16 dims, so per-dim sums <= 6 and norm <= sqrt(16*36) = 24
     val bad = df.filter(col("max_norm") <= 0 || col("max_norm") > 24).count()
     assert(bad == 0)
-    // deterministic across runs
+    // stable across runs (tolerance: the per-source double sum is
+    // aggregation-order dependent in its last ulps)
     val a = df.agg(sum(col("total_norm"))).head().getDouble(0)
     val b = Multimodal.mm02DecodeFeatures(spark, dir)
       .agg(sum(col("total_norm"))).head().getDouble(0)
-    assert(a == b)
+    assert(math.abs(a - b) <= math.abs(a) * 1e-9)
   }
 }
