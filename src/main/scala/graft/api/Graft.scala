@@ -1,0 +1,198 @@
+package graft.api
+
+import graft.functions.{CharNGrams, TopKAggregator, VectorFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The public, table-agnostic API of the engine: every operator family the
+  * gate queries exercise, callable on ANY DataFrame with caller-chosen
+  * columns. The `graft.ops` gate queries are thin bindings of these
+  * functions to the driver testdata, so the DuckDB oracle gate transitively
+  * verifies this surface.
+  *
+  * Scale posture is inherited from the implementations: LSH-bucketed pair
+  * generation (never all-pairs), broadcast query sides, partial top-k
+  * reduction, codegen'd dot products, single-shuffle sessionization/as-of.
+  */
+object Graft {
+
+  // ---------------------------------------------------------------- dedup
+
+  /** MinHash signatures over character `n`-gram shingles: one row per input
+    * row: (id, h1..hNumHashes). Universal hashing over an md5-derived base,
+    * engine-portable and deterministic. */
+  def minhashSignatures(df: DataFrame, id: Column, text: Column,
+                        numHashes: Int = 8, shingle: Int = 5,
+                        seed: Long = 777L): DataFrame = {
+    val P = 2147483647L
+    val rng = new scala.util.Random(seed)
+    val params = Array.fill(numHashes)(
+      (rng.nextInt(Int.MaxValue - 1).toLong + 1L, rng.nextInt(Int.MaxValue).toLong))
+    val base = conv(substring(md5(col("s")), 1, 15), 16, 10).cast(LongType) % P
+    val perms = params.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h0") + lit(b)) % P).as(s"h${i + 1}")
+    }
+    df.select(id.as("id"), CharNGrams.charNGrams(text, shingle))
+      .select(col("id"), base.as("h0"))
+      .groupBy(col("id"))
+      .agg(perms.head, perms.tail: _*)
+  }
+
+  /** LSH near-duplicate candidate pairs from a signature frame: rows
+    * (id_a, id_b, n_match) for pairs sharing >= 1 band bucket and agreeing
+    * on >= `minAgreement` of the signature hashes. */
+  def nearDupPairs(sigs: DataFrame, bands: Int = 4, rowsPerBand: Int = 2,
+                   minAgreement: Int = 4): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val b = (1 to bands).map { k =>
+      val hs = ((k - 1) * rowsPerBand + 1 to k * rowsPerBand).map(i => col(s"h$i"))
+      sigs.select(concat_ws(":", (lit(k) +: hs): _*).as("bb"), col("id"))
+    }.reduce(_ union _)
+    val cand = b.toDF("bb", "id_a").join(b.toDF("bb", "id_b"), "bb")
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sa = sigs.toDF("id_a" +: (1 to numHashes).map(i => s"a$i"): _*)
+    val sb = sigs.toDF("id_b" +: (1 to numHashes).map(i => s"b$i"): _*)
+    val nMatch = (1 to numHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"), nMatch.as("n_match"))
+      .where(col("n_match") >= minAgreement)
+  }
+
+  /** Exact char-n-gram Jaccard for given candidate pairs (id_a, id_b). */
+  def jaccardVerify(docs: DataFrame, id: Column, text: Column,
+                    pairs: DataFrame, shingle: Int = 5): DataFrame = {
+    val set = when(length(text) < shingle, array().cast(ArrayType(StringType)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), length(text) - (shingle - 1)),
+        i => text.substr(i, lit(shingle)))))
+    val sets = docs.select(id.as("id"), set.as("sh"))
+    val sa = sets.toDF("id_a", "sh_a")
+    val sb = sets.toDF("id_b", "sh_b")
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType)
+    val uni = size(array_union(col("sh_a"), col("sh_b"))).cast(LongType)
+    pairs.select("id_a", "id_b")
+      .join(broadcast(sa), "id_a").join(broadcast(sb), "id_b")
+      .select(col("id_a"), col("id_b"), inter.as("n_inter"), uni.as("n_union"),
+        (inter.cast(DoubleType) / uni).as("jaccard"))
+  }
+
+  /** 60-bit word-level SimHash per row: (id, simhash). */
+  def simhash(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val words = df.select(id.as("id"), explode(split(trim(text), "\\s+")).as("w"))
+      .select(col("id"), conv(substring(md5(col("w")), 1, 15), 16, 10)
+        .cast(LongType).as("h"))
+    val bitSums = (0 until 60).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+    val sim = (0 until 60)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
+    words.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), sim.as("simhash"))
+  }
+
+  /** Exact content-hash dedup: (content_hash, keeper_id, n_copies). */
+  def exactDedup(df: DataFrame, id: Column, key: Column): DataFrame =
+    df.groupBy(md5(key).as("content_hash"))
+      .agg(min(id).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  // ----------------------------------------------------------- similarity
+
+  /** Exact cosine top-k: for each row of `queries` (id, vector), the k
+    * nearest corpus rows by cosine. Queries are broadcast; the corpus
+    * streams with no shuffle; reduction is the partial top-k aggregator.
+    * Output: (q_id, rank, neighbor_id). */
+  def annTopK(corpus: DataFrame, id: Column, vec: Column,
+              queries: DataFrame, qId: Column, qVec: Column,
+              k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val dot = VectorFunctions.dotF64 _
+    def d(c: Column) = transform(c, x => x.cast(DoubleType))
+    val all = corpus.select(id.as("vec_id"), d(vec).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val q = queries.select(qId.as("q_id"), d(qVec).as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val topk = udaf(new TopKAggregator(k), ExpressionEncoder[graft.functions.Scored]())
+    val cs = dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
+    broadcast(q).join(all, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), cs.as("cs"), col("vec_id"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("cs"), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.id").as("neighbor_id"))
+  }
+
+  // ------------------------------------------------------- text analysis
+
+  /** Token/quality statistics appended to the input frame. */
+  def textStats(df: DataFrame, text: Column,
+                stopWords: Seq[String] = Seq("the", "a", "of", "to", "in")): DataFrame = {
+    val t = split(trim(text), "\\s+")
+    val nTok = size(t).cast(LongType)
+    val nDistinct = size(array_distinct(t)).cast(LongType)
+    val nStop = size(filter(t, x => x.isin(stopWords: _*))).cast(LongType)
+    val ttr = nDistinct.cast(DoubleType) / nTok
+    val stopRatio = nStop.cast(DoubleType) / nTok
+    df.withColumns(Map(
+      "n_tokens" -> nTok,
+      "n_distinct_tokens" -> nDistinct,
+      "type_token_ratio" -> ttr,
+      "stopword_ratio" -> stopRatio,
+      "quality_score" -> (when(nTok.between(20, 400), 0.4).otherwise(0.0) +
+        when(ttr > 0.3, 0.3).otherwise(0.0) +
+        when(stopRatio > 0.05, 0.3).otherwise(0.0))))
+  }
+
+  /** Normalized-content fingerprints appended to the input frame. */
+  def fingerprint(df: DataFrame, text: Column): DataFrame = {
+    val norm = regexp_replace(trim(text), "\\s+", " ")
+    df.withColumns(Map(
+      "fp_md5" -> md5(norm),
+      "fp_int60" -> conv(substring(md5(norm), 1, 15), 16, 10).cast(LongType)))
+  }
+
+  // ------------------------------------------------------------ temporal
+
+  /** Gap-based sessionization: appends session_id (1-based per key) to the
+    * input. One shuffle on the key. */
+  def sessionize(df: DataFrame, key: Column, ts: Column, tiebreak: Column,
+                 gapSeconds: Long = 1800L): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    val sec = unix_timestamp(ts)
+    df.withColumn("__gap", sec - lag(sec, 1).over(w))
+      .withColumn("session_id",
+        sum(when(col("__gap").isNull || col("__gap") > gapSeconds, 1).otherwise(0))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(LongType))
+      .drop("__gap")
+  }
+
+  /** As-of join: for each left row, the latest right row with
+    * ts_right <= ts_left on the same key. Right columns come back prefixed
+    * `asof_`. One shuffle on the key (union-tag + ordered window). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               rightCols: Seq[String]): DataFrame = {
+    val l = left.withColumn("__is_left", lit(1))
+    val r0 = right.select((key +: ts +: rightCols).distinct.map(col): _*)
+      .withColumn("__is_left", lit(0))
+    val leftCols = left.columns.filterNot(c => c == key || c == ts)
+    val unioned = r0
+      .select((Seq(col(key), col(ts), col("__is_left")) ++
+        rightCols.map(c => col(c).as(s"asof_$c")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+      .unionByName(
+        l.select((Seq(col(key), col(ts), col("__is_left")) ++
+          rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c")) ++
+          leftCols.map(col)): _*))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    }
+    carried.where(col("__is_left") === 1).drop("__is_left")
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.api.Graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The public API must be table-agnostic: every function is exercised here
+  * on hand-built frames with caller-chosen column names (not the testdata
+  * schemas the gate queries bind to).
+  */
+class GraftApiSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("minhash + nearDupPairs + jaccardVerify find a planted near-dup") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (10L, base),
+      (11L, base + " x"), // near-dup of 10
+      (12L, "completely different words entirely unrelated content here"),
+      (13L, "zebra yak xylophone wombat vulture unicorn tapir snake")
+    ).toDF("my_id", "my_text")
+    val sigs = Graft.minhashSignatures(docs, $"my_id", $"my_text")
+    assert(sigs.count() == 4 && sigs.columns.toSet == (1 to 8).map("h" + _).toSet + "id")
+    val pairs = Graft.nearDupPairs(sigs, minAgreement = 4)
+    val found = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(found.contains((10L, 11L)), s"expected planted pair, got $found")
+    val verified = Graft.jaccardVerify(docs, $"my_id", $"my_text", pairs)
+      .filter($"jaccard" >= 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(verified == Set((10L, 11L)))
+  }
+
+  test("exactDedup groups identical payloads") {
+    import spark.implicits._
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa")).toDF("k", "payload")
+    val out = Graft.exactDedup(df, $"k", $"payload")
+    assert(out.count() == 2)
+    assert(out.filter($"n_copies" === 2).head().getAs[Long]("keeper_id") == 1L)
+  }
+
+  test("simhash of identical texts is identical, different texts differ") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta iota kappa")).toDF("i", "t")
+    val out = Graft.simhash(df, $"i", $"t").as[(Long, Long)].collect().toMap
+    assert(out(1L) == out(2L) && out(1L) != out(3L))
+  }
+
+  test("annTopK returns exact nearest neighbors on a constructed corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f))).toDF("cid", "emb")
+    val queries = corpus.where($"cid" === 0L)
+    val out = Graft.annTopK(corpus, $"cid", $"emb", queries, $"cid", $"emb", k = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    // nearest to [1,0] excluding self: 1 (cos~0.994), then 2 (cos 0)
+    assert(out == Seq((0L, 1L, 1L), (0L, 2L, 2L)))
+  }
+
+  test("textStats + fingerprint append columns to arbitrary frames") {
+    import spark.implicits._
+    val df = Seq((5L, "the cat sat on the mat")).toDF("id", "body")
+    val out = Graft.fingerprint(Graft.textStats(df, $"body"), $"body").head()
+    assert(out.getAs[Long]("n_tokens") == 6)
+    assert(out.getAs[Long]("n_distinct_tokens") == 5)
+    assert(out.getAs[String]("fp_md5").length == 32)
+  }
+
+  test("sessionize splits on the gap and asofJoin carries the latest right row") {
+    import spark.implicits._
+    val ev = Seq(
+      (7L, 1000L, 1L), (7L, 1100L, 2L), (7L, 9000L, 3L), (8L, 500L, 4L)
+    ).toDF("uid", "sec", "eid")
+      .withColumn("etime", timestamp_seconds($"sec")).drop("sec")
+    val sess = Graft.sessionize(ev, $"uid", $"etime", $"eid")
+      .select($"eid", $"session_id").as[(Long, Long)].collect().toMap
+    assert(sess == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+
+    val left = Seq((1L, 2000L, "L1"), (1L, 50L, "L0")).toDF("k", "t", "tag")
+      .withColumn("t", timestamp_seconds($"t"))
+    val right = Seq((1L, 1000L, 10.0), (1L, 1500L, 20.0)).toDF("k", "t", "price")
+      .withColumn("t", timestamp_seconds($"t"))
+    val joined = Graft.asofJoin(left, right, "k", "t", Seq("price"))
+      .select($"tag", $"asof_price").as[(String, Option[Double])].collect().toMap
+    assert(joined == Map("L1" -> Some(20.0), "L0" -> None))
+  }
+}
