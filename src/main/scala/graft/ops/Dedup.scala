@@ -40,60 +40,19 @@ object Dedup {
       rng.nextInt(Int.MaxValue).toLong))
   }
 
-  /** Char 5-gram shingle multiset, streamed by the custom CharNGrams
-    * Generator (no per-row array materialization; bit-identical rows to the
-    * transform+sequence+explode formulation it replaced). */
-  private def explodedShingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      graft.functions.CharNGrams.charNGrams(col("text"), 5))
-
-  /** Distinct shingle set as an array column (for exact Jaccard). Guarded
-    * for strings shorter than the shingle width: sequence(1, 0) DESCENDS in
-    * Spark (auto step -1) and would fabricate bogus shingles. */
-  private def shingleSet(c: Column): Column =
-    when(length(c) < 5, array().cast(ArrayType(StringType)))
-      .otherwise(array_distinct(transform(sequence(lit(1), length(c) - 4),
-        i => c.substr(i, lit(5)))))
-
-  /** MinHash signatures via universal hashing over the md5-derived base. */
-  def signatures(docs: DataFrame): DataFrame = {
-    val base = conv(substring(md5(col("s")), 1, 15), 16, 10)
-      .cast(LongType) % P
-    val perms = hashParams.zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * col("h0") + lit(b)) % P).as(s"h${i + 1}")
-    }
-    explodedShingles(docs).select(col("doc_id"), base.as("h0"))
-      .groupBy(col("doc_id"))
-      .agg(perms.head, perms.tail: _*)
-  }
-
-  /** Band table: (band bucket key, doc_id), 4 bands of 2 hashes. */
-  private def bands(sigs: DataFrame): DataFrame =
-    (1 to 4).map { k =>
-      sigs.select(
-        concat_ws(":", lit(k), col(s"h${2 * k - 1}"), col(s"h${2 * k}")).as("bb"),
-        col("doc_id"))
-    }.reduce(_ union _)
-
-  /** Candidate pairs: docs sharing at least one LSH band bucket. */
-  private def candidatePairs(sigs: DataFrame): DataFrame = {
-    val b = bands(sigs)
-    val l = b.toDF("bb", "doc_a")
-    val r = b.toDF("bb", "doc_b")
-    l.join(r, "bb").where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-  }
-
-  /** d01: exact duplicate grouping by content hash; keeper = min doc_id. */
+  /** d01: exact duplicate grouping by content hash; keeper = min doc_id.
+    * Thin binding of [[graft.api.Graft.exactDedup]]. */
   def d01Exact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, dir, "documents")
-      .groupBy(md5($"text").as("content_hash"))
-      .agg(min($"doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+    graft.api.Graft.exactDedup(Tables.load(s, dir, "documents"), $"doc_id", $"text")
+      .withColumnRenamed("keeper_id", "keeper_doc_id")
       .orderBy($"keeper_doc_id")
   }
 
-  /** d02: MinHash-LSH near-dup candidates with signature agreement >= 4/8. */
+  /** d02: MinHash-LSH near-dup candidates with signature agreement >= 4/8.
+    * Thin binding of [[graft.api.Graft.minhashSignatures]] +
+    * [[graft.api.Graft.nearDupPairs]] (identical hash constants, so the
+    * oracle is unchanged). */
   def d02MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
@@ -101,62 +60,33 @@ object Dedup {
     // bounded at one row per doc. Session-scoped by design — the returned
     // frame is consumed lazily by the caller, so unpersisting here would
     // defeat the reuse.
-    val sigs = signatures(docs).cache()
-    agreedPairs(sigs).orderBy($"doc_a", $"doc_b")
-  }
-
-  /** Candidate pairs whose signatures agree on >= 4/8 minhashes (the d02
-    * output shape) — the cheap estimated-Jaccard prefilter that keeps the
-    * expensive exact verification off the long tail of band collisions. */
-  private def agreedPairs(sigs: DataFrame): DataFrame = {
-    val sa = sigs.toDF("doc_a" +: (1 to NumHashes).map(i => s"a$i"): _*)
-    val sb = sigs.toDF("doc_b" +: (1 to NumHashes).map(i => s"b$i"): _*)
-    val nMatch = (1 to NumHashes)
-      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
-      .reduce(_ + _)
-    candidatePairs(sigs)
-      .join(sa, "doc_a").join(sb, "doc_b")
-      .select(col("doc_a"), col("doc_b"), nMatch.as("n_match"))
-      .where(col("n_match") >= JaccardBandThreshold)
-  }
-
-  /** d03: exact char-5-gram Jaccard verification of the LSH+agreement
-    * candidates (the verify stage of the dedup pipeline); reports J >= 0.5. */
-  def d03NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.load(s, dir, "documents")
-    val sigs = signatures(docs).cache()
-    val sets = docs.select($"doc_id", shingleSet($"text").as("sh"))
-    val sa = sets.toDF("doc_a", "sh_a")
-    val sb = sets.toDF("doc_b", "sh_b")
-    val inter = size(array_intersect($"sh_a", $"sh_b")).cast(LongType)
-    val uni = size(array_union($"sh_a", $"sh_b")).cast(LongType)
-    // The per-doc shingle sets are dimension-sized relative to the pair
-    // stream — broadcast them so the (much larger) pair set never shuffles
-    // its payload arrays.
-    agreedPairs(sigs).select($"doc_a", $"doc_b")
-      .join(broadcast(sa), "doc_a").join(broadcast(sb), "doc_b")
-      .select($"doc_a", $"doc_b", inter.as("n_inter"), uni.as("n_union"),
-        (inter.cast(DoubleType) / uni).as("jaccard"))
-      .where($"jaccard" >= 0.5)
+    val sigs = graft.api.Graft.minhashSignatures(docs, $"doc_id", $"text").cache()
+    graft.api.Graft.nearDupPairs(sigs, minAgreement = JaccardBandThreshold)
+      .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), $"n_match")
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** d04: 60-bit word-level SimHash signatures. The per-bit +-1 sums are a
-    * single wide aggregate over the exploded token stream. */
+  /** d03: exact char-5-gram Jaccard verification of the LSH+agreement
+    * candidates (the verify stage of the dedup pipeline); reports J >= 0.5.
+    * Thin binding of the Graft API minhash -> pairs -> jaccardVerify chain. */
+  def d03NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val sigs = graft.api.Graft.minhashSignatures(docs, $"doc_id", $"text").cache()
+    val pairs = graft.api.Graft.nearDupPairs(sigs, minAgreement = JaccardBandThreshold)
+    graft.api.Graft.jaccardVerify(docs, $"doc_id", $"text", pairs)
+      .where($"jaccard" >= 0.5)
+      .select($"id_a".as("doc_a"), $"id_b".as("doc_b"),
+        $"n_inter", $"n_union", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** d04: 60-bit word-level SimHash signatures (single wide aggregate over
+    * the exploded token stream). Thin binding of [[graft.api.Graft.simhash]]. */
   def d04Simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val words = Tables.load(s, dir, "documents")
-      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("w"))
-      .select($"doc_id",
-        conv(substring(md5($"w"), 1, 15), 16, 10).cast(LongType).as("h"))
-    val bitSums = (0 until 60).map(i =>
-      sum(when(shiftright($"h", i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
-    val simhash = (0 until 60)
-      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
-      .reduce(_ + _)
-    words.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select($"doc_id", simhash.as("simhash"))
+    graft.api.Graft.simhash(Tables.load(s, dir, "documents"), $"doc_id", $"text")
+      .withColumnRenamed("id", "doc_id")
       .orderBy($"doc_id")
   }
 

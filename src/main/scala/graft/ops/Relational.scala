@@ -163,15 +163,9 @@ object Relational {
     * sessionization shape (state bounded per user partition). */
   def q10Sessionize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val sec = unix_timestamp($"ts")
-    Tables.load(s, dir, "events")
-      .withColumn("gap", sec - lag(sec, 1).over(w))
-      .withColumn("new_sess",
-        when($"gap".isNull || $"gap" > 1800, 1).otherwise(0))
-      .withColumn("session_id",
-        sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast(LongType))
+    graft.api.Graft.sessionize(Tables.load(s, dir, "events"),
+        $"user_id", $"ts", $"event_id", gapSeconds = 1800L)
       .groupBy($"user_id", $"session_id")
       .agg(
         count(lit(1)).as("n_events"),

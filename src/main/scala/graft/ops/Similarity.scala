@@ -102,19 +102,11 @@ object Similarity {
     * that scales; verified against the identical oracle as s01. */
   def s03TopKAggregator(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    val topk = udaf(new graft.functions.TopKAggregator(TopK),
-      ExpressionEncoder[graft.functions.Scored]())
-    val all = corpus(s, dir).select($"vec_id", $"v", norm($"v").as("nrm"))
-    val q = all.toDF("q_id", "qv", "qn").where($"q_id" < NumQueries)
-    val cs = dot($"qv", $"v") / ($"qn" * $"nrm")
-    broadcast(q).join(all, $"q_id" =!= $"vec_id")
-      .select($"q_id", cs.as("cs"), $"vec_id")
-      .groupBy($"q_id")
-      .agg(topk($"cs", $"vec_id").as("top"))
-      .select($"q_id", posexplode($"top"))
-      .select($"q_id", ($"pos" + 1).cast(LongType).as("rank"),
-        $"col.id".as("neighbor_id"))
+    val emb = Tables.load(s, dir, "embeddings")
+    graft.api.Graft.annTopK(
+      emb, $"vec_id", $"embedding",
+      emb.where($"vec_id" < NumQueries), $"vec_id", $"embedding",
+      k = TopK)
       .orderBy($"q_id", $"rank")
   }
 
