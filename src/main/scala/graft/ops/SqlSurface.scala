@@ -76,13 +76,42 @@ object SqlSurface {
       .orderBy($"op", $"st")
   }
 
+  /** q34: interval (range) join — follow-up orders within 30 days: equi on
+    * custkey plus a non-equi date-range condition. Planned as a sort-merge
+    * join on the equi key with the range predicate applied inside the
+    * merge — the scalable shape (never a cartesian). */
+  def q34IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.load(s, dir, "orders")
+    val a = o.select($"o_custkey".as("k"), $"o_orderkey".as("first_order"),
+      $"o_orderdate".cast(DateType).as("d0"))
+    val b = o.select($"o_custkey".as("k"), $"o_orderkey".as("next_order"),
+      $"o_orderdate".cast(DateType).as("d1"))
+    a.join(b, Seq("k"))
+      .where($"next_order" =!= $"first_order" &&
+        $"d1" >= $"d0" && $"d1" < date_add($"d0", 30))
+      .groupBy($"k", $"first_order")
+      .agg(count(lit(1)).as("n_followups"),
+        min($"next_order").as("first_followup"))
+      .orderBy($"k", $"first_order")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_interval_join" -> q34IntervalJoin,
     "q30_scalar_subquery" -> q30ScalarSubquery,
     "q31_rank_funcs" -> q31RankFuncs,
     "q32_unpivot" -> q32Unpivot,
     "q33_setops_all" -> q33SetOpsAll)
 
   val oracles: Map[String, String] = Map(
+    "q34_interval_join" ->
+      """WITH o AS (SELECT o_custkey AS k, o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+        |SELECT a.k, a.o_orderkey AS first_order,
+        | count(*) AS n_followups,
+        | min(b.o_orderkey) AS first_followup
+        |FROM o a JOIN o b ON a.k = b.k AND b.o_orderkey <> a.o_orderkey
+        |  AND b.d >= a.d AND b.d < a.d + 30
+        |GROUP BY a.k, a.o_orderkey ORDER BY a.k, a.o_orderkey""".stripMargin,
     "q30_scalar_subquery" ->
       """SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal
         |FROM customer c
