@@ -30,7 +30,7 @@ object Graft {
     val rng = new scala.util.Random(seed)
     val params = Array.fill(numHashes)(
       (rng.nextInt(Int.MaxValue - 1).toLong + 1L, rng.nextInt(Int.MaxValue).toLong))
-    val base = conv(substring(md5(col("s")), 1, 15), 16, 10).cast(LongType) % P
+    val base = graft.functions.Md5Int60.md5Int60(col("s")) % P
     val perms = params.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h0") + lit(b)) % P).as(s"h${i + 1}")
     }
@@ -69,7 +69,11 @@ object Graft {
       .otherwise(array_distinct(transform(
         sequence(lit(1), length(text) - (shingle - 1)),
         i => text.substr(i, lit(shingle)))))
+    // only build + broadcast shingle sets for docs that occur in a pair
+    val inPairs = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
     val sets = docs.select(id.as("id"), set.as("sh"))
+      .join(inPairs, Seq("id"), "left_semi")
     val sa = sets.toDF("id_a", "sh_a")
     val sb = sets.toDF("id_b", "sh_b")
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType)
@@ -83,8 +87,7 @@ object Graft {
   /** 60-bit word-level SimHash per row: (id, simhash). */
   def simhash(df: DataFrame, id: Column, text: Column): DataFrame = {
     val words = df.select(id.as("id"), explode(split(trim(text), "\\s+")).as("w"))
-      .select(col("id"), conv(substring(md5(col("w")), 1, 15), 16, 10)
-        .cast(LongType).as("h"))
+      .select(col("id"), graft.functions.Md5Int60.md5Int60(col("w")).as("h"))
     val bitSums = (0 until 60).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
     val sim = (0 until 60)

@@ -73,7 +73,10 @@ object Dedup {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
     val sigs = graft.api.Graft.minhashSignatures(docs, $"doc_id", $"text").cache()
+    // cache: jaccardVerify consumes the pairs three times (the pair stream
+    // plus the id-restriction of each broadcast side)
     val pairs = graft.api.Graft.nearDupPairs(sigs, minAgreement = JaccardBandThreshold)
+      .cache()
     graft.api.Graft.jaccardVerify(docs, $"doc_id", $"text", pairs)
       .where($"jaccard" >= 0.5)
       .select($"id_a".as("doc_a"), $"id_b".as("doc_b"),
