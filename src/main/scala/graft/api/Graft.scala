@@ -69,19 +69,22 @@ object Graft {
       .otherwise(array_distinct(transform(
         sequence(lit(1), length(text) - (shingle - 1)),
         i => text.substr(i, lit(shingle)))))
-    // only build + broadcast shingle sets for docs that occur in a pair
+    // only build + broadcast shingle sets for docs that occur in a pair;
+    // sort each set once so the per-pair counting is a zero-allocation
+    // native merge (SortedSetOverlap) instead of per-pair hash-set builds
     val inPairs = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()
-    val sets = docs.select(id.as("id"), set.as("sh"))
+    val sets = docs.select(id.as("id"), sort_array(set).as("sh"))
       .join(inPairs, Seq("id"), "left_semi")
     val sa = sets.toDF("id_a", "sh_a")
     val sb = sets.toDF("id_b", "sh_b")
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType)
-    val uni = size(array_union(col("sh_a"), col("sh_b"))).cast(LongType)
     pairs.select("id_a", "id_b")
       .join(broadcast(sa), "id_a").join(broadcast(sb), "id_b")
-      .select(col("id_a"), col("id_b"), inter.as("n_inter"), uni.as("n_union"),
-        (inter.cast(DoubleType) / uni).as("jaccard"))
+      .withColumn("__ov",
+        graft.functions.SortedSetOverlap.overlap(col("sh_a"), col("sh_b")))
+      .select(col("id_a"), col("id_b"),
+        col("__ov.n_inter").as("n_inter"), col("__ov.n_union").as("n_union"),
+        (col("__ov.n_inter").cast(DoubleType) / col("__ov.n_union")).as("jaccard"))
   }
 
   /** 60-bit word-level SimHash per row: (id, simhash). */
