@@ -132,7 +132,64 @@ object Advanced {
       .orderBy($"event_id")
   }
 
+  /** q35: the native session_window operator (the same operator Structured
+    * Streaming session windows use), batch mode: per (user, session) counts.
+    * Spark merges events strictly closer than the gap (new session when the
+    * microsecond delta >= gap), so the oracle reproduces that boundary on
+    * exact integer microseconds. */
+  def q35SessionWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), moneySum($"value").as("session_value"))
+      .select($"user_id",
+        unix_timestamp($"session_window.start").as("session_start_s"),
+        $"n_events", $"session_value")
+      .orderBy($"user_id", $"session_start_s")
+  }
+
+  /** q36: array-function surface over tokenized text, rendered as strings
+    * (engine-portable form of array results). */
+  def q36ArrayFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = split(trim($"text"), "\\s+")
+    Tables.load(s, dir, "documents")
+      .select(
+        $"doc_id",
+        size(t).cast(LongType).as("n"),
+        element_at(t, 1).as("first_token"),
+        element_at(t, -1).as("last_token"),
+        concat_ws(",", slice(t, 1, 3)).as("first3"),
+        array_contains(t, "spark").as("has_spark"),
+        array_position(t, "data").cast(LongType).as("data_pos"),
+        concat_ws(",", sort_array(array_distinct(slice(t, 1, 5)))).as("first5_sorted"),
+        concat_ws(",", reverse(slice(t, 1, 3))).as("first3_rev"))
+      .orderBy($"doc_id")
+  }
+
+  /** q37: second string-function family: initcap/translate/split_part/
+    * position/left/right/ascii/chr. */
+  def q37StringFuncs2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "customer")
+      .select(
+        $"c_custkey",
+        initcap(lower($"c_mktsegment")).as("seg_title"),
+        translate($"c_name", "#0", "_x").as("name_translated"),
+        substring_index($"c_name", "#", 1).as("name_head"),
+        substring_index($"c_name", "#", -1).as("name_tail"),
+        instr($"c_name", "#").cast(LongType).as("hash_pos"),
+        expr("left(c_name, 4)").as("name_left"),
+        expr("right(c_name, 4)").as("name_right"),
+        ascii($"c_mktsegment").cast(LongType).as("seg_first_code"),
+        chr(lit(65) + ($"c_custkey" % 26)).as("letter"))
+      .orderBy($"c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_session_window" -> q35SessionWindow,
+    "q36_array_funcs" -> q36ArrayFuncs,
+    "q37_string_funcs2" -> q37StringFuncs2,
     "q18_resample_gapfill" -> q18ResampleGapfill,
     "q19_range_frame" -> q19RangeFrame,
     "q13_json_funcs" -> q13JsonFuncs,
@@ -142,6 +199,46 @@ object Advanced {
     "q17_pivot" -> q17Pivot)
 
   val oracles: Map[String, String] = Map(
+    "q35_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS us,
+        |   epoch_ns(ts) // 1000
+        |     - lag(epoch_ns(ts) // 1000, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, value, us,
+        |   CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END)
+        |     OVER (PARTITION BY user_id ORDER BY us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+        |  FROM e)
+        |SELECT user_id,
+        | CAST(min(us) // 1000000 AS BIGINT) AS session_start_s,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, session_start_s""".stripMargin,
+    "q36_array_funcs" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents)
+        |SELECT doc_id,
+        | len(t) AS n,
+        | t[1] AS first_token,
+        | t[-1] AS last_token,
+        | array_to_string(t[1:3], ',') AS first3,
+        | list_contains(t, 'spark') AS has_spark,
+        | CAST(coalesce(list_position(t, 'data'), 0) AS BIGINT) AS data_pos,
+        | array_to_string(list_sort(list_distinct(t[1:5])), ',') AS first5_sorted,
+        | array_to_string(list_reverse(t[1:3]), ',') AS first3_rev
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q37_string_funcs2" ->
+      """SELECT c_custkey,
+        | concat(upper(substr(lower(c_mktsegment), 1, 1)), substr(lower(c_mktsegment), 2)) AS seg_title,
+        | translate(c_name, '#0', '_x') AS name_translated,
+        | split_part(c_name, '#', 1) AS name_head,
+        | split_part(c_name, '#', -1) AS name_tail,
+        | CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+        | left(c_name, 4) AS name_left,
+        | right(c_name, 4) AS name_right,
+        | CAST(ascii(c_mktsegment) AS BIGINT) AS seg_first_code,
+        | chr(CAST(65 + c_custkey % 26 AS INTEGER)) AS letter
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q18_resample_gapfill" ->
       """WITH e AS (
         |  SELECT user_id,
