@@ -186,7 +186,52 @@ object Advanced {
       .orderBy($"c_custkey")
   }
 
+  /** q38: math functions restricted to exactly-defined IEEE operations
+    * (sqrt is correctly rounded; abs/sign/ceil/floor/pmod are exact) —
+    * transcendentals (exp/ln) are deliberately excluded: their last-ulp
+    * results differ between libm implementations and cannot hash-match. */
+  def q38MathFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "lineitem")
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        sqrt($"l_quantity").as("sqrt_qty"),
+        abs($"l_discount" - 0.05).as("abs_disc_delta"),
+        signum($"l_quantity" - 25).as("sign_qty"),
+        ceil($"l_extendedprice" / 1000).cast(LongType).as("price_k_ceil"),
+        floor($"l_extendedprice" / 1000).cast(LongType).as("price_k_floor"),
+        pmod($"l_orderkey", lit(97L)).as("key_mod"),
+        pow(lit(2.0), $"l_linenumber").as("pow2_line"),
+        greatest($"l_tax", $"l_discount").as("max_rate"),
+        least($"l_tax", $"l_discount").as("min_rate"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** q39: vector distance metrics over embeddings — dot, cosine, and L2 via
+    * the dot identity sqrt(aa - 2ab + bb), every term a strict left fold so
+    * both engines produce bit-identical doubles. */
+  def q39VectorDistances(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dotF = graft.functions.VectorFunctions.dotF64 _
+    def d(c: org.apache.spark.sql.Column) = transform(c, x => x.cast(DoubleType))
+    val emb = Tables.load(s, dir, "embeddings")
+      .select($"vec_id", d($"embedding").as("v"))
+    val a = emb.where($"vec_id" < 5).toDF("id_a", "va")
+    val b = emb.where($"vec_id" >= 5 && $"vec_id" < 50).toDF("id_b", "vb")
+    val ab = dotF($"va", $"vb")
+    val aa = dotF($"va", $"va")
+    val bb = dotF($"vb", $"vb")
+    a.crossJoin(b)
+      .select($"id_a", $"id_b",
+        ab.as("dot"),
+        (ab / (sqrt(aa) * sqrt(bb))).as("cosine"),
+        sqrt(aa - lit(2.0) * ab + bb).as("l2"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_math_funcs" -> q38MathFuncs,
+    "q39_vector_distances" -> q39VectorDistances,
     "q35_session_window" -> q35SessionWindow,
     "q36_array_funcs" -> q36ArrayFuncs,
     "q37_string_funcs2" -> q37StringFuncs2,
@@ -199,6 +244,29 @@ object Advanced {
     "q17_pivot" -> q17Pivot)
 
   val oracles: Map[String, String] = Map(
+    "q38_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        | sqrt(l_quantity) AS sqrt_qty,
+        | abs(l_discount - 0.05) AS abs_disc_delta,
+        | CAST(sign(l_quantity - 25) AS DOUBLE) AS sign_qty,
+        | CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+        | CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+        | l_orderkey % 97 AS key_mod,
+        | pow(2.0, l_linenumber) AS pow2_line,
+        | greatest(l_tax, l_discount) AS max_rate,
+        | least(l_tax, l_discount) AS min_rate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q39_vector_distances" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |a AS (SELECT vec_id AS id_a, v AS va FROM e WHERE vec_id < 5),
+        |b AS (SELECT vec_id AS id_b, v AS vb FROM e WHERE vec_id >= 5 AND vec_id < 50)
+        |SELECT id_a, id_b,
+        | list_dot_product(va, vb) AS dot,
+        | list_dot_product(va, vb)
+        |   / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) AS cosine,
+        | sqrt(list_dot_product(va, va) - 2.0 * list_dot_product(va, vb)
+        |   + list_dot_product(vb, vb)) AS l2
+        |FROM a, b ORDER BY id_a, id_b""".stripMargin,
     "q35_session_window" ->
       """WITH e AS (
         |  SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS us,
