@@ -109,10 +109,16 @@ object Graft {
   /** Exact cosine top-k: for each row of `queries` (id, vector), the k
     * nearest corpus rows by cosine. Queries are broadcast; the corpus
     * streams with no shuffle; reduction is the partial top-k aggregator.
-    * Output: (q_id, rank, neighbor_id). */
+    * Output: (q_id, rank, neighbor_id).
+    *
+    * @param excludeSelf drop corpus rows whose id equals the query id —
+    *   correct when queries are drawn from the corpus (self-search); set
+    *   false when query and corpus id spaces are unrelated, otherwise a
+    *   coincidentally equal id would silently lose its true neighbor.
+    *   Rows with null ids never match `=!=`; ids are assumed non-null. */
   def annTopK(corpus: DataFrame, id: Column, vec: Column,
               queries: DataFrame, qId: Column, qVec: Column,
-              k: Int = 5): DataFrame = {
+              k: Int = 5, excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val dot = VectorFunctions.dotF64 _
     def d(c: Column) = transform(c, x => x.cast(DoubleType))
@@ -122,7 +128,8 @@ object Graft {
       .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
     val topk = udaf(new TopKAggregator(k), ExpressionEncoder[graft.functions.Scored]())
     val cs = dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
-    broadcast(q).join(all, col("q_id") =!= col("vec_id"))
+    val joinCond = if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true)
+    broadcast(q).join(all, joinCond)
       .select(col("q_id"), cs.as("cs"), col("vec_id"))
       .groupBy(col("q_id"))
       .agg(topk(col("cs"), col("vec_id")).as("top"))
@@ -178,27 +185,39 @@ object Graft {
 
   /** As-of join: for each left row, the latest right row with
     * ts_right <= ts_left on the same key. Right columns come back prefixed
-    * `asof_`. One shuffle on the key (union-tag + ordered window). */
+    * `asof_`. One shuffle on the key (union-tag + ordered window).
+    *
+    * Correctness notes: right rows sharing (key, ts) are deduplicated to
+    * the one with the greatest (rightCols...) tuple, so results are
+    * deterministic; and the right columns are carried as ONE struct through
+    * `last(ignoreNulls)`, so the output never mixes fields from different
+    * right rows (a per-column carry would backfill a NULL field from an
+    * older row). */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                rightCols: Seq[String]): DataFrame = {
-    val l = left.withColumn("__is_left", lit(1))
+    val dw = Window.partitionBy(col(key), col(ts))
+      .orderBy(struct(rightCols.map(col): _*).desc)
     val r0 = right.select((key +: ts +: rightCols).distinct.map(col): _*)
-      .withColumn("__is_left", lit(0))
+      .withColumn("__rn", row_number().over(dw)).where(col("__rn") === 1)
+      .drop("__rn")
+      .select(col(key), col(ts), lit(0).as("__is_left"),
+        struct(rightCols.map(col): _*).as("__r"))
     val leftCols = left.columns.filterNot(c => c == key || c == ts)
+    val rStructType = StructType(rightCols.map(c =>
+      StructField(c, right.schema(c).dataType, nullable = true)))
     val unioned = r0
-      .select((Seq(col(key), col(ts), col("__is_left")) ++
-        rightCols.map(c => col(c).as(s"asof_$c")) ++
+      .select((Seq(col(key), col(ts), col("__is_left"), col("__r")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
       .unionByName(
-        l.select((Seq(col(key), col(ts), col("__is_left")) ++
-          rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c")) ++
-          leftCols.map(col)): _*))
+        left.select((Seq(col(key), col(ts), lit(1).as("__is_left"),
+          lit(null).cast(rStructType).as("__r")) ++ leftCols.map(col)): _*))
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts), col("__is_left"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
-    }
-    carried.where(col("__is_left") === 1).drop("__is_left")
+    val carried = unioned
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+    rightCols.foldLeft(carried) { (df, c) =>
+      df.withColumn(s"asof_$c", col(s"__r.$c"))
+    }.where(col("__is_left") === 1).drop("__is_left", "__r")
   }
 }

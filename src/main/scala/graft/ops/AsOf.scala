@@ -25,56 +25,28 @@ import org.apache.spark.sql.types._
 object AsOf {
 
   /** q11: for each purchase event, the most recent at-or-before
-    * non-purchase event of the same user, plus the gap in seconds. */
+    * non-purchase event of the same user, plus the gap in seconds.
+    * Thin binding of [[graft.api.Graft.asofJoin]] (the API dedupes right
+    * rows per (key, ts) to the greatest (event_id, ...) tuple — the same
+    * max-event_id tiebreak the oracle's row_number applies). */
   def q11AsOfJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val events = Tables.load(s, dir, "events")
-
-    // Right side: non-purchase events, deduped to one row per (user, ts)
-    // (keep the max event_id) so as-of tie-breaks are deterministic.
-    val rightRaw = events.filter($"event_type" =!= "purchase")
-    val rw = Window.partitionBy($"user_id", $"ts").orderBy($"event_id".desc)
-    val right = rightRaw
-      .withColumn("rn", row_number().over(rw)).where($"rn" === 1)
-      .select($"user_id", $"ts",
-        $"event_id".as("r_event_id"), $"event_type".as("r_type"),
-        $"value".as("r_value"), lit(0).as("is_left"))
-
+    val right = events.filter($"event_type" =!= "purchase")
+      .select($"user_id", $"ts", $"event_id", $"event_type", $"value")
     val left = events.filter($"event_type" === "purchase")
       .select($"user_id", $"ts",
         $"event_id".as("l_event_id"), $"value".as("l_value"))
-      .withColumn("r_event_id", lit(null).cast(LongType))
-      .withColumn("r_type", lit(null).cast(StringType))
-      .withColumn("r_value", lit(null).cast(DoubleType))
-      .withColumn("is_left", lit(1))
-
-    val unioned = right
-      .withColumn("l_event_id", lit(null).cast(LongType))
-      .withColumn("l_value", lit(null).cast(DoubleType))
-      .select("user_id", "ts", "l_event_id", "l_value",
-        "r_event_id", "r_type", "r_value", "is_left")
-      .union(left.select("user_id", "ts", "l_event_id", "l_value",
-        "r_event_id", "r_type", "r_value", "is_left"))
-
-    // Rights sort before lefts at equal ts => "<=" as-of semantics.
-    val w = Window.partitionBy($"user_id")
-      .orderBy($"ts", $"is_left", $"l_event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    unioned
-      .withColumn("m_event_id", last($"r_event_id", ignoreNulls = true).over(w))
-      .withColumn("m_type", last($"r_type", ignoreNulls = true).over(w))
-      .withColumn("m_value", last($"r_value", ignoreNulls = true).over(w))
-      .withColumn("m_ts", last(when($"is_left" === 0, $"ts"), ignoreNulls = true).over(w))
-      .where($"is_left" === 1)
+    graft.api.Graft.asofJoin(left, right, "user_id", "ts",
+        Seq("event_id", "event_type", "value", "ts"))
       .select(
         $"l_event_id".as("purchase_event_id"),
         $"user_id",
         $"l_value".as("purchase_value"),
-        $"m_event_id".as("prior_event_id"),
-        $"m_type".as("prior_type"),
-        $"m_value".as("prior_value"),
-        (unix_timestamp($"ts") - unix_timestamp($"m_ts")).as("gap_s"))
+        $"asof_event_id".as("prior_event_id"),
+        $"asof_event_type".as("prior_type"),
+        $"asof_value".as("prior_value"),
+        (unix_timestamp($"ts") - unix_timestamp($"asof_ts")).as("gap_s"))
       .orderBy($"purchase_event_id")
   }
 

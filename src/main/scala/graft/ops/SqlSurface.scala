@@ -17,7 +17,6 @@ object SqlSurface {
     * running the *same text*. */
   def q30ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
     Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
-    Tables.load(s, dir, "nation").createOrReplaceTempView("nation")
     s.sql(
       """SELECT c_custkey, c_nationkey,
         | CAST(c_acctbal AS DOUBLE) AS c_acctbal
@@ -55,8 +54,12 @@ object SqlSurface {
         sum(when($"event_type" === "click", dec($"value"))).cast(DoubleType).as("click"),
         sum(when($"event_type" === "purchase", dec($"value"))).cast(DoubleType).as("purchase"),
         sum(when($"event_type" === "view", dec($"value"))).cast(DoubleType).as("view"))
+    // Dataset.unpivot KEEPS null-valued rows (unlike SQL UNPIVOT's default
+    // EXCLUDE NULLS); filter to match the oracle's NOT NULL semantics —
+    // otherwise a date missing one event type diverges at the gate.
     wide.unpivot(Array($"event_date"), Array($"click", $"purchase", $"view"),
       "etype", "total_value")
+      .where($"total_value".isNotNull)
       .orderBy($"event_date", $"etype")
   }
 

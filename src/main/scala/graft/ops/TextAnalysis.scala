@@ -20,30 +20,26 @@ object TextAnalysis {
   private val StopWords = Seq("the", "a", "of", "to", "in")
 
   /** t01: per-document token statistics + composite quality score.
-    * Ratios are single double divisions of exact ints — engine-portable. */
+    * Thin binding of [[graft.api.Graft.textStats]] plus the extra
+    * char-level columns the gate reports. Ratios are single double
+    * divisions of exact ints — engine-portable. */
   def t01TextStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val t = tokens($"text")
     val nTok = size(t).cast(LongType)
-    val nDistinct = size(array_distinct(t)).cast(LongType)
     val nStop = size(filter(t, x => x.isin(StopWords: _*))).cast(LongType)
-    val nChars = length($"text").cast(LongType)
-    val ttr = nDistinct.cast(DoubleType) / nTok
-    val stopRatio = nStop.cast(DoubleType) / nTok
-    val avgTokLen = length(regexp_replace($"text", "\\s", "")).cast(DoubleType) / nTok
-    Tables.load(s, dir, "documents")
+    graft.api.Graft.textStats(Tables.load(s, dir, "documents"), $"text", StopWords)
       .select(
         $"doc_id", $"lang", $"source",
-        nChars.as("n_chars"),
-        nTok.as("n_tokens"),
-        nDistinct.as("n_distinct_tokens"),
+        length($"text").cast(LongType).as("n_chars"),
+        $"n_tokens",
+        $"n_distinct_tokens",
         nStop.as("n_stopwords"),
-        ttr.as("type_token_ratio"),
-        stopRatio.as("stopword_ratio"),
-        avgTokLen.as("avg_token_len"),
-        (when(nTok.between(20, 400), 0.4).otherwise(0.0) +
-          when(ttr > 0.3, 0.3).otherwise(0.0) +
-          when(stopRatio > 0.05, 0.3).otherwise(0.0)).as("quality_score"))
+        $"type_token_ratio",
+        $"stopword_ratio",
+        (length(regexp_replace($"text", "\\s", "")).cast(DoubleType) / nTok)
+          .as("avg_token_len"),
+        $"quality_score")
       .orderBy($"doc_id")
   }
 
@@ -74,12 +70,9 @@ object TextAnalysis {
     * fingerprint, and a length bucket (dedup/sharding keys). */
   def t03Fingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val norm = regexp_replace(trim($"text"), "\\s+", " ")
-    Tables.load(s, dir, "documents")
+    graft.api.Graft.fingerprint(Tables.load(s, dir, "documents"), $"text")
       .select(
-        $"doc_id",
-        md5(norm).as("fp_md5"),
-        conv(substring(md5(norm), 1, 15), 16, 10).cast(LongType).as("fp_int60"),
+        $"doc_id", $"fp_md5", $"fp_int60",
         floor(length($"text") / 100).cast(LongType).as("len_bucket"))
       .orderBy($"doc_id")
   }

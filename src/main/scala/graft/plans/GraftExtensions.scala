@@ -59,6 +59,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DotProductF64].getCanonicalName, "graft_dot"),
-      (exprs: Seq[Expression]) => DotProductF64(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"graft_dot requires exactly 2 arguments, got ${exprs.length}")
+        DotProductF64(exprs(0), exprs(1))
+      }))
   }
 }

@@ -39,10 +39,11 @@ object Streams {
       target.toString.replaceAll("[^A-Za-z0-9]", "_"))
     Files.createDirectories(streamDir)
     val link = streamDir.resolve("events.parquet")
-    // isSymbolicLink (not exists) so a dangling link from moved testdata is
-    // replaced instead of tripping FileAlreadyExistsException forever
-    if (Files.isSymbolicLink(link)) Files.delete(link)
-    Files.createSymbolicLink(link, target)
+    // Remove whatever occupies the link path (dangling symlink, stray
+    // file); ignore a concurrent creator's win on the create itself.
+    if (Files.isSymbolicLink(link) || Files.exists(link)) Files.delete(link)
+    try Files.createSymbolicLink(link, target)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),

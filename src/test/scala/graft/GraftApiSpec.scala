@@ -92,4 +92,18 @@ class GraftApiSpec extends AnyFunSuite {
       .select($"tag", $"asof_price").as[(String, Option[Double])].collect().toMap
     assert(joined == Map("L1" -> Some(20.0), "L0" -> None))
   }
+
+  test("asofJoin carries the latest right row wholesale (no torn rows)") {
+    import spark.implicits._
+    // latest right row has a NULL field: the output must NOT backfill it
+    // from the older row — that would mix fields of two different rows
+    val left = Seq((1L, 300L, "L")).toDF("k", "t", "tag")
+      .withColumn("t", timestamp_seconds($"t"))
+    val right = Seq((1L, 100L, Some(1.0), Some(2.0)), (1L, 200L, None, Some(3.0)))
+      .toDF("k", "t", "a", "b")
+      .withColumn("t", timestamp_seconds($"t"))
+    val out = Graft.asofJoin(left, right, "k", "t", Seq("a", "b")).head()
+    assert(out.isNullAt(out.fieldIndex("asof_a")), "null field backfilled from older row")
+    assert(out.getAs[Double]("asof_b") == 3.0)
+  }
 }
