@@ -229,7 +229,42 @@ object Advanced {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** q40: regex family — extract, extract-all counts, rlike predicates. */
+  def q40RegexFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(
+        $"doc_id",
+        regexp_extract($"text", "([a-z]+)", 1).as("first_word"),
+        regexp_extract($"text", "(\\w+) (\\w+)", 2).as("second_word"),
+        size(expr("regexp_extract_all(text, 'a[a-z]*', 0)")).cast(LongType)
+          .as("n_a_words"),
+        $"text".rlike("query").as("mentions_query"),
+        $"text".rlike("^the ").as("starts_the"))
+      .orderBy($"doc_id")
+  }
+
+  /** q41: conditional expression surface — if / nvl / nvl2 / ifnull and
+    * nested searched CASE. */
+  def q41Conditionals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val maybe = when($"value" > 100, $"value") // null when small
+    Tables.load(s, dir, "events")
+      .select(
+        $"event_id",
+        expr("if(value > 100, 'big', 'small')").as("size_label"),
+        expr("nvl(if(value > 100, value, null), -1.0)").as("nvl_value"),
+        expr("nvl2(if(value > 100, value, null), 'present', 'absent')").as("nvl2_label"),
+        expr("ifnull(if(value > 100, value, null), 0.0)").as("ifnull_value"),
+        when($"event_type" === "purchase",
+          when($"value" > 100, "big_purchase").otherwise("small_purchase"))
+          .otherwise("non_purchase").as("nested_case"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_regex_funcs" -> q40RegexFuncs,
+    "q41_conditionals" -> q41Conditionals,
     "q38_math_funcs" -> q38MathFuncs,
     "q39_vector_distances" -> q39VectorDistances,
     "q35_session_window" -> q35SessionWindow,
@@ -244,6 +279,25 @@ object Advanced {
     "q17_pivot" -> q17Pivot)
 
   val oracles: Map[String, String] = Map(
+    "q40_regex_funcs" ->
+      """SELECT doc_id,
+        | regexp_extract(text, '([a-z]+)', 1) AS first_word,
+        | regexp_extract(text, '(\w+) (\w+)', 2) AS second_word,
+        | CAST(len(regexp_extract_all(text, 'a[a-z]*', 0)) AS BIGINT) AS n_a_words,
+        | regexp_matches(text, 'query') AS mentions_query,
+        | regexp_matches(text, '^the ') AS starts_the
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q41_conditionals" ->
+      """SELECT event_id,
+        | CASE WHEN value > 100 THEN 'big' ELSE 'small' END AS size_label,
+        | coalesce(CASE WHEN value > 100 THEN value END, -1.0) AS nvl_value,
+        | CASE WHEN (CASE WHEN value > 100 THEN value END) IS NOT NULL
+        |      THEN 'present' ELSE 'absent' END AS nvl2_label,
+        | ifnull(CASE WHEN value > 100 THEN value END, 0.0) AS ifnull_value,
+        | CASE WHEN event_type = 'purchase' THEN
+        |   CASE WHEN value > 100 THEN 'big_purchase' ELSE 'small_purchase' END
+        | ELSE 'non_purchase' END AS nested_case
+        |FROM events ORDER BY event_id""".stripMargin,
     "q38_math_funcs" ->
       """SELECT l_orderkey, l_linenumber,
         | sqrt(l_quantity) AS sqrt_qty,
