@@ -12,11 +12,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // One scratch root for everything the bench writes (medallion layers AND
+    // the session warehouse): catalog tables land inside it, not in ./spark-
+    // warehouse, so the end-of-run cleanup removes every artifact and a
+    // stale warehouse from a previous run can never fail the RTAS writes.
+    val mdpDir = s"/tmp/graft_bench_mdp_${System.nanoTime()}"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", s"$mdpDir/warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -40,7 +46,6 @@ object Bench {
       }
 
     // Medallion ETL throughput (bronze gen -> silver enrich -> gold KPIs).
-    val mdpDir = s"/tmp/graft_bench_mdp_${System.nanoTime()}"
     val cfg = MdpConfig.fromEnv(mdpDir)
     val mdp = if (sys.env.contains("SPARK_GRAFT_SKIP_MDP")) """"medallion_skipped":1"""
     else try {

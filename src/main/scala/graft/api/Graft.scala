@@ -20,16 +20,28 @@ object Graft {
 
   // ---------------------------------------------------------------- dedup
 
+  /** The 31-bit prime field the minhash affine permutations live in. */
+  val MinhashP = 2147483647L // 2^31 - 1
+
+  /** The (a, b) constants of the minhash affine permutations
+    * h_i = (a_i*h + b_i) mod [[MinhashP]] — THE single source of truth:
+    * [[minhashSignatures]] evaluates these in Spark and the dedup oracle
+    * SQL embeds the same values, so the cross-engine hash-match depends on
+    * both sides calling this one function. */
+  def minhashParams(numHashes: Int = 8, seed: Long = 777L): Array[(Long, Long)] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(numHashes)(
+      (rng.nextInt(Int.MaxValue - 1).toLong + 1L, rng.nextInt(Int.MaxValue).toLong))
+  }
+
   /** MinHash signatures over character `n`-gram shingles: one row per input
     * row: (id, h1..hNumHashes). Universal hashing over an md5-derived base,
     * engine-portable and deterministic. */
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
                         numHashes: Int = 8, shingle: Int = 5,
                         seed: Long = 777L): DataFrame = {
-    val P = 2147483647L
-    val rng = new scala.util.Random(seed)
-    val params = Array.fill(numHashes)(
-      (rng.nextInt(Int.MaxValue - 1).toLong + 1L, rng.nextInt(Int.MaxValue).toLong))
+    val P = MinhashP
+    val params = minhashParams(numHashes, seed)
     val base = graft.functions.Md5Int60.md5Int60(col("s")) % P
     val perms = params.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h0") + lit(b)) % P).as(s"h${i + 1}")
@@ -122,10 +134,16 @@ object Graft {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val dot = VectorFunctions.dotF64 _
     def d(c: Column) = transform(c, x => x.cast(DoubleType))
+    // zero-norm (or null) vectors make the cosine null, which the non-null
+    // Scored encoder inside the top-k aggregator would reject at runtime;
+    // a zero vector has no meaningful cosine neighbor anyway, so drop them
+    // from both sides up front.
     val all = corpus.select(id.as("vec_id"), d(vec).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .where(col("nrm") > 0)
     val q = queries.select(qId.as("q_id"), d(qVec).as("qv"))
       .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+      .where(col("qn") > 0)
     val topk = udaf(new TopKAggregator(k), ExpressionEncoder[graft.functions.Scored]())
     val cs = dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
     val joinCond = if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true)

@@ -55,7 +55,14 @@ object Gold {
   def kpis(silver: DataFrame): DataFrame =
     build(silver, c => countDistinct(c))
 
-  /** 100 TB-scale variant: HLL sketches instead of exact distinct Expand. */
-  def kpisApprox(silver: DataFrame, rsd: Double = 0.01): DataFrame =
+  /** 100 TB-scale variant: HLL sketches instead of exact distinct Expand.
+    *
+    * rsd defaults to Spark's 0.05 (HLL precision p=9, 48 buffer longs per
+    * sketch). Tighter rsd grows the flat HLL buffer exponentially — 0.01
+    * means p=17, ~12K longs per sketch, a ~37000-field aggregation row whose
+    * generated code alone takes a minute to JIT. If a deployment needs <2%
+    * error at scale, the right tool is a mergeable sketch aggregate with a
+    * byte-array buffer, not a tighter flat-buffer HLL. */
+  def kpisApprox(silver: DataFrame, rsd: Double = 0.05): DataFrame =
     build(silver, c => approx_count_distinct(c, rsd))
 }

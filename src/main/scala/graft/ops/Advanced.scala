@@ -59,14 +59,28 @@ object Advanced {
         sum(x).as("sx"), sum(x * x).as("sxx"),
         sum(y).as("sy"), sum(y * y).as("syy"),
         sum(x * y).as("sxy"))
-      .select(
-        $"l_returnflag", $"n",
-        (($"sxx" - $"sx" * $"sx" / $"n".cast(DoubleType)) / ($"n" - 1)).as("var_qty"),
-        sqrt(($"sxx" - $"sx" * $"sx" / $"n".cast(DoubleType)) / ($"n" - 1)).as("stddev_qty"),
-        (($"n" * $"sxy" - $"sx" * $"sy").cast(DoubleType) /
-          sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast(DoubleType) *
-            ($"n" * $"syy" - $"sy" * $"sy").cast(DoubleType))).as("corr_qty_disc"))
+      .select(q15Moments($"l_returnflag"): _*)
       .orderBy($"l_returnflag")
+  }
+
+  /** q15 final projection. Every moment term is cast to Double BEFORE any
+    * product: a Long*Long product (sx*sx, n*sxy, ...) silently wraps once
+    * the sums pass ~3e9 (lineitem sf>=50) while the DuckDB oracle's HUGEINT
+    * math would not. Identical double expressions evaluate bit-identically
+    * in both engines at any scale. */
+  private def q15Moments(key: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] = {
+    def d(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val (n, sx, sxx, sy, syy, sxy) =
+      (d(col("n")), d(col("sx")), d(col("sxx")),
+        d(col("sy")), d(col("syy")), d(col("sxy")))
+    val variance = (sxx - sx * sx / n) / d(col("n") - 1)
+    Seq(
+      key, col("n"),
+      variance.as("var_qty"),
+      sqrt(variance).as("stddev_qty"),
+      ((n * sxy - sx * sy) /
+        sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).as("corr_qty_disc"))
   }
 
   /** q16: ordered collect aggregates rendered as strings (deterministic,
@@ -330,7 +344,7 @@ object Advanced {
         |s AS (
         |  SELECT user_id, value, us,
         |   CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END)
-        |     OVER (PARTITION BY user_id ORDER BY us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+        |     OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
         |  FROM e)
         |SELECT user_id,
         | CAST(min(us) // 1000000 AS BIGINT) AS session_start_s,
@@ -414,10 +428,13 @@ object Advanced {
         |   sum(CAST(l_quantity AS BIGINT) * CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
-        | (sxx - sx * sx / CAST(n AS DOUBLE)) / (n - 1) AS var_qty,
-        | sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (n - 1)) AS stddev_qty,
-        | CAST(n * sxy - sx * sy AS DOUBLE)
-        |   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) AS corr_qty_disc
+        | (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |   / CAST(n - 1 AS DOUBLE) AS var_qty,
+        | sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |   / CAST(n - 1 AS DOUBLE)) AS stddev_qty,
+        | (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |   / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_disc
         |FROM s ORDER BY l_returnflag""".stripMargin,
     "q16_collect_sorted" ->
       """SELECT o_orderpriority,

@@ -31,14 +31,13 @@ object Dedup {
   /** Universal-hash minhash: one md5 per shingle -> 60-bit int, then 8
     * affine permutations h_i = (a_i*h + b_i) mod p over the 31-bit field
     * (products stay < 2^62, no overflow in either engine). 8x cheaper than
-    * hashing every shingle 8 times, identical LSH semantics. Constants are
-    * seeded and embedded into the oracle SQL. */
-  private val P = 2147483647L // 2^31 - 1
-  private[ops] lazy val hashParams: Array[(Long, Long)] = {
-    val rng = new scala.util.Random(777L)
-    Array.fill(NumHashes)((rng.nextInt(Int.MaxValue - 1).toLong + 1L,
-      rng.nextInt(Int.MaxValue).toLong))
-  }
+    * hashing every shingle 8 times, identical LSH semantics. The constants
+    * embedded in the oracle SQL come from [[graft.api.Graft.minhashParams]]
+    * — the SAME function [[graft.api.Graft.minhashSignatures]] evaluates —
+    * so the two sides cannot drift apart. */
+  private val P = graft.api.Graft.MinhashP
+  private[ops] lazy val hashParams: Array[(Long, Long)] =
+    graft.api.Graft.minhashParams(NumHashes, 777L)
 
   /** d01: exact duplicate grouping by content hash; keeper = min doc_id.
     * Thin binding of [[graft.api.Graft.exactDedup]]. */
