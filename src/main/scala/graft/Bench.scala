@@ -33,6 +33,16 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Untimed generic warmup: first-use session costs (whole-stage codegen
+    // compiler, parquet reader init, noop sink lookup, task scheduler spin-
+    // up) otherwise land entirely on whichever query happens to run first.
+    // No bench query is executed here — a trivial scan+agg+write only.
+    try {
+      spark.read.parquet(s"$sfDir/region.parquet")
+        .groupBy("r_regionkey").count()
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
+
     // SPARK_GRAFT_ONLY=name1,name2 restricts the run (focused profiling);
     // SPARK_GRAFT_SKIP_MDP=1 skips the medallion throughput stage.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

@@ -46,52 +46,93 @@ object Graft {
     val perms = params.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h0") + lit(b)) % P).as(s"h${i + 1}")
     }
-    df.select(id.as("id"), CharNGrams.charNGrams(text, shingle))
+    fanOut(df.select(id.as("id"), text.as("__t")))
+      .select(col("id"), CharNGrams.charNGrams(col("__t"), shingle))
       .select(col("id"), base.as("h0"))
       .groupBy(col("id"))
       .agg(perms.head, perms.tail: _*)
   }
 
+  /** Re-split the input ahead of a high-fan-out stage (shingling, token
+    * explode): each input row amplifies into hundreds of rows of per-row
+    * hash work, which Spark's scan-side split sizing cannot see — a small
+    * parquet input arrives as one or two partitions and the whole explode
+    * would run on as many cores. One narrow shuffle of (id, text) buys
+    * full-cluster parallelism; inputs that already have >= the session's
+    * default parallelism in partitions pass through untouched (the normal
+    * case at scale, where this is a no-op by construction). */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** LSH near-duplicate candidate pairs from a signature frame: rows
     * (id_a, id_b, n_match) for pairs sharing >= 1 band bucket and agreeing
-    * on >= `minAgreement` of the signature hashes. */
+    * on >= `minAgreement` of the signature hashes.
+    *
+    * Single-pass bucket design — three shuffles total, all on narrow rows:
+    * (1) explode each row into its `bands` band keys (one scan, no
+    * per-band union re-reads); (2) groupBy band key collecting the bucket's
+    * full signatures, so in-bucket pairs and their signature agreement are
+    * generated NATIVELY from the collected array (codegen'd
+    * transform/slice — no self-join and no signature re-join); (3) groupBy
+    * (id_a, id_b) to collapse pairs sharing several buckets. Per-bucket
+    * work is quadratic in bucket size — inherent to LSH banding (the
+    * former self-join shuffled the same quadratic row set) — so band
+    * width, not this operator, is the skew lever at scale. */
   def nearDupPairs(sigs: DataFrame, bands: Int = 4, rowsPerBand: Int = 2,
                    minAgreement: Int = 4): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val b = (1 to bands).map { k =>
+    val bandKeys = array((1 to bands).map { k =>
       val hs = ((k - 1) * rowsPerBand + 1 to k * rowsPerBand).map(i => col(s"h$i"))
-      sigs.select(concat_ws(":", (lit(k) +: hs): _*).as("bb"), col("id"))
-    }.reduce(_ union _)
-    val cand = b.toDF("bb", "id_a").join(b.toDF("bb", "id_b"), "bb")
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val sa = sigs.toDF("id_a" +: (1 to numHashes).map(i => s"a$i"): _*)
-    val sb = sigs.toDF("id_b" +: (1 to numHashes).map(i => s"b$i"): _*)
+      concat_ws(":", (lit(k) +: hs): _*)
+    }: _*)
+    val sig = struct(col("id") +: (1 to numHashes).map(i => col(s"h$i")): _*)
+    // sort_array orders the bucket by its first struct field — the id — so
+    // pairing index i with indexes > i yields id_a < id_b by construction
+    val buckets = sigs.select(explode(bandKeys).as("bb"), sig.as("s"))
+      .groupBy(col("bb"))
+      .agg(sort_array(collect_list(col("s"))).as("ss"))
+      .where(size(col("ss")) > 1)
+    val inBucketPairs = flatten(transform(col("ss"), (x, i) =>
+      transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+        y => struct(x.as("a"), y.as("b")))))
     val nMatch = (1 to numHashes)
-      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
-    cand.join(sa, "id_a").join(sb, "id_b")
-      .select(col("id_a"), col("id_b"), nMatch.as("n_match"))
+      .map(i => when(col(s"p.a.h$i") === col(s"p.b.h$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    buckets.select(explode(inBucketPairs).as("p"))
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        nMatch.as("n_match"))
       .where(col("n_match") >= minAgreement)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("n_match")).as("n_match"))
   }
 
   /** Exact char-n-gram Jaccard for given candidate pairs (id_a, id_b). */
   def jaccardVerify(docs: DataFrame, id: Column, text: Column,
                     pairs: DataFrame, shingle: Int = 5): DataFrame = {
-    val set = when(length(text) < shingle, array().cast(ArrayType(StringType)))
+    val t = col("__t")
+    val set = when(length(t) < shingle, array().cast(ArrayType(StringType)))
       .otherwise(array_distinct(transform(
-        sequence(lit(1), length(text) - (shingle - 1)),
-        i => text.substr(i, lit(shingle)))))
+        sequence(lit(1), length(t) - (shingle - 1)),
+        i => t.substr(i, lit(shingle)))))
     // only build + broadcast shingle sets for docs that occur in a pair;
     // sort each set once so the per-pair counting is a zero-allocation
     // native merge (SortedSetOverlap) instead of per-pair hash-set builds
     val inPairs = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()
-    val sets = docs.select(id.as("id"), sort_array(set).as("sh"))
+    // ONE sets plan joined for both pair sides: the two broadcast builds
+    // are then canonically identical, so ReuseExchange materializes the
+    // (fanned-out) shingle construction once instead of twice
+    val sets = fanOut(docs.select(id.as("id"), text.as("__t")))
+      .select(col("id"), sort_array(set).as("sh"))
       .join(inPairs, Seq("id"), "left_semi")
-    val sa = sets.toDF("id_a", "sh_a")
-    val sb = sets.toDF("id_b", "sh_b")
-    pairs.select("id_a", "id_b")
-      .join(broadcast(sa), "id_a").join(broadcast(sb), "id_b")
+    val p = pairs.select("id_a", "id_b")
+    val withA = p.join(broadcast(sets.as("sa")), col("id_a") === col("sa.id"))
+      .select(col("id_a"), col("id_b"), col("sa.sh").as("sh_a"))
+    val withB = withA.join(broadcast(sets.as("sb")), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sb.sh").as("sh_b"))
+    withB
       .withColumn("__ov",
         graft.functions.SortedSetOverlap.overlap(col("sh_a"), col("sh_b")))
       .select(col("id_a"), col("id_b"),
@@ -101,7 +142,8 @@ object Graft {
 
   /** 60-bit word-level SimHash per row: (id, simhash). */
   def simhash(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val words = df.select(id.as("id"), explode(split(trim(text), "\\s+")).as("w"))
+    val words = fanOut(df.select(id.as("id"), text.as("__t")))
+      .select(col("id"), explode(split(trim(col("__t")), "\\s+")).as("w"))
       .select(col("id"), graft.functions.Md5Int60.md5Int60(col("w")).as("h"))
     val bitSums = (0 until 60).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
@@ -115,6 +157,52 @@ object Graft {
   def exactDedup(df: DataFrame, id: Column, key: Column): DataFrame =
     df.groupBy(md5(key).as("content_hash"))
       .agg(min(id).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Connected components over an undirected edge list: one row
+    * (id, component) per vertex, component = the least vertex id reachable
+    * from it (the canonical keeper id of a duplicate cluster).
+    *
+    * Min-label propagation with pointer jumping: each round takes every
+    * vertex to the minimum of its own label, its neighbors' labels, and its
+    * label's label — so the reached radius DOUBLES per round instead of
+    * growing by one hop (log2(diameter) rounds, each a bounded number of
+    * shuffles on (id, label) pairs; the classic large-graph CC shape).
+    * Rounds run driver-side until a fixpoint is PROVEN: labels decrease
+    * monotonically, so an unchanged label sum means converged — never a
+    * guessed iteration cap. Each round materializes via localCheckpoint to
+    * keep the plan shallow (iterative lineage otherwise grows
+    * exponentially in the optimizer). */
+  def connectedComponents(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    val e = edges.select(src.as("a"), dst.as("b"))
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
+    // exact decimal sum: labels only ever decrease, so an unchanged sum
+    // proves the fixpoint (and a 38-digit sum cannot wrap)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0)
+    var converged = false
+    while (!converged) {
+      val before = labelSum(labels)
+      // min label among each vertex's neighbors, folded into its own label
+      // with a left join + least (least skips the null of isolated-side
+      // misses) — deliberately NOT a self-union, whose constraint rewrite
+      // trips on the shared lineage between the branches
+      val nbrMin = sym.join(labels, sym("b") === labels("id"))
+        .groupBy(sym("a").as("nid")).agg(min(labels("label")).as("nlabel"))
+      val stepped = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(labels("id").as("id"),
+          least(labels("label"), col("nlabel")).as("label"))
+      val jumped = stepped.as("l1")
+        .join(stepped.as("l2"), col("l1.label") === col("l2.id"))
+        .select(col("l1.id").as("id"),
+          least(col("l1.label"), col("l2.label")).as("label"))
+      labels = jumped.localCheckpoint()
+      converged = labelSum(labels).compareTo(before) == 0
+    }
+    labels.select(col("id"), col("label").as("component"))
+  }
 
   // ----------------------------------------------------------- similarity
 

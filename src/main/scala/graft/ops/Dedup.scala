@@ -55,11 +55,8 @@ object Dedup {
   def d02MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
-    // cache: the DAG references sigs six times (4 bands + both join sides);
-    // bounded at one row per doc. Session-scoped by design — the returned
-    // frame is consumed lazily by the caller, so unpersisting here would
-    // defeat the reuse.
-    val sigs = graft.api.Graft.minhashSignatures(docs, $"doc_id", $"text").cache()
+    // no cache: the single-pass nearDupPairs scans the signatures once
+    val sigs = graft.api.Graft.minhashSignatures(docs, $"doc_id", $"text")
     graft.api.Graft.nearDupPairs(sigs, minAgreement = JaccardBandThreshold)
       .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), $"n_match")
       .orderBy($"doc_a", $"doc_b")
@@ -71,7 +68,7 @@ object Dedup {
   def d03NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
-    val sigs = graft.api.Graft.minhashSignatures(docs, $"doc_id", $"text").cache()
+    val sigs = graft.api.Graft.minhashSignatures(docs, $"doc_id", $"text")
     // cache: jaccardVerify consumes the pairs three times (the pair stream
     // plus the id-restriction of each broadcast side)
     val pairs = graft.api.Graft.nearDupPairs(sigs, minAgreement = JaccardBandThreshold)
@@ -114,12 +111,32 @@ object Dedup {
       .orderBy($"rank")
   }
 
+  /** d06: duplicate clusters — connected components over the d02 candidate
+    * graph, labeling every involved doc with the least doc_id reachable
+    * from it (the cluster keeper) plus the cluster size. The final step of
+    * a dedup pipeline: transitive closure turns pairwise matches into
+    * keep/drop decisions. Thin binding of
+    * [[graft.api.Graft.connectedComponents]] (min-label propagation with
+    * pointer jumping, run to a proven fixpoint). */
+  def d06DupGroups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val sigs = graft.api.Graft.minhashSignatures(docs, $"doc_id", $"text")
+    val pairs = graft.api.Graft.nearDupPairs(sigs, minAgreement = JaccardBandThreshold)
+    val bySize = org.apache.spark.sql.expressions.Window.partitionBy($"dup_group")
+    graft.api.Graft.connectedComponents(pairs, $"id_a", $"id_b")
+      .select($"id".as("doc_id"), $"component".as("dup_group"))
+      .withColumn("group_size", count(lit(1)).over(bySize))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> d01Exact,
     "d02_minhash_lsh" -> d02MinhashLsh,
     "d03_ngram_jaccard" -> d03NgramJaccard,
     "d04_simhash" -> d04Simhash,
-    "d05_embedding_pairs" -> d05EmbeddingPairs)
+    "d05_embedding_pairs" -> d05EmbeddingPairs,
+    "d06_dup_groups" -> d06DupGroups)
 
   private val sigsSql =
     s"""sh AS (
@@ -193,6 +210,19 @@ object Dedup {
           .map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)")
           .mkString(" + ")} AS BIGINT) AS simhash
          |FROM bits ORDER BY doc_id""".stripMargin,
+    "d06_dup_groups" ->
+      s"""WITH RECURSIVE $sigsSql,
+         |verts AS (SELECT doc_a AS id FROM agreed UNION SELECT doc_b FROM agreed),
+         |edges2 AS (SELECT doc_a AS a, doc_b AS b FROM agreed
+         |           UNION SELECT doc_b, doc_a FROM agreed),
+         |reach(a, b) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges2 e ON r.b = e.a),
+         |cc AS (SELECT a AS doc_id, min(b) AS dup_group FROM reach GROUP BY a)
+         |SELECT doc_id, dup_group,
+         | CAST(count(*) OVER (PARTITION BY dup_group) AS BIGINT) AS group_size
+         |FROM cc ORDER BY doc_id""".stripMargin,
     "d05_embedding_pairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),

@@ -1,0 +1,122 @@
+package graft.ops
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-2 operator families: CUBE grouping sets, window navigation
+  * functions, and deterministic hash sampling.
+  *
+  * Sampling note: `TABLESAMPLE`/`df.sample` draw from engine-specific RNG
+  * streams that can never hash-match across engines (and re-draw across
+  * retried tasks unless the input partitioning is frozen). A hash of a key
+  * column is the reproducible alternative a training-data pipeline
+  * actually wants: membership is a pure row property, stable under
+  * re-partitioning, re-runs, and engine changes.
+  */
+object Extras {
+  import Det._
+
+  /** q42: CUBE over region/nation with grouping_id — all four grouping
+    * sets (r,n / r / n / ()) in one Expand pass, the bitmask disambiguating
+    * natural nulls from subtotal rows. */
+  def q42Cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.load(s, dir, "customer")
+    val n = Tables.load(s, dir, "nation")
+    val r = Tables.load(s, dir, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .cube($"r_name", $"n_name")
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_customers"),
+        moneySum($"c_acctbal").as("total_balance"))
+      .select($"r_name", $"n_name", $"gid", $"n_customers", $"total_balance")
+      .orderBy($"gid", $"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  /** q43: window navigation — first/last/nth over the full partition frame
+    * plus lag/lead with defaults, per user ordered by (ts, event_id). */
+  def q43WindowNav(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.load(s, dir, "events")
+      .select($"event_id", $"user_id", $"ts", $"value",
+        first($"value").over(wFull).as("first_val"),
+        last($"value").over(wFull).as("last_val"),
+        nth_value($"value", 2).over(wFull).as("second_val"),
+        lag($"value", 1, -1.0).over(w).as("prev_val"),
+        lead($"value", 1, -1.0).over(w).as("next_val"))
+      .select($"event_id", $"first_val", $"last_val", $"second_val",
+        $"prev_val", $"next_val")
+      .orderBy($"event_id")
+  }
+
+  /** q44: deterministic sampling — a ~5% uniform sample by key-hash bucket
+    * and a fixed-size stratified sample (3 rows per event_type by hash
+    * order), unioned with a kind label. Both are pure row/group properties:
+    * identical results on any engine, any partitioning, any retry. */
+  def q44HashSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "events")
+    val bucket = conv(substring(md5($"event_id".cast(StringType)), 1, 4), 16, 10)
+      .cast(LongType)
+    val uniform = e.where(bucket % 20 === 0)
+      .select(lit("uniform").as("sample_kind"), $"event_id", $"event_type")
+    val w = Window.partitionBy($"event_type").orderBy(bucket.asc, $"event_id".asc)
+    val stratified = e
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= 3)
+      .select(lit("stratified").as("sample_kind"), $"event_id", $"event_type")
+    uniform.union(stratified).orderBy($"sample_kind", $"event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_cube" -> q42Cube,
+    "q43_window_nav" -> q43WindowNav,
+    "q44_hash_sample" -> q44HashSample)
+
+  val oracles: Map[String, String] = Map(
+    "q42_cube" ->
+      """SELECT r_name, n_name,
+        | CAST(grouping(r_name, n_name) AS BIGINT) AS gid,
+        | count(*) AS n_customers,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE (r_name, n_name)
+        |ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q43_window_nav" ->
+      """SELECT event_id,
+        | first_value(value) OVER wf AS first_val,
+        | last_value(value) OVER wf AS last_val,
+        | nth_value(value, 2) OVER wf AS second_val,
+        | lag(value, 1, -1.0) OVER w AS prev_val,
+        | lead(value, 1, -1.0) OVER w AS next_val
+        |FROM events
+        |WINDOW
+        | w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        | wf AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
+    "q44_hash_sample" ->
+      """WITH h AS (
+        |  SELECT event_id, event_type,
+        |   CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 4)) AS BIGINT) AS bucket
+        |  FROM events),
+        |uniform AS (
+        |  SELECT 'uniform' AS sample_kind, event_id, event_type
+        |  FROM h WHERE bucket % 20 = 0),
+        |strat AS (
+        |  SELECT 'stratified' AS sample_kind, event_id, event_type
+        |  FROM (SELECT event_id, event_type,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY bucket, event_id) AS rn
+        |        FROM h)
+        |  WHERE rn <= 3)
+        |SELECT * FROM uniform UNION ALL SELECT * FROM strat
+        |ORDER BY sample_kind, event_id""".stripMargin)
+}

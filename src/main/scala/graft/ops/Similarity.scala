@@ -110,10 +110,50 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  private val NumCentroids = 16
+  private val NProbe = 4
+
+  /** s04: IVF-style ANN — a coarse quantizer partitions the corpus into
+    * `NumCentroids` cells (one broadcast pass assigns every vector to its
+    * max-cosine centroid); each query probes only its `NProbe` best cells
+    * and exactly re-ranks that candidate subset. This is the inverted-file
+    * scale path: the corpus is scanned once for assignment and the search
+    * touches NProbe/NumCentroids of it, with the candidate join shuffling
+    * on the cell id. Centroids here are the first `NumCentroids` corpus
+    * vectors — a deterministic stand-in for the sampled k-means training
+    * step a production build would run (training changes recall, not the
+    * operator's dataflow), and one the oracle can reproduce exactly. */
+  def s04IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = corpus(s, dir).select($"vec_id", $"v", norm($"v").as("nrm"))
+    val cents = all.where($"vec_id" < NumCentroids)
+      .select($"vec_id".as("c_id"), $"v".as("cv"), $"nrm".as("cn"))
+    val cCs = dot($"v", $"cv") / ($"nrm" * $"cn")
+    val byAffinity = Window.partitionBy($"vec_id").orderBy($"c_cs".desc, $"c_id")
+    val ranked = all.crossJoin(broadcast(cents))
+      .select($"vec_id", $"v", $"nrm", $"c_id", cCs.as("c_cs"))
+      .withColumn("c_rank", row_number().over(byAffinity))
+    val assigned = ranked.where($"c_rank" === 1)
+      .select($"vec_id", $"v", $"nrm", $"c_id".as("cell"))
+    val probes = ranked.where($"c_rank" <= NProbe && $"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
+        $"c_id".as("cell"))
+    val cs = dot($"qv", $"v") / ($"qn" * $"nrm")
+    val w = Window.partitionBy($"q_id").orderBy($"cs".desc, $"neighbor_id")
+    broadcast(probes).join(assigned, Seq("cell"))
+      .where($"q_id" =!= $"vec_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"), cs.as("cs"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .where($"rank" <= TopK)
+      .select($"q_id", $"rank", $"neighbor_id")
+      .orderBy($"q_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> s01BruteForceTopK,
     "s02_ann_lsh" -> s02LshTopK,
-    "s03_ann_topk_aggregator" -> s03TopKAggregator)
+    "s03_ann_topk_aggregator" -> s03TopKAggregator,
+    "s04_ann_ivf" -> s04IvfTopK)
 
   private def planeSql(t: Int, b: Int): String =
     "[" + hyperplanes(t * BitsPerTable + b).mkString(", ") + "]"
@@ -146,6 +186,28 @@ object Similarity {
          |  SELECT q.q_id, n.vec_id AS neighbor_id,
          |   list_dot_product(q.qv, n.v) / (q.qn * n.nrm) AS cs
          |  FROM q JOIN n ON q.q_id <> n.vec_id),
+         |rk AS (SELECT q_id, neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, neighbor_id) AS BIGINT) AS rank
+         | FROM sc)
+         |SELECT q_id, rank, neighbor_id FROM rk WHERE rank <= $TopK
+         |ORDER BY q_id, rank""".stripMargin,
+    "s04_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < $NumCentroids),
+         |ranked AS (
+         |  SELECT n.vec_id, n.v, n.nrm, c.c_id,
+         |   row_number() OVER (PARTITION BY n.vec_id
+         |     ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC, c.c_id) AS c_rank
+         |  FROM n, c),
+         |assigned AS (SELECT vec_id, v, nrm, c_id AS cell FROM ranked WHERE c_rank = 1),
+         |probes AS (
+         |  SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id AS cell
+         |  FROM ranked WHERE c_rank <= $NProbe AND vec_id < $NumQueries),
+         |sc AS (
+         |  SELECT p.q_id, a.vec_id AS neighbor_id,
+         |   list_dot_product(p.qv, a.v) / (p.qn * a.nrm) AS cs
+         |  FROM probes p JOIN assigned a USING (cell) WHERE p.q_id <> a.vec_id),
          |rk AS (SELECT q_id, neighbor_id,
          |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, neighbor_id) AS BIGINT) AS rank
          | FROM sc)

@@ -106,4 +106,29 @@ class GraftApiSpec extends AnyFunSuite {
     assert(out.isNullAt(out.fieldIndex("asof_a")), "null field backfilled from older row")
     assert(out.getAs[Double]("asof_b") == 3.0)
   }
+
+  test("connectedComponents labels every vertex with its least reachable id") {
+    import spark.implicits._
+    // component {1,2,3,4} is a path (diameter 3, needs real propagation),
+    // {10,11} a pair, {20,21,22} a triangle with edges listed "backwards"
+    val edges = Seq(
+      (2L, 1L), (3L, 2L), (4L, 3L),
+      (10L, 11L),
+      (22L, 21L), (21L, 20L), (22L, 20L)).toDF("x", "y")
+    val cc = Graft.connectedComponents(edges, $"x", $"y")
+      .as[(Long, Long)].collect().toMap
+    val expected = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L)
+    assert(cc == expected, s"got $cc")
+  }
+
+  test("connectedComponents converges on a long chain (diameter 16)") {
+    import spark.implicits._
+    val edges = (1L to 16L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = Graft.connectedComponents(edges, $"a", $"b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc.size == 17 && cc.values.forall(_ == 1L), s"got $cc")
+  }
 }
