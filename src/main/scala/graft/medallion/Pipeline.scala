@@ -41,10 +41,13 @@ object MdpConfig {
   }
 }
 
-/** Staged medallion pipeline: smoke | bronze | silver | gold | validate |
-  * full — the reference's orchestration contract (scripts/run_pipeline.py:
-  * 303-362) in a single Scala main: fail-fast stages, empty-input guards,
-  * `Rows:` / `Throughput:` / `SMOKE_OK` log markers.
+/** Staged medallion pipeline: smoke | bronze | silver | silver-incremental
+  * | compact-silver | gold | validate | full — the reference's
+  * orchestration contract (scripts/run_pipeline.py:303-362) in a single
+  * Scala main: fail-fast stages, empty-input guards, `Rows:` /
+  * `Throughput:` / `SMOKE_OK` log markers, plus the table-maintenance
+  * stages (graft.medallion.Maintenance) a continuously-running deployment
+  * needs.
   *
   * Storage model: bronze is path-addressed parquet (reference parity);
   * silver/gold are catalog tables written through DataFrameWriterV2
@@ -222,6 +225,15 @@ object Pipeline {
       case "smoke" => require(timed("smoke")(smoke(spark, cfg)), "smoke failed")
       case "bronze" => timed("bronze")(bronze(spark, cfg))
       case "silver" => timed("silver")(silver(spark, cfg))
+      case "silver-incremental" =>
+        val n = timed("silver-incremental")(
+          Maintenance.silverIncremental(spark, cfg))
+        log(s"Rows: $n")
+      case "compact-silver" =>
+        val (b, a) = timed("compact-silver")(Maintenance.compact(
+          spark, cfg.silverFallbackUri, Seq("interaction_date", "channel"),
+          cfg.targetFileMb))
+        log(s"Compaction: $b files -> $a files")
       case "gold" => timed("gold")(gold(spark, cfg))
       case "validate" => require(timed("validate")(validate(spark, cfg)), "validate failed")
       case "full" =>

@@ -1,0 +1,98 @@
+package graft
+
+import graft.medallion.{BronzeGen, Maintenance, MdpConfig, Pipeline, Silver}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Table-maintenance operators: incremental silver, partition-scoped
+  * upsert, and small-file compaction — each checked for exact data
+  * equivalence with the full-rebuild result, not just row counts.
+  */
+class MaintenanceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmpDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_maint_$tag")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private val Epoch = 1754982000L
+
+  test("silverIncremental over new bronze days equals a full rebuild") {
+    import spark.implicits._
+    val base = tmpDir("incr")
+    val cfg = MdpConfig.fromEnv(base).copy(
+      ingestGb = 0.001, payloadKb = 1, partitions = 4)
+
+    // day 1: bronze rows from the first half of the date range
+    val all = BronzeGen.generate(spark, 2000, 4, cfg.payloadKb, cfg.seed, Epoch)
+      .cache()
+    val cut = to_date(timestamp_seconds(lit(Epoch))) - expr("INTERVAL 15 DAYS")
+    all.where(to_date($"event_timestamp") < cut)
+      .write.parquet(cfg.bronzeUri)
+    val n1 = Maintenance.silverIncremental(spark, cfg)
+    assert(n1 > 0)
+
+    // day 2: the full bronze set lands (old days unchanged + new days)
+    all.write.mode("overwrite").parquet(cfg.bronzeUri)
+    val n2 = Maintenance.silverIncremental(spark, cfg)
+
+    val expected = Silver.enrich(all,
+      to_date(timestamp_seconds(lit(Epoch))),
+      timestamp_seconds(lit(Epoch)), lit(Epoch))
+    val got = spark.read.parquet(cfg.silverFallbackUri)
+    assert(n2 == expected.count(), s"incremental=$n2 full=${expected.count()}")
+    // exact equivalence: same (id -> fingerprint) multiset
+    val fp = concat_ws("|", $"id", $"email_clean", $"customer_value_tier",
+      $"interaction_date".cast("string"), $"channel")
+    val gotSet = got.select(fp).as[String].collect().sorted
+    val expSet = expected.select(fp).as[String].collect().sorted
+    assert(gotSet.sameElements(expSet))
+    all.unpersist()
+  }
+
+  test("upsertPartitioned replaces keys in touched partitions and appends new ones") {
+    import spark.implicits._
+    val path = tmpDir("upsert") + "/t"
+    Seq((1L, "a", "2026-01-01"), (2L, "b", "2026-01-01"), (3L, "c", "2026-01-02"))
+      .toDF("k", "v", "day")
+      .write.partitionBy("day").parquet(path)
+
+    val updates = Seq((2L, "B2", "2026-01-01"), (9L, "new", "2026-01-01"))
+      .toDF("k", "v", "day")
+    val merged = Maintenance.upsertPartitioned(spark, path, updates,
+      keyCols = Seq("k"), partitionCol = "day")
+    assert(merged == 3) // 1,2(updated),9 in day-01; day-02 untouched
+
+    val out = spark.read.parquet(path).select("k", "v", "day")
+      .as[(Long, String, String)].collect().toSet
+    assert(out == Set(
+      (1L, "a", "2026-01-01"), (2L, "B2", "2026-01-01"),
+      (9L, "new", "2026-01-01"), (3L, "c", "2026-01-02")))
+  }
+
+  test("compact merges small files and preserves the data exactly") {
+    import spark.implicits._
+    val path = tmpDir("compact") + "/t"
+    // 40 tiny files across 2 partitions
+    (1 to 200).map(i => (i.toLong, s"row$i", s"p${i % 2}")).toDF("k", "v", "part")
+      .repartition(20)
+      .write.partitionBy("part").parquet(path)
+    val beforeData = spark.read.parquet(path)
+      .as[(Long, String, String)].collect().toSet
+
+    val (before, after) = Maintenance.compact(spark, path, Seq("part"))
+    assert(before > after, s"expected fewer files, got $before -> $after")
+    assert(after <= 8)
+    val afterData = spark.read.parquet(path)
+      .as[(Long, String, String)].collect().toSet
+    assert(afterData == beforeData)
+  }
+}
