@@ -74,10 +74,63 @@ object Extras {
     uniform.union(stratified).orderBy($"sample_kind", $"event_id")
   }
 
+  /** q45: the Spark 4 VARIANT type — parse_json into a variant, typed
+    * variant_get extraction paths (present, missing, wrongly-typed) — the
+    * semi-structured fast path that replaces repeated get_json_object
+    * string re-parsing. The oracle extracts the same scalars from the raw
+    * JSON text. */
+  def q45Variant(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .select($"event_id", parse_json($"props").as("v"))
+      .select(
+        $"event_id",
+        variant_get($"v", "$.k", "bigint").as("k_val"),
+        variant_get($"v", "$.k", "string").as("k_str"),
+        try_variant_get($"v", "$.missing", "bigint").as("missing_val"),
+        is_variant_null(variant_get($"v", "$.k", "variant")).as("k_is_null"))
+      .orderBy($"event_id")
+  }
+
+  /** q46: error-safe ANSI arithmetic — the try_* family returns NULL where
+    * strict ANSI mode would raise (division by zero, bad casts, missing
+    * array slots), the semantics batch pipelines want for dirty data. */
+  def q46TryFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .select(
+        $"event_id",
+        expr("try_divide(value, pmod(event_id, 3))").as("try_div"),
+        expr("try_cast(event_type AS BIGINT)").as("try_int"),
+        expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("try_json_int"),
+        expr("try_element_at(split(event_type, 'a'), 2)").as("try_elem"),
+        expr("try_to_number(cast(value as string), '999999.99')")
+          .cast(DoubleType).as("try_num"))
+      .orderBy($"event_id")
+  }
+
+  /** q47: bitwise function family over integer keys. */
+  def q47Bitwise(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .select(
+        $"event_id",
+        ($"event_id".bitwiseAND(255)).as("band"),
+        ($"event_id".bitwiseOR(4096)).as("bor"),
+        ($"event_id".bitwiseXOR($"user_id")).as("bxor"),
+        shiftleft($"event_id", 3).cast(LongType).as("shl"),
+        shiftright($"event_id", 2).cast(LongType).as("shr"),
+        bit_count($"event_id").cast(LongType).as("nbits"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_cube" -> q42Cube,
     "q43_window_nav" -> q43WindowNav,
-    "q44_hash_sample" -> q44HashSample)
+    "q44_hash_sample" -> q44HashSample,
+    "q45_variant_json" -> q45Variant,
+    "q46_try_funcs" -> q46TryFuncs,
+    "q47_bitwise" -> q47Bitwise)
 
   val oracles: Map[String, String] = Map(
     "q42_cube" ->
@@ -103,6 +156,30 @@ object Extras {
         | wf AS (PARTITION BY user_id ORDER BY ts, event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY event_id""".stripMargin,
+    "q45_variant_json" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        | json_extract_string(props, '$.k') AS k_str,
+        | CAST(NULL AS BIGINT) AS missing_val,
+        | (json_extract(props, '$.k') = 'null') AS k_is_null
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q46_try_funcs" ->
+      """SELECT event_id,
+        | value / nullif(event_id % 3, 0) AS try_div,
+        | TRY_CAST(event_type AS BIGINT) AS try_int,
+        | TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS try_json_int,
+        | str_split(event_type, 'a')[2] AS try_elem,
+        | TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE) AS try_num
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q47_bitwise" ->
+      """SELECT event_id,
+        | event_id & 255 AS band,
+        | event_id | 4096 AS bor,
+        | xor(event_id, user_id) AS bxor,
+        | event_id << 3 AS shl,
+        | event_id >> 2 AS shr,
+        | CAST(bit_count(event_id) AS BIGINT) AS nbits
+        |FROM events ORDER BY event_id""".stripMargin,
     "q44_hash_sample" ->
       """WITH h AS (
         |  SELECT event_id, event_type,

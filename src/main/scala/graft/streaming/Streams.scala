@@ -134,10 +134,36 @@ object Streams {
       .orderBy($"user_id")
   }
 
+  /** st04: stream-stream inner join — each purchase joined to the same
+    * user's clicks in the preceding hour. Both sides are watermarked and
+    * the join carries an event-time range condition, which is exactly what
+    * lets Spark bound both state stores (clicks older than the watermark
+    * minus the range can never match and are evicted). Inner-join rows
+    * emit immediately (append mode); the per-purchase rollup runs as a
+    * batch aggregate over the sink, and the oracle is the equivalent batch
+    * interval join. */
+  def st04StreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = eventsStream(s, dir).where($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val c = eventsStream(s, dir).where($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val joined = p.join(c,
+      $"user_id" === $"c_user" &&
+        $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") && $"c_ts" <= $"p_ts")
+    runToCompletion(joined, "append")
+      .groupBy($"p_id")
+      .agg(count(lit(1)).as("n_clicks"), min($"c_id").as("first_click_id"))
+      .orderBy($"p_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_tumbling_agg" -> st01TumblingAgg,
     "st02_stream_dedup" -> st02StreamDedup,
-    "st03_stateful_sessions" -> st03StatefulSessions)
+    "st03_stateful_sessions" -> st03StatefulSessions,
+    "st04_stream_stream_join" -> st04StreamStreamJoin)
 
   val oracles: Map[String, String] = Map(
     "st01_stream_tumbling_agg" ->
@@ -151,6 +177,18 @@ object Streams {
       """SELECT event_type, count(*) AS n_events
         |FROM (SELECT DISTINCT ON (event_id) event_id, event_type FROM events ORDER BY event_id)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the finite stream-stream join == the batch interval join
+    "st04_stream_stream_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS c_id, user_id, ts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT p_id, count(*) AS n_clicks, min(c_id) AS first_click_id
+        |FROM p JOIN c ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |GROUP BY p_id ORDER BY p_id""".stripMargin,
     // batch sessionization (q10's logic) per user == the single-batch
     // stateful-streaming result
     "st03_stateful_sessions" ->
