@@ -60,4 +60,29 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("s04 IVF probes join the corpus on the cell id (equi-join, broadcast probes)") {
+    val plan = planOf(Similarity.s04IvfTopK(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q42 cube runs one Expand pass with partial aggregation") {
+    val plan = planOf(Extras.q42Cube(spark, dir))
+    assert(plan.split("\\bExpand\\b").length - 1 >= 1, plan)
+    assert(plan.split("HashAggregate").length - 1 >= 2, plan)
+  }
+
+  test("jaccard verify reuses one exchange for both broadcast pair sides") {
+    // exchange reuse is decided during adaptive execution, so run the query
+    // and assert on the final executed plan, not the static one
+    val docs = Tables.load(spark, dir, "documents")
+    import spark.implicits._
+    val sigs = graft.api.Graft.minhashSignatures(docs, $"doc_id", $"text")
+    val pairs = graft.api.Graft.nearDupPairs(sigs, minAgreement = 4)
+    val df = graft.api.Graft.jaccardVerify(docs, $"doc_id", $"text", pairs)
+    df.write.format("noop").mode("overwrite").save()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange"), executed)
+  }
 }
