@@ -74,14 +74,16 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("jaccard verify reuses one exchange for both broadcast pair sides") {
-    // exchange reuse is decided during adaptive execution, so run the query
-    // and assert on the final executed plan, not the static one
+    // exchange reuse is decided during adaptive execution, so execute THIS
+    // DataFrame's own QueryExecution (collect — a noop write would build a
+    // separate QueryExecution and leave this one un-executed, isFinalPlan
+    // =false) and assert on the final adaptive plan it settled on
     val docs = Tables.load(spark, dir, "documents")
     import spark.implicits._
     val sigs = graft.api.Graft.minhashSignatures(docs, $"doc_id", $"text")
     val pairs = graft.api.Graft.nearDupPairs(sigs, minAgreement = 4)
     val df = graft.api.Graft.jaccardVerify(docs, $"doc_id", $"text", pairs)
-    df.write.format("noop").mode("overwrite").save()
+    df.collect()
     val executed = df.queryExecution.executedPlan.toString
     assert(executed.contains("ReusedExchange"), executed)
   }
