@@ -55,6 +55,46 @@ object Gold {
   def kpis(silver: DataFrame): DataFrame =
     build(silver, c => countDistinct(c))
 
+  /** Cross-engine-deterministic variant of [[kpis]]: same aggregate
+    * structure, but every double sum/avg goes through an exact
+    * DECIMAL(18,6) cast (double summation order differs between engines
+    * and runs; decimal sums are exact and order-free, and the
+    * double->decimal cast rounds HALF_UP identically in Spark and DuckDB,
+    * even on exact ties) and every avg is the explicit exact-sum / count.
+    * This is the form the correctness gate pins against its DuckDB oracle;
+    * production callers keep [[kpis]] (plain double sums, no cast cost). */
+  def kpisDet(silver: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+    def decSum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+    def exactAvg(c: Column): Column = sum(c).cast(DoubleType) / count(c)
+    val aggs = Seq(
+      countDistinct(col("customer_id")).as("daily_active_customers"),
+      countDistinct(col("email_clean")).as("unique_email_addresses"),
+      countDistinct(col("support_ticket_id")).as("support_tickets_created"),
+      decSum(col("transaction_amount")).as("total_daily_revenue"),
+      (decSum(col("transaction_amount")) / count(col("transaction_amount")))
+        .as("avg_transaction_value"),
+      max(col("transaction_amount")).as("largest_transaction"),
+      count_if(col("transaction_amount") > 0).as("total_transactions"),
+      sum(when(col("channel") === "web", dec(col("transaction_amount")))
+        .otherwise(dec(lit(0)))).cast(DoubleType).as("web_revenue"),
+      sum(when(col("channel") === "mobile_app", dec(col("transaction_amount")))
+        .otherwise(dec(lit(0)))).cast(DoubleType).as("mobile_revenue"),
+      sum(when(col("channel") === "store", dec(col("transaction_amount")))
+        .otherwise(dec(lit(0)))).cast(DoubleType).as("store_revenue"),
+      exactAvg(col("engagement_score")).as("avg_engagement_score"),
+      exactAvg(col("time_on_site_seconds")).as("avg_time_on_site"),
+      count_if(col("customer_journey_stage") === "conversion").as("daily_conversions"),
+      count_if(col("loyalty_member") === true).as("loyalty_member_interactions"),
+      sum(col("points_earned")).as("total_points_earned"),
+      sum(col("points_redeemed")).as("total_points_redeemed"),
+      exactAvg(col("satisfaction_score")).as("avg_satisfaction_score"),
+      count_if(col("churn_risk_indicator") === "high_risk").as("high_churn_risk_customers"),
+      decSum(col("lifetime_value_estimate")).as("total_estimated_ltv"))
+    silver.groupBy(col("interaction_date")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** 100 TB-scale variant: HLL sketches instead of exact distinct Expand.
     *
     * rsd defaults to Spark's 0.05 (HLL precision p=9, 48 buffer longs per
