@@ -43,28 +43,59 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
 
+    // Single-shot timings cannot detect even a 2x regression under the
+    // machine's background load (round-3 finding: 13 phantom >30% swings
+    // with byte-identical source). Median-of-N absorbs the load spikes;
+    // a GC settle between queries keeps one query's garbage from being
+    // charged to the next.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.size / 2)
+    }
+
     // SPARK_GRAFT_ONLY=name1,name2 restricts the run (focused profiling);
     // SPARK_GRAFT_SKIP_MDP=1 skips the medallion throughput stage.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-        val t = try secs {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        } catch { case _: Throwable => -1.0 }
-        name -> t
+        System.gc()
+        val ts = (1 to iters).map { _ =>
+          try secs {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          } catch { case _: Throwable => -1.0 }
+        }.filter(_ >= 0)
+        name -> (if (ts.isEmpty) -1.0 else median(ts))
       }
 
-    // Medallion ETL throughput (bronze gen -> silver enrich -> gold KPIs).
+    // Medallion ETL throughput (bronze gen -> silver enrich -> gold KPIs):
+    // the full chain runs `iters` times; per-stage medians.
     val cfg = MdpConfig.fromEnv(mdpDir)
     val mdp = if (sys.env.contains("SPARK_GRAFT_SKIP_MDP")) """"medallion_skipped":1"""
     else try {
-      val tBronze = secs(Pipeline.bronze(spark, cfg))
-      val tSilver = secs(Pipeline.silver(spark, cfg))
-      val tGold = secs(Pipeline.gold(spark, cfg))
+      System.gc()
+      val runs = (1 to iters).map { _ =>
+        (secs(Pipeline.bronze(spark, cfg)),
+          secs(Pipeline.silver(spark, cfg)),
+          secs(Pipeline.gold(spark, cfg)))
+      }
+      val tBronze = median(runs.map(_._1))
+      val tSilver = median(runs.map(_._2))
+      val tGold = median(runs.map(_._3))
       val gb = cfg.ingestGb
       val gbpm = gb / (tBronze + tSilver + tGold) * 60
-      f""""medallion_bronze":$tBronze%.3f,"medallion_silver":$tSilver%.3f,"medallion_gold":$tGold%.3f,"medallion_gb":$gb%.3f,"medallion_gbpm":$gbpm%.3f"""
+      // Reference row-shape posture: payloadKb=256 is the production bronze
+      // row (43-silver-build.yaml:92 disables the vectorized reader for it).
+      // One bronze+silver run at the same total GB, 256 KB payload rows.
+      // partitions=8 keeps the partitions*100 row floor from inflating the
+      // tiny local target (32*100 rows of 256KB would be 3.3x the ask).
+      val cfg256 = cfg.copy(baseDir = s"$mdpDir/p256", payloadKb = 256,
+        partitions = 8)
+      val t256 = secs {
+        Pipeline.bronze(spark, cfg256); Pipeline.silver(spark, cfg256)
+      }
+      val gbpm256 = cfg256.ingestGb / t256 * 60
+      f""""medallion_bronze":$tBronze%.3f,"medallion_silver":$tSilver%.3f,"medallion_gold":$tGold%.3f,"medallion_gb":$gb%.3f,"medallion_gbpm":$gbpm%.3f,"medallion_payload256_sec":$t256%.3f,"medallion_payload256_gbpm":$gbpm256%.3f"""
     } catch { case _: Throwable => """"medallion_error":1""" }
     try {
       import scala.reflect.io.Directory

@@ -58,12 +58,32 @@ object Graft {
     * hash work, which Spark's scan-side split sizing cannot see — a small
     * parquet input arrives as one or two partitions and the whole explode
     * would run on as many cores. One narrow shuffle of (id, text) buys
-    * full-cluster parallelism; inputs that already have >= the session's
-    * default parallelism in partitions pass through untouched (the normal
-    * case at scale, where this is a no-op by construction). */
+    * full-cluster parallelism; inputs that already split at least as wide
+    * as the session's default parallelism pass through untouched (the
+    * normal case at scale, where this is a no-op by construction).
+    *
+    * The split estimate uses logical-plan signals only (input file count
+    * and plan-stats bytes over maxPartitionBytes) — it never forces
+    * physical planning, and streaming frames simply repartition. */
   private def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    if (df.isStreaming) df.repartition(target)
+    else {
+      import scala.util.control.NonFatal
+      val files =
+        try df.inputFiles.length.toLong catch { case NonFatal(_) => 0L }
+      val bytes =
+        try df.queryExecution.optimizedPlan.stats.sizeInBytes
+          .min(BigInt(Long.MaxValue)).toLong
+        catch { case NonFatal(_) => 0L }
+      val maxPart = try org.apache.spark.network.util.JavaUtils
+        .byteStringAsBytes(
+          spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+      catch { case NonFatal(_) => 134217728L }
+      val estSplits = math.max(files, bytes / math.max(1L, maxPart))
+      if (estSplits >= target) df else df.repartition(target)
+    }
   }
 
   /** LSH near-duplicate candidate pairs from a signature frame: rows
@@ -108,29 +128,41 @@ object Graft {
       .agg(max(col("n_match")).as("n_match"))
   }
 
-  /** Exact char-n-gram Jaccard for given candidate pairs (id_a, id_b). */
+  /** Exact char-n-gram Jaccard for given candidate pairs (id_a, id_b).
+    *
+    * Join strategy is size-gated: the in-pair shingle-set frame is
+    * broadcast only while the distinct in-pair doc count stays at or under
+    * `broadcastDocLimit` (shingle sets are wide — ~45 KB for a 1 KB doc —
+    * so an unbounded broadcast would blow the 8 GB broadcast cap and the
+    * driver long before it; the round-3 audit's one scale hazard in this
+    * operator). Above the limit both sides resolve through plain shuffled
+    * equi-joins and AQE picks the physical strategy from runtime sizes.
+    * The gate costs one narrow count over the candidate-pair ids. */
   def jaccardVerify(docs: DataFrame, id: Column, text: Column,
-                    pairs: DataFrame, shingle: Int = 5): DataFrame = {
+                    pairs: DataFrame, shingle: Int = 5,
+                    broadcastDocLimit: Long = 10000L): DataFrame = {
     val t = col("__t")
     val set = when(length(t) < shingle, array().cast(ArrayType(StringType)))
       .otherwise(array_distinct(transform(
         sequence(lit(1), length(t) - (shingle - 1)),
         i => t.substr(i, lit(shingle)))))
-    // only build + broadcast shingle sets for docs that occur in a pair;
-    // sort each set once so the per-pair counting is a zero-allocation
-    // native merge (SortedSetOverlap) instead of per-pair hash-set builds
+    // only build shingle sets for docs that occur in a pair; sort each set
+    // once so the per-pair counting is a zero-allocation native merge
+    // (SortedSetOverlap) instead of per-pair hash-set builds
     val inPairs = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()
-    // ONE sets plan joined for both pair sides: the two broadcast builds
-    // are then canonically identical, so ReuseExchange materializes the
-    // (fanned-out) shingle construction once instead of twice
+    // ONE sets plan joined for both pair sides: the two builds are then
+    // canonically identical, so ReuseExchange materializes the (fanned-out)
+    // shingle construction once instead of twice
     val sets = fanOut(docs.select(id.as("id"), text.as("__t")))
       .select(col("id"), sort_array(set).as("sh"))
       .join(inPairs, Seq("id"), "left_semi")
     val p = pairs.select("id_a", "id_b")
-    val withA = p.join(broadcast(sets.as("sa")), col("id_a") === col("sa.id"))
+    val doBroadcast = inPairs.count() <= broadcastDocLimit
+    def side(s: DataFrame): DataFrame = if (doBroadcast) broadcast(s) else s
+    val withA = p.join(side(sets.as("sa")), col("id_a") === col("sa.id"))
       .select(col("id_a"), col("id_b"), col("sa.sh").as("sh_a"))
-    val withB = withA.join(broadcast(sets.as("sb")), col("id_b") === col("sb.id"))
+    val withB = withA.join(side(sets.as("sb")), col("id_b") === col("sb.id"))
       .select(col("id_a"), col("id_b"), col("sh_a"), col("sb.sh").as("sh_b"))
     withB
       .withColumn("__ov",
@@ -188,16 +220,20 @@ object Graft {
       // min label among each vertex's neighbors, folded into its own label
       // with a left join + least (least skips the null of isolated-side
       // misses) — deliberately NOT a self-union, whose constraint rewrite
-      // trips on the shared lineage between the branches
+      // trips on the shared lineage between the branches. The pointer jump
+      // then goes through the PREVIOUS round's materialized labels (label's
+      // label) instead of a stepped self-join, so `stepped` is computed
+      // ONCE per round instead of twice; least() keeps labels monotonically
+      // decreasing, so reach still doubles and the fixpoint proof holds.
       val nbrMin = sym.join(labels, sym("b") === labels("id"))
         .groupBy(sym("a").as("nid")).agg(min(labels("label")).as("nlabel"))
       val stepped = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(labels("id").as("id"),
           least(labels("label"), col("nlabel")).as("label"))
       val jumped = stepped.as("l1")
-        .join(stepped.as("l2"), col("l1.label") === col("l2.id"))
+        .join(labels.as("l0"), col("l1.label") === col("l0.id"))
         .select(col("l1.id").as("id"),
-          least(col("l1.label"), col("l2.label")).as("label"))
+          least(col("l1.label"), col("l0.label")).as("label"))
       labels = jumped.localCheckpoint()
       converged = labelSum(labels).compareTo(before) == 0
     }

@@ -3,6 +3,7 @@ package graft.medallion
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.util.control.NonFatal
 
 /** Lakehouse table-maintenance operators: incremental layer builds,
   * key-based upserts, and small-file compaction. These are the operations
@@ -11,10 +12,14 @@ import org.apache.spark.sql.functions._
   * re-runs full stages; `docs/TUNING.md:50-53` tunes file sizes but ships
   * no compactor).
   *
-  * All three are partition-scoped: they only ever read and rewrite the
-  * partitions that changed, never the whole table — the property that
-  * makes them usable on a 100 TB silver layer where a full rewrite is a
-  * multi-hour job.
+  * Incremental build and upsert are partition-scoped — they only read and
+  * rewrite the partitions that changed. Compaction is by nature a rewrite
+  * of the table's files, done to a temp directory with a two-rename swap
+  * (see [[compact]]).
+  *
+  * All three resolve the SAME physical table the Pipeline build stages
+  * use: the catalog table (`cfg.silverFqn`) when it exists, else the path
+  * fallback — so maintenance output is what gold/validate read next.
   */
 object Maintenance {
 
@@ -35,18 +40,29 @@ object Maintenance {
     * partitions at-or-after the silver watermark (max interaction_date
     * already present), overwriting exactly those partitions. Re-running is
     * idempotent; the watermark day itself is always re-processed so late
-    * rows of the newest day are picked up. Returns the rows written.
+    * rows of the newest day are picked up. Returns the row count of the
+    * overwritten partitions (== rows written, partition-pruned count).
     *
-    * Scale shape: one pushed-down date filter on the bronze scan (no full
-    * re-read), the same narrow enrichment projection as the full build,
-    * and a write that shuffles only the incremental slice. */
+    * Targets the same table as `Pipeline.silver`: when the catalog table
+    * exists the slice goes through `INSERT OVERWRITE` (dynamic partition
+    * mode, catalog partition metadata maintained); when only the path
+    * fallback exists it is overwritten in place; when neither exists this
+    * IS the initial build and routes through `Pipeline.writeTable`.
+    *
+    * Scale shape: one pushed-down timestamp filter on the bronze scan (no
+    * full re-read), the same narrow enrichment projection as the full
+    * build, and a write that shuffles only the incremental slice. */
   def silverIncremental(spark: SparkSession, cfg: MdpConfig): Long = {
     val bronze = spark.read.parquet(cfg.bronzeUri)
     val clock = (to_date(timestamp_seconds(lit(cfg.baseEpochS))),
       timestamp_seconds(lit(cfg.baseEpochS)), lit(cfg.baseEpochS))
-    val target = cfg.silverFallbackUri
-    val existing =
-      try Some(spark.read.parquet(target)) catch { case _: Throwable => None }
+    val catalogExists =
+      try spark.catalog.tableExists(cfg.silverFqn)
+      catch { case NonFatal(_) => false }
+    val existing: Option[DataFrame] =
+      if (catalogExists) Some(spark.table(cfg.silverFqn))
+      else try Some(spark.read.parquet(cfg.silverFallbackUri))
+      catch { case NonFatal(_) => None }
     val watermark = existing.flatMap(df =>
       Option(df.agg(max(col("interaction_date"))).head().getDate(0)))
     // filter the RAW timestamp, not the derived interaction_date: the
@@ -59,14 +75,34 @@ object Maintenance {
       case None => bronze
     }
     val slice = Silver.enrich(sliceIn, clock._1, clock._2, clock._3)
-    val n = withDynamicOverwrite(spark) {
-      val dist = slice.repartition(col("interaction_date"), col("channel"))
-      dist.write.mode(if (existing.isDefined) "overwrite" else "errorifexists")
-        .partitionBy("interaction_date", "channel")
-        .parquet(target)
-      spark.read.parquet(target).count()
+    existing match {
+      case Some(cur) if catalogExists =>
+        // positional insert: align to the table's column order (saveAsTable
+        // moved the partition columns to the end of the schema)
+        val aligned = slice.select(cur.columns.map(col): _*)
+          .repartition(col("interaction_date"), col("channel"))
+        withDynamicOverwrite(spark) {
+          aligned.write.mode("overwrite").insertInto(cfg.silverFqn)
+        }
+      case Some(_) =>
+        withDynamicOverwrite(spark) {
+          slice.repartition(col("interaction_date"), col("channel"))
+            .write.mode("overwrite")
+            .partitionBy("interaction_date", "channel")
+            .parquet(cfg.silverFallbackUri)
+        }
+      case None =>
+        Pipeline.writeTable(spark, slice, cfg, "silver",
+          "customer_interactions_enriched", cfg.silverFallbackUri,
+          Seq("interaction_date", "channel"))
     }
-    n
+    // rows written = rows now present in the partitions this run overwrote;
+    // the date predicate partition-prunes the scan to exactly those.
+    val after = Pipeline.readTable(spark, cfg.silverFqn, cfg.silverFallbackUri)
+    watermark match {
+      case Some(d) => after.where(col("interaction_date") >= lit(d)).count()
+      case None => after.count()
+    }
   }
 
   /** Key-based MERGE/upsert into a date-partitioned parquet table: rows of
@@ -74,6 +110,11 @@ object Maintenance {
     * but only the partitions that `updates` touches are read, merged and
     * rewritten (classic copy-on-write merge). `updates` must carry the
     * table's schema including `partitionCol`.
+    *
+    * The merged slice is staged to a durable temp directory next to the
+    * table before the partitions it was derived from are overwritten —
+    * a failure mid-overwrite can always replay from the staged copy (a
+    * localCheckpoint would die with its executors).
     *
     * Returns the merged row count of the touched partitions. */
   def upsertPartitioned(spark: SparkSession, path: String, updates: DataFrame,
@@ -86,22 +127,33 @@ object Maintenance {
     val keep = affected.join(updates.select(keyCols.map(col): _*),
       keyCols, "left_anti")
     val merged = keep.unionByName(updates.select(current.columns.map(col): _*))
-    val out = merged.repartition(col(partitionCol))
-      .localCheckpoint() // materialize BEFORE overwriting the partitions it reads
+    val stage = path.stripSuffix("/") + "__upsert_stage"
+    merged.repartition(col(partitionCol))
+      .write.mode("overwrite").parquet(stage)
+    val staged = spark.read.parquet(stage)
     withDynamicOverwrite(spark) {
-      out.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+      staged.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
     }
-    out.count()
+    val n = staged.count()
+    val fs = new Path(stage).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(stage), true)
+    n
   }
 
   /** Compact the small files of a (possibly partitioned) parquet table to
-    * ~`targetFileMb` files without changing its data: the table is
-    * rewritten with `maxRecordsPerFile` derived from its own measured
-    * bytes/row, clustered by the partition columns so each output task
-    * writes whole partitions. Returns (filesBefore, filesAfter). */
+    * ~`targetFileMb` files without changing its data: the compacted copy is
+    * written to a temp directory (`<path>__compact_tmp`, clustered by the
+    * partition columns, `maxRecordsPerFile` derived from measured
+    * bytes/row), then swapped in with two renames. The source files are
+    * untouched until the compacted copy is fully written — a kill during
+    * the write leaves the table as it was; only the two renames
+    * (path->bak, tmp->path, metadata-only on a real FS) are a non-atomic
+    * window, after which the backup is deleted. Returns
+    * (filesBefore, filesAfter). */
   def compact(spark: SparkSession, path: String, partitionCols: Seq[String],
               targetFileMb: Int = 128): (Long, Long) = {
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def parquetFiles(p: Path): Seq[Path] = {
       val it = fs.listFiles(p, true)
       val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
@@ -111,7 +163,7 @@ object Maintenance {
       }
       buf.toSeq
     }
-    val before = parquetFiles(new Path(path))
+    val before = parquetFiles(root)
     val totalBytes = before.map(f => fs.getFileStatus(f).getLen).sum
     val df = spark.read.parquet(path)
     val rows = df.count()
@@ -121,12 +173,17 @@ object Maintenance {
       if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*)
       else df.repartition(math.max(1,
         (totalBytes / (targetFileMb.toLong * 1024 * 1024)).toInt + 1))
-    val out = clustered
-      .localCheckpoint() // materialize BEFORE overwriting what it reads
-    out.write.mode("overwrite")
+    val stripped = path.stripSuffix("/")
+    val tmp = new Path(stripped + "__compact_tmp")
+    val bak = new Path(stripped + "__compact_bak")
+    clustered.write.mode("overwrite")
       .option("maxRecordsPerFile", rowsPerFile.toString)
       .partitionBy(partitionCols: _*)
-      .parquet(path)
-    (before.size.toLong, parquetFiles(new Path(path)).size.toLong)
+      .parquet(tmp.toString)
+    fs.delete(bak, true)
+    require(fs.rename(root, bak), s"compact: could not move $root aside")
+    require(fs.rename(tmp, root), s"compact: could not move $tmp into place")
+    fs.delete(bak, true)
+    (before.size.toLong, parquetFiles(root).size.toLong)
   }
 }

@@ -19,10 +19,23 @@ final case class MdpConfig(
     payloadKb: Int,
     silverShufflePartitions: Int,
     seed: Long,
-    baseEpochS: Long) {
-  def bronzeUri: String = s"$baseDir/bronze/customer/interactions/"
+    baseEpochS: Long,
+    /** Catalog the silver/gold tables live in (MDP_ICEBERG_CATALOG, CM:153;
+      * the reference's "ice" Iceberg catalog — locally the session catalog). */
+    catalog: String = "spark_catalog",
+    /** Reference file-sizing override (MDP_ROWS_PER_MB, CM:30): when set,
+      * maxRecordsPerFile = targetFileMb * rowsPerMb (CM:131) instead of the
+      * estimated-row-bytes derivation. */
+    rowsPerMb: Option[Int] = None,
+    /** Bronze location override (MDP_BRONZE_URI, CM:24). */
+    bronzeUriOverride: Option[String] = None) {
+  def bronzeUri: String =
+    bronzeUriOverride.getOrElse(s"$baseDir/bronze/customer/interactions/")
   def silverFallbackUri: String = s"$baseDir/silver/customer_interactions_enriched/"
+  def goldFallbackUri: String = s"$baseDir/gold/customer_executive_dashboard/"
   def smokeUri: String = s"$baseDir/bronze/_smoke/"
+  def silverFqn: String = s"$catalog.silver.customer_interactions_enriched"
+  def goldFqn: String = s"$catalog.gold.customer_executive_dashboard"
 }
 
 object MdpConfig {
@@ -37,7 +50,10 @@ object MdpConfig {
       payloadKb = env("MDP_PAYLOAD_KB", "4").toInt,
       silverShufflePartitions = env("MDP_SILVER_SHUFFLE_PARTITIONS", "32").toInt,
       seed = env("MDP_SEED", "42").toLong,
-      baseEpochS = env("MDP_BASE_EPOCH_S", "1754982000").toLong)
+      baseEpochS = env("MDP_BASE_EPOCH_S", "1754982000").toLong,
+      catalog = env("MDP_ICEBERG_CATALOG", "spark_catalog"),
+      rowsPerMb = sys.env.get("MDP_ROWS_PER_MB").map(_.toInt),
+      bronzeUriOverride = sys.env.get("MDP_BRONZE_URI"))
   }
 }
 
@@ -94,8 +110,12 @@ object Pipeline {
     val t0 = System.nanoTime()
     val df = BronzeGen.generate(spark, rows, cfg.partitions, cfg.payloadKb,
       cfg.seed, cfg.baseEpochS)
-    val rowsPerFile = math.max(1L,
-      cfg.targetFileMb.toLong * 1024 * 1024 / estRowBytes)
+    // MDP_ROWS_PER_MB parity (CM:131): files_mb * rows_per_mb when set,
+    // else derive rows/file from the estimated row size.
+    val rowsPerFile = cfg.rowsPerMb match {
+      case Some(rpm) => math.max(1L, cfg.targetFileMb.toLong * rpm)
+      case None => math.max(1L, cfg.targetFileMb.toLong * 1024 * 1024 / estRowBytes)
+    }
     df.write.mode("overwrite")
       .option("compression", cfg.compression)
       .option("parquet.block.size", (cfg.targetFileMb.toLong * 1024 * 1024).toString)
@@ -114,10 +134,11 @@ object Pipeline {
     * (the API the reference drives against Iceberg — works when a lakehouse
     * catalog is configured), then V1 saveAsTable (session catalog, local),
     * then the reference's partitioned-parquet path fallback (CM:326-340). */
-  private def writeTable(spark: SparkSession, df: DataFrame, db: String,
+  private[medallion] def writeTable(spark: SparkSession, df: DataFrame,
+                         cfg: MdpConfig, db: String,
                          table: String, fallbackUri: String,
                          partitionCols: Seq[String]): String = {
-    val fqn = s"spark_catalog.$db.$table"
+    val fqn = s"${cfg.catalog}.$db.$table"
     // Hash-distribute rows by partition columns before the write (the
     // Iceberg write.distribution-mode=hash posture, docs/TUNING.md:50-53):
     // one shuffle, then each task writes whole partitions — without it every
@@ -125,7 +146,7 @@ object Pipeline {
     val dist =
       if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*) else df
     try {
-      spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS ${cfg.catalog}.$db")
       try {
         val writer = dist.writeTo(fqn).using("parquet")
         val partitioned =
@@ -137,10 +158,15 @@ object Pipeline {
       } catch {
         case NonFatal(_) =>
           // Session catalog has no atomic RTAS; V1 overwrite saveAsTable is
-          // the non-atomic equivalent.
+          // the non-atomic equivalent. Pin the table location to the
+          // fallback URI (external table): the catalog table and the path
+          // fallback are then the SAME files, so catalog readers, path
+          // readers and maintenance jobs can never diverge.
           dist.write.mode("overwrite").format("parquet")
+            .option("path", fallbackUri)
             .partitionBy(partitionCols: _*).saveAsTable(fqn)
-          log(s"Wrote catalog table $fqn (saveAsTable) partitioned by ${partitionCols.mkString(",")}")
+          log(s"Wrote catalog table $fqn (saveAsTable at $fallbackUri) " +
+            s"partitioned by ${partitionCols.mkString(",")}")
       }
       fqn
     } catch {
@@ -152,16 +178,31 @@ object Pipeline {
   }
 
   /** Read a layer back: catalog table if present, else its path fallback. */
-  private def readTable(spark: SparkSession, fqn: String, fallbackUri: String): DataFrame =
+  private[medallion] def readTable(spark: SparkSession, fqn: String,
+                                   fallbackUri: String): DataFrame =
     try spark.table(fqn)
     catch { case NonFatal(_) => spark.read.parquet(fallbackUri) }
+
+  /** The physical location of a catalog table, when it exists (DESCRIBE
+    * FORMATTED row "Location"); lets maintenance operate on the same files
+    * the build stages wrote, whichever write path succeeded. */
+  private[medallion] def tableLocation(spark: SparkSession, fqn: String): Option[String] =
+    try spark.sql(s"DESCRIBE FORMATTED $fqn")
+      .where(col("col_name") === "Location")
+      .collect().headOption.map(_.getString(1))
+    catch { case NonFatal(_) => None }
 
   /** Silver: read bronze, enrich, write partitioned catalog table. */
   def silver(spark: SparkSession, cfg: MdpConfig): Long = {
     spark.conf.set("spark.sql.shuffle.partitions", cfg.silverShufflePartitions)
     // Reference mitigation for 256KB payload rows (43-silver-build.yaml:92-94):
-    // columnar batches of wide strings blow up memory; shrink batch size.
-    if (cfg.payloadKb >= 64)
+    // columnar batches of wide strings blow up memory — the reference turns
+    // the vectorized reader OFF and shrinks the batch; mirror both, and
+    // re-enable explicitly for small payloads so a prior large-payload run
+    // on the same session can't leak the disabled reader.
+    val widePayload = cfg.payloadKb >= 64
+    spark.conf.set("spark.sql.parquet.enableVectorizedReader", (!widePayload).toString)
+    if (widePayload)
       spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "1024")
     val bronzeDf = spark.read.parquet(cfg.bronzeUri)
     val bronzeCount = bronzeDf.count()
@@ -171,7 +212,8 @@ object Pipeline {
       clockDate = to_date(timestamp_seconds(lit(cfg.baseEpochS))),
       clockTs = timestamp_seconds(lit(cfg.baseEpochS)),
       clockEpochS = lit(cfg.baseEpochS))
-    val loc = writeTable(spark, silverDf, "silver", "customer_interactions_enriched",
+    val loc = writeTable(spark, silverDf, cfg, "silver",
+      "customer_interactions_enriched",
       cfg.silverFallbackUri, Seq("interaction_date", "channel"))
     val n = readTable(spark, loc, cfg.silverFallbackUri).count()
     log(s"Rows: $n")
@@ -180,16 +222,14 @@ object Pipeline {
 
   /** Gold: KPI aggregate from the silver table. */
   def gold(spark: SparkSession, cfg: MdpConfig): Long = {
-    val silverDf = readTable(spark, "silver.customer_interactions_enriched",
-      cfg.silverFallbackUri)
+    val silverDf = readTable(spark, cfg.silverFqn, cfg.silverFallbackUri)
     val silverCount = silverDf.count()
     log(s"Silver table contains $silverCount enriched interactions")
     require(silverCount > 0, "Silver table is empty - run silver first")
     val kpis = Gold.kpis(silverDf)
-    val goldUri = s"${cfg.baseDir}/gold/customer_executive_dashboard/"
-    val loc = writeTable(spark, kpis, "gold", "customer_executive_dashboard",
-      goldUri, Seq("interaction_date"))
-    val n = readTable(spark, loc, goldUri).count()
+    val loc = writeTable(spark, kpis, cfg, "gold", "customer_executive_dashboard",
+      cfg.goldFallbackUri, Seq("interaction_date"))
+    val n = readTable(spark, loc, cfg.goldFallbackUri).count()
     log(s"Rows: $n")
     n
   }
@@ -198,15 +238,47 @@ object Pipeline {
     * the *correct* table names (the script checks stale iot_* names —
     * SURVEY §1.4-2). */
   def validate(spark: SparkSession, cfg: MdpConfig): Boolean = {
-    readTable(spark, "silver.customer_interactions_enriched", cfg.silverFallbackUri)
+    readTable(spark, cfg.silverFqn, cfg.silverFallbackUri)
       .createOrReplaceTempView("v_silver")
-    readTable(spark, "gold.customer_executive_dashboard",
-      s"${cfg.baseDir}/gold/customer_executive_dashboard/")
+    readTable(spark, cfg.goldFqn, cfg.goldFallbackUri)
       .createOrReplaceTempView("v_gold")
     val silverN = spark.sql("SELECT COUNT(*) AS n FROM v_silver").head().getLong(0)
     val goldN = spark.sql("SELECT COUNT(*) AS n FROM v_gold").head().getLong(0)
     log(s"Validation: silver=$silverN gold=$goldN")
-    silverN > 0 && goldN > 0
+    silverN > 0 && goldN > 0 && validateExternal(spark, cfg)
+  }
+
+  /** Second-engine read validation — the reference's Trino role
+    * (scripts/run_pipeline.py:238-277 runs COUNT(*)/LIMIT 1 through Trino
+    * over the tables Spark wrote; cross-engine READABILITY is its
+    * acceptance test). Locally the second engine is DuckDB, driven by the
+    * orchestration-level helper script exactly like the reference drives
+    * Trino from its Python orchestrator. Skips (with a log line) when no
+    * python3+duckdb is on the host; fails validation when DuckDB cannot
+    * read what Spark wrote. */
+  private def validateExternal(spark: SparkSession, cfg: MdpConfig): Boolean = {
+    val script = Seq("tools/validate_external.py",
+      "/root/repo/tools/validate_external.py")
+      .find(new java.io.File(_).exists()).getOrElse {
+        log("External validation skipped: validate_external.py not found")
+        return true
+      }
+    val silverLoc = tableLocation(spark, cfg.silverFqn)
+      .getOrElse(cfg.silverFallbackUri)
+    val goldLoc = tableLocation(spark, cfg.goldFqn).getOrElse(cfg.goldFallbackUri)
+    try {
+      val p = new ProcessBuilder("python3", script, silverLoc, goldLoc)
+        .redirectErrorStream(true).start()
+      val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
+      val code = p.waitFor()
+      out.linesIterator.foreach(l => log(s"[external] $l"))
+      if (code == 127 || out.contains("EXTERNAL_SKIP")) {
+        log("External validation skipped: duckdb unavailable"); true
+      } else code == 0
+    } catch {
+      case NonFatal(e) =>
+        log(s"External validation skipped: ${e.getMessage}"); true
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -230,9 +302,15 @@ object Pipeline {
           Maintenance.silverIncremental(spark, cfg))
         log(s"Rows: $n")
       case "compact-silver" =>
+        // Compact the files of the silver table wherever the build stage
+        // actually put them (catalog table location when present, else the
+        // path fallback), then refresh the catalog's file listing.
+        val loc = tableLocation(spark, cfg.silverFqn)
+          .getOrElse(cfg.silverFallbackUri)
         val (b, a) = timed("compact-silver")(Maintenance.compact(
-          spark, cfg.silverFallbackUri, Seq("interaction_date", "channel"),
-          cfg.targetFileMb))
+          spark, loc, Seq("interaction_date", "channel"), cfg.targetFileMb))
+        try spark.sql(s"REFRESH TABLE ${cfg.silverFqn}")
+        catch { case NonFatal(_) => () }
         log(s"Compaction: $b files -> $a files")
       case "gold" => timed("gold")(gold(spark, cfg))
       case "validate" => require(timed("validate")(validate(spark, cfg)), "validate failed")

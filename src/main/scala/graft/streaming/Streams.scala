@@ -101,37 +101,49 @@ object Streams {
     * the batch sessionization, which is what the oracle computes). */
   def st03StatefulSessions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val gapS = 1800L
     val events = eventsStream(s, dir)
       .select($"user_id", $"event_id", unix_timestamp($"ts").as("epochS"))
       .as[SessEvent]
+    // Update mode appends one summary per user per batch to the memory
+    // sink; the counts are cumulative, so the latest (= max) row per user
+    // is the answer regardless of how many batches the source produced.
+    runToCompletion(statefulSessions(events), "update")
+      .groupBy($"user_id")
+      .agg(max($"n_sessions").as("n_sessions"), max($"n_events").as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  /** Gap-based stateful sessionization over any (streaming) event dataset —
+    * the custom-state core of st03, exposed so the multi-batch continuity
+    * spec can drive it over a forced multi-micro-batch source. Per user and
+    * batch it emits the cumulative (n_sessions, n_events); the carried
+    * state (last event time) lets a session span micro-batches. Assumes
+    * event time is non-decreasing across batches per user (file-ordered
+    * replay), the same contract a bronze landing prefix gives. */
+  def statefulSessions(events: org.apache.spark.sql.Dataset[SessEvent],
+                       gapS: Long = 1800L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
 
     def update(userId: Long, it: Iterator[SessEvent],
                state: GroupState[SessState]): Iterator[SessSummary] = {
       val sorted = it.toSeq.sortBy(e => (e.epochS, e.event_id))
       val prev = state.getOption.getOrElse(SessState(userId, 0L, 0L, Long.MinValue))
       var sessions = prev.n_sessions
-      var events = prev.n_events
+      var nEvents = prev.n_events
       var lastTs = prev.lastTs // carried across batches: a session may span them
       sorted.foreach { e =>
         if (lastTs == Long.MinValue || e.epochS - lastTs > gapS) sessions += 1
         lastTs = e.epochS
-        events += 1
+        nEvents += 1
       }
-      state.update(SessState(userId, sessions, events, lastTs))
-      Iterator.single(SessSummary(userId, sessions, events))
+      state.update(SessState(userId, sessions, nEvents, lastTs))
+      Iterator.single(SessSummary(userId, sessions, nEvents))
     }
 
-    val sessions = events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
-    // Update mode appends one summary per user per batch to the memory
-    // sink; the counts are cumulative, so the latest (= max) row per user
-    // is the answer regardless of how many batches the source produced.
-    runToCompletion(sessions.toDF(), "update")
-      .groupBy($"user_id")
-      .agg(max($"n_sessions").as("n_sessions"), max($"n_events").as("n_events"))
-      .orderBy($"user_id")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update _)
+      .toDF()
   }
 
   /** st04: stream-stream inner join — each purchase joined to the same

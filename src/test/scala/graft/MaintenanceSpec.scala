@@ -48,13 +48,50 @@ class MaintenanceSpec extends AnyFunSuite {
       to_date(timestamp_seconds(lit(Epoch))),
       timestamp_seconds(lit(Epoch)), lit(Epoch))
     val got = spark.read.parquet(cfg.silverFallbackUri)
-    assert(n2 == expected.count(), s"incremental=$n2 full=${expected.count()}")
+    // n2 is the rows WRITTEN (the incremental slice), strictly less than
+    // the full table; the table itself must equal the full rebuild.
+    assert(n2 > 0 && n2 < expected.count(), s"slice=$n2 full=${expected.count()}")
+    assert(got.count() == expected.count(),
+      s"table=${got.count()} full=${expected.count()}")
     // exact equivalence: same (id -> fingerprint) multiset
     val fp = concat_ws("|", $"id", $"email_clean", $"customer_value_tier",
       $"interaction_date".cast("string"), $"channel")
     val gotSet = got.select(fp).as[String].collect().sorted
     val expSet = expected.select(fp).as[String].collect().sorted
     assert(gotSet.sameElements(expSet))
+    all.unpersist()
+  }
+
+  test("gold reflects silver-incremental rows through the shared silver table") {
+    import spark.implicits._
+    val base = tmpDir("chain")
+    val cfg = MdpConfig.fromEnv(base).copy(
+      ingestGb = 0.001, payloadKb = 1, partitions = 4)
+    val all = BronzeGen.generate(spark, 2000, 4, cfg.payloadKb, cfg.seed, Epoch)
+      .cache()
+    val cut = to_date(timestamp_seconds(lit(Epoch))) - expr("INTERVAL 15 DAYS")
+    all.where(to_date($"event_timestamp") < cut)
+      .write.parquet(cfg.bronzeUri)
+    Pipeline.silver(spark, cfg) // full build: catalog table (or path fallback)
+    val goldDates1 = { Pipeline.gold(spark, cfg); spark
+      .table(cfg.goldFqn).select(countDistinct($"interaction_date"))
+      .head().getLong(0) }
+
+    // new bronze days arrive; ONLY the incremental path runs before gold —
+    // the round-3 latent bug was incremental rows landing in a location
+    // gold never read (silently stale KPIs)
+    all.write.mode("overwrite").parquet(cfg.bronzeUri)
+    Maintenance.silverIncremental(spark, cfg)
+    Pipeline.gold(spark, cfg)
+    val goldDates2 = spark.table(cfg.goldFqn)
+      .select(countDistinct($"interaction_date")).head().getLong(0)
+    val expectedDates = Silver.enrich(all,
+      to_date(timestamp_seconds(lit(Epoch))),
+      timestamp_seconds(lit(Epoch)), lit(Epoch))
+      .select(countDistinct($"interaction_date")).head().getLong(0)
+    assert(goldDates2 == expectedDates,
+      s"gold sees $goldDates2 dates, full silver has $expectedDates")
+    assert(goldDates2 > goldDates1)
     all.unpersist()
   }
 

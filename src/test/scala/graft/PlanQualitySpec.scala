@@ -73,6 +73,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.split("HashAggregate").length - 1 >= 2, plan)
   }
 
+  test("jaccard verify flips to shuffled equi-joins past the broadcast gate") {
+    // above broadcastDocLimit the shingle-set sides must NOT carry broadcast
+    // hints (an unbounded broadcast is the operator's one 100 TB hazard);
+    // AQE auto-conversion is disabled so the assertion sees the gate's own
+    // choice, not a runtime size rescue
+    val docs = Tables.load(spark, dir, "documents")
+    import spark.implicits._
+    val sigs = graft.api.Graft.minhashSignatures(docs, $"doc_id", $"text")
+    val pairs = graft.api.Graft.nearDupPairs(sigs, minAgreement = 4)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val gated = graft.api.Graft.jaccardVerify(docs, $"doc_id", $"text",
+        pairs, broadcastDocLimit = 0L)
+      gated.collect()
+      val gPlan = gated.queryExecution.executedPlan.toString
+      assert(!gPlan.contains("BroadcastHashJoin"), gPlan)
+      val hinted = graft.api.Graft.jaccardVerify(docs, $"doc_id", $"text", pairs)
+      hinted.collect()
+      val hPlan = hinted.queryExecution.executedPlan.toString
+      assert(hPlan.contains("BroadcastHashJoin"), hPlan)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("jaccard verify reuses one exchange for both broadcast pair sides") {
     // exchange reuse is decided during adaptive execution, so execute THIS
     // DataFrame's own QueryExecution (collect — a noop write would build a
