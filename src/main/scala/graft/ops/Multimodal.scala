@@ -79,8 +79,15 @@ object Multimodal {
   /** mm02: the decode stage — typed mapPartitions over binary rows (the
     * batch shape a vectorized decoder needs: one partition = one batch,
     * codecs initialized once per partition), then a per-source aggregate
-    * over the decoded feature vectors. Not SQL-expressible -> rows-only
-    * correctness check; semantics are pinned by MultimodalSpec. */
+    * over the decoded feature vectors.
+    *
+    * Oracle-checked even though the decode runs in JVM code: the stub's
+    * float fold is IEEE-deterministic and DuckDB's REAL arithmetic
+    * reproduces it bit-for-bit (verified), so the oracle re-derives the
+    * 16 feature dims with nested REAL casts, the norm with the same
+    * left-fold dot product, and the per-source sum through the exact
+    * DECIMAL(18,6) discipline. A real codec would drop mm02 back to a
+    * rows-only check (its output is not SQL-reproducible). */
   def mm02DecodeFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val rows: Dataset[MediaRow] = media(s, dir)
@@ -96,9 +103,36 @@ object Multimodal {
       .select($"media_id", $"source", featNorm.as("feature_norm"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_media"),
-        sum($"feature_norm").as("total_norm"),
+        sum($"feature_norm".cast(DecimalType(18, 6))).cast(DoubleType)
+          .as("total_norm"),
         max($"feature_norm").as("max_norm"))
       .orderBy($"source")
+  }
+
+  /** DuckDB re-derivation of [[mm02DecodeFeatures]] including the decode
+    * stub: byte i of the payload is hex pair (2i+1, 2); feature dim j folds
+    * bytes j, j+16, ..., j+80 as REAL acc = acc + byte/255 (nested casts =
+    * JVM float semantics); the norm is sqrt of the left-fold dot product in
+    * DOUBLE — all bit-identical to the Spark side. */
+  private def mm02Sql: String = {
+    val bytesPerPayload = 96 // 3 sha256 blocks
+    val dim = 16
+    def byteAt(i: Int) = s"CAST(concat('0x', substring(hx, ${2 * i + 1}, 2)) AS INTEGER)"
+    def feat(j: Int) =
+      (0 until bytesPerPayload / dim).foldLeft("CAST(0 AS REAL)") { (acc, k) =>
+        s"CAST($acc + CAST(${byteAt(j + dim * k)} AS REAL)/CAST(255 AS REAL) AS REAL)"
+      }
+    val dims = (0 until dim).map(j => s"CAST(${feat(j)} AS DOUBLE)")
+    val dot = dims.map(d => s"($d)*($d)").mkString(" + ")
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id, source,
+       |   sha256(text) || sha256(text || '2') || sha256(text || '3') AS hx
+       |  FROM documents),
+       |n AS (SELECT media_id, source, sqrt($dot) AS feature_norm FROM m)
+       |SELECT source, count(*) AS n_media,
+       |  CAST(SUM(CAST(feature_norm AS DECIMAL(18,6))) AS DOUBLE) AS total_norm,
+       |  max(feature_norm) AS max_norm
+       |FROM n GROUP BY source ORDER BY source""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -121,5 +155,6 @@ object Multimodal {
         | substring(hx, 1, 8) AS magic,
         | substring(hx, 65, 16) AS frame_1,
         | substring(hx, 129, 16) AS frame_2
-        |FROM m ORDER BY media_id""".stripMargin)
+        |FROM m ORDER BY media_id""".stripMargin,
+    "mm02_decode_features" -> mm02Sql)
 }
