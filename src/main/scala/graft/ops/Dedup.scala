@@ -130,19 +130,48 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** d07: the dedup pipeline END TO END — the composition a training-data
+    * pipeline actually runs: (1) exact dedup keeps the least doc_id per
+    * content hash; (2) MinHash/LSH candidates over the survivors;
+    * (3) exact n-gram Jaccard verification (>= 0.5) turns candidates into
+    * edges; (4) connected components make transitive keep/drop decisions
+    * (each cluster keeps its least doc_id). Output: the retained corpus.
+    * Every stage is the oracle-verified operator from d01/d02/d03/d06;
+    * this query pins their composition. */
+  def d07DedupPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val exactKeepers = docs.groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("doc_id"))
+    val uniq = docs.join(exactKeepers.select($"doc_id"), Seq("doc_id"), "left_semi")
+    val sigs = graft.api.Graft.minhashSignatures(uniq, $"doc_id", $"text")
+    val pairs = graft.api.Graft.nearDupPairs(sigs, minAgreement = JaccardBandThreshold)
+      .cache()
+    val edges = graft.api.Graft.jaccardVerify(uniq, $"doc_id", $"text", pairs)
+      .where($"jaccard" >= 0.5)
+    val drop = graft.api.Graft.connectedComponents(edges, $"id_a", $"id_b")
+      .where($"id" =!= $"component").select($"id".as("doc_id"))
+    uniq.join(drop, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> d01Exact,
     "d02_minhash_lsh" -> d02MinhashLsh,
     "d03_ngram_jaccard" -> d03NgramJaccard,
     "d04_simhash" -> d04Simhash,
     "d05_embedding_pairs" -> d05EmbeddingPairs,
-    "d06_dup_groups" -> d06DupGroups)
+    "d06_dup_groups" -> d06DupGroups,
+    "d07_dedup_pipeline" -> d07DedupPipeline)
 
-  private val sigsSql =
+  /** The minhash->banding->agreement CTE chain over relation `from`
+    * (shared by the d02/d03/d06/d07 oracles). */
+  private def sigsSql(from: String = "documents") =
     s"""sh AS (
        |  SELECT doc_id, substr(text, i, 5) AS s
        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text)-4)) AS i
-       |        FROM documents)),
+       |        FROM $from)),
        |h0t AS (
        |  SELECT doc_id,
        |   CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % $P AS h0
@@ -177,10 +206,10 @@ object Dedup {
         | count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keeper_doc_id""".stripMargin,
     "d02_minhash_lsh" ->
-      s"""WITH $sigsSql
+      s"""WITH ${sigsSql()}
          |SELECT doc_a, doc_b, n_match FROM agreed ORDER BY doc_a, doc_b""".stripMargin,
     "d03_ngram_jaccard" ->
-      s"""WITH $sigsSql,
+      s"""WITH ${sigsSql()},
          |sets AS (
          |  SELECT doc_id, list_distinct(list_transform(
          |    generate_series(1, length(text)-4), i -> substr(text, i, 5))) AS sh
@@ -211,7 +240,7 @@ object Dedup {
           .mkString(" + ")} AS BIGINT) AS simhash
          |FROM bits ORDER BY doc_id""".stripMargin,
     "d06_dup_groups" ->
-      s"""WITH RECURSIVE $sigsSql,
+      s"""WITH RECURSIVE ${sigsSql()},
          |verts AS (SELECT doc_a AS id FROM agreed UNION SELECT doc_b FROM agreed),
          |edges2 AS (SELECT doc_a AS a, doc_b AS b FROM agreed
          |           UNION SELECT doc_b, doc_a FROM agreed),
@@ -223,6 +252,34 @@ object Dedup {
          |SELECT doc_id, dup_group,
          | CAST(count(*) OVER (PARTITION BY dup_group) AS BIGINT) AS group_size
          |FROM cc ORDER BY doc_id""".stripMargin,
+    "d07_dedup_pipeline" ->
+      s"""WITH RECURSIVE uniq AS (
+         |  SELECT d.* FROM documents d
+         |  JOIN (SELECT md5(text) AS h, min(doc_id) AS k
+         |        FROM documents GROUP BY 1) e ON d.doc_id = e.k),
+         |${sigsSql("uniq")},
+         |sets AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, length(text)-4), i -> substr(text, i, 5))) AS sh
+         |  FROM uniq),
+         |edges AS (
+         |  SELECT doc_a, doc_b FROM agreed
+         |  JOIN sets sa ON agreed.doc_a = sa.doc_id
+         |  JOIN sets sb ON agreed.doc_b = sb.doc_id
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |     / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5),
+         |verts AS (SELECT doc_a AS id FROM edges UNION SELECT doc_b FROM edges),
+         |edges2 AS (SELECT doc_a AS a, doc_b AS b FROM edges
+         |           UNION SELECT doc_b, doc_a FROM edges),
+         |reach(a, b) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN edges2 e2 ON r.b = e2.a),
+         |cc AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a),
+         |dropids AS (SELECT id FROM cc WHERE comp <> id)
+         |SELECT doc_id, lang, source, n_chars FROM uniq
+         |WHERE doc_id NOT IN (SELECT id FROM dropids)
+         |ORDER BY doc_id""".stripMargin,
     "d05_embedding_pairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),

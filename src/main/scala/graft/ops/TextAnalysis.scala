@@ -90,11 +90,35 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** A BPE-style pre-tokenizer pattern (the GPT-2 family shape, minus the
+    * lookahead RE2 lacks): a token is an optionally-space-prefixed letter
+    * run, digit run, or punctuation run. Alternation + character classes
+    * only — identical semantics in Java regex and RE2. */
+  private val BpeRx = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  /** t05: BPE-ish regex token counting — the pre-tokenization pass of a
+    * subword tokenizer, as a codegen'd narrow projection (the whitespace
+    * variant is t01). Counts, distinct counts, and the longest
+    * pre-token per document. */
+  def t05BpeTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = regexp_extract_all($"text", lit(BpeRx), lit(0))
+    Tables.load(s, dir, "documents")
+      .select(
+        $"doc_id",
+        size(toks).cast(LongType).as("n_bpe_tokens"),
+        size(array_distinct(toks)).cast(LongType).as("n_distinct_bpe"),
+        array_max(transform(toks, t => length(t))).cast(LongType)
+          .as("longest_bpe"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> t01TextStats,
     "t02_lang_id" -> t02LangId,
     "t03_fingerprint" -> t03Fingerprint,
-    "t04_top_tokens" -> t04TopTokens)
+    "t04_top_tokens" -> t04TopTokens,
+    "t05_bpe_tokens" -> t05BpeTokens)
 
   val oracles: Map[String, String] = Map(
     "t01_text_stats" ->
@@ -135,5 +159,13 @@ object TextAnalysis {
     "t04_top_tokens" ->
       """SELECT token, count(*) AS cnt FROM (
         | SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents)
-        |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin)
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+    "t05_bpe_tokens" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  regexp_extract_all(text, '$BpeRx') AS t FROM documents)
+         |SELECT doc_id,
+         | len(t) AS n_bpe_tokens,
+         | len(list_distinct(t)) AS n_distinct_bpe,
+         | CAST(list_max(list_transform(t, x -> length(x))) AS BIGINT) AS longest_bpe
+         |FROM d ORDER BY doc_id""".stripMargin)
 }
