@@ -1,6 +1,6 @@
 package graft.api
 
-import graft.functions.{CharNGrams, TopKAggregator, VectorFunctions}
+import graft.functions.{TopKAggregator, VectorFunctions}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -36,21 +36,30 @@ object Graft {
 
   /** MinHash signatures over character `n`-gram shingles: one row per input
     * row: (id, h1..hNumHashes). Universal hashing over an md5-derived base,
-    * engine-portable and deterministic. */
+    * engine-portable and deterministic.
+    *
+    * Computed by the fused [[graft.functions.MinHashSig]] expression — all
+    * minima in one pass per document, a pure narrow projection. The
+    * composable CharNGrams-explode -> md5 -> groupBy(min x N) formulation
+    * this replaces amplified every document into hundreds of rows through
+    * a hash aggregate; values are identical (MinHashSigSpec proves
+    * equivalence, and the dedup oracles are unchanged). Documents shorter
+    * than `shingle` have no shingles and produce no signature row (same
+    * semantics as the explode formulation). */
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
                         numHashes: Int = 8, shingle: Int = 5,
                         seed: Long = 777L): DataFrame = {
-    val P = MinhashP
-    val params = minhashParams(numHashes, seed)
-    val base = graft.functions.Md5Int60.md5Int60(col("s")) % P
-    val perms = params.zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * col("h0") + lit(b)) % P).as(s"h${i + 1}")
-    }
+    val params = minhashParams(numHashes, seed).toSeq
+    val sig = graft.functions.MinHashSig.minhashSig(
+      col("__t"), shingle, params, MinhashP)
+    // short-doc filter on length, NOT on sig.isNotNull: a null-check on the
+    // signature gets pushed below the projection and re-evaluates the whole
+    // minhash per row (2x the md5 work — observed in the executed plan)
     fanOut(df.select(id.as("id"), text.as("__t")))
-      .select(col("id"), CharNGrams.charNGrams(col("__t"), shingle))
-      .select(col("id"), base.as("h0"))
-      .groupBy(col("id"))
-      .agg(perms.head, perms.tail: _*)
+      .where(length(col("__t")) >= shingle)
+      .select(col("id"), sig.as("__mh"))
+      .select(col("id") +:
+        (0 until numHashes).map(i => col("__mh")(i).as(s"h${i + 1}")): _*)
   }
 
   /** Re-split the input ahead of a high-fan-out stage (shingling, token
