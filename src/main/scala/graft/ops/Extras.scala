@@ -109,6 +109,19 @@ object Extras {
       .orderBy($"event_id")
   }
 
+  /** q48: ordered string aggregation — listagg / string_agg with an
+    * explicit WITHIN GROUP ordering (the deterministic form; an unordered
+    * listagg is partition-order-dependent and un-oracle-able). */
+  def q48StringAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "supplier")
+      .groupBy($"s_nationkey")
+      .agg(
+        expr("listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name)").as("names"),
+        count(lit(1)).as("n_suppliers"))
+      .orderBy($"s_nationkey")
+  }
+
   /** q47: bitwise function family over integer keys. */
   def q47Bitwise(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -130,9 +143,15 @@ object Extras {
     "q44_hash_sample" -> q44HashSample,
     "q45_variant_json" -> q45Variant,
     "q46_try_funcs" -> q46TryFuncs,
-    "q47_bitwise" -> q47Bitwise)
+    "q47_bitwise" -> q47Bitwise,
+    "q48_string_agg" -> q48StringAgg)
 
   val oracles: Map[String, String] = Map(
+    "q48_string_agg" ->
+      """SELECT s_nationkey,
+        | string_agg(s_name, ',' ORDER BY s_name) AS names,
+        | count(*) AS n_suppliers
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q42_cube" ->
       """SELECT r_name, n_name,
         | CAST(grouping(r_name, n_name) AS BIGINT) AS gid,
