@@ -92,8 +92,11 @@ object Bench {
       // One bronze+silver run at the same total GB, 256 KB payload rows.
       // partitions=8 keeps the partitions*100 row floor from inflating the
       // tiny local target (32*100 rows of 256KB would be 3.3x the ask).
+      // bronzeUriOverride must NOT be inherited: with MDP_BRONZE_URI set,
+      // the copy would overwrite the user's external bronze location with
+      // 256KB benchmark rows.
       val cfg256 = cfg.copy(baseDir = s"$mdpDir/p256", payloadKb = 256,
-        partitions = 8)
+        partitions = 8, bronzeUriOverride = None)
       val t256 = secs {
         Pipeline.bronze(spark, cfg256); Pipeline.silver(spark, cfg256)
       }

@@ -55,11 +55,18 @@ object Graft {
     // short-doc filter on length, NOT on sig.isNotNull: a null-check on the
     // signature gets pushed below the projection and re-evaluates the whole
     // minhash per row (2x the md5 work — observed in the executed plan)
-    fanOut(df.select(id.as("id"), text.as("__t")))
+    val perRow = fanOut(df.select(id.as("id"), text.as("__t")))
       .where(length(col("__t")) >= shingle)
       .select(col("id"), sig.as("__mh"))
       .select(col("id") +:
         (0 until numHashes).map(i => col("__mh")(i).as(s"h${i + 1}")): _*)
+    // merge rows sharing an id (signature of the UNION of their shingles —
+    // the documented contract for non-unique ids). The aggregate's input is
+    // one narrow row per document (not the old 500x shingle amplification),
+    // so this exchange is negligible; unique-id inputs pass through with
+    // identical values.
+    val mins = (1 to numHashes).map(i => min(col(s"h$i")).as(s"h$i"))
+    perRow.groupBy(col("id")).agg(mins.head, mins.tail: _*)
   }
 
   /** Re-split the input ahead of a high-fan-out stage (shingling, token
@@ -82,14 +89,22 @@ object Graft {
       import scala.util.control.NonFatal
       val files =
         try df.inputFiles.length.toLong catch { case NonFatal(_) => 0L }
-      val bytes =
-        try df.queryExecution.optimizedPlan.stats.sizeInBytes
+      // Plans without real statistics report defaultSizeInBytes =
+      // Long.MaxValue (e.g. LogicalRDD) — treat anything absurdly past a
+      // petabyte as "unknown", not "huge", else an unknown-size 1-partition
+      // input would silently skip the repartition it needs most.
+      val bytes = try {
+        val b = df.queryExecution.optimizedPlan.stats.sizeInBytes
           .min(BigInt(Long.MaxValue)).toLong
-        catch { case NonFatal(_) => 0L }
+        if (b >= (1L << 52)) 0L else b
+      } catch { case NonFatal(_) => 0L }
       val maxPart = try org.apache.spark.network.util.JavaUtils
         .byteStringAsBytes(
           spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
       catch { case NonFatal(_) => 134217728L }
+      // Over-estimate caveat: a coalesce(1)/limit over a many-file input
+      // still reports all leaf files and skips the repartition — the
+      // cheap-signal tradeoff of never forcing physical planning here.
       val estSplits = math.max(files, bytes / math.max(1L, maxPart))
       if (estSplits >= target) df else df.repartition(target)
     }
@@ -146,10 +161,20 @@ object Graft {
     * driver long before it; the round-3 audit's one scale hazard in this
     * operator). Above the limit both sides resolve through plain shuffled
     * equi-joins and AQE picks the physical strategy from runtime sizes.
-    * The gate costs one narrow count over the candidate-pair ids. */
+    *
+    * The gate is an EAGER count of the distinct in-pair ids (a shuffle over
+    * the pair stream) at call time — `pairs` must be a batch frame. To keep
+    * that count from executing the caller's candidate-generation plan
+    * twice, an unpersisted `pairs` is persisted here (MEMORY_AND_DISK;
+    * storage blocks are LRU-evictable under execution-memory pressure, so
+    * this is a soft pin, and callers may unpersist after materializing). */
   def jaccardVerify(docs: DataFrame, id: Column, text: Column,
-                    pairs: DataFrame, shingle: Int = 5,
+                    pairs0: DataFrame, shingle: Int = 5,
                     broadcastDocLimit: Long = 10000L): DataFrame = {
+    val pairs =
+      if (pairs0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        pairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else pairs0
     val t = col("__t")
     val set = when(length(t) < shingle, array().cast(ArrayType(StringType)))
       .otherwise(array_distinct(transform(

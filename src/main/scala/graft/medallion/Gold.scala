@@ -21,78 +21,67 @@ import org.apache.spark.sql.functions._
 object Gold {
   import org.apache.spark.sql.Column
 
-  /** The 16 non-distinct KPI aggregates, shared by both variants. */
-  private def commonAggs: Seq[Column] = Seq(
-    sum(col("transaction_amount")).as("total_daily_revenue"),
-    avg(col("transaction_amount")).as("avg_transaction_value"),
+  /** The 19 KPI aggregates, parameterized by the three strategies that
+    * differ between the production and deterministic-gate variants: the
+    * distinct count, the double sum, and the average. ONE list — the gate
+    * variant can never drift from what production computes. */
+  private def allAggs(distinct: Column => Column, dblSum: Column => Column,
+                      mean: Column => Column): Seq[Column] = Seq(
+    distinct(col("customer_id")).as("daily_active_customers"),
+    distinct(col("email_clean")).as("unique_email_addresses"),
+    distinct(col("support_ticket_id")).as("support_tickets_created"),
+    dblSum(col("transaction_amount")).as("total_daily_revenue"),
+    mean(col("transaction_amount")).as("avg_transaction_value"),
     max(col("transaction_amount")).as("largest_transaction"),
     count_if(col("transaction_amount") > 0).as("total_transactions"),
-    sum(when(col("channel") === "web", col("transaction_amount")).otherwise(0))
+    dblSum(when(col("channel") === "web", col("transaction_amount")).otherwise(0))
       .as("web_revenue"),
-    sum(when(col("channel") === "mobile_app", col("transaction_amount")).otherwise(0))
+    dblSum(when(col("channel") === "mobile_app", col("transaction_amount")).otherwise(0))
       .as("mobile_revenue"),
-    sum(when(col("channel") === "store", col("transaction_amount")).otherwise(0))
+    dblSum(when(col("channel") === "store", col("transaction_amount")).otherwise(0))
       .as("store_revenue"),
-    avg(col("engagement_score")).as("avg_engagement_score"),
-    avg(col("time_on_site_seconds")).as("avg_time_on_site"),
+    mean(col("engagement_score")).as("avg_engagement_score"),
+    mean(col("time_on_site_seconds")).as("avg_time_on_site"),
     count_if(col("customer_journey_stage") === "conversion").as("daily_conversions"),
     count_if(col("loyalty_member") === true).as("loyalty_member_interactions"),
     sum(col("points_earned")).as("total_points_earned"),
     sum(col("points_redeemed")).as("total_points_redeemed"),
-    avg(col("satisfaction_score")).as("avg_satisfaction_score"),
+    mean(col("satisfaction_score")).as("avg_satisfaction_score"),
     count_if(col("churn_risk_indicator") === "high_risk").as("high_churn_risk_customers"),
-    sum(col("lifetime_value_estimate")).as("total_estimated_ltv"))
+    dblSum(col("lifetime_value_estimate")).as("total_estimated_ltv"))
 
-  private def build(silver: DataFrame, distinct: Column => Column): DataFrame = {
-    val aggs = Seq(
-      distinct(col("customer_id")).as("daily_active_customers"),
-      distinct(col("email_clean")).as("unique_email_addresses"),
-      distinct(col("support_ticket_id")).as("support_tickets_created")) ++
-      commonAggs
+  private def build(silver: DataFrame, distinct: Column => Column,
+                    dblSum: Column => Column = c => sum(c),
+                    mean: Column => Column = c => avg(c)): DataFrame = {
+    val aggs = allAggs(distinct, dblSum, mean)
     silver.groupBy(col("interaction_date")).agg(aggs.head, aggs.tail: _*)
   }
 
   def kpis(silver: DataFrame): DataFrame =
     build(silver, c => countDistinct(c))
 
-  /** Cross-engine-deterministic variant of [[kpis]]: same aggregate
-    * structure, but every double sum/avg goes through an exact
+  /** Cross-engine-deterministic variant of [[kpis]]: same aggregate list
+    * (shared via `allAggs`), but every double sum goes through an exact
     * DECIMAL(18,6) cast (double summation order differs between engines
     * and runs; decimal sums are exact and order-free, and the
     * double->decimal cast rounds HALF_UP identically in Spark and DuckDB,
-    * even on exact ties) and every avg is the explicit exact-sum / count.
+    * even on exact ties) and every avg is the explicit exact-sum / count
+    * (decimal sums for double inputs, integer sums otherwise).
     * This is the form the correctness gate pins against its DuckDB oracle;
     * production callers keep [[kpis]] (plain double sums, no cast cost). */
   def kpisDet(silver: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     def dec(c: Column): Column = c.cast(DecimalType(18, 6))
     def decSum(c: Column): Column = sum(dec(c)).cast(DoubleType)
-    def exactAvg(c: Column): Column = sum(c).cast(DoubleType) / count(c)
-    val aggs = Seq(
-      countDistinct(col("customer_id")).as("daily_active_customers"),
-      countDistinct(col("email_clean")).as("unique_email_addresses"),
-      countDistinct(col("support_ticket_id")).as("support_tickets_created"),
-      decSum(col("transaction_amount")).as("total_daily_revenue"),
-      (decSum(col("transaction_amount")) / count(col("transaction_amount")))
-        .as("avg_transaction_value"),
-      max(col("transaction_amount")).as("largest_transaction"),
-      count_if(col("transaction_amount") > 0).as("total_transactions"),
-      sum(when(col("channel") === "web", dec(col("transaction_amount")))
-        .otherwise(dec(lit(0)))).cast(DoubleType).as("web_revenue"),
-      sum(when(col("channel") === "mobile_app", dec(col("transaction_amount")))
-        .otherwise(dec(lit(0)))).cast(DoubleType).as("mobile_revenue"),
-      sum(when(col("channel") === "store", dec(col("transaction_amount")))
-        .otherwise(dec(lit(0)))).cast(DoubleType).as("store_revenue"),
-      exactAvg(col("engagement_score")).as("avg_engagement_score"),
-      exactAvg(col("time_on_site_seconds")).as("avg_time_on_site"),
-      count_if(col("customer_journey_stage") === "conversion").as("daily_conversions"),
-      count_if(col("loyalty_member") === true).as("loyalty_member_interactions"),
-      sum(col("points_earned")).as("total_points_earned"),
-      sum(col("points_redeemed")).as("total_points_redeemed"),
-      exactAvg(col("satisfaction_score")).as("avg_satisfaction_score"),
-      count_if(col("churn_risk_indicator") === "high_risk").as("high_churn_risk_customers"),
-      decSum(col("lifetime_value_estimate")).as("total_estimated_ltv"))
-    silver.groupBy(col("interaction_date")).agg(aggs.head, aggs.tail: _*)
+    def mean(c: Column): Column = {
+      // exact order-free average: decimal sums for double-typed inputs,
+      // plain integer sums for int inputs (already exact)
+      val isDouble = Set("transaction_amount", "lifetime_value_estimate")
+      val s = if (isDouble(c.toString)) sum(dec(c)).cast(DoubleType)
+              else sum(c).cast(DoubleType)
+      s / count(c)
+    }
+    build(silver, c => countDistinct(c), decSum, mean)
   }
 
   /** 100 TB-scale variant: HLL sketches instead of exact distinct Expand.

@@ -257,12 +257,16 @@ object Pipeline {
     * python3+duckdb is on the host; fails validation when DuckDB cannot
     * read what Spark wrote. */
   private def validateExternal(spark: SparkSession, cfg: MdpConfig): Boolean = {
-    val script = Seq("tools/validate_external.py",
-      "/root/repo/tools/validate_external.py")
-      .find(new java.io.File(_).exists()).getOrElse {
-        log("External validation skipped: validate_external.py not found")
-        return true
-      }
+    // MDP_VALIDATE_SCRIPT pins the script on deployments where the cwd is
+    // not the repo root; without it the check degrades to skip-with-log
+    // (the basic Spark-side count validation above still gates).
+    val candidates = sys.env.get("MDP_VALIDATE_SCRIPT").toSeq ++
+      Seq("tools/validate_external.py", "/root/repo/tools/validate_external.py")
+    val script = candidates.find(new java.io.File(_).exists()).getOrElse {
+      log("External validation skipped: validate_external.py not found " +
+        "(set MDP_VALIDATE_SCRIPT)")
+      return true
+    }
     val silverLoc = tableLocation(spark, cfg.silverFqn)
       .getOrElse(cfg.silverFallbackUri)
     val goldLoc = tableLocation(spark, cfg.goldFqn).getOrElse(cfg.goldFallbackUri)

@@ -69,10 +69,9 @@ object Dedup {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
     val sigs = graft.api.Graft.minhashSignatures(docs, $"doc_id", $"text")
-    // cache: jaccardVerify consumes the pairs three times (the pair stream
-    // plus the id-restriction of each broadcast side)
+    // jaccardVerify persists the pairs itself (it consumes them for the
+    // eager size gate plus both join sides)
     val pairs = graft.api.Graft.nearDupPairs(sigs, minAgreement = JaccardBandThreshold)
-      .cache()
     graft.api.Graft.jaccardVerify(docs, $"doc_id", $"text", pairs)
       .where($"jaccard" >= 0.5)
       .select($"id_a".as("doc_a"), $"id_b".as("doc_b"),
@@ -146,7 +145,6 @@ object Dedup {
     val uniq = docs.join(exactKeepers.select($"doc_id"), Seq("doc_id"), "left_semi")
     val sigs = graft.api.Graft.minhashSignatures(uniq, $"doc_id", $"text")
     val pairs = graft.api.Graft.nearDupPairs(sigs, minAgreement = JaccardBandThreshold)
-      .cache()
     val edges = graft.api.Graft.jaccardVerify(uniq, $"doc_id", $"text", pairs)
       .where($"jaccard" >= 0.5)
     val drop = graft.api.Graft.connectedComponents(edges, $"id_a", $"id_b")

@@ -62,8 +62,16 @@ object Medallion {
       .drop("event_timestamp", "processing_timestamp",
         "interaction_payload", "interaction_payload_clean", "enriched_payload")
 
-  private def dump(df: DataFrame, path: String): Unit =
-    df.coalesce(1).write.mode("overwrite").parquet(path)
+  /** Write each oracle dump at most once per JVM: the dump content is a
+    * pure function of the code + seed, so repeated query invocations (the
+    * bench runs every query fn 5x) need not pay — or have their timings
+    * biased by — the single-file write, and re-running a query can never
+    * race the oracle's read of a previous dump. */
+  private val dumped = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def dump(df: => DataFrame, path: String): Unit =
+    if (dumped.add(path))
+      df.coalesce(1).write.mode("overwrite").parquet(path)
 
   /** Bronze generator output, dumped for the oracle to read back. */
   def m01Bronze(s: SparkSession, dir: String): DataFrame = {
