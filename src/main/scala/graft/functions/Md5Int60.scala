@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShims}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -18,7 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * identical by construction.
   */
 case class Md5Int60(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "md5_int60"
@@ -31,8 +31,12 @@ case class Md5Int60(child: Expression)
       s"md5_int60 needs a string child, got ${child.dataType.sql}")
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  /** Digest + truncate; shared by eval and generated code. */
+  def compute(input: UTF8String): Long = {
+    val bytes = input.getBytes
     val digest = Md5Int60.localDigest.get()
     digest.reset()
     val d = digest.digest(bytes)
@@ -42,6 +46,14 @@ case class Md5Int60(child: Expression)
     while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
     v >>> 4
   }
+
+  // direct compiled-method call inside whole-stage codegen (a
+  // CodegenFallback would route through a boxed row-eval per value)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("md5int60", this, classOf[Md5Int60].getName)
+      s"${ev.value} = $ref.compute($c);"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

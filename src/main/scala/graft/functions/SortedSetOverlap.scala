@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftShims}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -23,7 +23,7 @@ import org.apache.spark.sql.types._
   * (list_intersect / list_distinct(list_concat)) are unchanged.
   */
 case class SortedSetOverlap(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_inter", LongType, nullable = false),
@@ -44,9 +44,11 @@ case class SortedSetOverlap(left: Expression, right: Expression)
         s"${left.dataType.sql} and ${right.dataType.sql}")
   }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  /** Two-pointer merge; shared by eval and generated code. */
+  def compute(x: ArrayData, y: ArrayData): InternalRow = {
     val nx = x.numElements()
     val ny = y.numElements()
     var i = 0
@@ -60,6 +62,15 @@ case class SortedSetOverlap(left: Expression, right: Expression)
     }
     InternalRow(inter, nx.toLong + ny.toLong - inter)
   }
+
+  // direct compiled-method call inside whole-stage codegen (a
+  // CodegenFallback would route through a boxed row-eval per pair)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ref = ctx.addReferenceObj("overlap", this,
+        classOf[SortedSetOverlap].getName)
+      s"${ev.value} = $ref.compute($a, $b);"
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
