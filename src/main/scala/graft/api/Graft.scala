@@ -45,10 +45,18 @@ object Graft {
     * a hash aggregate; values are identical (MinHashSigSpec proves
     * equivalence, and the dedup oracles are unchanged). Documents shorter
     * than `shingle` have no shingles and produce no signature row (same
-    * semantics as the explode formulation). */
+    * semantics as the explode formulation).
+    *
+    * @param assumeUniqueIds skip the per-id merge when the caller
+    *   guarantees one row per id (the common corpus shape): the operator
+    *   is then a pure narrow projection with NO exchange at all — the
+    *   100 TB fast path. With the default false, rows sharing an id merge
+    *   into the signature of the union of their shingles (one narrow
+    *   row-per-document aggregate). */
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
                         numHashes: Int = 8, shingle: Int = 5,
-                        seed: Long = 777L): DataFrame = {
+                        seed: Long = 777L,
+                        assumeUniqueIds: Boolean = false): DataFrame = {
     val params = minhashParams(numHashes, seed).toSeq
     val sig = graft.functions.MinHashSig.minhashSig(
       col("__t"), shingle, params, MinhashP)
@@ -63,10 +71,13 @@ object Graft {
     // merge rows sharing an id (signature of the UNION of their shingles —
     // the documented contract for non-unique ids). The aggregate's input is
     // one narrow row per document (not the old 500x shingle amplification),
-    // so this exchange is negligible; unique-id inputs pass through with
-    // identical values.
-    val mins = (1 to numHashes).map(i => min(col(s"h$i")).as(s"h$i"))
-    perRow.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+    // so this exchange is small; unique-id inputs produce identical values
+    // and may skip it entirely via assumeUniqueIds.
+    if (assumeUniqueIds) perRow
+    else {
+      val mins = (1 to numHashes).map(i => min(col(s"h$i")).as(s"h$i"))
+      perRow.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+    }
   }
 
   /** Re-split the input ahead of a high-fan-out stage (shingling, token
