@@ -56,7 +56,8 @@ object Dedup {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
     // no cache: the single-pass nearDupPairs scans the signatures once
-    val sigs = graft.api.Graft.minhashSignatures(docs, $"doc_id", $"text")
+    val sigs = graft.api.Graft.minhashSignatures(docs, $"doc_id", $"text",
+      assumeUniqueIds = true) // doc_id is the documents table's key
     graft.api.Graft.nearDupPairs(sigs, minAgreement = JaccardBandThreshold)
       .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), $"n_match")
       .orderBy($"doc_a", $"doc_b")
@@ -68,7 +69,8 @@ object Dedup {
   def d03NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
-    val sigs = graft.api.Graft.minhashSignatures(docs, $"doc_id", $"text")
+    val sigs = graft.api.Graft.minhashSignatures(docs, $"doc_id", $"text",
+      assumeUniqueIds = true) // doc_id is the documents table's key
     // jaccardVerify persists the pairs itself (it consumes them for the
     // eager size gate plus both join sides)
     val pairs = graft.api.Graft.nearDupPairs(sigs, minAgreement = JaccardBandThreshold)
@@ -120,7 +122,8 @@ object Dedup {
   def d06DupGroups(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
-    val sigs = graft.api.Graft.minhashSignatures(docs, $"doc_id", $"text")
+    val sigs = graft.api.Graft.minhashSignatures(docs, $"doc_id", $"text",
+      assumeUniqueIds = true) // doc_id is the documents table's key
     val pairs = graft.api.Graft.nearDupPairs(sigs, minAgreement = JaccardBandThreshold)
     val bySize = org.apache.spark.sql.expressions.Window.partitionBy($"dup_group")
     graft.api.Graft.connectedComponents(pairs, $"id_a", $"id_b")
@@ -143,7 +146,8 @@ object Dedup {
     val exactKeepers = docs.groupBy(md5($"text").as("h"))
       .agg(min($"doc_id").as("doc_id"))
     val uniq = docs.join(exactKeepers.select($"doc_id"), Seq("doc_id"), "left_semi")
-    val sigs = graft.api.Graft.minhashSignatures(uniq, $"doc_id", $"text")
+    val sigs = graft.api.Graft.minhashSignatures(uniq, $"doc_id", $"text",
+      assumeUniqueIds = true) // exact-dedup survivors keep key uniqueness
     val pairs = graft.api.Graft.nearDupPairs(sigs, minAgreement = JaccardBandThreshold)
     val edges = graft.api.Graft.jaccardVerify(uniq, $"doc_id", $"text", pairs)
       .where($"jaccard" >= 0.5)
