@@ -234,6 +234,50 @@ object Pipeline {
     n
   }
 
+  /** Streaming silver: bronze landing files arrive as a file stream and
+    * flow through the SAME `Silver.enrich` projection as batch, appending
+    * into the SAME silver table via foreachBatch (the sink pattern that
+    * lets a streaming query drive the table-catalog writer). The first
+    * micro-batch creates the table through `writeTable` (catalog RTAS ->
+    * saveAsTable -> path fallback); later batches append with positional
+    * alignment. With a durable `checkpoint`, restarts resume from the last
+    * committed batch — the continuous-ingest variant the reference's
+    * unused checkpoints bucket implies (k8s/s3/03-s3-buckets.yaml:32-40).
+    *
+    * Returns the running query; callers stop it (or let it run forever in
+    * production). Scale shape: identical to batch silver — narrow
+    * projection, one write-side distribution by partition columns per
+    * micro-batch. */
+  def silverStreaming(spark: SparkSession, cfg: MdpConfig,
+                      bronzeSchema: org.apache.spark.sql.types.StructType,
+                      checkpoint: String,
+                      maxFilesPerTrigger: Int = 10)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val stream = spark.readStream.schema(bronzeSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(cfg.bronzeUri)
+    val enriched = Silver.enrich(stream,
+      clockDate = to_date(timestamp_seconds(lit(cfg.baseEpochS))),
+      clockTs = timestamp_seconds(lit(cfg.baseEpochS)),
+      clockEpochS = lit(cfg.baseEpochS))
+    enriched.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val dist = batch.repartition(col("interaction_date"), col("channel"))
+        if (!spark.catalog.tableExists(cfg.silverFqn))
+          writeTable(spark, dist, cfg, "silver",
+            "customer_interactions_enriched", cfg.silverFallbackUri,
+            Seq("interaction_date", "channel"))
+        else {
+          val cols = spark.table(cfg.silverFqn).columns
+          dist.select(cols.map(col): _*)
+            .write.mode("append").insertInto(cfg.silverFqn)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** The reference's external-validation SQL (run_pipeline.py:238-277) with
     * the *correct* table names (the script checks stale iot_* names —
     * SURVEY §1.4-2). */

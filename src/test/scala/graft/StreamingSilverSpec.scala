@@ -18,6 +18,46 @@ class StreamingSilverSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("streaming silver appends micro-batches into the shared catalog table") {
+    import graft.medallion.{MdpConfig, Pipeline}
+    import spark.implicits._
+    val epoch = 1754982000L
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_tbl").toString
+    val cfg = MdpConfig.fromEnv(base)
+    new java.io.File(cfg.bronzeUri).mkdirs()
+
+    // land bronze as two separate FILES so maxFilesPerTrigger=1 forces two
+    // micro-batches through the foreachBatch table writer
+    val all = BronzeGen.generate(spark, 1200, 2, payloadKb = 1,
+      seed = 9, baseEpochS = epoch).cache()
+    def land(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val staging = s"$base/staging_$name"
+      df.coalesce(1).write.parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      assert(part.renameTo(new java.io.File(cfg.bronzeUri, s"$name.parquet")))
+    }
+    land("b1", all.where($"id" < 600))
+    land("b2", all.where($"id" >= 600))
+
+    val q = Pipeline.silverStreaming(spark, cfg, all.schema,
+      checkpoint = s"$base/ckpt", maxFilesPerTrigger = 1)
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table(cfg.silverFqn)
+    val expected = Silver.enrich(all,
+      clockDate = to_date(timestamp_seconds(lit(epoch))),
+      clockTs = timestamp_seconds(lit(epoch)),
+      clockEpochS = lit(epoch))
+    assert(got.count() == expected.count())
+    val fp = (df: org.apache.spark.sql.DataFrame) => df.select(
+      concat_ws("|", col("id"), col("email_clean"), col("customer_value_tier"),
+        col("interaction_date").cast("string"), col("channel")))
+      .as[String].collect().sorted.toSeq
+    assert(fp(got) == fp(expected))
+    all.unpersist()
+  }
+
   test("silver enrichment runs identically over a bronze file stream") {
     import spark.implicits._
     val epoch = 1754982000L
