@@ -25,8 +25,18 @@ class MaintenanceSpec extends AnyFunSuite {
 
   private val Epoch = 1754982000L
 
+  /** The medallion table names are global catalog state shared across
+    * suites in one JVM; start each test that resolves them from a clean
+    * catalog so another suite's leftover table (pointing at ITS temp dir)
+    * cannot hijack the catalog-first resolution. */
+  private def dropMedallionTables(): Unit = Seq(
+    "spark_catalog.silver.customer_interactions_enriched",
+    "spark_catalog.gold.customer_executive_dashboard")
+    .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
   test("silverIncremental over new bronze days equals a full rebuild") {
     import spark.implicits._
+    dropMedallionTables()
     val base = tmpDir("incr")
     val cfg = MdpConfig.fromEnv(base).copy(
       ingestGb = 0.001, payloadKb = 1, partitions = 4)
@@ -64,6 +74,7 @@ class MaintenanceSpec extends AnyFunSuite {
 
   test("gold reflects silver-incremental rows through the shared silver table") {
     import spark.implicits._
+    dropMedallionTables()
     val base = tmpDir("chain")
     val cfg = MdpConfig.fromEnv(base).copy(
       ingestGb = 0.001, payloadKb = 1, partitions = 4)

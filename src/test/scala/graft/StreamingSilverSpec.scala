@@ -56,6 +56,9 @@ class StreamingSilverSpec extends AnyFunSuite {
       .as[String].collect().sorted.toSeq
     assert(fp(got) == fp(expected))
     all.unpersist()
+    // the table name is global catalog state; leave a clean catalog for
+    // other suites sharing this JVM session
+    spark.sql(s"DROP TABLE IF EXISTS ${cfg.silverFqn}")
   }
 
   test("silver enrichment runs identically over a bronze file stream") {
