@@ -244,6 +244,12 @@ object Pipeline {
     * committed batch — the continuous-ingest variant the reference's
     * unused checkpoints bucket implies (k8s/s3/03-s3-buckets.yaml:32-40).
     *
+    * Delivery: AT-LEAST-ONCE. foreachBatch re-delivers an uncommitted
+    * batch after a crash, and a plain parquet append is not idempotent —
+    * a restart mid-batch can duplicate that batch's rows. Exactly-once
+    * needs a transactional table format under the same writeTo API
+    * (Iceberg/Delta) or an idempotent MERGE on (id) per batch.
+    *
     * Returns the running query; callers stop it (or let it run forever in
     * production). Scale shape: identical to batch silver — narrow
     * projection, one write-side distribution by partition columns per
