@@ -176,15 +176,18 @@ object Graft {
     * The gate is an EAGER count of the distinct in-pair ids (a shuffle over
     * the pair stream) at call time — `pairs` must be a batch frame. To keep
     * that count from executing the caller's candidate-generation plan
-    * twice, an unpersisted `pairs` is persisted here (MEMORY_AND_DISK;
-    * storage blocks are LRU-evictable under execution-memory pressure, so
-    * this is a soft pin, and callers may unpersist after materializing). */
+    * twice, an unpersisted `pairs` is persisted here — MEMORY_ONLY, so the
+    * blocks are fully LRU-evictable under memory pressure and a long-lived
+    * session calling this over many datasets cannot accumulate disk
+    * residue (an evicted block just recomputes); callers wanting tighter
+    * lifecycle control pass an already-persisted frame and unpersist it
+    * themselves after materializing the result. */
   def jaccardVerify(docs: DataFrame, id: Column, text: Column,
                     pairs0: DataFrame, shingle: Int = 5,
                     broadcastDocLimit: Long = 10000L): DataFrame = {
     val pairs =
       if (pairs0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        pairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       else pairs0
     val t = col("__t")
     val set = when(length(t) < shingle, array().cast(ArrayType(StringType)))

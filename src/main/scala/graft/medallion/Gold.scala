@@ -73,14 +73,12 @@ object Gold {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     def dec(c: Column): Column = c.cast(DecimalType(18, 6))
     def decSum(c: Column): Column = sum(dec(c)).cast(DoubleType)
-    def mean(c: Column): Column = {
-      // exact order-free average: decimal sums for double-typed inputs,
-      // plain integer sums for int inputs (already exact)
-      val isDouble = Set("transaction_amount", "lifetime_value_estimate")
-      val s = if (isDouble(c.toString)) sum(dec(c)).cast(DoubleType)
-              else sum(c).cast(DoubleType)
-      s / count(c)
-    }
+    // one uniform exact average: the DECIMAL(18,6) sum is exact for double
+    // inputs by rounding-identical casts and TRIVIALLY exact for int
+    // inputs (int -> decimal is lossless, and the final double equals the
+    // plain integer-sum double the oracle computes) — no per-column
+    // type dispatch to silently get wrong
+    def mean(c: Column): Column = decSum(c) / count(c)
     build(silver, c => countDistinct(c), decSum, mean)
   }
 

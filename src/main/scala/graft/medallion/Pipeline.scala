@@ -266,18 +266,31 @@ object Pipeline {
       clockDate = to_date(timestamp_seconds(lit(cfg.baseEpochS))),
       clockTs = timestamp_seconds(lit(cfg.baseEpochS)),
       clockEpochS = lit(cfg.baseEpochS))
+    // whether some batch already initialized the sink — without this, a
+    // deployment where the catalog write falls through to the path fallback
+    // (tableExists stays false) would re-enter writeTable every batch and
+    // OVERWRITE all prior batches with the newest one
+    @volatile var initialized =
+      try spark.catalog.tableExists(cfg.silverFqn)
+      catch { case NonFatal(_) => false }
     enriched.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val dist = batch.repartition(col("interaction_date"), col("channel"))
-        if (!spark.catalog.tableExists(cfg.silverFqn))
-          writeTable(spark, dist, cfg, "silver",
-            "customer_interactions_enriched", cfg.silverFallbackUri,
-            Seq("interaction_date", "channel"))
-        else {
+        if (spark.catalog.tableExists(cfg.silverFqn)) {
           val cols = spark.table(cfg.silverFqn).columns
           dist.select(cols.map(col): _*)
             .write.mode("append").insertInto(cfg.silverFqn)
+        } else if (!initialized) {
+          writeTable(spark, dist, cfg, "silver",
+            "customer_interactions_enriched", cfg.silverFallbackUri,
+            Seq("interaction_date", "channel"))
+          initialized = true
+        } else {
+          // catalog unavailable; keep appending to the path fallback
+          dist.write.mode("append")
+            .partitionBy("interaction_date", "channel")
+            .parquet(cfg.silverFallbackUri)
         }
         ()
       }
@@ -308,8 +321,16 @@ object Pipeline {
     * read what Spark wrote. */
   private def validateExternal(spark: SparkSession, cfg: MdpConfig): Boolean = {
     // MDP_VALIDATE_SCRIPT pins the script on deployments where the cwd is
-    // not the repo root; without it the check degrades to skip-with-log
-    // (the basic Spark-side count validation above still gates).
+    // not the repo root; an EXPLICITLY pinned but missing path fails the
+    // validation loudly (a typo must not silently skip the check the
+    // variable exists to guarantee). Without the pin, the check degrades to
+    // skip-with-log (the Spark-side count validation above still gates).
+    sys.env.get("MDP_VALIDATE_SCRIPT") match {
+      case Some(p) if !new java.io.File(p).exists() =>
+        log(s"External validation FAILED: MDP_VALIDATE_SCRIPT=$p does not exist")
+        return false
+      case _ => ()
+    }
     val candidates = sys.env.get("MDP_VALIDATE_SCRIPT").toSeq ++
       Seq("tools/validate_external.py", "/root/repo/tools/validate_external.py")
     val script = candidates.find(new java.io.File(_).exists()).getOrElse {

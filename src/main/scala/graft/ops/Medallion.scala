@@ -70,8 +70,14 @@ object Medallion {
   private val dumped = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def dump(df: => DataFrame, path: String): Unit =
-    if (dumped.add(path))
-      df.coalesce(1).write.mode("overwrite").parquet(path)
+    if (!dumped.contains(path)) synchronized {
+      // memoize only AFTER the write succeeds: a failed/partial dump must
+      // be retried by the next invocation, not frozen for the JVM lifetime
+      if (!dumped.contains(path)) {
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        dumped.add(path)
+      }
+    }
 
   /** Bronze generator output, dumped for the oracle to read back. */
   def m01Bronze(s: SparkSession, dir: String): DataFrame = {

@@ -29,10 +29,11 @@ class MaintenanceSpec extends AnyFunSuite {
     * suites in one JVM; start each test that resolves them from a clean
     * catalog so another suite's leftover table (pointing at ITS temp dir)
     * cannot hijack the catalog-first resolution. */
-  private def dropMedallionTables(): Unit = Seq(
-    "spark_catalog.silver.customer_interactions_enriched",
-    "spark_catalog.gold.customer_executive_dashboard")
-    .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  private def dropMedallionTables(): Unit = {
+    val cfg = MdpConfig.fromEnv("/tmp/unused")
+    Seq(cfg.silverFqn, cfg.goldFqn)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 
   test("silverIncremental over new bronze days equals a full rebuild") {
     import spark.implicits._

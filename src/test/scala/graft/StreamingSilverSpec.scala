@@ -24,7 +24,11 @@ class StreamingSilverSpec extends AnyFunSuite {
     val epoch = 1754982000L
     val base = java.nio.file.Files.createTempDirectory("graft_stream_tbl").toString
     val cfg = MdpConfig.fromEnv(base)
+    // the table name is global catalog state shared by suites in this JVM:
+    // start from a clean catalog and leave one behind whatever happens
+    spark.sql(s"DROP TABLE IF EXISTS ${cfg.silverFqn}")
     new java.io.File(cfg.bronzeUri).mkdirs()
+    try {
 
     // land bronze as two separate FILES so maxFilesPerTrigger=1 forces two
     // micro-batches through the foreachBatch table writer
@@ -56,9 +60,7 @@ class StreamingSilverSpec extends AnyFunSuite {
       .as[String].collect().sorted.toSeq
     assert(fp(got) == fp(expected))
     all.unpersist()
-    // the table name is global catalog state; leave a clean catalog for
-    // other suites sharing this JVM session
-    spark.sql(s"DROP TABLE IF EXISTS ${cfg.silverFqn}")
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${cfg.silverFqn}")
   }
 
   test("silver enrichment runs identically over a bronze file stream") {
