@@ -37,6 +37,35 @@ class GraftApiSpec extends AnyFunSuite {
     assert(verified == Set((10L, 11L)))
   }
 
+  test("full dedup composition retains exactly the keepers of a planted corpus") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "pack my box with five dozen liquor jugs every single day now"
+    val docs = Seq(
+      (1L, base), // cluster keeper (near-dups 2, 3)
+      (2L, base + " x"),
+      (3L, base + " y z"),
+      (4L, other), // exact-dup keeper (copy at 5)
+      (5L, other),
+      (6L, "completely different words entirely unrelated content here")
+    ).toDF("doc_id", "text")
+    // exact stage: least doc_id per content hash
+    val exactKeepers = docs.groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("doc_id")).select($"doc_id")
+    val uniq = docs.join(exactKeepers, Seq("doc_id"), "left_semi")
+    // near-dup stage over survivors; transitive closure; keep cluster minima
+    val sigs = Graft.minhashSignatures(uniq, $"doc_id", $"text")
+    val pairs = Graft.nearDupPairs(sigs, minAgreement = 4)
+    val edges = Graft.jaccardVerify(uniq, $"doc_id", $"text", pairs)
+      .where($"jaccard" >= 0.5)
+    val drop = Graft.connectedComponents(edges, $"id_a", $"id_b")
+      .where($"id" =!= $"component").select($"id".as("doc_id"))
+    val retained = uniq.join(drop, Seq("doc_id"), "left_anti")
+      .select($"doc_id").as[Long].collect().toSet
+    // 5 dropped by exact dedup; 2,3 dropped as near-dups of 1
+    assert(retained == Set(1L, 4L, 6L), retained.toString)
+  }
+
   test("exactDedup groups identical payloads") {
     import spark.implicits._
     val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa")).toDF("k", "payload")
