@@ -145,7 +145,13 @@ object Dedup {
     val docs = Tables.load(s, dir, "documents")
     val exactKeepers = docs.groupBy(md5($"text").as("h"))
       .agg(min($"doc_id").as("doc_id"))
+    // The survivor frame feeds THREE consumers (signature pass, the verify
+    // stage's shingle-set side, and the final keep/drop anti-join) — persist
+    // it once instead of re-running the scan + hash-agg + semi-join per
+    // consumer. MEMORY_ONLY: fully LRU-evictable, same lifecycle stance as
+    // jaccardVerify's internal pair persist.
     val uniq = docs.join(exactKeepers.select($"doc_id"), Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val sigs = graft.api.Graft.minhashSignatures(uniq, $"doc_id", $"text",
       assumeUniqueIds = true) // exact-dedup survivors keep key uniqueness
     val pairs = graft.api.Graft.nearDupPairs(sigs, minAgreement = JaccardBandThreshold)
