@@ -149,11 +149,53 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  private val PairTopN = 50
+
+  /** d08: embedding near-duplicate pairs, LSH-bucketed — the scale path the
+    * d05 exact baseline is judged against. d05 scores every (a, b) pair (an
+    * all-pairs cross join: correct, documented, and quadratic); here the
+    * random-hyperplane tables of s02 bucket the corpus first, candidate
+    * pairs only ever form INSIDE a (table, bucket) group — a self-join that
+    * shuffles on the bucket key, never all-pairs — and only candidates get
+    * the exact cosine re-rank. Output shape matches d05 (top-N pairs by
+    * cosine, rank only, no float column) so baseline and scale path are
+    * directly comparable; recall < 1 by design and the oracle reproduces
+    * the identical bucketing, so results still hash-match.
+    *
+    * At 100 TB: cost is sum over buckets of bucket_size^2 (band width is
+    * the skew lever, same as MinHash LSH banding), the cross-table dedup is
+    * one exchange on the pair key, and the global top-N reduces partially
+    * per partition (TakeOrdered) — no stage materializes the quadratic
+    * pair space. */
+  def d08EmbeddingLshPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = corpus(s, dir).select($"vec_id", $"v", norm($"v").as("nrm"))
+    val buckets = (0 until NumTables).map { t =>
+      all.select($"vec_id", $"v", $"nrm", lit(t).as("tbl"),
+        bucketKey($"v", t).as("bkt"))
+    }.reduce(_ union _)
+    val a = buckets.toDF("vec_a", "va", "na", "tbl", "bkt")
+    val b = buckets.toDF("vec_b", "vb", "nb", "tbl", "bkt")
+    // a pair colliding in several tables must score once: distinct on the
+    // pair (vectors ride along — bit-identical copies of the same source
+    // rows, so they never split a pair into two groups)
+    val cand = a.join(b, Seq("tbl", "bkt")).where($"vec_a" < $"vec_b")
+      .select($"vec_a", $"va", $"na", $"vec_b", $"vb", $"nb").distinct()
+    val cs = dot($"va", $"vb") / ($"na" * $"nb")
+    cand.select($"vec_a", $"vec_b", cs.as("cs"))
+      .orderBy($"cs".desc, $"vec_a", $"vec_b").limit(PairTopN)
+      .select($"vec_a", $"vec_b",
+        row_number().over(Window.orderBy($"cs".desc, $"vec_a", $"vec_b"))
+          .cast(LongType).as("rank"))
+      .orderBy($"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> s01BruteForceTopK,
     "s02_ann_lsh" -> s02LshTopK,
     "s03_ann_topk_aggregator" -> s03TopKAggregator,
-    "s04_ann_ivf" -> s04IvfTopK)
+    "s04_ann_ivf" -> s04IvfTopK,
+    "d08_embedding_lsh_pairs" -> d08EmbeddingLshPairs)
 
   private def planeSql(t: Int, b: Int): String =
     "[" + hyperplanes(t * BitsPerTable + b).mkString(", ") + "]"
@@ -229,5 +271,22 @@ object Similarity {
          |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, neighbor_id) AS BIGINT) AS rank
          | FROM sc)
          |SELECT q_id, rank, neighbor_id FROM rk WHERE rank <= $TopK
-         |ORDER BY q_id, rank""".stripMargin)
+         |ORDER BY q_id, rank""".stripMargin,
+    "d08_embedding_lsh_pairs" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |b AS (${(0 until NumTables).map(t =>
+            s"SELECT vec_id, v, nrm, $t AS tbl, ${bucketSql(t)} AS bkt FROM n")
+            .mkString(" UNION ALL ")}),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, a.v AS va, a.nrm AS na,
+         |   b2.vec_id AS vec_b, b2.v AS vb, b2.nrm AS nb
+         |  FROM b a JOIN b b2 USING (tbl, bkt) WHERE a.vec_id < b2.vec_id),
+         |sc AS (SELECT vec_a, vec_b,
+         |  list_dot_product(va, vb) / (na * nb) AS cs FROM cand),
+         |top AS (SELECT vec_a, vec_b, cs FROM sc
+         |  ORDER BY cs DESC, vec_a, vec_b LIMIT $PairTopN)
+         |SELECT vec_a, vec_b,
+         | CAST(row_number() OVER (ORDER BY cs DESC, vec_a, vec_b) AS BIGINT) AS rank
+         |FROM top ORDER BY rank""".stripMargin)
 }

@@ -67,6 +67,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("d08 LSH pair generation joins on the bucket key (no cartesian)") {
+    // the whole point of d08 over the d05 exact baseline: candidates form
+    // only inside (table, bucket) groups, so the plan must contain an
+    // equi-join and no quadratic join strategy anywhere
+    val plan = planOf(Similarity.d08EmbeddingLshPairs(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q42 cube runs one Expand pass with partial aggregation") {
     val plan = planOf(Extras.q42Cube(spark, dir))
     assert(plan.split("\\bExpand\\b").length - 1 >= 1, plan)
