@@ -349,6 +349,82 @@ object Graft {
         when(stopRatio > 0.05, 0.3).otherwise(0.0))))
   }
 
+  /** Benchmark-contamination scan: for each corpus row, how much of it
+    * already appears in a benchmark/eval suite — the decontamination pass a
+    * training-data pipeline runs before anything ships to training. Output:
+    * (id, n_ngrams, n_hits, contamination) where `n_ngrams` counts the
+    * row's DISTINCT word `n`-grams, `n_hits` counts those that occur in ANY
+    * benchmark document, and `contamination` = n_hits / n_ngrams. Rows with
+    * fewer than `n` tokens have no n-grams and are dropped (same contract
+    * as [[minhashSignatures]] for short docs).
+    *
+    * Scale shape: the benchmark n-gram set is exact-deduplicated and
+    * BROADCAST — benchmark suites are bounded by construction (thousands of
+    * documents, not corpus-scale), which is what makes the 100 TB corpus
+    * side a single narrow explode + broadcast-join + per-id aggregate with
+    * no corpus shuffle beyond the final groupBy. Callers whose "benchmark"
+    * is itself corpus-scale should not use this operator (that problem is
+    * [[jaccardVerify]]-shaped, not a membership scan). */
+  def contamination(corpus: DataFrame, id: Column, text: Column,
+                    benchmark: DataFrame, benchText: Column,
+                    n: Int = 5): DataFrame = {
+    def grams(c: Column): Column = {
+      val toks = split(trim(c), "\\s+")
+      // guard inside the expression, not just the filter: sequence(1, 0)
+      // steps BACKWARD in Spark ([1, 0]), it is not empty
+      when(size(toks) < n, array().cast(ArrayType(StringType)))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+    }
+    val corpusG = fanOut(corpus.select(id.as("id"), text.as("__t")))
+      .select(col("id"), explode(grams(col("__t"))).as("ng"))
+    val benchG = benchmark.select(benchText.as("__t"))
+      .select(explode(grams(col("__t"))).as("ng")).distinct()
+    corpusG
+      .join(broadcast(benchG.withColumn("__hit", lit(1L))), Seq("ng"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .withColumn("contamination",
+        col("n_hits").cast(DoubleType) / col("n_ngrams"))
+  }
+
+  /** Character-class quality signals appended to the input frame — the
+    * second layer of a quality classifier, complementing the token-level
+    * [[textStats]]: punctuation/digit/uppercase density, mean word length,
+    * line count, and a composite `quality_v2` in [0, 1]. All signals are
+    * single regexp_replace length counts over codegen'd built-ins (narrow
+    * projection, no shuffle); ratios are exact-int divisions, so the
+    * numbers are engine-portable bit-for-bit. */
+  def qualitySignals(df: DataFrame, text: Column): DataFrame = {
+    val t = text
+    val nChars = length(t).cast(LongType)
+    def classCount(rx: String): Column =
+      length(regexp_replace(t, rx, "")).cast(LongType)
+    val nPunct = nChars - classCount("[^a-zA-Z0-9\\s]")
+    val nDigit = nChars - classCount("[0-9]")
+    val nUpper = nChars - classCount("[A-Z]")
+    val toks = split(trim(t), "\\s+")
+    val meanWordLen = (length(regexp_replace(t, "\\s", "")).cast(DoubleType) /
+      size(toks))
+    val nLines = (size(split(t, "\n")).cast(LongType))
+    val punctRatio = nPunct.cast(DoubleType) / nChars
+    val digitRatio = nDigit.cast(DoubleType) / nChars
+    val upperRatio = nUpper.cast(DoubleType) / nChars
+    df.withColumns(Map(
+      "n_chars" -> nChars,
+      "punct_ratio" -> punctRatio,
+      "digit_ratio" -> digitRatio,
+      "upper_ratio" -> upperRatio,
+      "mean_word_len" -> meanWordLen,
+      "n_lines" -> nLines,
+      "quality_v2" -> (when(nChars.between(100, 2000), 0.25).otherwise(0.0) +
+        when(punctRatio < 0.1, 0.25).otherwise(0.0) +
+        when(digitRatio < 0.2, 0.25).otherwise(0.0) +
+        when(meanWordLen.between(3.0, 12.0), 0.25).otherwise(0.0))))
+  }
+
   /** Normalized-content fingerprints appended to the input frame. */
   def fingerprint(df: DataFrame, text: Column): DataFrame = {
     val norm = regexp_replace(trim(text), "\\s+", " ")

@@ -113,12 +113,46 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t06: benchmark decontamination — a deterministic ~5% hash-sample of
+    * the corpus plays the benchmark suite; every other document reports
+    * what fraction of its distinct word 5-grams leak from that suite. Thin
+    * binding of [[graft.api.Graft.contamination]] (broadcast benchmark
+    * n-gram set, narrow corpus side). The synthetic corpus contains real
+    * near-duplicates (the d02/d03 pairs), so nonzero contamination rows are
+    * exercised, not just the zero path. */
+  def t06Contamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val bucket = conv(substring(md5($"doc_id".cast(StringType)), 1, 4), 16, 10)
+      .cast(LongType)
+    val isBench = bucket % 20 === 0
+    graft.api.Graft.contamination(
+      docs.where(!isBench), $"doc_id", $"text",
+      docs.where(isBench), $"text")
+      .select($"id".as("doc_id"), $"n_ngrams", $"n_hits", $"contamination")
+      .orderBy($"doc_id")
+  }
+
+  /** t07: character-class quality signals + composite score — the filter
+    * layer a corpus-cleaning pipeline applies after token stats (t01):
+    * punctuation/digit/uppercase density, mean word length, line count.
+    * Thin binding of [[graft.api.Graft.qualitySignals]]. */
+  def t07QualitySignals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.api.Graft.qualitySignals(Tables.load(s, dir, "documents"), $"text")
+      .select($"doc_id", $"n_chars", $"punct_ratio", $"digit_ratio",
+        $"upper_ratio", $"mean_word_len", $"n_lines", $"quality_v2")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> t01TextStats,
     "t02_lang_id" -> t02LangId,
     "t03_fingerprint" -> t03Fingerprint,
     "t04_top_tokens" -> t04TopTokens,
-    "t05_bpe_tokens" -> t05BpeTokens)
+    "t05_bpe_tokens" -> t05BpeTokens,
+    "t06_contamination" -> t06Contamination,
+    "t07_quality_signals" -> t07QualitySignals)
 
   val oracles: Map[String, String] = Map(
     "t01_text_stats" ->
@@ -167,5 +201,43 @@ object TextAnalysis {
          | len(t) AS n_bpe_tokens,
          | len(list_distinct(t)) AS n_distinct_bpe,
          | CAST(list_max(list_transform(t, x -> length(x))) AS BIGINT) AS longest_bpe
-         |FROM d ORDER BY doc_id""".stripMargin)
+         |FROM d ORDER BY doc_id""".stripMargin,
+    "t06_contamination" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  regexp_split_to_array(trim(text), '\\s+') AS t,
+         |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 20 = 0 AS is_bench
+         | FROM documents),
+         |g AS (SELECT doc_id, is_bench,
+         |  list_distinct(list_transform(generate_series(1, len(t) - 4),
+         |    i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS gs
+         | FROM d WHERE len(t) >= 5),
+         |bench AS (SELECT DISTINCT unnest(gs) AS ng FROM g WHERE is_bench),
+         |sc AS (SELECT doc_id, unnest(gs) AS ng FROM g WHERE NOT is_bench)
+         |SELECT doc_id,
+         | count(*) AS n_ngrams,
+         | CAST(sum(CASE WHEN ng IN (SELECT ng FROM bench) THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         | CAST(sum(CASE WHEN ng IN (SELECT ng FROM bench) THEN 1 ELSE 0 END) AS DOUBLE)
+         |   / count(*) AS contamination
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t07_quality_signals" ->
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS n_chars,
+         |  length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+         |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         |  length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+         |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+         |    / len(regexp_split_to_array(trim(text), '\\s+')) AS mean_word_len,
+         |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+         | FROM documents),
+         |r AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         |  CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+         |  CAST(n_digit AS DOUBLE) / n_chars AS digit_ratio,
+         |  CAST(n_upper AS DOUBLE) / n_chars AS upper_ratio,
+         |  mean_word_len, n_lines FROM d)
+         |SELECT doc_id, n_chars, punct_ratio, digit_ratio, upper_ratio,
+         | mean_word_len, n_lines,
+         | (CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 0.25 ELSE 0.0 END
+         |  + CASE WHEN punct_ratio < 0.1 THEN 0.25 ELSE 0.0 END
+         |  + CASE WHEN digit_ratio < 0.2 THEN 0.25 ELSE 0.0 END
+         |  + CASE WHEN mean_word_len BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0.0 END) AS quality_v2
+         |FROM r ORDER BY doc_id""".stripMargin)
 }
