@@ -11,12 +11,12 @@ object SparkEntry {
     Relational.queries ++ Scalars.queries ++ Advanced.queries ++ SqlSurface.queries ++ Medallion.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       AsOf.queries ++ Multimodal.queries ++ graft.streaming.Streams.queries ++
-      Extras.queries
+      Extras.queries ++ Sources.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Scalars.oracles ++ Advanced.oracles ++ SqlSurface.oracles ++ Medallion.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       AsOf.oracles ++ Multimodal.oracles ++ graft.streaming.Streams.oracles ++
-      Extras.oracles
+      Extras.oracles ++ Sources.oracles
 }
