@@ -288,6 +288,46 @@ object Graft {
     labels.select(col("id"), col("label").as("component"))
   }
 
+  /** The full near-duplicate removal pipeline, end to end — the composition
+    * a training-data pipeline actually runs over a raw corpus:
+    *
+    *  1. exact dedup: keep the least id per content hash;
+    *  2. MinHash signatures + LSH banding over the survivors
+    *     ([[minhashSignatures]], [[nearDupPairs]]);
+    *  3. exact n-gram Jaccard verification of the candidates
+    *     ([[jaccardVerify]]), keeping pairs with J >= `jaccardThreshold`;
+    *  4. connected components over the verified edges
+    *     ([[connectedComponents]]): every cluster keeps its least id.
+    *
+    * Returns the RETAINED rows of `df` (all original columns). The
+    * survivor frame is persisted MEMORY_ONLY internally (three consumers:
+    * signatures, verify, final anti-join) — fully LRU-evictable, same
+    * lifecycle stance as [[jaccardVerify]]'s internal pair persist.
+    *
+    * `id` rows must be unique per row of `df` (it is the dedup key);
+    * signature generation uses the unique-id fast path on the exact-dedup
+    * survivors, so steps 2-3 are narrow up to the band-bucket shuffles. */
+  def dedupCorpus(df: DataFrame, id: Column, text: Column,
+                  numHashes: Int = 8, shingle: Int = 5, seed: Long = 777L,
+                  bands: Int = 4, rowsPerBand: Int = 2, minAgreement: Int = 4,
+                  jaccardThreshold: Double = 0.5): DataFrame = {
+    val keyed = df.withColumn("__dedup_id", id)
+    val exactKeepers = keyed.groupBy(md5(text).as("__h"))
+      .agg(min(col("__dedup_id")).as("__dedup_id"))
+    val uniq = keyed
+      .join(exactKeepers.select(col("__dedup_id")), Seq("__dedup_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val sigs = minhashSignatures(uniq, col("__dedup_id"), text,
+      numHashes, shingle, seed, assumeUniqueIds = true)
+    val pairs = nearDupPairs(sigs, bands, rowsPerBand, minAgreement)
+    val edges = jaccardVerify(uniq, col("__dedup_id"), text, pairs, shingle)
+      .where(col("jaccard") >= jaccardThreshold)
+    val drop = connectedComponents(edges, col("id_a"), col("id_b"))
+      .where(col("id") =!= col("component"))
+      .select(col("id").as("__dedup_id"))
+    uniq.join(drop, Seq("__dedup_id"), "left_anti").drop("__dedup_id")
+  }
+
   // ----------------------------------------------------------- similarity
 
   /** Exact cosine top-k: for each row of `queries` (id, vector), the k
@@ -365,22 +405,25 @@ object Graft {
     * no corpus shuffle beyond the final groupBy. Callers whose "benchmark"
     * is itself corpus-scale should not use this operator (that problem is
     * [[jaccardVerify]]-shaped, not a membership scan). */
+  /** All word `n`-grams of a whitespace-tokenized string, as an array
+    * expression; empty for strings with fewer than `n` tokens. The guard
+    * lives INSIDE the expression, not just in caller filters: sequence(1, 0)
+    * steps BACKWARD in Spark ([1, 0]), it is not empty. */
+  private def wordGrams(c: Column, n: Int): Column = {
+    val toks = split(trim(c), "\\s+")
+    when(size(toks) < n, array().cast(ArrayType(StringType)))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
   def contamination(corpus: DataFrame, id: Column, text: Column,
                     benchmark: DataFrame, benchText: Column,
                     n: Int = 5): DataFrame = {
-    def grams(c: Column): Column = {
-      val toks = split(trim(c), "\\s+")
-      // guard inside the expression, not just the filter: sequence(1, 0)
-      // steps BACKWARD in Spark ([1, 0]), it is not empty
-      when(size(toks) < n, array().cast(ArrayType(StringType)))
-        .otherwise(array_distinct(transform(
-          sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n))))))
-    }
     val corpusG = fanOut(corpus.select(id.as("id"), text.as("__t")))
-      .select(col("id"), explode(grams(col("__t"))).as("ng"))
+      .select(col("id"), explode(array_distinct(wordGrams(col("__t"), n))).as("ng"))
     val benchG = benchmark.select(benchText.as("__t"))
-      .select(explode(grams(col("__t"))).as("ng")).distinct()
+      .select(explode(wordGrams(col("__t"), n)).as("ng")).distinct()
     corpusG
       .join(broadcast(benchG.withColumn("__hit", lit(1L))), Seq("ng"), "left")
       .groupBy(col("id"))
@@ -388,6 +431,30 @@ object Graft {
         sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
       .withColumn("contamination",
         col("n_hits").cast(DoubleType) / col("n_ngrams"))
+  }
+
+  /** Within-document repetition statistics over word `n`-grams — the
+    * repetition family of corpus quality filters (the "duplicate n-gram
+    * fraction" rules of large-scale text cleaning): per id, the total and
+    * distinct n-gram counts, the highest single n-gram frequency, and
+    * `dup_ngram_frac` = 1 - distinct/total (0 = no repetition, -> 1 as one
+    * phrase dominates). Rows with fewer than `n` tokens have no n-grams and
+    * are dropped.
+    *
+    * Two narrow-keyed shuffles — (id, ngram) counts, then per-id rollup —
+    * both partially aggregated map-side; nothing is quadratic and no
+    * global structure is built, so the pass scales like a word count. */
+  def repetitionStats(df: DataFrame, id: Column, text: Column,
+                      n: Int = 2): DataFrame = {
+    fanOut(df.select(id.as("id"), text.as("__t")))
+      .select(col("id"), explode(wordGrams(col("__t"), n)).as("ng"))
+      .groupBy(col("id"), col("ng")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("id"))
+      .agg(sum(col("cnt")).as("n_ngrams"),
+        count(lit(1)).as("n_distinct_ngrams"),
+        max(col("cnt")).as("max_ngram_count"))
+      .withColumn("dup_ngram_frac",
+        lit(1.0) - col("n_distinct_ngrams").cast(DoubleType) / col("n_ngrams"))
   }
 
   /** Character-class quality signals appended to the input frame — the

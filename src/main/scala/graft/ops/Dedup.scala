@@ -138,28 +138,14 @@ object Dedup {
     * (3) exact n-gram Jaccard verification (>= 0.5) turns candidates into
     * edges; (4) connected components make transitive keep/drop decisions
     * (each cluster keeps its least doc_id). Output: the retained corpus.
-    * Every stage is the oracle-verified operator from d01/d02/d03/d06;
-    * this query pins their composition. */
+    * Thin binding of [[graft.api.Graft.dedupCorpus]]; every stage is the
+    * oracle-verified operator from d01/d02/d03/d06 and this query pins
+    * their composition. */
   def d07DedupPipeline(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.load(s, dir, "documents")
-    val exactKeepers = docs.groupBy(md5($"text").as("h"))
-      .agg(min($"doc_id").as("doc_id"))
-    // The survivor frame feeds THREE consumers (signature pass, the verify
-    // stage's shingle-set side, and the final keep/drop anti-join) — persist
-    // it once instead of re-running the scan + hash-agg + semi-join per
-    // consumer. MEMORY_ONLY: fully LRU-evictable, same lifecycle stance as
-    // jaccardVerify's internal pair persist.
-    val uniq = docs.join(exactKeepers.select($"doc_id"), Seq("doc_id"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    val sigs = graft.api.Graft.minhashSignatures(uniq, $"doc_id", $"text",
-      assumeUniqueIds = true) // exact-dedup survivors keep key uniqueness
-    val pairs = graft.api.Graft.nearDupPairs(sigs, minAgreement = JaccardBandThreshold)
-    val edges = graft.api.Graft.jaccardVerify(uniq, $"doc_id", $"text", pairs)
-      .where($"jaccard" >= 0.5)
-    val drop = graft.api.Graft.connectedComponents(edges, $"id_a", $"id_b")
-      .where($"id" =!= $"component").select($"id".as("doc_id"))
-    uniq.join(drop, Seq("doc_id"), "left_anti")
+    graft.api.Graft.dedupCorpus(
+      Tables.load(s, dir, "documents"), $"doc_id", $"text",
+      minAgreement = JaccardBandThreshold)
       .select($"doc_id", $"lang", $"source", $"n_chars")
       .orderBy($"doc_id")
   }

@@ -49,19 +49,10 @@ class GraftApiSpec extends AnyFunSuite {
       (5L, other),
       (6L, "completely different words entirely unrelated content here")
     ).toDF("doc_id", "text")
-    // exact stage: least doc_id per content hash
-    val exactKeepers = docs.groupBy(md5($"text").as("h"))
-      .agg(min($"doc_id").as("doc_id")).select($"doc_id")
-    val uniq = docs.join(exactKeepers, Seq("doc_id"), "left_semi")
-    // near-dup stage over survivors; transitive closure; keep cluster minima
-    val sigs = Graft.minhashSignatures(uniq, $"doc_id", $"text")
-    val pairs = Graft.nearDupPairs(sigs, minAgreement = 4)
-    val edges = Graft.jaccardVerify(uniq, $"doc_id", $"text", pairs)
-      .where($"jaccard" >= 0.5)
-    val drop = Graft.connectedComponents(edges, $"id_a", $"id_b")
-      .where($"id" =!= $"component").select($"id".as("doc_id"))
-    val retained = uniq.join(drop, Seq("doc_id"), "left_anti")
-      .select($"doc_id").as[Long].collect().toSet
+    val out = Graft.dedupCorpus(docs, $"doc_id", $"text")
+    // the retained frame keeps the ORIGINAL columns, no helper residue
+    assert(out.columns.toSeq == Seq("doc_id", "text"), out.columns.toSeq)
+    val retained = out.select($"doc_id").as[Long].collect().toSet
     // 5 dropped by exact dedup; 2,3 dropped as near-dups of 1
     assert(retained == Set(1L, 4L, 6L), retained.toString)
   }
