@@ -145,6 +145,25 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t08: within-document repetition filter — word-2-gram repetition stats
+    * plus the keep/drop flag a cleaning pipeline derives from them (docs
+    * whose duplicate-2-gram fraction exceeds 0.08 are marked repetitive —
+    * a threshold picked to exercise both branches on the low-repetition
+    * synthetic corpus; production cleaning uses stricter values).
+    * Thin binding of [[graft.api.Graft.repetitionStats]]. */
+  def t08RepetitionFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.api.Graft.repetitionStats(
+      Tables.load(s, dir, "documents"), $"doc_id", $"text")
+      .select($"id".as("doc_id"),
+        $"n_ngrams".as("n_2grams"),
+        $"n_distinct_ngrams".as("n_distinct_2grams"),
+        $"max_ngram_count".as("max_2gram_count"),
+        $"dup_ngram_frac".as("dup_2gram_frac"),
+        ($"dup_ngram_frac" > 0.08).as("is_repetitive"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> t01TextStats,
     "t02_lang_id" -> t02LangId,
@@ -152,7 +171,8 @@ object TextAnalysis {
     "t04_top_tokens" -> t04TopTokens,
     "t05_bpe_tokens" -> t05BpeTokens,
     "t06_contamination" -> t06Contamination,
-    "t07_quality_signals" -> t07QualitySignals)
+    "t07_quality_signals" -> t07QualitySignals,
+    "t08_repetition_filter" -> t08RepetitionFilter)
 
   val oracles: Map[String, String] = Map(
     "t01_text_stats" ->
@@ -239,5 +259,20 @@ object TextAnalysis {
          |  + CASE WHEN punct_ratio < 0.1 THEN 0.25 ELSE 0.0 END
          |  + CASE WHEN digit_ratio < 0.2 THEN 0.25 ELSE 0.0 END
          |  + CASE WHEN mean_word_len BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0.0 END) AS quality_v2
-         |FROM r ORDER BY doc_id""".stripMargin)
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "t08_repetition_filter" ->
+      s"""WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+         |g AS (SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS ng
+         | FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+         |       FROM d WHERE len(t) >= 2)),
+         |c AS (SELECT doc_id, ng, count(*) AS cnt FROM g GROUP BY doc_id, ng),
+         |a AS (SELECT doc_id,
+         |  CAST(sum(cnt) AS BIGINT) AS n_2grams,
+         |  count(*) AS n_distinct_2grams,
+         |  max(cnt) AS max_2gram_count,
+         |  1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS BIGINT) AS dup_2gram_frac
+         | FROM c GROUP BY doc_id)
+         |SELECT doc_id, n_2grams, n_distinct_2grams, max_2gram_count,
+         | dup_2gram_frac, dup_2gram_frac > 0.08 AS is_repetitive
+         |FROM a ORDER BY doc_id""".stripMargin)
 }
