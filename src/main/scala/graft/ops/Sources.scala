@@ -76,9 +76,30 @@ object Sources {
       .orderBy($"o_orderstatus")
   }
 
+  /** q51: ORC round-trip — supplier out through the columnar ORC sink and
+    * back (self-describing schema, no explicit re-declare needed), then a
+    * per-nation aggregate over the read-back frame. Completes the
+    * text-and-columnar source/sink matrix next to parquet (everywhere) and
+    * q49/q50. */
+  def q51OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sup = Tables.load(s, dir, "supplier")
+    val path = s"$RoundTripRoot/orc_supplier_${san(dir)}"
+    writeOnce(path) {
+      sup.write.mode("overwrite").orc(path)
+    }
+    val back = s.read.orc(path)
+    back.groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        Det.moneySum($"s_acctbal").as("total_acctbal"),
+        min($"s_name").as("first_name"))
+      .orderBy($"s_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_csv_roundtrip" -> q49CsvRoundtrip,
-    "q50_json_roundtrip" -> q50JsonRoundtrip)
+    "q50_json_roundtrip" -> q50JsonRoundtrip,
+    "q51_orc_roundtrip" -> q51OrcRoundtrip)
 
   val oracles: Map[String, String] = Map(
     "q49_csv_roundtrip" ->
@@ -94,5 +115,11 @@ object Sources {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
         | min(o_orderdate) AS first_order,
         | max(o_orderdate) AS last_order
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q51_orc_roundtrip" ->
+      """SELECT s_nationkey,
+        | count(*) AS n_suppliers,
+        | CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal,
+        | min(s_name) AS first_name
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
 }
