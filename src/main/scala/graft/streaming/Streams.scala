@@ -171,11 +171,35 @@ object Streams {
       .orderBy($"p_id")
   }
 
+  /** st05: stream-static join — the streaming side enriched by a batch
+    * dimension table (the canonical streaming-ingest enrichment: events
+    * land as a stream, reference data sits in the lakehouse). The static
+    * side is broadcast, so each micro-batch is a stateless narrow map —
+    * NO join state store at all (unlike st04's stream-stream state), which
+    * is what makes this the preferred shape whenever one side is bounded.
+    * Aggregated per market segment in complete mode; oracle is the batch
+    * equi-join. */
+  def st05StreamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.load(s, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment")
+    val agg = eventsStream(s, dir)
+      .join(broadcast(cust), $"user_id" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast(DecimalType(12, 2))).cast(DoubleType).as("total_value"),
+        // distinct aggregates are unsupported on streams; max is the
+        // stand-in "reach" stat that stays incrementally computable
+        max($"user_id").as("max_user_id"))
+    runToCompletion(agg, "complete").orderBy($"c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_tumbling_agg" -> st01TumblingAgg,
     "st02_stream_dedup" -> st02StreamDedup,
     "st03_stateful_sessions" -> st03StatefulSessions,
-    "st04_stream_stream_join" -> st04StreamStreamJoin)
+    "st04_stream_stream_join" -> st04StreamStreamJoin,
+    "st05_stream_static_join" -> st05StreamStaticJoin)
 
   val oracles: Map[String, String] = Map(
     "st01_stream_tumbling_agg" ->
@@ -216,5 +240,13 @@ object Streams {
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         | FROM e)
         |SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
-        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the finite stream-static join == the batch equi-join
+    "st05_stream_static_join" ->
+      """SELECT c_mktsegment,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        | max(user_id) AS max_user_id
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
 }
