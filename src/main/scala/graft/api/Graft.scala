@@ -330,6 +330,65 @@ object Graft {
 
   // ----------------------------------------------------------- similarity
 
+  /** Deterministic pseudo-random hyperplanes for sign-bit LSH — seeded,
+    * engine-independent (plain Scala, 3-decimal rounding) so the SAME
+    * constants can be folded into an oracle's SQL; the single source of
+    * truth shared by the ANN and near-dup bucketing operators. */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)(
+      math.rint(rng.nextGaussian() * 1000) / 1000.0))
+  }
+
+  /** Embedding near-duplicate pairs, LSH-bucketed — the scale path over an
+    * all-pairs exact baseline: random-hyperplane sign bits bucket the
+    * vectors into `numTables` tables of 2^`bitsPerBucket` buckets,
+    * candidate pairs form only INSIDE a (table, bucket) group (a bucket-key
+    * equi-join, never all-pairs), and only candidates get the exact cosine
+    * re-rank. Output: the global top-`topN` candidate pairs by cosine as
+    * (vec_a, vec_b, rank) — rank-only, no float column, so results are
+    * engine-portable. Zero-norm/too-short vectors never pair (their cosine
+    * is undefined); recall < 1 by design (that is the LSH trade).
+    *
+    * At 100 TB: cost is sum over buckets of bucket_size^2 (bits per bucket
+    * is the skew lever), the cross-table dedup is one exchange on the pair
+    * key, and the global top-N reduces partially per partition
+    * (TakeOrdered) — no stage materializes the quadratic pair space. */
+  def embeddingNearDupPairs(df: DataFrame, id: Column, vec: Column, dim: Int,
+                            numTables: Int = 4, bitsPerBucket: Int = 8,
+                            seed: Long = 20260812L, topN: Int = 50): DataFrame = {
+    val planes = hyperplanes(numTables * bitsPerBucket, dim, seed)
+    val dot = VectorFunctions.dotF64 _
+    def bucketKey(v: Column, t: Int): Column =
+      (0 until bitsPerBucket).map { b =>
+        val planeCol = array(planes(t * bitsPerBucket + b).map(lit(_)): _*)
+        when(dot(v, planeCol) >= 0, lit(1 << b)).otherwise(lit(0))
+      }.reduce(_ + _)
+    val all = df.select(id.as("vec_id"),
+        transform(vec, x => x.cast(DoubleType)).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .where(col("nrm") > 0)
+    val buckets = (0 until numTables).map { t =>
+      all.select(col("vec_id"), col("v"), col("nrm"), lit(t).as("tbl"),
+        bucketKey(col("v"), t).as("bkt"))
+    }.reduce(_ union _)
+    val a = buckets.toDF("vec_a", "va", "na", "tbl", "bkt")
+    val b = buckets.toDF("vec_b", "vb", "nb", "tbl", "bkt")
+    // a pair colliding in several tables must score once: distinct on the
+    // pair (vectors ride along — bit-identical copies of the same source
+    // rows, so they never split a pair into two groups)
+    val cand = a.join(b, Seq("tbl", "bkt")).where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("va"), col("na"),
+        col("vec_b"), col("vb"), col("nb")).distinct()
+    val cs = dot(col("va"), col("vb")) / (col("na") * col("nb"))
+    cand.select(col("vec_a"), col("vec_b"), cs.as("cs"))
+      .orderBy(col("cs").desc, col("vec_a"), col("vec_b")).limit(topN)
+      .select(col("vec_a"), col("vec_b"),
+        row_number().over(Window.orderBy(col("cs").desc, col("vec_a"), col("vec_b")))
+          .cast(LongType).as("rank"))
+      .orderBy(col("rank"))
+  }
+
   /** Exact cosine top-k: for each row of `queries` (id, vector), the k
     * nearest corpus rows by cosine. Queries are broadcast; the corpus
     * streams with no shuffle; reduction is the partial top-k aggregator.

@@ -39,12 +39,11 @@ object Similarity {
   private def norm(v: Column): Column = sqrt(dot(v, v))
 
   /** Deterministic pseudo-random hyperplanes (seeded, engine-independent —
-    * plain Scala so the same constants are embedded in the oracle SQL). */
-  private[ops] lazy val hyperplanes: Array[Array[Double]] = {
-    val rng = new scala.util.Random(20260812L)
-    Array.fill(NumTables * BitsPerTable)(Array.fill(Dim)(
-      math.rint(rng.nextGaussian() * 1000) / 1000.0))
-  }
+    * plain Scala so the same constants are embedded in the oracle SQL).
+    * Delegates to [[graft.api.Graft.hyperplanes]], the single source of
+    * truth these gates and the API operators share. */
+  private[ops] lazy val hyperplanes: Array[Array[Double]] =
+    graft.api.Graft.hyperplanes(NumTables * BitsPerTable, Dim, 20260812L)
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
@@ -169,25 +168,10 @@ object Similarity {
     * pair space. */
   def d08EmbeddingLshPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val all = corpus(s, dir).select($"vec_id", $"v", norm($"v").as("nrm"))
-    val buckets = (0 until NumTables).map { t =>
-      all.select($"vec_id", $"v", $"nrm", lit(t).as("tbl"),
-        bucketKey($"v", t).as("bkt"))
-    }.reduce(_ union _)
-    val a = buckets.toDF("vec_a", "va", "na", "tbl", "bkt")
-    val b = buckets.toDF("vec_b", "vb", "nb", "tbl", "bkt")
-    // a pair colliding in several tables must score once: distinct on the
-    // pair (vectors ride along — bit-identical copies of the same source
-    // rows, so they never split a pair into two groups)
-    val cand = a.join(b, Seq("tbl", "bkt")).where($"vec_a" < $"vec_b")
-      .select($"vec_a", $"va", $"na", $"vec_b", $"vb", $"nb").distinct()
-    val cs = dot($"va", $"vb") / ($"na" * $"nb")
-    cand.select($"vec_a", $"vec_b", cs.as("cs"))
-      .orderBy($"cs".desc, $"vec_a", $"vec_b").limit(PairTopN)
-      .select($"vec_a", $"vec_b",
-        row_number().over(Window.orderBy($"cs".desc, $"vec_a", $"vec_b"))
-          .cast(LongType).as("rank"))
-      .orderBy($"rank")
+    graft.api.Graft.embeddingNearDupPairs(
+      Tables.load(s, dir, "embeddings"), $"vec_id", $"embedding",
+      dim = Dim, numTables = NumTables, bitsPerBucket = BitsPerTable,
+      topN = PairTopN)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
