@@ -151,4 +151,66 @@ class GraftApiSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(cc.size == 17 && cc.values.forall(_ == 1L), s"got $cc")
   }
+
+  test("contamination is 1.0 for a benchmark copy, 0 for unrelated text") {
+    import spark.implicits._
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, benchText), // verbatim benchmark leak
+      (2L, "one two three four five six seven eight nine"), // clean
+      (3L, "tiny") // < n tokens: dropped
+    ).toDF("k", "body")
+    val bench = Seq(Tuple1(benchText)).toDF("btext")
+    val out = Graft.contamination(corpus, $"k", $"body", bench, $"btext")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L), out.toSeq)
+    assert(out(0)._4 == 1.0 && out(1)._4 == 0.0, out.toSeq)
+  }
+
+  test("repetitionStats separates a repeated phrase from distinct text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"), // one repeated 2-gram
+      (2L, "every word here is fully unique") // all distinct 2-grams
+    ).toDF("k", "body")
+    val out = Graft.repetitionStats(df, $"k", $"body")
+      .select($"id", $"dup_ngram_frac", $"max_ngram_count")
+      .as[(Long, Double, Long)].collect().sortBy(_._1)
+    // doc 1: 5 2-grams, 1 distinct -> frac 0.8, mode count 5
+    assert(out(0)._2 == 0.8 && out(0)._3 == 5L, out.toSeq)
+    assert(out(1)._2 == 0.0 && out(1)._3 == 1L, out.toSeq)
+  }
+
+  test("qualitySignals computes char-class ratios on a crafted string") {
+    import spark.implicits._
+    // 20 chars: 2 punct, 3 digits, 1 upper; 5 words, no newline
+    val s0 = "Ab cd, ef! 123 ghijk"
+    val df = Seq(Tuple1(s0)).toDF("body")
+    val r = Graft.qualitySignals(df, $"body")
+      .select($"n_chars", $"punct_ratio", $"digit_ratio", $"upper_ratio",
+        $"n_lines")
+      .head()
+    assert(r.getLong(0) == 20L)
+    assert(r.getDouble(1) == 2.0 / 20 && r.getDouble(2) == 3.0 / 20 &&
+      r.getDouble(3) == 1.0 / 20, r.toString)
+    assert(r.getLong(4) == 1L)
+  }
+
+  test("embeddingNearDupPairs ranks a planted identical-direction pair first") {
+    import spark.implicits._
+    val dim = 4
+    // 100, 101 point the same way (cosine 1); the rest are axis-aligned
+    val rows = Seq(
+      (100L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+      (101L, Seq(2.0f, 4.0f, 6.0f, 8.0f)),
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 0.0f, 0.0f)) // zero norm: must never pair
+    ).toDF("eid", "emb")
+    val out = Graft.embeddingNearDupPairs(rows, $"eid", $"emb", dim = dim,
+      numTables = 2, bitsPerBucket = 2, topN = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty && out.head == ((100L, 101L, 1L)), out.toSeq)
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L), out.toSeq)
+  }
 }
