@@ -311,6 +311,9 @@ object Graft {
                   numHashes: Int = 8, shingle: Int = 5, seed: Long = 777L,
                   bands: Int = 4, rowsPerBand: Int = 2, minAgreement: Int = 4,
                   jaccardThreshold: Double = 0.5): DataFrame = {
+    require(numHashes == bands * rowsPerBand,
+      s"numHashes ($numHashes) must equal bands * rowsPerBand " +
+        s"($bands * $rowsPerBand): banding consumes exactly the signature")
     val keyed = df.withColumn("__dedup_id", id)
     val exactKeepers = keyed.groupBy(md5(text).as("__h"))
       .agg(min(col("__dedup_id")).as("__dedup_id"))
@@ -340,6 +343,17 @@ object Graft {
       math.rint(rng.nextGaussian() * 1000) / 1000.0))
   }
 
+  /** Sign-bit LSH bucket key for hash table `table`: `bits` hyperplane
+    * sign bits packed into an int. The ONE rendering of the bucket formula
+    * (`dot >= 0` convention, bit b = 1 << b) that every Spark-side
+    * bucketing operator shares; oracle SQL renderings mirror it. */
+  def signBucketKey(v: Column, planes: Array[Array[Double]],
+                    table: Int, bits: Int): Column =
+    (0 until bits).map { b =>
+      val planeCol = array(planes(table * bits + b).map(lit(_)): _*)
+      when(VectorFunctions.dotF64(v, planeCol) >= 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+
   /** Embedding near-duplicate pairs, LSH-bucketed — the scale path over an
     * all-pairs exact baseline: random-hyperplane sign bits bucket the
     * vectors into `numTables` tables of 2^`bitsPerBucket` buckets,
@@ -347,8 +361,11 @@ object Graft {
     * equi-join, never all-pairs), and only candidates get the exact cosine
     * re-rank. Output: the global top-`topN` candidate pairs by cosine as
     * (vec_a, vec_b, rank) — rank-only, no float column, so results are
-    * engine-portable. Zero-norm/too-short vectors never pair (their cosine
-    * is undefined); recall < 1 by design (that is the LSH trade).
+    * engine-portable. Vectors that cannot have a well-defined cosine are
+    * dropped up front: zero-norm vectors AND vectors whose length differs
+    * from `dim` (a ragged vector's hyperplane dot is NULL, which would
+    * silently land every such vector in bucket 0 and emit pairs with
+    * undefined cosine); recall < 1 by design (that is the LSH trade).
     *
     * At 100 TB: cost is sum over buckets of bucket_size^2 (bits per bucket
     * is the skew lever), the cross-table dedup is one exchange on the pair
@@ -359,18 +376,14 @@ object Graft {
                             seed: Long = 20260812L, topN: Int = 50): DataFrame = {
     val planes = hyperplanes(numTables * bitsPerBucket, dim, seed)
     val dot = VectorFunctions.dotF64 _
-    def bucketKey(v: Column, t: Int): Column =
-      (0 until bitsPerBucket).map { b =>
-        val planeCol = array(planes(t * bitsPerBucket + b).map(lit(_)): _*)
-        when(dot(v, planeCol) >= 0, lit(1 << b)).otherwise(lit(0))
-      }.reduce(_ + _)
     val all = df.select(id.as("vec_id"),
         transform(vec, x => x.cast(DoubleType)).as("v"))
+      .where(size(col("v")) === dim)
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .where(col("nrm") > 0)
     val buckets = (0 until numTables).map { t =>
       all.select(col("vec_id"), col("v"), col("nrm"), lit(t).as("tbl"),
-        bucketKey(col("v"), t).as("bkt"))
+        signBucketKey(col("v"), planes, t, bitsPerBucket).as("bkt"))
     }.reduce(_ union _)
     val a = buckets.toDF("vec_a", "va", "na", "tbl", "bkt")
     val b = buckets.toDF("vec_b", "vb", "nb", "tbl", "bkt")
@@ -448,6 +461,18 @@ object Graft {
         when(stopRatio > 0.05, 0.3).otherwise(0.0))))
   }
 
+  /** All word `n`-grams of a whitespace-tokenized string, as an array
+    * expression; empty for strings with fewer than `n` tokens. The guard
+    * lives INSIDE the expression, not just in caller filters: sequence(1, 0)
+    * steps BACKWARD in Spark ([1, 0]), it is not empty. */
+  private def wordGrams(c: Column, n: Int): Column = {
+    val toks = split(trim(c), "\\s+")
+    when(size(toks) < n, array().cast(ArrayType(StringType)))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
   /** Benchmark-contamination scan: for each corpus row, how much of it
     * already appears in a benchmark/eval suite — the decontamination pass a
     * training-data pipeline runs before anything ships to training. Output:
@@ -464,18 +489,6 @@ object Graft {
     * no corpus shuffle beyond the final groupBy. Callers whose "benchmark"
     * is itself corpus-scale should not use this operator (that problem is
     * [[jaccardVerify]]-shaped, not a membership scan). */
-  /** All word `n`-grams of a whitespace-tokenized string, as an array
-    * expression; empty for strings with fewer than `n` tokens. The guard
-    * lives INSIDE the expression, not just in caller filters: sequence(1, 0)
-    * steps BACKWARD in Spark ([1, 0]), it is not empty. */
-  private def wordGrams(c: Column, n: Int): Column = {
-    val toks = split(trim(c), "\\s+")
-    when(size(toks) < n, array().cast(ArrayType(StringType)))
-      .otherwise(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
-
   def contamination(corpus: DataFrame, id: Column, text: Column,
                     benchmark: DataFrame, benchText: Column,
                     n: Int = 5): DataFrame = {

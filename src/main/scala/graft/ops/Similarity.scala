@@ -49,13 +49,11 @@ object Similarity {
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
 
-  /** Sign-bit bucket key for LSH table `t`: 8 hyperplane signs -> int. */
+  /** Sign-bit bucket key for LSH table `t`: 8 hyperplane signs -> int.
+    * Delegates to [[graft.api.Graft.signBucketKey]] — the one rendering of
+    * the bucket formula, which `bucketSql` mirrors for the oracle. */
   private def bucketKey(v: Column, t: Int): Column =
-    (0 until BitsPerTable).map { b =>
-      val plane = hyperplanes(t * BitsPerTable + b)
-      val planeCol = array(plane.map(lit(_)): _*)
-      when(dot(v, planeCol) >= 0, lit(1 << b)).otherwise(lit(0))
-    }.reduce(_ + _)
+    graft.api.Graft.signBucketKey(v, hyperplanes, t, BitsPerTable)
 
   /** s01: exact brute-force top-5 cosine neighbors for queries vec_id<10. */
   def s01BruteForceTopK(s: SparkSession, dir: String): DataFrame = {
@@ -257,8 +255,11 @@ object Similarity {
          |SELECT q_id, rank, neighbor_id FROM rk WHERE rank <= $TopK
          |ORDER BY q_id, rank""".stripMargin,
     "d08_embedding_lsh_pairs" ->
+      // unlike s01-s04, the n CTE mirrors embeddingNearDupPairs' up-front
+      // drop of ragged/zero-norm vectors (undefined cosine)
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+         |      WHERE len(v) = $Dim AND list_dot_product(v, v) > 0),
          |b AS (${(0 until NumTables).map(t =>
             s"SELECT vec_id, v, nrm, $t AS tbl, ${bucketSql(t)} AS bkt FROM n")
             .mkString(" UNION ALL ")}),

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.Tables
+import graft.{Det, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -75,7 +75,7 @@ object Streams {
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(
         count(lit(1)).as("n_events"),
-        sum($"value".cast(DecimalType(12, 2))).cast(DoubleType).as("total_value"),
+        Det.moneySum($"value").as("total_value"),
         max($"value").as("max_value"))
       .select(
         unix_timestamp($"window.start").as("window_start_s"),
@@ -187,7 +187,7 @@ object Streams {
       .join(broadcast(cust), $"user_id" === $"c_custkey")
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_events"),
-        sum($"value".cast(DecimalType(12, 2))).cast(DoubleType).as("total_value"),
+        Det.moneySum($"value").as("total_value"),
         // distinct aggregates are unsupported on streams; max is the
         // stand-in "reach" stat that stays incrementally computable
         max($"user_id").as("max_user_id"))
