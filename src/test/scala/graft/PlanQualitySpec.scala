@@ -76,6 +76,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("t06 contamination joins the benchmark n-gram set by broadcast") {
+    // the corpus side must stay narrow: the benchmark membership check is
+    // a broadcast hash join, never a corpus-wide shuffle join
+    val plan = planOf(TextAnalysis.t06Contamination(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("t08 repetition stats aggregate partially before each exchange") {
+    // (id, ngram) counts then per-id rollup: both hash aggregates must
+    // have map-side partials (4+ HashAggregate nodes across 2 exchanges)
+    val plan = planOf(TextAnalysis.t08RepetitionFilter(spark, dir))
+    assert(plan.split("HashAggregate").length - 1 >= 4, plan)
+    assert(plan.contains("hashpartitioning"), plan)
+  }
+
   test("q42 cube runs one Expand pass with partial aggregation") {
     val plan = planOf(Extras.q42Cube(spark, dir))
     assert(plan.split("\\bExpand\\b").length - 1 >= 1, plan)
