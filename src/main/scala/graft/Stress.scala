@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up stress harness (not part of the driver contract): replicates
+  * the `documents` corpus K times — each replica's text perturbed with a
+  * distinct suffix, so replicas of a document form a K-clique of NEAR
+  * duplicates (not exact ones) — then times the training-data operators on
+  * the inflated corpus and prints one JSON line.
+  *
+  * What this measures that the bench cannot:
+  *  - near-linear scaling of the narrow passes (minhash, contamination,
+  *    repetition, quality) under a 10x corpus;
+  *  - the near-dup path under HEAVY duplication: every LSH bucket holds
+  *    K-cliques, so candidate pairs grow ~K^2/2 per document — the
+  *    worst-case shape a crawl-scale dedup actually faces;
+  *  - the jaccardVerify broadcast gate FLIPPING for real: with K >= 3 the
+  *    in-pair doc count exceeds broadcastDocLimit (10 000), so the verify
+  *    stage runs its shuffled-join fallback — the 100 TB code path —
+  *    end to end, not just in a plan assertion;
+  *  - connected components over K-sized clusters (fixpoint in
+  *    ~log2(diameter) rounds regardless of K).
+  *
+  * Usage: sbt 'runMain graft.Stress [K]'   (default K=10, sf from
+  * SPARK_GRAFT_SF_DIR, default sf0.1)
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(10)
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def secs[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime()
+      val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    def mat(df: DataFrame): Long = {
+      // full materialization without driver collection
+      df.write.format("noop").mode("overwrite").save()
+      -1L
+    }
+
+    val base = Tables.load(spark, dir, "documents")
+    // replica i shifts the id space and appends a tiny distinct suffix:
+    // same shingle profile (near-dup), different content hash (not exact)
+    def inflate(n: Int): DataFrame =
+      (0 until n).map { i =>
+        base.select(
+          ($"doc_id" + lit(i.toLong * 10000000L)).as("doc_id"),
+          concat($"text", lit(s" r$i")).as("text"),
+          $"lang", $"source", $"n_chars")
+      }.reduce(_ unionByName _)
+
+    spark.range(1000).agg(sum("id")).collect() // session warmup
+
+    val results = Seq(1, k).map { n =>
+      val docs = inflate(n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val nDocs = docs.count()
+
+      val (tSig, _) = secs(mat(graft.api.Graft.minhashSignatures(
+        docs, $"doc_id", $"text", assumeUniqueIds = true)))
+
+      val sigs = graft.api.Graft.minhashSignatures(
+        docs, $"doc_id", $"text", assumeUniqueIds = true)
+      val pairs = graft.api.Graft.nearDupPairs(sigs, minAgreement = 4)
+      val (tPairs, nPairs) = secs(pairs.count())
+
+      val (tVerify, nEdges) = secs(
+        graft.api.Graft.jaccardVerify(docs, $"doc_id", $"text", pairs)
+          .where($"jaccard" >= 0.5).count())
+
+      val (tDedup, nKept) = secs(
+        graft.api.Graft.dedupCorpus(docs, $"doc_id", $"text").count())
+
+      val bench = docs.where(
+        conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+          .cast("long") % 20 === 0)
+      val (tContam, _) = secs(mat(graft.api.Graft.contamination(
+        docs, $"doc_id", $"text", bench, $"text")))
+
+      val (tRep, _) = secs(mat(graft.api.Graft.repetitionStats(
+        docs, $"doc_id", $"text")))
+
+      docs.unpersist()
+      f"""{"k":$n,"n_docs":$nDocs,"sig_s":$tSig%.2f,"pairs_s":$tPairs%.2f,"n_pairs":$nPairs,"verify_s":$tVerify%.2f,"n_edges":$nEdges,"dedup_s":$tDedup%.2f,"n_kept":$nKept,"contam_s":$tContam%.2f,"repetition_s":$tRep%.2f}"""
+    }
+    println(s"""{"stress":[${results.mkString(",")}],"sf":"$dir"}""")
+    spark.stop()
+  }
+}
