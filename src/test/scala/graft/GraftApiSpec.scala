@@ -152,6 +152,15 @@ class GraftApiSpec extends AnyFunSuite {
     assert(cc.size == 17 && cc.values.forall(_ == 1L), s"got $cc")
   }
 
+  test("dedupCorpus rejects a signature/banding mismatch loudly") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Graft.dedupCorpus(df, $"doc_id", $"text", numHashes = 16)
+    }
+    assert(e.getMessage.contains("bands * rowsPerBand"), e.getMessage)
+  }
+
   test("contamination is 1.0 for a benchmark copy, 0 for unrelated text") {
     import spark.implicits._
     val benchText = "alpha beta gamma delta epsilon zeta eta theta"
