@@ -99,14 +99,44 @@ object SqlSurface {
       .orderBy($"k", $"first_order")
   }
 
+  /** q52: recursive CTE (Spark 4's WITH RECURSIVE) — a hierarchy walk over
+    * a binary tree derived from the nation keys (parent = key div 2): each
+    * node reports its depth and the path length back to the root. The
+    * iterative-closure operator family (what d06's connected components do
+    * programmatically) expressed declaratively through the SQL entry;
+    * recursion depth is log2(|nation|), each step a self-join the optimizer
+    * plans like any other. */
+  def q52RecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "nation").createOrReplaceTempView("nation")
+    s.sql(
+      """WITH RECURSIVE tree AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
+        |  FROM nation WHERE n_nationkey = 0
+        |  UNION ALL
+        |  SELECT CAST(n.n_nationkey AS BIGINT), t.depth + CAST(1 AS BIGINT)
+        |  FROM nation n JOIN tree t ON (n.n_nationkey div 2) = t.node
+        |  WHERE n.n_nationkey > 0)
+        |SELECT node, depth FROM tree ORDER BY node""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_interval_join" -> q34IntervalJoin,
     "q30_scalar_subquery" -> q30ScalarSubquery,
     "q31_rank_funcs" -> q31RankFuncs,
     "q32_unpivot" -> q32Unpivot,
-    "q33_setops_all" -> q33SetOpsAll)
+    "q33_setops_all" -> q33SetOpsAll,
+    "q52_recursive_cte" -> q52RecursiveCte)
 
   val oracles: Map[String, String] = Map(
+    "q52_recursive_cte" ->
+      """WITH RECURSIVE tree AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
+        |  FROM nation WHERE n_nationkey = 0
+        |  UNION ALL
+        |  SELECT CAST(n.n_nationkey AS BIGINT), t.depth + 1
+        |  FROM nation n JOIN tree t ON (n.n_nationkey // 2) = t.node
+        |  WHERE n.n_nationkey > 0)
+        |SELECT node, depth FROM tree ORDER BY node""".stripMargin,
     "q34_interval_join" ->
       """WITH o AS (SELECT o_custkey AS k, o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
         |SELECT a.k, a.o_orderkey AS first_order,
