@@ -137,6 +137,39 @@ object Extras {
       .orderBy($"event_id")
   }
 
+  /** q53: Z-order layout clustering — the data-layout optimization behind
+    * multi-dimensional scan pruning (the OPTIMIZE ZORDER BY idiom): both
+    * cluster keys' bits interleave into one z-value, rows sort by it, and
+    * each resulting file group covers a TIGHT bounding box in (x, y) space,
+    * so a predicate on either dimension prunes most files. The gate
+    * computes 8-bit-interleaved z-values over (user bucket, value bucket),
+    * splits the z-order into 16 groups, and reports each group's bounding
+    * box — the pruning effectiveness a table optimizer would act on. Pure
+    * bit arithmetic, identical in any engine.
+    *
+    * At scale the grouping is `repartitionByRange` on the z-value + one
+    * file per partition (sampled boundaries, so not oracle-able bit-exact —
+    * the gate's ntile over a total order is the deterministic stand-in). */
+  def q53ZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val x = ($"user_id" % 256).cast(IntegerType)
+    val y = (floor($"value").cast(IntegerType) % 256)
+    val z = (0 until 8).map(i =>
+      shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1))
+      .reduce(_ + _).cast(LongType)
+    Tables.load(s, dir, "events")
+      .select($"event_id", x.as("x"), y.as("y"), z.as("z"))
+      .withColumn("zgroup",
+        ntile(16).over(Window.orderBy($"z", $"event_id")).cast(LongType))
+      .groupBy($"zgroup")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"x").as("min_x"), max($"x").as("max_x"),
+        min($"y").as("min_y"), max($"y").as("max_y"))
+      .orderBy($"zgroup")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_cube" -> q42Cube,
     "q43_window_nav" -> q43WindowNav,
@@ -144,9 +177,27 @@ object Extras {
     "q45_variant_json" -> q45Variant,
     "q46_try_funcs" -> q46TryFuncs,
     "q47_bitwise" -> q47Bitwise,
-    "q48_string_agg" -> q48StringAgg)
+    "q48_string_agg" -> q48StringAgg,
+    "q53_zorder_layout" -> q53ZorderLayout)
 
   val oracles: Map[String, String] = Map(
+    "q53_zorder_layout" -> {
+      val zExpr = (0 until 8).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT event_id,
+         | CAST(user_id % 256 AS INTEGER) AS x,
+         | CAST(floor(value) AS INTEGER) % 256 AS y
+         | FROM events),
+         |z AS (SELECT event_id, x, y, CAST($zExpr AS BIGINT) AS z FROM b),
+         |g AS (SELECT x, y,
+         | CAST(ntile(16) OVER (ORDER BY z, event_id) AS BIGINT) AS zgroup
+         | FROM z)
+         |SELECT zgroup, count(*) AS n_rows,
+         | min(x) AS min_x, max(x) AS max_x,
+         | min(y) AS min_y, max(y) AS max_y
+         |FROM g GROUP BY zgroup ORDER BY zgroup""".stripMargin
+    },
     "q48_string_agg" ->
       """SELECT s_nationkey,
         | string_agg(s_name, ',' ORDER BY s_name) AS names,
