@@ -333,6 +333,22 @@ object Graft {
 
   // ----------------------------------------------------------- similarity
 
+  /** Z-order (Morton) value of two non-negative cluster keys: the low
+    * `bits` bits of `x` and `y` interleaved (x on even positions). Sorting
+    * or range-partitioning by this value co-locates rows that are close in
+    * BOTH dimensions, so each written file covers a tight (x, y) bounding
+    * box and predicates on either column prune most files — the OPTIMIZE
+    * ZORDER BY layout idiom, as a pure codegen'd bit expression. */
+  def zorderValue(x: Column, y: Column, bits: Int = 8): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val xi = x.cast(IntegerType)
+    val yi = y.cast(IntegerType)
+    (0 until bits).map(i =>
+      shiftleft(shiftright(xi, i).bitwiseAND(1), 2 * i) +
+        shiftleft(shiftright(yi, i).bitwiseAND(1), 2 * i + 1))
+      .reduce(_ + _).cast(LongType)
+  }
+
   /** Deterministic pseudo-random hyperplanes for sign-bit LSH — seeded,
     * engine-independent (plain Scala, 3-decimal rounding) so the SAME
     * constants can be folded into an oracle's SQL; the single source of

@@ -155,10 +155,7 @@ object Extras {
     import org.apache.spark.sql.expressions.Window
     val x = ($"user_id" % 256).cast(IntegerType)
     val y = (floor($"value").cast(IntegerType) % 256)
-    val z = (0 until 8).map(i =>
-      shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i) +
-        shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1))
-      .reduce(_ + _).cast(LongType)
+    val z = graft.api.Graft.zorderValue(x, y)
     Tables.load(s, dir, "events")
       .select($"event_id", x.as("x"), y.as("y"), z.as("z"))
       .withColumn("zgroup",
