@@ -1,0 +1,79 @@
+package graft
+
+import graft.api.Graft
+import graft.functions.SortedSetOverlap
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the custom expressions: SortedSetOverlap's merge
+  * counts must equal reference Set arithmetic on arbitrary inputs under
+  * its sorted-distinct contract, and zorderValue must be exactly
+  * de-interleavable (each input's low bits recoverable from the z-value).
+  * All samples evaluate in ONE Spark pass per property.
+  */
+class ExpressionPropertiesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def samples[A](g: Gen[A], n: Int = 300): Seq[A] =
+    Iterator.from(0)
+      .flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+      .take(n).toSeq
+
+  test("SortedSetOverlap equals Set intersection/union cardinalities") {
+    import spark.implicits._
+    val token: Gen[String] = Gen.choose(0, 400).map(i => f"t$i%03d")
+    val pair: Gen[(Seq[String], Seq[String])] = for {
+      a <- Gen.listOf(token)
+      b <- Gen.listOf(token)
+    } yield (a.distinct.sorted, b.distinct.sorted)
+    val cases = samples(pair, 400) :+
+      ((Seq.empty[String], Seq.empty[String])) :+ // both empty
+      ((Seq("x"), Seq.empty[String]))             // one empty
+    val expected = cases.map { case (a, b) =>
+      val (sa, sb) = (a.toSet, b.toSet)
+      (a, b, (sa & sb).size.toLong, (sa | sb).size.toLong)
+    }
+    val df = expected.toDF("a", "b", "exp_inter", "exp_union")
+      .withColumn("got", SortedSetOverlap.overlap(col("a"), col("b")))
+    val bad = df.where(
+      col("got.n_inter") =!= col("exp_inter") ||
+        col("got.n_union") =!= col("exp_union"))
+    assert(bad.isEmpty, bad.collect().mkString("\n"))
+  }
+
+  test("zorderValue de-interleaves back to each input's low bits") {
+    import spark.implicits._
+    val bits = 8
+    val xy: Gen[(Int, Int)] = for {
+      x <- Gen.choose(0, 1 << 16) // wider than bits: high bits must drop
+      y <- Gen.choose(0, 1 << 16)
+    } yield (x, y)
+    val cases = samples(xy, 500) :+ ((0, 0)) :+ ((255, 255))
+    // reference de-interleave in plain Scala
+    def deinterleave(z: Long): (Int, Int) = {
+      var (x, y, i) = (0, 0, 0)
+      while (i < bits) {
+        x |= (((z >> (2 * i)) & 1L) << i).toInt
+        y |= (((z >> (2 * i + 1)) & 1L) << i).toInt
+        i += 1
+      }
+      (x, y)
+    }
+    val got = cases.toDF("x", "y")
+      .withColumn("z", Graft.zorderValue(col("x"), col("y"), bits))
+      .select("x", "y", "z").as[(Int, Int, Long)].collect()
+    got.foreach { case (x, y, z) =>
+      assert(z >= 0 && z < (1L << (2 * bits)), s"z=$z out of range")
+      val (dx, dy) = deinterleave(z)
+      assert(dx == (x & ((1 << bits) - 1)) && dy == (y & ((1 << bits) - 1)),
+        s"($x, $y) -> z=$z -> ($dx, $dy)")
+    }
+  }
+}
