@@ -418,6 +418,99 @@ object Graft {
       .orderBy(col("rank"))
   }
 
+  /** LSH-bucketed approximate cosine top-k: corpus and queries bucket by
+    * the same seeded random-hyperplane sign bits across `numTables` hash
+    * tables; each query scores only the corpus rows sharing one of its
+    * buckets (multi-probe over the tables), then exact cosine re-ranks the
+    * candidates. Output: (q_id, rank, neighbor_id). Recall < 1 by design.
+    *
+    * Scale shape: the bucketed query side is broadcast, the candidate join
+    * is an equi-join on (table, bucket) — the corpus never shuffles on
+    * anything wider than its bucket key, and no stage is all-pairs. */
+  def annTopKLsh(corpus: DataFrame, id: Column, vec: Column,
+                 queries: DataFrame, qId: Column, qVec: Column, dim: Int,
+                 k: Int = 5, numTables: Int = 4, bitsPerBucket: Int = 8,
+                 seed: Long = 20260812L, excludeSelf: Boolean = true): DataFrame = {
+    val planes = hyperplanes(numTables * bitsPerBucket, dim, seed)
+    val dot = VectorFunctions.dotF64 _
+    def d(c: Column) = transform(c, x => x.cast(DoubleType))
+    def bucketed(df: DataFrame, vecCol: String): DataFrame =
+      (0 until numTables).map { t =>
+        df.withColumn("tbl", lit(t))
+          .withColumn("bkt", signBucketKey(col(vecCol), planes, t, bitsPerBucket))
+      }.reduce(_ union _)
+    val all = corpus.select(id.as("vec_id"), d(vec).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val q0 = queries.select(qId.as("q_id"), d(qVec).as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val cB = bucketed(all, "v")
+    val qB = bucketed(q0, "qv")
+    val cs = dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
+    val joinFilter =
+      if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cs").desc, col("neighbor_id"))
+    broadcast(qB).join(cB, Seq("tbl", "bkt"))
+      .where(joinFilter)
+      .select(col("q_id"), col("vec_id"), col("v"), col("nrm"),
+        col("qv"), col("qn")).distinct()
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), cs.as("cs"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** IVF-style approximate cosine top-k: `centroids` coarse-quantize the
+    * corpus (every vector assigns to its max-cosine centroid in one
+    * broadcast pass); each query probes only its `nProbe` best cells and
+    * exactly re-ranks that candidate subset. Output: (q_id, rank,
+    * neighbor_id). Centroid training is the caller's choice (k-means at
+    * scale, any deterministic subset for reproducibility) — training moves
+    * recall, not the dataflow.
+    *
+    * Scale shape: the corpus is scanned once for assignment, search
+    * touches nProbe/|centroids| of it, and the candidate join shuffles on
+    * the cell id with the probe side broadcast. */
+  def annTopKIvf(corpus: DataFrame, id: Column, vec: Column,
+                 queries: DataFrame, qId: Column, qVec: Column,
+                 centroids: DataFrame, cId: Column, cVec: Column,
+                 k: Int = 5, nProbe: Int = 4,
+                 excludeSelf: Boolean = true): DataFrame = {
+    val dot = VectorFunctions.dotF64 _
+    def d(c: Column) = transform(c, x => x.cast(DoubleType))
+    val cents = centroids.select(cId.as("c_id"), d(cVec).as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    def ranked(df: DataFrame, idc: String, vc: String, nc: String): DataFrame = {
+      val aff = dot(col(vc), col("cv")) / (col(nc) * col("cn"))
+      val byAffinity = Window.partitionBy(col(idc))
+        .orderBy(col("c_cs").desc, col("c_id"))
+      df.crossJoin(broadcast(cents))
+        .select(col(idc), col(vc), col(nc), col("c_id"), aff.as("c_cs"))
+        .withColumn("c_rank", row_number().over(byAffinity))
+    }
+    val all = corpus.select(id.as("vec_id"), d(vec).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val assigned = ranked(all, "vec_id", "v", "nrm")
+      .where(col("c_rank") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
+    val q0 = queries.select(qId.as("q_id"), d(qVec).as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val probes = ranked(q0, "q_id", "qv", "qn")
+      .where(col("c_rank") <= nProbe)
+      .select(col("q_id"), col("qv"), col("qn"), col("c_id").as("cell"))
+    val cs = dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
+    val joinFilter =
+      if (excludeSelf) col("q_id") =!= col("vec_id") else lit(true)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cs").desc, col("neighbor_id"))
+    broadcast(probes).join(assigned, Seq("cell"))
+      .where(joinFilter)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), cs.as("cs"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** Exact cosine top-k: for each row of `queries` (id, vector), the k
     * nearest corpus rows by cosine. Queries are broadcast; the corpus
     * streams with no shuffle; reduction is the partial top-k aggregator.

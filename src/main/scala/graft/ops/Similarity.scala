@@ -49,11 +49,6 @@ object Similarity {
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
 
-  /** Sign-bit bucket key for LSH table `t`: 8 hyperplane signs -> int.
-    * Delegates to [[graft.api.Graft.signBucketKey]] — the one rendering of
-    * the bucket formula, which `bucketSql` mirrors for the oracle. */
-  private def bucketKey(v: Column, t: Int): Column =
-    graft.api.Graft.signBucketKey(v, hyperplanes, t, BitsPerTable)
 
   /** s01: exact brute-force top-5 cosine neighbors for queries vec_id<10. */
   def s01BruteForceTopK(s: SparkSession, dir: String): DataFrame = {
@@ -72,24 +67,15 @@ object Similarity {
 
   /** s02: LSH-bucketed ANN — same queries, candidates restricted to shared
     * hash-table buckets, then exact re-rank. Recall < 1 by design; the
-    * oracle reproduces the identical bucketing so results still hash-match. */
+    * oracle reproduces the identical bucketing so results still hash-match.
+    * Thin binding of [[graft.api.Graft.annTopKLsh]]. */
   def s02LshTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val all = corpus(s, dir).select($"vec_id", $"v", norm($"v").as("nrm"))
-    val buckets = (0 until NumTables).map { t =>
-      all.select($"vec_id", $"v", $"nrm", lit(t).as("tbl"),
-        bucketKey($"v", t).as("bkt"))
-    }.reduce(_ union _)
-    val q = buckets.toDF("q_id", "qv", "qn", "tbl", "bkt").where($"q_id" < NumQueries)
-    val cs = dot($"qv", $"v") / ($"qn" * $"nrm")
-    val w = Window.partitionBy($"q_id").orderBy($"cs".desc, $"neighbor_id")
-    broadcast(q).join(buckets, Seq("tbl", "bkt"))
-      .where($"q_id" =!= $"vec_id")
-      .select($"q_id", $"vec_id", $"v", $"nrm", $"qv", $"qn").distinct()
-      .select($"q_id", $"vec_id".as("neighbor_id"), cs.as("cs"))
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .where($"rank" <= TopK)
-      .select($"q_id", $"rank", $"neighbor_id")
+    val emb = Tables.load(s, dir, "embeddings")
+    graft.api.Graft.annTopKLsh(
+      emb, $"vec_id", $"embedding",
+      emb.where($"vec_id" < NumQueries), $"vec_id", $"embedding",
+      dim = Dim, k = TopK, numTables = NumTables, bitsPerBucket = BitsPerTable)
       .orderBy($"q_id", $"rank")
   }
 
@@ -122,27 +108,12 @@ object Similarity {
     * operator's dataflow), and one the oracle can reproduce exactly. */
   def s04IvfTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val all = corpus(s, dir).select($"vec_id", $"v", norm($"v").as("nrm"))
-    val cents = all.where($"vec_id" < NumCentroids)
-      .select($"vec_id".as("c_id"), $"v".as("cv"), $"nrm".as("cn"))
-    val cCs = dot($"v", $"cv") / ($"nrm" * $"cn")
-    val byAffinity = Window.partitionBy($"vec_id").orderBy($"c_cs".desc, $"c_id")
-    val ranked = all.crossJoin(broadcast(cents))
-      .select($"vec_id", $"v", $"nrm", $"c_id", cCs.as("c_cs"))
-      .withColumn("c_rank", row_number().over(byAffinity))
-    val assigned = ranked.where($"c_rank" === 1)
-      .select($"vec_id", $"v", $"nrm", $"c_id".as("cell"))
-    val probes = ranked.where($"c_rank" <= NProbe && $"vec_id" < NumQueries)
-      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
-        $"c_id".as("cell"))
-    val cs = dot($"qv", $"v") / ($"qn" * $"nrm")
-    val w = Window.partitionBy($"q_id").orderBy($"cs".desc, $"neighbor_id")
-    broadcast(probes).join(assigned, Seq("cell"))
-      .where($"q_id" =!= $"vec_id")
-      .select($"q_id", $"vec_id".as("neighbor_id"), cs.as("cs"))
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .where($"rank" <= TopK)
-      .select($"q_id", $"rank", $"neighbor_id")
+    val emb = Tables.load(s, dir, "embeddings")
+    graft.api.Graft.annTopKIvf(
+      emb, $"vec_id", $"embedding",
+      emb.where($"vec_id" < NumQueries), $"vec_id", $"embedding",
+      emb.where($"vec_id" < NumCentroids), $"vec_id", $"embedding",
+      k = TopK, nProbe = NProbe)
       .orderBy($"q_id", $"rank")
   }
 
