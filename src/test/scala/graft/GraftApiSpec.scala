@@ -205,6 +205,29 @@ class GraftApiSpec extends AnyFunSuite {
     assert(r.getLong(4) == 1L)
   }
 
+  test("annTopKLsh and annTopKIvf find a planted nearest neighbor") {
+    import spark.implicits._
+    val dim = 4
+    // query 900 points almost exactly along corpus vector 7's direction
+    val corpus = Seq(
+      (7L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+      (8L, Seq(-1.0f, 0.5f, -2.0f, 1.0f)),
+      (9L, Seq(0.0f, -1.0f, 0.0f, -1.0f))
+    ).toDF("cid", "cvec")
+    val queries = Seq((900L, Seq(1.01f, 2.01f, 3.01f, 4.01f))).toDF("qid", "qvec")
+    val lsh = Graft.annTopKLsh(corpus, $"cid", $"cvec",
+      queries, $"qid", $"qvec", dim = dim, k = 1,
+      numTables = 2, bitsPerBucket = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(lsh == Seq((900L, 1L, 7L)), lsh.toString)
+    val ivf = Graft.annTopKIvf(corpus, $"cid", $"cvec",
+      queries, $"qid", $"qvec",
+      corpus, $"cid", $"cvec", // every corpus vector its own centroid
+      k = 1, nProbe = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(ivf == Seq((900L, 1L, 7L)), ivf.toString)
+  }
+
   test("embeddingNearDupPairs ranks a planted identical-direction pair first") {
     import spark.implicits._
     val dim = 4
