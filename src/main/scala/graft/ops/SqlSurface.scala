@@ -99,6 +99,69 @@ object SqlSurface {
       .orderBy($"k", $"first_order")
   }
 
+  /** q27: EXISTS / NOT EXISTS chain (the TPC-H Q4/Q21 shape): per nation,
+    * the customers that placed at least one order but never an urgent one.
+    * Catalyst decorrelates the EXISTS into a left-semi join and the NOT
+    * EXISTS into a left-anti join — both shuffle on the correlation key
+    * (never a per-row subquery re-execution), the only shape that survives
+    * a 100 TB orders side; the same text runs in DuckDB. */
+  def q27ExistsChain(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(q27Sql)
+  }
+
+  private val q27Sql =
+    """SELECT c_nationkey, count(*) AS n_cust
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey
+      |                  AND o2.o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
+  /** q28: scalar subqueries in HAVING — customers with more orders than the
+    * global mean orders-per-customer. Both subqueries are uncorrelated
+    * single-row aggregates: Catalyst plans each as an independent subquery
+    * stage whose scalar folds into the post-aggregation filter (computed
+    * once, not per group). Integral `/` is double division in both
+    * engines, so the same text is the oracle. */
+  def q28HavingSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(q28Sql)
+  }
+
+  private val q28Sql =
+    """SELECT o_custkey, count(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_custkey
+      |HAVING count(*) > (SELECT count(*) FROM orders)
+      |                   / (SELECT count(DISTINCT o_custkey) FROM orders)
+      |ORDER BY o_custkey""".stripMargin
+
+  /** q29: uncorrelated IN-subquery, two levels deep — suppliers in nations
+    * of the ASIA/EUROPE regions. Each IN rewrites to a left-semi join
+    * against a tiny distinct key set that Spark broadcasts (region and
+    * nation are classic broadcast dims), so the supplier side never
+    * shuffles. Money sum goes through the DECIMAL(12,2) discipline. */
+  def q29InSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "supplier").createOrReplaceTempView("supplier")
+    Tables.load(s, dir, "nation").createOrReplaceTempView("nation")
+    Tables.load(s, dir, "region").createOrReplaceTempView("region")
+    s.sql(q29Sql)
+  }
+
+  private val q29Sql =
+    """SELECT s_nationkey, count(*) AS n_suppliers,
+      | CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+      |FROM supplier
+      |WHERE s_nationkey IN (
+      |  SELECT n_nationkey FROM nation
+      |  WHERE n_regionkey IN (
+      |    SELECT r_regionkey FROM region WHERE r_name IN ('ASIA', 'EUROPE')))
+      |GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin
+
   /** q52: recursive CTE (Spark 4's WITH RECURSIVE) — a hierarchy walk over
     * a binary tree derived from the nation keys (parent = key div 2): each
     * node reports its depth and the path length back to the root. The
@@ -120,6 +183,9 @@ object SqlSurface {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_exists_chain" -> q27ExistsChain,
+    "q28_having_subquery" -> q28HavingSubquery,
+    "q29_in_subquery" -> q29InSubquery,
     "q34_interval_join" -> q34IntervalJoin,
     "q30_scalar_subquery" -> q30ScalarSubquery,
     "q31_rank_funcs" -> q31RankFuncs,
@@ -128,6 +194,9 @@ object SqlSurface {
     "q52_recursive_cte" -> q52RecursiveCte)
 
   val oracles: Map[String, String] = Map(
+    "q27_exists_chain" -> q27Sql,
+    "q28_having_subquery" -> q28Sql,
+    "q29_in_subquery" -> q29Sql,
     "q52_recursive_cte" ->
       """WITH RECURSIVE tree AS (
         |  SELECT CAST(n_nationkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
