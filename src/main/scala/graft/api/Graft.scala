@@ -511,6 +511,41 @@ object Graft {
       .select(col("q_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** Recall of an approximate result against its exact baseline — the
+    * number every approximate-search knob (bands, bits per bucket, nProbe)
+    * is tuned on. Both frames hold one row per retrieved item, keyed by a
+    * `unit` column (the query id for top-k search; the left id for pair
+    * mining) and an `item` column (the neighbor / right id). Output is ONE
+    * row: (n_units, n_expected, n_hits, recall, min_unit_recall) where
+    * `recall` is the micro-average |approx ∩ exact| / |exact| and
+    * `min_unit_recall` the worst single unit — the tail number that tells
+    * you whether some query got NOTHING even when the average looks fine.
+    *
+    * Engine-portable by construction: every aggregate is integer counting;
+    * the only floats are final single divisions (IEEE-deterministic), so
+    * the result cross-checks bit-for-bit against any engine computing the
+    * same definition. Scale shape: one semi-join on (unit, item) plus two
+    * narrow keyed aggregates — nothing materializes beyond per-unit counts. */
+  def recallSummary(exact: DataFrame, approx: DataFrame,
+                    unit: String, item: String): DataFrame = {
+    val e = exact.select(col(unit).as("__u"), col(item).as("__it"))
+    val a = approx.select(col(unit).as("__u"), col(item).as("__it"))
+    val hits = e.join(a, Seq("__u", "__it"), "left_semi")
+    val perUnit = e.groupBy(col("__u")).agg(count(lit(1)).as("n_exp"))
+      .join(hits.groupBy(col("__u")).agg(count(lit(1)).as("n_hit")),
+        Seq("__u"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+    perUnit.agg(
+      count(lit(1)).as("n_units"),
+      sum(col("n_exp")).as("n_expected"),
+      sum(col("n_hit")).as("n_hits"),
+      min(col("n_hit").cast(DoubleType) / col("n_exp")).as("min_unit_recall"))
+      .withColumn("recall",
+        col("n_hits").cast(DoubleType) / col("n_expected"))
+      .select(col("n_units"), col("n_expected"), col("n_hits"),
+        col("recall"), col("min_unit_recall"))
+  }
+
   /** Exact cosine top-k: for each row of `queries` (id, vector), the k
     * nearest corpus rows by cosine. Queries are broadcast; the corpus
     * streams with no shuffle; reduction is the partial top-k aggregator.

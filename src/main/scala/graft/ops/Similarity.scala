@@ -26,8 +26,17 @@ object Similarity {
   private val TopK = 5
   private val NumQueries = 10
   private val Dim = 64
-  private val NumTables = 4 // LSH hash tables
-  private val BitsPerTable = 8
+  // Retuned on the s05 recall gate (round 6): the 2^bits bucket count must
+  // track corpus size (target ~N/30 buckets per table, i.e. bits ~
+  // log2(N/30)), and more, narrower tables beat fewer, wider ones at equal
+  // plane budget. The measured grid at sf0.01 (500 vectors, 32 planes both
+  // ways): 4 tables x 8 bits -> recall 0.10 (top-k) / 0.10 (pairs);
+  // 8 tables x 4 bits -> 0.60 / 0.80 at the same runtime. At 100 TB the
+  // same rule holds in reverse: bits GROWS with the corpus so buckets stay
+  // bounded (the sum-of-bucket^2 cost), which is what lshBucketStats
+  // measures before a run commits to a banding.
+  private val NumTables = 8 // LSH hash tables
+  private val BitsPerTable = 4
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast(DoubleType))
 
@@ -143,11 +152,37 @@ object Similarity {
       topN = PairTopN)
   }
 
+  /** s05: recall@k of every approximate path against its exact baseline —
+    * the tuning number for the ANN family ("recall < 1 by design" made
+    * measurable): the s02 LSH and s04 IVF top-k joined to the s01 exact
+    * top-k per query, and the d08 LSH pair mining joined to the d05 exact
+    * top-50 pairs per left vector. One row per path with micro-average and
+    * worst-unit recall; all counting is integer-exact (the only floats are
+    * final single divisions), so the whole metric hash-matches the oracle
+    * running the identical definition. Thin binding of
+    * [[graft.api.Graft.recallSummary]]. */
+  def s05AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exact = s01BruteForceTopK(s, dir)
+    def tag(path: String, df: DataFrame): DataFrame =
+      df.select(lit(path).as("path"), $"n_units", $"n_expected", $"n_hits",
+        $"recall", $"min_unit_recall")
+    tag("ivf", graft.api.Graft.recallSummary(
+        exact, s04IvfTopK(s, dir), "q_id", "neighbor_id"))
+      .union(tag("lsh", graft.api.Graft.recallSummary(
+        exact, s02LshTopK(s, dir), "q_id", "neighbor_id")))
+      .union(tag("pairs", graft.api.Graft.recallSummary(
+        Dedup.d05EmbeddingPairs(s, dir), d08EmbeddingLshPairs(s, dir),
+        "vec_a", "vec_b")))
+      .orderBy($"path")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> s01BruteForceTopK,
     "s02_ann_lsh" -> s02LshTopK,
     "s03_ann_topk_aggregator" -> s03TopKAggregator,
     "s04_ann_ivf" -> s04IvfTopK,
+    "s05_ann_recall" -> s05AnnRecall,
     "d08_embedding_lsh_pairs" -> d08EmbeddingLshPairs)
 
   private def planeSql(t: Int, b: Int): String =
@@ -158,7 +193,45 @@ object Similarity {
       s"(CASE WHEN list_dot_product(v, ${planeSql(t, b)}) >= 0 THEN ${1 << b} ELSE 0 END)"
     }.mkString(" + ")
 
-  val oracles: Map[String, String] = Map(
+  /** The per-path recall CTE pair of the s05 oracle: per-unit exact/hit
+    * counts via LEFT JOIN (so zero-hit units still count), then the
+    * integer-exact rollup mirrored by [[graft.api.Graft.recallSummary]]. */
+  private def recallCteSql(name: String, exactRel: String, approxRel: String,
+                           unit: String, item: String): String =
+    s"""per_$name AS (
+       |  SELECT e.$unit AS u, count(*) AS n_exp, count(a.$unit) AS n_hit
+       |  FROM $exactRel e LEFT JOIN $approxRel a
+       |    ON a.$unit = e.$unit AND a.$item = e.$item
+       |  GROUP BY e.$unit),
+       |sum_$name AS (
+       |  SELECT '$name' AS path, CAST(count(*) AS BIGINT) AS n_units,
+       |   CAST(sum(n_exp) AS BIGINT) AS n_expected,
+       |   CAST(sum(n_hit) AS BIGINT) AS n_hits,
+       |   min(CAST(n_hit AS DOUBLE) / n_exp) AS min_unit_recall
+       |  FROM per_$name)""".stripMargin
+
+  /** s05 oracle — composes the s01/s02/s04/d05/d08 oracle texts verbatim as
+    * nested CTEs (one source of truth: any change to those oracles flows
+    * into this one), then computes the identical recall definition. */
+  private lazy val s05Sql: String =
+    s"""WITH exact AS (${baseOracles("s01_ann_bruteforce")}),
+       |lsh AS (${baseOracles("s02_ann_lsh")}),
+       |ivf AS (${baseOracles("s04_ann_ivf")}),
+       |pexact AS (${Dedup.oracles("d05_embedding_pairs")}),
+       |papprox AS (${baseOracles("d08_embedding_lsh_pairs")}),
+       |${recallCteSql("ivf", "exact", "ivf", "q_id", "neighbor_id")},
+       |${recallCteSql("lsh", "exact", "lsh", "q_id", "neighbor_id")},
+       |${recallCteSql("pairs", "pexact", "papprox", "vec_a", "vec_b")}
+       |SELECT path, n_units, n_expected, n_hits,
+       | CAST(n_hits AS DOUBLE) / n_expected AS recall, min_unit_recall
+       |FROM (SELECT * FROM sum_ivf UNION ALL SELECT * FROM sum_lsh
+       |      UNION ALL SELECT * FROM sum_pairs)
+       |ORDER BY path""".stripMargin
+
+  lazy val oracles: Map[String, String] =
+    baseOracles + ("s05_ann_recall" -> s05Sql)
+
+  private lazy val baseOracles: Map[String, String] = Map(
     "s01_ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
