@@ -460,6 +460,68 @@ object Graft {
       .select(col("q_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** Deterministic spherical k-means for IVF coarse quantizers — the
+    * training step [[annTopKIvf]] leaves to the caller, as a pure
+    * DataFrame computation with NO random state: seeds are the `k` vectors
+    * with the smallest (md5(id), id) key (a seeded hash-order sample —
+    * uniform over the corpus, engine-portable, and stable across runs and
+    * partitionings), then `iters` unrolled Lloyd rounds assign every
+    * vector to its max-cosine centroid and recompute each centroid as the
+    * element-wise mean of its cell. Output: (c_id, centroid) with c_id in
+    * seed order; cells that lose all their vectors drop out (standard
+    * k-means semantics — callers get at MOST k centroids).
+    *
+    * Cross-engine exactness (what makes a trained quantizer oracle-able):
+    * per-dimension means sum in DECIMAL(38,12) — exact, order-independent —
+    * and only then divide in double; assignment tie-breaks on c_id over
+    * bit-identical cosines. An oracle unrolling the same rounds in SQL
+    * reproduces every centroid bit-for-bit.
+    *
+    * Scale shape: each round is one broadcast cross join (k rows against
+    * the corpus — the [[annTopKIvf]] assignment pass), one posexplode to
+    * (cell, dim) partial sums (map-side combined, k*dim result rows), and
+    * a k-row regroup; the corpus is never shuffled. Spherical k-means
+    * skips centroid normalization — cosine is scale-invariant, so the
+    * mean's norm only cancels in the next round's affinity. */
+  def trainCentroids(df: DataFrame, id: Column, vec: Column, dim: Int,
+                     k: Int = 16, iters: Int = 2): DataFrame = {
+    require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got $k, $iters")
+    val dot = VectorFunctions.dotF64 _
+    val pts = df.select(id.as("id"), transform(vec, x => x.cast(DoubleType)).as("v"))
+      .where(size(col("v")) === dim)
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .where(col("nrm") > 0)
+    val seedKey = md5(col("id").cast(StringType))
+    // TakeOrdered top-k over the hash key: no global sort materializes
+    val seeds = pts.select(col("id"), col("v"), seedKey.as("__k"))
+      .orderBy(col("__k"), col("id")).limit(k)
+    var cents = seeds
+      .withColumn("c_id",
+        (row_number().over(Window.orderBy(col("__k"), col("id"))) - 1)
+          .cast(LongType))
+      .select(col("c_id"), col("v").as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    for (_ <- 1 to iters) {
+      val aff = dot(col("v"), col("cv")) / (col("nrm") * col("cn"))
+      val byAff = Window.partitionBy(col("id"))
+        .orderBy(col("c_cs").desc, col("c_id"))
+      val cells = pts.crossJoin(broadcast(cents))
+        .select(col("id"), col("v"), col("nrm"), col("c_id"), aff.as("c_cs"))
+        .withColumn("__rk", row_number().over(byAff)).where(col("__rk") === 1)
+        .select(col("c_id"), col("v"))
+      val comps = cells
+        .select(col("c_id"), posexplode(col("v")).as(Seq("pos", "val")))
+        .groupBy(col("c_id"), col("pos"))
+        .agg((sum(col("val").cast(DecimalType(38, 12))).cast(DoubleType) /
+          count(lit(1))).as("m"))
+      cents = comps.groupBy(col("c_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("c_id"), transform(col("pm"), x => x("m")).as("cv"))
+        .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    }
+    cents.select(col("c_id"), col("cv").as("centroid"))
+  }
+
   /** IVF-style approximate cosine top-k: `centroids` coarse-quantize the
     * corpus (every vector assigns to its max-cosine centroid in one
     * broadcast pass); each query probes only its `nProbe` best cells and

@@ -104,6 +104,7 @@ object Similarity {
 
   private val NumCentroids = 16
   private val NProbe = 4
+  private val KmeansIters = 2
 
   /** s04: IVF-style ANN — a coarse quantizer partitions the corpus into
     * `NumCentroids` cells (one broadcast pass assigns every vector to its
@@ -111,17 +112,21 @@ object Similarity {
     * and exactly re-ranks that candidate subset. This is the inverted-file
     * scale path: the corpus is scanned once for assignment and the search
     * touches NProbe/NumCentroids of it, with the candidate join shuffling
-    * on the cell id. Centroids here are the first `NumCentroids` corpus
-    * vectors — a deterministic stand-in for the sampled k-means training
-    * step a production build would run (training changes recall, not the
-    * operator's dataflow), and one the oracle can reproduce exactly. */
+    * on the cell id. The quantizer is TRAINED: [[graft.api.Graft.trainCentroids]]
+    * runs `KmeansIters` deterministic spherical k-means rounds from a
+    * seeded hash-order sample, and the oracle unrolls the identical rounds
+    * in SQL (decimal-exact means), so the trained centroids — and the
+    * search through them — still hash-match cross-engine. */
   def s04IvfTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
+    val cents = graft.api.Graft.trainCentroids(
+      emb, $"vec_id", $"embedding", dim = Dim, k = NumCentroids,
+      iters = KmeansIters)
     graft.api.Graft.annTopKIvf(
       emb, $"vec_id", $"embedding",
       emb.where($"vec_id" < NumQueries), $"vec_id", $"embedding",
-      emb.where($"vec_id" < NumCentroids), $"vec_id", $"embedding",
+      cents, $"c_id", $"centroid",
       k = TopK, nProbe = NProbe)
       .orderBy($"q_id", $"rank")
   }
@@ -184,6 +189,40 @@ object Similarity {
     "s04_ann_ivf" -> s04IvfTopK,
     "s05_ann_recall" -> s05AnnRecall,
     "d08_embedding_lsh_pairs" -> d08EmbeddingLshPairs)
+
+  /** The oracle's unrolled k-means training chain — mirrors
+    * [[graft.api.Graft.trainCentroids]] round for round: hash-order seeds,
+    * max-cosine assignment with c_id tiebreak, DECIMAL(38,12)-exact
+    * per-dimension means. Yields CTEs `kc0..kc\$iters`; the search CTEs
+    * read the last one. */
+  private def kmeansCtesSql(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""pts AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |ptsn AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM pts
+              |         WHERE len(v) = $Dim AND list_dot_product(v, v) > 0),
+              |kc0 AS (
+              |  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS BIGINT) - 1 AS c_id,
+              |   v AS cv, sqrt(list_dot_product(v, v)) AS cn
+              |  FROM (SELECT id, v FROM ptsn ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $k))""".stripMargin
+    for (i <- 1 to iters) {
+      sb ++= s""",
+                |asg$i AS (
+                |  SELECT id, v, c_id,
+                |   row_number() OVER (PARTITION BY id
+                |     ORDER BY list_dot_product(v, cv) / (nrm * cn) DESC, c_id) AS rk
+                |  FROM ptsn, kc${i - 1}),
+                |comp$i AS (
+                |  SELECT c_id, pos,
+                |   CAST(sum(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m
+                |  FROM (SELECT c_id, unnest(v) AS val, unnest(range(1, len(v) + 1)) AS pos
+                |        FROM asg$i WHERE rk = 1)
+                |  GROUP BY c_id, pos),
+                |kc$i AS (
+                |  SELECT c_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM
+                |  (SELECT c_id, list(m ORDER BY pos) AS cv FROM comp$i GROUP BY c_id))""".stripMargin
+    }
+    sb.toString
+  }
 
   private def planeSql(t: Int, b: Int): String =
     "[" + hyperplanes(t * BitsPerTable + b).mkString(", ") + "]"
@@ -260,9 +299,10 @@ object Similarity {
          |SELECT q_id, rank, neighbor_id FROM rk WHERE rank <= $TopK
          |ORDER BY q_id, rank""".stripMargin,
     "s04_ann_ivf" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH ${kmeansCtesSql(NumCentroids, KmeansIters)},
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-         |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < $NumCentroids),
+         |c AS (SELECT c_id, cv, cn FROM kc$KmeansIters),
          |ranked AS (
          |  SELECT n.vec_id, n.v, n.nrm, c.c_id,
          |   row_number() OVER (PARTITION BY n.vec_id

@@ -245,4 +245,40 @@ class GraftApiSpec extends AnyFunSuite {
     assert(out.nonEmpty && out.head == ((100L, 101L, 1L)), out.toSeq)
     assert(!out.exists(p => p._1 == 3L || p._2 == 3L), out.toSeq)
   }
+
+  test("trainCentroids recovers two planted directions and is deterministic") {
+    import spark.implicits._
+    val dim = 4
+    // two tight direction clusters plus a ragged and a zero vector to drop
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.01f)),
+      (2L, Seq(1.0f, 0.0f, 0.01f, 0.0f)),
+      (3L, Seq(1.0f, 0.01f, 0.0f, 0.0f)),
+      (4L, Seq(0.0f, 1.0f, 0.0f, 0.01f)),
+      (5L, Seq(0.0f, 1.0f, 0.01f, 0.0f)),
+      (6L, Seq(0.01f, 1.0f, 0.0f, 0.0f)),
+      (7L, Seq(1.0f, 1.0f)),             // ragged: filtered
+      (8L, Seq(0.0f, 0.0f, 0.0f, 0.0f))  // zero norm: filtered
+    ).toDF("eid", "emb")
+    def train() = Graft.trainCentroids(rows, $"eid", $"emb", dim = dim,
+      k = 2, iters = 2).orderBy($"c_id")
+      .as[(Long, Seq[Double])].collect().toSeq
+    val cents = train()
+    assert(cents.map(_._1) == Seq(0L, 1L), cents)
+    // each centroid is dominated by one of the planted directions
+    val domAxes = cents.map(_._2.zipWithIndex.maxBy(_._1)._2).toSet
+    assert(domAxes == Set(0, 1), cents)
+    // pure DataFrame computation, no random state: re-running is identical
+    assert(train() == cents)
+    // trained centroids slot into annTopKIvf as the coarse quantizer
+    val centsDf = Graft.trainCentroids(rows, $"eid", $"emb", dim = dim,
+      k = 2, iters = 2)
+    val nn = Graft.annTopKIvf(
+      rows.where($"eid" <= 6), $"eid", $"emb",
+      rows.where($"eid" === 1L), $"eid", $"emb",
+      centsDf, $"c_id", $"centroid", k = 2, nProbe = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    // probing the query's own cell finds its same-direction mates
+    assert(nn.map(_._3).toSet == Set(2L, 3L), nn)
+  }
 }
