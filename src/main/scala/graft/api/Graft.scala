@@ -135,20 +135,71 @@ object Graft {
     * work is quadratic in bucket size — inherent to LSH banding (the
     * former self-join shuffled the same quadratic row set) — so band
     * width, not this operator, is the skew lever at scale. */
-  def nearDupPairs(sigs: DataFrame, bands: Int = 4, rowsPerBand: Int = 2,
-                   minAgreement: Int = 4): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val bandKeys = array((1 to bands).map { k =>
+  /** The band-key array of a signature row — `bands` strings
+    * "k:h_i:...:h_j", one per band. The single rendering [[nearDupPairs]]
+    * and [[lshBucketStats]] share, so the stats always describe the exact
+    * buckets the pair generator would build. */
+  private def bandKeyArray(bands: Int, rowsPerBand: Int): Column =
+    array((1 to bands).map { k =>
       val hs = ((k - 1) * rowsPerBand + 1 to k * rowsPerBand).map(i => col(s"h$i"))
       concat_ws(":", (lit(k) +: hs): _*)
     }: _*)
+
+  /** Per-band LSH bucket statistics — the Σ bucket² cost predictor to run
+    * BEFORE committing a corpus to a banding: [[nearDupPairs]]' per-bucket
+    * work is quadratic in bucket size, so `est_pairs` (Σ n·(n−1)/2 over
+    * that band's buckets) is exactly the candidate-pair count the banding
+    * would generate, and `max_bucket` names the hot-bucket hazard (a
+    * boilerplate shingle shared by millions of rows). Output one row per
+    * band: (band, n_buckets, n_rows, max_bucket, est_pairs), ordered by
+    * band.
+    *
+    * Cost: one explode + two keyed count aggregates (map-side combined) —
+    * a word-count shape over the signature frame, NEVER building the
+    * buckets themselves, so it is safe to run on a corpus whose banding
+    * would explode. est_pairs stays in integer arithmetic (n·(n−1) is
+    * even; shift, not double division), exact up to 2^62. */
+  def lshBucketStats(sigs: DataFrame, bands: Int = 4,
+                     rowsPerBand: Int = 2): DataFrame =
+    sigs.select(posexplode(bandKeyArray(bands, rowsPerBand)).as(Seq("__p", "bb")))
+      .groupBy((col("__p") + 1).cast(LongType).as("band"), col("bb"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_bucket"),
+        sum(shiftright(col("n") * (col("n") - 1), 1)).as("est_pairs"))
+      .orderBy(col("band"))
+
+  def nearDupPairs(sigs: DataFrame, bands: Int = 4, rowsPerBand: Int = 2,
+                   minAgreement: Int = 4,
+                   maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val bandKeys = bandKeyArray(bands, rowsPerBand)
     val sig = struct(col("id") +: (1 to numHashes).map(i => col(s"h$i")): _*)
     // sort_array orders the bucket by its first struct field — the id — so
     // pairing index i with indexes > i yields id_a < id_b by construction
-    val buckets = sigs.select(explode(bandKeys).as("bb"), sig.as("s"))
+    val collected = sigs.select(explode(bandKeys).as("bb"), sig.as("s"))
       .groupBy(col("bb"))
       .agg(sort_array(collect_list(col("s"))).as("ss"))
-      .where(size(col("ss")) > 1)
+    // hot-bucket guard: fail the job NAMING the oversized bucket instead of
+    // quietly OOMing an executor on its quadratic pair fan-out. The check
+    // runs right after a bucket finishes aggregating — it stops the
+    // quadratic stage, not the collect itself, so for guaranteed protection
+    // on an unknown corpus run the count-only lshBucketStats FIRST and pick
+    // the banding from its est_pairs/max_bucket.
+    val guarded =
+      if (maxBucketSize == Int.MaxValue) collected
+      else collected.withColumn("ss",
+        when(size(col("ss")) > maxBucketSize, raise_error(concat(
+          lit("graft.nearDupPairs: LSH band bucket '"), col("bb"),
+          lit("' holds "), size(col("ss")).cast(StringType),
+          lit(s" rows (maxBucketSize = $maxBucketSize); a degenerate " +
+            "shingle is dominating — widen the band (more rowsPerBand), " +
+            "pre-filter boilerplate, or raise the cap. " +
+            "lshBucketStats(sigs) shows the distribution."))))
+          .otherwise(col("ss")))
+    val buckets = guarded.where(size(col("ss")) > 1)
     val inBucketPairs = flatten(transform(col("ss"), (x, i) =>
       transform(slice(col("ss"), i + lit(2), size(col("ss"))),
         y => struct(x.as("a"), y.as("b")))))

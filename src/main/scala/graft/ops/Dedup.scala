@@ -157,7 +157,8 @@ object Dedup {
     "d04_simhash" -> d04Simhash,
     "d05_embedding_pairs" -> d05EmbeddingPairs,
     "d06_dup_groups" -> d06DupGroups,
-    "d07_dedup_pipeline" -> d07DedupPipeline)
+    "d07_dedup_pipeline" -> d07DedupPipeline,
+    "d09_lsh_bucket_stats" -> d09LshBucketStats)
 
   /** The minhash->banding->agreement CTE chain over relation `from`
     * (shared by the d02/d03/d06/d07 oracles). */
@@ -194,7 +195,31 @@ object Dedup {
         .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
         .mkString(" + ")} >= $JaccardBandThreshold)""".stripMargin
 
+  /** d09: per-band LSH bucket statistics over the documents signatures —
+    * the Σ bucket² predictor a run consults BEFORE committing to a banding
+    * (est_pairs is exactly the candidate count d02 would generate per band;
+    * max_bucket names the hot-bucket hazard). Thin binding of
+    * [[graft.api.Graft.lshBucketStats]] on the same signatures as d02. */
+  def d09LshBucketStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val sigs = graft.api.Graft.minhashSignatures(docs, $"doc_id", $"text",
+      assumeUniqueIds = true)
+    graft.api.Graft.lshBucketStats(sigs)
+  }
+
   val oracles: Map[String, String] = Map(
+    "d09_lsh_bucket_stats" ->
+      s"""WITH ${sigsSql()},
+         |counts AS (
+         |  SELECT CAST(split_part(bb, ':', 1) AS BIGINT) AS band, bb,
+         |   count(*) AS n
+         |  FROM b GROUP BY 1, 2)
+         |SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+         | CAST(sum(n) AS BIGINT) AS n_rows,
+         | CAST(max(n) AS BIGINT) AS max_bucket,
+         | CAST(sum(n * (n - 1) // 2) AS BIGINT) AS est_pairs
+         |FROM counts GROUP BY band ORDER BY band""".stripMargin,
     "d01_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
         | count(*) AS n_copies

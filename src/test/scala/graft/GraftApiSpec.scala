@@ -246,6 +246,31 @@ class GraftApiSpec extends AnyFunSuite {
     assert(!out.exists(p => p._1 == 3L || p._2 == 3L), out.toSeq)
   }
 
+  test("lshBucketStats predicts bucket sizes; maxBucketSize fails fast naming the bucket") {
+    import spark.implicits._
+    // 20 signature rows sharing band 1's bucket (h1=h2=7); bands 2-4 unique
+    val hot = (1L to 20L).map(i => (i, 7L, 7L, 100 + i, 200 + i, 300 + i, 400 + i, 500 + i, 600 + i))
+      .toDF("id", "h1", "h2", "h3", "h4", "h5", "h6", "h7", "h8")
+    val stats = Graft.lshBucketStats(hot)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // band 1: one bucket of 20 -> 190 candidate pairs; bands 2-4: all singletons
+    assert(stats == Seq(
+      (1L, 1L, 20L, 20L, 190L),
+      (2L, 20L, 20L, 1L, 0L),
+      (3L, 20L, 20L, 1L, 0L),
+      (4L, 20L, 20L, 1L, 0L)), stats)
+    // uncapped: the hot bucket generates its 190 pairs (n_match >= 2 via band 1)
+    assert(Graft.nearDupPairs(hot, minAgreement = 2).count() == 190L)
+    val e = intercept[Exception] { // SparkRuntimeException (USER_RAISED_EXCEPTION)
+      Graft.nearDupPairs(hot, minAgreement = 2, maxBucketSize = 10).count()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("1:7:7") && msg.contains("maxBucketSize = 10"), msg)
+    // a cap the buckets respect changes nothing
+    assert(Graft.nearDupPairs(hot, minAgreement = 2, maxBucketSize = 20).count() == 190L)
+  }
+
   test("trainCentroids recovers two planted directions and is deterministic") {
     import spark.implicits._
     val dim = 4
