@@ -1,7 +1,7 @@
 package graft.medallion
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.util.control.NonFatal
 
@@ -185,5 +185,33 @@ object Maintenance {
     require(fs.rename(tmp, root), s"compact: could not move $tmp into place")
     fs.delete(bak, true)
     (before.size.toLong, parquetFiles(root).size.toLong)
+  }
+
+  /** Z-order layout rewrite — the real OPTIMIZE ZORDER BY path (the q53
+    * gate's ntile-over-total-order is a deterministic oracle stand-in and
+    * must never run at scale; THIS is the operator a table uses): rows
+    * range-partition on the interleaved z-value of (x, y)
+    * ([[graft.api.Graft.zorderValue]]) and sort by it within partitions,
+    * so every written file covers a tight bounding box in BOTH dimensions
+    * and a predicate on either column prunes most files via parquet
+    * min/max statistics (plus matching rows clustering into few files).
+    *
+    * Scale shape: `repartitionByRange` samples z-value boundaries (one
+    * pass) and shuffles once on the z-value — no global single-partition
+    * sort anywhere; `numFiles` and `maxRecordsPerFile` bound file sizes
+    * the same way [[compact]] does. Returns the written parquet file
+    * count. */
+  def zorderLayout(df: DataFrame, outPath: String, x: Column, y: Column,
+                   bits: Int = 8, numFiles: Int = 16,
+                   maxRecordsPerFile: Long = 0L): Long = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val z = graft.api.Graft.zorderValue(x, y, bits)
+    df.repartitionByRange(numFiles, z)
+      .sortWithinPartitions(z)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .parquet(outPath)
+    val spark = df.sparkSession
+    spark.read.parquet(outPath).inputFiles.length.toLong
   }
 }

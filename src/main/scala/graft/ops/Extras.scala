@@ -147,9 +147,12 @@ object Extras {
     * box — the pruning effectiveness a table optimizer would act on. Pure
     * bit arithmetic, identical in any engine.
     *
-    * At scale the grouping is `repartitionByRange` on the z-value + one
-    * file per partition (sampled boundaries, so not oracle-able bit-exact —
-    * the gate's ntile over a total order is the deterministic stand-in). */
+    * GATE-ONLY FORM: the ntile over a global total order exists because
+    * sampled range boundaries are not oracle-able bit-exact; it must never
+    * run at scale (one reducer sorts everything). The real layout path is
+    * [[graft.medallion.Maintenance.zorderLayout]] — repartitionByRange on
+    * the z-value + within-partition sort, file-pruning proven in
+    * ZorderLayoutSpec. */
   def q53ZorderLayout(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
