@@ -118,21 +118,29 @@ object Maintenance {
     *
     * Returns the merged row count of the touched partitions. */
   def upsertPartitioned(spark: SparkSession, path: String, updates: DataFrame,
-                        keyCols: Seq[String], partitionCol: String): Long = {
-    val touched = updates.select(col(partitionCol)).distinct()
+                        keyCols: Seq[String], partitionCol: String): Long =
+    upsertPartitioned(spark, path, updates, keyCols, Seq(partitionCol))
+
+  /** Multi-partition-column variant of [[upsertPartitioned]] (same staging
+    * and dynamic-overwrite discipline; touched partitions are the distinct
+    * `partitionCols` tuples of `updates`). */
+  def upsertPartitioned(spark: SparkSession, path: String, updates: DataFrame,
+                        keyCols: Seq[String], partitionCols: Seq[String]): Long = {
+    require(partitionCols.nonEmpty, "upsertPartitioned needs partition columns")
+    val touched = updates.select(partitionCols.map(col): _*).distinct()
     val current = spark.read.parquet(path)
     // restrict the existing side to touched partitions (partition-pruned
-    // scan via broadcast semi join on the partition column)
-    val affected = current.join(broadcast(touched), Seq(partitionCol), "left_semi")
+    // scan via broadcast semi join on the partition columns)
+    val affected = current.join(broadcast(touched), partitionCols, "left_semi")
     val keep = affected.join(updates.select(keyCols.map(col): _*),
       keyCols, "left_anti")
     val merged = keep.unionByName(updates.select(current.columns.map(col): _*))
     val stage = path.stripSuffix("/") + "__upsert_stage"
-    merged.repartition(col(partitionCol))
+    merged.repartition(partitionCols.map(col): _*)
       .write.mode("overwrite").parquet(stage)
     val staged = spark.read.parquet(stage)
     withDynamicOverwrite(spark) {
-      staged.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+      staged.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
     }
     val n = staged.count()
     val fs = new Path(stage).getFileSystem(spark.sparkContext.hadoopConfiguration)

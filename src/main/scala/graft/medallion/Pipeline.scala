@@ -246,9 +246,10 @@ object Pipeline {
     *
     * Delivery: AT-LEAST-ONCE. foreachBatch re-delivers an uncommitted
     * batch after a crash, and a plain parquet append is not idempotent —
-    * a restart mid-batch can duplicate that batch's rows. Exactly-once
-    * needs a transactional table format under the same writeTo API
-    * (Iceberg/Delta) or an idempotent MERGE on (id) per batch.
+    * a restart mid-batch can duplicate that batch's rows. For the
+    * idempotent keyed-MERGE-per-batch upgrade see
+    * [[silverStreamingEffectivelyOnce]]; a transactional table format
+    * (Iceberg/Delta) under the same writeTo API would make it exactly-once.
     *
     * Returns the running query; callers stop it (or let it run forever in
     * production). Scale shape: identical to batch silver — narrow
@@ -291,6 +292,54 @@ object Pipeline {
           dist.write.mode("append")
             .partitionBy("interaction_date", "channel")
             .parquet(cfg.silverFallbackUri)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming silver with EFFECTIVELY-ONCE delivery on plain parquet: the
+    * same bronze file stream and `Silver.enrich` projection as
+    * [[silverStreaming]], but every micro-batch lands through a keyed MERGE
+    * ([[Maintenance.upsertPartitioned]] on `id` within the touched
+    * (interaction_date, channel) partitions) instead of a blind append —
+    * so a batch RE-DELIVERED after a crash, or a whole stream replayed
+    * from a lost checkpoint, replaces its own rows and converges to the
+    * same table instead of duplicating. The remaining non-atomic window is
+    * the dynamic partition overwrite itself (a kill INSIDE it can leave a
+    * half-swapped partition until the replay completes) — closing that
+    * needs a transactional format's commit protocol, which is exactly what
+    * Iceberg/Delta would add under this same foreachBatch body.
+    *
+    * Cost of the upgrade vs append: each batch rewrites the partitions it
+    * touches (copy-on-write merge), so batches should be sized to cluster
+    * into few partitions (file streams of daily drops naturally are).
+    * Writes the path-fallback table (`cfg.silverFallbackUri`) — the same
+    * files the catalog external table resolves to when one exists. */
+  def silverStreamingEffectivelyOnce(spark: SparkSession, cfg: MdpConfig,
+      bronzeSchema: org.apache.spark.sql.types.StructType,
+      checkpoint: String, maxFilesPerTrigger: Int = 10)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val stream = spark.readStream.schema(bronzeSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(cfg.bronzeUri)
+    val enriched = Silver.enrich(stream,
+      clockDate = to_date(timestamp_seconds(lit(cfg.baseEpochS))),
+      clockTs = timestamp_seconds(lit(cfg.baseEpochS)),
+      clockEpochS = lit(cfg.baseEpochS))
+    val parts = Seq("interaction_date", "channel")
+    val target = cfg.silverFallbackUri
+    enriched.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val root = new org.apache.hadoop.fs.Path(target)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(root)) {
+          batch.repartition(parts.map(col): _*)
+            .write.mode("overwrite").partitionBy(parts: _*).parquet(target)
+        } else if (!batch.isEmpty) {
+          Maintenance.upsertPartitioned(spark, target, batch,
+            keyCols = Seq("id"), partitionCols = parts)
         }
         ()
       }

@@ -63,6 +63,48 @@ class StreamingSilverSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS ${cfg.silverFqn}")
   }
 
+  test("effectively-once streaming: a full replay from a lost checkpoint adds no duplicates") {
+    import graft.medallion.{MdpConfig, Pipeline}
+    import spark.implicits._
+    val epoch = 1754982000L
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_eo").toString
+    val cfg = MdpConfig.fromEnv(base)
+    new java.io.File(cfg.bronzeUri).mkdirs()
+
+    val all = graft.medallion.BronzeGen.generate(spark, 1200, 2, payloadKb = 1,
+      seed = 11, baseEpochS = epoch).cache()
+    def land(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val staging = s"$base/staging_$name"
+      df.coalesce(1).write.parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      assert(part.renameTo(new java.io.File(cfg.bronzeUri, s"$name.parquet")))
+    }
+    land("b1", all.where($"id" < 600))
+    land("b2", all.where($"id" >= 600))
+
+    def run(ckpt: String): Unit = {
+      val q = Pipeline.silverStreamingEffectivelyOnce(spark, cfg, all.schema,
+        checkpoint = s"$base/$ckpt", maxFilesPerTrigger = 1)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def fingerprint(): (Long, Long, Seq[String]) = {
+      val t = spark.read.parquet(cfg.silverFallbackUri)
+      (t.count(), t.select("id").distinct().count(),
+        t.select(concat_ws("|", col("id"), col("email_clean"),
+          col("interaction_date").cast("string"), col("channel")))
+          .as[String].collect().sorted.toSeq)
+    }
+    run("ckpt_first")
+    val first = fingerprint()
+    assert(first._1 == first._2, "ids must be unique after the first run")
+    // a FRESH checkpoint re-delivers every landing file (the worst-case
+    // at-least-once replay); the keyed merge must converge, not append
+    run("ckpt_replayed")
+    assert(fingerprint() == first, "replay changed the table")
+    all.unpersist()
+  }
+
   test("silver enrichment runs identically over a bronze file stream") {
     import spark.implicits._
     val epoch = 1754982000L
