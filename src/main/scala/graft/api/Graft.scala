@@ -310,9 +310,11 @@ object Graft {
     var labels = sym.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("label")).localCheckpoint()
     // exact decimal sum: labels only ever decrease, so an unchanged sum
-    // proves the fixpoint (and a 38-digit sum cannot wrap)
+    // proves the fixpoint (and a 38-digit sum cannot wrap); an empty edge
+    // list (nothing to deduplicate) sums to 0 and converges immediately
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0)
+      Option(df.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var converged = false
     while (!converged) {
       val before = labelSum(labels)
@@ -441,6 +443,27 @@ object Graft {
   def embeddingNearDupPairs(df: DataFrame, id: Column, vec: Column, dim: Int,
                             numTables: Int = 4, bitsPerBucket: Int = 8,
                             seed: Long = 20260812L, topN: Int = 50): DataFrame = {
+    val cand = embeddingCandidatePairs(df, id, vec, dim, numTables,
+      bitsPerBucket, seed)
+    val cs = VectorFunctions.dotF64(col("va"), col("vb")) / (col("na") * col("nb"))
+    cand.select(col("vec_a"), col("vec_b"), cs.as("cs"))
+      .orderBy(col("cs").desc, col("vec_a"), col("vec_b")).limit(topN)
+      .select(col("vec_a"), col("vec_b"),
+        row_number().over(Window.orderBy(col("cs").desc, col("vec_a"), col("vec_b")))
+          .cast(LongType).as("rank"))
+      .orderBy(col("rank"))
+  }
+
+  /** The bucketed candidate stage shared by [[embeddingNearDupPairs]] and
+    * [[semanticDedup]]: drop ragged/zero-norm vectors, bucket by hyperplane
+    * sign bits across `numTables` tables, pair only inside a (table, bucket)
+    * group, and dedup pairs colliding in several tables (the vectors ride
+    * along — bit-identical copies of the same source rows, so they never
+    * split a pair into two groups). Returns
+    * (vec_a, va, na, vec_b, vb, nb) with vec_a < vec_b. */
+  private def embeddingCandidatePairs(df: DataFrame, id: Column, vec: Column,
+                                      dim: Int, numTables: Int,
+                                      bitsPerBucket: Int, seed: Long): DataFrame = {
     val planes = hyperplanes(numTables * bitsPerBucket, dim, seed)
     val dot = VectorFunctions.dotF64 _
     val all = df.select(id.as("vec_id"),
@@ -454,19 +477,40 @@ object Graft {
     }.reduce(_ union _)
     val a = buckets.toDF("vec_a", "va", "na", "tbl", "bkt")
     val b = buckets.toDF("vec_b", "vb", "nb", "tbl", "bkt")
-    // a pair colliding in several tables must score once: distinct on the
-    // pair (vectors ride along — bit-identical copies of the same source
-    // rows, so they never split a pair into two groups)
-    val cand = a.join(b, Seq("tbl", "bkt")).where(col("vec_a") < col("vec_b"))
+    a.join(b, Seq("tbl", "bkt")).where(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("va"), col("na"),
         col("vec_b"), col("vb"), col("nb")).distinct()
-    val cs = dot(col("va"), col("vb")) / (col("na") * col("nb"))
-    cand.select(col("vec_a"), col("vec_b"), cs.as("cs"))
-      .orderBy(col("cs").desc, col("vec_a"), col("vec_b")).limit(topN)
-      .select(col("vec_a"), col("vec_b"),
-        row_number().over(Window.orderBy(col("cs").desc, col("vec_a"), col("vec_b")))
-          .cast(LongType).as("rank"))
-      .orderBy(col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate REMOVAL, end to end — the semantic
+    * analogue of [[dedupCorpus]]: LSH-bucketed candidate pairs
+    * ([[embeddingCandidatePairs]], never all-pairs), exact cosine over the
+    * candidates only, edges where cosine >= `threshold`, connected
+    * components over the edges ([[connectedComponents]]), and every cluster
+    * keeps its least id. Returns the RETAINED rows of `df` (all original
+    * columns). Ids must be unique per row (the dedup key). Recall < 1 by
+    * design — a near-dup pair the bucketing misses survives; widen
+    * `numTables` to trade compute for recall (the same lever as
+    * [[annTopKLsh]], measurable via [[recallSummary]] against an exact
+    * all-pairs baseline at a sampled scale).
+    *
+    * At 100 TB: candidate cost is sum over buckets of bucket_size^2
+    * (`bitsPerBucket` is the skew lever), CC runs log(diameter) rounds on
+    * the edge list alone (near-dup edges are a tiny fraction of the
+    * corpus), and the final anti-join is one exchange on the id. */
+  def semanticDedup(df: DataFrame, id: Column, vec: Column, dim: Int,
+                    threshold: Double, numTables: Int = 4,
+                    bitsPerBucket: Int = 8,
+                    seed: Long = 20260812L): DataFrame = {
+    val cand = embeddingCandidatePairs(df, id, vec, dim, numTables,
+      bitsPerBucket, seed)
+    val cs = VectorFunctions.dotF64(col("va"), col("vb")) / (col("na") * col("nb"))
+    val edges = cand.where(cs >= threshold).select(col("vec_a"), col("vec_b"))
+    val drop = connectedComponents(edges, col("vec_a"), col("vec_b"))
+      .where(col("id") =!= col("component"))
+      .select(col("id").as("__sem_id"))
+    df.withColumn("__sem_id", id)
+      .join(drop, Seq("__sem_id"), "left_anti").drop("__sem_id")
   }
 
   /** LSH-bucketed approximate cosine top-k: corpus and queries bucket by
@@ -821,6 +865,82 @@ object Graft {
         when(meanWordLen.between(3.0, 12.0), 0.25).otherwise(0.0))))
   }
 
+  /** PII scrubbing for a training corpus: appends per-category match counts
+    * (`n_emails`, `n_phones`, `n_ips`) and `text_redacted` with every match
+    * replaced by its placeholder token. Pure regexp projection — narrow, no
+    * shuffle, linear in corpus size.
+    *
+    * The patterns are deliberately conservative, engine-portable regex
+    * (no lookarounds, ASCII classes only): emails (`local@domain.tld`),
+    * North-American `(nnn) nnn-nnnn` phone shapes, and dotted-quad IPv4
+    * with word boundaries. Counts are measured on the ORIGINAL text per
+    * category; redaction applies email -> phone -> ip in sequence (the
+    * patterns cannot overlap: an email needs an alphabetic TLD, so a
+    * dotted-quad never terminates one). */
+  def redactPii(df: DataFrame, text: Column,
+                emailToken: String = "<EMAIL>",
+                phoneToken: String = "<PHONE>",
+                ipToken: String = "<IP>"): DataFrame = {
+    val rx = Seq(
+      ("n_emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", emailToken),
+      ("n_phones", "\\([0-9]{3}\\) [0-9]{3}-[0-9]{4}", phoneToken),
+      ("n_ips", "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", ipToken))
+    val counted = df.withColumns(rx.map { case (n, p, _) =>
+      n -> size(regexp_extract_all(text, lit(p), lit(0))).cast(LongType)
+    }.toMap)
+    counted.withColumn("text_redacted",
+      rx.foldLeft(text) { case (c, (_, p, tok)) =>
+        regexp_replace(c, p, tok)
+      })
+  }
+
+  /** Chunk-level boilerplate removal — the paragraph-dedup stage of a
+    * training-data pipeline (headers, license banners, navigation chrome
+    * repeated across pages): split each document into consecutive
+    * `chunkWords`-token chunks, count each distinct chunk's document
+    * frequency corpus-wide, drop every occurrence of chunks appearing in
+    * more than `maxDocFreq` documents, and rebuild the surviving text in
+    * order. Returns (id, n_chunks, n_dropped, clean_text); a document
+    * whose every chunk is boilerplate comes back with `clean_text = ""`
+    * (callers filter on n_chunks - n_dropped).
+    *
+    * Scale shape: chunking is a narrow projection + explode; the
+    * document-frequency pass groups on md5(chunk) (32-char keys shuffle,
+    * never the chunk text); hot chunks are by construction the SMALL
+    * repeated subset, so the membership join is broadcast-friendly; the
+    * rebuild is one exchange on the id. Nothing is all-pairs and no stage
+    * carries more than the exploded chunk stream. */
+  def dropBoilerplate(df: DataFrame, id: Column, text: Column,
+                      chunkWords: Int = 50, maxDocFreq: Long = 1): DataFrame = {
+    require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
+    val base = df.select(id.as("id"), split(trim(text), "\\s+").as("__t"))
+    val chunkArr = transform(
+      sequence(lit(1),
+        ceil(size(col("__t")).cast(DoubleType) / chunkWords).cast(IntegerType)),
+      i => array_join(
+        slice(col("__t"), (i - lit(1)) * chunkWords + lit(1), lit(chunkWords)),
+        " "))
+    val chunks = base.select(col("id"), posexplode(chunkArr))
+      .select(col("id"), col("pos"), col("col").as("chunk"),
+        md5(col("col")).as("__h"))
+    val hot = chunks.groupBy(col("__h"))
+      .agg(countDistinct(col("id")).as("__df"))
+      .where(col("__df") > maxDocFreq)
+      .select(col("__h"), lit(1).as("__hot"))
+    chunks.join(hot, Seq("__h"), "left")
+      .groupBy(col("id")).agg(
+        count(lit(1)).as("n_chunks"),
+        count_if(col("__hot").isNotNull).as("n_dropped"),
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("pos"),
+                when(col("__hot").isNull, col("chunk")).as("keep")))),
+              s => s.getField("keep").isNotNull),
+            s => s.getField("keep")),
+          " ").as("clean_text"))
+  }
+
   /** Normalized-content fingerprints appended to the input frame. */
   def fingerprint(df: DataFrame, text: Column): DataFrame = {
     val norm = regexp_replace(trim(text), "\\s+", " ")
@@ -831,55 +951,79 @@ object Graft {
 
   // ------------------------------------------------------------ temporal
 
-  /** Gap-based sessionization: appends session_id (1-based per key) to the
-    * input. One shuffle on the key. */
+  /** First of base, base_1, base_2, ... absent from `taken` — used so the
+    * temporal operators never collide with caller columns. */
+  private def freshName(base: String, taken: Set[String]): String =
+    if (!taken.contains(base)) base
+    else Iterator.from(1).map(i => s"${base}_$i").find(n => !taken.contains(n)).get
+
+  /** Gap-based sessionization: appends `out` (1-based session id per key) to
+    * the input. One shuffle on the key. Refuses to silently replace an
+    * existing `out` column — pass a fresh name instead; internal scratch
+    * columns are collision-proofed against the input schema. */
   def sessionize(df: DataFrame, key: Column, ts: Column, tiebreak: Column,
-                 gapSeconds: Long = 1800L): DataFrame = {
+                 gapSeconds: Long = 1800L, out: String = "session_id"): DataFrame = {
+    require(!df.columns.contains(out),
+      s"sessionize: input already has a '$out' column; pass out=<fresh name> " +
+        "— the operator never silently replaces caller data")
+    val gap = freshName("__gap", df.columns.toSet)
     val w = Window.partitionBy(key).orderBy(ts, tiebreak)
     val sec = unix_timestamp(ts)
-    df.withColumn("__gap", sec - lag(sec, 1).over(w))
-      .withColumn("session_id",
-        sum(when(col("__gap").isNull || col("__gap") > gapSeconds, 1).otherwise(0))
+    df.withColumn(gap, sec - lag(sec, 1).over(w))
+      .withColumn(out,
+        sum(when(col(gap).isNull || col(gap) > gapSeconds, 1).otherwise(0))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast(LongType))
-      .drop("__gap")
+      .drop(gap)
   }
 
   /** As-of join: for each left row, the latest right row with
-    * ts_right <= ts_left on the same key. Right columns come back prefixed
-    * `asof_`. One shuffle on the key (union-tag + ordered window).
+    * ts_right <= ts_left on the same key. Right columns come back under
+    * `prefix` (default `asof_`). One shuffle on the key (union-tag +
+    * ordered window).
     *
     * Correctness notes: right rows sharing (key, ts) are deduplicated to
     * the one with the greatest (rightCols...) tuple, so results are
     * deterministic; and the right columns are carried as ONE struct through
     * `last(ignoreNulls)`, so the output never mixes fields from different
     * right rows (a per-column carry would backfill a NULL field from an
-    * older row). */
+    * older row). Output names are collision-checked against the left frame
+    * and internal scratch columns are collision-proofed against both
+    * inputs. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
-               rightCols: Seq[String]): DataFrame = {
+               rightCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+    val collisions = rightCols.map(prefix + _).filter(left.columns.contains)
+    require(collisions.isEmpty,
+      s"asofJoin: output column(s) ${collisions.mkString(", ")} already " +
+        "exist on the left frame; pass a different prefix — the operator " +
+        "never silently replaces caller data")
+    val taken = (left.columns ++ right.columns).toSet
+    val rnC = freshName("__rn", right.columns.toSet)
+    val rC = freshName("__r", taken)
+    val tagC = freshName("__is_left", taken)
     val dw = Window.partitionBy(col(key), col(ts))
       .orderBy(struct(rightCols.map(col): _*).desc)
     val r0 = right.select((key +: ts +: rightCols).distinct.map(col): _*)
-      .withColumn("__rn", row_number().over(dw)).where(col("__rn") === 1)
-      .drop("__rn")
-      .select(col(key), col(ts), lit(0).as("__is_left"),
-        struct(rightCols.map(col): _*).as("__r"))
+      .withColumn(rnC, row_number().over(dw)).where(col(rnC) === 1)
+      .drop(rnC)
+      .select(col(key), col(ts), lit(0).as(tagC),
+        struct(rightCols.map(col): _*).as(rC))
     val leftCols = left.columns.filterNot(c => c == key || c == ts)
     val rStructType = StructType(rightCols.map(c =>
       StructField(c, right.schema(c).dataType, nullable = true)))
     val unioned = r0
-      .select((Seq(col(key), col(ts), col("__is_left"), col("__r")) ++
+      .select((Seq(col(key), col(ts), col(tagC), col(rC)) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
       .unionByName(
-        left.select((Seq(col(key), col(ts), lit(1).as("__is_left"),
-          lit(null).cast(rStructType).as("__r")) ++ leftCols.map(col)): _*))
+        left.select((Seq(col(key), col(ts), lit(1).as(tagC),
+          lit(null).cast(rStructType).as(rC)) ++ leftCols.map(col)): _*))
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("__is_left"))
+      .orderBy(col(ts), col(tagC))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
-      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+      .withColumn(rC, last(col(rC), ignoreNulls = true).over(w))
     rightCols.foldLeft(carried) { (df, c) =>
-      df.withColumn(s"asof_$c", col(s"__r.$c"))
-    }.where(col("__is_left") === 1).drop("__is_left", "__r")
+      df.withColumn(s"$prefix$c", col(rC).getField(c))
+    }.where(col(tagC) === 1).drop(tagC, rC)
   }
 }

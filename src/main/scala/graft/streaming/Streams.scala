@@ -52,13 +52,12 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  private var streamCounter = 0
+  private val streamCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Run a streaming aggregate synchronously to completion over the finite
     * file source and return the materialized result. */
   private def runToCompletion(agg: DataFrame, mode: String): DataFrame = {
-    streamCounter += 1
-    val name = s"graft_stream_$streamCounter"
+    val name = s"graft_stream_${streamCounter.incrementAndGet()}"
     val q = agg.writeStream.outputMode(mode)
       .format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()

@@ -100,6 +100,29 @@ class MedallionSpec extends AnyFunSuite {
     assert(silver.columns.length == bronze.columns.length + 34)
   }
 
+  test("approx KPIs land within 3*rsd of the exact distinct counts (m04 tolerance)") {
+    // Cross-engine hashing is impossible for HLL sketches by design (the m04
+    // gate is rows-only); the honest check is intra-engine: each
+    // approx_count_distinct lands within ~3 relative standard deviations of
+    // the exact countDistinct it replaces, per group.
+    val rsd = 0.05
+    val exact = Gold.kpis(silver).select("interaction_date",
+      "daily_active_customers", "unique_email_addresses", "support_tickets_created")
+    val approx = Gold.kpisApprox(silver, rsd).select("interaction_date",
+      "daily_active_customers", "unique_email_addresses", "support_tickets_created")
+    val joined = exact.as("e").join(approx.as("a"), "interaction_date").collect()
+    assert(joined.nonEmpty)
+    for (row <- joined; i <- 1 to 3) {
+      val ex = row.getLong(i); val ap = row.getLong(i + 3)
+      if (ex == 0L) assert(ap == 0L, s"col $i: exact 0 but approx $ap")
+      else {
+        val relErr = math.abs(ap - ex).toDouble / ex
+        assert(relErr <= 3 * rsd,
+          s"col $i on ${row.get(0)}: exact=$ex approx=$ap relErr=$relErr > ${3 * rsd}")
+      }
+    }
+  }
+
   test("gold KPIs match an independent SQL formulation (intra-engine oracle)") {
     silver.createOrReplaceTempView("t_silver")
     val got = Gold.kpis(silver)
