@@ -150,6 +150,22 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** d10: chunk-level boilerplate removal — the paragraph-dedup stage of a
+    * corpus-cleaning pipeline (CCNet-style: repeated license banners and
+    * navigation chrome are dropped chunk-by-chunk, not document-by-
+    * document). 10-token chunks whose content recurs in MORE than one
+    * document are dropped from every document carrying them, and the
+    * surviving text is rebuilt in order (the corpus's planted near-dups
+    * make the repeated-chunk set non-trivial). Thin binding of
+    * [[graft.api.Graft.dropBoilerplate]]. */
+  def d10ParagraphDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.api.Graft.dropBoilerplate(Tables.load(s, dir, "documents"),
+        $"doc_id", $"text", chunkWords = 10, maxDocFreq = 1)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> d01Exact,
     "d02_minhash_lsh" -> d02MinhashLsh,
@@ -158,7 +174,8 @@ object Dedup {
     "d05_embedding_pairs" -> d05EmbeddingPairs,
     "d06_dup_groups" -> d06DupGroups,
     "d07_dedup_pipeline" -> d07DedupPipeline,
-    "d09_lsh_bucket_stats" -> d09LshBucketStats)
+    "d09_lsh_bucket_stats" -> d09LshBucketStats,
+    "d10_paragraph_dedup" -> d10ParagraphDedup)
 
   /** The minhash->banding->agreement CTE chain over relation `from`
     * (shared by the d02/d03/d06/d07 oracles). */
@@ -209,6 +226,25 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "d10_paragraph_dedup" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |           FROM documents),
+        |ch AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |   array_to_string(list_slice(t, (i-1)*10 + 1, i*10), ' ') AS chunk
+        |  FROM (SELECT doc_id, t,
+        |         unnest(generate_series(1, CAST(ceil(len(t) / 10.0) AS BIGINT))) AS i
+        |        FROM d)),
+        |hot AS (SELECT md5(chunk) AS h FROM ch
+        |        GROUP BY 1 HAVING count(DISTINCT doc_id) > 1),
+        |fl AS (SELECT doc_id, pos, chunk,
+        |        md5(chunk) IN (SELECT h FROM hot) AS is_hot FROM ch)
+        |SELECT doc_id,
+        | CAST(count(*) AS BIGINT) AS n_chunks,
+        | CAST(count(*) FILTER (is_hot) AS BIGINT) AS n_dropped,
+        | coalesce(string_agg(CASE WHEN NOT is_hot THEN chunk END, ' '
+        |                     ORDER BY pos), '') AS clean_text
+        |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d09_lsh_bucket_stats" ->
       s"""WITH ${sigsSql()},
          |counts AS (

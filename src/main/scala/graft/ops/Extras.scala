@@ -170,7 +170,55 @@ object Extras {
       .orderBy($"zgroup")
   }
 
+  /** q54: higher-order array functions — transform / filter / exists /
+    * forall / aggregate / zip_with over the embedding vectors. Outputs are
+    * integer-exact (counts, index sums, booleans) or selection-based
+    * (array_max picks an element, no arithmetic), so every column is
+    * engine-portable bit-for-bit. The whole gate is one narrow codegen'd
+    * projection: the lambda forest runs inside WholeStageCodegen with no
+    * shuffle and no UDF. */
+  def q54HigherOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = transform($"embedding", x => x.cast(DoubleType))
+    Tables.load(s, dir, "embeddings")
+      .select($"vec_id",
+        size(filter(v, x => x > 0)).cast(LongType).as("n_pos"),
+        exists(v, x => x > 0.9).as("any_big"),
+        forall(v, x => abs(x) < 10.0).as("all_small"),
+        aggregate(
+          zip_with(v, sequence(lit(1), size(v)),
+            (x, i) => when(x > 0, i).otherwise(lit(0))),
+          lit(0L), (acc, x) => acc + x).as("pos_idx_sum"),
+        array_max(v).as("max_val"),
+        array_position(v, array_max(v)).cast(LongType).as("argmax_pos"))
+      .orderBy($"vec_id")
+  }
+
+  /** q55: the map-type function family — construction (`map`), lookup
+    * (`element_at`), `map_filter`, `transform_values`, `map_concat`,
+    * `map_keys`/`map_values` — with scalar, integer-exact outputs (a map
+    * column itself has no deterministic cross-engine rendering; the values
+    * extracted from it do). The oracle computes the same scalars directly,
+    * pinning the map machinery's results rather than its representation. */
+  def q55MapFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = map(lit("u"), $"user_id", lit("e"), $"event_id",
+      lit("x"), $"event_id" % 7)
+    Tables.load(s, dir, "events")
+      .select($"event_id",
+        element_at(m, "e").as("get_e"),
+        size(map_filter(m, (_, v) => v % 2 === 0)).cast(LongType).as("n_even"),
+        array_join(array_sort(map_keys(m)), ",").as("keys_csv"),
+        element_at(transform_values(m, (_, v) => v * 2), "x").as("x2"),
+        size(map_concat(m, map(lit("y"), $"user_id" + 1))).cast(LongType)
+          .as("n_concat"),
+        aggregate(map_values(m), lit(0L), (a, x) => a + x).as("vals_sum"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_higher_order" -> q54HigherOrder,
+    "q55_map_funcs" -> q55MapFuncs,
     "q42_cube" -> q42Cube,
     "q43_window_nav" -> q43WindowNav,
     "q44_hash_sample" -> q44HashSample,
@@ -181,6 +229,28 @@ object Extras {
     "q53_zorder_layout" -> q53ZorderLayout)
 
   val oracles: Map[String, String] = Map(
+    "q54_higher_order" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT vec_id,
+        | CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
+        | len(list_filter(v, x -> x > 0.9)) > 0 AS any_big,
+        | len(list_filter(v, x -> abs(x) >= 10.0)) = 0 AS all_small,
+        | CAST(list_aggregate(list_transform(v,
+        |   (x, i) -> CASE WHEN x > 0 THEN i ELSE 0 END), 'sum') AS BIGINT) AS pos_idx_sum,
+        | list_max(v) AS max_val,
+        | CAST(list_position(v, list_max(v)) AS BIGINT) AS argmax_pos
+        |FROM e ORDER BY vec_id""".stripMargin,
+    "q55_map_funcs" ->
+      """SELECT event_id,
+        | event_id AS get_e,
+        | CAST((CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN (event_id % 7) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+        | 'e,u,x' AS keys_csv,
+        | (event_id % 7) * 2 AS x2,
+        | CAST(4 AS BIGINT) AS n_concat,
+        | user_id + event_id + (event_id % 7) AS vals_sum
+        |FROM events ORDER BY event_id""".stripMargin,
     "q53_zorder_layout" -> {
       val zExpr = (0 until 8).map(i =>
         s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")

@@ -182,8 +182,30 @@ object Similarity {
       .orderBy($"path")
   }
 
+  private val SemDedupThreshold = 0.45
+
+  /** d11: semantic (embedding-cosine) corpus dedup END TO END — the
+    * embedding-space analogue of the d07 text pipeline: LSH-bucketed
+    * candidate pairs (d08's bucketing), exact cosine on candidates only,
+    * edges at cosine >= 0.45, connected components, least-id keeper per
+    * cluster; output is the retained corpus. Recall < 1 by design (a pair
+    * the bucketing misses survives dedup); the oracle reproduces the
+    * identical bucketing AND the transitive closure, so the decision is
+    * still hash-matched end to end. Thin binding of
+    * [[graft.api.Graft.semanticDedup]]. */
+  def d11SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.api.Graft.semanticDedup(
+      Tables.load(s, dir, "embeddings"), $"vec_id", $"embedding",
+      dim = Dim, threshold = SemDedupThreshold,
+      numTables = NumTables, bitsPerBucket = BitsPerTable)
+      .select($"vec_id", $"label")
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> s01BruteForceTopK,
+    "d11_semantic_dedup" -> d11SemanticDedup,
     "s02_ann_lsh" -> s02LshTopK,
     "s03_ann_topk_aggregator" -> s03TopKAggregator,
     "s04_ann_ivf" -> s04IvfTopK,
@@ -267,8 +289,37 @@ object Similarity {
        |      UNION ALL SELECT * FROM sum_pairs)
        |ORDER BY path""".stripMargin
 
+  /** d11 oracle — d08's bucketed-candidate CTEs (identical hyperplane
+    * constants), a cosine threshold instead of top-N, then the recursive
+    * transitive closure + least-id keeper of the d06/d07 oracles. */
+  private lazy val d11Sql: String =
+    s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+       |      WHERE len(v) = $Dim AND list_dot_product(v, v) > 0),
+       |b AS (${(0 until NumTables).map(t =>
+          s"SELECT vec_id, v, nrm, $t AS tbl, ${bucketSql(t)} AS bkt FROM n")
+          .mkString(" UNION ALL ")}),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, a.v AS va, a.nrm AS na,
+       |   b2.vec_id AS vec_b, b2.v AS vb, b2.nrm AS nb
+       |  FROM b a JOIN b b2 USING (tbl, bkt) WHERE a.vec_id < b2.vec_id),
+       |edges AS (SELECT vec_a, vec_b FROM cand
+       |          WHERE list_dot_product(va, vb) / (na * nb) >= $SemDedupThreshold),
+       |verts AS (SELECT vec_a AS id FROM edges UNION SELECT vec_b FROM edges),
+       |edges2 AS (SELECT vec_a AS a, vec_b AS b FROM edges
+       |           UNION SELECT vec_b, vec_a FROM edges),
+       |reach(a, b) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT r.a, e2.b FROM reach r JOIN edges2 e2 ON r.b = e2.a),
+       |cc AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a),
+       |dropids AS (SELECT id FROM cc WHERE comp <> id)
+       |SELECT vec_id, label FROM embeddings
+       |WHERE vec_id NOT IN (SELECT id FROM dropids)
+       |ORDER BY vec_id""".stripMargin
+
   lazy val oracles: Map[String, String] =
-    baseOracles + ("s05_ann_recall" -> s05Sql)
+    baseOracles + ("s05_ann_recall" -> s05Sql) + ("d11_semantic_dedup" -> d11Sql)
 
   private lazy val baseOracles: Map[String, String] = Map(
     "s01_ann_bruteforce" ->

@@ -164,6 +164,39 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t09: PII redaction — the scrubbing stage a training corpus runs before
+    * anything ships. The synthetic documents carry no PII, so the gate
+    * plants a deterministic doc_id-derived payload first (emails on
+    * doc_id%3 in {0,1} — two on 0 — a phone on doc_id%2=0, an IPv4 on
+    * doc_id%4=0: every count in {0,1,2} is exercised), then redacts and
+    * counts with [[graft.api.Graft.redactPii]]; the oracle plants the
+    * identical payload and redacts with the identical regexes. Narrow
+    * regexp projection, no shuffle. */
+  def t09PiiRedaction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = $"doc_id"
+    def ds = d.cast(StringType)
+    val injected = concat(
+      $"text",
+      when(d % 3 === 0, concat(lit(" reach user"), ds, lit("@example.com or admin"),
+          ds, lit("@test.org")))
+        .when(d % 3 === 1, concat(lit(" mail user"), ds, lit("@example.com")))
+        .otherwise(lit("")),
+      when(d % 2 === 0, concat(lit(" call ("), (d % 800 + 200).cast(StringType),
+          lit(") 555-"), lpad((d % 10000).cast(StringType), 4, "0")))
+        .otherwise(lit("")),
+      when(d % 4 === 0, concat(lit(" from 10.0."), (d % 256).cast(StringType),
+          lit("."), ((d * 7) % 256).cast(StringType)))
+        .otherwise(lit("")))
+    graft.api.Graft.redactPii(
+        Tables.load(s, dir, "documents").withColumn("pii_text", injected),
+        $"pii_text")
+      .select($"doc_id", $"n_emails", $"n_phones", $"n_ips",
+        length($"text_redacted").cast(LongType).as("n_chars_redacted"),
+        $"text_redacted")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> t01TextStats,
     "t02_lang_id" -> t02LangId,
@@ -172,7 +205,8 @@ object TextAnalysis {
     "t05_bpe_tokens" -> t05BpeTokens,
     "t06_contamination" -> t06Contamination,
     "t07_quality_signals" -> t07QualitySignals,
-    "t08_repetition_filter" -> t08RepetitionFilter)
+    "t08_repetition_filter" -> t08RepetitionFilter,
+    "t09_pii_redaction" -> t09PiiRedaction)
 
   val oracles: Map[String, String] = Map(
     "t01_text_stats" ->
@@ -274,5 +308,35 @@ object TextAnalysis {
          | FROM c GROUP BY doc_id)
          |SELECT doc_id, n_2grams, n_distinct_2grams, max_2gram_count,
          | dup_2gram_frac, dup_2gram_frac > 0.08 AS is_repetitive
-         |FROM a ORDER BY doc_id""".stripMargin)
+         |FROM a ORDER BY doc_id""".stripMargin,
+    "t09_pii_redaction" -> {
+      val emailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRx = "\\([0-9]{3}\\) [0-9]{3}-[0-9]{4}"
+      val ipRx = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+      s"""WITH p AS (SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 3 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR)
+         |         || '@example.com or admin' || CAST(doc_id AS VARCHAR) || '@test.org'
+         |       WHEN doc_id % 3 = 1 THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |       ELSE '' END ||
+         |  CASE WHEN doc_id % 2 = 0 THEN ' call (' || CAST(doc_id % 800 + 200 AS VARCHAR)
+         |         || ') 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |       ELSE '' END ||
+         |  CASE WHEN doc_id % 4 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         |         || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+         |       ELSE '' END AS pii
+         | FROM documents)
+         |SELECT doc_id,
+         | CAST(len(regexp_extract_all(pii, '$emailRx')) AS BIGINT) AS n_emails,
+         | CAST(len(regexp_extract_all(pii, '$phoneRx')) AS BIGINT) AS n_phones,
+         | CAST(len(regexp_extract_all(pii, '$ipRx')) AS BIGINT) AS n_ips,
+         | length(redacted) AS n_chars_redacted,
+         | redacted AS text_redacted
+         |FROM (SELECT doc_id, pii,
+         |  regexp_replace(regexp_replace(regexp_replace(pii,
+         |    '$emailRx', '<EMAIL>', 'g'),
+         |    '$phoneRx', '<PHONE>', 'g'),
+         |    '$ipRx', '<IP>', 'g') AS redacted
+         | FROM p)
+         |ORDER BY doc_id""".stripMargin
+    })
 }

@@ -127,6 +127,114 @@ class GraftApiSpec extends AnyFunSuite {
     assert(out.getAs[Double]("asof_b") == 3.0)
   }
 
+  test("sessionize and asofJoin are collide-proof on hostile schemas") {
+    import spark.implicits._
+    // a frame that ALREADY has session_id and the internal scratch name:
+    // sessionize must refuse the default (never silently replace caller
+    // data) and work under a caller-chosen output name, preserving both
+    // pre-existing columns untouched
+    val ev = Seq((7L, 1000L, 1L, 99L, "x"), (7L, 9000L, 2L, 98L, "y"))
+      .toDF("uid", "sec", "eid", "session_id", "__gap")
+      .withColumn("etime", timestamp_seconds($"sec")).drop("sec")
+    val err = intercept[IllegalArgumentException] {
+      Graft.sessionize(ev, $"uid", $"etime", $"eid")
+    }
+    assert(err.getMessage.contains("session_id"))
+    val sess = Graft.sessionize(ev, $"uid", $"etime", $"eid", out = "sess2")
+    assert(sess.columns.count(_ == "__gap") == 1) // caller's column survives
+    val rows = sess.select($"eid", $"session_id", $"__gap", $"sess2")
+      .as[(Long, Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rows(1L) == ((99L, "x", 1L)) && rows(2L) == ((98L, "y", 2L)))
+
+    // left frame already carrying asof_price and the scratch names: default
+    // prefix refuses; a caller prefix works and every hostile column is
+    // carried through unchanged
+    val left = Seq((1L, 2000L, "L1", 7.0, 5, 6, 8))
+      .toDF("k", "t", "tag", "asof_price", "__r", "__is_left", "__rn")
+      .withColumn("t", timestamp_seconds($"t"))
+    val right = Seq((1L, 1000L, 10.0), (1L, 1500L, 20.0), (2L, 10L, 9.0))
+      .toDF("k", "t", "price")
+      .withColumn("t", timestamp_seconds($"t"))
+    val err2 = intercept[IllegalArgumentException] {
+      Graft.asofJoin(left, right, "k", "t", Seq("price"))
+    }
+    assert(err2.getMessage.contains("asof_price"))
+    val out = Graft.asofJoin(left, right, "k", "t", Seq("price"), prefix = "r_").head()
+    assert(out.getAs[Double]("r_price") == 20.0)
+    assert(out.getAs[Double]("asof_price") == 7.0) // caller column untouched
+    assert(out.getAs[Int]("__r") == 5 && out.getAs[Int]("__is_left") == 6 &&
+      out.getAs[Int]("__rn") == 8)
+  }
+
+  test("redactPii counts and redacts planted emails, phones, and IPs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a.b+c@ex-ample.co.uk or x@y.io, call (555) 123-4567 from 192.168.0.1"),
+      (2L, "no pii here, 1234 is not an ip and a@b is not an email"),
+      (3L, "(12) 34-56 is not a phone; 999.999.999.999999 has no boundary match")
+    ).toDF("k", "body")
+    val out = Graft.redactPii(docs, $"body").orderBy($"k").collect()
+    assert(out(0).getAs[Long]("n_emails") == 2)
+    assert(out(0).getAs[Long]("n_phones") == 1)
+    assert(out(0).getAs[Long]("n_ips") == 1)
+    assert(out(0).getAs[String]("text_redacted") ==
+      "mail <EMAIL> or <EMAIL>, call <PHONE> from <IP>")
+    assert(out(1).getAs[Long]("n_emails") == 0 &&
+      out(1).getAs[Long]("n_phones") == 0 && out(1).getAs[Long]("n_ips") == 0)
+    assert(out(1).getAs[String]("text_redacted") ==
+      "no pii here, 1234 is not an ip and a@b is not an email")
+    // 999.999.999.999999: the last quad is 6 digits, but the regex still
+    // matches a 3-digit prefix of it ("999.999.999.999") ONLY if a word
+    // boundary follows — a digit follows, so no match
+    assert(out(2).getAs[Long]("n_ips") == 0)
+  }
+
+  test("dropBoilerplate drops only corpus-repeated chunks and rebuilds in order") {
+    import spark.implicits._
+    val banner = (1 to 10).map(i => s"w$i").mkString(" ") // one exact chunk
+    val docs = Seq(
+      (1L, s"$banner alpha beta gamma"),
+      (2L, s"$banner delta epsilon"),
+      (3L, "unique content only nothing repeated here at all")
+    ).toDF("k", "body")
+    val out = Graft.dropBoilerplate(docs, $"k", $"body", chunkWords = 10,
+      maxDocFreq = 1).orderBy($"id").collect()
+    assert(out(0).getAs[Long]("n_chunks") == 2 && out(0).getAs[Long]("n_dropped") == 1)
+    assert(out(0).getAs[String]("clean_text") == "alpha beta gamma")
+    assert(out(1).getAs[String]("clean_text") == "delta epsilon")
+    assert(out(2).getAs[Long]("n_dropped") == 0)
+    assert(out(2).getAs[String]("clean_text") ==
+      "unique content only nothing repeated here at all")
+    // a doc that is ALL boilerplate comes back empty, not missing
+    val all = Seq((1L, banner), (2L, banner)).toDF("k", "body")
+    val gone = Graft.dropBoilerplate(all, $"k", $"body", 10, 1).orderBy($"id").collect()
+    assert(gone.length == 2 && gone.forall(_.getAs[String]("clean_text") == ""))
+  }
+
+  test("semanticDedup keeps least id per planted cosine cluster") {
+    import spark.implicits._
+    val dim = 8
+    def vec(base: Array[Double], eps: Double): Seq[Double] =
+      base.zipWithIndex.map { case (x, i) => x + (if (i == 0) eps else 0.0) }.toSeq
+    val a = Array(1.0, 0, 0, 0, 0, 0, 0, 0)
+    val b = Array(0.0, 0, 0, 1.0, 1.0, 0, 0, 0)
+    val rows = Seq(
+      (10L, vec(a, 0.0), "a0"), (11L, vec(a, 1e-6), "a1"), (12L, vec(a, 2e-6), "a2"),
+      (20L, vec(b, 0.0), "b0"), (21L, vec(b, 1e-6), "b1"),
+      (30L, Seq(0.0, 1.0, 0, 0, 0, 0, -1.0, 0), "solo")
+    ).toDF("vid", "v", "tag")
+    val kept = Graft.semanticDedup(rows, $"vid", $"v", dim = dim,
+      threshold = 0.99, numTables = 4, bitsPerBucket = 2)
+      .select($"vid").as[Long].collect().toSet
+    assert(kept == Set(10L, 20L, 30L), s"got $kept")
+    // a threshold nothing reaches: empty edge graph, everything survives
+    val keptAll = Graft.semanticDedup(rows, $"vid", $"v", dim = dim,
+      threshold = 1.5, numTables = 4, bitsPerBucket = 2)
+      .select($"vid").as[Long].collect().toSet
+    assert(keptAll.size == 6)
+  }
+
   test("connectedComponents labels every vertex with its least reachable id") {
     import spark.implicits._
     // component {1,2,3,4} is a path (diameter 3, needs real propagation),
