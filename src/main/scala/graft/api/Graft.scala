@@ -977,6 +977,33 @@ object Graft {
       .drop(gap)
   }
 
+  /** Skew-mitigating salted inner equi-join. Every left row gets a
+    * deterministic salt in [0, salts) (a crc32 of `saltBy` — pass any
+    * column with per-row entropy, e.g. a line number or event id; salts
+    * must be reproducible across task retries, so no random source); the
+    * right side is replicated across all salts; the join runs on
+    * (key, salt), spreading one hot key over `salts` reducers. Output =
+    * the plain inner equi-join's columns (salt scratch dropped), so it is
+    * a drop-in for `left.join(right, leftKey === rightKey)`.
+    *
+    * When to reach for this: AQE's skew-join split handles the moderate
+    * regime at runtime; explicit salting is for the degenerate key whose
+    * single partition exceeds a task (AQE can only split what the map side
+    * already wrote — a single monster key still lands in one reducer's
+    * fetch). Cost: the right side is scanned/shuffled `salts` times —
+    * size the factor to the skew, not higher. */
+  def saltedJoin(left: DataFrame, right: DataFrame,
+                 leftKey: Column, rightKey: Column, saltBy: Column,
+                 salts: Int = 8): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val taken = (left.columns ++ right.columns).toSet
+    val sL = freshName("__salt_l", taken)
+    val sR = freshName("__salt_r", taken + sL)
+    val l = left.withColumn(sL, pmod(crc32(saltBy.cast(StringType)), lit(salts)))
+    val r = right.withColumn(sR, explode(array((0 until salts).map(lit(_)): _*)))
+    l.join(r, leftKey === rightKey && col(sL) === col(sR)).drop(sL, sR)
+  }
+
   /** As-of join: for each left row, the latest right row with
     * ts_right <= ts_left on the same key. Right columns come back under
     * `prefix` (default `asof_`). One shuffle on the key (union-tag +

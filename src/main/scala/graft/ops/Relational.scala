@@ -178,16 +178,15 @@ object Relational {
     * mitigation for when one join key dominates (AQE skew-join's static
     * cousin): the fact side gets a deterministic salt from its own key,
     * the build side is replicated across all salts, and the join runs on
-    * (key, salt) so a hot key spreads over `Salts` reducers. Must produce
-    * exactly q04's results — same oracle. */
+    * (key, salt) so a hot key spreads over the salt reducers. Thin binding
+    * of [[graft.api.Graft.saltedJoin]]; must produce exactly q04's results
+    * — same oracle. */
   def q12SaltedJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val salts = 8
     val li = Tables.load(s, dir, "lineitem")
-      .withColumn("salt", pmod(crc32($"l_linenumber".cast(StringType)), lit(salts)))
     val o = Tables.load(s, dir, "orders")
-      .withColumn("salt", explode(array((0 until salts).map(lit(_)): _*)))
-    li.join(o, li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
+    graft.api.Graft.saltedJoin(li, o,
+        li("l_orderkey"), o("o_orderkey"), li("l_linenumber"), salts = 8)
       .groupBy($"o_orderpriority")
       .agg(
         sum(dec($"l_extendedprice") * (oneDec - dec($"l_discount")))

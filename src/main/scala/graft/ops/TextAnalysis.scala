@@ -197,7 +197,42 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t10: URL extraction + normalization — the link-analysis stage of a web
+    * corpus pipeline (URL counts, host/domain normalization, path and query
+    * parameter extraction feed dedup-by-page and source-quality scoring).
+    * URLs are planted deterministically (the synthetic corpus has none),
+    * then extracted with regexp and dissected with Spark's native
+    * `parse_url` (HOST / PATH / QUERY:key); the oracle reproduces the same
+    * dissection with anchored regexes. Narrow projection, no shuffle. */
+  def t10UrlExtraction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = $"doc_id"
+    def ds = d.cast(StringType)
+    val withUrl = concat(
+      $"text",
+      when(d % 3 === 0, concat(lit(" see https://docs.example"),
+          (d % 5).cast(StringType), lit(".com/guide/page"), ds,
+          lit("?ref=r"), (d % 7).cast(StringType)))
+        .otherwise(lit("")),
+      when(d % 4 === 1, concat(lit(" and http://www.mirror.example.org/path"), ds))
+        .otherwise(lit("")))
+    val urls = regexp_extract_all($"t", lit("https?://[^\\s]+"), lit(0))
+    Tables.load(s, dir, "documents")
+      .withColumn("t", withUrl)
+      .withColumn("first_url", try_element_at(urls, lit(1)))
+      .select(
+        $"doc_id",
+        size(urls).cast(LongType).as("n_urls"),
+        parse_url($"first_url", lit("HOST")).as("first_host"),
+        regexp_replace(parse_url($"first_url", lit("HOST")), "^www\\.", "")
+          .as("first_domain"),
+        parse_url($"first_url", lit("PATH")).as("first_path"),
+        parse_url($"first_url", lit("QUERY"), lit("ref")).as("ref_param"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_url_extraction" -> t10UrlExtraction,
     "t01_text_stats" -> t01TextStats,
     "t02_lang_id" -> t02LangId,
     "t03_fingerprint" -> t03Fingerprint,
@@ -309,6 +344,28 @@ object TextAnalysis {
          |SELECT doc_id, n_2grams, n_distinct_2grams, max_2gram_count,
          | dup_2gram_frac, dup_2gram_frac > 0.08 AS is_repetitive
          |FROM a ORDER BY doc_id""".stripMargin,
+    "t10_url_extraction" ->
+      """WITH p AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' see https://docs.example'
+        |         || CAST(doc_id % 5 AS VARCHAR) || '.com/guide/page'
+        |         || CAST(doc_id AS VARCHAR) || '?ref=r' || CAST(doc_id % 7 AS VARCHAR)
+        |       ELSE '' END ||
+        |  CASE WHEN doc_id % 4 = 1 THEN ' and http://www.mirror.example.org/path'
+        |         || CAST(doc_id AS VARCHAR)
+        |       ELSE '' END AS t
+        | FROM documents),
+        |u AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+        |  nullif(regexp_extract(t, 'https?://[^\s]+'), '') AS first_url
+        | FROM p),
+        |h AS (SELECT doc_id, n_urls, first_url,
+        |  nullif(regexp_extract(first_url, '^[a-z]+://([^/?#]+)', 1), '') AS first_host
+        | FROM u)
+        |SELECT doc_id, n_urls, first_host,
+        | regexp_replace(first_host, '^www\.', '') AS first_domain,
+        | nullif(regexp_extract(first_url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1), '') AS first_path,
+        | nullif(regexp_extract(first_url, '[?&]ref=([^&#]*)', 1), '') AS ref_param
+        |FROM h ORDER BY doc_id""".stripMargin,
     "t09_pii_redaction" -> {
       val emailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val phoneRx = "\\([0-9]{3}\\) [0-9]{3}-[0-9]{4}"

@@ -167,6 +167,27 @@ class GraftApiSpec extends AnyFunSuite {
       out.getAs[Int]("__rn") == 8)
   }
 
+  test("saltedJoin equals the plain inner join and survives hostile schemas") {
+    import spark.implicits._
+    val facts = Seq((1L, 10L, "a"), (1L, 11L, "b"), (2L, 12L, "c"), (9L, 13L, "d"))
+      .toDF("fk", "line_no", "payload")
+    val dims = Seq((1L, "one"), (2L, "two"), (3L, "three"))
+      .toDF("dk", "dname")
+    val plain = facts.join(dims, $"fk" === $"dk")
+      .select($"line_no", $"dname").as[(Long, String)].collect().toSet
+    val salted = Graft.saltedJoin(facts, dims, $"fk", $"dk", $"line_no", salts = 4)
+    assert(salted.columns.toSeq == Seq("fk", "line_no", "payload", "dk", "dname"))
+    val got = salted.select($"line_no", $"dname").as[(Long, String)].collect().toSet
+    assert(got == plain && got.size == 3)
+    // caller columns named like the scratch salts pass through untouched
+    val hostile = facts.withColumnRenamed("payload", "__salt_l")
+    val got2 = Graft.saltedJoin(hostile, dims.withColumn("__salt_r", lit(7)),
+      $"fk", $"dk", $"line_no", salts = 2)
+    assert(got2.columns.count(_ == "__salt_l") == 1 &&
+      got2.columns.count(_ == "__salt_r") == 1)
+    assert(got2.count() == 3 && got2.where($"__salt_r" === 7).count() == 3)
+  }
+
   test("redactPii counts and redacts planted emails, phones, and IPs") {
     import spark.implicits._
     val docs = Seq(

@@ -92,6 +92,36 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("hashpartitioning"), plan)
   }
 
+  test("t09 PII redaction is a pure narrow projection (no exchange, no UDF)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, dir, "documents")
+    val plan = planOf(graft.api.Graft.redactPii(docs, col("text")))
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), plan)
+  }
+
+  test("d10 boilerplate removal groups chunk frequency on md5, never all-pairs") {
+    val plan = planOf(Dedup.d10ParagraphDedup(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the document-frequency exchange keys on the 32-char md5, so chunk
+    // text never shuffles for counting (only the per-doc rebuild carries it)
+    assert(plan.contains("hashpartitioning(__h"), plan)
+  }
+
+  test("d11 semantic dedup never goes all-pairs (bucket-key equi-joins only)") {
+    val plan = planOf(Similarity.d11SemanticDedup(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q54/q55 lambda forests stay in one narrow projection") {
+    val p54 = planOf(Extras.q54HigherOrder(spark, dir))
+    assert(!p54.contains("hashpartitioning") && !p54.contains("ScalaUDF"), p54)
+    val p55 = planOf(Extras.q55MapFuncs(spark, dir))
+    assert(!p55.contains("hashpartitioning") && !p55.contains("ScalaUDF"), p55)
+  }
+
   test("q42 cube runs one Expand pass with partial aggregation") {
     val plan = planOf(Extras.q42Cube(spark, dir))
     assert(plan.split("\\bExpand\\b").length - 1 >= 1, plan)
