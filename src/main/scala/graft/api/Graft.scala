@@ -384,6 +384,49 @@ object Graft {
     uniq.join(drop, Seq("__dedup_id"), "left_anti").drop("__dedup_id")
   }
 
+  /** The full corpus-CLEANING pipeline end to end — the text-side
+    * composition a training-data pipeline runs before tokenization, as one
+    * call (the cleaning analogue of [[dedupCorpus]], which it ends with):
+    *
+    *  1. chunk-level boilerplate removal ([[dropBoilerplate]]): chunks
+    *     recurring in more than `maxDocFreq` documents are dropped from
+    *     every document, text is rebuilt in order;
+    *  2. structural filters on the REBUILT text: documents with no
+    *     surviving chunks go, and documents whose duplicate word-2-gram
+    *     fraction exceeds `maxDupFrac` go ([[repetitionStats]] — degenerate
+    *     repetition that survives chunk dedup, e.g. one phrase looped);
+    *  3. near-duplicate removal over the rebuilt text ([[dedupCorpus]]:
+    *     exact hash -> MinHash/LSH -> Jaccard verify -> connected
+    *     components, least id kept per cluster).
+    *
+    * Returns the retained documents as (id, n_chunks, n_dropped,
+    * clean_text). Stage order matters and is deliberate: boilerplate is
+    * removed FIRST so a shared banner neither masks two otherwise-distinct
+    * documents into a near-dup pair nor splits true near-dups apart, and
+    * the dedup signatures see only content the corpus keeps.
+    *
+    * Scale shape: the union of its stages' shapes — chunk/df passes keyed
+    * on md5, repetition as a word-count, dedup on band buckets; nothing
+    * all-pairs, nothing collected to the driver. */
+  def cleanCorpus(df: DataFrame, id: Column, text: Column,
+                  chunkWords: Int = 50, maxDocFreq: Long = 1,
+                  maxDupFrac: Double = 0.2,
+                  numHashes: Int = 8, shingle: Int = 5, seed: Long = 777L,
+                  bands: Int = 4, rowsPerBand: Int = 2, minAgreement: Int = 4,
+                  jaccardThreshold: Double = 0.5): DataFrame = {
+    val rebuilt = dropBoilerplate(df, id, text, chunkWords, maxDocFreq)
+      .where(col("n_dropped") < col("n_chunks"))
+    // left join, not inner: repetitionStats has no row for docs with < 2
+    // tokens (no 2-grams) — those pass the repetition filter vacuously
+    val rep = repetitionStats(rebuilt, col("id"), col("clean_text"))
+      .select(col("id"), col("dup_ngram_frac"))
+    val kept = rebuilt.join(rep, Seq("id"), "left")
+      .where(col("dup_ngram_frac").isNull || col("dup_ngram_frac") <= maxDupFrac)
+      .drop("dup_ngram_frac")
+    dedupCorpus(kept, col("id"), col("clean_text"), numHashes, shingle, seed,
+      bands, rowsPerBand, minAgreement, jaccardThreshold)
+  }
+
   // ----------------------------------------------------------- similarity
 
   /** Z-order (Morton) value of two non-negative cluster keys: the low

@@ -179,7 +179,7 @@ object Dedup {
 
   /** The minhash->banding->agreement CTE chain over relation `from`
     * (shared by the d02/d03/d06/d07 oracles). */
-  private def sigsSql(from: String = "documents") =
+  private[ops] def sigsSql(from: String = "documents") =
     s"""sh AS (
        |  SELECT doc_id, substr(text, i, 5) AS s
        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text)-4)) AS i

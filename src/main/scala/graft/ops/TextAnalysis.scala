@@ -231,8 +231,26 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t11: the corpus-cleaning pipeline END TO END — chunk boilerplate
+    * removal, structural filters on the rebuilt text (non-empty + word-
+    * 2-gram repetition <= 0.08, t08's threshold), then full near-dup
+    * removal over the REBUILT text. Every stage is the oracle-verified
+    * operator from d10/t08/d07; this gate pins their composition, including
+    * the stage ORDER (boilerplate first, so dedup signatures never see
+    * chunks the corpus drops). Thin binding of
+    * [[graft.api.Graft.cleanCorpus]]. */
+  def t11CleanCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.api.Graft.cleanCorpus(Tables.load(s, dir, "documents"),
+        $"doc_id", $"text", chunkWords = 10, maxDocFreq = 1,
+        maxDupFrac = 0.08)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t10_url_extraction" -> t10UrlExtraction,
+    "t11_clean_corpus" -> t11CleanCorpus,
     "t01_text_stats" -> t01TextStats,
     "t02_lang_id" -> t02LangId,
     "t03_fingerprint" -> t03Fingerprint,
@@ -344,6 +362,68 @@ object TextAnalysis {
          |SELECT doc_id, n_2grams, n_distinct_2grams, max_2gram_count,
          | dup_2gram_frac, dup_2gram_frac > 0.08 AS is_repetitive
          |FROM a ORDER BY doc_id""".stripMargin,
+    "t11_clean_corpus" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         |           FROM documents),
+         |ch AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |   array_to_string(list_slice(t, (i-1)*10 + 1, i*10), ' ') AS chunk
+         |  FROM (SELECT doc_id, t,
+         |         unnest(generate_series(1, CAST(ceil(len(t) / 10.0) AS BIGINT))) AS i
+         |        FROM d)),
+         |hot AS (SELECT md5(chunk) AS h FROM ch
+         |        GROUP BY 1 HAVING count(DISTINCT doc_id) > 1),
+         |fl AS (SELECT doc_id, pos, chunk,
+         |        md5(chunk) IN (SELECT h FROM hot) AS is_hot FROM ch),
+         |rebuilt AS (
+         |  SELECT doc_id,
+         |   CAST(count(*) AS BIGINT) AS n_chunks,
+         |   CAST(count(*) FILTER (is_hot) AS BIGINT) AS n_dropped,
+         |   coalesce(string_agg(CASE WHEN NOT is_hot THEN chunk END, ' '
+         |                       ORDER BY pos), '') AS clean_text
+         |  FROM fl GROUP BY doc_id
+         |  HAVING count(*) FILTER (is_hot) < count(*)),
+         |rt AS (SELECT doc_id, regexp_split_to_array(trim(clean_text), '\\s+') AS t
+         |       FROM rebuilt),
+         |g2 AS (SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS ng
+         |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+         |             FROM rt WHERE len(t) >= 2)),
+         |c2 AS (SELECT doc_id, ng, count(*) AS cnt FROM g2 GROUP BY doc_id, ng),
+         |rep AS (SELECT doc_id,
+         |         1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS BIGINT) AS dup_frac
+         |        FROM c2 GROUP BY doc_id),
+         |kept AS (
+         |  SELECT r.* FROM rebuilt r LEFT JOIN rep USING (doc_id)
+         |  WHERE rep.dup_frac IS NULL OR rep.dup_frac <= 0.08),
+         |docs2 AS (SELECT doc_id, clean_text AS text FROM kept),
+         |uniq AS (
+         |  SELECT d2.* FROM docs2 d2
+         |  JOIN (SELECT md5(text) AS h, min(doc_id) AS k
+         |        FROM docs2 GROUP BY 1) e ON d2.doc_id = e.k),
+         |${Dedup.sigsSql("uniq")},
+         |sets AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, length(text)-4), i -> substr(text, i, 5))) AS sh
+         |  FROM uniq),
+         |edges AS (
+         |  SELECT doc_a, doc_b FROM agreed
+         |  JOIN sets sa ON agreed.doc_a = sa.doc_id
+         |  JOIN sets sb ON agreed.doc_b = sb.doc_id
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |     / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5),
+         |verts AS (SELECT doc_a AS id FROM edges UNION SELECT doc_b FROM edges),
+         |edgesym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+         |            UNION SELECT doc_b, doc_a FROM edges),
+         |reach(a, b) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT r2.a, e2.b FROM reach r2 JOIN edgesym e2 ON r2.b = e2.a),
+         |cc AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a),
+         |dropids AS (SELECT id FROM cc WHERE comp <> id)
+         |SELECT k.doc_id, k.n_chunks, k.n_dropped, k.clean_text
+         |FROM kept k JOIN uniq u ON k.doc_id = u.doc_id
+         |WHERE k.doc_id NOT IN (SELECT id FROM dropids)
+         |ORDER BY k.doc_id""".stripMargin,
     "t10_url_extraction" ->
       """WITH p AS (SELECT doc_id, text ||
         |  CASE WHEN doc_id % 3 = 0 THEN ' see https://docs.example'

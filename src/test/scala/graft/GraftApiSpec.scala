@@ -233,6 +233,30 @@ class GraftApiSpec extends AnyFunSuite {
     assert(gone.length == 2 && gone.forall(_.getAs[String]("clean_text") == ""))
   }
 
+  test("cleanCorpus composes boilerplate removal, repetition filter, and dedup") {
+    import spark.implicits._
+    val banner = (1 to 10).map(i => s"nav$i").mkString(" ")
+    val body = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val loop = Seq.fill(30)("buy now").mkString(" ")
+    val docs = Seq(
+      (1L, s"$banner $body"),       // banner stripped, keeper of near-dup pair
+      (2L, s"$banner $body x"),     // near-dup of 1 after banner strip
+      (3L, loop),                   // degenerate repetition
+      (4L, "completely different words entirely unrelated content here today"),
+      (5L, "completely different words entirely unrelated content here today"),
+      (6L, banner)                  // all boilerplate
+    ).toDF("doc_id", "body")
+    val out = Graft.cleanCorpus(docs, $"doc_id", $"body",
+      chunkWords = 10, maxDocFreq = 2, maxDupFrac = 0.3)
+    assert(out.columns.toSeq == Seq("id", "n_chunks", "n_dropped", "clean_text"))
+    val rows = out.collect().map(r =>
+      r.getAs[Long]("id") -> r.getAs[String]("clean_text")).toMap
+    // 2 near-dup of 1; 3 repetitive; 5 exact dup of 4; 6 empty after strip
+    assert(rows.keySet == Set(1L, 4L), rows.keySet.toString)
+    assert(rows(1L) == body) // the banner chunk is gone, body rebuilt in order
+    assert(rows(4L) == "completely different words entirely unrelated content here today")
+  }
+
   test("semanticDedup keeps least id per planted cosine cluster") {
     import spark.implicits._
     val dim = 8
