@@ -92,8 +92,37 @@ object Stress {
       val (tRep, _) = secs(mat(graft.api.Graft.repetitionStats(
         docs, $"doc_id", $"text")))
 
+      // chunk-level boilerplate removal: the replicated corpus is its
+      // worst case too — every chunk recurs in K documents, so the hot
+      // set is the WHOLE chunk space at K >= 2 (maxDocFreq = K keeps the
+      // planted near-dup chunks only)
+      val (tBp, _) = secs(mat(graft.api.Graft.dropBoilerplate(
+        docs, $"doc_id", $"text", chunkWords = 10, maxDocFreq = n.toLong)))
+
+      // full cleaning pipeline (boilerplate + repetition + dedup) — the
+      // composition under the same K-clique duplication
+      val (tClean, nClean) = secs(graft.api.Graft.cleanCorpus(
+        docs, $"doc_id", $"text", chunkWords = 10,
+        maxDocFreq = n.toLong, maxDupFrac = 0.5).count())
+
+      // semantic dedup under K-cliques in embedding space: replica i
+      // perturbs dimension 0 by i*1e-5, so a vector's replicas sit at
+      // cosine ~1 (a K-clique above the 0.999 threshold) while unrelated
+      // vectors stay below it — the kept count must equal the base corpus
+      // at ANY K (every clique collapses to its least id)
+      val embK = (0 until n).map { i =>
+        Tables.load(spark, dir, "embeddings").select(
+          ($"vec_id" + lit(i.toLong * 10000000L)).as("vec_id"),
+          transform($"embedding",
+            (x, j) => x + when(j === 0, lit(i * 1e-5f)).otherwise(lit(0.0f)))
+            .as("embedding"),
+          $"label")
+      }.reduce(_ unionByName _)
+      val (tSem, nSem) = secs(graft.api.Graft.semanticDedup(
+        embK, $"vec_id", $"embedding", dim = 64, threshold = 0.999).count())
+
       docs.unpersist()
-      f"""{"k":$n,"n_docs":$nDocs,"sig_s":$tSig%.2f,"pairs_s":$tPairs%.2f,"n_pairs":$nPairs,"verify_s":$tVerify%.2f,"n_edges":$nEdges,"dedup_s":$tDedup%.2f,"n_kept":$nKept,"contam_s":$tContam%.2f,"repetition_s":$tRep%.2f}"""
+      f"""{"k":$n,"n_docs":$nDocs,"sig_s":$tSig%.2f,"pairs_s":$tPairs%.2f,"n_pairs":$nPairs,"verify_s":$tVerify%.2f,"n_edges":$nEdges,"dedup_s":$tDedup%.2f,"n_kept":$nKept,"contam_s":$tContam%.2f,"repetition_s":$tRep%.2f,"boilerplate_s":$tBp%.2f,"clean_s":$tClean%.2f,"n_clean":$nClean,"semantic_s":$tSem%.2f,"n_semantic":$nSem}"""
     }
     println(s"""{"stress":[${results.mkString(",")}],"sf":"$dir"}""")
     spark.stop()

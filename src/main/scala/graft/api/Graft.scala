@@ -341,6 +341,48 @@ object Graft {
     labels.select(col("id"), col("label").as("component"))
   }
 
+  /** PageRank over an undirected edge list (edges are symmetrized), with
+    * cross-engine-exact numerics: per-vertex neighbor contributions are
+    * QUANTIZED to integer units of 1e-12 (IEEE multiply + half-up round —
+    * identical in any engine) and summed as longs — exact and
+    * order-independent, so the result is bit-identical on any partitioning
+    * and reproducible in any engine unrolling the same `iters` rounds.
+    * (A DECIMAL-cast sum is NOT portable here: Spark's double->decimal
+    * cast rounds the shortest decimal rendering of the double, DuckDB's
+    * rounds its exact binary expansion — last-ulp divergence. Integer
+    * quantization sidesteps the cast entirely; total rank mass is 1, so a
+    * per-vertex sum stays far below 2^53 and the long->double read-back is
+    * exact.) Returns (id, rank) for every vertex appearing in an edge;
+    * ranks sum to 1 within the 1e-12 quantization. Driver actions: one
+    * O(1) vertex count + `iters` materialized rounds (localCheckpoint
+    * keeps the plan shallow — same shape as [[connectedComponents]]).
+    *
+    * At scale each round is two narrow-keyed shuffles (contribution join +
+    * per-vertex sum) over the edge list only — the classic large-graph
+    * PageRank shape; `iters` is fixed (rank deltas converge geometrically;
+    * production runs pick 10-20). */
+  def pageRank(edges: DataFrame, src: Column, dst: Column,
+               iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(src.as("a"), dst.as("b"))
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    val deg = sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val n = deg.count()
+    var ranks = deg.select(col("id"), lit(1.0 / n).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = sym
+        .join(ranks.join(deg, Seq("id")), sym("a") === col("id"))
+        .select(sym("b").as("id"),
+          round((col("rank") / col("deg")) * lit(1e12)).cast(LongType).as("c"))
+      ranks = contrib.groupBy(col("id"))
+        .agg((lit((1 - damping) / n) +
+          lit(damping) * (sum(col("c")).cast(DoubleType) / lit(1e12))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   /** The full near-duplicate removal pipeline, end to end — the composition
     * a training-data pipeline actually runs over a raw corpus:
     *
@@ -982,6 +1024,29 @@ object Graft {
               s => s.getField("keep").isNotNull),
             s => s.getField("keep")),
           " ").as("clean_text"))
+  }
+
+  /** Vocabulary-coverage / out-of-vocabulary statistics per document:
+    * (id, n_tokens, n_oov, oov_rate) — the tokenizer-fit signal a corpus
+    * pipeline computes before committing to a vocabulary (high OOV =
+    * wasted UNK tokens downstream). `vocab` is a caller-supplied frame of
+    * in-vocabulary tokens (deduplicated here).
+    *
+    * Scale shape: a real vocabulary is bounded (tokenizers cap at ~10^5-6
+    * entries), so the membership check is a broadcast hash join against
+    * the exploded token stream — the corpus side stays narrow and the only
+    * exchange is the per-document rollup, partially aggregated map-side. */
+  def oovStats(df: DataFrame, id: Column, text: Column,
+               vocab: DataFrame, vocabToken: Column): DataFrame = {
+    val v = vocab.select(vocabToken.as("__tok")).distinct()
+      .withColumn("__in_v", lit(1))
+    fanOut(df.select(id.as("id"), text.as("__t")))
+      .select(col("id"), explode(split(trim(col("__t")), "\\s+")).as("__tok"))
+      .join(broadcast(v), Seq("__tok"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count_if(col("__in_v").isNull).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast(DoubleType) / col("n_tokens"))
   }
 
   /** Normalized-content fingerprints appended to the input frame. */

@@ -166,7 +166,28 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** d12: PageRank over the near-dup candidate graph — duplicate
+    * *centrality*: a document's rank grows with how many near-duplicates
+    * it has and how central it sits in its duplication cluster (the signal
+    * a crawl pipeline uses to pick canonical pages and to spot template
+    * farms). Three unrolled rounds, damping 0.85, contributions quantized
+    * to integer 1e-12 units and summed exactly so the double ranks are
+    * bit-identical cross-engine (the oracle unrolls the identical rounds).
+    * Thin binding of
+    * [[graft.api.Graft.pageRank]] over the d02 candidate pairs. */
+  def d12Pagerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val sigs = graft.api.Graft.minhashSignatures(docs, $"doc_id", $"text",
+      assumeUniqueIds = true)
+    val pairs = graft.api.Graft.nearDupPairs(sigs, minAgreement = JaccardBandThreshold)
+    graft.api.Graft.pageRank(pairs, $"id_a", $"id_b")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d12_pagerank" -> d12Pagerank,
     "d01_exact_dedup" -> d01Exact,
     "d02_minhash_lsh" -> d02MinhashLsh,
     "d03_ngram_jaccard" -> d03NgramJaccard,
@@ -225,7 +246,38 @@ object Dedup {
     graft.api.Graft.lshBucketStats(sigs)
   }
 
+  /** One unrolled PageRank round for the d12 oracle. Every scalar is
+    * forced to DOUBLE (DuckDB parses bare 0.85 as DECIMAL — decimal
+    * division would diverge from Spark's IEEE ops); contributions are
+    * quantized to integer 1e-12 units and summed as BIGINTs exactly like
+    * [[graft.api.Graft.pageRank]] (both engines' round() is half-away-
+    * from-zero for positive doubles, and 1e12 is a DOUBLE literal in
+    * both). */
+  private def prRoundSql(i: Int): String =
+    s"""r$i AS (
+       |  SELECT e.b AS id,
+       |   (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+       |     + CAST(0.85 AS DOUBLE)
+       |       * (CAST(sum(CAST(round((r.rank / d.deg) * 1e12) AS BIGINT)) AS DOUBLE)
+       |          / 1e12) AS rank
+       |  FROM edges0 e
+       |  JOIN r${i - 1} r ON e.a = r.id
+       |  JOIN deg d ON e.a = d.id
+       |  GROUP BY e.b)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "d12_pagerank" ->
+      s"""WITH ${sigsSql()},
+         |edges0 AS (SELECT doc_a AS a, doc_b AS b FROM agreed
+         |           UNION SELECT doc_b, doc_a FROM agreed),
+         |deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS deg
+         |        FROM edges0 GROUP BY a),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+         |r0 AS (SELECT id, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM deg),
+         |${prRoundSql(1)},
+         |${prRoundSql(2)},
+         |${prRoundSql(3)}
+         |SELECT id AS doc_id, rank FROM r3 ORDER BY doc_id""".stripMargin,
     "d10_paragraph_dedup" ->
       """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
         |           FROM documents),

@@ -248,9 +248,29 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t12: vocabulary coverage — per-document out-of-vocabulary rate
+    * against the corpus's own top-20 token vocabulary (t04's exact
+    * definition, so the boundary tiebreak is already oracle-proven). The
+    * tokenizer-fit signal: high OOV means the vocabulary wastes UNK
+    * tokens on this document. Thin binding of
+    * [[graft.api.Graft.oovStats]] (broadcast vocabulary membership,
+    * narrow corpus side). */
+  def t12OovRate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val vocab = docs
+      .select(explode(tokens($"text")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"token").limit(20)
+    graft.api.Graft.oovStats(docs, $"doc_id", $"text", vocab, $"token")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t10_url_extraction" -> t10UrlExtraction,
     "t11_clean_corpus" -> t11CleanCorpus,
+    "t12_oov_rate" -> t12OovRate,
     "t01_text_stats" -> t01TextStats,
     "t02_lang_id" -> t02LangId,
     "t03_fingerprint" -> t03Fingerprint,
@@ -362,6 +382,20 @@ object TextAnalysis {
          |SELECT doc_id, n_2grams, n_distinct_2grams, max_2gram_count,
          | dup_2gram_frac, dup_2gram_frac > 0.08 AS is_repetitive
          |FROM a ORDER BY doc_id""".stripMargin,
+    "t12_oov_rate" ->
+      """WITH tok AS (SELECT doc_id,
+        |        unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |       FROM documents),
+        |vocab AS (SELECT token FROM (
+        |  SELECT token, count(*) AS cnt FROM tok GROUP BY token
+        |  ORDER BY cnt DESC, token LIMIT 20)),
+        |f AS (SELECT doc_id, token,
+        |       token IN (SELECT token FROM vocab) AS inv FROM tok)
+        |SELECT doc_id,
+        | CAST(count(*) AS BIGINT) AS n_tokens,
+        | CAST(count(*) FILTER (NOT inv) AS BIGINT) AS n_oov,
+        | CAST(count(*) FILTER (NOT inv) AS DOUBLE) / count(*) AS oov_rate
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t11_clean_corpus" ->
       s"""WITH RECURSIVE d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
          |           FROM documents),

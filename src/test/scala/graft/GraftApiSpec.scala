@@ -233,6 +233,34 @@ class GraftApiSpec extends AnyFunSuite {
     assert(gone.length == 2 && gone.forall(_.getAs[String]("clean_text") == ""))
   }
 
+  test("pageRank on a path graph: center outranks symmetric leaves, ranks sum to 1") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val ranks = Graft.pageRank(edges, $"s", $"d", iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(ranks.keySet == Set(1L, 2L, 3L))
+    assert(ranks(1L) == ranks(3L), "symmetric leaves must have identical rank")
+    assert(ranks(2L) > ranks(1L), "the center must outrank the leaves")
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-9)
+    // determinism across re-evaluation (decimal sums are order-free)
+    val again = Graft.pageRank(edges, $"s", $"d", iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(again == ranks)
+  }
+
+  test("oovStats counts out-of-vocabulary tokens per document") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a a a a"), (3L, "x y")).toDF("k", "body")
+    val vocab = Seq("a", "b", "a").toDF("w") // dup entry must not double-count
+    val out = Graft.oovStats(docs, $"k", $"body", vocab, $"w")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Double]("oov_rate")))).toMap
+    assert(out(1L) == ((3L, 1L, 1.0 / 3)))
+    assert(out(2L) == ((4L, 0L, 0.0)))
+    assert(out(3L) == ((2L, 2L, 1.0)))
+  }
+
   test("cleanCorpus composes boilerplate removal, repetition filter, and dedup") {
     import spark.implicits._
     val banner = (1 to 10).map(i => s"nav$i").mkString(" ")
