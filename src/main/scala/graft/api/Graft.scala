@@ -1026,6 +1026,42 @@ object Graft {
           " ").as("clean_text"))
   }
 
+  /** Deterministic hash sampling: keep a row iff the first 4 hex digits of
+    * md5(key) — a uniform 16-bit bucket — fall below `fraction` of the
+    * bucket space. Membership is a pure row property: stable under
+    * re-partitioning, task retries, and engine changes (none of which is
+    * true of `df.sample`'s RNG streams), so a sample is reproducible
+    * anywhere and composable with an oracle. Narrow projection, no
+    * shuffle. */
+  def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1]: $fraction")
+    val bucket = conv(substring(md5(key.cast(StringType)), 1, 4), 16, 10)
+      .cast(LongType)
+    df.where(bucket < math.round(fraction * 65536).toInt)
+  }
+
+  /** Deterministic stratified sampling with per-stratum rates — the
+    * data-MIXING primitive of a training pipeline (e.g. upsample a rare
+    * language, downsample boilerplate-heavy sources): each row keeps with
+    * its stratum's fraction, by the same hash-bucket membership as
+    * [[hashSample]]. Strata absent from `fractions` keep `defaultFraction`
+    * (default: dropped). Still a narrow projection: the fractions map
+    * folds into one CASE expression, no join, no shuffle. */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0): DataFrame = {
+    (fractions.values.toSeq :+ defaultFraction).foreach(f =>
+      require(f >= 0 && f <= 1, s"fractions must be in [0,1]: $f"))
+    val bucket = conv(substring(md5(key.cast(StringType)), 1, 4), 16, 10)
+      .cast(LongType)
+    def cut(f: Double): Long = math.round(f * 65536)
+    val threshold = fractions.toSeq.sortBy(_._1).foldLeft(
+      when(lit(false), lit(0L))) { case (c, (s, f)) =>
+        c.when(stratum === s, lit(cut(f)))
+      }.otherwise(lit(cut(defaultFraction)))
+    df.where(bucket < threshold)
+  }
+
   /** Vocabulary-coverage / out-of-vocabulary statistics per document:
     * (id, n_tokens, n_oov, oov_rate) — the tokenizer-fit signal a corpus
     * pipeline computes before committing to a vocabulary (high OOV =

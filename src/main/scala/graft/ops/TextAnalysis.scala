@@ -267,10 +267,26 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t13: deterministic data mixing — per-language sampling rates (the
+    * upsample/downsample step that turns a raw corpus into a training
+    * mix), by hash-bucket membership: reproducible on any engine, any
+    * partitioning, any retry. Thin binding of
+    * [[graft.api.Graft.stratifiedSample]] (the fraction map folds into one
+    * CASE — narrow projection, no join, no shuffle). */
+  def t13DataMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.api.Graft.stratifiedSample(
+      Tables.load(s, dir, "documents"), $"doc_id", $"lang",
+      Map("en" -> 1.0, "es" -> 0.5, "de" -> 0.25), defaultFraction = 0.125)
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t10_url_extraction" -> t10UrlExtraction,
     "t11_clean_corpus" -> t11CleanCorpus,
     "t12_oov_rate" -> t12OovRate,
+    "t13_data_mix" -> t13DataMix,
     "t01_text_stats" -> t01TextStats,
     "t02_lang_id" -> t02LangId,
     "t03_fingerprint" -> t03Fingerprint,
@@ -382,6 +398,14 @@ object TextAnalysis {
          |SELECT doc_id, n_2grams, n_distinct_2grams, max_2gram_count,
          | dup_2gram_frac, dup_2gram_frac > 0.08 AS is_repetitive
          |FROM a ORDER BY doc_id""".stripMargin,
+    "t13_data_mix" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) AS b
+        |  FROM documents)
+        |WHERE b < (CASE lang WHEN 'en' THEN 65536 WHEN 'es' THEN 32768
+        |           WHEN 'de' THEN 16384 ELSE 8192 END)
+        |ORDER BY doc_id""".stripMargin,
     "t12_oov_rate" ->
       """WITH tok AS (SELECT doc_id,
         |        unnest(regexp_split_to_array(trim(text), '\s+')) AS token

@@ -233,6 +233,25 @@ class GraftApiSpec extends AnyFunSuite {
     assert(gone.length == 2 && gone.forall(_.getAs[String]("clean_text") == ""))
   }
 
+  test("hashSample/stratifiedSample are pure row properties with nested membership") {
+    import spark.implicits._
+    val df = spark.range(0, 10000).toDF("k")
+      .withColumn("s", when($"k" % 2 === 0, "a").otherwise("b"))
+    val ids1 = Graft.hashSample(df, $"k", 0.25).select("k").as[Long].collect().toSet
+    assert(math.abs(ids1.size - 2500.0) / 2500 < 0.1, ids1.size.toString)
+    // membership survives re-partitioning (df.sample's RNG does not)
+    val ids2 = Graft.hashSample(df.repartition(7), $"k", 0.25)
+      .select("k").as[Long].collect().toSet
+    assert(ids1 == ids2)
+    // samples nest: the 25% sample is a strict subset of the 50% one
+    val half = Graft.hashSample(df, $"k", 0.5).select("k").as[Long].collect().toSet
+    assert(ids1.subsetOf(half) && half.size > ids1.size)
+    // stratified: stratum a keeps everything, default drops the rest
+    val strat = Graft.stratifiedSample(df, $"k", $"s", Map("a" -> 1.0))
+    assert(strat.select($"s").distinct().as[String].collect().toSeq == Seq("a"))
+    assert(strat.count() == 5000)
+  }
+
   test("pageRank on a path graph: center outranks symmetric leaves, ranks sum to 1") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")

@@ -122,6 +122,36 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p55.contains("hashpartitioning") && !p55.contains("ScalaUDF"), p55)
   }
 
+  test("t12 OOV membership joins the vocabulary by broadcast") {
+    // the corpus token stream must stay narrow: vocabulary membership is a
+    // broadcast hash join, never a corpus-wide shuffle join
+    val plan = planOf(TextAnalysis.t12OovRate(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan)
+  }
+
+  test("nested schema pruning reaches the parquet scan (struct subfield only)") {
+    // a 100 TB table with wide metadata structs must not read the whole
+    // struct for a one-subfield projection: ReadSchema has to show the
+    // pruned struct, and the fat payload sibling must be absent
+    import spark.implicits._
+    import org.apache.spark.sql.functions.struct
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nested_").toString
+    Seq((1L, ("img/jpeg", 640, "x" * 100)), (2L, ("img/png", 480, "y" * 100)))
+      .toDF("id", "meta")
+      .select($"id", $"meta._1".as("mime"), $"meta._2".as("width"),
+        $"meta._3".as("payload"))
+      .select($"id", struct($"mime", $"width", $"payload").as("meta"))
+      .write.mode("overwrite").parquet(tmp)
+    val plan = planOf(spark.read.parquet(tmp).select($"id", $"meta.mime"))
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema"))
+      .mkString("\n")
+    assert(readSchema.contains("mime"), plan)
+    assert(!readSchema.contains("payload") && !readSchema.contains("width"),
+      readSchema)
+  }
+
   test("q42 cube runs one Expand pass with partial aggregation") {
     val plan = planOf(Extras.q42Cube(spark, dir))
     assert(plan.split("\\bExpand\\b").length - 1 >= 1, plan)
