@@ -182,7 +182,30 @@ object SqlSurface {
         |SELECT node, depth FROM tree ORDER BY node""".stripMargin)
   }
 
+  /** q56: LATERAL correlated subquery — per-customer top-2 orders through
+    * the SQL entry (`FROM customer, LATERAL (...)`), the per-row-subplan
+    * surface DuckDB runs with the same text. Catalyst rewrites the
+    * correlated lateral into a join (DomainJoin decorrelation), so at
+    * scale this plans as a window/join, never a per-row re-execution. */
+  def q56Lateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(q56Sql)
+  }
+
+  private val q56Sql =
+    """SELECT c_custkey, o_orderkey,
+      | CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice
+      |  FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey
+      |  LIMIT 2) t
+      |ORDER BY c_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_lateral_join" -> q56Lateral,
     "q27_exists_chain" -> q27ExistsChain,
     "q28_having_subquery" -> q28HavingSubquery,
     "q29_in_subquery" -> q29InSubquery,
@@ -194,6 +217,7 @@ object SqlSurface {
     "q52_recursive_cte" -> q52RecursiveCte)
 
   val oracles: Map[String, String] = Map(
+    "q56_lateral_join" -> q56Sql,
     "q27_exists_chain" -> q27Sql,
     "q28_having_subquery" -> q28Sql,
     "q29_in_subquery" -> q29Sql,

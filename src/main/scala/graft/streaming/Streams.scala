@@ -193,7 +193,46 @@ object Streams {
     runToCompletion(agg, "complete").orderBy($"c_mktsegment")
   }
 
+  /** Documents as a file-source stream (same symlink-dir mechanics as
+    * [[eventsStream]]; plain types, no timestamp workaround needed). */
+  private def documentsStream(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val target = Paths.get(dir, "documents.parquet").toAbsolutePath
+    val streamDir = Paths.get("/tmp/graft_stream_src",
+      target.toString.replaceAll("[^A-Za-z0-9]", "_"))
+    Files.createDirectories(streamDir)
+    val link = streamDir.resolve("documents.parquet")
+    if (Files.isSymbolicLink(link) || Files.exists(link)) Files.delete(link)
+    try Files.createSymbolicLink(link, target)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    s.readStream.schema(schema).parquet(streamDir.toString)
+  }
+
+  /** st06: the text-quality operators running ON A STREAM — the cleaning
+    * pipeline's scoring stage applied at ingest time instead of batch:
+    * [[graft.api.Graft.qualitySignals]] is a narrow projection, so it
+    * composes with a streaming frame unchanged; the per-source rollup
+    * aggregates quality in DECIMAL(10,2) (quality_v2 is a sum of exact
+    * 0.25 steps, so the mean is engine-exact). Complete mode over the
+    * finite source; the oracle is the identical batch computation. */
+  def st06StreamTextQuality(s: SparkSession, dir: String): DataFrame = {
+    val scored = graft.api.Graft.qualitySignals(documentsStream(s, dir),
+      col("text"))
+    val agg = scored.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("quality_v2").cast(DecimalType(10, 2))).cast(DoubleType)
+          / count(lit(1))).as("mean_quality"),
+        count_if(col("quality_v2") >= 0.75).as("n_high_quality"))
+    runToCompletion(agg, "complete").orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st06_stream_text_quality" -> st06StreamTextQuality,
     "st01_stream_tumbling_agg" -> st01TumblingAgg,
     "st02_stream_dedup" -> st02StreamDedup,
     "st03_stateful_sessions" -> st03StatefulSessions,
@@ -201,6 +240,23 @@ object Streams {
     "st05_stream_static_join" -> st05StreamStaticJoin)
 
   val oracles: Map[String, String] = Map(
+    "st06_stream_text_quality" ->
+      s"""WITH d AS (SELECT source, length(text) AS n_chars,
+         |  length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+         |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+         |    / len(regexp_split_to_array(trim(text), '\\s+')) AS mean_word_len
+         | FROM documents),
+         |q AS (SELECT source,
+         |  (CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 0.25 ELSE 0.0 END
+         |   + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars < 0.1 THEN 0.25 ELSE 0.0 END
+         |   + CASE WHEN CAST(n_digit AS DOUBLE) / n_chars < 0.2 THEN 0.25 ELSE 0.0 END
+         |   + CASE WHEN mean_word_len BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0.0 END) AS quality
+         | FROM d)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(CAST(quality AS DECIMAL(10,2))) AS DOUBLE) / count(*) AS mean_quality,
+         | CAST(count(*) FILTER (quality >= 0.75) AS BIGINT) AS n_high_quality
+         |FROM q GROUP BY source ORDER BY source""".stripMargin,
     "st01_stream_tumbling_agg" ->
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start_s,
         | event_type,
