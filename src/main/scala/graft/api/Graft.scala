@@ -456,8 +456,15 @@ object Graft {
                   numHashes: Int = 8, shingle: Int = 5, seed: Long = 777L,
                   bands: Int = 4, rowsPerBand: Int = 2, minAgreement: Int = 4,
                   jaccardThreshold: Double = 0.5): DataFrame = {
+    // persisted MEMORY_ONLY (LRU-evictable, the house persist stance):
+    // the chunk explode + md5 doc-frequency shuffle + ordered rebuild is
+    // the most expensive narrow stage here and has two direct consumers
+    // (repetitionStats and the rep join); `kept` likewise feeds
+    // dedupCorpus's exact-keeper groupBy AND its semi join before
+    // dedupCorpus's own `uniq` persist takes over
     val rebuilt = dropBoilerplate(df, id, text, chunkWords, maxDocFreq)
       .where(col("n_dropped") < col("n_chunks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     // left join, not inner: repetitionStats has no row for docs with < 2
     // tokens (no 2-grams) — those pass the repetition filter vacuously
     val rep = repetitionStats(rebuilt, col("id"), col("clean_text"))
@@ -465,6 +472,7 @@ object Graft {
     val kept = rebuilt.join(rep, Seq("id"), "left")
       .where(col("dup_ngram_frac").isNull || col("dup_ngram_frac") <= maxDupFrac)
       .drop("dup_ngram_frac")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     dedupCorpus(kept, col("id"), col("clean_text"), numHashes, shingle, seed,
       bands, rowsPerBand, minAgreement, jaccardThreshold)
   }
@@ -591,11 +599,12 @@ object Graft {
       bitsPerBucket, seed)
     val cs = VectorFunctions.dotF64(col("va"), col("vb")) / (col("na") * col("nb"))
     val edges = cand.where(cs >= threshold).select(col("vec_a"), col("vec_b"))
+    val semId = freshName("__sem_id", df.columns.toSet)
     val drop = connectedComponents(edges, col("vec_a"), col("vec_b"))
       .where(col("id") =!= col("component"))
-      .select(col("id").as("__sem_id"))
-    df.withColumn("__sem_id", id)
-      .join(drop, Seq("__sem_id"), "left_anti").drop("__sem_id")
+      .select(col("id").as(semId))
+    df.withColumn(semId, id)
+      .join(drop, Seq(semId), "left_anti").drop(semId)
   }
 
   /** LSH-bucketed approximate cosine top-k: corpus and queries bucket by
@@ -958,10 +967,12 @@ object Graft {
     * The patterns are deliberately conservative, engine-portable regex
     * (no lookarounds, ASCII classes only): emails (`local@domain.tld`),
     * North-American `(nnn) nnn-nnnn` phone shapes, and dotted-quad IPv4
-    * with word boundaries. Counts are measured on the ORIGINAL text per
-    * category; redaction applies email -> phone -> ip in sequence (the
-    * patterns cannot overlap: an email needs an alphabetic TLD, so a
-    * dotted-quad never terminates one). */
+    * with word boundaries. Redaction applies email -> phone -> ip in
+    * sequence, and each category is COUNTED on the text as it stood when
+    * that category was redacted — so every count equals the number of its
+    * placeholders in `text_redacted` exactly, even when patterns nest (a
+    * dotted-quad inside an email's domain is part of the email, redacted
+    * once as <EMAIL>, and counted in n_emails only). */
   def redactPii(df: DataFrame, text: Column,
                 emailToken: String = "<EMAIL>",
                 phoneToken: String = "<PHONE>",
@@ -970,13 +981,12 @@ object Graft {
       ("n_emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", emailToken),
       ("n_phones", "\\([0-9]{3}\\) [0-9]{3}-[0-9]{4}", phoneToken),
       ("n_ips", "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", ipToken))
-    val counted = df.withColumns(rx.map { case (n, p, _) =>
-      n -> size(regexp_extract_all(text, lit(p), lit(0))).cast(LongType)
-    }.toMap)
-    counted.withColumn("text_redacted",
-      rx.foldLeft(text) { case (c, (_, p, tok)) =>
-        regexp_replace(c, p, tok)
-      })
+    val (out, counts) = rx.foldLeft((text, Seq.empty[(String, Column)])) {
+      case ((t, cs), (n, p, tok)) =>
+        (regexp_replace(t, p, tok),
+          cs :+ (n -> size(regexp_extract_all(t, lit(p), lit(0))).cast(LongType)))
+    }
+    df.withColumns(counts.toMap).withColumn("text_redacted", out)
   }
 
   /** Chunk-level boilerplate removal — the paragraph-dedup stage of a
@@ -1110,7 +1120,9 @@ object Graft {
     require(!df.columns.contains(out),
       s"sessionize: input already has a '$out' column; pass out=<fresh name> " +
         "— the operator never silently replaces caller data")
-    val gap = freshName("__gap", df.columns.toSet)
+    // the scratch name must also dodge the caller's OUTPUT name, else
+    // out = "__gap" would overwrite the scratch and then drop the result
+    val gap = freshName("__gap", df.columns.toSet + out)
     val w = Window.partitionBy(key).orderBy(ts, tiebreak)
     val sec = unix_timestamp(ts)
     df.withColumn(gap, sec - lag(sec, 1).over(w))
@@ -1143,7 +1155,11 @@ object Graft {
     val taken = (left.columns ++ right.columns).toSet
     val sL = freshName("__salt_l", taken)
     val sR = freshName("__salt_r", taken + sL)
-    val l = left.withColumn(sL, pmod(crc32(saltBy.cast(StringType)), lit(salts)))
+    // NULL saltBy must still salt (to 0), not evaporate the row: a NULL
+    // salt would fail the salt equality and silently drop a left row the
+    // plain inner join this replaces would keep
+    val l = left.withColumn(sL,
+      pmod(coalesce(crc32(saltBy.cast(StringType)), lit(0L)), lit(salts)))
     val r = right.withColumn(sR, explode(array((0 until salts).map(lit(_)): _*)))
     l.join(r, leftKey === rightKey && col(sL) === col(sR)).drop(sL, sR)
   }
@@ -1168,7 +1184,11 @@ object Graft {
       s"asofJoin: output column(s) ${collisions.mkString(", ")} already " +
         "exist on the left frame; pass a different prefix — the operator " +
         "never silently replaces caller data")
-    val taken = (left.columns ++ right.columns).toSet
+    // scratch names must dodge caller columns AND the output names this
+    // call will create (prefix = "__" with rightCols = Seq("r") would
+    // otherwise collide scratch "__r" with output "__r")
+    val taken = (left.columns ++ right.columns).toSet ++
+      rightCols.map(prefix + _)
     val rnC = freshName("__rn", right.columns.toSet)
     val rC = freshName("__r", taken)
     val tagC = freshName("__is_left", taken)

@@ -185,10 +185,13 @@ object Extras {
         size(filter(v, x => x > 0)).cast(LongType).as("n_pos"),
         exists(v, x => x > 0.9).as("any_big"),
         forall(v, x => abs(x) < 10.0).as("all_small"),
-        aggregate(
+        // empty-array guard: sequence(1, 0) DESCENDS in Spark ([1, 0]),
+        // which would zip-pad phantom positions while the oracle's
+        // list_aggregate over an empty list is NULL — pin both to 0
+        when(size(v) === 0, lit(0L)).otherwise(aggregate(
           zip_with(v, sequence(lit(1), size(v)),
             (x, i) => when(x > 0, i).otherwise(lit(0))),
-          lit(0L), (acc, x) => acc + x).as("pos_idx_sum"),
+          lit(0L), (acc, x) => acc + x)).as("pos_idx_sum"),
         array_max(v).as("max_val"),
         array_position(v, array_max(v)).cast(LongType).as("argmax_pos"))
       .orderBy($"vec_id")
@@ -235,8 +238,8 @@ object Extras {
         | CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
         | len(list_filter(v, x -> x > 0.9)) > 0 AS any_big,
         | len(list_filter(v, x -> abs(x) >= 10.0)) = 0 AS all_small,
-        | CAST(list_aggregate(list_transform(v,
-        |   (x, i) -> CASE WHEN x > 0 THEN i ELSE 0 END), 'sum') AS BIGINT) AS pos_idx_sum,
+        | CAST(coalesce(list_aggregate(list_transform(v,
+        |   (x, i) -> CASE WHEN x > 0 THEN i ELSE 0 END), 'sum'), 0) AS BIGINT) AS pos_idx_sum,
         | list_max(v) AS max_val,
         | CAST(list_position(v, list_max(v)) AS BIGINT) AS argmax_pos
         |FROM e ORDER BY vec_id""".stripMargin,

@@ -522,15 +522,15 @@ object TextAnalysis {
          | FROM documents)
          |SELECT doc_id,
          | CAST(len(regexp_extract_all(pii, '$emailRx')) AS BIGINT) AS n_emails,
-         | CAST(len(regexp_extract_all(pii, '$phoneRx')) AS BIGINT) AS n_phones,
-         | CAST(len(regexp_extract_all(pii, '$ipRx')) AS BIGINT) AS n_ips,
-         | length(redacted) AS n_chars_redacted,
-         | redacted AS text_redacted
+         | CAST(len(regexp_extract_all(s1, '$phoneRx')) AS BIGINT) AS n_phones,
+         | CAST(len(regexp_extract_all(s2, '$ipRx')) AS BIGINT) AS n_ips,
+         | length(regexp_replace(s2, '$ipRx', '<IP>', 'g')) AS n_chars_redacted,
+         | regexp_replace(s2, '$ipRx', '<IP>', 'g') AS text_redacted
          |FROM (SELECT doc_id, pii,
-         |  regexp_replace(regexp_replace(regexp_replace(pii,
+         |  regexp_replace(pii, '$emailRx', '<EMAIL>', 'g') AS s1,
+         |  regexp_replace(regexp_replace(pii,
          |    '$emailRx', '<EMAIL>', 'g'),
-         |    '$phoneRx', '<PHONE>', 'g'),
-         |    '$ipRx', '<IP>', 'g') AS redacted
+         |    '$phoneRx', '<PHONE>', 'g') AS s2
          | FROM p)
          |ORDER BY doc_id""".stripMargin
     })

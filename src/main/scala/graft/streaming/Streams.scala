@@ -27,28 +27,34 @@ final case class SessSummary(user_id: Long, n_sessions: Long, n_events: Long)
   */
 object Streams {
 
-  /** Read events as a file-source stream (handling the NANOS timestamp the
-    * same way Tables.load does for batch). The file source requires a
-    * directory, so the single parquet file is exposed through a symlink in
-    * a temp dir — the testdata itself is never touched. */
-  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+  /** A single parquet table file exposed as a file-source stream: the
+    * source requires a directory, so the file is exposed through a symlink
+    * in a temp dir — the testdata itself is never touched. */
+  private def fileStream(s: SparkSession, dir: String, fileName: String,
+                         schema: StructType): DataFrame = {
     import java.nio.file.{Files, Paths}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val target = Paths.get(dir, "events.parquet").toAbsolutePath
+    val target = Paths.get(dir, fileName).toAbsolutePath
     val streamDir = Paths.get("/tmp/graft_stream_src",
       target.toString.replaceAll("[^A-Za-z0-9]", "_"))
     Files.createDirectories(streamDir)
-    val link = streamDir.resolve("events.parquet")
+    val link = streamDir.resolve(fileName)
     // Remove whatever occupies the link path (dangling symlink, stray
     // file); ignore a concurrent creator's win on the create itself.
     if (Files.isSymbolicLink(link) || Files.exists(link)) Files.delete(link)
     try Files.createSymbolicLink(link, target)
     catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    s.readStream.schema(schema).parquet(streamDir.toString)
+  }
+
+  /** Events as a file-source stream (handling the NANOS timestamp the
+    * same way Tables.load does for batch). */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    s.readStream.schema(schema).parquet(streamDir.toString)
+    fileStream(s, dir, "events.parquet", schema)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -193,24 +199,13 @@ object Streams {
     runToCompletion(agg, "complete").orderBy($"c_mktsegment")
   }
 
-  /** Documents as a file-source stream (same symlink-dir mechanics as
-    * [[eventsStream]]; plain types, no timestamp workaround needed). */
-  private def documentsStream(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val target = Paths.get(dir, "documents.parquet").toAbsolutePath
-    val streamDir = Paths.get("/tmp/graft_stream_src",
-      target.toString.replaceAll("[^A-Za-z0-9]", "_"))
-    Files.createDirectories(streamDir)
-    val link = streamDir.resolve("documents.parquet")
-    if (Files.isSymbolicLink(link) || Files.exists(link)) Files.delete(link)
-    try Files.createSymbolicLink(link, target)
-    catch { case _: java.nio.file.FileAlreadyExistsException => () }
-    val schema = StructType(Seq(
+  /** Documents as a file-source stream (plain types, no timestamp
+    * workaround needed). */
+  private def documentsStream(s: SparkSession, dir: String): DataFrame =
+    fileStream(s, dir, "documents.parquet", StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    s.readStream.schema(schema).parquet(streamDir.toString)
-  }
+      StructField("n_chars", LongType))))
 
   /** st06: the text-quality operators running ON A STREAM — the cleaning
     * pipeline's scoring stage applied at ingest time instead of batch:

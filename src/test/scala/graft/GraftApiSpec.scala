@@ -165,6 +165,19 @@ class GraftApiSpec extends AnyFunSuite {
     assert(out.getAs[Double]("asof_price") == 7.0) // caller column untouched
     assert(out.getAs[Int]("__r") == 5 && out.getAs[Int]("__is_left") == 6 &&
       out.getAs[Int]("__rn") == 8)
+
+    // output names that collide with the DEFAULT scratch names must still
+    // come through: sessionize(out = "__gap") and asofJoin outputs "__r"
+    val ev2 = Seq((7L, 1000L, 1L)).toDF("uid", "sec", "eid")
+      .withColumn("etime", timestamp_seconds($"sec")).drop("sec")
+    val s2 = Graft.sessionize(ev2, $"uid", $"etime", $"eid", out = "__gap")
+    assert(s2.select($"__gap").as[Long].head() == 1L)
+    val l2 = Seq((1L, 2000L)).toDF("k", "t")
+      .withColumn("t", timestamp_seconds($"t"))
+    val r2 = Seq((1L, 1000L, 5.0)).toDF("k", "t", "r")
+      .withColumn("t", timestamp_seconds($"t"))
+    val o2 = Graft.asofJoin(l2, r2, "k", "t", Seq("r"), prefix = "__").head()
+    assert(o2.getAs[Double]("__r") == 5.0)
   }
 
   test("saltedJoin equals the plain inner join and survives hostile schemas") {
@@ -186,6 +199,14 @@ class GraftApiSpec extends AnyFunSuite {
     assert(got2.columns.count(_ == "__salt_l") == 1 &&
       got2.columns.count(_ == "__salt_r") == 1)
     assert(got2.count() == 3 && got2.where($"__salt_r" === 7).count() == 3)
+
+    // a NULL saltBy value must salt (to 0), not evaporate the row — the
+    // plain inner join this replaces would keep it
+    val withNull = Seq((Some(1L), Option.empty[Long], Some("n")))
+      .toDF("fk", "line_no", "payload")
+    val kept = Graft.saltedJoin(withNull, dims, $"fk", $"dk", $"line_no",
+      salts = 4)
+    assert(kept.count() == 1 && kept.head().getAs[String]("dname") == "one")
   }
 
   test("redactPii counts and redacts planted emails, phones, and IPs") {
@@ -209,6 +230,14 @@ class GraftApiSpec extends AnyFunSuite {
     // matches a 3-digit prefix of it ("999.999.999.999") ONLY if a word
     // boundary follows — a digit follows, so no match
     assert(out(2).getAs[Long]("n_ips") == 0)
+
+    // a dotted-quad NESTED in an email's domain is part of the email:
+    // redacted once as <EMAIL>, counted in n_emails only (counts always
+    // equal the placeholders actually inserted)
+    val nested = Seq((1L, "contact x@1.2.3.44.com now")).toDF("k", "body")
+    val n = Graft.redactPii(nested, $"body").head()
+    assert(n.getAs[Long]("n_emails") == 1 && n.getAs[Long]("n_ips") == 0)
+    assert(n.getAs[String]("text_redacted") == "contact <EMAIL> now")
   }
 
   test("dropBoilerplate drops only corpus-repeated chunks and rebuilds in order") {
@@ -325,6 +354,12 @@ class GraftApiSpec extends AnyFunSuite {
       threshold = 1.5, numTables = 4, bitsPerBucket = 2)
       .select($"vid").as[Long].collect().toSet
     assert(keptAll.size == 6)
+    // a caller column named like the scratch id survives untouched
+    val hostile = rows.withColumn("__sem_id", lit("keep"))
+    val out2 = Graft.semanticDedup(hostile, $"vid", $"v", dim = dim,
+      threshold = 0.99, numTables = 4, bitsPerBucket = 2)
+    assert(out2.columns.count(_ == "__sem_id") == 1)
+    assert(out2.select($"__sem_id").distinct().head().getString(0) == "keep")
   }
 
   test("connectedComponents labels every vertex with its least reachable id") {
