@@ -401,28 +401,59 @@ object Graft {
     *
     * `id` rows must be unique per row of `df` (it is the dedup key);
     * signature generation uses the unique-id fast path on the exact-dedup
-    * survivors, so steps 2-3 are narrow up to the band-bucket shuffles. */
+    * survivors, so steps 2-3 are narrow up to the band-bucket shuffles.
+    *
+    * Keeper policy: by default every group/cluster keeps its LEAST id.
+    * Pass `keepBy` to keep the member maximizing that expression instead
+    * (ties: least id) — the production policy is usually "keep the
+    * longest / highest-quality member", e.g. `keepBy = Some(length(text))`.
+    * The argmax runs as an ordinary partial-aggregating groupBy (a
+    * two-field struct max), and requires a numeric id. */
   def dedupCorpus(df: DataFrame, id: Column, text: Column,
                   numHashes: Int = 8, shingle: Int = 5, seed: Long = 777L,
                   bands: Int = 4, rowsPerBand: Int = 2, minAgreement: Int = 4,
-                  jaccardThreshold: Double = 0.5): DataFrame = {
+                  jaccardThreshold: Double = 0.5,
+                  keepBy: Option[Column] = None): DataFrame = {
     require(numHashes == bands * rowsPerBand,
       s"numHashes ($numHashes) must equal bands * rowsPerBand " +
         s"($bands * $rowsPerBand): banding consumes exactly the signature")
+    // argmax(keepBy, tiebreak least id) as a partial-aggregating max over
+    // (keepBy, -id): the greatest keepBy wins, and among equals the
+    // greatest -id is the least id
+    def argmax(grouped: org.apache.spark.sql.RelationalGroupedDataset,
+               k: Column): DataFrame =
+      grouped.agg(max(struct(k.as("k"),
+          (lit(0L) - col("__dedup_id").cast(LongType)).as("nid"))).as("__m"))
+        .select((lit(0L) - col("__m.nid")).as("__dedup_id"))
     val keyed = df.withColumn("__dedup_id", id)
-    val exactKeepers = keyed.groupBy(md5(text).as("__h"))
-      .agg(min(col("__dedup_id")).as("__dedup_id"))
+    val exactGroups = keyed.groupBy(md5(text).as("__h"))
+    val exactKeepers = keepBy match {
+      case None => exactGroups.agg(min(col("__dedup_id")).as("__dedup_id"))
+        .select(col("__dedup_id"))
+      case Some(k) => argmax(exactGroups, k)
+    }
     val uniq = keyed
-      .join(exactKeepers.select(col("__dedup_id")), Seq("__dedup_id"), "left_semi")
+      .join(exactKeepers, Seq("__dedup_id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val sigs = minhashSignatures(uniq, col("__dedup_id"), text,
       numHashes, shingle, seed, assumeUniqueIds = true)
     val pairs = nearDupPairs(sigs, bands, rowsPerBand, minAgreement)
     val edges = jaccardVerify(uniq, col("__dedup_id"), text, pairs, shingle)
       .where(col("jaccard") >= jaccardThreshold)
-    val drop = connectedComponents(edges, col("id_a"), col("id_b"))
-      .where(col("id") =!= col("component"))
-      .select(col("id").as("__dedup_id"))
+    val cc = connectedComponents(edges, col("id_a"), col("id_b"))
+    val drop = keepBy match {
+      case None =>
+        cc.where(col("id") =!= col("component"))
+          .select(col("id").as("__dedup_id"))
+      case Some(k) =>
+        // re-rank every cluster by the caller's policy: join members back
+        // to their keepBy values, argmax per component, drop the rest
+        val members = cc.select(col("id").as("__dedup_id"), col("component"))
+          .join(uniq.select(col("__dedup_id"), k.as("__k")), Seq("__dedup_id"))
+        val keepers = argmax(members.groupBy(col("component")), col("__k"))
+        members.select(col("__dedup_id"))
+          .join(keepers, Seq("__dedup_id"), "left_anti")
+    }
     uniq.join(drop, Seq("__dedup_id"), "left_anti").drop("__dedup_id")
   }
 

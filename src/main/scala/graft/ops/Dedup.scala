@@ -186,8 +186,24 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** d13: the dedup pipeline under the PRODUCTION keeper policy — every
+    * cluster keeps its LONGEST member (ties: least doc_id) instead of the
+    * least id, the policy crawl pipelines actually run (the longest
+    * near-dup usually carries the most content). Same chain as d07 with
+    * `keepBy = n_chars`; the oracle re-ranks each transitive cluster with
+    * the identical argmax. */
+  def d13DedupKeepLongest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.api.Graft.dedupCorpus(
+      Tables.load(s, dir, "documents"), $"doc_id", $"text",
+      minAgreement = JaccardBandThreshold, keepBy = Some($"n_chars"))
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d12_pagerank" -> d12Pagerank,
+    "d13_dedup_keep_longest" -> d13DedupKeepLongest,
     "d01_exact_dedup" -> d01Exact,
     "d02_minhash_lsh" -> d02MinhashLsh,
     "d03_ngram_jaccard" -> d03NgramJaccard,
@@ -359,6 +375,42 @@ object Dedup {
          |SELECT doc_id, dup_group,
          | CAST(count(*) OVER (PARTITION BY dup_group) AS BIGINT) AS group_size
          |FROM cc ORDER BY doc_id""".stripMargin,
+    "d13_dedup_keep_longest" ->
+      s"""WITH RECURSIVE ek AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (
+         |      PARTITION BY md5(text) ORDER BY n_chars DESC, doc_id) AS rn
+         |    FROM documents) WHERE rn = 1),
+         |uniq AS (SELECT d.* FROM documents d JOIN ek ON d.doc_id = ek.doc_id),
+         |${sigsSql("uniq")},
+         |sets AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, length(text)-4), i -> substr(text, i, 5))) AS sh
+         |  FROM uniq),
+         |edges AS (
+         |  SELECT doc_a, doc_b FROM agreed
+         |  JOIN sets sa ON agreed.doc_a = sa.doc_id
+         |  JOIN sets sb ON agreed.doc_b = sb.doc_id
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |     / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5),
+         |verts AS (SELECT doc_a AS id FROM edges UNION SELECT doc_b FROM edges),
+         |edges2 AS (SELECT doc_a AS a, doc_b AS b FROM edges
+         |           UNION SELECT doc_b, doc_a FROM edges),
+         |reach(a, b) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN edges2 e2 ON r.b = e2.a),
+         |cc AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a),
+         |ks AS (SELECT cc.id, cc.comp, u.n_chars AS klen
+         |       FROM cc JOIN uniq u ON u.doc_id = cc.id),
+         |keepids AS (SELECT id FROM (
+         |  SELECT id, row_number() OVER (
+         |    PARTITION BY comp ORDER BY klen DESC, id) AS rn FROM ks)
+         |  WHERE rn = 1),
+         |dropids AS (SELECT id FROM ks WHERE id NOT IN (SELECT id FROM keepids))
+         |SELECT doc_id, lang, source, n_chars FROM uniq
+         |WHERE doc_id NOT IN (SELECT id FROM dropids)
+         |ORDER BY doc_id""".stripMargin,
     "d07_dedup_pipeline" ->
       s"""WITH RECURSIVE uniq AS (
          |  SELECT d.* FROM documents d

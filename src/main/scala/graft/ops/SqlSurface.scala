@@ -204,7 +204,25 @@ object SqlSurface {
       |  LIMIT 2) t
       |ORDER BY c_custkey, o_orderkey""".stripMargin
 
+  /** q57: GROUP BY ALL / ORDER BY ALL — the modern SQL shorthand (every
+    * non-aggregate output column groups; every output column orders) that
+    * Spark 4 and DuckDB both parse, exercised with the same text in both
+    * engines. */
+  def q57GroupByAll(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(q57Sql)
+  }
+
+  private val q57Sql =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(count(*) AS BIGINT) AS n_lines,
+      | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ALL
+      |ORDER BY ALL""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_group_by_all" -> q57GroupByAll,
     "q56_lateral_join" -> q56Lateral,
     "q27_exists_chain" -> q27ExistsChain,
     "q28_having_subquery" -> q28HavingSubquery,
@@ -218,6 +236,7 @@ object SqlSurface {
 
   val oracles: Map[String, String] = Map(
     "q56_lateral_join" -> q56Sql,
+    "q57_group_by_all" -> q57Sql,
     "q27_exists_chain" -> q27Sql,
     "q28_having_subquery" -> q28Sql,
     "q29_in_subquery" -> q29Sql,

@@ -57,6 +57,29 @@ class GraftApiSpec extends AnyFunSuite {
     assert(retained == Set(1L, 4L, 6L), retained.toString)
   }
 
+  test("dedupCorpus keepBy reranks keepers: longest near-dup, best exact copy") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different words entirely unrelated content here"
+    val docs = Seq(
+      (1L, base, 0.0),
+      (2L, base + " extra tail", 0.0), // longer near-dup of 1
+      (3L, other, 1.0),
+      (4L, other, 2.0) // exact copy of 3 with the higher quality score
+    ).toDF("doc_id", "text", "q")
+    // keep-longest: the near-dup cluster keeps 2 (longest); the exact pair
+    // has equal lengths, so the tiebreak keeps the least id 3
+    val byLen = Graft.dedupCorpus(docs, $"doc_id", $"text",
+      keepBy = Some(length($"text")))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(byLen == Set(2L, 3L), byLen.toString)
+    // keep-best-quality: the exact pair keeps 4 (q=2.0); the near-dup pair
+    // has equal q, so the tiebreak keeps the least id 1
+    val byQ = Graft.dedupCorpus(docs, $"doc_id", $"text", keepBy = Some($"q"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(byQ == Set(1L, 4L), byQ.toString)
+  }
+
   test("exactDedup groups identical payloads") {
     import spark.implicits._
     val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa")).toDF("k", "payload")
