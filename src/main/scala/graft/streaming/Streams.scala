@@ -88,13 +88,33 @@ object Streams {
     runToCompletion(agg, "complete").orderBy($"window_start_s", $"event_type")
   }
 
-  /** st02: streaming exact dedup (dropDuplicates on event_id within the
-    * watermark) -> per-type counts; equals batch DISTINCT on this input. */
+  /** st02: streaming exact dedup (plain dropDuplicates on event_id) ->
+    * per-type counts; equals batch DISTINCT on this input. State note:
+    * this form keeps EVERY seen key in the state store forever — the
+    * bounded-state production form is st07's
+    * `dropDuplicatesWithinWatermark`. */
   def st02StreamDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val agg = eventsStream(s, dir)
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"))
+    runToCompletion(agg, "complete").orderBy($"event_type")
+  }
+
+  /** st07: BOUNDED-STATE streaming dedup — `dropDuplicatesWithinWatermark`
+    * evicts dedup state older than the event-time watermark, so the state
+    * store holds only the watermark window instead of every key ever seen
+    * (st02's documented unbounded hazard; at 100 TB/day of events the
+    * bounded form is the only viable one). event_id is unique in this
+    * input, so eviction cannot re-admit a duplicate and the result still
+    * equals batch DISTINCT — the same oracle as st02. */
+  def st07StreamDedupBounded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_events"))
     runToCompletion(agg, "complete").orderBy($"event_type")
@@ -229,6 +249,7 @@ object Streams {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st06_stream_text_quality" -> st06StreamTextQuality,
     "st01_stream_tumbling_agg" -> st01TumblingAgg,
+    "st07_stream_dedup_bounded" -> st07StreamDedupBounded,
     "st02_stream_dedup" -> st02StreamDedup,
     "st03_stateful_sessions" -> st03StatefulSessions,
     "st04_stream_stream_join" -> st04StreamStreamJoin,
@@ -260,6 +281,10 @@ object Streams {
         | max(value) AS max_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "st02_stream_dedup" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM (SELECT DISTINCT ON (event_id) event_id, event_type FROM events ORDER BY event_id)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "st07_stream_dedup_bounded" ->
       """SELECT event_type, count(*) AS n_events
         |FROM (SELECT DISTINCT ON (event_id) event_id, event_type FROM events ORDER BY event_id)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
