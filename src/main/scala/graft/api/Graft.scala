@@ -394,10 +394,12 @@ object Graft {
     *  4. connected components over the verified edges
     *     ([[connectedComponents]]): every cluster keeps its least id.
     *
-    * Returns the RETAINED rows of `df` (all original columns). The
-    * survivor frame is persisted MEMORY_ONLY internally (three consumers:
-    * signatures, verify, final anti-join) — fully LRU-evictable, same
-    * lifecycle stance as [[jaccardVerify]]'s internal pair persist.
+    * Returns the RETAINED rows of `df` (all original columns), eagerly
+    * materialized and persisted MEMORY_ONLY (evictable; lineage intact).
+    * The internal survivor frame is persisted for the duration of the call
+    * (three consumers: signatures, verify, final anti-join) and RELEASED
+    * before returning, so looped invocations don't grow the cache
+    * registry; `.unpersist()` the returned frame when done with it.
     *
     * `id` rows must be unique per row of `df` (it is the dedup key);
     * signature generation uses the unique-id fast path on the exact-dedup
@@ -417,6 +419,16 @@ object Graft {
     require(numHashes == bands * rowsPerBand,
       s"numHashes ($numHashes) must equal bands * rowsPerBand " +
         s"($bands * $rowsPerBand): banding consumes exactly the signature")
+    if (keepBy.isDefined) {
+      // the argmax tiebreak negates the id through a Long cast; a
+      // non-integral id would cast to null and silently keep nothing —
+      // fail fast instead of returning an empty frame
+      val idType = df.select(id.as("__dedup_id")).schema("__dedup_id").dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+        s"dedupCorpus(keepBy=...) requires an integral id column " +
+          s"(byte/short/int/long); got $idType — the keeper argmax " +
+          s"tiebreaks on -id and a non-integral id casts to null")
+    }
     // argmax(keepBy, tiebreak least id) as a partial-aggregating max over
     // (keepBy, -id): the greatest keepBy wins, and among equals the
     // greatest -id is the least id
@@ -454,7 +466,18 @@ object Graft {
         members.select(col("__dedup_id"))
           .join(keepers, Seq("__dedup_id"), "left_anti")
     }
-    uniq.join(drop, Seq("__dedup_id"), "left_anti").drop("__dedup_id")
+    val retained = uniq.join(drop, Seq("__dedup_id"), "left_anti")
+      .drop("__dedup_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // Materialize now so the intermediate cache can be RELEASED here —
+    // otherwise every invocation on a long-lived session leaks a cached
+    // `uniq` into the registry until LRU pressure evicts it (same eager
+    // stance as jaccardVerify). The returned frame stays persisted
+    // (MEMORY_ONLY: evictable, lineage intact so eviction only recomputes);
+    // callers looping over corpora should .unpersist() it when done.
+    retained.count()
+    uniq.unpersist(blocking = false)
+    retained
   }
 
   /** The full corpus-CLEANING pipeline end to end — the text-side
@@ -504,8 +527,14 @@ object Graft {
       .where(col("dup_ngram_frac").isNull || col("dup_ngram_frac") <= maxDupFrac)
       .drop("dup_ngram_frac")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    dedupCorpus(kept, col("id"), col("clean_text"), numHashes, shingle, seed,
-      bands, rowsPerBand, minAgreement, jaccardThreshold)
+    // dedupCorpus materializes its (persisted) result before returning, so
+    // the stage intermediates can be released immediately — repeated
+    // cleanCorpus calls on one session no longer accumulate cached blocks
+    val retained = dedupCorpus(kept, col("id"), col("clean_text"), numHashes,
+      shingle, seed, bands, rowsPerBand, minAgreement, jaccardThreshold)
+    rebuilt.unpersist(blocking = false)
+    kept.unpersist(blocking = false)
+    retained
   }
 
   // ----------------------------------------------------------- similarity
@@ -1073,11 +1102,13 @@ object Graft {
     * re-partitioning, task retries, and engine changes (none of which is
     * true of `df.sample`'s RNG streams), so a sample is reproducible
     * anywhere and composable with an oracle. Narrow projection, no
-    * shuffle. */
+    * shuffle. NULL keys hash as the empty string (same never-drop-a-row
+    * stance as [[saltedJoin]]'s NULL salt): they land in one deterministic
+    * bucket rather than silently vanishing from the sample. */
   def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1]: $fraction")
-    val bucket = conv(substring(md5(key.cast(StringType)), 1, 4), 16, 10)
-      .cast(LongType)
+    val bucket = conv(substring(md5(coalesce(key.cast(StringType), lit(""))),
+      1, 4), 16, 10).cast(LongType)
     df.where(bucket < math.round(fraction * 65536).toInt)
   }
 
@@ -1087,14 +1118,15 @@ object Graft {
     * its stratum's fraction, by the same hash-bucket membership as
     * [[hashSample]]. Strata absent from `fractions` keep `defaultFraction`
     * (default: dropped). Still a narrow projection: the fractions map
-    * folds into one CASE expression, no join, no shuffle. */
+    * folds into one CASE expression, no join, no shuffle. NULL keys hash
+    * as the empty string — see [[hashSample]]. */
   def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
                        fractions: Map[String, Double],
                        defaultFraction: Double = 0.0): DataFrame = {
     (fractions.values.toSeq :+ defaultFraction).foreach(f =>
       require(f >= 0 && f <= 1, s"fractions must be in [0,1]: $f"))
-    val bucket = conv(substring(md5(key.cast(StringType)), 1, 4), 16, 10)
-      .cast(LongType)
+    val bucket = conv(substring(md5(coalesce(key.cast(StringType), lit(""))),
+      1, 4), 16, 10).cast(LongType)
     def cut(f: Double): Long = math.round(f * 65536)
     val threshold = fractions.toSeq.sortBy(_._1).foldLeft(
       when(lit(false), lit(0L))) { case (c, (s, f)) =>

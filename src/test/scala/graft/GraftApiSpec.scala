@@ -419,6 +419,42 @@ class GraftApiSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bands * rowsPerBand"), e.getMessage)
   }
 
+  test("dedupCorpus keepBy rejects a non-integral id instead of returning empty") {
+    import spark.implicits._
+    val df = Seq(("a", "x y z")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Graft.dedupCorpus(df, $"doc_id", $"text", keepBy = Some(length($"text")))
+    }
+    assert(e.getMessage.contains("integral id"), e.getMessage)
+    // without keepBy a string id is fine (least-id keeper is type-agnostic)
+    assert(Graft.dedupCorpus(df, $"doc_id", $"text").count() == 1)
+  }
+
+  test("hashSample/stratifiedSample never silently drop NULL-key rows") {
+    import spark.implicits._
+    val df = Seq((Some(1L), "a"), (None, "a"), (None, "b"))
+      .toDF("k", "s")
+    // fraction 1.0 keeps EVERY row, null keys included
+    assert(Graft.hashSample(df, $"k", 1.0).count() == 3)
+    assert(Graft.stratifiedSample(df, $"k", $"s", Map("a" -> 1.0, "b" -> 1.0))
+      .count() == 3)
+    // and null keys are a deterministic bucket, not a coin flip: both
+    // null-key rows share the empty-string bucket so they move together
+    val kept = Graft.hashSample(df, $"k", 0.5).where($"k".isNull).count()
+    assert(kept == 0 || kept == 2, s"null keys split across buckets: $kept")
+  }
+
+  test("dedupCorpus returns a persisted, already-materialized frame and releases its scratch") {
+    import spark.implicits._
+    val docs = Seq((1L, "p q r s t u v w"), (2L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val out = Graft.dedupCorpus(docs, $"doc_id", $"text")
+    assert(out.storageLevel.useMemory, "result should be persisted MEMORY_ONLY")
+    assert(out.count() == 1)
+    out.unpersist(blocking = true)
+    assert(!out.storageLevel.useMemory)
+  }
+
   test("contamination is 1.0 for a benchmark copy, 0 for unrelated text") {
     import spark.implicits._
     val benchText = "alpha beta gamma delta epsilon zeta eta theta"
