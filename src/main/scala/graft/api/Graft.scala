@@ -480,6 +480,124 @@ object Graft {
     retained
   }
 
+  /** Incremental dedup — the production shape of corpus dedup at scale:
+    * retain the rows of `incoming` (a new batch) that are neither exact
+    * copies nor near-duplicates (band agreement >= `minAgreement` AND
+    * char-`shingle`-gram Jaccard >= `jaccardThreshold`, the same
+    * thresholds as [[dedupCorpus]]) of any row in `existing` (the corpus
+    * already ingested). You never re-dedup 100 TB to admit a 10 GB batch.
+    *
+    * Each incoming row is judged INDEPENDENTLY against the corpus;
+    * duplicates WITHIN the batch are [[dedupCorpus]]'s job — a full
+    * ingest is `dedupIncremental(existing, dedupCorpus(batch, ...), ...)`.
+    *
+    * The scale contract: `existing` is never shuffled and never builds a
+    * driver-side structure. Both corpus passes are narrow scans joined
+    * against small frames derived from the batch — (1) the exact pass
+    * probes the corpus's content hashes with a broadcast semi-join of the
+    * batch's hashes; (2) the near pass explodes corpus signatures to band
+    * keys (a projection) and joins the BATCH side's band keys into them
+    * broadcast, computing signature agreement in the same join (no
+    * re-join); (3) Jaccard verification fetches only the candidate
+    * existing docs via a broadcast semi-join of candidate ids. Set
+    * `broadcastIncoming = false` when the "batch" is itself huge and AQE
+    * should pick the join strategy from runtime sizes.
+    *
+    * In production the corpus signatures are a precomputed index updated
+    * as batches commit — pass them via `existingSigs` (the output shape of
+    * [[minhashSignatures]]: (id, h1..hN)) to skip the signature scan.
+    *
+    * Returns the retained `incoming` rows (all original columns), eagerly
+    * materialized and persisted MEMORY_ONLY like [[dedupCorpus]];
+    * `.unpersist()` it when done. */
+  def dedupIncremental(existing: DataFrame, exId: Column, exText: Column,
+                       incoming: DataFrame, inId: Column, inText: Column,
+                       numHashes: Int = 8, shingle: Int = 5,
+                       seed: Long = 777L, bands: Int = 4,
+                       rowsPerBand: Int = 2, minAgreement: Int = 4,
+                       jaccardThreshold: Double = 0.5,
+                       broadcastIncoming: Boolean = true,
+                       existingSigs: Option[DataFrame] = None): DataFrame = {
+    require(numHashes == bands * rowsPerBand,
+      s"numHashes ($numHashes) must equal bands * rowsPerBand " +
+        s"($bands * $rowsPerBand): banding consumes exactly the signature")
+    def small(df: DataFrame): DataFrame =
+      if (broadcastIncoming) broadcast(df) else df
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+    val inKeyed = incoming
+      .withColumn("__inc_id", inId)
+      .withColumn("__inc_h", md5(inText))
+      .persist(mem)
+    // exact pass: scan the corpus's hashes once, probing a broadcast of
+    // the batch's distinct hashes; the (batch-bounded) hit set then
+    // anti-joins the batch. The corpus is scanned, never shuffled.
+    val inHashes = inKeyed.select(col("__inc_h").as("__h")).distinct()
+    val hitHashes = existing.select(md5(exText).as("__h"))
+      .join(small(inHashes), Seq("__h"), "left_semi").distinct()
+    val afterExact = inKeyed.join(small(hitHashes),
+      inKeyed("__inc_h") === hitHashes("__h"), "left_anti")
+    // near pass: corpus signatures exploded to band keys stay a narrow
+    // projection; the batch's band keys join into them broadcast, and the
+    // full signatures ride along in structs so agreement is computed
+    // right in the join output
+    val exSigs = existingSigs.getOrElse(minhashSignatures(
+      existing, exId, exText, numHashes, shingle, seed,
+      assumeUniqueIds = true))
+    val inSigs = minhashSignatures(afterExact, col("__inc_id"), inText,
+      numHashes, shingle, seed, assumeUniqueIds = true)
+    val sigStruct = struct((1 to numHashes).map(i => col(s"h$i")): _*)
+    val bandKeys = bandKeyArray(bands, rowsPerBand)
+    val exB = exSigs.select(col("id").as("__eid"), sigStruct.as("__es"),
+      explode(bandKeys).as("bb"))
+    val inB = inSigs.select(col("id").as("__iid"), sigStruct.as("__is"),
+      explode(bandKeys).as("bb"))
+    val nMatch = (1 to numHashes)
+      .map(i => when(col(s"__is.h$i") === col(s"__es.h$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val candPairs = exB.join(small(inB), Seq("bb"))
+      .select(col("__iid"), col("__eid"), nMatch.as("n_match"))
+      .where(col("n_match") >= minAgreement)
+      .select(col("__iid"), col("__eid")).distinct()
+      .persist(mem)
+    // verify pass: shingle sets only for the candidate docs on each side
+    // (batch side is already batch-bounded; corpus side is restricted by a
+    // broadcast semi-join of candidate existing ids), then one sorted-set
+    // merge per pair
+    def shSet(t: Column): Column =
+      sort_array(when(length(t) < shingle, array().cast(ArrayType(StringType)))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), length(t) - (shingle - 1)),
+          i => t.substr(i, lit(shingle))))))
+    val inSets = afterExact
+      .select(col("__inc_id").as("__iid"), inText.as("__xt"))
+      .join(small(candPairs.select(col("__iid")).distinct()), Seq("__iid"),
+        "left_semi")
+      .select(col("__iid"), shSet(col("__xt")).as("__sh_i"))
+    // semi-join FIRST, shingle-set projection after: the restriction to
+    // candidate docs must run below the expensive set build, or the whole
+    // corpus pays the shingle materialization
+    val exSets = existing
+      .select(exId.as("__eid"), exText.as("__xt"))
+      .join(small(candPairs.select(col("__eid")).distinct()), Seq("__eid"),
+        "left_semi")
+      .select(col("__eid"), shSet(col("__xt")).as("__sh_e"))
+    val nearHit = candPairs
+      .join(small(inSets), Seq("__iid"))
+      .join(small(exSets), Seq("__eid"))
+      .withColumn("__ov", graft.functions.SortedSetOverlap.overlap(
+        col("__sh_i"), col("__sh_e")))
+      .where(col("__ov.n_inter").cast(DoubleType) / col("__ov.n_union")
+        >= jaccardThreshold)
+      .select(col("__iid").as("__inc_id")).distinct()
+    val retained = afterExact.join(small(nearHit), Seq("__inc_id"), "left_anti")
+      .drop("__inc_id", "__inc_h")
+      .persist(mem)
+    retained.count() // materialize so the scratch caches can be released
+    inKeyed.unpersist(blocking = false)
+    candPairs.unpersist(blocking = false)
+    retained
+  }
+
   /** The full corpus-CLEANING pipeline end to end — the text-side
     * composition a training-data pipeline runs before tokenization, as one
     * call (the cleaning analogue of [[dedupCorpus]], which it ends with):

@@ -201,8 +201,34 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** d14: INCREMENTAL dedup — the production shape at scale: a new batch
+    * is admitted against the already-ingested corpus without re-deduping
+    * the corpus. Existing = the four-fifths of `documents` with
+    * doc_id % 5 != 0; the batch = the held-out fifth PLUS exact
+    * "re-crawls" of existing docs under fresh ids (doc_id + 1000000).
+    * Retained = batch rows that are neither exact copies nor verified
+    * near-dups (agreement >= 4/8, Jaccard >= 0.5) of ANY existing row;
+    * the re-crawls must all be dropped by the exact pass. Thin binding of
+    * [[graft.api.Graft.dedupIncremental]] — corpus side never shuffles,
+    * batch side broadcasts. */
+  def d14IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    val existing = docs.where($"doc_id" % 5 =!= 0)
+    val recrawl = existing.where($"doc_id" % 97 === 3)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text", $"lang",
+        $"source", $"n_chars")
+    val incoming = docs.where($"doc_id" % 5 === 0).unionByName(recrawl)
+    graft.api.Graft.dedupIncremental(existing, $"doc_id", $"text",
+        incoming, $"doc_id", $"text", minAgreement = JaccardBandThreshold)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d12_pagerank" -> d12Pagerank,
+    "d14_incremental_dedup" -> d14IncrementalDedup,
     "d13_dedup_keep_longest" -> d13DedupKeepLongest,
     "d01_exact_dedup" -> d01Exact,
     "d02_minhash_lsh" -> d02MinhashLsh,
@@ -282,6 +308,44 @@ object Dedup {
        |  GROUP BY e.b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d14_incremental_dedup" ->
+      s"""WITH existing AS (
+         |  SELECT doc_id, text, lang, source, n_chars FROM documents
+         |  WHERE doc_id % 5 <> 0),
+         |incoming AS (
+         |  SELECT doc_id, text, lang, source, n_chars FROM documents
+         |  WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+         |  FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 97 = 3),
+         |alldocs AS (SELECT doc_id, text FROM existing
+         |            UNION ALL SELECT doc_id, text FROM incoming),
+         |${sigsSql("alldocs")},
+         |cross_cand AS (
+         |  SELECT CASE WHEN a.doc_a IN (SELECT doc_id FROM incoming)
+         |              THEN a.doc_a ELSE a.doc_b END AS iid,
+         |         CASE WHEN a.doc_a IN (SELECT doc_id FROM incoming)
+         |              THEN a.doc_b ELSE a.doc_a END AS eid
+         |  FROM agreed a
+         |  WHERE (a.doc_a IN (SELECT doc_id FROM incoming))
+         |     <> (a.doc_b IN (SELECT doc_id FROM incoming))),
+         |sets AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, length(text)-4), i -> substr(text, i, 5))) AS sh
+         |  FROM alldocs),
+         |near_hit AS (
+         |  SELECT DISTINCT c.iid FROM cross_cand c
+         |  JOIN sets si ON c.iid = si.doc_id
+         |  JOIN sets se ON c.eid = se.doc_id
+         |  WHERE CAST(len(list_intersect(si.sh, se.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(si.sh, se.sh))) >= 0.5),
+         |exact_hit AS (
+         |  SELECT DISTINCT i.doc_id FROM incoming i
+         |  JOIN existing e ON md5(i.text) = md5(e.text))
+         |SELECT doc_id, lang, source, n_chars FROM incoming
+         |WHERE doc_id NOT IN (SELECT iid FROM near_hit)
+         |  AND doc_id NOT IN (SELECT doc_id FROM exact_hit)
+         |ORDER BY doc_id""".stripMargin,
     "d12_pagerank" ->
       s"""WITH ${sigsSql()},
          |edges0 AS (SELECT doc_a AS a, doc_b AS b FROM agreed

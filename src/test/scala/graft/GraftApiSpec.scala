@@ -419,6 +419,38 @@ class GraftApiSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bands * rowsPerBand"), e.getMessage)
   }
 
+  test("dedupIncremental admits only batch rows new to the corpus") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "zebra yak xylophone wombat vulture unicorn tapir snake"
+    val existing = Seq((1L, a), (2L, b)).toDF("k", "body")
+    val incoming = Seq(
+      (10L, a),                      // exact copy -> dropped by the exact pass
+      (11L, a + " x"),               // near-dup of 1 -> dropped by verify
+      (12L, "completely different words entirely unrelated content here"),
+      (13L, b + " y"),               // near-dup of 2 -> dropped
+      (14L, "brand new payload shared by two batch rows exactly alike"),
+      (15L, "brand new payload shared by two batch rows exactly alike")
+    ).toDF("bid", "btxt")
+    val out = Graft.dedupIncremental(existing, $"k", $"body",
+      incoming, $"bid", $"btxt")
+    // 14 and 15 BOTH stay: within-batch dedup is dedupCorpus's job
+    assert(out.select("bid").as[Long].collect().toSet == Set(12L, 14L, 15L))
+    assert(out.columns.toSeq == Seq("bid", "btxt"))
+    out.unpersist()
+    // a precomputed signature index and a non-broadcast run agree
+    val idx = Graft.minhashSignatures(existing, $"k", $"body",
+      assumeUniqueIds = true)
+    val viaIdx = Graft.dedupIncremental(existing, $"k", $"body",
+      incoming, $"bid", $"btxt", existingSigs = Some(idx))
+    assert(viaIdx.select("bid").as[Long].collect().toSet == Set(12L, 14L, 15L))
+    viaIdx.unpersist()
+    val shuffled = Graft.dedupIncremental(existing, $"k", $"body",
+      incoming, $"bid", $"btxt", broadcastIncoming = false)
+    assert(shuffled.select("bid").as[Long].collect().toSet == Set(12L, 14L, 15L))
+    shuffled.unpersist()
+  }
+
   test("dedupCorpus keepBy rejects a non-integral id instead of returning empty") {
     import spark.implicits._
     val df = Seq(("a", "x y z")).toDF("doc_id", "text")

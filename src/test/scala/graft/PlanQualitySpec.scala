@@ -76,6 +76,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("d14 incremental dedup joins the corpus only by broadcast (never shuffles it)") {
+    // the scale contract of dedupIncremental: the existing corpus is
+    // scanned, never exchanged — every join resolves broadcast against a
+    // batch-derived side, so no sort-merge/shuffled-hash join may appear
+    val plan = planOf(Dedup.d14IncrementalDedup(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct") &&
+      !plan.contains("ShuffledHashJoin"), plan)
+  }
+
   test("t06 contamination joins the benchmark n-gram set by broadcast") {
     // the corpus side must stay narrow: the benchmark membership check is
     // a broadcast hash join, never a corpus-wide shuffle join
