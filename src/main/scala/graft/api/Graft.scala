@@ -1284,6 +1284,55 @@ object Graft {
       "fp_int60" -> conv(substring(md5(norm), 1, 15), 16, 10).cast(LongType)))
   }
 
+  /** Sequence packing — the concat-and-chop layout a pretraining pipeline
+    * computes before writing training shards: documents are ordered by
+    * `id`, their token streams conceptually concatenated, and the stream
+    * chopped into fixed sequences of `capacity` tokens (documents straddle
+    * sequence boundaries, the standard packing). Returns one row per input
+    * row: (id, n_tokens, start_tok, seq_first, off_first, seq_last,
+    * n_seqs) — everything a shard writer needs to place each document.
+    * `id` values must be unique (ties would make the prefix sum
+    * order-dependent); zero-token rows get n_seqs = 0 at their stream
+    * position.
+    *
+    * The global prefix sum is computed scalably — NOT as a global-window
+    * single-reducer sort: (1) `repartitionByRange(id)` puts ordered,
+    * non-overlapping id ranges on `partitions` partitions; (2) a window
+    * per partition id computes local prefix sums; (3) per-partition totals
+    * (one row each) get their own prefix sum — a window over `partitions`
+    * rows, trivially small — and broadcast-join back as offsets. Every
+    * heavy stage is one narrow shuffle; nothing funnels through one task. */
+  def packSequences(df: DataFrame, id: Column, nTokens: Column,
+                    capacity: Long, partitions: Int = 0): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val p = if (partitions > 0) partitions
+            else df.sparkSession.sparkContext.defaultParallelism
+    val base = df.select(id.as("id"), nTokens.cast(LongType).as("n_tokens"))
+    val ranged = base.repartitionByRange(p, col("id"))
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy(col("__pid")).orderBy(col("id"))
+    val local = ranged.withColumn("__cum", sum(col("n_tokens")).over(w))
+    val wPid = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("__ptot"))
+      .withColumn("__poff", coalesce(sum(col("__ptot")).over(wPid), lit(0L)))
+      .select(col("__pid"), col("__poff"))
+    // integer DIV, not double division: offsets stay exact past 2^53
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("start_tok", col("__poff") + col("__cum") - col("n_tokens"))
+      .withColumn("__end_tok",
+        col("start_tok") + greatest(col("n_tokens"), lit(1L)) - 1)
+      .withColumn("seq_first", expr(s"start_tok DIV $capacity"))
+      .withColumn("off_first", pmod(col("start_tok"), lit(capacity)))
+      .withColumn("seq_last", expr(s"__end_tok DIV $capacity"))
+      .withColumn("n_seqs",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(col("seq_last") - col("seq_first") + 1))
+      .select("id", "n_tokens", "start_tok", "seq_first", "off_first",
+        "seq_last", "n_seqs")
+  }
+
   // ------------------------------------------------------------ temporal
 
   /** First of base, base_1, base_2, ... absent from `taken` — used so the

@@ -282,7 +282,25 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t14: sequence packing — the concat-and-chop shard layout of a
+    * pretraining pipeline: documents ordered by doc_id, token streams
+    * concatenated, chopped into 512-token sequences; each document learns
+    * which sequences it lands in and at what offset. Thin binding of
+    * [[graft.api.Graft.packSequences]] — the global prefix sum runs as
+    * range-partition + per-partition windows + a broadcast offsets join,
+    * NEVER a single-reducer global window (contrast q53's documented
+    * gate-only ntile stand-in). */
+  def t14SequencePacking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    graft.api.Graft.packSequences(docs, $"doc_id",
+        size(tokens($"text")).cast(LongType), capacity = 512L)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_sequence_packing" -> t14SequencePacking,
     "t10_url_extraction" -> t10UrlExtraction,
     "t11_clean_corpus" -> t11CleanCorpus,
     "t12_oov_rate" -> t12OovRate,
@@ -298,6 +316,22 @@ object TextAnalysis {
     "t09_pii_redaction" -> t09PiiRedaction)
 
   val oracles: Map[String, String] = Map(
+    "t14_sequence_packing" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM tok)
+         |SELECT doc_id, n_tokens, cum - n_tokens AS start_tok,
+         | (cum - n_tokens) // 512 AS seq_first,
+         | (cum - n_tokens) % 512 AS off_first,
+         | (cum - n_tokens + greatest(n_tokens, 1) - 1) // 512 AS seq_last,
+         | CAST(CASE WHEN n_tokens = 0 THEN 0
+         |      ELSE ((cum - n_tokens + greatest(n_tokens,1) - 1) // 512)
+         |         - ((cum - n_tokens) // 512) + 1 END AS BIGINT) AS n_seqs
+         |FROM c ORDER BY doc_id""".stripMargin,
     "t01_text_stats" ->
       s"""WITH d AS (SELECT doc_id, lang, source, text,
          |  regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)

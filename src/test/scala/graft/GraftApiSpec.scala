@@ -419,6 +419,28 @@ class GraftApiSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bands * rowsPerBand"), e.getMessage)
   }
 
+  test("packSequences chops the concatenated token stream exactly") {
+    import spark.implicits._
+    // capacity 10: doc 1 (7 tok) fills [0,7); doc 2 (6 tok) straddles into
+    // seq 1; doc 3 (0 tok) sits at offset 3 of seq 1 with no sequences;
+    // doc 4 (25 tok) spans seqs 1..3
+    val df = Seq((1L, 7L), (2L, 6L), (3L, 0L), (4L, 25L)).toDF("k", "n")
+    val out = Graft.packSequences(df, $"k", $"n", capacity = 10L,
+      partitions = 3)
+      .orderBy("id")
+      .select("id", "start_tok", "seq_first", "off_first", "seq_last", "n_seqs")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L, 0L, 0L, 1L),
+      (2L, 7L, 0L, 7L, 1L, 2L),
+      (3L, 13L, 1L, 3L, 1L, 0L),
+      (4L, 13L, 1L, 3L, 3L, 3L)))
+    // partition count must not change the packing (exact global prefix sum)
+    val one = Graft.packSequences(df, $"k", $"n", 10L, partitions = 1)
+      .orderBy("id").select("start_tok").as[Long].collect().toSeq
+    assert(one == Seq(0L, 7L, 13L, 13L))
+  }
+
   test("dedupIncremental admits only batch rows new to the corpus") {
     import spark.implicits._
     val a = "the quick brown fox jumps over the lazy dog again and again"

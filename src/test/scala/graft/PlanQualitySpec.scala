@@ -86,6 +86,15 @@ class PlanQualitySpec extends AnyFunSuite {
       !plan.contains("ShuffledHashJoin"), plan)
   }
 
+  test("t14 sequence packing range-partitions the prefix sum (no global window on the corpus)") {
+    val plan = planOf(TextAnalysis.t14SequencePacking(spark, dir))
+    // the corpus-side cumulative sum must ride a range partitioning +
+    // per-partition windows; only the per-partition totals (a handful of
+    // rows) may pass through a single-partition window
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"), plan)
+  }
+
   test("t06 contamination joins the benchmark n-gram set by broadcast") {
     // the corpus side must stay narrow: the benchmark membership check is
     // a broadcast hash join, never a corpus-wide shuffle join
