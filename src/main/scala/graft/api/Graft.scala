@@ -1333,6 +1333,59 @@ object Graft {
         "seq_last", "n_seqs")
   }
 
+  /** Per-group distinctive terms — the TF-IDF family signal a corpus
+    * pipeline uses to characterize a slice (language, source, cluster):
+    * for each group, the `topK` tokens by score = tf_group / df_corpus
+    * (group term frequency weighted by RAW inverse document frequency).
+    * The raw-idf variant is deliberate: the score is ONE IEEE division of
+    * two exact integers, so it is bit-identical on any engine, where
+    * ln(N/df) would hang the ranking on transcendental-function rounding;
+    * swapping in a log-idf changes only this one line of scoring. Ties
+    * break on the token. Output: (grp, token, tf, df, score, rank).
+    *
+    * Scale shape: two word-count aggregates (map-side combined) off one
+    * token explode, an equi-join keyed on the token, and a per-group
+    * top-K window — group cardinality bounds the window partitions, the
+    * vocabulary bounds the join, nothing is all-pairs or single-task. */
+  def distinctiveTerms(df: DataFrame, id: Column, text: Column,
+                       group: Column, topK: Int = 5): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = fanOut(df.select(id.as("__id"), group.as("grp"), text.as("__t")))
+      .select(col("__id"), col("grp"),
+        explode(split(trim(col("__t")), "\\s+")).as("token"))
+    val tf = toks.groupBy(col("grp"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("token"))
+      .agg(countDistinct(col("__id")).as("df"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(dfreq, Seq("token"))
+      .withColumn("score", col("tf").cast(DoubleType) / col("df"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= topK)
+      .select(col("grp"), col("token"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
+  /** Per-domain aggregation of the URLs mentioned in a corpus — the
+    * crawl-curation signal (which hosts dominate, which are cited once):
+    * every `https?` URL in `text` is extracted, reduced to its registrable
+    * host (leading `www.` stripped), and aggregated to
+    * (domain, n_urls, n_docs, urls_per_doc). One explode + one keyed
+    * aggregate — the word-count shape, map-side combined. */
+  def domainStats(df: DataFrame, id: Column, text: Column): DataFrame =
+    fanOut(df.select(id.as("__id"), text.as("__t")))
+      .select(col("__id"), explode(regexp_extract_all(col("__t"),
+        lit("https?://[^\\s]+"), lit(0))).as("__url"))
+      .select(col("__id"),
+        regexp_replace(parse_url(col("__url"), lit("HOST")), "^www\\.", "")
+          .as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("__id")).as("n_docs"))
+      .withColumn("urls_per_doc",
+        col("n_urls").cast(DoubleType) / col("n_docs"))
+
   // ------------------------------------------------------------ temporal
 
   /** First of base, base_1, base_2, ... absent from `taken` — used so the

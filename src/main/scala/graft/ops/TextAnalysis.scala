@@ -299,8 +299,44 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t15: per-language distinctive terms — top-5 tokens by
+    * tf_lang / df_corpus (raw-idf TF-IDF; the one-division score is
+    * bit-identical cross-engine where ln(N/df) would not be). Thin
+    * binding of [[graft.api.Graft.distinctiveTerms]]. */
+  def t15DistinctiveTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.api.Graft.distinctiveTerms(Tables.load(s, dir, "documents"),
+        $"doc_id", $"text", $"lang", topK = 5)
+      .withColumnRenamed("grp", "lang")
+      .orderBy($"lang", $"rank")
+  }
+
+  /** t16: per-domain URL aggregation over the same planted URLs as t10
+    * (the raw corpus text carries none) — which hosts dominate the corpus
+    * and how concentrated their mentions are. Thin binding of
+    * [[graft.api.Graft.domainStats]]. */
+  def t16DomainStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = $"doc_id"
+    def ds = d.cast(StringType)
+    val withUrl = concat(
+      $"text",
+      when(d % 3 === 0, concat(lit(" see https://docs.example"),
+          (d % 5).cast(StringType), lit(".com/guide/page"), ds,
+          lit("?ref=r"), (d % 7).cast(StringType)))
+        .otherwise(lit("")),
+      when(d % 4 === 1, concat(lit(" and http://www.mirror.example.org/path"), ds))
+        .otherwise(lit("")))
+    graft.api.Graft.domainStats(
+        Tables.load(s, dir, "documents").withColumn("t", withUrl),
+        $"doc_id", $"t")
+      .orderBy($"domain")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t14_sequence_packing" -> t14SequencePacking,
+    "t15_distinctive_terms" -> t15DistinctiveTerms,
+    "t16_domain_stats" -> t16DomainStats,
     "t10_url_extraction" -> t10UrlExtraction,
     "t11_clean_corpus" -> t11CleanCorpus,
     "t12_oov_rate" -> t12OovRate,
@@ -316,6 +352,35 @@ object TextAnalysis {
     "t09_pii_redaction" -> t09PiiRedaction)
 
   val oracles: Map[String, String] = Map(
+    "t15_distinctive_terms" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |  unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents),
+        |tf AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1),
+        |sc AS (SELECT lang, token, tf, df, CAST(tf AS DOUBLE) / df AS score
+        |       FROM tf JOIN dfq USING (token)),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+        |       ORDER BY score DESC, token) AS BIGINT) AS rank FROM sc)
+        |SELECT lang, token, tf, df, score, rank FROM r WHERE rank <= 5
+        |ORDER BY lang, rank""".stripMargin,
+    "t16_domain_stats" ->
+      """WITH p AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' see https://docs.example'
+        |         || CAST(doc_id % 5 AS VARCHAR) || '.com/guide/page'
+        |         || CAST(doc_id AS VARCHAR) || '?ref=r' || CAST(doc_id % 7 AS VARCHAR)
+        |       ELSE '' END ||
+        |  CASE WHEN doc_id % 4 = 1 THEN ' and http://www.mirror.example.org/path'
+        |         || CAST(doc_id AS VARCHAR)
+        |       ELSE '' END AS t
+        | FROM documents),
+        |u AS (SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[^\s]+')) AS url FROM p),
+        |d AS (SELECT doc_id,
+        |  regexp_replace(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1), '^www\.', '') AS domain
+        | FROM u)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+        | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        | CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS urls_per_doc
+        |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
     "t14_sequence_packing" ->
       s"""WITH tok AS (SELECT doc_id,
          |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens

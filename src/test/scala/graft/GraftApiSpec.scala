@@ -419,6 +419,37 @@ class GraftApiSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bands * rowsPerBand"), e.getMessage)
   }
 
+  test("distinctiveTerms surfaces the group-specific token over shared ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x", "alpha alpha shared"),
+      (2L, "x", "alpha shared"),
+      (3L, "y", "beta shared"),
+      (4L, "y", "beta beta shared")
+    ).toDF("k", "g", "body")
+    val out = Graft.distinctiveTerms(docs, $"k", $"body", $"g", topK = 1)
+      .select("grp", "token", "tf", "df", "score")
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // alpha: tf=3 in x, df=2 -> 1.5; shared: tf=2, df=4 -> 0.5
+    assert(out("x") == (("alpha", 3L, 2L, 1.5)))
+    assert(out("y") == (("beta", 3L, 2L, 1.5)))
+  }
+
+  test("domainStats strips www and counts mentions vs documents") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a https://www.foo.com/x b https://foo.com/y"),
+      (2L, "c http://bar.org/z"),
+      (3L, "plain text, no urls")
+    ).toDF("k", "body")
+    val out = Graft.domainStats(docs, $"k", $"body")
+      .select("domain", "n_urls", "n_docs", "urls_per_doc")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map("foo.com" -> ((2L, 1L, 2.0)), "bar.org" -> ((1L, 1L, 1.0))))
+  }
+
   test("packSequences chops the concatenated token stream exactly") {
     import spark.implicits._
     // capacity 10: doc 1 (7 tok) fills [0,7); doc 2 (6 tok) straddles into
