@@ -1386,6 +1386,162 @@ object Graft {
       .withColumn("urls_per_doc",
         col("n_urls").cast(DoubleType) / col("n_docs"))
 
+  // ------------------------------------------- snapshots & table history
+
+  /** Change-data-capture diff of two snapshots of the same logical table:
+    * one row per key whose content differs between them, classified
+    * `added` / `removed` / `changed`, with the compared columns from both
+    * sides as `old_<c>` / `new_<c>`. Unchanged keys are absent — the
+    * output is the minimal delta an incremental downstream consumer
+    * replays instead of recomputing from the full new snapshot.
+    *
+    * Column comparison is null-safe (a NULL-to-value transition is a
+    * change; NULL-to-NULL is not). Keys must identify at most one row per
+    * snapshot — duplicate keys make a diff ill-defined; aggregate first.
+    *
+    * Scale shape: ONE full-outer equi-join on the key — each side
+    * shuffles once, nothing is collected, and the output is proportional
+    * to the churn rather than the table. This is the standard
+    * snapshot-reconciliation shape at 100 TB; with both snapshots stored
+    * bucketed+sorted by the key the exchanges drop out entirely. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keys: Seq[String], compareCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff: keys must be non-empty")
+    require(compareCols.nonEmpty, "snapshotDiff: compareCols must be non-empty")
+    val outNames = compareCols.flatMap(c => Seq(s"old_$c", s"new_$c"))
+    val clash = (outNames :+ "change").filter(keys.contains)
+    require(clash.isEmpty,
+      s"snapshotDiff: key column(s) ${clash.mkString(", ")} collide with " +
+        "the old_/new_/change output names")
+    val taken = keys.toSet ++ outNames
+    val po = freshName("__in_old", taken)
+    val pn = freshName("__in_new", taken + po)
+    val o = oldSnap.select(keys.map(col) ++
+      compareCols.map(c => col(c).as(s"old_$c")): _*).withColumn(po, lit(1))
+    val n = newSnap.select(keys.map(col) ++
+      compareCols.map(c => col(c).as(s"new_$c")): _*).withColumn(pn, lit(1))
+    val anyDiff = compareCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c"))).reduce(_ || _)
+    o.join(n, keys, "full_outer")
+      .withColumn("change",
+        when(col(po).isNull, lit("added"))
+          .when(col(pn).isNull, lit("removed"))
+          .when(anyDiff, lit("changed")))
+      .where(col("change").isNotNull)
+      .select((keys.map(col) :+ col("change")) ++ outNames.map(col): _*)
+  }
+
+  /** Per-group quota cap: keep at most `n` rows per group, preferring the
+    * highest `priority` (ties broken by `tiebreak`, which should be
+    * per-row unique so the kept set is deterministic). The domain-cap
+    * step of a crawl pipeline — no single site may dominate the training
+    * mix — and the generic top-N-per-key reducer.
+    *
+    * One shuffle on the group key; the rank is windowed per group, never
+    * a global sort. Caveat at the extreme: a degenerate group (half the
+    * corpus in one domain) ranks inside one reducer — for tiny `n` over
+    * monster groups prefer the partial-reducing top-k Aggregator
+    * ([[annTopK]]'s reduction, `graft.functions.TopKAggregator`), which
+    * cuts to `n` before the exchange; this window form is the right shape
+    * for the common regime (group sizes ≪ partition size, output keeps
+    * whole rows). */
+  def capPerGroup(df: DataFrame, group: Column, priority: Column,
+                  tiebreak: Column, n: Int): DataFrame = {
+    require(n >= 1, s"capPerGroup: n must be >= 1, got $n")
+    val rn = freshName("__rn", df.columns.toSet)
+    df.withColumn(rn,
+        row_number().over(Window.partitionBy(group).orderBy(priority.desc, tiebreak)))
+      .where(col(rn) <= n).drop(rn)
+  }
+
+  /** Build a Type-2 slowly-changing-dimension history from a change log:
+    * per key ordered by (`ts`, `tiebreak`), collapse runs of identical
+    * `attrs` into versioned validity intervals — (key, attrs...,
+    * `valid_from`, `valid_to`, `version`, `is_current`), where `valid_to`
+    * is the next version's `valid_from` (NULL on the current row). The
+    * lakehouse dimension-history shape: silver keeps the full log, gold
+    * serves point-in-time lookups against these intervals (the interval
+    * join in q34 / [[asofJoin]] are the read-side counterparts).
+    *
+    * Attribute comparison is null-safe; `tiebreak` must be unique per key
+    * so run boundaries are deterministic. Scale shape: every step windows
+    * over the SAME key partitioning with the same sort — one exchange,
+    * one sort, no self-join (the naive formulation joins the log to
+    * itself on adjacent version numbers). */
+  def scd2FromChangeLog(df: DataFrame, key: String, ts: String,
+                        tiebreak: Column, attrs: Seq[String]): DataFrame = {
+    require(attrs.nonEmpty, "scd2FromChangeLog: attrs must be non-empty")
+    val outNames = Seq("valid_from", "valid_to", "version", "is_current")
+    val clash = outNames.filter((Seq(key, ts) ++ attrs).contains)
+    require(clash.isEmpty,
+      s"scd2FromChangeLog: input column(s) ${clash.mkString(", ")} collide " +
+        "with the valid_from/valid_to/version/is_current output names")
+    val taken = df.columns.toSet ++ outNames
+    val rnC = freshName("__rn", taken)
+    val chC = freshName("__chg", taken + rnC)
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), tiebreak)
+    val anyDiff = attrs.map(c => !(col(c) <=> lag(col(c), 1).over(w))).reduce(_ || _)
+    val marked = df
+      .withColumn(rnC, row_number().over(w))
+      .withColumn(chC, col(rnC) === 1 || anyDiff)
+      .where(col(chC))
+    // among change rows only: the next change's ts closes this interval
+    val wc = Window.partitionBy(col(key)).orderBy(col(ts), tiebreak)
+    marked
+      .withColumn("valid_from", col(ts))
+      .withColumn("valid_to", lead(col(ts), 1).over(wc))
+      .withColumn("version", row_number().over(wc).cast(LongType))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((key +: attrs).map(col) ++ outNames.map(col): _*)
+  }
+
+  /** Apply one batch of per-key updates to a Type-2 SCD history (the
+    * MERGE step of a periodically-refreshed dimension): for each update
+    * key, a missing dimension key inserts version 1; identical `attrs`
+    * (null-safe) is a no-op; a difference closes the current row at the
+    * update's `effTs` and appends the next version. History rows
+    * (`is_current = false`) pass through untouched.
+    *
+    * `current` must be shaped like [[scd2FromChangeLog]] output; `updates`
+    * must carry one row per key (pre-aggregate with [[capPerGroup]]
+    * n=1 / an argmax — the merge does not guess which duplicate wins) and
+    * `effTs` values after the open rows' `valid_from`. Scale shape: one
+    * key-partitioned join of the OPEN slice against the batch plus a
+    * pass-through of history — no windows over the full history, so cost
+    * tracks the live dimension + batch size, not accumulated versions. */
+  def scdMerge(current: DataFrame, updates: DataFrame, key: String,
+               attrs: Seq[String], effTs: String): DataFrame = {
+    require(attrs.nonEmpty, "scdMerge: attrs must be non-empty")
+    val cur = current.where(col("is_current"))
+    val hist = current.where(!col("is_current"))
+    val taken = (current.columns ++ updates.columns).toSet
+    val uTs = freshName("__u_ts", taken)
+    val uIn = freshName("__u_in", taken + uTs)
+    val uAttr = attrs.map(c => c -> freshName(s"__u_$c", taken + uTs + uIn)).toMap
+    val u = updates.select(col(key) +: col(effTs).as(uTs) +:
+      attrs.map(c => col(c).as(uAttr(c))): _*).withColumn(uIn, lit(1))
+    val j = cur.join(u, Seq(key), "full_outer")
+    val differs = attrs.map(c => !(col(c) <=> col(uAttr(c)))).reduce(_ || _)
+    val closes = col(uIn).isNotNull && differs
+    // current rows: untouched keys and no-op updates stay open; a real
+    // change closes the interval at the update's effective timestamp
+    val kept = j.where(col("version").isNotNull)
+      .select((key +: attrs).map(col) ++ Seq(
+        col("valid_from"),
+        when(closes, col(uTs)).otherwise(col("valid_to")).as("valid_to"),
+        col("version"),
+        when(closes, lit(false)).otherwise(col("is_current")).as("is_current")): _*)
+    val inserted = j.where(col(uIn).isNotNull &&
+        (col("version").isNull || differs))
+      .select((col(key) +: attrs.map(c => col(uAttr(c)).as(c))) ++ Seq(
+        col(uTs).as("valid_from"),
+        lit(null).cast(current.schema("valid_to").dataType).as("valid_to"),
+        coalesce(col("version") + 1, lit(1L)).as("version"),
+        lit(true).as("is_current")): _*)
+    hist.select(kept.columns.map(col): _*)
+      .unionByName(kept).unionByName(inserted)
+  }
+
   // ------------------------------------------------------------ temporal
 
   /** First of base, base_1, base_2, ... absent from `taken` — used so the

@@ -219,7 +219,67 @@ object Extras {
       .orderBy($"event_id")
   }
 
+  /** q58: snapshot diff / CDC — two per-(user, event_type) activity
+    * snapshots over overlapping time windows, diffed into the minimal
+    * added/removed/changed delta. Thin binding of
+    * [[graft.api.Graft.snapshotDiff]]; the window overlap plants all
+    * three change kinds (keys active only early = removed, only late =
+    * added, both-with-different-stats = changed), and the compared
+    * aggregates use the exact-decimal sum discipline so both engines
+    * agree bit-for-bit on what "changed" means. */
+  def q58SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+    def snap(lo: String, hi: String): DataFrame = ev
+      .where($"ts" >= to_timestamp(lit(lo)) && $"ts" < to_timestamp(lit(hi)))
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n_events"), moneySum($"value").as("total_value"))
+    graft.api.Graft.snapshotDiff(
+      snap("2024-01-01 00:00:00", "2024-01-04 00:00:00"),
+      snap("2024-01-02 00:00:00", "2024-01-06 00:00:00"),
+      Seq("user_id", "event_type"), Seq("n_events", "total_value"))
+      .orderBy($"user_id", $"event_type")
+  }
+
+  /** q59: SCD Type-2 build — the events stream read as a change log of
+    * each user's state (their event_type), collapsed into versioned
+    * validity intervals. Thin binding of
+    * [[graft.api.Graft.scd2FromChangeLog]] — one exchange on the key,
+    * no self-join. */
+  def q59Scd2Build(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.api.Graft.scd2FromChangeLog(
+        Tables.load(s, dir, "events"), "user_id", "ts", $"event_id",
+        attrs = Seq("event_type"))
+      .orderBy($"user_id", $"version")
+  }
+
+  /** q60: SCD Type-2 merge — the dimension history built from the first
+    * 19 days (restricted to user_id % 10 != 0, so the batch also carries
+    * brand-new keys), merged with one batch of per-user latest states
+    * from day 20 on. Exercises all four merge outcomes: pass-through
+    * history, no-op update, close-and-version, and first-version insert.
+    * Thin binding of [[graft.api.Graft.scdMerge]]. */
+  def q60Scd2Merge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+    val cutoff = to_timestamp(lit("2024-01-20 00:00:00"))
+    val current = graft.api.Graft.scd2FromChangeLog(
+      ev.where($"ts" < cutoff && $"user_id" % 10 =!= 0),
+      "user_id", "ts", $"event_id", attrs = Seq("event_type"))
+    val updates = graft.api.Graft.capPerGroup(
+        ev.where($"ts" >= cutoff), $"user_id",
+        struct($"ts", $"event_id"), $"event_id", n = 1)
+      .select($"user_id", $"event_type", $"ts")
+    graft.api.Graft.scdMerge(current, updates, "user_id",
+        attrs = Seq("event_type"), effTs = "ts")
+      .orderBy($"user_id", $"version", $"valid_from")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_scd2_build" -> q59Scd2Build,
+    "q60_scd2_merge" -> q60Scd2Merge,
+    "q58_snapshot_diff" -> q58SnapshotDiff,
     "q54_higher_order" -> q54HigherOrder,
     "q55_map_funcs" -> q55MapFuncs,
     "q42_cube" -> q42Cube,
@@ -232,6 +292,96 @@ object Extras {
     "q53_zorder_layout" -> q53ZorderLayout)
 
   val oracles: Map[String, String] = Map(
+    "q59_scd2_build" ->
+      """WITH w AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, event_type, ts, event_id
+        |  FROM w WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM chg
+        |ORDER BY user_id, version""".stripMargin,
+    "q60_scd2_merge" ->
+      """WITH pre AS (
+        |  SELECT * FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-20 00:00:00' AND user_id % 10 <> 0),
+        |w AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM pre),
+        |chg AS (
+        |  SELECT user_id, event_type, ts, event_id
+        |  FROM w WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |scd AS (
+        |  SELECT user_id, event_type, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
+        |  FROM chg),
+        |scd2 AS (SELECT *, valid_to IS NULL AS is_current FROM scd),
+        |upd AS (
+        |  SELECT user_id, event_type, ts FROM (
+        |    SELECT user_id, event_type, ts,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00')
+        |  WHERE rn = 1),
+        |cur AS (SELECT * FROM scd2 WHERE is_current),
+        |hist AS (SELECT * FROM scd2 WHERE NOT is_current),
+        |kept AS (
+        |  SELECT c.user_id, c.event_type, c.valid_from,
+        |    CASE WHEN u.user_id IS NOT NULL AND u.event_type IS DISTINCT FROM c.event_type
+        |         THEN u.ts ELSE c.valid_to END AS valid_to,
+        |    c.version,
+        |    CASE WHEN u.user_id IS NOT NULL AND u.event_type IS DISTINCT FROM c.event_type
+        |         THEN FALSE ELSE c.is_current END AS is_current
+        |  FROM cur c LEFT JOIN upd u ON c.user_id = u.user_id),
+        |ins AS (
+        |  SELECT u.user_id, u.event_type, u.ts AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to,
+        |    CAST(coalesce(c.version + 1, 1) AS BIGINT) AS version,
+        |    TRUE AS is_current
+        |  FROM upd u LEFT JOIN cur c ON u.user_id = c.user_id
+        |  WHERE c.user_id IS NULL OR u.event_type IS DISTINCT FROM c.event_type)
+        |SELECT user_id, event_type, valid_from, valid_to, version, is_current FROM hist
+        |UNION ALL
+        |SELECT user_id, event_type, valid_from, valid_to, version, is_current FROM kept
+        |UNION ALL
+        |SELECT user_id, event_type, valid_from, valid_to, version, is_current FROM ins
+        |ORDER BY user_id, version, valid_from""".stripMargin,
+    "q58_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, count(*) AS n_events,
+        |   CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-04 00:00:00'
+        |  GROUP BY 1, 2),
+        |n AS (
+        |  SELECT user_id, event_type, count(*) AS n_events,
+        |   CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts < TIMESTAMP '2024-01-06 00:00:00'
+        |  GROUP BY 1, 2)
+        |SELECT coalesce(o.user_id, n.user_id) AS user_id,
+        | coalesce(o.event_type, n.event_type) AS event_type,
+        | CASE WHEN o.user_id IS NULL THEN 'added'
+        |      WHEN n.user_id IS NULL THEN 'removed'
+        |      WHEN o.n_events IS DISTINCT FROM n.n_events
+        |        OR o.total_value IS DISTINCT FROM n.total_value THEN 'changed' END AS change,
+        | o.n_events AS old_n_events, n.n_events AS new_n_events,
+        | o.total_value AS old_total_value, n.total_value AS new_total_value
+        |FROM o FULL OUTER JOIN n
+        |  ON o.user_id = n.user_id AND o.event_type = n.event_type
+        |WHERE CASE WHEN o.user_id IS NULL THEN 'added'
+        |      WHEN n.user_id IS NULL THEN 'removed'
+        |      WHEN o.n_events IS DISTINCT FROM n.n_events
+        |        OR o.total_value IS DISTINCT FROM n.total_value THEN 'changed' END IS NOT NULL
+        |ORDER BY user_id, event_type""".stripMargin,
     "q54_higher_order" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT vec_id,

@@ -333,7 +333,20 @@ object TextAnalysis {
       .orderBy($"domain")
   }
 
+  /** t17: per-language quota cap — keep at most 60 documents per language,
+    * longest first (doc_id tiebreak): the domain/source-cap step that stops
+    * any one slice of the crawl from dominating the mix. Thin binding of
+    * [[graft.api.Graft.capPerGroup]]. */
+  def t17LangQuota(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.api.Graft.capPerGroup(Tables.load(s, dir, "documents"),
+        $"lang", $"n_chars", $"doc_id", n = 60)
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_lang_quota" -> t17LangQuota,
     "t14_sequence_packing" -> t14SequencePacking,
     "t15_distinctive_terms" -> t15DistinctiveTerms,
     "t16_domain_stats" -> t16DomainStats,
@@ -352,6 +365,14 @@ object TextAnalysis {
     "t09_pii_redaction" -> t09PiiRedaction)
 
   val oracles: Map[String, String] = Map(
+    "t17_lang_quota" ->
+      """SELECT doc_id, lang, n_chars
+        |FROM (SELECT doc_id, lang, n_chars,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY n_chars DESC, doc_id) AS rn
+        |      FROM documents)
+        |WHERE rn <= 60
+        |ORDER BY doc_id""".stripMargin,
     "t15_distinctive_terms" ->
       """WITH tok AS (SELECT doc_id, lang,
         |  unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents),

@@ -650,6 +650,92 @@ class GraftApiSpec extends AnyFunSuite {
     assert(Graft.nearDupPairs(hot, minAgreement = 2, maxBucketSize = 20).count() == 190L)
   }
 
+  test("snapshotDiff classifies added/removed/changed and omits unchanged") {
+    import spark.implicits._
+    val old = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "c", 40L))
+      .toDF("k", "grp", "cnt")
+    val neu = Seq((2L, "a", 21L), (3L, "b", 30L), (4L, "d", 40L), (5L, "e", 50L))
+      .toDF("k", "grp", "cnt")
+    val d = Graft.snapshotDiff(old, neu, Seq("k"), Seq("grp", "cnt"))
+      .select($"k", $"change").as[(Long, String)].collect().toMap
+    assert(d == Map(1L -> "removed", 2L -> "changed", 4L -> "changed", 5L -> "added"))
+    // null-safe compare: NULL -> NULL is unchanged, NULL -> value is a change
+    val o2 = Seq((1L, Option.empty[String]), (2L, Option.empty[String])).toDF("k", "v")
+    val n2 = Seq((1L, Option.empty[String]), (2L, Option("x"))).toDF("k", "v")
+    val d2 = Graft.snapshotDiff(o2, n2, Seq("k"), Seq("v"))
+      .select($"k", $"change").as[(Long, String)].collect().toMap
+    assert(d2 == Map(2L -> "changed"))
+    val err = intercept[IllegalArgumentException](
+      Graft.snapshotDiff(old.withColumnRenamed("k", "change"),
+        neu.withColumnRenamed("k", "change"), Seq("change"), Seq("cnt")))
+    assert(err.getMessage.contains("collide"))
+  }
+
+  test("capPerGroup keeps the top-n by priority with a deterministic tiebreak") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 5L), ("a", 2L, 9L), ("a", 3L, 9L), ("a", 4L, 1L),
+      ("b", 5L, 7L)).toDF("dom", "rid", "score")
+    val kept = Graft.capPerGroup(df, $"dom", $"score", $"rid", n = 2)
+      .select($"rid").as[Long].collect().toSet
+    // group a: score-9 rows win, rid 2 beats rid 3 on the tiebreak — both kept at n=2
+    assert(kept == Set(2L, 3L, 5L))
+    assert(Graft.capPerGroup(df, $"dom", $"score", $"rid", n = 1)
+      .select($"rid").as[Long].collect().toSet == Set(2L, 5L))
+    assert(intercept[IllegalArgumentException](
+      Graft.capPerGroup(df, $"dom", $"score", $"rid", n = 0))
+      .getMessage.contains("n must be"))
+  }
+
+  test("scd2FromChangeLog collapses runs into versioned intervals") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val log = Seq(
+      (1L, t("2024-01-01 00:00:00"), 1L, "bronze"),
+      (1L, t("2024-01-02 00:00:00"), 2L, "bronze"), // same state: collapsed
+      (1L, t("2024-01-03 00:00:00"), 3L, "silver"),
+      (1L, t("2024-01-04 00:00:00"), 4L, "gold"),
+      (2L, t("2024-01-01 12:00:00"), 5L, "bronze")
+    ).toDF("uid", "at", "seq", "tier")
+    val scd = Graft.scd2FromChangeLog(log, "uid", "at", $"seq", Seq("tier"))
+    val rows = scd.orderBy($"uid", $"version")
+      .select($"uid", $"tier", $"version", $"is_current", $"valid_to")
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3))).toSeq ==
+      Seq((1L, "bronze", 1L, false), (1L, "silver", 2L, false),
+        (1L, "gold", 3L, true), (2L, "bronze", 1L, true)))
+    // each closed interval's valid_to is the successor's valid_from
+    assert(rows(0).getTimestamp(4) == t("2024-01-03 00:00:00"))
+    assert(rows(1).getTimestamp(4) == t("2024-01-04 00:00:00"))
+  }
+
+  test("scdMerge inserts, versions, and passes history through") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val log = Seq(
+      (1L, t("2024-01-01 00:00:00"), 1L, "bronze"),
+      (1L, t("2024-01-03 00:00:00"), 2L, "silver"),
+      (2L, t("2024-01-01 00:00:00"), 3L, "gold")
+    ).toDF("uid", "at", "seq", "tier")
+    val current = Graft.scd2FromChangeLog(log, "uid", "at", $"seq", Seq("tier"))
+    val updates = Seq(
+      (1L, "gold", t("2024-01-10 00:00:00")),   // change: close + version 3
+      (2L, "gold", t("2024-01-10 00:00:00")),   // no-op
+      (9L, "bronze", t("2024-01-10 00:00:00"))  // brand-new key
+    ).toDF("uid", "tier", "at")
+    val merged = Graft.scdMerge(current, updates, "uid", Seq("tier"), "at")
+    val got = merged.orderBy($"uid", $"version")
+      .select($"uid", $"tier", $"version", $"is_current").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got == Seq(
+      (1L, "bronze", 1L, false), (1L, "silver", 2L, false), (1L, "gold", 3L, true),
+      (2L, "gold", 1L, true), (9L, "bronze", 1L, true)))
+    // the closed row was sealed at the update's effective timestamp
+    val closed = merged.where($"uid" === 1L && $"version" === 2L)
+      .select($"valid_to").as[java.sql.Timestamp].head()
+    assert(closed == t("2024-01-10 00:00:00"))
+  }
+
   test("trainCentroids recovers two planted directions and is deterministic") {
     import spark.implicits._
     val dim = 4
