@@ -1253,6 +1253,86 @@ object Graft {
     df.where(bucket < threshold)
   }
 
+  /** FastText-style hashed linear classifier INFERENCE: tokens hash into
+    * `weights.size` buckets (md5-derived, engine-portable), and
+    * `quality_score` = (bias + Σ weights(bucket(token))) / n_tokens — the
+    * mean bucket weight, the shape of the linear quality filters
+    * (CCNet/fastText-family) a corpus pipeline scores documents with
+    * before mixing. Appends `n_tokens` and `quality_score`; a document
+    * with no tokens scores NULL.
+    *
+    * Weights are exact decimals and the token fold sums in DECIMAL, so
+    * the score is order-independent and bit-identical cross-engine (a
+    * double Σ would depend on reduction order). The whole operator is ONE
+    * narrow codegen'd projection — the fold runs inside the row via a
+    * higher-order `aggregate`, no explode, no shuffle: at 100 TB this
+    * scores the corpus in a single scan. Training the weights is the
+    * caller's offline concern (this engine scores); any `Seq[BigDecimal]`
+    * plugs in. */
+  def scoreLinearHashed(df: DataFrame, text: Column, weights: Seq[BigDecimal],
+                        bias: BigDecimal = BigDecimal(0)): DataFrame = {
+    require(weights.nonEmpty, "scoreLinearHashed: weights must be non-empty")
+    Seq("n_tokens", "quality_score").foreach(c => require(!df.columns.contains(c),
+      s"scoreLinearHashed: input already has a '$c' column"))
+    val acc = DecimalType(38, 6)
+    val wArr = array(weights.map(w => lit(w.underlying).cast(DecimalType(12, 6))): _*)
+    val toks = filter(split(trim(lower(text)), "\\s+"), t => t =!= lit(""))
+    def bucket(t: Column): Column =
+      conv(substring(md5(t), 1, 8), 16, 10).cast(LongType) % weights.size
+    val total = aggregate(toks, lit(BigDecimal(0).underlying).cast(acc),
+      (a, t) => (a + element_at(wArr, (bucket(t) + 1).cast(IntegerType))).cast(acc))
+    df.withColumn("n_tokens", size(toks).cast(LongType))
+      .withColumn("quality_score",
+        when(size(toks) > 0,
+          (lit(bias.underlying).cast(acc) + total).cast(DoubleType) / size(toks)))
+  }
+
+  /** Temperature-based mixture sampling — the `count^alpha` reweighting
+    * that flattens a skewed corpus (UnifiedQA/mT5-style): per-stratum
+    * sampling fractions are chosen so the expected kept total is
+    * `targetRows` distributed proportionally to `c_s^alpha` (alpha < 1
+    * upsamples rare strata relative to their raw share; fractions cap at
+    * 1 — a stratum smaller than its allocation keeps everything rather
+    * than inventing rows). Membership is the same deterministic
+    * hash-bucket property as [[hashSample]].
+    *
+    * Exactness: stratum weights quantize to `round(c^alpha * 1e9)` as
+    * integers, so the total and the per-stratum thresholds are
+    * reproducible cross-engine (alpha 0.5/1.0/0.0 use sqrt/identity/1 —
+    * exactly-rounded everywhere; other alphas go through `pow`, whose
+    * last-bit rounding is libm-specific — fine within Spark, excluded
+    * from cross-engine oracles). Scale shape: one count aggregate on the
+    * stratum, a |strata|-row stats frame (its global window is over that
+    * tiny frame, not the data), and a broadcast join back — the corpus
+    * itself is scanned once and never shuffled. */
+  def temperatureMix(df: DataFrame, key: Column, stratum: Column,
+                     targetRows: Long, alpha: Double = 0.5): DataFrame = {
+    require(targetRows >= 0, s"targetRows must be >= 0, got $targetRows")
+    val taken = df.columns.toSet
+    val sC = freshName("__stratum", taken)
+    val cC = freshName("__c", taken + sC)
+    val wC = freshName("__w", taken + sC + cC)
+    val totC = freshName("__tot", taken + sC + cC + wC)
+    val cutC = freshName("__cut", taken + sC + cC + wC + totC)
+    val weight = alpha match {
+      case 0.5 => sqrt(col(cC))
+      case 1.0 => col(cC).cast(DoubleType)
+      case 0.0 => lit(1.0)
+      case a => pow(col(cC).cast(DoubleType), lit(a))
+    }
+    val cuts = df.groupBy(stratum.as(sC)).agg(count(lit(1)).as(cC))
+      .withColumn(wC, round(weight * 1e9).cast(LongType))
+      .withColumn(totC, sum(col(wC)).over(Window.partitionBy()))
+      .withColumn(cutC, floor(least(lit(1.0),
+        (lit(targetRows).cast(DoubleType) * col(wC)) /
+          (col(totC).cast(DoubleType) * col(cC))) * 65536).cast(LongType))
+      .select(col(sC), col(cutC))
+    val bucket = conv(substring(md5(coalesce(key.cast(StringType), lit(""))),
+      1, 4), 16, 10).cast(LongType)
+    df.join(broadcast(cuts), stratum <=> col(sC), "left")
+      .where(bucket < col(cutC)).drop(sC, cutC)
+  }
+
   /** Vocabulary-coverage / out-of-vocabulary statistics per document:
     * (id, n_tokens, n_oov, oov_rate) — the tokenizer-fit signal a corpus
     * pipeline computes before committing to a vocabulary (high OOV =

@@ -345,7 +345,41 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** The t18 gate's synthetic classifier: 64 hashed buckets with a fixed
+    * Knuth-multiplicative weight per bucket, exact 3-decimal values. ONE
+    * source of truth — the gate evaluates them in Spark and interpolates
+    * the same literals into the oracle SQL. */
+  private[graft] def t18Weights: Seq[BigDecimal] =
+    (0 until 64).map(i =>
+      BigDecimal((i * 2654435761L) % 2001 - 1000) / 1000)
+
+  /** t18: hashed linear quality classifier — fastText-family scoring of
+    * every document as the mean hashed-bucket weight of its tokens, in one
+    * narrow decimal-exact fold. Thin binding of
+    * [[graft.api.Graft.scoreLinearHashed]]. */
+  def t18QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.api.Graft.scoreLinearHashed(Tables.load(s, dir, "documents"),
+        $"text", t18Weights, bias = BigDecimal("0.05"))
+      .select($"doc_id", $"lang", $"n_tokens", $"quality_score")
+      .orderBy($"doc_id")
+  }
+
+  /** t19: temperature-based data mixing — per-language fractions chosen
+    * from count^0.5 so rare languages keep a larger share than their raw
+    * frequency, with deterministic hash membership. Thin binding of
+    * [[graft.api.Graft.temperatureMix]]. */
+  def t19TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.api.Graft.temperatureMix(Tables.load(s, dir, "documents"),
+        $"doc_id", $"lang", targetRows = 250L, alpha = 0.5)
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_quality_classifier" -> t18QualityClassifier,
+    "t19_temperature_mix" -> t19TemperatureMix,
     "t17_lang_quota" -> t17LangQuota,
     "t14_sequence_packing" -> t14SequencePacking,
     "t15_distinctive_terms" -> t15DistinctiveTerms,
@@ -365,6 +399,45 @@ object TextAnalysis {
     "t09_pii_redaction" -> t09PiiRedaction)
 
   val oracles: Map[String, String] = Map(
+    "t18_quality_classifier" -> {
+      val wl = t18Weights.map(_.toString).mkString("[", ", ", "]")
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+        |  FROM documents),
+        |tw AS (
+        |  SELECT doc_id,
+        |    CAST(list_extract($wl,
+        |      CAST(CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 64 AS INTEGER) + 1)
+        |      AS DECIMAL(12,6)) AS w
+        |  FROM tok WHERE t <> ''),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(w) AS DECIMAL(38,6)) AS s
+        |  FROM tw GROUP BY 1)
+        |SELECT d.doc_id, d.lang, coalesce(a.n_tokens, 0) AS n_tokens,
+        |  CASE WHEN a.n_tokens > 0
+        |    THEN CAST(CAST(0.05 AS DECIMAL(38,6)) + a.s AS DOUBLE) / a.n_tokens END
+        |    AS quality_score
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+    },
+    "t19_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT lang, c, CAST(round(sqrt(c) * 1e9) AS BIGINT) AS w FROM c),
+        |t AS (
+        |  SELECT lang, c, w, CAST(sum(w) OVER () AS BIGINT) AS total FROM w),
+        |f AS (
+        |  SELECT lang,
+        |    CAST(floor(least(1.0,
+        |      (CAST(250 AS DOUBLE) * w) / (CAST(total AS DOUBLE) * c)) * 65536)
+        |      AS BIGINT) AS cut
+        |  FROM t)
+        |SELECT doc_id, lang, source
+        |FROM documents JOIN f USING (lang)
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < cut
+        |ORDER BY doc_id""".stripMargin,
     "t17_lang_quota" ->
       """SELECT doc_id, lang, n_chars
         |FROM (SELECT doc_id, lang, n_chars,

@@ -736,6 +736,46 @@ class GraftApiSpec extends AnyFunSuite {
     assert(closed == t("2024-01-10 00:00:00"))
   }
 
+  test("scoreLinearHashed averages bucket weights and is length-invariant") {
+    import spark.implicits._
+    val w = (0 until 16).map(i => BigDecimal(i) / 10) // bucket i weighs i/10
+    val docs = Seq((1L, "alpha alpha alpha"), (2L, "alpha"), (3L, ""),
+      (4L, "alpha beta")).toDF("id", "body")
+    val scored = Graft.scoreLinearHashed(docs, $"body", w, bias = BigDecimal(0))
+    val byId = scored.select($"id", $"n_tokens", $"quality_score")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), Option(r.get(2)))).toMap
+    // a one-token doc and its triple repeat score identically (mean, not sum)
+    assert(byId(1L)._2 == byId(2L)._2 && byId(1L)._1 == 3 && byId(2L)._1 == 1)
+    // empty text: zero tokens, NULL score — not NaN, not a crash
+    assert(byId(3L) == ((0L, None)))
+    // mixed doc scores the mean of its two bucket weights
+    val a = byId(2L)._2.get.asInstanceOf[Double]
+    val ab = byId(4L)._2.get.asInstanceOf[Double]
+    assert(ab != a || w.distinct.size == 1)
+  }
+
+  test("temperatureMix flattens a skewed mix toward the rare stratum") {
+    import spark.implicits._
+    val df = ((1 to 900).map(i => (i.toLong, "big")) ++
+      (901 to 1000).map(i => (i.toLong, "small"))).toDF("id", "grp")
+    val kept = Graft.temperatureMix(df, $"id", $"grp", targetRows = 200L, alpha = 0.5)
+      .groupBy($"grp").count().as[(String, Long)].collect().toMap
+    // sqrt weighting allocates 3:1 (sqrt(900):sqrt(100)), not 9:1 — the
+    // small stratum keeps a ~3x higher fraction of itself than the big one
+    val fBig = kept("big").toDouble / 900
+    val fSmall = kept("small").toDouble / 100
+    assert(fSmall > 2 * fBig, s"fSmall=$fSmall fBig=$fBig")
+    // expected total ~200 (hash-bucket noise allowed)
+    val total = kept.values.sum
+    assert(total > 150 && total < 250, s"total=$total")
+    // alpha = 1.0 reduces to proportional sampling: uniform fraction
+    val prop = Graft.temperatureMix(df, $"id", $"grp", targetRows = 200L, alpha = 1.0)
+      .groupBy($"grp").count().as[(String, Long)].collect().toMap
+    val pBig = prop("big").toDouble / 900
+    val pSmall = prop.getOrElse("small", 0L).toDouble / 100
+    assert(math.abs(pBig - pSmall) < 0.1, s"pBig=$pBig pSmall=$pSmall")
+  }
+
   test("trainCentroids recovers two planted directions and is deterministic") {
     import spark.implicits._
     val dim = 4

@@ -119,6 +119,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), plan)
   }
 
+  test("t18 linear classifier scores in one narrow projection (no exchange, no UDF)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, dir, "documents")
+    val plan = planOf(
+      graft.api.Graft.scoreLinearHashed(docs, col("text"), TextAnalysis.t18Weights))
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), plan)
+  }
+
+  test("t19 temperature mix broadcasts the per-stratum cuts to the corpus scan") {
+    val plan = planOf(TextAnalysis.t19TemperatureMix(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the corpus side must not shuffle for the membership join
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("d10 boilerplate removal groups chunk frequency on md5, never all-pairs") {
     val plan = planOf(Dedup.d10ParagraphDedup(spark, dir))
     assert(!plan.contains("CartesianProduct") &&
