@@ -135,6 +135,34 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("dynamic partition pruning reaches a partitioned fact scan from a dim filter") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toFile
+    tmp.deleteOnExit()
+    Tables.load(spark, dir, "events")
+      .write.mode("overwrite").partitionBy("event_type")
+      .parquet(s"$tmp/fact")
+    Seq(("purchase", "rev"), ("view", "eng"), ("click", "eng"))
+      .toDF("etype", "kind")
+      .write.mode("overwrite").parquet(s"$tmp/dim")
+    val fact = spark.read.parquet(s"$tmp/fact")
+    // the dim must come from a source (not a folded LocalRelation) so its
+    // selective predicate survives to optimization — that predicate is
+    // what makes the planner bother pruning
+    val dim = spark.read.parquet(s"$tmp/dim").where($"kind" === "rev")
+    val joined = fact.join(broadcast(dim), fact("event_type") === dim("etype"))
+    val plan = planOf(joined)
+    // the fact scan's PartitionFilters must carry the runtime subquery —
+    // at 100 TB this is what turns a full-fact scan into one partition
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan)
+    // and the pruned result is still correct
+    val n = joined.count()
+    val expected = Tables.load(spark, dir, "events")
+      .where($"event_type" === "purchase").count()
+    assert(n == expected, s"joined=$n expected=$expected")
+  }
+
   test("d10 boilerplate removal groups chunk frequency on md5, never all-pairs") {
     val plan = planOf(Dedup.d10ParagraphDedup(spark, dir))
     assert(!plan.contains("CartesianProduct") &&
