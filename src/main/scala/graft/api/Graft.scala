@@ -1333,6 +1333,61 @@ object Graft {
       .where(bucket < col(cutC)).drop(sC, cutC)
   }
 
+  /** Sliding-window document chunking — the overlapping-window split a
+    * RAG/pretraining pipeline applies to long documents: whitespace
+    * tokens, windows of `chunkTokens` starting every
+    * `chunkTokens - overlapTokens`, the last window allowed to run short
+    * so every token lands in at least one chunk. One row per chunk:
+    * (id, chunk_id, start_token, n_chunk_tokens, chunk_text); a document
+    * with no tokens yields one empty chunk row (so no document silently
+    * vanishes). Pure narrow projection + explode — no shuffle; output
+    * rows ≈ input tokens / stride regardless of document skew. */
+  def chunkDocuments(df: DataFrame, id: Column, text: Column,
+                     chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlapTokens must be in [0, chunkTokens): got $overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    val tC = "__toks"
+    val toks = filter(split(trim(text), "\\s+"), t => t =!= lit(""))
+    val starts = sequence(lit(1),
+      greatest(size(col(tC)) - overlapTokens, lit(1)), lit(stride))
+    df.select(id.as("id"), toks.as(tC))
+      .select(col("id"), col(tC), posexplode(starts).as(Seq("pos", "start_token")))
+      .select(col("id"), (col("pos") + 1).cast(LongType).as("chunk_id"),
+        col("start_token").cast(LongType),
+        size(slice(col(tC), col("start_token"), lit(chunkTokens)))
+          .cast(LongType).as("n_chunk_tokens"),
+        array_join(slice(col(tC), col("start_token"), lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
+  /** Deterministic, disjoint, exhaustive train/validation/test split:
+    * appends a `split` label chosen by the same hash-bucket membership as
+    * [[hashSample]], with cumulative bucket cuts from `weights` (ordered;
+    * they must sum to 1 within 1e-9). Every row gets exactly ONE label —
+    * disjointness and exhaustiveness hold by construction, not by three
+    * independent samples that could overlap or leak. Membership is a pure
+    * row property: re-runs, re-partitioning, and engine changes never
+    * migrate a row between splits (the leakage property a training
+    * pipeline actually cares about). Narrow projection, no shuffle. */
+  def splitCorpus(df: DataFrame, key: Column,
+                  weights: Seq[(String, Double)], out: String = "split"): DataFrame = {
+    require(weights.nonEmpty, "splitCorpus: weights must be non-empty")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"splitCorpus: weights must sum to 1, got ${weights.map(_._2).sum}")
+    require(weights.forall(_._2 >= 0), "splitCorpus: weights must be >= 0")
+    require(!df.columns.contains(out),
+      s"splitCorpus: input already has a '$out' column; pass out=<fresh name>")
+    val bucket = conv(substring(md5(coalesce(key.cast(StringType), lit(""))),
+      1, 4), 16, 10).cast(LongType)
+    val cuts = weights.scanLeft(0.0)(_ + _._2).tail.map(f => math.round(f * 65536))
+    val label = weights.init.zip(cuts.init).foldLeft(when(lit(false), lit(""))) {
+      case (c, ((name, _), cut)) => c.when(bucket < cut, lit(name))
+    }.otherwise(lit(weights.last._1))
+    df.withColumn(out, label)
+  }
+
   /** Vocabulary-coverage / out-of-vocabulary statistics per document:
     * (id, n_tokens, n_oov, oov_rate) — the tokenizer-fit signal a corpus
     * pipeline computes before committing to a vocabulary (high OOV =

@@ -377,7 +377,31 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t20: sliding-window chunking — 64-token windows every 48 tokens
+    * (16-token overlap), short last window, one row per chunk. Thin
+    * binding of [[graft.api.Graft.chunkDocuments]]. */
+  def t20ChunkDocuments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.api.Graft.chunkDocuments(Tables.load(s, dir, "documents"),
+        $"doc_id", $"text", chunkTokens = 64, overlapTokens = 16)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  /** t21: deterministic train/val/test split — one hash-bucket label per
+    * document, disjoint and exhaustive by construction. Thin binding of
+    * [[graft.api.Graft.splitCorpus]]. */
+  def t21CorpusSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.api.Graft.splitCorpus(Tables.load(s, dir, "documents"), $"doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select($"doc_id", $"lang", $"split")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_chunk_documents" -> t20ChunkDocuments,
+    "t21_corpus_split" -> t21CorpusSplit,
     "t18_quality_classifier" -> t18QualityClassifier,
     "t19_temperature_mix" -> t19TemperatureMix,
     "t17_lang_quota" -> t17LangQuota,
@@ -399,6 +423,31 @@ object TextAnalysis {
     "t09_pii_redaction" -> t09PiiRedaction)
 
   val oracles: Map[String, String] = Map(
+    "t20_chunk_documents" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(1, greatest(len(toks) - 16, 1) + 1, 48)) AS start_token
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST((start_token - 1) // 48 + 1 AS BIGINT) AS chunk_id,
+        |  CAST(start_token AS BIGINT) AS start_token,
+        |  CAST(len(list_slice(toks, start_token, start_token + 63)) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(list_slice(toks, start_token, start_token + 63), ' ') AS chunk_text
+        |FROM s
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "t21_corpus_split" -> {
+      val cuts = Seq(0.8, 0.9).map(f => math.round(f * 65536))
+      s"""SELECT doc_id, lang,
+        |  CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < ${cuts(0)} THEN 'train'
+        |       WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < ${cuts(1)} THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+    },
     "t18_quality_classifier" -> {
       val wl = t18Weights.map(_.toString).mkString("[", ", ", "]")
       s"""WITH tok AS (

@@ -776,6 +776,41 @@ class GraftApiSpec extends AnyFunSuite {
     assert(math.abs(pBig - pSmall) < 0.1, s"pBig=$pBig pSmall=$pSmall")
   }
 
+  test("chunkDocuments windows overlap and cover every token") {
+    import spark.implicits._
+    // 10 tokens, chunk 5, overlap 2 (stride 3): starts 1, 4, 7
+    val doc = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "a b"), (3L, "")).toDF("k", "body")
+    val chunks = Graft.chunkDocuments(df, $"k", $"body", chunkTokens = 5, overlapTokens = 2)
+      .orderBy($"id", $"chunk_id")
+      .select($"id", $"start_token", $"n_chunk_tokens", $"chunk_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(chunks.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 1L, 5L, "w1 w2 w3 w4 w5"),
+      (1L, 4L, 5L, "w4 w5 w6 w7 w8"),
+      (1L, 7L, 4L, "w7 w8 w9 w10")))
+    // short doc: one short window; empty doc: one empty chunk row, not absence
+    assert(chunks.filter(_._1 == 2L).toSeq == Seq((2L, 1L, 2L, "a b")))
+    assert(chunks.filter(_._1 == 3L).toSeq == Seq((3L, 1L, 0L, "")))
+  }
+
+  test("splitCorpus labels are disjoint, exhaustive, and repartition-invariant") {
+    import spark.implicits._
+    val df = (1L to 1000L).toDF("k")
+    val split = Graft.splitCorpus(df, $"k", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy($"split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 1000) // exhaustive: every row exactly one label
+    assert(counts("train") > 700 && counts("val") > 50 && counts("test") > 50, counts.toString)
+    // membership is a pure row property: a different partitioning yields
+    // the identical assignment for every key
+    val again = Graft.splitCorpus(df.repartition(7), $"k",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.except(again).isEmpty && again.except(split).isEmpty)
+    assert(intercept[IllegalArgumentException](
+      Graft.splitCorpus(df, $"k", Seq("a" -> 0.5, "b" -> 0.4)))
+      .getMessage.contains("sum to 1"))
+  }
+
   test("trainCentroids recovers two planted directions and is deterministic") {
     import spark.implicits._
     val dim = 4
