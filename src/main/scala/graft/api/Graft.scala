@@ -1333,6 +1333,69 @@ object Graft {
       .where(bucket < col(cutC)).drop(sC, cutC)
   }
 
+  /** Distributed BPE merge training — learn the first `nMerges` byte-pair
+    * merges of the corpus: start from characters, repeatedly count
+    * adjacent symbol pairs corpus-wide and merge the most frequent
+    * (ties break lexically, so the table is deterministic). Returns the
+    * merge table (merge_rank, left_sym, right_sym, pair_count) — the
+    * artifact a tokenizer trainer emits.
+    *
+    * The distributed-BPE shape: the corpus collapses FIRST to
+    * (word, count) — every round then works on the vocabulary, not the
+    * corpus, so a 100 TB corpus costs one initial token count and each
+    * round is a vocabulary-sized pair aggregate + a narrow merge rewrite.
+    * Words are symbol strings delimited by a U+0001 sentinel (words
+    * containing the sentinel are dropped — absent from any text corpus),
+    * and a merge applies as one non-overlapping left-to-right
+    * `replace` — identical greedy semantics in any engine, which is what
+    * makes the whole training loop cross-engine reproducible. Pair
+    * counting is naive-adjacent (overlapping runs count each adjacency:
+    * "aaa" counts (a,a) twice but merges once — the classic
+    * implementation's behavior). Per round, ONE driver-side argmax row is
+    * collected ([[pageRank]]/[[connectedComponents]] precedent: O(1) rows
+    * per iteration is inherent to iterative fixpoints); the vocabulary
+    * state localCheckpoints each round so lineage stays flat. Training
+    * stops early when no pair reaches `minCount`. */
+  def trainBpeMerges(df: DataFrame, text: Column, nMerges: Int,
+                     minCount: Long = 1L): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val S = "\u0001"
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.select(explode(filter(split(trim(text), "\\s+"),
+      t => t =!= lit(""))).as("word"))
+      .where(!col("word").contains(S))
+    var state = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("s", concat(lit(S), regexp_replace(col("word"), "(.)", "$1" + S)))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+    var done = false
+    for (rank <- 1 to nMerges if !done) {
+      val syms = split(col("s"), S)
+      val idxs = filter(sequence(lit(1), size(syms)),
+        i => i >= 2 && i <= size(syms) - 2)
+      val pairs = state
+        .select(col("cnt"), explode(transform(idxs,
+          i => struct(element_at(syms, i).as("l"),
+            element_at(syms, i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (pairs.isEmpty || pairs.head.getLong(2) < minCount) done = true
+      else {
+        val (l, r, c) = (pairs.head.getString(0), pairs.head.getString(1),
+          pairs.head.getLong(2))
+        merges += ((rank.toLong, l, r, c))
+        state = state.withColumn("s",
+          call_function("replace", col("s"), lit(S + l + S + r + S), lit(S + l + r + S)))
+          .localCheckpoint()
+      }
+    }
+    state.unpersist()
+    merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+  }
+
   /** Sliding-window document chunking — the overlapping-window split a
     * RAG/pretraining pipeline applies to long documents: whitespace
     * tokens, windows of `chunkTokens` starting every

@@ -399,7 +399,57 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t22: BPE merge training — the first 8 learned byte-pair merges of the
+    * corpus with their pair counts. Thin binding of
+    * [[graft.api.Graft.trainBpeMerges]]; the oracle unrolls the same 8
+    * rounds in SQL (pair count → lexical-tiebreak argmax → greedy
+    * left-to-right replace), generated by [[t22OracleSql]] from one loop
+    * so Spark and DuckDB can't drift. */
+  def t22BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.api.Graft.trainBpeMerges(Tables.load(s, dir, "documents"),
+        $"text", nMerges = 8)
+      .orderBy($"merge_rank")
+  }
+
+  /** The unrolled-round DuckDB replica of [[graft.api.Graft.trainBpeMerges]]
+    * (nMerges CTE rounds; chr(1) is the same symbol sentinel). */
+  private[graft] def t22OracleSql(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { r =>
+      s"""p$r AS (
+        |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c FROM (
+        |    SELECT cnt, syms[i] AS l, syms[i + 1] AS r FROM (
+        |      SELECT cnt, string_split(s, chr(1)) AS syms FROM st${r - 1}),
+        |      unnest(range(2, len(syms) - 1)) AS t(i))
+        |  GROUP BY 1, 2),
+        |m$r AS (SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1),
+        |st$r AS (
+        |  SELECT word, cnt,
+        |    replace(s, chr(1) || m.l || chr(1) || m.r || chr(1),
+        |            chr(1) || m.l || m.r || chr(1)) AS s
+        |  FROM st${r - 1}, m$r m)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to nMerges).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, l AS left_sym, r AS right_sym, c AS pair_count FROM m$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH wc AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |    SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+      |      t -> t <> '')) AS word
+      |    FROM documents)
+      |  WHERE NOT contains(word, chr(1))
+      |  GROUP BY 1),
+      |st0 AS (
+      |  SELECT word, cnt,
+      |    chr(1) || regexp_replace(word, '(.)', '\\1' || chr(1), 'g') AS s
+      |  FROM wc),
+      |$rounds
+      |$out
+      |ORDER BY merge_rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t22_bpe_merges" -> t22BpeMerges,
     "t20_chunk_documents" -> t20ChunkDocuments,
     "t21_corpus_split" -> t21CorpusSplit,
     "t18_quality_classifier" -> t18QualityClassifier,
@@ -423,6 +473,7 @@ object TextAnalysis {
     "t09_pii_redaction" -> t09PiiRedaction)
 
   val oracles: Map[String, String] = Map(
+    "t22_bpe_merges" -> t22OracleSql(8),
     "t20_chunk_documents" ->
       """WITH d AS (
         |  SELECT doc_id,

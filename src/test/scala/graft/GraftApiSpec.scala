@@ -811,6 +811,21 @@ class GraftApiSpec extends AnyFunSuite {
       .getMessage.contains("sum to 1"))
   }
 
+  test("trainBpeMerges counts overlaps, tiebreaks lexically, and stops when dry") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa aa ab"), (2L, "aaa")).toDF("id", "body")
+    // words: aa x2, ab x1, aaa x1
+    // R1: (a,a) = 2 (from aa) + 2 (overlapping adjacencies in aaa) = 4; (a,b) = 1
+    //     -> merge (a,a). Greedy rewrite: aa -> [aa], aaa -> [aa, a]
+    // R2: (a,b) = 1 ties (aa,a) = 1; 'a' < 'aa' lexically -> merge (a,b)
+    // R3: (aa,a) = 1 -> merged; R4: no pairs left -> early stop
+    val merges = Graft.trainBpeMerges(docs, $"body", nMerges = 8)
+      .orderBy($"merge_rank")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(merges == Seq(
+      (1L, "a", "a", 4L), (2L, "a", "b", 1L), (3L, "aa", "a", 1L)))
+  }
+
   test("trainCentroids recovers two planted directions and is deterministic") {
     import spark.implicits._
     val dim = 4
