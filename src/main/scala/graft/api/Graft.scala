@@ -1396,6 +1396,36 @@ object Graft {
     merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
   }
 
+  /** BPE tokenization with a LEARNED merge table — the inference side of
+    * [[trainBpeMerges]]: each whitespace word starts as characters and
+    * every merge applies in rank order as the same greedy left-to-right
+    * sentinel-delimited replace the trainer used, so training and
+    * application can never disagree on segmentation. Appends
+    * `bpe_tokens` (array) and `n_bpe_tokens`.
+    *
+    * The merge table is a driver-side Seq (it IS small — a tokenizer
+    * carries thousands of merges, not millions) and compiles into one
+    * nested-replace expression per word: the whole operator is a narrow
+    * codegen'd projection, no join, no shuffle, corpus scanned once.
+    * Words containing the U+0001 sentinel tokenize to themselves. */
+  def tokenizeBpe(df: DataFrame, text: Column,
+                  merges: Seq[(String, String)]): DataFrame = {
+    Seq("bpe_tokens", "n_bpe_tokens").foreach(c => require(!df.columns.contains(c),
+      s"tokenizeBpe: input already has a '$c' column"))
+    val S = "\u0001"
+    val words = filter(split(trim(text), "\\s+"), t => t =!= lit(""))
+    val tokenized = transform(words, w => {
+      val init = concat(lit(S), regexp_replace(w, "(.)", "$1" + S))
+      val merged = merges.foldLeft(init) { case (s, (l, r)) =>
+        call_function("replace", s, lit(S + l + S + r + S), lit(S + l + r + S))
+      }
+      when(w.contains(S), array(w))
+        .otherwise(filter(split(merged, S), t => t =!= lit("")))
+    })
+    df.withColumn("bpe_tokens", flatten(tokenized))
+      .withColumn("n_bpe_tokens", size(flatten(tokenized)).cast(LongType))
+  }
+
   /** Sliding-window document chunking — the overlapping-window split a
     * RAG/pretraining pipeline applies to long documents: whitespace
     * tokens, windows of `chunkTokens` starting every

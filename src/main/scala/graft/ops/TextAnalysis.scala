@@ -448,7 +448,58 @@ object TextAnalysis {
       |ORDER BY merge_rank""".stripMargin
   }
 
+  /** t23: BPE tokenization — train 8 merges on the corpus
+    * ([[graft.api.Graft.trainBpeMerges]]), then segment every document
+    * with them ([[graft.api.Graft.tokenizeBpe]]): the full
+    * train-then-apply tokenizer loop, cross-engine reproducible. */
+  def t23BpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val merges = graft.api.Graft.trainBpeMerges(docs, $"text", nMerges = 8)
+      .orderBy($"merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.api.Graft.tokenizeBpe(docs, $"text", merges)
+      .select($"doc_id", $"n_bpe_tokens",
+        array_join($"bpe_tokens", " ").as("bpe_text"))
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB replica of t23: the t22 training rounds plus the same nested
+    * greedy replace applied to every word, reassembled in word order. */
+  private[graft] def t23OracleSql(nMerges: Int): String = {
+    val trainCtes = {
+      val full = t22OracleSql(nMerges)
+      // reuse t22's WITH-chain up to the last stN CTE (drop its SELECT tail)
+      val cut = full.lastIndexOf("SELECT CAST(1 AS BIGINT)")
+      full.substring(0, cut).trim.stripSuffix(",")
+    }
+    val applied = (1 to nMerges).foldLeft(
+      "chr(1) || regexp_replace(word, '(.)', '\\1' || chr(1), 'g')") { (acc, r) =>
+      s"replace($acc, chr(1) || mm$r.l || chr(1) || mm$r.r || chr(1), chr(1) || mm$r.l || mm$r.r || chr(1))"
+    }
+    val mJoins = (1 to nMerges).map(r => s"m$r mm$r").mkString(", ")
+    s"""$trainCtes,
+      |docw AS (
+      |  SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS i FROM (
+      |    SELECT doc_id,
+      |      list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS words
+      |    FROM documents)),
+      |wtok AS (
+      |  SELECT doc_id, i,
+      |    list_filter(string_split($applied, chr(1)), t -> t <> '') AS toks
+      |  FROM (SELECT doc_id, i, words[i] AS word FROM docw), $mJoins),
+      |agg AS (
+      |  SELECT doc_id, CAST(sum(len(toks)) AS BIGINT) AS n_bpe_tokens,
+      |    string_agg(array_to_string(toks, ' '), ' ' ORDER BY i) AS bpe_text
+      |  FROM wtok GROUP BY 1)
+      |SELECT d.doc_id, coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+      |  coalesce(a.bpe_text, '') AS bpe_text
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t23_bpe_tokenize" -> t23BpeTokenize,
     "t22_bpe_merges" -> t22BpeMerges,
     "t20_chunk_documents" -> t20ChunkDocuments,
     "t21_corpus_split" -> t21CorpusSplit,
@@ -474,6 +525,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "t22_bpe_merges" -> t22OracleSql(8),
+    "t23_bpe_tokenize" -> t23OracleSql(8),
     "t20_chunk_documents" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -826,6 +826,28 @@ class GraftApiSpec extends AnyFunSuite {
       (1L, "a", "a", 4L), (2L, "a", "b", 1L), (3L, "aa", "a", 1L)))
   }
 
+  test("tokenizeBpe applies merges in rank order with greedy rewrites") {
+    import spark.implicits._
+    val docs = Seq((1L, "aab aaab xy"), (2L, "")).toDF("id", "body")
+    val merges = Seq(("a", "a"), ("aa", "b"))
+    val out = Graft.tokenizeBpe(docs, $"body", merges)
+      .select($"id", $"bpe_tokens", $"n_bpe_tokens")
+      .as[(Long, Seq[String], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val (toks, n) = (out(1L)._1, out(1L)._2)
+    // aab: [a,a,b] -> (a,a) -> [aa,b] -> (aa,b) -> [aab]
+    // aaab: [a,a,a,b] -> greedy (a,a) -> [aa,a,b]; (aa,b) doesn't apply (aa
+    // is followed by a) -> stays [aa,a,b]. xy: untouched chars
+    assert(toks == Seq("aab", "aa", "a", "b", "x", "y"), toks.toString)
+    assert(n == 6L)
+    assert(out(2L) == ((Seq.empty[String], 0L)))
+    // training then applying on the training corpus reproduces segmentations
+    // consistent with the learned merge table (the t23 gate pins this
+    // cross-engine; here just the row contract on an empty merge list)
+    val plain = Graft.tokenizeBpe(docs, $"body", Seq.empty)
+    assert(plain.where($"id" === 1L).select($"n_bpe_tokens").as[Long].head() == 9L)
+  }
+
   test("trainCentroids recovers two planted directions and is deterministic") {
     import spark.implicits._
     val dim = 4
