@@ -1481,6 +1481,57 @@ object Graft {
     df.withColumn(out, label)
   }
 
+  /** Deterministic per-row weighted sampling: keep each row with
+    * probability `weight` (clamped to [0, 1]; NULL keeps nothing), by the
+    * same hash-bucket membership as [[hashSample]] — so a row's fate is a
+    * pure function of its key and weight, stable under re-partitioning,
+    * retries, and engine changes. The per-ROW generalization of
+    * [[stratifiedSample]] (whose rates are per-stratum): quality-weighted
+    * corpus downsampling ("keep documents proportionally to their quality
+    * score") is this operator with a score column as the weight. Narrow
+    * projection, no shuffle. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column): DataFrame = {
+    val bucket = conv(substring(md5(coalesce(key.cast(StringType), lit(""))),
+      1, 4), 16, 10).cast(LongType)
+    val cut = floor(least(greatest(weight.cast(DoubleType), lit(0.0)), lit(1.0))
+      * 65536).cast(LongType)
+    df.where(bucket < cut)
+  }
+
+  /** Single-pass column profiler — the data-quality / ANALYZE summary a
+    * pipeline runs before trusting a new drop: per column, non-null count,
+    * null count, distinct count, and min/max (computed on the NATIVE type,
+    * then rendered as strings so one frame can carry every column's
+    * profile). One row per profiled column.
+    *
+    * Runs as ONE aggregate job over a single scan. With `exact = true`
+    * each distinct count adds an Expand duplication of the scanned rows —
+    * fine for a validation sample, wrong for 100 TB; `exact = false`
+    * switches to approx_count_distinct (HLL): single pass, no Expand, the
+    * production profile (and, like all sketches, excluded from
+    * cross-engine oracles — the gate pins the exact form). */
+  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile: cols must be non-empty")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"profile: no such column(s): ${missing.mkString(", ")}")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"__cnt_$c"),
+      count(when(col(c).isNull, 1)).as(s"__null_$c"),
+      (if (exact) countDistinct(col(c))
+       else approx_count_distinct(col(c))).as(s"__nd_$c"),
+      min(col(c)).cast(StringType).as(s"__min_$c"),
+      max(col(c)).cast(StringType).as(s"__max_$c")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col(s"__cnt_$c").as("n_values"),
+        col(s"__null_$c").as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_value"),
+        col(s"__max_$c").as("max_value"))): _*)).as("p"))
+      .select(col("p.*"))
+  }
+
   /** Vocabulary-coverage / out-of-vocabulary statistics per document:
     * (id, n_tokens, n_oov, oov_rate) — the tokenizer-fit signal a corpus
     * pipeline computes before committing to a vocabulary (high OOV =

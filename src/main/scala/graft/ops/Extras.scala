@@ -276,7 +276,20 @@ object Extras {
       .orderBy($"user_id", $"version", $"valid_from")
   }
 
+  /** q61: single-pass column profiler — per-column null/distinct/min/max
+    * summary of the orders table (string-safe columns only: double and
+    * timestamp min/max render engine-specifically). Thin binding of
+    * [[graft.api.Graft.profile]] in its exact form; the approx form is the
+    * 100 TB path (ApproxAggSpec-style tolerance, no cross-engine oracle). */
+  def q61Profile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.api.Graft.profile(Tables.load(s, dir, "orders"),
+        Seq("o_orderstatus", "o_custkey", "o_orderpriority"))
+      .orderBy($"col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_profile" -> q61Profile,
     "q59_scd2_build" -> q59Scd2Build,
     "q60_scd2_merge" -> q60Scd2Merge,
     "q58_snapshot_diff" -> q58SnapshotDiff,
@@ -292,6 +305,30 @@ object Extras {
     "q53_zorder_layout" -> q53ZorderLayout)
 
   val oracles: Map[String, String] = Map(
+    "q61_profile" ->
+      """SELECT col_name, n_values, n_nulls, n_distinct, min_value, max_value FROM (
+        |  SELECT 'o_orderstatus' AS col_name,
+        |    CAST(count(o_orderstatus) AS BIGINT) AS n_values,
+        |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |    CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+        |    CAST(min(o_orderstatus) AS VARCHAR) AS min_value,
+        |    CAST(max(o_orderstatus) AS VARCHAR) AS max_value
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey',
+        |    CAST(count(o_custkey) AS BIGINT),
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT),
+        |    CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority',
+        |    CAST(count(o_orderpriority) AS BIGINT),
+        |    CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+        |    CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+        |  FROM orders)
+        |ORDER BY col_name""".stripMargin,
     "q59_scd2_build" ->
       """WITH w AS (
         |  SELECT user_id, event_type, ts, event_id,

@@ -498,7 +498,19 @@ object TextAnalysis {
       |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** t24: per-row weighted sampling — keep each document with probability
+    * proportional to its length (capped at 1), deterministically. Thin
+    * binding of [[graft.api.Graft.weightedSample]]. */
+  def t24WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.api.Graft.weightedSample(Tables.load(s, dir, "documents"),
+        $"doc_id", $"n_chars" / lit(2000.0))
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_weighted_sample" -> t24WeightedSample,
     "t23_bpe_tokenize" -> t23BpeTokenize,
     "t22_bpe_merges" -> t22BpeMerges,
     "t20_chunk_documents" -> t20ChunkDocuments,
@@ -526,6 +538,12 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "t22_bpe_merges" -> t22OracleSql(8),
     "t23_bpe_tokenize" -> t23OracleSql(8),
+    "t24_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars
+        |FROM documents
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+        |  < CAST(floor(least(greatest(n_chars / 2000.0, 0.0), 1.0) * 65536) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
     "t20_chunk_documents" ->
       """WITH d AS (
         |  SELECT doc_id,

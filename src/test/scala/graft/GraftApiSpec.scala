@@ -848,6 +848,46 @@ class GraftApiSpec extends AnyFunSuite {
     assert(plain.where($"id" === 1L).select($"n_bpe_tokens").as[Long].head() == 9L)
   }
 
+  test("weightedSample clamps weights and keeps/drops deterministically") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i =>
+      (i, if (i <= 100) 0.0 else if (i <= 200) 1.0
+          else if (i <= 300) 5.0 else -1.0)).toDF("k", "w")
+    val kept = Graft.weightedSample(df, $"k", $"w")
+      .select($"k").as[Long].collect().toSet
+    // weight 0 and negative (clamped to 0) keep nothing; weight 1 and
+    // above-1 (clamped to 1) keep everything
+    assert(kept == ((101L to 300L).toSet))
+    // NULL weight keeps nothing rather than crashing
+    val withNull = Seq((1L, Option(0.5)), (2L, Option.empty[Double])).toDF("k", "w")
+    val k2 = Graft.weightedSample(withNull, $"k", $"w").count()
+    assert(k2 <= 1)
+    // repartition-invariant membership at a fractional weight
+    val half = Graft.weightedSample(df.repartition(7), $"k", lit(0.5))
+      .select($"k").as[Long].collect().toSet
+    val half2 = Graft.weightedSample(df, $"k", lit(0.5))
+      .select($"k").as[Long].collect().toSet
+    assert(half == half2)
+  }
+
+  test("profile summarizes nulls, distincts, and native-type min/max per column") {
+    import spark.implicits._
+    val df = Seq((Option(9L), Option("b")), (Option(10L), None),
+      (Option(10L), Option("a")), (None, Option("a"))).toDF("num", "s")
+    val p = Graft.profile(df, Seq("num", "s")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))).toMap
+    // min/max computed on the NATIVE type then rendered: 9 < 10 numerically
+    // even though "10" < "9" as strings
+    assert(p("num") == ((3L, 1L, 2L, "9", "10")))
+    assert(p("s") == ((3L, 1L, 2L, "a", "b")))
+    // the approx form returns the same shape with sketched distincts
+    val a = Graft.profile(df, Seq("num"), exact = false).collect().head
+    assert(a.getLong(3) >= 1L)
+    assert(intercept[IllegalArgumentException](
+      Graft.profile(df, Seq("nope"))).getMessage.contains("no such column"))
+  }
+
   test("trainCentroids recovers two planted directions and is deterministic") {
     import spark.implicits._
     val dim = 4
