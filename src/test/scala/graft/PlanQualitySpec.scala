@@ -163,6 +163,35 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(n == expected, s"joined=$n expected=$expected")
   }
 
+  test("runtime bloom filter prunes the big side of a shuffle join") {
+    import org.apache.spark.sql.functions._
+    // the row-level companion to DPP: when the join key is NOT a partition
+    // column, a bloom filter built from the filtered dim side is pushed
+    // into the fact scan. Needs a non-broadcast join (bloom injection
+    // skips broadcast joins — the filter would be redundant there), so
+    // force the thresholds down for this test only and restore after.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1")
+      val fact = Tables.load(spark, dir, "lineitem")
+      val dim = Tables.load(spark, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+      val joined = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+      val plan = planOf(joined)
+      assert(plan.toLowerCase.contains("bloomfilter"), plan)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("d10 boilerplate removal groups chunk frequency on md5, never all-pairs") {
     val plan = planOf(Dedup.d10ParagraphDedup(spark, dir))
     assert(!plan.contains("CartesianProduct") &&
