@@ -1532,6 +1532,44 @@ object Graft {
       .select(col("p.*"))
   }
 
+  /** Bigram language-model fluency scoring — the perplexity-filter shape
+    * of a pretraining pipeline (score documents by how predictable their
+    * token stream is under a corpus-trained n-gram model), defined so it
+    * is EXACT cross-engine: the per-position signal is the conditional
+    * relative frequency c(prev,w)/c(prev) — a single rational, one IEEE
+    * division — quantized to 1e-12 and summed as integers
+    * ([[pageRank]]'s determinism discipline; a log-prob sum would pin the
+    * result to libm's ln rounding). Returns (id, n_bigrams, fluency =
+    * mean conditional probability; NULL for documents under two tokens).
+    * Repeated boilerplate scores near 1, token soup near 0.
+    *
+    * Scale shape: one bigram explode (corpus-sized, narrow), counts
+    * shuffle on the bigram key, prev-counts fold from the bigram counts
+    * (vocabulary-sized, never re-reading the corpus), then equi-joins of
+    * the bigram stream against both count tables and one per-document
+    * rollup. The bigram stream is rebuilt for the probe side rather than
+    * cached — two corpus scans, zero pinned memory; persist upstream if
+    * the input is expensive to recompute. */
+  def bigramFluency(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = filter(split(trim(lower(text)), "\\s+"), t => t =!= lit(""))
+    val base = df.select(id.as("id"), toks.as("__t"))
+    val idxs = filter(sequence(lit(1), size(col("__t"))), i => i >= 2)
+    val bi = base.select(col("id"), explode(transform(idxs,
+        i => struct(element_at(col("__t"), i - 1).as("p"),
+          element_at(col("__t"), i).as("w")))).as("b"))
+      .select(col("id"), col("b.p").as("p"), col("b.w").as("w"))
+    val c2 = bi.groupBy(col("p"), col("w")).agg(count(lit(1)).as("__c2"))
+    val c1 = c2.groupBy(col("p")).agg(sum(col("__c2")).as("__c1"))
+    val scored = bi.join(c2, Seq("p", "w")).join(c1, Seq("p"))
+      .withColumn("__q", round((col("__c2").cast(DoubleType) / col("__c1"))
+        * 1e12).cast(LongType))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__q")).as("__sq"))
+    df.select(id.as("id")).join(scored, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (col("__sq").cast(DoubleType) / 1e12 / col("n_bigrams")).as("fluency"))
+  }
+
   /** Vocabulary-coverage / out-of-vocabulary statistics per document:
     * (id, n_tokens, n_oov, oov_rate) — the tokenizer-fit signal a corpus
     * pipeline computes before committing to a vocabulary (high OOV =

@@ -509,7 +509,20 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t25: bigram-LM fluency — every document scored by the mean
+    * conditional relative frequency of its bigrams under the corpus's own
+    * counts, 1e-12-quantized so both engines agree exactly. Thin binding
+    * of [[graft.api.Graft.bigramFluency]]. */
+  def t25BigramFluency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.api.Graft.bigramFluency(Tables.load(s, dir, "documents"),
+        $"doc_id", $"text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_bigram_fluency" -> t25BigramFluency,
     "t24_weighted_sample" -> t24WeightedSample,
     "t23_bpe_tokenize" -> t23BpeTokenize,
     "t22_bpe_merges" -> t22BpeMerges,
@@ -538,6 +551,28 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "t22_bpe_merges" -> t22OracleSql(8),
     "t23_bpe_tokenize" -> t23OracleSql(8),
+    "t25_bigram_fluency" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, ts[i - 1] AS p, ts[i] AS w
+        |  FROM (SELECT doc_id, ts, unnest(range(2, len(ts) + 1)) AS i FROM tok)),
+        |c2 AS (SELECT p, w, CAST(count(*) AS BIGINT) AS c2 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT p, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        |q AS (
+        |  SELECT bi.doc_id,
+        |    CAST(round((CAST(c2.c2 AS DOUBLE) / c1.c1) * 1e12) AS BIGINT) AS q
+        |  FROM bi JOIN c2 USING (p, w) JOIN c1 USING (p)),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(q) AS BIGINT) AS sq
+        |  FROM q GROUP BY 1)
+        |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+        |  CAST(a.sq AS DOUBLE) / 1e12 / a.n_bigrams AS fluency
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "t24_weighted_sample" ->
       """SELECT doc_id, lang, n_chars
         |FROM documents

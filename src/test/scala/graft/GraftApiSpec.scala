@@ -888,6 +888,19 @@ class GraftApiSpec extends AnyFunSuite {
       Graft.profile(df, Seq("nope"))).getMessage.contains("no such column"))
   }
 
+  test("bigramFluency scores mean conditional bigram probability") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x")).toDF("k", "body")
+    // corpus counts: (a,b)=3, (b,a)=1, (b,c)=1; prev counts: a=3, b=2
+    // doc1: P(ab)+P(ba)+P(ab) = 1 + 1/2 + 1 -> mean 2.5/3
+    // doc2: P(ab)+P(bc) = 1 + 1/2 -> mean 0.75; doc3: no bigrams -> NULL
+    val got = Graft.bigramFluency(docs, $"k", $"body")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), Option(r.get(2))))).toMap
+    assert(got(1L)._1 == 3L && got(2L)._1 == 2L && got(3L) == ((0L, None)))
+    assert(got(1L)._2.get.asInstanceOf[Double] == 2.5 / 3)
+    assert(got(2L)._2.get.asInstanceOf[Double] == 0.75)
+  }
+
   test("trainCentroids recovers two planted directions and is deterministic") {
     import spark.implicits._
     val dim = 4
