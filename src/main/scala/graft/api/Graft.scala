@@ -1714,7 +1714,9 @@ object Graft {
     *
     * Column comparison is null-safe (a NULL-to-value transition is a
     * change; NULL-to-NULL is not). Keys must identify at most one row per
-    * snapshot — duplicate keys make a diff ill-defined; aggregate first.
+    * snapshot — duplicate keys make a diff ill-defined; aggregate first —
+    * and should be non-null: the key equi-join cannot match NULL to NULL,
+    * so a null-keyed row reports as removed + added rather than changed.
     *
     * Scale shape: ONE full-outer equi-join on the key — each side
     * shuffles once, nothing is collected, and the output is proportional
@@ -1831,10 +1833,18 @@ object Graft {
     require(attrs.nonEmpty, "scdMerge: attrs must be non-empty")
     val cur = current.where(col("is_current"))
     val hist = current.where(!col("is_current"))
-    val taken = (current.columns ++ updates.columns).toSet
-    val uTs = freshName("__u_ts", taken)
-    val uIn = freshName("__u_in", taken + uTs)
-    val uAttr = attrs.map(c => c -> freshName(s"__u_$c", taken + uTs + uIn)).toMap
+    val taken0 = (current.columns ++ updates.columns).toSet
+    val uTs = freshName("__u_ts", taken0)
+    val uIn = freshName("__u_in", taken0 + uTs)
+    // fold chosen names into the taken set as they are drawn, so two
+    // attrs can never resolve to the same scratch name (possible when a
+    // caller column collides with one attr's base and pushes it onto
+    // another attr's suffix)
+    val (uAttr, _) = attrs.foldLeft((Map.empty[String, String], taken0 + uTs + uIn)) {
+      case ((m, taken), c) =>
+        val n = freshName(s"__u_$c", taken)
+        (m + (c -> n), taken + n)
+    }
     val u = updates.select(col(key) +: col(effTs).as(uTs) +:
       attrs.map(c => col(c).as(uAttr(c))): _*).withColumn(uIn, lit(1))
     val j = cur.join(u, Seq(key), "full_outer")
