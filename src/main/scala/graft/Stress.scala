@@ -121,8 +121,22 @@ object Stress {
       val (tSem, nSem) = secs(graft.api.Graft.semanticDedup(
         embK, $"vec_id", $"embedding", dim = 64, threshold = 0.999).count())
 
+      // round-7 additions, each with a distinct scale shape:
+      // BPE training collapses to the vocabulary first — a K-replicated
+      // corpus adds only K suffix words, so rounds should be near-FLAT
+      val (tBpe, nMergesGot) = secs(graft.api.Graft.trainBpeMerges(
+        docs, $"text", nMerges = 4).count())
+      // bigram fluency: corpus-linear explode + vocabulary-sized counts
+      val (tFluency, _) = secs(mat(graft.api.Graft.bigramFluency(
+        docs, $"doc_id", $"text")))
+      // chunking and linear scoring: pure narrow projections
+      val (tChunk, _) = secs(mat(graft.api.Graft.chunkDocuments(
+        docs, $"doc_id", $"text", chunkTokens = 64, overlapTokens = 16)))
+      val (tScore, _) = secs(mat(graft.api.Graft.scoreLinearHashed(
+        docs, $"text", graft.ops.TextAnalysis.t18Weights)))
+
       docs.unpersist()
-      f"""{"k":$n,"n_docs":$nDocs,"sig_s":$tSig%.2f,"pairs_s":$tPairs%.2f,"n_pairs":$nPairs,"verify_s":$tVerify%.2f,"n_edges":$nEdges,"dedup_s":$tDedup%.2f,"n_kept":$nKept,"contam_s":$tContam%.2f,"repetition_s":$tRep%.2f,"boilerplate_s":$tBp%.2f,"clean_s":$tClean%.2f,"n_clean":$nClean,"semantic_s":$tSem%.2f,"n_semantic":$nSem}"""
+      f"""{"k":$n,"n_docs":$nDocs,"sig_s":$tSig%.2f,"pairs_s":$tPairs%.2f,"n_pairs":$nPairs,"verify_s":$tVerify%.2f,"n_edges":$nEdges,"dedup_s":$tDedup%.2f,"n_kept":$nKept,"contam_s":$tContam%.2f,"repetition_s":$tRep%.2f,"boilerplate_s":$tBp%.2f,"clean_s":$tClean%.2f,"n_clean":$nClean,"semantic_s":$tSem%.2f,"n_semantic":$nSem,"bpe_s":$tBpe%.2f,"n_merges":$nMergesGot,"fluency_s":$tFluency%.2f,"chunk_s":$tChunk%.2f,"score_s":$tScore%.2f}"""
     }
     println(s"""{"stress":[${results.mkString(",")}],"sf":"$dir"}""")
     spark.stop()

@@ -1347,11 +1347,18 @@ object Graft {
     * Words are symbol strings delimited by a U+0001 sentinel (words
     * containing the sentinel are dropped — absent from any text corpus),
     * and a merge applies as one non-overlapping left-to-right
-    * `replace` — identical greedy semantics in any engine, which is what
+    * `replace` — identical semantics in any engine, which is what
     * makes the whole training loop cross-engine reproducible. Pair
     * counting is naive-adjacent (overlapping runs count each adjacency:
-    * "aaa" counts (a,a) twice but merges once — the classic
-    * implementation's behavior). Per round, ONE driver-side argmax row is
+    * "aaa" counts (a,a) twice but merges once, as classic
+    * implementations also count). One deliberate divergence from
+    * subword-nmt-style leftmost-greedy scanning: inside a run of 4+
+    * IDENTICAL symbols, the single replace pass merges alternate
+    * adjacencies ("aaaa" -> [aa, a, a], classic gives [aa, aa]) because
+    * each replacement consumes the shared sentinel. Trainer and
+    * [[tokenizeBpe]] share the rule exactly, so segmentations are
+    * self-consistent — but merge tables are NOT interchangeable with
+    * external BPE implementations on degenerate same-symbol runs. Per round, ONE driver-side argmax row is
     * collected ([[pageRank]]/[[connectedComponents]] precedent: O(1) rows
     * per iteration is inherent to iterative fixpoints); the vocabulary
     * state localCheckpoints each round so lineage stays flat. Training
@@ -1387,9 +1394,14 @@ object Graft {
         val (l, r, c) = (pairs.head.getString(0), pairs.head.getString(1),
           pairs.head.getLong(2))
         merges += ((rank.toLong, l, r, c))
+        val prev = state
         state = state.withColumn("s",
           call_function("replace", col("s"), lit(S + l + S + r + S), lit(S + l + r + S)))
           .localCheckpoint()
+        // release the previous round's checkpoint blocks now rather than
+        // waiting for the ContextCleaner: bounds storage at two vocabulary
+        // copies however many merges are trained
+        prev.unpersist()
       }
     }
     state.unpersist()
@@ -1613,22 +1625,39 @@ object Graft {
     * position.
     *
     * The global prefix sum is computed scalably — NOT as a global-window
-    * single-reducer sort: (1) `repartitionByRange(id)` puts ordered,
-    * non-overlapping id ranges on `partitions` partitions; (2) a window
-    * per partition id computes local prefix sums; (3) per-partition totals
-    * (one row each) get their own prefix sum — a window over `partitions`
-    * rows, trivially small — and broadcast-join back as offsets. Every
-    * heavy stage is one narrow shuffle; nothing funnels through one task. */
+    * single-reducer sort: (1) each row gets a range-bucket id computed
+    * from the VALUE of a numeric `id` against the broadcast (min, max) —
+    * deterministic, and satisfiable by ONE hash exchange (an earlier
+    * formulation range-partitioned first and then windowed on
+    * `spark_partition_id`, which forced a SECOND full corpus exchange —
+    * `RangePartitioning` cannot serve a `ClusteredDistribution` on the
+    * partition id — and made bucket bounds depend on runtime sampling);
+    * (2) a window per bucket computes local prefix sums; (3) per-bucket
+    * totals (one row each) get their own prefix sum — a window over
+    * `partitions` rows, trivially small — and broadcast-join back as
+    * offsets. The corpus is exchanged exactly once; nothing funnels
+    * through one task. Equal-width value buckets assume ids are roughly
+    * dense (the usual sequential doc-id shape); sparse clustered ids skew
+    * bucket sizes but never correctness. */
   def packSequences(df: DataFrame, id: Column, nTokens: Column,
                     capacity: Long, partitions: Int = 0): DataFrame = {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
     val p = if (partitions > 0) partitions
             else df.sparkSession.sparkContext.defaultParallelism
-    val base = df.select(id.as("id"), nTokens.cast(LongType).as("n_tokens"))
-    val ranged = base.repartitionByRange(p, col("id"))
-      .withColumn("__pid", spark_partition_id())
+    val base0 = df.select(id.as("id"), nTokens.cast(LongType).as("n_tokens"))
+    require(base0.schema("id").dataType.isInstanceOf[NumericType],
+      s"packSequences: id must be numeric (got ${base0.schema("id").dataType}); " +
+        "the range-bucket prefix sum orders by id value")
+    val mm = base0.agg(min(col("id")).as("__minid"), max(col("id")).as("__maxid"))
+    val base = base0.crossJoin(broadcast(mm))
+      .withColumn("__pid",
+        when(col("__maxid") <=> col("__minid"), lit(0))
+          .otherwise(floor((col("id") - col("__minid")).cast(DoubleType)
+            * p / (col("__maxid") - col("__minid") + 1).cast(DoubleType))
+            .cast(IntegerType)))
+      .drop("__minid", "__maxid")
     val w = Window.partitionBy(col("__pid")).orderBy(col("id"))
-    val local = ranged.withColumn("__cum", sum(col("n_tokens")).over(w))
+    val local = base.withColumn("__cum", sum(col("n_tokens")).over(w))
     val wPid = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy(col("__pid"))
@@ -1670,6 +1699,9 @@ object Graft {
     val toks = fanOut(df.select(id.as("__id"), group.as("grp"), text.as("__t")))
       .select(col("__id"), col("grp"),
         explode(split(trim(col("__t")), "\\s+")).as("token"))
+      // an empty/whitespace-only document splits to [""]; "" is not a term
+      // and would otherwise top a mostly-empty group's ranking
+      .where(col("token") =!= "")
     val tf = toks.groupBy(col("grp"), col("token"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = toks.groupBy(col("token"))
@@ -1831,8 +1863,10 @@ object Graft {
   def scdMerge(current: DataFrame, updates: DataFrame, key: String,
                attrs: Seq[String], effTs: String): DataFrame = {
     require(attrs.nonEmpty, "scdMerge: attrs must be non-empty")
-    val cur = current.where(col("is_current"))
-    val hist = current.where(!col("is_current"))
+    // a NULL is_current (externally-loaded history) must not vanish from a
+    // MERGE: treat it as closed history and pass it through
+    val cur = current.where(coalesce(col("is_current"), lit(false)))
+    val hist = current.where(!coalesce(col("is_current"), lit(false)))
     val taken0 = (current.columns ++ updates.columns).toSet
     val uTs = freshName("__u_ts", taken0)
     val uIn = freshName("__u_in", taken0 + uTs)

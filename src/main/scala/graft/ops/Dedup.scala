@@ -205,7 +205,9 @@ object Dedup {
     * is admitted against the already-ingested corpus without re-deduping
     * the corpus. Existing = the four-fifths of `documents` with
     * doc_id % 5 != 0; the batch = the held-out fifth PLUS exact
-    * "re-crawls" of existing docs under fresh ids (doc_id + 1000000).
+    * "re-crawls" of existing docs under fresh ids (doc_id + 10^12 —
+    * far above any real doc_id, so synthetic ids can never collide with
+    * genuine ones and corrupt the oracle's merged signatures).
     * Retained = batch rows that are neither exact copies nor verified
     * near-dups (agreement >= 4/8, Jaccard >= 0.5) of ANY existing row;
     * the re-crawls must all be dropped by the exact pass. Thin binding of
@@ -217,7 +219,7 @@ object Dedup {
       .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
     val existing = docs.where($"doc_id" % 5 =!= 0)
     val recrawl = existing.where($"doc_id" % 97 === 3)
-      .select(($"doc_id" + 1000000L).as("doc_id"), $"text", $"lang",
+      .select(($"doc_id" + 1000000000000L).as("doc_id"), $"text", $"lang",
         $"source", $"n_chars")
     val incoming = docs.where($"doc_id" % 5 === 0).unionByName(recrawl)
     graft.api.Graft.dedupIncremental(existing, $"doc_id", $"text",
@@ -316,7 +318,7 @@ object Dedup {
          |  SELECT doc_id, text, lang, source, n_chars FROM documents
          |  WHERE doc_id % 5 = 0
          |  UNION ALL
-         |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+         |  SELECT doc_id + 1000000000000 AS doc_id, text, lang, source, n_chars
          |  FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 97 = 3),
          |alldocs AS (SELECT doc_id, text FROM existing
          |            UNION ALL SELECT doc_id, text FROM incoming),

@@ -465,7 +465,12 @@ object TextAnalysis {
   }
 
   /** DuckDB replica of t23: the t22 training rounds plus the same nested
-    * greedy replace applied to every word, reassembled in word order. */
+    * greedy replace applied to every word, reassembled in word order.
+    * Contract: the corpus must yield at least `nMerges` learnable merges —
+    * the apply stage cross-joins every single-row m CTE, so an empty one
+    * (trainer early-stop) would empty the whole tokenization while Spark
+    * applies the merges it did learn. Holds for the documents corpus at
+    * every gate SF (t22 verifies 8 full rounds); revisit if nMerges grows. */
   private[graft] def t23OracleSql(nMerges: Int): String = {
     val trainCtes = {
       val full = t22OracleSql(nMerges)
@@ -652,8 +657,10 @@ object TextAnalysis {
         |WHERE rn <= 60
         |ORDER BY doc_id""".stripMargin,
     "t15_distinctive_terms" ->
-      """WITH tok AS (SELECT doc_id, lang,
-        |  unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents),
+      """WITH tok AS (SELECT doc_id, lang, token FROM (
+        |  SELECT doc_id, lang,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents)
+        |  WHERE token <> ''),
         |tf AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
         |dfq AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1),
         |sc AS (SELECT lang, token, tf, df, CAST(tf AS DOUBLE) / df AS score

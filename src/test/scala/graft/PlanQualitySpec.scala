@@ -86,12 +86,21 @@ class PlanQualitySpec extends AnyFunSuite {
       !plan.contains("ShuffledHashJoin"), plan)
   }
 
-  test("t14 sequence packing range-partitions the prefix sum (no global window on the corpus)") {
-    val plan = planOf(TextAnalysis.t14SequencePacking(spark, dir))
-    // the corpus-side cumulative sum must ride a range partitioning +
-    // per-partition windows; only the per-partition totals (a handful of
-    // rows) may pass through a single-partition window
-    assert(plan.contains("rangepartitioning"), plan)
+  test("t14 sequence packing clusters the corpus by value buckets, never by range sampling") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val plan = planOf(graft.api.Graft.packSequences(docs, $"doc_id",
+      length($"text").cast("long"), capacity = 512L))
+    // the corpus-side cumulative sum rides a deterministic value-bucket
+    // hash clustering + per-bucket windows; the earlier formulation
+    // range-partitioned FIRST and then windowed on spark_partition_id,
+    // paying a second full corpus exchange (RangePartitioning cannot serve
+    // a ClusteredDistribution) with sampling-dependent bucket bounds
+    assert(plan.contains("hashpartitioning(__pid"), plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+    assert(!plan.contains("spark_partition_id"), plan)
+    // offsets come back broadcast; the corpus never sort-merge joins
     assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"), plan)
   }
 
