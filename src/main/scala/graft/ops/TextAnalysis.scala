@@ -287,9 +287,9 @@ object TextAnalysis {
     * concatenated, chopped into 512-token sequences; each document learns
     * which sequences it lands in and at what offset. Thin binding of
     * [[graft.api.Graft.packSequences]] — the global prefix sum runs as
-    * range-partition + per-partition windows + a broadcast offsets join,
-    * NEVER a single-reducer global window (contrast q53's documented
-    * gate-only ntile stand-in). */
+    * value-bucket clustering (one corpus exchange) + per-bucket windows +
+    * a broadcast offsets join, NEVER a single-reducer global window
+    * (contrast q53's documented gate-only ntile stand-in). */
   def t14SequencePacking(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
