@@ -1493,6 +1493,34 @@ object Graft {
     df.withColumn(out, label)
   }
 
+  /** One-call corpus datasheet — the per-slice summary a dataset card
+    * reports and a pipeline gates on before training: per group,
+    * document/token volumes, exact mean and (exact, interpolated) length
+    * percentiles, exact-hash distinct content and the duplication rate it
+    * implies, and the empty-document count. Every statistic is chosen to
+    * be engine-exact (integer sums, one-division means, percentile over
+    * integer lengths — no sketches), so the whole report can sit behind a
+    * cross-engine oracle. One aggregate over one corpus scan; the exact
+    * countDistinct adds its usual Expand duplication — at 100 TB swap
+    * the distinct-content column for approx_count_distinct the same way
+    * [[profile]] does. */
+  def describeCorpus(df: DataFrame, text: Column, group: Column): DataFrame = {
+    val toks = filter(split(trim(text), "\\s+"), t => t =!= lit(""))
+    df.select(group.as("grp"), size(toks).cast(LongType).as("__nt"),
+        length(text).cast(LongType).as("__nc"), md5(text).as("__h"))
+      .groupBy(col("grp"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("total_tokens"),
+        (sum(col("__nt")).cast(DoubleType) / count(lit(1))).as("mean_tokens"),
+        expr("percentile(__nc, 0.5)").as("p50_chars"),
+        expr("percentile(__nc, 0.9)").as("p90_chars"),
+        countDistinct(col("__h")).as("n_distinct"),
+        count_if(col("__nt") === 0).as("n_empty"))
+      .withColumn("dup_rate",
+        lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_docs"))
+  }
+
   /** Deterministic per-row weighted sampling: keep each row with
     * probability `weight` (clamped to [0, 1]; NULL keeps nothing), by the
     * same hash-bucket membership as [[hashSample]] — so a row's fate is a

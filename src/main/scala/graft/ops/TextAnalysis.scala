@@ -526,7 +526,19 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t26: corpus datasheet — per-source volume/length/duplication report,
+    * every statistic engine-exact. Thin binding of
+    * [[graft.api.Graft.describeCorpus]]. */
+  def t26CorpusReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.api.Graft.describeCorpus(Tables.load(s, dir, "documents"),
+        $"text", $"source")
+      .withColumnRenamed("grp", "source")
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t26_corpus_report" -> t26CorpusReport,
     "t25_bigram_fluency" -> t25BigramFluency,
     "t24_weighted_sample" -> t24WeightedSample,
     "t23_bpe_tokenize" -> t23BpeTokenize,
@@ -556,6 +568,23 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "t22_bpe_merges" -> t22OracleSql(8),
     "t23_bpe_tokenize" -> t23OracleSql(8),
+    "t26_corpus_report" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |  CAST(sum(nt) AS DOUBLE) / count(*) AS mean_tokens,
+        |  quantile_cont(nc, 0.5) AS p50_chars,
+        |  quantile_cont(nc, 0.9) AS p90_chars,
+        |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+        |  CAST(count(*) FILTER (nt = 0) AS BIGINT) AS n_empty,
+        |  1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*) AS dup_rate
+        |FROM (
+        |  SELECT source,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> t <> '')) AS BIGINT) AS nt,
+        |    CAST(length(text) AS BIGINT) AS nc, md5(text) AS h
+        |  FROM documents)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "t25_bigram_fluency" ->
       """WITH tok AS (
         |  SELECT doc_id,

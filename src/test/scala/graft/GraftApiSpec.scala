@@ -901,6 +901,22 @@ class GraftApiSpec extends AnyFunSuite {
     assert(got(2L)._2.get.asInstanceOf[Double] == 0.75)
   }
 
+  test("describeCorpus reports volumes, percentiles, and duplication per slice") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "one two three"), ("a", "one two three"), // exact dup pair
+      ("a", "four"), ("a", ""),
+      ("b", "x y")).toDF("src", "body")
+    val r = Graft.describeCorpus(docs, $"body", $"src")
+      .collect().map(x => x.getString(0) -> x).toMap
+    val a = r("a")
+    assert(a.getLong(1) == 4 && a.getLong(2) == 7)       // n_docs, total_tokens
+    assert(a.getDouble(3) == 7.0 / 4)                    // mean_tokens
+    assert(a.getLong(6) == 3 && a.getLong(7) == 1)       // n_distinct, n_empty
+    assert(a.getDouble(8) == 1.0 - 3.0 / 4)              // dup_rate
+    assert(r("b").getLong(1) == 1 && r("b").getDouble(8) == 0.0)
+  }
+
   test("trainCentroids recovers two planted directions and is deterministic") {
     import spark.implicits._
     val dim = 4
