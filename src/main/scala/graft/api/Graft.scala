@@ -159,6 +159,42 @@ object Graft {
     * buckets themselves, so it is safe to run on a corpus whose banding
     * would explode. est_pairs stays in integer arithmetic (n·(n−1) is
     * even; shift, not double division), exact up to 2^62. */
+  /** Closed-form LSH banding planner — pick (bands, rowsPerBand) BEFORE
+    * paying a single shuffle: candidate probability under MinHash banding
+    * is the S-curve p(s) = 1 - (1 - s^r)^b, so for a target similarity
+    * `threshold` and a required `minRecall` at that similarity this
+    * returns, among all (b, r) with b*r <= maxHashes and
+    * p(threshold) >= minRecall, the plan with the FEWEST expected false
+    * candidates (largest r, then smallest feasible b) — the knob
+    * [[lshBucketStats]] then validates against the real bucket
+    * distribution. Returns (bands, rowsPerBand, recallAtThreshold);
+    * throws if no feasible plan exists within maxHashes (raise maxHashes
+    * or lower the bar — stated in the error). Pure driver-side math, no
+    * Spark job. */
+  def lshBandPlan(threshold: Double, minRecall: Double,
+                  maxHashes: Int = 8): (Int, Int, Double) = {
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1): $threshold")
+    require(minRecall > 0 && minRecall < 1, s"minRecall in (0,1): $minRecall")
+    require(maxHashes >= 1, s"maxHashes >= 1: $maxHashes")
+    def recall(b: Int, r: Int): Double = 1 - math.pow(1 - math.pow(threshold, r), b)
+    val feasible = for {
+      r <- maxHashes to 1 by -1
+      b <- 1 to (maxHashes / r)
+      if recall(b, r) >= minRecall
+    } yield (b, r)
+    feasible.headOption match {
+      case Some((b, r)) => (b, r, recall(b, r))
+      case None =>
+        val best = (for (r <- 1 to maxHashes; b <- 1 to maxHashes / r)
+          yield (recall(b, r), b, r)).max
+        throw new IllegalArgumentException(
+          f"lshBandPlan: no (bands, rowsPerBand) within $maxHashes hashes " +
+            f"reaches recall $minRecall%.2f at similarity $threshold%.2f " +
+            f"(best achievable: ${best._1}%.3f with bands=${best._2}, " +
+            f"rowsPerBand=${best._3}); raise maxHashes or lower minRecall")
+    }
+  }
+
   def lshBucketStats(sigs: DataFrame, bands: Int = 4,
                      rowsPerBand: Int = 2): DataFrame =
     sigs.select(posexplode(bandKeyArray(bands, rowsPerBand)).as(Seq("__p", "bb")))

@@ -917,6 +917,23 @@ class GraftApiSpec extends AnyFunSuite {
     assert(r("b").getLong(1) == 1 && r("b").getDouble(8) == 0.0)
   }
 
+  test("lshBandPlan picks the most selective feasible banding") {
+    // at threshold 0.8, 8 hashes: r=4,b=2 gives 1-(1-0.8^4)^2 = 0.648 —
+    // below 0.7; the next-most-selective feasible plan is r=3,b=2:
+    // 1-(1-0.8^3)^2 = 0.762
+    val (b, r, rec) = Graft.lshBandPlan(threshold = 0.8, minRecall = 0.7,
+      maxHashes = 8)
+    assert((b, r) == ((2, 3)), s"got ($b, $r)")
+    assert(math.abs(rec - (1 - math.pow(1 - math.pow(0.8, 3), 2))) < 1e-12)
+    // prefers the larger r (fewer false candidates) whenever feasible
+    val (b2, r2, _) = Graft.lshBandPlan(0.8, minRecall = 0.6, maxHashes = 8)
+    assert((b2, r2) == ((2, 4)), s"got ($b2, $r2)")
+    // infeasible demand names the best achievable plan
+    val err = intercept[IllegalArgumentException](
+      Graft.lshBandPlan(0.2, 0.99, maxHashes = 4))
+    assert(err.getMessage.contains("best achievable"))
+  }
+
   test("trainCentroids recovers two planted directions and is deterministic") {
     import spark.implicits._
     val dim = 4
