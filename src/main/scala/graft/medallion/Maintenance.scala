@@ -222,4 +222,31 @@ object Maintenance {
     val spark = df.sparkSession
     spark.read.parquet(outPath).inputFiles.length.toLong
   }
+
+  /** Training-shard writer — materialize a packed corpus
+    * ([[graft.api.Graft.packSequences]] assignments joined back to the
+    * documents) as directory-per-shard parquet, one shard per
+    * `seqsPerShard` consecutive sequences, rows inside each shard sorted
+    * by (seq_first, id) so a reader streams tokens in stream order.
+    * Returns the shard count.
+    *
+    * Scale shape: the shard id derives arithmetically from `seq_first` —
+    * no ranking pass — so the write is one hash-cluster exchange on the
+    * shard id plus an in-partition sort; `partitionBy` directories make a
+    * shard the unit of distribution (ship shard k to trainer k), and
+    * `maxRecordsPerFile` bounds file sizes inside a shard. */
+  def writeShards(packed: DataFrame, outPath: String, seqsPerShard: Long,
+                  maxRecordsPerFile: Long = 0L): Long = {
+    require(seqsPerShard >= 1, s"seqsPerShard must be >= 1, got $seqsPerShard")
+    val spark = packed.sparkSession
+    packed
+      .withColumn("shard", expr(s"seq_first DIV $seqsPerShard"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("seq_first"), col("id"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .partitionBy("shard")
+      .parquet(outPath)
+    spark.read.parquet(outPath).select("shard").distinct().count()
+  }
 }
