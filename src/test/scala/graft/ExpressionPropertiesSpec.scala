@@ -76,4 +76,44 @@ class ExpressionPropertiesSpec extends AnyFunSuite {
         s"($x, $y) -> z=$z -> ($dx, $dy)")
     }
   }
+
+  test("tokenizeBpe is a lossless segmentation under arbitrary merge tables") {
+    import spark.implicits._
+    // any text over a small alphabet, any (possibly useless or repeated)
+    // merge table: concatenating each word's BPE tokens must reproduce the
+    // word exactly — merges only regroup characters, never alter them
+    val word: Gen[String] = for {
+      n <- Gen.choose(1, 8)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val doc: Gen[String] = for {
+      n <- Gen.choose(0, 6)
+      ws <- Gen.listOfN(n, word)
+    } yield ws.mkString(" ")
+    val sym: Gen[String] = for {
+      n <- Gen.choose(1, 3)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val mergesGen: Gen[Seq[(String, String)]] = for {
+      n <- Gen.choose(0, 6)
+      ms <- Gen.listOfN(n, Gen.zip(sym, sym))
+    } yield ms
+    val cases = samples(Gen.zip(doc, mergesGen), 120)
+    // evaluate per distinct merge table (the table is compiled into the
+    // expression); group cases to keep it to a handful of Spark passes
+    cases.groupBy(_._2).foreach { case (merges, group) =>
+      val df = group.map(_._1).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("k", "body")
+      val got = Graft.tokenizeBpe(df, col("body"), merges)
+        .select(col("k"), concat_ws("", col("bpe_tokens")).as("joined"),
+          concat_ws("", filter(split(trim(col("body")), "\\s+"),
+            t => t =!= lit(""))).as("expected"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getString(1) == r.getString(2),
+          s"merge table $merges broke doc ${r.getLong(0)}: " +
+            s"'${r.getString(1)}' != '${r.getString(2)}'")
+      }
+    }
+  }
 }
