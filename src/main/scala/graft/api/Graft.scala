@@ -1250,6 +1250,76 @@ object Graft {
           " ").as("clean_text"))
   }
 
+  /** Exact duplicate-substring detection — the overlapping-window variant
+    * of corpus dedup (the "dedup repeated substrings" result): every
+    * `window`-token sliding window is hashed corpus-wide; windows whose
+    * content occurs more than once ANYWHERE (any document, any offset)
+    * are flagged, and each document's flagged windows merge into maximal
+    * duplicated SPANS (gaps-and-islands over [start, start+window-1]
+    * intervals). Returns per document: (id, n_tokens, n_windows,
+    * n_dup_windows, dup_tokens, dup_token_frac) — the signal for
+    * span-level excision rather than whole-document dropping.
+    * [[dropBoilerplate]] is the disjoint-chunk approximation of this;
+    * here windows overlap, so a duplicated passage is caught at EVERY
+    * alignment and the merged span covers it exactly.
+    *
+    * Scale shape: the explode emits ~`window`× the corpus tokens — the
+    * known cost of window-level exactness (the published approach pays a
+    * suffix array; this pays bounded row amplification instead). Hash
+    * counts shuffle on md5 keys (never window text); span merging is one
+    * key-partitioned window chain (single exchange on the id). `stride`
+    * trades sensitivity for amplification: stride > 1 checks every
+    * stride-th alignment only (duplicates shorter than
+    * window + stride - 1 tokens can slip between alignments). */
+  def duplicateSpans(df: DataFrame, id: Column, text: Column,
+                     window: Int = 20, stride: Int = 1): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val toks = filter(split(trim(text), "\\s+"), t => t =!= lit(""))
+    val base = df.select(id.as("id"), toks.as("__t"))
+      .withColumn("__n", size(col("__t")).cast(LongType))
+    val starts = when(col("__n") >= window,
+      sequence(lit(1), (col("__n") - (window - 1)).cast(IntegerType), lit(stride)))
+      .otherwise(array().cast(ArrayType(IntegerType)))
+    val wins = base
+      .select(col("id"), col("__n"), explode(starts).as("__ws"), col("__t"))
+      .withColumn("__wh", md5(array_join(
+        slice(col("__t"), col("__ws"), lit(window)), " ")))
+      .drop("__t")
+    val dupHashes = wins.groupBy(col("__wh"))
+      .agg(count(lit(1)).as("__c")).where(col("__c") > 1)
+      .select(col("__wh"))
+    val flagged = wins.join(dupHashes, Seq("__wh"))
+      .withColumn("__we", col("__ws") + (window - 1))
+    // gaps-and-islands: a window starts a new island iff it begins past
+    // every previous window's end
+    val w = Window.partitionBy(col("id")).orderBy(col("__ws"))
+    val islands = flagged
+      .withColumn("__prevMax",
+        max(col("__we")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__prevMax").isNull || col("__ws") > col("__prevMax"), 1)
+          .otherwise(0))
+      .withColumn("__island",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val spans = islands.groupBy(col("id"), col("__island"))
+      .agg((max(col("__we")) - min(col("__ws")) + 1).as("__span"),
+        count(lit(1)).as("__nw"))
+      .groupBy(col("id"))
+      .agg(sum(col("__span")).as("dup_tokens"),
+        sum(col("__nw")).as("n_dup_windows"))
+    base.select(col("id"), col("__n").as("n_tokens"),
+        greatest(ceil((col("__n") - (window - 1)).cast(DoubleType) / stride)
+          .cast(LongType), lit(0L)).as("n_windows"))
+      .join(spans, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("n_tokens") > 0,
+          coalesce(col("dup_tokens"), lit(0L)).cast(DoubleType) / col("n_tokens"))
+          .otherwise(lit(0.0)).as("dup_token_frac"))
+  }
+
   /** Deterministic hash sampling: keep a row iff the first 4 hex digits of
     * md5(key) — a uniform 16-bit bucket — fall below `fraction` of the
     * bucket space. Membership is a pure row property: stable under

@@ -537,7 +537,21 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  /** t27: exact duplicate-substring spans — every 20-token sliding window
+    * hashed corpus-wide, repeats flagged at every alignment, flagged
+    * windows merged into maximal per-document duplicated spans. The
+    * synthetic corpus's real near-duplicates guarantee nonzero spans.
+    * Thin binding of [[graft.api.Graft.duplicateSpans]]. */
+  def t27DuplicateSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.api.Graft.duplicateSpans(Tables.load(s, dir, "documents"),
+        $"doc_id", $"text", window = 20)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t27_duplicate_spans" -> t27DuplicateSpans,
     "t26_corpus_report" -> t26CorpusReport,
     "t25_bigram_fluency" -> t25BigramFluency,
     "t24_weighted_sample" -> t24WeightedSample,
@@ -568,6 +582,47 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "t22_bpe_merges" -> t22OracleSql(8),
     "t23_bpe_tokenize" -> t23OracleSql(8),
+    "t27_duplicate_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM d),
+        |wins AS (
+        |  SELECT doc_id, i AS ws, i + 19 AS we,
+        |    md5(array_to_string(list_slice(toks, i, i + 19), ' ')) AS wh
+        |  FROM base, unnest(range(1, CAST(n_tokens AS INTEGER) - 19 + 1)) AS t(i)),
+        |dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) > 1),
+        |flagged AS (SELECT doc_id, ws, we FROM wins JOIN dup USING (wh)),
+        |isl AS (
+        |  SELECT doc_id, ws, we,
+        |    CASE WHEN max(we) OVER (PARTITION BY doc_id ORDER BY ws
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR ws > max(we) OVER (PARTITION BY doc_id ORDER BY ws
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS new_island
+        |  FROM flagged),
+        |isl2 AS (
+        |  SELECT doc_id, ws, we,
+        |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY ws
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM isl),
+        |spans AS (
+        |  SELECT doc_id, CAST(sum(span) AS BIGINT) AS dup_tokens,
+        |    CAST(sum(nw) AS BIGINT) AS n_dup_windows
+        |  FROM (SELECT doc_id, island, max(we) - min(ws) + 1 AS span,
+        |          count(*) AS nw
+        |        FROM isl2 GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT b.doc_id, b.n_tokens,
+        |  CAST(greatest(b.n_tokens - 19, 0) AS BIGINT) AS n_windows,
+        |  coalesce(s.n_dup_windows, 0) AS n_dup_windows,
+        |  coalesce(s.dup_tokens, 0) AS dup_tokens,
+        |  CASE WHEN b.n_tokens > 0
+        |    THEN CAST(coalesce(s.dup_tokens, 0) AS DOUBLE) / b.n_tokens
+        |    ELSE 0.0 END AS dup_token_frac
+        |FROM base b LEFT JOIN spans s ON b.doc_id = s.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     "t26_corpus_report" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(nt) AS BIGINT) AS total_tokens,

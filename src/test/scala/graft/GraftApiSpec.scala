@@ -934,6 +934,26 @@ class GraftApiSpec extends AnyFunSuite {
     assert(err.getMessage.contains("best achievable"))
   }
 
+  test("duplicateSpans merges overlapping flagged windows into exact spans") {
+    import spark.implicits._
+    def words(tag: String, n: Int): String = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val shared = words("s", 8) // an 8-token passage planted in two docs
+    val docs = Seq(
+      (1L, s"${words("a", 6)} $shared ${words("b", 6)}"), // 20 tokens, shared at 7..14
+      (2L, s"$shared ${words("c", 12)}"),                 // 20 tokens, shared at 1..8
+      (3L, words("z", 3))                                 // shorter than the window
+    ).toDF("k", "body")
+    val r = Graft.duplicateSpans(docs, $"k", $"body", window = 5)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getDouble(5)))).toMap
+    // the 8-token shared passage yields 4 flagged 5-windows per doc
+    // (alignments 0..3 within the passage), merging into ONE 8-token span
+    assert(r(1L) == ((20L, 16L, 4L, 8L, 8.0 / 20)), r(1L).toString)
+    assert(r(2L) == ((20L, 16L, 4L, 8L, 8.0 / 20)), r(2L).toString)
+    // a doc shorter than the window has zero windows and zero spans
+    assert(r(3L) == ((3L, 0L, 0L, 0L, 0.0)), r(3L).toString)
+  }
+
   test("trainCentroids recovers two planted directions and is deterministic") {
     import spark.implicits._
     val dim = 4
