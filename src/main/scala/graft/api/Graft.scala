@@ -1320,6 +1320,55 @@ object Graft {
           .otherwise(lit(0.0)).as("dup_token_frac"))
   }
 
+  /** Duplicate-span EXCISION — the transformation [[duplicateSpans]]
+    * measures: remove every token covered by a corpus-duplicated span and
+    * rebuild the remaining text in order. ALL occurrences excise,
+    * including the first — the conservative contract when any copy may be
+    * boilerplate (keep-one-copy semantics compose from [[dedupCorpus]]'s
+    * keeper policies instead). Returns (id, n_tokens, dup_tokens,
+    * clean_text); a fully-duplicated document comes back with an empty
+    * clean_text rather than disappearing.
+    *
+    * Scale shape: [[duplicateSpans]]' window pass plus one
+    * islands-per-document `collect_list` (bounded: islands per doc ≤
+    * tokens/window) broadcast back into a narrow HOF rebuild — token
+    * membership tests against the island array inside the row, so the
+    * rebuild never shuffles the corpus text. */
+  def exciseDuplicateSpans(df: DataFrame, id: Column, text: Column,
+                           window: Int = 20, stride: Int = 1): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val toks = filter(split(trim(text), "\\s+"), t => t =!= lit(""))
+    val base = df.select(id.as("id"), toks.as("__t"))
+      .withColumn("__n", size(col("__t")).cast(LongType))
+    val starts = when(col("__n") >= window,
+      sequence(lit(1), (col("__n") - (window - 1)).cast(IntegerType), lit(stride)))
+      .otherwise(array().cast(ArrayType(IntegerType)))
+    val wins = base
+      .select(col("id"), explode(starts).as("__ws"), col("__t"))
+      .withColumn("__wh", md5(array_join(
+        slice(col("__t"), col("__ws"), lit(window)), " ")))
+      .drop("__t")
+    val dupHashes = wins.groupBy(col("__wh"))
+      .agg(count(lit(1)).as("__c")).where(col("__c") > 1)
+      .select(col("__wh"))
+    val spans = wins.join(dupHashes, Seq("__wh"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("__ws").as("s"),
+        (col("__ws") + (window - 1)).as("e")))).as("__spans"))
+    base.join(spans, Seq("id"), "left")
+      .withColumn("__spans", coalesce(col("__spans"),
+        array().cast(ArrayType(StructType(Seq(
+          StructField("s", IntegerType), StructField("e", IntegerType)))))))
+      .withColumn("__kept", filter(transform(col("__t"),
+        (t, i) => when(!exists(col("__spans"),
+          sp => i + 1 >= sp.getField("s") && i + 1 <= sp.getField("e")), t)),
+        t => t.isNotNull))
+      .select(col("id"), col("__n").as("n_tokens"),
+        (col("__n") - size(col("__kept"))).cast(LongType).as("dup_tokens"),
+        array_join(col("__kept"), " ").as("clean_text"))
+  }
+
   /** Deterministic hash sampling: keep a row iff the first 4 hex digits of
     * md5(key) — a uniform 16-bit bucket — fall below `fraction` of the
     * bucket space. Membership is a pure row property: stable under

@@ -550,7 +550,20 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t28: duplicate-span excision — rebuild every document with its
+    * corpus-duplicated 20-token spans removed (all occurrences; the
+    * conservative boilerplate contract). Thin binding of
+    * [[graft.api.Graft.exciseDuplicateSpans]]. */
+  def t28ExciseDuplicates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.api.Graft.exciseDuplicateSpans(Tables.load(s, dir, "documents"),
+        $"doc_id", $"text", window = 20)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t28_excise_duplicates" -> t28ExciseDuplicates,
     "t27_duplicate_spans" -> t27DuplicateSpans,
     "t26_corpus_report" -> t26CorpusReport,
     "t25_bigram_fluency" -> t25BigramFluency,
@@ -582,6 +595,39 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "t22_bpe_merges" -> t22OracleSql(8),
     "t23_bpe_tokenize" -> t23OracleSql(8),
+    "t28_excise_duplicates" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM d),
+        |wins AS (
+        |  SELECT doc_id, i AS ws, i + 19 AS we,
+        |    md5(array_to_string(list_slice(toks, i, i + 19), ' ')) AS wh
+        |  FROM base, unnest(range(1, CAST(n_tokens AS INTEGER) - 19 + 1)) AS t(i)),
+        |dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) > 1),
+        |flagged AS (SELECT doc_id, ws, we FROM wins JOIN dup USING (wh)),
+        |tokpos AS (
+        |  SELECT doc_id, i, toks[i] AS tok
+        |  FROM base, unnest(range(1, CAST(n_tokens AS INTEGER) + 1)) AS t(i)),
+        |covered AS (
+        |  SELECT DISTINCT tp.doc_id, tp.i
+        |  FROM tokpos tp JOIN flagged f
+        |    ON tp.doc_id = f.doc_id AND tp.i BETWEEN f.ws AND f.we),
+        |kept AS (
+        |  SELECT tp.doc_id, tp.i, tp.tok
+        |  FROM tokpos tp LEFT JOIN covered c
+        |    ON tp.doc_id = c.doc_id AND tp.i = c.i
+        |  WHERE c.i IS NULL),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY i) AS clean_text
+        |  FROM kept GROUP BY 1)
+        |SELECT b.doc_id, b.n_tokens,
+        |  b.n_tokens - coalesce(a.n_kept, 0) AS dup_tokens,
+        |  coalesce(a.clean_text, '') AS clean_text
+        |FROM base b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
     "t27_duplicate_spans" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -954,6 +954,29 @@ class GraftApiSpec extends AnyFunSuite {
     assert(r(3L) == ((3L, 0L, 0L, 0L, 0.0)), r(3L).toString)
   }
 
+  test("exciseDuplicateSpans removes exactly the duplicated passage from all copies") {
+    import spark.implicits._
+    def words(tag: String, n: Int): String = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val shared = words("s", 8)
+    val docs = Seq(
+      (1L, s"${words("a", 6)} $shared ${words("b", 6)}"),
+      (2L, s"$shared ${words("c", 12)}"),
+      (3L, words("z", 3))).toDF("k", "body")
+    val r = Graft.exciseDuplicateSpans(docs, $"k", $"body", window = 5)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+        x.getString(3)))).toMap
+    // both copies lose the whole 8-token passage — the surrounding text
+    // survives contiguously, in order
+    assert(r(1L) == ((20L, 8L, words("a", 6) + " " + words("b", 6))), r(1L).toString)
+    assert(r(2L) == ((20L, 8L, words("c", 12))), r(2L).toString)
+    // untouched short doc passes through whole
+    assert(r(3L) == ((3L, 0L, words("z", 3))), r(3L).toString)
+    // excision agrees with duplicateSpans' accounting on the same corpus
+    val measured = Graft.duplicateSpans(docs, $"k", $"body", window = 5)
+      .select($"id", $"dup_tokens").as[(Long, Long)].collect().toMap
+    assert(measured == r.map { case (k, v) => k -> v._2 })
+  }
+
   test("trainCentroids recovers two planted directions and is deterministic") {
     import spark.implicits._
     val dim = 4
