@@ -271,7 +271,46 @@ object Graft {
     * themselves after materializing the result. */
   def jaccardVerify(docs: DataFrame, id: Column, text: Column,
                     pairs0: DataFrame, shingle: Int = 5,
-                    broadcastDocLimit: Long = 10000L): DataFrame = {
+                    broadcastDocLimit: Long = 10000L): DataFrame =
+    pairedShingleSets(docs, id, text, pairs0, shingle, broadcastDocLimit)
+      .withColumn("__ov",
+        graft.functions.SortedSetOverlap.overlap(col("sh_a"), col("sh_b")))
+      .select(col("id_a"), col("id_b"),
+        col("__ov.n_inter").as("n_inter"), col("__ov.n_union").as("n_union"),
+        (col("__ov.n_inter").cast(DoubleType) / col("__ov.n_union")).as("jaccard"))
+
+  /** Exact char-n-gram CONTAINMENT for given candidate pairs (id_a, id_b):
+    * `containment = |A∩B| / min(|A|, |B|)` — the asymmetric-duplication
+    * score. Jaccard punishes size mismatch (a 100-word article quoted
+    * inside a 10,000-word page has J ≈ 0.01), so pipelines that only
+    * verify with Jaccard systematically miss short-inside-long duplication
+    * (quotes, syndicated excerpts, boilerplate-wrapped reposts).
+    * Containment of the SMALLER set is 1.0 exactly when one document's
+    * shingles are a subset of the other's, regardless of the length ratio.
+    *
+    * Same join discipline as [[jaccardVerify]] (size-gated broadcast,
+    * single reused shingle-set build, native sorted-merge overlap); the
+    * set sizes come free from the already-built sorted arrays. Output:
+    * (id_a, id_b, n_inter, n_a, n_b, containment). */
+  def containmentVerify(docs: DataFrame, id: Column, text: Column,
+                        pairs0: DataFrame, shingle: Int = 5,
+                        broadcastDocLimit: Long = 10000L): DataFrame =
+    pairedShingleSets(docs, id, text, pairs0, shingle, broadcastDocLimit)
+      .withColumn("__ov",
+        graft.functions.SortedSetOverlap.overlap(col("sh_a"), col("sh_b")))
+      .select(col("id_a"), col("id_b"),
+        col("__ov.n_inter").as("n_inter"),
+        size(col("sh_a")).cast(LongType).as("n_a"),
+        size(col("sh_b")).cast(LongType).as("n_b"),
+        (col("__ov.n_inter").cast(DoubleType) /
+          least(size(col("sh_a")), size(col("sh_b")))).as("containment"))
+
+  /** Shared verify-stage machinery: join each candidate pair to both its
+    * sorted shingle sets → (id_a, id_b, sh_a, sh_b). See [[jaccardVerify]]
+    * for the persist/broadcast contract (this is its former body). */
+  private def pairedShingleSets(docs: DataFrame, id: Column, text: Column,
+                                pairs0: DataFrame, shingle: Int,
+                                broadcastDocLimit: Long): DataFrame = {
     val pairs =
       if (pairs0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
         pairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
@@ -297,14 +336,8 @@ object Graft {
     def side(s: DataFrame): DataFrame = if (doBroadcast) broadcast(s) else s
     val withA = p.join(side(sets.as("sa")), col("id_a") === col("sa.id"))
       .select(col("id_a"), col("id_b"), col("sa.sh").as("sh_a"))
-    val withB = withA.join(side(sets.as("sb")), col("id_b") === col("sb.id"))
+    withA.join(side(sets.as("sb")), col("id_b") === col("sb.id"))
       .select(col("id_a"), col("id_b"), col("sh_a"), col("sb.sh").as("sh_b"))
-    withB
-      .withColumn("__ov",
-        graft.functions.SortedSetOverlap.overlap(col("sh_a"), col("sh_b")))
-      .select(col("id_a"), col("id_b"),
-        col("__ov.n_inter").as("n_inter"), col("__ov.n_union").as("n_union"),
-        (col("__ov.n_inter").cast(DoubleType) / col("__ov.n_union")).as("jaccard"))
   }
 
   /** 60-bit word-level SimHash per row: (id, simhash). */
@@ -923,6 +956,51 @@ object Graft {
         .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
     }
     cents.select(col("c_id"), col("cv").as("centroid"))
+  }
+
+  /** Full-corpus clustering datasheet: assign EVERY vector to its
+    * max-cosine centroid (c_id tiebreak over bit-identical affinities, the
+    * [[annTopKIvf]] assignment rule) and report per-cluster composition —
+    * (c_id, n_vectors, min_id, max_id, mean_cos). This is the topic-map /
+    * cell-balance view of a corpus: cluster sizes expose quantizer skew
+    * (one hot cell = one hot IVF probe), `mean_cos` is the cluster's
+    * coherence, and min/max ids bound its membership for drill-down.
+    *
+    * Cross-engine exactness: member affinities quantize to integer 1e-12
+    * units and sum as longs (order-independent), with the two final
+    * divisions in double — so the datasheet hash-matches an oracle running
+    * the identical definition. Rows with a vector length other than `dim`
+    * or zero norm are excluded up front (cosine undefined), mirroring
+    * [[trainCentroids]].
+    *
+    * Scale shape: one broadcast cross join (k centroids against the
+    * corpus), then a k-row keyed aggregate with map-side partials — the
+    * corpus is scanned once and never shuffled on anything wider than the
+    * assignment's per-id window key. */
+  def clusterCorpus(df: DataFrame, id: Column, vec: Column,
+                    centroids: DataFrame, cId: Column, cVec: Column,
+                    dim: Int): DataFrame = {
+    val dot = VectorFunctions.dotF64 _
+    def d(c: Column) = transform(c, x => x.cast(DoubleType))
+    val cents = centroids.select(cId.as("c_id"), d(cVec).as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    val pts = df.select(id.as("__cc_id"), d(vec).as("v"))
+      .where(size(col("v")) === dim)
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .where(col("nrm") > 0)
+    val aff = dot(col("v"), col("cv")) / (col("nrm") * col("cn"))
+    val byAff = Window.partitionBy(col("__cc_id"))
+      .orderBy(col("c_cs").desc, col("c_id"))
+    val assigned = pts.crossJoin(broadcast(cents))
+      .select(col("__cc_id"), col("c_id"), aff.as("c_cs"))
+      .withColumn("__rk", row_number().over(byAff)).where(col("__rk") === 1)
+    assigned.groupBy(col("c_id"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("__cc_id")).as("min_id"),
+        max(col("__cc_id")).as("max_id"),
+        sum(round(col("c_cs") * 1e12).cast(LongType)).as("__q"))
+      .select(col("c_id"), col("n_vectors"), col("min_id"), col("max_id"),
+        ((col("__q").cast(DoubleType) / 1e12) / col("n_vectors")).as("mean_cos"))
   }
 
   /** IVF-style approximate cosine top-k: `centroids` coarse-quantize the

@@ -228,7 +228,31 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** d15: asymmetric containment verification — the near-dup check Jaccard
+    * structurally misses. `containment = |A∩B| / min(|A|,|B|)` is 1.0 when
+    * the shorter document's shingles all appear in the longer one (a quote,
+    * a syndicated excerpt, a boilerplate-wrapped repost) even when the
+    * length ratio drives Jaccard toward 0. Candidates come from the SAME
+    * LSH banding as d02 but at a relaxed agreement cut (>= 2/8: a short
+    * doc inside a long one only partially drags the long doc's minhashes
+    * down, so the symmetric 4/8 cut would drop exactly the pairs this
+    * stage exists to catch); verification keeps containment >= 0.8. Thin
+    * binding of [[graft.api.Graft.containmentVerify]]. */
+  def d15Containment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val sigs = graft.api.Graft.minhashSignatures(docs, $"doc_id", $"text",
+      assumeUniqueIds = true)
+    val pairs = graft.api.Graft.nearDupPairs(sigs, minAgreement = 2)
+    graft.api.Graft.containmentVerify(docs, $"doc_id", $"text", pairs)
+      .where($"containment" >= 0.8)
+      .select($"id_a".as("doc_a"), $"id_b".as("doc_b"),
+        $"n_inter", $"n_a", $"n_b", $"containment")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_containment" -> d15Containment,
     "d12_pagerank" -> d12Pagerank,
     "d14_incremental_dedup" -> d14IncrementalDedup,
     "d13_dedup_keep_longest" -> d13DedupKeepLongest,
@@ -243,8 +267,10 @@ object Dedup {
     "d10_paragraph_dedup" -> d10ParagraphDedup)
 
   /** The minhash->banding->agreement CTE chain over relation `from`
-    * (shared by the d02/d03/d06/d07 oracles). */
-  private[ops] def sigsSql(from: String = "documents") =
+    * (shared by the d02/d03/d06/d07 oracles); `minAgree` relaxes the
+    * signature-agreement cut for recall-leaning stages (d15). */
+  private[ops] def sigsSql(from: String = "documents",
+                           minAgree: Int = JaccardBandThreshold) =
     s"""sh AS (
        |  SELECT doc_id, substr(text, i, 5) AS s
        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text)-4)) AS i
@@ -275,7 +301,7 @@ object Dedup {
        |  JOIN sigs sb ON cand.doc_b = sb.doc_id
        |  WHERE ${(1 to NumHashes)
         .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
-        .mkString(" + ")} >= $JaccardBandThreshold)""".stripMargin
+        .mkString(" + ")} >= $minAgree)""".stripMargin
 
   /** d09: per-band LSH bucket statistics over the documents signatures —
     * the Σ bucket² predictor a run consults BEFORE committing to a banding
@@ -310,6 +336,24 @@ object Dedup {
        |  GROUP BY e.b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d15_containment" ->
+      s"""WITH ${sigsSql(minAgree = 2)},
+         |sets AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, length(text)-4), i -> substr(text, i, 5))) AS sh
+         |  FROM documents)
+         |SELECT doc_a, doc_b,
+         | CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_inter,
+         | CAST(len(sa.sh) AS BIGINT) AS n_a,
+         | CAST(len(sb.sh) AS BIGINT) AS n_b,
+         | CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |   / least(len(sa.sh), len(sb.sh)) AS containment
+         |FROM agreed
+         |JOIN sets sa ON agreed.doc_a = sa.doc_id
+         |JOIN sets sb ON agreed.doc_b = sb.doc_id
+         |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |   / least(len(sa.sh), len(sb.sh)) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "d14_incremental_dedup" ->
       s"""WITH existing AS (
          |  SELECT doc_id, text, lang, source, n_chars FROM documents

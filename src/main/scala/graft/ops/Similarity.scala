@@ -203,8 +203,28 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** s06: the corpus clustered END TO END — train the s04 quantizer, then
+    * assign EVERY vector and emit the per-cluster datasheet (size, id
+    * bounds, 1e-12-quantized exact mean member-to-centroid cosine). The
+    * cluster-size column is the cell-balance number an IVF deployment
+    * watches (a hot cell is a hot probe), and mean_cos is per-cluster
+    * coherence. Thin binding of [[graft.api.Graft.trainCentroids]] +
+    * [[graft.api.Graft.clusterCorpus]]; the oracle unrolls the identical
+    * k-means rounds and assignment rule. */
+  def s06ClusterCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val cents = graft.api.Graft.trainCentroids(
+      emb, $"vec_id", $"embedding", dim = Dim, k = NumCentroids,
+      iters = KmeansIters)
+    graft.api.Graft.clusterCorpus(emb, $"vec_id", $"embedding",
+        cents, $"c_id", $"centroid", dim = Dim)
+      .orderBy($"c_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> s01BruteForceTopK,
+    "s06_cluster_corpus" -> s06ClusterCorpus,
     "d11_semantic_dedup" -> d11SemanticDedup,
     "s02_ann_lsh" -> s02LshTopK,
     "s03_ann_topk_aggregator" -> s03TopKAggregator,
@@ -318,8 +338,30 @@ object Similarity {
        |WHERE vec_id NOT IN (SELECT id FROM dropids)
        |ORDER BY vec_id""".stripMargin
 
+  /** s06 oracle — the s04 k-means + assignment CTEs, then the per-cluster
+    * rollup with the identical 1e-12 quantized-sum mean. */
+  private lazy val s06Sql: String =
+    s"""WITH ${kmeansCtesSql(NumCentroids, KmeansIters)},
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n0 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+       |       WHERE len(v) = $Dim AND list_dot_product(v, v) > 0),
+       |c AS (SELECT c_id, cv, cn FROM kc$KmeansIters),
+       |ranked AS (
+       |  SELECT n.vec_id, c.c_id,
+       |   list_dot_product(n.v, c.cv) / (n.nrm * c.cn) AS cs,
+       |   row_number() OVER (PARTITION BY n.vec_id
+       |     ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC, c.c_id) AS c_rank
+       |  FROM n0 n, c)
+       |SELECT c_id, CAST(count(*) AS BIGINT) AS n_vectors,
+       | min(vec_id) AS min_id, max(vec_id) AS max_id,
+       | (CAST(sum(CAST(round(cs * 1e12) AS BIGINT)) AS DOUBLE) / 1e12)
+       |   / CAST(count(*) AS BIGINT) AS mean_cos
+       |FROM ranked WHERE c_rank = 1
+       |GROUP BY c_id ORDER BY c_id""".stripMargin
+
   lazy val oracles: Map[String, String] =
-    baseOracles + ("s05_ann_recall" -> s05Sql) + ("d11_semantic_dedup" -> d11Sql)
+    baseOracles + ("s05_ann_recall" -> s05Sql) + ("d11_semantic_dedup" -> d11Sql) +
+      ("s06_cluster_corpus" -> s06Sql)
 
   private lazy val baseOracles: Map[String, String] = Map(
     "s01_ann_bruteforce" ->

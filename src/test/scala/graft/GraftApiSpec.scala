@@ -37,6 +37,35 @@ class GraftApiSpec extends AnyFunSuite {
     assert(verified == Set((10L, 11L)))
   }
 
+  test("containmentVerify catches a short doc embedded in a long one that Jaccard misses") {
+    import spark.implicits._
+    val quote = "the quick brown fox jumps over the lazy dog again and again"
+    val wrapper = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 4) +
+      quote +
+      (" eiusmod tempor incididunt ut labore et dolore magna aliqua veniam" * 4)
+    val docs = Seq(
+      (1L, quote),   // the short doc: every shingle also occurs in 2
+      (2L, wrapper), // the long doc containing it verbatim
+      (3L, "zebra yak xylophone wombat vulture unicorn tapir snake")
+    ).toDF("my_id", "my_text")
+    // direct pair injection: this spec pins the verify stage, not candidate
+    // generation (the relaxed-agreement LSH path is pinned by the d15 gate)
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Graft.containmentVerify(docs, $"my_id", $"my_text", pairs)
+      .select($"id_a", $"id_b", $"containment").as[(Long, Long, Double)]
+      .collect().map { case (a, b, c) => (a, b) -> c }.toMap
+    // full verbatim containment: the quote's shingle set is a subset of the
+    // wrapper's, so containment of the smaller side is exactly 1.0 ...
+    assert(out((1L, 2L)) == 1.0, out.toString)
+    assert(out((1L, 3L)) < 0.2, out.toString)
+    // ... while Jaccard on the same pair stays small (the score a
+    // symmetric-only verify stage would have filtered away)
+    val j = Graft.jaccardVerify(docs, $"my_id", $"my_text", pairs)
+      .where($"id_a" === 1 && $"id_b" === 2)
+      .select($"jaccard").as[Double].head()
+    assert(j < 0.5, s"expected low jaccard for the contained pair, got $j")
+  }
+
   test("full dedup composition retains exactly the keepers of a planted corpus") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again"
@@ -1011,5 +1040,29 @@ class GraftApiSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSeq
     // probing the query's own cell finds its same-direction mates
     assert(nn.map(_._3).toSet == Set(2L, 3L), nn)
+  }
+
+  test("clusterCorpus datasheets planted clusters with exact sizes and coherence") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f)),  // axis-x cluster
+      (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(1.0f, 0.0f)),
+      (4L, Seq(0.0f, 1.0f)),  // axis-y cluster
+      (5L, Seq(0.0f, 1.0f)),
+      (6L, Seq(1.0f)),        // ragged: excluded
+      (7L, Seq(0.0f, 0.0f))   // zero norm: excluded
+    ).toDF("eid", "emb")
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("k_id", "k_vec")
+    val out = Graft.clusterCorpus(rows, $"eid", $"emb",
+        cents, $"k_id", $"k_vec", dim = 2)
+      .orderBy($"c_id")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // exact membership: ids 1-3 on axis x (cluster 0), 4-5 on axis y
+    // (cluster 1); ragged and zero-norm rows never reach a cluster
+    assert(out == Seq(
+      (0L, 3L, 1L, 3L, 1.0),
+      (1L, 2L, 4L, 5L, 1.0)), out)
   }
 }
