@@ -1754,6 +1754,41 @@ object Graft {
         lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_docs"))
   }
 
+  /** Robust per-group outlier scoring — median/MAD, the filter a corpus
+    * pipeline uses where mean/stddev would be poisoned by the very
+    * outliers it hunts (one 10 MB crawl artifact drags a mean length far
+    * enough to hide every other artifact; the median doesn't move).
+    * Appends per-row: the group median `med`, the median absolute
+    * deviation `mad`, `robust_z` = (x - med) / (1.4826 * mad) (the
+    * normal-consistency constant; NULL when mad = 0, i.e. a majority-
+    * constant group where deviation has no scale), and `is_outlier` =
+    * |robust_z| > zCut (false when robust_z is NULL — a scale-less group
+    * flags nothing rather than everything).
+    *
+    * Exact cross-engine: both medians are the interpolated exact
+    * percentile (Spark `percentile` = DuckDB `quantile_cont`, identical
+    * formula over identical doubles) and the z is two IEEE ops.
+    *
+    * Scale shape: both medians run as window aggregates over the SAME
+    * group partitioning — one shuffle, two in-partition passes, no joins.
+    * Exact percentile buffers each group in its window partition (the
+    * usual exact-median cost); groups are language/source-grade, not
+    * corpus-grade. */
+  def robustOutliers(df: DataFrame, group: Column, value: Column,
+                     zCut: Double = 3.5): DataFrame = {
+    val w = Window.partitionBy(col("__ro_g"))
+    val z = (col("__ro_v") - col("med")) / (lit(1.4826) * col("mad"))
+    df.withColumn("__ro_g", group)
+      .withColumn("__ro_v", value.cast(DoubleType))
+      .withColumn("med", expr("percentile(__ro_v, 0.5)").over(w))
+      .withColumn("mad",
+        expr("percentile(abs(__ro_v - med), 0.5)").over(w))
+      .withColumn("robust_z", when(col("mad") =!= 0.0, z))
+      .withColumn("is_outlier",
+        coalesce(abs(col("robust_z")) > zCut, lit(false)))
+      .drop("__ro_g", "__ro_v")
+  }
+
   /** Deterministic per-row weighted sampling: keep each row with
     * probability `weight` (clamped to [0, 1]; NULL keeps nothing), by the
     * same hash-bucket membership as [[hashSample]] — so a row's fate is a

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -135,9 +135,42 @@ object Multimodal {
        |FROM n GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** mm03: FRAME SAMPLING — the video-shaped access pattern: treat each
+    * payload as 6 fixed-width frames (16 bytes each), sample every other
+    * frame (stride 2 — the "1 fps of a 30 fps clip" decision made BEFORE
+    * any decode so the codec only ever touches sampled frames), explode to
+    * one row per (media, frame), and extract per-frame features. The
+    * explode/slice plumbing, the per-frame row shape a frame embedder
+    * consumes, and the exact byte arithmetic are all real; a production
+    * pipeline swaps the byte-fold features for the codec call, same rows.
+    * Frame features stay engine-exact: integer byte sums, one final
+    * division pair for brightness. */
+  def mm03FrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hx = lower(hex($"payload"))
+    val frames = media(s, dir)
+      .select($"media_id", $"source", hx.as("hx"))
+      // sampled frame ids 0, 2, 4 of the 6-frame payload
+      .select($"media_id", $"source", $"hx",
+        explode(sequence(lit(0L), lit(4L), lit(2L))).as("frame_idx"))
+      .select($"media_id", $"source", $"frame_idx",
+        $"hx".substr($"frame_idx" * 32 + 1, lit(32)).as("frame_hex"))
+    val byteAt = (k: Column) =>
+      conv($"frame_hex".substr(k * 2 + 1, lit(2)), 16, 10).cast(LongType)
+    frames.select(
+      $"media_id", $"source", $"frame_idx",
+      md5($"frame_hex").as("frame_md5"),
+      aggregate(sequence(lit(0L), lit(15L)), lit(0L),
+        (acc, k) => acc + byteAt(k)).as("frame_sum"))
+      .withColumn("brightness",
+        ($"frame_sum".cast(DoubleType) / 255.0) / 16.0)
+      .orderBy($"media_id", $"frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm01_binary_features" -> mm01BinaryFeatures,
-    "mm02_decode_features" -> mm02DecodeFeatures)
+    "mm02_decode_features" -> mm02DecodeFeatures,
+    "mm03_frame_sample" -> mm03FrameSample)
 
   val oracles: Map[String, String] = Map(
     "mm01_binary_features" ->
@@ -156,5 +189,25 @@ object Multimodal {
         | substring(hx, 65, 16) AS frame_1,
         | substring(hx, 129, 16) AS frame_2
         |FROM m ORDER BY media_id""".stripMargin,
-    "mm02_decode_features" -> mm02Sql)
+    "mm02_decode_features" -> mm02Sql,
+    "mm03_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, source,
+        |   sha256(text) || sha256(text || '2') || sha256(text || '3') AS hx
+        |  FROM documents),
+        |f AS (
+        |  SELECT media_id, source, frame_idx,
+        |   substring(hx, CAST(frame_idx * 32 + 1 AS INTEGER), 32) AS frame_hex
+        |  FROM m, (SELECT unnest([0, 2, 4]) AS frame_idx)),
+        |s AS (
+        |  SELECT media_id, source, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |   md5(frame_hex) AS frame_md5,
+        |   CAST(list_sum(list_transform(range(0, 16), k ->
+        |     CAST(concat('0x', substring(frame_hex, CAST(k * 2 + 1 AS INTEGER), 2))
+        |       AS BIGINT))) AS BIGINT) AS frame_sum
+        |  FROM f)
+        |SELECT media_id, source, frame_idx, frame_md5, frame_sum,
+        | (CAST(frame_sum AS DOUBLE) / CAST(255.0 AS DOUBLE))
+        |   / CAST(16.0 AS DOUBLE) AS brightness
+        |FROM s ORDER BY media_id, frame_idx""".stripMargin)
 }

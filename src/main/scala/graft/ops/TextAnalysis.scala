@@ -562,7 +562,20 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t29: robust per-language length outliers — median/MAD scoring where
+    * mean/stddev would be dragged by the very artifacts being hunted
+    * (truncation stubs, concatenation blobs). Thin binding of
+    * [[graft.api.Graft.robustOutliers]] grouped by lang over n_chars. */
+  def t29RobustOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.api.Graft.robustOutliers(
+        Tables.load(s, dir, "documents").select($"doc_id", $"lang", $"n_chars"),
+        $"lang", $"n_chars", zCut = 2.5)
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t29_robust_outliers" -> t29RobustOutliers,
     "t28_excise_duplicates" -> t28ExciseDuplicates,
     "t27_duplicate_spans" -> t27DuplicateSpans,
     "t26_corpus_report" -> t26CorpusReport,
@@ -593,6 +606,26 @@ object TextAnalysis {
     "t09_pii_redaction" -> t09PiiRedaction)
 
   val oracles: Map[String, String] = Map(
+    "t29_robust_outliers" ->
+      // 1.4826 must be CAST to DOUBLE (DuckDB parses the bare literal as
+      // DECIMAL(5,4) and decimal arithmetic would diverge from Spark's IEEE)
+      """WITH m AS (
+        |  SELECT doc_id, lang, n_chars,
+        |   quantile_cont(CAST(n_chars AS DOUBLE), 0.5)
+        |     OVER (PARTITION BY lang) AS med
+        |  FROM documents),
+        |mm AS (
+        |  SELECT doc_id, lang, n_chars, med,
+        |   quantile_cont(abs(CAST(n_chars AS DOUBLE) - med), 0.5)
+        |     OVER (PARTITION BY lang) AS mad
+        |  FROM m)
+        |SELECT doc_id, lang, n_chars, med, mad,
+        | CASE WHEN mad <> 0 THEN (CAST(n_chars AS DOUBLE) - med)
+        |        / (CAST(1.4826 AS DOUBLE) * mad) END AS robust_z,
+        | coalesce(abs(CASE WHEN mad <> 0 THEN (CAST(n_chars AS DOUBLE) - med)
+        |        / (CAST(1.4826 AS DOUBLE) * mad) END) > CAST(2.5 AS DOUBLE),
+        |   false) AS is_outlier
+        |FROM mm ORDER BY doc_id""".stripMargin,
     "t22_bpe_merges" -> t22OracleSql(8),
     "t23_bpe_tokenize" -> t23OracleSql(8),
     "t28_excise_duplicates" ->

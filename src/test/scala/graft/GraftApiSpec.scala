@@ -1042,6 +1042,30 @@ class GraftApiSpec extends AnyFunSuite {
     assert(nn.map(_._3).toSet == Set(2L, 3L), nn)
   }
 
+  test("robustOutliers flags by median/MAD and a scale-less group flags nothing") {
+    import spark.implicits._
+    val rows = Seq(
+      // group a: values 10,12,14,16,1000 -> med 14, absdevs {4,2,0,2,986}
+      // -> mad 2; z(1000) = 986/(1.4826*2) ≈ 332 (outlier), z(10) ≈ -1.35
+      ("a", 1L, 10L), ("a", 2L, 12L), ("a", 3L, 14L),
+      ("a", 4L, 16L), ("a", 5L, 1000L),
+      // group b: majority-constant -> mad 0 -> robust_z NULL, never flagged
+      // (even for the deviant 99)
+      ("b", 6L, 7L), ("b", 7L, 7L), ("b", 8L, 7L), ("b", 9L, 99L)
+    ).toDF("g", "rid", "v")
+    val out = Graft.robustOutliers(rows, $"g", $"v", zCut = 3.5)
+      .select($"rid", $"med", $"mad", $"robust_z", $"is_outlier")
+      .as[(Long, Double, Double, Option[Double], Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(5L)._2 == 14.0 && out(5L)._3 == 2.0, out(5L).toString)
+    assert(out(5L)._5 && out(5L)._4.exists(_ > 100), out(5L).toString)
+    assert(!out(1L)._5, out(1L).toString)
+    // original columns survive the append; helper scratch does not
+    val cols = Graft.robustOutliers(rows, $"g", $"v").columns.toSeq
+    assert(cols == Seq("g", "rid", "v", "med", "mad", "robust_z", "is_outlier"), cols)
+    assert(out(9L)._3 == 0.0 && out(9L)._4.isEmpty && !out(9L)._5, out(9L).toString)
+  }
+
   test("clusterCorpus datasheets planted clusters with exact sizes and coherence") {
     import spark.implicits._
     val rows = Seq(

@@ -42,4 +42,21 @@ class MultimodalSpec extends AnyFunSuite {
       .agg(sum(col("total_norm"))).head().getDouble(0)
     assert(math.abs(a - b) <= math.abs(a) * 1e-9)
   }
+
+  test("frame sampling yields exactly the strided frames with bounded features") {
+    val df = Multimodal.mm03FrameSample(spark, dir).cache()
+    val nMedia = Multimodal.mm01BinaryFeatures(spark, dir).count()
+    // stride-2 over 6 frames: exactly frames 0, 2, 4 for every media row
+    assert(df.count() == nMedia * 3)
+    val idxs = df.select(collect_set(col("frame_idx"))).head()
+      .getAs[Seq[Long]](0).toSet
+    assert(idxs == Set(0L, 2L, 4L))
+    // each frame is 16 bytes: sum in [0, 16*255], brightness in [0, 1]
+    val bad = df.filter(col("frame_sum") < 0 || col("frame_sum") > 16 * 255 ||
+      col("brightness") < 0 || col("brightness") > 1).count()
+    assert(bad == 0)
+    // a frame's identity is its bytes: md5 collides across media only if
+    // the slices collide, so distinct md5 count is near the frame count
+    assert(df.select(countDistinct(col("frame_md5"))).head().getLong(0) > nMedia)
+  }
 }
