@@ -1754,6 +1754,50 @@ object Graft {
         lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_docs"))
   }
 
+  /** Pairwise corpus-overlap matrix — BETWEEN-dataset duplication
+    * quantified before datasets are mixed: for every pair of groups
+    * (sources, dumps, dataset slices) sharing at least one distinct word
+    * n-gram fingerprint, the shared-fingerprint count, both vocabulary
+    * sizes, and the Jaccard / containment they imply. This is the
+    * dataset-level companion to row-level dedup (d02/d03) and benchmark
+    * decontamination (t06): a high-containment pair means one slice is
+    * substantially inside another and mixing weights should account for it.
+    *
+    * Scale shape: one explode to (group, fingerprint), one distinct (the
+    * only corpus-sized shuffle, on the fingerprint-bearing row), a
+    * fingerprint-keyed self-join whose cost tracks cross-group fingerprint
+    * sharing (never |corpus|² — a fingerprint private to one group joins
+    * nothing), and group-count frames small enough to broadcast. Zero-
+    * overlap pairs are absent from the output by construction.
+    *
+    * Output: (grp_a, grp_b, n_shared, n_fp_a, n_fp_b, jaccard,
+    * containment) with grp_a < grp_b. */
+  def corpusOverlap(df: DataFrame, group: Column, text: Column,
+                    ngramWords: Int = 5): DataFrame = {
+    require(ngramWords >= 1, s"need ngramWords >= 1; got $ngramWords")
+    val toks = filter(split(trim(text), "\\s+"), t => t =!= lit(""))
+    val grams = df.select(group.as("grp"), toks.as("__t"))
+      .select(col("grp"), explode(when(size(col("__t")) >= ngramWords,
+        transform(sequence(lit(0), size(col("__t")) - ngramWords),
+          i => md5(concat_ws(" ", slice(col("__t"), i + 1, lit(ngramWords))))))
+        .otherwise(array().cast(ArrayType(StringType)))).as("fp"))
+      .distinct()
+    val sizes = grams.groupBy(col("grp")).agg(count(lit(1)).as("n_fp"))
+    grams.toDF("grp_a", "fp")
+      .join(grams.toDF("grp_b", "fp"), "fp")
+      .where(col("grp_a") < col("grp_b"))
+      .groupBy(col("grp_a"), col("grp_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.toDF("grp_a", "n_fp_a")), "grp_a")
+      .join(broadcast(sizes.toDF("grp_b", "n_fp_b")), "grp_b")
+      .select(col("grp_a"), col("grp_b"), col("n_shared"),
+        col("n_fp_a"), col("n_fp_b"),
+        (col("n_shared").cast(DoubleType) /
+          (col("n_fp_a") + col("n_fp_b") - col("n_shared"))).as("jaccard"),
+        (col("n_shared").cast(DoubleType) /
+          least(col("n_fp_a"), col("n_fp_b"))).as("containment"))
+  }
+
   /** Robust per-group outlier scoring — median/MAD, the filter a corpus
     * pipeline uses where mean/stddev would be poisoned by the very
     * outliers it hunts (one 10 MB crawl artifact drags a mean length far

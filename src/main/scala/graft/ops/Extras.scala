@@ -288,7 +288,56 @@ object Extras {
       .orderBy($"col_name")
   }
 
+  /** q62: funnel analysis — per-user ordered conversion through
+    * view -> click -> purchase: the earliest view, the earliest click at or
+    * after it, the earliest purchase at or after that click, plus the
+    * converted flag and seconds-to-convert. The strict "each step after the
+    * previous" ordering is what separates a funnel from three independent
+    * mins — a purchase BEFORE the first view never counts.
+    *
+    * Scale shape: three keyed min-aggregates and three joins, all on
+    * user_id — one partitioning reused end to end (AQE broadcasts the
+    * shrinking per-user frames); never a per-user sort or event collect. */
+  def q62Funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+    val v = ev.where($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val c = ev.where($"event_type" === "click").join(v, "user_id")
+      .where($"ts" >= $"t_view")
+      .groupBy($"user_id").agg(min($"ts").as("t_click"))
+    val p = ev.where($"event_type" === "purchase").join(c, "user_id")
+      .where($"ts" >= $"t_click")
+      .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select($"user_id", $"t_view", $"t_click", $"t_purchase",
+        $"t_purchase".isNotNull.as("converted"),
+        when($"t_purchase".isNotNull,
+          unix_timestamp($"t_purchase") - unix_timestamp($"t_view"))
+          .as("secs_to_convert"))
+      .orderBy($"user_id")
+  }
+
+  /** q63: last-observation-carried-forward — the time-series gap-fill that
+    * propagates each user's most recent purchase value to every later
+    * event (sensor/price feeds: sparse readings become a dense series).
+    * `last(col, ignoreNulls)` over rows-unbounded-preceding is the exact
+    * LOCF frame; one window shuffle on user_id, no joins. */
+  def q63Locf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "events")
+      .select($"event_id", $"user_id", $"ts",
+        when($"event_type" === "purchase", $"value").as("sparse_val"))
+      .withColumn("filled_val", last($"sparse_val", ignoreNulls = true).over(w))
+      .select($"event_id", $"sparse_val", $"filled_val")
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_funnel" -> q62Funnel,
+    "q63_locf" -> q63Locf,
     "q61_profile" -> q61Profile,
     "q59_scd2_build" -> q59Scd2Build,
     "q60_scd2_merge" -> q60Scd2Merge,
@@ -305,6 +354,36 @@ object Extras {
     "q53_zorder_layout" -> q53ZorderLayout)
 
   val oracles: Map[String, String] = Map(
+    "q62_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        |  GROUP BY e.user_id)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+        | p.t_purchase IS NOT NULL AS converted,
+        | CASE WHEN p.t_purchase IS NOT NULL
+        |      THEN CAST(floor(epoch(p.t_purchase)) AS BIGINT)
+        |         - CAST(floor(epoch(v.t_view)) AS BIGINT) END AS secs_to_convert
+        |FROM v
+        |LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
+    "q63_locf" ->
+      """SELECT event_id,
+        | CASE WHEN event_type = 'purchase' THEN value END AS sparse_val,
+        | last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_val
+        |FROM events ORDER BY event_id""".stripMargin,
     "q61_profile" ->
       """SELECT col_name, n_values, n_nulls, n_distinct, min_value, max_value FROM (
         |  SELECT 'o_orderstatus' AS col_name,

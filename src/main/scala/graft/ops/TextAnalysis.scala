@@ -574,7 +574,21 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t30: dataset-level overlap matrix — every source pair's shared
+    * distinct word-5-gram fingerprints with the Jaccard/containment they
+    * imply. The mixing-weight sanity check run before combining slices:
+    * row-level dedup (d02+) finds duplicate documents, this finds
+    * duplicated DATASETS. Thin binding of
+    * [[graft.api.Graft.corpusOverlap]] grouped by source. */
+  def t30CorpusOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.api.Graft.corpusOverlap(
+        Tables.load(s, dir, "documents"), $"source", $"text")
+      .orderBy($"grp_a", $"grp_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t30_corpus_overlap" -> t30CorpusOverlap,
     "t29_robust_outliers" -> t29RobustOutliers,
     "t28_excise_duplicates" -> t28ExciseDuplicates,
     "t27_duplicate_spans" -> t27DuplicateSpans,
@@ -606,6 +620,29 @@ object TextAnalysis {
     "t09_pii_redaction" -> t09PiiRedaction)
 
   val oracles: Map[String, String] = Map(
+    "t30_corpus_overlap" ->
+      """WITH t AS (
+        |  SELECT source,
+        |   list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT source,
+        |   md5(array_to_string(list_slice(tk, i, i + 4), ' ')) AS fp
+        |  FROM (SELECT source, tk, unnest(generate_series(1, len(tk) - 4)) AS i
+        |        FROM t WHERE len(tk) >= 5)),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n_fp FROM g GROUP BY source),
+        |sh AS (
+        |  SELECT a.source AS grp_a, b.source AS grp_b,
+        |   CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM g a JOIN g b ON a.fp = b.fp AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT grp_a, grp_b, n_shared, sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b,
+        | CAST(n_shared AS DOUBLE) / (sa.n_fp + sb.n_fp - n_shared) AS jaccard,
+        | CAST(n_shared AS DOUBLE) / least(sa.n_fp, sb.n_fp) AS containment
+        |FROM sh
+        |JOIN sz sa ON grp_a = sa.source
+        |JOIN sz sb ON grp_b = sb.source
+        |ORDER BY grp_a, grp_b""".stripMargin,
     "t29_robust_outliers" ->
       // 1.4826 must be CAST to DOUBLE (DuckDB parses the bare literal as
       // DECIMAL(5,4) and decimal arithmetic would diverge from Spark's IEEE)

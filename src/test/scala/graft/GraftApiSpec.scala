@@ -1042,6 +1042,21 @@ class GraftApiSpec extends AnyFunSuite {
     assert(nn.map(_._3).toSet == Set(2L, 3L), nn)
   }
 
+  test("corpusOverlap reports shared fingerprints with exact jaccard/containment") {
+    import spark.implicits._
+    val docs = Seq(
+      ("A", "a b c d e f"),   // 5-gram fps: "a b c d e", "b c d e f"
+      ("B", "a b c d e x"),   // fps: "a b c d e", "b c d e x" — shares 1 with A
+      ("C", "p q r s t"),     // single disjoint fp: overlaps nobody
+      ("C", "tiny")           // under 5 tokens: contributes no fingerprint
+    ).toDF("ds", "body")
+    val out = Graft.corpusOverlap(docs, $"ds", $"body")
+      .as[(String, String, Long, Long, Long, Double, Double)].collect().toSeq
+    // only the (A, B) pair overlaps: 1 shared of 2+2 fps -> J = 1/3,
+    // containment = 1/2; C appears in no row at all
+    assert(out == Seq(("A", "B", 1L, 2L, 2L, 1.0 / 3.0, 0.5)), out.toString)
+  }
+
   test("robustOutliers flags by median/MAD and a scale-less group flags nothing") {
     import spark.implicits._
     val rows = Seq(
