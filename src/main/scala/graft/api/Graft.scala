@@ -1328,6 +1328,54 @@ object Graft {
           " ").as("clean_text"))
   }
 
+  /** Content-defined chunking (CDC) — split each document at positions
+    * where the rolling content window hashes to 0 mod `divisor` (the
+    * Rabin-fingerprint boundary rule of storage dedup, here with the
+    * engine-portable md5-derived hash). Because boundaries are a pure
+    * function of LOCAL content, inserting or deleting text re-chunks only
+    * the edited neighborhood — every chunk after it keeps its content and
+    * hash — which is exactly what fixed-offset chunking ([[dropBoilerplate]])
+    * loses: there a one-character insertion shifts every later chunk and
+    * destroys all their hash matches. CDC chunk hashes therefore survive
+    * edits, making chunk-level dedup shift-resistant.
+    *
+    * Returns one row per chunk: (id, chunk_idx, chunk_start, chunk_len,
+    * chunk_md5, chunk), 0-based start offsets; expected chunk length is
+    * ~`divisor` chars. Documents shorter than `window` yield one whole-doc
+    * chunk; empty documents yield no rows. Narrow projection + explode —
+    * no shuffle; the md5-per-position cost matches [[duplicateSpans]]'s
+    * bounded amplification. */
+  def cdcChunks(df: DataFrame, id: Column, text: Column,
+                window: Int = 8, divisor: Int = 64): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(divisor >= 1, s"divisor must be >= 1, got $divisor")
+    val t = col("__cdc_t")
+    val n = length(t)
+    // a boundary AFTER position i (1-based) wherever the window ending at
+    // i hashes to 0 mod divisor; guard n < window (sequence would descend)
+    val bnds = when(n >= window,
+      filter(sequence(lit(window), n), i =>
+        graft.functions.Md5Int60.md5Int60(
+          t.substr(i - (window - 1), lit(window))) % divisor === 0))
+      .otherwise(array().cast(ArrayType(IntegerType)))
+    val starts = concat(array(lit(0)), bnds)
+    val ends = concat(bnds, array(n))
+    // adjacent boundaries and a boundary at n produce empty spans — drop
+    val spans = filter(
+      zip_with(starts, ends, (s, e) => struct(s.as("s"), e.as("e"))),
+      p => p("e") > p("s"))
+    df.select(id.as("id"), text.as("__cdc_t"))
+      .select(col("id"), col("__cdc_t"),
+        posexplode(spans).as(Seq("chunk_idx", "p")))
+      .select(col("id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
+        col("p.s").cast(LongType).as("chunk_start"),
+        (col("p.e") - col("p.s")).cast(LongType).as("chunk_len"),
+        t.substr(col("p.s") + 1, col("p.e") - col("p.s")).as("chunk"))
+      .withColumn("chunk_md5", md5(col("chunk")))
+      .select(col("id"), col("chunk_idx"), col("chunk_start"),
+        col("chunk_len"), col("chunk_md5"), col("chunk"))
+  }
+
   /** Exact duplicate-substring detection — the overlapping-window variant
     * of corpus dedup (the "dedup repeated substrings" result): every
     * `window`-token sliding window is hashed corpus-wide; windows whose

@@ -587,7 +587,32 @@ object TextAnalysis {
       .orderBy($"grp_a", $"grp_b")
   }
 
+  /** t31: content-defined chunking + shift-resistant chunk dedup — each
+    * document split at rolling-hash boundaries (storage-dedup style: a
+    * mid-document edit re-chunks only its neighborhood, so chunk hashes
+    * survive edits where fixed-offset chunking loses every later match),
+    * then per-document accounting of chunks whose content recurs in other
+    * documents. Thin binding of [[graft.api.Graft.cdcChunks]] + the d10
+    * hot-chunk accounting. */
+  def t31CdcChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ch = graft.api.Graft.cdcChunks(
+      Tables.load(s, dir, "documents"), $"doc_id", $"text")
+    val hot = ch.groupBy($"chunk_md5")
+      .agg(countDistinct($"id").as("__nd"))
+      .where($"__nd" > 1).select($"chunk_md5", lit(1).as("__hot"))
+    ch.join(hot, Seq("chunk_md5"), "left")
+      .groupBy($"id").agg(
+        count(lit(1)).as("n_chunks"),
+        count_if($"__hot".isNotNull).as("n_dup_chunks"),
+        coalesce(sum(when($"__hot".isNotNull, $"chunk_len")), lit(0L))
+          .as("dup_chars"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t31_cdc_chunks" -> t31CdcChunks,
     "t30_corpus_overlap" -> t30CorpusOverlap,
     "t29_robust_outliers" -> t29RobustOutliers,
     "t28_excise_duplicates" -> t28ExciseDuplicates,
@@ -620,6 +645,34 @@ object TextAnalysis {
     "t09_pii_redaction" -> t09PiiRedaction)
 
   val oracles: Map[String, String] = Map(
+    "t31_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |bn AS (
+        |  SELECT doc_id, text, n,
+        |   CASE WHEN n >= 8 THEN list_filter(generate_series(8, n), i ->
+        |     CAST(concat('0x', substr(md5(substr(text, i - 7, 8)), 1, 15)) AS BIGINT)
+        |       % 64 = 0)
+        |   ELSE [] END AS bnds
+        |  FROM d),
+        |ex AS (
+        |  SELECT doc_id, text, n, bnds,
+        |   unnest(generate_series(1, len(bnds) + 1)) AS j
+        |  FROM bn),
+        |sp AS (
+        |  SELECT doc_id, text,
+        |   CASE WHEN j = 1 THEN 0 ELSE bnds[j - 1] END AS s,
+        |   CASE WHEN j <= len(bnds) THEN bnds[j] ELSE n END AS e
+        |  FROM ex),
+        |ck AS (
+        |  SELECT doc_id, e - s AS chunk_len, md5(substr(text, s + 1, e - s)) AS h
+        |  FROM sp WHERE e > s),
+        |hot AS (SELECT h FROM ck GROUP BY h HAVING count(DISTINCT doc_id) > 1)
+        |SELECT doc_id,
+        | CAST(count(*) AS BIGINT) AS n_chunks,
+        | CAST(count(*) FILTER (h IN (SELECT h FROM hot)) AS BIGINT) AS n_dup_chunks,
+        | CAST(coalesce(sum(chunk_len) FILTER (h IN (SELECT h FROM hot)), 0) AS BIGINT)
+        |   AS dup_chars
+        |FROM ck GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t30_corpus_overlap" ->
       """WITH t AS (
         |  SELECT source,

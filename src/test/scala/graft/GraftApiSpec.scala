@@ -1042,6 +1042,42 @@ class GraftApiSpec extends AnyFunSuite {
     assert(nn.map(_._3).toSet == Set(2L, 3L), nn)
   }
 
+  test("cdcChunks is lossless and chunk hashes survive a mid-document edit") {
+    import spark.implicits._
+    // deterministic pseudo-random text: hex of chained md5s (no literal
+    // periodicity, so boundary hashes are spread like real content)
+    def blob(seed: String, blocks: Int): String =
+      (1 to blocks).map(i => java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed$i".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+        .mkString
+    val a = blob("left", 20)   // 640 chars
+    val b = blob("right", 40)  // 1280 chars
+    val docs = Seq(
+      (1L, a + b),
+      (2L, a + "EDIT-INSERTED-HERE" + b), // same content, one mid-doc edit
+      (3L, "short"),                      // under the window: one whole chunk
+      (4L, "")                            // empty: no chunks at all
+    ).toDF("did", "body")
+    val ch = Graft.cdcChunks(docs, $"did", $"body").cache()
+    // lossless segmentation: in-order concat rebuilds each document exactly
+    val rebuilt = ch.orderBy($"id", $"chunk_idx")
+      .groupBy($"id").agg(concat_ws("", collect_list($"chunk")).as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(rebuilt(1L) == a + b && rebuilt(3L) == "short", "rebuild mismatch")
+    assert(!rebuilt.contains(4L))
+    // shift resistance: the edit re-chunks only its neighborhood — chunks
+    // of the unedited prefix/suffix keep their hashes (fixed-offset
+    // chunking would lose every hash after the insertion point)
+    def hashes(id: Long) = ch.where($"id" === id)
+      .select($"chunk_md5").as[String].collect().toSet
+    val h1 = hashes(1L); val h2 = hashes(2L)
+    val shared = (h1 intersect h2).size
+    assert(shared >= h1.size - 3,
+      s"expected all but the edited neighborhood shared; got $shared of ${h1.size}")
+    assert(h1 != h2, "the edited chunk itself must differ")
+    ch.unpersist()
+  }
+
   test("corpusOverlap reports shared fingerprints with exact jaccard/containment") {
     import spark.implicits._
     val docs = Seq(

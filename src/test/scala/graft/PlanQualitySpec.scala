@@ -298,4 +298,28 @@ class PlanQualitySpec extends AnyFunSuite {
     val executed = df.queryExecution.executedPlan.toString
     assert(executed.contains("ReusedExchange"), executed)
   }
+
+  test("robustOutliers computes both medians over ONE exchange") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 12L), ("b", 3L, 7L)).toDF("g", "rid", "v")
+    val plan = graft.api.Graft.robustOutliers(df, $"g", $"v")
+      .queryExecution.executedPlan.toString
+    // the med and mad windows share the group partitioning: one shuffle,
+    // two in-partition window passes, no join
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+    assert("\\bWindow\\b".r.findAllIn(plan).length == 2, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("corpusOverlap broadcasts the group-size frames") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val df = graft.api.Graft.corpusOverlap(docs, $"source", $"text")
+    val plan = planOf(df)
+    // the per-group fingerprint counts are group-cardinality frames: both
+    // joins onto the pair stream must be broadcasts, and pairing is an
+    // equi-join on the fingerprint — never a cartesian
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
