@@ -1846,6 +1846,59 @@ object Graft {
           least(col("n_fp_a"), col("n_fp_b"))).as("containment"))
   }
 
+  /** Sketch-based corpus-overlap matrix — the bounded-state scale path for
+    * [[corpusOverlap]]: instead of self-joining the full fingerprint
+    * streams (cost tracks cross-group sharing — fine until two 10 TB
+    * slices share half their content), keep only each group's `k`
+    * SMALLEST distinct fingerprint hashes (a k-minimum-values MinHash
+    * sketch: a uniform sample of the group's fingerprint space, because
+    * the hash order is content-independent) and estimate every pairwise
+    * Jaccard from the sketches alone: of the k smallest hashes of the
+    * UNION, count those present in both sketches — an unbiased estimator
+    * with relative error ~1/sqrt(k). After sketching, the whole matrix is
+    * computed on a group-cardinality frame (G rows of k hashes), so
+    * pairwise comparison cost is independent of corpus size.
+    *
+    * Fully deterministic (hash-order sketches, no RNG) — the estimate
+    * itself cross-checks bit-for-bit against an oracle running the same
+    * definition. When `k` is at least the union's fingerprint count the
+    * estimate IS the exact Jaccard (the sketch holds everything) — the
+    * property the spec pins against [[corpusOverlap]].
+    *
+    * Output: (grp_a, grp_b, n_common, k_used, j_est) for ALL group pairs
+    * (zero-overlap pairs included — the sketch can't distinguish "no
+    * overlap" from "overlap the sample missed"). Scale note: the per-group
+    * k-min currently sorts each group's fingerprints in its window
+    * partition; at extreme fingerprint cardinality, pre-filter with a
+    * coarse hash threshold or swap in a partial min-k aggregator — the
+    * estimator is unchanged. */
+  def corpusOverlapSketch(df: DataFrame, group: Column, text: Column,
+                          k: Int = 256, ngramWords: Int = 5): DataFrame = {
+    require(k >= 1, s"need k >= 1; got $k")
+    require(ngramWords >= 1, s"need ngramWords >= 1; got $ngramWords")
+    val toks = filter(split(trim(text), "\\s+"), t => t =!= lit(""))
+    val grams = df.select(group.as("grp"), toks.as("__t"))
+      .select(col("grp"), explode(when(size(col("__t")) >= ngramWords,
+        transform(sequence(lit(0), size(col("__t")) - ngramWords),
+          i => md5(concat_ws(" ", slice(col("__t"), i + 1, lit(ngramWords))))))
+        .otherwise(array().cast(ArrayType(StringType)))).as("fp"))
+      .distinct()
+    val byFp = Window.partitionBy(col("grp")).orderBy(col("fp"))
+    val sk = grams.withColumn("__rk", row_number().over(byFp))
+      .where(col("__rk") <= k)
+      .groupBy(col("grp")).agg(sort_array(collect_list(col("fp"))).as("sk"))
+    val xx = slice(array_sort(array_union(col("sk_a"), col("sk_b"))), 1, k)
+    sk.toDF("grp_a", "sk_a")
+      .join(broadcast(sk.toDF("grp_b", "sk_b")), col("grp_a") < col("grp_b"))
+      .withColumn("__x", xx)
+      .select(col("grp_a"), col("grp_b"),
+        size(array_intersect(array_intersect(col("__x"), col("sk_a")),
+          col("sk_b"))).cast(LongType).as("n_common"),
+        size(col("__x")).cast(LongType).as("k_used"))
+      .withColumn("j_est",
+        col("n_common").cast(DoubleType) / col("k_used"))
+  }
+
   /** Robust per-group outlier scoring — median/MAD, the filter a corpus
     * pipeline uses where mean/stddev would be poisoned by the very
     * outliers it hunts (one 10 MB crawl artifact drags a mean length far

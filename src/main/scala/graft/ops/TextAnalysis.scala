@@ -611,7 +611,21 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t32: the overlap matrix from bounded-state sketches — t30's exact
+    * self-join replaced by per-source k-minimum-values MinHash sketches
+    * (k = 128 truncates for real here: sources carry thousands of
+    * fingerprints) and the pairwise Jaccard estimated from sketches alone,
+    * deterministically. Thin binding of
+    * [[graft.api.Graft.corpusOverlapSketch]]. */
+  def t32OverlapSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.api.Graft.corpusOverlapSketch(
+        Tables.load(s, dir, "documents"), $"source", $"text", k = 128)
+      .orderBy($"grp_a", $"grp_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t32_overlap_sketch" -> t32OverlapSketch,
     "t31_cdc_chunks" -> t31CdcChunks,
     "t30_corpus_overlap" -> t30CorpusOverlap,
     "t29_robust_outliers" -> t29RobustOutliers,
@@ -645,6 +659,32 @@ object TextAnalysis {
     "t09_pii_redaction" -> t09PiiRedaction)
 
   val oracles: Map[String, String] = Map(
+    "t32_overlap_sketch" ->
+      """WITH t AS (
+        |  SELECT source,
+        |   list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT source,
+        |   md5(array_to_string(list_slice(tk, i, i + 4), ' ')) AS fp
+        |  FROM (SELECT source, tk, unnest(generate_series(1, len(tk) - 4)) AS i
+        |        FROM t WHERE len(tk) >= 5)),
+        |rk AS (SELECT source, fp,
+        |        row_number() OVER (PARTITION BY source ORDER BY fp) AS r
+        |       FROM g),
+        |sk AS (SELECT source, list_sort(list(fp)) AS sk
+        |       FROM rk WHERE r <= 128 GROUP BY source),
+        |p AS (SELECT a.source AS grp_a, b.source AS grp_b,
+        |       list_slice(list_sort(list_distinct(list_concat(a.sk, b.sk))),
+        |                  1, 128) AS xx,
+        |       a.sk AS sa, b.sk AS sb
+        |      FROM sk a JOIN sk b ON a.source < b.source)
+        |SELECT grp_a, grp_b,
+        | CAST(len(list_intersect(list_intersect(xx, sa), sb)) AS BIGINT) AS n_common,
+        | CAST(len(xx) AS BIGINT) AS k_used,
+        | CAST(len(list_intersect(list_intersect(xx, sa), sb)) AS DOUBLE)
+        |   / len(xx) AS j_est
+        |FROM p ORDER BY grp_a, grp_b""".stripMargin,
     "t31_cdc_chunks" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
         |bn AS (

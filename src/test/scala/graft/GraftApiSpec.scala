@@ -1093,6 +1093,32 @@ class GraftApiSpec extends AnyFunSuite {
     assert(out == Seq(("A", "B", 1L, 2L, 2L, 1.0 / 3.0, 0.5)), out.toString)
   }
 
+  test("corpusOverlapSketch recovers exact Jaccard when k covers the union") {
+    import spark.implicits._
+    val docs = Seq(
+      ("A", "a b c d e f g h"), // 4 5-gram fps
+      ("B", "a b c d e f x y"), // 4 fps, shares 2 with A -> J = 2/6
+      ("C", "p q r s t u")      // 2 disjoint fps
+    ).toDF("ds", "body")
+    // k >= |union|: the sketch holds every fingerprint, so the KMV
+    // estimate IS the exact Jaccard of corpusOverlap
+    val est = Graft.corpusOverlapSketch(docs, $"ds", $"body", k = 100)
+      .select($"grp_a", $"grp_b", $"j_est")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val exact = Graft.corpusOverlap(docs, $"ds", $"body")
+      .select($"grp_a", $"grp_b", $"jaccard")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(est(("A", "B")) == exact(("A", "B")) && est(("A", "B")) == 1.0 / 3.0, est.toString)
+    // the sketch reports zero-overlap pairs too (exact omits them)
+    assert(est(("A", "C")) == 0.0 && est(("B", "C")) == 0.0, est.toString)
+    // truncation bound: k_used is min(k, |union|)
+    val kUsed = Graft.corpusOverlapSketch(docs, $"ds", $"body", k = 3)
+      .select($"k_used").as[Long].collect().toSet
+    assert(kUsed == Set(3L), kUsed.toString)
+  }
+
   test("robustOutliers flags by median/MAD and a scale-less group flags nothing") {
     import spark.implicits._
     val rows = Seq(
