@@ -1846,6 +1846,45 @@ object Graft {
           least(col("n_fp_a"), col("n_fp_b"))).as("containment"))
   }
 
+  /** Per-vertex triangle counts and local clustering coefficient over an
+    * undirected edge list — the graph-density diagnostic for a near-dup
+    * graph: a template farm (every page a near-dup of every other) is a
+    * clique, so its vertices carry maximal triangle counts and clustering
+    * ~1.0, while a chain of incidental pairwise matches carries none.
+    * Complements [[connectedComponents]] (which only says WHO is
+    * connected, not how densely) and [[pageRank]] (centrality, not
+    * cohesion).
+    *
+    * Exact and deterministic: each triangle is enumerated once with its
+    * vertices in sorted order (edge (a,b) with a<b joined to (b,c), then
+    * closed by (a,c)); the coefficient is one integer-ratio division.
+    * Output: (id, degree, n_triangles, clustering_coeff) for every vertex
+    * of the edge list; coefficient is 0.0 for degree-1 vertices.
+    *
+    * Scale shape: the wedge join shuffles on the middle vertex (cost =
+    * Σ deg² — the inherent wedge count; degree-cap preprocessing is the
+    * standard lever when hubs appear), the closing check is one equi-join
+    * on the (a, c) pair, and per-vertex rollups are keyed aggregates. */
+  def triangleCounts(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    val e = edges.select(least(src, dst).as("a"), greatest(src, dst).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    // wedge (a<b) x (b<c) is automatically vertex-sorted: each triangle
+    // appears exactly once
+    val wedges = e.toDF("a", "b").join(e.toDF("b", "c"), "b")
+    val tri = wedges.join(e.toDF("a", "c"), Seq("a", "c"))
+    val perVertex = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+    val deg = e.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    deg.join(perVertex, Seq("id"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("clustering_coeff",
+        when(col("degree") >= 2,
+          (col("n_triangles") * 2.0) / (col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0.0)))
+  }
+
   /** Sketch-based corpus-overlap matrix — the bounded-state scale path for
     * [[corpusOverlap]]: instead of self-joining the full fingerprint
     * streams (cost tracks cross-group sharing — fine until two 10 TB
@@ -1921,17 +1960,25 @@ object Graft {
     * corpus-grade. */
   def robustOutliers(df: DataFrame, group: Column, value: Column,
                      zCut: Double = 3.5): DataFrame = {
-    val w = Window.partitionBy(col("__ro_g"))
-    val z = (col("__ro_v") - col("med")) / (lit(1.4826) * col("mad"))
-    df.withColumn("__ro_g", group)
-      .withColumn("__ro_v", value.cast(DoubleType))
-      .withColumn("med", expr("percentile(__ro_v, 0.5)").over(w))
+    val outs = Seq("med", "mad", "robust_z", "is_outlier")
+    val clash = outs.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"robustOutliers: input already has column(s) ${clash.mkString(", ")} " +
+        "— the operator never silently replaces caller data")
+    val taken = df.columns.toSet ++ outs
+    val g = freshName("__ro_g", taken)
+    val v = freshName("__ro_v", taken + g)
+    val w = Window.partitionBy(col(g))
+    val z = (col(v) - col("med")) / (lit(1.4826) * col("mad"))
+    df.withColumn(g, group)
+      .withColumn(v, value.cast(DoubleType))
+      .withColumn("med", expr(s"percentile(`$v`, 0.5)").over(w))
       .withColumn("mad",
-        expr("percentile(abs(__ro_v - med), 0.5)").over(w))
+        expr(s"percentile(abs(`$v` - med), 0.5)").over(w))
       .withColumn("robust_z", when(col("mad") =!= 0.0, z))
       .withColumn("is_outlier",
         coalesce(abs(col("robust_z")) > zCut, lit(false)))
-      .drop("__ro_g", "__ro_v")
+      .drop(g, v)
   }
 
   /** Deterministic per-row weighted sampling: keep each row with

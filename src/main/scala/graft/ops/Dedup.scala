@@ -251,7 +251,25 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** d16: triangle counts + local clustering coefficient over the d02
+    * near-dup candidate graph — the cohesion diagnostic that separates a
+    * template farm (clique: clustering ~1.0) from a chain of incidental
+    * pairwise matches (clustering 0), complementing d06's components
+    * (membership) and d12's PageRank (centrality). Thin binding of
+    * [[graft.api.Graft.triangleCounts]]. */
+  def d16Triangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val sigs = graft.api.Graft.minhashSignatures(docs, $"doc_id", $"text",
+      assumeUniqueIds = true)
+    val pairs = graft.api.Graft.nearDupPairs(sigs, minAgreement = JaccardBandThreshold)
+    graft.api.Graft.triangleCounts(pairs, $"id_a", $"id_b")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d16_triangles" -> d16Triangles,
     "d15_containment" -> d15Containment,
     "d12_pagerank" -> d12Pagerank,
     "d14_incremental_dedup" -> d14IncrementalDedup,
@@ -336,6 +354,25 @@ object Dedup {
        |  GROUP BY e.b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d16_triangles" ->
+      s"""WITH ${sigsSql()},
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM agreed),
+         |w AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1 JOIN e e2 ON e1.b = e2.a),
+         |tri AS (SELECT w.a, w.b, w.c FROM w JOIN e e3
+         |        ON w.a = e3.a AND w.c = e3.b),
+         |tv AS (SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+         |       FROM (SELECT unnest([a, b, c]) AS id FROM tri) GROUP BY id),
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree
+         |        FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+         |        GROUP BY id)
+         |SELECT deg.id AS doc_id, degree,
+         | coalesce(tv.n_triangles, 0) AS n_triangles,
+         | CASE WHEN degree >= 2
+         |      THEN (coalesce(tv.n_triangles, 0) * CAST(2.0 AS DOUBLE))
+         |         / (degree * (degree - 1))
+         |      ELSE CAST(0.0 AS DOUBLE) END AS clustering_coeff
+         |FROM deg LEFT JOIN tv ON deg.id = tv.id
+         |ORDER BY doc_id""".stripMargin,
     "d15_containment" ->
       s"""WITH ${sigsSql(minAgree = 2)},
          |sets AS (

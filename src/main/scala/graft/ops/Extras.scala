@@ -335,7 +335,95 @@ object Extras {
       .orderBy($"event_id")
   }
 
+  /** q64: join-key skew diagnostics — the pre-join health check run before
+    * committing to a shuffle strategy: the N heaviest keys with their row
+    * share plus the global skew factor (max key count / mean key count).
+    * A skew factor in the hundreds is the signal to reach for q12's
+    * salting or AQE skew-join handling; this is the generic-key companion
+    * of d09's LSH bucket stats. TakeOrdered top-N — no global sort
+    * materializes. */
+  def q64KeySkew(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.load(s, dir, "lineitem")
+      .groupBy($"l_suppkey".as("key")).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(
+      sum($"n").as("total_rows"), count(lit(1)).as("n_keys"))
+    counts.orderBy($"n".desc, $"key").limit(20)
+      .crossJoin(broadcast(totals))
+      .select(
+        row_number().over(Window.orderBy($"n".desc, $"key"))
+          .cast(LongType).as("rank"),
+        $"key", $"n",
+        ($"n".cast(DoubleType) / $"total_rows").as("share"),
+        (($"n" * $"n_keys").cast(DoubleType) / $"total_rows")
+          .as("skew_factor"))
+      .orderBy($"rank")
+  }
+
+  /** q65: hopping-window aggregates — Spark's `window(ts, size, slide)`
+    * with slide < size, so every event lands in size/slide overlapping
+    * windows (here 4 h sliding by 2 h: each event in exactly 2). The
+    * overlap is what tumbling windows (st01) can't express: a spike
+    * straddling a tumbling boundary splits across two buckets and hides;
+    * hops see it whole in the straddling window. */
+  def q65HoppingWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .groupBy(window($"ts", "4 hours", "2 hours").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum($"value").as("total_value"))
+      // epoch-second window bounds: engine-portable hashing (q18 pattern)
+      .select(unix_timestamp($"w.start").as("window_start_s"),
+        unix_timestamp($"w.end").as("window_end_s"),
+        $"n_events", $"total_value")
+      .orderBy($"window_start_s")
+  }
+
+  /** q66: rolling 7-day active users — for each observed day, the exact
+    * distinct-user count over the trailing week (the WAU series next to
+    * DAU). A distinct count over a sliding range frame has no partial
+    * form, so the scale-correct shape is the EXPLODE-BY-OFFSET trick:
+    * each (user, active-day) row fans out to the 7 window days it
+    * contributes to (bounded 7x amplification of the per-day distinct
+    * frame, NOT the raw events), then one exact countDistinct per day —
+    * never a per-day rescan of the trailing window. */
+  def q66RollingActive(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ud = Tables.load(s, dir, "events")
+      .select($"user_id", $"ts".cast(DateType).as("d")).distinct()
+    val wau = ud
+      .select($"user_id", explode(sequence($"d", date_add($"d", 6))).as("day"))
+      .groupBy($"day").agg(countDistinct($"user_id").as("wau"))
+    val dau = ud.groupBy($"d".as("day"))
+      .agg(countDistinct($"user_id").as("dau"))
+    // inner join keeps only observed days (no phantom trailing days)
+    dau.join(wau, "day").orderBy($"day")
+  }
+
+  /** q67: cohort retention — users grouped by the week they first
+    * appeared, tracked by distinct activity in each later week offset:
+    * the (cohort_week, week_offset) retention matrix every growth
+    * dashboard draws. One aggregate for first-seen, one fact-side join,
+    * one keyed distinct count. */
+  def q67Retention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ue = Tables.load(s, dir, "events")
+      .select($"user_id", $"ts".cast(DateType).as("d")).distinct()
+    val first = ue.groupBy($"user_id").agg(min($"d").as("cohort_date"))
+    ue.join(first, "user_id")
+      .select(date_trunc("week", $"cohort_date").cast(DateType).as("cohort_week"),
+        floor(datediff($"d", $"cohort_date") / 7).cast(LongType).as("week_offset"),
+        $"user_id")
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(countDistinct($"user_id").as("n_active"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_rolling_active" -> q66RollingActive,
+    "q67_retention" -> q67Retention,
+    "q64_key_skew" -> q64KeySkew,
+    "q65_hopping_window" -> q65HoppingWindow,
     "q62_funnel" -> q62Funnel,
     "q63_locf" -> q63Locf,
     "q61_profile" -> q61Profile,
@@ -354,6 +442,47 @@ object Extras {
     "q53_zorder_layout" -> q53ZorderLayout)
 
   val oracles: Map[String, String] = Map(
+    "q66_rolling_active" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |ex AS (
+        |  SELECT user_id, d + CAST(i AS INTEGER) AS day
+        |  FROM ud, (SELECT unnest(generate_series(0, 6)) AS i)),
+        |wau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |        FROM ex GROUP BY day),
+        |dau AS (SELECT d AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |        FROM ud GROUP BY d)
+        |SELECT day, dau, wau FROM dau JOIN wau USING (day)
+        |ORDER BY day""".stripMargin,
+    "q67_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort_date FROM ud GROUP BY user_id)
+        |SELECT CAST(date_trunc('week', cohort_date) AS DATE) AS cohort_week,
+        | CAST(floor((d - cohort_date) / 7) AS BIGINT) AS week_offset,
+        | CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_active
+        |FROM ud JOIN f ON ud.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    "q64_key_skew" ->
+      """WITH c AS (
+        |  SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+        |       CAST(count(*) AS BIGINT) AS n_keys FROM c),
+        |top AS (SELECT key, n FROM c ORDER BY n DESC, key LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, key) AS BIGINT) AS rank,
+        | key, n,
+        | CAST(n AS DOUBLE) / total_rows AS share,
+        | CAST(n * n_keys AS DOUBLE) / total_rows AS skew_factor
+        |FROM top, t ORDER BY rank""".stripMargin,
+    "q65_hopping_window" ->
+      """WITH ex AS (
+        |  SELECT value, unnest([
+        |    CAST(floor(epoch(ts) / 7200) AS BIGINT) * 7200,
+        |    CAST(floor(epoch(ts) / 7200) AS BIGINT) * 7200 - 7200]) AS window_start_s
+        |  FROM events)
+        |SELECT window_start_s, window_start_s + 14400 AS window_end_s,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM ex GROUP BY window_start_s ORDER BY window_start_s""".stripMargin,
     "q62_funnel" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) AS t_view FROM events

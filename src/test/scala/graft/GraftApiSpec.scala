@@ -1093,6 +1093,25 @@ class GraftApiSpec extends AnyFunSuite {
     assert(out == Seq(("A", "B", 1L, 2L, 2L, 1.0 / 3.0, 0.5)), out.toString)
   }
 
+  test("triangleCounts separates a clique from a chain") {
+    import spark.implicits._
+    // 4-clique (a template farm) + a 3-chain of incidental matches; edge
+    // direction and duplication must not matter
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 3L),            // duplicate reversed edge: ignored
+      (10L, 11L), (11L, 12L)
+    ).toDF("u", "v")
+    val out = Graft.triangleCounts(edges, $"u", $"v")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // every clique vertex: degree 3, C(3,2)=3 triangles, clustering 1.0
+    for (id <- 1L to 4L) assert(out(id) == ((3L, 3L, 1.0)), s"$id -> ${out(id)}")
+    // the chain carries no triangles; degree-1 endpoints get coeff 0
+    assert(out(11L) == ((2L, 0L, 0.0)), out(11L).toString)
+    assert(out(10L) == ((1L, 0L, 0.0)), out(10L).toString)
+  }
+
   test("corpusOverlapSketch recovers exact Jaccard when k covers the union") {
     import spark.implicits._
     val docs = Seq(
@@ -1141,6 +1160,13 @@ class GraftApiSpec extends AnyFunSuite {
     val cols = Graft.robustOutliers(rows, $"g", $"v").columns.toSeq
     assert(cols == Seq("g", "rid", "v", "med", "mad", "robust_z", "is_outlier"), cols)
     assert(out(9L)._3 == 0.0 && out(9L)._4.isEmpty && !out(9L)._5, out(9L).toString)
+    // refuses to silently replace caller data; scratch names dodge clashes
+    val clash = intercept[IllegalArgumentException] {
+      Graft.robustOutliers(rows.withColumn("mad", lit(1)), $"g", $"v")
+    }
+    assert(clash.getMessage.contains("mad"), clash.getMessage)
+    val hostile = rows.withColumn("__ro_v", lit(99))
+    assert(Graft.robustOutliers(hostile, $"g", $"v").columns.contains("__ro_v"))
   }
 
   test("clusterCorpus datasheets planted clusters with exact sizes and coherence") {
