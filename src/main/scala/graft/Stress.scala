@@ -76,9 +76,12 @@ object Stress {
       val pairs = graft.api.Graft.nearDupPairs(sigs, minAgreement = 4)
       val (tPairs, nPairs) = secs(pairs.count())
 
-      val (tVerify, nEdges) = secs(
-        graft.api.Graft.jaccardVerify(docs, $"doc_id", $"text", pairs)
-          .where($"jaccard" >= 0.5).count())
+      // verified edges persist for two consumers: the verify count here
+      // and the triangle stage below
+      val edges = graft.api.Graft.jaccardVerify(docs, $"doc_id", $"text", pairs)
+        .where($"jaccard" >= 0.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val (tVerify, nEdges) = secs(edges.count())
 
       val (tDedup, nKept) = secs(
         graft.api.Graft.dedupCorpus(docs, $"doc_id", $"text").count())
@@ -135,8 +138,36 @@ object Stress {
       val (tScore, _) = secs(mat(graft.api.Graft.scoreLinearHashed(
         docs, $"text", graft.ops.TextAnalysis.t18Weights)))
 
+      // round-7 session-2 additions:
+      // triangle counting runs on the VERIFIED edge graph, not the raw
+      // candidates: at K=10 the candidate graph's mean degree is ~850
+      // (21 M edges / 50 k docs), so Σ deg² is ~10^10 wedges — the raw
+      // attempt filled this machine's disk with shuffle spill, which IS
+      // the docstring's degree-cap warning measured. The verified graph
+      // (Jaccard >= 0.5) has clique-sized degrees and is the graph whose
+      // cohesion actually means something.
+      val (tTri, nTri) = secs(graft.api.Graft.triangleCounts(
+        edges, $"id_a", $"id_b").agg(sum($"n_triangles")).as[Long].head() / 3)
+      edges.unpersist()
+      // CDC chunking under replication demonstrates shift resistance AT
+      // SCALE: replicas differ only by a trailing suffix, so every
+      // interior chunk boundary (and hash) is shared across the K-clique
+      // and the duplicated-chunk fraction jumps to ~1 at K >= 2
+      val (tCdc, nCdcChunks) = secs(graft.api.Graft.cdcChunks(
+        docs, $"doc_id", $"text").count())
+      // overlap matrices: replication adds (almost) no DISTINCT
+      // fingerprints per source, so BOTH forms should be near-flat in K —
+      // the sketch additionally has a corpus-size-independent pair stage
+      val (tOv, _) = secs(mat(graft.api.Graft.corpusOverlap(
+        docs, $"source", $"text")))
+      val (tOvSk, _) = secs(mat(graft.api.Graft.corpusOverlapSketch(
+        docs, $"source", $"text", k = 128)))
+      // robust outliers: one exchange, two window passes — linear
+      val (tRob, _) = secs(mat(graft.api.Graft.robustOutliers(
+        docs.select($"doc_id", $"lang", $"n_chars"), $"lang", $"n_chars")))
+
       docs.unpersist()
-      f"""{"k":$n,"n_docs":$nDocs,"sig_s":$tSig%.2f,"pairs_s":$tPairs%.2f,"n_pairs":$nPairs,"verify_s":$tVerify%.2f,"n_edges":$nEdges,"dedup_s":$tDedup%.2f,"n_kept":$nKept,"contam_s":$tContam%.2f,"repetition_s":$tRep%.2f,"boilerplate_s":$tBp%.2f,"clean_s":$tClean%.2f,"n_clean":$nClean,"semantic_s":$tSem%.2f,"n_semantic":$nSem,"bpe_s":$tBpe%.2f,"n_merges":$nMergesGot,"fluency_s":$tFluency%.2f,"chunk_s":$tChunk%.2f,"score_s":$tScore%.2f}"""
+      f"""{"k":$n,"n_docs":$nDocs,"sig_s":$tSig%.2f,"pairs_s":$tPairs%.2f,"n_pairs":$nPairs,"verify_s":$tVerify%.2f,"n_edges":$nEdges,"dedup_s":$tDedup%.2f,"n_kept":$nKept,"contam_s":$tContam%.2f,"repetition_s":$tRep%.2f,"boilerplate_s":$tBp%.2f,"clean_s":$tClean%.2f,"n_clean":$nClean,"semantic_s":$tSem%.2f,"n_semantic":$nSem,"bpe_s":$tBpe%.2f,"n_merges":$nMergesGot,"fluency_s":$tFluency%.2f,"chunk_s":$tChunk%.2f,"score_s":$tScore%.2f,"triangles_s":$tTri%.2f,"n_triangles":$nTri,"cdc_s":$tCdc%.2f,"n_cdc_chunks":$nCdcChunks,"overlap_s":$tOv%.2f,"overlap_sketch_s":$tOvSk%.2f,"robust_s":$tRob%.2f}"""
     }
     println(s"""{"stress":[${results.mkString(",")}],"sf":"$dir"}""")
     spark.stop()

@@ -246,7 +246,28 @@ object Streams {
     runToCompletion(agg, "complete").orderBy(col("source"))
   }
 
+  /** st08: streaming HOPPING-window aggregate — `window(ts, 4h, slide 2h)`
+    * under a watermark: each event contributes to TWO overlapping
+    * windows, so a spike straddling a tumbling boundary (st01's blind
+    * spot) is seen whole by the straddling hop. State is bounded by the
+    * watermark exactly as with tumbling windows — the overlap multiplies
+    * live window count by size/slide, not by corpus. Batch twin: q65. */
+  def st08StreamHopping(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "4 hours", "2 hours"))
+      .agg(count(lit(1)).as("n_events"),
+        Det.moneySum($"value").as("total_value"))
+      .select(
+        unix_timestamp($"window.start").as("window_start_s"),
+        unix_timestamp($"window.end").as("window_end_s"),
+        $"n_events", $"total_value")
+    runToCompletion(agg, "complete").orderBy($"window_start_s")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st08_stream_hopping" -> st08StreamHopping,
     "st06_stream_text_quality" -> st06StreamTextQuality,
     "st01_stream_tumbling_agg" -> st01TumblingAgg,
     "st07_stream_dedup_bounded" -> st07StreamDedupBounded,
@@ -256,6 +277,17 @@ object Streams {
     "st05_stream_static_join" -> st05StreamStaticJoin)
 
   val oracles: Map[String, String] = Map(
+    // the finite hopping stream == the batch hopping aggregate (q65 form)
+    "st08_stream_hopping" ->
+      """WITH ex AS (
+        |  SELECT value, unnest([
+        |    CAST(floor(epoch(ts) / 7200) AS BIGINT) * 7200,
+        |    CAST(floor(epoch(ts) / 7200) AS BIGINT) * 7200 - 7200]) AS window_start_s
+        |  FROM events)
+        |SELECT window_start_s, window_start_s + 14400 AS window_end_s,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM ex GROUP BY window_start_s ORDER BY window_start_s""".stripMargin,
     "st06_stream_text_quality" ->
       s"""WITH d AS (SELECT source, length(text) AS n_chars,
          |  length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
