@@ -1802,6 +1802,67 @@ object Graft {
         lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_docs"))
   }
 
+  /** Lexical (BM25-shaped) top-k retrieval — the sparse counterpart of
+    * [[annTopK]]: rank corpus documents against query documents by
+    * term-overlap relevance through an inverted-index join, the retrieval
+    * shape a training-data pipeline runs for decontamination sweeps and
+    * eval-set mining where embeddings are unavailable or too coarse.
+    * Scoring is BM25's saturation curve `tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))`
+    * with a RATIONAL idf `(N-df+0.5)/(df+0.5)` — same per-term
+    * monotonicity as the textbook `ln` form but exact cross-engine (libm
+    * `ln` rounding is engine-specific; swapping the one-line idf back in
+    * at deploy changes constants, not the dataflow). Per-term
+    * contributions quantize to integer 1e-9 units and sum exactly
+    * ([[pageRank]]'s discipline), so scores — not just ranks — are
+    * bit-identical cross-engine.
+    *
+    * Output: (q_id, rank, doc_id, score), rank 1..k per query, ties
+    * broken by doc_id.
+    *
+    * Scale shape: postings (term, doc, tf) shuffle on the term key —
+    * never all-pairs; query terms broadcast; per-(query, doc) scores are
+    * one keyed exact aggregate; top-k is a per-query window over the
+    * scored candidates (only docs sharing at least one query term).
+    * `excludeSelf` drops corpus rows whose id equals the query id (self-
+    * search); common high-df terms are the fan-out cost — the classic
+    * lever is a df cap on query terms, left to the caller. */
+  def lexicalTopK(corpus: DataFrame, id: Column, text: Column,
+                  queries: DataFrame, qId: Column, qText: Column,
+                  k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+                  excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1, s"need k >= 1; got $k")
+    def toks(t: Column) = filter(split(trim(t), "\\s+"), x => x =!= lit(""))
+    val corpusToks = corpus
+      .select(id.as("doc_id"), explode(toks(text)).as("t"))
+    val tf = corpusToks.groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = corpusToks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+    val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val qTerms = queries
+      .select(qId.as("q_id"), explode(toks(qText)).as("t")).distinct()
+    val idf = (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val sat = (col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + lit(k1) *
+        (lit(1.0) - lit(b) + (lit(b) * col("dl")) / col("avgdl")))
+    val contrib = broadcast(qTerms)
+      .join(tf, "t")
+      .join(df, "t")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .where(if (excludeSelf) col("q_id") =!= col("doc_id") else lit(true))
+      .select(col("q_id"), col("doc_id"),
+        round(idf * sat * lit(1e9)).cast(LongType).as("__c"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    contrib.groupBy(col("q_id"), col("doc_id"))
+      .agg((sum(col("__c")).cast(DoubleType) / lit(1e9)).as("score"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
   /** Pairwise corpus-overlap matrix — BETWEEN-dataset duplication
     * quantified before datasets are mixed: for every pair of groups
     * (sources, dumps, dataset slices) sharing at least one distinct word

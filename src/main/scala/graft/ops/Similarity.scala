@@ -222,9 +222,24 @@ object Similarity {
       .orderBy($"c_id")
   }
 
+  /** s07: lexical (BM25-shaped) retrieval — the sparse counterpart of the
+    * dense ANN family: the first five documents as queries, top-10 corpus
+    * docs each by saturated-tf x rational-idf relevance through the
+    * inverted-index join. Scores themselves hash-match (1e-9-quantized
+    * exact sums), not just ranks. Thin binding of
+    * [[graft.api.Graft.lexicalTopK]]. */
+  def s07Bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    graft.api.Graft.lexicalTopK(docs, $"doc_id", $"text",
+        docs.where($"doc_id" < 5), $"doc_id", $"text", k = 10)
+      .orderBy($"q_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> s01BruteForceTopK,
     "s06_cluster_corpus" -> s06ClusterCorpus,
+    "s07_bm25_topk" -> s07Bm25TopK,
     "d11_semantic_dedup" -> d11SemanticDedup,
     "s02_ann_lsh" -> s02LshTopK,
     "s03_ann_topk_aggregator" -> s03TopKAggregator,
@@ -359,9 +374,49 @@ object Similarity {
        |FROM ranked WHERE c_rank = 1
        |GROUP BY c_id ORDER BY c_id""".stripMargin
 
+  /** s07 oracle — the identical inverted-index BM25 pipeline; every float
+    * literal CAST to DOUBLE (DuckDB parses bare decimals as DECIMAL and
+    * decimal arithmetic would diverge from Spark's IEEE ops) and the
+    * per-term contributions quantized to 1e-9 longs before summing. */
+  private lazy val s07Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |   unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS t
+      |  FROM documents),
+      |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+      |       FROM toks GROUP BY doc_id, t),
+      |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+      |       FROM toks GROUP BY doc_id),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |           CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |dfx AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+      |q AS (SELECT DISTINCT doc_id AS q_id, t FROM toks WHERE doc_id < 5),
+      |contrib AS (
+      |  SELECT q.q_id, tf.doc_id,
+      |   CAST(round(
+      |     ((n - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+      |     * ((tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+      |        / (tf + CAST(1.2 AS DOUBLE)
+      |           * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+      |              + (CAST(0.75 AS DOUBLE) * dl.dl) / avgdl)))
+      |     * CAST(1e9 AS DOUBLE)) AS BIGINT) AS c
+      |  FROM q
+      |  JOIN tf ON q.t = tf.t
+      |  JOIN dfx ON tf.t = dfx.t
+      |  JOIN dl ON tf.doc_id = dl.doc_id, stats
+      |  WHERE tf.doc_id <> q.q_id),
+      |sc AS (SELECT q_id, doc_id,
+      |        CAST(sum(c) AS DOUBLE) / CAST(1e9 AS DOUBLE) AS score
+      |       FROM contrib GROUP BY q_id, doc_id),
+      |rk AS (SELECT q_id, doc_id, score,
+      |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      |       FROM sc)
+      |SELECT q_id, rank, doc_id, score FROM rk WHERE rank <= 10
+      |ORDER BY q_id, rank""".stripMargin
+
   lazy val oracles: Map[String, String] =
     baseOracles + ("s05_ann_recall" -> s05Sql) + ("d11_semantic_dedup" -> d11Sql) +
-      ("s06_cluster_corpus" -> s06Sql)
+      ("s06_cluster_corpus" -> s06Sql) + ("s07_bm25_topk" -> s07Sql)
 
   private lazy val baseOracles: Map[String, String] = Map(
     "s01_ann_bruteforce" ->

@@ -1093,6 +1093,31 @@ class GraftApiSpec extends AnyFunSuite {
     assert(out == Seq(("A", "B", 1L, 2L, 2L, 1.0 / 3.0, 0.5)), out.toString)
   }
 
+  test("lexicalTopK ranks by rare-term relevance with length normalization") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "zygote protein fold study"),       // carries the rare query term
+      (2L, "the common words appear here the common words appear here"),
+      (3L, "zygote"),                          // rare term, shortest doc
+      (4L, "protein study of the common words appear")
+    ).toDF("cid", "ctext")
+    val queries = Seq((100L, "zygote study")).toDF("kid", "ktext")
+    val out = Graft.lexicalTopK(corpus, $"cid", $"ctext",
+        queries, $"kid", $"ktext", k = 4)
+      .select($"rank", $"doc_id", $"score")
+      .as[(Long, Long, Double)].collect().toSeq
+    // doc 2 shares no query term: absent entirely (the inverted index
+    // never scores it); doc 1 matches BOTH terms and tops the list; the
+    // rare-term-only doc 3 outranks doc 4's common-term-only match
+    assert(out.map(_._2) == Seq(1L, 3L, 4L), out.toString)
+    // scores strictly decrease and are exactly reproducible (quantized)
+    assert(out.map(_._3) == out.map(_._3).sorted.reverse, out.toString)
+    val again = Graft.lexicalTopK(corpus, $"cid", $"ctext",
+        queries, $"kid", $"ktext", k = 4)
+      .select($"score").as[Double].collect().toSeq
+    assert(again.toSet == out.map(_._3).toSet, "scores must be deterministic")
+  }
+
   test("triangleCounts separates a clique from a chain") {
     import spark.implicits._
     // 4-clique (a template farm) + a 3-chain of incidental matches; edge
