@@ -1846,9 +1846,10 @@ object Graft {
     val sat = (col("tf") * (lit(k1) + lit(1.0))) /
       (col("tf") + lit(k1) *
         (lit(1.0) - lit(b) + (lit(b) * col("dl")) / col("avgdl")))
-    val contrib = broadcast(qTerms)
+    // fold df into the query-term frame FIRST (query-vocabulary-sized), so
+    // the corpus-sized postings stream is joined exactly once on the term
+    val contrib = broadcast(qTerms.join(df, "t"))
       .join(tf, "t")
-      .join(df, "t")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .where(if (excludeSelf) col("q_id") =!= col("doc_id") else lit(true))
