@@ -83,4 +83,31 @@ class CleaningPropertiesSpec extends AnyFunSuite {
     val bad = df.filter(!Silver.phoneClean(col("x")).rlike("^\\(\\d{10}\\)$")).count()
     assert(bad == 0)
   }
+
+  test("cdcChunks is a lossless segmentation of arbitrary strings") {
+    import spark.implicits._
+    // printable-ASCII strings across the length regimes that matter:
+    // empty, shorter than the hash window (8), around it, and long
+    val texts = samples(Gen.asciiPrintableStr, 250) ++
+      samples(Gen.chooseNum(1, 40)
+        .flatMap(n => Gen.listOfN(n, Gen.asciiPrintableChar).map(_.mkString)), 250) ++
+      Seq("", "1234567", "12345678", "a" * 500)
+    val df = texts.distinct.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("rid", "body").cache()
+    val ch = graft.api.Graft.cdcChunks(df, $"rid", $"body")
+    // in-order concatenation rebuilds every non-empty input exactly;
+    // empty inputs produce no chunks at all
+    val rebuilt = ch.orderBy($"id", $"chunk_idx")
+      .groupBy($"id").agg(concat_ws("", collect_list($"chunk")).as("r"))
+    val joined = df.join(rebuilt, df("rid") === rebuilt("id"), "left")
+    val broken = joined.filter(
+      when(length($"body") === 0, $"r".isNotNull)
+        .otherwise($"r".isNull || $"r" =!= $"body")).count()
+    assert(broken == 0)
+    // chunk lengths account for every character exactly once
+    val lenOk = ch.groupBy($"id").agg(sum($"chunk_len").as("n"))
+      .join(df, col("id") === df("rid"))
+      .filter(col("n") =!= length($"body")).count()
+    assert(lenOk == 0)
+  }
 }
