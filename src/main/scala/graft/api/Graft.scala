@@ -1824,13 +1824,18 @@ object Graft {
     * one keyed exact aggregate; top-k is a per-query window over the
     * scored candidates (only docs sharing at least one query term).
     * `excludeSelf` drops corpus rows whose id equals the query id (self-
-    * search); common high-df terms are the fan-out cost — the classic
-    * lever is a df cap on query terms, left to the caller. */
+    * search); common high-df terms are the fan-out cost — `maxDf` is the
+    * lever: query terms whose document frequency exceeds it are dropped
+    * before touching the postings (classic stopword pruning — a term in
+    * half the corpus contributes ~zero idf but all the join fan-out).
+    * None = no cap. */
   def lexicalTopK(corpus: DataFrame, id: Column, text: Column,
                   queries: DataFrame, qId: Column, qText: Column,
                   k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
-                  excludeSelf: Boolean = true): DataFrame = {
+                  excludeSelf: Boolean = true,
+                  maxDf: Option[Long] = None): DataFrame = {
     require(k >= 1, s"need k >= 1; got $k")
+    require(maxDf.forall(_ >= 1), s"need maxDf >= 1; got $maxDf")
     def toks(t: Column) = filter(split(trim(t), "\\s+"), x => x =!= lit(""))
     val corpusToks = corpus
       .select(id.as("doc_id"), explode(toks(text)).as("t"))
@@ -1847,8 +1852,11 @@ object Graft {
       (col("tf") + lit(k1) *
         (lit(1.0) - lit(b) + (lit(b) * col("dl")) / col("avgdl")))
     // fold df into the query-term frame FIRST (query-vocabulary-sized), so
-    // the corpus-sized postings stream is joined exactly once on the term
-    val contrib = broadcast(qTerms.join(df, "t"))
+    // the corpus-sized postings stream is joined exactly once on the term;
+    // the df cap prunes stopword fan-out before any posting is touched
+    val qdf = maxDf.foldLeft(qTerms.join(df, "t"))(
+      (q, cap) => q.where(col("df") <= cap))
+    val contrib = broadcast(qdf)
       .join(tf, "t")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))

@@ -1096,26 +1096,34 @@ class GraftApiSpec extends AnyFunSuite {
   test("lexicalTopK ranks by rare-term relevance with length normalization") {
     import spark.implicits._
     val corpus = Seq(
-      (1L, "zygote protein fold study"),       // carries the rare query term
-      (2L, "the common words appear here the common words appear here"),
-      (3L, "zygote"),                          // rare term, shortest doc
+      (1L, "zygote protein fold study"),  // both query terms
+      (2L, "the common words study appear here the common words study appear here"),
+      (3L, "zygote"),                     // rare term only, shortest doc
       (4L, "protein study of the common words appear")
     ).toDF("cid", "ctext")
+    // df(zygote) = 2 docs, df(study) = 3 docs
     val queries = Seq((100L, "zygote study")).toDF("kid", "ktext")
     val out = Graft.lexicalTopK(corpus, $"cid", $"ctext",
         queries, $"kid", $"ktext", k = 4)
       .select($"rank", $"doc_id", $"score")
       .as[(Long, Long, Double)].collect().toSeq
-    // doc 2 shares no query term: absent entirely (the inverted index
-    // never scores it); doc 1 matches BOTH terms and tops the list; the
-    // rare-term-only doc 3 outranks doc 4's common-term-only match
-    assert(out.map(_._2) == Seq(1L, 3L, 4L), out.toString)
+    // doc 1 matches BOTH terms and tops the list; rare-term-only doc 3
+    // outranks the common-term-only docs; among those, tf saturation
+    // still favors doc 2's repeated "study" over doc 4's single one
+    assert(out.map(_._2) == Seq(1L, 3L, 2L, 4L), out.toString)
     // scores strictly decrease and are exactly reproducible (quantized)
     assert(out.map(_._3) == out.map(_._3).sorted.reverse, out.toString)
     val again = Graft.lexicalTopK(corpus, $"cid", $"ctext",
         queries, $"kid", $"ktext", k = 4)
       .select($"score").as[Double].collect().toSeq
     assert(again.toSet == out.map(_._3).toSet, "scores must be deterministic")
+    // the df cap prunes the commoner term BEFORE the postings join:
+    // "study" (df 3) is dropped at maxDf = 2, so only "zygote" carriers
+    // are ever scored and the common-term-only docs vanish entirely
+    val capped = Graft.lexicalTopK(corpus, $"cid", $"ctext",
+        queries, $"kid", $"ktext", k = 4, maxDf = Some(2L))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(capped == Set(1L, 3L), capped.toString)
   }
 
   test("triangleCounts separates a clique from a chain") {
