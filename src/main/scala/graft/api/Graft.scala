@@ -1977,10 +1977,10 @@ object Graft {
     * Output: (grp_a, grp_b, n_common, k_used, j_est) for ALL group pairs
     * (zero-overlap pairs included — the sketch can't distinguish "no
     * overlap" from "overlap the sample missed"). Scale note: the per-group
-    * k-min currently sorts each group's fingerprints in its window
-    * partition; at extreme fingerprint cardinality, pre-filter with a
-    * coarse hash threshold or swap in a partial min-k aggregator — the
-    * estimator is unchanged. */
+    * k-min runs under Catalyst's WindowGroupLimit (plan-tested), so each
+    * task retains only its local k smallest hashes BEFORE the group
+    * exchange — the sketch build is a partial min-k reduction, never a
+    * full per-group fingerprint sort. */
   def corpusOverlapSketch(df: DataFrame, group: Column, text: Column,
                           k: Int = 256, ngramWords: Int = 5): DataFrame = {
     require(k >= 1, s"need k >= 1; got $k")

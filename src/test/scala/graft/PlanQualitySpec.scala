@@ -311,6 +311,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("corpusOverlapSketch builds k-min sketches as a partial reduction") {
+    import spark.implicits._
+    val docs = Seq(("A", "a b c d e f"), ("B", "a b c d e x")).toDF("ds", "body")
+    val plan = graft.api.Graft.corpusOverlapSketch(docs, $"ds", $"body", k = 4)
+      .queryExecution.executedPlan.toString
+    // WindowGroupLimit caps each task at its local k smallest hashes
+    // before the group exchange — the sketch build never sorts a group's
+    // full fingerprint set in one place
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("corpusOverlap broadcasts the group-size frames") {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
