@@ -105,6 +105,58 @@ object Maintenance {
     }
   }
 
+  /** Incremental gold: recompute the daily KPI rows ONLY for
+    * interaction_dates at or after the gold watermark (max date already
+    * present) and overwrite exactly those date partitions — the gold leg
+    * of the incremental chain ([[silverIncremental]] refreshes the silver
+    * partitions; this propagates the refresh without re-aggregating
+    * history). The recompute is EXACT, not approximate, because gold's
+    * grain IS its partition key: every aggregate of the daily KPI frame is
+    * a function of that date's silver rows alone, so the partition-scoped
+    * re-aggregation equals the full rebuild restricted to those dates.
+    * The watermark date itself is always re-processed (late rows of the
+    * newest day); re-running is idempotent. With no gold present this IS
+    * the initial build and routes through `Pipeline.gold`.
+    *
+    * Scale shape: the silver read partition-prunes to the affected dates
+    * (pushed predicate on the partition column — never a full-history
+    * scan), the aggregate shuffles only the slice, and the write touches
+    * only the refreshed date partitions (dynamic overwrite).
+    * Returns the row count of the refreshed partitions. */
+  def goldIncremental(spark: SparkSession, cfg: MdpConfig): Long = {
+    val catalogExists =
+      try spark.catalog.tableExists(cfg.goldFqn)
+      catch { case NonFatal(_) => false }
+    val existing: Option[DataFrame] =
+      if (catalogExists) Some(spark.table(cfg.goldFqn))
+      else try Some(spark.read.parquet(cfg.goldFallbackUri))
+      catch { case NonFatal(_) => None }
+    val watermark = existing.flatMap(df =>
+      Option(df.agg(max(col("interaction_date"))).head().getDate(0)))
+    watermark match {
+      case None => Pipeline.gold(spark, cfg)
+      case Some(d) =>
+        val silverDf =
+          Pipeline.readTable(spark, cfg.silverFqn, cfg.silverFallbackUri)
+        val slice = Gold.kpis(silverDf.where(col("interaction_date") >= lit(d)))
+        if (catalogExists) {
+          // positional insert: align to the table's column order
+          val cur = spark.table(cfg.goldFqn)
+          val aligned = slice.select(cur.columns.map(col): _*)
+          withDynamicOverwrite(spark) {
+            aligned.write.mode("overwrite").insertInto(cfg.goldFqn)
+          }
+        } else {
+          withDynamicOverwrite(spark) {
+            slice.write.mode("overwrite")
+              .partitionBy("interaction_date").parquet(cfg.goldFallbackUri)
+          }
+        }
+        val after = Pipeline.readTable(spark, cfg.goldFqn, cfg.goldFallbackUri)
+        after.where(col("interaction_date") >= lit(d)).count()
+    }
+  }
+
   /** Key-based MERGE/upsert into a date-partitioned parquet table: rows of
     * `updates` replace existing rows with the same key, new keys append —
     * but only the partitions that `updates` touches are read, merged and

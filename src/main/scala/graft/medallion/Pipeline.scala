@@ -437,6 +437,10 @@ object Pipeline {
         catch { case NonFatal(_) => () }
         log(s"Compaction: $b files -> $a files")
       case "gold" => timed("gold")(gold(spark, cfg))
+      case "gold-incremental" =>
+        val n = timed("gold-incremental")(
+          Maintenance.goldIncremental(spark, cfg))
+        log(s"Rows: $n")
       case "validate" => require(timed("validate")(validate(spark, cfg)), "validate failed")
       case "full" =>
         require(timed("smoke")(smoke(spark, cfg)), "smoke failed")

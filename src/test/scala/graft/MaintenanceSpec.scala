@@ -107,6 +107,64 @@ class MaintenanceSpec extends AnyFunSuite {
     all.unpersist()
   }
 
+  test("goldIncremental refreshes only new dates yet equals a full rebuild") {
+    import spark.implicits._
+    dropMedallionTables()
+    val base = tmpDir("goldincr")
+    val cfg = MdpConfig.fromEnv(base).copy(
+      ingestGb = 0.001, payloadKb = 1, partitions = 4)
+    val all = BronzeGen.generate(spark, 2000, 4, cfg.payloadKb, cfg.seed, Epoch)
+      .cache()
+    val cut = to_date(timestamp_seconds(lit(Epoch))) - expr("INTERVAL 15 DAYS")
+    all.where(to_date($"event_timestamp") < cut)
+      .write.parquet(cfg.bronzeUri)
+    Pipeline.silver(spark, cfg)
+    Pipeline.gold(spark, cfg)
+    val total1 = spark.table(cfg.goldFqn).count()
+
+    // new bronze days arrive; ONLY the incremental legs run
+    all.write.mode("overwrite").parquet(cfg.bronzeUri)
+    Maintenance.silverIncremental(spark, cfg)
+    val refreshed = Maintenance.goldIncremental(spark, cfg)
+
+    val got = spark.table(cfg.goldFqn)
+    val expected = graft.medallion.Gold.kpis(spark.table(cfg.silverFqn))
+    // the incremental write touched only the new-date suffix ...
+    assert(refreshed > 0 && refreshed < expected.count(),
+      s"refreshed=$refreshed full=${expected.count()}")
+    assert(got.count() > total1)
+    // ... yet the table equals the full re-aggregation (gold's grain is
+    // its partition key, so the scoped recompute sees identical rows).
+    // Counts/distincts/max compare EXACTLY; the plain double sums/avgs of
+    // Gold.kpis are order-dependent in their last ulp (same data, a
+    // different summation order), so those compare at 1e-9 relative —
+    // the kpisDet variant is the bit-exact form, pinned by the m03 gate.
+    val exactCols = Seq("daily_active_customers", "unique_email_addresses",
+      "support_tickets_created", "largest_transaction", "total_transactions",
+      "daily_conversions", "loyalty_member_interactions",
+      "total_points_earned", "total_points_redeemed",
+      "high_churn_risk_customers")
+    val dblCols = Seq("total_daily_revenue", "avg_transaction_value",
+      "web_revenue", "mobile_revenue", "store_revenue",
+      "avg_engagement_score", "avg_time_on_site", "avg_satisfaction_score",
+      "total_estimated_ltv")
+    val g = got.select($"interaction_date" +: got.columns.filter(_ != "interaction_date")
+      .map(c => col(c).as(s"g_$c")): _*)
+    val e = expected.select($"interaction_date" +: expected.columns
+      .filter(_ != "interaction_date").map(c => col(c).as(s"e_$c")): _*)
+    val j = g.join(e, "interaction_date", "full").cache()
+    assert(j.filter(exactCols.map(c =>
+      col(s"g_$c") =!= col(s"e_$c")).reduce(_ || _)).count() == 0, "exact cols diverge")
+    assert(j.filter(dblCols.map(c =>
+      abs(col(s"g_$c") - col(s"e_$c")) >
+        abs(col(s"e_$c")) * 1e-9 + 1e-9).reduce(_ || _)).count() == 0,
+      "double cols beyond ulp tolerance")
+    assert(j.filter($"g_total_transactions".isNull || $"e_total_transactions".isNull)
+      .count() == 0, "date sets differ")
+    j.unpersist()
+    all.unpersist()
+  }
+
   test("upsertPartitioned replaces keys in touched partitions and appends new ones") {
     import spark.implicits._
     val path = tmpDir("upsert") + "/t"
