@@ -1774,6 +1774,47 @@ object Graft {
     df.withColumn(out, label)
   }
 
+  /** Leakage-safe train/val/test split — [[splitCorpus]] keyed by the
+    * near-duplicate CLUSTER instead of the row: plain id-hash splitting
+    * puts a document's near-duplicates on the other side of the split
+    * with probability ~(1 - w), so a test set silently contains
+    * paraphrases of training documents — the classic eval-inflation bug.
+    * Here the d02/d03/d06 chain (LSH candidates → exact Jaccard verify →
+    * connected components) labels every document with its dup-cluster
+    * keeper, and the hash bucket is computed on THAT label: a whole
+    * cluster always lands on one side. Documents with no verified
+    * near-dup key by their own id (identical behavior to [[splitCorpus]]
+    * for them); exact duplicates share all shingles (Jaccard 1.0), so
+    * they cluster without a separate exact pass.
+    *
+    * Same determinism contract as [[splitCorpus]]: membership is a pure
+    * function of cluster label and weights — stable under re-partitioning,
+    * re-runs, and engines. Scale shape: the dedup chain's cost (bucketed,
+    * never all-pairs) plus one left join of the corpus against the
+    * cluster labels (cluster-membership-sized, usually tiny). */
+  def splitCorpusLeakageSafe(df: DataFrame, id: Column, text: Column,
+                             weights: Seq[(String, Double)],
+                             out: String = "split",
+                             minAgreement: Int = 4,
+                             jaccardThreshold: Double = 0.5,
+                             shingle: Int = 5): DataFrame = {
+    val sigs = minhashSignatures(df, id, text)
+    val pairs = nearDupPairs(sigs, minAgreement)
+    val edges = jaccardVerify(df, id, text, pairs, shingle)
+      .where(col("jaccard") >= jaccardThreshold)
+    val cc = connectedComponents(edges, col("id_a"), col("id_b"))
+    val taken = df.columns.toSet + out
+    val idc = freshName("__lss_id", taken)
+    val lbl = freshName("__lss_label", taken + idc)
+    splitCorpus(
+      df.withColumn(idc, id)
+        .join(cc.select(col("id").as(idc), col("component").as(lbl)),
+          Seq(idc), "left")
+        .withColumn(lbl, coalesce(col(lbl), col(idc))),
+      col(lbl), weights, out)
+      .drop(idc, lbl)
+  }
+
   /** One-call corpus datasheet — the per-slice summary a dataset card
     * reports and a pipeline gates on before training: per group,
     * document/token volumes, exact mean and (exact, interpolated) length

@@ -624,7 +624,24 @@ object TextAnalysis {
       .orderBy($"grp_a", $"grp_b")
   }
 
+  /** t33: LEAKAGE-SAFE corpus split — t21's hash split keyed by the
+    * near-dup cluster instead of the row, so a test set can never contain
+    * a verified near-duplicate of a training document (the classic
+    * eval-inflation bug id-hash splitting commits by construction). The
+    * full dedup chain decides the clusters; singleton docs split exactly
+    * as t21 does. Thin binding of
+    * [[graft.api.Graft.splitCorpusLeakageSafe]]. */
+  def t33LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.api.Graft.splitCorpusLeakageSafe(
+        Tables.load(s, dir, "documents"), $"doc_id", $"text",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select($"doc_id", $"lang", $"split")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t33_leakage_safe_split" -> t33LeakageSafeSplit,
     "t32_overlap_sketch" -> t32OverlapSketch,
     "t31_cdc_chunks" -> t31CdcChunks,
     "t30_corpus_overlap" -> t30CorpusOverlap,
@@ -659,6 +676,36 @@ object TextAnalysis {
     "t09_pii_redaction" -> t09PiiRedaction)
 
   val oracles: Map[String, String] = Map(
+    "t33_leakage_safe_split" -> {
+      val cuts = Seq(0.8, 0.9).map(f => math.round(f * 65536))
+      s"""WITH RECURSIVE ${Dedup.sigsSql()},
+         |sets AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, length(text)-4), i -> substr(text, i, 5))) AS sh
+         |  FROM documents),
+         |edges AS (
+         |  SELECT doc_a, doc_b FROM agreed
+         |  JOIN sets sa ON agreed.doc_a = sa.doc_id
+         |  JOIN sets sb ON agreed.doc_b = sb.doc_id
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |     / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5),
+         |verts AS (SELECT doc_a AS id FROM edges UNION SELECT doc_b FROM edges),
+         |edges2 AS (SELECT doc_a AS a, doc_b AS b FROM edges
+         |           UNION SELECT doc_b, doc_a FROM edges),
+         |reach(a, b) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN edges2 e2 ON r.b = e2.a),
+         |cc AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a),
+         |lbl AS (
+         |  SELECT d.doc_id, d.lang, coalesce(cc.comp, d.doc_id) AS grp
+         |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.id)
+         |SELECT doc_id, lang,
+         |  CASE WHEN CAST(concat('0x', substr(md5(CAST(grp AS VARCHAR)), 1, 4)) AS BIGINT) < ${cuts(0)} THEN 'train'
+         |       WHEN CAST(concat('0x', substr(md5(CAST(grp AS VARCHAR)), 1, 4)) AS BIGINT) < ${cuts(1)} THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM lbl ORDER BY doc_id""".stripMargin
+    },
     "t32_overlap_sketch" ->
       """WITH t AS (
         |  SELECT source,

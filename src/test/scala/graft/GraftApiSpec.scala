@@ -1093,6 +1093,30 @@ class GraftApiSpec extends AnyFunSuite {
     assert(out == Seq(("A", "B", 1L, 2L, 2L, 1.0 / 3.0, 0.5)), out.toString)
   }
 
+  test("splitCorpusLeakageSafe keeps near-dup clusters on one side of the split") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "pack my box with five dozen liquor jugs every single day now"
+    val docs = Seq(
+      (1L, base), (2L, base + " x"), (3L, base + " y z"), // one near-dup cluster
+      (4L, other),                                        // singleton
+      (5L, "completely different words entirely unrelated content here")
+    ).toDF("did", "body")
+    val w = Seq("train" -> 0.5, "test" -> 0.5)
+    val out = Graft.splitCorpusLeakageSafe(docs, $"did", $"body", w)
+      .select($"did", $"split").as[(Long, String)].collect().toMap
+    // the whole cluster lands on ONE side — the leakage id-hash splitting
+    // would commit with probability 1 - 0.5^2 for this cluster
+    assert(Set(out(1L), out(2L), out(3L)).size == 1, out.toString)
+    // singletons split exactly as plain splitCorpus does (same hash, own id)
+    val plain = Graft.splitCorpus(docs.where($"did" >= 4), $"did", w)
+      .select($"did", $"split").as[(Long, String)].collect().toMap
+    assert(out(4L) == plain(4L) && out(5L) == plain(5L), (out, plain).toString)
+    // appended column only; original schema intact
+    assert(Graft.splitCorpusLeakageSafe(docs, $"did", $"body", w).columns.toSeq
+      == Seq("did", "body", "split"))
+  }
+
   test("lexicalTopK ranks by rare-term relevance with length normalization") {
     import spark.implicits._
     val corpus = Seq(
