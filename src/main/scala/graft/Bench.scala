@@ -110,8 +110,34 @@ object Bench {
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+
+    // Carried-query drift check (round-8 lesson: the r7 sweep read ~20%
+    // slow purely from host load during the driver's run — st02 2.1x —
+    // and a round of adjudication was spent proving no code regressed).
+    // BENCH_PINS.json pins each query's best known quiet-host min at the
+    // standard sf0.1; any carried query >1.5x its pin on an sf0.1 run is
+    // flagged in the output JSON so a real regression (or a loaded host)
+    // is named the moment it happens, not a round later. Sub-0.2s pins
+    // are skipped (pure jitter territory). Pins are advisory — the run
+    // still emits its JSON line either way.
+    val pinsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PINS", "BENCH_PINS.json")
+    val drift: Seq[(String, Double, Double)] =
+      if (!sfDir.contains("sf0.1") || !new java.io.File(pinsPath).exists()) Nil
+      else {
+        val txt = scala.io.Source.fromFile(pinsPath).mkString
+        val pin = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r
+        pin.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
+          .toMap.toSeq.collect {
+            case (k, p) if p >= 0.2 =>
+              results.collectFirst { case (`k`, v) if v > 0 => (k, p, v / p) }
+          }.flatten.filter(_._3 > 1.5).sortBy(-_._3)
+      }
+    drift.foreach { case (k, p, r) =>
+      System.err.println(f"[bench] DRIFT $k: ${r}%.2fx its pinned min $p%.3fs") }
+    val driftJson = drift.map { case (k, _, r) => f""""$k":$r%.2f""" }
+      .mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$mdp,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$mdp,"drift_count":${drift.size},"drift":$driftJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -73,7 +73,12 @@ object Stress {
 
       val sigs = graft.api.Graft.minhashSignatures(
         docs, $"doc_id", $"text", assumeUniqueIds = true)
+      // persisted ONCE here for its three consumers (count, jaccard
+      // verify, containment verify) — the verify stages' internal
+      // persist-if-unpersisted then reuses these blocks, and the single
+      // unpersist below honors their callers-release contract
       val pairs = graft.api.Graft.nearDupPairs(sigs, minAgreement = 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       val (tPairs, nPairs) = secs(pairs.count())
 
       // verified edges persist for two consumers: the verify count here
@@ -166,8 +171,31 @@ object Stress {
       val (tRob, _) = secs(mat(graft.api.Graft.robustOutliers(
         docs.select($"doc_id", $"lang", $"n_chars"), $"lang", $"n_chars")))
 
+      // round-8 additions (the amplification-heavy gates, VERDICT r7 #8):
+      // t27 duplicateSpans explodes ~window x the corpus tokens — the
+      // documented bounded amplification, so time must scale ~K
+      val (tSpans, _) = secs(mat(graft.api.Graft.duplicateSpans(
+        docs, $"doc_id", $"text", window = 20)))
+      // t28 excision under K-cliques is the worst case the round-8 island
+      // merge exists for: EVERY window is corpus-hot, so pre-merge the
+      // per-doc flagged-window array was O(tokens) and the rebuild
+      // quadratic; with islands it collapses to ~1 span per document
+      val (tExcise, _) = secs(mat(graft.api.Graft.exciseDuplicateSpans(
+        docs, $"doc_id", $"text", window = 20)))
+      // d15 containment verify rides the same candidate stream as the
+      // jaccard verify (shared persisted pairs): sorted-merge overlap +
+      // the same size-gated broadcast/shuffle fallback
+      val (tContain, nContain) = secs(graft.api.Graft.containmentVerify(
+        docs, $"doc_id", $"text", pairs).count())
+      // t33 leakage-safe split = the dedup chain + one label join; its
+      // cost must track the chain (already measured above), not blow up
+      // in the corpus join
+      val (tSplit, nSplit) = secs(graft.api.Graft.splitCorpusLeakageSafe(
+        docs, $"doc_id", $"text", Seq("train" -> 0.8, "test" -> 0.2)).count())
+      pairs.unpersist()
+
       docs.unpersist()
-      f"""{"k":$n,"n_docs":$nDocs,"sig_s":$tSig%.2f,"pairs_s":$tPairs%.2f,"n_pairs":$nPairs,"verify_s":$tVerify%.2f,"n_edges":$nEdges,"dedup_s":$tDedup%.2f,"n_kept":$nKept,"contam_s":$tContam%.2f,"repetition_s":$tRep%.2f,"boilerplate_s":$tBp%.2f,"clean_s":$tClean%.2f,"n_clean":$nClean,"semantic_s":$tSem%.2f,"n_semantic":$nSem,"bpe_s":$tBpe%.2f,"n_merges":$nMergesGot,"fluency_s":$tFluency%.2f,"chunk_s":$tChunk%.2f,"score_s":$tScore%.2f,"triangles_s":$tTri%.2f,"n_triangles":$nTri,"cdc_s":$tCdc%.2f,"n_cdc_chunks":$nCdcChunks,"overlap_s":$tOv%.2f,"overlap_sketch_s":$tOvSk%.2f,"robust_s":$tRob%.2f}"""
+      f"""{"k":$n,"n_docs":$nDocs,"sig_s":$tSig%.2f,"pairs_s":$tPairs%.2f,"n_pairs":$nPairs,"verify_s":$tVerify%.2f,"n_edges":$nEdges,"dedup_s":$tDedup%.2f,"n_kept":$nKept,"contam_s":$tContam%.2f,"repetition_s":$tRep%.2f,"boilerplate_s":$tBp%.2f,"clean_s":$tClean%.2f,"n_clean":$nClean,"semantic_s":$tSem%.2f,"n_semantic":$nSem,"bpe_s":$tBpe%.2f,"n_merges":$nMergesGot,"fluency_s":$tFluency%.2f,"chunk_s":$tChunk%.2f,"score_s":$tScore%.2f,"triangles_s":$tTri%.2f,"n_triangles":$nTri,"cdc_s":$tCdc%.2f,"n_cdc_chunks":$nCdcChunks,"overlap_s":$tOv%.2f,"overlap_sketch_s":$tOvSk%.2f,"robust_s":$tRob%.2f,"spans_s":$tSpans%.2f,"excise_s":$tExcise%.2f,"contain_s":$tContain%.2f,"n_contain":$nContain,"split_s":$tSplit%.2f,"n_split":$nSplit}"""
     }
     println(s"""{"stress":[${results.mkString(",")}],"sf":"$dir"}""")
     spark.stop()

@@ -369,15 +369,26 @@ object Graft {
     * shuffles on (id, label) pairs; the classic large-graph CC shape).
     * Rounds run driver-side until a fixpoint is PROVEN: labels decrease
     * monotonically, so an unchanged label sum means converged — never a
-    * guessed iteration cap. Each round materializes via localCheckpoint to
-    * keep the plan shallow (iterative lineage otherwise grows
-    * exponentially in the optimizer). */
-  def connectedComponents(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    * guessed iteration cap. Each round materializes (checkpoint) to keep
+    * the plan shallow (iterative lineage otherwise grows exponentially in
+    * the optimizer).
+    *
+    * `checkpointDir`: when None, rounds materialize via `localCheckpoint`
+    * — fastest, but blocks live on executors, so on a real cluster one
+    * lost executor kills the job past recovery; fine for short local
+    * runs. Set it to a reliable store (HDFS/S3) for long cluster runs:
+    * rounds then use `df.checkpoint()`, whose blocks survive executor
+    * loss — the right posture for a 100 TB dup graph whose fixpoint loop
+    * runs long enough for failures to be expected. Both modes converge
+    * identically (the checkpoint is pure materialization). */
+  def connectedComponents(edges: DataFrame, src: Column, dst: Column,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val mat = materializer(edges, checkpointDir)
     val e = edges.select(src.as("a"), dst.as("b"))
-    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint()
-    var labels = sym.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).localCheckpoint()
+    val sym = mat(e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct())
+    var labels = mat(sym.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("label")))
     // exact decimal sum: labels only ever decrease, so an unchanged sum
     // proves the fixpoint (and a 38-digit sum cannot wrap); an empty edge
     // list (nothing to deduplicate) sums to 0 and converges immediately
@@ -404,11 +415,24 @@ object Graft {
         .join(labels.as("l0"), col("l1.label") === col("l0.id"))
         .select(col("l1.id").as("id"),
           least(col("l1.label"), col("l0.label")).as("label"))
-      labels = jumped.localCheckpoint()
+      labels = mat(jumped)
       converged = labelSum(labels).compareTo(before) == 0
     }
     labels.select(col("id"), col("label").as("component"))
   }
+
+  /** Round materializer for the iterative graph loops: reliable
+    * `checkpoint()` into `dir` when given (survives executor loss),
+    * `localCheckpoint()` otherwise (executor-resident, fastest). Sets the
+    * session's checkpoint dir on first use; both cut lineage eagerly. */
+  private def materializer(anchor: DataFrame,
+                           checkpointDir: Option[String]): DataFrame => DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        anchor.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
 
   /** PageRank over an undirected edge list (edges are symmetrized), with
     * cross-engine-exact numerics: per-vertex neighbor contributions are
@@ -423,20 +447,22 @@ object Graft {
     * per-vertex sum stays far below 2^53 and the long->double read-back is
     * exact.) Returns (id, rank) for every vertex appearing in an edge;
     * ranks sum to 1 within the 1e-12 quantization. Driver actions: one
-    * O(1) vertex count + `iters` materialized rounds (localCheckpoint
-    * keeps the plan shallow — same shape as [[connectedComponents]]).
+    * O(1) vertex count + `iters` materialized rounds (checkpointing keeps
+    * the plan shallow — same shape and same `checkpointDir` reliability
+    * contract as [[connectedComponents]]).
     *
     * At scale each round is two narrow-keyed shuffles (contribution join +
     * per-vertex sum) over the edge list only — the classic large-graph
     * PageRank shape; `iters` is fixed (rank deltas converge geometrically;
     * production runs pick 10-20). */
   def pageRank(edges: DataFrame, src: Column, dst: Column,
-               iters: Int = 3, damping: Double = 0.85): DataFrame = {
+               iters: Int = 3, damping: Double = 0.85,
+               checkpointDir: Option[String] = None): DataFrame = {
+    val mat = materializer(edges, checkpointDir)
     val e = edges.select(src.as("a"), dst.as("b"))
-    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint()
-    val deg = sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+    val sym = mat(e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct())
+    val deg = mat(sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg")))
     val n = deg.count()
     var ranks = deg.select(col("id"), lit(1.0 / n).as("rank"))
     for (_ <- 1 to iters) {
@@ -444,10 +470,9 @@ object Graft {
         .join(ranks.join(deg, Seq("id")), sym("a") === col("id"))
         .select(sym("b").as("id"),
           round((col("rank") / col("deg")) * lit(1e12)).cast(LongType).as("c"))
-      ranks = contrib.groupBy(col("id"))
+      ranks = mat(contrib.groupBy(col("id"))
         .agg((lit((1 - damping) / n) +
-          lit(damping) * (sum(col("c")).cast(DoubleType) / lit(1e12))).as("rank"))
-        .localCheckpoint()
+          lit(damping) * (sum(col("c")).cast(DoubleType) / lit(1e12))).as("rank")))
     }
     ranks
   }
@@ -1328,6 +1353,24 @@ object Graft {
           " ").as("clean_text"))
   }
 
+  /** Mersenne-prime modulus of the CDC rolling hash (2^31 - 1): products
+    * `code * power` stay below 128 * 2^31 and a full window sum below
+    * 2^41, so the arithmetic is exact in plain BIGINTs everywhere. */
+  val CdcM: Long = 2147483647L
+  /** Polynomial base of the CDC rolling hash. */
+  val CdcB: Long = 131L
+
+  /** Literal powers CdcB^(window-1-j) mod CdcM for j in [0, window) —
+    * inlined as constants on BOTH engines so no engine's pow() (often
+    * DOUBLE-valued) enters the hash. */
+  def cdcPowers(window: Int): Array[Long] = {
+    val pw = new Array[Long](window)
+    pw(window - 1) = 1L
+    var j = window - 2
+    while (j >= 0) { pw(j) = pw(j + 1) * CdcB % CdcM; j -= 1 }
+    pw
+  }
+
   /** Content-defined chunking (CDC) — split each document at positions
     * where the rolling content window hashes to 0 mod `divisor` (the
     * Rabin-fingerprint boundary rule of storage dedup, here with the
@@ -1343,20 +1386,42 @@ object Graft {
     * chunk_md5, chunk), 0-based start offsets; expected chunk length is
     * ~`divisor` chars. Documents shorter than `window` yield one whole-doc
     * chunk; empty documents yield no rows. Narrow projection + explode —
-    * no shuffle; the md5-per-position cost matches [[duplicateSpans]]'s
-    * bounded amplification. */
+    * no shuffle.
+    *
+    * The window hash is a polynomial hash (base [[CdcB]] mod the Mersenne
+    * prime [[CdcM]]) over per-character codes from `ascii()`, evaluated
+    * from a codepoint ARRAY built once per document — O(window) integer
+    * multiply-adds per position with O(1) character access, vs the
+    * earlier md5-per-position form whose `substr(t, i, window)` cost an
+    * O(i) byte scan per position (quadratic per document) plus a full
+    * digest. All intermediate sums stay below 2^41, so the identical
+    * literal-power expression is exact in any 64-bit-integer engine.
+    * Character codes follow each engine's `ascii()` (Spark: first byte;
+    * DuckDB: codepoint) — identical on ASCII text; on multi-byte text
+    * boundaries remain deterministic per engine but engine-specific,
+    * which is acceptable because the boundary rule is arbitrary by
+    * construction (any uniform hash yields ~`divisor` expected chunk
+    * length). */
   def cdcChunks(df: DataFrame, id: Column, text: Column,
                 window: Int = 8, divisor: Int = 64): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(divisor >= 1, s"divisor must be >= 1, got $divisor")
     val t = col("__cdc_t")
     val n = length(t)
+    val pw = cdcPowers(window)
+    // per-character codes, built once per document: split("") is O(n)
+    // and element_at on the array is O(1), unlike substr on a long
+    // UTF8String which must scan from the front
+    val cps = transform(split(t, ""), c => ascii(c).cast(LongType))
+    // polynomial hash of the window ENDING at 1-based position i
+    def winHash(i: Column): Column = pmod(
+      (0 until window).map(j =>
+        element_at(cps, i - (window - 1) + j) * lit(pw(j)))
+        .reduce(_ + _), lit(CdcM))
     // a boundary AFTER position i (1-based) wherever the window ending at
     // i hashes to 0 mod divisor; guard n < window (sequence would descend)
     val bnds = when(n >= window,
-      filter(sequence(lit(window), n), i =>
-        graft.functions.Md5Int60.md5Int60(
-          t.substr(i - (window - 1), lit(window))) % divisor === 0))
+      filter(sequence(lit(window), n), i => winHash(i) % divisor === 0))
       .otherwise(array().cast(ArrayType(IntegerType)))
     val starts = concat(array(lit(0)), bnds)
     val ends = concat(bnds, array(n))
@@ -1478,10 +1543,31 @@ object Graft {
     val dupHashes = wins.groupBy(col("__wh"))
       .agg(count(lit(1)).as("__c")).where(col("__c") > 1)
       .select(col("__wh"))
+    // merge overlapping (and touching) flagged windows into maximal
+    // islands BEFORE collecting: a heavily-duplicated n-token document
+    // with stride=1 flags ~n windows, and collecting raw windows would
+    // make the broadcast array O(n) and the per-token exists() rebuild
+    // O(n^2) on exactly the documents this operator targets; islands
+    // restore the documented ≤ tokens/window bound. Same gaps-and-islands
+    // chain as [[duplicateSpans]], except touching spans also merge
+    // (covered-token membership is identical, the array only shrinks).
+    // The window chain and the groupBy both key on id, so AQE reuses one
+    // exchange for the pair.
+    val iw = Window.partitionBy(col("id")).orderBy(col("__ws"))
     val spans = wins.join(dupHashes, Seq("__wh"))
+      .withColumn("__we", col("__ws") + (window - 1))
+      .withColumn("__prevMax",
+        max(col("__we")).over(iw.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__prevMax").isNull || col("__ws") > col("__prevMax") + 1, 1)
+          .otherwise(0))
+      .withColumn("__island",
+        sum(col("__new")).over(iw.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("id"), col("__island"))
+      .agg(min(col("__ws")).as("s"), max(col("__we")).as("e"))
       .groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("__ws").as("s"),
-        (col("__ws") + (window - 1)).as("e")))).as("__spans"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e"))))
+        .as("__spans"))
     base.join(spans, Seq("id"), "left")
       .withColumn("__spans", coalesce(col("__spans"),
         array().cast(ArrayType(StructType(Seq(
@@ -1799,10 +1885,19 @@ object Graft {
                              jaccardThreshold: Double = 0.5,
                              shingle: Int = 5): DataFrame = {
     val sigs = minhashSignatures(df, id, text)
+    // persist the candidate pairs HERE (jaccardVerify would otherwise do
+    // it internally with a callers-unpersist contract this composite would
+    // break): the CC fixpoint below materializes the verified edges, after
+    // which the cached pair blocks are dead weight — release them before
+    // returning so looped invocations don't grow the cache registry.
     val pairs = nearDupPairs(sigs, minAgreement)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val edges = jaccardVerify(df, id, text, pairs, shingle)
       .where(col("jaccard") >= jaccardThreshold)
+    // cc is localCheckpoint-materialized by the fixpoint loop, so nothing
+    // downstream re-reads the pair stream
     val cc = connectedComponents(edges, col("id_a"), col("id_b"))
+    pairs.unpersist(blocking = false)
     val taken = df.columns.toSet + out
     val idc = freshName("__lss_id", taken)
     val lbl = freshName("__lss_label", taken + idc)
@@ -2235,26 +2330,49 @@ object Graft {
     * totals (one row each) get their own prefix sum — a window over
     * `partitions` rows, trivially small — and broadcast-join back as
     * offsets. The corpus is exchanged exactly once; nothing funnels
-    * through one task. Equal-width value buckets assume ids are roughly
-    * dense (the usual sequential doc-id shape); sparse clustered ids skew
-    * bucket sizes but never correctness. */
+    * through one task.
+    *
+    * Bucket bounds are approximate QUANTILES of an order-preserving
+    * numeric proxy of the id (numeric ids cast directly; string ids map
+    * through their zero-padded first 8 bytes, monotone because engine
+    * string order is unsigned-byte-lexicographic; date/timestamp through
+    * epoch), computed in-plan by `percentile_approx` and broadcast — so
+    * bucket SIZES track the actual id distribution: sparse clustered ids
+    * (e.g. {1..10^6} plus one id near 2^50, which put everything in one
+    * equal-width bucket) still split evenly. The proxy is monotone
+    * non-strict (ties past 8 string bytes or past 2^53 share a proxy and
+    * hence a bucket); the within-bucket window orders by the FULL id, so
+    * the global order is exact regardless of proxy ties. */
   def packSequences(df: DataFrame, id: Column, nTokens: Column,
                     capacity: Long, partitions: Int = 0): DataFrame = {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
     val p = if (partitions > 0) partitions
             else df.sparkSession.sparkContext.defaultParallelism
     val base0 = df.select(id.as("id"), nTokens.cast(LongType).as("n_tokens"))
-    require(base0.schema("id").dataType.isInstanceOf[NumericType],
-      s"packSequences: id must be numeric (got ${base0.schema("id").dataType}); " +
-        "the range-bucket prefix sum orders by id value")
-    val mm = base0.agg(min(col("id")).as("__minid"), max(col("id")).as("__maxid"))
-    val base = base0.crossJoin(broadcast(mm))
-      .withColumn("__pid",
-        when(col("__maxid") <=> col("__minid"), lit(0))
-          .otherwise(floor((col("id") - col("__minid")).cast(DoubleType)
-            * p / (col("__maxid") - col("__minid") + 1).cast(DoubleType))
-            .cast(IntegerType)))
-      .drop("__minid", "__maxid")
+    val proxy: Column = base0.schema("id").dataType match {
+      case _: NumericType => col("id").cast(DoubleType)
+      case StringType =>
+        conv(hex(expr("rpad(encode(id, 'UTF-8'), 8, x'00')")), 16, 10)
+          .cast(DoubleType)
+      case DateType => col("id").cast(TimestampType).cast(DoubleType)
+      case TimestampType => col("id").cast(DoubleType)
+      case other => throw new IllegalArgumentException(
+        s"packSequences: id must be numeric, string, date, or timestamp " +
+          s"(got $other); the range-bucket prefix sum orders by id")
+    }
+    val base =
+      if (p <= 1) base0.withColumn("__pid", lit(0))
+      else {
+        val probs = array((1 until p).map(k => lit(k.toDouble / p)): _*)
+        val bounds = base0
+          .agg(percentile_approx(proxy, probs, lit(10000)).as("__bnds"))
+        base0.withColumn("__proxy", proxy)
+          .crossJoin(broadcast(bounds))
+          .withColumn("__pid",
+            size(filter(col("__bnds"), b => b <= col("__proxy")))
+              .cast(IntegerType))
+          .drop("__proxy", "__bnds")
+      }
     val w = Window.partitionBy(col("__pid")).orderBy(col("id"))
     val local = base.withColumn("__cum", sum(col("n_tokens")).over(w))
     val wPid = Window.orderBy(col("__pid"))

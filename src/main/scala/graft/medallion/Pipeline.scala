@@ -58,9 +58,12 @@ object MdpConfig {
 }
 
 /** Staged medallion pipeline: smoke | bronze | silver | silver-incremental
-  * | compact-silver | gold | validate | full — the reference's
-  * orchestration contract (scripts/run_pipeline.py:303-362) in a single
-  * Scala main: fail-fast stages, empty-input guards, `Rows:` /
+  * | compact-silver | gold | validate | rollback | rollback-rebuild |
+  * full — the reference's orchestration contract
+  * (scripts/run_pipeline.py:303-362) in a single Scala main: fail-fast
+  * stages, empty-input guards, per-stage wall-clock budgets that cancel
+  * the stage's jobs on expiry (run_pipeline.py:139-214), the
+  * reverse-dependency rollback playbook (scripts/rollback.sh), `Rows:` /
   * `Throughput:` / `SMOKE_OK` log markers, plus the table-maintenance
   * stages (graft.medallion.Maintenance) a continuously-running deployment
   * needs.
@@ -75,6 +78,62 @@ object MdpConfig {
   */
 object Pipeline {
   private def log(msg: String): Unit = println(s"[mdp] $msg")
+
+  /** A stage exceeded its wall-clock budget and its Spark jobs were
+    * cancelled (the reference orchestrator's per-stage timeout contract,
+    * scripts/run_pipeline.py:139/170/200/214). */
+  final class StageTimeoutException(msg: String, cause: Throwable = null)
+    extends RuntimeException(msg, cause)
+
+  /** Reference per-stage budgets in minutes: smoke 10, bronze 180,
+    * silver 60, gold 30 (run_pipeline.py:139,170,200,214); validate gets
+    * smoke's 10. Incremental/maintenance variants inherit their layer's
+    * budget. Override any stage with MDP_<STAGE>_TIMEOUT_MIN; set it <= 0
+    * to disable enforcement for that stage. */
+  private val DefaultBudgetMin = Map(
+    "smoke" -> 10.0, "bronze" -> 180.0, "silver" -> 60.0, "gold" -> 30.0,
+    "validate" -> 10.0, "silver-incremental" -> 60.0, "gold-incremental" -> 30.0,
+    "compact-silver" -> 60.0, "rollback" -> 10.0)
+
+  private[medallion] def stageBudgetMin(stage: String): Option[Double] =
+    sys.env.get(s"MDP_${stage.toUpperCase.replace('-', '_')}_TIMEOUT_MIN")
+      .map(_.toDouble).orElse(DefaultBudgetMin.get(stage))
+      .filter(_ > 0)
+
+  /** Run `f` under a wall-clock budget: a daemon timer cancels the stage's
+    * Spark job group at the deadline (tasks interrupt — the local
+    * equivalent of the reference deleting the SparkApplication), and the
+    * stage fails with [[StageTimeoutException]] whether the cancellation
+    * surfaced as a SparkException or the body happened to finish after
+    * the deadline on driver-side work. The job group scopes cancellation
+    * to THIS stage — concurrent queries on the session are untouched. */
+  def withStageTimeout[A](spark: SparkSession, name: String,
+                          minutes: Double)(f: => A): A = {
+    val sc = spark.sparkContext
+    val group = s"mdp-$name-${System.nanoTime()}"
+    sc.setJobGroup(group, s"mdp stage $name (budget ${minutes}m)",
+      interruptOnCancel = true)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val timer = new java.util.Timer(s"mdp-timeout-$name", true)
+    // REPEATING cancel from the deadline on: a one-shot cancel races job
+    // submission (cancelJobGroup only hits jobs already active — a stage
+    // still in planning at the deadline, or a multi-job stage between
+    // jobs, would sail on); ticking every 250ms kills whatever the group
+    // runs next until the body unwinds
+    timer.scheduleAtFixedRate(new java.util.TimerTask {
+      def run(): Unit = { fired.set(true); sc.cancelJobGroup(group) }
+    }, math.max(1L, (minutes * 60000).toLong), 250L)
+    def timeoutMsg = f"Stage $name exceeded its $minutes%.3f-minute budget"
+    try {
+      val res = f
+      if (fired.get) throw new StageTimeoutException(timeoutMsg)
+      res
+    } catch {
+      case e: StageTimeoutException => throw e
+      case NonFatal(e) if fired.get =>
+        throw new StageTimeoutException(s"$timeoutMsg (jobs cancelled)", e)
+    } finally { timer.cancel(); sc.clearJobGroup() }
+  }
 
   def session(cfg: MdpConfig): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -405,6 +464,31 @@ object Pipeline {
     }
   }
 
+  /** Rollback — the reference's recovery playbook (scripts/rollback.sh:
+    * reverse-dependency-order teardown) at table granularity: drop the
+    * gold then silver catalog tables AND delete their physical locations
+    * (catalog location when present, path fallback always), leaving
+    * bronze intact so `silver` + `gold` rebuild the layers from source.
+    * Idempotent: a second rollback is a no-op. */
+  def rollback(spark: SparkSession, cfg: MdpConfig): Unit = {
+    val layers = Seq( // gold first: reverse dependency order
+      ("gold", cfg.goldFqn, cfg.goldFallbackUri),
+      ("silver", cfg.silverFqn, cfg.silverFallbackUri))
+    for ((layer, fqn, fallback) <- layers) {
+      val locs = (tableLocation(spark, fqn).toSeq :+ fallback).distinct
+      try {
+        spark.sql(s"DROP TABLE IF EXISTS $fqn")
+        log(s"Dropped table $fqn")
+      } catch { case NonFatal(e) => log(s"Drop $fqn skipped: ${e.getMessage}") }
+      for (loc <- locs) {
+        val p = new org.apache.hadoop.fs.Path(loc)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) { fs.delete(p, true); log(s"Deleted $layer files at $loc") }
+      }
+    }
+    log("Rollback complete: bronze retained; run silver + gold to rebuild")
+  }
+
   def main(args: Array[String]): Unit = {
     val stage = args.headOption.getOrElse("full")
     val baseDir = args.lift(1).getOrElse("/tmp/mdp")
@@ -413,7 +497,12 @@ object Pipeline {
     spark.sparkContext.setLogLevel("WARN")
     def timed[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
-      val res = f
+      // enforce the stage's wall-clock budget exactly like the reference
+      // orchestrator (timeout -> kill the stage's jobs -> fail the run)
+      val res = stageBudgetMin(name) match {
+        case Some(m) => withStageTimeout(spark, name, m)(f)
+        case None => f
+      }
       log(f"Stage $name completed in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       res
     }
@@ -442,6 +531,12 @@ object Pipeline {
           Maintenance.goldIncremental(spark, cfg))
         log(s"Rows: $n")
       case "validate" => require(timed("validate")(validate(spark, cfg)), "validate failed")
+      case "rollback" => timed("rollback")(rollback(spark, cfg))
+      case "rollback-rebuild" =>
+        timed("rollback")(rollback(spark, cfg))
+        timed("silver")(silver(spark, cfg))
+        timed("gold")(gold(spark, cfg))
+        log("Rollback-rebuild completed successfully")
       case "full" =>
         require(timed("smoke")(smoke(spark, cfg)), "smoke failed")
         timed("bronze")(bronze(spark, cfg))

@@ -412,9 +412,12 @@ object TextAnalysis {
       .orderBy($"merge_rank")
   }
 
-  /** The unrolled-round DuckDB replica of [[graft.api.Graft.trainBpeMerges]]
-    * (nMerges CTE rounds; chr(1) is the same symbol sentinel). */
-  private[graft] def t22OracleSql(nMerges: Int): String = {
+  /** The shared unrolled-round training WITH-chain both BPE oracles build
+    * on (nMerges CTE rounds; chr(1) is the same symbol sentinel): ends at
+    * the last st CTE with NO select tail, so [[t22OracleSql]] and
+    * [[t23OracleSql]] each append their own — composition by
+    * construction, not by cutting the rendered SQL apart. */
+  private[graft] def bpeTrainCtes(nMerges: Int): String = {
     val rounds = (1 to nMerges).map { r =>
       s"""p$r AS (
         |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c FROM (
@@ -429,9 +432,6 @@ object TextAnalysis {
         |            chr(1) || m.l || m.r || chr(1)) AS s
         |  FROM st${r - 1}, m$r m)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to nMerges).map(r =>
-      s"SELECT CAST($r AS BIGINT) AS merge_rank, l AS left_sym, r AS right_sym, c AS pair_count FROM m$r")
-      .mkString("\nUNION ALL\n")
     s"""WITH wc AS (
       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
       |    SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
@@ -443,7 +443,16 @@ object TextAnalysis {
       |  SELECT word, cnt,
       |    chr(1) || regexp_replace(word, '(.)', '\\1' || chr(1), 'g') AS s
       |  FROM wc),
-      |$rounds
+      |$rounds""".stripMargin
+  }
+
+  /** The unrolled-round DuckDB replica of [[graft.api.Graft.trainBpeMerges]]:
+    * the shared training chain plus the per-round merge-row output. */
+  private[graft] def t22OracleSql(nMerges: Int): String = {
+    val out = (1 to nMerges).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, l AS left_sym, r AS right_sym, c AS pair_count FROM m$r")
+      .mkString("\nUNION ALL\n")
+    s"""${bpeTrainCtes(nMerges)}
       |$out
       |ORDER BY merge_rank""".stripMargin
   }
@@ -472,12 +481,7 @@ object TextAnalysis {
     * applies the merges it did learn. Holds for the documents corpus at
     * every gate SF (t22 verifies 8 full rounds); revisit if nMerges grows. */
   private[graft] def t23OracleSql(nMerges: Int): String = {
-    val trainCtes = {
-      val full = t22OracleSql(nMerges)
-      // reuse t22's WITH-chain up to the last stN CTE (drop its SELECT tail)
-      val cut = full.lastIndexOf("SELECT CAST(1 AS BIGINT)")
-      full.substring(0, cut).trim.stripSuffix(",")
-    }
+    val trainCtes = bpeTrainCtes(nMerges)
     val applied = (1 to nMerges).foldLeft(
       "chr(1) || regexp_replace(word, '(.)', '\\1' || chr(1), 'g')") { (acc, r) =>
       s"replace($acc, chr(1) || mm$r.l || chr(1) || mm$r.r || chr(1), chr(1) || mm$r.l || mm$r.r || chr(1))"
@@ -732,16 +736,23 @@ object TextAnalysis {
         | CAST(len(list_intersect(list_intersect(xx, sa), sb)) AS DOUBLE)
         |   / len(xx) AS j_est
         |FROM p ORDER BY grp_a, grp_b""".stripMargin,
-    "t31_cdc_chunks" ->
-      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    "t31_cdc_chunks" -> {
+      // the same literal-power polynomial window hash cdcChunks uses
+      // (base CdcB mod Mersenne CdcM, window 8, divisor 64) — powers are
+      // inlined as BIGINT constants so DuckDB's DOUBLE-valued pow() never
+      // enters the expression; exact because every sum stays below 2^41
+      val terms = graft.api.Graft.cdcPowers(8).zipWithIndex.map {
+        case (p, j) => s"ascii(cs[i - ${7 - j}]) * ${p}::BIGINT"
+      }.mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS n,
+        |   string_split(text, '') AS cs FROM documents),
         |bn AS (
         |  SELECT doc_id, text, n,
         |   CASE WHEN n >= 8 THEN list_filter(generate_series(8, n), i ->
-        |     CAST(concat('0x', substr(md5(substr(text, i - 7, 8)), 1, 15)) AS BIGINT)
-        |       % 64 = 0)
+        |     ($terms) % 2147483647 % 64 = 0)
         |   ELSE [] END AS bnds
-        |  FROM d),
-        |ex AS (
+        |  FROM d),""".stripMargin + "\n" +
+      """ex AS (
         |  SELECT doc_id, text, n, bnds,
         |   unnest(generate_series(1, len(bnds) + 1)) AS j
         |  FROM bn),
@@ -759,7 +770,8 @@ object TextAnalysis {
         | CAST(count(*) FILTER (h IN (SELECT h FROM hot)) AS BIGINT) AS n_dup_chunks,
         | CAST(coalesce(sum(chunk_len) FILTER (h IN (SELECT h FROM hot)), 0) AS BIGINT)
         |   AS dup_chars
-        |FROM ck GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |FROM ck GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "t30_corpus_overlap" ->
       """WITH t AS (
         |  SELECT source,

@@ -1,0 +1,351 @@
+package graft.sources
+
+import java.nio.file.{Files, Path => JPath, Paths, StandardCopyOption}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A minimal TRANSACTIONAL table catalog over plain parquet — the piece
+  * that makes `df.writeTo(t).createOrReplace()` (replace-table-as-select,
+  * the API the reference drives against Iceberg:
+  * k8s/spark/41-spark-job-scripts-configmap.yaml:327-329,
+  * k8s/spark/43-silver-build.yaml:54,79) genuinely ATOMIC without
+  * Iceberg/Delta on the classpath.
+  *
+  * Commit protocol — the reduced essence of a lakehouse format's metadata
+  * pointer: every write lands in a fresh immutable version directory
+  * `v-<uuid>/` under the table path, and becomes visible only when the
+  * single `_current` pointer file is swapped to name it via a same-
+  * directory `ATOMIC_MOVE` rename. Readers resolve `_current` once at
+  * table-load and then read an immutable directory, so a reader sees the
+  * OLD table or the NEW table, never a partial mix — and a writer that
+  * dies mid-RTAS leaves only an orphaned staging directory, with the
+  * committed table untouched (`abortStagedChanges` cleans it eagerly;
+  * crash leftovers are swept by the next `dropTable`). This is exactly
+  * the old-or-new contract `Pipeline.writeTable`'s session-catalog
+  * fallback cannot give (V1 `saveAsTable(Overwrite)` drops then
+  * recreates — a reader in between sees NO table).
+  *
+  * Spark wiring: [[StagingTableCatalog]] makes Spark plan RTAS through
+  * `AtomicReplaceTableAsSelectExec` (stage → write → commit) instead of
+  * the non-atomic drop-then-create fallback. Reads delegate to Spark's
+  * own parquet V2 `ParquetTable` (full pushdown/pruning/vectorization on
+  * the version directory); writes bridge through [[V1Write]], whose
+  * DataFrame lands in the staging directory with classic partitioned
+  * parquet layout — so `partitionedBy(...)` is honored and partition
+  * pruning works on read via directory inference. Appends
+  * (`insertInto`) go to the CURRENT version in place (Hive semantics);
+  * `INSERT OVERWRITE` stages a fresh version and swaps — atomic too.
+  *
+  * At 100 TB this is the posture the engine assumes a real deployment
+  * gets from Iceberg/Delta; locally it lets every atomic-replace claim in
+  * the medallion pipeline be EXERCISED rather than asserted (see
+  * AtomicCatalogSpec). Register with:
+  * {{{
+  *   spark.sql.catalog.<name> = graft.sources.AtomicParquetCatalog
+  *   spark.sql.catalog.<name>.warehouse = /path/to/warehouse
+  * }}}
+  */
+class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
+    with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: JPath = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val w = options.get("warehouse")
+    require(w != null, s"catalog $name needs spark.sql.catalog.$name.warehouse")
+    warehouse = Paths.get(w)
+    Files.createDirectories(warehouse)
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def nsDir(ns: Array[String]): JPath = ns.foldLeft(warehouse)(_.resolve(_))
+  private def tableDir(ident: Identifier): JPath =
+    nsDir(ident.namespace).resolve(ident.name)
+  private def pointer(dir: JPath): JPath = dir.resolve("_current")
+
+  private def currentVersion(dir: JPath): Option[JPath] = {
+    val p = pointer(dir)
+    if (!Files.exists(p)) None
+    else Some(dir.resolve(new String(Files.readAllBytes(p), "UTF-8").trim))
+  }
+
+  /** The atomic commit: write the new pointer beside `_current`, then
+    * rename onto it — same-directory POSIX rename, readers see the old
+    * pointer or the new one, never a torn write. */
+  private def commitPointer(dir: JPath, version: String): Unit = {
+    val tmp = dir.resolve(s"_current.tmp-${UUID.randomUUID()}")
+    Files.write(tmp, version.getBytes("UTF-8"))
+    Files.move(tmp, pointer(dir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def writeMeta(versionDir: JPath, schema: StructType,
+                        parts: Seq[String]): Unit = {
+    Files.createDirectories(versionDir)
+    Files.write(versionDir.resolve("_schema.json"), schema.json.getBytes("UTF-8"))
+    Files.write(versionDir.resolve("_partitions.txt"),
+      parts.mkString("\n").getBytes("UTF-8"))
+  }
+
+  private def readMeta(versionDir: JPath): (StructType, Seq[String]) = {
+    val schema = DataType.fromJson(new String(
+      Files.readAllBytes(versionDir.resolve("_schema.json")), "UTF-8"))
+      .asInstanceOf[StructType]
+    val pf = versionDir.resolve("_partitions.txt")
+    val parts =
+      if (!Files.exists(pf)) Nil
+      else new String(Files.readAllBytes(pf), "UTF-8")
+        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    (schema, parts)
+  }
+
+  /** Only identity partition transforms are meaningful for a parquet
+    * directory layout (`partitionedBy(col, ...)`). */
+  private def partitionNames(transforms: Array[Transform]): Seq[String] =
+    transforms.toSeq.map { t =>
+      require(t.name == "identity",
+        s"AtomicParquetCatalog supports identity partitioning only, got $t")
+      t.references()(0).fieldNames().mkString(".")
+    }
+
+  private def deleteRecursively(p: JPath): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+
+  // ---- TableCatalog ----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = nsDir(namespace)
+    if (!Files.isDirectory(d)) throw new NoSuchNamespaceException(namespace)
+    Files.list(d).iterator().asScala
+      .filter(p => Files.exists(pointer(p)))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    val version = currentVersion(dir)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val (schema, parts) = readMeta(version)
+    new PointerTable(this, ident, dir, version, schema, parts)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    Files.exists(pointer(tableDir(ident)))
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val dir = tableDir(ident)
+    val version = s"v-${UUID.randomUUID()}"
+    writeMeta(dir.resolve(version), schema, partitionNames(partitions))
+    commitPointer(dir, version)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "AtomicParquetCatalog tables are immutable versions; write a new one")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    val existed = Files.exists(pointer(dir))
+    deleteRecursively(dir)
+    existed
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    Files.createDirectories(tableDir(newIdent).getParent)
+    Files.move(tableDir(oldIdent), tableDir(newIdent))
+  }
+
+  // ---- StagingTableCatalog: stage into a fresh version dir; visibility
+  // happens only at commitStagedChanges' pointer swap ----
+
+  private def stage(ident: Identifier, schema: StructType,
+                    partitions: Array[Transform]): StagedTable = {
+    val dir = tableDir(ident)
+    val version = s"v-${UUID.randomUUID()}"
+    val parts = partitionNames(partitions)
+    writeMeta(dir.resolve(version), schema, parts)
+    new StagedPointerTable(this, ident, dir, version, schema, parts)
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    stage(ident, schema, partitions)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: java.util.Map[String, String]): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    stage(ident, schema, partitions)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: java.util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions)
+
+  private[sources] def commitVersion(dir: JPath, version: String): Unit =
+    commitPointer(dir, version)
+
+  // ---- SupportsNamespaces (directories) ----
+
+  override def defaultNamespace(): Array[String] = Array.empty
+
+  override def listNamespaces(): Array[Array[String]] =
+    Files.list(warehouse).iterator().asScala.filter(Files.isDirectory(_))
+      .map(p => Array(p.getFileName.toString)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val d = nsDir(namespace)
+    if (!Files.isDirectory(d)) throw new NoSuchNamespaceException(namespace)
+    Files.list(d).iterator().asScala
+      .filter(p => Files.isDirectory(p) && !Files.exists(pointer(p)))
+      .map(p => namespace :+ p.getFileName.toString).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    Files.isDirectory(nsDir(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: java.util.Map[String, String]): Unit = {
+    Files.createDirectories(nsDir(namespace))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("namespaces carry no metadata here")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val d = nsDir(namespace)
+    if (!Files.isDirectory(d)) return false
+    if (!cascade && Files.list(d).iterator().asScala.nonEmpty)
+      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} not empty")
+    deleteRecursively(d)
+    true
+  }
+}
+
+/** Shared read/write plumbing of committed and staged tables: reads
+  * delegate to Spark's parquet V2 table over the version directory,
+  * writes bridge through V1Write into a target directory. */
+private[sources] abstract class VersionedTable(
+    ident: Identifier, versionDir: JPath,
+    tableSchema: StructType, parts: Seq[String])
+    extends Table with SupportsRead with SupportsWrite {
+
+  protected def spark: SparkSession = SparkSession.active
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] =
+    parts.map(Expressions.identity).toArray
+  override def properties(): java.util.Map[String, String] =
+    java.util.Collections.singletonMap(TableCatalog.PROP_LOCATION,
+      versionDir.toString)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap) =
+    ParquetTable(name(), spark, options, Seq(versionDir.toString),
+      Some(tableSchema), classOf[ParquetFileFormat])
+      .newScanBuilder(options)
+
+  /** Write `df` as partitioned parquet into `target`. */
+  protected def writeInto(target: JPath, df: DataFrame, mode: String): Unit =
+    df.write.mode(mode).partitionBy(parts: _*).parquet(target.toString)
+}
+
+/** A committed table: reads serve the pinned version directory (immutable
+  * — concurrent replaces cannot tear this reader); appends land in place
+  * (Hive semantics), INSERT OVERWRITE stages a fresh version and swaps
+  * the pointer atomically. */
+private[sources] final class PointerTable(
+    catalog: AtomicParquetCatalog, ident: Identifier, dir: JPath,
+    versionDir: JPath, tableSchema: StructType, parts: Seq[String])
+    extends VersionedTable(ident, versionDir, tableSchema, parts) {
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          (data: DataFrame, _: Boolean) =>
+            if (!overwrite) writeInto(versionDir, data, "append")
+            else {
+              // atomic overwrite: fresh version, copy metadata, swap
+              val v = s"v-${UUID.randomUUID()}"
+              val nv = dir.resolve(v)
+              Files.createDirectories(nv)
+              Files.copy(versionDir.resolve("_schema.json"), nv.resolve("_schema.json"))
+              Files.copy(versionDir.resolve("_partitions.txt"), nv.resolve("_partitions.txt"))
+              writeInto(nv, data, "append")
+              catalog.commitVersion(dir, v)
+            }
+      }
+    }
+}
+
+/** A staged table (CTAS/RTAS): the query writes into the not-yet-visible
+  * version directory; `commitStagedChanges` performs the single atomic
+  * pointer swap, `abortStagedChanges` deletes the orphan. */
+private[sources] final class StagedPointerTable(
+    catalog: AtomicParquetCatalog, ident: Identifier, dir: JPath,
+    version: String, tableSchema: StructType, parts: Seq[String])
+    extends VersionedTable(ident, dir.resolve(version), tableSchema, parts)
+    with StagedTable {
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder = this // staging dir is born empty
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          (data: DataFrame, _: Boolean) =>
+            writeInto(dir.resolve(version), data, "append")
+      }
+    }
+
+  override def commitStagedChanges(): Unit = catalog.commitVersion(dir, version)
+
+  override def abortStagedChanges(): Unit = {
+    val v = dir.resolve(version)
+    if (Files.exists(v))
+      Files.walk(v).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+  }
+}

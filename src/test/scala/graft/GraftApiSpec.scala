@@ -439,6 +439,34 @@ class GraftApiSpec extends AnyFunSuite {
     assert(cc.size == 17 && cc.values.forall(_ == 1L), s"got $cc")
   }
 
+  test("graph loops converge identically under reliable checkpointing") {
+    import spark.implicits._
+    // the cluster-posture mode: rounds materialize through a reliable
+    // checkpoint dir instead of executor-resident localCheckpoint blocks;
+    // results must be bit-identical in both modes
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    try {
+      val edges = ((1L to 16L).map(i => (i, i + 1)) ++ Seq((30L, 31L)))
+        .toDF("a", "b")
+      val local = Graft.connectedComponents(edges, $"a", $"b")
+        .as[(Long, Long)].collect().toMap
+      val reliable = Graft.connectedComponents(edges, $"a", $"b",
+        checkpointDir = Some(dir)).as[(Long, Long)].collect().toMap
+      assert(local == reliable, s"CC diverged: $local vs $reliable")
+      val prLocal = Graft.pageRank(edges, $"a", $"b", iters = 3)
+        .as[(Long, Double)].collect().toMap
+      val prReliable = Graft.pageRank(edges, $"a", $"b", iters = 3,
+        checkpointDir = Some(dir)).as[(Long, Double)].collect().toMap
+      assert(prLocal == prReliable, "pageRank diverged across modes")
+      // the reliable mode actually wrote RDD checkpoint data to the dir
+      assert(new java.io.File(dir).listFiles.nonEmpty,
+        "reliable mode left no checkpoint data")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("dedupCorpus rejects a signature/banding mismatch loudly") {
     import spark.implicits._
     val df = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
@@ -499,6 +527,27 @@ class GraftApiSpec extends AnyFunSuite {
     val one = Graft.packSequences(df, $"k", $"n", 10L, partitions = 1)
       .orderBy("id").select("start_tok").as[Long].collect().toSeq
     assert(one == Seq(0L, 7L, 13L, 13L))
+  }
+
+  test("packSequences orders string ids and survives sparse clustered ids") {
+    import spark.implicits._
+    // string ids: stream order is engine string order (binary lexicographic),
+    // including ids that tie on the 8-byte bucketing prefix
+    val s = Seq(("aardvark1", 7L), ("aardvark2", 6L), ("b", 25L), ("c", 2L))
+      .toDF("k", "n")
+    val sOut = Graft.packSequences(s, $"k", $"n", capacity = 10L,
+      partitions = 3)
+      .orderBy("id").select("id", "start_tok").as[(String, Long)]
+      .collect().toSeq
+    assert(sOut == Seq(("aardvark1", 0L), ("aardvark2", 7L), ("b", 13L),
+      ("c", 38L)))
+    // the equal-width degenerate case: dense ids plus one near 2^50 —
+    // quantile buckets must still produce the exact id-order prefix sum
+    // for any partition count
+    val sparse = ((1L to 100L) :+ (1L << 50)).map(i => (i, 3L)).toDF("k", "n")
+    val a = Graft.packSequences(sparse, $"k", $"n", 10L, partitions = 8)
+      .orderBy("id").select("start_tok").as[Long].collect().toSeq
+    assert(a == (0L until 101L).map(_ * 3L))
   }
 
   test("dedupIncremental admits only batch rows new to the corpus") {

@@ -165,6 +165,68 @@ class MaintenanceSpec extends AnyFunSuite {
     all.unpersist()
   }
 
+  test("withStageTimeout cancels an over-budget stage's jobs and fails loudly") {
+    import spark.implicits._
+    // a stage whose Spark job takes seconds against a ~120ms budget: the
+    // timer must cancel the job group and surface StageTimeoutException,
+    // and do so at the deadline, not after the job would have finished.
+    // Warm the session first: a cold first-job plan takes seconds and
+    // would dominate the wall-clock this test asserts on.
+    spark.range(64).repartition(4).mapPartitions(it => it).count()
+    val t0 = System.nanoTime()
+    val e = intercept[Pipeline.StageTimeoutException] {
+      Pipeline.withStageTimeout(spark, "spec-slow", minutes = 0.002) {
+        spark.range(64).repartition(4).mapPartitions { it =>
+          Thread.sleep(5000); it
+        }.count()
+      }
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(e.getMessage.contains("exceeded its"), e.getMessage)
+    assert(secs < 4.5, f"abort took $secs%.1fs — cancellation didn't bite")
+    // driver-side overrun (no Spark jobs to cancel) still fails the stage
+    intercept[Pipeline.StageTimeoutException] {
+      Pipeline.withStageTimeout(spark, "spec-driver", minutes = 0.002) {
+        Thread.sleep(300)
+      }
+    }
+    // an in-budget stage passes its result through untouched
+    val ok = Pipeline.withStageTimeout(spark, "spec-fast", minutes = 10.0) {
+      spark.range(10).count()
+    }
+    assert(ok == 10L)
+  }
+
+  test("rollback drops gold+silver (tables and files) and a rebuild restores gold exactly") {
+    dropMedallionTables()
+    val base = tmpDir("rollback")
+    val cfg = MdpConfig.fromEnv(base).copy(
+      ingestGb = 0.001, payloadKb = 1, partitions = 4)
+    Pipeline.bronze(spark, cfg)
+    Pipeline.silver(spark, cfg)
+    Pipeline.gold(spark, cfg)
+    val before = spark.table(cfg.goldFqn)
+      .orderBy("interaction_date").collect().toSeq
+    assert(before.nonEmpty)
+
+    Pipeline.rollback(spark, cfg)
+    // tables dropped AND files gone — catalog and path readers both fail
+    assert(!spark.catalog.tableExists(cfg.silverFqn))
+    assert(!spark.catalog.tableExists(cfg.goldFqn))
+    assert(!new java.io.File(cfg.silverFallbackUri).exists())
+    assert(!new java.io.File(cfg.goldFallbackUri).exists())
+    // bronze retained: the rebuild needs no re-ingest
+    assert(new java.io.File(cfg.bronzeUri).exists())
+    // a second rollback is a no-op, not an error
+    Pipeline.rollback(spark, cfg)
+
+    Pipeline.silver(spark, cfg)
+    Pipeline.gold(spark, cfg)
+    val after = spark.table(cfg.goldFqn)
+      .orderBy("interaction_date").collect().toSeq
+    assert(after == before, "rollback-rebuild changed the gold table")
+  }
+
   test("upsertPartitioned replaces keys in touched partitions and appends new ones") {
     import spark.implicits._
     val path = tmpDir("upsert") + "/t"
