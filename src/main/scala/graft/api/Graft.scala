@@ -1389,40 +1389,29 @@ object Graft {
     * no shuffle.
     *
     * The window hash is a polynomial hash (base [[CdcB]] mod the Mersenne
-    * prime [[CdcM]]) over per-character codes from `ascii()`, evaluated
-    * from a codepoint ARRAY built once per document — O(window) integer
-    * multiply-adds per position with O(1) character access, vs the
-    * earlier md5-per-position form whose `substr(t, i, window)` cost an
-    * O(i) byte scan per position (quadratic per document) plus a full
-    * digest. All intermediate sums stay below 2^41, so the identical
-    * literal-power expression is exact in any 64-bit-integer engine.
-    * Character codes follow each engine's `ascii()` (Spark: first byte;
-    * DuckDB: codepoint) — identical on ASCII text; on multi-byte text
-    * boundaries remain deterministic per engine but engine-specific,
-    * which is acceptable because the boundary rule is arbitrary by
-    * construction (any uniform hash yields ~`divisor` expected chunk
-    * length). */
+    * prime [[CdcM]]) over Unicode code points, maintained by the native
+    * one-pass rolling expression [[graft.functions.CdcBoundaries]] —
+    * O(1) per character, vs the earlier md5-per-position form that paid a
+    * full digest plus an O(i) `substr` byte scan per position. The DuckDB
+    * oracle evaluates the same hash as a literal-power sum per position
+    * (`cdcPowers` inlines B^j mod M as BIGINT constants); every
+    * intermediate stays below 2^52, so both engines' long arithmetic is
+    * exact and the boundary sets are bit-identical (code points equal
+    * `ascii()` in both engines on ASCII text and DuckDB's on all text). */
   def cdcChunks(df: DataFrame, id: Column, text: Column,
                 window: Int = 8, divisor: Int = 64): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(divisor >= 1, s"divisor must be >= 1, got $divisor")
     val t = col("__cdc_t")
     val n = length(t)
-    val pw = cdcPowers(window)
-    // per-character codes, built once per document: split("") is O(n)
-    // and element_at on the array is O(1), unlike substr on a long
-    // UTF8String which must scan from the front
-    val cps = transform(split(t, ""), c => ascii(c).cast(LongType))
-    // polynomial hash of the window ENDING at 1-based position i
-    def winHash(i: Column): Column = pmod(
-      (0 until window).map(j =>
-        element_at(cps, i - (window - 1) + j) * lit(pw(j)))
-        .reduce(_ + _), lit(CdcM))
-    // a boundary AFTER position i (1-based) wherever the window ending at
-    // i hashes to 0 mod divisor; guard n < window (sequence would descend)
-    val bnds = when(n >= window,
-      filter(sequence(lit(window), n), i => winHash(i) % divisor === 0))
-      .otherwise(array().cast(ArrayType(IntegerType)))
+    // boundaries AFTER 1-based positions i wherever the window ending at
+    // i hashes to 0 mod divisor — computed by the native one-pass rolling
+    // hash ([[graft.functions.CdcBoundaries]]); a declarative
+    // filter(sequence, hash-lambda) form of the same math runs
+    // INTERPRETED and cost O(window·n) per document at best (measured
+    // 6 s for the t31 gate vs 2 s native, and a 33-minute sweep stall
+    // when CollapseProject inlined the code-point array into the lambda)
+    val bnds = graft.functions.CdcBoundaries.boundaries(t, window, divisor)
     val starts = concat(array(lit(0)), bnds)
     val ends = concat(bnds, array(n))
     // adjacent boundaries and a boundary at n produce empty spans — drop
