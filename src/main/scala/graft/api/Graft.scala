@@ -1,6 +1,6 @@
 package graft.api
 
-import graft.functions.{TopKAggregator, VectorFunctions}
+import graft.functions.{BloomFunctions, TopKAggregator, VectorFunctions}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1213,6 +1213,59 @@ object Graft {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_ngrams"),
         sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .withColumn("contamination",
+        col("n_hits").cast(DoubleType) / col("n_ngrams"))
+  }
+
+  /** [[contamination]] with a bloom-filter prefilter on the corpus side —
+    * same exact output (the bloom has no false negatives and the exact
+    * verify join removes its false positives), different 100 TB shape.
+    *
+    * Plain [[contamination]] sends EVERY corpus n-gram into the broadcast
+    * membership join — at 100 TB that is trillions of probe rows carrying
+    * full n-gram strings through a join operator whose hit rate is ~0
+    * (contamination is rare by construction). Here the benchmark n-grams
+    * are first folded into a bloom filter (built distributed via Spark's
+    * own partial-aggregating `BloomFilterAggregate`; only the serialized
+    * `numBits/8`-byte sketch reaches the driver, never the n-grams), and
+    * the corpus side probes the bloom as a narrow codegen'd filter BEFORE
+    * any join: the >= 99% of n-grams that cannot be benchmark members die
+    * inside the scan stage, and only bloom-positive survivors — a
+    * contamination-rate-sized trickle — pay the exact string join that
+    * makes the result exact. The denominator (`n_ngrams`) aggregates the
+    * unfiltered gram stream separately, so dropped probes never distort it.
+    *
+    * This is the "sketch-prefilter, then exact-verify" pattern (Spark's
+    * injected runtime row-level filters, made explicit): results are
+    * bit-identical to [[contamination]], so both share one oracle. Size the
+    * filter via `expectedItems`/`numBits` (defaults: 1M items in 8M bits
+    * ~ 1 MB sketch, ~2% FP — FP rate only moves the prefilter's selectivity,
+    * never correctness). */
+  def contaminationBloom(corpus: DataFrame, id: Column, text: Column,
+                         benchmark: DataFrame, benchText: Column,
+                         n: Int = 5,
+                         expectedItems: Long = 1L << 20,
+                         numBits: Long = 1L << 23): DataFrame = {
+    val corpusG = fanOut(corpus.select(id.as("id"), text.as("__t")))
+      .select(col("id"), explode(array_distinct(wordGrams(col("__t"), n))).as("ng"))
+    val benchG = benchmark.select(benchText.as("__t"))
+      .select(explode(wordGrams(col("__t"), n)).as("ng")).distinct()
+    val bloomRow = benchG
+      .agg(BloomFunctions.bloomAgg(xxhash64(col("ng")), expectedItems, numBits))
+      .head()
+    val counts = corpusG.groupBy(col("id")).agg(count(lit(1)).as("n_ngrams"))
+    // NULL bloom = empty benchmark: every row reports zero hits.
+    val hits =
+      if (bloomRow.isNullAt(0))
+        counts.select(col("id"), lit(0L).as("__nh")).where(lit(false))
+      else corpusG
+        .where(BloomFunctions.mightContain(
+          lit(bloomRow.getAs[Array[Byte]](0)), xxhash64(col("ng"))))
+        .join(broadcast(benchG), Seq("ng"))
+        .groupBy(col("id")).agg(count(lit(1)).as("__nh"))
+    counts.join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_ngrams"),
+        coalesce(col("__nh"), lit(0L)).as("n_hits"))
       .withColumn("contamination",
         col("n_hits").cast(DoubleType) / col("n_ngrams"))
   }
