@@ -133,6 +133,27 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t34: the same decontamination query through the bloom-prefiltered
+    * path — [[graft.api.Graft.contaminationBloom]] folds the benchmark
+    * n-grams into a Spark `BloomFilterAggregate` sketch and kills
+    * non-member corpus grams inside the scan stage before the exact
+    * verify join. Bit-identical output to t06 (blooms have no false
+    * negatives; the exact join removes false positives), so it shares
+    * t06's oracle — the gate pins that the sketch shortcut changes
+    * nothing. */
+  def t34ContaminationBloom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val bucket = conv(substring(md5($"doc_id".cast(StringType)), 1, 4), 16, 10)
+      .cast(LongType)
+    val isBench = bucket % 20 === 0
+    graft.api.Graft.contaminationBloom(
+      docs.where(!isBench), $"doc_id", $"text",
+      docs.where(isBench), $"text")
+      .select($"id".as("doc_id"), $"n_ngrams", $"n_hits", $"contamination")
+      .orderBy($"doc_id")
+  }
+
   /** t07: character-class quality signals + composite score — the filter
     * layer a corpus-cleaning pipeline applies after token stats (t01):
     * punctuation/digit/uppercase density, mean word length, line count.
@@ -675,9 +696,30 @@ object TextAnalysis {
     "t04_top_tokens" -> t04TopTokens,
     "t05_bpe_tokens" -> t05BpeTokens,
     "t06_contamination" -> t06Contamination,
+    "t34_contamination_bloom" -> t34ContaminationBloom,
     "t07_quality_signals" -> t07QualitySignals,
     "t08_repetition_filter" -> t08RepetitionFilter,
     "t09_pii_redaction" -> t09PiiRedaction)
+
+  /** Shared t06/t34 oracle — both compute the same decontamination
+    * fractions; t34 merely routes through the bloom prefilter. */
+  private val T06Sql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |  regexp_split_to_array(trim(text), '\\s+') AS t,
+       |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 20 = 0 AS is_bench
+       | FROM documents),
+       |g AS (SELECT doc_id, is_bench,
+       |  list_distinct(list_transform(generate_series(1, len(t) - 4),
+       |    i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS gs
+       | FROM d WHERE len(t) >= 5),
+       |bench AS (SELECT DISTINCT unnest(gs) AS ng FROM g WHERE is_bench),
+       |sc AS (SELECT doc_id, unnest(gs) AS ng FROM g WHERE NOT is_bench)
+       |SELECT doc_id,
+       | count(*) AS n_ngrams,
+       | CAST(sum(CASE WHEN ng IN (SELECT ng FROM bench) THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       | CAST(sum(CASE WHEN ng IN (SELECT ng FROM bench) THEN 1 ELSE 0 END) AS DOUBLE)
+       |   / count(*) AS contamination
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "t33_leakage_safe_split" -> {
@@ -1102,23 +1144,10 @@ object TextAnalysis {
          | len(list_distinct(t)) AS n_distinct_bpe,
          | CAST(list_max(list_transform(t, x -> length(x))) AS BIGINT) AS longest_bpe
          |FROM d ORDER BY doc_id""".stripMargin,
-    "t06_contamination" ->
-      s"""WITH d AS (SELECT doc_id,
-         |  regexp_split_to_array(trim(text), '\\s+') AS t,
-         |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 20 = 0 AS is_bench
-         | FROM documents),
-         |g AS (SELECT doc_id, is_bench,
-         |  list_distinct(list_transform(generate_series(1, len(t) - 4),
-         |    i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS gs
-         | FROM d WHERE len(t) >= 5),
-         |bench AS (SELECT DISTINCT unnest(gs) AS ng FROM g WHERE is_bench),
-         |sc AS (SELECT doc_id, unnest(gs) AS ng FROM g WHERE NOT is_bench)
-         |SELECT doc_id,
-         | count(*) AS n_ngrams,
-         | CAST(sum(CASE WHEN ng IN (SELECT ng FROM bench) THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-         | CAST(sum(CASE WHEN ng IN (SELECT ng FROM bench) THEN 1 ELSE 0 END) AS DOUBLE)
-         |   / count(*) AS contamination
-         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t06_contamination" -> T06Sql,
+    // t34 is the bloom-prefiltered path; output is pinned bit-identical
+    // to t06, so the gates share one oracle.
+    "t34_contamination_bloom" -> T06Sql,
     "t07_quality_signals" ->
       s"""WITH d AS (SELECT doc_id, text, length(text) AS n_chars,
          |  length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS n_punct,

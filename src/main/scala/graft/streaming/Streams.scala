@@ -46,16 +46,26 @@ object Streams {
     s.readStream.schema(schema).parquet(streamDir.toString)
   }
 
-  /** Events as a file-source stream (handling the NANOS timestamp the
-    * same way Tables.load does for batch). */
+  /** Events as a file-source stream, adapting to the physical timestamp
+    * type the same way Tables.load does for batch: a TIMESTAMP(NANOS)
+    * file surfaces `ts` as Long under `nanosAsLong` (convert ns->us), a
+    * TIMESTAMP(MICROS) file surfaces it as a native timestamp (no
+    * conversion). The file source needs an explicit schema, so probe the
+    * footer with a batch read first and declare `ts` accordingly. */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsIsNanosLong =
+      s.read.parquet(s"$dir/events.parquet").schema("ts").dataType == LongType
+    val tsField =
+      StructField("ts", if (tsIsNanosLong) LongType else TimestampType)
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), tsField,
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    fileStream(s, dir, "events.parquet", schema)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = fileStream(s, dir, "events.parquet", schema)
+    if (tsIsNanosLong)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
   }
 
   private val streamCounter = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -633,6 +633,31 @@ class GraftApiSpec extends AnyFunSuite {
     assert(out(0)._4 == 1.0 && out(1)._4 == 0.0, out.toSeq)
   }
 
+  test("contaminationBloom is bit-identical to contamination, including the empty-benchmark branch") {
+    import spark.implicits._
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, benchText),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "alpha beta gamma delta epsilon completely different tail here"),
+      (4L, "tiny")
+    ).toDF("k", "body")
+    val bench = Seq(Tuple1(benchText)).toDF("btext")
+    val exact = Graft.contamination(corpus, $"k", $"body", bench, $"btext")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val bloom = Graft.contaminationBloom(corpus, $"k", $"body", bench, $"btext")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(bloom == exact, s"bloom=$bloom exact=$exact")
+    // Empty benchmark: the bloom agg returns NULL; every doc must still
+    // report its denominator with zero hits, like the exact path.
+    val emptyBench = bench.where(lit(false))
+    val exactE = Graft.contamination(corpus, $"k", $"body", emptyBench, $"btext")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val bloomE = Graft.contaminationBloom(corpus, $"k", $"body", emptyBench, $"btext")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(bloomE == exactE, s"bloom=$bloomE exact=$exactE")
+  }
+
   test("repetitionStats separates a repeated phrase from distinct text") {
     import spark.implicits._
     val df = Seq(
