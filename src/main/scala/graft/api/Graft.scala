@@ -1,7 +1,7 @@
 package graft.api
 
 import graft.functions.{BloomFunctions, TopKAggregator, VectorFunctions}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -236,16 +236,24 @@ object Graft {
             "lshBucketStats(sigs) shows the distribution."))))
           .otherwise(col("ss")))
     val buckets = guarded.where(size(col("ss")) > 1)
+    // n_match is computed INSIDE the pair lambda and the minAgreement cut
+    // applied before flatten/explode: the quadratic fan-out then emits
+    // (id_a, id_b, n_match) triples for surviving pairs only, instead of
+    // pushing two full signature structs per raw pair through the explode
+    // (2 x (1 + numHashes) fields -> 3) — the same output, a fraction of
+    // the row bytes on exactly the quadratic stage that dominates mining
+    def nm(x: Column, y: Column): Column = (1 to numHashes)
+      .map(i => when(x.getField(s"h$i") === y.getField(s"h$i"), 1L)
+        .otherwise(0L)).reduce(_ + _)
     val inBucketPairs = flatten(transform(col("ss"), (x, i) =>
-      transform(slice(col("ss"), i + lit(2), size(col("ss"))),
-        y => struct(x.as("a"), y.as("b")))))
-    val nMatch = (1 to numHashes)
-      .map(i => when(col(s"p.a.h$i") === col(s"p.b.h$i"), 1L).otherwise(0L))
-      .reduce(_ + _)
+      filter(
+        transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+          y => struct(x.getField("id").as("id_a"),
+            y.getField("id").as("id_b"), nm(x, y).as("n_match"))),
+        p => p.getField("n_match") >= minAgreement)))
     buckets.select(explode(inBucketPairs).as("p"))
-      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
-        nMatch.as("n_match"))
-      .where(col("n_match") >= minAgreement)
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.n_match").as("n_match"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("n_match")).as("n_match"))
   }
@@ -380,24 +388,53 @@ object Graft {
     * rounds then use `df.checkpoint()`, whose blocks survive executor
     * loss — the right posture for a 100 TB dup graph whose fixpoint loop
     * runs long enough for failures to be expected. Both modes converge
-    * identically (the checkpoint is pure materialization). */
+    * identically (the checkpoint is pure materialization).
+    *
+    * `localEdgeLimit`: edge lists at or below this size (counted AFTER
+    * symmetrize+distinct, on the already-materialized frame — an O(1)-ish
+    * cached count, not an extra pass) are solved by a driver-local
+    * union-find instead of the distributed fixpoint — the exact analogue
+    * of a broadcast join's size gate: a duplicate-cluster graph is
+    * usually thousands of edges even when the corpus is 100 TB, and the
+    * distributed loop's per-round scheduling floor (3 joins + a
+    * materialization + a convergence action per round) dwarfs the actual
+    * work below ~10^6 edges. The bound caps driver memory at ~32 MB of
+    * edge rows; the local path produces bit-identical labels (min
+    * reachable id under the column type's own ordering — numeric order
+    * for numerics, unsigned-UTF-8-byte order for strings, exactly
+    * Spark's `least()` semantics). Id types outside that set fall
+    * through to the distributed loop, which handles any orderable type.
+    * Set 0 to force the distributed loop (the spec does, to pin both
+    * paths against each other). */
   def connectedComponents(edges: DataFrame, src: Column, dst: Column,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          localEdgeLimit: Long = 1000000L): DataFrame = {
     val mat = materializer(edges, checkpointDir)
     val e = edges.select(src.as("a"), dst.as("b"))
     val sym = mat(e.union(e.select(col("b").as("a"), col("a").as("b")))
       .distinct())
+    val cmp = localIdComparator(sym.schema.head.dataType)
+    if (cmp.isDefined && localEdgeLimit > 0 && sym.count() <= localEdgeLimit)
+      return localUnionFind(sym, cmp.get)
     var labels = mat(sym.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("label")))
-    // exact decimal sum: labels only ever decrease, so an unchanged sum
-    // proves the fixpoint (and a 38-digit sum cannot wrap); an empty edge
-    // list (nothing to deduplicate) sums to 0 and converges immediately
+    // fixpoint proof, exact in both forms because labels only ever
+    // decrease: numeric ids use the exact decimal label sum (a 38-digit
+    // sum cannot wrap; unchanged sum == no label moved; one O(1) action
+    // per round, carried across rounds so each round pays ONE sum); other
+    // id types (strings don't cast to decimal) compare the new round's
+    // labels against the previous round's with an anti-condition join —
+    // one extra keyed join per round, both sides already materialized.
+    val numericIds = sym.schema.head.dataType.isInstanceOf[NumericType]
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
+    def anyChanged(next: DataFrame, prev: DataFrame): Boolean =
+      next.as("n").join(prev.as("p"), col("n.id") === col("p.id"))
+        .where(col("n.label") =!= col("p.label")).head(1).nonEmpty
     var converged = false
+    var prevSum = if (numericIds) labelSum(labels) else null
     while (!converged) {
-      val before = labelSum(labels)
       // min label among each vertex's neighbors, folded into its own label
       // with a left join + least (least skips the null of isolated-side
       // misses) — deliberately NOT a self-union, whose constraint rewrite
@@ -415,10 +452,80 @@ object Graft {
         .join(labels.as("l0"), col("l1.label") === col("l0.id"))
         .select(col("l1.id").as("id"),
           least(col("l1.label"), col("l0.label")).as("label"))
+      val prev = labels
       labels = mat(jumped)
-      converged = labelSum(labels).compareTo(before) == 0
+      if (numericIds) {
+        val after = labelSum(labels)
+        converged = after.compareTo(prevSum) == 0
+        prevSum = after
+      } else converged = !anyChanged(labels, prev)
     }
     labels.select(col("id"), col("label").as("component"))
+  }
+
+  /** Driver-side ordering matching Spark's `least()` for the id types the
+    * local CC fast path accepts: integral numerics compare numerically;
+    * strings compare as unsigned UTF-8 bytes (UTF8String's binary order —
+    * code-point order, NOT Java String's UTF-16 code-unit order, which
+    * disagrees above the BMP). Other types → None → distributed loop. */
+  private def localIdComparator(dt: org.apache.spark.sql.types.DataType)
+      : Option[java.util.Comparator[Any]] = dt match {
+    case LongType | IntegerType | ShortType | ByteType =>
+      Some(((x: Any, y: Any) => java.lang.Long.compare(
+        x.asInstanceOf[Number].longValue, y.asInstanceOf[Number].longValue)
+        ): java.util.Comparator[Any])
+    case StringType =>
+      Some(((x: Any, y: Any) => java.util.Arrays.compareUnsigned(
+        x.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        ): java.util.Comparator[Any])
+    case _ => None
+  }
+
+  /** Exact min-label CC on a collected edge list: union-find with path
+    * compression + union by size, then one pass taking every member to
+    * its component's minimum id. Same output contract as the distributed
+    * fixpoint — one (id, component) row per vertex appearing in an edge. */
+  private def localUnionFind(sym: DataFrame,
+                             cmp: java.util.Comparator[Any]): DataFrame = {
+    val spark = sym.sparkSession
+    val dt = sym.schema.head.dataType
+    val rows = sym.collect()
+    val idx = new java.util.HashMap[Any, Integer]()
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def intern(v: Any): Int = {
+      val got = idx.get(v)
+      if (got ne null) got.intValue
+      else { idx.put(v, ids.length); ids += v; ids.length - 1 }
+    }
+    val parent = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val rank = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    rows.foreach { r =>
+      val a = intern(r.get(0)); val b = intern(r.get(1))
+      while (parent.length < ids.length) { parent += parent.length; rank += 0 }
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (rank(ra) < rank(rb)) parent(ra) = rb
+        else if (rank(ra) > rank(rb)) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) += 1 }
+      }
+    }
+    val minOf = new java.util.HashMap[Int, Any]()
+    ids.indices.foreach { i =>
+      val r = find(i)
+      val cur = minOf.get(r)
+      if (cur == null || cmp.compare(ids(i), cur) < 0) minOf.put(r, ids(i))
+    }
+    val out = ids.indices.map(i => Row(ids(i), minOf.get(find(i))))
+    val schema = StructType(Seq(
+      StructField("id", dt), StructField("component", dt)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, 1), schema)
   }
 
   /** Round materializer for the iterative graph loops: reliable

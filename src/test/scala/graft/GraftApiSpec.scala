@@ -439,6 +439,27 @@ class GraftApiSpec extends AnyFunSuite {
     assert(cc.size == 17 && cc.values.forall(_ == 1L), s"got $cc")
   }
 
+  test("connectedComponents local fast path matches the distributed fixpoint") {
+    import spark.implicits._
+    // two components with backwards edges + a diameter-5 path; run the
+    // size-gated driver union-find against the forced distributed loop
+    // (localEdgeLimit = 0) — labels must be bit-identical, on long AND
+    // string ids (string order = unsigned UTF-8 bytes on both paths)
+    val el = Seq((9L, 3L), (3L, 7L), (7L, 1L), (12L, 11L), (5L, 4L), (4L, 3L))
+    val edges = el.toDF("a", "b")
+    val fast = Graft.connectedComponents(edges, $"a", $"b")
+      .as[(Long, Long)].collect().toMap
+    val dist = Graft.connectedComponents(edges, $"a", $"b",
+      localEdgeLimit = 0L).as[(Long, Long)].collect().toMap
+    assert(fast == dist, s"long ids diverged: $fast vs $dist")
+    val sEdges = el.map { case (x, y) => (s"d$x", s"d$y") }.toDF("a", "b")
+    val sFast = Graft.connectedComponents(sEdges, $"a", $"b")
+      .as[(String, String)].collect().toMap
+    val sDist = Graft.connectedComponents(sEdges, $"a", $"b",
+      localEdgeLimit = 0L).as[(String, String)].collect().toMap
+    assert(sFast == sDist, s"string ids diverged: $sFast vs $sDist")
+  }
+
   test("graph loops converge identically under reliable checkpointing") {
     import spark.implicits._
     // the cluster-posture mode: rounds materialize through a reliable
