@@ -1878,9 +1878,24 @@ object Graft {
     * collected ([[pageRank]]/[[connectedComponents]] precedent: O(1) rows
     * per iteration is inherent to iterative fixpoints); the vocabulary
     * state localCheckpoints each round so lineage stays flat. Training
-    * stops early when no pair reaches `minCount`. */
+    * stops early when no pair reaches `minCount`.
+    *
+    * `localVocabLimit`: vocabularies at or below this many distinct words
+    * run the merge rounds DRIVER-SIDE over the collected (word, count)
+    * table — the [[connectedComponents]] union-find precedent, and the
+    * shape every production BPE trainer uses (the corpus-sized stage is
+    * the word count, which stays distributed; the rounds are inherently
+    * vocabulary-sized). The gate is a limit-guarded collect (at most
+    * limit+1 rows ever reach the driver, ~100 MB at the 1M default), and
+    * the local loop replicates the distributed semantics bit-for-bit:
+    * naive-adjacent pair counts, count-desc / left-asc / right-asc
+    * argmax with string order as unsigned UTF-8 bytes (Spark's own
+    * string ordering), left-to-right non-overlapping merge application.
+    * Oversized vocabularies fall through to the distributed rounds;
+    * 0 forces them (the spec does, to pin the two paths equal). */
   def trainBpeMerges(df: DataFrame, text: Column, nMerges: Int,
-                     minCount: Long = 1L): DataFrame = {
+                     minCount: Long = 1L,
+                     localVocabLimit: Long = 1000000L): DataFrame = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val S = "\u0001"
     val spark = df.sparkSession
@@ -1888,7 +1903,14 @@ object Graft {
     val words = df.select(explode(filter(split(trim(text), "\\s+"),
       t => t =!= lit(""))).as("word"))
       .where(!col("word").contains(S))
-    var state = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val wc = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    if (localVocabLimit > 0 && localVocabLimit < Int.MaxValue) {
+      val probe = wc.limit(localVocabLimit.toInt + 1).collect()
+      if (probe.length <= localVocabLimit)
+        return localBpeTrain(spark,
+          probe.map(r => (r.getString(0), r.getLong(1))), nMerges, minCount)
+    }
+    var state = wc
       .withColumn("s", concat(lit(S), regexp_replace(col("word"), "(.)", "$1" + S)))
       .localCheckpoint()
     val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
@@ -1921,6 +1943,72 @@ object Graft {
       }
     }
     state.unpersist()
+    merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** Driver-side BPE merge rounds over a collected (word, count) table —
+    * [[trainBpeMerges]]' local fast path. Replicates the distributed
+    * rounds bit-for-bit by keeping the SAME sentinel-string word state
+    * and applying merges with Java `String.replace`, whose left-to-right
+    * non-overlapping literal semantics are identical to the engine's
+    * `replace` (both scan the original, never the replacement — so even
+    * the documented same-symbol-run divergence reproduces exactly).
+    * Symbol boundaries are code points (the engine's `regexp_replace`
+    * "(.)" matches per code point); argmax tie-break compares strings as
+    * unsigned UTF-8 bytes (the engine's string order). */
+  private def localBpeTrain(spark: org.apache.spark.sql.SparkSession,
+                            vocab: Array[(String, Long)],
+                            nMerges: Int, minCount: Long): DataFrame = {
+    import spark.implicits._
+    val S = "\u0001"
+    def utf8Lt(a: String, b: String): Boolean =
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+    // sentinel form: S + each code point + S (same as the engine state)
+    val state = vocab.map { case (w, c) =>
+      val sb = new StringBuilder(S)
+      w.codePoints().forEach(cp => { sb.appendAll(Character.toChars(cp)); sb.append(S) })
+      (sb.toString, c)
+    }
+    val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+    var done = false
+    for (rank <- 1 to nMerges if !done) {
+      val counts = new java.util.HashMap[(String, String), java.lang.Long]()
+      state.foreach { case (s, c) =>
+        val t = s.split(S, -1) // ["", interior symbols..., ""]
+        var j = 1
+        while (j + 1 <= t.length - 2) {
+          val k = (t(j), t(j + 1))
+          val cur = counts.get(k)
+          counts.put(k, if (cur == null) c else cur + c)
+          j += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.forEach { (k, v) =>
+          if (best == null || v > best._2 ||
+            (v == best._2 && (utf8Lt(k._1, best._1._1) ||
+              (k._1 == best._1._1 && utf8Lt(k._2, best._1._2)))))
+            best = (k, v)
+        }
+        val ((l, r), c) = best
+        if (c < minCount) done = true
+        else {
+          merges += ((rank.toLong, l, r, c))
+          val find = S + l + S + r + S
+          val repl = S + l + r + S
+          var i = 0
+          while (i < state.length) {
+            val (s, cnt) = state(i)
+            if (s.contains(find)) state(i) = (s.replace(find, repl), cnt)
+            i += 1
+          }
+        }
+      }
+    }
     merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
   }
 

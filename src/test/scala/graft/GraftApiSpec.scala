@@ -950,6 +950,23 @@ class GraftApiSpec extends AnyFunSuite {
       (1L, "a", "a", 4L), (2L, "a", "b", 1L), (3L, "aa", "a", 1L)))
   }
 
+  test("trainBpeMerges local fast path matches the distributed rounds") {
+    import spark.implicits._
+    // includes the same-symbol-run divergence ("aaaa") and multi-byte
+    // symbols, so the local String.replace replication is pinned on the
+    // exact corners where a naive leftmost-greedy scan would differ
+    val docs = Seq((1L, "aaaa abab banana édition"), (2L, "ab ab aa naan"))
+      .toDF("id", "body")
+    val dist = Graft.trainBpeMerges(docs, $"body", nMerges = 6,
+        localVocabLimit = 0L).orderBy($"merge_rank")
+      .as[(Long, String, String, Long)].collect().toSeq
+    val local = Graft.trainBpeMerges(docs, $"body", nMerges = 6)
+      .orderBy($"merge_rank")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(local == dist, s"local $local vs distributed $dist")
+    assert(local.nonEmpty)
+  }
+
   test("tokenizeBpe applies merges in rank order with greedy rewrites") {
     import spark.implicits._
     val docs = Seq((1L, "aab aaab xy"), (2L, "")).toDF("id", "body")
