@@ -121,8 +121,16 @@ object Bench {
     // are skipped (pure jitter territory). Pins are advisory — the run
     // still emits its JSON line either way.
     val pinsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PINS", "BENCH_PINS.json")
+    // "pins" names the guard's state so a missing/inapplicable pins file is
+    // visible in the output line instead of masquerading as a clean
+    // drift_count: 0 (the round-8 failure mode: the file was never
+    // committed and a 7x regression sailed through "drift":{})
+    val pinsState =
+      if (!sfDir.contains("sf0.1")) "inapplicable"
+      else if (!new java.io.File(pinsPath).exists()) "absent"
+      else "present"
     val drift: Seq[(String, Double, Double)] =
-      if (!sfDir.contains("sf0.1") || !new java.io.File(pinsPath).exists()) Nil
+      if (pinsState != "present") Nil
       else {
         val txt = scala.io.Source.fromFile(pinsPath).mkString
         val pin = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r
@@ -137,7 +145,7 @@ object Bench {
     val driftJson = drift.map { case (k, _, r) => f""""$k":$r%.2f""" }
       .mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$mdp,"drift_count":${drift.size},"drift":$driftJson,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$mdp,"pins":"$pinsState","drift_count":${drift.size},"drift":$driftJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

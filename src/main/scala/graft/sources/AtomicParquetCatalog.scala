@@ -37,6 +37,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * fallback cannot give (V1 `saveAsTable(Overwrite)` drops then
   * recreates — a reader in between sees NO table).
   *
+  * Snapshot history — `_current` is the whole snapshot LOG (version dir
+  * names, newest first), swapped atomically as one file, so history and
+  * currency can never disagree. `SELECT ... VERSION AS OF k` (k commits
+  * back, or an exact `v-<uuid>`) serves any version still inside the
+  * retention window; each commit prunes versions beyond the
+  * `spark.sql.catalog.<name>.history` window (default 3 previous) AFTER
+  * its pointer swap — Iceberg's expire-snapshots semantics in one file.
+  * Historical reads are immutable (writes through them are refused).
+  *
   * Spark wiring: [[StagingTableCatalog]] makes Spark plan RTAS through
   * `AtomicReplaceTableAsSelectExec` (stage → write → commit) instead of
   * the non-atomic drop-then-create fallback. Reads delegate to Spark's
@@ -62,12 +71,21 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
 
   private var catalogName: String = _
   private var warehouse: JPath = _
+  private var historyKeep: Int = 3
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     val w = options.get("warehouse")
     require(w != null, s"catalog $name needs spark.sql.catalog.$name.warehouse")
     warehouse = Paths.get(w)
+    // snapshot retention: how many PREVIOUS versions stay readable via
+    // `VERSION AS OF` after each commit (the current one is always kept).
+    // Versions that fall off the tail are vacuumed at commit time —
+    // standard lakehouse retention semantics: a reader pinned more than
+    // `history` commits behind can lose its directory, exactly like an
+    // expired Iceberg snapshot.
+    historyKeep = Option(options.get("history")).map(_.toInt).getOrElse(3)
+    require(historyKeep >= 0, s"catalog $name: history must be >= 0")
     Files.createDirectories(warehouse)
   }
 
@@ -80,20 +98,34 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     nsDir(ident.namespace).resolve(ident.name)
   private def pointer(dir: JPath): JPath = dir.resolve("_current")
 
-  private def currentVersion(dir: JPath): Option[JPath] = {
+  /** The pointer file IS the snapshot log: newline-separated version dir
+    * names, newest first. The whole file swaps atomically at commit, so
+    * history and currency can never disagree — an orphaned staging dir
+    * (writer died pre-commit) never enters it. */
+  private[graft] def versionLog(dir: JPath): Seq[String] = {
     val p = pointer(dir)
-    if (!Files.exists(p)) None
-    else Some(dir.resolve(new String(Files.readAllBytes(p), "UTF-8").trim))
+    if (!Files.exists(p)) Nil
+    else new String(Files.readAllBytes(p), "UTF-8")
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
-  /** The atomic commit: write the new pointer beside `_current`, then
+  private def currentVersion(dir: JPath): Option[JPath] =
+    versionLog(dir).headOption.map(dir.resolve)
+
+  /** The atomic commit: prepend the new version to the snapshot log,
+    * truncate to the retention window, write beside `_current`, then
     * rename onto it — same-directory POSIX rename, readers see the old
-    * pointer or the new one, never a torn write. */
+    * log or the new one, never a torn write. Versions that fell off the
+    * window are deleted AFTER the swap (no new reader can resolve them). */
   private def commitPointer(dir: JPath, version: String): Unit = {
+    val old = versionLog(dir)
+    val kept = (version +: old).take(historyKeep + 1)
     val tmp = dir.resolve(s"_current.tmp-${UUID.randomUUID()}")
-    Files.write(tmp, version.getBytes("UTF-8"))
+    Files.write(tmp, kept.mkString("\n").getBytes("UTF-8"))
     Files.move(tmp, pointer(dir), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    (version +: old).drop(historyKeep + 1)
+      .foreach(v => deleteRecursively(dir.resolve(v)))
   }
 
   private def writeMeta(versionDir: JPath, schema: StructType,
@@ -147,6 +179,33 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
       .getOrElse(throw new NoSuchTableException(ident))
     val (schema, parts) = readMeta(version)
     new PointerTable(this, ident, dir, version, schema, parts)
+  }
+
+  /** Time travel (`SELECT ... FROM t VERSION AS OF k`): `k` counts
+    * commits BACK from the current snapshot (0 = current, 1 = previous,
+    * ...), or names an exact `v-<uuid>` directory from the snapshot log.
+    * Only versions still inside the retention window resolve; a pruned
+    * (vacuumed) version raises the same missing-version error an expired
+    * lakehouse snapshot would. Reads of a prior version serve its pinned
+    * immutable directory with the same pushdown/pruning as current. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    val log = versionLog(dir)
+    if (log.isEmpty) throw new NoSuchTableException(ident)
+    val v = version.trim
+    val resolved =
+      if (v.startsWith("v-")) log.find(_ == v)
+      else scala.util.Try(v.toInt).toOption.filter(_ >= 0).flatMap(log.lift)
+    val versionDir = resolved.map(dir.resolve).getOrElse(
+      throw new IllegalArgumentException(
+        s"$ident has no snapshot '$version' in its retention window " +
+          s"(${log.size} snapshots kept: ${log.mkString(", ")}); pass " +
+          "0..n commits back or an exact v-<uuid> from the log"))
+    val (schema, parts) = readMeta(versionDir)
+    // a historical read serves the pinned immutable directory; writes
+    // through it would silently rewrite history, so they are refused
+    new PointerTable(this, ident, dir, versionDir, schema, parts,
+      historical = true)
   }
 
   override def tableExists(ident: Identifier): Boolean =
@@ -297,10 +356,14 @@ private[sources] abstract class VersionedTable(
   * the pointer atomically. */
 private[sources] final class PointerTable(
     catalog: AtomicParquetCatalog, ident: Identifier, dir: JPath,
-    versionDir: JPath, tableSchema: StructType, parts: Seq[String])
+    versionDir: JPath, tableSchema: StructType, parts: Seq[String],
+    historical: Boolean = false)
     extends VersionedTable(ident, versionDir, tableSchema, parts) {
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (historical) throw new UnsupportedOperationException(
+      s"$ident: cannot write through a VERSION AS OF read — historical " +
+        "snapshots are immutable; write to the current table instead")
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
@@ -320,6 +383,7 @@ private[sources] final class PointerTable(
             }
       }
     }
+  }
 }
 
 /** A staged table (CTAS/RTAS): the query writes into the not-yet-visible

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -106,6 +108,103 @@ class AtomicCatalogSpec extends AnyFunSuite {
     val after = spark.table("graft_atomic.db.t4")
       .as[(Long, String)].collect().toSeq
     assert(after == Seq((9L, "z")))
+  }
+
+  test("a writer killed mid-RTAS leaves readers on the old version; dropTable sweeps the orphan") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
+    Seq((1L, "committed"), (2L, "committed")).toDF("id", "s")
+      .writeTo("graft_atomic.db.t5").using("parquet").createOrReplace()
+    val cat = spark.sessionState.catalogManager.catalog("graft_atomic")
+      .asInstanceOf[graft.sources.AtomicParquetCatalog]
+    val ident = Identifier.of(Array("db"), "t5")
+    val dir = java.nio.file.Paths.get(warehouse, "db", "t5")
+    val before = cat.versionLog(dir)
+    // stage a replace and write its data, then "die" before the commit:
+    // stageReplace creates the not-yet-visible version dir, and the data
+    // write lands inside it — exactly the on-disk state of a writer
+    // killed between its last data byte and the pointer swap
+    val schema = spark.table("graft_atomic.db.t5").schema
+    cat.stageReplace(ident, schema, Array.empty,
+      java.util.Collections.emptyMap[String, String]())
+    val orphan = java.nio.file.Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("v-") && !before.contains(n)).toSeq
+    assert(orphan.size == 1, s"expected one staged dir, got $orphan")
+    spark.range(999).select($"id", lit("torn").as("s"))
+      .write.mode("append").parquet(dir.resolve(orphan.head).toString)
+    // a concurrent reader sees the OLD committed version, whole
+    val seen = spark.table("graft_atomic.db.t5")
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(seen == Seq((1L, "committed"), (2L, "committed")),
+      s"mid-RTAS crash leaked into readers: $seen")
+    // the orphan never entered the snapshot log
+    assert(cat.versionLog(dir) == before)
+    // ... and the next dropTable sweeps the whole table dir, orphan included
+    assert(cat.dropTable(ident))
+    assert(!java.nio.file.Files.exists(dir), "dropTable left the orphan")
+  }
+
+  test("VERSION AS OF time travel with retention pruning") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
+    def put(tag: String, n: Int): Unit =
+      spark.range(n).select($"id", lit(tag).as("tag"))
+        .writeTo("graft_atomic.db.tt").using("parquet").createOrReplace()
+    put("v1", 3); put("v2", 5); put("v3", 7)
+    // 0 = current, k = k commits back
+    assert(spark.sql("SELECT count(*) FROM graft_atomic.db.tt VERSION AS OF 0")
+      .head().getLong(0) == 7)
+    assert(spark.sql("SELECT count(*) FROM graft_atomic.db.tt VERSION AS OF 1")
+      .head().getLong(0) == 5)
+    assert(spark.sql(
+      "SELECT DISTINCT tag FROM graft_atomic.db.tt VERSION AS OF 2")
+      .head().getString(0) == "v1")
+    // an exact v-<uuid> name from the log resolves too
+    val cat = spark.sessionState.catalogManager.catalog("graft_atomic")
+      .asInstanceOf[graft.sources.AtomicParquetCatalog]
+    val dir = java.nio.file.Paths.get(warehouse, "db", "tt")
+    val byName = cat.versionLog(dir)(1)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_atomic.db.tt VERSION AS OF 'v-${byName.stripPrefix("v-")}'")
+      .head().getLong(0) == 5)
+    // retention (default history=3): two more commits prune v1's dir
+    put("v4", 9); put("v5", 11)
+    val log = cat.versionLog(dir)
+    assert(log.size == 4, s"retention window wrong: $log")
+    val onDisk = java.nio.file.Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("v-")).toSet
+    assert(onDisk == log.toSet, s"vacuum out of sync: disk $onDisk vs log $log")
+    val err = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_atomic.db.tt VERSION AS OF 9").collect())
+    assert(err.getMessage.contains("retention window"), err.getMessage)
+    // a historical snapshot refuses writes (history is immutable)
+    val hist = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "tt"), "1")
+    val werr = intercept[UnsupportedOperationException](
+      hist.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+        .newWriteBuilder(null))
+    assert(werr.getMessage.contains("immutable"), werr.getMessage)
+    spark.sql("DROP TABLE graft_atomic.db.tt")
+  }
+
+  test("partition pruning reads only the matching version subdirectories") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
+    Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0), (4L, "c", 4.0))
+      .toDF("id", "part", "v")
+      .writeTo("graft_atomic.db.t6").using("parquet")
+      .partitionedBy(col("part")).createOrReplace()
+    val pruned = spark.table("graft_atomic.db.t6").where($"part" === "a")
+    // the V2 ParquetScan must carry the predicate as a PARTITION filter
+    // (directory-level pruning on the version dir), not a data filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(part") &&
+      plan.contains("part") && plan.contains("= a)"),
+      s"scan did not prune partitions:\n$plan")
+    assert(pruned.count() == 2)
+    spark.sql("DROP TABLE graft_atomic.db.t6")
   }
 
   test("medallion silver+gold run through the V2 RTAS path on this catalog") {
