@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Det, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -241,6 +241,50 @@ object Extras {
       .orderBy($"user_id", $"event_type")
   }
 
+  /** q68: time travel over REAL catalog snapshots — q58's diff semantics,
+    * but the two sides are genuine committed versions of one table in
+    * [[graft.sources.AtomicParquetCatalog]], read back through
+    * `VERSION AS OF`: snapshot 1 is the per-status order book before
+    * 1995, snapshot 2 (an atomic RTAS replace) the full history; the
+    * query diffs `VERSION AS OF 1` against the current version. The
+    * oracle recomputes both snapshots straight from `orders`, so the
+    * gate pins that a committed-then-replaced table's PRIOR version
+    * reads back bit-identical to the frame that wrote it — the
+    * lakehouse time-travel contract, exercised end to end (write,
+    * commit, replace, travel), not asserted. Aggregates use the
+    * exact-decimal money discipline so "changed" is engine-exact. */
+  def q68TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    if (s.conf.getOption("spark.sql.catalog.graft_tt").isEmpty) {
+      s.conf.set("spark.sql.catalog.graft_tt",
+        "graft.sources.AtomicParquetCatalog")
+      s.conf.set("spark.sql.catalog.graft_tt.warehouse",
+        java.nio.file.Files.createTempDirectory("graft_tt_wh").toString)
+    }
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_tt.db")
+    val orders = Tables.load(s, dir, "orders")
+    def snap(pred: Column): DataFrame = orders.where(pred)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), moneySum($"o_totalprice").as("total_price"))
+    snap($"o_orderdate" < lit("1995-01-01").cast(DateType))
+      .writeTo("graft_tt.db.order_book").using("parquet").createOrReplace()
+    snap(lit(true))
+      .writeTo("graft_tt.db.order_book").using("parquet").createOrReplace()
+    val old = s.sql(
+      "SELECT * FROM graft_tt.db.order_book VERSION AS OF 1")
+      .select($"o_orderstatus", $"n_orders".as("old_n"),
+        $"total_price".as("old_total"))
+    val cur = s.table("graft_tt.db.order_book")
+      .select($"o_orderstatus", $"n_orders".as("new_n"),
+        $"total_price".as("new_total"))
+    cur.join(old, Seq("o_orderstatus"), "left")
+      .select($"o_orderstatus",
+        coalesce($"old_n", lit(0L)).as("old_n"), $"new_n",
+        coalesce($"old_total", lit(0.0)).as("old_total"), $"new_total",
+        ($"new_n" - coalesce($"old_n", lit(0L))).as("n_delta"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** q59: SCD Type-2 build — the events stream read as a change log of
     * each user's state (their event_type), collapsed into versioned
     * validity intervals. Thin binding of
@@ -430,6 +474,7 @@ object Extras {
     "q59_scd2_build" -> q59Scd2Build,
     "q60_scd2_merge" -> q60Scd2Merge,
     "q58_snapshot_diff" -> q58SnapshotDiff,
+    "q68_time_travel" -> q68TimeTravel,
     "q54_higher_order" -> q54HigherOrder,
     "q55_map_funcs" -> q55MapFuncs,
     "q42_cube" -> q42Cube,
@@ -627,6 +672,21 @@ object Extras {
         |      WHEN o.n_events IS DISTINCT FROM n.n_events
         |        OR o.total_value IS DISTINCT FROM n.total_value THEN 'changed' END IS NOT NULL
         |ORDER BY user_id, event_type""".stripMargin,
+    "q68_time_travel" ->
+      """WITH old AS (
+        |  SELECT o_orderstatus, count(*) AS old_n,
+        |   CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS old_total
+        |  FROM orders WHERE o_orderdate < DATE '1995-01-01' GROUP BY 1),
+        |cur AS (
+        |  SELECT o_orderstatus, count(*) AS new_n,
+        |   CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS new_total
+        |  FROM orders GROUP BY 1)
+        |SELECT cur.o_orderstatus,
+        | coalesce(old.old_n, 0) AS old_n, cur.new_n,
+        | coalesce(old.old_total, 0.0) AS old_total, cur.new_total,
+        | cur.new_n - coalesce(old.old_n, 0) AS n_delta
+        |FROM cur LEFT JOIN old ON cur.o_orderstatus = old.o_orderstatus
+        |ORDER BY cur.o_orderstatus""".stripMargin,
     "q54_higher_order" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT vec_id,
