@@ -2441,6 +2441,17 @@ object Graft {
     df.where(bucket < cut)
   }
 
+  /** Mergeable KMV distinct-count sketch as an aggregate Column — the
+    * sub-2%-error scale alternative to `approx_count_distinct` whose
+    * tighter-rsd flat-buffer HLL is impractical (rsd 0.01 = p=17 = a
+    * ~37000-field agg row). One compact byte-array buffer per group
+    * (k longs; rse ~1/sqrt(k-2), 1.1% at the default 8192), genuine
+    * partial aggregation (map-side state, the exchange carries sketches,
+    * not rows), NULLs excluded. See [[graft.functions.KmvCountDistinct]];
+    * ApproxAggSpec pins the error bound and the partial-merge plan. */
+  def approxCountDistinctSketch(c: Column, k: Int = 8192): Column =
+    graft.functions.KmvCountDistinct.kmvCountDistinct(c, k)
+
   /** Single-pass column profiler — the data-quality / ANALYZE summary a
     * pipeline runs before trusting a new drop: per column, non-null count,
     * null count, distinct count, and min/max (computed on the NATIVE type,

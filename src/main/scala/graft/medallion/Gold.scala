@@ -88,8 +88,18 @@ object Gold {
     * sketch). Tighter rsd grows the flat HLL buffer exponentially — 0.01
     * means p=17, ~12K longs per sketch, a ~37000-field aggregation row whose
     * generated code alone takes a minute to JIT. If a deployment needs <2%
-    * error at scale, the right tool is a mergeable sketch aggregate with a
-    * byte-array buffer, not a tighter flat-buffer HLL. */
+    * error at scale, the right tool is [[kpisSketch]] — a mergeable sketch
+    * aggregate with a byte-array buffer, not a tighter flat-buffer HLL. */
   def kpisApprox(silver: DataFrame, rsd: Double = 0.05): DataFrame =
     build(silver, c => approx_count_distinct(c, rsd))
+
+  /** The sub-2%-error scale variant [[kpisApprox]]'s doc prescribes: the
+    * distinct counts run through the KMV byte-array sketch
+    * ([[graft.functions.KmvCountDistinct]] — ~1.1% rse at the default
+    * k=8192, one 64 KB buffer per sketch instead of p=17 HLL's ~12K-long
+    * flat aggregation row), with genuine partial aggregation: map tasks
+    * reduce to one state before the exchange (ApproxAggSpec pins both the
+    * error bound and the partial-merge plan shape). */
+  def kpisSketch(silver: DataFrame, k: Int = 8192): DataFrame =
+    build(silver, c => graft.functions.KmvCountDistinct.kmvCountDistinct(c, k))
 }
