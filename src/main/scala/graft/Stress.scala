@@ -96,6 +96,12 @@ object Stress {
           .cast("long") % 20 === 0)
       val (tContam, _) = secs(mat(graft.api.Graft.contamination(
         docs, $"doc_id", $"text", bench, $"text")))
+      // t34: the same decontamination through the distributed bloom-sketch
+      // prefilter — the 100 TB shape; must track (and ideally beat) the
+      // exact path as the corpus grows, since non-member grams die in the
+      // scan stage before the join
+      val (tContamB, _) = secs(mat(graft.api.Graft.contaminationBloom(
+        docs, $"doc_id", $"text", bench, $"text")))
 
       val (tRep, _) = secs(mat(graft.api.Graft.repetitionStats(
         docs, $"doc_id", $"text")))
@@ -153,6 +159,15 @@ object Stress {
       // cohesion actually means something.
       val (tTri, nTri) = secs(graft.api.Graft.triangleCounts(
         edges, $"id_a", $"id_b").agg(sum($"n_triangles")).as[Long].head() / 3)
+      // connected components BOTH ways on the same verified K-clique
+      // graph: the size-gated driver union-find (the path a dup graph
+      // under 1M edges takes) against the forced distributed fixpoint —
+      // the round-9 hybrid's two regimes, measured on identical input
+      val (tCcLocal, nCcL) = secs(graft.api.Graft.connectedComponents(
+        edges, $"id_a", $"id_b").count())
+      val (tCcDist, nCcD) = secs(graft.api.Graft.connectedComponents(
+        edges, $"id_a", $"id_b", localEdgeLimit = 0L).count())
+      require(nCcL == nCcD, s"CC paths disagree: $nCcL vs $nCcD")
       edges.unpersist()
       // CDC chunking under replication demonstrates shift resistance AT
       // SCALE: replicas differ only by a trailing suffix, so every
@@ -195,7 +210,7 @@ object Stress {
       pairs.unpersist()
 
       docs.unpersist()
-      f"""{"k":$n,"n_docs":$nDocs,"sig_s":$tSig%.2f,"pairs_s":$tPairs%.2f,"n_pairs":$nPairs,"verify_s":$tVerify%.2f,"n_edges":$nEdges,"dedup_s":$tDedup%.2f,"n_kept":$nKept,"contam_s":$tContam%.2f,"repetition_s":$tRep%.2f,"boilerplate_s":$tBp%.2f,"clean_s":$tClean%.2f,"n_clean":$nClean,"semantic_s":$tSem%.2f,"n_semantic":$nSem,"bpe_s":$tBpe%.2f,"n_merges":$nMergesGot,"fluency_s":$tFluency%.2f,"chunk_s":$tChunk%.2f,"score_s":$tScore%.2f,"triangles_s":$tTri%.2f,"n_triangles":$nTri,"cdc_s":$tCdc%.2f,"n_cdc_chunks":$nCdcChunks,"overlap_s":$tOv%.2f,"overlap_sketch_s":$tOvSk%.2f,"robust_s":$tRob%.2f,"spans_s":$tSpans%.2f,"excise_s":$tExcise%.2f,"contain_s":$tContain%.2f,"n_contain":$nContain,"split_s":$tSplit%.2f,"n_split":$nSplit}"""
+      f"""{"k":$n,"n_docs":$nDocs,"sig_s":$tSig%.2f,"pairs_s":$tPairs%.2f,"n_pairs":$nPairs,"verify_s":$tVerify%.2f,"n_edges":$nEdges,"dedup_s":$tDedup%.2f,"n_kept":$nKept,"contam_s":$tContam%.2f,"contam_bloom_s":$tContamB%.2f,"repetition_s":$tRep%.2f,"boilerplate_s":$tBp%.2f,"clean_s":$tClean%.2f,"n_clean":$nClean,"semantic_s":$tSem%.2f,"n_semantic":$nSem,"bpe_s":$tBpe%.2f,"n_merges":$nMergesGot,"fluency_s":$tFluency%.2f,"chunk_s":$tChunk%.2f,"score_s":$tScore%.2f,"triangles_s":$tTri%.2f,"n_triangles":$nTri,"cc_local_s":$tCcLocal%.2f,"cc_dist_s":$tCcDist%.2f,"cdc_s":$tCdc%.2f,"n_cdc_chunks":$nCdcChunks,"overlap_s":$tOv%.2f,"overlap_sketch_s":$tOvSk%.2f,"robust_s":$tRob%.2f,"spans_s":$tSpans%.2f,"excise_s":$tExcise%.2f,"contain_s":$tContain%.2f,"n_contain":$nContain,"split_s":$tSplit%.2f,"n_split":$nSplit}"""
     }
     println(s"""{"stress":[${results.mkString(",")}],"sf":"$dir"}""")
     spark.stop()

@@ -120,15 +120,21 @@ object TextAnalysis {
     * n-gram set, narrow corpus side). The synthetic corpus contains real
     * near-duplicates (the d02/d03 pairs), so nonzero contamination rows are
     * exercised, not just the zero path. */
-  def t06Contamination(s: SparkSession, dir: String): DataFrame = {
+  def t06Contamination(s: SparkSession, dir: String): DataFrame =
+    contaminationGate(s, dir, graft.api.Graft.contamination(_, _, _, _, _))
+
+  /** The shared t06/t34 benchmark-split + output contract: a ~5% hash
+    * bucket of doc ids plays the benchmark, the rest the corpus; only the
+    * decontamination implementation differs between the two gates, so the
+    * split/column/order pinning lives in exactly one place. */
+  private def contaminationGate(s: SparkSession, dir: String,
+      impl: (DataFrame, Column, Column, DataFrame, Column) => DataFrame): DataFrame = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
     val bucket = conv(substring(md5($"doc_id".cast(StringType)), 1, 4), 16, 10)
       .cast(LongType)
     val isBench = bucket % 20 === 0
-    graft.api.Graft.contamination(
-      docs.where(!isBench), $"doc_id", $"text",
-      docs.where(isBench), $"text")
+    impl(docs.where(!isBench), $"doc_id", $"text", docs.where(isBench), $"text")
       .select($"id".as("doc_id"), $"n_ngrams", $"n_hits", $"contamination")
       .orderBy($"doc_id")
   }
@@ -141,18 +147,9 @@ object TextAnalysis {
     * negatives; the exact join removes false positives), so it shares
     * t06's oracle — the gate pins that the sketch shortcut changes
     * nothing. */
-  def t34ContaminationBloom(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.load(s, dir, "documents")
-    val bucket = conv(substring(md5($"doc_id".cast(StringType)), 1, 4), 16, 10)
-      .cast(LongType)
-    val isBench = bucket % 20 === 0
-    graft.api.Graft.contaminationBloom(
-      docs.where(!isBench), $"doc_id", $"text",
-      docs.where(isBench), $"text")
-      .select($"id".as("doc_id"), $"n_ngrams", $"n_hits", $"contamination")
-      .orderBy($"doc_id")
-  }
+  def t34ContaminationBloom(s: SparkSession, dir: String): DataFrame =
+    contaminationGate(s, dir,
+      graft.api.Graft.contaminationBloom(_, _, _, _, _))
 
   /** t07: character-class quality signals + composite score — the filter
     * layer a corpus-cleaning pipeline applies after token stats (t01):

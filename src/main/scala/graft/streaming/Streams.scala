@@ -52,10 +52,23 @@ object Streams {
     * TIMESTAMP(MICROS) file surfaces it as a native timestamp (no
     * conversion). The file source needs an explicit schema, so probe the
     * footer with a batch read first and declare `ts` accordingly. */
+  /** Probed physical ts type per events file — the footer read costs a
+    * Spark job, and the streaming suite builds eventsStream 8+ times per
+    * bench sweep (twice in st04 alone) over the same immutable testdata
+    * file; one probe per dir is the honest cost. */
+  private val tsProbeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsIsNanosLong =
-      s.read.parquet(s"$dir/events.parquet").schema("ts").dataType == LongType
+    val tsIsNanosLong: Boolean = tsProbeCache.computeIfAbsent(dir, _ => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      require(schema.fieldNames.contains("ts"),
+        s"$dir/events.parquet has no 'ts' column (schema: " +
+          s"${schema.fieldNames.mkString(", ")}) — eventsStream needs the " +
+          "events table's event-time column")
+      schema("ts").dataType == LongType
+    })
     val tsField =
       StructField("ts", if (tsIsNanosLong) LongType else TimestampType)
     val schema = StructType(Seq(
