@@ -46,6 +46,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * its pointer swap — Iceberg's expire-snapshots semantics in one file.
   * Historical reads are immutable (writes through them are refused).
   *
+  * Concurrent writers — optimistic concurrency, Iceberg's conflict
+  * contract: a staged replace records the version that was current at
+  * stage time, and its commit FAILS with a ConcurrentModificationException
+  * if another writer committed in between (last-wins silently loses the
+  * other writer's table); sequential writers are unaffected. The
+  * check-then-swap runs under an atomically-created `_commit.lock`, with
+  * a stale-lock breaker (`lockStaleMs`, default 10 min) so a writer that
+  * dies holding it cannot wedge the table.
+  *
   * Spark wiring: [[StagingTableCatalog]] makes Spark plan RTAS through
   * `AtomicReplaceTableAsSelectExec` (stage → write → commit) instead of
   * the non-atomic drop-then-create fallback. Reads delegate to Spark's
@@ -86,6 +95,8 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     // expired Iceberg snapshot.
     historyKeep = Option(options.get("history")).map(_.toInt).getOrElse(3)
     require(historyKeep >= 0, s"catalog $name: history must be >= 0")
+    lockStaleMs = Option(options.get("lockStaleMs")).map(_.toLong)
+      .getOrElse(600000L)
     Files.createDirectories(warehouse)
   }
 
@@ -116,17 +127,66 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     * truncate to the retention window, write beside `_current`, then
     * rename onto it — same-directory POSIX rename, readers see the old
     * log or the new one, never a torn write. Versions that fell off the
-    * window are deleted AFTER the swap (no new reader can resolve them). */
-  private def commitPointer(dir: JPath, version: String): Unit = {
-    val old = versionLog(dir)
-    val kept = (version +: old).take(historyKeep + 1)
-    val tmp = dir.resolve(s"_current.tmp-${UUID.randomUUID()}")
-    Files.write(tmp, kept.mkString("\n").getBytes("UTF-8"))
-    Files.move(tmp, pointer(dir), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    (version +: old).drop(historyKeep + 1)
-      .foreach(v => deleteRecursively(dir.resolve(v)))
+    * window are deleted AFTER the swap (no new reader can resolve them).
+    *
+    * `expectedBase`: optimistic concurrency (Iceberg's commit-conflict
+    * contract). `Some(base)` asserts the log head is still `base`
+    * (`Some(None)` = the table must still not exist) — if another writer
+    * committed in between, the commit FAILS with a conflict naming both
+    * versions instead of silently overwriting the other writer's table
+    * (last-wins is how lost updates happen). `None` skips the check
+    * (in-place appends mutate the current version and take the lock only
+    * to serialize the log read-modify-write).
+    *
+    * The check-then-swap pair runs under `_commit.lock`, taken with
+    * atomic create-if-absent; a writer that dies holding it leaves a
+    * stale lock that the next committer breaks after `lockStaleMs`
+    * (default 10 min — crash recovery, not contention tuning). */
+  private def commitPointer(dir: JPath, version: String,
+                            expectedBase: Option[Option[String]] = None): Unit = {
+    val lock = dir.resolve("_commit.lock")
+    def acquire(retriesLeft: Int): Unit =
+      try { Files.createFile(lock); () }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val age = try System.currentTimeMillis() -
+            Files.getLastModifiedTime(lock).toMillis
+          catch { case _: java.io.IOException => 0L } // lock just released
+          if (age > lockStaleMs) {
+            try Files.deleteIfExists(lock)
+            catch { case _: java.io.IOException => () }
+            if (retriesLeft > 0) acquire(retriesLeft - 1)
+            else throw new java.util.ConcurrentModificationException(
+              s"$dir: could not break stale commit lock $lock")
+          } else if (retriesLeft > 0) {
+            Thread.sleep(50); acquire(retriesLeft - 1)
+          } else throw new java.util.ConcurrentModificationException(
+            s"$dir: another writer holds $lock; retry the commit")
+      }
+    acquire(200) // ~10 s of 50 ms waits before giving up on a live lock
+    try {
+      val old = versionLog(dir)
+      expectedBase.foreach { base =>
+        if (old.headOption != base)
+          throw new java.util.ConcurrentModificationException(
+            s"$dir: concurrent update detected — this write staged from " +
+              s"base ${base.getOrElse("<no table>")} but the table is now " +
+              s"at ${old.headOption.getOrElse("<no table>")}; re-run the " +
+              "write against the current version (nothing was overwritten)")
+      }
+      val kept = (version +: old).take(historyKeep + 1)
+      val tmp = dir.resolve(s"_current.tmp-${UUID.randomUUID()}")
+      Files.write(tmp, kept.mkString("\n").getBytes("UTF-8"))
+      Files.move(tmp, pointer(dir), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      (version +: old).drop(historyKeep + 1)
+        .foreach(v => deleteRecursively(dir.resolve(v)))
+    } finally Files.deleteIfExists(lock)
   }
+
+  /** Stale-lock breaker age; overridable per catalog via the
+    * `lockStaleMs` option for tests. */
+  private var lockStaleMs: Long = 600000L
 
   private def writeMeta(versionDir: JPath, schema: StructType,
                         parts: Seq[String]): Unit = {
@@ -218,7 +278,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     val dir = tableDir(ident)
     val version = s"v-${UUID.randomUUID()}"
     writeMeta(dir.resolve(version), schema, partitionNames(partitions))
-    commitPointer(dir, version)
+    commitPointer(dir, version, expectedBase = Some(None))
     loadTable(ident)
   }
 
@@ -249,7 +309,10 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     val version = s"v-${UUID.randomUUID()}"
     val parts = partitionNames(partitions)
     writeMeta(dir.resolve(version), schema, parts)
-    new StagedPointerTable(this, ident, dir, version, schema, parts)
+    // the optimistic-concurrency base: whatever is current AT STAGE TIME
+    // must still be current at commit, or the commit conflicts
+    new StagedPointerTable(this, ident, dir, version, schema, parts,
+      base = versionLog(dir).headOption)
   }
 
   override def stageCreate(ident: Identifier, schema: StructType,
@@ -271,8 +334,9 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
                                     properties: java.util.Map[String, String]): StagedTable =
     stage(ident, schema, partitions)
 
-  private[sources] def commitVersion(dir: JPath, version: String): Unit =
-    commitPointer(dir, version)
+  private[sources] def commitVersion(dir: JPath, version: String,
+      expectedBase: Option[Option[String]] = None): Unit =
+    commitPointer(dir, version, expectedBase)
 
   // ---- SupportsNamespaces (directories) ----
 
@@ -379,7 +443,11 @@ private[sources] final class PointerTable(
               Files.copy(versionDir.resolve("_schema.json"), nv.resolve("_schema.json"))
               Files.copy(versionDir.resolve("_partitions.txt"), nv.resolve("_partitions.txt"))
               writeInto(nv, data, "append")
-              catalog.commitVersion(dir, v)
+              // CAS on the version this writer loaded: a replace that
+              // landed since then must surface as a conflict, not be
+              // silently clobbered
+              catalog.commitVersion(dir, v,
+                expectedBase = Some(Some(versionDir.getFileName.toString)))
             }
       }
     }
@@ -391,7 +459,8 @@ private[sources] final class PointerTable(
   * pointer swap, `abortStagedChanges` deletes the orphan. */
 private[sources] final class StagedPointerTable(
     catalog: AtomicParquetCatalog, ident: Identifier, dir: JPath,
-    version: String, tableSchema: StructType, parts: Seq[String])
+    version: String, tableSchema: StructType, parts: Seq[String],
+    base: Option[String])
     extends VersionedTable(ident, dir.resolve(version), tableSchema, parts)
     with StagedTable {
 
@@ -405,7 +474,8 @@ private[sources] final class StagedPointerTable(
       }
     }
 
-  override def commitStagedChanges(): Unit = catalog.commitVersion(dir, version)
+  override def commitStagedChanges(): Unit =
+    catalog.commitVersion(dir, version, expectedBase = Some(base))
 
   override def abortStagedChanges(): Unit = {
     val v = dir.resolve(version)

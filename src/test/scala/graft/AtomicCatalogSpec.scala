@@ -207,6 +207,58 @@ class AtomicCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_atomic.db.t6")
   }
 
+  test("concurrent replace commits conflict instead of silently last-winning") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
+    Seq((1L, "base")).toDF("id", "s")
+      .writeTo("graft_atomic.db.t7").using("parquet").createOrReplace()
+    val cat = spark.sessionState.catalogManager.catalog("graft_atomic")
+      .asInstanceOf[graft.sources.AtomicParquetCatalog]
+    val ident = Identifier.of(Array("db"), "t7")
+    val schema = spark.table("graft_atomic.db.t7").schema
+    val none = java.util.Collections.emptyMap[String, String]()
+    // two writers stage a replace from the SAME base version
+    val w1 = cat.stageReplace(ident, schema, Array.empty, none)
+    val w2 = cat.stageReplace(ident, schema, Array.empty, none)
+    w1.commitStagedChanges() // first writer wins
+    val afterFirst = cat.versionLog(
+      java.nio.file.Paths.get(warehouse, "db", "t7"))
+    // the second commit must CONFLICT (its base is no longer current),
+    // leaving the first writer's commit untouched
+    val err = intercept[java.util.ConcurrentModificationException](
+      w2.commitStagedChanges())
+    assert(err.getMessage.contains("concurrent update"), err.getMessage)
+    w2.abortStagedChanges()
+    assert(cat.versionLog(
+      java.nio.file.Paths.get(warehouse, "db", "t7")) == afterFirst,
+      "conflicting commit mutated the log")
+    // sequential staging (stage AFTER the other's commit) still works
+    val w3 = cat.stageReplace(ident, schema, Array.empty, none)
+    w3.commitStagedChanges()
+    spark.sql("DROP TABLE graft_atomic.db.t7")
+  }
+
+  test("a dead writer's stale commit lock is broken, a live one is honored") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
+    Seq((1L, "x")).toDF("id", "s")
+      .writeTo("graft_atomic.db.t8").using("parquet").createOrReplace()
+    val dir = java.nio.file.Paths.get(warehouse, "db", "t8")
+    val lock = dir.resolve("_commit.lock")
+    // a writer died holding the lock 11 minutes ago (stale beyond the
+    // 10-minute breaker): the next commit must break it and succeed
+    java.nio.file.Files.createFile(lock)
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 11 * 60 * 1000L))
+    Seq((2L, "y")).toDF("id", "s")
+      .writeTo("graft_atomic.db.t8").using("parquet").createOrReplace()
+    assert(spark.table("graft_atomic.db.t8").count() == 1)
+    assert(!java.nio.file.Files.exists(lock), "stale lock not cleaned up")
+    spark.sql("DROP TABLE graft_atomic.db.t8")
+  }
+
   test("medallion silver+gold run through the V2 RTAS path on this catalog") {
     val base = java.nio.file.Files.createTempDirectory("graft_atomic_mdp").toString
     val cfg = graft.medallion.MdpConfig.fromEnv(base).copy(
