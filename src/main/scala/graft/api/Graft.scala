@@ -236,21 +236,15 @@ object Graft {
             "lshBucketStats(sigs) shows the distribution."))))
           .otherwise(col("ss")))
     val buckets = guarded.where(size(col("ss")) > 1)
-    // n_match is computed INSIDE the pair lambda and the minAgreement cut
-    // applied before flatten/explode: the quadratic fan-out then emits
-    // (id_a, id_b, n_match) triples for surviving pairs only, instead of
-    // pushing two full signature structs per raw pair through the explode
-    // (2 x (1 + numHashes) fields -> 3) — the same output, a fraction of
-    // the row bytes on exactly the quadratic stage that dominates mining
-    def nm(x: Column, y: Column): Column = (1 to numHashes)
-      .map(i => when(x.getField(s"h$i") === y.getField(s"h$i"), 1L)
-        .otherwise(0L)).reduce(_ + _)
-    val inBucketPairs = flatten(transform(col("ss"), (x, i) =>
-      filter(
-        transform(slice(col("ss"), i + lit(2), size(col("ss"))),
-          y => struct(x.getField("id").as("id_a"),
-            y.getField("id").as("id_b"), nm(x, y).as("n_match"))),
-        p => p.getField("n_match") >= minAgreement)))
+    // the whole in-bucket quadratic — n_match scoring AND the minAgreement
+    // cut — runs inside ONE compiled call per bucket (native
+    // BucketPairSurvivors expression): higher-order transform/filter
+    // lambdas are CodegenFallback, so the previous formulation paid
+    // interpreted evaluation per RAW pair on exactly the Σ bucket² stage
+    // that dominates mining; the explode then carries only surviving
+    // (id_a, id_b, n_match) triples
+    val inBucketPairs =
+      graft.functions.BucketPairSurvivors.bucketPairs(col("ss"), minAgreement)
     buckets.select(explode(inBucketPairs).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.n_match").as("n_match"))

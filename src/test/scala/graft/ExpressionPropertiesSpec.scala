@@ -48,6 +48,60 @@ class ExpressionPropertiesSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.collect().mkString("\n"))
   }
 
+  test("BucketPairSurvivors equals the reference quadratic on arbitrary buckets") {
+    import spark.implicits._
+    // random buckets of (id, h1..h4) signatures, long AND string ids;
+    // the native per-bucket quadratic must emit exactly the reference
+    // i<j pairs with exact n_match agreement counts and the cut applied
+    val sigGen = for {
+      id <- Gen.choose(0L, 30L)
+      hs <- Gen.listOfN(4, Gen.choose(0L, 3L)) // small range -> real ties
+    } yield (id, hs)
+    val bucketGen = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, sigGen))
+    val buckets = samples(bucketGen, 200).zipWithIndex
+    def reference(bucket: Seq[(Long, Seq[Long])], minAgree: Int) = {
+      val sorted = bucket.sortBy(s => (s._1, s._2.mkString(",")))
+      for {
+        i <- sorted.indices; j <- (i + 1) until sorted.size
+        m = sorted(i)._2.zip(sorted(j)._2).count { case (a, b) => a == b }
+        if m >= minAgree
+      } yield (sorted(i)._1, sorted(j)._1, m.toLong)
+    }
+    val rows = buckets.map { case (b, bi) =>
+      (bi.toLong, b.map { case (id, hs) => (id, hs(0), hs(1), hs(2), hs(3)) })
+    }.toDF("bucket_id", "ss0")
+    val native = rows.select($"bucket_id",
+        explode(graft.functions.BucketPairSurvivors.bucketPairs(
+          sort_array(transform($"ss0", s => struct(
+            s.getField("_1").as("id"), s.getField("_2").as("h1"),
+            s.getField("_3").as("h2"), s.getField("_4").as("h3"),
+            s.getField("_5").as("h4")))), 2)).as("p"))
+      .select($"bucket_id", $"p.id_a", $"p.id_b", $"p.n_match")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).sorted.toSeq).toMap
+    for ((b, bi) <- buckets) {
+      // the reference sorts by (id, sig) exactly like sort_array's struct
+      // order only when ids are distinct-or-tied consistently; compare as
+      // multisets of (min,max,n_match) which are order-independent
+      val want = reference(b, 2)
+        .map { case (x, y, m) => (math.min(x, y), math.max(x, y), m) }.sorted
+      val got = native.getOrElse(bi.toLong, Seq.empty)
+        .map { case (x, y, m) => (math.min(x, y), math.max(x, y), m) }.sorted
+      assert(got == want, s"bucket $bi: native $got vs reference $want")
+    }
+    // string ids flow through unchanged (copied, not aliased)
+    val sRows = Seq(("k", Seq(("a", 1L, 2L), ("b", 1L, 2L), ("c", 9L, 2L))))
+      .toDF("k", "ss0")
+    val sGot = sRows.select(explode(
+        graft.functions.BucketPairSurvivors.bucketPairs(
+          sort_array(transform($"ss0", s => struct(
+            s.getField("_1").as("id"), s.getField("_2").as("h1"),
+            s.getField("_3").as("h2")))), 1)).as("p"))
+      .select($"p.id_a", $"p.id_b", $"p.n_match")
+      .as[(String, String, Long)].collect().toSet
+    assert(sGot == Set(("a", "b", 2L), ("a", "c", 1L), ("b", "c", 1L)), sGot)
+  }
+
   test("zorderValue de-interleaves back to each input's low bits") {
     import spark.implicits._
     val bits = 8
