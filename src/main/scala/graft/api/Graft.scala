@@ -408,8 +408,15 @@ object Graft {
     val sym = mat(e.union(e.select(col("b").as("a"), col("a").as("b")))
       .distinct())
     val cmp = localIdComparator(sym.schema.head.dataType)
-    if (cmp.isDefined && localEdgeLimit > 0 && sym.count() <= localEdgeLimit)
-      return localUnionFind(sym, cmp.get)
+    if (cmp.isDefined && localEdgeLimit > 0 && sym.count() <= localEdgeLimit) {
+      val rows = sym.collect()
+      // null endpoints (a caller bug, but defined behavior matters) keep
+      // the distributed path so both paths stay observably identical —
+      // the union-find's min-compare has no null ordering to borrow
+      if (!rows.exists(r => r.isNullAt(0) || r.isNullAt(1)))
+        return localUnionFind(rows, sym.schema.head.dataType,
+          cmp.get, sym.sparkSession)
+    }
     var labels = mat(sym.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("label")))
     // fixpoint proof, exact in both forms because labels only ever
@@ -480,11 +487,10 @@ object Graft {
     * compression + union by size, then one pass taking every member to
     * its component's minimum id. Same output contract as the distributed
     * fixpoint — one (id, component) row per vertex appearing in an edge. */
-  private def localUnionFind(sym: DataFrame,
-                             cmp: java.util.Comparator[Any]): DataFrame = {
-    val spark = sym.sparkSession
-    val dt = sym.schema.head.dataType
-    val rows = sym.collect()
+  private def localUnionFind(rows: Array[Row],
+                             dt: org.apache.spark.sql.types.DataType,
+                             cmp: java.util.Comparator[Any],
+                             spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val idx = new java.util.HashMap[Any, Integer]()
     val ids = scala.collection.mutable.ArrayBuffer.empty[Any]
     def intern(v: Any): Int = {

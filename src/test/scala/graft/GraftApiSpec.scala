@@ -439,6 +439,26 @@ class GraftApiSpec extends AnyFunSuite {
     assert(cc.size == 17 && cc.values.forall(_ == 1L), s"got $cc")
   }
 
+  test("connectedComponents edge cases: empty graph, null endpoints parity") {
+    import spark.implicits._
+    // empty edge list -> empty labels, correct schema, both paths
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val eFast = Graft.connectedComponents(empty, $"a", $"b")
+    assert(eFast.columns.toSeq == Seq("id", "component") && eFast.isEmpty)
+    assert(Graft.connectedComponents(empty, $"a", $"b",
+      localEdgeLimit = 0L).isEmpty)
+    // a null endpoint (caller bug, but behavior must be DEFINED): the
+    // local gate steps aside so both paths give the same observable
+    // result as the distributed loop always has
+    val withNull = Seq((Some(1L), Some(2L)), (None, Some(3L)))
+      .toDF("a", "b")
+    val gotFast = Graft.connectedComponents(withNull, $"a", $"b")
+      .as[(Option[Long], Option[Long])].collect().toSet
+    val gotDist = Graft.connectedComponents(withNull, $"a", $"b",
+      localEdgeLimit = 0L).as[(Option[Long], Option[Long])].collect().toSet
+    assert(gotFast == gotDist, s"null-endpoint paths diverged: $gotFast vs $gotDist")
+  }
+
   test("connectedComponents local fast path matches the distributed fixpoint") {
     import spark.implicits._
     // two components with backwards edges + a diameter-5 path; run the
@@ -458,6 +478,11 @@ class GraftApiSpec extends AnyFunSuite {
     val sDist = Graft.connectedComponents(sEdges, $"a", $"b",
       localEdgeLimit = 0L).as[(String, String)].collect().toMap
     assert(sFast == sDist, s"string ids diverged: $sFast vs $sDist")
+    // an empty corpus trains zero merges on both BPE paths too
+    val noDocs = Seq.empty[(Long, String)].toDF("id", "body")
+    assert(Graft.trainBpeMerges(noDocs, $"body", nMerges = 3).isEmpty)
+    assert(Graft.trainBpeMerges(noDocs, $"body", nMerges = 3,
+      localVocabLimit = 0L).isEmpty)
   }
 
   test("graph loops converge identically under reliable checkpointing") {
