@@ -2644,6 +2644,63 @@ object Graft {
         "seq_last", "n_seqs")
   }
 
+  /** Greedy token-budget curation — keep the best-scoring documents until
+    * a global token budget fills: the data-curation selection behind
+    * "train on the best N tokens" (quality-ranked subsampling to a
+    * compute budget). Documents are taken in (score DESC NULLS LAST,
+    * id ASC) order — fully deterministic, ties included — and a document
+    * is kept iff the running token total INCLUDING it stays within
+    * `budget`. Returns the kept rows as (id, score, n_tokens,
+    * cum_tokens); zero-token documents inside the kept prefix ride along
+    * free.
+    *
+    * Scale shape ([[packSequences]]' discipline): NO global sort — score
+    * quantile bounds (percentile_approx, broadcast) range-bucket the
+    * corpus, the running sum is a within-bucket window ordered by
+    * (score, id), and bucket totals get their own tiny prefix-sum window
+    * and broadcast back as offsets; the corpus is exchanged exactly once
+    * and nothing funnels through one task. Equal scores always share a
+    * bucket (bucketing is a pure function of the score value), so the
+    * bucketed running sum equals the global-sort form exactly. */
+  def selectByTokenBudget(df: DataFrame, id: Column, score: Column,
+                          nTokens: Column, budget: Long,
+                          partitions: Int = 0): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val p = if (partitions > 0) partitions
+            else df.sparkSession.sparkContext.defaultParallelism
+    val base0 = df.select(id.as("id"), score.cast(DoubleType).as("score"),
+      nTokens.cast(LongType).as("n_tokens"))
+    val base =
+      if (p <= 1) base0.withColumn("__pid", lit(0))
+      else {
+        val probs = array((1 until p).map(k => lit(k.toDouble / p)): _*)
+        val bounds = base0
+          .agg(percentile_approx(col("score"), probs, lit(10000)).as("__bnds"))
+        // higher pid = higher score band; null scores land in pid -1 and
+        // sort after everything (they can never be kept before non-nulls,
+        // matching DESC NULLS LAST exactly)
+        base0.crossJoin(broadcast(bounds))
+          .withColumn("__pid",
+            when(col("score").isNull, lit(-1))
+              .otherwise(size(filter(col("__bnds"), b => b <= col("score")))
+                .cast(IntegerType)))
+          .drop("__bnds")
+      }
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(col("score").desc_nulls_last, col("id"))
+    val local = base.withColumn("__cum", sum(col("n_tokens")).over(w))
+    val wPid = Window.orderBy(col("__pid").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("__ptot"))
+      .withColumn("__poff", coalesce(sum(col("__ptot")).over(wPid), lit(0L)))
+      .select(col("__pid"), col("__poff"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("cum_tokens", col("__poff") + col("__cum"))
+      .where(col("cum_tokens") <= budget)
+      .select(col("id"), col("score"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Per-group distinctive terms — the TF-IDF family signal a corpus
     * pipeline uses to characterize a slice (language, source, cluster):
     * for each group, the `topK` tokens by score = tf_group / df_corpus

@@ -662,7 +662,27 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t35: greedy token-budget curation — the "train on the best N tokens"
+    * selection: rank documents by a quality score (n_chars here — any
+    * deterministic score works) and keep them, best first, until a global
+    * 10k-token budget fills. Thin binding of
+    * [[graft.api.Graft.selectByTokenBudget]] (bucketed exact prefix sum,
+    * no global sort); the oracle is the equivalent QUALIFY'd running-sum
+    * window over a true global order, pinning the bucketed form equal to
+    * the global-sort form including boundary and tie behavior. */
+  def t35TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    graft.api.Graft.selectByTokenBudget(
+        docs, $"doc_id", $"n_chars",
+        size(filter(split(trim($"text"), "\\s+"), t => t =!= lit(""))),
+        budget = 10000L)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t35_token_budget" -> t35TokenBudget,
     "t33_leakage_safe_split" -> t33LeakageSafeSplit,
     "t32_overlap_sketch" -> t32OverlapSketch,
     "t31_cdc_chunks" -> t31CdcChunks,
@@ -719,6 +739,19 @@ object TextAnalysis {
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t35_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS score,
+        |   CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |     x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, score, n_tokens,
+        |   CAST(sum(n_tokens) OVER (
+        |     ORDER BY score DESC NULLS LAST, doc_id) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, score, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin,
     "t33_leakage_safe_split" -> {
       val cuts = Seq(0.8, 0.9).map(f => math.round(f * 65536))
       s"""WITH RECURSIVE ${Dedup.sigsSql()},

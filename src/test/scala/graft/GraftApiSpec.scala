@@ -1014,6 +1014,39 @@ class GraftApiSpec extends AnyFunSuite {
     assert(plain.where($"id" === 1L).select($"n_bpe_tokens").as[Long].head() == 9L)
   }
 
+  test("selectByTokenBudget fills greedily with exact boundary and tie behavior") {
+    import spark.implicits._
+    // scores plant: a tie straddling the kept/cut boundary (ids break it),
+    // a zero-token doc riding free inside the prefix, null scores last,
+    // and a budget that lands MID-document (that document is cut)
+    val docs = Seq(
+      (1L, Some(9.0), 4L), (2L, Some(9.0), 4L), // tie: id order decides
+      (3L, Some(8.0), 0L),                      // zero tokens, rides free
+      (4L, Some(7.0), 5L),                      // cum 13 > 10 -> cut
+      (5L, Some(6.0), 1L),                      // after a cut doc: also cut
+      (6L, None, 1L)                            // null score sorts last
+    ).toDF("id", "score", "n")
+    val kept = Graft.selectByTokenBudget(docs, $"id", $"score", $"n", 10L)
+      .orderBy($"id").as[(Long, Option[Double], Long, Long)].collect().toSeq
+    assert(kept == Seq(
+      (1L, Some(9.0), 4L, 4L), (2L, Some(9.0), 4L, 8L),
+      (3L, Some(8.0), 0L, 8L)), kept.toString)
+    // bucketed form == brute-force global sort on random data, any p
+    val rnd = new scala.util.Random(7)
+    val big = (1L to 500L).map(i =>
+      (i, rnd.nextInt(20).toDouble, rnd.nextInt(10).toLong))
+    val bigDf = big.toDF("id", "score", "n")
+    val want = big.sortBy { case (i, s, _) => (-s, i) }
+      .scanLeft((0L, 0L, 0.0, 0L)) { case ((cum, _, _, _), (i, s, n)) =>
+        (cum + n, i, s, n) }
+      .tail.filter(_._1 <= 800L).map { case (c, i, s, n) => (i, s, n, c) }.toSet
+    for (p <- Seq(1, 3, 8)) {
+      val got = Graft.selectByTokenBudget(bigDf, $"id", $"score", $"n",
+        800L, partitions = p).as[(Long, Double, Long, Long)].collect().toSet
+      assert(got == want, s"p=$p: ${got.size} vs ${want.size}")
+    }
+  }
+
   test("weightedSample clamps weights and keeps/drops deterministically") {
     import spark.implicits._
     val df = (1L to 400L).map(i =>
