@@ -943,15 +943,29 @@ object Graft {
       .where(size(col("v")) === dim)
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .where(col("nrm") > 0)
+    // the quadratic stage carries IDS ONLY: the bucket self-join and the
+    // cross-table distinct work over (tbl, bkt, id) rows, so the join
+    // fan-out and the dedup exchange never move a vector (previously both
+    // full dim-double arrays rode through the fan-out AND the distinct
+    // hashed them per row); the surviving pairs — orders of magnitude
+    // fewer than raw candidates — join the vectors back in one keyed pass
+    // per side
     val buckets = (0 until numTables).map { t =>
-      all.select(col("vec_id"), col("v"), col("nrm"), lit(t).as("tbl"),
+      all.select(col("vec_id"), lit(t).as("tbl"),
         signBucketKey(col("v"), planes, t, bitsPerBucket).as("bkt"))
     }.reduce(_ union _)
-    val a = buckets.toDF("vec_a", "va", "na", "tbl", "bkt")
-    val b = buckets.toDF("vec_b", "vb", "nb", "tbl", "bkt")
-    a.join(b, Seq("tbl", "bkt")).where(col("vec_a") < col("vec_b"))
+    val a = buckets.toDF("vec_a", "tbl", "bkt")
+    val b = buckets.toDF("vec_b", "tbl", "bkt")
+    val pairIds = a.join(b, Seq("tbl", "bkt"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    pairIds
+      .join(all.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("nrm").as("na")), Seq("vec_a"))
+      .join(all.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("vec_b"))
       .select(col("vec_a"), col("va"), col("na"),
-        col("vec_b"), col("vb"), col("nb")).distinct()
+        col("vec_b"), col("vb"), col("nb"))
   }
 
   /** Embedding-cosine near-duplicate REMOVAL, end to end — the semantic
