@@ -2715,6 +2715,58 @@ object Graft {
       .select(col("id"), col("score"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Per-group token-budget curation — [[selectByTokenBudget]] with an
+    * independent budget per group: the per-language / per-source token
+    * quota a mixture-controlled training corpus is actually built with
+    * (the token-weighted extension of the doc-count quota in
+    * `quotaPerGroup`). Within each group, documents are taken in
+    * (score DESC NULLS LAST, id ASC) order and kept while the group's
+    * running token total stays within `budget`. Returns kept rows as
+    * (group, id, score, n_tokens, cum_tokens).
+    *
+    * Same no-global-sort shape: score-quantile bounds (computed over the
+    * whole corpus — they only need to be consistent cuts, not per-group
+    * quantiles) bucket rows into (group, band) windows; per-(group, band)
+    * totals get a per-group prefix-sum window over a groups x bands frame
+    * and broadcast back. One corpus exchange, nothing group-global. */
+  def selectByTokenBudgetPerGroup(df: DataFrame, id: Column, group: Column,
+                                  score: Column, nTokens: Column,
+                                  budget: Long,
+                                  partitions: Int = 0): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val p = if (partitions > 0) partitions
+            else df.sparkSession.sparkContext.defaultParallelism
+    val base0 = df.select(group.as("grp"), id.as("id"),
+      score.cast(DoubleType).as("score"), nTokens.cast(LongType).as("n_tokens"))
+    val base =
+      if (p <= 1) base0.withColumn("__pid", lit(0))
+      else {
+        val probs = array((1 until p).map(k => lit(k.toDouble / p)): _*)
+        val bounds = base0
+          .agg(percentile_approx(col("score"), probs, lit(10000)).as("__bnds"))
+        base0.crossJoin(broadcast(bounds))
+          .withColumn("__pid",
+            when(col("score").isNull, lit(-1))
+              .otherwise(size(filter(col("__bnds"), b => b <= col("score")))
+                .cast(IntegerType)))
+          .drop("__bnds")
+      }
+    val w = Window.partitionBy(col("grp"), col("__pid"))
+      .orderBy(col("score").desc_nulls_last, col("id"))
+    val local = base.withColumn("__cum", sum(col("n_tokens")).over(w))
+    val wPid = Window.partitionBy(col("grp")).orderBy(col("__pid").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("grp"), col("__pid"))
+      .agg(sum(col("n_tokens")).as("__ptot"))
+      .withColumn("__poff", coalesce(sum(col("__ptot")).over(wPid), lit(0L)))
+      .select(col("grp"), col("__pid"), col("__poff"))
+    local.join(broadcast(offsets), Seq("grp", "__pid"))
+      .withColumn("cum_tokens", col("__poff") + col("__cum"))
+      .where(col("cum_tokens") <= budget)
+      .select(col("grp"), col("id"), col("score"), col("n_tokens"),
+        col("cum_tokens"))
+  }
+
   /** Per-group distinctive terms — the TF-IDF family signal a corpus
     * pipeline uses to characterize a slice (language, source, cluster):
     * for each group, the `topK` tokens by score = tf_group / df_corpus

@@ -681,7 +681,23 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t36: per-language token quotas — t35's greedy selection with an
+    * independent 3k-token budget per lang, the mixture-controlled
+    * curation shape (token-weighted t17). Thin binding of
+    * [[graft.api.Graft.selectByTokenBudgetPerGroup]]. */
+  def t36LangTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    graft.api.Graft.selectByTokenBudgetPerGroup(
+        docs, $"doc_id", $"lang", $"n_chars",
+        size(filter(split(trim($"text"), "\\s+"), t => t =!= lit(""))),
+        budget = 3000L)
+      .withColumnRenamed("id", "doc_id").withColumnRenamed("grp", "lang")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t36_lang_token_budget" -> t36LangTokenBudget,
     "t35_token_budget" -> t35TokenBudget,
     "t33_leakage_safe_split" -> t33LeakageSafeSplit,
     "t32_overlap_sketch" -> t32OverlapSketch,
@@ -739,6 +755,19 @@ object TextAnalysis {
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t36_lang_token_budget" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS score,
+        |   CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |     x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id, score, n_tokens,
+        |   CAST(sum(n_tokens) OVER (PARTITION BY lang
+        |     ORDER BY score DESC NULLS LAST, doc_id) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT lang, doc_id, score, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens <= 3000 ORDER BY doc_id""".stripMargin,
     "t35_token_budget" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS score,

@@ -1047,6 +1047,35 @@ class GraftApiSpec extends AnyFunSuite {
     }
   }
 
+  test("selectByTokenBudgetPerGroup fills each group's quota independently") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", 1L, 9.0, 4L), ("en", 2L, 8.0, 4L), ("en", 3L, 7.0, 4L),
+      ("fr", 4L, 1.0, 5L), ("fr", 5L, 0.5, 6L)).toDF("g", "id", "score", "n")
+    val kept = Graft.selectByTokenBudgetPerGroup(
+        docs, $"id", $"g", $"score", $"n", 8L)
+      .orderBy($"id").as[(String, Long, Double, Long, Long)].collect().toSeq
+    // en: 4+4=8 <= 8, third doc cut; fr: best doc 5 <= 8, next would be 11
+    assert(kept == Seq(("en", 1L, 9.0, 4L, 4L), ("en", 2L, 8.0, 4L, 8L),
+      ("fr", 4L, 1.0, 5L, 5L)), kept.toString)
+    // equals the brute-force per-group global sort at several bucket counts
+    val rnd = new scala.util.Random(11)
+    val big = (1L to 400L).map(i =>
+      (s"g${i % 3}", i, rnd.nextInt(9).toDouble, rnd.nextInt(8).toLong))
+    val want = big.groupBy(_._1).flatMap { case (_, rows) =>
+      rows.sortBy { case (_, i, s, _) => (-s, i) }
+        .scanLeft(("", 0L, 0.0, 0L, 0L)) { case ((_, _, _, _, cum), (g, i, s, n)) =>
+          (g, i, s, n, cum + n) }
+        .tail.filter(_._5 <= 300L)
+    }.toSet
+    for (p <- Seq(1, 4)) {
+      val got = Graft.selectByTokenBudgetPerGroup(big.toDF("g", "id", "score", "n"),
+          $"id", $"g", $"score", $"n", 300L, partitions = p)
+        .as[(String, Long, Double, Long, Long)].collect().toSet
+      assert(got == want, s"p=$p: ${got.size} vs ${want.size}")
+    }
+  }
+
   test("weightedSample clamps weights and keeps/drops deterministically") {
     import spark.implicits._
     val df = (1L to 400L).map(i =>
