@@ -2675,7 +2675,13 @@ object Graft {
     * and broadcast back as offsets; the corpus is exchanged exactly once
     * and nothing funnels through one task. Equal scores always share a
     * bucket (bucketing is a pure function of the score value), so the
-    * bucketed running sum equals the global-sort form exactly. */
+    * bucketed running sum equals the global-sort form exactly. That
+    * parity includes NaN scores: Spark's comparison operators use the
+    * same NaN-greatest total order as its sorts (NaN > every double,
+    * NaN = NaN), so the band predicate `bound <= score` is true for NaN
+    * against every bound and NaN rows land in the top band leading the
+    * prefix — exactly their global-sort DESC position (pinned by
+    * GraftApiSpec's NaN parity test). */
   def selectByTokenBudget(df: DataFrame, id: Column, score: Column,
                           nTokens: Column, budget: Long,
                           partitions: Int = 0): DataFrame = {

@@ -24,9 +24,16 @@ import org.apache.spark.sql.types._
   *
   * Semantics are IDENTICAL to the lambda formulation it replaces (same
   * i < j order off the pre-sorted bucket, same n_match count, same cut),
-  * so oracles and downstream grouping are unchanged. Hash fields must be
-  * LongType ([[MinHashSig]]'s output); the id field may be any type —
-  * values are copied out of the (possibly buffer-backed) input structs. */
+  * so oracles and downstream grouping are unchanged — INCLUDING nulls:
+  * the old `when(a.h === b.h, 1)` never matched a null hash (null === x
+  * and null === null are both non-true), so a null hash here counts as
+  * agreeing with nothing, and a null struct element (whose pair rows all
+  * had null n_match, failing the cut) is skipped. The null-aware scan
+  * only runs when the materialization pass actually saw a null; the
+  * common all-present bucket takes the original branch-free loop. Hash
+  * fields must be LongType ([[MinHashSig]]'s output); the id field may
+  * be any type — values are copied out of the (possibly buffer-backed)
+  * input structs. */
 case class BucketPairSurvivors(child: Expression, minAgreement: Int)
     extends UnaryExpression {
 
@@ -59,37 +66,70 @@ case class BucketPairSurvivors(child: Expression, minAgreement: Int)
 
   /** Quadratic scan; shared by eval and generated code. */
   def compute(arr: ArrayData): ArrayData = {
-    val n = arr.numElements()
+    val n0 = arr.numElements()
     val nh = numHashes
     val idT = idType
     // materialize once: ids copied (buffer-backed values must not alias
-    // the reused input page), hashes unpacked to a flat long matrix
-    val ids = new Array[Any](n)
-    val hs = new Array[Long](n * nh)
-    var i = 0
-    while (i < n) {
-      val row = arr.getStruct(i, nh + 1)
-      ids(i) = InternalRow.copyValue(row.get(0, idT))
-      var k = 0
-      while (k < nh) { hs(i * nh + k) = row.getLong(k + 1); k += 1 }
-      i += 1
-    }
-    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
-    i = 0
-    while (i < n) {
-      var j = i + 1
-      while (j < n) {
-        var m = 0
+    // the reused input page), hashes unpacked to a flat long matrix.
+    // Null struct elements are dropped here (their pairs never survive
+    // the cut — see scaladoc); null hash fields are flagged in a lazily
+    // allocated mask so the all-present fast path stays branch-free.
+    val ids = new Array[Any](n0)
+    val hs = new Array[Long](n0 * nh)
+    var nulls: Array[Boolean] = null // allocated on first null hash
+    var n = 0
+    var i0 = 0
+    while (i0 < n0) {
+      if (!arr.isNullAt(i0)) {
+        val row = arr.getStruct(i0, nh + 1)
+        ids(n) = InternalRow.copyValue(row.get(0, idT))
         var k = 0
         while (k < nh) {
-          if (hs(i * nh + k) == hs(j * nh + k)) m += 1
+          if (row.isNullAt(k + 1)) {
+            if (nulls == null) nulls = new Array[Boolean](n0 * nh)
+            nulls(n * nh + k) = true
+          } else hs(n * nh + k) = row.getLong(k + 1)
           k += 1
         }
-        if (m >= minAgreement)
-          out += InternalRow(ids(i), ids(j), m.toLong)
-        j += 1
+        n += 1
       }
-      i += 1
+      i0 += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    if (nulls == null) {
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          var m = 0
+          var k = 0
+          while (k < nh) {
+            if (hs(i * nh + k) == hs(j * nh + k)) m += 1
+            k += 1
+          }
+          if (m >= minAgreement)
+            out += InternalRow(ids(i), ids(j), m.toLong)
+          j += 1
+        }
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          var m = 0
+          var k = 0
+          while (k < nh) {
+            if (!nulls(i * nh + k) && !nulls(j * nh + k) &&
+                hs(i * nh + k) == hs(j * nh + k)) m += 1
+            k += 1
+          }
+          if (m >= minAgreement)
+            out += InternalRow(ids(i), ids(j), m.toLong)
+          j += 1
+        }
+        i += 1
+      }
     }
     new GenericArrayData(out.toArray)
   }

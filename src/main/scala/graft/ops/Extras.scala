@@ -285,6 +285,55 @@ object Extras {
       .orderBy($"o_orderstatus")
   }
 
+  /** q69: SQL `MERGE INTO` through the atomic catalog — the first
+    * statement a lakehouse user types, planned by Spark's own
+    * `RewriteMergeIntoTable` against
+    * [[graft.sources.AtomicParquetCatalog]]'s row-level-operation
+    * support (group-based copy-on-write: read the pinned snapshot,
+    * evaluate the clauses, commit the merged rows as a fresh version
+    * with the same CAS as a replace). The scenario exercises ALL FOUR
+    * clause kinds — conditional MATCHED DELETE, MATCHED UPDATE,
+    * NOT MATCHED INSERT, and conditional NOT MATCHED BY SOURCE UPDATE —
+    * over a customer balance book merged with recent order spend. The
+    * oracle replays the same semantics as a plain full-outer-join in
+    * DuckDB, so the gate pins the MERGE result row-for-row, and the
+    * money column follows the exact-decimal discipline (both engines
+    * add the same two exactly-represented doubles). */
+  def q69MergeInto(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    if (s.conf.getOption("spark.sql.catalog.graft_ma").isEmpty) {
+      s.conf.set("spark.sql.catalog.graft_ma",
+        "graft.sources.AtomicParquetCatalog")
+      s.conf.set("spark.sql.catalog.graft_ma.warehouse",
+        java.nio.file.Files.createTempDirectory("graft_ma_wh").toString)
+    }
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    // target: balance book over 2/3 of the customers (so the merge has
+    // genuinely-new keys to insert); re-created each run -> idempotent
+    Tables.load(s, dir, "customer").where($"c_custkey" % 3 =!= 2)
+      .select($"c_custkey", $"c_acctbal".as("balance"),
+        $"c_mktsegment".as("segment"))
+      .writeTo("graft_ma.db.balances").using("parquet").createOrReplace()
+    Tables.load(s, dir, "orders")
+      .where($"o_orderdate" >= lit("1997-01-01").cast(DateType))
+      .groupBy($"o_custkey")
+      .agg(moneySum($"o_totalprice").as("spent"),
+        count(lit(1)).as("n_orders"))
+      .createOrReplaceTempView("q69_src")
+    s.sql("""MERGE INTO graft_ma.db.balances t
+            |USING q69_src s
+            |ON t.c_custkey = s.o_custkey
+            |WHEN MATCHED AND s.n_orders >= 8 THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET balance = t.balance + s.spent
+            |WHEN NOT MATCHED THEN
+            |  INSERT (c_custkey, balance, segment)
+            |  VALUES (s.o_custkey, s.spent, 'NEW')
+            |WHEN NOT MATCHED BY SOURCE AND t.c_custkey % 100 = 0 THEN
+            |  UPDATE SET balance = CAST(0.0 AS DOUBLE)
+            |""".stripMargin)
+    s.table("graft_ma.db.balances").orderBy($"c_custkey")
+  }
+
   /** q59: SCD Type-2 build — the events stream read as a change log of
     * each user's state (their event_type), collapsed into versioned
     * validity intervals. Thin binding of
@@ -475,6 +524,7 @@ object Extras {
     "q60_scd2_merge" -> q60Scd2Merge,
     "q58_snapshot_diff" -> q58SnapshotDiff,
     "q68_time_travel" -> q68TimeTravel,
+    "q69_merge_into" -> q69MergeInto,
     "q54_higher_order" -> q54HigherOrder,
     "q55_map_funcs" -> q55MapFuncs,
     "q42_cube" -> q42Cube,
@@ -687,6 +737,28 @@ object Extras {
         | cur.new_n - coalesce(old.old_n, 0) AS n_delta
         |FROM cur LEFT JOIN old ON cur.o_orderstatus = old.o_orderstatus
         |ORDER BY cur.o_orderstatus""".stripMargin,
+    "q69_merge_into" ->
+      """WITH tgt AS (
+        |  SELECT c_custkey, c_acctbal AS balance, c_mktsegment AS segment
+        |  FROM customer WHERE c_custkey % 3 <> 2),
+        |src AS (
+        |  SELECT o_custkey,
+        |   CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spent,
+        |   count(*) AS n_orders
+        |  FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+        |  GROUP BY o_custkey)
+        |SELECT t.c_custkey,
+        | CASE WHEN s.o_custkey IS NOT NULL THEN t.balance + s.spent
+        |      WHEN t.c_custkey % 100 = 0 THEN CAST(0.0 AS DOUBLE)
+        |      ELSE t.balance END AS balance,
+        | t.segment
+        |FROM tgt t LEFT JOIN src s ON t.c_custkey = s.o_custkey
+        |WHERE s.o_custkey IS NULL OR s.n_orders < 8
+        |UNION ALL
+        |SELECT s.o_custkey AS c_custkey, s.spent AS balance, 'NEW' AS segment
+        |FROM src s LEFT JOIN tgt t ON t.c_custkey = s.o_custkey
+        |WHERE t.c_custkey IS NULL
+        |ORDER BY c_custkey""".stripMargin,
     "q54_higher_order" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT vec_id,

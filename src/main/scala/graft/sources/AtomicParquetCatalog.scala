@@ -9,7 +9,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources.InsertableRelation
@@ -63,8 +64,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * DataFrame lands in the staging directory with classic partitioned
   * parquet layout — so `partitionedBy(...)` is honored and partition
   * pruning works on read via directory inference. Appends
-  * (`insertInto`) go to the CURRENT version in place (Hive semantics);
-  * `INSERT OVERWRITE` stages a fresh version and swaps — atomic too.
+  * (`insertInto`) are Iceberg-style fast-appends: the new files land in
+  * a FRESH version directory, the current version's data files are
+  * hard-linked beside them (no data copy), and the pointer swaps with
+  * the same CAS as a replace — so an append racing a replace surfaces
+  * as a commit conflict instead of silently mutating a snapshot, and a
+  * concurrent reader sees the table before or after the append, never
+  * files appearing mid-scan. `INSERT OVERWRITE` stages a fresh version
+  * and swaps — atomic too.
   *
   * At 100 TB this is the posture the engine assumes a real deployment
   * gets from Iceberg/Delta; locally it lets every atomic-replace claim in
@@ -130,50 +137,71 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     * window are deleted AFTER the swap (no new reader can resolve them).
     *
     * `expectedBase`: optimistic concurrency (Iceberg's commit-conflict
-    * contract). `Some(base)` asserts the log head is still `base`
-    * (`Some(None)` = the table must still not exist) — if another writer
-    * committed in between, the commit FAILS with a conflict naming both
-    * versions instead of silently overwriting the other writer's table
-    * (last-wins is how lost updates happen). `None` skips the check
-    * (in-place appends mutate the current version and take the lock only
-    * to serialize the log read-modify-write).
+    * contract). EVERY commit carries the version that was the log head
+    * when the writer loaded/staged the table (`None` = the table must
+    * still not exist) — if another writer committed in between, the
+    * commit FAILS with a conflict naming both versions instead of
+    * silently overwriting the other writer's table (last-wins is how
+    * lost updates happen). There is no unchecked path: creates assert
+    * no-table, replaces and fast-appends assert their loaded version.
     *
     * The check-then-swap pair runs under `_commit.lock`, taken with
-    * atomic create-if-absent; a writer that dies holding it leaves a
-    * stale lock that the next committer breaks after `lockStaleMs`
-    * (default 10 min — crash recovery, not contention tuning). */
+    * atomic create-if-absent and stamped with this writer's owner token.
+    * A writer that dies holding the lock leaves a stale lock the next
+    * committer breaks after `lockStaleMs` (default 10 min — crash
+    * recovery, not contention tuning). Breaking is an atomic RENAME to a
+    * unique tombstone — of N concurrent breakers exactly one wins the
+    * move, so two writers can never both conclude they broke the same
+    * lock and race the critical section. Release deletes the lock only
+    * if it still carries OUR token, so a breaker that (wrongly, e.g. a
+    * paused-but-live writer past lockStaleMs) removed our lock cannot
+    * make our release delete the NEXT writer's lock and cascade the
+    * race. The residual exposure — a live writer paused longer than
+    * lockStaleMs inside the critical section loses mutual exclusion —
+    * is inherent to lease-style crash recovery; tune lockStaleMs to the
+    * deployment's pause ceiling. */
   private def commitPointer(dir: JPath, version: String,
-                            expectedBase: Option[Option[String]] = None): Unit = {
+                            expectedBase: Option[String]): Unit = {
     val lock = dir.resolve("_commit.lock")
-    def acquire(retriesLeft: Int): Unit =
-      try { Files.createFile(lock); () }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          val age = try System.currentTimeMillis() -
-            Files.getLastModifiedTime(lock).toMillis
-          catch { case _: java.io.IOException => 0L } // lock just released
-          if (age > lockStaleMs) {
-            try Files.deleteIfExists(lock)
-            catch { case _: java.io.IOException => () }
-            if (retriesLeft > 0) acquire(retriesLeft - 1)
-            else throw new java.util.ConcurrentModificationException(
-              s"$dir: could not break stale commit lock $lock")
-          } else if (retriesLeft > 0) {
-            Thread.sleep(50); acquire(retriesLeft - 1)
-          } else throw new java.util.ConcurrentModificationException(
-            s"$dir: another writer holds $lock; retry the commit")
+    val owner = UUID.randomUUID().toString
+    def acquire(retriesLeft: Int): Unit = {
+      val acquired =
+        try {
+          Files.write(lock, owner.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      if (!acquired) {
+        val age = try System.currentTimeMillis() -
+          Files.getLastModifiedTime(lock).toMillis
+        catch { case _: java.io.IOException => 0L } // lock just released
+        if (age > lockStaleMs) {
+          // atomic break-by-rename: exactly one of N concurrent breakers
+          // wins the move and proceeds; the losers find the lock gone and
+          // simply re-race on createFile
+          val tomb = dir.resolve(s"_commit.lock.broken-${UUID.randomUUID()}")
+          try { Files.move(lock, tomb, StandardCopyOption.ATOMIC_MOVE)
+                Files.deleteIfExists(tomb); () }
+          catch { case _: java.io.IOException => () }
+          if (retriesLeft > 0) acquire(retriesLeft - 1)
+          else throw new java.util.ConcurrentModificationException(
+            s"$dir: could not break stale commit lock $lock")
+        } else if (retriesLeft > 0) {
+          Thread.sleep(50); acquire(retriesLeft - 1)
+        } else throw new java.util.ConcurrentModificationException(
+          s"$dir: another writer holds $lock; retry the commit")
       }
+    }
     acquire(200) // ~10 s of 50 ms waits before giving up on a live lock
     try {
       val old = versionLog(dir)
-      expectedBase.foreach { base =>
-        if (old.headOption != base)
-          throw new java.util.ConcurrentModificationException(
-            s"$dir: concurrent update detected — this write staged from " +
-              s"base ${base.getOrElse("<no table>")} but the table is now " +
-              s"at ${old.headOption.getOrElse("<no table>")}; re-run the " +
-              "write against the current version (nothing was overwritten)")
-      }
+      if (old.headOption != expectedBase)
+        throw new java.util.ConcurrentModificationException(
+          s"$dir: concurrent update detected — this write staged from " +
+            s"base ${expectedBase.getOrElse("<no table>")} but the table " +
+            s"is now at ${old.headOption.getOrElse("<no table>")}; re-run " +
+            "the write against the current version (nothing was overwritten)")
       val kept = (version +: old).take(historyKeep + 1)
       val tmp = dir.resolve(s"_current.tmp-${UUID.randomUUID()}")
       Files.write(tmp, kept.mkString("\n").getBytes("UTF-8"))
@@ -181,7 +209,16 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
         StandardCopyOption.REPLACE_EXISTING)
       (version +: old).drop(historyKeep + 1)
         .foreach(v => deleteRecursively(dir.resolve(v)))
-    } finally Files.deleteIfExists(lock)
+    } finally {
+      // delete only OUR lock: if a breaker removed it and another writer
+      // acquired, the token no longer matches and we must not cascade
+      try {
+        if (Files.exists(lock) &&
+            new String(Files.readAllBytes(lock), "UTF-8") == owner)
+          Files.deleteIfExists(lock)
+      } catch { case _: java.io.IOException => () }
+      ()
+    }
   }
 
   /** Stale-lock breaker age; overridable per catalog via the
@@ -278,7 +315,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     val dir = tableDir(ident)
     val version = s"v-${UUID.randomUUID()}"
     writeMeta(dir.resolve(version), schema, partitionNames(partitions))
-    commitPointer(dir, version, expectedBase = Some(None))
+    commitPointer(dir, version, expectedBase = None)
     loadTable(ident)
   }
 
@@ -335,8 +372,32 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     stage(ident, schema, partitions)
 
   private[sources] def commitVersion(dir: JPath, version: String,
-      expectedBase: Option[Option[String]] = None): Unit =
+      expectedBase: Option[String]): Unit =
     commitPointer(dir, version, expectedBase)
+
+  private[sources] def dropOrphan(p: JPath): Unit = deleteRecursively(p)
+
+  /** Hard-link (fall back: copy) every data file of `from` into `to`,
+    * preserving the partition-directory layout — the no-data-copy half of
+    * a fast-append. Metadata files (`_schema.json`, `_partitions.txt`,
+    * `_SUCCESS`, hidden `.crc`s) are skipped: the new version wrote its
+    * own. Parquet part-file names embed the write's job UUID, so names
+    * from two different writes cannot collide. */
+  private[sources] def linkDataFiles(from: JPath, to: JPath): Unit = {
+    val it = Files.walk(from).iterator().asScala
+    for (src <- it if Files.isRegularFile(src)) {
+      val name = src.getFileName.toString
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        val dst = to.resolve(from.relativize(src))
+        Files.createDirectories(dst.getParent)
+        try { Files.createLink(dst, src); () }
+        catch { // filesystem without hard links: copy is still correct
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING); ()
+        }
+      }
+    }
+  }
 
   // ---- SupportsNamespaces (directories) ----
 
@@ -415,14 +476,93 @@ private[sources] abstract class VersionedTable(
 }
 
 /** A committed table: reads serve the pinned version directory (immutable
-  * — concurrent replaces cannot tear this reader); appends land in place
-  * (Hive semantics), INSERT OVERWRITE stages a fresh version and swaps
-  * the pointer atomically. */
+  * — concurrent replaces cannot tear this reader); appends are CAS'd
+  * fast-appends into a fresh version (prior data files hard-linked, no
+  * copy), INSERT OVERWRITE stages a fresh version and swaps the pointer
+  * atomically.
+  *
+  * Row-level operations (`MERGE INTO`, and through the same rewrite
+  * `UPDATE`/`DELETE`): [[SupportsRowLevelOperations]] in group-based
+  * COPY-ON-WRITE mode at whole-table granularity — Spark's
+  * `RewriteMergeIntoTable` reads the pinned version through this table's
+  * own scan, evaluates the merge clauses, and hands the complete merged
+  * row set to the operation's write, which lands it in a fresh version
+  * directory through Spark's V2 parquet writer and swaps the pointer
+  * with the SAME CAS as a replace — a merge racing any other commit
+  * conflicts instead of losing the other writer's update, and the
+  * pre-merge snapshot stays time-travelable. The merged version is
+  * written unpartitioned (Spark's V2 file write does not lay out
+  * partition directories); its metadata records that, so reads stay
+  * correct — re-partition with a follow-up RTAS if pruning matters.
+  * Whole-table copy-on-write is the honest local granularity: one
+  * immutable directory per snapshot. A 100 TB deployment gets
+  * file-level groups from Iceberg/Delta; the CONTRACT exercised here
+  * (conflict-checked atomic swap, snapshot history) is identical. */
 private[sources] final class PointerTable(
     catalog: AtomicParquetCatalog, ident: Identifier, dir: JPath,
     versionDir: JPath, tableSchema: StructType, parts: Seq[String],
     historical: Boolean = false)
-    extends VersionedTable(ident, versionDir, tableSchema, parts) {
+    extends VersionedTable(ident, versionDir, tableSchema, parts)
+    with SupportsRowLevelOperations {
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    if (historical) throw new UnsupportedOperationException(
+      s"$ident: cannot MERGE/UPDATE/DELETE through a VERSION AS OF read — " +
+        "historical snapshots are immutable; target the current table")
+    () => new RowLevelOperation {
+      override def command(): RowLevelOperation.Command = info.command()
+
+      // the rewrite reads the SAME pinned version this table resolved —
+      // the merge's base for both the join and the commit-time CAS
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        PointerTable.this.newScanBuilder(options)
+
+      override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
+        new WriteBuilder {
+          override def build(): Write = {
+          val v = s"v-${UUID.randomUUID()}"
+          val nv = dir.resolve(v)
+          Files.createDirectories(nv)
+          Files.write(nv.resolve("_schema.json"),
+            winfo.schema().json.getBytes("UTF-8"))
+          Files.write(nv.resolve("_partitions.txt"), Array.empty[Byte])
+          val inner = ParquetTable(s"$ident-merge-staging", spark,
+            CaseInsensitiveStringMap.empty(), Seq(nv.toString),
+            Some(winfo.schema()), classOf[ParquetFileFormat])
+            .newWriteBuilder(winfo).build()
+          new Write {
+            override def description(): String = s"graft-atomic-merge $ident"
+            override def toBatch: BatchWrite = new BatchWrite {
+              private val delegate = inner.toBatch
+              override def createBatchWriterFactory(
+                  pi: PhysicalWriteInfo): DataWriterFactory =
+                new ShiftProjectWriterFactory(
+                  delegate.createBatchWriterFactory(pi), winfo.schema())
+              override def useCommitCoordinator(): Boolean =
+                delegate.useCommitCoordinator()
+              override def onDataWriterCommit(m: WriterCommitMessage): Unit =
+                delegate.onDataWriterCommit(m)
+              override def commit(msgs: Array[WriterCommitMessage]): Unit = {
+                delegate.commit(msgs) // files land in nv (hadoop job commit)
+                catalog.commitVersion(dir, v,
+                  expectedBase = Some(versionDir.getFileName.toString))
+              }
+              override def abort(msgs: Array[WriterCommitMessage]): Unit = {
+                try delegate.abort(msgs)
+                finally catalog.dropOrphan(nv)
+              }
+            }
+          }
+          }
+        }
+    }
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (historical) throw new UnsupportedOperationException(
@@ -433,23 +573,69 @@ private[sources] final class PointerTable(
       override def truncate(): WriteBuilder = { overwrite = true; this }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
-          (data: DataFrame, _: Boolean) =>
-            if (!overwrite) writeInto(versionDir, data, "append")
-            else {
-              // atomic overwrite: fresh version, copy metadata, swap
-              val v = s"v-${UUID.randomUUID()}"
-              val nv = dir.resolve(v)
-              Files.createDirectories(nv)
-              Files.copy(versionDir.resolve("_schema.json"), nv.resolve("_schema.json"))
-              Files.copy(versionDir.resolve("_partitions.txt"), nv.resolve("_partitions.txt"))
-              writeInto(nv, data, "append")
-              // CAS on the version this writer loaded: a replace that
-              // landed since then must surface as a conflict, not be
-              // silently clobbered
-              catalog.commitVersion(dir, v,
-                expectedBase = Some(Some(versionDir.getFileName.toString)))
-            }
+          (data: DataFrame, _: Boolean) => {
+            // both paths: fresh version dir + CAS'd pointer swap on the
+            // version this writer loaded — a replace that landed since
+            // then must surface as a conflict, not be silently clobbered
+            val v = s"v-${UUID.randomUUID()}"
+            val nv = dir.resolve(v)
+            Files.createDirectories(nv)
+            Files.copy(versionDir.resolve("_schema.json"), nv.resolve("_schema.json"))
+            Files.copy(versionDir.resolve("_partitions.txt"), nv.resolve("_partitions.txt"))
+            writeInto(nv, data, "append")
+            // fast-append: the prior version's data files ride along as
+            // hard links (no data copy); an overwrite starts empty
+            if (!overwrite) catalog.linkDataFiles(versionDir, nv)
+            catalog.commitVersion(dir, v,
+              expectedBase = Some(versionDir.getFileName.toString))
+          }
       }
+    }
+  }
+}
+
+/** Spark's group-based row-level rewrite keeps its rewrite-internal
+  * leading column (`__row_operation`) in the physical rows whenever the
+  * operation requests no metadata columns: `ReplaceDataExec.writingTask`
+  * applies its row projection only TOGETHER with a metadata projection,
+  * so a connector like this one (whole-table copy-on-write, no `_file`
+  * granularity) receives rows of shape [rewrite cols ++ write schema].
+  * This factory wraps the parquet writer factory with a codegen'd
+  * shift projection so the writer sees exactly the declared write
+  * schema; offset 0 (already-projected rows, e.g. a future Spark fixing
+  * the quirk) passes rows through untouched. */
+private[sources] final class ShiftProjectWriterFactory(
+    delegate: org.apache.spark.sql.connector.write.DataWriterFactory,
+    dataSchema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    val inner = delegate.createWriter(partitionId, taskId)
+    new org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+      private var offset = -1
+      private var proj: UnsafeProjection = _
+      override def write(row: InternalRow): Unit = {
+        if (offset < 0) {
+          offset = row.numFields - dataSchema.length
+          require(offset >= 0,
+            s"row-level write rows carry ${row.numFields} fields for a " +
+              s"${dataSchema.length}-column write schema")
+          if (offset > 0)
+            proj = UnsafeProjection.create(
+              dataSchema.fields.zipWithIndex.map { case (f, i) =>
+                BoundReference(i + offset, f.dataType, f.nullable)
+              }.toIndexedSeq)
+        }
+        inner.write(if (offset == 0) row else proj(row))
+      }
+      override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
+        inner.commit()
+      override def abort(): Unit = inner.abort()
+      override def close(): Unit = inner.close()
     }
   }
 }
@@ -475,7 +661,7 @@ private[sources] final class StagedPointerTable(
     }
 
   override def commitStagedChanges(): Unit =
-    catalog.commitVersion(dir, version, expectedBase = Some(base))
+    catalog.commitVersion(dir, version, expectedBase = base)
 
   override def abortStagedChanges(): Unit = {
     val v = dir.resolve(version)

@@ -86,8 +86,12 @@ class AtomicCatalogSpec extends AnyFunSuite {
     // swap to a new version underneath it
     spark.range(7).select($"id", lit("new").as("tag"))
       .writeTo("graft_atomic.db.t3").using("parquet").createOrReplace()
-    // the pinned reader still serves its complete old version (the old
-    // directory is immutable and never deleted by a commit)...
+    // the pinned reader still serves its complete old version: the old
+    // directory is immutable, and inside the retention window (`history`,
+    // default 3 previous versions) no commit deletes it. The guarantee is
+    // BOUNDED: a reader pinned more than `history` commits back loses its
+    // directory to the retention vacuum, exactly like an expired Iceberg
+    // snapshot (asserted below in the past-window test)...
     pinned.unpersist()
     assert(pinned.count() == 100, "pinned reader tore across versions")
     assert(pinned.where($"tag" === "new").count() == 0)
@@ -257,6 +261,110 @@ class AtomicCatalogSpec extends AnyFunSuite {
     assert(spark.table("graft_atomic.db.t8").count() == 1)
     assert(!java.nio.file.Files.exists(lock), "stale lock not cleaned up")
     spark.sql("DROP TABLE graft_atomic.db.t8")
+  }
+
+  test("a reader pinned past the retention window fails cleanly, not wrongly") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
+    def put(tag: String, n: Int): Unit =
+      spark.range(n).select($"id", lit(tag).as("tag"))
+        .writeTo("graft_atomic.db.t9").using("parquet").createOrReplace()
+    put("v1", 100)
+    val pinned = spark.table("graft_atomic.db.t9")
+    assert(pinned.count() == 100)
+    // history=3 previous versions: four more commits vacuum v1's dir
+    put("v2", 2); put("v3", 3); put("v4", 4); put("v5", 5)
+    // the pinned reader's directory is GONE — the failure mode past the
+    // window is a missing-files error (or an empty scan if the listing
+    // was cached), never rows from a DIFFERENT version
+    val res = scala.util.Try(pinned.where($"tag" =!= "v1").count())
+    res match {
+      case scala.util.Success(n) =>
+        assert(n == 0, s"expired pinned reader served another version's rows")
+      case scala.util.Failure(_) => () // clean read error — expected shape
+    }
+    spark.sql("DROP TABLE graft_atomic.db.t9")
+  }
+
+  test("schema evolution via replace: old snapshots keep their own schema") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
+    spark.range(3).select($"id", lit("a").as("s"))
+      .writeTo("graft_atomic.db.tev").using("parquet").createOrReplace()
+    // evolve: ADD COLUMN happens as a replace carrying the wider schema
+    // (alterTable is refused — versions are immutable, schema included)
+    spark.range(4).select($"id", lit("b").as("s"), lit(1.5).as("score"))
+      .writeTo("graft_atomic.db.tev").using("parquet").createOrReplace()
+    val now = spark.table("graft_atomic.db.tev")
+    assert(now.columns.toSeq == Seq("id", "s", "score"))
+    assert(now.count() == 4)
+    // time travel to the pre-evolution snapshot serves the OLD schema
+    // (each version dir carries its own _schema.json) — no leaked column,
+    // no null-padded phantom values
+    val old = spark.sql("SELECT * FROM graft_atomic.db.tev VERSION AS OF 1")
+    assert(old.columns.toSeq == Seq("id", "s"))
+    assert(old.count() == 3)
+    // and the evolved current version still time-travels by exact name
+    val cat = spark.sessionState.catalogManager.catalog("graft_atomic")
+      .asInstanceOf[graft.sources.AtomicParquetCatalog]
+    val dir = java.nio.file.Paths.get(warehouse, "db", "tev")
+    val head = cat.versionLog(dir).head
+    val byName = spark.sql(
+      s"SELECT * FROM graft_atomic.db.tev VERSION AS OF '$head'")
+    assert(byName.columns.toSeq == Seq("id", "s", "score"))
+    spark.sql("DROP TABLE graft_atomic.db.tev")
+  }
+
+  test("an append racing a replace conflicts instead of mutating history") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
+    Seq((1L, "base")).toDF("id", "s")
+      .writeTo("graft_atomic.db.t10").using("parquet").createOrReplace()
+    // pin the append's table resolution (loadTable resolves the version),
+    // then let a replace land before the append commits: the append's CAS
+    // must conflict — under the old in-place semantics it silently wrote
+    // into the now-historical directory and was later vacuumed
+    val cat = spark.sessionState.catalogManager.catalog("graft_atomic")
+      .asInstanceOf[graft.sources.AtomicParquetCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("db"), "t10")
+    val pinnedTable = cat.loadTable(ident) // resolves the current version
+    Seq((9L, "replacer")).toDF("id", "s")
+      .writeTo("graft_atomic.db.t10").using("parquet").createOrReplace()
+    val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def queryId(): String = "test-append"
+      override def schema(): org.apache.spark.sql.types.StructType =
+        spark.table("graft_atomic.db.t10").schema
+      override def options(): org.apache.spark.sql.util.CaseInsensitiveStringMap =
+        org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()
+    }
+    val rel = pinnedTable
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+      .newWriteBuilder(info).build()
+      .asInstanceOf[org.apache.spark.sql.connector.write.V1Write]
+      .toInsertableRelation
+    val err = intercept[java.util.ConcurrentModificationException](
+      rel.insert(Seq((2L, "appender")).toDF("id", "s"), false))
+    assert(err.getMessage.contains("concurrent update"), err.getMessage)
+    // the replace's table is untouched and the log head is the replace
+    assert(spark.table("graft_atomic.db.t10").as[(Long, String)]
+      .collect().toSeq == Seq((9L, "replacer")))
+    spark.sql("DROP TABLE graft_atomic.db.t10")
+  }
+
+  test("fast-append makes a snapshot: time travel sees pre-append state") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
+    Seq((1L, "x")).toDF("id", "s")
+      .writeTo("graft_atomic.db.t11").using("parquet").createOrReplace()
+    spark.sql("INSERT INTO graft_atomic.db.t11 VALUES (2, 'y')")
+    assert(spark.table("graft_atomic.db.t11").count() == 2)
+    // the append committed a NEW version (prior files hard-linked in);
+    // VERSION AS OF 1 is the pre-append snapshot
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_atomic.db.t11 VERSION AS OF 1")
+      .head().getLong(0) == 1)
+    spark.sql("DROP TABLE graft_atomic.db.t11")
   }
 
   test("medallion silver+gold run through the V2 RTAS path on this catalog") {

@@ -102,6 +102,31 @@ class ExpressionPropertiesSpec extends AnyFunSuite {
     assert(sGot == Set(("a", "b", 2L), ("a", "c", 1L), ("b", "c", 1L)), sGot)
   }
 
+  test("BucketPairSurvivors: null hashes match nothing, null elements drop") {
+    import spark.implicits._
+    // the replaced `when(a.h === b.h, 1)` formulation never matched a
+    // null hash (null === null is non-true in SQL) and a null struct
+    // element's pairs all had null n_match (failing any cut); the native
+    // expression must preserve exactly that
+    val rows = spark.sql(
+      """SELECT array(
+        |  named_struct('id', 1L, 'h1', CAST(NULL AS BIGINT), 'h2', 8L),
+        |  named_struct('id', 2L, 'h1', CAST(NULL AS BIGINT), 'h2', 8L),
+        |  named_struct('id', 3L, 'h1', CAST(NULL AS BIGINT),
+        |               'h2', CAST(NULL AS BIGINT)),
+        |  CAST(NULL AS struct<id: bigint, h1: bigint, h2: bigint>)
+        |) AS ss0""".stripMargin)
+    val got = rows.select(explode(
+        graft.functions.BucketPairSurvivors.bucketPairs(
+          sort_array($"ss0"), 1)).as("p"))
+      .select($"p.id_a", $"p.id_b", $"p.n_match")
+      .as[(Long, Long, Long)].collect().toSet
+    // only (1,2) share a NON-NULL equal hash (h2=8); the null h1s do NOT
+    // count as agreement (so n_match is 1, not 2), doc 3 (all-null
+    // hashes) pairs with nothing, and the null element generates no pairs
+    assert(got == Set((1L, 2L, 1L)), got.toString)
+  }
+
   test("zorderValue de-interleaves back to each input's low bits") {
     import spark.implicits._
     val bits = 8

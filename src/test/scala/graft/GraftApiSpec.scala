@@ -1047,6 +1047,28 @@ class GraftApiSpec extends AnyFunSuite {
     }
   }
 
+  test("selectByTokenBudget: NaN scores lead the prefix (DESC order parity)") {
+    import spark.implicits._
+    // Spark orders NaN above every double (total order: x < NaN for all
+    // x, NaN = NaN), in BOTH sorts and comparison predicates — so the
+    // band assignment's `bound <= score` is TRUE for NaN against every
+    // bound and NaN rows land in the TOP band, exactly where the
+    // global-sort form puts them. Pinned here against the brute-force
+    // reference so a Spark comparison-semantics change would surface.
+    val docs = Seq(
+      (1L, Double.NaN, 3L), (2L, 9.0, 4L), (3L, Double.NaN, 2L),
+      (4L, 8.0, 4L), (5L, 7.0, 2L)).toDF("id", "score", "n")
+    for (p <- Seq(1, 4)) {
+      val got = Graft.selectByTokenBudget(docs, $"id", $"score", $"n",
+          9L, partitions = p)
+        .select($"id", $"n_tokens", $"cum_tokens")
+        .as[(Long, Long, Long)].collect().toSet
+      // DESC NULLS LAST with NaN-greatest: 1(3) -> 3(5) -> 2(9) -> cut
+      assert(got == Set((1L, 3L, 3L), (3L, 2L, 5L), (2L, 4L, 9L)),
+        s"p=$p: $got")
+    }
+  }
+
   test("selectByTokenBudgetPerGroup fills each group's quota independently") {
     import spark.implicits._
     val docs = Seq(
