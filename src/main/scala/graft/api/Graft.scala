@@ -23,12 +23,36 @@ object Graft {
   /** The 31-bit prime field the minhash affine permutations live in. */
   val MinhashP = 2147483647L // 2^31 - 1
 
+  /** Production LSH banding — PLANNER-DERIVED, not hand-picked:
+    * [[lshBandPlan]](threshold = 0.8, minRecall = 0.95, maxHashes = 16)
+    * = (5 bands, 3 rowsPerBand), i.e. 15 hashes. S-curve recall at the
+    * observed near-dup mode: 0.973 at J = 0.8, 0.9997 at J = 0.9 (the
+    * corpus's true J >= 0.5 edges all sit at J >= 0.79 — measured by the
+    * round-10 BandingProbe, which also read recall 256/256 vs the prior
+    * banding's verified edge set at sf0.1). The prior 8-hash / 4x2
+    * banding had r = 2 band keys, whose buckets collide for J ~ 0.2-0.35
+    * template pairs: 866k raw bucket pairs and 216k agreement survivors
+    * for 256 true edges at sf0.1 (a ~1000x verify overfetch). r = 3 keys
+    * collapse that to 122k raw / ~3k surviving candidates (70x less
+    * verify work) at measured-identical verified output. */
+  val DefaultBands = 5
+  val DefaultRowsPerBand = 3
+  /** 15 = [[DefaultBands]] * [[DefaultRowsPerBand]] — banding consumes
+    * exactly the signature. */
+  val DefaultNumHashes = DefaultBands * DefaultRowsPerBand
+  /** Signature-agreement cut for reported candidates: >= 8 of 15 hashes
+    * (just over half, the same J ~ 0.5 operating point as the previous
+    * >= 4 of 8 — E[n_match] = 15 J crosses 8 at J ~ 0.53 — but with
+    * nearly double the hashes the binomial cut is far sharper on the
+    * J ~ 0.2-0.3 template pairs that dominate false candidates). */
+  val DefaultMinAgreement = 8
+
   /** The (a, b) constants of the minhash affine permutations
     * h_i = (a_i*h + b_i) mod [[MinhashP]] — THE single source of truth:
     * [[minhashSignatures]] evaluates these in Spark and the dedup oracle
     * SQL embeds the same values, so the cross-engine hash-match depends on
     * both sides calling this one function. */
-  def minhashParams(numHashes: Int = 8, seed: Long = 777L): Array[(Long, Long)] = {
+  def minhashParams(numHashes: Int = DefaultNumHashes, seed: Long = 777L): Array[(Long, Long)] = {
     val rng = new scala.util.Random(seed)
     Array.fill(numHashes)(
       (rng.nextInt(Int.MaxValue - 1).toLong + 1L, rng.nextInt(Int.MaxValue).toLong))
@@ -54,7 +78,7 @@ object Graft {
     *   into the signature of the union of their shingles (one narrow
     *   row-per-document aggregate). */
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
-                        numHashes: Int = 8, shingle: Int = 5,
+                        numHashes: Int = DefaultNumHashes, shingle: Int = 5,
                         seed: Long = 777L,
                         assumeUniqueIds: Boolean = false): DataFrame = {
     val params = minhashParams(numHashes, seed).toSeq
@@ -195,8 +219,8 @@ object Graft {
     }
   }
 
-  def lshBucketStats(sigs: DataFrame, bands: Int = 4,
-                     rowsPerBand: Int = 2): DataFrame =
+  def lshBucketStats(sigs: DataFrame, bands: Int = DefaultBands,
+                     rowsPerBand: Int = DefaultRowsPerBand): DataFrame =
     sigs.select(posexplode(bandKeyArray(bands, rowsPerBand)).as(Seq("__p", "bb")))
       .groupBy((col("__p") + 1).cast(LongType).as("band"), col("bb"))
       .agg(count(lit(1)).as("n"))
@@ -207,8 +231,9 @@ object Graft {
         sum(shiftright(col("n") * (col("n") - 1), 1)).as("est_pairs"))
       .orderBy(col("band"))
 
-  def nearDupPairs(sigs: DataFrame, bands: Int = 4, rowsPerBand: Int = 2,
-                   minAgreement: Int = 4,
+  def nearDupPairs(sigs: DataFrame, bands: Int = DefaultBands,
+                   rowsPerBand: Int = DefaultRowsPerBand,
+                   minAgreement: Int = DefaultMinAgreement,
                    maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val numHashes = bands * rowsPerBand
     val bandKeys = bandKeyArray(bands, rowsPerBand)
@@ -329,10 +354,17 @@ object Graft {
       .union(pairs.select(col("id_b").as("id"))).distinct()
     // ONE sets plan joined for both pair sides: the two builds are then
     // canonically identical, so ReuseExchange materializes the (fanned-out)
-    // shingle construction once instead of twice
+    // shingle construction once instead of twice. The semi join runs BELOW
+    // the set projection: Catalyst will not push a semi join under an
+    // expensive projection on its own (verified in the optimized plan), so
+    // building sets first would pay the array_distinct + sort for EVERY
+    // corpus document instead of just the in-pair ones — with a selective
+    // banding the in-pair set is orders of magnitude smaller than the
+    // corpus, and carrying (id, text) through the join is far narrower
+    // than carrying the ~30x-larger shingle arrays.
     val sets = fanOut(docs.select(id.as("id"), text.as("__t")))
-      .select(col("id"), sort_array(set).as("sh"))
       .join(inPairs, Seq("id"), "left_semi")
+      .select(col("id"), sort_array(set).as("sh"))
     val p = pairs.select("id_a", "id_b")
     val doBroadcast = inPairs.count() <= broadcastDocLimit
     def side(s: DataFrame): DataFrame = if (doBroadcast) broadcast(s) else s
@@ -613,8 +645,11 @@ object Graft {
     * The argmax runs as an ordinary partial-aggregating groupBy (a
     * two-field struct max), and requires a numeric id. */
   def dedupCorpus(df: DataFrame, id: Column, text: Column,
-                  numHashes: Int = 8, shingle: Int = 5, seed: Long = 777L,
-                  bands: Int = 4, rowsPerBand: Int = 2, minAgreement: Int = 4,
+                  numHashes: Int = DefaultNumHashes, shingle: Int = 5,
+                  seed: Long = 777L,
+                  bands: Int = DefaultBands,
+                  rowsPerBand: Int = DefaultRowsPerBand,
+                  minAgreement: Int = DefaultMinAgreement,
                   jaccardThreshold: Double = 0.5,
                   keepBy: Option[Column] = None): DataFrame = {
     require(numHashes == bands * rowsPerBand,
@@ -713,9 +748,10 @@ object Graft {
     * `.unpersist()` it when done. */
   def dedupIncremental(existing: DataFrame, exId: Column, exText: Column,
                        incoming: DataFrame, inId: Column, inText: Column,
-                       numHashes: Int = 8, shingle: Int = 5,
-                       seed: Long = 777L, bands: Int = 4,
-                       rowsPerBand: Int = 2, minAgreement: Int = 4,
+                       numHashes: Int = DefaultNumHashes, shingle: Int = 5,
+                       seed: Long = 777L, bands: Int = DefaultBands,
+                       rowsPerBand: Int = DefaultRowsPerBand,
+                       minAgreement: Int = DefaultMinAgreement,
                        jaccardThreshold: Double = 0.5,
                        broadcastIncoming: Boolean = true,
                        existingSigs: Option[DataFrame] = None): DataFrame = {
@@ -826,8 +862,11 @@ object Graft {
   def cleanCorpus(df: DataFrame, id: Column, text: Column,
                   chunkWords: Int = 50, maxDocFreq: Long = 1,
                   maxDupFrac: Double = 0.2,
-                  numHashes: Int = 8, shingle: Int = 5, seed: Long = 777L,
-                  bands: Int = 4, rowsPerBand: Int = 2, minAgreement: Int = 4,
+                  numHashes: Int = DefaultNumHashes, shingle: Int = 5,
+                  seed: Long = 777L,
+                  bands: Int = DefaultBands,
+                  rowsPerBand: Int = DefaultRowsPerBand,
+                  minAgreement: Int = DefaultMinAgreement,
                   jaccardThreshold: Double = 0.5): DataFrame = {
     // persisted MEMORY_ONLY (LRU-evictable, the house persist stance):
     // the chunk explode + md5 doc-frequency shuffle + ordered rebuild is
@@ -2132,7 +2171,7 @@ object Graft {
   def splitCorpusLeakageSafe(df: DataFrame, id: Column, text: Column,
                              weights: Seq[(String, Double)],
                              out: String = "split",
-                             minAgreement: Int = 4,
+                             minAgreement: Int = DefaultMinAgreement,
                              jaccardThreshold: Double = 0.5,
                              shingle: Int = 5): DataFrame = {
     val sigs = minhashSignatures(df, id, text)
@@ -2141,7 +2180,7 @@ object Graft {
     // break): the CC fixpoint below materializes the verified edges, after
     // which the cached pair blocks are dead weight — release them before
     // returning so looped invocations don't grow the cache registry.
-    val pairs = nearDupPairs(sigs, minAgreement)
+    val pairs = nearDupPairs(sigs, minAgreement = minAgreement)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val edges = jaccardVerify(df, id, text, pairs, shingle)
       .where(col("jaccard") >= jaccardThreshold)

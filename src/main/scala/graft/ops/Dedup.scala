@@ -8,8 +8,10 @@ import org.apache.spark.sql.types._
 /** Deduplication operator family over `documents` / `embeddings`:
   *
   *  - d01 exact dedup (content-hash groupBy);
-  *  - d02 MinHash + LSH banding (shingle -> 8 minhashes -> 4 bands ->
-  *    band-bucket self-join -> candidate pairs with signature agreement);
+  *  - d02 MinHash + LSH banding (shingle -> 15 minhashes -> 5 bands of
+  *    3 -> band-bucket grouping -> candidate pairs with signature
+  *    agreement; banding planner-derived, see
+  *    [[graft.api.Graft.DefaultBands]]);
   *  - d03 exact n-gram Jaccard verification over the LSH candidates;
   *  - d04 SimHash (60-bit, word-level) signatures;
   *  - d05 embedding-cosine nearest pairs.
@@ -25,8 +27,18 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
-  private val NumHashes = 8 // 4 bands x 2 rows
-  private val JaccardBandThreshold = 4 // >=4/8 matching minhashes reported
+  // Planner-derived banding (lshBandPlan(0.8, 0.95, 16) = 5 bands x 3
+  // rows): see the derivation + measured-recall note at
+  // [[graft.api.Graft.DefaultBands]]. Single source of truth — the oracle
+  // SQL below renders from the same constants.
+  private val Bands = graft.api.Graft.DefaultBands
+  private val RowsPerBand = graft.api.Graft.DefaultRowsPerBand
+  private val NumHashes = graft.api.Graft.DefaultNumHashes // 15
+  private val JaccardBandThreshold = graft.api.Graft.DefaultMinAgreement // >=8/15 reported
+  // the recall-leaning agreement cut d15's containment stage uses (the
+  // short-inside-long pairs it exists to find agree on few hashes): the
+  // same ~1/4-of-signature operating point as the old 2-of-8
+  private val ContainmentAgree = 4
 
   /** Universal-hash minhash: one md5 per shingle -> 60-bit int, then 8
     * affine permutations h_i = (a_i*h + b_i) mod p over the 31-bit field
@@ -48,7 +60,7 @@ object Dedup {
       .orderBy($"keeper_doc_id")
   }
 
-  /** d02: MinHash-LSH near-dup candidates with signature agreement >= 4/8.
+  /** d02: MinHash-LSH near-dup candidates with signature agreement >= 8/15.
     * Thin binding of [[graft.api.Graft.minhashSignatures]] +
     * [[graft.api.Graft.nearDupPairs]] (identical hash constants, so the
     * oracle is unchanged). */
@@ -243,7 +255,7 @@ object Dedup {
     val docs = Tables.load(s, dir, "documents")
     val sigs = graft.api.Graft.minhashSignatures(docs, $"doc_id", $"text",
       assumeUniqueIds = true)
-    val pairs = graft.api.Graft.nearDupPairs(sigs, minAgreement = 2)
+    val pairs = graft.api.Graft.nearDupPairs(sigs, minAgreement = ContainmentAgree)
     graft.api.Graft.containmentVerify(docs, $"doc_id", $"text", pairs)
       .where($"containment" >= 0.8)
       .select($"id_a".as("doc_a"), $"id_b".as("doc_b"),
@@ -302,9 +314,12 @@ object Dedup {
         .map { case ((a, b), i) => s"min((${a}*h0 + ${b}) % $P) AS h${i + 1}" }
         .mkString(", ")}
        |  FROM h0t GROUP BY doc_id),
-       |b AS (${(1 to 4)
-        .map(k =>
-          s"SELECT '$k:'||CAST(h${2 * k - 1} AS VARCHAR)||':'||CAST(h${2 * k} AS VARCHAR) AS bb, doc_id FROM sigs")
+       |b AS (${(1 to Bands)
+        .map { k =>
+          val hs = ((k - 1) * RowsPerBand + 1 to k * RowsPerBand)
+            .map(i => s"CAST(h$i AS VARCHAR)").mkString("||':'||")
+          s"SELECT '$k:'||$hs AS bb, doc_id FROM sigs"
+        }
         .mkString(" UNION ALL ")}),
        |cand AS (
        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
@@ -374,7 +389,7 @@ object Dedup {
          |FROM deg LEFT JOIN tv ON deg.id = tv.id
          |ORDER BY doc_id""".stripMargin,
     "d15_containment" ->
-      s"""WITH ${sigsSql(minAgree = 2)},
+      s"""WITH ${sigsSql(minAgree = ContainmentAgree)},
          |sets AS (
          |  SELECT doc_id, list_distinct(list_transform(
          |    generate_series(1, length(text)-4), i -> substr(text, i, 5))) AS sh

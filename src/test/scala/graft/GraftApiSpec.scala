@@ -27,8 +27,9 @@ class GraftApiSpec extends AnyFunSuite {
       (13L, "zebra yak xylophone wombat vulture unicorn tapir snake")
     ).toDF("my_id", "my_text")
     val sigs = Graft.minhashSignatures(docs, $"my_id", $"my_text")
-    assert(sigs.count() == 4 && sigs.columns.toSet == (1 to 8).map("h" + _).toSet + "id")
-    val pairs = Graft.nearDupPairs(sigs, minAgreement = 4)
+    assert(sigs.count() == 4 && sigs.columns.toSet ==
+      (1 to Graft.DefaultNumHashes).map("h" + _).toSet + "id")
+    val pairs = Graft.nearDupPairs(sigs, minAgreement = Graft.DefaultMinAgreement)
     val found = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(found.contains((10L, 11L)), s"expected planted pair, got $found")
     val verified = Graft.jaccardVerify(docs, $"my_id", $"my_text", pairs)
@@ -779,7 +780,7 @@ class GraftApiSpec extends AnyFunSuite {
     // 20 signature rows sharing band 1's bucket (h1=h2=7); bands 2-4 unique
     val hot = (1L to 20L).map(i => (i, 7L, 7L, 100 + i, 200 + i, 300 + i, 400 + i, 500 + i, 600 + i))
       .toDF("id", "h1", "h2", "h3", "h4", "h5", "h6", "h7", "h8")
-    val stats = Graft.lshBucketStats(hot)
+    val stats = Graft.lshBucketStats(hot, bands = 4, rowsPerBand = 2)
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     // band 1: one bucket of 20 -> 190 candidate pairs; bands 2-4: all singletons
     assert(stats == Seq(
@@ -788,15 +789,15 @@ class GraftApiSpec extends AnyFunSuite {
       (3L, 20L, 20L, 1L, 0L),
       (4L, 20L, 20L, 1L, 0L)), stats)
     // uncapped: the hot bucket generates its 190 pairs (n_match >= 2 via band 1)
-    assert(Graft.nearDupPairs(hot, minAgreement = 2).count() == 190L)
+    assert(Graft.nearDupPairs(hot, 4, 2, minAgreement = 2).count() == 190L)
     val e = intercept[Exception] { // SparkRuntimeException (USER_RAISED_EXCEPTION)
-      Graft.nearDupPairs(hot, minAgreement = 2, maxBucketSize = 10).count()
+      Graft.nearDupPairs(hot, 4, 2, minAgreement = 2, maxBucketSize = 10).count()
     }
     val msg = Option(e.getMessage).getOrElse("") +
       Option(e.getCause).map(_.getMessage).getOrElse("")
     assert(msg.contains("1:7:7") && msg.contains("maxBucketSize = 10"), msg)
     // a cap the buckets respect changes nothing
-    assert(Graft.nearDupPairs(hot, minAgreement = 2, maxBucketSize = 20).count() == 190L)
+    assert(Graft.nearDupPairs(hot, 4, 2, minAgreement = 2, maxBucketSize = 20).count() == 190L)
   }
 
   test("snapshotDiff classifies added/removed/changed and omits unchanged") {
