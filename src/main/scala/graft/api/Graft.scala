@@ -1039,6 +1039,61 @@ object Graft {
       .join(drop, Seq(semId), "left_anti").drop(semId)
   }
 
+  /** Embedding-space benchmark decontamination — the semantic sibling of
+    * [[contamination]]/[[contaminationBloom]]: n-gram contamination misses
+    * PARAPHRASED benchmark leakage (reworded eval questions share almost
+    * no 5-grams with their source), but paraphrases stay close in
+    * embedding space. Every corpus row reports how many distinct
+    * benchmark vectors land within cosine >= `threshold` of it, counted
+    * over LSH-bucket-sharing candidates only ([[annTopKLsh]]'s
+    * random-hyperplane tables — never all-pairs), plus the boolean
+    * decontamination decision. Output: (id, n_hits, contaminated), one
+    * row per corpus row; rows whose vector is ragged (size != dim) or
+    * zero-norm cannot match and report 0 / false. Recall < 1 by design —
+    * `numTables` is the recall lever, measurable via [[recallSummary]].
+    *
+    * Scale shape: the benchmark side (eval suites — thousands of rows,
+    * corpus-size-independent) is broadcast after bucketing, so the corpus
+    * never shuffles on anything except the final per-id count; the
+    * bucket equi-join keeps candidate scoring at Σ per-bucket
+    * corpus×bench, NOT |corpus|×|bench|. */
+  def semanticContamination(corpus: DataFrame, id: Column, vec: Column,
+                            benchmark: DataFrame, benchId: Column,
+                            benchVec: Column, dim: Int,
+                            threshold: Double, numTables: Int = 4,
+                            bitsPerBucket: Int = 8,
+                            seed: Long = 20260812L): DataFrame = {
+    val planes = hyperplanes(numTables * bitsPerBucket, dim, seed)
+    val dot = VectorFunctions.dotF64 _
+    def d(c: Column) = transform(c, x => x.cast(DoubleType))
+    def valid(df: DataFrame): DataFrame = df
+      .where(size(col("v")) === dim)
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .where(col("nrm") > 0)
+    def bucketed(df: DataFrame): DataFrame =
+      (0 until numTables).map { t =>
+        df.withColumn("tbl", lit(t))
+          .withColumn("bkt", signBucketKey(col("v"), planes, t, bitsPerBucket))
+      }.reduce(_ union _)
+    val c0 = corpus.select(id.as("id"), d(vec).as("v"))
+    val cB = bucketed(valid(c0))
+    val bB = bucketed(valid(
+      benchmark.select(benchId.as("b_id"), d(benchVec).as("v"))))
+      .select(col("b_id"), col("v").as("bv"), col("nrm").as("bn"),
+        col("tbl"), col("bkt"))
+    val cs = dot(col("v"), col("bv")) / (col("nrm") * col("bn"))
+    // distinct BEFORE the count: a (corpus, bench) pair sharing buckets in
+    // several tables must count once
+    val hits = cB.join(broadcast(bB), Seq("tbl", "bkt"))
+      .where(cs >= threshold)
+      .select(col("id"), col("b_id")).distinct()
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+    c0.select(col("id")).join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
   /** LSH-bucketed approximate cosine top-k: corpus and queries bucket by
     * the same seeded random-hyperplane sign bits across `numTables` hash
     * tables; each query scores only the corpus rows sharing one of its

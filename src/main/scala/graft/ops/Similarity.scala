@@ -203,6 +203,37 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** The cosine bar of the t37 semantic-decontamination gate. Set well
+    * below 1.0 so the synthetic corpus's planted near-dup embeddings that
+    * straddle the benchmark split produce real nonzero hits (the same
+    * reason d11 uses 0.45), and above the ~0 cosine of unrelated
+    * vectors. */
+  private val SemContamThreshold = 0.45
+
+  /** t37: embedding-space benchmark decontamination — the semantic
+    * sibling of t06/t34: the same deterministic ~5% md5 bucket of ids
+    * plays the benchmark suite (here over `embeddings`), and every other
+    * vector reports how many distinct benchmark vectors sit within
+    * cosine >= 0.45, over LSH-bucket-sharing candidates only (d08's
+    * hyperplane tables — paraphrased leakage that shares no 5-grams
+    * still lands here). Thin binding of
+    * [[graft.api.Graft.semanticContamination]]; the oracle reproduces
+    * the identical bucketing, so hits hash-match end to end. */
+  def t37SemanticContamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val bucket = conv(substring(md5($"vec_id".cast(StringType)), 1, 4), 16, 10)
+      .cast(LongType)
+    val isBench = bucket % 20 === 0
+    graft.api.Graft.semanticContamination(
+      emb.where(!isBench), $"vec_id", $"embedding",
+      emb.where(isBench), $"vec_id", $"embedding",
+      dim = Dim, threshold = SemContamThreshold,
+      numTables = NumTables, bitsPerBucket = BitsPerTable)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy($"vec_id")
+  }
+
   /** s06: the corpus clustered END TO END — train the s04 quantizer, then
     * assign EVERY vector and emit the per-cluster datasheet (size, id
     * bounds, 1e-12-quantized exact mean member-to-centroid cosine). The
@@ -245,7 +276,8 @@ object Similarity {
     "s03_ann_topk_aggregator" -> s03TopKAggregator,
     "s04_ann_ivf" -> s04IvfTopK,
     "s05_ann_recall" -> s05AnnRecall,
-    "d08_embedding_lsh_pairs" -> d08EmbeddingLshPairs)
+    "d08_embedding_lsh_pairs" -> d08EmbeddingLshPairs,
+    "t37_semantic_contamination" -> t37SemanticContamination)
 
   /** The oracle's unrolled k-means training chain — mirrors
     * [[graft.api.Graft.trainCentroids]] round for round: hash-order seeds,
@@ -414,9 +446,36 @@ object Similarity {
       |SELECT q_id, rank, doc_id, score FROM rk WHERE rank <= 10
       |ORDER BY q_id, rank""".stripMargin
 
+  /** t37 oracle: identical split, bucketing, and cosine bar as
+    * [[t37SemanticContamination]] — the hyperplane constants render from
+    * the same [[hyperplanes]] array, so the two sides cannot drift. */
+  private lazy val t37Sql: String =
+    s"""WITH e AS (SELECT vec_id,
+       |  CAST(embedding AS DOUBLE[]) AS v,
+       |  CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT) % 20 = 0 AS is_bench
+       | FROM embeddings),
+       |n AS (SELECT vec_id, is_bench, v, sqrt(list_dot_product(v, v)) AS nrm
+       |      FROM e WHERE len(v) = $Dim AND list_dot_product(v, v) > 0),
+       |b AS (${(0 until NumTables).map(t =>
+          s"SELECT vec_id, is_bench, v, nrm, $t AS tbl, ${bucketSql(t)} AS bkt FROM n")
+          .mkString(" UNION ALL ")}),
+       |hit AS (
+       |  SELECT DISTINCT c.vec_id, bm.vec_id AS b_id
+       |  FROM b c JOIN b bm USING (tbl, bkt)
+       |  WHERE NOT c.is_bench AND bm.is_bench
+       |    AND list_dot_product(c.v, bm.v) / (c.nrm * bm.nrm) >= $SemContamThreshold),
+       |nh AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits
+       |       FROM hit GROUP BY vec_id)
+       |SELECT e.vec_id, coalesce(nh.n_hits, 0) AS n_hits,
+       | coalesce(nh.n_hits, 0) > 0 AS contaminated
+       |FROM e LEFT JOIN nh ON e.vec_id = nh.vec_id
+       |WHERE NOT e.is_bench
+       |ORDER BY e.vec_id""".stripMargin
+
   lazy val oracles: Map[String, String] =
     baseOracles + ("s05_ann_recall" -> s05Sql) + ("d11_semantic_dedup" -> d11Sql) +
-      ("s06_cluster_corpus" -> s06Sql) + ("s07_bm25_topk" -> s07Sql)
+      ("s06_cluster_corpus" -> s06Sql) + ("s07_bm25_topk" -> s07Sql) +
+      ("t37_semantic_contamination" -> t37Sql)
 
   private lazy val baseOracles: Map[String, String] = Map(
     "s01_ann_bruteforce" ->

@@ -757,6 +757,29 @@ class GraftApiSpec extends AnyFunSuite {
     assert(ivf == Seq((900L, 1L, 7L)), ivf.toString)
   }
 
+  test("semanticContamination flags the planted benchmark-parallel vector only") {
+    import spark.implicits._
+    val dim = 4
+    val corpus = Seq(
+      (10L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),  // parallel to bench 500 -> hit
+      (11L, Seq(-1.0f, 0.0f, 0.0f, 0.0f)), // opposed to bench 501 -> no hit
+      (12L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),  // orthogonal-ish -> no hit
+      (13L, Seq(0.0f, 0.0f, 0.0f, 0.0f))   // zero norm: cannot match
+    ).toDF("cid", "cvec")
+    val bench = Seq(
+      (500L, Seq(2.0f, 4.0f, 6.0f, 8.0f)),
+      (501L, Seq(1.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("bid", "bvec")
+    val full = Graft.semanticContamination(corpus, $"cid", $"cvec",
+        bench, $"bid", $"bvec", dim = dim, threshold = 0.95,
+        numTables = 2, bitsPerBucket = 2)
+      .as[(Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    // every corpus row reports, including the zero-norm one
+    assert(full.map(_._1) == Seq(10L, 11L, 12L, 13L), full)
+    assert(full.find(_._1 == 10L).get == ((10L, 1L, true)), full)
+    assert(full.filter(_._1 != 10L).forall(r => r._2 == 0L && !r._3), full)
+  }
+
   test("embeddingNearDupPairs ranks a planted identical-direction pair first") {
     import spark.implicits._
     val dim = 4

@@ -284,19 +284,50 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
-  test("jaccard verify reuses one exchange for both broadcast pair sides") {
-    // exchange reuse is decided during adaptive execution, so execute THIS
-    // DataFrame's own QueryExecution (collect — a noop write would build a
-    // separate QueryExecution and leave this one un-executed, isFinalPlan
-    // =false) and assert on the final adaptive plan it settled on
+  test("semanticContamination joins on bucket keys — no cartesian, bench broadcast") {
+    // the semantic decontamination gate's scale contract: corpus x bench
+    // candidates form only inside shared (table, bucket) LSH keys — never
+    // an all-pairs product — and the (small, corpus-size-independent)
+    // benchmark side is broadcast so the corpus does not shuffle for the
+    // candidate join
+    val emb = Tables.load(spark, dir, "embeddings")
+    import spark.implicits._
+    val df = graft.api.Graft.semanticContamination(
+      emb.where($"vec_id" % 7 =!= 0), $"vec_id", $"embedding",
+      emb.where($"vec_id" % 7 === 0), $"vec_id", $"embedding",
+      dim = 64, threshold = 0.45)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("jaccard verify builds shingle sets ABOVE the in-pair semi join") {
+    // the round-10 shape: the expensive array_distinct + sort set build
+    // must be gated by the in-pair semi join (Catalyst will not push a
+    // semi join under an expensive projection on its own, so the ordering
+    // in pairedShingleSets IS the guarantee). Each pair side re-derives
+    // the tiny in-pair set build — 2x tiny beats the exchange-reused
+    // 1x whole-corpus build this replaced. Assert on the optimized plan:
+    // no LeftSemi subtree may contain the set expression.
     val docs = Tables.load(spark, dir, "documents")
     import spark.implicits._
     val sigs = graft.api.Graft.minhashSignatures(docs, $"doc_id", $"text")
     val pairs = graft.api.Graft.nearDupPairs(sigs, minAgreement = 4)
     val df = graft.api.Graft.jaccardVerify(docs, $"doc_id", $"text", pairs)
-    df.collect()
-    val executed = df.queryExecution.executedPlan.toString
-    assert(executed.contains("ReusedExchange"), executed)
+    val opt = df.queryExecution.optimizedPlan
+    val semis = opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.joinType.sql == "LEFT SEMI" => j
+    }
+    assert(semis.nonEmpty, opt.toString)
+    semis.foreach { j =>
+      assert(!j.toString.contains("array_distinct"),
+        s"set build below the semi join:\n$j")
+    }
+    // and the set build exists somewhere above them
+    assert(opt.toString.contains("array_distinct"), opt.toString)
   }
 
   test("robustOutliers computes both medians over ONE exchange") {
