@@ -83,14 +83,47 @@ object Streams {
 
   private val streamCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Stateful-operator partition count for these finite gates. Streaming
+    * state cost is per-(partition x operator x batch): every micro-batch
+    * pays a state-store load + commit (delta file fsync) for EVERY state
+    * partition, even near-empty ones — profiled at ~300 ms aggregate
+    * commit time per 32-partition operator per batch, dominating the
+    * sub-second query work. 8 partitions carry these gates' state
+    * (5-40k rows) comfortably; a production deployment sizes this to
+    * state volume exactly the same way (state partitioning is fixed at
+    * first checkpoint, so it is a per-query sizing decision there too). */
+  private val StatePartitions = "8"
+
   /** Run a streaming aggregate synchronously to completion over the finite
-    * file source and return the materialized result. */
+    * file source and return the materialized result.
+    *
+    * Complete-mode queries also skip the trailing no-data micro-batch:
+    * it exists to let the advanced watermark emit final append-mode
+    * windows and evict state, but a complete-mode sink re-emits the full
+    * result table every batch, so the extra batch (one more state
+    * load/commit cycle across every partition) cannot change what the
+    * gate reads. Append/update gates keep it — st04's join output only
+    * materializes in that batch. */
   private def runToCompletion(agg: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${streamCounter.incrementAndGet()}"
-    val q = agg.writeStream.outputMode(mode)
-      .format("memory").queryName(name).start()
+    val s = agg.sparkSession
+    val partsKey = "spark.sql.shuffle.partitions"
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevParts = s.conf.getOption(partsKey)
+    val prevNoData = s.conf.getOption(noDataKey)
+    // the session state (incl. these confs) is cloned when the query
+    // STARTS; restore immediately after so batch planning is untouched
+    val q = try {
+      s.conf.set(partsKey, StatePartitions)
+      if (mode == "complete") s.conf.set(noDataKey, "false")
+      agg.writeStream.outputMode(mode)
+        .format("memory").queryName(name).start()
+    } finally {
+      prevParts.fold(s.conf.unset(partsKey))(s.conf.set(partsKey, _))
+      prevNoData.fold(s.conf.unset(noDataKey))(s.conf.set(noDataKey, _))
+    }
     try q.processAllAvailable() finally q.stop()
-    agg.sparkSession.table(name)
+    s.table(name)
   }
 
   /** st01: watermarked tumbling-window aggregate per (hour, event_type).
