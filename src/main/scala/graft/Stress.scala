@@ -209,8 +209,25 @@ object Stress {
         docs, $"doc_id", $"text", Seq("train" -> 0.8, "test" -> 0.2)).count())
       pairs.unpersist()
 
+      // round-10 additions (VERDICT r9 #5): the token-budget prefix sums.
+      // The bucketed exact-prefix-sum shape is precisely what a corpus
+      // scale-up tests: cost must be ~2 narrow passes (band assignment +
+      // in-band window over a band-bounded slice), NEVER a global sort.
+      // The budget scales with K so the selection stays mid-corpus (the
+      // interesting regime: both the under- and over-budget bands are
+      // populated and the boundary band's window does real work).
+      val tokenLen = size(filter(split(trim($"text"), "\\s+"),
+        t => t =!= lit("")))
+      val (tBudget, nBudget) = secs(graft.api.Graft.selectByTokenBudget(
+        docs, $"doc_id", $"n_chars", tokenLen,
+        budget = 10000L * n).count())
+      val (tBudgetG, nBudgetG) = secs(
+        graft.api.Graft.selectByTokenBudgetPerGroup(
+          docs, $"doc_id", $"lang", $"n_chars", tokenLen,
+          budget = 3000L * n).count())
+
       docs.unpersist()
-      f"""{"k":$n,"n_docs":$nDocs,"sig_s":$tSig%.2f,"pairs_s":$tPairs%.2f,"n_pairs":$nPairs,"verify_s":$tVerify%.2f,"n_edges":$nEdges,"dedup_s":$tDedup%.2f,"n_kept":$nKept,"contam_s":$tContam%.2f,"contam_bloom_s":$tContamB%.2f,"repetition_s":$tRep%.2f,"boilerplate_s":$tBp%.2f,"clean_s":$tClean%.2f,"n_clean":$nClean,"semantic_s":$tSem%.2f,"n_semantic":$nSem,"bpe_s":$tBpe%.2f,"n_merges":$nMergesGot,"fluency_s":$tFluency%.2f,"chunk_s":$tChunk%.2f,"score_s":$tScore%.2f,"triangles_s":$tTri%.2f,"n_triangles":$nTri,"cc_local_s":$tCcLocal%.2f,"cc_dist_s":$tCcDist%.2f,"cdc_s":$tCdc%.2f,"n_cdc_chunks":$nCdcChunks,"overlap_s":$tOv%.2f,"overlap_sketch_s":$tOvSk%.2f,"robust_s":$tRob%.2f,"spans_s":$tSpans%.2f,"excise_s":$tExcise%.2f,"contain_s":$tContain%.2f,"n_contain":$nContain,"split_s":$tSplit%.2f,"n_split":$nSplit}"""
+      f"""{"k":$n,"n_docs":$nDocs,"sig_s":$tSig%.2f,"pairs_s":$tPairs%.2f,"n_pairs":$nPairs,"verify_s":$tVerify%.2f,"n_edges":$nEdges,"dedup_s":$tDedup%.2f,"n_kept":$nKept,"contam_s":$tContam%.2f,"contam_bloom_s":$tContamB%.2f,"repetition_s":$tRep%.2f,"boilerplate_s":$tBp%.2f,"clean_s":$tClean%.2f,"n_clean":$nClean,"semantic_s":$tSem%.2f,"n_semantic":$nSem,"bpe_s":$tBpe%.2f,"n_merges":$nMergesGot,"fluency_s":$tFluency%.2f,"chunk_s":$tChunk%.2f,"score_s":$tScore%.2f,"triangles_s":$tTri%.2f,"n_triangles":$nTri,"cc_local_s":$tCcLocal%.2f,"cc_dist_s":$tCcDist%.2f,"cdc_s":$tCdc%.2f,"n_cdc_chunks":$nCdcChunks,"overlap_s":$tOv%.2f,"overlap_sketch_s":$tOvSk%.2f,"robust_s":$tRob%.2f,"spans_s":$tSpans%.2f,"excise_s":$tExcise%.2f,"contain_s":$tContain%.2f,"n_contain":$nContain,"split_s":$tSplit%.2f,"n_split":$nSplit,"budget_s":$tBudget%.2f,"n_budget":$nBudget,"budget_group_s":$tBudgetG%.2f,"n_budget_group":$nBudgetG}"""
     }
     println(s"""{"stress":[${results.mkString(",")}],"sf":"$dir"}""")
     spark.stop()

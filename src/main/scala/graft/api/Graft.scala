@@ -1493,18 +1493,28 @@ object Graft {
     * phrase dominates). Rows with fewer than `n` tokens have no n-grams and
     * are dropped.
     *
-    * Two narrow-keyed shuffles — (id, ngram) counts, then per-id rollup —
-    * both partially aggregated map-side; nothing is quadratic and no
-    * global structure is built, so the pass scales like a word count. */
+    * One narrow codegen'd pass ([[graft.functions.NgramStats]]): the
+    * stats are pure per-row facts, so no explode, no shuffle, no global
+    * structure — a projection over the corpus scan. */
   def repetitionStats(df: DataFrame, id: Column, text: Column,
                       n: Int = 2): DataFrame = {
-    fanOut(df.select(id.as("id"), text.as("__t")))
-      .select(col("id"), explode(wordGrams(col("__t"), n)).as("ng"))
-      .groupBy(col("id"), col("ng")).agg(count(lit(1)).as("cnt"))
-      .groupBy(col("id"))
-      .agg(sum(col("cnt")).as("n_ngrams"),
-        count(lit(1)).as("n_distinct_ngrams"),
-        max(col("cnt")).as("max_ngram_count"))
+    // one narrow pass: the stats are per-row facts, so the native
+    // NgramStats expression replaces the former explode + (id, ngram)
+    // count + per-id rollup (two keyed exchanges over ~token-count
+    // amplified rows) at identical values — zero shuffle, the 100 TB
+    // shape. Short rows filter on the cheap token count, NOT on the
+    // struct's null flag: a struct-field/null predicate is pushed below
+    // the projection and re-evaluates the whole hash-count per row (the
+    // minhashSignatures lesson).
+    val toks = split(trim(col("__t")), "\\s+")
+    df.select(id.as("id"), text.as("__t"))
+      .where(size(split(trim(col("__t")), "\\s+")) >= n)
+      .select(col("id"),
+        graft.functions.NgramStats.ngramStats(toks, n).as("__ns"))
+      .select(col("id"),
+        col("__ns.n_ngrams").as("n_ngrams"),
+        col("__ns.n_distinct_ngrams").as("n_distinct_ngrams"),
+        col("__ns.max_ngram_count").as("max_ngram_count"))
       .withColumn("dup_ngram_frac",
         lit(1.0) - col("n_distinct_ngrams").cast(DoubleType) / col("n_ngrams"))
   }

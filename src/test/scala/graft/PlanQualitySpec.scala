@@ -112,12 +112,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
-  test("t08 repetition stats aggregate partially before each exchange") {
-    // (id, ngram) counts then per-id rollup: both hash aggregates must
-    // have map-side partials (4+ HashAggregate nodes across 2 exchanges)
+  test("t08 repetition stats are one narrow pass — no explode, no aggregate") {
+    // the native NgramStats expression replaced the explode + two keyed
+    // aggregates: the only remaining exchange is the gate's final
+    // orderBy range partitioning; the stats themselves never shuffle
     val plan = planOf(TextAnalysis.t08RepetitionFilter(spark, dir))
-    assert(plan.split("HashAggregate").length - 1 >= 4, plan)
-    assert(plan.contains("hashpartitioning"), plan)
+    assert(plan.contains("ngram_stats"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Generate explode"), plan)
+    assert(!plan.contains("hashpartitioning"), plan)
   }
 
   test("t09 PII redaction is a pure narrow projection (no exchange, no UDF)") {
