@@ -334,6 +334,35 @@ object Extras {
     s.table("graft_ma.db.balances").orderBy($"c_custkey")
   }
 
+  /** q70: SQL `DELETE FROM` + `UPDATE` through the atomic catalog — the
+    * two remaining row-level statements after q69's MERGE, planned by
+    * Spark's `RewriteDeleteFromTable` / `RewriteUpdateTable` against the
+    * same [[graft.sources.AtomicParquetCatalog]] copy-on-write support
+    * (each statement reads the pinned snapshot, rewrites the surviving /
+    * updated row set, and commits a fresh version with the replace CAS —
+    * two statements, two new snapshots, both conflict-checked). The
+    * price bump adds an exactly-representable double so both engines
+    * compute bit-identical money values. */
+  def q70DeleteUpdate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    if (s.conf.getOption("spark.sql.catalog.graft_ma").isEmpty) {
+      s.conf.set("spark.sql.catalog.graft_ma",
+        "graft.sources.AtomicParquetCatalog")
+      s.conf.set("spark.sql.catalog.graft_ma.warehouse",
+        java.nio.file.Files.createTempDirectory("graft_ma_wh").toString)
+    }
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    Tables.load(s, dir, "part")
+      .select($"p_partkey", $"p_brand", $"p_size",
+        $"p_retailprice".as("price"))
+      .writeTo("graft_ma.db.prices").using("parquet").createOrReplace()
+    s.sql("DELETE FROM graft_ma.db.prices WHERE p_partkey % 7 = 0")
+    s.sql("""UPDATE graft_ma.db.prices
+            |SET price = price + CAST(100.0 AS DOUBLE), p_size = p_size + 1
+            |WHERE p_brand LIKE 'Brand#1%'""".stripMargin)
+    s.table("graft_ma.db.prices").orderBy($"p_partkey")
+  }
+
   /** q59: SCD Type-2 build — the events stream read as a change log of
     * each user's state (their event_type), collapsed into versioned
     * validity intervals. Thin binding of
@@ -525,6 +554,7 @@ object Extras {
     "q58_snapshot_diff" -> q58SnapshotDiff,
     "q68_time_travel" -> q68TimeTravel,
     "q69_merge_into" -> q69MergeInto,
+    "q70_delete_update" -> q70DeleteUpdate,
     "q54_higher_order" -> q54HigherOrder,
     "q55_map_funcs" -> q55MapFuncs,
     "q42_cube" -> q42Cube,
@@ -737,6 +767,14 @@ object Extras {
         | cur.new_n - coalesce(old.old_n, 0) AS n_delta
         |FROM cur LEFT JOIN old ON cur.o_orderstatus = old.o_orderstatus
         |ORDER BY cur.o_orderstatus""".stripMargin,
+    "q70_delete_update" ->
+      """SELECT p_partkey, p_brand,
+        | CASE WHEN p_brand LIKE 'Brand#1%' THEN p_size + 1 ELSE p_size END AS p_size,
+        | CASE WHEN p_brand LIKE 'Brand#1%'
+        |      THEN p_retailprice + CAST(100.0 AS DOUBLE)
+        |      ELSE p_retailprice END AS price
+        |FROM part WHERE p_partkey % 7 <> 0
+        |ORDER BY p_partkey""".stripMargin,
     "q69_merge_into" ->
       """WITH tgt AS (
         |  SELECT c_custkey, c_acctbal AS balance, c_mktsegment AS segment

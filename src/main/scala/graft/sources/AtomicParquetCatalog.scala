@@ -519,9 +519,24 @@ private[sources] final class PointerTable(
       override def command(): RowLevelOperation.Command = info.command()
 
       // the rewrite reads the SAME pinned version this table resolved —
-      // the merge's base for both the join and the commit-time CAS
-      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        PointerTable.this.newScanBuilder(options)
+      // the merge's base for both the join and the commit-time CAS.
+      // CRITICAL: refuse filter pushdown here. Spark pushes the
+      // DELETE/UPDATE condition (or MERGE join keys) into this scan as
+      // GROUP-pruning — "return every row of the groups that contain a
+      // match" — but this connector's group is the WHOLE TABLE, and the
+      // underlying parquet scan would honor the pushed predicate at ROW
+      // granularity, starving the copy-on-write rewrite of the surviving
+      // rows (a pushable `WHERE id = 2` delete would rewrite the table to
+      // just-the-survivors-of-the-matching-rows = empty). A plain
+      // ScanBuilder keeps the condition in the query plan's own Filter,
+      // where the rewrite's survivor logic needs it.
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+        val inner = PointerTable.this.newScanBuilder(options)
+        new ScanBuilder {
+          override def build(): org.apache.spark.sql.connector.read.Scan =
+            inner.build()
+        }
+      }
 
       override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
         new WriteBuilder {

@@ -367,6 +367,29 @@ class AtomicCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_atomic.db.t11")
   }
 
+  test("DELETE and UPDATE commit copy-on-write snapshots; time travel sees both priors") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v")
+      .writeTo("graft_atomic.db.t12").using("parquet").createOrReplace()
+    spark.sql("DELETE FROM graft_atomic.db.t12 WHERE id = 2")
+    spark.sql("UPDATE graft_atomic.db.t12 SET v = v + 1.0 WHERE id = 3")
+    val now = spark.table("graft_atomic.db.t12")
+      .orderBy($"id").as[(Long, Double)].collect().toSeq
+    assert(now == Seq((1L, 10.0), (3L, 31.0)), now)
+    // VERSION AS OF k counts commits BACK (0 = current): 1 = post-delete
+    // pre-update, 2 = the pre-delete original — each statement made its
+    // own conflict-checked snapshot
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_atomic.db.t12 VERSION AS OF 2")
+      .head().getLong(0) == 3)
+    val v1 = spark.sql(
+      "SELECT id, v FROM graft_atomic.db.t12 VERSION AS OF 1 ORDER BY id")
+      .as[(Long, Double)].collect().toSeq
+    assert(v1 == Seq((1L, 10.0), (3L, 30.0)), v1)
+    spark.sql("DROP TABLE graft_atomic.db.t12")
+  }
+
   test("medallion silver+gold run through the V2 RTAS path on this catalog") {
     val base = java.nio.file.Files.createTempDirectory("graft_atomic_mdp").toString
     val cfg = graft.medallion.MdpConfig.fromEnv(base).copy(
