@@ -322,7 +322,46 @@ object Streams {
     runToCompletion(agg, "complete").orderBy($"window_start_s")
   }
 
+  /** st09: streaming ingestion INTO THE LAKEHOUSE — the bronze-landing
+    * shape the reference's pipeline implies but never streams: the event
+    * stream lands in an [[graft.sources.AtomicParquetCatalog]] table via
+    * `foreachBatch`, where every micro-batch commits a conflict-checked
+    * fast-append SNAPSHOT (prior files hard-linked, CAS'd pointer swap) —
+    * a concurrent writer conflicts instead of corrupting the log, and
+    * each batch stays time-travelable. The gate reads the final TABLE
+    * back and aggregates it, pinning the whole stream→catalog→read loop
+    * against the batch oracle. */
+  def st09StreamCatalogIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    if (s.conf.getOption("spark.sql.catalog.graft_st").isEmpty) {
+      s.conf.set("spark.sql.catalog.graft_st",
+        "graft.sources.AtomicParquetCatalog")
+      s.conf.set("spark.sql.catalog.graft_st.warehouse",
+        java.nio.file.Files.createTempDirectory("graft_st_wh").toString)
+    }
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_st.db")
+    val src = eventsStream(s, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batch 0 (re)creates the table, later batches fast-append — the
+        // per-run recreate keeps bench iterations idempotent
+        if (batchId == 0L)
+          batch.writeTo("graft_st.db.events_bronze").using("parquet")
+            .createOrReplace()
+        else batch.writeTo("graft_st.db.events_bronze").append()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("graft_st.db.events_bronze")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        Det.moneySum($"value").as("total_value"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st09_stream_catalog_ingest" -> st09StreamCatalogIngest,
     "st08_stream_hopping" -> st08StreamHopping,
     "st06_stream_text_quality" -> st06StreamTextQuality,
     "st01_stream_tumbling_agg" -> st01TumblingAgg,
@@ -333,6 +372,11 @@ object Streams {
     "st05_stream_static_join" -> st05StreamStaticJoin)
 
   val oracles: Map[String, String] = Map(
+    // the finite stream landed through the catalog == the batch aggregate
+    "st09_stream_catalog_ingest" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the finite hopping stream == the batch hopping aggregate (q65 form)
     "st08_stream_hopping" ->
       """WITH ex AS (
