@@ -202,6 +202,12 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             s"base ${expectedBase.getOrElse("<no table>")} but the table " +
             s"is now at ${old.headOption.getOrElse("<no table>")}; re-run " +
             "the write against the current version (nothing was overwritten)")
+      // commit-instant marker for TIMESTAMP AS OF — written under the
+      // lock so marker order always matches log order; tables from older
+      // layouts fall back to the version dir's mtime on read
+      try Files.write(dir.resolve(version).resolve("_committed_at"),
+        String.valueOf(System.currentTimeMillis()).getBytes("UTF-8"))
+      catch { case _: java.io.IOException => () }
       val kept = (version +: old).take(historyKeep + 1)
       val tmp = dir.resolve(s"_current.tmp-${UUID.randomUUID()}")
       Files.write(tmp, kept.mkString("\n").getBytes("UTF-8"))
@@ -301,6 +307,37 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     val (schema, parts) = readMeta(versionDir)
     // a historical read serves the pinned immutable directory; writes
     // through it would silently rewrite history, so they are refused
+    new PointerTable(this, ident, dir, versionDir, schema, parts,
+      historical = true)
+  }
+
+  /** Time travel (`SELECT ... FROM t TIMESTAMP AS OF ts`): Spark hands
+    * the instant as MICROseconds since epoch; resolve the NEWEST snapshot
+    * whose commit instant (the `_committed_at` marker written under the
+    * commit lock; version-dir mtime for pre-marker layouts) is at or
+    * before it — Iceberg's timestamp-travel rule. Same retention-window
+    * boundary as `VERSION AS OF`. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tableDir(ident)
+    val log = versionLog(dir)
+    if (log.isEmpty) throw new NoSuchTableException(ident)
+    val tsMs = timestamp / 1000L
+    def commitMs(v: String): Long =
+      try new String(Files.readAllBytes(
+        dir.resolve(v).resolve("_committed_at")), "UTF-8").trim.toLong
+      catch {
+        case _: Exception =>
+          try Files.getLastModifiedTime(dir.resolve(v)).toMillis
+          catch { case _: java.io.IOException => Long.MaxValue }
+      }
+    // log is newest-first: the first entry at or before ts is the answer
+    val resolved = log.find(v => commitMs(v) <= tsMs).getOrElse(
+      throw new IllegalArgumentException(
+        s"$ident has no snapshot committed at or before epoch-ms $tsMs " +
+          s"in its retention window (${log.size} snapshots kept; oldest " +
+          s"commit ${log.lastOption.map(commitMs).getOrElse(-1L)} ms)"))
+    val versionDir = dir.resolve(resolved)
+    val (schema, parts) = readMeta(versionDir)
     new PointerTable(this, ident, dir, versionDir, schema, parts,
       historical = true)
   }

@@ -390,6 +390,34 @@ class AtomicCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_atomic.db.t12")
   }
 
+  test("TIMESTAMP AS OF resolves the newest snapshot at or before the instant") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
+    Seq((1L, "old")).toDF("id", "s")
+      .writeTo("graft_atomic.db.t13").using("parquet").createOrReplace()
+    Thread.sleep(30) // commit markers are ms-precision
+    val between = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(System.currentTimeMillis()),
+      java.time.ZoneOffset.UTC).toString.replace('T', ' ')
+    Thread.sleep(30)
+    Seq((1L, "new"), (2L, "x")).toDF("id", "s")
+      .writeTo("graft_atomic.db.t13").using("parquet").createOrReplace()
+    // session tz is UTC (build.sbt), so the UTC-rendered instant between
+    // the two commits parses back to the same epoch
+    val asOf = spark.sql(
+      s"SELECT s FROM graft_atomic.db.t13 TIMESTAMP AS OF '$between'")
+      .as[String].collect().toSeq
+    assert(asOf == Seq("old"), asOf)
+    assert(spark.table("graft_atomic.db.t13").count() == 2)
+    // an instant before the first commit has no snapshot to serve
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_atomic.db.t13 TIMESTAMP AS OF '2000-01-01 00:00:00'")
+        .collect()
+    }
+    assert(e.getMessage.contains("no snapshot committed at or before"), e.getMessage)
+    spark.sql("DROP TABLE graft_atomic.db.t13")
+  }
+
   test("medallion silver+gold run through the V2 RTAS path on this catalog") {
     val base = java.nio.file.Files.createTempDirectory("graft_atomic_mdp").toString
     val cfg = graft.medallion.MdpConfig.fromEnv(base).copy(
