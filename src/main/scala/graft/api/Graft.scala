@@ -239,9 +239,13 @@ object Graft {
     val bandKeys = bandKeyArray(bands, rowsPerBand)
     val sig = struct(col("id") +: (1 to numHashes).map(i => col(s"h$i")): _*)
     // sort_array orders the bucket by its first struct field — the id — so
-    // pairing index i with indexes > i yields id_a < id_b by construction
-    val collected = sigs.select(explode(bandKeys).as("bb"), sig.as("s"))
-      .groupBy(col("bb"))
+    // pairing index i with indexes > i yields id_a < id_b by construction.
+    // The band index rides along (posexplode; bb's "k:" prefix determines
+    // it, so the grouping is unchanged) for the in-quadratic cross-band
+    // dedup below.
+    val collected = sigs
+      .select(posexplode(bandKeys).as(Seq("__b", "bb")), sig.as("s"))
+      .groupBy(col("bb"), col("__b"))
       .agg(sort_array(collect_list(col("s"))).as("ss"))
     // hot-bucket guard: fail the job NAMING the oversized bucket instead of
     // quietly OOMing an executor on its quadratic pair fan-out. The check
@@ -261,20 +265,22 @@ object Graft {
             "lshBucketStats(sigs) shows the distribution."))))
           .otherwise(col("ss")))
     val buckets = guarded.where(size(col("ss")) > 1)
-    // the whole in-bucket quadratic — n_match scoring AND the minAgreement
-    // cut — runs inside ONE compiled call per bucket (native
-    // BucketPairSurvivors expression): higher-order transform/filter
-    // lambdas are CodegenFallback, so the previous formulation paid
-    // interpreted evaluation per RAW pair on exactly the Σ bucket² stage
-    // that dominates mining; the explode then carries only surviving
-    // (id_a, id_b, n_match) triples
-    val inBucketPairs =
-      graft.functions.BucketPairSurvivors.bucketPairs(col("ss"), minAgreement)
+    // the whole in-bucket quadratic — n_match scoring, the minAgreement
+    // cut, AND cross-band dedup — runs inside ONE compiled call per
+    // bucket (native BucketPairSurvivors expression): higher-order
+    // transform/filter lambdas are CodegenFallback, so the previous
+    // formulation paid interpreted evaluation per RAW pair on exactly
+    // the Σ bucket² stage that dominates mining. A pair sharing buckets
+    // in several bands is emitted only from the FIRST colliding band
+    // (decided locally from the signatures in hand), so every emission
+    // is already globally unique and the former groupBy(id_a, id_b)
+    // dedup — a full exchange of the survivor stream — is gone.
+    val inBucketPairs = graft.functions.BucketPairSurvivors
+      .bucketPairsFirstBand(col("ss"), col("__b").cast(IntegerType),
+        minAgreement, bands, rowsPerBand)
     buckets.select(explode(inBucketPairs).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.n_match").as("n_match"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("n_match")).as("n_match"))
   }
 
   /** Exact char-n-gram Jaccard for given candidate pairs (id_a, id_b).
@@ -2427,8 +2433,12 @@ object Graft {
     * standard lever when hubs appear), the closing check is one equi-join
     * on the (a, c) pair, and per-vertex rollups are keyed aggregates. */
   def triangleCounts(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    // the normalized edge list feeds FIVE plan references (two wedge
+    // sides, the closing join, and both degree scans): materialize it
+    // once — a multi-pass graph algorithm must never re-execute an
+    // arbitrary upstream (e.g. the LSH mining quadratic) per reference
     val e = edges.select(least(src, dst).as("a"), greatest(src, dst).as("b"))
-      .where(col("a") =!= col("b")).distinct()
+      .where(col("a") =!= col("b")).distinct().localCheckpoint()
     // wedge (a<b) x (b<c) is automatically vertex-sorted: each triangle
     // appears exactly once
     val wedges = e.toDF("a", "b").join(e.toDF("b", "c"), "b")
