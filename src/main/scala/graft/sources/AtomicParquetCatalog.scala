@@ -356,9 +356,73 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "AtomicParquetCatalog tables are immutable versions; write a new one")
+  /** Schema evolution as a METADATA-ONLY snapshot: `ALTER TABLE ... ADD
+    * COLUMN / DROP COLUMN` commits a fresh version whose data files are
+    * the prior version's HARD LINKS (no data copy — the fast-append
+    * mechanism) under an evolved `_schema.json`, CAS'd like any commit.
+    * Reads resolve schema-on-read: an added column is absent from the
+    * linked parquet files and surfaces as null for pre-evolution rows; a
+    * dropped column simply leaves the read schema. Prior snapshots keep
+    * their own `_schema.json`, so `VERSION AS OF` across the evolution
+    * boundary serves each version under the schema it was written with.
+    *
+    * Honest boundaries, refused with pointed errors: RENAME (parquet
+    * binds columns by NAME — without Iceberg-style field ids a rename
+    * would silently null the old data), type changes (the reader would
+    * have to rewrite pages), NOT NULL adds (linked files cannot satisfy
+    * the constraint), nested fields, and dropping a partition column
+    * (the directory layout embeds it). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    val cur = currentVersion(dir)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val (schema0, parts) = readMeta(cur)
+    val evolved = changes.foldLeft(schema0) { (s, change) =>
+      change match {
+        case a: TableChange.AddColumn =>
+          require(a.fieldNames.length == 1, s"$ident: nested ADD COLUMN " +
+            s"(${a.fieldNames.mkString(".")}) is not supported")
+          val name = a.fieldNames()(0)
+          require(a.isNullable, s"$ident: ADD COLUMN $name NOT NULL is " +
+            "unsatisfiable — existing snapshots have no values for it; " +
+            "add it nullable, backfill, then enforce in a rewrite")
+          require(!s.fieldNames.exists(_.equalsIgnoreCase(name)),
+            s"$ident: column $name already exists")
+          StructType(s.fields :+
+            org.apache.spark.sql.types.StructField(name, a.dataType,
+              nullable = true))
+        case d: TableChange.DeleteColumn =>
+          require(d.fieldNames.length == 1, s"$ident: nested DROP COLUMN " +
+            s"(${d.fieldNames.mkString(".")}) is not supported")
+          val name = d.fieldNames()(0)
+          if (!s.fieldNames.exists(_.equalsIgnoreCase(name))) {
+            if (d.ifExists) s
+            else throw new IllegalArgumentException(
+              s"$ident: no such column $name")
+          } else {
+            require(!parts.exists(_.equalsIgnoreCase(name)),
+              s"$ident: cannot drop partition column $name — the " +
+                "directory layout embeds it; re-partition with RTAS")
+            StructType(s.fields.filterNot(_.name.equalsIgnoreCase(name)))
+          }
+        case _: TableChange.RenameColumn =>
+          throw new UnsupportedOperationException(
+            s"$ident: RENAME COLUMN needs field-id column binding " +
+              "(parquet binds by name; a rename would silently null the " +
+              "existing data) — use RTAS with an aliased select")
+        case other =>
+          throw new UnsupportedOperationException(
+            s"$ident: unsupported table change $other — supported: " +
+              "ADD COLUMN (nullable, top-level), DROP COLUMN")
+      }
+    }
+    val v = s"v-${UUID.randomUUID()}"
+    val nv = dir.resolve(v)
+    writeMeta(nv, evolved, parts)
+    linkDataFiles(cur, nv)
+    commitVersion(dir, v, expectedBase = Some(cur.getFileName.toString))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

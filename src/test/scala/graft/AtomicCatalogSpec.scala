@@ -418,6 +418,44 @@ class AtomicCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_atomic.db.t13")
   }
 
+  test("ALTER TABLE ADD/DROP COLUMN evolve as metadata-only snapshots") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .writeTo("graft_atomic.db.t14").using("parquet").createOrReplace()
+    spark.sql("ALTER TABLE graft_atomic.db.t14 ADD COLUMN score DOUBLE")
+    // pre-evolution rows surface null for the added column
+    val afterAdd = spark.table("graft_atomic.db.t14")
+      .orderBy($"id").as[(Long, String, Option[Double])].collect().toSeq
+    assert(afterAdd == Seq((1L, "a", None), (2L, "b", None)), afterAdd)
+    // appended rows carry values; old rows stay null
+    spark.sql("INSERT INTO graft_atomic.db.t14 VALUES (3, 'c', 0.5)")
+    val mixed = spark.table("graft_atomic.db.t14")
+      .orderBy($"id").as[(Long, String, Option[Double])].collect().toSeq
+    assert(mixed == Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(0.5))),
+      mixed)
+    // the pre-evolution snapshot keeps ITS schema across the boundary
+    assert(spark.sql(
+      "SELECT * FROM graft_atomic.db.t14 VERSION AS OF 2").columns.toSeq
+      == Seq("id", "s"))
+    spark.sql("ALTER TABLE graft_atomic.db.t14 DROP COLUMN s")
+    assert(spark.table("graft_atomic.db.t14").columns.toSeq == Seq("id", "score"))
+    // time travel one back still serves the dropped column
+    assert(spark.sql(
+      "SELECT * FROM graft_atomic.db.t14 VERSION AS OF 1").columns.toSeq
+      == Seq("id", "s", "score"))
+    // honest boundaries refuse with pointed messages
+    val r = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_atomic.db.t14 RENAME COLUMN score TO sc")
+    }
+    assert(r.getMessage.contains("field-id"), r.getMessage)
+    val nn = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_atomic.db.t14 ADD COLUMN req LONG NOT NULL")
+    }
+    assert(nn.getMessage.contains("unsatisfiable"), nn.getMessage)
+    spark.sql("DROP TABLE graft_atomic.db.t14")
+  }
+
   test("medallion silver+gold run through the V2 RTAS path on this catalog") {
     val base = java.nio.file.Files.createTempDirectory("graft_atomic_mdp").toString
     val cfg = graft.medallion.MdpConfig.fromEnv(base).copy(
