@@ -77,7 +77,7 @@ object Stress {
       // verify, containment verify) — the verify stages' internal
       // persist-if-unpersisted then reuses these blocks, and the single
       // unpersist below honors their callers-release contract
-      val pairs = graft.api.Graft.nearDupPairs(sigs, minAgreement = 4)
+      val pairs = graft.api.Graft.nearDupPairs(sigs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       val (tPairs, nPairs) = secs(pairs.count())
 

@@ -31,7 +31,7 @@ object T33Profile {
     val sigs = graft.api.Graft.minhashSignatures(docs, $"doc_id", $"text")
     t("sigs noop")(sigs.write.format("noop").mode("overwrite").save())
 
-    val pairs = graft.api.Graft.nearDupPairs(sigs, minAgreement = 4)
+    val pairs = graft.api.Graft.nearDupPairs(sigs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     t("pairs count (mine)")(println("  n_pairs=" + pairs.count()))
 

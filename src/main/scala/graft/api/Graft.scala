@@ -644,6 +644,15 @@ object Graft {
     * signature generation uses the unique-id fast path on the exact-dedup
     * survivors, so steps 2-3 are narrow up to the band-bucket shuffles.
     *
+    * Banding/threshold coupling: the default banding is planner-derived
+    * for the high-similarity near-dup mode (J >= ~0.8 — see
+    * [[DefaultBands]]); with the default `jaccardThreshold = 0.5` the
+    * verify stage still REPORTS any caught pair down to J = 0.5, but
+    * bucket-collision recall for J in [0.5, 0.7) pairs is the S-curve
+    * tail (~0.5 at J = 0.5). A corpus whose true duplicates sit in that
+    * band should pass `bands`/`rowsPerBand` from
+    * [[lshBandPlan]](threshold, minRecall) instead of the defaults.
+    *
     * Keeper policy: by default every group/cluster keeps its LEAST id.
     * Pass `keepBy` to keep the member maximizing that expression instead
     * (ties: least id) — the production policy is usually "keep the
@@ -2432,13 +2441,25 @@ object Graft {
     * Σ deg² — the inherent wedge count; degree-cap preprocessing is the
     * standard lever when hubs appear), the closing check is one equi-join
     * on the (a, c) pair, and per-vertex rollups are keyed aggregates. */
-  def triangleCounts(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+  def triangleCounts(edges: DataFrame, src: Column, dst: Column,
+                     checkpointDir: Option[String] = None): DataFrame = {
     // the normalized edge list feeds FIVE plan references (two wedge
     // sides, the closing join, and both degree scans): materialize it
     // once — a multi-pass graph algorithm must never re-execute an
-    // arbitrary upstream (e.g. the LSH mining quadratic) per reference
-    val e = edges.select(least(src, dst).as("a"), greatest(src, dst).as("b"))
-      .where(col("a") =!= col("b")).distinct().localCheckpoint()
+    // arbitrary upstream (e.g. the LSH mining quadratic) per reference.
+    // LAZY checkpoint: constructing the frame must not run a job (plan
+    // inspection, conditional composition); the first action pays the
+    // materialization and later references reuse it. checkpointDir gives
+    // the reliable-storage variant that survives executor loss (the
+    // same knob as connectedComponents/pageRank).
+    val norm = edges.select(least(src, dst).as("a"), greatest(src, dst).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val e = checkpointDir match {
+      case Some(d) =>
+        norm.sparkSession.sparkContext.setCheckpointDir(d)
+        norm.checkpoint(eager = false)
+      case None => norm.localCheckpoint(eager = false)
+    }
     // wedge (a<b) x (b<c) is automatically vertex-sorted: each triangle
     // appears exactly once
     val wedges = e.toDF("a", "b").join(e.toDF("b", "c"), "b")

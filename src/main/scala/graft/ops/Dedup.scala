@@ -35,15 +35,22 @@ object Dedup {
   private val RowsPerBand = graft.api.Graft.DefaultRowsPerBand
   private val NumHashes = graft.api.Graft.DefaultNumHashes // 15
   private val JaccardBandThreshold = graft.api.Graft.DefaultMinAgreement // >=8/15 reported
-  // the recall-leaning agreement cut d15's containment stage uses (the
-  // short-inside-long pairs it exists to find agree on few hashes): the
-  // same ~1/4-of-signature operating point as the old 2-of-8
+  // d15's containment stage hunts LOW-symmetric-Jaccard pairs (a short
+  // doc inside a long one), so it cannot ride the production banding: at
+  // J ~ 0.25 the r=3 band keys collide with P = 1-(1-0.25^3)^5 ~ 8%
+  // (the r=2 keys of the old 4x2 plan gave ~23%). It re-bands the SAME
+  // 15-hash signatures as 7 bands x 2 rows (14 hashes): P ~ 36% at
+  // J = 0.25 -- better than the engine ever had -- while the d02-family
+  // keeps the selective 5x3 plan. The agreement cut stays recall-leaning
+  // at 4 of 14 (~ the old 2-of-8 operating point).
+  private val ContainmentBands = 7
+  private val ContainmentRows = 2
   private val ContainmentAgree = 4
 
-  /** Universal-hash minhash: one md5 per shingle -> 60-bit int, then 8
+  /** Universal-hash minhash: one md5 per shingle -> 60-bit int, then 15
     * affine permutations h_i = (a_i*h + b_i) mod p over the 31-bit field
-    * (products stay < 2^62, no overflow in either engine). 8x cheaper than
-    * hashing every shingle 8 times, identical LSH semantics. The constants
+    * (products stay < 2^62, no overflow in either engine). 15x cheaper than
+    * hashing every shingle 15 times, identical LSH semantics. The constants
     * embedded in the oracle SQL come from [[graft.api.Graft.minhashParams]]
     * — the SAME function [[graft.api.Graft.minhashSignatures]] evaluates —
     * so the two sides cannot drift apart. */
@@ -245,17 +252,19 @@ object Dedup {
     * the shorter document's shingles all appear in the longer one (a quote,
     * a syndicated excerpt, a boilerplate-wrapped repost) even when the
     * length ratio drives Jaccard toward 0. Candidates come from the SAME
-    * LSH banding as d02 but at a relaxed agreement cut (>= 2/8: a short
-    * doc inside a long one only partially drags the long doc's minhashes
-    * down, so the symmetric 4/8 cut would drop exactly the pairs this
-    * stage exists to catch); verification keeps containment >= 0.8. Thin
+    * 15-hash signatures as d02 but re-banded 7x2 with a relaxed >= 4/14
+    * agreement cut (a short doc inside a long one only partially drags
+    * the long doc's minhashes down, so both the selective r=3 band keys
+    * and the symmetric 8/15 cut would drop exactly the pairs this stage
+    * exists to catch -- see ContainmentBands); containment >= 0.8. Thin
     * binding of [[graft.api.Graft.containmentVerify]]. */
   def d15Containment(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
     val sigs = graft.api.Graft.minhashSignatures(docs, $"doc_id", $"text",
       assumeUniqueIds = true)
-    val pairs = graft.api.Graft.nearDupPairs(sigs, minAgreement = ContainmentAgree)
+    val pairs = graft.api.Graft.nearDupPairs(sigs, ContainmentBands,
+      ContainmentRows, minAgreement = ContainmentAgree)
     graft.api.Graft.containmentVerify(docs, $"doc_id", $"text", pairs)
       .where($"containment" >= 0.8)
       .select($"id_a".as("doc_a"), $"id_b".as("doc_b"),
@@ -300,7 +309,9 @@ object Dedup {
     * (shared by the d02/d03/d06/d07 oracles); `minAgree` relaxes the
     * signature-agreement cut for recall-leaning stages (d15). */
   private[ops] def sigsSql(from: String = "documents",
-                           minAgree: Int = JaccardBandThreshold) =
+                           minAgree: Int = JaccardBandThreshold,
+                           bands: Int = Bands,
+                           rowsPerBand: Int = RowsPerBand) =
     s"""sh AS (
        |  SELECT doc_id, substr(text, i, 5) AS s
        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text)-4)) AS i
@@ -314,9 +325,9 @@ object Dedup {
         .map { case ((a, b), i) => s"min((${a}*h0 + ${b}) % $P) AS h${i + 1}" }
         .mkString(", ")}
        |  FROM h0t GROUP BY doc_id),
-       |b AS (${(1 to Bands)
+       |b AS (${(1 to bands)
         .map { k =>
-          val hs = ((k - 1) * RowsPerBand + 1 to k * RowsPerBand)
+          val hs = ((k - 1) * rowsPerBand + 1 to k * rowsPerBand)
             .map(i => s"CAST(h$i AS VARCHAR)").mkString("||':'||")
           s"SELECT '$k:'||$hs AS bb, doc_id FROM sigs"
         }
@@ -326,13 +337,13 @@ object Dedup {
        |  FROM b l JOIN b r USING (bb) WHERE l.doc_id < r.doc_id),
        |agreed AS (
        |  SELECT doc_a, doc_b,
-       |   CAST(${(1 to NumHashes)
+       |   CAST(${(1 to bands * rowsPerBand)
         .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
         .mkString(" + ")} AS BIGINT) AS n_match
        |  FROM cand
        |  JOIN sigs sa ON cand.doc_a = sa.doc_id
        |  JOIN sigs sb ON cand.doc_b = sb.doc_id
-       |  WHERE ${(1 to NumHashes)
+       |  WHERE ${(1 to bands * rowsPerBand)
         .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
         .mkString(" + ")} >= $minAgree)""".stripMargin
 
@@ -389,7 +400,7 @@ object Dedup {
          |FROM deg LEFT JOIN tv ON deg.id = tv.id
          |ORDER BY doc_id""".stripMargin,
     "d15_containment" ->
-      s"""WITH ${sigsSql(minAgree = ContainmentAgree)},
+      s"""WITH ${sigsSql(minAgree = ContainmentAgree, bands = ContainmentBands, rowsPerBand = ContainmentRows)},
          |sets AS (
          |  SELECT doc_id, list_distinct(list_transform(
          |    generate_series(1, length(text)-4), i -> substr(text, i, 5))) AS sh

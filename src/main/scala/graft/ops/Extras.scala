@@ -255,12 +255,7 @@ object Extras {
     * exact-decimal money discipline so "changed" is engine-exact. */
   def q68TimeTravel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    if (s.conf.getOption("spark.sql.catalog.graft_tt").isEmpty) {
-      s.conf.set("spark.sql.catalog.graft_tt",
-        "graft.sources.AtomicParquetCatalog")
-      s.conf.set("spark.sql.catalog.graft_tt.warehouse",
-        java.nio.file.Files.createTempDirectory("graft_tt_wh").toString)
-    }
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_tt")
     s.sql("CREATE NAMESPACE IF NOT EXISTS graft_tt.db")
     val orders = Tables.load(s, dir, "orders")
     def snap(pred: Column): DataFrame = orders.where(pred)
@@ -301,12 +296,7 @@ object Extras {
     * add the same two exactly-represented doubles). */
   def q69MergeInto(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    if (s.conf.getOption("spark.sql.catalog.graft_ma").isEmpty) {
-      s.conf.set("spark.sql.catalog.graft_ma",
-        "graft.sources.AtomicParquetCatalog")
-      s.conf.set("spark.sql.catalog.graft_ma.warehouse",
-        java.nio.file.Files.createTempDirectory("graft_ma_wh").toString)
-    }
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
     s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
     // target: balance book over 2/3 of the customers (so the merge has
     // genuinely-new keys to insert); re-created each run -> idempotent
@@ -345,12 +335,7 @@ object Extras {
     * compute bit-identical money values. */
   def q70DeleteUpdate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    if (s.conf.getOption("spark.sql.catalog.graft_ma").isEmpty) {
-      s.conf.set("spark.sql.catalog.graft_ma",
-        "graft.sources.AtomicParquetCatalog")
-      s.conf.set("spark.sql.catalog.graft_ma.warehouse",
-        java.nio.file.Files.createTempDirectory("graft_ma_wh").toString)
-    }
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
     s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
     Tables.load(s, dir, "part")
       .select($"p_partkey", $"p_brand", $"p_size",

@@ -82,6 +82,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   spark.sql.catalog.<name>.warehouse = /path/to/warehouse
   * }}}
   */
+object AtomicParquetCatalog {
+  /** Register catalog `name` on the session with a fresh temp warehouse
+    * if absent — the shared idempotent setup the catalog-backed gates
+    * use (one place to change registration, not one copy per gate). */
+  def ensureRegistered(s: SparkSession, name: String): Unit =
+    if (s.conf.getOption(s"spark.sql.catalog.$name").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$name",
+        classOf[AtomicParquetCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$name.warehouse",
+        Files.createTempDirectory(s"graft_${name}_wh").toString)
+    }
+}
+
 class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     with SupportsNamespaces {
 
@@ -207,7 +220,15 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
       // layouts fall back to the version dir's mtime on read
       try Files.write(dir.resolve(version).resolve("_committed_at"),
         String.valueOf(System.currentTimeMillis()).getBytes("UTF-8"))
-      catch { case _: java.io.IOException => () }
+      catch {
+        case e: java.io.IOException =>
+          // commit availability wins over marker fidelity, but say so:
+          // TIMESTAMP AS OF will fall back to this version's dir mtime
+          // (its staging time, EARLIER than the commit instant)
+          System.err.println(s"[graft-atomic] WARN: commit-instant marker " +
+            s"for $dir/$version failed (${e.getMessage}); TIMESTAMP AS OF " +
+            "will approximate this snapshot by directory mtime")
+      }
       val kept = (version +: old).take(historyKeep + 1)
       val tmp = dir.resolve(s"_current.tmp-${UUID.randomUUID()}")
       Files.write(tmp, kept.mkString("\n").getBytes("UTF-8"))
@@ -388,9 +409,23 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             "add it nullable, backfill, then enforce in a rewrite")
           require(!s.fieldNames.exists(_.equalsIgnoreCase(name)),
             s"$ident: column $name already exists")
-          StructType(s.fields :+
-            org.apache.spark.sql.types.StructField(name, a.dataType,
-              nullable = true))
+          val field = org.apache.spark.sql.types.StructField(name,
+            a.dataType, nullable = true)
+          // honor FIRST / AFTER x — appending silently would bind later
+          // positional INSERTs to the wrong columns
+          import org.apache.spark.sql.connector.catalog.TableChange._
+          val idx = a.position() match {
+            case null => s.fields.length
+            case _: First => 0
+            case after: After =>
+              val i = s.fieldNames.indexWhere(_.equalsIgnoreCase(after.column()))
+              require(i >= 0, s"$ident: ADD COLUMN $name AFTER " +
+                s"${after.column()} — no such column")
+              i + 1
+            case other => throw new UnsupportedOperationException(
+              s"$ident: unsupported column position $other")
+          }
+          StructType((s.fields.take(idx) :+ field) ++ s.fields.drop(idx))
         case d: TableChange.DeleteColumn =>
           require(d.fieldNames.length == 1, s"$ident: nested DROP COLUMN " +
             s"(${d.fieldNames.mkString(".")}) is not supported")

@@ -333,12 +333,7 @@ object Streams {
     * against the batch oracle. */
   def st09StreamCatalogIngest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    if (s.conf.getOption("spark.sql.catalog.graft_st").isEmpty) {
-      s.conf.set("spark.sql.catalog.graft_st",
-        "graft.sources.AtomicParquetCatalog")
-      s.conf.set("spark.sql.catalog.graft_st.warehouse",
-        java.nio.file.Files.createTempDirectory("graft_st_wh").toString)
-    }
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_st")
     s.sql("CREATE NAMESPACE IF NOT EXISTS graft_st.db")
     val src = eventsStream(s, dir)
       .select($"event_id", $"user_id", $"event_type", $"value")

@@ -270,7 +270,7 @@ class PlanQualitySpec extends AnyFunSuite {
     val docs = Tables.load(spark, dir, "documents")
     import spark.implicits._
     val sigs = graft.api.Graft.minhashSignatures(docs, $"doc_id", $"text")
-    val pairs = graft.api.Graft.nearDupPairs(sigs, minAgreement = 4)
+    val pairs = graft.api.Graft.nearDupPairs(sigs)
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val prev = spark.conf.get(key)
     spark.conf.set(key, "-1")
@@ -317,7 +317,7 @@ class PlanQualitySpec extends AnyFunSuite {
     val docs = Tables.load(spark, dir, "documents")
     import spark.implicits._
     val sigs = graft.api.Graft.minhashSignatures(docs, $"doc_id", $"text")
-    val pairs = graft.api.Graft.nearDupPairs(sigs, minAgreement = 4)
+    val pairs = graft.api.Graft.nearDupPairs(sigs)
     val df = graft.api.Graft.jaccardVerify(docs, $"doc_id", $"text", pairs)
     val opt = df.queryExecution.optimizedPlan
     val semis = opt.collect {
