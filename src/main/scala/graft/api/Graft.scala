@@ -2908,6 +2908,104 @@ object Graft {
         col("cum_tokens"))
   }
 
+  /** Exact heavy hitters over a token stream, found WITHOUT shuffling the
+    * full vocabulary: every token whose exact count strictly exceeds
+    * `total / k`, with its exact count — the canonical two-pass
+    * sketch-then-verify reduction ([[contaminationBloom]]'s stance applied
+    * to frequency): a mergeable Misra–Gries sketch
+    * ([[graft.functions.MgFrequencySketch]], `counters` counters, default
+    * `8 * k`) finds a candidate SUPERSET in one pass — the MG bound
+    * guarantees any token with count > total/(counters+1) survives, and
+    * `counters >= k` makes that threshold at most total/k — then a second
+    * pass counts ONLY the candidates exactly and keeps those over the
+    * threshold. The output is therefore exact and partitioning-independent
+    * even though the sketch's internal estimates are not. Output:
+    * (token, cnt), cnt DESC, token ASC. NULL tokens are excluded from both
+    * the count and the total.
+    *
+    * Scale shape: pass 1 is an ObjectHashAggregate whose partial phase
+    * reduces each map task to one <= `counters`-entry state — the shuffle
+    * carries one small buffer per partition, vs the exact
+    * `groupBy(token)`'s full-vocabulary exchange ([[t04TopTokens]]'
+    * shape, fine until the vocabulary itself is 100 TB-scale). Pass 2
+    * pushes an IN-list of <= `counters` candidates into the scan, so the
+    * verify aggregation touches only candidate rows. The one collect is a
+    * single row bounded at `counters` entries by construction (the
+    * hybrid-probe discipline). */
+  def heavyHitters(df: DataFrame, token: Column, k: Int,
+                   counters: Int = 0): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val m = if (counters > 0) counters else 8 * k
+    require(m >= k, s"counters must be >= k=$k for the superset guarantee, got $m")
+    val toks = df.select(token.as("token")).where(col("token").isNotNull)
+    val sk = toks
+      .agg(graft.functions.MgFrequencySketch.mgSketch(col("token"), m).as("s"))
+      .select(col("s.total").as("total"), col("s.candidates.token").as("cands"))
+      .head()
+    val total = sk.getLong(0)
+    val cands = sk.getSeq[String](1)
+    val keep =
+      if (cands.isEmpty) lit(false) else col("token").isin(cands: _*)
+    toks.where(keep)
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * k > total)
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  /** Frequency-ranked vocabulary construction to a coverage target — the
+    * tokenizer-vocab selection step ("the smallest vocabulary covering
+    * 99.9% of token occurrences"): token counts are taken in (cnt DESC,
+    * token ASC) order and a token is kept iff the running total BEFORE it
+    * is still below `coverage * total` — i.e. the minimal deterministic
+    * prefix whose cumulative count reaches the target. Returns the kept
+    * vocabulary as (token, cnt, cum_cnt).
+    *
+    * Scale shape ([[selectByTokenBudget]]'s discipline): NO global sort of
+    * the vocabulary — count-quantile bounds (percentile_approx, computed
+    * in the same aggregate pass as the grand total, broadcast) range-band
+    * the vocabulary, the running sum is a within-band window ordered by
+    * (cnt DESC, token), and band totals get their own tiny prefix-sum
+    * window broadcast back as offsets. Equal counts always share a band
+    * (banding is a pure function of the count), so the bucketed running
+    * sum equals the global-sort form exactly. The counted vocabulary is
+    * persisted MEMORY_ONLY for the duration of the plan (it is referenced
+    * by the bounds pass, the window, and the offsets join);
+    * `.unpersist()` the returned frame's source when looping corpora. */
+  def vocabularyCoverage(df: DataFrame, token: Column, coverage: Double,
+                         partitions: Int = 0): DataFrame = {
+    require(coverage > 0.0 && coverage <= 1.0,
+      s"coverage must be in (0, 1], got $coverage")
+    val p = if (partitions > 0) partitions
+            else df.sparkSession.sparkContext.defaultParallelism
+    val counts = df.select(token.as("token")).where(col("token").isNotNull)
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val probs = array((1 until math.max(p, 2)).map(k =>
+      lit(k.toDouble / math.max(p, 2))): _*)
+    val bounds = counts.agg(
+      percentile_approx(col("cnt"), probs, lit(10000)).as("__bnds"),
+      sum(col("cnt")).as("__tot"))
+    // higher band id = higher count; ties share a band by construction
+    val base = counts.crossJoin(broadcast(bounds))
+      .withColumn("__pid",
+        size(filter(col("__bnds"), b => b <= col("cnt"))).cast(IntegerType))
+      .drop("__bnds")
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(col("cnt").desc, col("token"))
+    val local = base.withColumn("__cum", sum(col("cnt")).over(w))
+    val wPid = Window.orderBy(col("__pid").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__pid"))
+      .agg(sum(col("cnt")).as("__ptot"))
+      .withColumn("__poff", coalesce(sum(col("__ptot")).over(wPid), lit(0L)))
+      .select(col("__pid"), col("__poff"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("cum_cnt", col("__poff") + col("__cum"))
+      .where((col("cum_cnt") - col("cnt")).cast(DoubleType) <
+        lit(coverage) * col("__tot").cast(DoubleType))
+      .select(col("token"), col("cnt"), col("cum_cnt"))
+  }
+
   /** Per-group distinctive terms — the TF-IDF family signal a corpus
     * pipeline uses to characterize a slice (language, source, cluster):
     * for each group, the `topK` tokens by score = tf_group / df_corpus

@@ -696,7 +696,43 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t38: exact heavy hitters WITHOUT a full-vocabulary shuffle — every
+    * token holding more than 1/30th of all token occurrences, with its
+    * exact count, found by the mergeable Misra–Gries sketch + exact-verify
+    * two-pass ([[graft.api.Graft.heavyHitters]]). The sketch pass bounds
+    * state at 240 counters however large the vocabulary; the verify pass
+    * pushes the candidate IN-list into the scan. The oracle is the exact
+    * full groupBy — pinning that sketch-then-verify equals exact. */
+  def t38HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.load(s, dir, "documents")
+      .select(explode(tokens($"text")).as("token"))
+      .where($"token" =!= "")
+    graft.api.Graft.heavyHitters(toks, $"token", k = 30)
+  }
+
+  /** t39: frequency-ranked vocabulary to a coverage target — the smallest
+    * (cnt DESC, token ASC)-prefix of the word-BIGRAM vocabulary covering
+    * half of all bigram occurrences (the tokenizer-vocab construction
+    * step, on the richer 900-ish-entry bigram vocabulary rather than the
+    * corpus's 31 unigrams). Thin binding of
+    * [[graft.api.Graft.vocabularyCoverage]] (bucketed exact prefix sum,
+    * no global sort); the oracle is the global-sort running-sum window. */
+  def t39VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = Tables.load(s, dir, "documents")
+      .select(tokens($"text").as("a"))
+      .where(size($"a") >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(a)-2), i -> concat(a[i], ' ', a[i+1]))"))
+        .as("token"))
+    graft.api.Graft.vocabularyCoverage(big, $"token", coverage = 0.5)
+      .orderBy($"cum_cnt")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t39_vocab_coverage" -> t39VocabCoverage,
+    "t38_heavy_hitters" -> t38HeavyHitters,
     "t36_lang_token_budget" -> t36LangTokenBudget,
     "t35_token_budget" -> t35TokenBudget,
     "t33_leakage_safe_split" -> t33LeakageSafeSplit,
@@ -755,6 +791,29 @@ object TextAnalysis {
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t38_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tt AS (SELECT token FROM t WHERE token <> ''),
+        |c AS (SELECT token, count(*) AS cnt FROM tt GROUP BY token)
+        |SELECT token, cnt FROM c
+        |WHERE cnt * 30 > (SELECT count(*) FROM tt)
+        |ORDER BY cnt DESC, token""".stripMargin,
+    "t39_vocab_coverage" ->
+      """WITH d AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS a FROM documents),
+        |t AS (
+        |  SELECT unnest(list_transform(range(1, len(a)),
+        |    i -> a[i] || ' ' || a[i+1])) AS token FROM d),
+        |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+        |w AS (SELECT token, cnt,
+        |  CAST(sum(cnt) OVER (ORDER BY cnt DESC, token) AS BIGINT) AS cum_cnt
+        |  FROM c)
+        |SELECT token, cnt, cum_cnt FROM w
+        |WHERE CAST(cum_cnt - cnt AS DOUBLE)
+        |    < 0.5 * (SELECT CAST(sum(cnt) AS DOUBLE) FROM c)
+        |ORDER BY cum_cnt""".stripMargin,
     "t36_lang_token_budget" ->
       """WITH t AS (
         |  SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS score,

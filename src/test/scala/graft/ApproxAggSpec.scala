@@ -120,4 +120,57 @@ class ApproxAggSpec extends AnyFunSuite {
     }
     silver.unpersist()
   }
+
+  test("MG sketch: exact below m, superset + undercount bound above") {
+    import graft.functions.MgFrequencySketch.mgSketch
+    import spark.implicits._
+    // vocabulary <= m: no decrement ever fires, so every count is exact
+    val small = (1 to 40).flatMap(i => Seq.fill(i)(s"t$i")).toDF("tok")
+      .repartition(6)
+    val exactRow = small.agg(mgSketch($"tok", 64).as("s"))
+      .select($"s.total", $"s.candidates").head()
+    assert(exactRow.getLong(0) == (1 to 40).sum.toLong)
+    val cands = exactRow.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cands == (1 to 40).map(i => s"t$i" -> i.toLong).toMap)
+
+    // adversarial: m=8 counters against 200 distinct two-count noise
+    // tokens + three genuinely frequent ones; every estimate must obey
+    // est >= true - total/(m+1) and the frequent tokens must all survive
+    val m = 8
+    val toks = (Seq.fill(500)("a") ++ Seq.fill(300)("b") ++ Seq.fill(120)("c") ++
+      (1 to 200).flatMap(i => Seq(s"n$i", s"n$i"))).toDF("tok")
+    for (parts <- Seq(1, 7)) {
+      val row = toks.repartition(parts).agg(mgSketch($"tok", m).as("s"))
+        .select($"s.total", $"s.candidates").head()
+      val total = row.getLong(0)
+      assert(total == 1320L)
+      val est = row.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(est.size <= m)
+      val err = total / (m + 1) // 146
+      val truth = Map("a" -> 500L, "b" -> 300L, "c" -> 120L)
+        .withDefaultValue(2L)
+      for ((t, e) <- est) {
+        assert(e <= truth(t), s"parts=$parts $t overcounted: $e > ${truth(t)}")
+        assert(e >= truth(t) - err, s"parts=$parts $t: $e < ${truth(t)} - $err")
+      }
+      // anything with true count > total/(m+1) is guaranteed present
+      for ((t, c) <- truth if c > err)
+        assert(est.contains(t), s"parts=$parts lost guaranteed hitter $t")
+    }
+  }
+
+  test("MG sketch aggregates partially: bounded state before the exchange") {
+    import graft.functions.MgFrequencySketch.mgSketch
+    import spark.implicits._
+    val df = spark.range(100000)
+      .select(($"id" % 5).as("g"), concat(lit("w"), $"id" % 1000).as("tok"))
+      .groupBy($"g").agg(mgSketch($"tok", 32).as("s"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.split("ObjectHashAggregate").length - 1 >= 2, plan)
+    assert(plan.contains("partial_mg_frequency_sketch") ||
+      plan.toLowerCase.contains("partial"), plan)
+  }
 }

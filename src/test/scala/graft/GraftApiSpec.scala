@@ -1494,4 +1494,50 @@ class GraftApiSpec extends AnyFunSuite {
       (0L, 3L, 1L, 3L, 1.0),
       (1L, 2L, 4L, 5L, 1.0)), out)
   }
+
+  test("heavyHitters is exact, strict-threshold, and partitioning-invariant") {
+    import spark.implicits._
+    // 500 a + 300 b + 120 c + 200 two-count noise tokens = 1320 total.
+    // k=10 -> threshold 132: {a, b} qualify; c (120) does not.
+    val toks =
+      Seq.fill(500)("a") ++ Seq.fill(300)("b") ++ Seq.fill(120)("c") ++
+        (1 to 200).flatMap(i => Seq(s"n$i", s"n$i"))
+    val expected = Seq(("a", 500L), ("b", 300L))
+    for (parts <- Seq(1, 4, 13)) {
+      val df = toks.toDF("tok").repartition(parts, $"tok".substr(0, 2))
+      val got = Graft.heavyHitters(df, $"tok", k = 10)
+        .as[(String, Long)].collect().toSeq
+      assert(got == expected, s"parts=$parts: $got")
+    }
+    // exactly total/k is EXCLUDED (strict >): 10 x + 90 filler, k=10
+    val edge = (Seq.fill(10)("x") ++ (1 to 90).map(i => s"f$i")).toDF("tok")
+    assert(Graft.heavyHitters(edge, $"tok", k = 10).count() == 0)
+    // nulls are excluded from both counts and total
+    val withNulls = toks.map(Option(_)).toDF("tok")
+      .union(Seq.fill(5000)(None: Option[String]).toDF("tok"))
+    assert(Graft.heavyHitters(withNulls, $"tok", k = 10)
+      .as[(String, Long)].collect().toSeq == expected)
+  }
+
+  test("vocabularyCoverage equals the global-sort minimal prefix, ties included") {
+    import spark.implicits._
+    // counts: a=6, b=4, c=4, d=4, e=1, f=1 (total 20). Ties b/c/d break
+    // lexically. coverage 0.5 -> target 10: prefix a(6), b(10) — c starts
+    // at cum 10 which is NOT < 10, so exactly {a, b} survive.
+    val toks = (Seq.fill(6)("a") ++ Seq.fill(4)("b") ++ Seq.fill(4)("c") ++
+      Seq.fill(4)("d") ++ Seq("e", "f")).toDF("tok").repartition(5)
+    val got = Graft.vocabularyCoverage(toks, $"tok", coverage = 0.5)
+      .orderBy($"cum_cnt").as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 6L, 6L), ("b", 4L, 10L)), got)
+    // coverage 1.0 keeps the whole vocabulary with an exact running sum
+    val all = Graft.vocabularyCoverage(toks, $"tok", coverage = 1.0)
+      .orderBy($"cum_cnt").as[(String, Long, Long)].collect().toSeq
+    assert(all == Seq(("a", 6L, 6L), ("b", 4L, 10L), ("c", 4L, 14L),
+      ("d", 4L, 18L), ("e", 1L, 19L), ("f", 1L, 20L)), all)
+    // a sub-single-token coverage still returns the first token (the
+    // minimal prefix reaching a nonzero target is never empty)
+    val tiny = Graft.vocabularyCoverage(toks, $"tok", coverage = 0.01)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(tiny == Seq(("a", 6L, 6L)), tiny)
+  }
 }
