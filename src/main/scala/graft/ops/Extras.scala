@@ -348,6 +348,45 @@ object Extras {
     s.table("graft_ma.db.prices").orderBy($"p_partkey")
   }
 
+  /** q71: the snapshot-log METADATA TABLE — Iceberg's
+    * `SELECT * FROM tbl.history` surface on
+    * [[graft.sources.AtomicParquetCatalog]]: three commits build a known
+    * history, the `.history` metadata table enumerates the retained
+    * snapshots (ordinal 0 = current, the `VERSION AS OF` numbering), and
+    * each ordinal is read back through time travel and counted. The
+    * oracle recomputes the three per-commit counts straight from
+    * `supplier`, so the gate pins the whole introspection loop: commit →
+    * enumerate via metadata table → travel to each enumerated snapshot.
+    * The table is dropped first so the log depth is deterministic across
+    * repeated runs (bench reps would otherwise accrete a 4th retained
+    * snapshot). The per-ordinal collect is bounded by the retention
+    * window (4 rows max). */
+  def q71TableHistory(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_th")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_th.db")
+    s.sql("DROP TABLE IF EXISTS graft_th.db.sup")
+    val supplier = Tables.load(s, dir, "supplier")
+    supplier.where($"s_nationkey" < 10)
+      .writeTo("graft_th.db.sup").using("parquet").createOrReplace()
+    supplier.where($"s_nationkey" < 20)
+      .writeTo("graft_th.db.sup").using("parquet").createOrReplace()
+    supplier
+      .writeTo("graft_th.db.sup").using("parquet").createOrReplace()
+    val hist = s.table("graft_th.db.sup.history")
+      .select($"ordinal", $"is_current").collect()
+      .map(r => (r.getInt(0), r.getBoolean(1))).sortBy(_._1)
+    val rows = hist.map { case (ord, cur) =>
+      val n = s.sql(
+        s"SELECT count(*) FROM graft_th.db.sup VERSION AS OF $ord")
+        .head().getLong(0)
+      (ord, cur, n)
+    }
+    s.createDataFrame(rows.toSeq)
+      .toDF("ordinal", "is_current", "n_rows")
+      .orderBy($"ordinal")
+  }
+
   /** q59: SCD Type-2 build — the events stream read as a change log of
     * each user's state (their event_type), collapsed into versioned
     * validity intervals. Thin binding of
@@ -539,6 +578,7 @@ object Extras {
     "q58_snapshot_diff" -> q58SnapshotDiff,
     "q68_time_travel" -> q68TimeTravel,
     "q69_merge_into" -> q69MergeInto,
+    "q71_table_history" -> q71TableHistory,
     "q70_delete_update" -> q70DeleteUpdate,
     "q54_higher_order" -> q54HigherOrder,
     "q55_map_funcs" -> q55MapFuncs,
@@ -752,6 +792,16 @@ object Extras {
         | cur.new_n - coalesce(old.old_n, 0) AS n_delta
         |FROM cur LEFT JOIN old ON cur.o_orderstatus = old.o_orderstatus
         |ORDER BY cur.o_orderstatus""".stripMargin,
+    "q71_table_history" ->
+      """SELECT 0 AS ordinal, TRUE AS is_current,
+        | (SELECT count(*) FROM supplier) AS n_rows
+        |UNION ALL
+        |SELECT 1, FALSE,
+        | (SELECT count(*) FROM supplier WHERE s_nationkey < 20)
+        |UNION ALL
+        |SELECT 2, FALSE,
+        | (SELECT count(*) FROM supplier WHERE s_nationkey < 10)
+        |ORDER BY ordinal""".stripMargin,
     "q70_delete_update" ->
       """SELECT p_partkey, p_brand,
         | CASE WHEN p_brand LIKE 'Brand#1%' THEN p_size + 1 ELSE p_size END AS p_size,

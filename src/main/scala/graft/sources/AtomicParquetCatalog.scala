@@ -299,10 +299,81 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
 
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
-    val version = currentVersion(dir)
-      .getOrElse(throw new NoSuchTableException(ident))
-    val (schema, parts) = readMeta(version)
-    new PointerTable(this, ident, dir, version, schema, parts)
+    currentVersion(dir) match {
+      case Some(version) =>
+        val (schema, parts) = readMeta(version)
+        new PointerTable(this, ident, dir, version, schema, parts)
+      case None =>
+        metadataTable(ident).getOrElse(throw new NoSuchTableException(ident))
+    }
+  }
+
+  /** Iceberg-style metadata tables: `SELECT * FROM cat.db.tbl.history`
+    * (the snapshot log — ordinal 0 = current, matching `VERSION AS OF`'s
+    * commits-back numbering, commit instant, file count/bytes) and
+    * `cat.db.tbl.files` (the current snapshot's data files with their
+    * partition paths). A multipart identifier whose LAST part is the
+    * metadata name resolves here only when no real table shadows it and
+    * the prefix names a committed table — same resolution rule Iceberg
+    * uses. Both are driver-materialized [[LocalScanTable]]s: the snapshot
+    * log is bounded by the retention window and a file listing of one
+    * version directory, never a data scan. */
+  private def metadataTable(ident: Identifier): Option[Table] = {
+    if (ident.namespace.isEmpty) return None
+    val parent = Identifier.of(ident.namespace.init, ident.namespace.last)
+    val pdir = tableDir(parent)
+    if (!Files.exists(pointer(pdir))) return None
+
+    def dataFiles(v: JPath): Seq[JPath] =
+      Files.walk(v).iterator().asScala.filter(p => Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith("_") &&
+        !p.getFileName.toString.startsWith(".")).toSeq
+
+    def commitMs(v: String): Long =
+      try new String(Files.readAllBytes(
+        pdir.resolve(v).resolve("_committed_at")), "UTF-8").trim.toLong
+      catch {
+        case _: Exception =>
+          try Files.getLastModifiedTime(pdir.resolve(v)).toMillis
+          catch { case _: java.io.IOException => 0L }
+      }
+
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    ident.name.toLowerCase match {
+      case "history" =>
+        val schema = StructType(Seq(
+          StructField("ordinal", IntegerType, nullable = false),
+          StructField("version", StringType, nullable = false),
+          StructField("committed_at", TimestampType, nullable = false),
+          StructField("is_current", BooleanType, nullable = false),
+          StructField("n_data_files", LongType, nullable = false),
+          StructField("size_bytes", LongType, nullable = false)))
+        Some(new LocalScanTable(s"$parent.history", schema, () =>
+          versionLog(pdir).zipWithIndex.map { case (v, i) =>
+            val fs = dataFiles(pdir.resolve(v))
+            org.apache.spark.sql.catalyst.InternalRow(
+              i, UTF8String.fromString(v), commitMs(v) * 1000L, i == 0,
+              fs.size.toLong, fs.map(Files.size).sum)
+          }))
+      case "files" =>
+        val schema = StructType(Seq(
+          StructField("path", StringType, nullable = false),
+          StructField("partition_path", StringType, nullable = false),
+          StructField("size_bytes", LongType, nullable = false)))
+        Some(new LocalScanTable(s"$parent.files", schema, () => {
+          val v = currentVersion(pdir).get
+          dataFiles(v).map { f =>
+            val rel = v.relativize(f)
+            org.apache.spark.sql.catalyst.InternalRow(
+              UTF8String.fromString(rel.toString),
+              UTF8String.fromString(
+                Option(rel.getParent).map(_.toString).getOrElse("")),
+              Files.size(f))
+          }
+        }))
+      case _ => None
+    }
   }
 
   /** Time travel (`SELECT ... FROM t VERSION AS OF k`): `k` counts
@@ -578,6 +649,33 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     deleteRecursively(d)
     true
   }
+}
+
+/** A read-only driver-materialized table: rows are computed at scan-build
+  * time (fresh on every query — a metadata table must reflect the commit
+  * that just happened) and served through Spark's [[org.apache.spark.sql.
+  * connector.read.LocalScan]], which plans as a LocalTableScan. Row
+  * volume is bounded by construction (snapshot log / one directory
+  * listing), so driver materialization is the right shape. */
+private[sources] final class LocalScanTable(
+    tableName: String, tableSchema: StructType,
+    rowsFn: () => Seq[org.apache.spark.sql.catalyst.InternalRow])
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.LocalScan {
+          private val materialized = rowsFn().toArray
+          override def readSchema(): StructType = tableSchema
+          override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+            materialized
+          override def description(): String = tableName
+        }
+    }
 }
 
 /** Shared read/write plumbing of committed and staged tables: reads

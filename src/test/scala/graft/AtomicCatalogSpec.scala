@@ -456,6 +456,51 @@ class AtomicCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_atomic.db.t14")
   }
 
+  test("history/files metadata tables enumerate snapshots and data files") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
+    spark.sql("DROP TABLE IF EXISTS graft_atomic.db.meta1")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "part")
+      .writeTo("graft_atomic.db.meta1").using("parquet")
+      .partitionedBy(col("part")).createOrReplace()
+    // an APPEND is a snapshot too: history must show both commits
+    Seq((3L, "a")).toDF("id", "part")
+      .writeTo("graft_atomic.db.meta1").append()
+    val hist = spark.table("graft_atomic.db.meta1.history")
+      .orderBy($"ordinal")
+      .select($"ordinal", $"is_current", $"n_data_files", $"size_bytes")
+      .collect()
+    assert(hist.length == 2, hist.mkString(","))
+    assert(hist(0).getInt(0) == 0 && hist(0).getBoolean(1))
+    assert(hist(1).getInt(0) == 1 && !hist(1).getBoolean(1))
+    // the fast-append links the old files beside the new ones
+    assert(hist(0).getLong(2) > hist(1).getLong(2))
+    assert(hist.forall(r => r.getLong(3) > 0L))
+    // commit instants are ordered newest-first like the log
+    val ts = spark.table("graft_atomic.db.meta1.history")
+      .orderBy($"ordinal").select($"committed_at").collect()
+      .map(_.getTimestamp(0).getTime)
+    assert(ts(0) >= ts(1), ts.mkString(","))
+    // files: current snapshot's data files under their partition dirs
+    val files = spark.table("graft_atomic.db.meta1.files")
+      .select($"path", $"partition_path", $"size_bytes").collect()
+    assert(files.length == hist(0).getLong(2))
+    assert(files.forall(_.getLong(2) > 0L))
+    assert(files.map(_.getString(1)).toSet.subsetOf(Set("part=a", "part=b")))
+    assert(files.exists(_.getString(1) == "part=a"))
+    // history stays queryable THROUGH SQL aggregation (it is a real table)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_atomic.db.meta1.history").head().getLong(0)
+      == 2L)
+    // an unknown metadata suffix under a real table is still missing
+    intercept[Exception] {
+      spark.table("graft_atomic.db.meta1.nope").collect()
+    }
+    // a metadata table never shadows a REAL table of the same name
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db.meta1x")
+    spark.sql("DROP TABLE IF EXISTS graft_atomic.db.meta1")
+  }
+
   test("medallion silver+gold run through the V2 RTAS path on this catalog") {
     val base = java.nio.file.Files.createTempDirectory("graft_atomic_mdp").toString
     val cfg = graft.medallion.MdpConfig.fromEnv(base).copy(
