@@ -387,6 +387,36 @@ object Extras {
       .orderBy($"ordinal")
   }
 
+  /** q72: the `CALL` maintenance-procedure surface on the atomic catalog —
+    * Iceberg's operator loop driven end to end through SQL: commit a
+    * snapshot, replace it, `rollback_to` the prior snapshot (a NEW
+    * conflict-checked commit, history append-only), `compact` the rolled-
+    * back table to one file, and `expire_snapshots` down to one previous.
+    * The gate then reads the table, its `.files` count, and its
+    * `.history` depth — all deterministic — so the oracle pins that the
+    * rollback restored exactly the first snapshot's rows and the
+    * maintenance calls changed files/history but never content. */
+  def q72CallMaintenance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_th")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_th.db")
+    s.sql("DROP TABLE IF EXISTS graft_th.db.maint")
+    val supplier = Tables.load(s, dir, "supplier")
+    supplier.where($"s_nationkey" < 10)
+      .writeTo("graft_th.db.maint").using("parquet").createOrReplace()
+    supplier
+      .writeTo("graft_th.db.maint").using("parquet").createOrReplace()
+    s.sql("CALL graft_th.system.rollback_to('db.maint', 1)").collect()
+    s.sql("CALL graft_th.system.compact('db.maint', 1)").collect()
+    s.sql("CALL graft_th.system.expire_snapshots('db.maint', 1)").collect()
+    val nRows = s.table("graft_th.db.maint").count()
+    val nFiles = s.sql("SELECT count(*) FROM graft_th.db.maint.files")
+      .head().getLong(0)
+    val nHistory = s.sql("SELECT count(*) FROM graft_th.db.maint.history")
+      .head().getLong(0)
+    Seq((nRows, nFiles, nHistory)).toDF("n_rows", "n_files", "n_history")
+  }
+
   /** q59: SCD Type-2 build — the events stream read as a change log of
     * each user's state (their event_type), collapsed into versioned
     * validity intervals. Thin binding of
@@ -578,6 +608,7 @@ object Extras {
     "q58_snapshot_diff" -> q58SnapshotDiff,
     "q68_time_travel" -> q68TimeTravel,
     "q69_merge_into" -> q69MergeInto,
+    "q72_call_maintenance" -> q72CallMaintenance,
     "q71_table_history" -> q71TableHistory,
     "q70_delete_update" -> q70DeleteUpdate,
     "q54_higher_order" -> q54HigherOrder,
@@ -792,6 +823,9 @@ object Extras {
         | cur.new_n - coalesce(old.old_n, 0) AS n_delta
         |FROM cur LEFT JOIN old ON cur.o_orderstatus = old.o_orderstatus
         |ORDER BY cur.o_orderstatus""".stripMargin,
+    "q72_call_maintenance" ->
+      """SELECT (SELECT count(*) FROM supplier WHERE s_nationkey < 10) AS n_rows,
+        | CAST(1 AS BIGINT) AS n_files, CAST(2 AS BIGINT) AS n_history""".stripMargin,
     "q71_table_history" ->
       """SELECT 0 AS ordinal, TRUE AS is_current,
         | (SELECT count(*) FROM supplier) AS n_rows

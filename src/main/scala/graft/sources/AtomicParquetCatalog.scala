@@ -96,7 +96,7 @@ object AtomicParquetCatalog {
 }
 
 class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
-    with SupportsNamespaces {
+    with SupportsNamespaces with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: JPath = _
@@ -174,7 +174,47 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     * is inherent to lease-style crash recovery; tune lockStaleMs to the
     * deployment's pause ceiling. */
   private def commitPointer(dir: JPath, version: String,
-                            expectedBase: Option[String]): Unit = {
+                            expectedBase: Option[String]): Unit =
+    withCommitLock(dir) {
+      val old = versionLog(dir)
+      if (old.headOption != expectedBase)
+        throw new java.util.ConcurrentModificationException(
+          s"$dir: concurrent update detected — this write staged from " +
+            s"base ${expectedBase.getOrElse("<no table>")} but the table " +
+            s"is now at ${old.headOption.getOrElse("<no table>")}; re-run " +
+            "the write against the current version (nothing was overwritten)")
+      // commit-instant marker for TIMESTAMP AS OF — written under the
+      // lock so marker order always matches log order; tables from older
+      // layouts fall back to the version dir's mtime on read
+      try Files.write(dir.resolve(version).resolve("_committed_at"),
+        String.valueOf(System.currentTimeMillis()).getBytes("UTF-8"))
+      catch {
+        case e: java.io.IOException =>
+          // commit availability wins over marker fidelity, but say so:
+          // TIMESTAMP AS OF will fall back to this version's dir mtime
+          // (its staging time, EARLIER than the commit instant)
+          System.err.println(s"[graft-atomic] WARN: commit-instant marker " +
+            s"for $dir/$version failed (${e.getMessage}); TIMESTAMP AS OF " +
+            "will approximate this snapshot by directory mtime")
+      }
+      swapLog(dir, version +: old)
+    }
+
+  /** Swap the snapshot log to `entries` truncated to the retention
+    * window, then vacuum what fell off — MUST run under the commit
+    * lock. The shared tail of every commit and of the maintenance
+    * procedures that rewrite the log. */
+  private def swapLog(dir: JPath, entries: Seq[String],
+                      keep: Int = historyKeep): Unit = {
+    val kept = entries.take(keep + 1)
+    val tmp = dir.resolve(s"_current.tmp-${UUID.randomUUID()}")
+    Files.write(tmp, kept.mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, pointer(dir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    entries.drop(keep + 1).foreach(v => deleteRecursively(dir.resolve(v)))
+  }
+
+  private def withCommitLock[A](dir: JPath)(body: => A): A = {
     val lock = dir.resolve("_commit.lock")
     val owner = UUID.randomUUID().toString
     def acquire(retriesLeft: Int): Unit = {
@@ -207,36 +247,8 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
       }
     }
     acquire(200) // ~10 s of 50 ms waits before giving up on a live lock
-    try {
-      val old = versionLog(dir)
-      if (old.headOption != expectedBase)
-        throw new java.util.ConcurrentModificationException(
-          s"$dir: concurrent update detected — this write staged from " +
-            s"base ${expectedBase.getOrElse("<no table>")} but the table " +
-            s"is now at ${old.headOption.getOrElse("<no table>")}; re-run " +
-            "the write against the current version (nothing was overwritten)")
-      // commit-instant marker for TIMESTAMP AS OF — written under the
-      // lock so marker order always matches log order; tables from older
-      // layouts fall back to the version dir's mtime on read
-      try Files.write(dir.resolve(version).resolve("_committed_at"),
-        String.valueOf(System.currentTimeMillis()).getBytes("UTF-8"))
-      catch {
-        case e: java.io.IOException =>
-          // commit availability wins over marker fidelity, but say so:
-          // TIMESTAMP AS OF will fall back to this version's dir mtime
-          // (its staging time, EARLIER than the commit instant)
-          System.err.println(s"[graft-atomic] WARN: commit-instant marker " +
-            s"for $dir/$version failed (${e.getMessage}); TIMESTAMP AS OF " +
-            "will approximate this snapshot by directory mtime")
-      }
-      val kept = (version +: old).take(historyKeep + 1)
-      val tmp = dir.resolve(s"_current.tmp-${UUID.randomUUID()}")
-      Files.write(tmp, kept.mkString("\n").getBytes("UTF-8"))
-      Files.move(tmp, pointer(dir), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
-      (version +: old).drop(historyKeep + 1)
-        .foreach(v => deleteRecursively(dir.resolve(v)))
-    } finally {
+    try body
+    finally {
       // delete only OUR lock: if a breaker removed it and another writer
       // acquired, the token no longer matches and we must not cascade
       try {
@@ -648,6 +660,153 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
       throw new IllegalStateException(s"namespace ${namespace.mkString(".")} not empty")
     deleteRecursively(d)
     true
+  }
+
+  // ---- ProcedureCatalog: `CALL cat.system.<proc>(...)` maintenance ----
+  // The Iceberg-procedure surface a lakehouse operator reaches for:
+  // expire_snapshots (shrink the retention window NOW), rollback_to
+  // (make a prior snapshot current again, as a NEW conflict-checked
+  // commit — history is never rewritten), compact (rewrite the current
+  // snapshot's files into `target_files` without changing its rows).
+  // Every mutation goes through the same commit lock + snapshot-log swap
+  // as a write; each returns a one-row summary result set.
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Resolve a procedure's `table` argument ("db.tbl" relative to this
+    * catalog) to its directory, requiring it to exist. */
+  private def procTableDir(table: String): JPath = {
+    val parts = table.split("\\.").toSeq.filter(_.nonEmpty)
+    require(parts.nonEmpty, s"empty table name")
+    val ident = Identifier.of(parts.init.toArray, parts.last)
+    val dir = tableDir(ident)
+    if (!Files.exists(pointer(dir))) throw new NoSuchTableException(ident)
+    dir
+  }
+
+  private def summaryScan(schema: StructType, row: InternalRow) =
+    java.util.Collections.singletonList(
+      new LocalScanTable("summary", schema, () => Seq(row))
+        .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+    ).iterator()
+
+  private abstract class GraftProcedure(procName: String,
+      params: Seq[ProcedureParameter]) extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      Array("expire_snapshots", "rollback_to", "compact")
+        .map(Identifier.of(Array("system"), _))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"unknown procedure namespace ${ident.namespace.mkString(".")}; " +
+        "procedures live under `system`")
+    ident.name.toLowerCase match {
+      case "expire_snapshots" =>
+        // CALL cat.system.expire_snapshots('db.tbl', keep) — truncate the
+        // snapshot log to the current version + `keep` previous ones and
+        // vacuum the expired directories, immediately (the per-commit
+        // retention window does this lazily at commit time).
+        new GraftProcedure("expire_snapshots", Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("keep", IntegerType).build())) {
+          override def call(input: InternalRow): java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val dir = procTableDir(input.getUTF8String(0).toString)
+            val keep = input.getInt(1)
+            require(keep >= 0, s"keep must be >= 0, got $keep")
+            val (expired, kept) = withCommitLock(dir) {
+              val log = versionLog(dir)
+              swapLog(dir, log, keep = keep)
+              (math.max(0, log.size - keep - 1), math.min(log.size, keep + 1))
+            }
+            summaryScan(StructType(Seq(
+              StructField("expired_snapshots", IntegerType, nullable = false),
+              StructField("kept_snapshots", IntegerType, nullable = false))),
+              InternalRow(expired, kept))
+          }
+        }
+      case "rollback_to" =>
+        // CALL cat.system.rollback_to('db.tbl', ordinal) — make the
+        // snapshot `ordinal` commits back current again by committing a
+        // NEW version whose files hard-link the target's (history is
+        // append-only: the bad head stays time-travelable at ordinal+1,
+        // and the rollback CASes on the head like any commit).
+        new GraftProcedure("rollback_to", Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("ordinal", IntegerType).build())) {
+          override def call(input: InternalRow): java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val dir = procTableDir(input.getUTF8String(0).toString)
+            val ordinal = input.getInt(1)
+            val log = versionLog(dir)
+            require(ordinal >= 1 && ordinal < log.size,
+              s"ordinal must be 1..${log.size - 1} (commits back from " +
+                s"current), got $ordinal")
+            val target = dir.resolve(log(ordinal))
+            val (schema, parts) = readMeta(target)
+            val v = s"v-${UUID.randomUUID()}"
+            writeMeta(dir.resolve(v), schema, parts)
+            linkDataFiles(target, dir.resolve(v))
+            commitPointer(dir, v, expectedBase = log.headOption)
+            summaryScan(StructType(Seq(
+              StructField("rolled_back_from", StringType, nullable = false),
+              StructField("restored_snapshot", StringType, nullable = false),
+              StructField("new_version", StringType, nullable = false))),
+              InternalRow(UTF8String.fromString(log.head),
+                UTF8String.fromString(log(ordinal)), UTF8String.fromString(v)))
+          }
+        }
+      case "compact" =>
+        // CALL cat.system.compact('db.tbl', target_files) — rewrite the
+        // current snapshot into `target_files` files per partition as a
+        // new conflict-checked snapshot; rows and schema are unchanged
+        // (the small-files problem, solved through the same commit path
+        // as every other write so a racing writer conflicts cleanly).
+        new GraftProcedure("compact", Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("target_files", IntegerType).build())) {
+          override def call(input: InternalRow): java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val tbl = input.getUTF8String(0).toString
+            val target = input.getInt(1)
+            require(target >= 1, s"target_files must be >= 1, got $target")
+            val dir = procTableDir(tbl)
+            val base = versionLog(dir).head
+            val cur = dir.resolve(base)
+            val (schema, parts) = readMeta(cur)
+            val df = spark.read.schema(schema).parquet(cur.toString)
+              .repartition(target)
+            val v = s"v-${UUID.randomUUID()}"
+            val nv = dir.resolve(v)
+            writeMeta(nv, schema, parts)
+            df.write.mode("append").partitionBy(parts: _*).parquet(nv.toString)
+            commitPointer(dir, v, expectedBase = Some(base))
+            def nFiles(p: JPath): Long =
+              Files.walk(p).iterator().asScala.count(f =>
+                Files.isRegularFile(f) &&
+                  !f.getFileName.toString.startsWith("_") &&
+                  !f.getFileName.toString.startsWith("."))
+            summaryScan(StructType(Seq(
+              StructField("files_before", LongType, nullable = false),
+              StructField("files_after", LongType, nullable = false),
+              StructField("new_version", StringType, nullable = false))),
+              InternalRow(nFiles(cur), nFiles(nv), UTF8String.fromString(v)))
+          }
+        }
+      case other =>
+        throw new RuntimeException(
+          s"unknown procedure system.$other — available: " +
+            "expire_snapshots(table, keep), rollback_to(table, ordinal), " +
+            "compact(table, target_files)")
+    }
   }
 }
 

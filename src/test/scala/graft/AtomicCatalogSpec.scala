@@ -501,6 +501,55 @@ class AtomicCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS graft_atomic.db.meta1")
   }
 
+  test("CALL procedures: expire_snapshots, rollback_to, compact") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
+    spark.sql("DROP TABLE IF EXISTS graft_atomic.db.proc1")
+    def write(n: Int): Unit =
+      (1 to n).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+        .repartition(4)
+        .writeTo("graft_atomic.db.proc1").using("parquet").createOrReplace()
+    write(10); write(20); write(30)
+    def history(): Long = spark.sql(
+      "SELECT count(*) FROM graft_atomic.db.proc1.history").head().getLong(0)
+    assert(history() == 3L)
+
+    // rollback_to: the 20-row snapshot becomes current again as a NEW
+    // commit; the 30-row head stays travelable one commit back
+    val rb = spark.sql(
+      "CALL graft_atomic.system.rollback_to('db.proc1', 1)").collect()
+    assert(rb.length == 1 && rb(0).schema.fieldNames.contains("new_version"))
+    assert(spark.table("graft_atomic.db.proc1").count() == 20L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_atomic.db.proc1 VERSION AS OF 1")
+      .head().getLong(0) == 30L)
+    assert(history() == 4L)
+
+    // compact: same 20 rows, exactly 1 data file, one more snapshot
+    val cp = spark.sql(
+      "CALL graft_atomic.system.compact('db.proc1', 1)").collect()
+    assert(cp(0).getAs[Long]("files_after") == 1L, cp.mkString)
+    assert(spark.table("graft_atomic.db.proc1").count() == 20L)
+    assert(spark.table("graft_atomic.db.proc1").orderBy($"id")
+      .as[(Long, String)].collect().toSeq ==
+      (1 to 20).map(i => (i.toLong, s"r$i")))
+    assert(spark.sql("SELECT count(*) FROM graft_atomic.db.proc1.files")
+      .head().getLong(0) == 1L)
+
+    // expire_snapshots keep=0: only the current snapshot survives and
+    // the expired ordinal no longer resolves
+    val ex = spark.sql(
+      "CALL graft_atomic.system.expire_snapshots('db.proc1', 0)").collect()
+    assert(ex(0).getAs[Int]("kept_snapshots") == 1, ex.mkString)
+    assert(history() == 1L)
+    intercept[Exception] {
+      spark.sql("SELECT count(*) FROM graft_atomic.db.proc1 VERSION AS OF 1")
+        .collect()
+    }
+    assert(spark.table("graft_atomic.db.proc1").count() == 20L)
+    spark.sql("DROP TABLE IF EXISTS graft_atomic.db.proc1")
+  }
+
   test("medallion silver+gold run through the V2 RTAS path on this catalog") {
     val base = java.nio.file.Files.createTempDirectory("graft_atomic_mdp").toString
     val cfg = graft.medallion.MdpConfig.fromEnv(base).copy(
