@@ -93,6 +93,44 @@ object AtomicParquetCatalog {
       s.conf.set(s"spark.sql.catalog.$name.warehouse",
         Files.createTempDirectory(s"graft_${name}_wh").toString)
     }
+
+  /** Write-audit-publish (Iceberg's WAP workflow): stage `df` as a
+    * NOT-YET-VISIBLE replacement snapshot of `table`
+    * (`catalog.db.tbl`), run `audit` against a reader of the staged
+    * data, and only on audit success swap the pointer — with the same
+    * optimistic CAS as any commit, so a writer that raced in conflicts
+    * instead of being clobbered. A failing audit (or write) aborts the
+    * staging directory and the committed table is NEVER touched; readers
+    * at no point see unaudited rows. This is the quality-gated publish a
+    * production pipeline puts in front of every curated-table swap —
+    * e.g. `audit = require(df.count() > floor)` or an oracle/row-count
+    * validation — expressed through the catalog's own staging machinery
+    * rather than a side table + rename. */
+  def writeAudited(s: SparkSession, table: String, df: DataFrame,
+                   partitionedBy: Seq[String] = Nil)
+                  (audit: DataFrame => Unit): Unit = {
+    val parts = table.split("\\.").toSeq.filter(_.nonEmpty)
+    require(parts.length >= 3,
+      s"table must be catalog.namespace.table, got '$table'")
+    val plugin = s.sessionState.catalogManager.catalog(parts.head) match {
+      case c: AtomicParquetCatalog => c
+      case other => throw new IllegalArgumentException(
+        s"catalog ${parts.head} is ${other.getClass.getName}, not an " +
+          "AtomicParquetCatalog")
+    }
+    val ident = Identifier.of(parts.tail.init.toArray, parts.last)
+    val staged = plugin.stageCreateOrReplace(ident, df.schema,
+      partitionedBy.map(Expressions.identity).toArray,
+      java.util.Collections.emptyMap[String, String]())
+      .asInstanceOf[StagedPointerTable]
+    try {
+      staged.writeStaged(df)
+      audit(s.read.schema(df.schema).parquet(staged.stagingDir.toString))
+      staged.commitStagedChanges()
+    } catch {
+      case e: Throwable => staged.abortStagedChanges(); throw e
+    }
+  }
 }
 
 class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
@@ -203,15 +241,41 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
   /** Swap the snapshot log to `entries` truncated to the retention
     * window, then vacuum what fell off — MUST run under the commit
     * lock. The shared tail of every commit and of the maintenance
-    * procedures that rewrite the log. */
+    * procedures that rewrite the log. TAGGED versions (see `_refs`) are
+    * retention-exempt, Iceberg's ref semantics: they stay in the log's
+    * tail (still ordinal-addressable, still listed by `.history`) and
+    * are never vacuumed while the tag lives; dropping the tag leaves
+    * them to the NEXT log swap's sweep. */
   private def swapLog(dir: JPath, entries: Seq[String],
                       keep: Int = historyKeep): Unit = {
-    val kept = entries.take(keep + 1)
+    val tagged = readRefs(dir).values.toSet
+    val (window, tail) = entries.splitAt(keep + 1)
+    val kept = window ++ tail.filter(tagged)
     val tmp = dir.resolve(s"_current.tmp-${UUID.randomUUID()}")
     Files.write(tmp, kept.mkString("\n").getBytes("UTF-8"))
     Files.move(tmp, pointer(dir), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    entries.drop(keep + 1).foreach(v => deleteRecursively(dir.resolve(v)))
+    tail.filterNot(tagged).foreach(v => deleteRecursively(dir.resolve(v)))
+  }
+
+  /** Named snapshot refs (tags): `_refs` holds `name<TAB>version` lines,
+    * swapped atomically like the pointer; tag writes happen under the
+    * commit lock. Tag names resolve in `VERSION AS OF '<name>'` and
+    * shield their version from retention vacuum. */
+  private[graft] def readRefs(dir: JPath): Map[String, String] = {
+    val p = dir.resolve("_refs")
+    if (!Files.exists(p)) Map.empty
+    else new String(Files.readAllBytes(p), "UTF-8").split("\n").toSeq
+      .map(_.trim).filter(_.nonEmpty)
+      .map { l => val Array(n, v) = l.split("\t", 2); n -> v }.toMap
+  }
+
+  private def writeRefs(dir: JPath, refs: Map[String, String]): Unit = {
+    val tmp = dir.resolve(s"_refs.tmp-${UUID.randomUUID()}")
+    Files.write(tmp, refs.toSeq.sorted.map { case (n, v) => s"$n\t$v" }
+      .mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, dir.resolve("_refs"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
   private def withCommitLock[A](dir: JPath)(body: => A): A = {
@@ -368,6 +432,20 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
               i, UTF8String.fromString(v), commitMs(v) * 1000L, i == 0,
               fs.size.toLong, fs.map(Files.size).sum)
           }))
+      case "refs" =>
+        val schema = StructType(Seq(
+          StructField("tag", StringType, nullable = false),
+          StructField("version", StringType, nullable = false),
+          StructField("ordinal", IntegerType, nullable = true)))
+        Some(new LocalScanTable(s"$parent.refs", schema, () => {
+          val log = versionLog(pdir)
+          readRefs(pdir).toSeq.sortBy(_._1).map { case (n, v) =>
+            val ord = log.indexOf(v)
+            org.apache.spark.sql.catalyst.InternalRow(
+              UTF8String.fromString(n), UTF8String.fromString(v),
+              if (ord < 0) null else ord)
+          }
+        }))
       case "files" =>
         val schema = StructType(Seq(
           StructField("path", StringType, nullable = false),
@@ -400,14 +478,20 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     val log = versionLog(dir)
     if (log.isEmpty) throw new NoSuchTableException(ident)
     val v = version.trim
+    // tags resolve first (their names are barred from the v-/digit forms
+    // at creation, so the spaces cannot collide); a tagged version is
+    // retention-exempt and therefore always still in the log
+    val refs = readRefs(dir)
     val resolved =
-      if (v.startsWith("v-")) log.find(_ == v)
+      if (refs.contains(v)) refs.get(v).filter(log.contains)
+      else if (v.startsWith("v-")) log.find(_ == v)
       else scala.util.Try(v.toInt).toOption.filter(_ >= 0).flatMap(log.lift)
     val versionDir = resolved.map(dir.resolve).getOrElse(
       throw new IllegalArgumentException(
         s"$ident has no snapshot '$version' in its retention window " +
-          s"(${log.size} snapshots kept: ${log.mkString(", ")}); pass " +
-          "0..n commits back or an exact v-<uuid> from the log"))
+          s"(${log.size} snapshots kept: ${log.mkString(", ")}; tags: " +
+          s"${refs.keys.toSeq.sorted.mkString(", ")}); pass 0..n commits " +
+          "back, an exact v-<uuid> from the log, or a tag name"))
     val (schema, parts) = readMeta(versionDir)
     // a historical read serves the pinned immutable directory; writes
     // through it would silently rewrite history, so they are refused
@@ -703,7 +787,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array("expire_snapshots", "rollback_to", "compact")
+      Array("expire_snapshots", "rollback_to", "compact", "tag", "drop_tag")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -801,11 +885,72 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
               InternalRow(nFiles(cur), nFiles(nv), UTF8String.fromString(v)))
           }
         }
+      case "tag" =>
+        // CALL cat.system.tag('db.tbl', 'name', ordinal) — pin the
+        // snapshot `ordinal` commits back under a stable name: it
+        // resolves via `VERSION AS OF '<name>'` and is exempt from
+        // retention vacuum until the tag is dropped (Iceberg's tag
+        // refs). Names must not look like ordinals or v-<uuid> dirs.
+        new GraftProcedure("tag", Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build(),
+          ProcedureParameter.in("ordinal", IntegerType).build())) {
+          override def call(input: InternalRow): java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val dir = procTableDir(input.getUTF8String(0).toString)
+            val tagName = input.getUTF8String(1).toString
+            val ordinal = input.getInt(2)
+            require(tagName.nonEmpty && !tagName.startsWith("v-") &&
+              !tagName.forall(_.isDigit),
+              s"tag name '$tagName' must be non-empty and must not look " +
+                "like an ordinal or a v-<uuid> version")
+            val version = withCommitLock(dir) {
+              val log = versionLog(dir)
+              require(ordinal >= 0 && ordinal < log.size,
+                s"ordinal must be 0..${log.size - 1}, got $ordinal")
+              val refs = readRefs(dir)
+              require(!refs.contains(tagName),
+                s"tag '$tagName' already exists (-> ${refs(tagName)}); " +
+                  "drop_tag it first")
+              writeRefs(dir, refs + (tagName -> log(ordinal)))
+              log(ordinal)
+            }
+            summaryScan(StructType(Seq(
+              StructField("tag", StringType, nullable = false),
+              StructField("version", StringType, nullable = false))),
+              InternalRow(UTF8String.fromString(tagName),
+                UTF8String.fromString(version)))
+          }
+        }
+      case "drop_tag" =>
+        // CALL cat.system.drop_tag('db.tbl', 'name') — remove the ref;
+        // if its version has already fallen outside the retention
+        // window, the NEXT commit's log swap vacuums it.
+        new GraftProcedure("drop_tag", Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build())) {
+          override def call(input: InternalRow): java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val dir = procTableDir(input.getUTF8String(0).toString)
+            val tagName = input.getUTF8String(1).toString
+            val version = withCommitLock(dir) {
+              val refs = readRefs(dir)
+              require(refs.contains(tagName), s"no such tag '$tagName' " +
+                s"(tags: ${refs.keys.toSeq.sorted.mkString(", ")})")
+              writeRefs(dir, refs - tagName)
+              refs(tagName)
+            }
+            summaryScan(StructType(Seq(
+              StructField("dropped_tag", StringType, nullable = false),
+              StructField("was_version", StringType, nullable = false))),
+              InternalRow(UTF8String.fromString(tagName),
+                UTF8String.fromString(version)))
+          }
+        }
       case other =>
         throw new RuntimeException(
           s"unknown procedure system.$other — available: " +
             "expire_snapshots(table, keep), rollback_to(table, ordinal), " +
-            "compact(table, target_files)")
+            "compact(table, target_files), tag(table, name, ordinal), " +
+            "drop_tag(table, name)")
     }
   }
 }
@@ -1057,6 +1202,14 @@ private[sources] final class StagedPointerTable(
     base: Option[String])
     extends VersionedTable(ident, dir.resolve(version), tableSchema, parts)
     with StagedTable {
+
+  /** The not-yet-visible staging directory (WAP audits read it). */
+  private[sources] def stagingDir: JPath = dir.resolve(version)
+
+  /** Land `df` in the staging directory directly — the WAP write path
+    * (the SQL path arrives through newWriteBuilder instead). */
+  private[sources] def writeStaged(df: DataFrame): Unit =
+    writeInto(stagingDir, df, "append")
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {

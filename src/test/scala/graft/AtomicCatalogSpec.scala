@@ -550,6 +550,95 @@ class AtomicCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS graft_atomic.db.proc1")
   }
 
+  test("tags: VERSION AS OF <name>, retention exemption, refs metadata") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
+    spark.sql("DROP TABLE IF EXISTS graft_atomic.db.tags1")
+    def write(n: Int): Unit =
+      (1 to n).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+        .writeTo("graft_atomic.db.tags1").using("parquet").createOrReplace()
+    write(10); write(20); write(30)
+    // tag the 10-row snapshot (2 commits back)
+    spark.sql("CALL graft_atomic.system.tag('db.tags1', 'baseline', 2)")
+      .collect()
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_atomic.db.tags1 VERSION AS OF 'baseline'")
+      .head().getLong(0) == 10L)
+    // names that collide with the ordinal / v-dir spaces are refused
+    intercept[Exception] {
+      spark.sql("CALL graft_atomic.system.tag('db.tags1', '2', 0)").collect()
+    }
+    intercept[Exception] {
+      spark.sql("CALL graft_atomic.system.tag('db.tags1', 'v-x', 0)").collect()
+    }
+    // duplicate tag names are refused
+    intercept[Exception] {
+      spark.sql("CALL graft_atomic.system.tag('db.tags1', 'baseline', 0)")
+        .collect()
+    }
+    // push the tagged snapshot far outside the retention window (keep=3):
+    // untagged peers vacuum, the tagged version survives and still reads
+    write(40); write(50); write(60); write(70); write(80)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_atomic.db.tags1 VERSION AS OF 'baseline'")
+      .head().getLong(0) == 10L)
+    // the log keeps window + tagged tail: 4 + 1
+    assert(spark.sql("SELECT count(*) FROM graft_atomic.db.tags1.history")
+      .head().getLong(0) == 5L)
+    // refs metadata table reports the tag with its current ordinal (the
+    // tagged entry rides at the log tail = ordinal 4)
+    val refs = spark.table("graft_atomic.db.tags1.refs").collect()
+    assert(refs.length == 1 && refs(0).getString(0) == "baseline")
+    assert(refs(0).getInt(2) == 4, refs.mkString)
+    // drop_tag: the ref disappears; the NEXT commit sweeps the version
+    spark.sql("CALL graft_atomic.system.drop_tag('db.tags1', 'baseline')")
+      .collect()
+    assert(spark.table("graft_atomic.db.tags1.refs").count() == 0L)
+    write(90)
+    intercept[Exception] {
+      spark.sql(
+        "SELECT count(*) FROM graft_atomic.db.tags1 VERSION AS OF 'baseline'")
+        .collect()
+    }
+    assert(spark.sql("SELECT count(*) FROM graft_atomic.db.tags1.history")
+      .head().getLong(0) == 4L)
+    spark.sql("DROP TABLE IF EXISTS graft_atomic.db.tags1")
+  }
+
+  test("write-audit-publish: a failing audit never touches the table") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
+    spark.sql("DROP TABLE IF EXISTS graft_atomic.db.wap1")
+    Seq((1L, "good"), (2L, "good")).toDF("id", "v")
+      .writeTo("graft_atomic.db.wap1").using("parquet").createOrReplace()
+    // audit REJECTS: the replacement snapshot must never become visible
+    val bad = Seq((9L, "bad")).toDF("id", "v")
+    val boom = intercept[IllegalStateException] {
+      graft.sources.AtomicParquetCatalog.writeAudited(
+        spark, "graft_atomic.db.wap1", bad) { staged =>
+        if (staged.count() < 2)
+          throw new IllegalStateException("row-count floor violated")
+      }
+    }
+    assert(boom.getMessage.contains("row-count floor"))
+    assert(spark.table("graft_atomic.db.wap1").count() == 2L)
+    assert(spark.sql("SELECT count(*) FROM graft_atomic.db.wap1.history")
+      .head().getLong(0) == 1L) // the aborted staging never entered the log
+    // audit PASSES: the swap is atomic and the audit really read the
+    // STAGED rows (it observed the new count before publish)
+    var audited = -1L
+    graft.sources.AtomicParquetCatalog.writeAudited(
+      spark, "graft_atomic.db.wap1",
+      Seq((1L, "n"), (2L, "n"), (3L, "n")).toDF("id", "v")) { staged =>
+      audited = staged.count()
+    }
+    assert(audited == 3L)
+    assert(spark.table("graft_atomic.db.wap1").count() == 3L)
+    assert(spark.sql("SELECT count(*) FROM graft_atomic.db.wap1.history")
+      .head().getLong(0) == 2L)
+    spark.sql("DROP TABLE IF EXISTS graft_atomic.db.wap1")
+  }
+
   test("medallion silver+gold run through the V2 RTAS path on this catalog") {
     val base = java.nio.file.Files.createTempDirectory("graft_atomic_mdp").toString
     val cfg = graft.medallion.MdpConfig.fromEnv(base).copy(
