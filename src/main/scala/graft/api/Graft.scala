@@ -2673,6 +2673,64 @@ object Graft {
         (col("__sq").cast(DoubleType) / 1e12 / col("n_bigrams")).as("fluency"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring — [[bigramFluency]]'s
+    * maximum-likelihood estimate upgraded to the smoothing real LM-based
+    * quality filters use (the CCNet/KenLM shape): unseen-in-context
+    * continuations get probability mass proportional to how PROMISCUOUS
+    * the word is across contexts (its distinct-context count), not its
+    * raw frequency, and each seen bigram is discounted by `discount` to
+    * fund that back-off. Per document: the mean interpolated probability
+    * of its bigrams,
+    *   P(w|p) = (max(c(p,w) - d, 0) + d * T(p) * (ctx(w) / B)) / c(p)
+    * with T(p) = distinct continuations of p, ctx(w) = distinct contexts
+    * of w, B = distinct bigram types. Output: (id, n_bigrams, kn_score);
+    * documents with no bigram score NULL. The mean stays in PROBABILITY
+    * space (like t25) — log/exp would hang cross-engine equality on
+    * transcendental rounding — and each probability is quantized to an
+    * integer at 1e-12 before the per-document sum, so the aggregation is
+    * exact long addition, order-independent on any engine or
+    * partitioning.
+    *
+    * Scale shape: word-count aggregates off one bigram explode (map-side
+    * combined, vocabulary-bounded), equi-joins keyed on the bigram
+    * tokens, a one-row broadcast for the type total, and a per-document
+    * rollup — nothing all-pairs, nothing single-task. */
+  def knBigramScore(df: DataFrame, id: Column, text: Column,
+                    discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1), got $discount")
+    val toks = filter(split(trim(lower(text)), "\\s+"), t => t =!= lit(""))
+    val base = df.select(id.as("id"), toks.as("__t"))
+    val idxs = filter(sequence(lit(1), size(col("__t"))), i => i >= 2)
+    val bi = base.select(col("id"), explode(transform(idxs,
+        i => struct(element_at(col("__t"), i - 1).as("p"),
+          element_at(col("__t"), i).as("w")))).as("b"))
+      .select(col("id"), col("b.p").as("p"), col("b.w").as("w"))
+    val c2 = bi.groupBy(col("p"), col("w")).agg(count(lit(1)).as("__c2"))
+    val byP = c2.groupBy(col("p")).agg(sum(col("__c2")).as("__c1"),
+      count(lit(1)).as("__T"))
+    val byW = c2.groupBy(col("w")).agg(count(lit(1)).as("__ctx"))
+    val bTot = c2.agg(count(lit(1)).as("__B"))
+    // the exact expression shape is part of the cross-engine contract:
+    // discount and 1e12 are exactly-representable doubles, every term is
+    // an IEEE op on integer-valued doubles, and the oracle mirrors the
+    // parenthesization operation for operation
+    val pkn = (greatest(col("__c2").cast(DoubleType) - lit(discount),
+        lit(0.0)) +
+      lit(discount) * col("__T").cast(DoubleType) *
+        (col("__ctx").cast(DoubleType) / col("__B").cast(DoubleType))) /
+      col("__c1").cast(DoubleType)
+    val scored = bi.join(c2, Seq("p", "w")).join(byP, Seq("p"))
+      .join(byW, Seq("w")).crossJoin(broadcast(bTot))
+      .withColumn("__q", round(pkn * 1e12).cast(LongType))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__q")).as("__sq"))
+    df.select(id.as("id")).join(scored, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (col("__sq").cast(DoubleType) / 1e12 / col("n_bigrams"))
+          .as("kn_score"))
+  }
+
   /** Vocabulary-coverage / out-of-vocabulary statistics per document:
     * (id, n_tokens, n_oov, oov_rate) — the tokenizer-fit signal a corpus
     * pipeline computes before committing to a vocabulary (high OOV =

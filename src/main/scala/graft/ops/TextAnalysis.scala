@@ -730,7 +730,23 @@ object TextAnalysis {
       .orderBy($"cum_cnt")
   }
 
+  /** t40: interpolated Kneser–Ney bigram scoring — t25's ML bigram
+    * fluency upgraded to the discount/back-off smoothing a real LM-based
+    * quality filter uses (unseen continuations funded by distinct-context
+    * mass, not raw frequency). Thin binding of
+    * [[graft.api.Graft.knBigramScore]]; the oracle mirrors the exact
+    * IEEE expression shape, probability-space + 1e-12 quantization
+    * (t25's determinism discipline). */
+  def t40KnFluency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.api.Graft.knBigramScore(
+        Tables.load(s, dir, "documents"), $"doc_id", $"text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t40_kn_fluency" -> t40KnFluency,
     "t39_vocab_coverage" -> t39VocabCoverage,
     "t38_heavy_hitters" -> t38HeavyHitters,
     "t36_lang_token_budget" -> t36LangTokenBudget,
@@ -791,6 +807,32 @@ object TextAnalysis {
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t40_kn_fluency" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)),
+        |    '\s+'), x -> x <> '') AS t FROM documents),
+        |bi AS (
+        |  SELECT doc_id, t[i-1] AS p, t[i] AS w
+        |  FROM (SELECT doc_id, t, unnest(range(2, len(t)+1)) AS i FROM d)),
+        |c2 AS (SELECT p, w, count(*) AS c2 FROM bi GROUP BY p, w),
+        |byp AS (SELECT p, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS tt
+        |        FROM c2 GROUP BY p),
+        |byw AS (SELECT w, count(*) AS ctx FROM c2 GROUP BY w),
+        |btot AS (SELECT count(*) AS b FROM c2),
+        |q AS (
+        |  SELECT bi.doc_id,
+        |   CAST(round(((greatest(CAST(c2.c2 AS DOUBLE) - 0.75, 0.0)
+        |     + 0.75 * CAST(byp.tt AS DOUBLE)
+        |       * (CAST(byw.ctx AS DOUBLE) / CAST(btot.b AS DOUBLE)))
+        |     / CAST(byp.c1 AS DOUBLE)) * 1e12) AS BIGINT) AS q
+        |  FROM bi JOIN c2 USING (p, w) JOIN byp USING (p)
+        |  JOIN byw USING (w) CROSS JOIN btot),
+        |s AS (SELECT doc_id, count(*) AS n_bigrams, sum(q) AS sq
+        |      FROM q GROUP BY doc_id)
+        |SELECT d2.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        | CAST(s.sq AS DOUBLE) / 1e12 / s.n_bigrams AS kn_score
+        |FROM documents d2 LEFT JOIN s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "t38_heavy_hitters" ->
       """WITH t AS (
         |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token

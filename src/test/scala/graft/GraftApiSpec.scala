@@ -1495,6 +1495,33 @@ class GraftApiSpec extends AnyFunSuite {
       (1L, 2L, 4L, 5L, 1.0)), out)
   }
 
+  test("knBigramScore applies discount and continuation back-off exactly") {
+    import spark.implicits._
+    // corpus: "a b a b" + "a c" -> c2: (a,b)=2 (b,a)=1 (a,c)=1;
+    // contexts: c1(a)=3 T(a)=2, c1(b)=1 T(b)=1; ctx(.)=1 each; B=3
+    val rows = Seq((1L, "a b a b"), (2L, "a c"), (3L, "x"))
+      .toDF("did", "txt")
+    val out = Graft.knBigramScore(rows, $"did", $"txt")
+      .orderBy($"id").collect()
+    // replicate the exact IEEE op order: (max(c2-d,0) + d*T*(ctx/B)) / c1
+    def p(c2: Double, t: Double, ctx: Double, b: Double, c1: Double) =
+      (math.max(c2 - 0.75, 0.0) + 0.75 * t * (ctx / b)) / c1
+    val pba = math.round(p(2, 2, 1, 3, 3) * 1e12) // P(b|a), twice in doc 1
+    val pab = math.round(p(1, 1, 1, 3, 1) * 1e12) // P(a|b)
+    val pca = math.round(p(1, 2, 1, 3, 3) * 1e12) // P(c|a)
+    assert(out(0).getLong(1) == 3L &&
+      out(0).getDouble(2) == (2 * pba + pab).toDouble / 1e12 / 3)
+    assert(out(1).getLong(1) == 1L &&
+      out(1).getDouble(2) == pca.toDouble / 1e12 / 1)
+    // a one-token document has no bigram: count 0, NULL score
+    assert(out(2).getLong(1) == 0L && out(2).isNullAt(2))
+    // discounted mass really moved: the smoothed P(b|a) is BELOW the ML
+    // estimate 2/3 and the unseen-in-context back-off keeps every seen
+    // bigram strictly positive
+    assert(out(0).getDouble(2) < 2.0 / 3)
+    assert(out(1).getDouble(2) > 0.0)
+  }
+
   test("heavyHitters is exact, strict-threshold, and partitioning-invariant") {
     import spark.implicits._
     // 500 a + 300 b + 120 c + 200 two-count noise tokens = 1320 total.
