@@ -2731,6 +2731,64 @@ object Graft {
           .as("kn_score"))
   }
 
+  /** Importance weighting for targeted data selection (the DSIR shape,
+    * Xie et al. 2023: score raw-corpus documents by how target-like
+    * their hashed n-gram distribution is, then sample by weight): each
+    * corpus document gets the mean likelihood RATIO of its word bigrams
+    * under an add-one-smoothed target LM vs the corpus LM,
+    *   r(ng) = ((c_t(ng)+1) / (N_t+V)) / ((c_c(ng)+1) / (N_c+V))
+    * with V = the joint bigram vocabulary. Documents whose bigrams are
+    * characteristic of `target` score above 1, generic ones near or
+    * below it — the ranking signal "train on data that looks like the
+    * target domain". DSIR proper sums LOG ratios; the mean stays in
+    * ratio space here for the same reason t25/t40 stay in probability
+    * space — ln() would hang cross-engine equality on transcendental
+    * rounding — and each ratio is quantized to an integer at 1e-12
+    * before the per-document sum (exact long addition, order-independent
+    * on any partitioning). Output: (id, n_ngrams, importance); corpus
+    * docs with no bigram score NULL.
+    *
+    * Scale shape: two vocabulary-bounded word-count aggregates, one
+    * full-outer join building the joint frequency table, a one-row
+    * broadcast of (V, N_t, N_c), an equi-join back to the corpus bigram
+    * stream, and the per-document rollup — the word-count shape
+    * throughout; the target corpus is typically small (a benchmark /
+    * domain sample) but nothing here requires it. */
+  def importanceWeights(corpus: DataFrame, id: Column, text: Column,
+                        target: DataFrame, targetText: Column): DataFrame = {
+    def bigramsOf(t: Column): Column = {
+      val toks = filter(split(trim(lower(t)), "\\s+"), x => x =!= lit(""))
+      transform(filter(sequence(lit(1), size(toks)), i => i >= 2),
+        i => concat(element_at(toks, i - 1), lit(" "), element_at(toks, i)))
+    }
+    val corpusBi = fanOut(corpus.select(id.as("id"), text.as("__t")))
+      .select(col("id"), explode(bigramsOf(col("__t"))).as("__ng"))
+    val targetBi = fanOut(target.select(targetText.as("__t")))
+      .select(explode(bigramsOf(col("__t"))).as("__ng"))
+    val ct = targetBi.groupBy(col("__ng")).agg(count(lit(1)).as("__ct"))
+    val cc = corpusBi.groupBy(col("__ng")).agg(count(lit(1)).as("__cc"))
+    val joint = ct.join(cc, Seq("__ng"), "full_outer")
+      .select(col("__ng"), coalesce(col("__ct"), lit(0L)).as("__ct"),
+        coalesce(col("__cc"), lit(0L)).as("__cc"))
+    val totals = joint.agg(count(lit(1)).as("__V"),
+      sum(col("__ct")).as("__Nt"), sum(col("__cc")).as("__Nc"))
+    // IEEE expression shape is the cross-engine contract (t40's stance):
+    // pt = (ct+1)/(Nt+V), pc = (cc+1)/(Nc+V), r = pt / pc
+    val pt = (col("__ct") + lit(1L)).cast(DoubleType) /
+      (col("__Nt") + col("__V")).cast(DoubleType)
+    val pc = (col("__cc") + lit(1L)).cast(DoubleType) /
+      (col("__Nc") + col("__V")).cast(DoubleType)
+    val scored = corpusBi.join(joint, Seq("__ng"))
+      .crossJoin(broadcast(totals))
+      .withColumn("__q", round((pt / pc) * 1e12).cast(LongType))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_ngrams"),
+        sum(col("__q")).as("__sq"))
+    corpus.select(id.as("id")).join(scored, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        (col("__sq").cast(DoubleType) / 1e12 / col("n_ngrams"))
+          .as("importance"))
+  }
+
   /** Vocabulary-coverage / out-of-vocabulary statistics per document:
     * (id, n_tokens, n_oov, oov_rate) — the tokenizer-fit signal a corpus
     * pipeline computes before committing to a vocabulary (high OOV =

@@ -745,7 +745,28 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t41: DSIR-style importance weighting — score each non-benchmark
+    * document by the mean target-vs-corpus likelihood ratio of its word
+    * bigrams, with the t06 hash-bucket docs playing the target domain.
+    * The data-selection signal "keep what looks like the target"; thin
+    * binding of [[graft.api.Graft.importanceWeights]] (joint frequency
+    * table + one-row broadcast totals; ratio-space + 1e-12 quantization
+    * per t25/t40's determinism discipline). */
+  def t41ImportanceWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val bucket = conv(substring(md5($"doc_id".cast(StringType)), 1, 4), 16, 10)
+      .cast(LongType)
+    val isBench = bucket % 20 === 0
+    graft.api.Graft.importanceWeights(
+        docs.where(!isBench), $"doc_id", $"text",
+        docs.where(isBench), $"text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t41_importance_weights" -> t41ImportanceWeights,
     "t40_kn_fluency" -> t40KnFluency,
     "t39_vocab_coverage" -> t39VocabCoverage,
     "t38_heavy_hitters" -> t38HeavyHitters,
@@ -807,6 +828,39 @@ object TextAnalysis {
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t41_importance_weights" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |   list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |     x -> x <> '') AS t,
+        |   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 20 = 0 AS is_bench
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, is_bench, t[i-1] || ' ' || t[i] AS ng
+        |  FROM (SELECT doc_id, is_bench, t, unnest(range(2, len(t)+1)) AS i
+        |        FROM d)),
+        |ct AS (SELECT ng, count(*) AS ct FROM bi WHERE is_bench GROUP BY ng),
+        |cc AS (SELECT ng, count(*) AS cc FROM bi WHERE NOT is_bench GROUP BY ng),
+        |joint AS (
+        |  SELECT coalesce(ct.ng, cc.ng) AS ng,
+        |   coalesce(ct.ct, 0) AS ct, coalesce(cc.cc, 0) AS cc
+        |  FROM ct FULL OUTER JOIN cc ON ct.ng = cc.ng),
+        |tot AS (SELECT count(*) AS v, CAST(sum(ct) AS BIGINT) AS nt,
+        |        CAST(sum(cc) AS BIGINT) AS nc FROM joint),
+        |q AS (
+        |  SELECT bi.doc_id,
+        |   CAST(round(((CAST(joint.ct + 1 AS DOUBLE) / CAST(tot.nt + tot.v AS DOUBLE))
+        |     / (CAST(joint.cc + 1 AS DOUBLE) / CAST(tot.nc + tot.v AS DOUBLE)))
+        |     * 1e12) AS BIGINT) AS q
+        |  FROM bi JOIN joint USING (ng) CROSS JOIN tot
+        |  WHERE NOT bi.is_bench),
+        |s AS (SELECT doc_id, count(*) AS n_ngrams, sum(q) AS sq
+        |      FROM q GROUP BY doc_id)
+        |SELECT d2.doc_id, CAST(coalesce(s.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+        | CAST(s.sq AS DOUBLE) / 1e12 / s.n_ngrams AS importance
+        |FROM (SELECT doc_id FROM d WHERE NOT is_bench) d2
+        |LEFT JOIN s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "t40_kn_fluency" ->
       """WITH d AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)),

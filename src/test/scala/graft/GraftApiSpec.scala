@@ -1522,6 +1522,34 @@ class GraftApiSpec extends AnyFunSuite {
     assert(out(1).getDouble(2) > 0.0)
   }
 
+  test("importanceWeights ranks target-like docs above generic ones") {
+    import spark.implicits._
+    val target = Seq("alpha beta alpha beta", "alpha beta gamma")
+      .toDF("ttxt")
+    val corpus = Seq(
+      (1L, "alpha beta alpha beta"), // bigrams all target-frequent
+      (2L, "delta epsilon delta"),   // bigrams unseen in target
+      (3L, "solo")                   // no bigram
+    ).toDF("cid", "ctxt")
+    for (parts <- Seq(1, 5)) {
+      val out = Graft.importanceWeights(corpus.repartition(parts),
+          $"cid", $"ctxt", target, $"ttxt")
+        .orderBy($"id").collect()
+      assert(out(0).getLong(1) == 3L && out(1).getLong(1) == 2L)
+      val targetLike = out(0).getDouble(2)
+      val generic = out(1).getDouble(2)
+      // the target-like doc's ratios are (ct+1)/(cc+1)-shaped with ct>0;
+      // the generic doc's have ct=0 -> strictly below 1 after the
+      // (Nt+V)/(Nc+V) normalization on this corpus
+      assert(targetLike > generic,
+        s"target-like $targetLike !> generic $generic")
+      assert(targetLike > 1.0 && generic < 1.0,
+        s"$targetLike / $generic")
+      // no-bigram doc: zero count, NULL importance
+      assert(out(2).getLong(1) == 0L && out(2).isNullAt(2))
+    }
+  }
+
   test("heavyHitters is exact, strict-threshold, and partitioning-invariant") {
     import spark.implicits._
     // 500 a + 300 b + 120 c + 200 two-count noise tokens = 1320 total.
