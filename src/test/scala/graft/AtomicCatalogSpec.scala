@@ -639,6 +639,36 @@ class AtomicCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS graft_atomic.db.wap1")
   }
 
+  test("analyze writes per-snapshot stats; a new commit starts statless") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
+    spark.sql("DROP TABLE IF EXISTS graft_atomic.db.anl1")
+    Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("b")))
+      .toDF("id", "v")
+      .writeTo("graft_atomic.db.anl1").using("parquet").createOrReplace()
+    // stats are per-snapshot: empty until analyze runs
+    assert(spark.table("graft_atomic.db.anl1.stats").count() == 0L)
+    val sum = spark.sql("CALL graft_atomic.system.analyze('db.anl1')")
+      .collect()(0)
+    assert(sum.getAs[Long]("n_rows") == 4L && sum.getAs[Int]("n_columns") == 2)
+    val st = spark.table("graft_atomic.db.anl1.stats")
+      .orderBy($"column").collect()
+    // id: 4 rows, 0 nulls, 4 distinct (KMV exact below k), min 1 max 4
+    assert(st(0).getString(0) == "id" && st(0).getLong(1) == 4L &&
+      st(0).getLong(2) == 0L && st(0).getLong(3) == 4L &&
+      st(0).getString(4) == "1" && st(0).getString(5) == "4")
+    // v: 1 null, 2 distinct (nulls excluded), min "a" max "b"
+    assert(st(1).getString(0) == "v" && st(1).getLong(2) == 1L &&
+      st(1).getLong(3) == 2L && st(1).getString(4) == "a" &&
+      st(1).getString(5) == "b")
+    // a fresh commit is a fresh snapshot: its stats start absent rather
+    // than silently serving the prior snapshot's numbers
+    Seq((9L, Some("z"))).toDF("id", "v")
+      .writeTo("graft_atomic.db.anl1").using("parquet").createOrReplace()
+    assert(spark.table("graft_atomic.db.anl1.stats").count() == 0L)
+    spark.sql("DROP TABLE IF EXISTS graft_atomic.db.anl1")
+  }
+
   test("medallion silver+gold run through the V2 RTAS path on this catalog") {
     val base = java.nio.file.Files.createTempDirectory("graft_atomic_mdp").toString
     val cfg = graft.medallion.MdpConfig.fromEnv(base).copy(
