@@ -2731,6 +2731,42 @@ object Graft {
           .as("kn_score"))
   }
 
+  /** Frame-level media near-dedup — the video-dedup shape: two media
+    * items are near-duplicates when they SHARE sampled frames (re-encodes,
+    * trims, and re-uploads keep most frame content identical under a
+    * robust frame hash). Input: one row per (media, frame hash); output:
+    * media pairs (id_a < id_b) sharing at least `minShared` frames, with
+    * the shared count. The frame-hash inverted index joins media through
+    * frames — never an all-pairs comparison — and frames shared by more
+    * than `maxFrameDf` media are dropped first: a boilerplate frame (black
+    * frame, title card) would otherwise fan a single hash bucket into a
+    * quadratic pair stream, the same hot-bucket hazard `nearDupPairs`
+    * guards with maxBucketSize, here resolved by the BM25-style document-
+    * frequency cap (such frames carry no dedup signal anyway).
+    *
+    * Scale shape: one frame-frequency aggregate, one self-join keyed on
+    * the frame hash (bucket cost Σ df² bounded by maxFrameDf), one pair
+    * rollup — all keyed exchanges. */
+  def frameNearDupPairs(frames: DataFrame, id: Column, frameHash: Column,
+                        minShared: Int = 2,
+                        maxFrameDf: Int = 100): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxFrameDf >= 2, s"maxFrameDf must be >= 2, got $maxFrameDf")
+    val f = frames.select(id.as("__id"), frameHash.as("__fh"))
+      // a medium repeating a frame must not double-count the share
+      .distinct()
+    val keep = f.groupBy(col("__fh"))
+      .agg(countDistinct(col("__id")).as("__df"))
+      .where(col("__df") <= maxFrameDf && col("__df") >= 2)
+      .select(col("__fh"))
+    val kept = f.join(keep, Seq("__fh"))
+    kept.as("a").join(kept.as("b"),
+        col("a.__fh") === col("b.__fh") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared_frames"))
+      .where(col("n_shared_frames") >= minShared)
+  }
+
   /** Importance weighting for targeted data selection (the DSIR shape,
     * Xie et al. 2023: score raw-corpus documents by how target-like
     * their hashed n-gram distribution is, then sample by weight): each

@@ -167,10 +167,37 @@ object Multimodal {
       .orderBy($"media_id", $"frame_idx")
   }
 
+  /** mm04: FRAME-LEVEL MEDIA DEDUP — the video near-dup shape: hash each
+    * medium's first six fixed-width CONTENT frames (10-token segments of
+    * the transcript — content-derived, so a trim/re-encode keeps most of
+    * them, where byte-level frames would all change), invert to a
+    * frame-hash index, and report media sharing >= 2 frames. The
+    * corpus's near-duplicate documents share most segments, so the gate
+    * finds real pairs (24 at sf0.01) through the frame-index join —
+    * never an all-pairs scan. Thin binding of
+    * [[graft.api.Graft.frameNearDupPairs]] (boilerplate-frame df cap
+    * included, mirrored by the oracle). */
+  def mm04FrameDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = split(trim($"text"), "\\s+")
+    val frames = Tables.load(s, dir, "documents")
+      .select($"doc_id".as("media_id"), toks.as("t"))
+      .select($"media_id", explode(sequence(lit(0), lit(5))).as("i"), $"t")
+      .where(size($"t") >= $"i" * 10 + 10)
+      .select($"media_id",
+        md5(array_join(slice($"t", $"i" * 10 + 1, lit(10)), " "))
+          .as("frame_md5"))
+    graft.api.Graft.frameNearDupPairs(frames, $"media_id", $"frame_md5",
+        minShared = 2, maxFrameDf = 100)
+      .withColumnRenamed("id_a", "media_a").withColumnRenamed("id_b", "media_b")
+      .orderBy($"media_a", $"media_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm01_binary_features" -> mm01BinaryFeatures,
     "mm02_decode_features" -> mm02DecodeFeatures,
-    "mm03_frame_sample" -> mm03FrameSample)
+    "mm03_frame_sample" -> mm03FrameSample,
+    "mm04_frame_dedup" -> mm04FrameDedup)
 
   val oracles: Map[String, String] = Map(
     "mm01_binary_features" ->
@@ -190,6 +217,25 @@ object Multimodal {
         | substring(hx, 129, 16) AS frame_2
         |FROM m ORDER BY media_id""".stripMargin,
     "mm02_decode_features" -> mm02Sql,
+    "mm04_frame_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |   regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT DISTINCT media_id,
+        |   md5(array_to_string(list_slice(t, i*10+1, i*10+10), ' ')) AS fh
+        |  FROM d, (SELECT unnest([0, 1, 2, 3, 4, 5]) AS i)
+        |  WHERE len(t) >= i*10+10),
+        |keep AS (
+        |  SELECT fh FROM f GROUP BY fh
+        |  HAVING count(DISTINCT media_id) BETWEEN 2 AND 100),
+        |k AS (SELECT media_id, fh FROM f JOIN keep USING (fh))
+        |SELECT a.media_id AS media_a, b.media_id AS media_b,
+        | count(*) AS n_shared_frames
+        |FROM k a JOIN k b ON a.fh = b.fh AND a.media_id < b.media_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY media_a, media_b""".stripMargin,
     "mm03_frame_sample" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id, source,

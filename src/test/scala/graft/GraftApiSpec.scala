@@ -1522,6 +1522,32 @@ class GraftApiSpec extends AnyFunSuite {
     assert(out(1).getDouble(2) > 0.0)
   }
 
+  test("frameNearDupPairs joins through the frame index with a df cap") {
+    import spark.implicits._
+    // media 1/2 share frames f1,f2 (near-dup); 3 shares only f1 with
+    // them; EVERY medium carries boilerplate frame bb (df 4 > cap)
+    val frames = Seq(
+      (1L, "f1"), (1L, "f2"), (1L, "bb"), (1L, "bb"), // repeated frame
+      (2L, "f1"), (2L, "f2"), (2L, "bb"),
+      (3L, "f1"), (3L, "x3"), (3L, "bb"),
+      (4L, "y1"), (4L, "y2"), (4L, "bb")
+    ).toDF("mid", "fh")
+    val out = Graft.frameNearDupPairs(frames, $"mid", $"fh",
+        minShared = 2, maxFrameDf = 3)
+      .orderBy($"id_a", $"id_b").as[(Long, Long, Long)].collect().toSeq
+    // bb is capped out (df 4 > 3) AND a repeated frame counts once, so
+    // only (1,2) reaches 2 shared frames; (1,3)/(2,3) stop at 1
+    assert(out == Seq((1L, 2L, 2L)), out)
+    // with the cap off, bb contributes a shared frame to EVERY pair:
+    // (1,3) and (2,3) now reach 2 shared (f1 + bb) — boilerplate frames
+    // manufacturing spurious near-dups is exactly what the cap stops
+    val uncapped = Graft.frameNearDupPairs(frames, $"mid", $"fh",
+        minShared = 2, maxFrameDf = 1000)
+      .orderBy($"id_a", $"id_b").as[(Long, Long, Long)].collect().toSeq
+    assert(uncapped == Seq((1L, 2L, 3L), (1L, 3L, 2L), (2L, 3L, 2L)),
+      uncapped)
+  }
+
   test("importanceWeights ranks target-like docs above generic ones") {
     import spark.implicits._
     val target = Seq("alpha beta alpha beta", "alpha beta gamma")
