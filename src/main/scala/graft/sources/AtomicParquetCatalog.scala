@@ -816,7 +816,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("expire_snapshots", "rollback_to", "compact", "tag",
-        "drop_tag", "analyze")
+        "drop_tag", "analyze", "clone")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -1027,12 +1027,46 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
                 schema.fields.length))
           }
         }
+      case "clone" =>
+        // CALL cat.system.clone('db.src', 'db.dst') — ZERO-COPY table
+        // clone (Delta's shallow clone / Iceberg snapshot-table shape):
+        // the destination's first snapshot hard-links the source's
+        // current data files, so cloning a 100 TB table moves no data;
+        // the two tables then evolve independently (each commit writes
+        // its own fresh version dir, and vacuum only ever deletes dirs
+        // from its own log, so shared files persist until BOTH sides
+        // have let go — the hard-link refcount is the ownership model).
+        new GraftProcedure("clone", Seq(
+          ProcedureParameter.in("source", StringType).build(),
+          ProcedureParameter.in("destination", StringType).build())) {
+          override def call(input: InternalRow): java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val srcDir = procTableDir(input.getUTF8String(0).toString)
+            val dstName = input.getUTF8String(1).toString
+            val dstParts = dstName.split("\\.").toSeq.filter(_.nonEmpty)
+            val dstIdent = Identifier.of(dstParts.init.toArray, dstParts.last)
+            if (tableExists(dstIdent))
+              throw new TableAlreadyExistsException(dstIdent)
+            val dstDir = tableDir(dstIdent)
+            val srcVersion = versionLog(srcDir).head
+            val (schema, parts) = readMeta(srcDir.resolve(srcVersion))
+            val v = s"v-${UUID.randomUUID()}"
+            writeMeta(dstDir.resolve(v), schema, parts)
+            linkDataFiles(srcDir.resolve(srcVersion), dstDir.resolve(v))
+            commitPointer(dstDir, v, expectedBase = None)
+            summaryScan(StructType(Seq(
+              StructField("cloned_from", StringType, nullable = false),
+              StructField("source_version", StringType, nullable = false),
+              StructField("new_version", StringType, nullable = false))),
+              InternalRow(UTF8String.fromString(input.getUTF8String(0).toString),
+                UTF8String.fromString(srcVersion), UTF8String.fromString(v)))
+          }
+        }
       case other =>
         throw new RuntimeException(
           s"unknown procedure system.$other — available: " +
             "expire_snapshots(table, keep), rollback_to(table, ordinal), " +
             "compact(table, target_files), tag(table, name, ordinal), " +
-            "drop_tag(table, name), analyze(table)")
+            "drop_tag(table, name), analyze(table), clone(source, destination)")
     }
   }
 }

@@ -669,6 +669,44 @@ class AtomicCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS graft_atomic.db.anl1")
   }
 
+  test("clone is zero-copy and the tables evolve independently") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
+    spark.sql("DROP TABLE IF EXISTS graft_atomic.db.cl_src")
+    spark.sql("DROP TABLE IF EXISTS graft_atomic.db.cl_dst")
+    (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+      .writeTo("graft_atomic.db.cl_src").using("parquet").createOrReplace()
+    spark.sql(
+      "CALL graft_atomic.system.clone('db.cl_src', 'db.cl_dst')").collect()
+    assert(spark.table("graft_atomic.db.cl_dst").count() == 100L)
+    // cloning an existing destination is refused
+    intercept[Exception] {
+      spark.sql("CALL graft_atomic.system.clone('db.cl_src', 'db.cl_dst')")
+        .collect()
+    }
+    // independent evolution: replacing the source leaves the clone; the
+    // clone's own append leaves the source
+    Seq((999L, "new")).toDF("id", "v")
+      .writeTo("graft_atomic.db.cl_src").using("parquet").createOrReplace()
+    assert(spark.table("graft_atomic.db.cl_src").count() == 1L)
+    assert(spark.table("graft_atomic.db.cl_dst").count() == 100L)
+    Seq((101L, "x")).toDF("id", "v")
+      .writeTo("graft_atomic.db.cl_dst").append()
+    assert(spark.table("graft_atomic.db.cl_dst").count() == 101L)
+    assert(spark.table("graft_atomic.db.cl_src").count() == 1L)
+    // push the source's shared snapshot out of its retention window so
+    // its vacuum deletes the ORIGINAL dirs: the clone's hard links must
+    // keep the bytes alive (ownership by refcount, not by directory)
+    (1 to 5).foreach { i =>
+      Seq((i.toLong, "w")).toDF("id", "v")
+        .writeTo("graft_atomic.db.cl_src").using("parquet").createOrReplace()
+    }
+    assert(spark.table("graft_atomic.db.cl_dst")
+      .where($"id" <= 100L).count() == 100L)
+    spark.sql("DROP TABLE IF EXISTS graft_atomic.db.cl_src")
+    spark.sql("DROP TABLE IF EXISTS graft_atomic.db.cl_dst")
+  }
+
   test("medallion silver+gold run through the V2 RTAS path on this catalog") {
     val base = java.nio.file.Files.createTempDirectory("graft_atomic_mdp").toString
     val cfg = graft.medallion.MdpConfig.fromEnv(base).copy(

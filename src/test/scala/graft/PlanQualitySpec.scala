@@ -3,6 +3,7 @@ package graft
 import graft.ops._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.{explode, split, trim}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-shape assertions: the properties that make these queries survive a
@@ -366,5 +367,57 @@ class PlanQualitySpec extends AnyFunSuite {
     // equi-join on the fingerprint — never a cartesian
     assert(plan.split("BroadcastHashJoin").length - 1 >= 2, plan)
     assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("heavyHitters pushes the candidate IN-list into the verify scan") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = docs.select(explode(split(trim($"text"), "\\s+")).as("token"))
+      .where($"token" =!= "")
+    val df = graft.api.Graft.heavyHitters(toks, $"token", k = 10)
+    val plan = planOf(df)
+    // pass 2 aggregates only candidate rows: the IN-list filter sits
+    // directly above the token Generate (below BOTH aggregate phases —
+    // with a plain-column token stream it would push into the scan
+    // itself), and the exact count aggregates partially before its
+    // exchange. Node numbering in formatted explain is bottom-up, so the
+    // Filter's ordinal must be below the first HashAggregate's.
+    val filterOrds = "Filter \\((\\d+)\\)".r
+      .findAllMatchIn(plan).map(_.group(1).toInt).toSeq
+    val aggOrds = "HashAggregate \\((\\d+)\\)".r
+      .findAllMatchIn(plan).map(_.group(1).toInt).toSeq
+    assert(aggOrds.size >= 2, plan) // partial + final
+    assert(filterOrds.nonEmpty && filterOrds.min < aggOrds.min,
+      s"$filterOrds $aggOrds\n$plan")
+    assert(plan.contains("INSET") || plan.contains(" IN "), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("vocabularyCoverage never sorts the vocabulary in one task") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = docs.select(explode(split(trim($"text"), "\\s+")).as("token"))
+    val plan = graft.api.Graft.vocabularyCoverage(toks, $"token", 0.5)
+      .queryExecution.executedPlan.toString
+    // the running sum is a banded window: every vocabulary-wide exchange
+    // must be a hash partitioning, never the SinglePartition a global
+    // window would force on the counted vocabulary (the tiny band-offset
+    // window is the only allowed single-partition frame, over ~p rows)
+    val windows = "\\bWindow\\b".r.findAllIn(plan).length
+    assert(windows >= 2, plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+
+  test("knBigramScore and importanceWeights broadcast only the totals row") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val kn = planOf(graft.api.Graft.knBigramScore(docs, $"doc_id", $"text"))
+    // the one-row B total rides a broadcast nested loop (a 1-row
+    // cartesian is the broadcast we asked for); every real join is keyed
+    assert(!kn.contains("CartesianProduct"), kn)
+    val iw = planOf(graft.api.Graft.importanceWeights(
+      docs.where($"doc_id" % 2 === 0), $"doc_id", $"text",
+      docs.where($"doc_id" % 2 === 1), $"text"))
+    assert(!iw.contains("CartesianProduct"), iw)
   }
 }
