@@ -2731,6 +2731,61 @@ object Graft {
           .as("kn_score"))
   }
 
+  /** Token-distribution drift between two corpus slices — the
+    * data-quality monitor a pipeline runs between corpus versions /
+    * sources / time windows ("did the new crawl change what we train
+    * on?"): per token, the triangular-discrimination contribution
+    *   drift = (p_a - p_b)^2 / (p_a + p_b)
+    * with p = the token's relative frequency in its slice. Triangular
+    * discrimination is the RATIONAL-arithmetic member of the
+    * f-divergence family (bounds chi-square from below, 2x total
+    * variation squared from above) — chosen over PSI/KL for the same
+    * reason t25/t40/t41 stay log-free: ln() would hang cross-engine
+    * equality on transcendental rounding. Output: the `topK` tokens by
+    * drift contribution (quantized at 1e-12 into `drift_q`, the exact
+    * integer both engines sort identically) with both raw counts;
+    * `total_drift_q` repeats the whole-distribution divergence on every
+    * row so one read gives both the headline number and its top causes.
+    *
+    * Scale shape: two word-count aggregates, a full-outer join on the
+    * token (vocabulary-bounded), a one-row broadcast of the totals, and
+    * a top-K — the word-count shape end to end. */
+  def tokenDistributionDrift(a: DataFrame, textA: Column,
+                             b: DataFrame, textB: Column,
+                             topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    def toks(df: DataFrame, t: Column): DataFrame =
+      fanOut(df.select(t.as("__t")))
+        .select(explode(filter(split(trim(lower(col("__t"))), "\\s+"),
+          x => x =!= lit(""))).as("token"))
+    val ca = toks(a, textA).groupBy(col("token"))
+      .agg(count(lit(1)).as("__ca"))
+    val cb = toks(b, textB).groupBy(col("token"))
+      .agg(count(lit(1)).as("__cb"))
+    val joint = ca.join(cb, Seq("token"), "full_outer")
+      .select(col("token"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val totals = joint.agg(sum(col("__ca")).as("__Na"),
+      sum(col("__cb")).as("__Nb"))
+    // mirrored IEEE shape: pa = ca/Na, pb = cb/Nb, d = (pa-pb)^2/(pa+pb)
+    val pa = col("__ca").cast(DoubleType) / col("__Na").cast(DoubleType)
+    val pb = col("__cb").cast(DoubleType) / col("__Nb").cast(DoubleType)
+    val d = (pa - pb) * (pa - pb) / (pa + pb)
+    val scored = joint.crossJoin(broadcast(totals))
+      .withColumn("drift_q", round(d * 1e12).cast(LongType))
+    val totalRow = scored.agg(sum(col("drift_q")).as("total_drift_q"))
+    // TakeOrderedAndProject top-K (distributed partial top-K per task),
+    // NOT a vocabulary-wide single-partition window; the rank window
+    // then runs over <= topK rows only
+    scored.crossJoin(broadcast(totalRow))
+      .orderBy(col("drift_q").desc, col("token"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("drift_q").desc, col("token"))).cast(LongType))
+      .select(col("token"), col("__ca").as("cnt_a"), col("__cb").as("cnt_b"),
+        col("drift_q"), col("total_drift_q"), col("rank"))
+  }
+
   /** Frame-level media near-dedup — the video-dedup shape: two media
     * items are near-duplicates when they SHARE sampled frames (re-encodes,
     * trims, and re-uploads keep most frame content identical under a

@@ -765,7 +765,23 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t42: corpus-slice drift — the data-quality monitor between corpus
+    * versions/sources: per-token triangular-discrimination contributions
+    * between the English slice and everything else, top 20 + the
+    * whole-distribution total. Thin binding of
+    * [[graft.api.Graft.tokenDistributionDrift]] (rational f-divergence,
+    * 1e-12 quantization — the log-free determinism discipline). */
+  def t42CorpusDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    graft.api.Graft.tokenDistributionDrift(
+        docs.where($"lang" === "en"), $"text",
+        docs.where($"lang" =!= "en"), $"text", topK = 20)
+      .orderBy($"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t42_corpus_drift" -> t42CorpusDrift,
     "t41_importance_weights" -> t41ImportanceWeights,
     "t40_kn_fluency" -> t40KnFluency,
     "t39_vocab_coverage" -> t39VocabCoverage,
@@ -828,6 +844,38 @@ object TextAnalysis {
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t42_corpus_drift" ->
+      """WITH ta AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+        |    '\s+'), x -> x <> '')) AS token
+        |  FROM documents WHERE lang = 'en'),
+        |tb AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+        |    '\s+'), x -> x <> '')) AS token
+        |  FROM documents WHERE lang <> 'en'),
+        |ca AS (SELECT token, count(*) AS ca FROM ta GROUP BY token),
+        |cb AS (SELECT token, count(*) AS cb FROM tb GROUP BY token),
+        |joint AS (
+        |  SELECT coalesce(ca.token, cb.token) AS token,
+        |   coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+        |  FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |        CAST(sum(cb) AS BIGINT) AS nb FROM joint),
+        |q AS (
+        |  SELECT token, CAST(ca AS BIGINT) AS cnt_a, CAST(cb AS BIGINT) AS cnt_b,
+        |   CAST(round(((CAST(ca AS DOUBLE) / CAST(tot.na AS DOUBLE)
+        |       - CAST(cb AS DOUBLE) / CAST(tot.nb AS DOUBLE))
+        |     * (CAST(ca AS DOUBLE) / CAST(tot.na AS DOUBLE)
+        |       - CAST(cb AS DOUBLE) / CAST(tot.nb AS DOUBLE))
+        |     / (CAST(ca AS DOUBLE) / CAST(tot.na AS DOUBLE)
+        |       + CAST(cb AS DOUBLE) / CAST(tot.nb AS DOUBLE)))
+        |     * 1e12) AS BIGINT) AS drift_q
+        |  FROM joint CROSS JOIN tot),
+        |tq AS (SELECT CAST(sum(drift_q) AS BIGINT) AS total_drift_q FROM q)
+        |SELECT token, cnt_a, cnt_b, drift_q, tq.total_drift_q,
+        | CAST(row_number() OVER (ORDER BY drift_q DESC, token) AS BIGINT) AS rank
+        |FROM q CROSS JOIN tq
+        |ORDER BY drift_q DESC, token LIMIT 20""".stripMargin,
     "t41_importance_weights" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -1522,6 +1522,25 @@ class GraftApiSpec extends AnyFunSuite {
     assert(out(1).getDouble(2) > 0.0)
   }
 
+  test("tokenDistributionDrift ranks the planted shift first, zero on identical slices") {
+    import spark.implicits._
+    val a = Seq("common words here", "common words there", "spike spike spike")
+      .toDF("txt")
+    val b = Seq("common words here", "common words there").toDF("txt")
+    val out = Graft.tokenDistributionDrift(a, $"txt", b, $"txt", topK = 3)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // "spike": pa = 3/9, pb = 0 -> drift (1/3)^2/(1/3) = 1/3; every
+    // other token moved far less — the planted shift must rank 1
+    assert(out.head._1 == "spike" && out.head._6 == 1L, out)
+    assert(out.head._4 == math.round(1.0 / 3 * 1e12), out)
+    // total repeats identically on every row
+    assert(out.map(_._5).distinct.size == 1)
+    // identical slices: every contribution is exactly zero
+    val zero = Graft.tokenDistributionDrift(b, $"txt", b, $"txt", topK = 5)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(zero.forall(r => r._4 == 0L && r._5 == 0L), zero)
+  }
+
   test("frameNearDupPairs joins through the frame index with a df cap") {
     import spark.implicits._
     // media 1/2 share frames f1,f2 (near-dup); 3 shares only f1 with
