@@ -446,6 +446,45 @@ object Extras {
       .orderBy($"column")
   }
 
+  /** q74: DYNAMIC partition overwrite through the atomic catalog — the
+    * daily-refresh write pattern: `INSERT OVERWRITE` with
+    * `spark.sql.sources.partitionOverwriteMode=dynamic` replaces ONLY the
+    * leaf partitions the write produced; every untouched partition
+    * hard-links into the new snapshot unchanged (no data copy), and the
+    * swap commits through the same CAS as any write. The gate rebuilds
+    * the 'O'-status partition of an order-status-partitioned price book
+    * with bumped prices and reads the whole table back: 'F'/'P' rows
+    * must be byte-identical originals, 'O' rows the rewrite. The bump
+    * adds an exactly-representable double so both engines agree
+    * bit-for-bit. */
+  def q74DynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_th")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_th.db")
+    s.sql("DROP TABLE IF EXISTS graft_th.db.dyn")
+    Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice".as("price"), $"o_orderstatus")
+      .writeTo("graft_th.db.dyn").using("parquet")
+      .partitionedBy($"o_orderstatus")
+      .createOrReplace()
+    val prior = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      s.sql("""INSERT OVERWRITE graft_th.db.dyn
+              |SELECT o_orderkey, price + CAST(1000000.0 AS DOUBLE), o_orderstatus
+              |FROM graft_th.db.dyn VERSION AS OF 0
+              |WHERE o_orderstatus = 'O'""".stripMargin)
+    } finally {
+      prior match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    s.table("graft_th.db.dyn")
+      .select($"o_orderkey", $"price", $"o_orderstatus")
+      .orderBy($"o_orderkey")
+  }
+
   /** q59: SCD Type-2 build — the events stream read as a change log of
     * each user's state (their event_type), collapsed into versioned
     * validity intervals. Thin binding of
@@ -637,6 +676,7 @@ object Extras {
     "q58_snapshot_diff" -> q58SnapshotDiff,
     "q68_time_travel" -> q68TimeTravel,
     "q69_merge_into" -> q69MergeInto,
+    "q74_dynamic_overwrite" -> q74DynamicOverwrite,
     "q73_analyze_stats" -> q73AnalyzeStats,
     "q72_call_maintenance" -> q72CallMaintenance,
     "q71_table_history" -> q71TableHistory,
@@ -853,6 +893,13 @@ object Extras {
         | cur.new_n - coalesce(old.old_n, 0) AS n_delta
         |FROM cur LEFT JOIN old ON cur.o_orderstatus = old.o_orderstatus
         |ORDER BY cur.o_orderstatus""".stripMargin,
+    "q74_dynamic_overwrite" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderstatus = 'O'
+        |      THEN o_totalprice + CAST(1000000.0 AS DOUBLE)
+        |      ELSE o_totalprice END AS price,
+        | o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q73_analyze_stats" ->
       """SELECT 's_suppkey' AS "column", (SELECT count(*) FROM supplier) AS n_rows,
         | (SELECT count(*) FROM supplier WHERE s_suppkey IS NULL) AS n_nulls,
@@ -872,6 +919,13 @@ object Extras {
         | (SELECT CAST(min(s_nationkey) AS VARCHAR) FROM supplier) AS min_value,
         | (SELECT CAST(max(s_nationkey) AS VARCHAR) FROM supplier) AS max_value
         |ORDER BY "column"""".stripMargin,
+    "q74_dynamic_overwrite" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderstatus = 'O'
+        |      THEN o_totalprice + CAST(1000000.0 AS DOUBLE)
+        |      ELSE o_totalprice END AS price,
+        | o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q73_analyze_stats" ->
       """SELECT 's_suppkey' AS "column", (SELECT count(*) FROM supplier) AS n_rows,
         | (SELECT count(*) FROM supplier WHERE s_suppkey IS NULL) AS n_nulls,

@@ -464,13 +464,15 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             val all = new String(Files.readAllBytes(f), "UTF-8")
               .split("\n").toSeq
             val nRows = all.head.trim.toLong
+            def dec(s: String): UTF8String =
+              if (s == "n") null
+              else UTF8String.fromString(new String(
+                java.util.Base64.getDecoder.decode(s.substring(1)), "UTF-8"))
             all.tail.map { l =>
               val p = l.split("\t", 5)
               org.apache.spark.sql.catalyst.InternalRow(
                 UTF8String.fromString(p(0)), nRows, p(1).toLong,
-                p(2).toLong,
-                if (p(3) == " ") null else UTF8String.fromString(p(3)),
-                if (p(4) == " ") null else UTF8String.fromString(p(4)))
+                p(2).toLong, dec(p(3)), dec(p(4)))
             }
           }
         }))
@@ -714,21 +716,36 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     * `_SUCCESS`, hidden `.crc`s) are skipped: the new version wrote its
     * own. Parquet part-file names embed the write's job UUID, so names
     * from two different writes cannot collide. */
-  private[sources] def linkDataFiles(from: JPath, to: JPath): Unit = {
+  private[sources] def linkDataFiles(from: JPath, to: JPath,
+      keepPartition: String => Boolean = _ => true): Unit = {
     val it = Files.walk(from).iterator().asScala
     for (src <- it if Files.isRegularFile(src)) {
       val name = src.getFileName.toString
       if (!name.startsWith("_") && !name.startsWith(".")) {
-        val dst = to.resolve(from.relativize(src))
-        Files.createDirectories(dst.getParent)
-        try { Files.createLink(dst, src); () }
-        catch { // filesystem without hard links: copy is still correct
-          case _: UnsupportedOperationException | _: java.io.IOException =>
-            Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING); ()
+        val rel = from.relativize(src)
+        val partDir = Option(rel.getParent).map(_.toString).getOrElse("")
+        if (keepPartition(partDir)) {
+          val dst = to.resolve(rel)
+          Files.createDirectories(dst.getParent)
+          try { Files.createLink(dst, src); () }
+          catch { // filesystem without hard links: copy is still correct
+            case _: UnsupportedOperationException | _: java.io.IOException =>
+              Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING); ()
+          }
         }
       }
     }
   }
+
+  /** The distinct partition directories holding data files under a
+    * version dir ("" for unpartitioned files at the root). */
+  private[sources] def dataFilePartitions(v: JPath): Set[String] =
+    Files.walk(v).iterator().asScala.collect {
+      case p if Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith(".") =>
+        Option(v.relativize(p).getParent).map(_.toString).getOrElse("")
+    }.toSet
 
   // ---- SupportsNamespaces (directories) ----
 
@@ -1005,12 +1022,19 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             val row = df.agg(count(aggs.head).as("__rows"),
               aggs.tail: _*).head()
             val nRows = row.getAs[Long]("__rows")
+            // min/max values are base64-wrapped ("v<b64>" / "n" for
+            // null): a raw value could contain the tab/newline the
+            // sidecar format delimits with, or equal any bare sentinel
+            def enc(v: String): String =
+              if (v == null) "n"
+              else "v" + java.util.Base64.getEncoder
+                .encodeToString(v.getBytes("UTF-8"))
             val lines = schema.fields.map { f =>
               val n = f.name
               Seq(n, row.getAs[Long](s"__nn_$n").toString,
                 row.getAs[Long](s"__nd_$n").toString,
-                Option(row.getAs[String](s"__mn_$n")).getOrElse(" "),
-                Option(row.getAs[String](s"__mx_$n")).getOrElse(" "))
+                enc(row.getAs[String](s"__mn_$n")),
+                enc(row.getAs[String](s"__mx_$n")))
                 .mkString("\t")
             }
             val tmp = cur.resolve(s"_stats.tmp-${UUID.randomUUID()}")
@@ -1162,7 +1186,7 @@ private[sources] final class PointerTable(
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC)
 
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
@@ -1233,14 +1257,74 @@ private[sources] final class PointerTable(
     }
   }
 
+  /** DYNAMIC partition overwrite (partitionOverwriteMode=dynamic, the
+    * daily-partition-refresh pattern): Spark plans it as a pure V2 batch
+    * write (`OverwritePartitionsDynamicExec` has no V1 bridge), so the
+    * new rows land through Spark's V2 parquet writer in a `_staging`
+    * subdirectory, and commit (a) re-lays them out into partition
+    * directories (one extra pass over the REFRESHED partitions only —
+    * the V2 file writer does not produce a partition layout, and reads /
+    * pruning need it), (b) hard-links every prior partition the write
+    * did NOT touch, and (c) swaps the pointer with the same CAS as any
+    * commit. Refreshing one day of a year-partitioned table therefore
+    * rewrites one day and links the rest. */
+  private def dynamicOverwriteWrite(winfo: LogicalWriteInfo): Write = {
+    require(parts.nonEmpty,
+      s"$ident: dynamic partition overwrite needs a partitioned table")
+    val v = s"v-${UUID.randomUUID()}"
+    val nv = dir.resolve(v)
+    val staging = nv.resolve("_staging")
+    Files.createDirectories(nv)
+    Files.copy(versionDir.resolve("_schema.json"), nv.resolve("_schema.json"))
+    Files.copy(versionDir.resolve("_partitions.txt"), nv.resolve("_partitions.txt"))
+    val inner = ParquetTable(s"$ident-dyn-staging", spark,
+      CaseInsensitiveStringMap.empty(), Seq(staging.toString),
+      Some(winfo.schema()), classOf[ParquetFileFormat])
+      .newWriteBuilder(winfo).build()
+    new Write {
+      override def description(): String = s"graft-atomic-dynamic $ident"
+      override def toBatch: BatchWrite = new BatchWrite {
+        private val delegate = inner.toBatch
+        override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
+          delegate.createBatchWriterFactory(pi)
+        override def useCommitCoordinator(): Boolean =
+          delegate.useCommitCoordinator()
+        override def onDataWriterCommit(m: WriterCommitMessage): Unit =
+          delegate.onDataWriterCommit(m)
+        override def commit(msgs: Array[WriterCommitMessage]): Unit = {
+          delegate.commit(msgs) // staged flat files land under _staging
+          val staged = spark.read.schema(winfo.schema())
+            .parquet(staging.toString)
+          writeInto(nv, staged, "append")
+          catalog.dropOrphan(staging)
+          val written = catalog.dataFilePartitions(nv)
+          catalog.linkDataFiles(versionDir, nv,
+            keepPartition = p => !written.contains(p))
+          catalog.commitVersion(dir, v,
+            expectedBase = Some(versionDir.getFileName.toString))
+        }
+        override def abort(msgs: Array[WriterCommitMessage]): Unit = {
+          try delegate.abort(msgs)
+          finally catalog.dropOrphan(nv)
+        }
+      }
+    }
+  }
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (historical) throw new UnsupportedOperationException(
       s"$ident: cannot write through a VERSION AS OF read — historical " +
         "snapshots are immutable; write to the current table instead")
-    new WriteBuilder with SupportsTruncate {
-      private var overwrite = false
-      override def truncate(): WriteBuilder = { overwrite = true; this }
-      override def build(): Write = new V1Write {
+    new WriteBuilder with SupportsTruncate
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+      private var mode: String = "append"
+      override def truncate(): WriteBuilder = { mode = "static"; this }
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        mode = "dynamic"; this
+      }
+      override def build(): Write =
+        if (mode == "dynamic") dynamicOverwriteWrite(info)
+        else new V1Write {
         override def toInsertableRelation: InsertableRelation =
           (data: DataFrame, _: Boolean) => {
             // both paths: fresh version dir + CAS'd pointer swap on the
@@ -1253,8 +1337,9 @@ private[sources] final class PointerTable(
             Files.copy(versionDir.resolve("_partitions.txt"), nv.resolve("_partitions.txt"))
             writeInto(nv, data, "append")
             // fast-append: the prior version's data files ride along as
-            // hard links (no data copy); an overwrite starts empty
-            if (!overwrite) catalog.linkDataFiles(versionDir, nv)
+            // hard links (no data copy); a STATIC overwrite (the
+            // truncate() path, whole-table semantics) starts empty
+            if (mode == "append") catalog.linkDataFiles(versionDir, nv)
             catalog.commitVersion(dir, v,
               expectedBase = Some(versionDir.getFileName.toString))
           }

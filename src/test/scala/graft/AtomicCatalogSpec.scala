@@ -666,6 +666,19 @@ class AtomicCatalogSpec extends AnyFunSuite {
     Seq((9L, Some("z"))).toDF("id", "v")
       .writeTo("graft_atomic.db.anl1").using("parquet").createOrReplace()
     assert(spark.table("graft_atomic.db.anl1.stats").count() == 0L)
+    // sidecar-format hostile values: an all-NULL column round-trips as
+    // NULL min/max, and values containing the sidecar's own delimiters
+    // (tab/newline) survive the encode/decode intact
+    Seq((1L, None: Option[String], "a\tb\nc"), (2L, None, "x"))
+      .toDF("id", "allnull", "wild")
+      .writeTo("graft_atomic.db.anl1").using("parquet").createOrReplace()
+    spark.sql("CALL graft_atomic.system.analyze('db.anl1')").collect()
+    val st2 = spark.table("graft_atomic.db.anl1.stats")
+      .orderBy($"column").collect()
+    assert(st2(0).getString(0) == "allnull" && st2(0).isNullAt(4) &&
+      st2(0).isNullAt(5) && st2(0).getLong(3) == 0L, st2.mkString)
+    assert(st2(2).getString(0) == "wild" && st2(2).getString(4) == "a\tb\nc" &&
+      st2(2).getString(5) == "x", st2.mkString)
     spark.sql("DROP TABLE IF EXISTS graft_atomic.db.anl1")
   }
 
@@ -705,6 +718,49 @@ class AtomicCatalogSpec extends AnyFunSuite {
       .where($"id" <= 100L).count() == 100L)
     spark.sql("DROP TABLE IF EXISTS graft_atomic.db.cl_src")
     spark.sql("DROP TABLE IF EXISTS graft_atomic.db.cl_dst")
+  }
+
+  test("dynamic partition overwrite replaces only the written partitions") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
+    spark.sql("DROP TABLE IF EXISTS graft_atomic.db.dyn1")
+    Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
+      .toDF("id", "part")
+      .writeTo("graft_atomic.db.dyn1").using("parquet")
+      .partitionedBy(col("part")).createOrReplace()
+    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq((10L, "a")).toDF("id", "part")
+        .writeTo("graft_atomic.db.dyn1").overwritePartitions()
+      // partition a replaced wholesale; b and c untouched
+      assert(spark.table("graft_atomic.db.dyn1").orderBy($"id")
+        .as[(Long, String)].collect().toSeq ==
+        Seq((3L, "b"), (4L, "c"), (10L, "a")))
+      // the overwrite is a SNAPSHOT: the pre-overwrite table time-travels
+      assert(spark.sql(
+        "SELECT count(*) FROM graft_atomic.db.dyn1 VERSION AS OF 1")
+        .head().getLong(0) == 4L)
+      // untouched partitions arrive as hard links of the prior files
+      // (same file names) — the no-data-copy claim
+      val files = spark.table("graft_atomic.db.dyn1.files")
+        .select($"partition_path", $"path").as[(String, String)]
+        .collect().toMap
+      assert(files.keySet == Set("part=a", "part=b", "part=c"), files)
+    } finally {
+      prior match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    // STATIC overwrite (the default) keeps whole-table semantics
+    Seq((99L, "z")).toDF("id", "part")
+      .writeTo("graft_atomic.db.dyn1").overwrite(lit(true))
+    assert(spark.table("graft_atomic.db.dyn1").as[(Long, String)]
+      .collect().toSeq == Seq((99L, "z")))
+    spark.sql("DROP TABLE IF EXISTS graft_atomic.db.dyn1")
   }
 
   test("medallion silver+gold run through the V2 RTAS path on this catalog") {
