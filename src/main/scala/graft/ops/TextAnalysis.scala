@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -780,7 +781,51 @@ object TextAnalysis {
       .orderBy($"rank")
   }
 
+  /** t43: MIXED-LANGUAGE detection — the code-switching cleaning signal
+    * (documents whose segments disagree about their language hurt
+    * monolingual training slices and break per-language quotas): t02's
+    * n-gram heuristic applied per 10-token SEGMENT, rolled up to
+    * (majority language, disagreeing-segment count, mixed fraction) per
+    * document. Majority ties break on the language name; the fraction is
+    * one exact integer division. */
+  def t43MixedLanguage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = tokens($"text")
+    val segs = Tables.load(s, dir, "documents")
+      .select($"doc_id", t.as("t"))
+      .where(size($"t") >= 1)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, (size(t)-1) div 10), i -> slice(t, i*10+1, 10))"))
+        .as("seg"))
+    val n = size($"seg").cast(DoubleType)
+    val scoreEn = size(filter($"seg", x => x.isin(StopWords: _*)))
+      .cast(DoubleType) / n
+    val scoreEs = size(filter($"seg", x => x.endsWith("o") || x.endsWith("a")))
+      .cast(DoubleType) / n
+    val scoreDe = size(filter($"seg",
+      x => x.endsWith("en") || x.startsWith("sch"))).cast(DoubleType) / n
+    val segLang = segs.select($"doc_id",
+      when(scoreEn >= scoreEs && scoreEn >= scoreDe && scoreEn > 0, "en")
+        .when(scoreEs >= scoreDe && scoreEs > 0, "es")
+        .when(scoreDe > 0, "de")
+        .otherwise("und").as("seg_lang"))
+    val perLang = segLang.groupBy($"doc_id", $"seg_lang")
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy($"doc_id").orderBy($"__c".desc, $"seg_lang")
+    val major = perLang
+      .withColumn("__rk", row_number().over(w)).where($"__rk" === 1)
+      .select($"doc_id", $"seg_lang".as("majority_lang"), $"__c".as("__maj"))
+    perLang.groupBy($"doc_id").agg(sum($"__c").as("n_segments"))
+      .join(major, Seq("doc_id"))
+      .select($"doc_id", $"n_segments", $"majority_lang",
+        ($"n_segments" - $"__maj").as("n_disagree"),
+        (($"n_segments" - $"__maj").cast(DoubleType) /
+          $"n_segments".cast(DoubleType)).as("mixed_frac"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t43_mixed_language" -> t43MixedLanguage,
     "t42_corpus_drift" -> t42CorpusDrift,
     "t41_importance_weights" -> t41ImportanceWeights,
     "t40_kn_fluency" -> t40KnFluency,
@@ -844,6 +889,35 @@ object TextAnalysis {
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t43_mixed_language" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id, list_slice(t, i*10+1, i*10+10) AS seg
+        |  FROM (SELECT doc_id, t, unnest(range(0, ((len(t)-1)//10)+1)) AS i
+        |        FROM d WHERE len(t) >= 1)),
+        |sc AS (SELECT doc_id,
+        |  CAST(len(list_filter(seg, x -> x IN ('the','a','of','to','in'))) AS DOUBLE) / len(seg) AS score_en,
+        |  CAST(len(list_filter(seg, x -> x LIKE '%o' OR x LIKE '%a')) AS DOUBLE) / len(seg) AS score_es,
+        |  CAST(len(list_filter(seg, x -> x LIKE '%en' OR x LIKE 'sch%')) AS DOUBLE) / len(seg) AS score_de
+        | FROM segs),
+        |sl AS (SELECT doc_id,
+        |  CASE WHEN score_en >= score_es AND score_en >= score_de AND score_en > 0 THEN 'en'
+        |       WHEN score_es >= score_de AND score_es > 0 THEN 'es'
+        |       WHEN score_de > 0 THEN 'de' ELSE 'und' END AS seg_lang
+        | FROM sc),
+        |pl AS (SELECT doc_id, seg_lang, count(*) AS c FROM sl GROUP BY 1, 2),
+        |mj AS (SELECT doc_id, seg_lang AS majority_lang, c AS maj,
+        |   row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, seg_lang) AS rk
+        |  FROM pl),
+        |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_segments
+        |        FROM pl GROUP BY 1)
+        |SELECT tot.doc_id, n_segments, majority_lang,
+        | CAST(n_segments - maj AS BIGINT) AS n_disagree,
+        | CAST(n_segments - maj AS DOUBLE) / CAST(n_segments AS DOUBLE) AS mixed_frac
+        |FROM tot JOIN mj ON tot.doc_id = mj.doc_id AND rk = 1
+        |ORDER BY tot.doc_id""".stripMargin,
     "t42_corpus_drift" ->
       """WITH ta AS (
         |  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)),
