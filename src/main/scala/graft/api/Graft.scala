@@ -2753,15 +2753,25 @@ object Graft {
   def tokenDistributionDrift(a: DataFrame, textA: Column,
                              b: DataFrame, textB: Column,
                              topK: Int = 20): DataFrame = {
-    require(topK >= 1, s"topK must be >= 1, got $topK")
     def toks(df: DataFrame, t: Column): DataFrame =
       fanOut(df.select(t.as("__t")))
         .select(explode(filter(split(trim(lower(col("__t"))), "\\s+"),
           x => x =!= lit(""))).as("token"))
-    val ca = toks(a, textA).groupBy(col("token"))
-      .agg(count(lit(1)).as("__ca"))
-    val cb = toks(b, textB).groupBy(col("token"))
-      .agg(count(lit(1)).as("__cb"))
+    def counts(df: DataFrame, t: Column): DataFrame =
+      toks(df, t).groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    tokenDistributionDriftFromCounts(
+      counts(a, textA), counts(b, textB), topK)
+  }
+
+  /** [[tokenDistributionDrift]] over PRE-COUNTED token frequencies —
+    * each side a (token, cnt) frame. The entry point when the counts
+    * come from elsewhere (a streaming word count, a stored vocabulary
+    * table): same divergence, same quantization, same ordering. */
+  def tokenDistributionDriftFromCounts(a: DataFrame, b: DataFrame,
+                                       topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val ca = a.select(col("token"), col("cnt").cast(LongType).as("__ca"))
+    val cb = b.select(col("token"), col("cnt").cast(LongType).as("__cb"))
     val joint = ca.join(cb, Seq("token"), "full_outer")
       .select(col("token"), coalesce(col("__ca"), lit(0L)).as("__ca"),
         coalesce(col("__cb"), lit(0L)).as("__cb"))

@@ -355,7 +355,33 @@ object Streams {
       .orderBy($"event_type")
   }
 
+  /** st10: STREAMING corpus-drift monitoring — the t42 divergence fed by
+    * a streaming word count: the English slice's token frequencies
+    * accumulate in a complete-mode streaming aggregate, then flow into
+    * the SAME triangular-discrimination monitor
+    * ([[graft.api.Graft.tokenDistributionDriftFromCounts]]) against the
+    * batch-counted reference slice. The oracle IS t42's — the gate pins
+    * that the streaming ingestion path and the batch path feed the
+    * monitor identically (count-exactness through the stream, divergence
+    * arithmetic unchanged). */
+  def st10StreamDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = documentsStream(s, dir).where($"lang" === "en")
+      .select(explode(filter(split(trim(lower($"text")), "\\s+"),
+        x => x =!= lit(""))).as("token"))
+    val counts = toks.groupBy($"token").agg(count(lit(1)).as("cnt"))
+    val streamedCa = runToCompletion(counts, "complete")
+    val cb = graft.Tables.load(s, dir, "documents").where($"lang" =!= "en")
+      .select(explode(filter(split(trim(lower($"text")), "\\s+"),
+        x => x =!= lit(""))).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+    graft.api.Graft.tokenDistributionDriftFromCounts(streamedCa, cb,
+        topK = 20)
+      .orderBy($"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st10_stream_drift" -> st10StreamDrift,
     "st09_stream_catalog_ingest" -> st09StreamCatalogIngest,
     "st08_stream_hopping" -> st08StreamHopping,
     "st06_stream_text_quality" -> st06StreamTextQuality,
@@ -367,6 +393,10 @@ object Streams {
     "st05_stream_static_join" -> st05StreamStaticJoin)
 
   val oracles: Map[String, String] = Map(
+    // the streaming word count feeding the drift monitor == the batch
+    // path: st10 shares t42's oracle verbatim
+    "st10_stream_drift" ->
+      graft.ops.TextAnalysis.oracles("t42_corpus_drift"),
     // the finite stream landed through the catalog == the batch aggregate
     "st09_stream_catalog_ingest" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
