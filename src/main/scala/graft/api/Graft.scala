@@ -3161,9 +3161,19 @@ object Graft {
       .head()
     val total = sk.getLong(0)
     val cands = sk.getSeq[String](1)
-    val keep =
-      if (cands.isEmpty) lit(false) else col("token").isin(cands: _*)
-    toks.where(keep)
+    // candidate filter: an IN-list folds into the scan and is ideal up
+    // to ~1k entries; past that the expression bloats codegen, so large
+    // counter budgets switch to a broadcast semi join on the candidate
+    // frame (same pushable-membership semantics, size-gated like the
+    // jaccard-verify broadcast)
+    val candFiltered =
+      if (cands.isEmpty) toks.where(lit(false))
+      else if (cands.size <= 1000) toks.where(col("token").isin(cands: _*))
+      else toks.join(
+        broadcast(df.sparkSession.createDataset(cands)(
+          org.apache.spark.sql.Encoders.STRING).toDF("token")),
+        Seq("token"), "left_semi")
+    candFiltered
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .where(col("cnt") * k > total)
       .orderBy(col("cnt").desc, col("token"))

@@ -1617,6 +1617,10 @@ class GraftApiSpec extends AnyFunSuite {
       .union(Seq.fill(5000)(None: Option[String]).toDF("tok"))
     assert(Graft.heavyHitters(withNulls, $"tok", k = 10)
       .as[(String, Long)].collect().toSeq == expected)
+    // a counter budget past the IN-list gate takes the broadcast
+    // semi-join path and must agree exactly
+    assert(Graft.heavyHitters(toks.toDF("tok"), $"tok", k = 10,
+      counters = 1500).as[(String, Long)].collect().toSeq == expected)
   }
 
   test("vocabularyCoverage equals the global-sort minimal prefix, ties included") {
