@@ -2731,6 +2731,54 @@ object Graft {
           .as("kn_score"))
   }
 
+  /** Domain-blocklist flags — the crawl-curation kill rule "drop any
+    * document citing a blocked host, INCLUDING its subdomains": every
+    * `https?` URL's registrable host (leading `www.` stripped) matches a
+    * blocklist entry `b` iff host == b or host ends with ".b". Output:
+    * one row per input document — (id, n_urls, n_blocked, blocked) —
+    * so both the filter (`where(!blocked)`) and the report compose from
+    * the same frame.
+    *
+    * Scale shape: the suffix match is NOT run as an `endsWith` theta
+    * join (that is a cartesian against the blocklist at corpus scale) —
+    * each host explodes into its <= ~5 label-suffixes ("a.b.c" ->
+    * ["a.b.c", "b.c", "c"]) and the match becomes an EQUI-join against
+    * the broadcast blocklist; per-doc rollup is one keyed aggregate.
+    * The blocklist is a driver-side Seq by signature (block rules are
+    * config, not data); a table-sized blocklist would pass the same
+    * suffix frame in as a DataFrame and broadcast or shuffle it. */
+  def domainBlocklistFlags(df: DataFrame, id: Column, text: Column,
+                           blocked: Seq[String]): DataFrame = {
+    require(blocked.nonEmpty, "blocked must not be empty")
+    require(blocked.forall(b => b.nonEmpty && !b.startsWith(".")),
+      s"blocklist entries must be bare domains, got $blocked")
+    val urls = fanOut(df.select(id.as("id"), text.as("__t")))
+      .select(col("id"), explode(regexp_extract_all(col("__t"),
+        lit("https?://[^\\s]+"), lit(0))).as("__url"))
+      .select(col("id"),
+        regexp_replace(parse_url(col("__url"), lit("HOST")), "^www\\.", "")
+          .as("__dom"))
+    val sufs = urls.select(col("id"), col("__dom"),
+      explode(expr("""transform(sequence(0, size(split(__dom, '\\.')) - 1),
+          i -> array_join(slice(split(__dom, '\\.'), i + 1,
+                 size(split(__dom, '\\.'))), '.'))""")).as("__suf"))
+    val bl = broadcast(df.sparkSession.createDataset(blocked)(
+      org.apache.spark.sql.Encoders.STRING).toDF("__suf"))
+    val perUrl = sufs.join(bl, Seq("__suf"), "left_semi")
+      .select(col("id"), col("__dom")).distinct()
+      .withColumn("__blk", lit(1L))
+    val perDoc = urls
+      .join(perUrl.select(col("id"), col("__dom"), col("__blk")),
+        Seq("id", "__dom"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_urls"),
+        count_if(col("__blk").isNotNull).as("n_blocked"))
+    df.select(id.as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_urls"), lit(0L)).as("n_urls"),
+        coalesce(col("n_blocked"), lit(0L)).as("n_blocked"),
+        (coalesce(col("n_blocked"), lit(0L)) > 0).as("blocked"))
+  }
+
   /** Token-distribution drift between two corpus slices — the
     * data-quality monitor a pipeline runs between corpus versions /
     * sources / time windows ("did the new crawl change what we train

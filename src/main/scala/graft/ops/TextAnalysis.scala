@@ -824,7 +824,34 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t44: domain-blocklist flags — the crawl kill rule over t16's planted
+    * URLs: `example3.com` (catches `docs.example3.com` by SUBDOMAIN
+    * suffix) and `mirror.example.org` (exact). Thin binding of
+    * [[graft.api.Graft.domainBlocklistFlags]] (suffix-expansion
+    * equi-join against the broadcast blocklist — never an endsWith theta
+    * join). */
+  def t44DomainBlocklist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = $"doc_id"
+    def ds = d.cast(StringType)
+    val withUrl = concat(
+      $"text",
+      when(d % 3 === 0, concat(lit(" see https://docs.example"),
+          (d % 5).cast(StringType), lit(".com/guide/page"), ds,
+          lit("?ref=r"), (d % 7).cast(StringType)))
+        .otherwise(lit("")),
+      when(d % 4 === 1, concat(lit(" and http://www.mirror.example.org/path"), ds))
+        .otherwise(lit("")))
+    graft.api.Graft.domainBlocklistFlags(
+        Tables.load(s, dir, "documents").withColumn("t", withUrl),
+        $"doc_id", $"t",
+        blocked = Seq("example3.com", "mirror.example.org"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t44_domain_blocklist" -> t44DomainBlocklist,
     "t43_mixed_language" -> t43MixedLanguage,
     "t42_corpus_drift" -> t42CorpusDrift,
     "t41_importance_weights" -> t41ImportanceWeights,
@@ -889,6 +916,32 @@ object TextAnalysis {
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t44_domain_blocklist" ->
+      """WITH p AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' see https://docs.example'
+        |         || CAST(doc_id % 5 AS VARCHAR) || '.com/guide/page'
+        |         || CAST(doc_id AS VARCHAR) || '?ref=r' || CAST(doc_id % 7 AS VARCHAR)
+        |       ELSE '' END ||
+        |  CASE WHEN doc_id % 4 = 1 THEN ' and http://www.mirror.example.org/path'
+        |         || CAST(doc_id AS VARCHAR)
+        |       ELSE '' END AS t
+        | FROM documents),
+        |u AS (SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[^\s]+')) AS url FROM p),
+        |d AS (SELECT doc_id,
+        |  regexp_replace(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1), '^www\.', '') AS domain
+        | FROM u),
+        |f AS (SELECT doc_id, domain,
+        |  EXISTS(SELECT 1 FROM (SELECT unnest(['example3.com', 'mirror.example.org']) AS bd)
+        |         WHERE domain = bd OR domain LIKE '%.' || bd) AS blk
+        | FROM d),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(count(*) FILTER (WHERE blk) AS BIGINT) AS n_blocked
+        | FROM f GROUP BY doc_id)
+        |SELECT p.doc_id, coalesce(agg.n_urls, 0) AS n_urls,
+        | coalesce(agg.n_blocked, 0) AS n_blocked,
+        | coalesce(agg.n_blocked, 0) > 0 AS blocked
+        |FROM p LEFT JOIN agg ON p.doc_id = agg.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
     "t43_mixed_language" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t

@@ -1522,6 +1522,27 @@ class GraftApiSpec extends AnyFunSuite {
     assert(out(1).getDouble(2) > 0.0)
   }
 
+  test("domainBlocklistFlags matches subdomains but never lookalike hosts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "see https://a.bad.com/x and https://ok.org/y"), // subdomain hit
+      (2L, "see https://bad.com/x"),                        // exact hit
+      (3L, "see https://notbad.com/x"),     // LOOKALIKE: must not match
+      (4L, "see https://www.bad.com/x"),    // www-stripped exact hit
+      (5L, "no urls at all"),
+      (6L, "https://bad.com/a https://bad.com/b https://fine.io/c")
+    ).toDF("did", "txt")
+    val out = Graft.domainBlocklistFlags(docs, $"did", $"txt", Seq("bad.com"))
+      .orderBy($"id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 1L, true),
+      (2L, 1L, 1L, true),
+      (3L, 1L, 0L, false),
+      (4L, 1L, 1L, true),
+      (5L, 0L, 0L, false),
+      (6L, 3L, 2L, true)), out)
+  }
+
   test("tokenDistributionDrift ranks the planted shift first, zero on identical slices") {
     import spark.implicits._
     val a = Seq("common words here", "common words there", "spike spike spike")
