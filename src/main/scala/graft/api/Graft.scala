@@ -3196,7 +3196,15 @@ object Graft {
     * pushes an IN-list of <= `counters` candidates into the scan, so the
     * verify aggregation touches only candidate rows. The one collect is a
     * single row bounded at `counters` entries by construction (the
-    * hybrid-probe discipline). */
+    * hybrid-probe discipline).
+    *
+    * EAGER, unlike most Graft APIs: the sketch pass executes a Spark job
+    * AT CALL TIME (the bounded single-row collect above), and the
+    * returned frame's verify pass re-reads `df` when executed — TWO
+    * passes over the same input. Exactness therefore requires both
+    * passes to see the SAME rows: a non-deterministic source (fresh
+    * `rand()` column, re-read of a mutating table) voids the superset
+    * guarantee. Pass a deterministic input, or `.cache()` it first. */
   def heavyHitters(df: DataFrame, token: Column, k: Int,
                    counters: Int = 0): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")

@@ -485,6 +485,108 @@ object Extras {
       .orderBy($"o_orderkey")
   }
 
+  /** q75: MERGE INTO a PARTITIONED catalog table — the PARTITION-LEVEL
+    * copy-on-write path (q69 exercises whole-table COW: its target is
+    * unpartitioned and its NOT-MATCHED-BY-SOURCE clause makes every
+    * partition affected by definition). Here the target is partitioned
+    * by market segment and the source carries only BUILDING customers'
+    * orders, so Spark's runtime group filter
+    * (`RowLevelOperationRuntimeGroupFiltering` against the scan's
+    * [[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]])
+    * names {BUILDING} as the touched partition set: the rewrite reads
+    * and rewrites that one partition, inserted rows land in their own
+    * new 'NEW' partition, and the four untouched segments ride into the
+    * new snapshot as hard links (AtomicCatalogSpec pins the inode
+    * equality; this gate pins cross-engine row-level correctness of the
+    * pruned rewrite — a bug that dropped or duplicated an untouched
+    * partition's rows hash-mismatches immediately). */
+  def q75MergePartitioned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    Tables.load(s, dir, "customer").where($"c_custkey" % 3 =!= 2)
+      .select($"c_custkey", $"c_acctbal".as("balance"),
+        $"c_mktsegment".as("segment"))
+      .writeTo("graft_ma.db.pbal").using("parquet")
+      .partitionedBy($"segment").createOrReplace()
+    val building = Tables.load(s, dir, "customer")
+      .where($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    Tables.load(s, dir, "orders")
+      .where($"o_orderdate" >= lit("1997-01-01").cast(DateType))
+      .join(building, $"o_custkey" === $"c_custkey")
+      .groupBy($"o_custkey")
+      .agg(moneySum($"o_totalprice").as("spent"),
+        count(lit(1)).as("n_orders"))
+      .createOrReplaceTempView("q75_src")
+    s.sql("""MERGE INTO graft_ma.db.pbal t
+            |USING q75_src s
+            |ON t.c_custkey = s.o_custkey
+            |WHEN MATCHED AND s.n_orders >= 8 THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET balance = t.balance + s.spent
+            |WHEN NOT MATCHED THEN
+            |  INSERT (c_custkey, balance, segment)
+            |  VALUES (s.o_custkey, s.spent, 'NEW')""".stripMargin)
+    s.table("graft_ma.db.pbal")
+      .select($"c_custkey", $"balance", $"segment")
+      .orderBy($"c_custkey")
+  }
+
+  /** Fixed export path q76's oracle reads — Verify and the DuckDB oracle
+    * run on the same host within one gate round, which is what makes a
+    * stable absolute path the right contract here. */
+  val CatalogExternalExportDir = "/tmp/graft_catalog_external_export"
+
+  /** q76: SECOND-ENGINE read validation of the atomic catalog's files —
+    * the reference's acceptance-test shape (Trino reading the tables
+    * Spark wrote through Iceberg, scripts/run_pipeline.py:256-277) with
+    * DuckDB in the Trino role. The gate builds a partitioned table, runs
+    * an UPDATE through the partition-level copy-on-write path (touching
+    * exactly one partition), evolves the schema with ALTER TABLE ADD
+    * COLUMN, fast-appends a post-evolution row, then hard-copies the
+    * COMMITTED version directory to [[CatalogExternalExportDir]]. The
+    * ORACLE for this gate is DuckDB itself reading that directory
+    * (`read_parquet` with hive partitioning + union-by-name across the
+    * two schema generations), so the hash match asserts cross-engine
+    * agreement on the exact files the catalog serves — post-merge,
+    * post-evolution, partition layout and all. */
+  def q76CatalogExternal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    s.sql("DROP TABLE IF EXISTS graft_ma.db.extval")
+    Tables.load(s, dir, "supplier")
+      .select($"s_suppkey", $"s_name", $"s_acctbal".as("bal"),
+        ($"s_nationkey" % 5).cast("string").as("grp"))
+      .writeTo("graft_ma.db.extval").using("parquet")
+      .partitionedBy($"grp").createOrReplace()
+    s.sql("""UPDATE graft_ma.db.extval
+            |SET bal = bal + CAST(10.0 AS DOUBLE) WHERE grp = '2'""".stripMargin)
+    s.sql("ALTER TABLE graft_ma.db.extval ADD COLUMN note STRING")
+    Seq((90001L, "Supplier#extra", 1.5, "9", "added"))
+      .toDF("s_suppkey", "s_name", "bal", "grp", "note")
+      .writeTo("graft_ma.db.extval").append()
+    // export the committed version directory byte-for-byte (hard links,
+    // no data copy) to the fixed path the DuckDB oracle reads
+    val cat = s.sessionState.catalogManager.catalog("graft_ma")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val loc = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("db"), "extval"))
+      .properties().get(org.apache.spark.sql.connector.catalog.TableCatalog.PROP_LOCATION)
+    val src = java.nio.file.Paths.get(loc)
+    val dst = java.nio.file.Paths.get(CatalogExternalExportDir)
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.delete)
+      }
+    rmTree(dst)
+    graft.sources.AtomicParquetCatalog.exportVersionDir(src, dst)
+    s.table("graft_ma.db.extval")
+      .select($"s_suppkey", $"s_name", $"bal", $"grp", $"note")
+      .orderBy($"s_suppkey")
+  }
+
   /** q59: SCD Type-2 build — the events stream read as a change log of
     * each user's state (their event_type), collapsed into versioned
     * validity intervals. Thin binding of
@@ -676,6 +778,8 @@ object Extras {
     "q58_snapshot_diff" -> q58SnapshotDiff,
     "q68_time_travel" -> q68TimeTravel,
     "q69_merge_into" -> q69MergeInto,
+    "q75_merge_partitioned" -> q75MergePartitioned,
+    "q76_catalog_external" -> q76CatalogExternal,
     "q74_dynamic_overwrite" -> q74DynamicOverwrite,
     "q73_analyze_stats" -> q73AnalyzeStats,
     "q72_call_maintenance" -> q72CallMaintenance,
@@ -919,32 +1023,6 @@ object Extras {
         | (SELECT CAST(min(s_nationkey) AS VARCHAR) FROM supplier) AS min_value,
         | (SELECT CAST(max(s_nationkey) AS VARCHAR) FROM supplier) AS max_value
         |ORDER BY "column"""".stripMargin,
-    "q74_dynamic_overwrite" ->
-      """SELECT o_orderkey,
-        | CASE WHEN o_orderstatus = 'O'
-        |      THEN o_totalprice + CAST(1000000.0 AS DOUBLE)
-        |      ELSE o_totalprice END AS price,
-        | o_orderstatus
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
-    "q73_analyze_stats" ->
-      """SELECT 's_suppkey' AS "column", (SELECT count(*) FROM supplier) AS n_rows,
-        | (SELECT count(*) FROM supplier WHERE s_suppkey IS NULL) AS n_nulls,
-        | (SELECT count(DISTINCT s_suppkey) FROM supplier) AS n_distinct,
-        | (SELECT CAST(min(s_suppkey) AS VARCHAR) FROM supplier) AS min_value,
-        | (SELECT CAST(max(s_suppkey) AS VARCHAR) FROM supplier) AS max_value
-        |UNION ALL
-        |SELECT 's_name' AS "column", (SELECT count(*) FROM supplier) AS n_rows,
-        | (SELECT count(*) FROM supplier WHERE s_name IS NULL) AS n_nulls,
-        | (SELECT count(DISTINCT s_name) FROM supplier) AS n_distinct,
-        | (SELECT CAST(min(s_name) AS VARCHAR) FROM supplier) AS min_value,
-        | (SELECT CAST(max(s_name) AS VARCHAR) FROM supplier) AS max_value
-        |UNION ALL
-        |SELECT 's_nationkey' AS "column", (SELECT count(*) FROM supplier) AS n_rows,
-        | (SELECT count(*) FROM supplier WHERE s_nationkey IS NULL) AS n_nulls,
-        | (SELECT count(DISTINCT s_nationkey) FROM supplier) AS n_distinct,
-        | (SELECT CAST(min(s_nationkey) AS VARCHAR) FROM supplier) AS min_value,
-        | (SELECT CAST(max(s_nationkey) AS VARCHAR) FROM supplier) AS max_value
-        |ORDER BY "column"""".stripMargin,
     "q72_call_maintenance" ->
       """SELECT (SELECT count(*) FROM supplier WHERE s_nationkey < 10) AS n_rows,
         | CAST(1 AS BIGINT) AS n_files, CAST(2 AS BIGINT) AS n_history""".stripMargin,
@@ -988,6 +1066,36 @@ object Extras {
         |FROM src s LEFT JOIN tgt t ON t.c_custkey = s.o_custkey
         |WHERE t.c_custkey IS NULL
         |ORDER BY c_custkey""".stripMargin,
+    "q75_merge_partitioned" ->
+      """WITH tgt AS (
+        |  SELECT c_custkey, c_acctbal AS balance, c_mktsegment AS segment
+        |  FROM customer WHERE c_custkey % 3 <> 2),
+        |src AS (
+        |  SELECT o_custkey,
+        |   CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spent,
+        |   count(*) AS n_orders
+        |  FROM orders JOIN customer b
+        |    ON b.c_custkey = o_custkey AND b.c_mktsegment = 'BUILDING'
+        |  WHERE o_orderdate >= DATE '1997-01-01'
+        |  GROUP BY o_custkey)
+        |SELECT t.c_custkey,
+        | CASE WHEN s.o_custkey IS NOT NULL THEN t.balance + s.spent
+        |      ELSE t.balance END AS balance,
+        | t.segment
+        |FROM tgt t LEFT JOIN src s ON t.c_custkey = s.o_custkey
+        |WHERE s.o_custkey IS NULL OR s.n_orders < 8
+        |UNION ALL
+        |SELECT s.o_custkey AS c_custkey, s.spent AS balance, 'NEW' AS segment
+        |FROM src s LEFT JOIN tgt t ON t.c_custkey = s.o_custkey
+        |WHERE t.c_custkey IS NULL
+        |ORDER BY c_custkey""".stripMargin,
+    "q76_catalog_external" ->
+      s"""SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+        | CAST(bal AS DOUBLE) AS bal, CAST(grp AS VARCHAR) AS grp,
+        | CAST(note AS VARCHAR) AS note
+        |FROM read_parquet('$CatalogExternalExportDir/**/*.parquet',
+        |  hive_partitioning=true, union_by_name=true)
+        |ORDER BY s_suppkey""".stripMargin,
     "q54_higher_order" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT vec_id,

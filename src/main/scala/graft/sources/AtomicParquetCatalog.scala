@@ -94,6 +94,27 @@ object AtomicParquetCatalog {
         Files.createTempDirectory(s"graft_${name}_wh").toString)
     }
 
+  /** Hard-link (fall back: copy) a committed version directory's DATA
+    * files to `dst`, preserving the partition layout — the export half
+    * of second-engine validation (q76): the exported tree holds exactly
+    * the parquet files the catalog serves, no catalog metadata, so any
+    * engine that reads hive-partitioned parquet can read it. */
+  def exportVersionDir(src: JPath, dst: JPath): Unit = {
+    val it = Files.walk(src).iterator().asScala
+    for (f <- it if Files.isRegularFile(f)) {
+      val n = f.getFileName.toString
+      if (!n.startsWith("_") && !n.startsWith(".")) {
+        val out = dst.resolve(src.relativize(f))
+        Files.createDirectories(out.getParent)
+        try { Files.createLink(out, f); () }
+        catch {
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            Files.copy(f, out, StandardCopyOption.REPLACE_EXISTING); ()
+        }
+      }
+    }
+  }
+
   /** Write-audit-publish (Iceberg's WAP workflow): stage `df` as a
     * NOT-YET-VISIBLE replacement snapshot of `table`
     * (`catalog.db.tbl`), run `audit` against a reader of the staged
@@ -245,9 +266,11 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     * retention-exempt, Iceberg's ref semantics: they stay in the log's
     * tail (still ordinal-addressable, still listed by `.history`) and
     * are never vacuumed while the tag lives; dropping the tag leaves
-    * them to the NEXT log swap's sweep. */
+    * them to the NEXT log swap's sweep. Returns `(deleted, kept)` — the
+    * versions actually vacuumed and actually retained (tag-exempt
+    * survivors included), so callers report reality, not arithmetic. */
   private def swapLog(dir: JPath, entries: Seq[String],
-                      keep: Int = historyKeep): Unit = {
+                      keep: Int = historyKeep): (Seq[String], Seq[String]) = {
     val tagged = readRefs(dir).values.toSet
     val (window, tail) = entries.splitAt(keep + 1)
     val kept = window ++ tail.filter(tagged)
@@ -255,7 +278,9 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     Files.write(tmp, kept.mkString("\n").getBytes("UTF-8"))
     Files.move(tmp, pointer(dir), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    tail.filterNot(tagged).foreach(v => deleteRecursively(dir.resolve(v)))
+    val deleted = tail.filterNot(tagged)
+    deleted.foreach(v => deleteRecursively(dir.resolve(v)))
+    (deleted, kept)
   }
 
   /** Named snapshot refs (tags): `_refs` holds `name<TAB>version` lines,
@@ -652,7 +677,8 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     val nv = dir.resolve(v)
     writeMeta(nv, evolved, parts)
     linkDataFiles(cur, nv)
-    commitVersion(dir, v, expectedBase = Some(cur.getFileName.toString))
+    try commitVersion(dir, v, expectedBase = Some(cur.getFileName.toString))
+    catch { case e: Throwable => dropOrphan(nv); throw e }
     loadTable(ident)
   }
 
@@ -855,9 +881,8 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             val keep = input.getInt(1)
             require(keep >= 0, s"keep must be >= 0, got $keep")
             val (expired, kept) = withCommitLock(dir) {
-              val log = versionLog(dir)
-              swapLog(dir, log, keep = keep)
-              (math.max(0, log.size - keep - 1), math.min(log.size, keep + 1))
+              val (deleted, retained) = swapLog(dir, versionLog(dir), keep = keep)
+              (deleted.size, retained.size)
             }
             summaryScan(StructType(Seq(
               StructField("expired_snapshots", IntegerType, nullable = false),
@@ -886,7 +911,8 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             val v = s"v-${UUID.randomUUID()}"
             writeMeta(dir.resolve(v), schema, parts)
             linkDataFiles(target, dir.resolve(v))
-            commitPointer(dir, v, expectedBase = log.headOption)
+            try commitPointer(dir, v, expectedBase = log.headOption)
+            catch { case e: Throwable => dropOrphan(dir.resolve(v)); throw e }
             summaryScan(StructType(Seq(
               StructField("rolled_back_from", StringType, nullable = false),
               StructField("restored_snapshot", StringType, nullable = false),
@@ -918,7 +944,8 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             val nv = dir.resolve(v)
             writeMeta(nv, schema, parts)
             df.write.mode("append").partitionBy(parts: _*).parquet(nv.toString)
-            commitPointer(dir, v, expectedBase = Some(base))
+            try commitPointer(dir, v, expectedBase = Some(base))
+            catch { case e: Throwable => dropOrphan(nv); throw e }
             def nFiles(p: JPath): Long =
               Files.walk(p).iterator().asScala.count(f =>
                 Files.isRegularFile(f) &&
@@ -1161,21 +1188,33 @@ private[sources] abstract class VersionedTable(
   *
   * Row-level operations (`MERGE INTO`, and through the same rewrite
   * `UPDATE`/`DELETE`): [[SupportsRowLevelOperations]] in group-based
-  * COPY-ON-WRITE mode at whole-table granularity — Spark's
-  * `RewriteMergeIntoTable` reads the pinned version through this table's
-  * own scan, evaluates the merge clauses, and hands the complete merged
-  * row set to the operation's write, which lands it in a fresh version
-  * directory through Spark's V2 parquet writer and swaps the pointer
-  * with the SAME CAS as a replace — a merge racing any other commit
-  * conflicts instead of losing the other writer's update, and the
-  * pre-merge snapshot stays time-travelable. The merged version is
-  * written unpartitioned (Spark's V2 file write does not lay out
-  * partition directories); its metadata records that, so reads stay
-  * correct — re-partition with a follow-up RTAS if pruning matters.
-  * Whole-table copy-on-write is the honest local granularity: one
-  * immutable directory per snapshot. A 100 TB deployment gets
-  * file-level groups from Iceberg/Delta; the CONTRACT exercised here
-  * (conflict-checked atomic swap, snapshot history) is identical. */
+  * COPY-ON-WRITE mode at PARTITION granularity — the group is a
+  * partition directory, Iceberg's COW unit scaled to this catalog's
+  * layout. Spark's rewrite (`RewriteMergeIntoTable` and friends) reads
+  * the pinned version through this table's own scan; that scan
+  * implements [[SupportsRuntimeV2Filtering]] over the partition
+  * columns, so the optimizer's `RowLevelOperationRuntimeGroupFiltering`
+  * first computes the partitions that contain matching rows (a dynamic
+  * IN-subquery over the join/condition keys) and the scan then serves
+  * ONLY those partition directories. The operation's write receives the
+  * merged rows of exactly the touched partitions, re-lays them out as
+  * partition directories in a fresh version, HARD-LINKS every untouched
+  * partition's files from the base version (no data copy — the
+  * fast-append machinery), and swaps the pointer with the SAME CAS as a
+  * replace — a merge racing any other commit conflicts instead of
+  * losing the other writer's update, and the pre-merge snapshot stays
+  * time-travelable. Merge cost is therefore proportional to the touched
+  * partitions, not the table (AtomicCatalogSpec pins the inode equality
+  * of linked partitions). When group filtering cannot fire — an
+  * unpartitioned table, a merge with NOT-MATCHED-BY-SOURCE clauses
+  * (every partition is potentially affected), or the group filter
+  * disabled — the scan serves the whole table and the rewrite degrades
+  * to whole-table COW, written unpartitioned with metadata recording
+  * that: correct at any scale, just without the partition shortcut.
+  * Group filtering is best-effort BY CONTRACT (returning more rows than
+  * the matched groups is always sound — the rewrite carries survivors
+  * through), which is what makes the conservative keeps below (null
+  * partitions, unparseable predicates) safe. */
 private[sources] final class PointerTable(
     catalog: AtomicParquetCatalog, ident: Identifier, dir: JPath,
     versionDir: JPath, tableSchema: StructType, parts: Seq[String],
@@ -1196,37 +1235,147 @@ private[sources] final class PointerTable(
     () => new RowLevelOperation {
       override def command(): RowLevelOperation.Command = info.command()
 
+      /** The partition directories the row-level scan ACTUALLY served,
+        * set by the scan's runtime group filter. The write's commit
+        * reads it strictly after every scan task finished (commit runs
+        * last), so the handshake needs no further synchronization:
+        * `Some(S)` means the merged output covers exactly the
+        * partitions in S and every other base partition must ride along
+        * as hard links; `None` means the scan served the whole table
+        * (group filtering never fired) and the output IS the table. */
+      @volatile private[sources] var scannedPartitions: Option[Set[String]] = None
+
       // the rewrite reads the SAME pinned version this table resolved —
       // the merge's base for both the join and the commit-time CAS.
-      // CRITICAL: refuse filter pushdown here. Spark pushes the
-      // DELETE/UPDATE condition (or MERGE join keys) into this scan as
-      // GROUP-pruning — "return every row of the groups that contain a
-      // match" — but this connector's group is the WHOLE TABLE, and the
-      // underlying parquet scan would honor the pushed predicate at ROW
-      // granularity, starving the copy-on-write rewrite of the surviving
-      // rows (a pushable `WHERE id = 2` delete would rewrite the table to
-      // just-the-survivors-of-the-matching-rows = empty). A plain
-      // ScanBuilder keeps the condition in the query plan's own Filter,
-      // where the rewrite's survivor logic needs it.
+      // CRITICAL: refuse COMPILE-TIME filter pushdown here. Spark pushes
+      // the DELETE/UPDATE condition (or MERGE join keys) into this scan
+      // as GROUP-pruning — "return every row of the groups that contain
+      // a match" — but the underlying parquet scan would honor the
+      // pushed predicate at ROW granularity, starving the copy-on-write
+      // rewrite of the surviving rows (a pushable `WHERE id = 2` delete
+      // would rewrite the table to just-the-matching-rows' survivors =
+      // empty). A plain ScanBuilder keeps the condition in the query
+      // plan's own Filter, where the rewrite's survivor logic needs it.
+      // RUNTIME group filtering (SupportsRuntimeV2Filtering, partitioned
+      // tables only) is the sound counterpart: it prunes whole PARTITION
+      // DIRECTORIES — every row of a kept partition is still served, so
+      // survivors of touched partitions always reach the rewrite.
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
         val inner = PointerTable.this.newScanBuilder(options)
         new ScanBuilder {
           override def build(): org.apache.spark.sql.connector.read.Scan =
-            inner.build()
+            if (parts.isEmpty) inner.build()
+            else new GroupFilteringScan(inner.build())
         }
       }
 
-      override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
+      /** Partition-pruning scan for the row-level rewrite: serves the
+        * base version in full until the runtime group filter names the
+        * partitions containing matches, then rebuilds the inner parquet
+        * scan over just those partition directories (`basePath` keeps
+        * the partition columns in the rows). Conservative by contract:
+        * any predicate shape it cannot prove prunable — and the null
+        * partition — stays IN the read set, which only widens the
+        * rewrite, never corrupts it. */
+      final class GroupFilteringScan(
+          fullScan: org.apache.spark.sql.connector.read.Scan)
+          extends org.apache.spark.sql.connector.read.Scan
+          with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+        import org.apache.spark.sql.connector.expressions.{NamedReference, Literal => V2Literal}
+        import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+
+        @volatile private var delegate = fullScan
+
+        override def readSchema(): StructType = fullScan.readSchema()
+        override def description(): String = s"graft-atomic-cow-scan $ident"
+        override def toBatch: org.apache.spark.sql.connector.read.Batch =
+          delegate.toBatch
+
+        override def filterAttributes(): Array[NamedReference] =
+          parts.map(p => Expressions.column(p)
+            .asInstanceOf[NamedReference]).toArray
+
+        override def filter(predicates: Array[V2Predicate]): Unit = {
+          // one IN/= per partition column, values in catalyst internal
+          // form (that is what DataSourceV2Strategy.translateRuntimeFilterV2
+          // builds from the group-filter subquery result)
+          val parsed: Map[String, Set[Any]] = predicates.flatMap { p =>
+            p.name() match {
+              case "IN" | "=" if p.children().nonEmpty =>
+                p.children()(0) match {
+                  case ref: NamedReference =>
+                    val tail = p.children().drop(1)
+                    val vals = tail.collect { case l: V2Literal[_] => l.value().asInstanceOf[Any] }
+                    if (vals.length == tail.length)
+                      Some(ref.fieldNames().mkString(".") -> vals.toSet)
+                    else None // a non-literal child: cannot prove, skip
+                  case _ => None
+                }
+              case _ => None // unknown shape: skip (conservative)
+            }
+          }.groupBy(_._1).map { case (c, vs) =>
+            // two predicates on one column intersect (conjunctive)
+            c -> vs.map(_._2).reduce(_ intersect _)
+          }
+          if (parsed.nonEmpty) {
+            val all = catalog.dataFilePartitions(versionDir)
+            val kept = all.filter(keepPartitionDir(_, parsed))
+            scannedPartitions = Some(kept)
+            val options = new CaseInsensitiveStringMap(
+              java.util.Collections.singletonMap("basePath", versionDir.toString))
+            delegate = ParquetTable(s"$ident-cow-pruned", spark, options,
+              kept.toSeq.sorted.map(p => versionDir.resolve(p).toString),
+              Some(tableSchema), classOf[ParquetFileFormat])
+              .newScanBuilder(options).build()
+          }
+        }
+
+        /** Does `relDir` ("ch=web/d=2020-01-01") survive the per-column
+          * IN sets? Missing column, null partition, or a value the cast
+          * cannot parse → keep (conservative). */
+        private def keepPartitionDir(relDir: String,
+                                     bySet: Map[String, Set[Any]]): Boolean = {
+          import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+          import org.apache.spark.sql.types.StringType
+          import org.apache.spark.unsafe.types.UTF8String
+          if (relDir.isEmpty) return true // unpartitioned files at root
+          val segs = relDir.split('/').flatMap { seg =>
+            seg.split("=", 2) match {
+              case Array(c, v) =>
+                Some(ExternalCatalogUtils.unescapePathName(c) ->
+                  ExternalCatalogUtils.unescapePathName(v))
+              case _ => None
+            }
+          }.toMap
+          bySet.forall { case (col, wanted) =>
+            segs.get(col) match {
+              case None => true // column not in this layout level: keep
+              case Some("__HIVE_DEFAULT_PARTITION__") => true // null: keep
+              case Some(raw) =>
+                val dt = tableSchema.fields.find(_.name == col)
+                  .map(_.dataType).getOrElse(StringType)
+                val v = Cast(Literal(UTF8String.fromString(raw), StringType),
+                  dt, Some("UTC"),
+                  org.apache.spark.sql.catalyst.expressions.EvalMode.TRY)
+                  .eval(null)
+                v == null || wanted.exists(w => java.util.Objects.equals(w, v))
+            }
+          }
+        }
+      }
+
+      override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder = {
+        val op = this
         new WriteBuilder {
           override def build(): Write = {
           val v = s"v-${UUID.randomUUID()}"
           val nv = dir.resolve(v)
-          Files.createDirectories(nv)
-          Files.write(nv.resolve("_schema.json"),
-            winfo.schema().json.getBytes("UTF-8"))
-          Files.write(nv.resolve("_partitions.txt"), Array.empty[Byte])
+          val staging = nv.resolve("_staging")
+          // nothing touches disk until the write EXECUTES (toBatch):
+          // an EXPLAIN'd or abandoned plan leaves no orphan version dir
           val inner = ParquetTable(s"$ident-merge-staging", spark,
-            CaseInsensitiveStringMap.empty(), Seq(nv.toString),
+            CaseInsensitiveStringMap.empty(), Seq(staging.toString),
             Some(winfo.schema()), classOf[ParquetFileFormat])
             .newWriteBuilder(winfo).build()
           new Write {
@@ -1242,9 +1391,47 @@ private[sources] final class PointerTable(
               override def onDataWriterCommit(m: WriterCommitMessage): Unit =
                 delegate.onDataWriterCommit(m)
               override def commit(msgs: Array[WriterCommitMessage]): Unit = {
-                delegate.commit(msgs) // files land in nv (hadoop job commit)
-                catalog.commitVersion(dir, v,
+                delegate.commit(msgs) // merged rows land flat in _staging
+                Files.createDirectories(nv)
+                Files.write(nv.resolve("_schema.json"),
+                  winfo.schema().json.getBytes("UTF-8"))
+                op.scannedPartitions match {
+                  case Some(rewritten) if parts.nonEmpty =>
+                    // PARTITION-LEVEL COW: the scan served only the
+                    // partitions in `rewritten`, so the staged output is
+                    // their complete merged row set (plus any inserted
+                    // rows, wherever they land). Re-lay it out as
+                    // partition directories — one extra pass over the
+                    // TOUCHED rows only — and hard-link every base
+                    // partition the scan did not read.
+                    Files.write(nv.resolve("_partitions.txt"),
+                      parts.mkString("\n").getBytes("UTF-8"))
+                    val staged = spark.read.schema(winfo.schema())
+                      .parquet(staging.toString)
+                    writeInto(nv, staged, "append")
+                    catalog.dropOrphan(staging)
+                    catalog.linkDataFiles(versionDir, nv,
+                      keepPartition = p => !rewritten.contains(p))
+                  case _ =>
+                    // whole-table COW (unpartitioned table, or group
+                    // filtering never fired): the staged flat files ARE
+                    // the new table — hoist them out of _staging
+                    Files.write(nv.resolve("_partitions.txt"), Array.empty[Byte])
+                    if (Files.isDirectory(staging)) {
+                      Files.list(staging).iterator().asScala.toSeq.foreach { f =>
+                        val n = f.getFileName.toString
+                        if (Files.isRegularFile(f) && !n.startsWith("_") &&
+                            !n.startsWith("."))
+                          Files.move(f, nv.resolve(n))
+                      }
+                      catalog.dropOrphan(staging)
+                    }
+                }
+                try catalog.commitVersion(dir, v,
                   expectedBase = Some(versionDir.getFileName.toString))
+                catch { // CAS conflict: the staged version is unreachable
+                  case e: Throwable => catalog.dropOrphan(nv); throw e
+                }
               }
               override def abort(msgs: Array[WriterCommitMessage]): Unit = {
                 try delegate.abort(msgs)
@@ -1254,6 +1441,7 @@ private[sources] final class PointerTable(
           }
           }
         }
+      }
     }
   }
 
@@ -1274,9 +1462,9 @@ private[sources] final class PointerTable(
     val v = s"v-${UUID.randomUUID()}"
     val nv = dir.resolve(v)
     val staging = nv.resolve("_staging")
-    Files.createDirectories(nv)
-    Files.copy(versionDir.resolve("_schema.json"), nv.resolve("_schema.json"))
-    Files.copy(versionDir.resolve("_partitions.txt"), nv.resolve("_partitions.txt"))
+    // nothing touches disk until the write EXECUTES (the delegate's job
+    // setup creates _staging): an EXPLAIN'd or abandoned plan leaves no
+    // orphan version dir; metadata is written at commit time
     val inner = ParquetTable(s"$ident-dyn-staging", spark,
       CaseInsensitiveStringMap.empty(), Seq(staging.toString),
       Some(winfo.schema()), classOf[ParquetFileFormat])
@@ -1293,6 +1481,9 @@ private[sources] final class PointerTable(
           delegate.onDataWriterCommit(m)
         override def commit(msgs: Array[WriterCommitMessage]): Unit = {
           delegate.commit(msgs) // staged flat files land under _staging
+          Files.createDirectories(nv)
+          Files.copy(versionDir.resolve("_schema.json"), nv.resolve("_schema.json"))
+          Files.copy(versionDir.resolve("_partitions.txt"), nv.resolve("_partitions.txt"))
           val staged = spark.read.schema(winfo.schema())
             .parquet(staging.toString)
           writeInto(nv, staged, "append")
@@ -1300,8 +1491,11 @@ private[sources] final class PointerTable(
           val written = catalog.dataFilePartitions(nv)
           catalog.linkDataFiles(versionDir, nv,
             keepPartition = p => !written.contains(p))
-          catalog.commitVersion(dir, v,
+          try catalog.commitVersion(dir, v,
             expectedBase = Some(versionDir.getFileName.toString))
+          catch { // CAS conflict: the staged version is unreachable
+            case e: Throwable => catalog.dropOrphan(nv); throw e
+          }
         }
         override def abort(msgs: Array[WriterCommitMessage]): Unit = {
           try delegate.abort(msgs)
@@ -1340,8 +1534,11 @@ private[sources] final class PointerTable(
             // hard links (no data copy); a STATIC overwrite (the
             // truncate() path, whole-table semantics) starts empty
             if (mode == "append") catalog.linkDataFiles(versionDir, nv)
-            catalog.commitVersion(dir, v,
+            try catalog.commitVersion(dir, v,
               expectedBase = Some(versionDir.getFileName.toString))
+            catch { // CAS conflict: the staged version is unreachable
+              case e: Throwable => catalog.dropOrphan(nv); throw e
+            }
           }
       }
     }

@@ -763,6 +763,293 @@ class AtomicCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS graft_atomic.db.dyn1")
   }
 
+  // ---- partition-level copy-on-write for row-level operations ----
+
+  /** inode of a file — hard-link equality is THE proof that a partition
+    * rode into the new snapshot without a data copy. */
+  private def ino(p: java.nio.file.Path): Long =
+    java.nio.file.Files.getAttribute(p, "unix:ino").asInstanceOf[Long]
+
+  private def tblDir(name: String): java.nio.file.Path =
+    java.nio.file.Paths.get(warehouse, "db", name)
+
+  private def currentVersionDir(name: String): java.nio.file.Path = {
+    val cat = spark.sessionState.catalogManager.catalog("graft_atomic")
+      .asInstanceOf[graft.sources.AtomicParquetCatalog]
+    tblDir(name).resolve(cat.versionLog(tblDir(name)).head)
+  }
+
+  private def partFiles(v: java.nio.file.Path, part: String): Map[String, Long] = {
+    val d = v.resolve(part)
+    if (!java.nio.file.Files.isDirectory(d)) Map.empty
+    else java.nio.file.Files.list(d).iterator().asScala
+      .filter(f => java.nio.file.Files.isRegularFile(f) &&
+        !f.getFileName.toString.startsWith("_") &&
+        !f.getFileName.toString.startsWith("."))
+      .map(f => f.getFileName.toString -> ino(f)).toMap
+  }
+
+  test("MERGE rewrites only touched partitions; untouched partitions are hard-linked") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
+    Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0),
+        (4L, "b", 40.0), (5L, "c", 50.0))
+      .toDF("id", "part", "v")
+      .writeTo("graft_atomic.db.cow1").using("parquet")
+      .partitionedBy(col("part")).createOrReplace()
+    val v0 = currentVersionDir("cow1")
+    val bBefore = partFiles(v0, "part=b")
+    val cBefore = partFiles(v0, "part=c")
+    assert(bBefore.nonEmpty && cBefore.nonEmpty)
+    // source matches only partition a's keys, plus one brand-new key
+    Seq((1L, 100.0), (2L, -1.0), (9L, 900.0)).toDF("id", "delta")
+      .createOrReplaceTempView("cow1_src")
+    spark.sql("""MERGE INTO graft_atomic.db.cow1 t USING cow1_src s
+                |ON t.id = s.id
+                |WHEN MATCHED AND s.delta < 0 THEN DELETE
+                |WHEN MATCHED THEN UPDATE SET v = t.v + s.delta
+                |WHEN NOT MATCHED THEN
+                |  INSERT (id, part, v) VALUES (s.id, 'new', s.delta)
+                |""".stripMargin)
+    val got = spark.table("graft_atomic.db.cow1").orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "a", 110.0), (3L, "b", 30.0), (4L, "b", 40.0),
+      (5L, "c", 50.0), (9L, "new", 900.0)), got)
+    val v1 = currentVersionDir("cow1")
+    assert(v1 != v0, "merge must commit a NEW snapshot")
+    // untouched partitions: identical file names AND identical inodes —
+    // hard links, not copies, not rewrites
+    assert(partFiles(v1, "part=b") == bBefore,
+      s"partition b was rewritten: ${partFiles(v1, "part=b")} vs $bBefore")
+    assert(partFiles(v1, "part=c") == cBefore,
+      s"partition c was rewritten: ${partFiles(v1, "part=c")} vs $cBefore")
+    // touched partition: rewritten (no file shared with the base)
+    val aNow = partFiles(v1, "part=a")
+    assert(aNow.nonEmpty &&
+      aNow.values.toSet.intersect(partFiles(v0, "part=a").values.toSet).isEmpty,
+      "touched partition a must be rewritten, not linked")
+    // inserted rows landed in their own partition directory
+    assert(partFiles(v1, "part=new").nonEmpty)
+    // the pre-merge snapshot is still time-travelable in full
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_atomic.db.cow1 VERSION AS OF 1")
+      .head().getLong(0) == 5)
+    spark.sql("DROP TABLE graft_atomic.db.cow1")
+  }
+
+  test("partitioned DELETE through the pruned path; NOT-MATCHED-BY-SOURCE merge degrades to whole-table and stays correct") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
+    Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0), (4L, "b", 4.0))
+      .toDF("id", "part", "v")
+      .writeTo("graft_atomic.db.cow2").using("parquet")
+      .partitionedBy(col("part")).createOrReplace()
+    val v0 = currentVersionDir("cow2")
+    val aBefore = partFiles(v0, "part=a")
+    spark.sql("DELETE FROM graft_atomic.db.cow2 WHERE part = 'b' AND v > 3.0")
+    val v1 = currentVersionDir("cow2")
+    assert(spark.table("graft_atomic.db.cow2").orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    assert(partFiles(v1, "part=a") == aBefore,
+      "DELETE on partition b must hard-link partition a")
+    // a merge whose NOT MATCHED BY SOURCE clause touches every partition
+    // must NOT prune (group filtering is unsound there) — correctness
+    // over cleverness
+    Seq((2L, 20.0)).toDF("id", "delta").createOrReplaceTempView("cow2_src")
+    spark.sql("""MERGE INTO graft_atomic.db.cow2 t USING cow2_src s
+                |ON t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET v = s.delta
+                |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = t.v + 0.5
+                |""".stripMargin)
+    assert(spark.table("graft_atomic.db.cow2").orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 1.5), (2L, "b", 20.0), (3L, "c", 3.5)))
+    spark.sql("DROP TABLE graft_atomic.db.cow2")
+  }
+
+  test("a whole-partition delete removes the partition; an all-false condition links everything") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
+    Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("id", "part", "v")
+      .writeTo("graft_atomic.db.cow3").using("parquet")
+      .partitionedBy(col("part")).createOrReplace()
+    spark.sql("DELETE FROM graft_atomic.db.cow3 WHERE part = 'b'")
+    val v1 = currentVersionDir("cow3")
+    assert(partFiles(v1, "part=b").isEmpty, "emptied partition must vanish")
+    assert(spark.table("graft_atomic.db.cow3").count() == 2)
+    // delete matching nothing: every partition survives (linked or
+    // rewritten — correctness first; the pruned path links all three)
+    val v1a = partFiles(v1, "part=a")
+    spark.sql("DELETE FROM graft_atomic.db.cow3 WHERE part = 'zzz'")
+    val v2 = currentVersionDir("cow3")
+    assert(spark.table("graft_atomic.db.cow3").count() == 2)
+    assert(partFiles(v2, "part=a") == v1a,
+      "no-match delete must hard-link untouched partitions")
+    spark.sql("DROP TABLE graft_atomic.db.cow3")
+  }
+
+  test("MERGE racing an append conflicts; retry applies both effects") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
+    Seq((1L, "a", 1.0)).toDF("id", "part", "v")
+      .writeTo("graft_atomic.db.race1").using("parquet")
+      .partitionedBy(col("part")).createOrReplace()
+    Seq((1L, 10.0)).toDF("id", "delta").createOrReplaceTempView("race1_src")
+    val mergeSql = """MERGE INTO graft_atomic.db.race1 t USING race1_src s
+                     |ON t.id = s.id
+                     |WHEN MATCHED THEN UPDATE SET v = t.v + s.delta
+                     |""".stripMargin
+    // analyze (NOT execute) the merge: analysis pins the base snapshot,
+    // exactly a writer that loaded the table and is mid-flight
+    val pinned = spark.sessionState.executePlan(
+      spark.sessionState.sqlParser.parsePlan(mergeSql)).analyzed
+    // an append lands while the merge is in flight
+    spark.sql("INSERT INTO graft_atomic.db.race1 VALUES (2, 'b', 2.0)")
+    // executing the pinned merge must CONFLICT, not clobber the append
+    val err = intercept[Exception] {
+      spark.sessionState.executePlan(pinned).commandExecuted
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(err).exists(
+      _.isInstanceOf[java.util.ConcurrentModificationException]),
+      s"expected a commit conflict, got: $err")
+    // the append survived and the merge applied NOTHING
+    assert(spark.table("graft_atomic.db.race1").orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    // retrying the merge fresh (new base) applies it: no lost update
+    spark.sql(mergeSql)
+    assert(spark.table("graft_atomic.db.race1").orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 11.0), (2L, "b", 2.0)))
+    spark.sql("DROP TABLE graft_atomic.db.race1")
+  }
+
+  test("MERGE racing MERGE: the loser conflicts and a retry loses no update") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "part", "v")
+      .writeTo("graft_atomic.db.race2").using("parquet")
+      .partitionedBy(col("part")).createOrReplace()
+    Seq((1L, 10.0)).toDF("id", "delta").createOrReplaceTempView("race2_a")
+    Seq((2L, 200.0)).toDF("id", "delta").createOrReplaceTempView("race2_b")
+    def merge(src: String) = s"""MERGE INTO graft_atomic.db.race2 t
+                                |USING $src s ON t.id = s.id
+                                |WHEN MATCHED THEN UPDATE SET v = t.v + s.delta
+                                |""".stripMargin
+    // both merges analyze (pin) against the SAME base snapshot
+    val pinnedA = spark.sessionState.executePlan(
+      spark.sessionState.sqlParser.parsePlan(merge("race2_a"))).analyzed
+    val pinnedB = spark.sessionState.executePlan(
+      spark.sessionState.sqlParser.parsePlan(merge("race2_b"))).analyzed
+    spark.sessionState.executePlan(pinnedA).commandExecuted // A wins
+    val err = intercept[Exception] {
+      spark.sessionState.executePlan(pinnedB).commandExecuted
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(err).exists(
+      _.isInstanceOf[java.util.ConcurrentModificationException]),
+      s"expected a commit conflict, got: $err")
+    // A's effect intact, B's absent; a fresh retry of B applies cleanly
+    assert(spark.table("graft_atomic.db.race2").orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 11.0), (2L, "b", 2.0)))
+    spark.sql(merge("race2_b"))
+    assert(spark.table("graft_atomic.db.race2").orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 11.0), (2L, "b", 202.0)))
+    spark.sql("DROP TABLE graft_atomic.db.race2")
+  }
+
+  test("a crashed MERGE leaves the table untouched and no committed junk; EXPLAIN leaves no orphan version") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "part", "v")
+      .writeTo("graft_atomic.db.crash1").using("parquet")
+      .partitionedBy(col("part")).createOrReplace()
+    val cat = spark.sessionState.catalogManager.catalog("graft_atomic")
+      .asInstanceOf[graft.sources.AtomicParquetCatalog]
+    val logBefore = cat.versionLog(tblDir("crash1"))
+    def vDirs(): Set[String] =
+      java.nio.file.Files.list(tblDir("crash1")).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("v-")).toSet
+    val dirsBefore = vDirs()
+    // EXPLAIN must not touch disk (plan built, never executed)
+    spark.sql("""EXPLAIN MERGE INTO graft_atomic.db.crash1 t
+                |USING (SELECT 1L AS id, 5.0 AS delta) s ON t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET v = s.delta""".stripMargin)
+      .collect()
+    assert(vDirs() == dirsBefore, "EXPLAIN MERGE created an orphan version dir")
+    // a merge that dies mid-flight (boom in the source) aborts cleanly
+    val boom = udf((i: Long) => {
+      if (i > 0) throw new RuntimeException("mid-merge failure"); i
+    })
+    spark.range(1, 3).select(boom($"id").as("id"), lit(7.0).as("delta"))
+      .createOrReplaceTempView("crash1_src")
+    intercept[Exception] {
+      spark.sql("""MERGE INTO graft_atomic.db.crash1 t USING crash1_src s
+                  |ON t.id = s.id
+                  |WHEN MATCHED THEN UPDATE SET v = s.delta""".stripMargin)
+    }
+    assert(cat.versionLog(tblDir("crash1")) == logBefore,
+      "crashed merge mutated the snapshot log")
+    assert(spark.table("graft_atomic.db.crash1").orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)),
+      "crashed merge corrupted the table")
+    spark.sql("DROP TABLE graft_atomic.db.crash1")
+  }
+
+  test("concurrent-thread MERGE soak: every update lands exactly once") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
+    (1L to 6L).map(i => (i, if (i % 2 == 0) "even" else "odd", 0.0))
+      .toDF("id", "part", "v")
+      .writeTo("graft_atomic.db.soak1").using("parquet")
+      .partitionedBy(col("part")).createOrReplace()
+    // 3 threads x 2 merges each, disjoint keys, retry-on-conflict (the
+    // documented client contract) — the CAS must serialize them with no
+    // lost update and no double-apply
+    val threads = (0 until 3).map { t =>
+      new Thread(() => {
+        (0 until 2).foreach { r =>
+          val view = s"soak1_src_${t}_$r"
+          Seq((t * 2 + r + 1L, 1.0)).toDF("id", "delta")
+            .createOrReplaceTempView(view)
+          val sql = s"""MERGE INTO graft_atomic.db.soak1 t USING $view s
+                       |ON t.id = s.id
+                       |WHEN MATCHED THEN UPDATE SET v = t.v + s.delta
+                       |""".stripMargin
+          var done = false
+          var attempts = 0
+          while (!done && attempts < 30) {
+            attempts += 1
+            try { spark.sql(sql); done = true }
+            catch {
+              case e: Exception
+                  if Iterator.iterate(e: Throwable)(_.getCause)
+                    .takeWhile(_ != null).take(10).exists(
+                      _.isInstanceOf[java.util.ConcurrentModificationException]) =>
+                Thread.sleep(20L * attempts)
+            }
+          }
+          assert(done, s"merge $view never committed after $attempts attempts")
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    val got = spark.table("graft_atomic.db.soak1").orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got == (1L to 6L).map(i => (i, if (i % 2 == 0) "even" else "odd",
+      1.0)), s"soak lost or double-applied an update: $got")
+    spark.sql("DROP TABLE graft_atomic.db.soak1")
+  }
+
   test("medallion silver+gold run through the V2 RTAS path on this catalog") {
     val base = java.nio.file.Files.createTempDirectory("graft_atomic_mdp").toString
     val cfg = graft.medallion.MdpConfig.fromEnv(base).copy(
