@@ -296,6 +296,28 @@ object Stress {
         spark, gateDir.toString)))
       val (tSt10, _) = secs(mat(graft.streaming.Streams.st10StreamDrift(
         spark, gateDir.toString)))
+      // partition-level COW at scale (VERDICT r10 #2's stress criterion):
+      // the table is partitioned by replica index, so it grows K-fold in
+      // K partitions — but the merge's source keys live ONLY in replica
+      // 0, so the runtime group filter prunes the rewrite to that one
+      // partition and hard-links the other K-1. Merge cost must track
+      // the TOUCHED partition (~flat in K), never the table.
+      graft.sources.AtomicParquetCatalog.ensureRegistered(spark, "graft_sx")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_sx.db")
+      docs.select($"doc_id",
+          ($"doc_id" / lit(10000000L)).cast("long").cast("string").as("rep"),
+          $"n_chars")
+        .writeTo("graft_sx.db.mcow").using("parquet")
+        .partitionedBy($"rep").createOrReplace()
+      docs.where($"doc_id" < 10000000L && $"doc_id" % 10 === 0)
+        .select($"doc_id".as("mid"))
+        .createOrReplaceTempView("mcow_src")
+      val (tMergePart, _) = secs(spark.sql(
+        """MERGE INTO graft_sx.db.mcow t USING mcow_src s
+          |ON t.doc_id = s.mid
+          |WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + 1
+          |""".stripMargin))
+      spark.sql("DROP TABLE graft_sx.db.mcow")
       def rmTree(p: java.nio.file.Path): Unit = {
         import scala.jdk.CollectionConverters._
         if (java.nio.file.Files.exists(p))
@@ -305,7 +327,7 @@ object Stress {
       rmTree(gateDir)
 
       docs.unpersist()
-      f"""{"k":$n,"n_docs":$nDocs,"sig_s":$tSig%.2f,"pairs_s":$tPairs%.2f,"n_pairs":$nPairs,"verify_s":$tVerify%.2f,"n_edges":$nEdges,"dedup_s":$tDedup%.2f,"n_kept":$nKept,"contam_s":$tContam%.2f,"contam_bloom_s":$tContamB%.2f,"repetition_s":$tRep%.2f,"boilerplate_s":$tBp%.2f,"clean_s":$tClean%.2f,"n_clean":$nClean,"semantic_s":$tSem%.2f,"n_semantic":$nSem,"bpe_s":$tBpe%.2f,"n_merges":$nMergesGot,"fluency_s":$tFluency%.2f,"chunk_s":$tChunk%.2f,"score_s":$tScore%.2f,"triangles_s":$tTri%.2f,"n_triangles":$nTri,"cc_local_s":$tCcLocal%.2f,"cc_dist_s":$tCcDist%.2f,"cdc_s":$tCdc%.2f,"n_cdc_chunks":$nCdcChunks,"overlap_s":$tOv%.2f,"overlap_sketch_s":$tOvSk%.2f,"robust_s":$tRob%.2f,"spans_s":$tSpans%.2f,"excise_s":$tExcise%.2f,"contain_s":$tContain%.2f,"n_contain":$nContain,"split_s":$tSplit%.2f,"n_split":$nSplit,"budget_s":$tBudget%.2f,"n_budget":$nBudget,"budget_group_s":$tBudgetG%.2f,"n_budget_group":$nBudgetG,"hh_s":$tHh%.2f,"n_hh":$nHh,"vocab_s":$tVocab%.2f,"n_vocab":$nVocab,"kn_s":$tKn%.2f,"iw_s":$tIw%.2f,"drift_s":$tDrift%.2f,"mm04_s":$tMm04%.2f,"n_mm04":$nMm04,"t43_s":$tT43%.2f,"t44_s":$tT44%.2f,"st09_s":$tSt09%.2f,"st10_s":$tSt10%.2f}"""
+      f"""{"k":$n,"n_docs":$nDocs,"sig_s":$tSig%.2f,"pairs_s":$tPairs%.2f,"n_pairs":$nPairs,"verify_s":$tVerify%.2f,"n_edges":$nEdges,"dedup_s":$tDedup%.2f,"n_kept":$nKept,"contam_s":$tContam%.2f,"contam_bloom_s":$tContamB%.2f,"repetition_s":$tRep%.2f,"boilerplate_s":$tBp%.2f,"clean_s":$tClean%.2f,"n_clean":$nClean,"semantic_s":$tSem%.2f,"n_semantic":$nSem,"bpe_s":$tBpe%.2f,"n_merges":$nMergesGot,"fluency_s":$tFluency%.2f,"chunk_s":$tChunk%.2f,"score_s":$tScore%.2f,"triangles_s":$tTri%.2f,"n_triangles":$nTri,"cc_local_s":$tCcLocal%.2f,"cc_dist_s":$tCcDist%.2f,"cdc_s":$tCdc%.2f,"n_cdc_chunks":$nCdcChunks,"overlap_s":$tOv%.2f,"overlap_sketch_s":$tOvSk%.2f,"robust_s":$tRob%.2f,"spans_s":$tSpans%.2f,"excise_s":$tExcise%.2f,"contain_s":$tContain%.2f,"n_contain":$nContain,"split_s":$tSplit%.2f,"n_split":$nSplit,"budget_s":$tBudget%.2f,"n_budget":$nBudget,"budget_group_s":$tBudgetG%.2f,"n_budget_group":$nBudgetG,"hh_s":$tHh%.2f,"n_hh":$nHh,"vocab_s":$tVocab%.2f,"n_vocab":$nVocab,"kn_s":$tKn%.2f,"iw_s":$tIw%.2f,"drift_s":$tDrift%.2f,"mm04_s":$tMm04%.2f,"n_mm04":$nMm04,"t43_s":$tT43%.2f,"t44_s":$tT44%.2f,"st09_s":$tSt09%.2f,"st10_s":$tSt10%.2f,"merge_part_s":$tMergePart%.2f}"""
     }
     println(s"""{"stress":[${results.mkString(",")}],"sf":"$dir"}""")
     spark.stop()

@@ -259,7 +259,12 @@ object Pipeline {
     // the vectorized reader OFF and shrinks the batch; mirror both, and
     // re-enable explicitly for small payloads so a prior large-payload run
     // on the same session can't leak the disabled reader.
-    val widePayload = cfg.payloadKb >= 64
+    // MDP_WIDE_MITIGATION=off is the measurement escape hatch that keeps
+    // the vectorized reader ON under wide payloads — it exists so the
+    // mitigation's effect can be A/B-measured (PERF.md pins it at the
+    // 10x payload stress), never for production use.
+    val widePayload = cfg.payloadKb >= 64 &&
+      !sys.env.get("MDP_WIDE_MITIGATION").contains("off")
     spark.conf.set("spark.sql.parquet.enableVectorizedReader", (!widePayload).toString)
     if (widePayload)
       spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "1024")

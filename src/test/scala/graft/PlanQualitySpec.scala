@@ -419,5 +419,31 @@ class PlanQualitySpec extends AnyFunSuite {
       docs.where($"doc_id" % 2 === 0), $"doc_id", $"text",
       docs.where($"doc_id" % 2 === 1), $"text"))
     assert(!iw.contains("CartesianProduct"), iw)
+    // the per-instance score join must BROADCAST the vocabulary-bounded
+    // joint frequency table (the size gate's fast path at any vocab that
+    // fits): the corpus bigram STREAM then never exchanges — its only
+    // shuffle is the map-side-combined per-document rollup
+    assert(iw.contains("BroadcastHashJoin"), iw)
+  }
+
+  test("partitioned MERGE prunes the rewrite scan to matching partitions at runtime") {
+    import spark.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(spark, "graft_pq")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_pq.db")
+    Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF("id", "part", "v")
+      .writeTo("graft_pq.db.prune1").using("parquet")
+      .partitionedBy($"part").createOrReplace()
+    Seq((1L, 9.0)).toDF("id", "nv").createOrReplaceTempView("prune1_src")
+    val plan = spark.sql(
+      """EXPLAIN FORMATTED
+        |MERGE INTO graft_pq.db.prune1 t USING prune1_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+      .head().getString(0)
+    // the group filter plants a dynamic pruning subquery over the
+    // row-level scan — the partition-level COW precondition (execution
+    // effects are pinned by AtomicCatalogSpec's inode tests)
+    assert(plan.contains("dynamicpruning") || plan.contains("Subquery"),
+      s"no runtime group filter on the merge scan:\n$plan")
+    spark.sql("DROP TABLE graft_pq.db.prune1")
   }
 }
