@@ -2880,6 +2880,52 @@ object Graft {
       .where(col("n_shared_frames") >= minShared)
   }
 
+  /** Near-duplicate pairs over a PERCEPTUAL HASH column (pHash/dHash/PDQ
+    * dedup, the image/video analogue of MinHash): each <=62-bit hash is
+    * cut into `bands` contiguous `bitsPerBand`-bit keys; media sharing
+    * ANY band key become candidates (the banded-LSH union join — two
+    * hashes within hamming distance d collide on some band whenever the
+    * d flipped bits miss one band, certain for d < bands by pigeonhole);
+    * candidates are verified with an exact popcount
+    * `bit_count(h_a XOR h_b) <= maxHamming`. Output: (id_a, id_b,
+    * hamming), id_a < id_b, verified pairs only.
+    *
+    * Scale shape: band-key equi-joins only, NEVER all-pairs — cost
+    * tracks the per-bucket quadratic exactly like [[nearDupPairs]], so
+    * the same skew rule applies: a hash family that collapses (e.g.
+    * near-constant inputs hashing to 0) makes hot buckets; price the
+    * banding with a bucket-stats probe first and filter degenerate
+    * inputs (the mm05 gate keeps only media with enough content to fill
+    * the hash). The verify is a codegen'd popcount on the pair stream —
+    * no re-fetch of the media. */
+  def hammingNearDupPairs(df: DataFrame, id: Column, phash: Column,
+                          bands: Int = 4, bitsPerBand: Int = 15,
+                          maxHamming: Int = 6): DataFrame = {
+    require(bands >= 2, s"bands must be >= 2, got $bands")
+    require(bitsPerBand >= 1 && bands * bitsPerBand <= 62,
+      s"bands*bitsPerBand must fit a signed long without the sign bit, " +
+        s"got $bands x $bitsPerBand")
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    val h = df.select(id.as("__id"), phash.cast(LongType).as("__h"))
+    val banded = h.select(col("__id"), col("__h"),
+      explode(array((0 until bands).map { i =>
+        struct(lit(i).as("__b"),
+          shiftrightunsigned(col("__h"), bitsPerBand * i)
+            .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("__k"))
+      }: _*)).as("__bk"))
+      .select(col("__id"), col("__h"),
+        col("__bk.__b").as("__b"), col("__bk.__k").as("__k"))
+    banded.as("a").join(banded.as("b"),
+        col("a.__b") === col("b.__b") && col("a.__k") === col("b.__k") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__h").as("__ha"), col("b.__h").as("__hb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Importance weighting for targeted data selection (the DSIR shape,
     * Xie et al. 2023: score raw-corpus documents by how target-like
     * their hashed n-gram distribution is, then sample by weight): each

@@ -587,6 +587,30 @@ object Extras {
       .orderBy($"s_suppkey")
   }
 
+  /** q77: the `.partitions` METADATA TABLE — Iceberg's partition-health
+    * introspection surface on [[graft.sources.AtomicParquetCatalog]]:
+    * per-partition row totals of the current snapshot, computed from
+    * parquet FOOTERS (metadata pages) with no data scan — what a
+    * maintenance job reads to find skew and small files before choosing
+    * what to compact. The oracle recomputes each partition's row count
+    * straight from `customer`, so the gate pins the whole loop: write
+    * partitioned -> enumerate partitions from footers -> counts match
+    * the data. (File counts and byte sizes are served too but excluded
+    * from the gate output — they depend on task parallelism and codec,
+    * not on query semantics; AtomicCatalogSpec covers them.) */
+  def q77PartitionsMetadata(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_th")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_th.db")
+    Tables.load(s, dir, "customer")
+      .select($"c_custkey", $"c_acctbal", $"c_mktsegment".as("segment"))
+      .writeTo("graft_th.db.pmeta").using("parquet")
+      .partitionedBy($"segment").createOrReplace()
+    s.table("graft_th.db.pmeta.partitions")
+      .select($"partition_path", $"n_rows")
+      .orderBy($"partition_path")
+  }
+
   /** q59: SCD Type-2 build — the events stream read as a change log of
     * each user's state (their event_type), collapsed into versioned
     * validity intervals. Thin binding of
@@ -780,6 +804,7 @@ object Extras {
     "q69_merge_into" -> q69MergeInto,
     "q75_merge_partitioned" -> q75MergePartitioned,
     "q76_catalog_external" -> q76CatalogExternal,
+    "q77_partitions_metadata" -> q77PartitionsMetadata,
     "q74_dynamic_overwrite" -> q74DynamicOverwrite,
     "q73_analyze_stats" -> q73AnalyzeStats,
     "q72_call_maintenance" -> q72CallMaintenance,
@@ -1089,6 +1114,10 @@ object Extras {
         |FROM src s LEFT JOIN tgt t ON t.c_custkey = s.o_custkey
         |WHERE t.c_custkey IS NULL
         |ORDER BY c_custkey""".stripMargin,
+    "q77_partitions_metadata" ->
+      """SELECT 'segment=' || c_mktsegment AS partition_path,
+        | count(*) AS n_rows
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
     "q76_catalog_external" ->
       s"""SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
         | CAST(bal AS DOUBLE) AS bal, CAST(grp AS VARCHAR) AS grp,

@@ -193,11 +193,53 @@ object Multimodal {
       .orderBy($"media_a", $"media_b")
   }
 
+  /** mm05: PERCEPTUAL-HASH media near-dup — the pHash/PDQ dedup shape:
+    * a 60-bit dHash per medium (gradient-sign bits over adjacent
+    * "pixel" intensities), banded 4x15 bits, pairs sharing any band
+    * verified by exact popcount hamming <= 6. The deterministic decode
+    * stand-in reads intensity k as the LENGTH of word k of the
+    * transcript — content-smooth like real pixels, unlike a crypto
+    * hash, so edits perturb the hash proportionally to what they touch
+    * instead of avalanching it. Media with fewer than 62 words cannot
+    * fill the hash (their zero-padded tails would collapse into one hot
+    * band bucket — the degenerate-input rule in
+    * [[graft.api.Graft.hammingNearDupPairs]]'s doc) and are excluded,
+    * exactly as an image pipeline drops undecodable thumbnails. */
+  def mm05PerceptualDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = split(trim($"text"), "\\s+")
+    // the content window is the FIRST 61 words (a fixed crop, not a
+    // resize): an append-style near-dup — the corpus's planted
+    // perturbation, and the trailing-junk/ads case in real crawls —
+    // keeps the window identical (hamming 0), while an edit INSIDE the
+    // window flips only the two gradient bits that touch the edited
+    // word (MultimodalSpec pins the grading: one interior word change
+    // -> hamming 2). A length-normalized "resize" sampling was measured
+    // and rejected: a ±1-word length change shifts ~half the sampled
+    // positions and destroys the hash — the crop is what is robust to
+    // this corpus's perturbation family.
+    def cell(i: Int): Column =
+      coalesce(length(element_at(col("__w"), i + 1)), lit(0))
+    val hash = (0 until 60).map { k =>
+      when(cell(k) < cell(k + 1), lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val hashed = Tables.load(s, dir, "documents")
+      .select($"doc_id".as("media_id"), toks.as("__w"))
+      .where(size($"__w") >= 62)
+      .select($"media_id", hash.as("phash"))
+    graft.api.Graft.hammingNearDupPairs(hashed, $"media_id", $"phash",
+        bands = 4, bitsPerBand = 15, maxHamming = 6)
+      .withColumnRenamed("id_a", "media_a")
+      .withColumnRenamed("id_b", "media_b")
+      .orderBy($"media_a", $"media_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm01_binary_features" -> mm01BinaryFeatures,
     "mm02_decode_features" -> mm02DecodeFeatures,
     "mm03_frame_sample" -> mm03FrameSample,
-    "mm04_frame_dedup" -> mm04FrameDedup)
+    "mm04_frame_dedup" -> mm04FrameDedup,
+    "mm05_perceptual_dedup" -> mm05PerceptualDedup)
 
   val oracles: Map[String, String] = Map(
     "mm01_binary_features" ->
@@ -217,6 +259,35 @@ object Multimodal {
         | substring(hx, 129, 16) AS frame_2
         |FROM m ORDER BY media_id""".stripMargin,
     "mm02_decode_features" -> mm02Sql,
+    "mm05_perceptual_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id AS media_id,
+        |   regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |cells AS (
+        |  SELECT media_id,
+        |   list_transform(range(0, 61), i ->
+        |     coalesce(length(ws[CAST(i AS INTEGER) + 1]), 0)) AS c
+        |  FROM w WHERE len(ws) >= 62),
+        |hashes AS (
+        |  SELECT media_id,
+        |   CAST(sum(CASE WHEN c[CAST(k AS INTEGER) + 1] < c[CAST(k AS INTEGER) + 2]
+        |            THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER))
+        |            ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS h
+        |  FROM cells, range(60) t(k) GROUP BY media_id),
+        |banded AS (
+        |  SELECT media_id, h, CAST(i AS INTEGER) AS b,
+        |   (h >> (15 * CAST(i AS INTEGER))) & 32767 AS key
+        |  FROM hashes, range(4) t(i)),
+        |cand AS (
+        |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+        |   a.h AS ha, b.h AS hb
+        |  FROM banded a JOIN banded b
+        |    ON a.b = b.b AND a.key = b.key AND a.media_id < b.media_id)
+        |SELECT media_a, media_b,
+        | CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+        |ORDER BY media_a, media_b""".stripMargin,
     "mm04_frame_dedup" ->
       """WITH d AS (
         |  SELECT doc_id AS media_id,

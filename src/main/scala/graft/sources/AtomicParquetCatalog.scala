@@ -411,9 +411,12 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
 
   /** Iceberg-style metadata tables: `SELECT * FROM cat.db.tbl.history`
     * (the snapshot log — ordinal 0 = current, matching `VERSION AS OF`'s
-    * commits-back numbering, commit instant, file count/bytes) and
+    * commits-back numbering, commit instant, file count/bytes),
     * `cat.db.tbl.files` (the current snapshot's data files with their
-    * partition paths). A multipart identifier whose LAST part is the
+    * partition paths), `cat.db.tbl.partitions` (per-partition
+    * file/row/byte totals from parquet footers), `cat.db.tbl.refs`
+    * (tags) and `cat.db.tbl.stats` (ANALYZE sidecar). A multipart
+    * identifier whose LAST part is the
     * metadata name resolves here only when no real table shadows it and
     * the prefix names a committed table — same resolution rule Iceberg
     * uses. Both are driver-materialized [[LocalScanTable]]s: the snapshot
@@ -500,6 +503,35 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
                 p(2).toLong, dec(p(3)), dec(p(4)))
             }
           }
+        }))
+      case "partitions" =>
+        // Iceberg's `tbl.partitions`: per-partition file/row/byte totals
+        // of the CURRENT snapshot. Row counts come from parquet FOOTERS
+        // (metadata pages), never a data scan — the partition-health
+        // check (skew, small files) a maintenance job runs before
+        // choosing what to compact, priced at one footer read per file.
+        val schema = StructType(Seq(
+          StructField("partition_path", StringType, nullable = false),
+          StructField("n_files", LongType, nullable = false),
+          StructField("n_rows", LongType, nullable = false),
+          StructField("size_bytes", LongType, nullable = false)))
+        Some(new LocalScanTable(s"$parent.partitions", schema, () => {
+          val v = currentVersion(pdir).get
+          def rowsOf(f: JPath): Long =
+            try {
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(new org.apache.hadoop.fs.Path(f.toUri),
+                  new org.apache.hadoop.conf.Configuration())
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try r.getRecordCount finally r.close()
+            } catch { case _: Exception => 0L }
+          dataFiles(v).groupBy(f =>
+            Option(v.relativize(f).getParent).map(_.toString).getOrElse(""))
+            .toSeq.sortBy(_._1).map { case (p, fs) =>
+              org.apache.spark.sql.catalyst.InternalRow(
+                UTF8String.fromString(p), fs.size.toLong,
+                fs.map(rowsOf).sum, fs.map(Files.size).sum)
+            }
         }))
       case "files" =>
         val schema = StructType(Seq(

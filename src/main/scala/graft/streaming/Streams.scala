@@ -380,7 +380,68 @@ object Streams {
       .orderBy($"rank")
   }
 
+  /** st11: STREAMING UPSERT into the lakehouse — the CDC-merge landing
+    * pattern (a streaming `MERGE INTO` per micro-batch, the shape Delta
+    * and Iceberg deployments run for mutable streaming state): the
+    * target is a PARTITIONED catalog table pre-seeded with per-user
+    * totals up to a cutoff, and each micro-batch of post-cutoff events
+    * aggregates to per-user deltas and MERGEs them in — matched users
+    * accumulate, new users insert into their hash-bucket partition, and
+    * every batch commits one conflict-checked snapshot through the
+    * PARTITION-LEVEL copy-on-write path (untouched bucket partitions
+    * ride as hard links; a concurrent writer conflicts instead of
+    * tearing the log). The oracle recomputes the final state from
+    * `events` with the same pre/post split, pinning the whole
+    * seed -> stream -> merge -> read loop. Accumulation composes
+    * decimal-exact per-slice sums with IEEE double addition in batch
+    * order, the documented cross-engine contract (the oracle mirrors
+    * the same two-slice addition). This is at-least-once + additive (a
+    * REPLAYED batch would re-add its delta); the exactly-once variant
+    * is [[silverStreamingEffectivelyOnce]]'s keyed replace — two
+    * different contracts, both surfaced. */
+  def st11StreamUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_st")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_st.db")
+    val cutoff = to_timestamp(lit("2024-01-15 00:00:00"))
+    // seed: totals up to the cutoff (the state a prior run landed)
+    Tables.load(s, dir, "events").where($"ts" < cutoff)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), Det.moneySum($"value").as("total"))
+      .withColumn("bucket", ($"user_id" % 8).cast("string"))
+      .select($"user_id", $"bucket", $"n_events", $"total")
+      .writeTo("graft_st.db.user_totals").using("parquet")
+      .partitionedBy($"bucket").createOrReplace()
+    val src = eventsStream(s, dir).where($"ts" >= cutoff)
+      .select($"user_id", $"value")
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        batch.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            Det.moneySum(col("value")).as("total"))
+          .withColumn("bucket", (col("user_id") % 8).cast("string"))
+          .createOrReplaceTempView("st11_delta")
+        ss.sql("""MERGE INTO graft_st.db.user_totals t
+                 |USING st11_delta s ON t.user_id = s.user_id
+                 |WHEN MATCHED THEN UPDATE SET
+                 |  n_events = t.n_events + s.n_events,
+                 |  total = t.total + s.total
+                 |WHEN NOT MATCHED THEN
+                 |  INSERT (user_id, bucket, n_events, total)
+                 |  VALUES (s.user_id, s.bucket, s.n_events, s.total)
+                 |""".stripMargin)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("graft_st.db.user_totals")
+      .select($"user_id", $"bucket", $"n_events", $"total")
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st11_stream_upsert" -> st11StreamUpsert,
     "st10_stream_drift" -> st10StreamDrift,
     "st09_stream_catalog_ingest" -> st09StreamCatalogIngest,
     "st08_stream_hopping" -> st08StreamHopping,
@@ -393,6 +454,27 @@ object Streams {
     "st05_stream_static_join" -> st05StreamStaticJoin)
 
   val oracles: Map[String, String] = Map(
+    // seeded pre-cutoff totals + streamed post-cutoff deltas, composed
+    // with the same two-slice double addition the merge performs
+    "st11_stream_upsert" ->
+      """WITH pre AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n0,
+        |   CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS t0
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+        |  GROUP BY user_id),
+        |post AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n1,
+        |   CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS t1
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |  GROUP BY user_id)
+        |SELECT coalesce(pre.user_id, post.user_id) AS user_id,
+        | CAST(coalesce(pre.user_id, post.user_id) % 8 AS VARCHAR) AS bucket,
+        | coalesce(n0, 0) + coalesce(n1, 0) AS n_events,
+        | CASE WHEN pre.user_id IS NOT NULL AND post.user_id IS NOT NULL
+        |      THEN t0 + t1
+        |      WHEN pre.user_id IS NOT NULL THEN t0 ELSE t1 END AS total
+        |FROM pre FULL OUTER JOIN post ON pre.user_id = post.user_id
+        |ORDER BY user_id""".stripMargin,
     // the streaming word count feeding the drift monitor == the batch
     // path: st10 shares t42's oracle verbatim
     "st10_stream_drift" ->

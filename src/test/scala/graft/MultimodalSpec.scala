@@ -59,4 +59,42 @@ class MultimodalSpec extends AnyFunSuite {
     // the slices collide, so distinct md5 count is near the frame count
     assert(df.select(countDistinct(col("frame_md5"))).head().getLong(0) > nMedia)
   }
+
+  test("perceptual hamming dedup grades edits: trailing append 0, interior edit small, rewrite unfound") {
+    import spark.implicits._
+    // four media over the same word-length profile: an exact twin with a
+    // TRAILING append (outside the 61-word window -> hamming 0), an
+    // interior one-word length change (flips exactly the two gradient
+    // bits that touch word 30 -> hamming <= 2), and a full rewrite
+    // (alternating lengths everywhere -> not within hamming 6, must not
+    // pair). Word k of the base has length (k % 7) + 1.
+    def words(lenAt: Int => Int, n: Int): String =
+      (0 until n).map(k => "x" * lenAt(k)).mkString(" ")
+    val base = (k: Int) => (k % 7) + 1
+    val docs = Seq(
+      (1L, words(base, 70)),
+      (2L, words(base, 70) + " trailing junk appended here"),
+      (3L, words(k => if (k == 30) base(30) + 3 else base(k), 70)),
+      (4L, words(k => if (k % 2 == 0) 9 else 1, 70))
+    ).toDF("doc_id", "text")
+    // same hash construction as the mm05 gate
+    val toks = split(trim(col("text")), "\\s+")
+    def cell(i: Int) =
+      coalesce(length(element_at(col("__w"), i + 1)), lit(0))
+    val hash = (0 until 60).map { k =>
+      when(cell(k) < cell(k + 1), lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val hashed = docs.select(col("doc_id"), toks.as("__w"))
+      .where(size(col("__w")) >= 62).select(col("doc_id"), hash.as("phash"))
+    val pairs = graft.api.Graft.hammingNearDupPairs(
+        hashed, col("doc_id"), col("phash"))
+      .as[(Long, Long, Int)].collect().toSet
+    val h12 = pairs.find(p => p._1 == 1L && p._2 == 2L).map(_._3)
+    val h13 = pairs.find(p => p._1 == 1L && p._2 == 3L).map(_._3)
+    assert(h12.contains(0), s"trailing append must be hamming 0: $pairs")
+    assert(h13.exists(h => h > 0 && h <= 2),
+      s"interior edit must grade small nonzero: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"the rewrite must not pair within hamming 6: $pairs")
+  }
 }

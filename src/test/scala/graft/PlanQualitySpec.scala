@@ -426,6 +426,12 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(iw.contains("BroadcastHashJoin"), iw)
   }
 
+  test("mm05 perceptual dedup joins on band keys only (no cartesian)") {
+    val plan = planOf(graft.ops.Multimodal.mm05PerceptualDedup(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("partitioned MERGE prunes the rewrite scan to matching partitions at runtime") {
     import spark.implicits._
     graft.sources.AtomicParquetCatalog.ensureRegistered(spark, "graft_pq")
