@@ -891,7 +891,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("expire_snapshots", "rollback_to", "compact", "tag",
-        "drop_tag", "analyze", "clone")
+        "drop_tag", "analyze", "clone", "remove_orphans")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -1144,12 +1144,47 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
                 UTF8String.fromString(srcVersion), UTF8String.fromString(v)))
           }
         }
+      case "remove_orphans" =>
+        // CALL cat.system.remove_orphans('db.tbl', min_age_s) — sweep
+        // version directories that are in NO log (neither current, nor
+        // retained history, nor tag-pinned): the leftovers of writers
+        // that died between staging and commit, or of CAS losers whose
+        // cleanup was itself interrupted. Age-gated so an IN-FLIGHT
+        // staged write (its dir exists, its commit hasn't happened yet)
+        // is never swept — the same reasoning as the stale-lock breaker.
+        // Runs under the commit lock so the log cannot advance mid-sweep.
+        new GraftProcedure("remove_orphans", Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("min_age_s", IntegerType).build())) {
+          override def call(input: InternalRow): java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val dir = procTableDir(input.getUTF8String(0).toString)
+            val minAgeS = input.getInt(1)
+            require(minAgeS >= 0, s"min_age_s must be >= 0, got $minAgeS")
+            val removed = withCommitLock(dir) {
+              val live = versionLog(dir).toSet ++ readRefs(dir).values
+              val cutoff = System.currentTimeMillis() - minAgeS * 1000L
+              Files.list(dir).iterator().asScala.filter { p =>
+                val n = p.getFileName.toString
+                n.startsWith("v-") && !live.contains(n) &&
+                  Files.isDirectory(p) &&
+                  (try Files.getLastModifiedTime(p).toMillis < cutoff
+                   catch { case _: java.io.IOException => false })
+              }.toSeq.map { p =>
+                deleteRecursively(p); p.getFileName.toString
+              }
+            }
+            summaryScan(StructType(Seq(
+              StructField("removed_orphans", IntegerType, nullable = false))),
+              InternalRow(removed.size))
+          }
+        }
       case other =>
         throw new RuntimeException(
           s"unknown procedure system.$other — available: " +
             "expire_snapshots(table, keep), rollback_to(table, ordinal), " +
             "compact(table, target_files), tag(table, name, ordinal), " +
-            "drop_tag(table, name), analyze(table), clone(source, destination)")
+            "drop_tag(table, name), analyze(table), clone(source, " +
+            "destination), remove_orphans(table, min_age_s)")
     }
   }
 }
@@ -1237,12 +1272,16 @@ private[sources] abstract class VersionedTable(
   * losing the other writer's update, and the pre-merge snapshot stays
   * time-travelable. Merge cost is therefore proportional to the touched
   * partitions, not the table (AtomicCatalogSpec pins the inode equality
-  * of linked partitions). When group filtering cannot fire — an
-  * unpartitioned table, a merge with NOT-MATCHED-BY-SOURCE clauses
-  * (every partition is potentially affected), or the group filter
-  * disabled — the scan serves the whole table and the rewrite degrades
-  * to whole-table COW, written unpartitioned with metadata recording
-  * that: correct at any scale, just without the partition shortcut.
+  * of linked partitions, including DATE-typed partition values). When
+  * group filtering cannot fire — an unpartitioned table, a merge with
+  * NOT-MATCHED-BY-SOURCE clauses (every partition is potentially
+  * affected), a MULTI-column partition spec (Spark's runtime-filter V2
+  * translation pushes single-column IN predicates only; the multi-key
+  * pruning subquery's struct child does not translate), or the group
+  * filter disabled — the scan serves the whole table and the rewrite
+  * degrades to whole-table COW, written unpartitioned with metadata
+  * recording that: correct at any scale, just without the partition
+  * shortcut.
   * Group filtering is best-effort BY CONTRACT (returning more rows than
   * the matched groups is always sound — the rewrite carries survivors
   * through), which is what makes the conservative keeps below (null

@@ -890,6 +890,49 @@ class AtomicCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_atomic.db.cow3")
   }
 
+  test("two-level and date-typed partitions stay correct under row-level ops") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
+    // TWO partition columns: Spark's runtime-filter V2 translation
+    // pushes single-column IN predicates only (a multi-key pruning
+    // subquery's child is a struct it cannot translate), so the scan
+    // receives no usable group filter and the operation degrades to the
+    // whole-table COW fallback — data must stay exactly correct either
+    // way (the conservative-fallback contract; single-column pruning is
+    // inode-pinned by the other cases in this suite)
+    Seq((1L, "x", 1, 1.0), (2L, "x", 2, 2.0), (3L, "y", 1, 3.0),
+        (4L, "y", 2, 4.0))
+      .toDF("id", "p1", "p2", "v")
+      .writeTo("graft_atomic.db.cow4").using("parquet")
+      .partitionedBy(col("p1"), col("p2")).createOrReplace()
+    spark.sql("DELETE FROM graft_atomic.db.cow4 WHERE p1 = 'x' AND p2 = 1")
+    assert(spark.table("graft_atomic.db.cow4").orderBy("id")
+      .as[(Long, String, Int, Double)].collect().toSeq ==
+      Seq((2L, "x", 2, 2.0), (3L, "y", 1, 3.0), (4L, "y", 2, 4.0)))
+    spark.sql("DROP TABLE graft_atomic.db.cow4")
+    // a DATE partition column: the runtime filter's literals are
+    // days-since-epoch ints, the directory names are ISO strings — the
+    // cast-based comparison must line them up
+    Seq((1L, java.sql.Date.valueOf("2024-01-01"), 1.0),
+        (2L, java.sql.Date.valueOf("2024-01-02"), 2.0),
+        (3L, java.sql.Date.valueOf("2024-01-03"), 3.0))
+      .toDF("id", "d", "v")
+      .writeTo("graft_atomic.db.cow5").using("parquet")
+      .partitionedBy(col("d")).createOrReplace()
+    val w0 = currentVersionDir("cow5")
+    val keep2 = partFiles(w0, "d=2024-01-02")
+    val keep3 = partFiles(w0, "d=2024-01-03")
+    spark.sql("DELETE FROM graft_atomic.db.cow5 WHERE d = DATE '2024-01-01'")
+    val w1 = currentVersionDir("cow5")
+    assert(spark.table("graft_atomic.db.cow5").orderBy("id")
+      .as[(Long, java.sql.Date, Double)].collect().map(_._1).toSeq ==
+      Seq(2L, 3L))
+    assert(partFiles(w1, "d=2024-01-02") == keep2 &&
+      partFiles(w1, "d=2024-01-03") == keep3,
+      "date partitions must hard-link when another date is deleted")
+    spark.sql("DROP TABLE graft_atomic.db.cow5")
+  }
+
   test("MERGE racing an append conflicts; retry applies both effects") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
@@ -1048,6 +1091,39 @@ class AtomicCatalogSpec extends AnyFunSuite {
     assert(got == (1L to 6L).map(i => (i, if (i % 2 == 0) "even" else "odd",
       1.0)), s"soak lost or double-applied an update: $got")
     spark.sql("DROP TABLE graft_atomic.db.soak1")
+  }
+
+  test("remove_orphans sweeps dead staging dirs, never live or young ones") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
+    Seq((1L, 1.0)).toDF("id", "v")
+      .writeTo("graft_atomic.db.orph1").using("parquet").createOrReplace()
+    val dir = tblDir("orph1")
+    // a dead writer's leftover: a v-* dir in no log, mtime in the past
+    val dead = dir.resolve(s"v-${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.createDirectories(dead)
+    java.nio.file.Files.setLastModifiedTime(dead,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600 * 1000L))
+    // an in-flight writer's staging dir: exists, NOT committed, young
+    val inflight = dir.resolve(s"v-${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.createDirectories(inflight)
+    val n = spark.sql(
+      "CALL graft_atomic.system.remove_orphans('db.orph1', 600)")
+      .head().getInt(0)
+    assert(n == 1, s"expected exactly the dead orphan swept, got $n")
+    assert(!java.nio.file.Files.exists(dead), "dead orphan not swept")
+    assert(java.nio.file.Files.exists(inflight),
+      "young in-flight staging dir must survive the sweep")
+    // live (committed) versions are untouched and the table still reads
+    assert(spark.table("graft_atomic.db.orph1").count() == 1)
+    // age 0 sweeps the in-flight one too (operator's explicit choice)
+    val n2 = spark.sql(
+      "CALL graft_atomic.system.remove_orphans('db.orph1', 0)")
+      .head().getInt(0)
+    assert(n2 == 1 && !java.nio.file.Files.exists(inflight))
+    assert(spark.table("graft_atomic.db.orph1").count() == 1)
+    spark.sql("DROP TABLE graft_atomic.db.orph1")
   }
 
   test("medallion silver+gold run through the V2 RTAS path on this catalog") {
