@@ -2926,6 +2926,75 @@ object Graft {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Exact tie-aware ROC AUC per group — the classifier-evaluation step
+    * a quality-filter pipeline runs before trusting a scorer's
+    * threshold (t18's hashed classifier, a fluency LM, any ranking
+    * signal) against a weak label. Mann–Whitney form with average-rank
+    * tie handling, computed from the per-(group, score) HISTOGRAM:
+    * won2 = 2*sum_s[p_s * cumneg(<s)] + sum_s[p_s * n_s] (wins double,
+    * ties single), AUC = won2 / (2 * P * N) — all-integer until one
+    * final division, so cross-engine exact. Groups with a single class
+    * report NULL (AUC undefined).
+    *
+    * Scale shape: the corpus collapses to the (group, score) histogram
+    * in one map-side-combined aggregate; the prefix sum then windows
+    * over HISTOGRAM rows partitioned by group — score cardinality per
+    * group, never corpus rows, and never a single global partition. */
+  def binaryAucPerGroup(df: DataFrame, group: Column, score: Column,
+                        label: Column): DataFrame = {
+    val h = df
+      .select(group.as("grp"), score.as("__s"),
+        label.cast(BooleanType).as("__y"))
+      .where(col("__s").isNotNull && col("__y").isNotNull)
+      .groupBy(col("grp"), col("__s"))
+      .agg(count_if(col("__y")).as("__p"), count_if(!col("__y")).as("__n"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    h.withColumn("__cumn", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .groupBy(col("grp"))
+      .agg(sum(col("__p")).as("n_pos"), sum(col("__n")).as("n_neg"),
+        sum(col("__p") * (col("__cumn") * 2 + col("__n"))).as("__won2"))
+      .select(col("grp"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("__won2").cast(DoubleType) /
+            (col("n_pos") * col("n_neg") * 2).cast(DoubleType))
+          .as("auc"))
+  }
+
+  /** Per-slice n-gram repetition profile — the compressibility /
+    * "dedup dividend" estimator a curation pipeline reads before
+    * spending on dedup: for each group and each n in 1..maxN, the total
+    * n-gram instance count, the DISTINCT n-gram count, and
+    * repetition_ratio = 1 - distinct/total (0 = all-unique text, ->1 =
+    * heavy repetition; rising ratio at higher n means repeated PHRASES,
+    * not just a small vocabulary). Output: (grp, n, total_ngrams,
+    * distinct_ngrams, repetition_ratio).
+    *
+    * Scale shape: one explode per n over the token stream and a keyed
+    * exact-distinct aggregate — the distinct count is the one
+    * corpus-sized exchange (exact by design here; swap in the KMV
+    * sketch family ([[corpusOverlapSketch]]'s bounded-state shape) when
+    * the gram space itself is the scale problem). */
+  def ngramRepetitionProfile(df: DataFrame, group: Column, text: Column,
+                             maxN: Int = 3): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in 1..8, got $maxN")
+    val base = fanOut(df.select(group.as("grp"), text.as("__t")))
+      .select(col("grp"), split(trim(col("__t")), "\\s+").as("__w"))
+    val perN = (1 to maxN).map { n =>
+      base.where(size(col("__w")) >= n)
+        .select(col("grp"), lit(n).as("n"),
+          explode(expr(s"transform(sequence($n, size(__w)), " +
+            s"i -> array_join(slice(__w, i - $n + 1, $n), ' '))")).as("__g"))
+    }
+    perN.reduce(_ unionAll _)
+      .groupBy(col("grp"), col("n"))
+      .agg(count(lit(1)).as("total_ngrams"),
+        countDistinct(col("__g")).as("distinct_ngrams"))
+      .withColumn("repetition_ratio",
+        lit(1.0) - col("distinct_ngrams").cast(DoubleType) /
+          col("total_ngrams").cast(DoubleType))
+  }
+
   /** Importance weighting for targeted data selection (the DSIR shape,
     * Xie et al. 2023: score raw-corpus documents by how target-like
     * their hashed n-gram distribution is, then sample by weight): each

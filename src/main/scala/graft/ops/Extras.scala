@@ -1119,11 +1119,19 @@ object Extras {
         | count(*) AS n_rows
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
     "q76_catalog_external" ->
-      s"""SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
-        | CAST(bal AS DOUBLE) AS bal, CAST(grp AS VARCHAR) AS grp,
-        | CAST(note AS VARCHAR) AS note
+      // rows/keys/grp/note come from DuckDB READING the exported version
+      // directory (cross-engine readability — the Trino acceptance
+      // shape); bal is recomputed INDEPENDENTLY from the raw supplier
+      // table plus the gate's update rule, so a catalog that wrote a
+      // wrong value (not just unreadable files) hash-mismatches too
+      s"""SELECT CAST(e.s_suppkey AS BIGINT) AS s_suppkey, e.s_name,
+        | CASE WHEN e.s_suppkey = 90001 THEN CAST(1.5 AS DOUBLE)
+        |      WHEN e.grp = '2' THEN s.s_acctbal + CAST(10.0 AS DOUBLE)
+        |      ELSE s.s_acctbal END AS bal,
+        | CAST(e.grp AS VARCHAR) AS grp, CAST(e.note AS VARCHAR) AS note
         |FROM read_parquet('$CatalogExternalExportDir/**/*.parquet',
-        |  hive_partitioning=true, union_by_name=true)
+        |  hive_partitioning=true, union_by_name=true) e
+        |LEFT JOIN supplier s ON s.s_suppkey = e.s_suppkey
         |ORDER BY s_suppkey""".stripMargin,
     "q54_higher_order" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -850,7 +850,43 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t45: EXACT classifier-evaluation AUC — the step that decides
+    * whether a quality scorer is worth thresholding on: per source
+    * slice, the tie-aware ROC AUC of a ranking signal (here the
+    * stopword count, t02's English-ness evidence — integer-valued, so
+    * ties are heavy and the average-rank arithmetic is genuinely
+    * exercised) against the declared-language weak label. Thin binding
+    * of [[graft.api.Graft.binaryAucPerGroup]]; the all-integer
+    * Mann–Whitney form makes the value engine-exact. */
+  def t45ClassifierAuc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = tokens($"text")
+    graft.api.Graft.binaryAucPerGroup(
+        Tables.load(s, dir, "documents").select($"source",
+          size(filter(t, x => x.isin(StopWords: _*))).cast(LongType)
+            .as("score"),
+          ($"lang" === "en").as("label")),
+        $"source", $"score", $"label")
+      .withColumnRenamed("grp", "source")
+      .orderBy($"source")
+  }
+
+  /** t46: n-gram REPETITION PROFILE per source — the compressibility /
+    * dedup-dividend estimator: distinct-vs-total n-gram ratios at
+    * n = 1, 2, 3 (a ratio rising with n = repeated PHRASES, the dedup
+    * target; flat = just a small vocabulary). Thin binding of
+    * [[graft.api.Graft.ngramRepetitionProfile]]. */
+  def t46RepetitionProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.api.Graft.ngramRepetitionProfile(
+        Tables.load(s, dir, "documents"), $"source", $"text", maxN = 3)
+      .withColumnRenamed("grp", "source")
+      .orderBy($"source", $"n")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t46_repetition_profile" -> t46RepetitionProfile,
+    "t45_classifier_auc" -> t45ClassifierAuc,
     "t44_domain_blocklist" -> t44DomainBlocklist,
     "t43_mixed_language" -> t43MixedLanguage,
     "t42_corpus_drift" -> t42CorpusDrift,
@@ -916,6 +952,49 @@ object TextAnalysis {
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t45_classifier_auc" ->
+      """WITH d AS (
+        |  SELECT source,
+        |   CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |     x -> x IN ('the','a','of','to','in'))) AS BIGINT) AS s,
+        |   (lang = 'en') AS y
+        |  FROM documents),
+        |h AS (
+        |  SELECT source, s,
+        |   CAST(count(*) FILTER (y) AS BIGINT) AS p,
+        |   CAST(count(*) FILTER (NOT y) AS BIGINT) AS n
+        |  FROM d GROUP BY source, s),
+        |c AS (
+        |  SELECT source, s, p, n,
+        |   coalesce(sum(n) OVER (PARTITION BY source ORDER BY s
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumn
+        |  FROM h)
+        |SELECT source, CAST(sum(p) AS BIGINT) AS n_pos,
+        | CAST(sum(n) AS BIGINT) AS n_neg,
+        | CASE WHEN sum(p) > 0 AND sum(n) > 0
+        |      THEN CAST(sum(p * (2 * cumn + n)) AS DOUBLE)
+        |           / CAST(2 * sum(p) * sum(n) AS DOUBLE)
+        |      ELSE NULL END AS auc
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    "t46_repetition_profile" ->
+      """WITH d AS (
+        |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, 1 AS n, unnest(t) AS gram FROM d
+        |  UNION ALL
+        |  SELECT source, 2, unnest(list_transform(generate_series(2, len(t)),
+        |    i -> array_to_string(list_slice(t, i-1, i), ' '))) FROM d
+        |  WHERE len(t) >= 2
+        |  UNION ALL
+        |  SELECT source, 3, unnest(list_transform(generate_series(3, len(t)),
+        |    i -> array_to_string(list_slice(t, i-2, i), ' '))) FROM d
+        |  WHERE len(t) >= 3)
+        |SELECT source, n, CAST(count(*) AS BIGINT) AS total_ngrams,
+        | CAST(count(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+        | 1.0 - CAST(count(DISTINCT gram) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |   AS repetition_ratio
+        |FROM g GROUP BY source, n ORDER BY source, n""".stripMargin,
     "t44_domain_blocklist" ->
       """WITH p AS (SELECT doc_id, text ||
         |  CASE WHEN doc_id % 3 = 0 THEN ' see https://docs.example'

@@ -1665,4 +1665,44 @@ class GraftApiSpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect().toSeq
     assert(tiny == Seq(("a", 6L, 6L)), tiny)
   }
+
+  test("binaryAucPerGroup: hand-computed AUC with ties, perfect and degenerate groups") {
+    import spark.implicits._
+    // group g1: pos scores {3, 2}, neg scores {2, 1}.
+    // Pairs (pos vs neg): (3,2) win, (3,1) win, (2,2) TIE, (2,1) win
+    // -> AUC = (3 + 0.5) / 4 = 0.875
+    // group g2: perfectly separated -> AUC = 1.0
+    // group g3: positives only -> AUC undefined (NULL)
+    val df = Seq(
+      ("g1", 3L, true), ("g1", 2L, true), ("g1", 2L, false), ("g1", 1L, false),
+      ("g2", 9L, true), ("g2", 1L, false),
+      ("g3", 5L, true), ("g3", 6L, true)
+    ).toDF("g", "s", "y").repartition(3)
+    val got = Graft.binaryAucPerGroup(df, $"g", $"s", $"y")
+      .orderBy($"grp")
+      .as[(String, Long, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(("g1", 2L, 2L, Some(0.875)),
+      ("g2", 1L, 1L, Some(1.0)), ("g3", 2L, 0L, None)), got)
+    // anti-learner symmetry: flipping the label flips AUC around 0.5
+    val flipped = Graft.binaryAucPerGroup(df.where($"g" === "g1"),
+      $"g", $"s", !$"y").select($"auc").head().getDouble(0)
+    assert(flipped == 1.0 - 0.875, flipped)
+  }
+
+  test("ngramRepetitionProfile: hand-computed distinct/total ratios") {
+    import spark.implicits._
+    // "a b a b": 1-grams 4 total {a,b}=2 distinct -> ratio 0.5
+    //            2-grams 3 total {a b, b a}=2 -> 1 - 2/3
+    //            3-grams 2 total {a b a, b a b}=2 -> 0.0
+    val df = Seq(("x", "a b a b")).toDF("g", "t")
+    val got = Graft.ngramRepetitionProfile(df, $"g", $"t", maxN = 3)
+      .orderBy($"n").as[(String, Int, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("x", 1, 4L, 2L, 0.5),
+      ("x", 2, 3L, 2L, 1.0 - 2.0 / 3.0), ("x", 3, 2L, 2L, 0.0)), got)
+    // a document shorter than n contributes nothing at that n
+    val short = Graft.ngramRepetitionProfile(
+      Seq(("y", "solo")).toDF("g", "t"), $"g", $"t", maxN = 3)
+      .as[(String, Int, Long, Long, Double)].collect().toSeq
+    assert(short == Seq(("y", 1, 1L, 1L, 0.0)), short)
+  }
 }
