@@ -2926,6 +2926,36 @@ object Graft {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Checksum-validated payment-card detection — the precision tier of
+    * PII scanning: a bare 16-digit regex (the t09 recall tier) flags
+    * order numbers and tracking codes too, so real compliance pipelines
+    * gate matches on the Luhn check (ISO/IEC 7812) before redacting or
+    * quarantining. Reports per document the 16-digit candidate count
+    * and how many pass Luhn — all inside one codegen'd projection (the
+    * 16-term doubled-digit sum is unrolled per candidate in a
+    * higher-order filter; no UDF, no exchange, no shuffle).
+    * Output: (id, n_card_like, n_luhn_valid). */
+  def luhnCardFlags(df: DataFrame, id: Column, text: Column): DataFrame = {
+    def luhnOk(c: Column): Column = {
+      val total = (0 until 16).map { i =>
+        val d = substring(c, i + 1, 1).cast(IntegerType)
+        // position from the RIGHT is 16-i: Luhn doubles every second
+        // digit from the right, i.e. even 0-based-left indexes here
+        if (i % 2 == 0) { val dd = d * 2; when(dd > 9, dd - 9).otherwise(dd) }
+        else d
+      }.reduce(_ + _)
+      total % 10 === 0
+    }
+    fanOut(df.select(id.as("id"), text.as("__t")))
+      .select(col("id"),
+        regexp_extract_all(col("__t"), lit("\\b\\d{16}\\b"), lit(0))
+          .as("__cands"))
+      .select(col("id"),
+        size(col("__cands")).cast(LongType).as("n_card_like"),
+        size(filter(col("__cands"), c => luhnOk(c))).cast(LongType)
+          .as("n_luhn_valid"))
+  }
+
   /** Exact tie-aware ROC AUC per group — the classifier-evaluation step
     * a quality-filter pipeline runs before trusting a scorer's
     * threshold (t18's hashed classifier, a fluency LM, any ranking

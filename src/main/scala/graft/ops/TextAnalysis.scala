@@ -884,7 +884,42 @@ object TextAnalysis {
       .orderBy($"source", $"n")
   }
 
+  /** t47: CHECKSUM-GATED PII detection — the precision tier above t09's
+    * regex redaction: every planted 16-digit candidate is re-validated
+    * with the Luhn check before counting as a card, which is how a
+    * compliance pipeline keeps order numbers and tracking codes out of
+    * the quarantine queue. The gate plants one VALID card (doc_id % 5)
+    * and one INVALID same-shape number (doc_id % 7) per selected
+    * document — check digit computed from the same doubled-digit sum on
+    * both sides, so the oracle proves the full loop: plant -> extract
+    * -> validate. Thin binding of [[graft.api.Graft.luhnCardFlags]]. */
+  def t47LuhnCards(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = $"doc_id"
+    val base = concat(lit("4"),
+      lpad((d % 100000000L).cast(StringType), 14, "0"))
+    val sSum = (0 until 15).map { i =>
+      val dg = substring(base, i + 1, 1).cast(IntegerType)
+      if (i % 2 == 0) { val dd = dg * 2; when(dd > 9, dd - 9).otherwise(dd) }
+      else dg
+    }.reduce(_ + _)
+    val check = (lit(10) - (sSum % 10)) % 10
+    val withCards = concat($"text",
+      when(d % 5 === 0,
+        concat(lit(" card "), base, check.cast(StringType)))
+        .otherwise(lit("")),
+      when(d % 7 === 0,
+        concat(lit(" num "), base, ((check + 5) % 10).cast(StringType)))
+        .otherwise(lit("")))
+    graft.api.Graft.luhnCardFlags(
+        Tables.load(s, dir, "documents").withColumn("t", withCards),
+        $"doc_id", $"t")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t47_luhn_cards" -> t47LuhnCards,
     "t46_repetition_profile" -> t46RepetitionProfile,
     "t45_classifier_auc" -> t45ClassifierAuc,
     "t44_domain_blocklist" -> t44DomainBlocklist,
@@ -952,6 +987,40 @@ object TextAnalysis {
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t47_luhn_cards" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |   '4' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 14, '0') AS base
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, text, base,
+        |   list_aggregate(list_transform(range(0, 15), i ->
+        |     CASE WHEN CAST(i AS INTEGER) % 2 = 0
+        |       THEN CASE WHEN CAST(substr(base, CAST(i AS INTEGER)+1, 1) AS INTEGER)*2 > 9
+        |            THEN CAST(substr(base, CAST(i AS INTEGER)+1, 1) AS INTEGER)*2 - 9
+        |            ELSE CAST(substr(base, CAST(i AS INTEGER)+1, 1) AS INTEGER)*2 END
+        |       ELSE CAST(substr(base, CAST(i AS INTEGER)+1, 1) AS INTEGER) END),
+        |     'sum') AS ssum
+        |  FROM b),
+        |p AS (
+        |  SELECT doc_id, text
+        |   || CASE WHEN doc_id % 5 = 0 THEN ' card ' || base
+        |        || CAST((10 - ssum % 10) % 10 AS VARCHAR) ELSE '' END
+        |   || CASE WHEN doc_id % 7 = 0 THEN ' num ' || base
+        |        || CAST(((10 - ssum % 10) % 10 + 5) % 10 AS VARCHAR) ELSE '' END
+        |   AS t
+        |  FROM s),
+        |c AS (SELECT doc_id, regexp_extract_all(t, '\b\d{16}\b') AS cands FROM p)
+        |SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_card_like,
+        | CAST(len(list_filter(cands, cc ->
+        |   list_aggregate(list_transform(range(0, 16), i ->
+        |     CASE WHEN CAST(i AS INTEGER) % 2 = 0
+        |       THEN CASE WHEN CAST(substr(cc, CAST(i AS INTEGER)+1, 1) AS INTEGER)*2 > 9
+        |            THEN CAST(substr(cc, CAST(i AS INTEGER)+1, 1) AS INTEGER)*2 - 9
+        |            ELSE CAST(substr(cc, CAST(i AS INTEGER)+1, 1) AS INTEGER)*2 END
+        |       ELSE CAST(substr(cc, CAST(i AS INTEGER)+1, 1) AS INTEGER) END),
+        |     'sum') % 10 = 0)) AS BIGINT) AS n_luhn_valid
+        |FROM c ORDER BY doc_id""".stripMargin,
     "t45_classifier_auc" ->
       """WITH d AS (
         |  SELECT source,

@@ -1666,6 +1666,21 @@ class GraftApiSpec extends AnyFunSuite {
     assert(tiny == Seq(("a", 6L, 6L)), tiny)
   }
 
+  test("luhnCardFlags: the canonical test PAN validates, off-by-one fails, boundaries respected") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "pay with 4111111111111111 now"),        // canonical valid PAN
+      (2L, "order 4111111111111112 shipped"),       // check digit off: invalid
+      (3L, "id 41111111111111112 long"),            // 17 digits: no \b16\b match
+      (4L, "4111111111111111 and 4111111111111112"),// one of each
+      (5L, "no digits at all")
+    ).toDF("doc_id", "text")
+    val got = Graft.luhnCardFlags(df, $"doc_id", $"text")
+      .orderBy($"id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 1L), (2L, 1L, 0L), (3L, 0L, 0L),
+      (4L, 2L, 1L), (5L, 0L, 0L)), got)
+  }
+
   test("binaryAucPerGroup: hand-computed AUC with ties, perfect and degenerate groups") {
     import spark.implicits._
     // group g1: pos scores {3, 2}, neg scores {2, 1}.
