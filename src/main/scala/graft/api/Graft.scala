@@ -2926,6 +2926,24 @@ object Graft {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Canonical text normalization — the cleaning primitive that runs
+    * BEFORE any hash-keyed stage (fingerprints, minhash shingles,
+    * boilerplate chunk frequency): typographic quotes to straight
+    * quotes, en/em/horizontal-bar dashes to '-', control characters to
+    * spaces, whitespace runs collapsed, ends trimmed. Without it, a
+    * smart-quoted copy of a document hashes as a distinct document and
+    * every dedup stage silently under-merges. IDEMPOTENT by
+    * construction (normalize . normalize == normalize — spec-pinned),
+    * so re-running a pipeline over partially-cleaned data is safe. A
+    * pure narrow expression chain: no UDF, no exchange. */
+  def normalizeText(text: Column): Column = {
+    val quotes1 = regexp_replace(text, "[‘’‚‛]", "'")
+    val quotes2 = regexp_replace(quotes1, "[“”„‟]", "\"")
+    val dashes = regexp_replace(quotes2, "[–—―]", "-")
+    val ctrl = regexp_replace(dashes, "[\\x00-\\x1F\\x7F]", " ")
+    trim(regexp_replace(ctrl, "\\s+", " "))
+  }
+
   /** Checksum-validated payment-card detection — the precision tier of
     * PII scanning: a bare 16-digit regex (the t09 recall tier) flags
     * order numbers and tracking codes too, so real compliance pipelines

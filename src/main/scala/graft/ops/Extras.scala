@@ -611,6 +611,34 @@ object Extras {
       .orderBy($"partition_path")
   }
 
+  /** q78: SNAPSHOT CHANGES — the incremental-consumer pattern on the
+    * atomic catalog (Iceberg's incremental read / Delta CDF shape,
+    * composed from surfaces the catalog already pins): three commits
+    * build a known history (create, fast-append, partition-COW delete),
+    * then the changes since the FIRST snapshot are derived as two
+    * `EXCEPT ALL` passes against the `VERSION AS OF` read — added rows
+    * and removed rows, each tagged. A downstream job that consumed
+    * snapshot A catches up to the head with exactly this delta instead
+    * of reprocessing the table. The oracle reconstructs both snapshots
+    * from the raw `orders` predicates. */
+  def q78SnapshotChanges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_th")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_th.db")
+    s.sql("DROP TABLE IF EXISTS graft_th.db.chg")
+    val o = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus")
+    o.where($"o_orderkey" % 4 === 0)
+      .writeTo("graft_th.db.chg").using("parquet").createOrReplace()
+    o.where($"o_orderkey" % 4 === 1).writeTo("graft_th.db.chg").append()
+    s.sql("DELETE FROM graft_th.db.chg WHERE o_orderkey % 8 = 0")
+    val base = s.sql("SELECT * FROM graft_th.db.chg VERSION AS OF 2")
+    val cur = s.table("graft_th.db.chg")
+    cur.exceptAll(base).withColumn("change", lit("added"))
+      .unionByName(base.exceptAll(cur).withColumn("change", lit("removed")))
+      .orderBy($"o_orderkey")
+  }
+
   /** q59: SCD Type-2 build — the events stream read as a change log of
     * each user's state (their event_type), collapsed into versioned
     * validity intervals. Thin binding of
@@ -805,6 +833,7 @@ object Extras {
     "q75_merge_partitioned" -> q75MergePartitioned,
     "q76_catalog_external" -> q76CatalogExternal,
     "q77_partitions_metadata" -> q77PartitionsMetadata,
+    "q78_snapshot_changes" -> q78SnapshotChanges,
     "q74_dynamic_overwrite" -> q74DynamicOverwrite,
     "q73_analyze_stats" -> q73AnalyzeStats,
     "q72_call_maintenance" -> q72CallMaintenance,
@@ -1114,6 +1143,20 @@ object Extras {
         |FROM src s LEFT JOIN tgt t ON t.c_custkey = s.o_custkey
         |WHERE t.c_custkey IS NULL
         |ORDER BY c_custkey""".stripMargin,
+    "q78_snapshot_changes" ->
+      """WITH a AS (
+        |  SELECT o_orderkey, o_orderstatus FROM orders
+        |  WHERE o_orderkey % 4 = 0),
+        |cur AS (
+        |  SELECT o_orderkey, o_orderstatus FROM orders
+        |  WHERE (o_orderkey % 4 = 0 AND o_orderkey % 8 <> 0)
+        |     OR o_orderkey % 4 = 1)
+        |SELECT o_orderkey, o_orderstatus, 'added' AS change
+        |FROM (SELECT * FROM cur EXCEPT SELECT * FROM a)
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, 'removed' AS change
+        |FROM (SELECT * FROM a EXCEPT SELECT * FROM cur)
+        |ORDER BY o_orderkey""".stripMargin,
     "q77_partitions_metadata" ->
       """SELECT 'segment=' || c_mktsegment AS partition_path,
         | count(*) AS n_rows

@@ -918,7 +918,28 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t48: canonical TEXT NORMALIZATION — the pre-hash cleaning primitive
+    * ([[graft.api.Graft.normalizeText]]): typographic quotes/dashes
+    * canonicalized, control characters to spaces, whitespace collapsed.
+    * The gate plants a messy suffix (curly quotes, em dash, tab, BEL,
+    * double spaces) on every third document and pins the normalized
+    * md5 + length cross-engine; idempotence is spec-pinned. */
+  def t48NormalizeText(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = $"doc_id"
+    val messy = concat($"text",
+      when(d % 3 === 0,
+        lit("  “qu’oted” — and\tctrl\u0007end  "))
+        .otherwise(lit("")))
+    Tables.load(s, dir, "documents")
+      .select(d, graft.api.Graft.normalizeText(messy).as("__n"))
+      .select($"doc_id", md5($"__n").as("norm_md5"),
+        length($"__n").cast(LongType).as("n_chars_norm"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t48_normalize_text" -> t48NormalizeText,
     "t47_luhn_cards" -> t47LuhnCards,
     "t46_repetition_profile" -> t46RepetitionProfile,
     "t45_classifier_auc" -> t45ClassifierAuc,
@@ -987,6 +1008,24 @@ object TextAnalysis {
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t48_normalize_text" ->
+      """WITH m AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 3 = 0
+        |    THEN '  “qu’oted” — and' || chr(9) || 'ctrl' || chr(7) || 'end  '
+        |    ELSE '' END AS t
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(t,
+        |      '[‘’‚‛]', '''', 'g'),
+        |      '[“”„‟]', '"', 'g'),
+        |      '[–—―]', '-', 'g'),
+        |      '[\x00-\x1f\x7f]', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS nt
+        |  FROM m)
+        |SELECT doc_id, md5(nt) AS norm_md5,
+        | CAST(length(nt) AS BIGINT) AS n_chars_norm
+        |FROM n ORDER BY doc_id""".stripMargin,
     "t47_luhn_cards" ->
       """WITH b AS (
         |  SELECT doc_id, text,

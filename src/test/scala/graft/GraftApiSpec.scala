@@ -1666,6 +1666,24 @@ class GraftApiSpec extends AnyFunSuite {
     assert(tiny == Seq(("a", 6L, 6L)), tiny)
   }
 
+  test("normalizeText is idempotent and canonicalizes quotes/dashes/controls/whitespace") {
+    import spark.implicits._
+    val df = Seq(
+      "  “hello” — it’s\ta\u0007test  ",
+      "already clean text",
+      "", "   ", "a–b—c―d",
+      "tabs\t\tand\nnewlines\r\nmixed"
+    ).toDF("t")
+    val once = df.select(Graft.normalizeText($"t").as("n1"))
+    val twice = once.select($"n1",
+      Graft.normalizeText($"n1").as("n2"))
+    assert(twice.where($"n1" =!= $"n2").count() == 0,
+      "normalizeText must be idempotent")
+    val got = once.as[String].collect().toSeq
+    assert(got == Seq("\"hello\" - it's a test", "already clean text",
+      "", "", "a-b-c-d", "tabs and newlines mixed"), got)
+  }
+
   test("luhnCardFlags: the canonical test PAN validates, off-by-one fails, boundaries respected") {
     import spark.implicits._
     val df = Seq(
