@@ -440,7 +440,64 @@ object Streams {
       .orderBy($"user_id")
   }
 
+  /** st12: IDEMPOTENT streaming upsert — st11's CDC-merge made
+    * effectively-once: the target carries `last_batch` per key and the
+    * MERGE's matched-update clause is guarded by
+    * `s.batch_id > t.last_batch`, so a REPLAYED micro-batch (the
+    * at-least-once delivery every foreachBatch sink must survive —
+    * Spark re-runs a batch whose commit was not recorded) is a no-op
+    * instead of double-adding its delta. The gate PROVES it by applying
+    * every batch's merge TWICE (a worst-case replay injected inline);
+    * the oracle is the plain batch aggregate — any double-apply
+    * hash-mismatches immediately. This is the MERGE-based counterpart
+    * of [[silverStreamingEffectivelyOnce]]'s keyed replace: same
+    * guarantee, row-level-op machinery (partition-level COW snapshots,
+    * conflict-checked commits) instead of directory swaps. */
+  def st12StreamUpsertIdempotent(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_st")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_st.db")
+    // target born empty with the guard column (recreated per run)
+    Tables.load(s, dir, "events").limit(0)
+      .select($"user_id", ($"user_id" % 8).cast("string").as("bucket"),
+        lit(0L).as("n_events"), lit(0.0).as("total"),
+        lit(-1L).as("last_batch"))
+      .writeTo("graft_st.db.user_totals_idem").using("parquet")
+      .partitionedBy($"bucket").createOrReplace()
+    val src = eventsStream(s, dir).select($"user_id", $"value")
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ss = batch.sparkSession
+        batch.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            Det.moneySum(col("value")).as("total"))
+          .withColumn("bucket", (col("user_id") % 8).cast("string"))
+          .withColumn("batch_id", lit(batchId))
+          .createOrReplaceTempView("st12_delta")
+        val mergeSql =
+          """MERGE INTO graft_st.db.user_totals_idem t
+            |USING st12_delta s ON t.user_id = s.user_id
+            |WHEN MATCHED AND s.batch_id > t.last_batch THEN UPDATE SET
+            |  n_events = t.n_events + s.n_events,
+            |  total = t.total + s.total,
+            |  last_batch = s.batch_id
+            |WHEN NOT MATCHED THEN
+            |  INSERT (user_id, bucket, n_events, total, last_batch)
+            |  VALUES (s.user_id, s.bucket, s.n_events, s.total, s.batch_id)
+            |""".stripMargin
+        ss.sql(mergeSql)
+        ss.sql(mergeSql) // injected worst-case REPLAY: must be a no-op
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("graft_st.db.user_totals_idem")
+      .select($"user_id", $"bucket", $"n_events", $"total")
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st12_stream_upsert_idempotent" -> st12StreamUpsertIdempotent,
     "st11_stream_upsert" -> st11StreamUpsert,
     "st10_stream_drift" -> st10StreamDrift,
     "st09_stream_catalog_ingest" -> st09StreamCatalogIngest,
@@ -454,6 +511,13 @@ object Streams {
     "st05_stream_static_join" -> st05StreamStaticJoin)
 
   val oracles: Map[String, String] = Map(
+    // idempotent upsert: despite every batch's merge being applied
+    // TWICE, the final state is exactly the plain batch aggregate
+    "st12_stream_upsert_idempotent" ->
+      """SELECT user_id, CAST(user_id % 8 AS VARCHAR) AS bucket,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // seeded pre-cutoff totals + streamed post-cutoff deltas, composed
     // with the same two-slice double addition the merge performs
     "st11_stream_upsert" ->
