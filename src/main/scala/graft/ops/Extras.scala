@@ -531,10 +531,15 @@ object Extras {
       .orderBy($"c_custkey")
   }
 
-  /** Fixed export path q76's oracle reads — Verify and the DuckDB oracle
-    * run on the same host within one gate round, which is what makes a
-    * stable absolute path the right contract here. */
-  val CatalogExternalExportDir = "/tmp/graft_catalog_external_export"
+  /** Export path q76's oracle reads. Verify and the DuckDB oracle run on
+    * the same host within one gate round, and the oracle SQL (which
+    * embeds this path) is DUMPED BY THE SAME JVM that ran the export —
+    * so a per-process path is both stable where it must be (within one
+    * gate round) and unique where it must be (two concurrent suite runs
+    * on one host get disjoint dirs instead of racing a fixed /tmp name;
+    * no other local user can pre-create this run's path). */
+  val CatalogExternalExportDir: String =
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_catalog_external_export_${ProcessHandle.current().pid()}"
 
   /** q76: SECOND-ENGINE read validation of the atomic catalog's files —
     * the reference's acceptance-test shape (Trino reading the tables

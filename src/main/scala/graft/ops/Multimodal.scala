@@ -200,9 +200,10 @@ object Multimodal {
     * stand-in reads intensity k as the LENGTH of word k of the
     * transcript — content-smooth like real pixels, unlike a crypto
     * hash, so edits perturb the hash proportionally to what they touch
-    * instead of avalanching it. Media with fewer than 62 words cannot
-    * fill the hash (their zero-padded tails would collapse into one hot
-    * band bucket — the degenerate-input rule in
+    * instead of avalanching it. Media with fewer than 61 words cannot
+    * fill the hash (the 60 gradient bits read intensity cells 0..60 =
+    * words 1..61; a shorter transcript's zero-padded tail would collapse
+    * into one hot band bucket — the degenerate-input rule in
     * [[graft.api.Graft.hammingNearDupPairs]]'s doc) and are excluded,
     * exactly as an image pipeline drops undecodable thumbnails. */
   def mm05PerceptualDedup(s: SparkSession, dir: String): DataFrame = {
@@ -225,7 +226,7 @@ object Multimodal {
     }.reduce(_ + _)
     val hashed = Tables.load(s, dir, "documents")
       .select($"doc_id".as("media_id"), toks.as("__w"))
-      .where(size($"__w") >= 62)
+      .where(size($"__w") >= 61)
       .select($"media_id", hash.as("phash"))
     graft.api.Graft.hammingNearDupPairs(hashed, $"media_id", $"phash",
         bands = 4, bitsPerBand = 15, maxHamming = 6)
@@ -268,7 +269,7 @@ object Multimodal {
         |  SELECT media_id,
         |   list_transform(range(0, 61), i ->
         |     coalesce(length(ws[CAST(i AS INTEGER) + 1]), 0)) AS c
-        |  FROM w WHERE len(ws) >= 62),
+        |  FROM w WHERE len(ws) >= 61),
         |hashes AS (
         |  SELECT media_id,
         |   CAST(sum(CASE WHEN c[CAST(k AS INTEGER) + 1] < c[CAST(k AS INTEGER) + 2]

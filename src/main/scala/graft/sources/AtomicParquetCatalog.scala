@@ -100,19 +100,21 @@ object AtomicParquetCatalog {
     * the parquet files the catalog serves, no catalog metadata, so any
     * engine that reads hive-partitioned parquet can read it. */
   def exportVersionDir(src: JPath, dst: JPath): Unit = {
-    val it = Files.walk(src).iterator().asScala
-    for (f <- it if Files.isRegularFile(f)) {
-      val n = f.getFileName.toString
-      if (!n.startsWith("_") && !n.startsWith(".")) {
-        val out = dst.resolve(src.relativize(f))
-        Files.createDirectories(out.getParent)
-        try { Files.createLink(out, f); () }
-        catch {
-          case _: UnsupportedOperationException | _: java.io.IOException =>
-            Files.copy(f, out, StandardCopyOption.REPLACE_EXISTING); ()
+    val walk = Files.walk(src)
+    try {
+      for (f <- walk.iterator().asScala if Files.isRegularFile(f)) {
+        val n = f.getFileName.toString
+        if (!n.startsWith("_") && !n.startsWith(".")) {
+          val out = dst.resolve(src.relativize(f))
+          Files.createDirectories(out.getParent)
+          try { Files.createLink(out, f); () }
+          catch {
+            case _: UnsupportedOperationException | _: java.io.IOException =>
+              Files.copy(f, out, StandardCopyOption.REPLACE_EXISTING); ()
+          }
         }
       }
-    }
+    } finally walk.close() // NIO walk streams hold directory handles
   }
 
   /** Write-audit-publish (Iceberg's WAP workflow): stage `df` as a
@@ -517,6 +519,10 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
           StructField("size_bytes", LongType, nullable = false)))
         Some(new LocalScanTable(s"$parent.partitions", schema, () => {
           val v = currentVersion(pdir).get
+          // an unreadable footer PROPAGATES (with the file named): this
+          // is a maintenance surface meant to DETECT problems — a
+          // corrupt file reading as "0 rows" would hide exactly what
+          // the partition-health check exists to find
           def rowsOf(f: JPath): Long =
             try {
               val in = org.apache.parquet.hadoop.util.HadoopInputFile
@@ -524,7 +530,10 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
                   new org.apache.hadoop.conf.Configuration())
               val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
               try r.getRecordCount finally r.close()
-            } catch { case _: Exception => 0L }
+            } catch {
+              case e: Exception => throw new RuntimeException(
+                s"$parent.partitions: unreadable parquet footer $f", e)
+            }
           dataFiles(v).groupBy(f =>
             Option(v.relativize(f).getParent).map(_.toString).getOrElse(""))
             .toSeq.sortBy(_._1).map { case (p, fs) =>
@@ -776,7 +785,13 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     * from two different writes cannot collide. */
   private[sources] def linkDataFiles(from: JPath, to: JPath,
       keepPartition: String => Boolean = _ => true): Unit = {
-    val it = Files.walk(from).iterator().asScala
+    val walk = Files.walk(from)
+    try linkDataFilesFrom(walk.iterator().asScala, from, to, keepPartition)
+    finally walk.close() // NIO walk streams hold directory handles
+  }
+
+  private def linkDataFilesFrom(it: Iterator[JPath], from: JPath, to: JPath,
+      keepPartition: String => Boolean): Unit = {
     for (src <- it if Files.isRegularFile(src)) {
       val name = src.getFileName.toString
       if (!name.startsWith("_") && !name.startsWith(".")) {
@@ -797,13 +812,16 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
 
   /** The distinct partition directories holding data files under a
     * version dir ("" for unpartitioned files at the root). */
-  private[sources] def dataFilePartitions(v: JPath): Set[String] =
-    Files.walk(v).iterator().asScala.collect {
+  private[sources] def dataFilePartitions(v: JPath): Set[String] = {
+    val walk = Files.walk(v)
+    try walk.iterator().asScala.collect {
       case p if Files.isRegularFile(p) &&
           !p.getFileName.toString.startsWith("_") &&
           !p.getFileName.toString.startsWith(".") =>
         Option(v.relativize(p).getParent).map(_.toString).getOrElse("")
     }.toSet
+    finally walk.close() // NIO walk streams hold directory handles
+  }
 
   // ---- SupportsNamespaces (directories) ----
 
@@ -1163,13 +1181,17 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             val removed = withCommitLock(dir) {
               val live = versionLog(dir).toSet ++ readRefs(dir).values
               val cutoff = System.currentTimeMillis() - minAgeS * 1000L
-              Files.list(dir).iterator().asScala.filter { p =>
-                val n = p.getFileName.toString
-                n.startsWith("v-") && !live.contains(n) &&
-                  Files.isDirectory(p) &&
-                  (try Files.getLastModifiedTime(p).toMillis < cutoff
-                   catch { case _: java.io.IOException => false })
-              }.toSeq.map { p =>
+              val listing = Files.list(dir)
+              val candidates =
+                try listing.iterator().asScala.filter { p =>
+                  val n = p.getFileName.toString
+                  n.startsWith("v-") && !live.contains(n) &&
+                    Files.isDirectory(p) &&
+                    (try Files.getLastModifiedTime(p).toMillis < cutoff
+                     catch { case _: java.io.IOException => false })
+                }.toSeq
+                finally listing.close() // NIO list streams hold a dir handle
+              candidates.map { p =>
                 deleteRecursively(p); p.getFileName.toString
               }
             }
@@ -1303,6 +1325,21 @@ private[sources] final class PointerTable(
     if (historical) throw new UnsupportedOperationException(
       s"$ident: cannot MERGE/UPDATE/DELETE through a VERSION AS OF read — " +
         "historical snapshots are immutable; target the current table")
+    // multi-column partition specs: Spark's runtime-filter translation
+    // drops the multi-key pruning subquery (struct child), so the split
+    // rule below rewrites it into per-column subqueries that DO
+    // translate. Registered here — analysis time, strictly before the
+    // optimizer batch the rule runs in — and idempotently, on the
+    // session that will execute this operation.
+    locally {
+      val ex = spark.experimental
+      ex.synchronized {
+        if (!ex.extraOptimizations
+            .contains(graft.plans.SplitMultiColumnRuntimeGroupFilter))
+          ex.extraOptimizations = ex.extraOptimizations :+
+            graft.plans.SplitMultiColumnRuntimeGroupFilter
+      }
+    }
     () => new RowLevelOperation {
       override def command(): RowLevelOperation.Command = info.command()
 
@@ -1351,7 +1388,8 @@ private[sources] final class PointerTable(
       final class GroupFilteringScan(
           fullScan: org.apache.spark.sql.connector.read.Scan)
           extends org.apache.spark.sql.connector.read.Scan
-          with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+          with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+          with graft.plans.MultiColumnRuntimeGroupFilterable {
         import org.apache.spark.sql.connector.expressions.{NamedReference, Literal => V2Literal}
         import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
 
@@ -1483,10 +1521,29 @@ private[sources] final class PointerTable(
                     catalog.dropOrphan(staging)
                     catalog.linkDataFiles(versionDir, nv,
                       keepPartition = p => !rewritten.contains(p))
+                  case _ if parts.nonEmpty =>
+                    // whole-table COW on a PARTITIONED table (group
+                    // filtering never fired — e.g. a merge with
+                    // NOT-MATCHED-BY-SOURCE clauses, or the group filter
+                    // disabled): the staged flat files are the complete
+                    // new table, but hoisting them flat would silently
+                    // DESTROY the partition layout — and with it every
+                    // future prune, the next merge's partition-level COW
+                    // and the `partitions` metadata table. Re-lay the
+                    // staged rows out as partition directories: the same
+                    // one-extra-pass the pruned path pays, here over the
+                    // whole table because the whole table was rewritten
+                    // anyway (AtomicCatalogSpec pins layout survival).
+                    Files.write(nv.resolve("_partitions.txt"),
+                      parts.mkString("\n").getBytes("UTF-8"))
+                    val staged = spark.read.schema(winfo.schema())
+                      .parquet(staging.toString)
+                    writeInto(nv, staged, "append")
+                    catalog.dropOrphan(staging)
                   case _ =>
-                    // whole-table COW (unpartitioned table, or group
-                    // filtering never fired): the staged flat files ARE
-                    // the new table — hoist them out of _staging
+                    // whole-table COW on an UNPARTITIONED table: the
+                    // staged flat files ARE the new table — hoist them
+                    // out of _staging
                     Files.write(nv.resolve("_partitions.txt"), Array.empty[Byte])
                     if (Files.isDirectory(staging)) {
                       Files.list(staging).iterator().asScala.toSeq.foreach { f =>

@@ -414,8 +414,16 @@ object Streams {
       .partitionedBy($"bucket").createOrReplace()
     val src = eventsStream(s, dir).where($"ts" >= cutoff)
       .select($"user_id", $"value")
+    // the oracle models accumulation as ONE two-slice double addition,
+    // which is exact only if the file source delivers all post-cutoff
+    // events in a single micro-batch (true today: one file, no
+    // maxFilesPerTrigger). Count and assert, so a future trigger/source
+    // change fails HERE with the reason instead of as a confusing
+    // hash mismatch from a different double-addition order.
+    val nBatches = new java.util.concurrent.atomic.AtomicLong(0)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        nBatches.incrementAndGet()
         val ss = batch.sparkSession
         batch.groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_events"),
@@ -435,6 +443,10 @@ object Streams {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
+    require(nBatches.get() == 1,
+      s"st11's oracle assumes ONE micro-batch (single two-slice double " +
+        s"addition); the file source delivered ${nBatches.get()} — the " +
+        "accumulation order no longer matches the oracle's")
     s.table("graft_st.db.user_totals")
       .select($"user_id", $"bucket", $"n_events", $"total")
       .orderBy($"user_id")
@@ -465,8 +477,13 @@ object Streams {
       .writeTo("graft_st.db.user_totals_idem").using("parquet")
       .partitionedBy($"bucket").createOrReplace()
     val src = eventsStream(s, dir).select($"user_id", $"value")
+    // same single-batch contract as st11 (the oracle is ONE plain batch
+    // aggregate): assert it so a trigger/source change fails with the
+    // reason, not a hash mismatch
+    val nBatches = new java.util.concurrent.atomic.AtomicLong(0)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        nBatches.incrementAndGet()
         val ss = batch.sparkSession
         batch.groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_events"),
@@ -491,6 +508,10 @@ object Streams {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
+    require(nBatches.get() == 1,
+      s"st12's oracle assumes ONE micro-batch (one plain batch " +
+        s"aggregate); the file source delivered ${nBatches.get()} — the " +
+        "accumulation order no longer matches the oracle's")
     s.table("graft_st.db.user_totals_idem")
       .select($"user_id", $"bucket", $"n_events", $"total")
       .orderBy($"user_id")

@@ -895,20 +895,35 @@ class AtomicCatalogSpec extends AnyFunSuite {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
     // TWO partition columns: Spark's runtime-filter V2 translation
     // pushes single-column IN predicates only (a multi-key pruning
-    // subquery's child is a struct it cannot translate), so the scan
-    // receives no usable group filter and the operation degrades to the
-    // whole-table COW fallback — data must stay exactly correct either
-    // way (the conservative-fallback contract; single-column pruning is
-    // inode-pinned by the other cases in this suite)
+    // subquery's child is a struct it cannot translate), so
+    // SplitMultiColumnRuntimeGroupFilter rewrites the multi-key
+    // subquery into per-column subqueries that DO translate — the scan
+    // receives one IN per partition column, intersects them, and the
+    // operation takes the PRUNED partition-level COW path: only the
+    // (p1=x, p2=1) partition is rewritten, the other three hard-link
+    // (inode-pinned below)
     Seq((1L, "x", 1, 1.0), (2L, "x", 2, 2.0), (3L, "y", 1, 3.0),
         (4L, "y", 2, 4.0))
       .toDF("id", "p1", "p2", "v")
       .writeTo("graft_atomic.db.cow4").using("parquet")
       .partitionedBy(col("p1"), col("p2")).createOrReplace()
+    val u0 = currentVersionDir("cow4")
+    val keepX2 = partFiles(u0, "p1=x/p2=2")
+    val keepY1 = partFiles(u0, "p1=y/p2=1")
+    val keepY2 = partFiles(u0, "p1=y/p2=2")
+    assert(keepX2.nonEmpty && keepY1.nonEmpty && keepY2.nonEmpty)
     spark.sql("DELETE FROM graft_atomic.db.cow4 WHERE p1 = 'x' AND p2 = 1")
+    val u1 = currentVersionDir("cow4")
     assert(spark.table("graft_atomic.db.cow4").orderBy("id")
       .as[(Long, String, Int, Double)].collect().toSeq ==
       Seq((2L, "x", 2, 2.0), (3L, "y", 1, 3.0), (4L, "y", 2, 4.0)))
+    assert(partFiles(u1, "p1=x/p2=2") == keepX2 &&
+      partFiles(u1, "p1=y/p2=1") == keepY1 &&
+      partFiles(u1, "p1=y/p2=2") == keepY2,
+      "a two-column-partitioned DELETE must hard-link the three " +
+        "untouched partitions (multi-column runtime group filter)")
+    assert(partFiles(u1, "p1=x/p2=1").isEmpty,
+      "the fully-deleted (x,1) partition must vanish")
     spark.sql("DROP TABLE graft_atomic.db.cow4")
     // a DATE partition column: the runtime filter's literals are
     // days-since-epoch ints, the directory names are ISO strings — the
@@ -931,6 +946,42 @@ class AtomicCatalogSpec extends AnyFunSuite {
       partFiles(w1, "d=2024-01-03") == keep3,
       "date partitions must hard-link when another date is deleted")
     spark.sql("DROP TABLE graft_atomic.db.cow5")
+  }
+
+  test("whole-table COW keeps the partition layout (NOT MATCHED BY SOURCE)") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
+    // NOT MATCHED BY SOURCE makes EVERY partition potentially affected,
+    // so group filtering cannot fire and the rewrite is whole-table COW
+    // — which must re-lay the output as partition directories, not
+    // silently flatten the table (one merge destroying the layout would
+    // also destroy future pruning and the partitions metadata table)
+    Seq((1L, "x", 1, 1.0), (2L, "x", 2, 2.0), (3L, "y", 1, 3.0),
+        (4L, "y", 2, 4.0))
+      .toDF("id", "p1", "p2", "v")
+      .writeTo("graft_atomic.db.cow6").using("parquet")
+      .partitionedBy(col("p1"), col("p2")).createOrReplace()
+    Seq((1L, 10.0)).toDF("id", "delta").createOrReplaceTempView("cow6_src")
+    spark.sql("""MERGE INTO graft_atomic.db.cow6 t USING cow6_src s
+                |ON t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET v = t.v + s.delta
+                |WHEN NOT MATCHED BY SOURCE AND t.id = 4 THEN DELETE
+                |""".stripMargin)
+    assert(spark.table("graft_atomic.db.cow6").orderBy("id")
+      .as[(Long, String, Int, Double)].collect().toSeq ==
+      Seq((1L, "x", 1, 11.0), (2L, "x", 2, 2.0), (3L, "y", 1, 3.0)))
+    val w = currentVersionDir("cow6")
+    for (p <- Seq("p1=x/p2=1", "p1=x/p2=2", "p1=y/p2=1"))
+      assert(partFiles(w, p).nonEmpty,
+        s"whole-table COW flattened the layout: $p has no data files")
+    assert(partFiles(w, "p1=y/p2=2").isEmpty && partFiles(w, "").isEmpty,
+      "deleted partition must vanish and no flat files may sit at root")
+    // partition pruning still works after the whole-table rewrite
+    val pruned = spark.table("graft_atomic.db.cow6")
+      .where($"p1" === "x" && $"p2" === 1)
+    assert(pruned.as[(Long, String, Int, Double)].collect().toSeq ==
+      Seq((1L, "x", 1, 11.0)))
+    spark.sql("DROP TABLE graft_atomic.db.cow6")
   }
 
   test("MERGE racing an append conflicts; retry applies both effects") {
