@@ -318,6 +318,62 @@ object Stress {
           |WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + 1
           |""".stripMargin))
       spark.sql("DROP TABLE graft_sx.db.mcow")
+      // st11/st12-shape replayed CDC merge at scale (VERDICT r11 #6):
+      // the streaming-upsert target partitioned by REPLICA index — the
+      // table grows K-fold but the micro-batch's users live ONLY in
+      // replica 0, so the touched partition is CONSTANT-size in K. The
+      // guarded merge runs TWICE (st12's injected worst-case replay):
+      // both the apply and the replayed no-op must price the touched
+      // partition — ~flat in K — or the idempotence guard would turn
+      // from a correctness device into a scale tax.
+      spark.range(1).count() // fence the previous DDL
+      docs.select($"doc_id".as("user_id"),
+          ($"doc_id" / lit(10000000L)).cast("long").cast("string").as("rep"),
+          lit(1L).as("n_events"), ($"n_chars" * 1.0).as("total"),
+          lit(-1L).as("last_batch"))
+        .writeTo("graft_sx.db.scdm").using("parquet")
+        .partitionedBy($"rep").createOrReplace()
+      docs.where($"doc_id" < 10000000L && $"doc_id" % 10 === 0)
+        .select($"doc_id".as("uid"), lit(2L).as("d_n"), lit(5.0).as("d_total"),
+          lit(0L).as("batch_id"),
+          lit("0").as("rep"))
+        .createOrReplaceTempView("scdm_src")
+      val upsertSql =
+        """MERGE INTO graft_sx.db.scdm t USING scdm_src s
+          |ON t.user_id = s.uid
+          |WHEN MATCHED AND s.batch_id > t.last_batch THEN UPDATE SET
+          |  n_events = t.n_events + s.d_n, total = t.total + s.d_total,
+          |  last_batch = s.batch_id
+          |WHEN NOT MATCHED THEN
+          |  INSERT (user_id, rep, n_events, total, last_batch)
+          |  VALUES (s.uid, s.rep, s.d_n, s.d_total, s.batch_id)
+          |""".stripMargin
+      val (tUpsert, _) = secs(spark.sql(upsertSql))
+      val (tUpsertReplay, _) = secs(spark.sql(upsertSql)) // guard: no-op
+      spark.sql("DROP TABLE graft_sx.db.scdm")
+      // q78-shape snapshot diff against a LONG version history (VERDICT
+      // r11 #6): 2 + 3*K single-row commits deep with retention wide
+      // enough to keep them all. The diff must price the TWO diffed
+      // snapshots (pointer-log resolution is one file read; history
+      // depth only hard-links) — ~flat in K even as the log grows.
+      spark.conf.set("spark.sql.catalog.graft_sh",
+        classOf[graft.sources.AtomicParquetCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft_sh.warehouse",
+        java.nio.file.Files.createTempDirectory("graft_sh_wh").toString)
+      spark.conf.set("spark.sql.catalog.graft_sh.history", "200")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_sh.db")
+      docs.select($"doc_id", $"n_chars")
+        .writeTo("graft_sh.db.hist").using("parquet").createOrReplace()
+      spark.sql("DELETE FROM graft_sh.db.hist WHERE doc_id % 16 = 0")
+      for (c <- 1 to 3 * n)
+        spark.sql(s"INSERT INTO graft_sh.db.hist VALUES (${-c}L, $c)")
+      val (tHist, nChanged) = secs {
+        val basev = spark.sql( // the post-delete snapshot, 3n commits back
+          s"SELECT * FROM graft_sh.db.hist VERSION AS OF ${3 * n}")
+        val curv = spark.table("graft_sh.db.hist")
+        curv.exceptAll(basev).count() + basev.exceptAll(curv).count()
+      }
+      spark.sql("DROP TABLE graft_sh.db.hist")
       def rmTree(p: java.nio.file.Path): Unit = {
         import scala.jdk.CollectionConverters._
         if (java.nio.file.Files.exists(p))
@@ -327,7 +383,7 @@ object Stress {
       rmTree(gateDir)
 
       docs.unpersist()
-      f"""{"k":$n,"n_docs":$nDocs,"sig_s":$tSig%.2f,"pairs_s":$tPairs%.2f,"n_pairs":$nPairs,"verify_s":$tVerify%.2f,"n_edges":$nEdges,"dedup_s":$tDedup%.2f,"n_kept":$nKept,"contam_s":$tContam%.2f,"contam_bloom_s":$tContamB%.2f,"repetition_s":$tRep%.2f,"boilerplate_s":$tBp%.2f,"clean_s":$tClean%.2f,"n_clean":$nClean,"semantic_s":$tSem%.2f,"n_semantic":$nSem,"bpe_s":$tBpe%.2f,"n_merges":$nMergesGot,"fluency_s":$tFluency%.2f,"chunk_s":$tChunk%.2f,"score_s":$tScore%.2f,"triangles_s":$tTri%.2f,"n_triangles":$nTri,"cc_local_s":$tCcLocal%.2f,"cc_dist_s":$tCcDist%.2f,"cdc_s":$tCdc%.2f,"n_cdc_chunks":$nCdcChunks,"overlap_s":$tOv%.2f,"overlap_sketch_s":$tOvSk%.2f,"robust_s":$tRob%.2f,"spans_s":$tSpans%.2f,"excise_s":$tExcise%.2f,"contain_s":$tContain%.2f,"n_contain":$nContain,"split_s":$tSplit%.2f,"n_split":$nSplit,"budget_s":$tBudget%.2f,"n_budget":$nBudget,"budget_group_s":$tBudgetG%.2f,"n_budget_group":$nBudgetG,"hh_s":$tHh%.2f,"n_hh":$nHh,"vocab_s":$tVocab%.2f,"n_vocab":$nVocab,"kn_s":$tKn%.2f,"iw_s":$tIw%.2f,"drift_s":$tDrift%.2f,"mm04_s":$tMm04%.2f,"n_mm04":$nMm04,"t43_s":$tT43%.2f,"t44_s":$tT44%.2f,"st09_s":$tSt09%.2f,"st10_s":$tSt10%.2f,"merge_part_s":$tMergePart%.2f}"""
+      f"""{"k":$n,"n_docs":$nDocs,"sig_s":$tSig%.2f,"pairs_s":$tPairs%.2f,"n_pairs":$nPairs,"verify_s":$tVerify%.2f,"n_edges":$nEdges,"dedup_s":$tDedup%.2f,"n_kept":$nKept,"contam_s":$tContam%.2f,"contam_bloom_s":$tContamB%.2f,"repetition_s":$tRep%.2f,"boilerplate_s":$tBp%.2f,"clean_s":$tClean%.2f,"n_clean":$nClean,"semantic_s":$tSem%.2f,"n_semantic":$nSem,"bpe_s":$tBpe%.2f,"n_merges":$nMergesGot,"fluency_s":$tFluency%.2f,"chunk_s":$tChunk%.2f,"score_s":$tScore%.2f,"triangles_s":$tTri%.2f,"n_triangles":$nTri,"cc_local_s":$tCcLocal%.2f,"cc_dist_s":$tCcDist%.2f,"cdc_s":$tCdc%.2f,"n_cdc_chunks":$nCdcChunks,"overlap_s":$tOv%.2f,"overlap_sketch_s":$tOvSk%.2f,"robust_s":$tRob%.2f,"spans_s":$tSpans%.2f,"excise_s":$tExcise%.2f,"contain_s":$tContain%.2f,"n_contain":$nContain,"split_s":$tSplit%.2f,"n_split":$nSplit,"budget_s":$tBudget%.2f,"n_budget":$nBudget,"budget_group_s":$tBudgetG%.2f,"n_budget_group":$nBudgetG,"hh_s":$tHh%.2f,"n_hh":$nHh,"vocab_s":$tVocab%.2f,"n_vocab":$nVocab,"kn_s":$tKn%.2f,"iw_s":$tIw%.2f,"drift_s":$tDrift%.2f,"mm04_s":$tMm04%.2f,"n_mm04":$nMm04,"t43_s":$tT43%.2f,"t44_s":$tT44%.2f,"st09_s":$tSt09%.2f,"st10_s":$tSt10%.2f,"merge_part_s":$tMergePart%.2f,"upsert_s":$tUpsert%.2f,"upsert_replay_s":$tUpsertReplay%.2f,"hist_diff_s":$tHist%.2f,"n_hist_changed":$nChanged}"""
     }
     println(s"""{"stress":[${results.mkString(",")}],"sf":"$dir"}""")
     spark.stop()

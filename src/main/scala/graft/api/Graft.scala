@@ -3019,12 +3019,19 @@ object Graft {
     * distinct_ngrams, repetition_ratio).
     *
     * Scale shape: one explode per n over the token stream and a keyed
-    * exact-distinct aggregate — the distinct count is the one
-    * corpus-sized exchange (exact by design here; swap in the KMV
-    * sketch family ([[corpusOverlapSketch]]'s bounded-state shape) when
-    * the gram space itself is the scale problem). */
+    * distinct aggregate — the distinct count is the one corpus-sized
+    * exchange. Exact by default (the gate's contract); pass
+    * `approxDistinct = true` to swap in the k-bounded
+    * [[graft.functions.KmvCountDistinct]] sketch when the gram space
+    * itself is the scale problem — partial state is then `approxK`
+    * entries per (grp, n) regardless of gram volume, at
+    * ~1/sqrt(approxK) relative error on distinct_ngrams (and an error
+    * on repetition_ratio bounded by the same factor of distinct/total,
+    * spec-pinned in ApproxAggSpec). */
   def ngramRepetitionProfile(df: DataFrame, group: Column, text: Column,
-                             maxN: Int = 3): DataFrame = {
+                             maxN: Int = 3,
+                             approxDistinct: Boolean = false,
+                             approxK: Int = 8192): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"maxN must be in 1..8, got $maxN")
     val base = fanOut(df.select(group.as("grp"), text.as("__t")))
       .select(col("grp"), split(trim(col("__t")), "\\s+").as("__w"))
@@ -3034,10 +3041,22 @@ object Graft {
           explode(expr(s"transform(sequence($n, size(__w)), " +
             s"i -> array_join(slice(__w, i - $n + 1, $n), ' '))")).as("__g"))
     }
+    // the per-(grp, n) distinct is the one corpus-sized exchange here:
+    // exact `countDistinct` shuffles every distinct gram (gram-space can
+    // approach corpus size); `approxDistinct = true` swaps in the
+    // fixed-size KMV sketch (~1/sqrt(approxK) relative error, default
+    // ~1.1%), whose partial aggregates are k-bounded regardless of gram
+    // volume — the scale route when the profile feeds thresholding
+    // rather than an exact report (error bound spec-pinned in
+    // ApproxAggSpec).
+    val distinctAgg =
+      if (approxDistinct)
+        graft.functions.KmvCountDistinct.kmvCountDistinct(col("__g"), approxK)
+      else countDistinct(col("__g"))
     perN.reduce(_ unionAll _)
       .groupBy(col("grp"), col("n"))
       .agg(count(lit(1)).as("total_ngrams"),
-        countDistinct(col("__g")).as("distinct_ngrams"))
+        distinctAgg.as("distinct_ngrams"))
       .withColumn("repetition_ratio",
         lit(1.0) - col("distinct_ngrams").cast(DoubleType) /
           col("total_ngrams").cast(DoubleType))

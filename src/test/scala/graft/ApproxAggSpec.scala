@@ -121,6 +121,35 @@ class ApproxAggSpec extends AnyFunSuite {
     silver.unpersist()
   }
 
+  test("ngramRepetitionProfile approxDistinct stays within the KMV bound") {
+    // both modes of the t46 surface on the documents table: the exact
+    // profile is the gate's contract; the approx mode must agree within
+    // ~3/sqrt(k) on distinct_ngrams for every (grp, n) — the k-bounded
+    // scale route when the gram space outgrows an exact distinct. k=1024
+    // keeps the tolerance meaningful (~9.4%) at sf0.01 gram counts.
+    val docs = Tables.load(spark, dir, "documents")
+    val k = 1024
+    val exact = api.Graft.ngramRepetitionProfile(
+        docs, col("lang"), col("text"), maxN = 3)
+      .select(col("grp"), col("n"), col("distinct_ngrams"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val approx = api.Graft.ngramRepetitionProfile(
+        docs, col("lang"), col("text"), maxN = 3,
+        approxDistinct = true, approxK = k)
+      .select(col("grp"), col("n"), col("distinct_ngrams"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(exact.keySet == approx.keySet)
+    val tol = 3.0 / math.sqrt(k.toDouble)
+    for ((key, e) <- exact) {
+      val a = approx(key)
+      if (e <= k) assert(a == e, s"$key: below k must be exact ($a vs $e)")
+      else {
+        val relErr = math.abs(a - e).toDouble / e
+        assert(relErr <= tol, s"$key: exact=$e approx=$a relErr=$relErr > $tol")
+      }
+    }
+  }
+
   test("MG sketch: exact below m, superset + undercount bound above") {
     import graft.functions.MgFrequencySketch.mgSketch
     import spark.implicits._
