@@ -531,6 +531,73 @@ object Extras {
       .orderBy($"c_custkey")
   }
 
+  /** q79: MERGE into a TWO-COLUMN-partitioned catalog table — the
+    * reference's own silver table shape (`(interaction_date, channel)`,
+    * k8s/spark/41-spark-job-scripts-configmap.yaml:328) under a
+    * row-level op. Spark's runtime-filter translation drops multi-key
+    * pruning subqueries, so without
+    * [[graft.plans.SplitMultiColumnRuntimeGroupFilter]] this shape
+    * silently degrades to whole-table copy-on-write; with it the scan
+    * receives one IN per partition column and rewrites ONLY the
+    * (yr, st) partitions containing matches — here a single partition
+    * of a 2-level layout (pruning inode-pinned in AtomicCatalogSpec;
+    * this gate pins the cross-engine RESULT through the pruned path).
+    * The source updates a tenth of 1997's open orders and inserts a
+    * sprinkle of new keys into the same partition. */
+  def q79MergeMulticolPartitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    val o = Tables.load(s, dir, "orders")
+      .select($"o_orderkey".as("k"), $"o_totalprice".as("price"),
+        year($"o_orderdate").as("yr"), $"o_orderstatus".as("st"))
+    o.where($"k" % 2 === 0)
+      .writeTo("graft_ma.db.mc2").using("parquet")
+      .partitionedBy($"yr", $"st").createOrReplace()
+    o.where($"yr" === 1997 && $"st" === "O" &&
+        ($"k" % 10 === 0 || $"k" % 10 === 1))
+      .select($"k", $"yr", $"st")
+      .createOrReplaceTempView("q79_src")
+    s.sql("""MERGE INTO graft_ma.db.mc2 t USING q79_src s
+            |ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET price = t.price + CAST(10.0 AS DOUBLE)
+            |WHEN NOT MATCHED THEN
+            |  INSERT (k, price, yr, st)
+            |  VALUES (s.k, CAST(10.0 AS DOUBLE), s.yr, s.st)""".stripMargin)
+    s.table("graft_ma.db.mc2")
+      .select($"k", $"price", $"yr", $"st")
+      .orderBy($"k")
+  }
+
+  /** q80: MERGE with a NOT-MATCHED-BY-SOURCE clause — the clause shape
+    * where group filtering CANNOT fire (every target partition is
+    * potentially affected), so the operation takes the whole-table
+    * copy-on-write fallback. The gate pins the cross-engine result of
+    * that path; the fallback's partition-layout preservation (the
+    * round-12 fix: re-laid directories, not a silently flattened table)
+    * is inode-and-directory-pinned in AtomicCatalogSpec. */
+  def q80MergeNotMatchedBySource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    val o = Tables.load(s, dir, "orders")
+      .select($"o_orderkey".as("k"), $"o_totalprice".as("price"),
+        year($"o_orderdate").as("yr"), $"o_orderstatus".as("st"))
+    o.where($"k" % 2 === 0)
+      .writeTo("graft_ma.db.nmbs").using("parquet")
+      .partitionedBy($"st").createOrReplace()
+    o.where($"st" === "F" && $"k" % 6 === 0).select($"k")
+      .createOrReplaceTempView("q80_src")
+    s.sql("""MERGE INTO graft_ma.db.nmbs t USING q80_src s
+            |ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET price = t.price + CAST(1.0 AS DOUBLE)
+            |WHEN NOT MATCHED BY SOURCE AND t.st = 'P' THEN DELETE
+            |""".stripMargin)
+    s.table("graft_ma.db.nmbs")
+      .select($"k", $"price", $"yr", $"st")
+      .orderBy($"k")
+  }
+
   /** Export path q76's oracle reads. Verify and the DuckDB oracle run on
     * the same host within one gate round, and the oracle SQL (which
     * embeds this path) is DUMPED BY THE SAME JVM that ran the export —
@@ -836,6 +903,8 @@ object Extras {
     "q68_time_travel" -> q68TimeTravel,
     "q69_merge_into" -> q69MergeInto,
     "q75_merge_partitioned" -> q75MergePartitioned,
+    "q79_merge_multicol_partitions" -> q79MergeMulticolPartitions,
+    "q80_merge_not_matched_by_source" -> q80MergeNotMatchedBySource,
     "q76_catalog_external" -> q76CatalogExternal,
     "q77_partitions_metadata" -> q77PartitionsMetadata,
     "q78_snapshot_changes" -> q78SnapshotChanges,
@@ -1148,6 +1217,39 @@ object Extras {
         |FROM src s LEFT JOIN tgt t ON t.c_custkey = s.o_custkey
         |WHERE t.c_custkey IS NULL
         |ORDER BY c_custkey""".stripMargin,
+    "q79_merge_multicol_partitions" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS price,
+        |   CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderstatus AS st
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |src AS (
+        |  SELECT o_orderkey AS k, CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |   o_orderstatus AS st
+        |  FROM orders
+        |  WHERE year(o_orderdate) = 1997 AND o_orderstatus = 'O'
+        |    AND (o_orderkey % 10 = 0 OR o_orderkey % 10 = 1))
+        |SELECT t.k,
+        | CASE WHEN s.k IS NOT NULL THEN t.price + 10.0 ELSE t.price END AS price,
+        | t.yr, t.st
+        |FROM tgt t LEFT JOIN src s ON t.k = s.k
+        |UNION ALL
+        |SELECT s.k, 10.0 AS price, s.yr, s.st
+        |FROM src s LEFT JOIN tgt t ON t.k = s.k WHERE t.k IS NULL
+        |ORDER BY k""".stripMargin,
+    "q80_merge_not_matched_by_source" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS price,
+        |   CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderstatus AS st
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |src AS (
+        |  SELECT o_orderkey AS k FROM orders
+        |  WHERE o_orderstatus = 'F' AND o_orderkey % 6 = 0)
+        |SELECT t.k,
+        | CASE WHEN s.k IS NOT NULL THEN t.price + 1.0 ELSE t.price END AS price,
+        | t.yr, t.st
+        |FROM tgt t LEFT JOIN src s ON t.k = s.k
+        |WHERE s.k IS NOT NULL OR t.st <> 'P'
+        |ORDER BY t.k""".stripMargin,
     "q78_snapshot_changes" ->
       """WITH a AS (
         |  SELECT o_orderkey, o_orderstatus FROM orders
