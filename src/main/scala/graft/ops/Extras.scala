@@ -598,6 +598,46 @@ object Extras {
       .orderBy($"k")
   }
 
+  /** q81: STORAGE-PARTITIONED JOIN — two catalog tables partitioned on
+    * the join key (customers and suppliers by nation) joined with ZERO
+    * shuffle: both scans report `KeyGroupedPartitioning` through
+    * [[graft.sources.KeyGroupedParquetScanBuilder]], Spark's v2
+    * bucketing groups same-key tasks, and `EnsureRequirements` plans
+    * the join (and the follow-on groupBy on the same key) without an
+    * exchange on either side — the co-located fact-to-fact join a
+    * lakehouse deployment gets from Iceberg's SPJ, the dominant cost
+    * saving for co-partitioned joins at 100 TB. The gate pins the
+    * cross-engine RESULT; the zero-exchange plan shape is pinned in
+    * StoragePartitionedJoinSpec. Executed EAGERLY inside the v2
+    * bucketing conf window (cache + count) so the session-global conf
+    * is restored before other gates plan their reads. */
+  def q81StoragePartitionedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    Tables.load(s, dir, "customer")
+      .select($"c_nationkey".as("nk"), $"c_custkey", $"c_acctbal")
+      .writeTo("graft_ma.db.spj_cust").using("parquet")
+      .partitionedBy($"nk").createOrReplace()
+    Tables.load(s, dir, "supplier")
+      .select($"s_nationkey".as("nk"), $"s_suppkey", $"s_acctbal")
+      .writeTo("graft_ma.db.spj_supp").using("parquet")
+      .partitionedBy($"nk").createOrReplace()
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    try {
+      val j = s.table("graft_ma.db.spj_cust")
+        .join(s.table("graft_ma.db.spj_supp"), Seq("nk"))
+        .groupBy($"nk")
+        .agg(count(lit(1)).as("n_pairs"),
+          moneySum($"c_acctbal" + $"s_acctbal").as("total"))
+        .orderBy($"nk")
+        .cache()
+      j.count() // execute NOW, inside the conf window
+      j
+    } finally s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+  }
+
   /** Export path q76's oracle reads. Verify and the DuckDB oracle run on
     * the same host within one gate round, and the oracle SQL (which
     * embeds this path) is DUMPED BY THE SAME JVM that ran the export —
@@ -905,6 +945,7 @@ object Extras {
     "q75_merge_partitioned" -> q75MergePartitioned,
     "q79_merge_multicol_partitions" -> q79MergeMulticolPartitions,
     "q80_merge_not_matched_by_source" -> q80MergeNotMatchedBySource,
+    "q81_storage_partitioned_join" -> q81StoragePartitionedJoin,
     "q76_catalog_external" -> q76CatalogExternal,
     "q77_partitions_metadata" -> q77PartitionsMetadata,
     "q78_snapshot_changes" -> q78SnapshotChanges,
@@ -1250,6 +1291,13 @@ object Extras {
         |FROM tgt t LEFT JOIN src s ON t.k = s.k
         |WHERE s.k IS NOT NULL OR t.st <> 'P'
         |ORDER BY t.k""".stripMargin,
+    "q81_storage_partitioned_join" ->
+      """SELECT c.c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_pairs,
+        | CAST(sum(CAST(c.c_acctbal + s.s_acctbal AS DECIMAL(12,2)))
+        |      AS DOUBLE) AS total
+        |FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+        |GROUP BY c.c_nationkey
+        |ORDER BY nk""".stripMargin,
     "q78_snapshot_changes" ->
       """WITH a AS (
         |  SELECT o_orderkey, o_orderstatus FROM orders

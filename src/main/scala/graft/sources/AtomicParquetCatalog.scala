@@ -1259,10 +1259,21 @@ private[sources] abstract class VersionedTable(
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap) =
-    ParquetTable(name(), spark, options, Seq(versionDir.toString),
-      Some(tableSchema), classOf[ParquetFileFormat])
-      .newScanBuilder(options)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val inner = ParquetTable(name(), spark, options,
+      Seq(versionDir.toString), Some(tableSchema),
+      classOf[ParquetFileFormat]).newScanBuilder(options)
+    inner match {
+      // partitioned tables hand Spark the storage-partitioned-join
+      // handshake: the SAME builder state (all pushdown intact) with a
+      // build() that reports KeyGroupedPartitioning — active only when
+      // the session opted into v2 bucketing (see KeyGroupedScan.scala)
+      case psb: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+          if parts.nonEmpty =>
+        new KeyGroupedParquetScanBuilder(psb, spark, parts)
+      case _ => inner
+    }
+  }
 
   /** Write `df` as partitioned parquet into `target`. */
   protected def writeInto(target: JPath, df: DataFrame, mode: String): Unit =

@@ -1,0 +1,151 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, Expression => V2Expression}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReaderFactory, Scan, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile, PartitioningAwareFileIndex}
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A [[FilePartition]] that also names the partition-column values all
+  * of its files share — the [[HasPartitionKey]] handshake Spark's
+  * storage-partitioned join machinery groups tasks by. Subclassing (not
+  * wrapping) keeps the inner parquet reader factory working unchanged:
+  * it sees the FilePartition it expects. */
+private[sources] final class KeyedFilePartition(
+    index: Int, files: Array[PartitionedFile], key: InternalRow)
+    extends FilePartition(index, files) with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
+/** STORAGE-PARTITIONED JOIN support for the atomic catalog — the
+  * co-located-join path a lakehouse format's tables get from reporting
+  * their partition layout to Spark (SPARK-37375; what Iceberg tables do
+  * at scale): when BOTH sides of an equi-join are partitioned on the
+  * join keys, Spark plans the join with ZERO shuffle — each task joins
+  * one partition-value group read straight from both tables' files.
+  * At 100 TB this removes the dominant cost of fact-to-fact joins
+  * between co-partitioned tables (two full-table exchanges).
+  *
+  * Mechanics: wraps the delegated parquet [[Scan]] and (a) reports
+  * `KeyGroupedPartitioning(identity(partCols), nDistinctKeys)` through
+  * [[SupportsReportPartitioning]], (b) re-plans the inner scan's input
+  * partitions so every task holds files of exactly ONE partition value,
+  * tagged with [[HasPartitionKey]] — Spark's `BatchScanExec` then
+  * groups same-key tasks (`spark.sql.sources.v2.bucketing.enabled`) and
+  * `EnsureRequirements` recognizes the two sides as co-partitioned.
+  * Within one partition value the inner scan's task packing is kept, so
+  * a non-join read of a wrapped scan parallelizes exactly as before up
+  * to partition-boundary splits.
+  *
+  * The wrap is applied by [[PointerTable]]'s scan builder ONLY when
+  * `spark.sql.sources.v2.bucketing.enabled` is true in the building
+  * session AND the scan still carries every partition column (a scan
+  * that pruned them away has no per-file key to report) — so the
+  * default read path is byte-for-byte what it always was, and sessions
+  * that opt into v2 bucketing get the exchange-free plan.
+  * StoragePartitionedJoinSpec pins both the plan shape (no shuffle
+  * exchange under the join) and the joined rows. */
+/** The full parquet pushdown protocol — filters, column pruning,
+  * aggregates, variant extraction — forwarded verbatim to the real
+  * [[ParquetScanBuilder]], with a `build()` that wraps the resulting
+  * scan in [[KeyGroupedParquetScan]] when the building session has v2
+  * bucketing enabled and the scan kept every partition column. The
+  * planner feature-tests the builder's interfaces, so every interface
+  * the parquet builder implements must be declared here or its
+  * pushdown silently turns off (PlanQualitySpec's pushdown asserts
+  * guard that). A subclass override of `build()` is impossible — the
+  * parent narrows the return type to ParquetScan. */
+private[sources] final class KeyGroupedParquetScanBuilder(
+    inner: ParquetScanBuilder, session: SparkSession, parts: Seq[String])
+    extends org.apache.spark.sql.connector.read.ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownVariantExtractions {
+  import org.apache.spark.sql.catalyst.expressions.{Expression => CExpression}
+  import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+  import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+  import org.apache.spark.sql.connector.read.VariantExtraction
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    inner.pruneColumns(requiredSchema)
+  override def pushFilters(filters: Seq[CExpression]): Seq[CExpression] =
+    inner.pushFilters(filters)
+  override def pushedFilters: Array[V2Predicate] = inner.pushedFilters
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    inner.pushAggregation(aggregation)
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    inner.supportCompletePushDown(aggregation)
+  override def pushVariantExtractions(
+      extractions: Array[VariantExtraction]): Array[Boolean] =
+    inner.pushVariantExtractions(extractions)
+
+  override def build(): Scan = inner.build() match {
+    case ps: ParquetScan
+        if session.conf.get("spark.sql.sources.v2.bucketing.enabled",
+            "false") == "true" &&
+          ps.readPartitionSchema.fieldNames.toSeq == parts =>
+      new KeyGroupedParquetScan(ps, ps.readPartitionSchema)
+    case other => other
+  }
+}
+
+private[sources] final class KeyGroupedParquetScan(
+    inner: Scan, partSchema: StructType) extends Scan
+    with SupportsReportPartitioning {
+
+  override def readSchema(): StructType = inner.readSchema()
+  override def description(): String =
+    s"graft-key-grouped(${partSchema.fieldNames.mkString(",")}) " +
+      inner.description()
+
+  // one InputPartition per (inner task, partition value): flatMapping
+  // the inner packing instead of one-task-per-key keeps intra-partition
+  // parallelism for plain scans; Spark groups same-key tasks itself
+  // when a storage-partitioned join needs them co-located.
+  //
+  // PartitionedFile.partitionValues rows are per-task instances, so
+  // grouping and counting go through a value projection (Seq equality
+  // over the unwrapped column values); Spark's own task grouping wraps
+  // the reported keys in InternalRowComparableWrapper and needs no
+  // instance sharing.
+  private def keyValues(r: InternalRow): Seq[Any] =
+    partSchema.fields.indices.map(i => r.get(i, partSchema.fields(i).dataType))
+
+  private lazy val keyed: Array[InputPartition] = {
+    val fps = inner.toBatch.planInputPartitions()
+    var idx = -1
+    fps.flatMap {
+      case fp: FilePartition =>
+        fp.files.groupBy(f => keyValues(f.partitionValues)).toSeq
+          .sortBy(_._1.mkString(" ")).map { case (_, files) =>
+            idx += 1
+            new KeyedFilePartition(idx, files,
+              files.head.partitionValues.copy()): InputPartition
+          }
+      case other => // not a file partition: cannot key, serve as-is
+        idx += 1; Seq(other)
+    }
+  }
+
+  private lazy val nKeys: Int =
+    keyed.collect { case k: KeyedFilePartition =>
+      keyValues(k.partitionKey())
+    }.distinct.length
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      partSchema.fieldNames.map(Expressions.identity(_): V2Expression),
+      math.max(nKeys, 1))
+
+  override def toBatch: Batch = new Batch {
+    private val innerBatch = inner.toBatch
+    override def planInputPartitions(): Array[InputPartition] = keyed
+    override def createReaderFactory(): PartitionReaderFactory =
+      innerBatch.createReaderFactory()
+  }
+}
