@@ -1264,13 +1264,16 @@ private[sources] abstract class VersionedTable(
       Seq(versionDir.toString), Some(tableSchema),
       classOf[ParquetFileFormat]).newScanBuilder(options)
     inner match {
-      // partitioned tables hand Spark the storage-partitioned-join
-      // handshake: the SAME builder state (all pushdown intact) with a
-      // build() that reports KeyGroupedPartitioning — active only when
-      // the session opted into v2 bucketing (see KeyGroupedScan.scala)
+      // partitioned tables hand Spark the runtime handshakes a lakehouse
+      // scan owes it: KeyGroupedPartitioning (storage-partitioned joins,
+      // when the session opted into v2 bucketing) or
+      // SupportsRuntimeV2Filtering over the partition columns (dynamic
+      // partition pruning for star-schema joins) — the SAME builder
+      // state, all pushdown intact (see KeyGroupedScan.scala)
       case psb: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
           if parts.nonEmpty =>
-        new KeyGroupedParquetScanBuilder(psb, spark, parts)
+        new KeyGroupedParquetScanBuilder(psb, spark, name(), versionDir,
+          tableSchema, parts)
       case _ => inner
     }
   }
@@ -1418,28 +1421,14 @@ private[sources] final class PointerTable(
         override def filter(predicates: Array[V2Predicate]): Unit = {
           // one IN/= per partition column, values in catalyst internal
           // form (that is what DataSourceV2Strategy.translateRuntimeFilterV2
-          // builds from the group-filter subquery result)
-          val parsed: Map[String, Set[Any]] = predicates.flatMap { p =>
-            p.name() match {
-              case "IN" | "=" if p.children().nonEmpty =>
-                p.children()(0) match {
-                  case ref: NamedReference =>
-                    val tail = p.children().drop(1)
-                    val vals = tail.collect { case l: V2Literal[_] => l.value().asInstanceOf[Any] }
-                    if (vals.length == tail.length)
-                      Some(ref.fieldNames().mkString(".") -> vals.toSet)
-                    else None // a non-literal child: cannot prove, skip
-                  case _ => None
-                }
-              case _ => None // unknown shape: skip (conservative)
-            }
-          }.groupBy(_._1).map { case (c, vs) =>
-            // two predicates on one column intersect (conjunctive)
-            c -> vs.map(_._2).reduce(_ intersect _)
-          }
+          // builds from the group-filter subquery result); parse/keep
+          // arithmetic shared with the normal-read DPP scan
+          // (PartitionRuntimeFilters, RuntimePrunedScan.scala)
+          val parsed = PartitionRuntimeFilters.parse(predicates)
           if (parsed.nonEmpty) {
             val all = catalog.dataFilePartitions(versionDir)
-            val kept = all.filter(keepPartitionDir(_, parsed))
+            val kept = all.filter(
+              PartitionRuntimeFilters.keepPartitionDir(_, parsed, tableSchema))
             scannedPartitions = Some(kept)
             val options = new CaseInsensitiveStringMap(
               java.util.Collections.singletonMap("basePath", versionDir.toString))
@@ -1447,40 +1436,6 @@ private[sources] final class PointerTable(
               kept.toSeq.sorted.map(p => versionDir.resolve(p).toString),
               Some(tableSchema), classOf[ParquetFileFormat])
               .newScanBuilder(options).build()
-          }
-        }
-
-        /** Does `relDir` ("ch=web/d=2020-01-01") survive the per-column
-          * IN sets? Missing column, null partition, or a value the cast
-          * cannot parse → keep (conservative). */
-        private def keepPartitionDir(relDir: String,
-                                     bySet: Map[String, Set[Any]]): Boolean = {
-          import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
-          import org.apache.spark.sql.types.StringType
-          import org.apache.spark.unsafe.types.UTF8String
-          if (relDir.isEmpty) return true // unpartitioned files at root
-          val segs = relDir.split('/').flatMap { seg =>
-            seg.split("=", 2) match {
-              case Array(c, v) =>
-                Some(ExternalCatalogUtils.unescapePathName(c) ->
-                  ExternalCatalogUtils.unescapePathName(v))
-              case _ => None
-            }
-          }.toMap
-          bySet.forall { case (col, wanted) =>
-            segs.get(col) match {
-              case None => true // column not in this layout level: keep
-              case Some("__HIVE_DEFAULT_PARTITION__") => true // null: keep
-              case Some(raw) =>
-                val dt = tableSchema.fields.find(_.name == col)
-                  .map(_.dataType).getOrElse(StringType)
-                val v = Cast(Literal(UTF8String.fromString(raw), StringType),
-                  dt, Some("UTC"),
-                  org.apache.spark.sql.catalyst.expressions.EvalMode.TRY)
-                  .eval(null)
-                v == null || wanted.exists(w => java.util.Objects.equals(w, v))
-            }
           }
         }
       }

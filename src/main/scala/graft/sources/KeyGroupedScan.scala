@@ -45,22 +45,29 @@ private[sources] final class KeyedFilePartition(
   * `spark.sql.sources.v2.bucketing.enabled` is true in the building
   * session AND the scan still carries every partition column (a scan
   * that pruned them away has no per-file key to report) — so the
-  * default read path is byte-for-byte what it always was, and sessions
-  * that opt into v2 bucketing get the exchange-free plan.
+  * default read path keeps its task packing, and sessions that opt
+  * into v2 bucketing get the exchange-free plan.
   * StoragePartitionedJoinSpec pins both the plan shape (no shuffle
   * exchange under the join) and the joined rows. */
 /** The full parquet pushdown protocol — filters, column pruning,
   * aggregates, variant extraction — forwarded verbatim to the real
   * [[ParquetScanBuilder]], with a `build()` that wraps the resulting
-  * scan in [[KeyGroupedParquetScan]] when the building session has v2
-  * bucketing enabled and the scan kept every partition column. The
-  * planner feature-tests the builder's interfaces, so every interface
-  * the parquet builder implements must be declared here or its
-  * pushdown silently turns off (PlanQualitySpec's pushdown asserts
-  * guard that). A subclass override of `build()` is impossible — the
-  * parent narrows the return type to ParquetScan. */
+  * scan for the table's runtime behaviors: [[KeyGroupedParquetScan]]
+  * (storage-partitioned joins) when the building session has v2
+  * bucketing enabled, else [[RuntimePrunedParquetScan]] (dynamic
+  * partition pruning for star-schema joins) — both only while the scan
+  * still carries every partition column. The planner feature-tests the
+  * builder's interfaces, so every interface the parquet builder
+  * implements must be declared here or its pushdown silently turns off
+  * (PlanQualitySpec's pushdown asserts guard that). A subclass override
+  * of `build()` is impossible — the parent narrows the return type to
+  * ParquetScan. The pruneColumns/pushFilters arguments are CAPTURED so
+  * the DPP scan can replay the original pushdown onto its pruned
+  * delegate. */
 private[sources] final class KeyGroupedParquetScanBuilder(
-    inner: ParquetScanBuilder, session: SparkSession, parts: Seq[String])
+    inner: ParquetScanBuilder, session: SparkSession, scanName: String,
+    versionDir: java.nio.file.Path, tableSchema: StructType,
+    parts: Seq[String])
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -71,13 +78,24 @@ private[sources] final class KeyGroupedParquetScanBuilder(
   import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
   import org.apache.spark.sql.connector.read.VariantExtraction
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
+  private var requiredSchema: Option[StructType] = None
+  private var dataFilters: Seq[CExpression] = Nil
+  private var aggPushed = false
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    this.requiredSchema = Some(requiredSchema)
     inner.pruneColumns(requiredSchema)
-  override def pushFilters(filters: Seq[CExpression]): Seq[CExpression] =
+  }
+  override def pushFilters(filters: Seq[CExpression]): Seq[CExpression] = {
+    dataFilters = filters
     inner.pushFilters(filters)
+  }
   override def pushedFilters: Array[V2Predicate] = inner.pushedFilters
-  override def pushAggregation(aggregation: Aggregation): Boolean =
-    inner.pushAggregation(aggregation)
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val pushed = inner.pushAggregation(aggregation)
+    aggPushed ||= pushed
+    pushed
+  }
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
     inner.supportCompletePushDown(aggregation)
   override def pushVariantExtractions(
@@ -85,11 +103,15 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     inner.pushVariantExtractions(extractions)
 
   override def build(): Scan = inner.build() match {
-    case ps: ParquetScan
-        if session.conf.get("spark.sql.sources.v2.bucketing.enabled",
-            "false") == "true" &&
-          ps.readPartitionSchema.fieldNames.toSeq == parts =>
-      new KeyGroupedParquetScan(ps, ps.readPartitionSchema)
+    case ps: ParquetScan if ps.readPartitionSchema.fieldNames.toSeq == parts =>
+      if (session.conf.get("spark.sql.sources.v2.bucketing.enabled",
+          "false") == "true")
+        new KeyGroupedParquetScan(ps, ps.readPartitionSchema)
+      // a pushed aggregate changes the scan's output to the aggregate
+      // rows — the DPP rebuild cannot replay that, so serve it as-is
+      else if (aggPushed) ps
+      else new RuntimePrunedParquetScan(ps, session, scanName, versionDir,
+        tableSchema, parts, requiredSchema, dataFilters)
     case other => other
   }
 }

@@ -1,0 +1,156 @@
+package graft.sources
+
+import java.nio.file.{Files, Path => JPath}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal, Expression => CExpression}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Literal => V2Literal}
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+import org.apache.spark.sql.connector.read.{Batch, Scan, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The partition-directory arithmetic shared by every runtime-filtered
+  * scan on the atomic catalog — the COW group-filtering scan and the
+  * normal-read dynamic-partition-pruning scan both parse the pushed V2
+  * predicates into per-column IN sets and test hive-layout directory
+  * names against them. Conservative by construction: any predicate
+  * shape that cannot be PROVEN prunable — and the null partition —
+  * keeps the directory, which only widens the read, never corrupts it. */
+private[sources] object PartitionRuntimeFilters {
+
+  /** One IN/= per partition column, values in catalyst internal form
+    * (what `DataSourceV2Strategy.translateRuntimeFilterV2` builds from
+    * a dynamic-pruning subquery's result); two predicates on one column
+    * intersect (conjunctive). */
+  def parse(predicates: Array[V2Predicate]): Map[String, Set[Any]] =
+    predicates.flatMap { p =>
+      p.name() match {
+        case "IN" | "=" if p.children().nonEmpty =>
+          p.children()(0) match {
+            case ref: NamedReference =>
+              val tail = p.children().drop(1)
+              val vals = tail.collect { case l: V2Literal[_] => l.value().asInstanceOf[Any] }
+              if (vals.length == tail.length)
+                Some(ref.fieldNames().mkString(".") -> vals.toSet)
+              else None // a non-literal child: cannot prove, skip
+            case _ => None
+          }
+        case _ => None // unknown shape: skip (conservative)
+      }
+    }.groupBy(_._1).map { case (c, vs) =>
+      c -> vs.map(_._2).reduce(_ intersect _)
+    }
+
+  /** Does `relDir` ("ch=web/d=2020-01-01") survive the per-column IN
+    * sets? Missing column, null partition, or a value the cast cannot
+    * parse → keep (conservative). */
+  def keepPartitionDir(relDir: String, bySet: Map[String, Set[Any]],
+                       tableSchema: StructType): Boolean = {
+    if (relDir.isEmpty) return true // unpartitioned files at root
+    val segs = relDir.split('/').flatMap { seg =>
+      seg.split("=", 2) match {
+        case Array(c, v) =>
+          Some(ExternalCatalogUtils.unescapePathName(c) ->
+            ExternalCatalogUtils.unescapePathName(v))
+        case _ => None
+      }
+    }.toMap
+    bySet.forall { case (col, wanted) =>
+      segs.get(col) match {
+        case None => true // column not in this layout level: keep
+        case Some("__HIVE_DEFAULT_PARTITION__") => true // null: keep
+        case Some(raw) =>
+          val dt = tableSchema.fields.find(_.name == col)
+            .map(_.dataType).getOrElse(StringType)
+          val v = Cast(Literal(UTF8String.fromString(raw), StringType),
+            dt, Some("UTC"), EvalMode.TRY).eval(null)
+          v == null || wanted.exists(w => java.util.Objects.equals(w, v))
+      }
+    }
+  }
+
+  /** The distinct partition directories holding data files under a
+    * version dir ("" for unpartitioned files at the root) — a plain
+    * filesystem walk, shared statically so scans built outside the
+    * catalog instance can prune too. */
+  def dataFilePartitionsOf(v: JPath): Set[String] = {
+    val walk = Files.walk(v)
+    try walk.iterator().asScala.collect {
+      case p if Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith(".") =>
+        Option(v.relativize(p).getParent).map(_.toString).getOrElse("")
+    }.toSet
+    finally walk.close() // NIO walk streams hold directory handles
+  }
+}
+
+/** DYNAMIC PARTITION PRUNING for normal reads of partitioned catalog
+  * tables — the star-schema join path: `fact JOIN dim ON fact.k = dim.k
+  * WHERE dim.x = ...` where `k` is (or determines) fact's partition
+  * column. Spark's `PartitionPruning` rule sees a V2 scan advertising
+  * its partition columns through [[SupportsRuntimeV2Filtering]], plants
+  * a dynamic IN-subquery over the dim side's join keys, and at
+  * execution this scan receives the matching key values and REBUILDS
+  * its delegate over only the partition directories that survive — the
+  * 100 TB behavior a lakehouse table gets from Iceberg: a selective dim
+  * filter prunes fact partitions at runtime, no manual predicate.
+  *
+  * The rebuilt delegate re-applies the ORIGINAL scan's column pruning
+  * and pushed data filters (captured by
+  * [[KeyGroupedParquetScanBuilder]] during pushdown), then is accepted
+  * only if its read schema is byte-identical to the original's — any
+  * mismatch keeps the unpruned scan (correct, just not pruned).
+  * Receiving no provable predicate keeps the full scan the same way. */
+private[sources] final class RuntimePrunedParquetScan(
+    inner: Scan, session: SparkSession, scanName: String,
+    versionDir: JPath, tableSchema: StructType, parts: Seq[String],
+    requiredSchema: Option[StructType], dataFilters: Seq[CExpression])
+    extends Scan with SupportsRuntimeV2Filtering {
+
+  @volatile private var delegate = inner
+
+  override def readSchema(): StructType = inner.readSchema()
+  // keep the inner FileScan's explain metadata (PartitionFilters /
+  // DataFilters / ReadSchema) visible — plan-quality asserts and humans
+  // both read pushdown off the explain string
+  override def description(): String =
+    s"graft-runtime-pruned $scanName ${inner.description()}"
+  override def toBatch: Batch = delegate.toBatch
+
+  override def filterAttributes(): Array[NamedReference] =
+    parts.map(p => Expressions.column(p).asInstanceOf[NamedReference]).toArray
+
+  override def filter(predicates: Array[V2Predicate]): Unit = {
+    val parsed = PartitionRuntimeFilters.parse(predicates)
+    if (parsed.nonEmpty) {
+      val kept = PartitionRuntimeFilters.dataFilePartitionsOf(versionDir)
+        .filter(PartitionRuntimeFilters.keepPartitionDir(_, parsed, tableSchema))
+      val options = new CaseInsensitiveStringMap(
+        java.util.Collections.singletonMap("basePath", versionDir.toString))
+      val builder = ParquetTable(s"$scanName-dpp", session, options,
+        kept.toSeq.sorted.map(p => versionDir.resolve(p).toString),
+        Some(tableSchema), classOf[ParquetFileFormat])
+        .newScanBuilder(options)
+      builder match {
+        case fb: FileScanBuilder =>
+          // replay the original pushdown so the pruned delegate reads
+          // exactly the columns and row groups the original would have
+          requiredSchema.foreach(fb.pruneColumns)
+          if (dataFilters.nonEmpty) fb.pushFilters(dataFilters)
+        case _ => ()
+      }
+      val pruned = builder.build()
+      if (pruned.readSchema() == inner.readSchema()) delegate = pruned
+      // else: schema drifted under replayed pushdown — keep full scan
+    }
+  }
+}

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dynamic partition pruning for NORMAL reads of partitioned catalog
+  * tables — the star-schema path: a selective filter on a joined dim
+  * prunes the fact table's partitions at runtime, with no manual
+  * predicate on the fact side. The proof is the fact scan's OUTPUT ROW
+  * COUNT: with pruning it emits only the matching partitions' rows;
+  * without, the whole table. */
+class DynamicPruningSpec extends AnyFunSuite {
+  lazy val warehouse: String =
+    java.nio.file.Files.createTempDirectory("graft_dpp_wh").toString
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.conf.set("spark.sql.catalog.graft_dpp",
+      "graft.sources.AtomicParquetCatalog")
+    s.conf.set("spark.sql.catalog.graft_dpp.warehouse", warehouse)
+    s
+  }
+
+  /** Pin the confs DPP depends on for the duration of a test — the
+    * suites share one SparkSession, and e.g. BucketedJoinSpec disables
+    * auto-broadcast session-wide (DPP's default onlyInBroadcast mode
+    * never fires without a broadcast dim). */
+  private def withDppConfs[A](f: => A): A = {
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled",
+      "true")
+    try f finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def finalPlan(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => a.executedPlan
+    case other => other
+  }
+
+  /** Output-row metric of every BatchScanExec (recursing through AQE
+    * query stages, which hold their plan outside `children`) whose
+    * output carries `col`. */
+  private def scanRows(df: org.apache.spark.sql.DataFrame,
+                       col: String): Seq[Long] = {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    def scans(p: SparkPlan): Seq[BatchScanExec] =
+      p.collect {
+        case b: BatchScanExec => Seq(b)
+        case q: QueryStageExec => scans(q.plan)
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      }.flatten
+    scans(finalPlan(df.queryExecution.executedPlan))
+      .filter(_.output.exists(_.name == col))
+      .map(_.metrics("numOutputRows").value)
+  }
+
+  test("a selective dim filter prunes fact partitions at runtime") {
+    import spark.implicits._
+    withDppConfs {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_dpp.db")
+    (1L to 1000L).map(i => (i % 10, i, i * 1.0)).toDF("k", "f_id", "f_v")
+      .writeTo("graft_dpp.db.fact").using("parquet")
+      .partitionedBy($"k").createOrReplace()
+    (0L to 9L).map(k => (k, if (k == 2 || k == 5) "x" else "y"))
+      .toDF("k", "cat")
+      .writeTo("graft_dpp.db.dim").using("parquet").createOrReplace()
+    val j = spark.table("graft_dpp.db.fact")
+      .join(spark.table("graft_dpp.db.dim").where($"cat" === "x"), Seq("k"))
+      .agg(count(lit(1)).as("n"), sum($"f_v").as("s"))
+    val row = j.collect().head
+    // correctness: keys 2 and 5 → 100 fact rows each
+    assert(row.getLong(0) == 200)
+    assert(row.getDouble(1) ==
+      (1L to 1000L).filter(i => i % 10 == 2 || i % 10 == 5).map(_.toDouble).sum)
+    // pruning: the fact scan must emit ONLY partitions k=2 and k=5
+    // (keyed on f_v — f_id is column-pruned out of the scan)
+    val factRows = scanRows(j, "f_v")
+    assert(factRows.nonEmpty, "fact BatchScanExec not found in final plan")
+    assert(factRows.sum == 200,
+      s"fact scan read ${factRows.sum} rows — dynamic partition pruning " +
+        "did not fire (expected 200 = the two matching partitions)")
+    }
+  }
+
+  test("pruned delegate replays pushed data filters and column pruning") {
+    import spark.implicits._
+    withDppConfs {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_dpp.db")
+    (1L to 1000L).map(i => (i % 10, i, i * 1.0, s"pad$i"))
+      .toDF("k", "f_id", "f_v", "f_pad")
+      .writeTo("graft_dpp.db.fact2").using("parquet")
+      .partitionedBy($"k").createOrReplace()
+    (0L to 9L).map(k => (k, if (k == 3) "x" else "y")).toDF("k", "cat")
+      .writeTo("graft_dpp.db.dim2").using("parquet").createOrReplace()
+    // a data filter rides along with the runtime partition filter: the
+    // DPP-rebuilt delegate must re-apply it (and the column pruning)
+    // without changing results
+    val j = spark.table("graft_dpp.db.fact2")
+      .where($"f_id" % 2 === 0)
+      .join(spark.table("graft_dpp.db.dim2").where($"cat" === "x"), Seq("k"))
+      .select($"f_id", $"f_v")
+    val got = j.orderBy($"f_id").collect().map(_.getLong(0)).toSeq
+    assert(got == (1L to 1000L).filter(i => i % 10 == 3 && i % 2 == 0))
+    val factRows = scanRows(j, "f_id")
+    assert(factRows.nonEmpty && factRows.sum <= 100,
+      s"fact2 scan read ${factRows.sum} rows — expected at most one " +
+        "partition's 100 rows after runtime pruning")
+    }
+  }
+
+  test("no-dim-filter join is unchanged and correct (no pruning needed)") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_dpp.db")
+    val j = spark.table("graft_dpp.db.fact")
+      .join(spark.table("graft_dpp.db.dim"), Seq("k"))
+    assert(j.count() == 1000)
+    spark.sql("DROP TABLE graft_dpp.db.fact")
+    spark.sql("DROP TABLE graft_dpp.db.dim")
+    spark.sql("DROP TABLE graft_dpp.db.fact2")
+    spark.sql("DROP TABLE graft_dpp.db.dim2")
+  }
+}
