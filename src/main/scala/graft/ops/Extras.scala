@@ -638,6 +638,35 @@ object Extras {
     } finally s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
   }
 
+  /** q82: `MERGE WITH SCHEMA EVOLUTION` — the CDC-landing pattern where
+    * the source grew a column the target does not have yet: the
+    * analyzer widens the target through the catalog's `alterTable` (a
+    * metadata-only snapshot; old files null-fill the new column on
+    * read — the capability is [[org.apache.spark.sql.connector.catalog.TableCapability.AUTOMATIC_SCHEMA_EVOLUTION]]),
+    * then the row-level rewrite lands matched updates, new-key inserts
+    * and the evolved column in one conflict-checked commit. The oracle
+    * reconstructs the post-merge state with a full-outer join. */
+  def q82MergeSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    val c = Tables.load(s, dir, "customer")
+    c.where($"c_custkey" % 3 === 0)
+      .select($"c_custkey", $"c_acctbal".as("balance"))
+      .writeTo("graft_ma.db.sevo").using("parquet").createOrReplace()
+    c.where($"c_custkey" % 3 =!= 2 && $"c_custkey" % 2 === 0)
+      .select($"c_custkey", ($"c_acctbal" * 2.0).as("balance"),
+        $"c_mktsegment".as("segment"))
+      .createOrReplaceTempView("q82_src")
+    s.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft_ma.db.sevo t
+            |USING q82_src s ON t.c_custkey = s.c_custkey
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.table("graft_ma.db.sevo")
+      .select($"c_custkey", $"balance", $"segment")
+      .orderBy($"c_custkey")
+  }
+
   /** Export path q76's oracle reads. Verify and the DuckDB oracle run on
     * the same host within one gate round, and the oracle SQL (which
     * embeds this path) is DUMPED BY THE SAME JVM that ran the export —
@@ -946,6 +975,7 @@ object Extras {
     "q79_merge_multicol_partitions" -> q79MergeMulticolPartitions,
     "q80_merge_not_matched_by_source" -> q80MergeNotMatchedBySource,
     "q81_storage_partitioned_join" -> q81StoragePartitionedJoin,
+    "q82_merge_schema_evolution" -> q82MergeSchemaEvolution,
     "q76_catalog_external" -> q76CatalogExternal,
     "q77_partitions_metadata" -> q77PartitionsMetadata,
     "q78_snapshot_changes" -> q78SnapshotChanges,
@@ -1291,6 +1321,20 @@ object Extras {
         |FROM tgt t LEFT JOIN src s ON t.k = s.k
         |WHERE s.k IS NOT NULL OR t.st <> 'P'
         |ORDER BY t.k""".stripMargin,
+    "q82_merge_schema_evolution" ->
+      """WITH tgt AS (
+        |  SELECT c_custkey, c_acctbal AS balance FROM customer
+        |  WHERE c_custkey % 3 = 0),
+        |src AS (
+        |  SELECT c_custkey, c_acctbal * 2.0 AS balance,
+        |   c_mktsegment AS segment
+        |  FROM customer WHERE c_custkey % 3 <> 2 AND c_custkey % 2 = 0)
+        |SELECT coalesce(t.c_custkey, s.c_custkey) AS c_custkey,
+        | CASE WHEN s.c_custkey IS NOT NULL THEN s.balance
+        |      ELSE t.balance END AS balance,
+        | s.segment
+        |FROM tgt t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
     "q81_storage_partitioned_join" ->
       """SELECT c.c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_pairs,
         | CAST(sum(CAST(c.c_acctbal + s.s_acctbal AS DECIMAL(12,2)))

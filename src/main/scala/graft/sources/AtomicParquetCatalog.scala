@@ -1332,7 +1332,11 @@ private[sources] final class PointerTable(
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC,
+      // MERGE WITH SCHEMA EVOLUTION: the analyzer widens the target via
+      // this catalog's alterTable (a metadata-only snapshot) before the
+      // row-level rewrite; old files null-fill the added columns on read
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {

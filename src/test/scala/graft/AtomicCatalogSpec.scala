@@ -984,6 +984,30 @@ class AtomicCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_atomic.db.cow6")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens the target from the source") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "part", "v")
+      .writeTo("graft_atomic.db.se1").using("parquet")
+      .partitionedBy(col("part")).createOrReplace()
+    Seq((1L, "a", 9.0, "note1"), (3L, "c", 3.0, "note3"))
+      .toDF("id", "part", "v", "note").createOrReplaceTempView("se1_src")
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft_atomic.db.se1 t
+                |USING se1_src s ON t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after = spark.table("graft_atomic.db.se1")
+    assert(after.schema.fieldNames.toSeq ==
+      Seq("id", "part", "v", "note"),
+      s"schema evolution did not widen: ${after.schema.treeString}")
+    assert(after.orderBy("id")
+      .as[(Long, String, Double, String)].collect().toSeq ==
+      Seq((1L, "a", 9.0, "note1"), (2L, "b", 2.0, null),
+        (3L, "c", 3.0, "note3")),
+      "schema evolution merge must widen the table and null-fill old rows")
+    spark.sql("DROP TABLE graft_atomic.db.se1")
+  }
+
   test("MERGE racing an append conflicts; retry applies both effects") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
