@@ -1279,8 +1279,25 @@ private[sources] abstract class VersionedTable(
   }
 
   /** Write `df` as partitioned parquet into `target`. */
-  protected def writeInto(target: JPath, df: DataFrame, mode: String): Unit =
-    df.write.mode(mode).partitionBy(parts: _*).parquet(target.toString)
+  /** Write `df` as partitioned parquet into `target`. With
+    * `spark.sql.catalog.graft.write.clusterByPartitions=true` (Iceberg's
+    * `write.distribution-mode=hash` posture) the rows are hash-clustered
+    * on the partition columns first, so each partition value lands from
+    * ONE task and the layout gets ~one file per partition instead of
+    * (tasks x partitions) small files — the small-files explosion that
+    * dominates write cost and ruins later scan/compaction behavior at
+    * 100 TB. Off by default locally: the extra exchange is pure cost at
+    * gate scale, and the pinned write gates price the unclustered path;
+    * WriteDistributionSpec pins the clustered file count. */
+  protected def writeInto(target: JPath, df: DataFrame, mode: String): Unit = {
+    val clustered =
+      if (parts.nonEmpty && spark.conf
+          .getOption("spark.sql.catalog.graft.write.clusterByPartitions")
+          .contains("true"))
+        df.repartition(parts.map(org.apache.spark.sql.functions.col): _*)
+      else df
+    clustered.write.mode(mode).partitionBy(parts: _*).parquet(target.toString)
+  }
 }
 
 /** A committed table: reads serve the pinned version directory (immutable
