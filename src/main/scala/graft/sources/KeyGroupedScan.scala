@@ -118,7 +118,51 @@ private[sources] final class KeyGroupedParquetScanBuilder(
 
 private[sources] final class KeyGroupedParquetScan(
     inner: Scan, partSchema: StructType) extends Scan
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  // SPJ composes with DYNAMIC PARTITION PRUNING: the keyed task list is
+  // already grouped by partition value, so a runtime filter just drops
+  // the non-matching keys — no delegate rebuild — and Spark's
+  // BatchScanExec regroups the surviving HasPartitionKey tasks
+  // (value-set changes are the pushPartValues path it already handles
+  // for mismatched sides). Conservative like every runtime filter here:
+  // unparseable predicates and null keys keep their tasks.
+  @volatile private var keepSets: Map[String, Set[Any]] = Map.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    partSchema.fieldNames.map(f => Expressions.column(f)
+      .asInstanceOf[org.apache.spark.sql.connector.expressions.NamedReference])
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val parsed = PartitionRuntimeFilters.parse(predicates)
+    if (parsed.nonEmpty) keepSets = parsed
+  }
+
+  private def passes(key: InternalRow): Boolean =
+    keepSets.forall { case (col, wanted) =>
+      partSchema.fieldNames.indexWhere(_.equalsIgnoreCase(col)) match {
+        case -1 => true // not a partition column at this level: keep
+        case i =>
+          val v = key.get(i, partSchema.fields(i).dataType)
+          v == null || wanted.exists(w => java.util.Objects.equals(w, v))
+      }
+    }
+
+  // forward the parquet scan's size/row estimates — hiding them would
+  // make the relation fall back to the (huge) default size and the
+  // planner would never broadcast this table
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    inner match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes() = java.util.OptionalLong.empty()
+        override def numRows() = java.util.OptionalLong.empty()
+      }
+    }
 
   override def readSchema(): StructType = inner.readSchema()
   override def description(): String =
@@ -166,7 +210,12 @@ private[sources] final class KeyGroupedParquetScan(
 
   override def toBatch: Batch = new Batch {
     private val innerBatch = inner.toBatch
-    override def planInputPartitions(): Array[InputPartition] = keyed
+    override def planInputPartitions(): Array[InputPartition] =
+      if (keepSets.isEmpty) keyed
+      else keyed.filter {
+        case k: KeyedFilePartition => passes(k.partitionKey())
+        case _ => true // unkeyed partition: cannot prove, keep
+      }
     override def createReaderFactory(): PartitionReaderFactory =
       innerBatch.createReaderFactory()
   }

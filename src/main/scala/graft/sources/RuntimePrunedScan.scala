@@ -114,9 +114,23 @@ private[sources] final class RuntimePrunedParquetScan(
     inner: Scan, session: SparkSession, scanName: String,
     versionDir: JPath, tableSchema: StructType, parts: Seq[String],
     requiredSchema: Option[StructType], dataFilters: Seq[CExpression])
-    extends Scan with SupportsRuntimeV2Filtering {
+    extends Scan with SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   @volatile private var delegate = inner
+
+  // forward the parquet scan's size/row estimates — hiding them would
+  // make the relation fall back to the (huge) default size and the
+  // planner would never broadcast this table
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    delegate match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes() = java.util.OptionalLong.empty()
+        override def numRows() = java.util.OptionalLong.empty()
+      }
+    }
 
   override def readSchema(): StructType = inner.readSchema()
   // keep the inner FileScan's explain metadata (PartitionFilters /

@@ -124,6 +124,54 @@ class DynamicPruningSpec extends AnyFunSuite {
     }
   }
 
+  test("SPJ and DPP compose: v2 bucketing on, dim filter still prunes") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_dpp.db")
+    (1L to 1000L).map(i => (i % 10, i, i * 1.0)).toDF("k", "c_id", "c_v")
+      .writeTo("graft_dpp.db.cfact").using("parquet")
+      .partitionedBy($"k").createOrReplace()
+    (0L to 9L).map(k => (k, if (k == 2 || k == 5) "x" else "y"))
+      .toDF("k", "cat")
+      .writeTo("graft_dpp.db.cdim").using("parquet").createOrReplace()
+    withDppConfs {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      try {
+        val j = spark.table("graft_dpp.db.cfact")
+          .join(spark.table("graft_dpp.db.cdim").where($"cat" === "x"),
+            Seq("k"))
+          .agg(count(lit(1)).as("n"), sum($"c_v").as("s"))
+        assert(j.collect().head.getLong(0) == 200)
+        val factRows = scanRows(j, "c_v")
+        assert(factRows.nonEmpty && factRows.sum == 200,
+          s"key-grouped fact scan read ${factRows.sum} rows — runtime " +
+            "pruning did not compose with storage partitioning")
+      } finally spark.conf
+        .set("spark.sql.sources.v2.bucketing.enabled", "false")
+    }
+    spark.sql("DROP TABLE graft_dpp.db.cfact")
+    spark.sql("DROP TABLE graft_dpp.db.cdim")
+  }
+
+  test("a partitioned catalog table still broadcasts (stats forwarded)") {
+    import spark.implicits._
+    withDppConfs {
+      // the PARTITIONED side is tiny (1000 rows): if the scan wrapper
+      // hid the parquet size estimate, the relation would report the
+      // default (huge) size and the planner would never broadcast it
+      val big = spark.range(0, 100000).select(($"id" % 10).as("k"), $"id")
+      val joined = big.join(spark.table("graft_dpp.db.fact"), Seq("k"))
+      assert(joined.count() == 100000L / 10 * 1000)
+      val plan = finalPlan(joined.queryExecution.executedPlan)
+      val hasBhj = plan.toString.contains("BroadcastHashJoin") ||
+        plan.collect {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            q.plan.toString
+        }.exists(_.contains("BroadcastHashJoin"))
+      assert(hasBhj,
+        s"small partitioned catalog table did not broadcast:\n$plan")
+    }
+  }
+
   test("no-dim-filter join is unchanged and correct (no pruning needed)") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_dpp.db")
