@@ -667,6 +667,75 @@ object Extras {
       .orderBy($"c_custkey")
   }
 
+  /** q83: storage-partitioned join over BUCKET transforms — the
+    * HIGH-CARDINALITY variant of q81: `c_custkey` has one value per
+    * customer, so identity partitioning would need a directory per key;
+    * `bucket(16, custkey)` (Iceberg's bucket transform, the reference's
+    * catalog supports the same spec) caps the layout at 16 hidden
+    * `_gb_` directories, the catalog's FunctionCatalog serves the
+    * `bucket` function Spark resolves the reported
+    * `KeyGroupedPartitioning` with, and the orders-to-customers join —
+    * AND the per-customer aggregate after it — plan with ZERO shuffle
+    * exchanges (BucketTransformSpec pins the plan shape; this gate pins
+    * the cross-engine result). At 100 TB this is the fact-to-fact join
+    * on a billion-value key done exchange-free. */
+  def q83BucketSpj(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    Tables.load(s, dir, "customer")
+      .select($"c_custkey", $"c_acctbal")
+      .writeTo("graft_ma.db.bspj_cust").using("parquet")
+      .partitionedBy(bucket(16, $"c_custkey")).createOrReplace()
+    Tables.load(s, dir, "orders")
+      .select($"o_custkey", $"o_totalprice")
+      .writeTo("graft_ma.db.bspj_ord").using("parquet")
+      .partitionedBy(bucket(16, $"o_custkey")).createOrReplace()
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    try {
+      val j = s.table("graft_ma.db.bspj_ord")
+        .join(s.table("graft_ma.db.bspj_cust"),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"c_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum($"o_totalprice" + $"c_acctbal").as("total"))
+        .orderBy($"c_custkey")
+        .cache()
+      j.count() // execute NOW, inside the conf window
+      j
+    } finally s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+  }
+
+  /** q84: MERGE into a BUCKET-partitioned table — row-level ops on the
+    * hidden-bucket layout: the runtime group filter arrives on the
+    * SOURCE key (the hidden `_gb_` id is not a scan column), each key
+    * hashes to its bucket directory, and the copy-on-write rewrites
+    * only the buckets the merge keys live in, hard-linking the rest
+    * (BucketTransformSpec pins the inode equality; this gate pins the
+    * merged RESULT cross-engine: updates doubled balances for keys
+    * divisible by 5, inserts shifted keys ≡ 3 mod 7). */
+  def q84BucketMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    val c = Tables.load(s, dir, "customer")
+    c.select($"c_custkey", $"c_acctbal".as("bal"))
+      .writeTo("graft_ma.db.bmrg").using("parquet")
+      .partitionedBy(bucket(8, $"c_custkey")).createOrReplace()
+    c.where($"c_custkey" % 5 === 0)
+      .select($"c_custkey", ($"c_acctbal" * 2.0).as("bal"))
+      .union(c.where($"c_custkey" % 7 === 3)
+        .select(($"c_custkey" + 10000000L).as("c_custkey"),
+          ($"c_acctbal" + 1.0).as("bal")))
+      .createOrReplaceTempView("q84_src")
+    s.sql("""MERGE INTO graft_ma.db.bmrg t USING q84_src s
+            |ON t.c_custkey = s.c_custkey
+            |WHEN MATCHED THEN UPDATE SET bal = s.bal
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.table("graft_ma.db.bmrg").orderBy($"c_custkey")
+  }
+
   /** Export path q76's oracle reads. Verify and the DuckDB oracle run on
     * the same host within one gate round, and the oracle SQL (which
     * embeds this path) is DUMPED BY THE SAME JVM that ran the export —
@@ -976,6 +1045,8 @@ object Extras {
     "q80_merge_not_matched_by_source" -> q80MergeNotMatchedBySource,
     "q81_storage_partitioned_join" -> q81StoragePartitionedJoin,
     "q82_merge_schema_evolution" -> q82MergeSchemaEvolution,
+    "q83_bucket_spj" -> q83BucketSpj,
+    "q84_bucket_merge" -> q84BucketMerge,
     "q76_catalog_external" -> q76CatalogExternal,
     "q77_partitions_metadata" -> q77PartitionsMetadata,
     "q78_snapshot_changes" -> q78SnapshotChanges,
@@ -1342,6 +1413,26 @@ object Extras {
         |FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
         |GROUP BY c.c_nationkey
         |ORDER BY nk""".stripMargin,
+    "q83_bucket_spj" ->
+      """SELECT c.c_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(sum(CAST(o.o_totalprice + c.c_acctbal AS DECIMAL(12,2)))
+        |      AS DOUBLE) AS total
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q84_bucket_merge" ->
+      """WITH src AS (
+        |  SELECT c_custkey, c_acctbal * 2.0 AS bal FROM customer
+        |  WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000 AS c_custkey, c_acctbal + 1.0 AS bal
+        |  FROM customer WHERE c_custkey % 7 = 3)
+        |SELECT coalesce(t.c_custkey, s.c_custkey) AS c_custkey,
+        | CASE WHEN s.c_custkey IS NOT NULL THEN s.bal
+        |      ELSE t.bal END AS bal
+        |FROM (SELECT c_custkey, c_acctbal AS bal FROM customer) t
+        |FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
     "q78_snapshot_changes" ->
       """WITH a AS (
         |  SELECT o_orderkey, o_orderstatus FROM orders

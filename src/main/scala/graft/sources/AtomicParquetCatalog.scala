@@ -157,7 +157,7 @@ object AtomicParquetCatalog {
 }
 
 class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
-    with SupportsNamespaces with ProcedureCatalog {
+    with SupportsNamespaces with ProcedureCatalog with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: JPath = _
@@ -356,33 +356,71 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
   private var lockStaleMs: Long = 600000L
 
   private def writeMeta(versionDir: JPath, schema: StructType,
-                        parts: Seq[String]): Unit = {
+                        fields: Seq[PartitionField]): Unit = {
     Files.createDirectories(versionDir)
     Files.write(versionDir.resolve("_schema.json"), schema.json.getBytes("UTF-8"))
     Files.write(versionDir.resolve("_partitions.txt"),
-      parts.mkString("\n").getBytes("UTF-8"))
+      PartitionField.serialize(fields).getBytes("UTF-8"))
   }
 
-  private def readMeta(versionDir: JPath): (StructType, Seq[String]) = {
+  private def readMeta(versionDir: JPath): (StructType, Seq[PartitionField]) = {
     val schema = DataType.fromJson(new String(
       Files.readAllBytes(versionDir.resolve("_schema.json")), "UTF-8"))
       .asInstanceOf[StructType]
     val pf = versionDir.resolve("_partitions.txt")
-    val parts =
+    val fields =
       if (!Files.exists(pf)) Nil
       else new String(Files.readAllBytes(pf), "UTF-8")
         .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-    (schema, parts)
+        .map(PartitionField.parseLine)
+    (schema, fields)
   }
 
-  /** Only identity partition transforms are meaningful for a parquet
-    * directory layout (`partitionedBy(col, ...)`). */
-  private def partitionNames(transforms: Array[Transform]): Seq[String] =
-    transforms.toSeq.map { t =>
-      require(t.name == "identity",
-        s"AtomicParquetCatalog supports identity partitioning only, got $t")
-      t.references()(0).fieldNames().mkString(".")
+  /** Partition transforms a parquet directory layout can express:
+    * `identity(col)` (a directory level per value) and `bucket(n, col)`
+    * (a HIDDEN `_gb_col=<pmod(hash(col), n)>` directory level — the
+    * high-cardinality-key strategy; see [[GraftBucketFunction]]).
+    * Validated against `schema`: every source column must exist, bucket
+    * keys must be hashable scalars, and a schema column may not collide
+    * with a bucket's hidden directory name. */
+  private def parsePartitionTransforms(transforms: Array[Transform],
+                                       schema: StructType): Seq[PartitionField] = {
+    val fields = transforms.toSeq.map { t =>
+      t.name match {
+        case "identity" =>
+          IdentityPart(t.references()(0).fieldNames().mkString("."))
+        case "bucket" =>
+          require(t.references().length == 1,
+            s"bucket over multiple columns is not supported, got $t")
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                if l.value().isInstanceOf[Int] => l.value().asInstanceOf[Int]
+          }.getOrElse(throw new IllegalArgumentException(
+            s"bucket transform carries no INT bucket count: $t"))
+          BucketPart(n, t.references()(0).fieldNames().mkString("."))
+        case other => throw new IllegalArgumentException(
+          s"AtomicParquetCatalog supports identity and bucket " +
+            s"partitioning only, got $other in $t")
+      }
     }
+    fields.foreach { f =>
+      val col = schema.fields.find(_.name.equalsIgnoreCase(f.srcCol))
+        .getOrElse(throw new IllegalArgumentException(
+          s"partition column ${f.srcCol} is not in the table schema"))
+      f match {
+        case b: BucketPart =>
+          require(GraftBucketFunction.supports(col.dataType),
+            s"bucket(${b.numBuckets}, ${b.col}): ${col.dataType.simpleString} " +
+              "keys are not bucketable (supported: tinyint/smallint/int/" +
+              "bigint/string/date/timestamp)")
+          require(!schema.fieldNames.exists(_.equalsIgnoreCase(b.dirName)),
+            s"schema column ${b.dirName} collides with bucket(${b.col})'s " +
+              "hidden directory column")
+        case _ => ()
+      }
+    }
+    fields
+  }
 
   private def deleteRecursively(p: JPath): Unit =
     if (Files.exists(p)) {
@@ -635,7 +673,8 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val dir = tableDir(ident)
     val version = s"v-${UUID.randomUUID()}"
-    writeMeta(dir.resolve(version), schema, partitionNames(partitions))
+    writeMeta(dir.resolve(version), schema,
+      parsePartitionTransforms(partitions, schema))
     commitPointer(dir, version, expectedBase = None)
     loadTable(ident)
   }
@@ -660,7 +699,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     val dir = tableDir(ident)
     val cur = currentVersion(dir)
       .getOrElse(throw new NoSuchTableException(ident))
-    val (schema0, parts) = readMeta(cur)
+    val (schema0, fields) = readMeta(cur)
     val evolved = changes.foldLeft(schema0) { (s, change) =>
       change match {
         case a: TableChange.AddColumn =>
@@ -698,9 +737,10 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             else throw new IllegalArgumentException(
               s"$ident: no such column $name")
           } else {
-            require(!parts.exists(_.equalsIgnoreCase(name)),
+            require(!fields.exists(_.srcCol.equalsIgnoreCase(name)),
               s"$ident: cannot drop partition column $name — the " +
-                "directory layout embeds it; re-partition with RTAS")
+                "directory layout embeds it (or its bucket ids derive " +
+                "from it); re-partition with RTAS")
             StructType(s.fields.filterNot(_.name.equalsIgnoreCase(name)))
           }
         case _: TableChange.RenameColumn =>
@@ -716,7 +756,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     }
     val v = s"v-${UUID.randomUUID()}"
     val nv = dir.resolve(v)
-    writeMeta(nv, evolved, parts)
+    writeMeta(nv, evolved, fields)
     linkDataFiles(cur, nv)
     try commitVersion(dir, v, expectedBase = Some(cur.getFileName.toString))
     catch { case e: Throwable => dropOrphan(nv); throw e }
@@ -744,11 +784,11 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
                     partitions: Array[Transform]): StagedTable = {
     val dir = tableDir(ident)
     val version = s"v-${UUID.randomUUID()}"
-    val parts = partitionNames(partitions)
-    writeMeta(dir.resolve(version), schema, parts)
+    val fields = parsePartitionTransforms(partitions, schema)
+    writeMeta(dir.resolve(version), schema, fields)
     // the optimistic-concurrency base: whatever is current AT STAGE TIME
     // must still be current at commit, or the commit conflicts
-    new StagedPointerTable(this, ident, dir, version, schema, parts,
+    new StagedPointerTable(this, ident, dir, version, schema, fields,
       base = versionLog(dir).headOption)
   }
 
@@ -866,6 +906,25 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     deleteRecursively(d)
     true
   }
+
+  // ---- FunctionCatalog: the partition-transform functions. Spark's
+  // V2ExpressionUtils resolves a scan's reported
+  // `KeyGroupedPartitioning(bucket(n, col))` by loading `bucket` from
+  // the RELATION'S catalog (Identifier.of(Array.empty, "bucket")) and
+  // binding it — without this, bucket-partitioned scans could never
+  // plan storage-partitioned joins. ----
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace.isEmpty && ident.name.equalsIgnoreCase("bucket"))
+      GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   // ---- ProcedureCatalog: `CALL cat.system.<proc>(...)` maintenance ----
   // The Iceberg-procedure surface a lakehouse operator reaches for:
@@ -987,13 +1046,17 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             val dir = procTableDir(tbl)
             val base = versionLog(dir).head
             val cur = dir.resolve(base)
-            val (schema, parts) = readMeta(cur)
+            val (schema, fields) = readMeta(cur)
             val df = spark.read.schema(schema).parquet(cur.toString)
               .repartition(target)
             val v = s"v-${UUID.randomUUID()}"
             val nv = dir.resolve(v)
-            writeMeta(nv, schema, parts)
-            df.write.mode("append").partitionBy(parts: _*).parquet(nv.toString)
+            writeMeta(nv, schema, fields)
+            // bucket ids recompute to the values the directories already
+            // encode (same hash); identity columns ride in the schema
+            PartitionField.materializeDirCols(df, fields).write
+              .mode("append").partitionBy(fields.map(_.dirName): _*)
+              .parquet(nv.toString)
             try commitPointer(dir, v, expectedBase = Some(base))
             catch { case e: Throwable => dropOrphan(nv); throw e }
             def nFiles(p: JPath): Long =
@@ -1243,15 +1306,24 @@ private[sources] final class LocalScanTable(
   * writes bridge through V1Write into a target directory. */
 private[sources] abstract class VersionedTable(
     ident: Identifier, versionDir: JPath,
-    tableSchema: StructType, parts: Seq[String])
+    tableSchema: StructType, fields: Seq[PartitionField])
     extends Table with SupportsRead with SupportsWrite {
 
   protected def spark: SparkSession = SparkSession.active
 
+  /** Directory-level column names of the hive layout — identity columns
+    * verbatim, hidden `_gb_<col>` ids for bucket fields. All the
+    * directory-walking machinery (hard links, partition pruning,
+    * metadata tables, dynamic overwrite) keys on these. */
+  protected final val parts: Seq[String] = fields.map(_.dirName)
+
   override def name(): String = ident.toString
   override def schema(): StructType = tableSchema
   override def partitioning(): Array[Transform] =
-    parts.map(Expressions.identity).toArray
+    fields.map {
+      case IdentityPart(c) => Expressions.identity(c)
+      case BucketPart(n, c) => Expressions.bucket(n, c)
+    }.toArray
   override def properties(): java.util.Map[String, String] =
     java.util.Collections.singletonMap(TableCatalog.PROP_LOCATION,
       versionDir.toString)
@@ -1271,9 +1343,9 @@ private[sources] abstract class VersionedTable(
       // partition pruning for star-schema joins) — the SAME builder
       // state, all pushdown intact (see KeyGroupedScan.scala)
       case psb: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
-          if parts.nonEmpty =>
+          if fields.nonEmpty =>
         new KeyGroupedParquetScanBuilder(psb, spark, name(), versionDir,
-          tableSchema, parts)
+          tableSchema, fields)
       case _ => inner
     }
   }
@@ -1290,12 +1362,13 @@ private[sources] abstract class VersionedTable(
     * gate scale, and the pinned write gates price the unclustered path;
     * WriteDistributionSpec pins the clustered file count. */
   protected def writeInto(target: JPath, df: DataFrame, mode: String): Unit = {
+    val routed = PartitionField.materializeDirCols(df, fields)
     val clustered =
       if (parts.nonEmpty && spark.conf
           .getOption("spark.sql.catalog.graft.write.clusterByPartitions")
           .contains("true"))
-        df.repartition(parts.map(org.apache.spark.sql.functions.col): _*)
-      else df
+        routed.repartition(parts.map(org.apache.spark.sql.functions.col): _*)
+      else routed
     clustered.write.mode(mode).partitionBy(parts: _*).parquet(target.toString)
   }
 }
@@ -1341,9 +1414,9 @@ private[sources] abstract class VersionedTable(
   * partitions, unparseable predicates) safe. */
 private[sources] final class PointerTable(
     catalog: AtomicParquetCatalog, ident: Identifier, dir: JPath,
-    versionDir: JPath, tableSchema: StructType, parts: Seq[String],
+    versionDir: JPath, tableSchema: StructType, fields: Seq[PartitionField],
     historical: Boolean = false)
-    extends VersionedTable(ident, versionDir, tableSchema, parts)
+    extends VersionedTable(ident, versionDir, tableSchema, fields)
     with SupportsRowLevelOperations {
 
   override def capabilities(): java.util.Set[TableCapability] =
@@ -1405,6 +1478,17 @@ private[sources] final class PointerTable(
       // survivors of touched partitions always reach the rewrite.
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
         val inner = PointerTable.this.newScanBuilder(options)
+        // pin the scan to EXACTLY the table schema: a hidden-bucket
+        // layout's inner parquet table APPENDS the inferred `_gb_col`
+        // partition column to its own schema, and an unpruned scan
+        // would serve it — but the rewrite's relation output is the
+        // table schema, so the extra field crashes scan planning
+        // (toOutputAttrs) or, worse, shifts row layout under the write
+        inner match {
+          case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+            p.pruneColumns(tableSchema)
+          case _ => ()
+        }
         new ScanBuilder {
           override def build(): org.apache.spark.sql.connector.read.Scan =
             if (parts.isEmpty) inner.build()
@@ -1435,8 +1519,15 @@ private[sources] final class PointerTable(
         override def toBatch: org.apache.spark.sql.connector.read.Batch =
           delegate.toBatch
 
+        // SOURCE columns, not directory names: for identity fields they
+        // coincide; for bucket fields the hidden `_gb_col` is not a scan
+        // output column (Spark could never build a subquery over it), so
+        // the filter arrives on the bucket's SOURCE key and the keep
+        // test hashes each value to its bucket directory — MERGE into a
+        // bucket-partitioned table rewrites only the buckets its keys
+        // hash into, with every other bucket hard-linked
         override def filterAttributes(): Array[NamedReference] =
-          parts.map(p => Expressions.column(p)
+          fields.map(f => Expressions.column(f.srcCol)
             .asInstanceOf[NamedReference]).toArray
 
         override def filter(predicates: Array[V2Predicate]): Unit = {
@@ -1448,15 +1539,25 @@ private[sources] final class PointerTable(
           val parsed = PartitionRuntimeFilters.parse(predicates)
           if (parsed.nonEmpty) {
             val all = catalog.dataFilePartitions(versionDir)
-            val kept = all.filter(
-              PartitionRuntimeFilters.keepPartitionDir(_, parsed, tableSchema))
+            val kept = all.filter(PartitionRuntimeFilters.keepPartitionDir(
+              _, parsed, tableSchema, fields))
             scannedPartitions = Some(kept)
             val options = new CaseInsensitiveStringMap(
               java.util.Collections.singletonMap("basePath", versionDir.toString))
-            delegate = ParquetTable(s"$ident-cow-pruned", spark, options,
+            val prunedBuilder = ParquetTable(s"$ident-cow-pruned", spark,
+              options,
               kept.toSeq.sorted.map(p => versionDir.resolve(p).toString),
               Some(tableSchema), classOf[ParquetFileFormat])
-              .newScanBuilder(options).build()
+              .newScanBuilder(options)
+            prunedBuilder match {
+              // same schema pin as the outer builder: the rebuilt
+              // delegate must serve rows of exactly the table schema,
+              // never an appended hidden `_gb_col`
+              case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+                p.pruneColumns(tableSchema)
+              case _ => ()
+            }
+            delegate = prunedBuilder.build()
           }
         }
       }
@@ -1501,7 +1602,7 @@ private[sources] final class PointerTable(
                     // TOUCHED rows only — and hard-link every base
                     // partition the scan did not read.
                     Files.write(nv.resolve("_partitions.txt"),
-                      parts.mkString("\n").getBytes("UTF-8"))
+                      PartitionField.serialize(fields).getBytes("UTF-8"))
                     val staged = spark.read.schema(winfo.schema())
                       .parquet(staging.toString)
                     writeInto(nv, staged, "append")
@@ -1522,7 +1623,7 @@ private[sources] final class PointerTable(
                     // whole table because the whole table was rewritten
                     // anyway (AtomicCatalogSpec pins layout survival).
                     Files.write(nv.resolve("_partitions.txt"),
-                      parts.mkString("\n").getBytes("UTF-8"))
+                      PartitionField.serialize(fields).getBytes("UTF-8"))
                     val staged = spark.read.schema(winfo.schema())
                       .parquet(staging.toString)
                     writeInto(nv, staged, "append")
@@ -1711,9 +1812,9 @@ private[sources] final class ShiftProjectWriterFactory(
   * pointer swap, `abortStagedChanges` deletes the orphan. */
 private[sources] final class StagedPointerTable(
     catalog: AtomicParquetCatalog, ident: Identifier, dir: JPath,
-    version: String, tableSchema: StructType, parts: Seq[String],
+    version: String, tableSchema: StructType, fields: Seq[PartitionField],
     base: Option[String])
-    extends VersionedTable(ident, dir.resolve(version), tableSchema, parts)
+    extends VersionedTable(ident, dir.resolve(version), tableSchema, fields)
     with StagedTable {
 
   /** The not-yet-visible staging directory (WAP audits read it). */

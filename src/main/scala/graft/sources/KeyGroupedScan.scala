@@ -66,7 +66,7 @@ private[sources] final class KeyedFilePartition(
 private[sources] final class KeyGroupedParquetScanBuilder(
     inner: ParquetScanBuilder, session: SparkSession, scanName: String,
     versionDir: java.nio.file.Path, tableSchema: StructType,
-    parts: Seq[String])
+    fields: Seq[PartitionField])
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -101,16 +101,34 @@ private[sources] final class KeyGroupedParquetScanBuilder(
       extractions: Array[VariantExtraction]): Array[Boolean] =
     inner.pushVariantExtractions(extractions)
 
+  private def parts: Seq[String] = fields.map(_.dirName)
+  private def bucketed: Boolean = fields.exists(_.isInstanceOf[BucketPart])
+  private def spjEnabled: Boolean =
+    session.conf.get("spark.sql.sources.v2.bucketing.enabled",
+      "false") == "true"
+
   override def build(): Scan = inner.build() match {
-    case ps: ParquetScan if ps.readPartitionSchema.fieldNames.toSeq == parts =>
-      if (session.conf.get("spark.sql.sources.v2.bucketing.enabled",
-          "false") == "true")
-        new KeyGroupedParquetScan(ps, ps.readPartitionSchema)
+    // all-identity spec with every partition column still in the scan:
+    // partition keys read straight off PartitionedFile.partitionValues
+    case ps: ParquetScan
+        if !bucketed && ps.readPartitionSchema.fieldNames.toSeq == parts =>
+      if (spjEnabled) new KeyGroupedParquetScan(ps, ps.readPartitionSchema)
       // a pushed aggregate changes the scan's output to the aggregate
       // rows — the DPP rebuild cannot replay that, so serve it as-is
       else if (aggPushed) ps
       else new RuntimePrunedParquetScan(ps, session, scanName, versionDir,
-        tableSchema, parts, requiredSchema, dataFilters)
+        tableSchema, fields, requiredSchema, dataFilters)
+    // a bucketed (hidden `_gb_col`) spec: the bucket id is never a scan
+    // column, so keys come from the file PATHS instead — SPJ when the
+    // session opted into v2 bucketing and every source key survives in
+    // the scan output (the reported transform must resolve against it),
+    // runtime BUCKET pruning otherwise
+    case ps: ParquetScan if bucketed && !aggPushed =>
+      if (spjEnabled && fields.forall(f => ps.readSchema().fieldNames
+          .exists(_.equalsIgnoreCase(f.srcCol))))
+        new HiddenKeyGroupedParquetScan(ps, fields, tableSchema)
+      else new RuntimePrunedParquetScan(ps, session, scanName, versionDir,
+        tableSchema, fields, requiredSchema, dataFilters)
     case other => other
   }
 }
@@ -214,6 +232,184 @@ private[sources] final class KeyGroupedParquetScan(
       else keyed.filter {
         case k: KeyedFilePartition => passes(k.partitionKey())
         case _ => true // unkeyed partition: cannot prove, keep
+      }
+    override def createReaderFactory(): PartitionReaderFactory =
+      innerBatch.createReaderFactory()
+  }
+}
+
+/** STORAGE-PARTITIONED JOINS over HIDDEN bucket layouts — the
+  * high-cardinality-key half of SPJ: a table partitioned
+  * `bucket(n, key)` stores rows under `_gb_key=<pmod(hash(key), n)>`
+  * directories that are NOT table columns, so (unlike the identity scan
+  * above) partition keys cannot be read off
+  * `PartitionedFile.partitionValues` — they are parsed from the file
+  * PATHS, the same place Spark's own partition inference reads them.
+  * The scan reports `KeyGroupedPartitioning(bucket(n, key), …)`;
+  * Spark resolves `bucket` through the catalog's
+  * [[org.apache.spark.sql.connector.catalog.FunctionCatalog]]
+  * ([[GraftBucketFunction]]) and two tables bucketed (n, key) the same
+  * way join with ZERO exchanges — at 100 TB, the fact-to-fact join on
+  * a billion-value key that identity partitioning could never layout.
+  *
+  * Mixed specs (identity + bucket fields) key every field from the
+  * path: identity values parse with the same TRY-cast as the runtime
+  * pruner, buckets as ints. Any unkeyable file (non-file partition,
+  * missing directory level) degrades the WHOLE scan to
+  * `UnknownPartitioning` — reporting a key grouping that not every
+  * task honors would corrupt the join, so it is all-or-nothing.
+  *
+  * Composes with runtime filtering exactly like the identity scan: a
+  * dynamic filter arrives on the SOURCE key, values hash to bucket ids
+  * ([[GraftBucketFunction.bucketOf]] — the definition that routed the
+  * writes), and non-matching keyed tasks drop before execution. */
+private[sources] final class HiddenKeyGroupedParquetScan(
+    inner: Scan, fields: Seq[PartitionField], tableSchema: StructType)
+    extends Scan with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+  import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, GenericInternalRow, Literal}
+  import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  @volatile private var keepSets: Map[String, Set[Any]] = Map.empty
+
+  /** Internal type of each reported key position: the source column's
+    * type for identity fields, INT (the bucket id) for bucket fields. */
+  private val keyTypes: Seq[DataType] = fields.map {
+    case IdentityPart(c) =>
+      tableSchema.fields.find(_.name.equalsIgnoreCase(c))
+        .map(_.dataType).getOrElse(StringType)
+    case _: BucketPart => IntegerType
+  }
+
+  /** `name -> rawValue` segments of a file's directory path (URL layer
+    * decoded by URI, hive escaping decoded per segment — the same two
+    * layers Spark's partition inference strips). */
+  private def pathSegments(urlEncodedPath: String): Map[String, String] =
+    try {
+      new java.net.URI(urlEncodedPath).getPath.split('/').iterator
+        .flatMap { seg =>
+          seg.split("=", 2) match {
+            case Array(c, v) =>
+              Some(ExternalCatalogUtils.unescapePathName(c) ->
+                ExternalCatalogUtils.unescapePathName(v))
+            case _ => None
+          }
+        }.toMap
+    } catch { case _: java.net.URISyntaxException => Map.empty }
+
+  /** Key values of one file, in field order — None if any directory
+    * level is missing (the file cannot be keyed). */
+  private def fileKey(f: PartitionedFile): Option[Seq[Any]] = {
+    val segs = pathSegments(f.urlEncodedPath)
+    val vals = fields.zip(keyTypes).map {
+      case (b: BucketPart, _) => segs.get(b.dirName).flatMap(_.toIntOption)
+      case (i: IdentityPart, dt) =>
+        segs.get(i.dirName).map {
+          case "__HIVE_DEFAULT_PARTITION__" => null
+          case raw => Cast(Literal(UTF8String.fromString(raw), StringType),
+            dt, Some("UTC"), EvalMode.TRY).eval(null)
+        }
+    }
+    if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
+  }
+
+  /** One keyed task per (inner task, key): None if any partition is not
+    * a keyable file partition — then the scan serves the inner plan
+    * unchanged under UnknownPartitioning (all-or-nothing; see class
+    * doc). */
+  private lazy val keyedOpt: Option[Array[InputPartition]] = {
+    val fps = inner.toBatch.planInputPartitions()
+    if (!fps.forall(_.isInstanceOf[FilePartition])) None
+    else {
+      var idx = -1
+      val grouped = fps.map { case fp: FilePartition =>
+        val byKey = fp.files.map(f => fileKey(f).map(_ -> f))
+        if (byKey.exists(_.isEmpty)) None
+        else Some(byKey.flatten.groupBy(_._1).toSeq
+          .sortBy(_._1.mkString(" ")))
+      }
+      if (grouped.exists(_.isEmpty)) None
+      else Some(grouped.flatten.flatMap(_.map { case (key, files) =>
+        idx += 1
+        new KeyedFilePartition(idx, files.map(_._2),
+          new GenericInternalRow(key.toArray)): InputPartition
+      }))
+    }
+  }
+
+  private def passes(key: InternalRow): Boolean =
+    keepSets.forall { case (colName, wanted) =>
+      fields.indexWhere(_.srcCol.equalsIgnoreCase(colName)) match {
+        case -1 => true // not a partition source column: keep
+        case i => fields(i) match {
+          case b: BucketPart =>
+            val dt = tableSchema.fields.find(_.name.equalsIgnoreCase(b.col))
+              .map(_.dataType).getOrElse(StringType)
+            val k = key.getInt(i)
+            wanted.exists(v => GraftBucketFunction.bucketOf(v, dt,
+              b.numBuckets) == k)
+          case _: IdentityPart =>
+            val v = if (key.isNullAt(i)) null else key.get(i, keyTypes(i))
+            v == null || wanted.exists(w => java.util.Objects.equals(w, v))
+        }
+      }
+    }
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    fields.map(f => Expressions.column(f.srcCol)
+      .asInstanceOf[org.apache.spark.sql.connector.expressions.NamedReference]).toArray
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val parsed = PartitionRuntimeFilters.parse(predicates)
+    if (parsed.nonEmpty) keepSets = parsed
+  }
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    inner match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes() = java.util.OptionalLong.empty()
+        override def numRows() = java.util.OptionalLong.empty()
+      }
+    }
+
+  override def readSchema(): StructType = inner.readSchema()
+  override def description(): String =
+    s"graft-bucket-key-grouped(${fields.map {
+      case BucketPart(n, c) => s"bucket($n,$c)"
+      case IdentityPart(c) => c
+    }.mkString(",")}) " + inner.description()
+
+  override def outputPartitioning(): Partitioning = keyedOpt match {
+    case Some(keyed) =>
+      val nKeys = keyed.collect { case k: KeyedFilePartition =>
+        keyTypes.indices.map(i => k.partitionKey().get(i, keyTypes(i)))
+      }.distinct.length
+      new KeyGroupedPartitioning(
+        fields.map {
+          case BucketPart(n, c) => Expressions.bucket(n, c): V2Expression
+          case IdentityPart(c) => Expressions.identity(c): V2Expression
+        }.toArray, math.max(nKeys, 1))
+    case None =>
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+  }
+
+  override def toBatch: Batch = new Batch {
+    private val innerBatch = inner.toBatch
+    override def planInputPartitions(): Array[InputPartition] =
+      keyedOpt match {
+        case Some(keyed) =>
+          if (keepSets.isEmpty) keyed
+          else keyed.filter {
+            case k: KeyedFilePartition => passes(k.partitionKey())
+            case _ => true
+          }
+        case None => innerBatch.planInputPartitions()
       }
     override def createReaderFactory(): PartitionReaderFactory =
       innerBatch.createReaderFactory()

@@ -49,11 +49,18 @@ private[sources] object PartitionRuntimeFilters {
       c -> vs.map(_._2).reduce(_ intersect _)
     }
 
-  /** Does `relDir` ("ch=web/d=2020-01-01") survive the per-column IN
-    * sets? Missing column, null partition, or a value the cast cannot
+  /** Does `relDir` ("ch=web/d=2020-01-01", "_gb_k=3") survive the
+    * per-SOURCE-column IN sets? Identity fields compare the directory
+    * value; bucket fields hash each wanted KEY value to its bucket id
+    * ([[GraftBucketFunction.bucketOf]] — the same definition that
+    * routed the writes) and compare against the hidden `_gb_col`
+    * directory id, so a runtime filter on the high-cardinality source
+    * key prunes bucket directories it could never name directly.
+    * Missing column, null partition, or a value the cast cannot
     * parse → keep (conservative). */
   def keepPartitionDir(relDir: String, bySet: Map[String, Set[Any]],
-                       tableSchema: StructType): Boolean = {
+                       tableSchema: StructType,
+                       fields: Seq[PartitionField] = Nil): Boolean = {
     if (relDir.isEmpty) return true // unpartitioned files at root
     val segs = relDir.split('/').flatMap { seg =>
       seg.split("=", 2) match {
@@ -64,15 +71,29 @@ private[sources] object PartitionRuntimeFilters {
       }
     }.toMap
     bySet.forall { case (col, wanted) =>
-      segs.get(col) match {
-        case None => true // column not in this layout level: keep
-        case Some("__HIVE_DEFAULT_PARTITION__") => true // null: keep
-        case Some(raw) =>
-          val dt = tableSchema.fields.find(_.name == col)
-            .map(_.dataType).getOrElse(StringType)
-          val v = Cast(Literal(UTF8String.fromString(raw), StringType),
-            dt, Some("UTC"), EvalMode.TRY).eval(null)
-          v == null || wanted.exists(w => java.util.Objects.equals(w, v))
+      fields.find(f => f.srcCol.equalsIgnoreCase(col) &&
+          f.isInstanceOf[BucketPart]) match {
+        case Some(b: BucketPart) =>
+          (segs.get(b.dirName), segs.get(b.dirName).flatMap(_.toIntOption)) match {
+            case (None, _) => true // layout level absent: keep
+            case (Some(_), None) => true // unparseable bucket id: keep
+            case (_, Some(k)) =>
+              val dt = tableSchema.fields.find(_.name.equalsIgnoreCase(b.col))
+                .map(_.dataType).getOrElse(StringType)
+              wanted.exists(v =>
+                GraftBucketFunction.bucketOf(v, dt, b.numBuckets) == k)
+          }
+        case _ => // identity field (dirName == srcCol) or unknown column
+          segs.get(col) match {
+            case None => true // column not in this layout level: keep
+            case Some("__HIVE_DEFAULT_PARTITION__") => true // null: keep
+            case Some(raw) =>
+              val dt = tableSchema.fields.find(_.name == col)
+                .map(_.dataType).getOrElse(StringType)
+              val v = Cast(Literal(UTF8String.fromString(raw), StringType),
+                dt, Some("UTC"), EvalMode.TRY).eval(null)
+              v == null || wanted.exists(w => java.util.Objects.equals(w, v))
+          }
       }
     }
   }
@@ -112,7 +133,7 @@ private[sources] object PartitionRuntimeFilters {
   * Receiving no provable predicate keeps the full scan the same way. */
 private[sources] final class RuntimePrunedParquetScan(
     inner: Scan, session: SparkSession, scanName: String,
-    versionDir: JPath, tableSchema: StructType, parts: Seq[String],
+    versionDir: JPath, tableSchema: StructType, fields: Seq[PartitionField],
     requiredSchema: Option[StructType], dataFilters: Seq[CExpression])
     extends Scan with SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -140,14 +161,20 @@ private[sources] final class RuntimePrunedParquetScan(
     s"graft-runtime-pruned $scanName ${inner.description()}"
   override def toBatch: Batch = delegate.toBatch
 
+  // SOURCE columns: identity fields verbatim; for bucket fields the
+  // high-cardinality key itself — the hidden `_gb_col` is not a scan
+  // output column, so the dynamic filter arrives on the key and the
+  // keep test hashes it to its bucket directory
   override def filterAttributes(): Array[NamedReference] =
-    parts.map(p => Expressions.column(p).asInstanceOf[NamedReference]).toArray
+    fields.map(f => Expressions.column(f.srcCol)
+      .asInstanceOf[NamedReference]).toArray
 
   override def filter(predicates: Array[V2Predicate]): Unit = {
     val parsed = PartitionRuntimeFilters.parse(predicates)
     if (parsed.nonEmpty) {
       val kept = PartitionRuntimeFilters.dataFilePartitionsOf(versionDir)
-        .filter(PartitionRuntimeFilters.keepPartitionDir(_, parsed, tableSchema))
+        .filter(PartitionRuntimeFilters.keepPartitionDir(
+          _, parsed, tableSchema, fields))
       val options = new CaseInsensitiveStringMap(
         java.util.Collections.singletonMap("basePath", versionDir.toString))
       val builder = ParquetTable(s"$scanName-dpp", session, options,
