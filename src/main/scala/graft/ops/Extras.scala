@@ -736,6 +736,30 @@ object Extras {
     s.table("graft_ma.db.bmrg").orderBy($"c_custkey")
   }
 
+  /** q85: `days(ts)` HIDDEN time-transform partitioning — the
+    * event-stream layout: the events table lands in daily
+    * `_gd_ts=<utc epoch day>` directories derived from the timestamp,
+    * with NO derived date column in the schema (the reference
+    * materializes `interaction_date` into silver for exactly this
+    * layout need; hidden partitioning removes the column). The gate
+    * round-trips the catalog table into a per-day/type rollup vs
+    * DuckDB on the raw parquet — hash equality proves the hidden
+    * routing lost/duplicated nothing and day ids are UTC-exact.
+    * DaysTransformSpec pins pruning, day-granular MERGE and SPJ. */
+  def q85DaysTransform(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    Tables.load(s, dir, "events")
+      .select($"event_id", $"ts", $"event_type", $"value")
+      .writeTo("graft_ma.db.evdays").using("parquet")
+      .partitionedBy(days($"ts")).createOrReplace()
+    s.table("graft_ma.db.evdays")
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), moneySum($"value").as("total"))
+      .orderBy($"day", $"event_type")
+  }
+
   /** Export path q76's oracle reads. Verify and the DuckDB oracle run on
     * the same host within one gate round, and the oracle SQL (which
     * embeds this path) is DUMPED BY THE SAME JVM that ran the export —
@@ -1047,6 +1071,7 @@ object Extras {
     "q82_merge_schema_evolution" -> q82MergeSchemaEvolution,
     "q83_bucket_spj" -> q83BucketSpj,
     "q84_bucket_merge" -> q84BucketMerge,
+    "q85_days_transform" -> q85DaysTransform,
     "q76_catalog_external" -> q76CatalogExternal,
     "q77_partitions_metadata" -> q77PartitionsMetadata,
     "q78_snapshot_changes" -> q78SnapshotChanges,
@@ -1420,6 +1445,12 @@ object Extras {
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_custkey
         |ORDER BY c_custkey""".stripMargin,
+    "q85_days_transform" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2
+        |ORDER BY day, event_type""".stripMargin,
     "q84_bucket_merge" ->
       """WITH src AS (
         |  SELECT c_custkey, c_acctbal * 2.0 AS bal FROM customer

@@ -398,8 +398,10 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
           }.getOrElse(throw new IllegalArgumentException(
             s"bucket transform carries no INT bucket count: $t"))
           BucketPart(n, t.references()(0).fieldNames().mkString("."))
+        case "days" =>
+          DaysPart(t.references()(0).fieldNames().mkString("."))
         case other => throw new IllegalArgumentException(
-          s"AtomicParquetCatalog supports identity and bucket " +
+          s"AtomicParquetCatalog supports identity, bucket and days " +
             s"partitioning only, got $other in $t")
       }
     }
@@ -415,6 +417,13 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
               "bigint/string/date/timestamp)")
           require(!schema.fieldNames.exists(_.equalsIgnoreCase(b.dirName)),
             s"schema column ${b.dirName} collides with bucket(${b.col})'s " +
+              "hidden directory column")
+        case d: DaysPart =>
+          require(GraftDaysFunction.supports(col.dataType),
+            s"days(${d.col}): ${col.dataType.simpleString} has no day — " +
+              "timestamp or date only")
+          require(!schema.fieldNames.exists(_.equalsIgnoreCase(d.dirName)),
+            s"schema column ${d.dirName} collides with days(${d.col})'s " +
               "hidden directory column")
         case _ => ()
       }
@@ -915,7 +924,9 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
   // plan storage-partitioned joins. ----
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    if (namespace.isEmpty)
+      Array(Identifier.of(Array.empty, "bucket"),
+        Identifier.of(Array.empty, "days"))
     else if (namespaceExists(namespace)) Array.empty
     else throw new NoSuchNamespaceException(namespace)
 
@@ -923,6 +934,8 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.namespace.isEmpty && ident.name.equalsIgnoreCase("bucket"))
       GraftBucketFunction
+    else if (ident.namespace.isEmpty && ident.name.equalsIgnoreCase("days"))
+      GraftDaysFunction
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
 
@@ -1323,6 +1336,7 @@ private[sources] abstract class VersionedTable(
     fields.map {
       case IdentityPart(c) => Expressions.identity(c)
       case BucketPart(n, c) => Expressions.bucket(n, c)
+      case DaysPart(c) => Expressions.days(c)
     }.toArray
   override def properties(): java.util.Map[String, String] =
     java.util.Collections.singletonMap(TableCatalog.PROP_LOCATION,

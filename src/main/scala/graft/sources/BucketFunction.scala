@@ -38,19 +38,37 @@ private[sources] final case class BucketPart(numBuckets: Int, col: String)
   def dirName: String = s"_gb_$col"
 }
 
+/** `days(ts)` — Iceberg's day transform: rows land in a hidden
+  * `_gd_<col>=<utc epoch day>` directory derived from a timestamp/date
+  * column, so an event stream gets daily partitioning WITHOUT the
+  * derived date column every classic layout forces into the schema
+  * (the reference's silver materializes `interaction_date` for exactly
+  * this; CM:327-329). Day ordinals are UTC-fixed (`floorDiv(epoch
+  * seconds, 86400)`), never session-timezone-dependent — two writers
+  * in different zones route identically. */
+private[sources] final case class DaysPart(col: String)
+    extends PartitionField {
+  def srcCol: String = col
+  def dirName: String = s"_gd_$col"
+}
+
 private[sources] object PartitionField {
   private val BucketRe = """bucket\((\d+),(.+)\)""".r
+  private val DaysRe = """days\((.+)\)""".r
 
   /** `_partitions.txt` line form: `col` (identity, the historical
-    * format — old tables parse unchanged) or `bucket(n,col)`. */
+    * format — old tables parse unchanged), `bucket(n,col)`, or
+    * `days(col)`. */
   def serialize(fields: Seq[PartitionField]): String =
     fields.map {
       case IdentityPart(c) => c
       case BucketPart(n, c) => s"bucket($n,$c)"
+      case DaysPart(c) => s"days($c)"
     }.mkString("\n")
 
   def parseLine(line: String): PartitionField = line match {
     case BucketRe(n, c) => BucketPart(n.toInt, c.trim)
+    case DaysRe(c) => DaysPart(c.trim)
     case c => IdentityPart(c)
   }
 
@@ -64,10 +82,30 @@ private[sources] object PartitionField {
     * recomputes it to identical values. */
   def materializeDirCols(df: org.apache.spark.sql.DataFrame,
                          fields: Seq[PartitionField]): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    import org.apache.spark.sql.functions.{col, datediff, floor, hash, lit, pmod}
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType}
     fields.foldLeft(df) {
       case (d, b: BucketPart) =>
         d.withColumn(b.dirName, pmod(hash(col(b.col)), lit(b.numBuckets)))
+      case (d, p: DaysPart) =>
+        // epoch day, session-timezone-independent: zoned timestamp→long
+        // is epoch SECONDS (floorDiv micros) and floor handles
+        // pre-1970; NTZ routes through its wall-clock date (casting
+        // NTZ to a number is not a thing). Exactly
+        // GraftDaysFunction.daysOf as an expression. A null timestamp
+        // yields a null day (the hive default-partition dir).
+        import org.apache.spark.sql.functions.to_date
+        import org.apache.spark.sql.types.TimestampNTZType
+        val epoch = lit(java.sql.Date.valueOf("1970-01-01"))
+        val dayExpr = d.schema.fields
+          .find(_.name.equalsIgnoreCase(p.col))
+          .map(_.dataType)
+          .getOrElse(org.apache.spark.sql.types.TimestampType) match {
+          case DateType => datediff(col(p.col), epoch)
+          case TimestampNTZType => datediff(to_date(col(p.col)), epoch)
+          case _ => floor(col(p.col).cast(LongType) / lit(86400L)).cast(IntegerType)
+        }
+        d.withColumn(p.dirName, dayExpr)
       case (d, _) => d
     }
   }
@@ -140,4 +178,51 @@ private[sources] final class BoundBucket(dt: DataType)
     val v = if (input.isNullAt(1)) null else input.get(1, dt)
     Integer.valueOf(GraftBucketFunction.bucketOf(v, dt, n))
   }
+}
+
+/** The `days` V2 function backing [[DaysPart]]'s reported
+  * `KeyGroupedPartitioning(days(col))` — same role as
+  * [[GraftBucketFunction]] for buckets: write routing, runtime day
+  * pruning and this function all share [[GraftDaysFunction.daysOf]]. */
+private[graft] object GraftDaysFunction extends UnboundFunction {
+  import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+
+  def supports(dt: DataType): Boolean =
+    dt == TimestampType || dt == TimestampNTZType || dt == DateType
+
+  /** Epoch day of a CATALYST-INTERNAL value: micros for timestamps
+    * (`floorDiv` twice composes correctly for all signs; UTC for
+    * zoned timestamps, the wall-clock day for NTZ — both
+    * session-timezone-independent), days-int for dates (already the
+    * answer). */
+  def daysOf(value: Any, dt: DataType): Int = dt match {
+    case DateType => value.asInstanceOf[Int]
+    case _ =>
+      Math.floorDiv(value.asInstanceOf[Long], 86400L * 1000000L).toInt
+  }
+
+  override def name(): String = "days"
+  override def description(): String =
+    "days(col) — UTC epoch day: floorDiv(epoch_seconds, 86400)"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 1,
+      s"days expects one timestamp/date column, got ${inputType.simpleString}")
+    val dt = inputType.fields(0).dataType
+    require(supports(dt),
+      s"days does not support ${dt.simpleString} (timestamp, " +
+        "timestamp_ntz or date only)")
+    new BoundDays(dt)
+  }
+}
+
+private[sources] final class BoundDays(dt: DataType)
+    extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(dt)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "days"
+  override def canonicalName(): String = s"graft.days(${dt.catalogString})"
+  override def produceResult(input: InternalRow): Integer =
+    if (input.isNullAt(0)) null
+    else Integer.valueOf(GraftDaysFunction.daysOf(input.get(0, dt), dt))
 }

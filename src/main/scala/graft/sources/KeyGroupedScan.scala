@@ -102,7 +102,9 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     inner.pushVariantExtractions(extractions)
 
   private def parts: Seq[String] = fields.map(_.dirName)
-  private def bucketed: Boolean = fields.exists(_.isInstanceOf[BucketPart])
+  // any hidden-directory transform (bucket/days): the dir id is not a
+  // table column, so partition keys must come from file paths
+  private def bucketed: Boolean = fields.exists(!_.isInstanceOf[IdentityPart])
   private def spjEnabled: Boolean =
     session.conf.get("spark.sql.sources.v2.bucketing.enabled",
       "false") == "true"
@@ -281,8 +283,12 @@ private[sources] final class HiddenKeyGroupedParquetScan(
     case IdentityPart(c) =>
       tableSchema.fields.find(_.name.equalsIgnoreCase(c))
         .map(_.dataType).getOrElse(StringType)
-    case _: BucketPart => IntegerType
+    case _ => IntegerType // bucket id / epoch day
   }
+
+  private def srcType(f: PartitionField): DataType =
+    tableSchema.fields.find(_.name.equalsIgnoreCase(f.srcCol))
+      .map(_.dataType).getOrElse(StringType)
 
   /** `name -> rawValue` segments of a file's directory path (URL layer
     * decoded by URI, hive escaping decoded per segment — the same two
@@ -304,8 +310,15 @@ private[sources] final class HiddenKeyGroupedParquetScan(
     * level is missing (the file cannot be keyed). */
   private def fileKey(f: PartitionedFile): Option[Seq[Any]] = {
     val segs = pathSegments(f.urlEncodedPath)
-    val vals = fields.zip(keyTypes).map {
+    val vals: Seq[Option[Any]] = fields.zip(keyTypes).map {
       case (b: BucketPart, _) => segs.get(b.dirName).flatMap(_.toIntOption)
+      case (p: DaysPart, _) =>
+        // a null timestamp lands in the hive default dir: its key is a
+        // NULL day (kept by every runtime filter, groupable by SPJ)
+        segs.get(p.dirName).flatMap {
+          case "__HIVE_DEFAULT_PARTITION__" => Some(null)
+          case raw => raw.toIntOption
+        }
       case (i: IdentityPart, dt) =>
         segs.get(i.dirName).map {
           case "__HIVE_DEFAULT_PARTITION__" => null
@@ -345,15 +358,18 @@ private[sources] final class HiddenKeyGroupedParquetScan(
       fields.indexWhere(_.srcCol.equalsIgnoreCase(colName)) match {
         case -1 => true // not a partition source column: keep
         case i => fields(i) match {
+          case _ if key.isNullAt(i) => true // null key group: keep
           case b: BucketPart =>
-            val dt = tableSchema.fields.find(_.name.equalsIgnoreCase(b.col))
-              .map(_.dataType).getOrElse(StringType)
             val k = key.getInt(i)
-            wanted.exists(v => GraftBucketFunction.bucketOf(v, dt,
+            wanted.exists(v => GraftBucketFunction.bucketOf(v, srcType(b),
               b.numBuckets) == k)
+          case p: DaysPart =>
+            val k = key.getInt(i)
+            wanted.exists(v =>
+              v != null && GraftDaysFunction.daysOf(v, srcType(p)) == k)
           case _: IdentityPart =>
-            val v = if (key.isNullAt(i)) null else key.get(i, keyTypes(i))
-            v == null || wanted.exists(w => java.util.Objects.equals(w, v))
+            val v = key.get(i, keyTypes(i))
+            wanted.exists(w => java.util.Objects.equals(w, v))
         }
       }
     }
@@ -382,6 +398,7 @@ private[sources] final class HiddenKeyGroupedParquetScan(
   override def description(): String =
     s"graft-bucket-key-grouped(${fields.map {
       case BucketPart(n, c) => s"bucket($n,$c)"
+      case DaysPart(c) => s"days($c)"
       case IdentityPart(c) => c
     }.mkString(",")}) " + inner.description()
 
@@ -393,6 +410,7 @@ private[sources] final class HiddenKeyGroupedParquetScan(
       new KeyGroupedPartitioning(
         fields.map {
           case BucketPart(n, c) => Expressions.bucket(n, c): V2Expression
+          case DaysPart(c) => Expressions.days(c): V2Expression
           case IdentityPart(c) => Expressions.identity(c): V2Expression
         }.toArray, math.max(nKeys, 1))
     case None =>

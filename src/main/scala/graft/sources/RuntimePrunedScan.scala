@@ -72,16 +72,21 @@ private[sources] object PartitionRuntimeFilters {
     }.toMap
     bySet.forall { case (col, wanted) =>
       fields.find(f => f.srcCol.equalsIgnoreCase(col) &&
-          f.isInstanceOf[BucketPart]) match {
-        case Some(b: BucketPart) =>
-          (segs.get(b.dirName), segs.get(b.dirName).flatMap(_.toIntOption)) match {
+          !f.isInstanceOf[IdentityPart]) match {
+        case Some(h) => // hidden transform: map key values to dir ids
+          (segs.get(h.dirName), segs.get(h.dirName).flatMap(_.toIntOption)) match {
             case (None, _) => true // layout level absent: keep
-            case (Some(_), None) => true // unparseable bucket id: keep
+            case (Some(_), None) => true // unparseable/null dir id: keep
             case (_, Some(k)) =>
-              val dt = tableSchema.fields.find(_.name.equalsIgnoreCase(b.col))
+              val dt = tableSchema.fields.find(_.name.equalsIgnoreCase(h.srcCol))
                 .map(_.dataType).getOrElse(StringType)
-              wanted.exists(v =>
-                GraftBucketFunction.bucketOf(v, dt, b.numBuckets) == k)
+              h match {
+                case b: BucketPart => wanted.exists(v =>
+                  GraftBucketFunction.bucketOf(v, dt, b.numBuckets) == k)
+                case _: DaysPart => wanted.exists(v =>
+                  v != null && GraftDaysFunction.daysOf(v, dt) == k)
+                case _ => true
+              }
           }
         case _ => // identity field (dirName == srcCol) or unknown column
           segs.get(col) match {
