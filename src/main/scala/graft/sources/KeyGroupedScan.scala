@@ -120,18 +120,56 @@ private[sources] final class KeyGroupedParquetScanBuilder(
       else if (aggPushed) ps
       else new RuntimePrunedParquetScan(ps, session, scanName, versionDir,
         tableSchema, fields, requiredSchema, dataFilters)
-    // a bucketed (hidden `_gb_col`) spec: the bucket id is never a scan
-    // column, so keys come from the file PATHS instead — SPJ when the
-    // session opted into v2 bucketing and every source key survives in
-    // the scan output (the reported transform must resolve against it),
-    // runtime BUCKET pruning otherwise
+    // a hidden-transform spec (`_gb_`/`_gd_` dirs): the dir id is never
+    // a scan column, so keys come from the file PATHS instead. First
+    // STATIC pruning — compile-time filters on the source key hash /
+    // floor to the directories they could match, so non-matching dirs
+    // are never listed (Spark's native partition pushdown, recovered
+    // for hidden layouts) — then SPJ when the session opted into v2
+    // bucketing and every source key survives in the scan output (the
+    // reported transform must resolve against it), runtime pruning
+    // otherwise
     case ps: ParquetScan if bucketed && !aggPushed =>
+      val (inner2, staticKeep) = staticallyPruned(ps)
       if (spjEnabled && fields.forall(f => ps.readSchema().fieldNames
           .exists(_.equalsIgnoreCase(f.srcCol))))
-        new HiddenKeyGroupedParquetScan(ps, fields, tableSchema)
-      else new RuntimePrunedParquetScan(ps, session, scanName, versionDir,
-        tableSchema, fields, requiredSchema, dataFilters)
+        new HiddenKeyGroupedParquetScan(inner2, fields, tableSchema)
+      else new RuntimePrunedParquetScan(inner2, session, scanName,
+        versionDir, tableSchema, fields, requiredSchema, dataFilters,
+        staticKeep)
     case other => other
+  }
+
+  /** Rebuild `ps` over only the partition directories the captured
+    * compile-time filters can match — identity: the scan itself when
+    * nothing prunes, or the replayed-pushdown rebuild over the kept
+    * dirs (accepted only on byte-identical read schema, like the DPP
+    * rebuild). Returns the scan plus the kept set for the runtime
+    * pruner to intersect. */
+  private def staticallyPruned(ps: ParquetScan): (Scan, Option[Set[String]]) = {
+    val preds = StaticHiddenPruning.dirPredicates(dataFilters, fields,
+      tableSchema)
+    if (preds.isEmpty) return (ps, None)
+    val all = PartitionRuntimeFilters.dataFilePartitionsOf(versionDir)
+    val kept = all.filter(StaticHiddenPruning.keepDir(_, preds))
+    if (kept.size == all.size) return (ps, None)
+    val options = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Collections.singletonMap("basePath", versionDir.toString))
+    val builder = org.apache.spark.sql.execution.datasources.v2.parquet
+      .ParquetTable(s"$scanName-static-pruned", session, options,
+        kept.toSeq.sorted.map(p => versionDir.resolve(p).toString),
+        Some(tableSchema),
+        classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+      .newScanBuilder(options)
+    builder match {
+      case fb: org.apache.spark.sql.execution.datasources.v2.FileScanBuilder =>
+        requiredSchema.foreach(fb.pruneColumns)
+        if (dataFilters.nonEmpty) fb.pushFilters(dataFilters)
+      case _ => ()
+    }
+    val pruned = builder.build()
+    if (pruned.readSchema() == ps.readSchema()) (pruned, Some(kept))
+    else (ps, None) // schema drifted under replayed pushdown: keep full
   }
 }
 

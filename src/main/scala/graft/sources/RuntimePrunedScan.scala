@@ -119,6 +119,134 @@ private[sources] object PartitionRuntimeFilters {
   }
 }
 
+/** COMPILE-TIME directory pruning for HIDDEN partition transforms —
+  * what Spark's native partition-filter pushdown does for identity
+  * columns, recovered for layouts whose directory id is NOT a table
+  * column: `WHERE key = 123` on a `bucket(n, key)` table hashes the
+  * literal to its one bucket directory; `WHERE ts >= lo AND ts < hi`
+  * on a `days(ts)` table becomes an epoch-day range. At 100 TB this is
+  * the difference between opening every file's footer (row-group
+  * stats pruning still reads footers) and never LISTING the
+  * non-matching directories at all.
+  *
+  * Conservative by construction: only conjuncts of shape
+  * `attr = lit` / `attr IN (lits)` (bucket + days) and
+  * `attr >/>=/</<= lit` (days — monotone in the day id; hash buckets
+  * have no order) over a BARE attribute derive a directory predicate;
+  * anything else contributes nothing. A derived value predicate can
+  * never match a null row, so the hive default directory is prunable
+  * exactly when a predicate exists. */
+private[sources] object StaticHiddenPruning {
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal => CLiteral}
+  import org.apache.spark.sql.types.DataType
+
+  private def conjuncts(e: CExpression): Seq[CExpression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** Per-hidden-field directory-id predicates (keyed by dirName) — the
+    * empty map when no filter constrains any hidden field. */
+  def dirPredicates(filters: Seq[CExpression], fields: Seq[PartitionField],
+                    tableSchema: StructType): Map[String, Int => Boolean] = {
+    val flat = filters.flatMap(conjuncts)
+    fields.collect {
+      case f if !f.isInstanceOf[IdentityPart] =>
+        val dt: DataType = tableSchema.fields
+          .find(_.name.equalsIgnoreCase(f.srcCol))
+          .map(_.dataType).getOrElse(StringType)
+        def isCol(e: CExpression): Boolean = e match {
+          case a: AttributeReference => a.name.equalsIgnoreCase(f.srcCol)
+          case _ => false
+        }
+        // bucket ids / epoch days the value set allows; None = no
+        // constraint, Some(empty) = provably nothing matches
+        def idOf(v: Any): Option[Int] = f match {
+          case b: BucketPart if v != null =>
+            Some(GraftBucketFunction.bucketOf(v, dt, b.numBuckets))
+          case _: DaysPart if v != null =>
+            Some(GraftDaysFunction.daysOf(v, dt))
+          case _ => None // null literal: contributes no constraint
+        }
+        var allowed: Option[Set[Int]] = None
+        var lo = Int.MinValue
+        var hi = Int.MaxValue
+        def constrain(vals: Seq[Any]): Unit = {
+          val ids = vals.map(idOf)
+          if (ids.forall(_.isDefined)) {
+            val s = ids.flatten.toSet
+            allowed = Some(allowed.fold(s)(_ intersect s))
+          }
+        }
+        flat.foreach {
+          case EqualTo(a, CLiteral(v, _)) if isCol(a) => constrain(Seq(v))
+          case EqualTo(CLiteral(v, _), a) if isCol(a) => constrain(Seq(v))
+          case EqualNullSafe(a, CLiteral(v, _)) if isCol(a) && v != null =>
+            constrain(Seq(v))
+          case In(a, vs) if isCol(a) && vs.forall(_.isInstanceOf[CLiteral]) =>
+            constrain(vs.map(_.asInstanceOf[CLiteral].value))
+          case InSet(a, vs) if isCol(a) => constrain(vs.toSeq)
+          // ranges are meaningful only where the dir id is MONOTONE in
+          // the value — days, never hash buckets. The day id floors,
+          // so both strict and non-strict bounds widen to the day.
+          case GreaterThan(a, CLiteral(v, _))
+              if isCol(a) && f.isInstanceOf[DaysPart] =>
+            idOf(v).foreach(d => lo = math.max(lo, d))
+          case GreaterThanOrEqual(a, CLiteral(v, _))
+              if isCol(a) && f.isInstanceOf[DaysPart] =>
+            idOf(v).foreach(d => lo = math.max(lo, d))
+          case LessThan(a, CLiteral(v, _))
+              if isCol(a) && f.isInstanceOf[DaysPart] =>
+            idOf(v).foreach(d => hi = math.min(hi, d))
+          case LessThanOrEqual(a, CLiteral(v, _))
+              if isCol(a) && f.isInstanceOf[DaysPart] =>
+            idOf(v).foreach(d => hi = math.min(hi, d))
+          case GreaterThan(CLiteral(v, _), a) // lit > a  ⇔  a < lit
+              if isCol(a) && f.isInstanceOf[DaysPart] =>
+            idOf(v).foreach(d => hi = math.min(hi, d))
+          case GreaterThanOrEqual(CLiteral(v, _), a)
+              if isCol(a) && f.isInstanceOf[DaysPart] =>
+            idOf(v).foreach(d => hi = math.min(hi, d))
+          case LessThan(CLiteral(v, _), a) // lit < a  ⇔  a > lit
+              if isCol(a) && f.isInstanceOf[DaysPart] =>
+            idOf(v).foreach(d => lo = math.max(lo, d))
+          case LessThanOrEqual(CLiteral(v, _), a)
+              if isCol(a) && f.isInstanceOf[DaysPart] =>
+            idOf(v).foreach(d => lo = math.max(lo, d))
+          case _ => ()
+        }
+        val bounded = lo != Int.MinValue || hi != Int.MaxValue
+        val pred: Option[Int => Boolean] =
+          if (allowed.isEmpty && !bounded) None
+          else Some(k => allowed.forall(_.contains(k)) && k >= lo && k <= hi)
+        pred.map(f.dirName -> _)
+    }.flatten.toMap
+  }
+
+  /** Does a partition directory survive the derived predicates? The
+    * hive default (null) directory cannot satisfy any VALUE predicate,
+    * so it drops whenever one exists for its level; an unparseable id
+    * keeps (conservative). */
+  def keepDir(relDir: String, preds: Map[String, Int => Boolean]): Boolean = {
+    if (relDir.isEmpty) return true
+    val segs = relDir.split('/').flatMap { seg =>
+      seg.split("=", 2) match {
+        case Array(c, v) =>
+          Some(ExternalCatalogUtils.unescapePathName(c) ->
+            ExternalCatalogUtils.unescapePathName(v))
+        case _ => None
+      }
+    }.toMap
+    preds.forall { case (dirName, p) =>
+      segs.get(dirName) match {
+        case None => true
+        case Some("__HIVE_DEFAULT_PARTITION__") => false
+        case Some(raw) => raw.toIntOption.forall(p)
+      }
+    }
+  }
+}
+
 /** DYNAMIC PARTITION PRUNING for normal reads of partitioned catalog
   * tables — the star-schema join path: `fact JOIN dim ON fact.k = dim.k
   * WHERE dim.x = ...` where `k` is (or determines) fact's partition
@@ -139,7 +267,8 @@ private[sources] object PartitionRuntimeFilters {
 private[sources] final class RuntimePrunedParquetScan(
     inner: Scan, session: SparkSession, scanName: String,
     versionDir: JPath, tableSchema: StructType, fields: Seq[PartitionField],
-    requiredSchema: Option[StructType], dataFilters: Seq[CExpression])
+    requiredSchema: Option[StructType], dataFilters: Seq[CExpression],
+    staticKeep: Option[Set[String]] = None)
     extends Scan with SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -177,7 +306,10 @@ private[sources] final class RuntimePrunedParquetScan(
   override def filter(predicates: Array[V2Predicate]): Unit = {
     val parsed = PartitionRuntimeFilters.parse(predicates)
     if (parsed.nonEmpty) {
-      val kept = PartitionRuntimeFilters.dataFilePartitionsOf(versionDir)
+      // runtime pruning INTERSECTS static hidden-transform pruning: a
+      // directory already excluded at build time stays excluded
+      val kept = staticKeep
+        .getOrElse(PartitionRuntimeFilters.dataFilePartitionsOf(versionDir))
         .filter(PartitionRuntimeFilters.keepPartitionDir(
           _, parsed, tableSchema, fields))
       val options = new CaseInsensitiveStringMap(

@@ -198,6 +198,57 @@ class BucketTransformSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_bkt.db.bd")
   }
 
+  /** Distinct partition directories the final plan's scan actually
+    * planned — the white-box proof of STATIC pruning (which dirs were
+    * listed, not just which rows survived parquet row filters). */
+  private def plannedDirs(df: org.apache.spark.sql.DataFrame): Set[String] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def scans(p: SparkPlan): Seq[BatchScanExec] =
+      p.collect {
+        case b: BatchScanExec => Seq(b)
+        case q: QueryStageExec => scans(q.plan)
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      }.flatten
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    scans(plan).flatMap(_.scan.toBatch.planInputPartitions().toSeq).flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.toSeq.map { f =>
+          val p = new java.net.URI(f.urlEncodedPath).getPath
+          p.split('/').filter(_.contains("=")).mkString("/")
+        }
+      case _ => Seq.empty
+    }.toSet
+  }
+
+  test("static pruning: a point lookup plans only its one bucket directory") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_bkt.db")
+    (1L to 1000L).map(i => (i, i * 1.0)).toDF("k", "v")
+      .writeTo("graft_bkt.db.bsp").using("parquet")
+      .partitionedBy(bucket(16, $"k")).createOrReplace()
+    val q = spark.table("graft_bkt.db.bsp").where($"k" === 777L)
+    assert(q.collect().map(_.getDouble(1)).toSeq == Seq(777.0))
+    val want = graft.sources.GraftBucketFunction.bucketOf(777L,
+      org.apache.spark.sql.types.LongType, 16)
+    val dirs = plannedDirs(q)
+    assert(dirs == Set(s"_gb_k=$want"),
+      s"point lookup must plan exactly one bucket dir, planned: $dirs")
+    // an IN-list plans exactly the union of its buckets
+    val q2 = spark.table("graft_bkt.db.bsp")
+      .where($"k".isin(3L, 500L, 999L))
+    assert(q2.count() == 3)
+    val want2 = Set(3L, 500L, 999L).map(v =>
+      s"_gb_k=${graft.sources.GraftBucketFunction.bucketOf(v,
+        org.apache.spark.sql.types.LongType, 16)}")
+    assert(plannedDirs(q2) == want2, s"IN-list planned ${plannedDirs(q2)}")
+    spark.sql("DROP TABLE graft_bkt.db.bsp")
+  }
+
   test("MERGE into a bucketed table rewrites only the touched buckets") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_bkt.db")

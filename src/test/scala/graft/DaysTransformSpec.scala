@@ -139,6 +139,48 @@ class DaysTransformSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_days.db.evd")
   }
 
+  private def plannedDirs(df: org.apache.spark.sql.DataFrame): Set[String] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def scans(p: SparkPlan): Seq[BatchScanExec] =
+      p.collect {
+        case b: BatchScanExec => Seq(b)
+        case q: QueryStageExec => scans(q.plan)
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      }.flatten
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    scans(plan).flatMap(_.scan.toBatch.planInputPartitions().toSeq).flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.toSeq.map { f =>
+          val p = new java.net.URI(f.urlEncodedPath).getPath
+          p.split('/').filter(_.contains("=")).mkString("/")
+        }
+      case _ => Seq.empty
+    }.toSet
+  }
+
+  test("static pruning: a timestamp range plans only its day directories") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_days.db")
+    eventsDf(400).writeTo("graft_days.db.evr").using("parquet")
+      .partitionedBy(days($"ts")).createOrReplace()
+    // [day 19725 12:00, day 19727 06:00): three calendar days
+    val lo = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-03T12:00:00Z"))
+    val hi = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-05T06:00:00Z"))
+    val q = spark.table("graft_days.db.evr")
+      .where($"ts" >= lit(lo) && $"ts" < lit(hi))
+    // ids 10..17 → ts 2024-01-03T12:00 .. 2024-01-05T06:00 (exclusive)
+    assert(q.count() == 7, q.collect().mkString(","))
+    val dirs = plannedDirs(q)
+    assert(dirs == Set("_gd_ts=19725", "_gd_ts=19726", "_gd_ts=19727"),
+      s"range must plan exactly three day dirs, planned: $dirs")
+    spark.sql("DROP TABLE graft_days.db.evr")
+  }
+
   test("MERGE touches only the day its keys live in; other days hard-link") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_days.db")
