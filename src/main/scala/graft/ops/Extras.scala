@@ -760,6 +760,47 @@ object Extras {
       .orderBy($"day", $"event_type")
   }
 
+  /** q86: `months(ts)` — the long-retention rung of the hidden
+    * time-transform ladder (q85 is `days`): a decade of events in 120
+    * month directories instead of 3 650 daily ones, with range filters
+    * still pruning statically (TimeTransformSpec pins the planned-dir
+    * set) and MERGE rewriting only the touched month. The gate
+    * round-trips the catalog table into a monthly rollup vs DuckDB on
+    * the raw parquet — hash equality proves month routing (UTC
+    * calendar months since 1970-01) lost/duplicated nothing. */
+  def q86MonthsTransform(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    Tables.load(s, dir, "events")
+      .select($"event_id", $"ts", $"event_type", $"value")
+      .writeTo("graft_ma.db.evmonths").using("parquet")
+      .partitionedBy(months($"ts")).createOrReplace()
+    s.table("graft_ma.db.evmonths")
+      .groupBy(trunc(to_date($"ts"), "month").as("month"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), moneySum($"value").as("total"))
+      .orderBy($"month", $"event_type")
+  }
+
+  /** q87: `hours(ts)` — the hot-stream rung: epoch-hour directories
+    * for short-retention high-rate data, where a day is too coarse to
+    * expire or prune (hours is timestamp-only — a date has no hour;
+    * the catalog refuses the spec, TimeTransformSpec pins it). Hourly
+    * rollup vs DuckDB on the raw parquet pins the routing. */
+  def q87HoursTransform(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    Tables.load(s, dir, "events")
+      .select($"event_id", $"ts", $"event_type", $"value")
+      .writeTo("graft_ma.db.evhours").using("parquet")
+      .partitionedBy(hours($"ts")).createOrReplace()
+    s.table("graft_ma.db.evhours")
+      .groupBy(to_date($"ts").as("day"), hour($"ts").cast(LongType).as("hr"))
+      .agg(count(lit(1)).as("n_events"), moneySum($"value").as("total"))
+      .orderBy($"day", $"hr")
+  }
+
   /** Export path q76's oracle reads. Verify and the DuckDB oracle run on
     * the same host within one gate round, and the oracle SQL (which
     * embeds this path) is DUMPED BY THE SAME JVM that ran the export —
@@ -1072,6 +1113,8 @@ object Extras {
     "q83_bucket_spj" -> q83BucketSpj,
     "q84_bucket_merge" -> q84BucketMerge,
     "q85_days_transform" -> q85DaysTransform,
+    "q86_months_transform" -> q86MonthsTransform,
+    "q87_hours_transform" -> q87HoursTransform,
     "q76_catalog_external" -> q76CatalogExternal,
     "q77_partitions_metadata" -> q77PartitionsMetadata,
     "q78_snapshot_changes" -> q78SnapshotChanges,
@@ -1451,6 +1494,19 @@ object Extras {
         | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2
         |ORDER BY day, event_type""".stripMargin,
+    "q86_months_transform" ->
+      """SELECT CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE) AS month,
+        | event_type,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2
+        |ORDER BY month, event_type""".stripMargin,
+    "q87_hours_transform" ->
+      """SELECT CAST(ts AS DATE) AS day, CAST(hour(ts) AS BIGINT) AS hr,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2
+        |ORDER BY day, hr""".stripMargin,
     "q84_bucket_merge" ->
       """WITH src AS (
         |  SELECT c_custkey, c_acctbal * 2.0 AS bal FROM customer

@@ -398,11 +398,11 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
           }.getOrElse(throw new IllegalArgumentException(
             s"bucket transform carries no INT bucket count: $t"))
           BucketPart(n, t.references()(0).fieldNames().mkString("."))
-        case "days" =>
-          DaysPart(t.references()(0).fieldNames().mkString("."))
+        case u @ ("days" | "hours" | "months" | "years") =>
+          PartitionField.timePart(u, t.references()(0).fieldNames().mkString("."))
         case other => throw new IllegalArgumentException(
-          s"AtomicParquetCatalog supports identity, bucket and days " +
-            s"partitioning only, got $other in $t")
+          s"AtomicParquetCatalog supports identity, bucket and the " +
+            s"years/months/days/hours time transforms only, got $other in $t")
       }
     }
     fields.foreach { f =>
@@ -418,12 +418,14 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
           require(!schema.fieldNames.exists(_.equalsIgnoreCase(b.dirName)),
             s"schema column ${b.dirName} collides with bucket(${b.col})'s " +
               "hidden directory column")
-        case d: DaysPart =>
-          require(GraftDaysFunction.supports(col.dataType),
-            s"days(${d.col}): ${col.dataType.simpleString} has no day — " +
-              "timestamp or date only")
-          require(!schema.fieldNames.exists(_.equalsIgnoreCase(d.dirName)),
-            s"schema column ${d.dirName} collides with days(${d.col})'s " +
+        case t: TimeTransformPart =>
+          require(t.fn.supports(col.dataType),
+            s"${t.unit}(${t.col}): ${col.dataType.simpleString} has no " +
+              s"${t.unit.dropRight(1)} — " +
+              (if (t.unit == "hours") "timestamp only"
+               else "timestamp or date only"))
+          require(!schema.fieldNames.exists(_.equalsIgnoreCase(t.dirName)),
+            s"schema column ${t.dirName} collides with ${t.unit}(${t.col})'s " +
               "hidden directory column")
         case _ => ()
       }
@@ -923,19 +925,25 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
   // binding it — without this, bucket-partitioned scans could never
   // plan storage-partitioned joins. ----
 
+  private val transformFunctions
+      : Map[String, org.apache.spark.sql.connector.catalog.functions.UnboundFunction] =
+    Map("bucket" -> GraftBucketFunction, "days" -> GraftDaysFunction,
+      "hours" -> GraftHoursFunction, "months" -> GraftMonthsFunction,
+      "years" -> GraftYearsFunction)
+
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty)
-      Array(Identifier.of(Array.empty, "bucket"),
-        Identifier.of(Array.empty, "days"))
+      transformFunctions.keysIterator.toArray.sorted
+        .map(Identifier.of(Array.empty, _))
     else if (namespaceExists(namespace)) Array.empty
     else throw new NoSuchNamespaceException(namespace)
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    if (ident.namespace.isEmpty && ident.name.equalsIgnoreCase("bucket"))
-      GraftBucketFunction
-    else if (ident.namespace.isEmpty && ident.name.equalsIgnoreCase("days"))
-      GraftDaysFunction
+    if (ident.namespace.isEmpty)
+      transformFunctions.getOrElse(ident.name.toLowerCase(java.util.Locale.ROOT),
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchFunctionException(ident))
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
 
@@ -1333,11 +1341,7 @@ private[sources] abstract class VersionedTable(
   override def name(): String = ident.toString
   override def schema(): StructType = tableSchema
   override def partitioning(): Array[Transform] =
-    fields.map {
-      case IdentityPart(c) => Expressions.identity(c)
-      case BucketPart(n, c) => Expressions.bucket(n, c)
-      case DaysPart(c) => Expressions.days(c)
-    }.toArray
+    fields.map(PartitionField.v2Transform).toArray
   override def properties(): java.util.Map[String, String] =
     java.util.Collections.singletonMap(TableCatalog.PROP_LOCATION,
       versionDir.toString)

@@ -38,37 +38,103 @@ private[sources] final case class BucketPart(numBuckets: Int, col: String)
   def dirName: String = s"_gb_$col"
 }
 
-/** `days(ts)` — Iceberg's day transform: rows land in a hidden
-  * `_gd_<col>=<utc epoch day>` directory derived from a timestamp/date
-  * column, so an event stream gets daily partitioning WITHOUT the
-  * derived date column every classic layout forces into the schema
-  * (the reference's silver materializes `interaction_date` for exactly
-  * this; CM:327-329). Day ordinals are UTC-fixed (`floorDiv(epoch
-  * seconds, 86400)`), never session-timezone-dependent — two writers
-  * in different zones route identically. */
+/** A hidden TIME transform — the Iceberg `years`/`months`/`days`/
+  * `hours` family: rows land in a hidden `_g?_<col>=<unit ordinal>`
+  * directory derived from a timestamp/date column, so an event stream
+  * gets time partitioning WITHOUT the derived date column every
+  * classic layout forces into the schema (the reference's silver
+  * materializes `interaction_date` for exactly this; CM:327-329).
+  * Ordinals are UTC-fixed epochs (days/hours: `floorDiv` of the epoch
+  * instant; months/years: calendar units since 1970-01), never
+  * session-timezone-dependent — two writers in different zones route
+  * identically. All four are MONOTONE in the source value (unlike hash
+  * buckets), so range predicates prune directories statically. The
+  * granularity ladder is the retention/scale dial: `hours` for
+  * short-retention hot streams, `days` for the classic event table,
+  * `months`/`years` for long-retention archives where daily dirs
+  * would mean 36 500 directories a decade. */
+private[sources] sealed trait TimeTransformPart extends PartitionField {
+  def col: String
+  final def srcCol: String = col
+  /** Transform name — also the V2 function + `Expressions.*` name. */
+  def unit: String
+  /** The backing V2 function: write routing, static + runtime pruning
+    * and SPJ all share its `idOf`, so they can never disagree. */
+  def fn: GraftTimeFunction
+  final def idOf(value: Any, dt: DataType): Int = fn.idOf(value, dt)
+}
+
 private[sources] final case class DaysPart(col: String)
-    extends PartitionField {
-  def srcCol: String = col
+    extends TimeTransformPart {
   def dirName: String = s"_gd_$col"
+  def unit: String = "days"
+  def fn: GraftTimeFunction = GraftDaysFunction
+}
+
+private[sources] final case class HoursPart(col: String)
+    extends TimeTransformPart {
+  def dirName: String = s"_gh_$col"
+  def unit: String = "hours"
+  def fn: GraftTimeFunction = GraftHoursFunction
+}
+
+private[sources] final case class MonthsPart(col: String)
+    extends TimeTransformPart {
+  def dirName: String = s"_gm_$col"
+  def unit: String = "months"
+  def fn: GraftTimeFunction = GraftMonthsFunction
+}
+
+private[sources] final case class YearsPart(col: String)
+    extends TimeTransformPart {
+  def dirName: String = s"_gy_$col"
+  def unit: String = "years"
+  def fn: GraftTimeFunction = GraftYearsFunction
 }
 
 private[sources] object PartitionField {
   private val BucketRe = """bucket\((\d+),(.+)\)""".r
-  private val DaysRe = """days\((.+)\)""".r
+  private val TimeRe = """(days|hours|months|years)\((.+)\)""".r
 
-  /** `_partitions.txt` line form: `col` (identity, the historical
-    * format — old tables parse unchanged), `bucket(n,col)`, or
-    * `days(col)`. */
+  def timePart(unit: String, col: String): TimeTransformPart = unit match {
+    case "days" => DaysPart(col)
+    case "hours" => HoursPart(col)
+    case "months" => MonthsPart(col)
+    case "years" => YearsPart(col)
+  }
+
+  /** One field's display/serialized form — `col` (identity),
+    * `bucket(n,col)`, or `<unit>(col)`. */
+  def show(f: PartitionField): String = f match {
+    case IdentityPart(c) => c
+    case BucketPart(n, c) => s"bucket($n,$c)"
+    case t: TimeTransformPart => s"${t.unit}(${t.col})"
+  }
+
+  /** The V2 transform a field reports — the single mapping shared by
+    * SPJ's KeyGroupedPartitioning and the row-level-op table's
+    * `partitioning()`. */
+  def v2Transform(f: PartitionField)
+      : org.apache.spark.sql.connector.expressions.Transform = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    f match {
+      case IdentityPart(c) => Expressions.identity(c)
+      case BucketPart(n, c) => Expressions.bucket(n, c)
+      case DaysPart(c) => Expressions.days(c)
+      case HoursPart(c) => Expressions.hours(c)
+      case MonthsPart(c) => Expressions.months(c)
+      case YearsPart(c) => Expressions.years(c)
+    }
+  }
+
+  /** `_partitions.txt` line form: [[show]] per field (identity is the
+    * historical bare-column format — old tables parse unchanged). */
   def serialize(fields: Seq[PartitionField]): String =
-    fields.map {
-      case IdentityPart(c) => c
-      case BucketPart(n, c) => s"bucket($n,$c)"
-      case DaysPart(c) => s"days($c)"
-    }.mkString("\n")
+    fields.map(show).mkString("\n")
 
   def parseLine(line: String): PartitionField = line match {
     case BucketRe(n, c) => BucketPart(n.toInt, c.trim)
-    case DaysRe(c) => DaysPart(c.trim)
+    case TimeRe(u, c) => timePart(u, c.trim)
     case c => IdentityPart(c)
   }
 
@@ -82,31 +148,60 @@ private[sources] object PartitionField {
     * recomputes it to identical values. */
   def materializeDirCols(df: org.apache.spark.sql.DataFrame,
                          fields: Seq[PartitionField]): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, datediff, floor, hash, lit, pmod}
-    import org.apache.spark.sql.types.{DateType, IntegerType, LongType}
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     fields.foldLeft(df) {
       case (d, b: BucketPart) =>
         d.withColumn(b.dirName, pmod(hash(col(b.col)), lit(b.numBuckets)))
-      case (d, p: DaysPart) =>
-        // epoch day, session-timezone-independent: zoned timestamp→long
-        // is epoch SECONDS (floorDiv micros) and floor handles
-        // pre-1970; NTZ routes through its wall-clock date (casting
-        // NTZ to a number is not a thing). Exactly
-        // GraftDaysFunction.daysOf as an expression. A null timestamp
-        // yields a null day (the hive default-partition dir).
-        import org.apache.spark.sql.functions.to_date
-        import org.apache.spark.sql.types.TimestampNTZType
-        val epoch = lit(java.sql.Date.valueOf("1970-01-01"))
-        val dayExpr = d.schema.fields
+      case (d, p: TimeTransformPart) =>
+        val dt = d.schema.fields
           .find(_.name.equalsIgnoreCase(p.col))
           .map(_.dataType)
-          .getOrElse(org.apache.spark.sql.types.TimestampType) match {
-          case DateType => datediff(col(p.col), epoch)
-          case TimestampNTZType => datediff(to_date(col(p.col)), epoch)
-          case _ => floor(col(p.col).cast(LongType) / lit(86400L)).cast(IntegerType)
-        }
-        d.withColumn(p.dirName, dayExpr)
+          .getOrElse(org.apache.spark.sql.types.TimestampType)
+        d.withColumn(p.dirName, timeDirExpr(p, dt))
       case (d, _) => d
+    }
+  }
+
+  /** The unit ordinal of `p.col` as a codegen'd expression — exactly
+    * `p.fn.idOf` (the pruning/SPJ definition), session-timezone-
+    * independent in every branch: zoned timestamp→long is UTC epoch
+    * SECONDS (floorDiv micros, so floor handles pre-1970); NTZ routes
+    * through its wall-clock date/hour fields (casting NTZ to a number
+    * is not a thing, and `to_date`/`hour` on NTZ read the wall clock
+    * directly); dates carry their day ordinal. Months/years go
+    * value → UTC calendar date → TZ-free date-field arithmetic. A null
+    * timestamp yields a null ordinal (the hive default-partition
+    * dir). */
+  private def timeDirExpr(p: TimeTransformPart,
+                          dt: DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, date_add, datediff, floor, hour, lit, month, to_date, year}
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampNTZType}
+    val c = col(p.col)
+    val epoch = lit(java.sql.Date.valueOf("1970-01-01"))
+    // the UTC calendar date of the value (date functions are TZ-free)
+    lazy val utcDate = dt match {
+      case DateType => c
+      case TimestampNTZType => to_date(c)
+      case _ => date_add(epoch,
+        floor(c.cast(LongType) / lit(86400L)).cast(IntegerType))
+    }
+    p.unit match {
+      case "days" => dt match {
+        case DateType => datediff(c, epoch)
+        case TimestampNTZType => datediff(to_date(c), epoch)
+        case _ => floor(c.cast(LongType) / lit(86400L)).cast(IntegerType)
+      }
+      case "hours" => dt match {
+        // wall-clock hours since epoch: day*24 + hour-of-day (hour()
+        // on NTZ is the wall-clock field, never session-TZ-shifted)
+        case TimestampNTZType =>
+          (datediff(to_date(c), epoch) * lit(24) + hour(c)).cast(IntegerType)
+        case _ => floor(c.cast(LongType) / lit(3600L)).cast(IntegerType)
+      }
+      case "months" =>
+        ((year(utcDate) - lit(1970)) * lit(12) + month(utcDate) - lit(1))
+          .cast(IntegerType)
+      case "years" => (year(utcDate) - lit(1970)).cast(IntegerType)
     }
   }
 }
@@ -180,49 +275,92 @@ private[sources] final class BoundBucket(dt: DataType)
   }
 }
 
-/** The `days` V2 function backing [[DaysPart]]'s reported
-  * `KeyGroupedPartitioning(days(col))` — same role as
-  * [[GraftBucketFunction]] for buckets: write routing, runtime day
-  * pruning and this function all share [[GraftDaysFunction.daysOf]]. */
-private[graft] object GraftDaysFunction extends UnboundFunction {
+/** The time-transform V2 function family backing [[TimeTransformPart]]'s
+  * reported `KeyGroupedPartitioning(<unit>(col))` — same role as
+  * [[GraftBucketFunction]] for buckets: write routing, static + runtime
+  * pruning and these functions all share one `idOf` per unit. Ordinals
+  * of a CATALYST-INTERNAL value: micros for timestamps (`floorDiv`
+  * composes correctly for all signs; UTC for zoned timestamps, the
+  * wall clock for NTZ — both session-timezone-independent), days-int
+  * for dates. `hours` is timestamp-only (a date has no hour — Iceberg
+  * refuses it too). */
+private[graft] sealed abstract class GraftTimeFunction(
+    fnName: String, dateOk: Boolean) extends UnboundFunction {
   import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
 
-  def supports(dt: DataType): Boolean =
-    dt == TimestampType || dt == TimestampNTZType || dt == DateType
+  final def supports(dt: DataType): Boolean =
+    dt == TimestampType || dt == TimestampNTZType || (dateOk && dt == DateType)
 
-  /** Epoch day of a CATALYST-INTERNAL value: micros for timestamps
-    * (`floorDiv` twice composes correctly for all signs; UTC for
-    * zoned timestamps, the wall-clock day for NTZ — both
-    * session-timezone-independent), days-int for dates (already the
-    * answer). */
-  def daysOf(value: Any, dt: DataType): Int = dt match {
+  def idOf(value: Any, dt: DataType): Int
+
+  /** Epoch day of an internal value — the shared stepping stone. */
+  protected final def epochDayOf(value: Any, dt: DataType): Int = dt match {
     case DateType => value.asInstanceOf[Int]
     case _ =>
       Math.floorDiv(value.asInstanceOf[Long], 86400L * 1000000L).toInt
   }
 
-  override def name(): String = "days"
-  override def description(): String =
-    "days(col) — UTC epoch day: floorDiv(epoch_seconds, 86400)"
+  protected final def utcDateOf(value: Any, dt: DataType): java.time.LocalDate =
+    java.time.LocalDate.ofEpochDay(epochDayOf(value, dt).toLong)
 
-  override def bind(inputType: StructType): BoundFunction = {
+  override final def name(): String = fnName
+  override final def bind(inputType: StructType): BoundFunction = {
     require(inputType.length == 1,
-      s"days expects one timestamp/date column, got ${inputType.simpleString}")
+      s"$fnName expects one ${if (dateOk) "timestamp/date" else "timestamp"} " +
+        s"column, got ${inputType.simpleString}")
     val dt = inputType.fields(0).dataType
     require(supports(dt),
-      s"days does not support ${dt.simpleString} (timestamp, " +
-        "timestamp_ntz or date only)")
-    new BoundDays(dt)
+      s"$fnName does not support ${dt.simpleString} (timestamp, " +
+        s"timestamp_ntz${if (dateOk) " or date" else ""} only)")
+    new BoundTime(dt, this)
   }
 }
 
-private[sources] final class BoundDays(dt: DataType)
+private[graft] object GraftDaysFunction
+    extends GraftTimeFunction("days", dateOk = true) {
+  /** Kept under its historical name — pruning call sites read better. */
+  def daysOf(value: Any, dt: DataType): Int = epochDayOf(value, dt)
+  override def idOf(value: Any, dt: DataType): Int = epochDayOf(value, dt)
+  override def description(): String =
+    "days(col) — UTC epoch day: floorDiv(epoch_seconds, 86400)"
+}
+
+private[graft] object GraftHoursFunction
+    extends GraftTimeFunction("hours", dateOk = false) {
+  override def idOf(value: Any, dt: DataType): Int =
+    Math.floorDiv(value.asInstanceOf[Long], 3600L * 1000000L).toInt
+  override def description(): String =
+    "hours(col) — UTC epoch hour: floorDiv(epoch_seconds, 3600)"
+}
+
+private[graft] object GraftMonthsFunction
+    extends GraftTimeFunction("months", dateOk = true) {
+  override def idOf(value: Any, dt: DataType): Int = {
+    val d = utcDateOf(value, dt)
+    (d.getYear - 1970) * 12 + (d.getMonthValue - 1)
+  }
+  override def description(): String =
+    "months(col) — UTC months since 1970-01: (year-1970)*12 + month-1"
+}
+
+private[graft] object GraftYearsFunction
+    extends GraftTimeFunction("years", dateOk = true) {
+  override def idOf(value: Any, dt: DataType): Int =
+    utcDateOf(value, dt).getYear - 1970
+  override def description(): String =
+    "years(col) — UTC years since 1970: year - 1970"
+}
+
+private[sources] final class BoundTime(dt: DataType, fn: GraftTimeFunction)
     extends ScalarFunction[Integer] {
   override def inputTypes(): Array[DataType] = Array(dt)
   override def resultType(): DataType = IntegerType
-  override def name(): String = "days"
-  override def canonicalName(): String = s"graft.days(${dt.catalogString})"
+  override def name(): String = fn.name()
+  // the SPJ compatibility token — unit- and type-qualified, so a
+  // days(timestamp) grouping never false-matches months or a date key
+  override def canonicalName(): String =
+    s"graft.${fn.name()}(${dt.catalogString})"
   override def produceResult(input: InternalRow): Integer =
     if (input.isNullAt(0)) null
-    else Integer.valueOf(GraftDaysFunction.daysOf(input.get(0, dt), dt))
+    else Integer.valueOf(fn.idOf(input.get(0, dt), dt))
 }

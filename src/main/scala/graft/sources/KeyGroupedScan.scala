@@ -350,9 +350,9 @@ private[sources] final class HiddenKeyGroupedParquetScan(
     val segs = pathSegments(f.urlEncodedPath)
     val vals: Seq[Option[Any]] = fields.zip(keyTypes).map {
       case (b: BucketPart, _) => segs.get(b.dirName).flatMap(_.toIntOption)
-      case (p: DaysPart, _) =>
+      case (p: TimeTransformPart, _) =>
         // a null timestamp lands in the hive default dir: its key is a
-        // NULL day (kept by every runtime filter, groupable by SPJ)
+        // NULL ordinal (kept by every runtime filter, groupable by SPJ)
         segs.get(p.dirName).flatMap {
           case "__HIVE_DEFAULT_PARTITION__" => Some(null)
           case raw => raw.toIntOption
@@ -401,10 +401,9 @@ private[sources] final class HiddenKeyGroupedParquetScan(
             val k = key.getInt(i)
             wanted.exists(v => GraftBucketFunction.bucketOf(v, srcType(b),
               b.numBuckets) == k)
-          case p: DaysPart =>
+          case p: TimeTransformPart =>
             val k = key.getInt(i)
-            wanted.exists(v =>
-              v != null && GraftDaysFunction.daysOf(v, srcType(p)) == k)
+            wanted.exists(v => v != null && p.idOf(v, srcType(p)) == k)
           case _: IdentityPart =>
             val v = key.get(i, keyTypes(i))
             wanted.exists(w => java.util.Objects.equals(w, v))
@@ -434,11 +433,8 @@ private[sources] final class HiddenKeyGroupedParquetScan(
 
   override def readSchema(): StructType = inner.readSchema()
   override def description(): String =
-    s"graft-bucket-key-grouped(${fields.map {
-      case BucketPart(n, c) => s"bucket($n,$c)"
-      case DaysPart(c) => s"days($c)"
-      case IdentityPart(c) => c
-    }.mkString(",")}) " + inner.description()
+    s"graft-bucket-key-grouped(${fields.map(PartitionField.show)
+      .mkString(",")}) " + inner.description()
 
   override def outputPartitioning(): Partitioning = keyedOpt match {
     case Some(keyed) =>
@@ -446,11 +442,8 @@ private[sources] final class HiddenKeyGroupedParquetScan(
         keyTypes.indices.map(i => k.partitionKey().get(i, keyTypes(i)))
       }.distinct.length
       new KeyGroupedPartitioning(
-        fields.map {
-          case BucketPart(n, c) => Expressions.bucket(n, c): V2Expression
-          case DaysPart(c) => Expressions.days(c): V2Expression
-          case IdentityPart(c) => Expressions.identity(c): V2Expression
-        }.toArray, math.max(nKeys, 1))
+        fields.map(PartitionField.v2Transform(_): V2Expression).toArray,
+        math.max(nKeys, 1))
     case None =>
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
   }

@@ -83,8 +83,8 @@ private[sources] object PartitionRuntimeFilters {
               h match {
                 case b: BucketPart => wanted.exists(v =>
                   GraftBucketFunction.bucketOf(v, dt, b.numBuckets) == k)
-                case _: DaysPart => wanted.exists(v =>
-                  v != null && GraftDaysFunction.daysOf(v, dt) == k)
+                case t: TimeTransformPart => wanted.exists(v =>
+                  v != null && t.idOf(v, dt) == k)
                 case _ => true
               }
           }
@@ -130,12 +130,13 @@ private[sources] object PartitionRuntimeFilters {
   * non-matching directories at all.
   *
   * Conservative by construction: only conjuncts of shape
-  * `attr = lit` / `attr IN (lits)` (bucket + days) and
-  * `attr >/>=/</<= lit` (days — monotone in the day id; hash buckets
-  * have no order) over a BARE attribute derive a directory predicate;
-  * anything else contributes nothing. A derived value predicate can
-  * never match a null row, so the hive default directory is prunable
-  * exactly when a predicate exists. */
+  * `attr = lit` / `attr IN (lits)` (bucket + every time transform) and
+  * `attr >/>=/</<= lit` (time transforms — the unit ordinal is
+  * monotone in the value; hash buckets have no order) over a BARE
+  * attribute derive a directory predicate; anything else contributes
+  * nothing. A derived value predicate can never match a null row, so
+  * the hive default directory is prunable exactly when a predicate
+  * exists. */
 private[sources] object StaticHiddenPruning {
   import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal => CLiteral}
   import org.apache.spark.sql.types.DataType
@@ -164,8 +165,7 @@ private[sources] object StaticHiddenPruning {
         def idOf(v: Any): Option[Int] = f match {
           case b: BucketPart if v != null =>
             Some(GraftBucketFunction.bucketOf(v, dt, b.numBuckets))
-          case _: DaysPart if v != null =>
-            Some(GraftDaysFunction.daysOf(v, dt))
+          case t: TimeTransformPart if v != null => Some(t.idOf(v, dt))
           case _ => None // null literal: contributes no constraint
         }
         var allowed: Option[Set[Int]] = None
@@ -187,31 +187,32 @@ private[sources] object StaticHiddenPruning {
             constrain(vs.map(_.asInstanceOf[CLiteral].value))
           case InSet(a, vs) if isCol(a) => constrain(vs.toSeq)
           // ranges are meaningful only where the dir id is MONOTONE in
-          // the value — days, never hash buckets. The day id floors,
-          // so both strict and non-strict bounds widen to the day.
+          // the value — the time transforms, never hash buckets. Each
+          // unit ordinal floors, so both strict and non-strict bounds
+          // widen to the unit.
           case GreaterThan(a, CLiteral(v, _))
-              if isCol(a) && f.isInstanceOf[DaysPart] =>
+              if isCol(a) && f.isInstanceOf[TimeTransformPart] =>
             idOf(v).foreach(d => lo = math.max(lo, d))
           case GreaterThanOrEqual(a, CLiteral(v, _))
-              if isCol(a) && f.isInstanceOf[DaysPart] =>
+              if isCol(a) && f.isInstanceOf[TimeTransformPart] =>
             idOf(v).foreach(d => lo = math.max(lo, d))
           case LessThan(a, CLiteral(v, _))
-              if isCol(a) && f.isInstanceOf[DaysPart] =>
+              if isCol(a) && f.isInstanceOf[TimeTransformPart] =>
             idOf(v).foreach(d => hi = math.min(hi, d))
           case LessThanOrEqual(a, CLiteral(v, _))
-              if isCol(a) && f.isInstanceOf[DaysPart] =>
+              if isCol(a) && f.isInstanceOf[TimeTransformPart] =>
             idOf(v).foreach(d => hi = math.min(hi, d))
           case GreaterThan(CLiteral(v, _), a) // lit > a  ⇔  a < lit
-              if isCol(a) && f.isInstanceOf[DaysPart] =>
+              if isCol(a) && f.isInstanceOf[TimeTransformPart] =>
             idOf(v).foreach(d => hi = math.min(hi, d))
           case GreaterThanOrEqual(CLiteral(v, _), a)
-              if isCol(a) && f.isInstanceOf[DaysPart] =>
+              if isCol(a) && f.isInstanceOf[TimeTransformPart] =>
             idOf(v).foreach(d => hi = math.min(hi, d))
           case LessThan(CLiteral(v, _), a) // lit < a  ⇔  a > lit
-              if isCol(a) && f.isInstanceOf[DaysPart] =>
+              if isCol(a) && f.isInstanceOf[TimeTransformPart] =>
             idOf(v).foreach(d => lo = math.max(lo, d))
           case LessThanOrEqual(CLiteral(v, _), a)
-              if isCol(a) && f.isInstanceOf[DaysPart] =>
+              if isCol(a) && f.isInstanceOf[TimeTransformPart] =>
             idOf(v).foreach(d => lo = math.max(lo, d))
           case _ => ()
         }
