@@ -786,19 +786,56 @@ object Extras {
     * for short-retention high-rate data, where a day is too coarse to
     * expire or prune (hours is timestamp-only — a date has no hour;
     * the catalog refuses the spec, TimeTransformSpec pins it). Hourly
-    * rollup vs DuckDB on the raw parquet pins the routing. */
+    * rollup vs DuckDB on the raw parquet pins the routing.
+    *
+    * The write runs HASH-CLUSTERED (`write.clusterByPartitions`) — at
+    * 720 hour directories the unclustered path writes tasks × hours
+    * tiny files (measured 12 s at sf0.1 vs ~1 s clustered), the exact
+    * small-files shape the distribution conf exists for; any
+    * fine-grained partition write at scale wants this on. */
   def q87HoursTransform(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
     s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
-    Tables.load(s, dir, "events")
+    s.conf.set("spark.sql.catalog.graft.write.clusterByPartitions", "true")
+    try Tables.load(s, dir, "events")
       .select($"event_id", $"ts", $"event_type", $"value")
       .writeTo("graft_ma.db.evhours").using("parquet")
       .partitionedBy(hours($"ts")).createOrReplace()
+    finally s.conf
+      .unset("spark.sql.catalog.graft.write.clusterByPartitions")
     s.table("graft_ma.db.evhours")
       .groupBy(to_date($"ts").as("day"), hour($"ts").cast(LongType).as("hr"))
       .agg(count(lit(1)).as("n_events"), moneySum($"value").as("total"))
       .orderBy($"day", $"hr")
+  }
+
+  /** q88: `truncate(w, col)` — the ORDER-PRESERVING hidden transform
+    * (Iceberg's truncate): rows land under the first-w-characters
+    * prefix of a string key (or the value floored to a multiple of w
+    * for integers), capping directory counts on high-cardinality keys
+    * while keeping range predicates statically prunable — the property
+    * hash buckets give up. Here customers partition by their key
+    * floored to blocks of 100 (built via SQL DDL — Spark has no
+    * `functions.truncate` helper, the parser's PARTITIONED BY clause is
+    * the public surface). Per-block rollup vs DuckDB pins the
+    * routing; TruncateTransformSpec pins string prefixes, negative
+    * floors, pruning, MERGE and SPJ. */
+  def q88TruncateTransform(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    s.sql("DROP TABLE IF EXISTS graft_ma.db.ctrunc")
+    s.sql("""CREATE TABLE graft_ma.db.ctrunc
+            | (c_custkey BIGINT, bal DOUBLE)
+            | USING parquet PARTITIONED BY (truncate(100, c_custkey))""".stripMargin)
+    Tables.load(s, dir, "customer")
+      .select($"c_custkey", $"c_acctbal".as("bal"))
+      .writeTo("graft_ma.db.ctrunc").append()
+    s.table("graft_ma.db.ctrunc")
+      .groupBy(($"c_custkey" - pmod($"c_custkey", lit(100L))).as("block"))
+      .agg(count(lit(1)).as("n_customers"), moneySum($"bal").as("total"))
+      .orderBy($"block")
   }
 
   /** Export path q76's oracle reads. Verify and the DuckDB oracle run on
@@ -1115,6 +1152,7 @@ object Extras {
     "q85_days_transform" -> q85DaysTransform,
     "q86_months_transform" -> q86MonthsTransform,
     "q87_hours_transform" -> q87HoursTransform,
+    "q88_truncate_transform" -> q88TruncateTransform,
     "q76_catalog_external" -> q76CatalogExternal,
     "q77_partitions_metadata" -> q77PartitionsMetadata,
     "q78_snapshot_changes" -> q78SnapshotChanges,
@@ -1507,6 +1545,12 @@ object Extras {
         | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2
         |ORDER BY day, hr""".stripMargin,
+    "q88_truncate_transform" ->
+      """SELECT c_custkey - ((c_custkey % 100 + 100) % 100) AS block,
+        | CAST(count(*) AS BIGINT) AS n_customers,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM customer GROUP BY 1
+        |ORDER BY block""".stripMargin,
     "q84_bucket_merge" ->
       """WITH src AS (
         |  SELECT c_custkey, c_acctbal * 2.0 AS bal FROM customer

@@ -398,11 +398,20 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
           }.getOrElse(throw new IllegalArgumentException(
             s"bucket transform carries no INT bucket count: $t"))
           BucketPart(n, t.references()(0).fieldNames().mkString("."))
+        case "truncate" =>
+          require(t.references().length == 1,
+            s"truncate over multiple columns is not supported, got $t")
+          val w = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                if l.value().isInstanceOf[Int] => l.value().asInstanceOf[Int]
+          }.getOrElse(throw new IllegalArgumentException(
+            s"truncate transform carries no INT width: $t"))
+          TruncatePart(w, t.references()(0).fieldNames().mkString("."))
         case u @ ("days" | "hours" | "months" | "years") =>
           PartitionField.timePart(u, t.references()(0).fieldNames().mkString("."))
         case other => throw new IllegalArgumentException(
-          s"AtomicParquetCatalog supports identity, bucket and the " +
-            s"years/months/days/hours time transforms only, got $other in $t")
+          s"AtomicParquetCatalog supports identity, bucket, truncate and " +
+            s"the years/months/days/hours time transforms only, got $other in $t")
       }
     }
     fields.foreach { f =>
@@ -418,6 +427,14 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
           require(!schema.fieldNames.exists(_.equalsIgnoreCase(b.dirName)),
             s"schema column ${b.dirName} collides with bucket(${b.col})'s " +
               "hidden directory column")
+        case tr: TruncatePart =>
+          require(GraftTruncateFunction.supports(col.dataType),
+            s"truncate(${tr.width}, ${tr.col}): ${col.dataType.simpleString} " +
+              "keys are not truncatable (supported: tinyint/smallint/int/" +
+              "bigint/string)")
+          require(!schema.fieldNames.exists(_.equalsIgnoreCase(tr.dirName)),
+            s"schema column ${tr.dirName} collides with " +
+              s"truncate(${tr.col})'s hidden directory column")
         case t: TimeTransformPart =>
           require(t.fn.supports(col.dataType),
             s"${t.unit}(${t.col}): ${col.dataType.simpleString} has no " +
@@ -927,9 +944,9 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
 
   private val transformFunctions
       : Map[String, org.apache.spark.sql.connector.catalog.functions.UnboundFunction] =
-    Map("bucket" -> GraftBucketFunction, "days" -> GraftDaysFunction,
-      "hours" -> GraftHoursFunction, "months" -> GraftMonthsFunction,
-      "years" -> GraftYearsFunction)
+    Map("bucket" -> GraftBucketFunction, "truncate" -> GraftTruncateFunction,
+      "days" -> GraftDaysFunction, "hours" -> GraftHoursFunction,
+      "months" -> GraftMonthsFunction, "years" -> GraftYearsFunction)
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty)

@@ -38,6 +38,23 @@ private[sources] final case class BucketPart(numBuckets: Int, col: String)
   def dirName: String = s"_gb_$col"
 }
 
+/** `truncate(w, col)` — Iceberg's truncate transform: rows land in a
+  * hidden `_gt_<col>=<truncated value>` directory — the first `w`
+  * characters for strings, the value floored to a multiple of `w` for
+  * integers. The ORDER-PRESERVING coarsening: unlike hash buckets the
+  * directory id is monotone in the value, so range predicates prune
+  * statically (`WHERE sku >= 'AB'` keeps only prefixes ≥ 'AB'), while
+  * still capping directory counts on high-cardinality keys (1 M SKUs →
+  * at most 26² two-letter prefixes). The truncated id keeps the SOURCE
+  * column's type — string prefixes for strings — which is why its key
+  * type in SPJ reporting is the source type, not INT. */
+private[sources] final case class TruncatePart(width: Int, col: String)
+    extends PartitionField {
+  require(width > 0, s"truncate($width, $col): need a positive width")
+  def srcCol: String = col
+  def dirName: String = s"_gt_$col"
+}
+
 /** A hidden TIME transform — the Iceberg `years`/`months`/`days`/
   * `hours` family: rows land in a hidden `_g?_<col>=<unit ordinal>`
   * directory derived from a timestamp/date column, so an event stream
@@ -94,6 +111,7 @@ private[sources] final case class YearsPart(col: String)
 
 private[sources] object PartitionField {
   private val BucketRe = """bucket\((\d+),(.+)\)""".r
+  private val TruncateRe = """truncate\((\d+),(.+)\)""".r
   private val TimeRe = """(days|hours|months|years)\((.+)\)""".r
 
   def timePart(unit: String, col: String): TimeTransformPart = unit match {
@@ -108,6 +126,7 @@ private[sources] object PartitionField {
   def show(f: PartitionField): String = f match {
     case IdentityPart(c) => c
     case BucketPart(n, c) => s"bucket($n,$c)"
+    case TruncatePart(w, c) => s"truncate($w,$c)"
     case t: TimeTransformPart => s"${t.unit}(${t.col})"
   }
 
@@ -120,6 +139,8 @@ private[sources] object PartitionField {
     f match {
       case IdentityPart(c) => Expressions.identity(c)
       case BucketPart(n, c) => Expressions.bucket(n, c)
+      case TruncatePart(w, c) => Expressions.apply("truncate",
+        Expressions.literal(w), Expressions.column(c))
       case DaysPart(c) => Expressions.days(c)
       case HoursPart(c) => Expressions.hours(c)
       case MonthsPart(c) => Expressions.months(c)
@@ -134,6 +155,7 @@ private[sources] object PartitionField {
 
   def parseLine(line: String): PartitionField = line match {
     case BucketRe(n, c) => BucketPart(n.toInt, c.trim)
+    case TruncateRe(w, c) => TruncatePart(w.toInt, c.trim)
     case TimeRe(u, c) => timePart(u, c.trim)
     case c => IdentityPart(c)
   }
@@ -152,6 +174,20 @@ private[sources] object PartitionField {
     fields.foldLeft(df) {
       case (d, b: BucketPart) =>
         d.withColumn(b.dirName, pmod(hash(col(b.col)), lit(b.numBuckets)))
+      case (d, t: TruncatePart) =>
+        // exactly GraftTruncateFunction.truncOf as a codegen'd
+        // expression: string prefix, or integer floored to a multiple
+        // of the width (pmod, so negatives floor toward -∞ like
+        // Iceberg). A null value yields a null id (hive default dir).
+        import org.apache.spark.sql.functions.substring
+        import org.apache.spark.sql.types.StringType
+        val expr = d.schema.fields
+          .find(_.name.equalsIgnoreCase(t.col))
+          .map(_.dataType).getOrElse(StringType) match {
+          case StringType => substring(col(t.col), 1, t.width)
+          case dt => (col(t.col) - pmod(col(t.col), lit(t.width))).cast(dt)
+        }
+        d.withColumn(t.dirName, expr)
       case (d, p: TimeTransformPart) =>
         val dt = d.schema.fields
           .find(_.name.equalsIgnoreCase(p.col))
@@ -255,6 +291,80 @@ private[graft] object GraftBucketFunction extends UnboundFunction {
       s"bucket does not support ${dt.simpleString} keys (supported: " +
         "tinyint/smallint/int/bigint/string/date/timestamp)")
     new BoundBucket(dt)
+  }
+}
+
+/** The catalog's `truncate(width, col)` V2 function — [[TruncatePart]]'s
+  * counterpart to [[GraftBucketFunction]]: the single truncation
+  * definition shared by the write router's expression
+  * (`substring` / `v - pmod(v, w)`), the static + runtime pruners, and
+  * SPJ function resolution. The result keeps the SOURCE type (a string
+  * prefix, a floored integer), so `canonicalName` is type-qualified and
+  * co-truncated tables group compatibly. */
+private[graft] object GraftTruncateFunction extends UnboundFunction {
+
+  def supports(dt: DataType): Boolean = dt match {
+    case StringType | ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** Truncated id of a value in CATALYST INTERNAL form: UTF8String
+    * prefix for strings (SQL substring semantics — the same definition
+    * as the write expression), floor-to-multiple for integrals
+    * (`floorMod`, so negatives floor toward -∞ like Iceberg). Null in,
+    * null out (the hive default directory). */
+  def truncOf(value: Any, dt: DataType, width: Int): Any =
+    if (value == null) null
+    else dt match {
+      case StringType =>
+        value.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+          .substringSQL(1, width)
+      case ByteType =>
+        val v = value.asInstanceOf[Byte]
+        (v - Math.floorMod(v.toInt, width)).toByte
+      case ShortType =>
+        val v = value.asInstanceOf[Short]
+        (v - Math.floorMod(v.toInt, width)).toShort
+      case IntegerType =>
+        val v = value.asInstanceOf[Int]
+        v - Math.floorMod(v, width)
+      case LongType =>
+        val v = value.asInstanceOf[Long]
+        v - Math.floorMod(v, width.toLong)
+      case other => throw new IllegalArgumentException(
+        s"truncate does not support ${other.simpleString}")
+    }
+
+  override def name(): String = "truncate"
+  override def description(): String =
+    "truncate(width, col) — string prefix / integer floored to a " +
+      "multiple of width"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 2,
+      s"truncate expects (width INT, col), got ${inputType.simpleString}")
+    require(inputType.fields(0).dataType == IntegerType,
+      s"truncate's first argument is the INT width, got " +
+        inputType.fields(0).dataType.simpleString)
+    val dt = inputType.fields(1).dataType
+    require(supports(dt),
+      s"truncate does not support ${dt.simpleString} keys (supported: " +
+        "tinyint/smallint/int/bigint/string)")
+    new BoundTruncate(dt)
+  }
+}
+
+private[sources] final class BoundTruncate(dt: DataType)
+    extends ScalarFunction[AnyRef] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+  override def resultType(): DataType = dt
+  override def name(): String = "truncate"
+  override def canonicalName(): String = s"graft.truncate(${dt.catalogString})"
+  override def produceResult(input: InternalRow): AnyRef = {
+    val w = input.getInt(0)
+    if (input.isNullAt(1)) null
+    else GraftTruncateFunction.truncOf(input.get(1, dt), dt, w)
+      .asInstanceOf[AnyRef]
   }
 }
 

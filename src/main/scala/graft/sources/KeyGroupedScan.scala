@@ -316,12 +316,16 @@ private[sources] final class HiddenKeyGroupedParquetScan(
   @volatile private var keepSets: Map[String, Set[Any]] = Map.empty
 
   /** Internal type of each reported key position: the source column's
-    * type for identity fields, INT (the bucket id) for bucket fields. */
+    * type for identity AND truncate fields (a truncated id keeps its
+    * source type), INT for bucket ids / time-unit ordinals. */
   private val keyTypes: Seq[DataType] = fields.map {
     case IdentityPart(c) =>
       tableSchema.fields.find(_.name.equalsIgnoreCase(c))
         .map(_.dataType).getOrElse(StringType)
-    case _ => IntegerType // bucket id / epoch day
+    case t: TruncatePart =>
+      tableSchema.fields.find(_.name.equalsIgnoreCase(t.col))
+        .map(_.dataType).getOrElse(StringType)
+    case _ => IntegerType // bucket id / time-unit ordinal
   }
 
   private def srcType(f: PartitionField): DataType =
@@ -350,6 +354,14 @@ private[sources] final class HiddenKeyGroupedParquetScan(
     val segs = pathSegments(f.urlEncodedPath)
     val vals: Seq[Option[Any]] = fields.zip(keyTypes).map {
       case (b: BucketPart, _) => segs.get(b.dirName).flatMap(_.toIntOption)
+      case (t: TruncatePart, dt) =>
+        // the truncated id has the SOURCE type — parse with the same
+        // TRY-cast identity values use (null value → hive default dir)
+        segs.get(t.dirName).map {
+          case "__HIVE_DEFAULT_PARTITION__" => null
+          case raw => Cast(Literal(UTF8String.fromString(raw), StringType),
+            dt, Some("UTC"), EvalMode.TRY).eval(null)
+        }
       case (p: TimeTransformPart, _) =>
         // a null timestamp lands in the hive default dir: its key is a
         // NULL ordinal (kept by every runtime filter, groupable by SPJ)
@@ -401,6 +413,10 @@ private[sources] final class HiddenKeyGroupedParquetScan(
             val k = key.getInt(i)
             wanted.exists(v => GraftBucketFunction.bucketOf(v, srcType(b),
               b.numBuckets) == k)
+          case t: TruncatePart =>
+            val k = key.get(i, keyTypes(i))
+            wanted.exists(v => v != null && java.util.Objects.equals(
+              GraftTruncateFunction.truncOf(v, srcType(t), t.width), k))
           case p: TimeTransformPart =>
             val k = key.getInt(i)
             wanted.exists(v => v != null && p.idOf(v, srcType(p)) == k)

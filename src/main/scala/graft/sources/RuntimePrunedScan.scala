@@ -74,18 +74,26 @@ private[sources] object PartitionRuntimeFilters {
       fields.find(f => f.srcCol.equalsIgnoreCase(col) &&
           !f.isInstanceOf[IdentityPart]) match {
         case Some(h) => // hidden transform: map key values to dir ids
-          (segs.get(h.dirName), segs.get(h.dirName).flatMap(_.toIntOption)) match {
-            case (None, _) => true // layout level absent: keep
-            case (Some(_), None) => true // unparseable/null dir id: keep
-            case (_, Some(k)) =>
+          segs.get(h.dirName) match {
+            case None => true // layout level absent: keep
+            case Some(raw) =>
               val dt = tableSchema.fields.find(_.name.equalsIgnoreCase(h.srcCol))
                 .map(_.dataType).getOrElse(StringType)
               h match {
-                case b: BucketPart => wanted.exists(v =>
-                  GraftBucketFunction.bucketOf(v, dt, b.numBuckets) == k)
-                case t: TimeTransformPart => wanted.exists(v =>
-                  v != null && t.idOf(v, dt) == k)
-                case _ => true
+                case b: BucketPart => raw.toIntOption.forall(k =>
+                  wanted.exists(v =>
+                    GraftBucketFunction.bucketOf(v, dt, b.numBuckets) == k))
+                case t: TimeTransformPart => raw.toIntOption.forall(k =>
+                  wanted.exists(v => v != null && t.idOf(v, dt) == k))
+                case tr: TruncatePart if raw != "__HIVE_DEFAULT_PARTITION__" =>
+                  // the truncated id keeps the SOURCE type: TRY-cast the
+                  // raw dir value, compare against each key's truncation
+                  val k = Cast(Literal(UTF8String.fromString(raw), StringType),
+                    dt, Some("UTC"), EvalMode.TRY).eval(null)
+                  k == null || wanted.exists(v =>
+                    v != null && java.util.Objects.equals(
+                      GraftTruncateFunction.truncOf(v, dt, tr.width), k))
+                case _ => true // null dir / unknown field: keep
               }
           }
         case _ => // identity field (dirName == srcCol) or unknown column
@@ -146,10 +154,13 @@ private[sources] object StaticHiddenPruning {
     case other => Seq(other)
   }
 
-  /** Per-hidden-field directory-id predicates (keyed by dirName) — the
-    * empty map when no filter constrains any hidden field. */
+  /** Per-hidden-field RAW-directory-value predicates (keyed by
+    * dirName) — the empty map when no filter constrains any hidden
+    * field. Each predicate parses the raw hive value itself (an int
+    * ordinal for bucket/time fields, a source-typed truncated id for
+    * truncate fields) and keeps unparseable values conservatively. */
   def dirPredicates(filters: Seq[CExpression], fields: Seq[PartitionField],
-                    tableSchema: StructType): Map[String, Int => Boolean] = {
+                    tableSchema: StructType): Map[String, String => Boolean] = {
     val flat = filters.flatMap(conjuncts)
     fields.collect {
       case f if !f.isInstanceOf[IdentityPart] =>
@@ -160,17 +171,32 @@ private[sources] object StaticHiddenPruning {
           case a: AttributeReference => a.name.equalsIgnoreCase(f.srcCol)
           case _ => false
         }
-        // bucket ids / epoch days the value set allows; None = no
-        // constraint, Some(empty) = provably nothing matches
-        def idOf(v: Any): Option[Int] = f match {
+        // the dir id a VALUE maps to: Int ordinal for bucket/time
+        // fields, the source-typed truncation for truncate fields;
+        // None = contributes no constraint (null literal)
+        def idOf(v: Any): Option[Any] = f match {
           case b: BucketPart if v != null =>
             Some(GraftBucketFunction.bucketOf(v, dt, b.numBuckets))
           case t: TimeTransformPart if v != null => Some(t.idOf(v, dt))
-          case _ => None // null literal: contributes no constraint
+          case tr: TruncatePart if v != null =>
+            Some(GraftTruncateFunction.truncOf(v, dt, tr.width))
+          case _ => None
         }
-        var allowed: Option[Set[Int]] = None
-        var lo = Int.MinValue
-        var hi = Int.MaxValue
+        // ranges are meaningful only where the dir id is MONOTONE in
+        // the value — the time transforms (each unit ordinal floors)
+        // and truncate (prefix/floor-multiple are order-preserving) —
+        // never hash buckets. Both strict and non-strict bounds widen
+        // to the id.
+        val monotone = f match {
+          case _: TimeTransformPart | _: TruncatePart => true
+          case _ => false
+        }
+        @SuppressWarnings(Array("unchecked"))
+        def cmp(a: Any, b: Any): Int =
+          a.asInstanceOf[Comparable[Any]].compareTo(b)
+        var allowed: Option[Set[Any]] = None
+        var lo: Option[Any] = None
+        var hi: Option[Any] = None
         def constrain(vals: Seq[Any]): Unit = {
           val ids = vals.map(idOf)
           if (ids.forall(_.isDefined)) {
@@ -178,6 +204,10 @@ private[sources] object StaticHiddenPruning {
             allowed = Some(allowed.fold(s)(_ intersect s))
           }
         }
+        def raiseLo(v: Any): Unit = idOf(v).foreach(d =>
+          lo = Some(lo.fold(d)(cur => if (cmp(d, cur) > 0) d else cur)))
+        def lowerHi(v: Any): Unit = idOf(v).foreach(d =>
+          hi = Some(hi.fold(d)(cur => if (cmp(d, cur) < 0) d else cur)))
         flat.foreach {
           case EqualTo(a, CLiteral(v, _)) if isCol(a) => constrain(Seq(v))
           case EqualTo(CLiteral(v, _), a) if isCol(a) => constrain(Seq(v))
@@ -186,41 +216,38 @@ private[sources] object StaticHiddenPruning {
           case In(a, vs) if isCol(a) && vs.forall(_.isInstanceOf[CLiteral]) =>
             constrain(vs.map(_.asInstanceOf[CLiteral].value))
           case InSet(a, vs) if isCol(a) => constrain(vs.toSeq)
-          // ranges are meaningful only where the dir id is MONOTONE in
-          // the value — the time transforms, never hash buckets. Each
-          // unit ordinal floors, so both strict and non-strict bounds
-          // widen to the unit.
-          case GreaterThan(a, CLiteral(v, _))
-              if isCol(a) && f.isInstanceOf[TimeTransformPart] =>
-            idOf(v).foreach(d => lo = math.max(lo, d))
-          case GreaterThanOrEqual(a, CLiteral(v, _))
-              if isCol(a) && f.isInstanceOf[TimeTransformPart] =>
-            idOf(v).foreach(d => lo = math.max(lo, d))
-          case LessThan(a, CLiteral(v, _))
-              if isCol(a) && f.isInstanceOf[TimeTransformPart] =>
-            idOf(v).foreach(d => hi = math.min(hi, d))
-          case LessThanOrEqual(a, CLiteral(v, _))
-              if isCol(a) && f.isInstanceOf[TimeTransformPart] =>
-            idOf(v).foreach(d => hi = math.min(hi, d))
+          case GreaterThan(a, CLiteral(v, _)) if isCol(a) && monotone =>
+            raiseLo(v)
+          case GreaterThanOrEqual(a, CLiteral(v, _)) if isCol(a) && monotone =>
+            raiseLo(v)
+          case LessThan(a, CLiteral(v, _)) if isCol(a) && monotone =>
+            lowerHi(v)
+          case LessThanOrEqual(a, CLiteral(v, _)) if isCol(a) && monotone =>
+            lowerHi(v)
           case GreaterThan(CLiteral(v, _), a) // lit > a  ⇔  a < lit
-              if isCol(a) && f.isInstanceOf[TimeTransformPart] =>
-            idOf(v).foreach(d => hi = math.min(hi, d))
+              if isCol(a) && monotone => lowerHi(v)
           case GreaterThanOrEqual(CLiteral(v, _), a)
-              if isCol(a) && f.isInstanceOf[TimeTransformPart] =>
-            idOf(v).foreach(d => hi = math.min(hi, d))
+              if isCol(a) && monotone => lowerHi(v)
           case LessThan(CLiteral(v, _), a) // lit < a  ⇔  a > lit
-              if isCol(a) && f.isInstanceOf[TimeTransformPart] =>
-            idOf(v).foreach(d => lo = math.max(lo, d))
+              if isCol(a) && monotone => raiseLo(v)
           case LessThanOrEqual(CLiteral(v, _), a)
-              if isCol(a) && f.isInstanceOf[TimeTransformPart] =>
-            idOf(v).foreach(d => lo = math.max(lo, d))
+              if isCol(a) && monotone => raiseLo(v)
           case _ => ()
         }
-        val bounded = lo != Int.MinValue || hi != Int.MaxValue
-        val pred: Option[Int => Boolean] =
-          if (allowed.isEmpty && !bounded) None
-          else Some(k => allowed.forall(_.contains(k)) && k >= lo && k <= hi)
-        pred.map(f.dirName -> _)
+        if (allowed.isEmpty && lo.isEmpty && hi.isEmpty) None
+        else {
+          // parse a raw hive value to this field's id form; None keeps
+          def parse(raw: String): Option[Any] = f match {
+            case _: TruncatePart =>
+              Option(Cast(Literal(UTF8String.fromString(raw), StringType),
+                dt, Some("UTC"), EvalMode.TRY).eval(null))
+            case _ => raw.toIntOption
+          }
+          val pred: String => Boolean = raw => parse(raw).forall(k =>
+            allowed.forall(_.contains(k)) &&
+              lo.forall(cmp(k, _) >= 0) && hi.forall(cmp(k, _) <= 0))
+          Some(f.dirName -> pred)
+        }
     }.flatten.toMap
   }
 
@@ -228,7 +255,7 @@ private[sources] object StaticHiddenPruning {
     * hive default (null) directory cannot satisfy any VALUE predicate,
     * so it drops whenever one exists for its level; an unparseable id
     * keeps (conservative). */
-  def keepDir(relDir: String, preds: Map[String, Int => Boolean]): Boolean = {
+  def keepDir(relDir: String, preds: Map[String, String => Boolean]): Boolean = {
     if (relDir.isEmpty) return true
     val segs = relDir.split('/').flatMap { seg =>
       seg.split("=", 2) match {
@@ -242,7 +269,7 @@ private[sources] object StaticHiddenPruning {
       segs.get(dirName) match {
         case None => true
         case Some("__HIVE_DEFAULT_PARTITION__") => false
-        case Some(raw) => raw.toIntOption.forall(p)
+        case Some(raw) => p(raw)
       }
     }
   }
