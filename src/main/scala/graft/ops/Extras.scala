@@ -423,6 +423,33 @@ object Extras {
     Seq((nRows, nFiles, nHistory)).toDF("n_rows", "n_files", "n_history")
   }
 
+  /** q89: PARTITION SPEC EVOLUTION — `CALL cat.system.rewrite_layout`
+    * rewrites the current snapshot under a new partition spec as one
+    * conflict-checked commit (rows and schema unchanged; the old
+    * layout stays time-travelable). The gate walks a table through
+    * three layout lives — identity(nation) → bucket(8, suppkey) →
+    * unpartitioned flatten — and pins the final rollup against DuckDB on
+    * the raw parquet: hash equality proves two full re-layouts lost
+    * and duplicated nothing. RewriteLayoutSpec pins the directory
+    * shapes, the history, and the guard rails. */
+  def q89RewriteLayout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_th")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_th.db")
+    s.sql("DROP TABLE IF EXISTS graft_th.db.relay")
+    Tables.load(s, dir, "supplier")
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal".as("bal"))
+      .writeTo("graft_th.db.relay").using("parquet")
+      .partitionedBy($"s_nationkey").createOrReplace()
+    s.sql("CALL graft_th.system.rewrite_layout('db.relay', 'bucket(8,s_suppkey)')")
+      .collect()
+    s.sql("CALL graft_th.system.rewrite_layout('db.relay', '')").collect()
+    s.table("graft_th.db.relay")
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"), moneySum($"bal").as("total"))
+      .orderBy($"s_nationkey")
+  }
+
   /** q73: ANALYZE-style table statistics through the catalog —
     * `CALL cat.system.analyze` computes per-column (rows, nulls, distinct
     * via the KMV sketch — exact below k=8192, the scale path beyond —
@@ -788,17 +815,22 @@ object Extras {
     * the catalog refuses the spec, TimeTransformSpec pins it). Hourly
     * rollup vs DuckDB on the raw parquet pins the routing.
     *
-    * The write runs HASH-CLUSTERED (`write.clusterByPartitions`) — at
-    * 720 hour directories the unclustered path writes tasks × hours
-    * tiny files (measured 12 s at sf0.1 vs ~1 s clustered), the exact
-    * small-files shape the distribution conf exists for; any
-    * fine-grained partition write at scale wants this on. */
+    * The write runs HASH-CLUSTERED (`write.clusterByPartitions`) over
+    * the stream's first TEN days (240 hour directories) — hour
+    * granularity is a short-retention layout by design, and at this
+    * dir count the unclustered path writes tasks × hours tiny files
+    * (measured 12 s at sf0.1 for a 30-day span vs ~1/3 that clustered
+    * and trimmed), the exact small-files shape the distribution conf
+    * exists for; any fine-grained partition write at scale wants it
+    * on. */
   def q87HoursTransform(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
     s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    val cutoff = lit("2024-01-11 00:00:00").cast(TimestampType)
     s.conf.set("spark.sql.catalog.graft.write.clusterByPartitions", "true")
     try Tables.load(s, dir, "events")
+      .where($"ts" < cutoff)
       .select($"event_id", $"ts", $"event_type", $"value")
       .writeTo("graft_ma.db.evhours").using("parquet")
       .partitionedBy(hours($"ts")).createOrReplace()
@@ -829,9 +861,14 @@ object Extras {
     s.sql("""CREATE TABLE graft_ma.db.ctrunc
             | (c_custkey BIGINT, bal DOUBLE)
             | USING parquet PARTITIONED BY (truncate(100, c_custkey))""".stripMargin)
-    Tables.load(s, dir, "customer")
+    // hash-clustered like q87: 150 blocks at sf0.1 is fine-grained
+    // enough that tasks x blocks tiny files dominate the write cost
+    s.conf.set("spark.sql.catalog.graft.write.clusterByPartitions", "true")
+    try Tables.load(s, dir, "customer")
       .select($"c_custkey", $"c_acctbal".as("bal"))
       .writeTo("graft_ma.db.ctrunc").append()
+    finally s.conf
+      .unset("spark.sql.catalog.graft.write.clusterByPartitions")
     s.table("graft_ma.db.ctrunc")
       .groupBy(($"c_custkey" - pmod($"c_custkey", lit(100L))).as("block"))
       .agg(count(lit(1)).as("n_customers"), moneySum($"bal").as("total"))
@@ -1153,6 +1190,7 @@ object Extras {
     "q86_months_transform" -> q86MonthsTransform,
     "q87_hours_transform" -> q87HoursTransform,
     "q88_truncate_transform" -> q88TruncateTransform,
+    "q89_rewrite_layout" -> q89RewriteLayout,
     "q76_catalog_external" -> q76CatalogExternal,
     "q77_partitions_metadata" -> q77PartitionsMetadata,
     "q78_snapshot_changes" -> q78SnapshotChanges,
@@ -1543,7 +1581,8 @@ object Extras {
       """SELECT CAST(ts AS DATE) AS day, CAST(hour(ts) AS BIGINT) AS hr,
         | CAST(count(*) AS BIGINT) AS n_events,
         | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
-        |FROM events GROUP BY 1, 2
+        |FROM events WHERE ts < TIMESTAMP '2024-01-11 00:00:00'
+        |GROUP BY 1, 2
         |ORDER BY day, hr""".stripMargin,
     "q88_truncate_transform" ->
       """SELECT c_custkey - ((c_custkey % 100 + 100) % 100) AS block,
@@ -1551,6 +1590,12 @@ object Extras {
         | CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM customer GROUP BY 1
         |ORDER BY block""".stripMargin,
+    "q89_rewrite_layout" ->
+      """SELECT s_nationkey,
+        | CAST(count(*) AS BIGINT) AS n_suppliers,
+        | CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM supplier GROUP BY 1
+        |ORDER BY s_nationkey""".stripMargin,
     "q84_bucket_merge" ->
       """WITH src AS (
         |  SELECT c_custkey, c_acctbal * 2.0 AS bal FROM customer

@@ -414,6 +414,15 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             s"the years/months/days/hours time transforms only, got $other in $t")
       }
     }
+    validatePartitionFields(fields, schema)
+    fields
+  }
+
+  /** Spec-vs-schema validation shared by CREATE/REPLACE and the
+    * `rewrite_layout` procedure: every source column exists, transform
+    * key types are supported, hidden directory names don't collide. */
+  private def validatePartitionFields(fields: Seq[PartitionField],
+                                      schema: StructType): Unit = {
     fields.foreach { f =>
       val col = schema.fields.find(_.name.equalsIgnoreCase(f.srcCol))
         .getOrElse(throw new IllegalArgumentException(
@@ -447,7 +456,6 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
         case _ => ()
       }
     }
-    fields
   }
 
   private def deleteRecursively(p: JPath): Unit =
@@ -1005,8 +1013,8 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array("expire_snapshots", "rollback_to", "compact", "tag",
-        "drop_tag", "analyze", "clone", "remove_orphans")
+      Array("expire_snapshots", "rollback_to", "compact", "rewrite_layout",
+        "tag", "drop_tag", "analyze", "clone", "remove_orphans")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -1107,6 +1115,67 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
               StructField("files_after", LongType, nullable = false),
               StructField("new_version", StringType, nullable = false))),
               InternalRow(nFiles(cur), nFiles(nv), UTF8String.fromString(v)))
+          }
+        }
+      case "rewrite_layout" =>
+        // CALL cat.system.rewrite_layout('db.tbl', 'bucket(16,k), days(ts)')
+        // — PARTITION SPEC EVOLUTION: rewrite the current snapshot under
+        // a new partition spec (any mix of identity / bucket / truncate /
+        // time transforms, or '' to flatten) as a new conflict-checked
+        // snapshot. Rows and schema are unchanged; history keeps the old
+        // layout time-travelable. The operational answer when a table's
+        // query pattern outgrows its layout — daily dirs that should be
+        // monthly, an identity key that should be bucketed — without
+        // Iceberg's mixed-spec scan complexity: one rewrite, one commit,
+        // every file in the new layout (at 100 TB this is a full rewrite;
+        // that cost is the explicit price of spec change here, vs. Iceberg
+        // amortizing it into every future scan).
+        new GraftProcedure("rewrite_layout", Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("spec", StringType).build())) {
+          override def call(input: InternalRow): java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val tbl = input.getUTF8String(0).toString
+            val specStr = input.getUTF8String(1).toString
+            val dir = procTableDir(tbl)
+            val base = versionLog(dir).head
+            val cur = dir.resolve(base)
+            val (schema, oldFields) = readMeta(cur)
+            // top-level commas only: `bucket(4,k), days(ts)` is two
+            // fields, the comma inside bucket(4,k) is the transform's
+            val split = {
+              val out = scala.collection.mutable.ArrayBuffer.empty[String]
+              val sb = new StringBuilder
+              var depth = 0
+              specStr.foreach {
+                case '(' => depth += 1; sb += '('
+                case ')' => depth -= 1; sb += ')'
+                case ',' if depth == 0 => out += sb.toString; sb.clear()
+                case c => sb += c
+              }
+              out += sb.toString
+              out.toSeq.map(_.trim).filter(_.nonEmpty)
+            }
+            val newFields = split.map(PartitionField.parseLine)
+            validatePartitionFields(newFields, schema)
+            val df = spark.read.schema(schema).parquet(cur.toString)
+            val v = s"v-${UUID.randomUUID()}"
+            val nv = dir.resolve(v)
+            writeMeta(nv, schema, newFields)
+            PartitionField.materializeDirCols(df, newFields).write
+              .mode("append").partitionBy(newFields.map(_.dirName): _*)
+              .parquet(nv.toString)
+            try commitPointer(dir, v, expectedBase = Some(base))
+            catch { case e: Throwable => dropOrphan(nv); throw e }
+            summaryScan(StructType(Seq(
+              StructField("old_spec", StringType, nullable = false),
+              StructField("new_spec", StringType, nullable = false),
+              StructField("new_version", StringType, nullable = false))),
+              InternalRow(
+                UTF8String.fromString(PartitionField.serialize(oldFields)
+                  .replace("\n", ", ")),
+                UTF8String.fromString(PartitionField.serialize(newFields)
+                  .replace("\n", ", ")),
+                UTF8String.fromString(v)))
           }
         }
       case "tag" =>
@@ -1305,9 +1374,10 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
         throw new RuntimeException(
           s"unknown procedure system.$other — available: " +
             "expire_snapshots(table, keep), rollback_to(table, ordinal), " +
-            "compact(table, target_files), tag(table, name, ordinal), " +
-            "drop_tag(table, name), analyze(table), clone(source, " +
-            "destination), remove_orphans(table, min_age_s)")
+            "compact(table, target_files), rewrite_layout(table, spec), " +
+            "tag(table, name, ordinal), drop_tag(table, name), " +
+            "analyze(table), clone(source, destination), " +
+            "remove_orphans(table, min_age_s)")
     }
   }
 }
