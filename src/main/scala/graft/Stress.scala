@@ -351,6 +351,29 @@ object Stress {
       val (tUpsert, _) = secs(spark.sql(upsertSql))
       val (tUpsertReplay, _) = secs(spark.sql(upsertSql)) // guard: no-op
       spark.sql("DROP TABLE graft_sx.db.scdm")
+      // round-12 additions: partition-spec evolution + bucket-granular
+      // COW at scale. rewrite_layout is a FULL rewrite by design (the
+      // documented one-time price of changing a table's layout): its
+      // cost must scale ~K — linear in the data, never worse — and
+      // commit atomically. The bucketed MERGE that follows touches 4
+      // fixed keys → at most 4 of 16 bucket directories rewrite
+      // (hard-linking the rest), so its cost must stay a small
+      // fraction of the full rewrite even as every bucket grows
+      // K-fold. The pair prints together: bucket_merge_s/relayout_s
+      // is the measured touched-fraction.
+      docs.select($"doc_id", $"text", $"n_chars")
+        .writeTo("graft_sx.db.blay").using("parquet").createOrReplace()
+      val (tRelayout, _) = secs(spark.sql(
+        "CALL graft_sx.system.rewrite_layout('db.blay', 'bucket(16,doc_id)')")
+        .collect())
+      docs.where($"doc_id".isin(10L, 20L, 30L, 40L))
+        .select($"doc_id".as("mid")).createOrReplaceTempView("blay_src")
+      val (tBucketMerge, _) = secs(spark.sql(
+        """MERGE INTO graft_sx.db.blay t USING blay_src s
+          |ON t.doc_id = s.mid
+          |WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + 1
+          |""".stripMargin))
+      spark.sql("DROP TABLE graft_sx.db.blay")
       // q78-shape snapshot diff against a LONG version history (VERDICT
       // r11 #6): 2 + 3*K single-row commits deep with retention wide
       // enough to keep them all. The diff must price the TWO diffed
@@ -383,7 +406,7 @@ object Stress {
       rmTree(gateDir)
 
       docs.unpersist()
-      f"""{"k":$n,"n_docs":$nDocs,"sig_s":$tSig%.2f,"pairs_s":$tPairs%.2f,"n_pairs":$nPairs,"verify_s":$tVerify%.2f,"n_edges":$nEdges,"dedup_s":$tDedup%.2f,"n_kept":$nKept,"contam_s":$tContam%.2f,"contam_bloom_s":$tContamB%.2f,"repetition_s":$tRep%.2f,"boilerplate_s":$tBp%.2f,"clean_s":$tClean%.2f,"n_clean":$nClean,"semantic_s":$tSem%.2f,"n_semantic":$nSem,"bpe_s":$tBpe%.2f,"n_merges":$nMergesGot,"fluency_s":$tFluency%.2f,"chunk_s":$tChunk%.2f,"score_s":$tScore%.2f,"triangles_s":$tTri%.2f,"n_triangles":$nTri,"cc_local_s":$tCcLocal%.2f,"cc_dist_s":$tCcDist%.2f,"cdc_s":$tCdc%.2f,"n_cdc_chunks":$nCdcChunks,"overlap_s":$tOv%.2f,"overlap_sketch_s":$tOvSk%.2f,"robust_s":$tRob%.2f,"spans_s":$tSpans%.2f,"excise_s":$tExcise%.2f,"contain_s":$tContain%.2f,"n_contain":$nContain,"split_s":$tSplit%.2f,"n_split":$nSplit,"budget_s":$tBudget%.2f,"n_budget":$nBudget,"budget_group_s":$tBudgetG%.2f,"n_budget_group":$nBudgetG,"hh_s":$tHh%.2f,"n_hh":$nHh,"vocab_s":$tVocab%.2f,"n_vocab":$nVocab,"kn_s":$tKn%.2f,"iw_s":$tIw%.2f,"drift_s":$tDrift%.2f,"mm04_s":$tMm04%.2f,"n_mm04":$nMm04,"t43_s":$tT43%.2f,"t44_s":$tT44%.2f,"st09_s":$tSt09%.2f,"st10_s":$tSt10%.2f,"merge_part_s":$tMergePart%.2f,"upsert_s":$tUpsert%.2f,"upsert_replay_s":$tUpsertReplay%.2f,"hist_diff_s":$tHist%.2f,"n_hist_changed":$nChanged}"""
+      f"""{"k":$n,"n_docs":$nDocs,"sig_s":$tSig%.2f,"pairs_s":$tPairs%.2f,"n_pairs":$nPairs,"verify_s":$tVerify%.2f,"n_edges":$nEdges,"dedup_s":$tDedup%.2f,"n_kept":$nKept,"contam_s":$tContam%.2f,"contam_bloom_s":$tContamB%.2f,"repetition_s":$tRep%.2f,"boilerplate_s":$tBp%.2f,"clean_s":$tClean%.2f,"n_clean":$nClean,"semantic_s":$tSem%.2f,"n_semantic":$nSem,"bpe_s":$tBpe%.2f,"n_merges":$nMergesGot,"fluency_s":$tFluency%.2f,"chunk_s":$tChunk%.2f,"score_s":$tScore%.2f,"triangles_s":$tTri%.2f,"n_triangles":$nTri,"cc_local_s":$tCcLocal%.2f,"cc_dist_s":$tCcDist%.2f,"cdc_s":$tCdc%.2f,"n_cdc_chunks":$nCdcChunks,"overlap_s":$tOv%.2f,"overlap_sketch_s":$tOvSk%.2f,"robust_s":$tRob%.2f,"spans_s":$tSpans%.2f,"excise_s":$tExcise%.2f,"contain_s":$tContain%.2f,"n_contain":$nContain,"split_s":$tSplit%.2f,"n_split":$nSplit,"budget_s":$tBudget%.2f,"n_budget":$nBudget,"budget_group_s":$tBudgetG%.2f,"n_budget_group":$nBudgetG,"hh_s":$tHh%.2f,"n_hh":$nHh,"vocab_s":$tVocab%.2f,"n_vocab":$nVocab,"kn_s":$tKn%.2f,"iw_s":$tIw%.2f,"drift_s":$tDrift%.2f,"mm04_s":$tMm04%.2f,"n_mm04":$nMm04,"t43_s":$tT43%.2f,"t44_s":$tT44%.2f,"st09_s":$tSt09%.2f,"st10_s":$tSt10%.2f,"merge_part_s":$tMergePart%.2f,"upsert_s":$tUpsert%.2f,"upsert_replay_s":$tUpsertReplay%.2f,"relayout_s":$tRelayout%.2f,"bucket_merge_s":$tBucketMerge%.2f,"hist_diff_s":$tHist%.2f,"n_hist_changed":$nChanged}"""
     }
     println(s"""{"stress":[${results.mkString(",")}],"sf":"$dir"}""")
     spark.stop()

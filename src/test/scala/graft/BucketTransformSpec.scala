@@ -36,11 +36,16 @@ class BucketTransformSpec extends AnyFunSuite {
   }
 
   private def withBucketing[A](f: => A): A = {
+    // broadcast OFF inside the block: a BroadcastHashJoin also plans
+    // zero ShuffleExchanges, which would make the SPJ asserts vacuous
+    val savedBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
       "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try f finally {
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
     }
   }
 
@@ -133,6 +138,38 @@ class BucketTransformSpec extends AnyFunSuite {
       assert(got == (201L to 400L).map(i => (i, i * 5.0)),
         s"wrong join result (first rows: ${got.take(3)})")
     }
+  }
+
+  test("SPJ: a sparse side (missing bucket values) still joins exchange-free") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_bkt.db")
+    // side A fills all 8 buckets; side B holds ONLY the keys of one
+    // bucket, so its layout has a single _gb_ dir — the mismatched
+    // partition-value sets Spark's pushPartValues handling pads
+    // (without it, EnsureRequirements would fall back to a shuffle)
+    val oneBucket = (1L to 400L).filter(k =>
+      graft.sources.GraftBucketFunction.bucketOf(k,
+        org.apache.spark.sql.types.LongType, 8) == 2)
+    (1L to 400L).map(i => (i, i * 2.0)).toDF("k", "a_v")
+      .writeTo("graft_bkt.db.sps_a").using("parquet")
+      .partitionedBy(bucket(8, $"k")).createOrReplace()
+    oneBucket.map(i => (i, i * 3.0)).toDF("k", "b_v")
+      .writeTo("graft_bkt.db.sps_b").using("parquet")
+      .partitionedBy(bucket(8, $"k")).createOrReplace()
+    assert(bucketDirs("sps_b") == Seq("_gb_k=2"), bucketDirs("sps_b"))
+    withBucketing {
+      val j = spark.table("graft_bkt.db.sps_a")
+        .join(spark.table("graft_bkt.db.sps_b"), Seq("k"))
+        .select($"k", ($"a_v" + $"b_v").as("s"))
+      assert(shuffles(j) == 0,
+        s"sparse-side SPJ must plan zero exchanges, plan:\n" +
+          j.queryExecution.executedPlan)
+      val got = j.orderBy($"k").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == oneBucket.map(i => (i, i * 5.0)), got.take(3))
+    }
+    spark.sql("DROP TABLE graft_bkt.db.sps_a")
+    spark.sql("DROP TABLE graft_bkt.db.sps_b")
   }
 
   test("SPJ: mismatched bucket counts fall back to a correct shuffled join") {
