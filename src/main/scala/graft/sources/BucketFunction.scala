@@ -403,6 +403,19 @@ private[graft] sealed abstract class GraftTimeFunction(
 
   def idOf(value: Any, dt: DataType): Int
 
+  /** Is `value` the FIRST instant of its unit? Drives the static
+    * pruner's exclusive upper bounds: `ts < '2024-02-01T00:00'` on a
+    * days/months table excludes the boundary unit entirely — the
+    * canonical retention/range predicate shape — while
+    * `ts < '2024-02-01T05:00'` keeps it (conservative floor). */
+  def isUnitStart(value: Any, dt: DataType): Boolean
+
+  /** A date carries no sub-day instant; a timestamp is day-aligned iff
+    * its micros floor to the day. */
+  protected final def dayAligned(value: Any, dt: DataType): Boolean =
+    dt == org.apache.spark.sql.types.DateType ||
+      Math.floorMod(value.asInstanceOf[Long], 86400L * 1000000L) == 0L
+
   /** Epoch day of an internal value — the shared stepping stone. */
   protected final def epochDayOf(value: Any, dt: DataType): Int = dt match {
     case DateType => value.asInstanceOf[Int]
@@ -431,6 +444,8 @@ private[graft] object GraftDaysFunction
   /** Kept under its historical name — pruning call sites read better. */
   def daysOf(value: Any, dt: DataType): Int = epochDayOf(value, dt)
   override def idOf(value: Any, dt: DataType): Int = epochDayOf(value, dt)
+  override def isUnitStart(value: Any, dt: DataType): Boolean =
+    dayAligned(value, dt)
   override def description(): String =
     "days(col) — UTC epoch day: floorDiv(epoch_seconds, 86400)"
 }
@@ -439,6 +454,8 @@ private[graft] object GraftHoursFunction
     extends GraftTimeFunction("hours", dateOk = false) {
   override def idOf(value: Any, dt: DataType): Int =
     Math.floorDiv(value.asInstanceOf[Long], 3600L * 1000000L).toInt
+  override def isUnitStart(value: Any, dt: DataType): Boolean =
+    Math.floorMod(value.asInstanceOf[Long], 3600L * 1000000L) == 0L
   override def description(): String =
     "hours(col) — UTC epoch hour: floorDiv(epoch_seconds, 3600)"
 }
@@ -449,6 +466,8 @@ private[graft] object GraftMonthsFunction
     val d = utcDateOf(value, dt)
     (d.getYear - 1970) * 12 + (d.getMonthValue - 1)
   }
+  override def isUnitStart(value: Any, dt: DataType): Boolean =
+    utcDateOf(value, dt).getDayOfMonth == 1 && dayAligned(value, dt)
   override def description(): String =
     "months(col) — UTC months since 1970-01: (year-1970)*12 + month-1"
 }
@@ -457,6 +476,8 @@ private[graft] object GraftYearsFunction
     extends GraftTimeFunction("years", dateOk = true) {
   override def idOf(value: Any, dt: DataType): Int =
     utcDateOf(value, dt).getYear - 1970
+  override def isUnitStart(value: Any, dt: DataType): Boolean =
+    utcDateOf(value, dt).getDayOfYear == 1 && dayAligned(value, dt)
   override def description(): String =
     "years(col) — UTC years since 1970: year - 1970"
 }

@@ -194,9 +194,20 @@ private[sources] object StaticHiddenPruning {
         @SuppressWarnings(Array("unchecked"))
         def cmp(a: Any, b: Any): Int =
           a.asInstanceOf[Comparable[Any]].compareTo(b)
+        // is `v` exactly the smallest value mapping to its id? Then a
+        // STRICT `< v` excludes the id's whole directory — the
+        // canonical retention shape (`ts < '2024-02-01'` on a
+        // days/months table, `k < 20` on truncate(10, k)).
+        def unitStart(v: Any): Boolean = f match {
+          case t: TimeTransformPart => t.fn.isUnitStart(v, dt)
+          case tr: TruncatePart => java.util.Objects.equals(
+            GraftTruncateFunction.truncOf(v, dt, tr.width), v)
+          case _ => false
+        }
         var allowed: Option[Set[Any]] = None
         var lo: Option[Any] = None
         var hi: Option[Any] = None
+        var hiExcl = false // hi bound excludes its own id?
         def constrain(vals: Seq[Any]): Unit = {
           val ids = vals.map(idOf)
           if (ids.forall(_.isDefined)) {
@@ -206,8 +217,15 @@ private[sources] object StaticHiddenPruning {
         }
         def raiseLo(v: Any): Unit = idOf(v).foreach(d =>
           lo = Some(lo.fold(d)(cur => if (cmp(d, cur) > 0) d else cur)))
-        def lowerHi(v: Any): Unit = idOf(v).foreach(d =>
-          hi = Some(hi.fold(d)(cur => if (cmp(d, cur) < 0) d else cur)))
+        def lowerHi(v: Any, excl: Boolean): Unit = idOf(v).foreach { d =>
+          hi match {
+            case Some(cur) =>
+              val c = cmp(d, cur)
+              if (c < 0) { hi = Some(d); hiExcl = excl }
+              else if (c == 0) hiExcl ||= excl
+            case None => hi = Some(d); hiExcl = excl
+          }
+        }
         flat.foreach {
           case EqualTo(a, CLiteral(v, _)) if isCol(a) => constrain(Seq(v))
           case EqualTo(CLiteral(v, _), a) if isCol(a) => constrain(Seq(v))
@@ -221,13 +239,14 @@ private[sources] object StaticHiddenPruning {
           case GreaterThanOrEqual(a, CLiteral(v, _)) if isCol(a) && monotone =>
             raiseLo(v)
           case LessThan(a, CLiteral(v, _)) if isCol(a) && monotone =>
-            lowerHi(v)
+            lowerHi(v, v != null && unitStart(v))
           case LessThanOrEqual(a, CLiteral(v, _)) if isCol(a) && monotone =>
-            lowerHi(v)
+            lowerHi(v, excl = false)
           case GreaterThan(CLiteral(v, _), a) // lit > a  ⇔  a < lit
-              if isCol(a) && monotone => lowerHi(v)
+              if isCol(a) && monotone =>
+            lowerHi(v, v != null && unitStart(v))
           case GreaterThanOrEqual(CLiteral(v, _), a)
-              if isCol(a) && monotone => lowerHi(v)
+              if isCol(a) && monotone => lowerHi(v, excl = false)
           case LessThan(CLiteral(v, _), a) // lit < a  ⇔  a > lit
               if isCol(a) && monotone => raiseLo(v)
           case LessThanOrEqual(CLiteral(v, _), a)
@@ -244,8 +263,10 @@ private[sources] object StaticHiddenPruning {
             case _ => raw.toIntOption
           }
           val pred: String => Boolean = raw => parse(raw).forall(k =>
-            allowed.forall(_.contains(k)) &&
-              lo.forall(cmp(k, _) >= 0) && hi.forall(cmp(k, _) <= 0))
+            allowed.forall(_.contains(k)) && lo.forall(cmp(k, _) >= 0) &&
+              hi.forall { h =>
+                val c = cmp(k, h); c < 0 || (c == 0 && !hiExcl)
+              })
           Some(f.dirName -> pred)
         }
     }.flatten.toMap
