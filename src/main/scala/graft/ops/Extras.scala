@@ -875,6 +875,30 @@ object Extras {
       .orderBy($"block")
   }
 
+  /** q90: the COMPOSITE partition spec a real lakehouse event table
+    * runs — `(days(ts), bucket(8, user_id))`: time for retention and
+    * range pruning, bucket for join co-location on the user key, both
+    * HIDDEN (no derived columns in the schema). MixedPartitionSpecSpec
+    * pins the mechanics (two-level static pruning, multi-key SPJ,
+    * one-cell MERGE); this gate pins the cross-engine RESULT: the
+    * two-level routing loses and duplicates nothing. */
+  def q90CompositeSpec(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    Tables.load(s, dir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .writeTo("graft_ma.db.evcomp").using("parquet")
+      .partitionedBy(days($"ts"), bucket(8, $"user_id"))
+      .createOrReplace()
+    s.table("graft_ma.db.evcomp")
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        moneySum($"value").as("total"))
+      .orderBy($"day", $"event_type")
+  }
+
   /** Export path q76's oracle reads. Verify and the DuckDB oracle run on
     * the same host within one gate round, and the oracle SQL (which
     * embeds this path) is DUMPED BY THE SAME JVM that ran the export —
@@ -1191,6 +1215,7 @@ object Extras {
     "q87_hours_transform" -> q87HoursTransform,
     "q88_truncate_transform" -> q88TruncateTransform,
     "q89_rewrite_layout" -> q89RewriteLayout,
+    "q90_composite_spec" -> q90CompositeSpec,
     "q76_catalog_external" -> q76CatalogExternal,
     "q77_partitions_metadata" -> q77PartitionsMetadata,
     "q78_snapshot_changes" -> q78SnapshotChanges,
@@ -1590,6 +1615,13 @@ object Extras {
         | CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM customer GROUP BY 1
         |ORDER BY block""".stripMargin,
+    "q90_composite_spec" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2
+        |ORDER BY day, event_type""".stripMargin,
     "q89_rewrite_layout" ->
       """SELECT s_nationkey,
         | CAST(count(*) AS BIGINT) AS n_suppliers,

@@ -779,6 +779,43 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
                 "from it); re-partition with RTAS")
             StructType(s.fields.filterNot(_.name.equalsIgnoreCase(name)))
           }
+        case u: TableChange.UpdateColumnType =>
+          // metadata-only TYPE WIDENING: Spark 4's parquet reader
+          // widens each file's physical type to the read schema
+          // (int32 files serve a bigint column), so the lossless
+          // ladder needs no rewrite — old files keep int32, new
+          // appends write int64, reads mix freely. Anything lossy or
+          // physical-layout-changing is refused toward a rewrite.
+          require(u.fieldNames.length == 1, s"$ident: nested ALTER COLUMN " +
+            s"(${u.fieldNames.mkString(".")}) is not supported")
+          val name = u.fieldNames()(0)
+          val i = s.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+          require(i >= 0, s"$ident: no such column $name")
+          val from = s.fields(i).dataType
+          val to = u.newDataType()
+          import org.apache.spark.sql.types._
+          val lossless = (from, to) match {
+            case (ByteType, ShortType | IntegerType | LongType) => true
+            case (ShortType, IntegerType | LongType) => true
+            case (IntegerType, LongType) => true
+            case (FloatType, DoubleType) => true
+            case _ => false
+          }
+          require(lossless, s"$ident: ALTER COLUMN $name TYPE " +
+            s"${to.simpleString} from ${from.simpleString} is not a " +
+            "lossless parquet widening (tinyint<smallint<int<bigint, " +
+            "float<double) — rewrite the table instead")
+          // hidden-transform ids are TYPE-QUALIFIED (a bigint hashes /
+          // floors differently than an int): widening the source column
+          // would silently re-route future writes away from the
+          // existing directories. Identity layouts are safe — dir
+          // values re-parse under the widened type.
+          require(!fields.exists(f => f.srcCol.equalsIgnoreCase(name) &&
+              !f.isInstanceOf[IdentityPart]),
+            s"$ident: cannot widen $name — a hidden partition transform " +
+              "derives from it and its ids are type-qualified; " +
+              "re-partition with rewrite_layout first")
+          StructType(s.fields.updated(i, s.fields(i).copy(dataType = to)))
         case _: TableChange.RenameColumn =>
           throw new UnsupportedOperationException(
             s"$ident: RENAME COLUMN needs field-id column binding " +
@@ -787,7 +824,8 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
         case other =>
           throw new UnsupportedOperationException(
             s"$ident: unsupported table change $other — supported: " +
-              "ADD COLUMN (nullable, top-level), DROP COLUMN")
+              "ADD COLUMN (nullable, top-level), DROP COLUMN, " +
+              "ALTER COLUMN TYPE (lossless widening)")
       }
     }
     val v = s"v-${UUID.randomUUID()}"
