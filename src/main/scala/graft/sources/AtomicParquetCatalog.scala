@@ -1479,14 +1479,15 @@ private[sources] abstract class VersionedTable(
       Seq(versionDir.toString), Some(tableSchema),
       classOf[ParquetFileFormat]).newScanBuilder(options)
     inner match {
-      // partitioned tables hand Spark the runtime handshakes a lakehouse
-      // scan owes it: KeyGroupedPartitioning (storage-partitioned joins,
-      // when the session opted into v2 bucketing) or
-      // SupportsRuntimeV2Filtering over the partition columns (dynamic
-      // partition pruning for star-schema joins) — the SAME builder
-      // state, all pushdown intact (see KeyGroupedScan.scala)
-      case psb: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
-          if fields.nonEmpty =>
+      // every table routes through the graft builder: partitioned
+      // tables get the runtime handshakes a lakehouse scan owes Spark —
+      // KeyGroupedPartitioning (storage-partitioned joins, when the
+      // session opted into v2 bucketing) or SupportsRuntimeV2Filtering
+      // over the partition columns (dynamic partition pruning) — and
+      // EVERY layout (unpartitioned included) gets the streaming-read
+      // wrap; the SAME builder state, all pushdown intact
+      // (see KeyGroupedScan.scala)
+      case psb: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder =>
         new KeyGroupedParquetScanBuilder(psb, spark, name(), versionDir,
           tableSchema, fields)
       case _ => inner
@@ -1562,14 +1563,19 @@ private[sources] final class PointerTable(
     extends VersionedTable(ident, versionDir, tableSchema, fields)
     with SupportsRowLevelOperations {
 
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC,
       // MERGE WITH SCHEMA EVOLUTION: the analyzer widens the target via
       // this catalog's alterTable (a metadata-only snapshot) before the
       // row-level rewrite; old files null-fill the added columns on read
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
+    // streaming reads tail the pointer log — meaningful only on the
+    // CURRENT table (a pinned historical snapshot never advances)
+    if (!historical) caps.add(TableCapability.MICRO_BATCH_READ)
+    caps
+  }
 
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {

@@ -1,0 +1,162 @@
+package graft.sources
+
+import java.nio.file.{Files, Path => JPath}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.partitioning.{Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** STREAMING READS of catalog tables — `spark.readStream.table(t)`,
+  * the Delta/Iceberg capability that turns the lakehouse table into a
+  * source: the first micro-batch serves the full snapshot current at
+  * stream start, then each commit's ADDED data files become a batch
+  * (offsets are immutable version-directory names, resolved through
+  * the same pointer log as time travel — one file read per trigger).
+  *
+  * Semantics are APPEND-DRIVEN, like Delta's `ignoreChanges` posture:
+  * a copy-on-write commit (MERGE/UPDATE/DELETE/compaction) re-emits
+  * the rows of every file it rewrote — the stream never misses new
+  * data, but downstream must be idempotent on replayed rows if the
+  * table takes row-level updates (the st12 batch-id guard is exactly
+  * that consumer shape). A version vacuumed out of the retention
+  * window before the stream consumed it fails with a pointed error —
+  * the stream must restart from a fresh checkpoint (same contract as
+  * an expired Iceberg snapshot). */
+private[sources] final class CatalogMicroBatchStream(
+    session: SparkSession, name: String, tableDir: JPath,
+    tableSchema: StructType, readSchema: StructType)
+    extends MicroBatchStream {
+
+  private def log(): Seq[String] = {
+    val p = tableDir.resolve("_current")
+    if (!Files.exists(p)) Seq.empty
+    else new String(Files.readAllBytes(p), "UTF-8").linesIterator
+      .map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Relative data-file paths of one committed version. */
+  private def dataFiles(version: String): Set[String] = {
+    val v = tableDir.resolve(version)
+    if (!Files.isDirectory(v)) throw new IllegalStateException(
+      s"$name: stream offset $version is no longer in the retention " +
+        "window (vacuumed) — restart the stream from a fresh checkpoint")
+    val walk = Files.walk(v)
+    try walk.iterator().asScala.collect {
+      case p if Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith(".") =>
+        v.relativize(p).toString
+    }.toSet
+    finally walk.close()
+  }
+
+  /** A scan over explicit file paths, constructed IDENTICALLY for the
+    * reader factory and every batch's partition planning, so the
+    * factory's data/partition schemas always line up with the planned
+    * [[org.apache.spark.sql.execution.datasources.FilePartition]]s. */
+  private def scanOver(baseDir: JPath, paths: Seq[String]): Scan = {
+    val options = new CaseInsensitiveStringMap(
+      java.util.Collections.singletonMap("basePath", baseDir.toString))
+    val b = ParquetTable(s"$name-stream", session, options,
+      paths.map(p => baseDir.resolve(p).toString),
+      Some(tableSchema), classOf[ParquetFileFormat])
+      .newScanBuilder(options)
+    b match {
+      case fb: org.apache.spark.sql.execution.datasources.v2.FileScanBuilder =>
+        fb.pruneColumns(readSchema)
+      case _ => ()
+    }
+    b.build()
+  }
+
+  override def initialOffset(): Offset = VersionOffset("")
+
+  override def latestOffset(): Offset = {
+    val l = log()
+    VersionOffset(if (l.isEmpty) "" else l.head)
+  }
+
+  override def deserializeOffset(json: String): Offset = VersionOffset(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[VersionOffset].version
+    val e = end.asInstanceOf[VersionOffset].version
+    if (e.isEmpty || s == e) return Array.empty
+    val added = dataFiles(e) -- (if (s.isEmpty) Set.empty else dataFiles(s))
+    if (added.isEmpty) Array.empty
+    else scanOver(tableDir.resolve(e), added.toSeq.sorted)
+      .toBatch.planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // factory from the identically-constructed scan shape; the current
+    // version's files only pin the schemas, each batch re-plans its own
+    val l = log()
+    val v = if (l.isEmpty) "" else l.head
+    val paths = if (v.isEmpty) Seq.empty else dataFiles(v).toSeq.sorted
+    scanOver(if (v.isEmpty) tableDir else tableDir.resolve(v), paths)
+      .toBatch.createReaderFactory()
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] final case class VersionOffset(version: String)
+    extends Offset {
+  override def json(): String = version
+}
+
+/** Forwarding wrapper giving any catalog batch scan a
+  * [[MicroBatchStream]] — applied as the LAST step of the catalog's
+  * scan builder so `readStream.table` works on every layout. The
+  * batch interfaces forward conditionally: a capability the inner
+  * scan lacks degrades to the interface's neutral answer, never an
+  * error, so wrapping is behavior-preserving for batch plans
+  * (pushdown lives on the BUILDER and is untouched). */
+private[sources] final class StreamCapableScan(
+    inner: Scan, session: SparkSession, name: String, tableDir: JPath,
+    tableSchema: StructType)
+    extends Scan with SupportsRuntimeV2Filtering
+    with SupportsReportPartitioning with SupportsReportStatistics {
+
+  override def readSchema(): StructType = inner.readSchema()
+  override def description(): String = inner.description()
+  override def toBatch: Batch = inner.toBatch
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new CatalogMicroBatchStream(session, name, tableDir, tableSchema,
+      inner.readSchema())
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    inner match {
+      case f: SupportsRuntimeV2Filtering => f.filterAttributes()
+      case _ => Array.empty
+    }
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    inner match {
+      case f: SupportsRuntimeV2Filtering => f.filter(predicates)
+      case _ => ()
+    }
+
+  override def outputPartitioning(): Partitioning = inner match {
+    case p: SupportsReportPartitioning => p.outputPartitioning()
+    case _ => new UnknownPartitioning(0)
+  }
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    inner match {
+      case s: SupportsReportStatistics => s.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes() = java.util.OptionalLong.empty()
+        override def numRows() = java.util.OptionalLong.empty()
+      }
+    }
+}

@@ -109,7 +109,18 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     session.conf.get("spark.sql.sources.v2.bucketing.enabled",
       "false") == "true"
 
-  override def build(): Scan = inner.build() match {
+  override def build(): Scan = {
+    // every catalog batch scan leaves wrapped in StreamCapableScan —
+    // behavior-preserving for batch (conditional forwarding), and the
+    // hook that makes `readStream.table` work on every layout
+    new StreamCapableScan(buildInner(), session, scanName,
+      versionDir.getParent, tableSchema)
+  }
+
+  private def buildInner(): Scan = inner.build() match {
+    // unpartitioned table: the parquet scan as-is (nothing to key,
+    // prune, or group)
+    case ps: ParquetScan if parts.isEmpty => ps
     // all-identity spec with every partition column still in the scan:
     // partition keys read straight off PartitionedFile.partitionValues
     case ps: ParquetScan

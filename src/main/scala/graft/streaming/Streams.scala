@@ -517,7 +517,58 @@ object Streams {
       .orderBy($"user_id")
   }
 
+  /** st13: the catalog table AS A STREAMING SOURCE —
+    * `spark.readStream.table(t)`, the Delta/Iceberg capability that
+    * closes the loop st09 opened (stream INTO the catalog; this
+    * streams OUT of it): the first micro-batch is the snapshot current
+    * at stream start, then each commit's added files become a batch
+    * (offsets are version-dir names resolved through the pointer log).
+    * The gate batch-loads a third of events, drains the stream into a
+    * sink table, appends the remaining thirds as two commits, then
+    * RESUMES the stream from the same checkpoint — the resumed drain
+    * must serve exactly the two appended slices, no re-emission. The
+    * oracle aggregates ALL events: any missed or doubled slice
+    * hash-mismatches. StreamTableSourceSpec pins batch boundaries,
+    * checkpoint resume and the COW re-emission posture. */
+  def st13StreamTableSource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_st")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_st.db")
+    val ev = Tables.load(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    ev.where($"event_id" % 3 === 0)
+      .writeTo("graft_st.db.ev_stsrc").using("parquet")
+      .partitionedBy(bucket(8, $"user_id")).createOrReplace()
+    ev.limit(0).writeTo("graft_st.db.ev_streamed").using("parquet")
+      .createOrReplace()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_st13_ckpt").toString
+    def drainInto(): Unit = {
+      val q = s.readStream.table("graft_st.db.ev_stsrc")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.writeTo("graft_st.db.ev_streamed").append(); ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drainInto() // batch 1: the snapshot third
+    ev.where($"event_id" % 3 === 1)
+      .writeTo("graft_st.db.ev_stsrc").append()
+    ev.where($"event_id" % 3 === 2)
+      .writeTo("graft_st.db.ev_stsrc").append()
+    drainInto() // resumed: exactly the two appended thirds
+    s.table("graft_st.db.ev_streamed")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"event_id").as("n_distinct"),
+        Det.moneySum($"value").as("total_value"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st13_stream_table_source" -> st13StreamTableSource,
     "st12_stream_upsert_idempotent" -> st12StreamUpsertIdempotent,
     "st11_stream_upsert" -> st11StreamUpsert,
     "st10_stream_drift" -> st10StreamDrift,
@@ -532,6 +583,14 @@ object Streams {
     "st05_stream_static_join" -> st05StreamStaticJoin)
 
   val oracles: Map[String, String] = Map(
+    // snapshot + resumed tail through the streaming table source ==
+    // all events exactly once (n_distinct pins no slice doubled)
+    "st13_stream_table_source" ->
+      """SELECT event_type,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // idempotent upsert: despite every batch's merge being applied
     // TWICE, the final state is exactly the plain batch aggregate
     "st12_stream_upsert_idempotent" ->
