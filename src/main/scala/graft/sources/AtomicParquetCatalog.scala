@@ -1489,7 +1489,8 @@ private[sources] abstract class VersionedTable(
       // (see KeyGroupedScan.scala)
       case psb: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder =>
         new KeyGroupedParquetScanBuilder(psb, spark, name(), versionDir,
-          tableSchema, fields)
+          tableSchema, fields,
+          Option(options.get("maxFilesPerTrigger")).map(_.toInt))
       case _ => inner
     }
   }

@@ -31,8 +31,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * an expired Iceberg snapshot). */
 private[sources] final class CatalogMicroBatchStream(
     session: SparkSession, name: String, tableDir: JPath,
-    tableSchema: StructType, readSchema: StructType)
-    extends MicroBatchStream {
+    tableSchema: StructType, readSchema: StructType,
+    maxFilesPerTrigger: Option[Int])
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadLimit, ReadMaxFiles}
+
+  // Trigger.AvailableNow: pin the run's end at prepare time so the
+  // admission-controlled latestOffset still CHUNKS its way there
+  // (without this, Spark's wrapper would take everything in one batch)
+  @volatile private var availableNowCap: Option[String] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val l = log()
+    availableNowCap = Some(if (l.isEmpty) "" else l.head)
+  }
 
   private def log(): Seq[String] = {
     val p = tableDir.resolve("_current")
@@ -76,22 +89,88 @@ private[sources] final class CatalogMicroBatchStream(
     b.build()
   }
 
-  override def initialOffset(): Offset = VersionOffset("")
+  /** Sorted added-file list between two versions ("" = before-any). */
+  private def addedFiles(base: String, upto: String): Seq[String] =
+    (dataFiles(upto) --
+      (if (base.isEmpty) Set.empty[String] else dataFiles(base)))
+      .toSeq.sorted
 
-  override def latestOffset(): Offset = {
-    val l = log()
-    VersionOffset(if (l.isEmpty) "" else l.head)
+  override def initialOffset(): Offset = VersionOffset("", "", 0)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-controlled path")
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  /** ADMISSION CONTROL — the 100 TB restart story: a stream started
+    * (or restarted from an old offset) against a huge table must not
+    * take the whole snapshot in one micro-batch. With
+    * `maxFilesPerTrigger` the offset advances at FILE granularity
+    * through each version's sorted added-file list — `k` files into
+    * the `base → upto` diff — and a fully-consumed version normalizes
+    * to the next `base`. Unbounded reads consume whole versions. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[VersionOffset]
+    val maxF = limit match {
+      case m: ReadMaxFiles => m.maxFiles()
+      case _: ReadAllAvailable => Int.MaxValue
+      case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+        c.getReadLimits.collectFirst { case m: ReadMaxFiles => m.maxFiles() }
+          .getOrElse(Int.MaxValue)
+      case _ => Int.MaxValue
+    }
+    def normalized(base: String, upto: String, k: Int): VersionOffset = {
+      val total = addedFiles(base, upto).size
+      if (k >= total) VersionOffset(upto, upto, 0)
+      else VersionOffset(base, upto, k)
+    }
+    if (s.upto.nonEmpty && s.base != s.upto) {
+      // mid-version: keep consuming this diff before looking for more
+      normalized(s.base, s.upto, s.k + maxF)
+    } else {
+      val cur = availableNowCap.getOrElse {
+        val l = log(); if (l.isEmpty) "" else l.head
+      }
+      val base = s.upto // "" initially, else the last fully-consumed
+      if (cur.isEmpty || cur == base) s
+      else normalized(base, cur, maxF)
+    }
   }
 
-  override def deserializeOffset(json: String): Offset = VersionOffset(json)
+  override def deserializeOffset(json: String): Offset = {
+    if (json.isEmpty) VersionOffset("", "", 0)
+    else json.split(";", -1) match {
+      case Array(b, u, k) => VersionOffset(b, u, k.toInt)
+      case _ => // pre-admission-control checkpoint: a bare version name
+        VersionOffset(json, json, 0)
+    }
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[VersionOffset].version
-    val e = end.asInstanceOf[VersionOffset].version
-    if (e.isEmpty || s == e) return Array.empty
-    val added = dataFiles(e) -- (if (s.isEmpty) Set.empty else dataFiles(s))
-    if (added.isEmpty) Array.empty
-    else scanOver(tableDir.resolve(e), added.toSeq.sorted)
+    val s = start.asInstanceOf[VersionOffset]
+    val e = end.asInstanceOf[VersionOffset]
+    if (e.upto.isEmpty || s == e) return Array.empty
+    // sequential contract: `end` was derived from `start` by
+    // latestOffset, so the pair is one of four adjacent shapes
+    val files =
+      if (s.base == e.base && s.upto == e.upto)
+        // advancing within one diff: files [s.k, e.k)
+        addedFiles(e.base, e.upto).slice(s.k, e.k)
+      else if (s.upto == e.upto && e.base == e.upto)
+        // completing s's diff (end normalized): the remainder
+        addedFiles(s.base, s.upto).drop(s.k)
+      else if (s.base == s.upto && e.base == e.upto)
+        // a whole new diff consumed in one step
+        addedFiles(s.upto, e.upto)
+      else if (s.base == s.upto && e.base == s.upto)
+        // entering a new diff part-way: its first e.k files
+        addedFiles(e.base, e.upto).take(e.k)
+      else throw new IllegalStateException(
+        s"$name: non-adjacent stream offsets $s -> $e")
+    if (files.isEmpty) Array.empty
+    else scanOver(tableDir.resolve(e.upto), files)
       .toBatch.planInputPartitions()
   }
 
@@ -109,9 +188,16 @@ private[sources] final class CatalogMicroBatchStream(
   override def stop(): Unit = ()
 }
 
-private[sources] final case class VersionOffset(version: String)
-    extends Offset {
-  override def json(): String = version
+/** Stream position: every data file of committed version `base`, plus
+  * the first `k` of the sorted added-file diff `base → upto`. A fully
+  * consumed diff normalizes to `(upto, upto, 0)`; the initial offset
+  * is `("", "", 0)` (before any data). Version names are immutable
+  * v-UUID directory names, so an offset survives any pointer-log
+  * growth — only vacuum can invalidate it, and that fails pointedly. */
+private[sources] final case class VersionOffset(base: String, upto: String,
+    k: Int) extends Offset {
+  override def json(): String =
+    if (upto.isEmpty) "" else s"$base;$upto;$k"
 }
 
 /** Forwarding wrapper giving any catalog batch scan a
@@ -123,7 +209,7 @@ private[sources] final case class VersionOffset(version: String)
   * (pushdown lives on the BUILDER and is untouched). */
 private[sources] final class StreamCapableScan(
     inner: Scan, session: SparkSession, name: String, tableDir: JPath,
-    tableSchema: StructType)
+    tableSchema: StructType, maxFilesPerTrigger: Option[Int])
     extends Scan with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning with SupportsReportStatistics {
 
@@ -133,7 +219,7 @@ private[sources] final class StreamCapableScan(
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new CatalogMicroBatchStream(session, name, tableDir, tableSchema,
-      inner.readSchema())
+      inner.readSchema(), maxFilesPerTrigger)
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     inner match {

@@ -66,7 +66,7 @@ private[sources] final class KeyedFilePartition(
 private[sources] final class KeyGroupedParquetScanBuilder(
     inner: ParquetScanBuilder, session: SparkSession, scanName: String,
     versionDir: java.nio.file.Path, tableSchema: StructType,
-    fields: Seq[PartitionField])
+    fields: Seq[PartitionField], streamMaxFiles: Option[Int] = None)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -114,7 +114,7 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     // behavior-preserving for batch (conditional forwarding), and the
     // hook that makes `readStream.table` work on every layout
     new StreamCapableScan(buildInner(), session, scanName,
-      versionDir.getParent, tableSchema)
+      versionDir.getParent, tableSchema, streamMaxFiles)
   }
 
   private def buildInner(): Scan = inner.build() match {

@@ -89,6 +89,42 @@ class StreamTableSourceSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_sts.db.src")
   }
 
+  test("maxFilesPerTrigger chunks the snapshot across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_sts.db")
+    // 8 bucket dirs -> >= 8 data files in the initial snapshot
+    (1L to 64L).map(i => (i, i * 1.0)).toDF("id", "v")
+      .writeTo("graft_sts.db.big").using("parquet")
+      .partitionedBy(bucket(8, $"id")).createOrReplace()
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]()
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", "3")
+      .table("graft_sts.db.big")
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_sts_ck4").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.select(col("id"), col("v")).collect()
+        if (rows.nonEmpty) batchSizes.add(rows.length)
+        rows.foreach(r => out.add((r.getLong(0), r.getDouble(1))))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    // complete, exactly once, and genuinely chunked: a >= 8-file
+    // snapshot at <= 3 files/trigger needs >= 3 non-empty batches
+    assert(out.iterator().asScala.toSeq.sorted ==
+      (1L to 64L).map(i => (i, i * 1.0)))
+    assert(batchSizes.size >= 3,
+      s"expected the snapshot chunked into >= 3 batches, got " +
+        s"${batchSizes.size} (sizes ${batchSizes.iterator().asScala.toSeq})")
+    spark.sql("DROP TABLE graft_sts.db.big")
+  }
+
   test("unpartitioned table streams; historical snapshot refuses") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_sts.db")
