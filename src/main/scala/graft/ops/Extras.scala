@@ -886,11 +886,16 @@ object Extras {
     import s.implicits._
     graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
     s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
-    Tables.load(s, dir, "events")
+    // hash-clustered like q87: 30 days x 8 buckets = up to 240 cells —
+    // fine-grained enough that tasks x cells tiny files dominate
+    s.conf.set("spark.sql.catalog.graft.write.clusterByPartitions", "true")
+    try Tables.load(s, dir, "events")
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .writeTo("graft_ma.db.evcomp").using("parquet")
       .partitionedBy(days($"ts"), bucket(8, $"user_id"))
       .createOrReplace()
+    finally s.conf
+      .unset("spark.sql.catalog.graft.write.clusterByPartitions")
     s.table("graft_ma.db.evcomp")
       .groupBy(to_date($"ts").as("day"), $"event_type")
       .agg(count(lit(1)).as("n_events"),
