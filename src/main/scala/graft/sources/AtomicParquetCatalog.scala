@@ -1490,7 +1490,8 @@ private[sources] abstract class VersionedTable(
       case psb: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder =>
         new KeyGroupedParquetScanBuilder(psb, spark, name(), versionDir,
           tableSchema, fields,
-          Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+          Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+          Option(options.get("skipChangeCommits")).exists(_.toBoolean))
       case _ => inner
     }
   }

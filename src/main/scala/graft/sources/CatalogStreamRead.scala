@@ -20,19 +20,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (offsets are immutable version-directory names, resolved through
   * the same pointer log as time travel — one file read per trigger).
   *
-  * Semantics are APPEND-DRIVEN, like Delta's `ignoreChanges` posture:
-  * a copy-on-write commit (MERGE/UPDATE/DELETE/compaction) re-emits
-  * the rows of every file it rewrote — the stream never misses new
-  * data, but downstream must be idempotent on replayed rows if the
-  * table takes row-level updates (the st12 batch-id guard is exactly
-  * that consumer shape). A version vacuumed out of the retention
-  * window before the stream consumed it fails with a pointed error —
-  * the stream must restart from a fresh checkpoint (same contract as
-  * an expired Iceberg snapshot). */
+  * Change semantics are a documented two-option choice, same as
+  * Iceberg/Delta: by default APPEND-DRIVEN re-emission (a
+  * copy-on-write commit re-emits the rows of every file it rewrote —
+  * never misses data; downstream must be idempotent on replays, the
+  * st12 batch-id guard's consumer shape), or
+  * `.option("skipChangeCommits", true)` for pure-append consumption
+  * (change commits are skipped whole — updated rows never replay, at
+  * the price that a change commit's own inserts are skipped with it).
+  * A version vacuumed out of the retention window before the stream
+  * consumed it fails with a pointed error — the stream must restart
+  * from a fresh checkpoint (same contract as an expired Iceberg
+  * snapshot). */
 private[sources] final class CatalogMicroBatchStream(
     session: SparkSession, name: String, tableDir: JPath,
     tableSchema: StructType, readSchema: StructType,
-    maxFilesPerTrigger: Option[Int])
+    maxFilesPerTrigger: Option[Int], skipChangeCommits: Boolean)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -89,11 +92,45 @@ private[sources] final class CatalogMicroBatchStream(
     b.build()
   }
 
-  /** Sorted added-file list between two versions ("" = before-any). */
-  private def addedFiles(base: String, upto: String): Seq[String] =
-    (dataFiles(upto) --
-      (if (base.isEmpty) Set.empty[String] else dataFiles(base)))
-      .toSeq.sorted
+  /** The (sourceVersion, relativePath) file list a consumer owes for
+    * the `base → upto` advance, deterministic given the retained log.
+    *
+    * Default (re-emission) mode: the plain set diff — every emitted
+    * file exists in `upto`, so it serves from there. With
+    * `skipChangeCommits` (Iceberg's option of the same name) the walk
+    * goes COMMIT BY COMMIT and drops any version that REMOVED files (a
+    * COW merge/update/delete, a compaction, a re-layout) — pure-append
+    * consumption: updated rows are never replayed, at the documented
+    * price that a change commit's own inserts are skipped with it.
+    * Files added by a kept commit but later rewritten no longer exist
+    * in `upto`, so each file is served from the immutable version that
+    * ADDED it — which is also why this mode needs the intermediate
+    * versions retained (an expired chain fails with the same pointed
+    * restart-fresh error as any vacuumed offset). */
+  private def addedFiles(base: String, upto: String): Seq[(String, String)] =
+    if (!skipChangeCommits)
+      (dataFiles(upto) --
+        (if (base.isEmpty) Set.empty[String] else dataFiles(base)))
+        .toSeq.sorted.map(upto -> _)
+    else {
+      val l = log() // newest first
+      val ui = l.indexOf(upto)
+      val bi = if (base.isEmpty) l.size else l.indexOf(base)
+      if (ui < 0 || bi < 0 || ui > bi) throw new IllegalStateException(
+        s"$name: skipChangeCommits needs the $base → $upto commit chain " +
+          "in the retention window — part of it is expired; restart the " +
+          "stream from a fresh checkpoint")
+      val chain = l.slice(ui, bi).reverse // oldest → upto
+      var prev = if (base.isEmpty) Set.empty[String] else dataFiles(base)
+      val out = Seq.newBuilder[(String, String)]
+      for (v <- chain) {
+        val cur = dataFiles(v)
+        if ((prev -- cur).isEmpty)
+          out ++= (cur -- prev).toSeq.sorted.map(v -> _)
+        prev = cur
+      }
+      out.result()
+    }
 
   override def initialOffset(): Offset = VersionOffset("", "", 0)
 
@@ -169,9 +206,19 @@ private[sources] final class CatalogMicroBatchStream(
         addedFiles(e.base, e.upto).take(e.k)
       else throw new IllegalStateException(
         s"$name: non-adjacent stream offsets $s -> $e")
-    if (files.isEmpty) Array.empty
-    else scanOver(tableDir.resolve(e.upto), files)
-      .toBatch.planInputPartitions()
+    if (files.isEmpty) return Array.empty
+    // serve each file from the immutable version that holds it, then
+    // re-index the concatenated partitions densely (RDD positions)
+    val parts = files.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (v, fs) => scanOver(tableDir.resolve(v), fs.map(_._2))
+        .toBatch.planInputPartitions().toSeq
+    }
+    parts.zipWithIndex.map {
+      case (fp: org.apache.spark.sql.execution.datasources.FilePartition, i) =>
+        org.apache.spark.sql.execution.datasources.FilePartition(i, fp.files)
+          : InputPartition
+      case (other, _) => other
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -209,7 +256,8 @@ private[sources] final case class VersionOffset(base: String, upto: String,
   * (pushdown lives on the BUILDER and is untouched). */
 private[sources] final class StreamCapableScan(
     inner: Scan, session: SparkSession, name: String, tableDir: JPath,
-    tableSchema: StructType, maxFilesPerTrigger: Option[Int])
+    tableSchema: StructType, maxFilesPerTrigger: Option[Int],
+    skipChangeCommits: Boolean)
     extends Scan with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning with SupportsReportStatistics {
 
@@ -219,7 +267,7 @@ private[sources] final class StreamCapableScan(
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new CatalogMicroBatchStream(session, name, tableDir, tableSchema,
-      inner.readSchema(), maxFilesPerTrigger)
+      inner.readSchema(), maxFilesPerTrigger, skipChangeCommits)
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     inner match {

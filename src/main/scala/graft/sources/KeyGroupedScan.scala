@@ -66,7 +66,8 @@ private[sources] final class KeyedFilePartition(
 private[sources] final class KeyGroupedParquetScanBuilder(
     inner: ParquetScanBuilder, session: SparkSession, scanName: String,
     versionDir: java.nio.file.Path, tableSchema: StructType,
-    fields: Seq[PartitionField], streamMaxFiles: Option[Int] = None)
+    fields: Seq[PartitionField], streamMaxFiles: Option[Int] = None,
+    streamSkipChanges: Boolean = false)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -114,7 +115,8 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     // behavior-preserving for batch (conditional forwarding), and the
     // hook that makes `readStream.table` work on every layout
     new StreamCapableScan(buildInner(), session, scanName,
-      versionDir.getParent, tableSchema, streamMaxFiles)
+      versionDir.getParent, tableSchema, streamMaxFiles,
+      streamSkipChanges)
   }
 
   private def buildInner(): Scan = inner.build() match {

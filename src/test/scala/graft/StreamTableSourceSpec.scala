@@ -125,6 +125,47 @@ class StreamTableSourceSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_sts.db.big")
   }
 
+  test("skipChangeCommits: COW commits are skipped, appends still flow") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_sts.db")
+    (1L to 6L).map(i => (i, i * 1.0)).toDF("id", "v")
+      .writeTo("graft_sts.db.scc").using("parquet")
+      .partitionedBy(bucket(2, $"id")).createOrReplace()
+    val ckpt = Files.createTempDirectory("graft_sts_ck5")
+    def drainSkip(): Seq[(Long, Double)] = {
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]()
+      val q = spark.readStream
+        .option("skipChangeCommits", "true")
+        .table("graft_sts.db.scc")
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select(col("id"), col("v")).collect()
+            .foreach(r => out.add((r.getLong(0), r.getDouble(1))))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      out.iterator().asScala.toSeq.sorted
+    }
+    assert(drainSkip() == (1L to 6L).map(i => (i, i * 1.0)))
+    // append; COW-update a row; append again — the resumed drain must
+    // serve BOTH appends and NOTHING from the change commit (no
+    // replayed rewrites, and the merge's update is skipped with it)
+    Seq((7L, 7.0)).toDF("id", "v").writeTo("graft_sts.db.scc").append()
+    Seq((2L, 200.0)).toDF("mid", "nv").createOrReplaceTempView("scc_src")
+    spark.sql("""MERGE INTO graft_sts.db.scc t USING scc_src s
+                |ON t.id = s.mid
+                |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+    Seq((8L, 8.0)).toDF("id", "v").writeTo("graft_sts.db.scc").append()
+    val got = drainSkip()
+    assert(got == Seq((7L, 7.0), (8L, 8.0)), got)
+    spark.sql("DROP TABLE graft_sts.db.scc")
+  }
+
   test("unpartitioned table streams; historical snapshot refuses") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_sts.db")
