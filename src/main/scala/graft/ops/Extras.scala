@@ -625,6 +625,23 @@ object Extras {
       .orderBy($"k")
   }
 
+  /** Run `body` with the storage-partitioned-join confs on, restoring
+    * each conf to its PRIOR value (set or unset) afterwards — the SPJ
+    * gates flip session-global plan confs, and a hardcoded restore (or
+    * a missing one) would leak the override into every later plan of
+    * the same session. */
+  private def withSpjConfs[A](s: SparkSession)(body: => A): A = {
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+    val prior = keys.map(k => k -> s.conf.getOption(k))
+    keys.foreach(s.conf.set(_, "true"))
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   /** q81: STORAGE-PARTITIONED JOIN — two catalog tables partitioned on
     * the join key (customers and suppliers by nation) joined with ZERO
     * shuffle: both scans report `KeyGroupedPartitioning` through
@@ -650,9 +667,7 @@ object Extras {
       .select($"s_nationkey".as("nk"), $"s_suppkey", $"s_acctbal")
       .writeTo("graft_ma.db.spj_supp").using("parquet")
       .partitionedBy($"nk").createOrReplace()
-    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
-    try {
+    withSpjConfs(s) {
       val j = s.table("graft_ma.db.spj_cust")
         .join(s.table("graft_ma.db.spj_supp"), Seq("nk"))
         .groupBy($"nk")
@@ -662,7 +677,7 @@ object Extras {
         .cache()
       j.count() // execute NOW, inside the conf window
       j
-    } finally s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    }
   }
 
   /** q82: `MERGE WITH SCHEMA EVOLUTION` — the CDC-landing pattern where
@@ -718,9 +733,7 @@ object Extras {
       .select($"o_custkey", $"o_totalprice")
       .writeTo("graft_ma.db.bspj_ord").using("parquet")
       .partitionedBy(bucket(16, $"o_custkey")).createOrReplace()
-    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
-    try {
+    withSpjConfs(s) {
       val j = s.table("graft_ma.db.bspj_ord")
         .join(s.table("graft_ma.db.bspj_cust"),
           $"o_custkey" === $"c_custkey")
@@ -731,7 +744,7 @@ object Extras {
         .cache()
       j.count() // execute NOW, inside the conf window
       j
-    } finally s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    }
   }
 
   /** q84: MERGE into a BUCKET-partitioned table — row-level ops on the
@@ -828,14 +841,14 @@ object Extras {
     graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
     s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
     val cutoff = lit("2024-01-11 00:00:00").cast(TimestampType)
-    s.conf.set("spark.sql.catalog.graft.write.clusterByPartitions", "true")
-    try Tables.load(s, dir, "events")
+    // no conf set: an `hours` layout is fine-grained BY CONSTRUCTION,
+    // so the AUTO clustering default fires (WriteDistributionSpec pins
+    // one file per directory under pure defaults)
+    Tables.load(s, dir, "events")
       .where($"ts" < cutoff)
       .select($"event_id", $"ts", $"event_type", $"value")
       .writeTo("graft_ma.db.evhours").using("parquet")
       .partitionedBy(hours($"ts")).createOrReplace()
-    finally s.conf
-      .unset("spark.sql.catalog.graft.write.clusterByPartitions")
     s.table("graft_ma.db.evhours")
       .groupBy(to_date($"ts").as("day"), hour($"ts").cast(LongType).as("hr"))
       .agg(count(lit(1)).as("n_events"), moneySum($"value").as("total"))
@@ -886,22 +899,93 @@ object Extras {
     import s.implicits._
     graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
     s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
-    // hash-clustered like q87: 30 days x 8 buckets = up to 240 cells —
-    // fine-grained enough that tasks x cells tiny files dominate
-    s.conf.set("spark.sql.catalog.graft.write.clusterByPartitions", "true")
-    try Tables.load(s, dir, "events")
+    // no conf set: the (days, bucket) composite — 30 days x 8 buckets
+    // = up to 240 cells — is one of the statically-fine shapes the
+    // AUTO clustering default recognizes (PartitionField.clusterWrite)
+    Tables.load(s, dir, "events")
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .writeTo("graft_ma.db.evcomp").using("parquet")
       .partitionedBy(days($"ts"), bucket(8, $"user_id"))
       .createOrReplace()
-    finally s.conf
-      .unset("spark.sql.catalog.graft.write.clusterByPartitions")
     s.table("graft_ma.db.evcomp")
       .groupBy(to_date($"ts").as("day"), $"event_type")
       .agg(count(lit(1)).as("n_events"),
         countDistinct($"user_id").as("n_users"),
         moneySum($"value").as("total"))
       .orderBy($"day", $"event_type")
+  }
+
+  /** q91: METADATA-ONLY partition spec evolution —
+    * `CALL cat.system.evolve_layout`, the Iceberg contract q89's
+    * `rewrite_layout` deliberately traded away (and the r12 verdict
+    * named the one genuine capability gap): the new spec applies to
+    * FUTURE writes; existing files stay in the layout that wrote them,
+    * hard-linked under a `_spec-<k>` legacy subtree — evolving a
+    * 100 TB table moves ZERO data. The gate seeds a third of events
+    * under `days(ts)`, evolves to the composite
+    * `(days(ts), bucket(8, user_id))`, fast-appends the remaining
+    * thirds (which land in the NEW layout while the old third stays
+    * put), and reads back through the mixed-spec union scan with a
+    * ts-range filter that statically prunes BOTH layouts — the hash
+    * match proves the two-layout table loses and duplicates nothing.
+    * SpecEvolutionSpec pins the zero-copy inodes, per-spec pruning,
+    * unify-on-compact and the refusal rails. */
+  def q91EvolveLayout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    s.sql("DROP TABLE IF EXISTS graft_ma.db.evolve")
+    val ev = Tables.load(s, dir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    ev.where($"event_id" % 3 === 0)
+      .writeTo("graft_ma.db.evolve").using("parquet")
+      .partitionedBy(days($"ts")).createOrReplace()
+    val summary = s.sql(
+      "CALL graft_ma.system.evolve_layout('db.evolve', " +
+        "'days(ts), bucket(8,user_id)')").collect().head
+    require(summary.getAs[Int]("n_legacy_specs") == 1,
+      s"evolve_layout should leave exactly one legacy spec, got $summary")
+    ev.where($"event_id" % 3 === 1).writeTo("graft_ma.db.evolve").append()
+    ev.where($"event_id" % 3 === 2).writeTo("graft_ma.db.evolve").append()
+    s.table("graft_ma.db.evolve")
+      .where($"ts" >= lit("2024-01-08 00:00:00").cast(TimestampType) &&
+        $"ts" < lit("2024-01-22 00:00:00").cast(TimestampType))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"event_id").as("n_distinct"),
+        moneySum($"value").as("total"))
+      .orderBy($"event_type")
+  }
+
+  /** q92: RUNTIME bucket pruning on a COMPOSITE-spec read — the q90
+    * layout's read side: a selective filter on a joined user dim
+    * prunes the `(days(ts), bucket(8, user_id))` fact to only the
+    * `_gb_user_id` cells the surviving keys hash into, at runtime,
+    * with no manual predicate on the fact (Spark's dynamic partition
+    * pruning against the scan's SupportsRuntimeV2Filtering, the
+    * hidden-bucket keep test hashing each dim key to its directory).
+    * DynamicPruningSpec pins the fact scan's output-rows metric; this
+    * gate pins the cross-engine RESULT of the pruned join. */
+  def q92CompositeDpp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    val ev = Tables.load(s, dir, "events")
+    ev.select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .writeTo("graft_ma.db.evdpp").using("parquet")
+      .partitionedBy(days($"ts"), bucket(8, $"user_id"))
+      .createOrReplace()
+    ev.select($"user_id").distinct()
+      .withColumn("grp", pmod($"user_id", lit(500L)))
+      .writeTo("graft_ma.db.evdpp_dim").using("parquet").createOrReplace()
+    s.table("graft_ma.db.evdpp")
+      .join(s.table("graft_ma.db.evdpp_dim").where($"grp" === 0L),
+        Seq("user_id"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        moneySum($"value").as("total"))
+      .orderBy($"event_type")
   }
 
   /** Export path q76's oracle reads. Verify and the DuckDB oracle run on
@@ -1221,6 +1305,8 @@ object Extras {
     "q88_truncate_transform" -> q88TruncateTransform,
     "q89_rewrite_layout" -> q89RewriteLayout,
     "q90_composite_spec" -> q90CompositeSpec,
+    "q91_evolve_layout" -> q91EvolveLayout,
+    "q92_composite_dpp" -> q92CompositeDpp,
     "q76_catalog_external" -> q76CatalogExternal,
     "q77_partitions_metadata" -> q77PartitionsMetadata,
     "q78_snapshot_changes" -> q78SnapshotChanges,
@@ -1627,6 +1713,27 @@ object Extras {
         | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2
         |ORDER BY day, event_type""".stripMargin,
+    // the mixed-spec table (old third under days(ts), new thirds under
+    // the composite) == all events inside the ts window, exactly once
+    "q91_evolve_layout" ->
+      """SELECT event_type,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-22 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the dim's grp=0 slice is exactly the user_id % 500 == 0 users (a
+    // handful of keys, so whole bucket directories actually drop), and
+    // the runtime-pruned join == the plain filtered aggregate
+    "q92_composite_dpp" ->
+      """SELECT event_type,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM events WHERE user_id % 500 = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q89_rewrite_layout" ->
       """SELECT s_nationkey,
         | CAST(count(*) AS BIGINT) AS n_suppliers,

@@ -117,6 +117,22 @@ object AtomicParquetCatalog {
     } finally walk.close() // NIO walk streams hold directory handles
   }
 
+  /** Every data file under `root` (absolute path strings, sorted) —
+    * the explicit-leaf enumeration needed wherever a `_spec-<k>`
+    * legacy subtree must be read: its underscore root would be dropped
+    * by Spark's hidden-path listing filter, but explicitly-passed LEAF
+    * files (and their `k=v` partition dirs) pass it. */
+  private[sources] def walkDataFiles(root: JPath): Seq[String] = {
+    if (!Files.isDirectory(root)) return Nil
+    val walk = Files.walk(root)
+    try walk.iterator().asScala.collect {
+      case p if Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith(".") => p.toString
+    }.toSeq.sorted
+    finally walk.close() // NIO walk streams hold directory handles
+  }
+
   /** Write-audit-publish (Iceberg's WAP workflow): stage `df` as a
     * NOT-YET-VISIBLE replacement snapshot of `table`
     * (`catalog.db.tbl`), run `audit` against a reader of the staged
@@ -363,6 +379,44 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
       PartitionField.serialize(fields).getBytes("UTF-8"))
   }
 
+  /** Legacy partition specs of a MIXED-SPEC version — the sidecar
+    * metadata-only spec evolution leaves behind: `_legacy_specs.txt`
+    * holds one `subtree<TAB>spec` line per prior layout whose files
+    * still live (hard-linked, never rewritten) under the version's
+    * `_spec-<k>/` subtree. Absent file = single-spec version (every
+    * pre-evolution table), zero behavior change. */
+  private[sources] def readLegacySpecs(versionDir: JPath)
+      : Seq[(String, Seq[PartitionField])] = {
+    val f = versionDir.resolve("_legacy_specs.txt")
+    if (!Files.exists(f)) Nil
+    else new String(Files.readAllBytes(f), "UTF-8")
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty).map { l =>
+        val Array(sub, spec) = l.split("\t", 2)
+        sub -> PartitionField.parseSpecString(spec)
+      }
+  }
+
+  private def writeLegacySpecs(versionDir: JPath,
+      specs: Seq[(String, Seq[PartitionField])]): Unit =
+    if (specs.nonEmpty)
+      Files.write(versionDir.resolve("_legacy_specs.txt"),
+        specs.map { case (sub, fs) =>
+          s"$sub\t${fs.map(PartitionField.show).mkString(", ")}"
+        }.mkString("\n").getBytes("UTF-8"))
+
+  /** Carry a version's legacy-spec sidecar into a successor version
+    * whose data files were hard-linked from it — every metadata-only
+    * commit path (fast-append, schema evolution, rollback, clone) owes
+    * this, or the successor's reads would silently drop the legacy
+    * subtrees' rows. */
+  private[sources] def carryLegacySpecs(from: JPath, to: JPath): Unit = {
+    val f = from.resolve("_legacy_specs.txt")
+    if (Files.exists(f))
+      Files.copy(f, to.resolve("_legacy_specs.txt"),
+        StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
   private def readMeta(versionDir: JPath): (StructType, Seq[PartitionField]) = {
     val schema = DataType.fromJson(new String(
       Files.readAllBytes(versionDir.resolve("_schema.json")), "UTF-8"))
@@ -479,7 +533,8 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     currentVersion(dir) match {
       case Some(version) =>
         val (schema, parts) = readMeta(version)
-        new PointerTable(this, ident, dir, version, schema, parts)
+        new PointerTable(this, ident, dir, version, schema, parts,
+          readLegacySpecs(version))
       case None =>
         metadataTable(ident).getOrElse(throw new NoSuchTableException(ident))
     }
@@ -666,7 +721,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     // a historical read serves the pinned immutable directory; writes
     // through it would silently rewrite history, so they are refused
     new PointerTable(this, ident, dir, versionDir, schema, parts,
-      historical = true)
+      readLegacySpecs(versionDir), historical = true)
   }
 
   /** Time travel (`SELECT ... FROM t TIMESTAMP AS OF ts`): Spark hands
@@ -697,7 +752,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     val versionDir = dir.resolve(resolved)
     val (schema, parts) = readMeta(versionDir)
     new PointerTable(this, ident, dir, versionDir, schema, parts,
-      historical = true)
+      readLegacySpecs(versionDir), historical = true)
   }
 
   override def tableExists(ident: Identifier): Boolean =
@@ -808,13 +863,16 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
           // hidden-transform ids are TYPE-QUALIFIED (a bigint hashes /
           // floors differently than an int): widening the source column
           // would silently re-route future writes away from the
-          // existing directories. Identity layouts are safe — dir
-          // values re-parse under the widened type.
-          require(!fields.exists(f => f.srcCol.equalsIgnoreCase(name) &&
+          // existing directories — and mis-prune LEGACY subtrees whose
+          // old-spec ids were computed under the old type. Identity
+          // layouts are safe — dir values re-parse under the widened
+          // type.
+          val allSpecs = fields ++ readLegacySpecs(cur).flatMap(_._2)
+          require(!allSpecs.exists(f => f.srcCol.equalsIgnoreCase(name) &&
               !f.isInstanceOf[IdentityPart]),
             s"$ident: cannot widen $name — a hidden partition transform " +
-              "derives from it and its ids are type-qualified; " +
-              "re-partition with rewrite_layout first")
+              "(current or legacy spec) derives from it and its ids are " +
+              "type-qualified; re-partition with rewrite_layout first")
           StructType(s.fields.updated(i, s.fields(i).copy(dataType = to)))
         case _: TableChange.RenameColumn =>
           throw new UnsupportedOperationException(
@@ -832,6 +890,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     val nv = dir.resolve(v)
     writeMeta(nv, evolved, fields)
     linkDataFiles(cur, nv)
+    carryLegacySpecs(cur, nv)
     try commitVersion(dir, v, expectedBase = Some(cur.getFileName.toString))
     catch { case e: Throwable => dropOrphan(nv); throw e }
     loadTable(ident)
@@ -925,17 +984,11 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
   }
 
   /** The distinct partition directories holding data files under a
-    * version dir ("" for unpartitioned files at the root). */
-  private[sources] def dataFilePartitions(v: JPath): Set[String] = {
-    val walk = Files.walk(v)
-    try walk.iterator().asScala.collect {
-      case p if Files.isRegularFile(p) &&
-          !p.getFileName.toString.startsWith("_") &&
-          !p.getFileName.toString.startsWith(".") =>
-        Option(v.relativize(p).getParent).map(_.toString).getOrElse("")
-    }.toSet
-    finally walk.close() // NIO walk streams hold directory handles
-  }
+    * version dir ("" for unpartitioned files at the root), excluding
+    * non-layout subtrees (legacy specs / staging) — the same rule as
+    * [[PartitionRuntimeFilters.dataFilePartitionsOf]]. */
+  private[sources] def dataFilePartitions(v: JPath): Set[String] =
+    PartitionRuntimeFilters.dataFilePartitionsOf(v)
 
   // ---- SupportsNamespaces (directories) ----
 
@@ -1035,6 +1088,34 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     dir
   }
 
+  /** Every row of one committed version as a DataFrame — the whole-
+    * version read the maintenance procedures transform: the version
+    * root PLUS each legacy `_spec-<k>` subtree (a mixed version after
+    * metadata-only spec evolution; the root parquet read skips the
+    * underscore subtrees on its own), projected to the table schema so
+    * layouts with different hidden directory columns union cleanly.
+    * Identity partition values ride in the schema; hidden dir columns
+    * are recomputed by the write-side router — which is also why
+    * compact / rewrite_layout over this read UNIFY a mixed table into
+    * its target spec. */
+  private def readVersionDf(versionDir: JPath, schema: StructType): DataFrame = {
+    val cols = schema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col)
+    val root = spark.read.schema(schema).parquet(versionDir.toString)
+      .select(cols: _*)
+    readLegacySpecs(versionDir).foldLeft(root) { case (df, (sub, _)) =>
+      // the `_spec-<k>` subtree root itself would be dropped by the
+      // hidden-path listing filter, so the read gets the LEAF files
+      // explicitly, with basePath at the subtree so identity partition
+      // values still parse out of the directory names
+      val subDir = versionDir.resolve(sub)
+      val files = AtomicParquetCatalog.walkDataFiles(subDir)
+      if (files.isEmpty) df
+      else df.unionByName(
+        spark.read.option("basePath", subDir.toString).schema(schema)
+          .parquet(files: _*).select(cols: _*))
+    }
+  }
+
   private def summaryScan(schema: StructType, row: InternalRow) =
     java.util.Collections.singletonList(
       new LocalScanTable("summary", schema, () => Seq(row))
@@ -1052,7 +1133,8 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("expire_snapshots", "rollback_to", "compact", "rewrite_layout",
-        "tag", "drop_tag", "analyze", "clone", "remove_orphans")
+        "evolve_layout", "tag", "drop_tag", "analyze", "clone",
+        "remove_orphans")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -1104,6 +1186,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             val v = s"v-${UUID.randomUUID()}"
             writeMeta(dir.resolve(v), schema, parts)
             linkDataFiles(target, dir.resolve(v))
+            carryLegacySpecs(target, dir.resolve(v))
             try commitPointer(dir, v, expectedBase = log.headOption)
             catch { case e: Throwable => dropOrphan(dir.resolve(v)); throw e }
             summaryScan(StructType(Seq(
@@ -1131,8 +1214,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             val base = versionLog(dir).head
             val cur = dir.resolve(base)
             val (schema, fields) = readMeta(cur)
-            val df = spark.read.schema(schema).parquet(cur.toString)
-              .repartition(target)
+            val df = readVersionDf(cur, schema).repartition(target)
             val v = s"v-${UUID.randomUUID()}"
             val nv = dir.resolve(v)
             writeMeta(nv, schema, fields)
@@ -1178,28 +1260,23 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             val base = versionLog(dir).head
             val cur = dir.resolve(base)
             val (schema, oldFields) = readMeta(cur)
-            // top-level commas only: `bucket(4,k), days(ts)` is two
-            // fields, the comma inside bucket(4,k) is the transform's
-            val split = {
-              val out = scala.collection.mutable.ArrayBuffer.empty[String]
-              val sb = new StringBuilder
-              var depth = 0
-              specStr.foreach {
-                case '(' => depth += 1; sb += '('
-                case ')' => depth -= 1; sb += ')'
-                case ',' if depth == 0 => out += sb.toString; sb.clear()
-                case c => sb += c
-              }
-              out += sb.toString
-              out.toSeq.map(_.trim).filter(_.nonEmpty)
-            }
-            val newFields = split.map(PartitionField.parseLine)
+            val newFields = PartitionField.parseSpecString(specStr)
             validatePartitionFields(newFields, schema)
-            val df = spark.read.schema(schema).parquet(cur.toString)
+            val df = readVersionDf(cur, schema)
             val v = s"v-${UUID.randomUUID()}"
             val nv = dir.resolve(v)
             writeMeta(nv, schema, newFields)
-            PartitionField.materializeDirCols(df, newFields).write
+            // same clustering policy as every catalog write: a
+            // re-layout INTO a fine-grained spec is exactly where the
+            // tasks × dirs small-files cliff would land hardest
+            val routed = PartitionField.materializeDirCols(df, newFields)
+            val clustered =
+              if (newFields.nonEmpty &&
+                  PartitionField.clusterWrite(spark, newFields))
+                routed.repartition(newFields.map(f =>
+                  org.apache.spark.sql.functions.col(f.dirName)): _*)
+              else routed
+            clustered.write
               .mode("append").partitionBy(newFields.map(_.dirName): _*)
               .parquet(nv.toString)
             try commitPointer(dir, v, expectedBase = Some(base))
@@ -1214,6 +1291,72 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
                 UTF8String.fromString(PartitionField.serialize(newFields)
                   .replace("\n", ", ")),
                 UTF8String.fromString(v)))
+          }
+        }
+      case "evolve_layout" =>
+        // CALL cat.system.evolve_layout('db.tbl', 'days(ts), bucket(8,u)')
+        // — METADATA-ONLY partition spec evolution, Iceberg's actual
+        // contract (the capability the reference's stack advertises as
+        // "schema evolution" on its Iceberg catalog): the new spec
+        // applies to FUTURE writes only; every existing data file stays
+        // in the layout that wrote it, hard-linked into the new version
+        // under a `_spec-<k>` legacy subtree recorded in
+        // `_legacy_specs.txt`. ZERO data rewrite — evolving a 100 TB
+        // table costs one link pass over file metadata, not a day of
+        // cluster rewrite. Reads plan a union of per-spec pruned scans
+        // ([[SpecUnionScan]]: static + runtime pruning per spec);
+        // `compact` / `rewrite_layout` remain the OPTIONAL migration
+        // that unifies the layout when the mixed state has outlived its
+        // value (exactly Iceberg's amortize-vs-rewrite tradeoff, now
+        // offered as the pair of procedures instead of rewrite-only).
+        new GraftProcedure("evolve_layout", Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("spec", StringType).build())) {
+          override def call(input: InternalRow): java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val tbl = input.getUTF8String(0).toString
+            val specStr = input.getUTF8String(1).toString
+            val dir = procTableDir(tbl)
+            val base = versionLog(dir).head
+            val cur = dir.resolve(base)
+            val (schema, oldFields) = readMeta(cur)
+            val newFields = PartitionField.parseSpecString(specStr)
+            validatePartitionFields(newFields, schema)
+            require(newFields != oldFields, s"$tbl already has spec '" +
+              oldFields.map(PartitionField.show).mkString(", ") +
+              "' — nothing to evolve")
+            val oldLegacy = readLegacySpecs(cur)
+            val v = s"v-${UUID.randomUUID()}"
+            val nv = dir.resolve(v)
+            writeMeta(nv, schema, newFields)
+            // prior legacy subtrees ride forward verbatim (hard links);
+            // the old ROOT layout becomes the next legacy subtree —
+            // only if it actually holds data files
+            oldLegacy.foreach { case (sub, _) =>
+              linkDataFiles(cur.resolve(sub), nv.resolve(sub))
+            }
+            var entries = oldLegacy
+            if (dataFilePartitions(cur).nonEmpty) {
+              val used = oldLegacy.map(_._1).toSet
+              val sub = Iterator.from(0).map(i => s"_spec-$i")
+                .find(!used.contains(_)).get
+              linkDataFiles(cur, nv.resolve(sub),
+                keepPartition = PartitionRuntimeFilters.isLayoutDir)
+              entries = entries :+ (sub -> oldFields)
+            }
+            writeLegacySpecs(nv, entries)
+            try commitPointer(dir, v, expectedBase = Some(base))
+            catch { case e: Throwable => dropOrphan(nv); throw e }
+            summaryScan(StructType(Seq(
+              StructField("old_spec", StringType, nullable = false),
+              StructField("new_spec", StringType, nullable = false),
+              StructField("n_legacy_specs", IntegerType, nullable = false),
+              StructField("new_version", StringType, nullable = false))),
+              InternalRow(
+                UTF8String.fromString(oldFields.map(PartitionField.show)
+                  .mkString(", ")),
+                UTF8String.fromString(newFields.map(PartitionField.show)
+                  .mkString(", ")),
+                entries.size, UTF8String.fromString(v)))
           }
         }
       case "tag" =>
@@ -1294,7 +1437,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             val base = versionLog(dir).head
             val cur = dir.resolve(base)
             val (schema, _) = readMeta(cur)
-            val df = spark.read.schema(schema).parquet(cur.toString)
+            val df = readVersionDf(cur, schema)
             import org.apache.spark.sql.functions.{col => c, count, count_if, lit, min, max}
             val aggs = c("*") +: schema.fields.flatMap { f =>
               val n = f.name
@@ -1361,6 +1504,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             val v = s"v-${UUID.randomUUID()}"
             writeMeta(dstDir.resolve(v), schema, parts)
             linkDataFiles(srcDir.resolve(srcVersion), dstDir.resolve(v))
+            carryLegacySpecs(srcDir.resolve(srcVersion), dstDir.resolve(v))
             commitPointer(dstDir, v, expectedBase = None)
             summaryScan(StructType(Seq(
               StructField("cloned_from", StringType, nullable = false),
@@ -1413,9 +1557,9 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
           s"unknown procedure system.$other — available: " +
             "expire_snapshots(table, keep), rollback_to(table, ordinal), " +
             "compact(table, target_files), rewrite_layout(table, spec), " +
-            "tag(table, name, ordinal), drop_tag(table, name), " +
-            "analyze(table), clone(source, destination), " +
-            "remove_orphans(table, min_age_s)")
+            "evolve_layout(table, spec), tag(table, name, ordinal), " +
+            "drop_tag(table, name), analyze(table), " +
+            "clone(source, destination), remove_orphans(table, min_age_s)")
     }
   }
 }
@@ -1457,6 +1601,11 @@ private[sources] abstract class VersionedTable(
 
   protected def spark: SparkSession = SparkSession.active
 
+  /** Prior-layout subtrees of a MIXED-SPEC version (metadata-only spec
+    * evolution); empty for every single-spec version and every staged
+    * table. Overridden by [[PointerTable]]. */
+  protected def legacySpecs: Seq[(String, Seq[PartitionField])] = Nil
+
   /** Directory-level column names of the hive layout — identity columns
     * verbatim, hidden `_gb_<col>` ids for bucket fields. All the
     * directory-walking machinery (hard links, partition pruning,
@@ -1489,30 +1638,28 @@ private[sources] abstract class VersionedTable(
       // (see KeyGroupedScan.scala)
       case psb: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder =>
         new KeyGroupedParquetScanBuilder(psb, spark, name(), versionDir,
-          tableSchema, fields,
-          Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-          Option(options.get("skipChangeCommits")).exists(_.toBoolean))
+          tableSchema, fields, StreamReadOptions.fromOptions(options),
+          legacySpecs)
       case _ => inner
     }
   }
 
-  /** Write `df` as partitioned parquet into `target`. */
   /** Write `df` as partitioned parquet into `target`. With
-    * `spark.sql.catalog.graft.write.clusterByPartitions=true` (Iceberg's
+    * `spark.sql.catalog.graft.write.clusterByPartitions` (Iceberg's
     * `write.distribution-mode=hash` posture) the rows are hash-clustered
     * on the partition columns first, so each partition value lands from
     * ONE task and the layout gets ~one file per partition instead of
     * (tasks x partitions) small files — the small-files explosion that
     * dominates write cost and ruins later scan/compaction behavior at
-    * 100 TB. Off by default locally: the extra exchange is pure cost at
-    * gate scale, and the pinned write gates price the unclustered path;
+    * 100 TB. Default is AUTO: on exactly where the spec's fineness is
+    * statically knowable (see [[PartitionField.clusterWrite]] — hours,
+    * big bucket products, days×bucket composites), off for coarse
+    * layouts where the exchange would cost parallelism for nothing;
     * WriteDistributionSpec pins the clustered file count. */
   protected def writeInto(target: JPath, df: DataFrame, mode: String): Unit = {
     val routed = PartitionField.materializeDirCols(df, fields)
     val clustered =
-      if (parts.nonEmpty && spark.conf
-          .getOption("spark.sql.catalog.graft.write.clusterByPartitions")
-          .contains("true"))
+      if (parts.nonEmpty && PartitionField.clusterWrite(spark, fields))
         routed.repartition(parts.map(org.apache.spark.sql.functions.col): _*)
       else routed
     clustered.write.mode(mode).partitionBy(parts: _*).parquet(target.toString)
@@ -1561,9 +1708,13 @@ private[sources] abstract class VersionedTable(
 private[sources] final class PointerTable(
     catalog: AtomicParquetCatalog, ident: Identifier, dir: JPath,
     versionDir: JPath, tableSchema: StructType, fields: Seq[PartitionField],
+    legacy: Seq[(String, Seq[PartitionField])] = Nil,
     historical: Boolean = false)
     extends VersionedTable(ident, versionDir, tableSchema, fields)
     with SupportsRowLevelOperations {
+
+  override protected def legacySpecs: Seq[(String, Seq[PartitionField])] =
+    legacy
 
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
@@ -1642,7 +1793,13 @@ private[sources] final class PointerTable(
         }
         new ScanBuilder {
           override def build(): org.apache.spark.sql.connector.read.Scan =
-            if (parts.isEmpty) inner.build()
+            // a MIXED-SPEC version (legacy subtrees after metadata-only
+            // spec evolution) disables partition-level group filtering:
+            // its partition paths span two layouts, so the rewrite runs
+            // whole-table COW — which also re-lays every row under the
+            // CURRENT spec, unifying the table as a side effect (the
+            // same implicit migration Iceberg's row-level ops perform)
+            if (parts.isEmpty || legacy.nonEmpty) inner.build()
             else new GroupFilteringScan(inner.build())
         }
       }
@@ -1826,6 +1983,15 @@ private[sources] final class PointerTable(
   private def dynamicOverwriteWrite(winfo: LogicalWriteInfo): Write = {
     require(parts.nonEmpty,
       s"$ident: dynamic partition overwrite needs a partitioned table")
+    // a mixed-spec version cannot refresh partitions by link-and-swap:
+    // an old-spec file's rows may belong to a refreshed partition of
+    // the NEW spec, and linking it wholesale would resurrect them.
+    // Refused toward the unify-first paths, never silently wrong.
+    if (legacy.nonEmpty) throw new UnsupportedOperationException(
+      s"$ident: dynamic partition overwrite on a mixed-spec table (after " +
+        "metadata-only spec evolution) — unify the layout first with " +
+        "CALL system.compact or CALL system.rewrite_layout, or use a " +
+        "full REPLACE/MERGE")
     val v = s"v-${UUID.randomUUID()}"
     val nv = dir.resolve(v)
     val staging = nv.resolve("_staging")
@@ -1898,9 +2064,14 @@ private[sources] final class PointerTable(
             Files.copy(versionDir.resolve("_partitions.txt"), nv.resolve("_partitions.txt"))
             writeInto(nv, data, "append")
             // fast-append: the prior version's data files ride along as
-            // hard links (no data copy); a STATIC overwrite (the
-            // truncate() path, whole-table semantics) starts empty
-            if (mode == "append") catalog.linkDataFiles(versionDir, nv)
+            // hard links (no data copy) — legacy `_spec-<k>` subtrees
+            // keep their relative layout, so their sidecar rides too; a
+            // STATIC overwrite (the truncate() path, whole-table
+            // semantics) starts empty AND single-spec
+            if (mode == "append") {
+              catalog.linkDataFiles(versionDir, nv)
+              catalog.carryLegacySpecs(versionDir, nv)
+            }
             try catalog.commitVersion(dir, v,
               expectedBase = Some(versionDir.getFileName.toString))
             catch { // CAS conflict: the staged version is unreachable

@@ -160,6 +160,59 @@ private[sources] object PartitionField {
     case c => IdentityPart(c)
   }
 
+  /** Parse a whole comma-joined spec string — `bucket(4,k), days(ts)`
+    * is two fields; the split respects parens (the comma inside
+    * `bucket(4,k)` is the transform's own). The shared parser of the
+    * `rewrite_layout`/`evolve_layout` procedure arguments and the
+    * `_legacy_specs.txt` sidecar lines; '' parses to the empty
+    * (unpartitioned) spec. */
+  def parseSpecString(spec: String): Seq[PartitionField] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    spec.foreach {
+      case '(' => depth += 1; sb += '('
+      case ')' => depth -= 1; sb += ')'
+      case ',' if depth == 0 => out += sb.toString; sb.clear()
+      case c => sb += c
+    }
+    out += sb.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty).map(parseLine)
+  }
+
+  /** Should a partitioned write HASH-CLUSTER rows on the partition
+    * columns first (Iceberg's `write.distribution-mode=hash`)? The
+    * measured small-files cliff (PERF.md: 720 hourly dirs, 12 s
+    * unclustered vs 3.4 s clustered at sf0.1 — every task opens a
+    * writer per directory it sees, tasks × dirs tiny files) says any
+    * layout finer than ~100 directories wants it on; clustering a
+    * COARSE layout instead LOSES write parallelism (≤ n-dirs active
+    * tasks after the exchange). The conf is therefore tri-state:
+    * `true` / `false` force it; unset (= `auto`) turns it on exactly
+    * where fineness is knowable WITHOUT scanning the data — an
+    * `hours` transform (any realistic retention exceeds 100 hourly
+    * dirs), a static bucket-count product over 100, or the canonical
+    * composite `(days, bucket)` event layout (≥ 8 buckets × weeks of
+    * days). `days`/`months`/`truncate` alone carry no static
+    * cardinality bound, so auto stays off for them — set `true`
+    * explicitly (the 100 TB deployment posture for any layout known
+    * to be fine). */
+  def clusterWrite(spark: org.apache.spark.sql.SparkSession,
+                   fields: Seq[PartitionField]): Boolean =
+    spark.conf
+      .getOption("spark.sql.catalog.graft.write.clusterByPartitions") match {
+      case Some("true") => fields.nonEmpty
+      case Some("false") => false
+      case _ => // auto
+        val bucketProduct = fields.collect { case b: BucketPart =>
+          b.numBuckets.toLong
+        }.product
+        fields.exists(_.isInstanceOf[HoursPart]) ||
+          (fields.exists(_.isInstanceOf[BucketPart]) && bucketProduct > 100) ||
+          (fields.exists(_.isInstanceOf[DaysPart]) &&
+            fields.exists(_.isInstanceOf[BucketPart]))
+    }
+
   /** Materialize each bucket field's hidden directory column on `df` —
     * the write-time router. `pmod(hash(col), n)` is exactly
     * [[GraftBucketFunction.bucketOf]] as a codegen'd expression

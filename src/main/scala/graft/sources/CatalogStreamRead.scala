@@ -13,12 +13,39 @@ import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
+/** The `readStream.table` option surface, parsed once at scan-build
+  * time: admission control (`maxFilesPerTrigger`), change semantics
+  * (`skipChangeCommits`), and the starting position
+  * (`startingVersion` = "latest" | v-<uuid> | ordinal-commits-back,
+  * or `startingTimestamp` — Delta's options: serve changes FROM that
+  * point instead of the full current snapshot; consulted only when
+  * the checkpoint is fresh, exactly like Delta). */
+private[sources] final case class StreamReadOptions(
+    maxFilesPerTrigger: Option[Int], skipChangeCommits: Boolean,
+    startingVersion: Option[String], startingTimestamp: Option[String]) {
+  require(startingVersion.isEmpty || startingTimestamp.isEmpty,
+    "set startingVersion OR startingTimestamp, not both")
+}
+
+private[sources] object StreamReadOptions {
+  def fromOptions(options: CaseInsensitiveStringMap): StreamReadOptions =
+    StreamReadOptions(
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      Option(options.get("skipChangeCommits")).exists(_.toBoolean),
+      Option(options.get("startingVersion")).map(_.trim).filter(_.nonEmpty),
+      Option(options.get("startingTimestamp")).map(_.trim).filter(_.nonEmpty))
+}
+
 /** STREAMING READS of catalog tables — `spark.readStream.table(t)`,
   * the Delta/Iceberg capability that turns the lakehouse table into a
   * source: the first micro-batch serves the full snapshot current at
-  * stream start, then each commit's ADDED data files become a batch
-  * (offsets are immutable version-directory names, resolved through
-  * the same pointer log as time travel — one file read per trigger).
+  * stream start (or the tail the `startingVersion`/
+  * `startingTimestamp` option names), then each commit's ADDED data
+  * files become a batch (offsets are immutable version-directory
+  * names, resolved through the same pointer log as time travel — one
+  * pointer-file read per trigger, with the per-version FILE SETS
+  * cached against the immutable directories so catch-up over a deep
+  * backlog prices the batches it serves, not the history it walks).
   *
   * Change semantics are a documented two-option choice, same as
   * Iceberg/Delta: by default APPEND-DRIVEN re-emission (a
@@ -31,11 +58,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * A version vacuumed out of the retention window before the stream
   * consumed it fails with a pointed error — the stream must restart
   * from a fresh checkpoint (same contract as an expired Iceberg
-  * snapshot). */
+  * snapshot).
+  *
+  * Each planned batch serves every file from the immutable version
+  * that holds it, THROUGH A READER FACTORY BUILT FOR THAT VERSION'S
+  * OWN LAYOUT ([[DispatchedPartition]] embeds it): a backlog spanning
+  * a partition-spec change (a `rewrite_layout`, or the `_spec-<k>`
+  * subtrees metadata-only evolution leaves behind) reads every file
+  * under the directory layout that wrote it, instead of null-filling
+  * partition columns against the head version's layout. */
 private[sources] final class CatalogMicroBatchStream(
     session: SparkSession, name: String, tableDir: JPath,
     tableSchema: StructType, readSchema: StructType,
-    maxFilesPerTrigger: Option[Int], skipChangeCommits: Boolean)
+    opts: StreamReadOptions)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -57,26 +92,42 @@ private[sources] final class CatalogMicroBatchStream(
       .map(_.trim).filter(_.nonEmpty).toSeq
   }
 
-  /** Relative data-file paths of one committed version. */
-  private def dataFiles(version: String): Set[String] = {
+  /** Relative data-file paths of one committed version. Version
+    * directories are IMMUTABLE once committed, so the walked file set
+    * is cached (bounded): admission-controlled catch-up calls
+    * [[addedFiles]] every trigger, and without the cache each trigger
+    * would re-walk two full version directories — O(table files) per
+    * trigger instead of O(batch). */
+  private val fileCache =
+    new java.util.LinkedHashMap[String, Set[String]](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Set[String]]): Boolean = size() > 16
+    }
+
+  private def dataFiles(version: String): Set[String] = fileCache.synchronized {
+    val cached = fileCache.get(version)
+    if (cached != null) return cached
     val v = tableDir.resolve(version)
     if (!Files.isDirectory(v)) throw new IllegalStateException(
       s"$name: stream offset $version is no longer in the retention " +
         "window (vacuumed) — restart the stream from a fresh checkpoint")
     val walk = Files.walk(v)
-    try walk.iterator().asScala.collect {
-      case p if Files.isRegularFile(p) &&
-          !p.getFileName.toString.startsWith("_") &&
-          !p.getFileName.toString.startsWith(".") =>
-        v.relativize(p).toString
-    }.toSet
-    finally walk.close()
+    val files =
+      try walk.iterator().asScala.collect {
+        case p if Files.isRegularFile(p) &&
+            !p.getFileName.toString.startsWith("_") &&
+            !p.getFileName.toString.startsWith(".") =>
+          v.relativize(p).toString
+      }.toSet
+      finally walk.close()
+    fileCache.put(version, files)
+    files
   }
 
-  /** A scan over explicit file paths, constructed IDENTICALLY for the
-    * reader factory and every batch's partition planning, so the
-    * factory's data/partition schemas always line up with the planned
-    * [[org.apache.spark.sql.execution.datasources.FilePartition]]s. */
+  /** A scan over explicit file paths of ONE layout root (a version
+    * dir, or one `_spec-<k>` legacy subtree inside it), constructed
+    * with `basePath` at that root so partition-column inference
+    * matches the layout that wrote the files. */
   private def scanOver(baseDir: JPath, paths: Seq[String]): Scan = {
     val options = new CaseInsensitiveStringMap(
       java.util.Collections.singletonMap("basePath", baseDir.toString))
@@ -108,7 +159,7 @@ private[sources] final class CatalogMicroBatchStream(
     * versions retained (an expired chain fails with the same pointed
     * restart-fresh error as any vacuumed offset). */
   private def addedFiles(base: String, upto: String): Seq[(String, String)] =
-    if (!skipChangeCommits)
+    if (!opts.skipChangeCommits)
       (dataFiles(upto) --
         (if (base.isEmpty) Set.empty[String] else dataFiles(base)))
         .toSeq.sorted.map(upto -> _)
@@ -132,14 +183,63 @@ private[sources] final class CatalogMicroBatchStream(
       out.result()
     }
 
-  override def initialOffset(): Offset = VersionOffset("", "", 0)
+  private def commitMs(v: String): Long =
+    try new String(Files.readAllBytes(
+      tableDir.resolve(v).resolve("_committed_at")), "UTF-8").trim.toLong
+    catch {
+      case _: Exception =>
+        try Files.getLastModifiedTime(tableDir.resolve(v)).toMillis
+        catch { case _: java.io.IOException => Long.MaxValue }
+    }
+
+  /** The starting position: with no option, "before everything" (the
+    * first batch is the full snapshot). `startingVersion` serves
+    * changes FROM the named version INCLUSIVE (its base is the next
+    * older retained version), `latest` serves only future commits;
+    * `startingTimestamp` starts at the OLDEST version committed at or
+    * after the instant (Delta's rule). Consulted only on a fresh
+    * checkpoint — a resumed stream continues from its offset. */
+  override def initialOffset(): Offset = {
+    def consumedThrough(v: String): Offset = VersionOffset(v, v, 0)
+    (opts.startingVersion, opts.startingTimestamp) match {
+      case (None, None) => VersionOffset("", "", 0)
+      case (Some("latest"), _) =>
+        val l = log()
+        consumedThrough(if (l.isEmpty) "" else l.head)
+      case (Some(sv), _) =>
+        val l = log()
+        val i =
+          if (sv.startsWith("v-")) l.indexOf(sv)
+          else sv.toIntOption.filter(k => k >= 0 && k < l.size).getOrElse(-1)
+        if (i < 0) throw new IllegalArgumentException(
+          s"$name: startingVersion '$sv' is not in the retention window " +
+            s"(${l.size} snapshots kept: ${l.mkString(", ")}); pass " +
+            "'latest', 0..n commits back, or an exact v-<uuid> from the log")
+        consumedThrough(if (i + 1 < l.size) l(i + 1) else "")
+      case (None, Some(raw)) =>
+        val ms = raw.toLongOption.getOrElse {
+          try java.sql.Timestamp.valueOf(raw.replace('T', ' ')).getTime
+          catch {
+            case _: IllegalArgumentException =>
+              throw new IllegalArgumentException(
+                s"$name: startingTimestamp '$raw' — pass epoch millis or " +
+                  "'yyyy-MM-dd HH:mm:ss'")
+          }
+        }
+        val l = log() // newest first; oldest version committed >= ms:
+        val i = l.lastIndexWhere(v => commitMs(v) >= ms)
+        if (i < 0) consumedThrough(if (l.isEmpty) "" else l.head) // future
+        else consumedThrough(if (i + 1 < l.size) l(i + 1) else "")
+    }
+  }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is the admission-controlled path")
 
   override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+    opts.maxFilesPerTrigger.map(ReadLimit.maxFiles)
+      .getOrElse(ReadLimit.allAvailable())
 
   /** ADMISSION CONTROL — the 100 TB restart story: a stream started
     * (or restarted from an old offset) against a huge table must not
@@ -158,21 +258,24 @@ private[sources] final class CatalogMicroBatchStream(
           .getOrElse(Int.MaxValue)
       case _ => Int.MaxValue
     }
-    def normalized(base: String, upto: String, k: Int): VersionOffset = {
+    def normalized(base: String, upto: String, k: Long): VersionOffset = {
       val total = addedFiles(base, upto).size
       if (k >= total) VersionOffset(upto, upto, 0)
-      else VersionOffset(base, upto, k)
+      else VersionOffset(base, upto, k.toInt) // k < total <= Int.MaxValue
     }
     if (s.upto.nonEmpty && s.base != s.upto) {
-      // mid-version: keep consuming this diff before looking for more
-      normalized(s.base, s.upto, s.k + maxF)
+      // mid-version: keep consuming this diff before looking for more.
+      // Long arithmetic: a checkpoint written under maxFilesPerTrigger
+      // resumed WITHOUT the option advances by Int.MaxValue — k + maxF
+      // in Int would wrap negative and re-serve already-emitted files
+      normalized(s.base, s.upto, s.k.toLong + maxF)
     } else {
       val cur = availableNowCap.getOrElse {
         val l = log(); if (l.isEmpty) "" else l.head
       }
       val base = s.upto // "" initially, else the last fully-consumed
       if (cur.isEmpty || cur == base) s
-      else normalized(base, cur, maxF)
+      else normalized(base, cur, maxF.toLong)
     }
   }
 
@@ -183,6 +286,15 @@ private[sources] final class CatalogMicroBatchStream(
       case _ => // pre-admission-control checkpoint: a bare version name
         VersionOffset(json, json, 0)
     }
+  }
+
+  /** The leading `_spec-<k>` legacy-subtree segment of a relative file
+    * path, or "" for files in the version root's own layout — the
+    * layout-root key the per-batch scans group by. */
+  private def layoutRoot(rel: String): String = {
+    val first = rel.takeWhile(c => c != '/' && c != '\\')
+    if (first != rel && first.startsWith("_") && !first.contains("=")) first
+    else ""
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -207,29 +319,43 @@ private[sources] final class CatalogMicroBatchStream(
       else throw new IllegalStateException(
         s"$name: non-adjacent stream offsets $s -> $e")
     if (files.isEmpty) return Array.empty
-    // serve each file from the immutable version that holds it, then
-    // re-index the concatenated partitions densely (RDD positions)
-    val parts = files.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
-      case (v, fs) => scanOver(tableDir.resolve(v), fs.map(_._2))
-        .toBatch.planInputPartitions().toSeq
+    // serve each file from the immutable version that holds it, under
+    // the LAYOUT that wrote it (the version root, or one legacy
+    // `_spec-<k>` subtree), each group through its own reader factory
+    // — then re-index the concatenated partitions densely (RDD
+    // positions)
+    val groups = files.groupBy { case (v, rel) => (v, layoutRoot(rel)) }
+      .toSeq.sortBy { case ((v, g), _) => s"$v/$g" }
+    val planned = groups.map { case ((v, g), fs) =>
+      val baseDir =
+        if (g.isEmpty) tableDir.resolve(v) else tableDir.resolve(v).resolve(g)
+      val rels = fs.map { case (_, rel) =>
+        if (g.isEmpty) rel else rel.stripPrefix(g).stripPrefix("/")
+      }
+      val scan = scanOver(baseDir, rels)
+      val batch = scan.toBatch
+      (batch.planInputPartitions(), batch.createReaderFactory(),
+        scan.readSchema())
     }
-    parts.zipWithIndex.map {
-      case (fp: org.apache.spark.sql.execution.datasources.FilePartition, i) =>
-        org.apache.spark.sql.execution.datasources.FilePartition(i, fp.files)
-          : InputPartition
-      case (other, _) => other
+    val columnarOk = planned.forall { case (ps, f, sch) =>
+      sch == readSchema && ps.forall(f.supportColumnarReads)
+    }
+    var idx = -1
+    planned.flatMap { case (ps, f, sch) =>
+      ps.map { p =>
+        idx += 1
+        val inner = p match {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+            org.apache.spark.sql.execution.datasources.FilePartition(idx, fp.files)
+          case other => other
+        }
+        DispatchedPartition(inner, f, sch, columnarOk): InputPartition
+      }
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // factory from the identically-constructed scan shape; the current
-    // version's files only pin the schemas, each batch re-plans its own
-    val l = log()
-    val v = if (l.isEmpty) "" else l.head
-    val paths = if (v.isEmpty) Seq.empty else dataFiles(v).toSeq.sorted
-    scanOver(if (v.isEmpty) tableDir else tableDir.resolve(v), paths)
-      .toBatch.createReaderFactory()
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DispatchReaderFactory(readSchema)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -256,8 +382,7 @@ private[sources] final case class VersionOffset(base: String, upto: String,
   * (pushdown lives on the BUILDER and is untouched). */
 private[sources] final class StreamCapableScan(
     inner: Scan, session: SparkSession, name: String, tableDir: JPath,
-    tableSchema: StructType, maxFilesPerTrigger: Option[Int],
-    skipChangeCommits: Boolean)
+    tableSchema: StructType, opts: StreamReadOptions)
     extends Scan with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning with SupportsReportStatistics {
 
@@ -267,7 +392,7 @@ private[sources] final class StreamCapableScan(
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new CatalogMicroBatchStream(session, name, tableDir, tableSchema,
-      inner.readSchema(), maxFilesPerTrigger, skipChangeCommits)
+      inner.readSchema(), opts)
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     inner match {

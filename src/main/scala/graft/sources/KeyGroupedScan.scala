@@ -66,8 +66,9 @@ private[sources] final class KeyedFilePartition(
 private[sources] final class KeyGroupedParquetScanBuilder(
     inner: ParquetScanBuilder, session: SparkSession, scanName: String,
     versionDir: java.nio.file.Path, tableSchema: StructType,
-    fields: Seq[PartitionField], streamMaxFiles: Option[Int] = None,
-    streamSkipChanges: Boolean = false)
+    fields: Seq[PartitionField],
+    streamOpts: StreamReadOptions = StreamReadOptions(None, false, None, None),
+    legacy: Seq[(String, Seq[PartitionField])] = Nil)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -91,16 +92,22 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     inner.pushFilters(filters)
   }
   override def pushedFilters: Array[V2Predicate] = inner.pushedFilters
+  // a MIXED-SPEC version (legacy subtrees after metadata-only spec
+  // evolution) must refuse aggregate / variant pushdown: the inner
+  // builder sees only the version root's files, so a pushed aggregate
+  // would silently aggregate a SUBSET of the table
   override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (legacy.nonEmpty) return false
     val pushed = inner.pushAggregation(aggregation)
     aggPushed ||= pushed
     pushed
   }
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    inner.supportCompletePushDown(aggregation)
+    legacy.isEmpty && inner.supportCompletePushDown(aggregation)
   override def pushVariantExtractions(
       extractions: Array[VariantExtraction]): Array[Boolean] =
-    inner.pushVariantExtractions(extractions)
+    if (legacy.nonEmpty) extractions.map(_ => false)
+    else inner.pushVariantExtractions(extractions)
 
   private def parts: Seq[String] = fields.map(_.dirName)
   // any hidden-directory transform (bucket/days): the dir id is not a
@@ -111,12 +118,52 @@ private[sources] final class KeyGroupedParquetScanBuilder(
       "false") == "true"
 
   override def build(): Scan = {
+    // a mixed-spec version reads as the UNION of per-spec scans, each
+    // fully armed for its own layout (pushdown replayed, static +
+    // runtime pruning); single-spec versions keep today's path intact
+    val base =
+      if (legacy.isEmpty) buildInner()
+      else new SpecUnionScan(buildInner() +: legacy.map {
+        case (sub, lf) => legacyScan(sub, lf)
+      }, scanName)
     // every catalog batch scan leaves wrapped in StreamCapableScan —
     // behavior-preserving for batch (conditional forwarding), and the
     // hook that makes `readStream.table` work on every layout
-    new StreamCapableScan(buildInner(), session, scanName,
-      versionDir.getParent, tableSchema, streamMaxFiles,
-      streamSkipChanges)
+    new StreamCapableScan(base, session, scanName,
+      versionDir.getParent, tableSchema, streamOpts)
+  }
+
+  /** One legacy `_spec-<k>` subtree's scan: its own ParquetTable with
+    * `basePath` at the subtree root (partition inference matches the
+    * layout that wrote the files), the captured pushdown replayed,
+    * static hidden-transform pruning and runtime partition pruning
+    * applied under ITS spec — the same armor the root part wears. */
+  private def legacyScan(sub: String, lfields: Seq[PartitionField]): Scan = {
+    val subDir = versionDir.resolve(sub)
+    val options = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Collections.singletonMap("basePath", subDir.toString))
+    // LEAF files, not the subtree root: the `_spec-<k>` directory name
+    // itself would be dropped by Spark's hidden-path listing filter
+    val files = AtomicParquetCatalog.walkDataFiles(subDir)
+    val builder = org.apache.spark.sql.execution.datasources.v2.parquet
+      .ParquetTable(s"$scanName-$sub", session, options,
+        files, Some(tableSchema),
+        classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+      .newScanBuilder(options)
+    builder match {
+      case fb: org.apache.spark.sql.execution.datasources.v2.FileScanBuilder =>
+        requiredSchema.foreach(fb.pruneColumns)
+        if (dataFilters.nonEmpty) fb.pushFilters(dataFilters)
+      case _ => ()
+    }
+    val ps = builder.build()
+    val (inner2, staticKeep) =
+      if (lfields.exists(!_.isInstanceOf[IdentityPart]))
+        staticallyPrunedFor(ps, subDir, lfields, s"$scanName-$sub")
+      else (ps, None)
+    if (lfields.isEmpty) inner2 // unpartitioned legacy: nothing to prune
+    else new RuntimePrunedParquetScan(inner2, session, s"$scanName-$sub",
+      subDir, tableSchema, lfields, requiredSchema, dataFilters, staticKeep)
   }
 
   private def buildInner(): Scan = inner.build() match {
@@ -143,7 +190,8 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     // reported transform must resolve against it), runtime pruning
     // otherwise
     case ps: ParquetScan if bucketed && !aggPushed =>
-      val (inner2, staticKeep) = staticallyPruned(ps)
+      val (inner2, staticKeep) = staticallyPrunedFor(ps, versionDir, fields,
+        scanName)
       if (spjEnabled && fields.forall(f => ps.readSchema().fieldNames
           .exists(_.equalsIgnoreCase(f.srcCol))))
         new HiddenKeyGroupedParquetScan(inner2, fields, tableSchema)
@@ -159,18 +207,19 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     * dirs (accepted only on byte-identical read schema, like the DPP
     * rebuild). Returns the scan plus the kept set for the runtime
     * pruner to intersect. */
-  private def staticallyPruned(ps: ParquetScan): (Scan, Option[Set[String]]) = {
-    val preds = StaticHiddenPruning.dirPredicates(dataFilters, fields,
+  private def staticallyPrunedFor(ps: Scan, dir: java.nio.file.Path,
+      flds: Seq[PartitionField], name: String): (Scan, Option[Set[String]]) = {
+    val preds = StaticHiddenPruning.dirPredicates(dataFilters, flds,
       tableSchema)
     if (preds.isEmpty) return (ps, None)
-    val all = PartitionRuntimeFilters.dataFilePartitionsOf(versionDir)
+    val all = PartitionRuntimeFilters.dataFilePartitionsOf(dir)
     val kept = all.filter(StaticHiddenPruning.keepDir(_, preds))
     if (kept.size == all.size) return (ps, None)
     val options = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
-      java.util.Collections.singletonMap("basePath", versionDir.toString))
+      java.util.Collections.singletonMap("basePath", dir.toString))
     val builder = org.apache.spark.sql.execution.datasources.v2.parquet
-      .ParquetTable(s"$scanName-static-pruned", session, options,
-        kept.toSeq.sorted.map(p => versionDir.resolve(p).toString),
+      .ParquetTable(s"$name-static-pruned", session, options,
+        kept.toSeq.sorted.map(p => dir.resolve(p).toString),
         Some(tableSchema),
         classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
       .newScanBuilder(options)

@@ -111,10 +111,24 @@ private[sources] object PartitionRuntimeFilters {
     }
   }
 
+  /** Is `partDir` part of the hive layout rooted AT the walked
+    * directory — i.e. not inside a metadata or legacy-spec subtree
+    * (`_spec-<k>` after metadata-only spec evolution, `_staging`
+    * during a V2 write)? The rule mirrors Spark's own hidden-path
+    * listing filter exactly: a segment starting with '_' or '.' that
+    * carries no '=' is not a partition level (hidden-transform dirs
+    * like `_gb_k=3` contain '=' and stay). */
+  def isLayoutDir(partDir: String): Boolean =
+    partDir.isEmpty || partDir.split('/').forall { seg =>
+      !(seg.startsWith("_") || seg.startsWith(".")) || seg.contains("=")
+    }
+
   /** The distinct partition directories holding data files under a
     * version dir ("" for unpartitioned files at the root) — a plain
     * filesystem walk, shared statically so scans built outside the
-    * catalog instance can prune too. */
+    * catalog instance can prune too. Files inside non-layout subtrees
+    * (legacy specs, staging) are NOT this layout's partitions and are
+    * excluded, mirroring what a scan rooted here would list. */
   def dataFilePartitionsOf(v: JPath): Set[String] = {
     val walk = Files.walk(v)
     try walk.iterator().asScala.collect {
@@ -122,7 +136,7 @@ private[sources] object PartitionRuntimeFilters {
           !p.getFileName.toString.startsWith("_") &&
           !p.getFileName.toString.startsWith(".") =>
         Option(v.relativize(p).getParent).map(_.toString).getOrElse("")
-    }.toSet
+    }.filter(isLayoutDir).toSet
     finally walk.close() // NIO walk streams hold directory handles
   }
 }
@@ -347,10 +361,16 @@ private[sources] final class RuntimePrunedParquetScan(
   // SOURCE columns: identity fields verbatim; for bucket fields the
   // high-cardinality key itself — the hidden `_gb_col` is not a scan
   // output column, so the dynamic filter arrives on the key and the
-  // keep test hashes it to its bucket directory
+  // keep test hashes it to its bucket directory. Only columns the scan
+  // still OUTPUTS are reported: Spark resolves these against the scan
+  // output, and a source column pruned away (a composite-spec read
+  // that needs one partition key but not the other) would fail
+  // resolution instead of just not pruning.
   override def filterAttributes(): Array[NamedReference] =
-    fields.map(f => Expressions.column(f.srcCol)
-      .asInstanceOf[NamedReference]).toArray
+    fields.filter(f => inner.readSchema().fieldNames
+        .exists(_.equalsIgnoreCase(f.srcCol)))
+      .map(f => Expressions.column(f.srcCol)
+        .asInstanceOf[NamedReference]).toArray
 
   override def filter(predicates: Array[V2Predicate]): Unit = {
     val parsed = PartitionRuntimeFilters.parse(predicates)
