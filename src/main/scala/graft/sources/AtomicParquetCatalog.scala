@@ -1798,10 +1798,30 @@ private[sources] final class PointerTable(
             // its partition paths span two layouts, so the rewrite runs
             // whole-table COW — which also re-lays every row under the
             // CURRENT spec, unifying the table as a side effect (the
-            // same implicit migration Iceberg's row-level ops perform)
-            if (parts.isEmpty || legacy.nonEmpty) inner.build()
+            // same implicit migration Iceberg's row-level ops perform).
+            // The scan must HIDE the runtime-filtering capability here:
+            // without the GroupFilteringScan handshake the commit
+            // assumes the staged output IS the whole table, so letting
+            // the optimizer's group filter prune the union scan would
+            // silently drop every unmatched partition's rows.
+            if (legacy.nonEmpty) new WholeTableCowScan(inner.build())
+            else if (parts.isEmpty) inner.build()
             else new GroupFilteringScan(inner.build())
         }
+      }
+
+      /** The mixed-spec row-level read: forwards the batch interface
+        * ONLY — no SupportsRuntimeV2Filtering, so the group-filtering
+        * optimizer rule never plants a pruning subquery on it (see
+        * newScanBuilder above). */
+      final class WholeTableCowScan(
+          inner: org.apache.spark.sql.connector.read.Scan)
+          extends org.apache.spark.sql.connector.read.Scan {
+        override def readSchema(): StructType = inner.readSchema()
+        override def description(): String =
+          s"graft-atomic-cow-full $ident"
+        override def toBatch: org.apache.spark.sql.connector.read.Batch =
+          inner.toBatch
       }
 
       /** Partition-pruning scan for the row-level rewrite: serves the

@@ -152,6 +152,51 @@ class DynamicPruningSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_dpp.db.cdim")
   }
 
+  test("composite (days, bucket) spec: a dim filter prunes bucket cells " +
+      "at runtime even with the time column pruned from the scan") {
+    import spark.implicits._
+    withDppConfs {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_dpp.db")
+      // 4 days x 4 buckets; keys 0..15, one day per 4 keys, 100 rows/key
+      (0 until 1600).map { i =>
+        val k = i % 16
+        (k.toLong, new java.sql.Timestamp(1704067200000L +
+          (k / 4) * 86400000L), i.toLong * 2)
+      }.toDF("u", "ts", "val")
+        .writeTo("graft_dpp.db.comp").using("parquet")
+        .partitionedBy(days($"ts"), bucket(4, $"u")).createOrReplace()
+      (0L to 15L).map(u => (u, if (u == 3) "x" else "y")).toDF("u", "cat")
+        .writeTo("graft_dpp.db.compdim").using("parquet").createOrReplace()
+      // the query never touches ts: the scan prunes the time column
+      // away, filterAttributes must still resolve (u survives), and
+      // the runtime filter keeps only u=3's bucket within each day
+      val j = spark.table("graft_dpp.db.comp").select($"u", $"val")
+        .join(spark.table("graft_dpp.db.compdim").where($"cat" === "x"),
+          Seq("u"))
+        .agg(count(lit(1)).as("n"), sum($"val").as("s"))
+      val row = j.collect().head
+      assert(row.getLong(0) == 100)
+      assert(row.getLong(1) ==
+        (0 until 1600).filter(_ % 16 == 3).map(_.toLong * 2).sum)
+      // exact pin: the filter keeps exactly bucket(3)'s id at the
+      // bucket level (the day level cannot prune on u), so the scan
+      // reads precisely the keys sharing key 3's bucket — computed
+      // with the same codegen'd hash the write router used
+      val b3 = spark.range(0, 16)
+        .select($"id", pmod(hash($"id"), lit(4)).as("b")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val expected = (0L to 15L).count(k => b3(k) == b3(3L)) * 100L
+      assert(expected < 1600, "degenerate hash layout — test is vacuous")
+      val factRows = scanRows(j, "val")
+      assert(factRows.nonEmpty && factRows.sum == expected,
+        s"composite fact scan read ${factRows.sum} rows, expected " +
+          s"$expected — runtime bucket pruning did not fire on the " +
+          "(days, bucket) layout")
+      spark.sql("DROP TABLE graft_dpp.db.comp")
+      spark.sql("DROP TABLE graft_dpp.db.compdim")
+    }
+  }
+
   test("a partitioned catalog table still broadcasts (stats forwarded)") {
     import spark.implicits._
     withDppConfs {

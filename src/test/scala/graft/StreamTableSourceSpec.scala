@@ -188,4 +188,169 @@ class StreamTableSourceSpec extends AnyFunSuite {
       Seq(1.0, 2.0, 3.0))
     spark.sql("DROP TABLE graft_sts.db.flat")
   }
+
+  test("mid-diff checkpoint resumed WITHOUT maxFilesPerTrigger advances " +
+      "in Long (no Int overflow, no lost or duplicate files)") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_sts.db")
+    (1L to 40L).map(i => (i, i * 1.0)).toDF("id", "v")
+      .repartition(4)
+      .writeTo("graft_sts.db.ovf").using("parquet")
+      .partitionedBy(bucket(4, $"id")).createOrReplace()
+    val ckpt = Files.createTempDirectory("graft_sts_ovf")
+    val outA = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]()
+    // run A: one file per trigger, crash BEFORE processing batch 1 —
+    // the checkpoint is left MID-DIFF (batch 0 committed, k=1)
+    val qa = spark.readStream
+      .option("maxFilesPerTrigger", 1)
+      .table("graft_sts.db.ovf")
+      .writeStream.option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId >= 1) throw new RuntimeException("sts injected stop")
+        batch.select(col("id"), col("v")).collect()
+          .foreach(r => outA.add((r.getLong(0), r.getDouble(1))))
+      }
+      .start()
+    try qa.processAllAvailable() catch { case _: Throwable => () }
+    qa.stop()
+    assert(!outA.isEmpty, "run A never committed a batch")
+    // run B: same checkpoint, NO admission option — the advance from
+    // k=1 is k + Int.MaxValue, which must clamp instead of wrapping
+    // negative (a wrap re-serves already-emitted files)
+    val outB = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]()
+    val qb = spark.readStream.table("graft_sts.db.ovf")
+      .writeStream.option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(col("id"), col("v")).collect()
+          .foreach(r => outB.add((r.getLong(0), r.getDouble(1))))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    qb.awaitTermination(60000)
+    qb.stop()
+    import scala.jdk.CollectionConverters._
+    val a = outA.iterator().asScala.toSeq
+    val b = outB.iterator().asScala.toSeq
+    assert((a ++ b).sorted == (1L to 40L).map(i => (i, i * 1.0)),
+      s"resume lost or duplicated rows: |A|=${a.size} |B|=${b.size}")
+  }
+
+  test("startingVersion=latest serves only future commits; a bogus " +
+      "version fails pointedly") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_sts.db")
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
+      .writeTo("graft_sts.db.sv").using("parquet").createOrReplace()
+    Seq((3L, 3.0)).toDF("id", "v").writeTo("graft_sts.db.sv").append()
+    val ckpt = Files.createTempDirectory("graft_sts_sv")
+    def drainLatest(): Seq[(Long, Double)] = {
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]()
+      val q = spark.readStream
+        .option("startingVersion", "latest")
+        .table("graft_sts.db.sv")
+        .writeStream.option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select(col("id"), col("v")).collect()
+            .foreach(r => out.add((r.getLong(0), r.getDouble(1))))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      out.iterator().asScala.toSeq.sorted
+    }
+    assert(drainLatest() == Nil,
+      "startingVersion=latest replayed history on a fresh checkpoint")
+    Seq((4L, 4.0)).toDF("id", "v").writeTo("graft_sts.db.sv").append()
+    // option ignored on resume; the new commit flows
+    assert(drainLatest() == Seq((4L, 4.0)))
+
+    val bad = spark.readStream
+      .option("startingVersion", "v-00000000-dead-beef-0000-000000000000")
+      .table("graft_sts.db.sv")
+      .writeStream.option("checkpointLocation",
+        Files.createTempDirectory("graft_sts_svbad").toString)
+      .format("memory").queryName("sts_svbad")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      bad.awaitTermination()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("retention window")), err.toString)
+    spark.sql("DROP TABLE graft_sts.db.sv")
+  }
+
+  test("startingTimestamp starts at the first commit at or after the " +
+      "instant") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_sts.db")
+    Seq((1L, 1.0)).toDF("id", "v")
+      .writeTo("graft_sts.db.stt").using("parquet").createOrReplace()
+    Thread.sleep(20) // distinct commit-instant milliseconds
+    Seq((2L, 2.0)).toDF("id", "v").writeTo("graft_sts.db.stt").append()
+    // the SECOND commit's instant, read off its marker
+    val dir = java.nio.file.Paths.get(warehouse, "db", "stt")
+    val head = Files.readAllLines(dir.resolve("_current")).get(0).trim
+    val ms = new String(Files.readAllBytes(
+      dir.resolve(head).resolve("_committed_at")), "UTF-8").trim
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]()
+    val q = spark.readStream
+      .option("startingTimestamp", ms)
+      .table("graft_sts.db.stt")
+      .writeStream.option("checkpointLocation",
+        Files.createTempDirectory("graft_sts_stt").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(col("id"), col("v")).collect()
+          .foreach(r => out.add((r.getLong(0), r.getDouble(1))))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(out.iterator().asScala.toSeq.sorted == Seq((2L, 2.0)),
+      "startingTimestamp did not start at the named commit")
+    spark.sql("DROP TABLE graft_sts.db.stt")
+  }
+
+  test("a backlog spanning metadata-only spec evolution reads every " +
+      "file under the layout that wrote it (per-batch factories)") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_sts.db")
+    // identity(g): g lives in DIRECTORY NAMES for the legacy files,
+    // but in the data pages for post-evolution files — serving both
+    // from one head-layout factory would null-fill g for one side
+    (1L to 8L).map(i => (i, i * 1.0, (i % 2).toString)).toDF("id", "v", "g")
+      .writeTo("graft_sts.db.sev").using("parquet")
+      .partitionedBy($"g").createOrReplace()
+    spark.sql(
+      "CALL graft_sts.system.evolve_layout('db.sev', 'bucket(2,id)')")
+      .collect()
+    (9L to 12L).map(i => (i, i * 1.0, (i % 2).toString)).toDF("id", "v", "g")
+      .writeTo("graft_sts.db.sev").append()
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, String)]()
+    val q = spark.readStream.table("graft_sts.db.sev")
+      .writeStream.option("checkpointLocation",
+        Files.createTempDirectory("graft_sts_sev").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(col("id"), col("v"), col("g")).collect()
+          .foreach(r => out.add((r.getLong(0), r.getDouble(1), r.getString(2))))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(out.iterator().asScala.toSeq.sorted ==
+      (1L to 12L).map(i => (i, i * 1.0, (i % 2).toString)),
+      "mixed-layout backlog lost rows or null-filled partition columns")
+    spark.sql("DROP TABLE graft_sts.db.sev")
+  }
 }

@@ -10,7 +10,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * partition value lands from ONE task, so a P-partition write produces
   * ~P files instead of (tasks x P) — the small-files explosion that
   * dominates write cost and ruins scan/compaction behavior at 100 TB.
-  * Off by default (gate-scale writes price the exchange-free path). */
+  * The default is AUTO (r13): clustering turns itself on exactly where
+  * the spec's fineness is statically knowable — an `hours` transform,
+  * a bucket product over 100, a days×bucket composite — and stays off
+  * for coarse layouts, where the exchange would cost parallelism
+  * (PartitionField.clusterWrite holds the measured argument). */
 class WriteDistributionSpec extends AnyFunSuite {
   lazy val warehouse: String =
     java.nio.file.Files.createTempDirectory("graft_wd_wh").toString
@@ -61,6 +65,53 @@ class WriteDistributionSpec extends AnyFunSuite {
     } finally spark.conf
       .unset("spark.sql.catalog.graft.write.clusterByPartitions")
     spark.sql("DROP TABLE graft_wd.db.cl1")
+  }
+
+  test("AUTO: a 720-dir hours layout clusters under pure defaults — " +
+      "one file per hour directory") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wd.db")
+    assert(spark.conf
+      .getOption("spark.sql.catalog.graft.write.clusterByPartitions").isEmpty)
+    // 30 days x 24 hours = 720 hourly dirs, 3 rows each, multi-task
+    // input: unclustered this would write up to tasks x 720 files; the
+    // auto heuristic recognizes `hours` as fine-by-construction
+    (0L until 2160L).map(i => (new java.sql.Timestamp(
+      1704067200000L + (i / 3) * 3600000L), i)).toDF("ts", "v")
+      .repartition(4)
+      .writeTo("graft_wd.db.auh").using("parquet")
+      .partitionedBy(hours($"ts")).createOrReplace()
+    val files = dataFiles("auh")
+    assert(files.size == 720,
+      s"expected one file per hour directory (720), got ${files.size}")
+    assert(spark.table("graft_wd.db.auh").count() == 2160)
+    spark.sql("DROP TABLE graft_wd.db.auh")
+  }
+
+  test("AUTO: bucket products over 100 cluster; small buckets do not") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_wd.db")
+    (1L to 2000L).map(i => (i, i * 2)).toDF("k", "v")
+      .repartition(4)
+      .writeTo("graft_wd.db.aub").using("parquet")
+      .partitionedBy(bucket(128, $"k")).createOrReplace()
+    val fine = dataFiles("aub")
+    val dirs = fine.map(_.getParent.getFileName.toString).distinct.size
+    assert(fine.size == dirs,
+      s"bucket(128) should auto-cluster to one file per bucket dir: " +
+        s"${fine.size} files over $dirs dirs")
+    // a small bucket count keeps the exchange-free default
+    (1L to 2000L).map(i => (i, i * 2)).toDF("k", "v")
+      .repartition(4)
+      .writeTo("graft_wd.db.aus").using("parquet")
+      .partitionedBy(bucket(4, $"k")).createOrReplace()
+    val coarse = dataFiles("aus")
+    val cdirs = coarse.map(_.getParent.getFileName.toString).distinct.size
+    assert(coarse.size > cdirs,
+      s"bucket(4) unexpectedly clustered (${coarse.size} files over " +
+        s"$cdirs dirs) — the auto heuristic is over-firing")
+    spark.sql("DROP TABLE graft_wd.db.aub")
+    spark.sql("DROP TABLE graft_wd.db.aus")
   }
 
   test("default write is unclustered (no extra exchange) and correct") {
