@@ -373,6 +373,19 @@ object Stress {
           |ON t.doc_id = s.mid
           |WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + 1
           |""".stripMargin))
+      // round-13: METADATA-ONLY spec evolution vs the rewrite above —
+      // evolve_layout's cost is one hard-link pass over the FILE
+      // METADATA (file count here is ~constant in K: the same
+      // tasks × buckets write grid, bigger files), so it must stay
+      // ~FLAT as the table grows K-fold while relayout_s grows ~K.
+      // The count after proves the mixed-spec union read serves
+      // everything.
+      val (tEvolve, _) = secs(spark.sql(
+        "CALL graft_sx.system.evolve_layout('db.blay', 'bucket(32,doc_id)')")
+        .collect())
+      val nEvolved = spark.table("graft_sx.db.blay").count()
+      require(nEvolved == nDocs,
+        s"mixed-spec read after evolve served $nEvolved of $nDocs rows")
       spark.sql("DROP TABLE graft_sx.db.blay")
       // q78-shape snapshot diff against a LONG version history (VERDICT
       // r11 #6): 2 + 3*K single-row commits deep with retention wide
@@ -397,6 +410,44 @@ object Stress {
         curv.exceptAll(basev).count() + basev.exceptAll(curv).count()
       }
       spark.sql("DROP TABLE graft_sh.db.hist")
+      // round-13: st13-shape admission-controlled CATCH-UP over a deep
+      // commit history (VERDICT r12 #7): 30*K single-row commits, then
+      // a fresh stream drains the head snapshot at 8 files/trigger.
+      // Per-trigger cost must price the 8 admitted files plus ONE
+      // pointer-log read — flat in history depth (the per-version
+      // file-set cache keeps the diff arithmetic off the O(table)
+      // re-walk path), so catchup_s / catchup_batches must not grow
+      // with K even as the log is 10x deeper.
+      spark.conf.set("spark.sql.catalog.graft_sc",
+        classOf[graft.sources.AtomicParquetCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft_sc.warehouse",
+        java.nio.file.Files.createTempDirectory("graft_sc_wh").toString)
+      spark.conf.set("spark.sql.catalog.graft_sc.history", "400")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_sc.db")
+      docs.select($"doc_id", $"n_chars").limit(1)
+        .writeTo("graft_sc.db.hist2").using("parquet").createOrReplace()
+      for (c <- 1 to 30 * n)
+        spark.sql(s"INSERT INTO graft_sc.db.hist2 VALUES (${-c}L, $c)")
+      val nCatchB = new java.util.concurrent.atomic.AtomicLong(0)
+      val catchRows = new java.util.concurrent.atomic.AtomicLong(0)
+      val (tCatch, _) = secs {
+        val q = spark.readStream
+          .option("maxFilesPerTrigger", 8)
+          .table("graft_sc.db.hist2")
+          .writeStream
+          .option("checkpointLocation", java.nio.file.Files
+            .createTempDirectory("graft_sc_ck").toString)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            nCatchB.incrementAndGet(); catchRows.addAndGet(b.count()); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(300000)
+        q.stop()
+      }
+      require(catchRows.get() == 30L * n + 1,
+        s"catch-up served ${catchRows.get()} rows, expected ${30 * n + 1}")
+      spark.sql("DROP TABLE graft_sc.db.hist2")
       def rmTree(p: java.nio.file.Path): Unit = {
         import scala.jdk.CollectionConverters._
         if (java.nio.file.Files.exists(p))
@@ -406,7 +457,7 @@ object Stress {
       rmTree(gateDir)
 
       docs.unpersist()
-      f"""{"k":$n,"n_docs":$nDocs,"sig_s":$tSig%.2f,"pairs_s":$tPairs%.2f,"n_pairs":$nPairs,"verify_s":$tVerify%.2f,"n_edges":$nEdges,"dedup_s":$tDedup%.2f,"n_kept":$nKept,"contam_s":$tContam%.2f,"contam_bloom_s":$tContamB%.2f,"repetition_s":$tRep%.2f,"boilerplate_s":$tBp%.2f,"clean_s":$tClean%.2f,"n_clean":$nClean,"semantic_s":$tSem%.2f,"n_semantic":$nSem,"bpe_s":$tBpe%.2f,"n_merges":$nMergesGot,"fluency_s":$tFluency%.2f,"chunk_s":$tChunk%.2f,"score_s":$tScore%.2f,"triangles_s":$tTri%.2f,"n_triangles":$nTri,"cc_local_s":$tCcLocal%.2f,"cc_dist_s":$tCcDist%.2f,"cdc_s":$tCdc%.2f,"n_cdc_chunks":$nCdcChunks,"overlap_s":$tOv%.2f,"overlap_sketch_s":$tOvSk%.2f,"robust_s":$tRob%.2f,"spans_s":$tSpans%.2f,"excise_s":$tExcise%.2f,"contain_s":$tContain%.2f,"n_contain":$nContain,"split_s":$tSplit%.2f,"n_split":$nSplit,"budget_s":$tBudget%.2f,"n_budget":$nBudget,"budget_group_s":$tBudgetG%.2f,"n_budget_group":$nBudgetG,"hh_s":$tHh%.2f,"n_hh":$nHh,"vocab_s":$tVocab%.2f,"n_vocab":$nVocab,"kn_s":$tKn%.2f,"iw_s":$tIw%.2f,"drift_s":$tDrift%.2f,"mm04_s":$tMm04%.2f,"n_mm04":$nMm04,"t43_s":$tT43%.2f,"t44_s":$tT44%.2f,"st09_s":$tSt09%.2f,"st10_s":$tSt10%.2f,"merge_part_s":$tMergePart%.2f,"upsert_s":$tUpsert%.2f,"upsert_replay_s":$tUpsertReplay%.2f,"relayout_s":$tRelayout%.2f,"bucket_merge_s":$tBucketMerge%.2f,"hist_diff_s":$tHist%.2f,"n_hist_changed":$nChanged}"""
+      f"""{"k":$n,"n_docs":$nDocs,"sig_s":$tSig%.2f,"pairs_s":$tPairs%.2f,"n_pairs":$nPairs,"verify_s":$tVerify%.2f,"n_edges":$nEdges,"dedup_s":$tDedup%.2f,"n_kept":$nKept,"contam_s":$tContam%.2f,"contam_bloom_s":$tContamB%.2f,"repetition_s":$tRep%.2f,"boilerplate_s":$tBp%.2f,"clean_s":$tClean%.2f,"n_clean":$nClean,"semantic_s":$tSem%.2f,"n_semantic":$nSem,"bpe_s":$tBpe%.2f,"n_merges":$nMergesGot,"fluency_s":$tFluency%.2f,"chunk_s":$tChunk%.2f,"score_s":$tScore%.2f,"triangles_s":$tTri%.2f,"n_triangles":$nTri,"cc_local_s":$tCcLocal%.2f,"cc_dist_s":$tCcDist%.2f,"cdc_s":$tCdc%.2f,"n_cdc_chunks":$nCdcChunks,"overlap_s":$tOv%.2f,"overlap_sketch_s":$tOvSk%.2f,"robust_s":$tRob%.2f,"spans_s":$tSpans%.2f,"excise_s":$tExcise%.2f,"contain_s":$tContain%.2f,"n_contain":$nContain,"split_s":$tSplit%.2f,"n_split":$nSplit,"budget_s":$tBudget%.2f,"n_budget":$nBudget,"budget_group_s":$tBudgetG%.2f,"n_budget_group":$nBudgetG,"hh_s":$tHh%.2f,"n_hh":$nHh,"vocab_s":$tVocab%.2f,"n_vocab":$nVocab,"kn_s":$tKn%.2f,"iw_s":$tIw%.2f,"drift_s":$tDrift%.2f,"mm04_s":$tMm04%.2f,"n_mm04":$nMm04,"t43_s":$tT43%.2f,"t44_s":$tT44%.2f,"st09_s":$tSt09%.2f,"st10_s":$tSt10%.2f,"merge_part_s":$tMergePart%.2f,"upsert_s":$tUpsert%.2f,"upsert_replay_s":$tUpsertReplay%.2f,"relayout_s":$tRelayout%.2f,"bucket_merge_s":$tBucketMerge%.2f,"evolve_s":$tEvolve%.2f,"hist_diff_s":$tHist%.2f,"n_hist_changed":$nChanged,"st13_catchup_s":$tCatch%.2f,"st13_catchup_batches":${nCatchB.get()}}"""
     }
     println(s"""{"stress":[${results.mkString(",")}],"sf":"$dir"}""")
     spark.stop()

@@ -988,6 +988,39 @@ object Extras {
       .orderBy($"event_type")
   }
 
+  /** q93: ROW-LEVEL CHANGE FEED — Delta's `table_changes`, derived
+    * from the commit chain: per commit step, only the files that
+    * commit ADDED or REMOVED are read and anti-joined both ways
+    * (exceptAll), so rows a copy-on-write rewrite merely carried
+    * cancel out and what remains is true row-level CDC (net inserts /
+    * net deletes; an update is its delete+insert pair). Cost prices
+    * the churn, never the table. The gate takes a bucket-partitioned
+    * table through an append commit and a DELETE commit and pins the
+    * per-step change aggregate cross-engine: step 1 must be exactly
+    * the appended third as inserts, step 2 exactly the deleted rows
+    * as deletes — any carried-row leakage from the rewritten buckets
+    * would hash-mismatch immediately. */
+  def q93TableChanges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    s.sql("DROP TABLE IF EXISTS graft_ma.db.chg")
+    val ev = Tables.load(s, dir, "events")
+      .select($"event_id", $"user_id", $"value")
+    ev.where($"event_id" % 3 === 0)
+      .writeTo("graft_ma.db.chg").using("parquet")
+      .partitionedBy(bucket(8, $"user_id")).createOrReplace()
+    ev.where($"event_id" % 3 === 1).writeTo("graft_ma.db.chg").append()
+    s.sql("DELETE FROM graft_ma.db.chg WHERE event_id % 5 = 0")
+    graft.sources.AtomicParquetCatalog
+      .tableChanges(s, "graft_ma.db.chg", fromCommitsBack = 2)
+      .groupBy($"_commit_step", $"_change_type")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"event_id").as("n_distinct"),
+        moneySum($"value").as("total"))
+      .orderBy($"_commit_step", $"_change_type")
+  }
+
   /** Export path q76's oracle reads. Verify and the DuckDB oracle run on
     * the same host within one gate round, and the oracle SQL (which
     * embeds this path) is DUMPED BY THE SAME JVM that ran the export —
@@ -1307,6 +1340,7 @@ object Extras {
     "q90_composite_spec" -> q90CompositeSpec,
     "q91_evolve_layout" -> q91EvolveLayout,
     "q92_composite_dpp" -> q92CompositeDpp,
+    "q93_table_changes" -> q93TableChanges,
     "q76_catalog_external" -> q76CatalogExternal,
     "q77_partitions_metadata" -> q77PartitionsMetadata,
     "q78_snapshot_changes" -> q78SnapshotChanges,
@@ -1724,6 +1758,22 @@ object Extras {
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
         |  AND ts <  TIMESTAMP '2024-01-22 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // step 1 = the appended third as pure inserts; step 2 = exactly
+    // the deleted rows as deletes (rows the bucket rewrites merely
+    // carried cancel in the exceptAll)
+    "q93_table_changes" ->
+      """SELECT 1 AS _commit_step, 'insert' AS _change_type,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM events WHERE event_id % 3 = 1
+        |UNION ALL
+        |SELECT 2, 'delete',
+        | CAST(count(*) AS BIGINT),
+        | CAST(count(DISTINCT event_id) AS BIGINT),
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+        |FROM events WHERE event_id % 3 IN (0, 1) AND event_id % 5 = 0
+        |ORDER BY _commit_step, _change_type""".stripMargin,
     // the dim's grp=0 slice is exactly the user_id % 500 == 0 users (a
     // handful of keys, so whole bucket directories actually drop), and
     // the runtime-pruned join == the plain filtered aggregate

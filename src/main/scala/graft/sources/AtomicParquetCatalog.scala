@@ -133,6 +133,102 @@ object AtomicParquetCatalog {
     finally walk.close() // NIO walk streams hold directory handles
   }
 
+  /** Row-level CHANGE FEED between two snapshots — Delta's
+    * `table_changes`, derived from the commit chain: for each commit
+    * step the reader loads ONLY the files that commit added or
+    * removed and anti-joins them both ways (`exceptAll` — exact
+    * multiset semantics), so rows a rewritten file merely CARRIED
+    * cancel out and the result is true row-level CDC: net inserts
+    * tagged `insert`, net removals `delete` (an UPDATE appears as its
+    * delete+insert pair — the contract Delta documents when no change
+    * files exist). Cost prices the CHURN, not the table: a commit
+    * that rewrote one bucket reads that bucket twice, never the 100
+    * TB around it. Columns: the table's latest schema (older commits
+    * null-fill evolved columns) + `_change_type`, `_commit_step`
+    * (1 = the first commit after `fromCommitsBack`), `_commit_version`.
+    * Every version in the window must still be retained — an expired
+    * chain fails with the usual pointed error. */
+  def tableChanges(s: SparkSession, table: String,
+                   fromCommitsBack: Int, toCommitsBack: Int = 0): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val parts = table.split("\\.").toSeq.filter(_.nonEmpty)
+    require(parts.length >= 3,
+      s"table must be catalog.namespace.table, got '$table'")
+    val plugin = s.sessionState.catalogManager.catalog(parts.head) match {
+      case c: AtomicParquetCatalog => c
+      case other => throw new IllegalArgumentException(
+        s"catalog ${parts.head} is ${other.getClass.getName}, not an " +
+          "AtomicParquetCatalog")
+    }
+    val dir = parts.tail.foldLeft(plugin.warehouseDir)(_.resolve(_))
+    val log = plugin.versionLog(dir) // newest first
+    require(fromCommitsBack > toCommitsBack && toCommitsBack >= 0,
+      s"need fromCommitsBack > toCommitsBack >= 0, got " +
+        s"$fromCommitsBack > $toCommitsBack")
+    require(fromCommitsBack < log.size,
+      s"$table keeps ${log.size} snapshots — $fromCommitsBack commits " +
+        "back is outside the retention window")
+    // oldest-first chain fromCommitsBack → toCommitsBack
+    val chain = log.slice(toCommitsBack, fromCommitsBack + 1).reverse
+    val (latestSchema, _) = plugin.readMetaOf(dir.resolve(log(toCommitsBack)))
+    val outCols = latestSchema.fieldNames.toSeq.map(col) ++
+      Seq(col("_change_type"), col("_commit_step"), col("_commit_version"))
+
+    /** All rows of `files` (relative paths) under `versionDir`, read
+      * per layout root (the version's own layout and each `_spec-<k>`
+      * legacy subtree get their own basePath), projected to the latest
+      * schema with evolved columns null-filled. */
+    def rowsOf(versionDir: JPath, files: Set[String]): DataFrame = {
+      val groups = files.groupBy { rel =>
+        val first = rel.takeWhile(c => c != '/' && c != '\\')
+        if (first != rel && first.startsWith("_") && !first.contains("="))
+          first
+        else ""
+      }
+      val dfs = groups.toSeq.sortBy(_._1).map { case (g, fs) =>
+        val base = if (g.isEmpty) versionDir else versionDir.resolve(g)
+        val paths = fs.toSeq.sorted.map(f => versionDir.resolve(f).toString)
+        s.read.option("basePath", base.toString)
+          .schema(latestSchema).parquet(paths: _*)
+          .select(latestSchema.fieldNames.toSeq.map(col): _*)
+      }
+      dfs.reduceOption(_ unionByName _).getOrElse(
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          latestSchema))
+    }
+
+    def filesOf(v: String): Set[String] = {
+      val vd = dir.resolve(v)
+      if (!Files.isDirectory(vd)) throw new IllegalStateException(
+        s"$table: version $v is no longer retained — the change window " +
+          "spans an expired snapshot")
+      walkDataFiles(vd).map(f => vd.relativize(Paths.get(f)).toString).toSet
+    }
+
+    val steps = chain.sliding(2).zipWithIndex.collect {
+      case (Seq(prev, next), i) =>
+        val pf = filesOf(prev); val nf = filesOf(next)
+        val added = rowsOf(dir.resolve(next), nf -- pf)
+        val removed = rowsOf(dir.resolve(prev), pf -- nf)
+        val ins = added.exceptAll(removed)
+          .withColumn("_change_type", lit("insert"))
+        val del = removed.exceptAll(added)
+          .withColumn("_change_type", lit("delete"))
+        ins.unionByName(del)
+          .withColumn("_commit_step", lit(i + 1))
+          .withColumn("_commit_version", lit(next))
+          .select(outCols: _*)
+    }.toSeq
+    steps.reduceOption(_ unionByName _).getOrElse {
+      import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(latestSchema.fields ++ Seq(
+          StructField("_change_type", StringType),
+          StructField("_commit_step", IntegerType),
+          StructField("_commit_version", StringType))))
+    }
+  }
+
   /** Write-audit-publish (Iceberg's WAP workflow): stage `df` as a
     * NOT-YET-VISIBLE replacement snapshot of `table`
     * (`catalog.db.tbl`), run `audit` against a reader of the staged
@@ -198,6 +294,10 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
   }
 
   override def name(): String = catalogName
+
+  private[sources] def warehouseDir: JPath = warehouse
+  private[sources] def readMetaOf(versionDir: JPath): (StructType, Seq[PartitionField]) =
+    readMeta(versionDir)
 
   private def spark: SparkSession = SparkSession.active
 

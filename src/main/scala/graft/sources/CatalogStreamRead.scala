@@ -22,7 +22,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the checkpoint is fresh, exactly like Delta). */
 private[sources] final case class StreamReadOptions(
     maxFilesPerTrigger: Option[Int], skipChangeCommits: Boolean,
-    startingVersion: Option[String], startingTimestamp: Option[String]) {
+    startingVersion: Option[String], startingTimestamp: Option[String],
+    maxBytesPerTrigger: Option[Long] = None) {
   require(startingVersion.isEmpty || startingTimestamp.isEmpty,
     "set startingVersion OR startingTimestamp, not both")
 }
@@ -33,7 +34,8 @@ private[sources] object StreamReadOptions {
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       Option(options.get("skipChangeCommits")).exists(_.toBoolean),
       Option(options.get("startingVersion")).map(_.trim).filter(_.nonEmpty),
-      Option(options.get("startingTimestamp")).map(_.trim).filter(_.nonEmpty))
+      Option(options.get("startingTimestamp")).map(_.trim).filter(_.nonEmpty),
+      Option(options.get("maxBytesPerTrigger")).map(_.toLong))
 }
 
 /** STREAMING READS of catalog tables — `spark.readStream.table(t)`,
@@ -237,9 +239,15 @@ private[sources] final class CatalogMicroBatchStream(
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is the admission-controlled path")
 
-  override def getDefaultReadLimit: ReadLimit =
-    opts.maxFilesPerTrigger.map(ReadLimit.maxFiles)
-      .getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = opts.maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+      opts.maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   /** ADMISSION CONTROL — the 100 TB restart story: a stream started
     * (or restarted from an old offset) against a huge table must not
@@ -247,35 +255,62 @@ private[sources] final class CatalogMicroBatchStream(
     * `maxFilesPerTrigger` the offset advances at FILE granularity
     * through each version's sorted added-file list — `k` files into
     * the `base → upto` diff — and a fully-consumed version normalizes
-    * to the next `base`. Unbounded reads consume whole versions. */
+    * to the next `base`; `maxBytesPerTrigger` (Delta's other rate
+    * limit) bounds the same advance by cumulative file size instead
+    * of count — the right dial when file sizes are skewed. Both
+    * compose (whichever binds first). Unbounded reads consume whole
+    * versions. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[VersionOffset]
-    val maxF = limit match {
-      case m: ReadMaxFiles => m.maxFiles()
-      case _: ReadAllAvailable => Int.MaxValue
+    def flatten(l: ReadLimit): Seq[ReadLimit] = l match {
       case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
-        c.getReadLimits.collectFirst { case m: ReadMaxFiles => m.maxFiles() }
-          .getOrElse(Int.MaxValue)
-      case _ => Int.MaxValue
+        c.getReadLimits.toSeq
+      case other => Seq(other)
     }
-    def normalized(base: String, upto: String, k: Long): VersionOffset = {
-      val total = addedFiles(base, upto).size
-      if (k >= total) VersionOffset(upto, upto, 0)
-      else VersionOffset(base, upto, k.toInt) // k < total <= Int.MaxValue
+    val limits = flatten(limit)
+    val maxF = limits.collectFirst { case m: ReadMaxFiles => m.maxFiles() }
+      .getOrElse(Int.MaxValue)
+    val maxB = limits.collectFirst {
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxBytes =>
+        m.maxBytes()
+    }.getOrElse(Long.MaxValue)
+    /** Advance through the `base → upto` diff from `startK`: admit up
+      * to maxF files and (when a byte budget is set) stop before the
+      * cumulative size exceeds maxB — always at least one file, or a
+      * single oversized file could wedge the stream. Sizes are stat'd
+      * only for the admitted prefix, never the whole diff. Long
+      * arithmetic throughout: a checkpoint written under
+      * maxFilesPerTrigger resumed WITHOUT the option advances by
+      * Int.MaxValue — k + maxF in Int would wrap negative and
+      * re-serve already-emitted files. */
+    def admit(base: String, upto: String, startK: Int): VersionOffset = {
+      val diff = addedFiles(base, upto)
+      val total = diff.size
+      var end = math.min(startK.toLong + maxF, total.toLong).toInt
+      if (maxB != Long.MaxValue) {
+        var acc = 0L
+        var i = startK
+        while (i < end) {
+          val (v, rel) = diff(i)
+          val sz = try Files.size(tableDir.resolve(v).resolve(rel))
+          catch { case _: java.io.IOException => 0L }
+          if (i > startK && acc + sz > maxB) { end = i }
+          else { acc += sz; i += 1 }
+        }
+      }
+      if (end >= total) VersionOffset(upto, upto, 0)
+      else VersionOffset(base, upto, end)
     }
     if (s.upto.nonEmpty && s.base != s.upto) {
-      // mid-version: keep consuming this diff before looking for more.
-      // Long arithmetic: a checkpoint written under maxFilesPerTrigger
-      // resumed WITHOUT the option advances by Int.MaxValue — k + maxF
-      // in Int would wrap negative and re-serve already-emitted files
-      normalized(s.base, s.upto, s.k.toLong + maxF)
+      // mid-version: keep consuming this diff before looking for more
+      admit(s.base, s.upto, s.k)
     } else {
       val cur = availableNowCap.getOrElse {
         val l = log(); if (l.isEmpty) "" else l.head
       }
       val base = s.upto // "" initially, else the last fully-consumed
       if (cur.isEmpty || cur == base) s
-      else normalized(base, cur, maxF.toLong)
+      else admit(base, cur, 0)
     }
   }
 

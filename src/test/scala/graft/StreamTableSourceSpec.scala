@@ -319,6 +319,42 @@ class StreamTableSourceSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_sts.db.stt")
   }
 
+  test("maxBytesPerTrigger admits by cumulative size — a 1-byte budget " +
+      "degrades to one file per trigger, rows exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_sts.db")
+    (1L to 20L).map(i => (i, i * 1.0)).toDF("id", "v")
+      .repartition(4)
+      .writeTo("graft_sts.db.ovb").using("parquet")
+      .partitionedBy(bucket(2, $"id")).createOrReplace()
+    val nFiles = spark.sql(
+      "SELECT count(*) FROM graft_sts.db.ovb.files").head().getLong(0)
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]()
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream
+      .option("maxBytesPerTrigger", 1) // below any parquet footer
+      .table("graft_sts.db.ovb")
+      .writeStream.option("checkpointLocation",
+        Files.createTempDirectory("graft_sts_ovb").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batches.incrementAndGet()
+        batch.select(col("id"), col("v")).collect()
+          .foreach(r => out.add((r.getLong(0), r.getDouble(1))))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(out.iterator().asScala.toSeq.sorted ==
+      (1L to 20L).map(i => (i, i * 1.0)))
+    assert(batches.get() == nFiles,
+      s"expected $nFiles one-file batches under a 1-byte budget, got " +
+        batches.get())
+    spark.sql("DROP TABLE graft_sts.db.ovb")
+  }
+
   test("a backlog spanning metadata-only spec evolution reads every " +
       "file under the layout that wrote it (per-batch factories)") {
     import spark.implicits._
