@@ -1021,6 +1021,91 @@ object Extras {
       .orderBy($"_commit_step", $"_change_type")
   }
 
+  /** q94: FILE-LEVEL DATA SKIPPING (FileStats.scala) — the scan-planning
+    * half of what Iceberg manifests / Delta file stats buy at 100 TB:
+    * footer min/max per column are recorded at commit, and a selective
+    * predicate schedules only the files whose intervals overlap it.
+    * The gate lays orders out range-tiled on `o_custkey` (16 files with
+    * disjoint key ranges — the sorted/z-ordered layout the skipping is
+    * designed to pay off on), runs a 10%-width key-range aggregate, and
+    * hash-matches DuckDB on the raw parquet: skipping planned ~2 of 16
+    * files (FileSkippingSpec pins the counts) yet lost nothing. */
+  def q94FileSkipping(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    s.sql("DROP TABLE IF EXISTS graft_ma.db.ord_sorted")
+    Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+      .repartitionByRange(16, $"o_custkey")
+      .sortWithinPartitions($"o_custkey")
+      .writeTo("graft_ma.db.ord_sorted").create()
+    s.table("graft_ma.db.ord_sorted")
+      .where($"o_custkey" >= 100L && $"o_custkey" <= 250L)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct($"o_custkey").as("n_custs"),
+        moneySum($"o_totalprice").as("total"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** q95: MERGE-ON-READ DELETE (MorDeletes.scala) — Iceberg v2's
+    * delete-file posture: with `write.deleteMode = merge-on-read`, a
+    * translatable DELETE commits METADATA ONLY (every data file
+    * hard-links forward; the predicate lands as a `_deletes` entry
+    * scoped to the files present at delete time), and reads apply the
+    * entries exactly. At 100 TB this turns a partition-rewrite COW
+    * delete into an O(metadata) commit, amortized away later by `CALL
+    * system.rewrite_deletes`. The gate REQUIRES the zero-rewrite claim
+    * (data-file inode set unchanged across two stacked deletes), then
+    * hash-matches the surviving rows against DuckDB computing the same
+    * NOT-predicate aggregate on the raw parquet. */
+  def q95MorDelete(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    s.sql("DROP TABLE IF EXISTS graft_ma.db.ord_mor")
+    Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+        $"o_totalprice", $"o_orderpriority")
+      .writeTo("graft_ma.db.ord_mor").using("parquet")
+      .partitionedBy($"o_orderstatus").create()
+    def inodes(): Map[String, Any] = {
+      val wh = s.conf.get("spark.sql.catalog.graft_ma.warehouse")
+      val tdir = java.nio.file.Paths.get(wh, "db", "ord_mor")
+      val cur = tdir.resolve(new String(java.nio.file.Files.readAllBytes(
+        tdir.resolve("_current")), "UTF-8").split("\n").head.trim)
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(cur)
+      try walk.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") &&
+          !n.startsWith(".") &&
+          !cur.relativize(p).toString.startsWith("_deletes/")
+      }.map(p => cur.relativize(p).toString ->
+        java.nio.file.Files.getAttribute(p, "unix:ino")).toMap
+      finally walk.close()
+    }
+    val before = inodes()
+    s.conf.set("spark.sql.catalog.graft.write.deleteMode", "merge-on-read")
+    try {
+      s.sql("DELETE FROM graft_ma.db.ord_mor " +
+        "WHERE o_custkey >= 100 AND o_custkey <= 400")
+      s.sql("DELETE FROM graft_ma.db.ord_mor " +
+        "WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000.0")
+    } finally s.conf.unset("spark.sql.catalog.graft.write.deleteMode")
+    require(inodes() == before,
+      "merge-on-read DELETE must hard-link every data file unchanged")
+    require(s.table("graft_ma.db.ord_mor.deletes").count() == 2L,
+      "two stacked delete entries expected")
+    s.table("graft_ma.db.ord_mor")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct($"o_custkey").as("n_custs"),
+        moneySum($"o_totalprice").as("total"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** Export path q76's oracle reads. Verify and the DuckDB oracle run on
     * the same host within one gate round, and the oracle SQL (which
     * embeds this path) is DUMPED BY THE SAME JVM that ran the export —
@@ -1341,6 +1426,8 @@ object Extras {
     "q91_evolve_layout" -> q91EvolveLayout,
     "q92_composite_dpp" -> q92CompositeDpp,
     "q93_table_changes" -> q93TableChanges,
+    "q94_file_skipping" -> q94FileSkipping,
+    "q95_mor_delete" -> q95MorDelete,
     "q76_catalog_external" -> q76CatalogExternal,
     "q77_partitions_metadata" -> q77PartitionsMetadata,
     "q78_snapshot_changes" -> q78SnapshotChanges,
@@ -1784,6 +1871,27 @@ object Extras {
         | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM events WHERE user_id % 500 = 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // file skipping is a may-match over-approximation: the kept-file
+    // read must equal the plain filtered aggregate exactly
+    // survivors of two stacked metadata-only deletes == the raw table
+    // minus both predicates (all referenced columns are NOT NULL in
+    // TPC-H, so plain NOT is the exact survivor condition)
+    "q95_mor_delete" ->
+      """SELECT o_orderstatus,
+        | CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE NOT (o_custkey >= 100 AND o_custkey <= 400)
+        |  AND NOT (o_orderpriority = '1-URGENT' AND o_totalprice > 250000.0)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q94_file_skipping" ->
+      """SELECT o_orderstatus,
+        | CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_custkey BETWEEN 100 AND 250
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q89_rewrite_layout" ->
       """SELECT s_nationkey,
         | CAST(count(*) AS BIGINT) AS n_suppliers,

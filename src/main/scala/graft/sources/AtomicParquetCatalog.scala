@@ -100,11 +100,16 @@ object AtomicParquetCatalog {
     * the parquet files the catalog serves, no catalog metadata, so any
     * engine that reads hive-partitioned parquet can read it. */
   def exportVersionDir(src: JPath, dst: JPath): Unit = {
+    if (MorDeletes.hasLive(src)) throw new IllegalStateException(
+      s"$src has live merge-on-read delete entries — an exported raw " +
+        "tree would resurrect the deleted rows; run CALL system." +
+        "rewrite_deletes (or compact) first")
     val walk = Files.walk(src)
     try {
       for (f <- walk.iterator().asScala if Files.isRegularFile(f)) {
         val n = f.getFileName.toString
-        if (!n.startsWith("_") && !n.startsWith(".")) {
+        if (!n.startsWith("_") && !n.startsWith(".") &&
+            PartitionRuntimeFilters.isDataRel(src.relativize(f).toString)) {
           val out = dst.resolve(src.relativize(f))
           Files.createDirectories(out.getParent)
           try { Files.createLink(out, f); () }
@@ -128,7 +133,9 @@ object AtomicParquetCatalog {
     try walk.iterator().asScala.collect {
       case p if Files.isRegularFile(p) &&
           !p.getFileName.toString.startsWith("_") &&
-          !p.getFileName.toString.startsWith(".") => p.toString
+          !p.getFileName.toString.startsWith(".") &&
+          PartitionRuntimeFilters.isDataRel(
+            root.relativize(p).toString) => p.toString
     }.toSeq.sorted
     finally walk.close() // NIO walk streams hold directory handles
   }
@@ -178,24 +185,11 @@ object AtomicParquetCatalog {
       * per layout root (the version's own layout and each `_spec-<k>`
       * legacy subtree get their own basePath), projected to the latest
       * schema with evolved columns null-filled. */
-    def rowsOf(versionDir: JPath, files: Set[String]): DataFrame = {
-      val groups = files.groupBy { rel =>
-        val first = rel.takeWhile(c => c != '/' && c != '\\')
-        if (first != rel && first.startsWith("_") && !first.contains("="))
-          first
-        else ""
-      }
-      val dfs = groups.toSeq.sortBy(_._1).map { case (g, fs) =>
-        val base = if (g.isEmpty) versionDir else versionDir.resolve(g)
-        val paths = fs.toSeq.sorted.map(f => versionDir.resolve(f).toString)
-        s.read.option("basePath", base.toString)
-          .schema(latestSchema).parquet(paths: _*)
-          .select(latestSchema.fieldNames.toSeq.map(col): _*)
-      }
-      dfs.reduceOption(_ unionByName _).getOrElse(
-        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          latestSchema))
-    }
+    def rowsOf(versionDir: JPath, files: Set[String]): DataFrame =
+      // reads apply the VERSION'S OWN live delete entries (exact
+      // per-cohort split), so a later COW rewrite does not re-report
+      // rows a merge-on-read delete already removed
+      MorDeletes.readFiles(s, versionDir, files, latestSchema)
 
     def filesOf(v: String): Set[String] = {
       val vd = dir.resolve(v)
@@ -210,9 +204,19 @@ object AtomicParquetCatalog {
         val pf = filesOf(prev); val nf = filesOf(next)
         val added = rowsOf(dir.resolve(next), nf -- pf)
         val removed = rowsOf(dir.resolve(prev), pf -- nf)
+        // a MERGE-ON-READ delete commit moves no files; its removed
+        // rows are the PREV version's survivors matching the new
+        // entry's predicate, scoped to the entry's file manifest
+        val prevIds = MorDeletes.entries(dir.resolve(prev)).map(_.id).toSet
+        val newEntries = MorDeletes.entries(dir.resolve(next))
+          .filterNot(e => prevIds.contains(e.id))
+        val morDel = newEntries.map { e =>
+          rowsOf(dir.resolve(prev), e.files intersect pf)
+            .where(MorDeletes.toColumn(e.node, latestSchema))
+        }.reduceOption(_ unionByName _)
         val ins = added.exceptAll(removed)
           .withColumn("_change_type", lit("insert"))
-        val del = removed.exceptAll(added)
+        val del = morDel.foldLeft(removed.exceptAll(added))(_ unionByName _)
           .withColumn("_change_type", lit("delete"))
         ins.unionByName(del)
           .withColumn("_commit_step", lit(i + 1))
@@ -360,6 +364,17 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             s"base ${expectedBase.getOrElse("<no table>")} but the table " +
             s"is now at ${old.headOption.getOrElse("<no table>")}; re-run " +
             "the write against the current version (nothing was overwritten)")
+      // file-level column stats for the version's NEW data files —
+      // recorded before the pointer swap so a committed version is
+      // born skippable; best-effort (a failure degrades to no-skipping
+      // for those files, never a failed commit)
+      try FileStats.record(dir, dir.resolve(version))
+      catch {
+        case e: Exception =>
+          System.err.println(s"[graft-filestats] WARN: stats collection " +
+            s"for $dir/$version failed (${e.getMessage}); its new files " +
+            "stay unskippable")
+      }
       // commit-instant marker for TIMESTAMP AS OF — written under the
       // lock so marker order always matches log order; tables from older
       // layouts fall back to the version dir's mtime on read
@@ -662,7 +677,8 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     def dataFiles(v: JPath): Seq[JPath] =
       Files.walk(v).iterator().asScala.filter(p => Files.isRegularFile(p) &&
         !p.getFileName.toString.startsWith("_") &&
-        !p.getFileName.toString.startsWith(".")).toSeq
+        !p.getFileName.toString.startsWith(".") &&
+        PartitionRuntimeFilters.isDataRel(v.relativize(p).toString)).toSeq
 
     def commitMs(v: String): Long =
       try new String(Files.readAllBytes(
@@ -703,6 +719,23 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             org.apache.spark.sql.catalyst.InternalRow(
               UTF8String.fromString(n), UTF8String.fromString(v),
               if (ord < 0) null else ord)
+          }
+        }))
+      case "deletes" =>
+        // live merge-on-read delete entries of the CURRENT snapshot —
+        // the operator's view of what rewrite_deletes would materialize
+        val schema = StructType(Seq(
+          StructField("id", StringType, nullable = false),
+          StructField("predicate", StringType, nullable = false),
+          StructField("n_files", LongType, nullable = false)))
+        Some(new LocalScanTable(s"$parent.deletes", schema, () => {
+          val cur = currentVersion(pdir).get
+          val (tblSchema, _) = readMeta(cur)
+          MorDeletes.entries(cur).map { e =>
+            org.apache.spark.sql.catalyst.InternalRow(
+              UTF8String.fromString(e.id),
+              UTF8String.fromString(MorDeletes.show(e.node, tblSchema)),
+              e.files.size.toLong)
           }
         }))
       case "stats" =>
@@ -991,6 +1024,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     writeMeta(nv, evolved, fields)
     linkDataFiles(cur, nv)
     carryLegacySpecs(cur, nv)
+    MorDeletes.carry(cur, nv)
     try commitVersion(dir, v, expectedBase = Some(cur.getFileName.toString))
     catch { case e: Throwable => dropOrphan(nv); throw e }
     loadTable(ident)
@@ -1057,20 +1091,24 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     * own. Parquet part-file names embed the write's job UUID, so names
     * from two different writes cannot collide. */
   private[sources] def linkDataFiles(from: JPath, to: JPath,
-      keepPartition: String => Boolean = _ => true): Unit = {
+      keepPartition: String => Boolean = _ => true,
+      keepFile: String => Boolean = _ => true): Unit = {
     val walk = Files.walk(from)
-    try linkDataFilesFrom(walk.iterator().asScala, from, to, keepPartition)
+    try linkDataFilesFrom(walk.iterator().asScala, from, to, keepPartition,
+      keepFile)
     finally walk.close() // NIO walk streams hold directory handles
   }
 
   private def linkDataFilesFrom(it: Iterator[JPath], from: JPath, to: JPath,
-      keepPartition: String => Boolean): Unit = {
+      keepPartition: String => Boolean,
+      keepFile: String => Boolean): Unit = {
     for (src <- it if Files.isRegularFile(src)) {
       val name = src.getFileName.toString
       if (!name.startsWith("_") && !name.startsWith(".")) {
         val rel = from.relativize(src)
         val partDir = Option(rel.getParent).map(_.toString).getOrElse("")
-        if (keepPartition(partDir)) {
+        if (PartitionRuntimeFilters.isDataRel(rel.toString) &&
+            keepPartition(partDir) && keepFile(rel.toString)) {
           val dst = to.resolve(rel)
           Files.createDirectories(dst.getParent)
           try { Files.createLink(dst, src); () }
@@ -1199,6 +1237,16 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     * compact / rewrite_layout over this read UNIFY a mixed table into
     * its target spec. */
   private def readVersionDf(versionDir: JPath, schema: StructType): DataFrame = {
+    // live merge-on-read deletes: the exact per-file-cohort read — a
+    // maintenance rewrite over this DataFrame MATERIALIZES the deletes
+    // (which is why compact/rewrite_layout clear the sidecar: their
+    // output files are new and already clean)
+    if (MorDeletes.hasLive(versionDir)) {
+      val rels = AtomicParquetCatalog.walkDataFiles(versionDir)
+        .map(p => versionDir.relativize(java.nio.file.Paths.get(p)).toString)
+        .toSet
+      return MorDeletes.readFiles(spark, versionDir, rels, schema)
+    }
     val cols = schema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col)
     val root = spark.read.schema(schema).parquet(versionDir.toString)
       .select(cols: _*)
@@ -1233,6 +1281,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("expire_snapshots", "rollback_to", "compact", "rewrite_layout",
+        "rewrite_deletes",
         "evolve_layout", "tag", "drop_tag", "analyze", "clone",
         "remove_orphans")
         .map(Identifier.of(Array("system"), _))
@@ -1287,6 +1336,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             writeMeta(dir.resolve(v), schema, parts)
             linkDataFiles(target, dir.resolve(v))
             carryLegacySpecs(target, dir.resolve(v))
+            MorDeletes.carry(target, dir.resolve(v))
             try commitPointer(dir, v, expectedBase = log.headOption)
             catch { case e: Throwable => dropOrphan(dir.resolve(v)); throw e }
             summaryScan(StructType(Seq(
@@ -1329,12 +1379,77 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
               Files.walk(p).iterator().asScala.count(f =>
                 Files.isRegularFile(f) &&
                   !f.getFileName.toString.startsWith("_") &&
-                  !f.getFileName.toString.startsWith("."))
+                  !f.getFileName.toString.startsWith(".") &&
+                  PartitionRuntimeFilters.isDataRel(
+                    p.relativize(f).toString))
             summaryScan(StructType(Seq(
               StructField("files_before", LongType, nullable = false),
               StructField("files_after", LongType, nullable = false),
               StructField("new_version", StringType, nullable = false))),
               InternalRow(nFiles(cur), nFiles(nv), UTF8String.fromString(v)))
+          }
+        }
+      case "rewrite_deletes" =>
+        // CALL cat.system.rewrite_deletes('db.tbl') — MATERIALIZE the
+        // live merge-on-read delete entries: ONLY the files a delete
+        // entry names are rewritten (their survivors re-laid into the
+        // current spec); every untouched file hard-links forward, and
+        // the new version starts with a clean sidecar. This is
+        // Iceberg's minor compaction: delete cost stays O(metadata) at
+        // write time, and this procedure amortizes the read-side
+        // filter away on the operator's schedule — priced by the files
+        // the deletes touched, never the 100 TB around them.
+        new GraftProcedure("rewrite_deletes", Seq(
+          ProcedureParameter.in("table", StringType).build())) {
+          override def call(input: InternalRow): java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val tbl = input.getUTF8String(0).toString
+            val dir = procTableDir(tbl)
+            val base = versionLog(dir).head
+            val cur = dir.resolve(base)
+            val (schema, fields) = readMeta(cur)
+            val es = MorDeletes.entries(cur)
+            val summarySchema = StructType(Seq(
+              StructField("entries_removed", LongType, nullable = false),
+              StructField("files_rewritten", LongType, nullable = false),
+              StructField("new_version", StringType, nullable = false)))
+            if (es.isEmpty)
+              return summaryScan(summarySchema,
+                InternalRow(0L, 0L, UTF8String.fromString(base)))
+            val liveRels = AtomicParquetCatalog.walkDataFiles(cur)
+              .map(p => cur.relativize(Paths.get(p)).toString).toSet
+            // a manifest file whose footer stats PROVE the entry's
+            // predicate matches nothing needs no rewrite — the same
+            // may-match pruning the read side uses, here saving write
+            // amplification: a targeted delete rewrites the files it
+            // touched, not every file that existed at delete time
+            val stats = FileStats.load(dir)
+            val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
+              .toAttributes(schema)
+            val affected = es.flatMap { e =>
+              val expr = MorDeletes.toCatalyst(e.node, attrs)
+              (e.files intersect liveRels).filter(f =>
+                stats.get(f).forall(
+                  FileStats.mayMatch(Seq(expr), _, schema)))
+            }.toSet
+            require(affected.forall(!_.startsWith("_spec-")),
+              s"$tbl: delete entries touch legacy-spec subtrees — run " +
+                "CALL system.compact to materialize and unify instead")
+            val v = s"v-${UUID.randomUUID()}"
+            val nv = dir.resolve(v)
+            writeMeta(nv, schema, fields)
+            if (affected.nonEmpty) {
+              val df = MorDeletes.readFiles(spark, cur, affected, schema)
+              PartitionField.materializeDirCols(df, fields).write
+                .mode("append").partitionBy(fields.map(_.dirName): _*)
+                .parquet(nv.toString)
+            }
+            linkDataFiles(cur, nv, keepFile = r => !affected.contains(r))
+            carryLegacySpecs(cur, nv)
+            // _deletes deliberately NOT carried: materialized
+            try commitPointer(dir, v, expectedBase = Some(base))
+            catch { case e: Throwable => dropOrphan(nv); throw e }
+            summaryScan(summarySchema, InternalRow(es.size.toLong,
+              affected.size.toLong, UTF8String.fromString(v)))
           }
         }
       case "rewrite_layout" =>
@@ -1442,7 +1557,12 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
               linkDataFiles(cur, nv.resolve(sub),
                 keepPartition = PartitionRuntimeFilters.isLayoutDir)
               entries = entries :+ (sub -> oldFields)
+              // live delete entries follow their files: root-layout
+              // paths relocate under the new legacy subtree
+              MorDeletes.carry(cur, nv, rebasePrefix = Some(sub))
             }
+            if (entries == oldLegacy && dataFilePartitions(cur).isEmpty)
+              MorDeletes.carry(cur, nv)
             writeLegacySpecs(nv, entries)
             try commitPointer(dir, v, expectedBase = Some(base))
             catch { case e: Throwable => dropOrphan(nv); throw e }
@@ -1605,6 +1725,12 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             writeMeta(dstDir.resolve(v), schema, parts)
             linkDataFiles(srcDir.resolve(srcVersion), dstDir.resolve(v))
             carryLegacySpecs(srcDir.resolve(srcVersion), dstDir.resolve(v))
+            MorDeletes.carry(srcDir.resolve(srcVersion), dstDir.resolve(v))
+            // the clone links the same data files BY NAME, so the
+            // source's file-stats store is the destination's — carried
+            // as links too, or the clone commit would re-read every
+            // footer the source already priced
+            FileStats.carryStore(srcDir, dstDir)
             commitPointer(dstDir, v, expectedBase = None)
             summaryScan(StructType(Seq(
               StructField("cloned_from", StringType, nullable = false),
@@ -1811,7 +1937,64 @@ private[sources] final class PointerTable(
     legacy: Seq[(String, Seq[PartitionField])] = Nil,
     historical: Boolean = false)
     extends VersionedTable(ident, versionDir, tableSchema, fields)
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+
+  /** MERGE-ON-READ DELETE (MorDeletes.scala): with
+    * `spark.sql.catalog.graft.write.deleteMode = merge-on-read`, a
+    * DELETE whose condition fully translates commits METADATA ONLY —
+    * Spark's `OptimizeMetadataOnlyDeleteFromTable` swaps the COW
+    * rewrite for `deleteWhere` exactly when `canDeleteWhere` accepts.
+    * Anything untranslatable (expressions over functions, decimals,
+    * nested fields) answers false and keeps the COW path — correct at
+    * any scale, just not O(metadata). */
+  override def canDeleteWhere(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    MorDeletes.morEnabled(spark) && !historical && predicates.nonEmpty &&
+      predicates.forall(p => MorDeletes.translate(p, tableSchema).isDefined)
+
+  override def deleteWhere(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val node = predicates.toSeq
+      .map(p => MorDeletes.translate(p, tableSchema).getOrElse(
+        throw new UnsupportedOperationException(
+          s"$ident: deleteWhere received an untranslatable predicate $p " +
+            "that canDeleteWhere would have refused")))
+      .reduce(MorDeletes.AndN(_, _))
+    val v = s"v-${UUID.randomUUID()}"
+    val nv = dir.resolve(v)
+    Files.createDirectories(nv)
+    Files.copy(versionDir.resolve("_schema.json"), nv.resolve("_schema.json"))
+    Files.copy(versionDir.resolve("_partitions.txt"),
+      nv.resolve("_partitions.txt"))
+    catalog.linkDataFiles(versionDir, nv)
+    catalog.carryLegacySpecs(versionDir, nv)
+    MorDeletes.carry(versionDir, nv)
+    // the entry scopes to the files present NOW: rows appended later
+    // that happen to match the predicate are untouched (snapshot
+    // semantics, the Iceberg sequence-number rule)
+    val files = AtomicParquetCatalog.walkDataFiles(versionDir)
+      .map(p => versionDir.relativize(java.nio.file.Paths.get(p)).toString)
+      .toSet
+    MorDeletes.writeEntry(nv, node, files)
+    try catalog.commitVersion(dir, v,
+      expectedBase = Some(versionDir.getFileName.toString))
+    catch { case e: Throwable => catalog.dropOrphan(nv); throw e }
+  }
+
+  /** TRUNCATE (SupportsDeleteV2's parent contract): an empty fresh
+    * version under the same schema/spec — whole-table semantics, so no
+    * links, no sidecars. */
+  override def truncateTable(): Boolean = {
+    val v = s"v-${UUID.randomUUID()}"
+    val nv = dir.resolve(v)
+    Files.createDirectories(nv)
+    Files.copy(versionDir.resolve("_schema.json"), nv.resolve("_schema.json"))
+    Files.copy(versionDir.resolve("_partitions.txt"),
+      nv.resolve("_partitions.txt"))
+    try catalog.commitVersion(dir, v,
+      expectedBase = Some(versionDir.getFileName.toString))
+    catch { case e: Throwable => catalog.dropOrphan(nv); throw e }
+    true
+  }
 
   override protected def legacySpecs: Seq[(String, Seq[PartitionField])] =
     legacy
@@ -1985,7 +2168,16 @@ private[sources] final class PointerTable(
                 p.pruneColumns(tableSchema)
               case _ => ()
             }
-            delegate = prunedBuilder.build()
+            val rebuilt = prunedBuilder.build()
+            // the rebuild BYPASSES the table's own scan builder, so
+            // live MOR deletes must re-wrap here or the COW rewrite
+            // would resurrect deleted rows into the new files (the
+            // full tableSchema is read — no extra columns to project)
+            val live = MorDeletes.entries(versionDir)
+            delegate =
+              if (live.isEmpty) rebuilt
+              else new DeleteApplyingScan(rebuilt, s"$ident-cow-pruned",
+                versionDir, live, Nil)
           }
         }
       }
@@ -2037,6 +2229,11 @@ private[sources] final class PointerTable(
                     catalog.dropOrphan(staging)
                     catalog.linkDataFiles(versionDir, nv,
                       keepPartition = p => !rewritten.contains(p))
+                    // linked (untouched) partitions keep their live
+                    // delete entries; the rewritten partitions' fresh
+                    // files appear in no manifest, so the carried
+                    // entries are inert for them
+                    MorDeletes.carry(versionDir, nv)
                   case _ if parts.nonEmpty =>
                     // whole-table COW on a PARTITIONED table (group
                     // filtering never fired — e.g. a merge with
@@ -2142,6 +2339,7 @@ private[sources] final class PointerTable(
           writeInto(nv, staged, "append")
           catalog.dropOrphan(staging)
           val written = catalog.dataFilePartitions(nv)
+          MorDeletes.carry(versionDir, nv)
           catalog.linkDataFiles(versionDir, nv,
             keepPartition = p => !written.contains(p))
           try catalog.commitVersion(dir, v,
@@ -2191,6 +2389,7 @@ private[sources] final class PointerTable(
             if (mode == "append") {
               catalog.linkDataFiles(versionDir, nv)
               catalog.carryLegacySpecs(versionDir, nv)
+              MorDeletes.carry(versionDir, nv)
             }
             try catalog.commitVersion(dir, v,
               expectedBase = Some(versionDir.getFileName.toString))

@@ -118,7 +118,8 @@ private[sources] final class CatalogMicroBatchStream(
       try walk.iterator().asScala.collect {
         case p if Files.isRegularFile(p) &&
             !p.getFileName.toString.startsWith("_") &&
-            !p.getFileName.toString.startsWith(".") =>
+            !p.getFileName.toString.startsWith(".") &&
+            PartitionRuntimeFilters.isDataRel(v.relativize(p).toString) =>
           v.relativize(p).toString
       }.toSet
       finally walk.close()
@@ -160,7 +161,19 @@ private[sources] final class CatalogMicroBatchStream(
     * ADDED it — which is also why this mode needs the intermediate
     * versions retained (an expired chain fails with the same pointed
     * restart-fresh error as any vacuumed offset). */
-  private def addedFiles(base: String, upto: String): Seq[(String, String)] =
+  private def addedFiles(base: String, upto: String): Seq[(String, String)] = {
+    // LIVE merge-on-read delete entries poison a streaming read: the
+    // per-version file reads below serve raw files, so deleted rows
+    // would be (re-)served as if present. Iceberg's incremental scan
+    // refuses delete files the same way. rewrite_deletes / compact
+    // materializes them, after which streaming resumes.
+    if (upto.nonEmpty &&
+        MorDeletes.hasLive(tableDir.resolve(upto)))
+      throw new IllegalStateException(
+        s"$name: the table has live merge-on-read delete entries — a " +
+          "streaming read cannot apply them; run CALL system." +
+          "rewrite_deletes (or compact) to materialize the deletes, " +
+          "then restart the stream")
     if (!opts.skipChangeCommits)
       (dataFiles(upto) --
         (if (base.isEmpty) Set.empty[String] else dataFiles(base)))
@@ -184,6 +197,7 @@ private[sources] final class CatalogMicroBatchStream(
       }
       out.result()
     }
+  }
 
   private def commitMs(v: String): Long =
     try new String(Files.readAllBytes(

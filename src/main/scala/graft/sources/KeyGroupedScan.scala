@@ -82,10 +82,30 @@ private[sources] final class KeyGroupedParquetScanBuilder(
   private var requiredSchema: Option[StructType] = None
   private var dataFilters: Seq[CExpression] = Nil
   private var aggPushed = false
+  // columns read ONLY for live delete predicates (projected away by the
+  // DeleteApplyingScan after the row filter)
+  private var deleteExtraCols: Seq[String] = Nil
+  private lazy val liveDeletes: Seq[MorDeletes.DeleteEntry] =
+    MorDeletes.entries(versionDir)
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    this.requiredSchema = Some(requiredSchema)
-    inner.pruneColumns(requiredSchema)
+    // live merge-on-read deletes: the row filter needs its predicate
+    // columns IN the row, whatever the query selected — extend the
+    // pruned schema (table order) and remember what to project away
+    val extended =
+      if (liveDeletes.isEmpty) requiredSchema
+      else {
+        val needed = liveDeletes.flatMap(e => MorDeletes.colsOf(e.node)).toSet
+        val have = requiredSchema.fieldNames.map(_.toLowerCase).toSet
+        val extra = tableSchema.fields.filter(f =>
+          needed.contains(f.name.toLowerCase) &&
+            !have.contains(f.name.toLowerCase))
+        deleteExtraCols = extra.map(_.name).toSeq
+        if (extra.isEmpty) requiredSchema
+        else StructType(requiredSchema.fields ++ extra)
+      }
+    this.requiredSchema = Some(extended)
+    inner.pruneColumns(extended)
   }
   override def pushFilters(filters: Seq[CExpression]): Seq[CExpression] = {
     dataFilters = filters
@@ -95,18 +115,20 @@ private[sources] final class KeyGroupedParquetScanBuilder(
   // a MIXED-SPEC version (legacy subtrees after metadata-only spec
   // evolution) must refuse aggregate / variant pushdown: the inner
   // builder sees only the version root's files, so a pushed aggregate
-  // would silently aggregate a SUBSET of the table
+  // would silently aggregate a SUBSET of the table. Live MOR deletes
+  // refuse too — a footer-computed aggregate would count deleted rows.
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    if (legacy.nonEmpty) return false
+    if (legacy.nonEmpty || liveDeletes.nonEmpty) return false
     val pushed = inner.pushAggregation(aggregation)
     aggPushed ||= pushed
     pushed
   }
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    legacy.isEmpty && inner.supportCompletePushDown(aggregation)
+    legacy.isEmpty && liveDeletes.isEmpty &&
+      inner.supportCompletePushDown(aggregation)
   override def pushVariantExtractions(
       extractions: Array[VariantExtraction]): Array[Boolean] =
-    if (legacy.nonEmpty) extractions.map(_ => false)
+    if (legacy.nonEmpty || liveDeletes.nonEmpty) extractions.map(_ => false)
     else inner.pushVariantExtractions(extractions)
 
   private def parts: Seq[String] = fields.map(_.dirName)
@@ -126,11 +148,36 @@ private[sources] final class KeyGroupedParquetScanBuilder(
       else new SpecUnionScan(buildInner() +: legacy.map {
         case (sub, lf) => legacyScan(sub, lf)
       }, scanName)
+    // MERGE-ON-READ DELETES (MorDeletes.scala): live delete entries
+    // apply as an exact per-task row filter; the wrapper also projects
+    // away any column read only for the predicates. Applies to EVERY
+    // read of the version — including row-level COW scans, whose
+    // rewrite must not resurrect deleted rows into the new files.
+    val withDeletes =
+      if (liveDeletes.isEmpty) base
+      else new DeleteApplyingScan(base, scanName, versionDir, liveDeletes,
+        deleteExtraCols)
+    // FILE-LEVEL DATA SKIPPING (FileStats.scala): when compile-time
+    // filters were pushed and the table has a footer-stats store, plan
+    // only the files the filters can possibly match. Engages on exactly
+    // the scans where it is sound: row-level-op scans push no filters
+    // (their builder hides pushdown) and a pushed aggregate must see
+    // every file, so both pass through unwrapped. Skipping stats are a
+    // may-match over-approximation, so composing them with MOR deletes
+    // is sound (a skipped file holds no matching rows, deleted or not).
+    val tableDir = versionDir.getParent
+    val skipping =
+      if (dataFilters.nonEmpty && !aggPushed &&
+          FileStats.skippingEnabled(session) &&
+          java.nio.file.Files.isDirectory(tableDir.resolve("_filestats")))
+        new FileSkippingScan(withDeletes, scanName, tableDir, versionDir,
+          tableSchema, dataFilters)
+      else withDeletes
     // every catalog batch scan leaves wrapped in StreamCapableScan —
     // behavior-preserving for batch (conditional forwarding), and the
     // hook that makes `readStream.table` work on every layout
-    new StreamCapableScan(base, session, scanName,
-      versionDir.getParent, tableSchema, streamOpts)
+    new StreamCapableScan(skipping, session, scanName,
+      tableDir, tableSchema, streamOpts)
   }
 
   /** One legacy `_spec-<k>` subtree's scan: its own ParquetTable with

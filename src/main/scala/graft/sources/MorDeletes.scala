@@ -1,0 +1,606 @@
+package graft.sources
+
+import java.nio.file.{Files, Path => JPath, StandardCopyOption}
+import java.util.{Base64, UUID}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Attribute, EqualTo, Expression => CExpression, GreaterThan, GreaterThanOrEqual, In, IsNull, IsNotNull, LessThan, LessThanOrEqual, Literal => CLiteral, Not, Or => COr, Predicate => CPredicate, UnsafeProjection}
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.connector.expressions.{NamedReference, Literal => V2Literal}
+import org.apache.spark.sql.connector.expressions.filter.{And => V2And, Or => V2Or, Predicate => V2Predicate}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.partitioning.{Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MERGE-ON-READ DELETE for the atomic catalog — Iceberg v2's
+  * delete-file posture, re-expressed for this catalog's commit model:
+  * with `spark.sql.catalog.graft.write.deleteMode = merge-on-read`, a
+  * `DELETE FROM t WHERE p` whose condition translates to V2 predicates
+  * commits METADATA ONLY — every data file hard-links forward and the
+  * predicate lands as a delete entry under the new version's
+  * `_deletes/` sidecar, scoped to exactly the files present at delete
+  * time (rows appended later that happen to match `p` are untouched —
+  * snapshot semantics, not a standing filter). At 100 TB this turns a
+  * partition-rewrite COW delete into an O(metadata) commit; the read
+  * side pays one codegen'd row predicate until `CALL
+  * system.rewrite_deletes` (or compact / rewrite_layout) materializes
+  * the deletes back into clean files. A condition that does NOT
+  * translate falls back to the COW rewrite automatically (Spark's
+  * `OptimizeMetadataOnlyDeleteFromTable` consults `canDeleteWhere`).
+  *
+  * Application is EXACT, never filter-pushdown-approximate: the scan
+  * splits planned file groups by applicable-delete signature and a
+  * per-task catalyst predicate drops matching rows after read (parquet
+  * pushdown may under-filter by contract, so the delete predicate can
+  * never ride as a pushed filter alone). Columns the delete predicate
+  * needs are added to the scan's required schema and projected away
+  * after the filter. Internal maintenance reads
+  * (compact/rewrite_layout/analyze/CDC) go through [[applyToVersion]],
+  * which reads per-signature file cohorts explicitly — the same exact
+  * split, DataFrame-side.
+  *
+  * Entry shape under `_deletes/`: `<id>.pred` (the serialized predicate
+  * AST) + `<id>.files` (version-relative paths of the files it applies
+  * to — an Iceberg manifest's role). Entries ride every hard-link
+  * commit via [[carry]]; spec evolution rebases the relocated paths;
+  * rewriting commits (compact, rewrite_layout, whole-table COW) start
+  * clean because their files are new. */
+private[sources] object MorDeletes {
+
+  private val DIR = "_deletes"
+
+  def morEnabled(s: SparkSession): Boolean =
+    s.conf.getOption("spark.sql.catalog.graft.write.deleteMode")
+      .contains("merge-on-read")
+
+  // ---- predicate AST ----
+
+  sealed trait Node extends Serializable
+  final case class Leaf(op: String, col: String,
+                        values: Seq[String]) extends Node
+  final case class AndN(l: Node, r: Node) extends Node
+  final case class OrN(l: Node, r: Node) extends Node
+
+  /** Columns a node references (lower-cased). */
+  def colsOf(n: Node): Set[String] = n match {
+    case Leaf(_, c, _) => Set(c.toLowerCase)
+    case AndN(l, r) => colsOf(l) ++ colsOf(r)
+    case OrN(l, r) => colsOf(l) ++ colsOf(r)
+  }
+
+  // serialized as pre-order lines: "A" / "O" introduce two children,
+  // "L\top\tcol\tv1,v2" is a leaf (enc'd values never contain , or \t)
+  def serialize(n: Node): String = {
+    val sb = new StringBuilder
+    def go(x: Node): Unit = x match {
+      case AndN(l, r) => sb.append("A\n"); go(l); go(r)
+      case OrN(l, r) => sb.append("O\n"); go(l); go(r)
+      case Leaf(op, c, vs) =>
+        sb.append(s"L\t$op\t$c\t${vs.mkString(",")}\n")
+    }
+    go(n)
+    sb.result()
+  }
+
+  def parse(s: String): Node = {
+    val it = s.split("\n").iterator.filter(_.nonEmpty)
+    def go(): Node = it.next() match {
+      case "A" => AndN(go(), go())
+      case "O" => OrN(go(), go())
+      case l =>
+        val f = l.split("\t", -1)
+        require(f.length == 4 && f(0) == "L", s"bad delete predicate line: $l")
+        Leaf(f(1), f(2), if (f(3).isEmpty) Nil else f(3).split(",").toSeq)
+    }
+    go()
+  }
+
+  // ---- typed value codec (the column's schema type drives both ends) ----
+
+  private def encValue(v: Any, dt: DataType): Option[String] = (v, dt) match {
+    case (null, _) => None
+    case (b: Boolean, BooleanType) => Some(s"b:$b")
+    case (i: Int, IntegerType | DateType) => Some(s"i:$i")
+    case (s: Short, ShortType) => Some(s"i:${s.toInt}")
+    case (b: Byte, ByteType) => Some(s"i:${b.toInt}")
+    case (l: Long, LongType | TimestampType | TimestampNTZType) => Some(s"l:$l")
+    case (f: Float, FloatType) => Some(s"f:$f")
+    case (d: Double, DoubleType) => Some(s"d:$d")
+    case (u: UTF8String, StringType) =>
+      Some(s"s:${Base64.getEncoder.encodeToString(u.getBytes)}")
+    case (s: String, StringType) =>
+      Some(s"s:${Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))}")
+    case _ => None // decimals, binary, nested: not translatable → COW
+  }
+
+  /** Decoded to the CATALYST-internal value of column type `dt`. */
+  private def decValue(s: String, dt: DataType): Any = {
+    val body = s.substring(2)
+    dt match {
+      case BooleanType => body.toBoolean
+      case IntegerType | DateType => body.toInt
+      case ShortType => body.toInt.toShort
+      case ByteType => body.toInt.toByte
+      case LongType | TimestampType | TimestampNTZType => body.toLong
+      case FloatType => body.toFloat
+      case DoubleType => body.toDouble
+      case StringType => UTF8String.fromBytes(Base64.getDecoder.decode(body))
+      case other => throw new IllegalStateException(
+        s"delete predicate value of unsupported type $other")
+    }
+  }
+
+  /** Decoded to the EXTERNAL (DataFrame-literal) value. */
+  private def decExternal(s: String, dt: DataType): Column = {
+    import org.apache.spark.sql.functions._
+    val body = s.substring(2)
+    dt match {
+      case BooleanType => lit(body.toBoolean)
+      case IntegerType => lit(body.toInt)
+      case DateType => date_from_unix_date(lit(body.toInt))
+      case ShortType => lit(body.toInt.toShort)
+      case ByteType => lit(body.toInt.toByte)
+      case LongType => lit(body.toLong)
+      case TimestampType => timestamp_micros(lit(body.toLong))
+      case TimestampNTZType =>
+        timestamp_micros(lit(body.toLong)).cast(TimestampNTZType)
+      case FloatType => lit(body.toFloat)
+      case DoubleType => lit(body.toDouble)
+      case StringType =>
+        lit(new String(Base64.getDecoder.decode(body), "UTF-8"))
+      case other => throw new IllegalStateException(
+        s"delete predicate value of unsupported type $other")
+    }
+  }
+
+  // ---- V2 → AST translation (None = not translatable → COW fallback) ----
+
+  def translate(p: V2Predicate, schema: StructType): Option[Node] = {
+    def fieldType(ref: NamedReference): Option[DataType] = {
+      val n = ref.fieldNames()
+      if (n.length != 1) None
+      else schema.fields.find(_.name.equalsIgnoreCase(n(0))).map(_.dataType)
+    }
+    def colName(ref: NamedReference): String = ref.fieldNames()(0)
+    def leafCmp(op: String, flipped: String): Option[Node] = {
+      val ch = p.children()
+      if (ch.length != 2) return None
+      (ch(0), ch(1)) match {
+        case (r: NamedReference, l: V2Literal[_]) =>
+          for (dt <- fieldType(r); v <- encValue(l.value(), dt))
+            yield Leaf(op, colName(r), Seq(v))
+        case (l: V2Literal[_], r: NamedReference) =>
+          for (dt <- fieldType(r); v <- encValue(l.value(), dt))
+            yield Leaf(flipped, colName(r), Seq(v))
+        case _ => None
+      }
+    }
+    p match {
+      case a: V2And =>
+        for (l <- translate(a.left(), schema); r <- translate(a.right(), schema))
+          yield AndN(l, r)
+      case o: V2Or =>
+        for (l <- translate(o.left(), schema); r <- translate(o.right(), schema))
+          yield OrN(l, r)
+      case _ => p.name() match {
+        case "=" => leafCmp("eq", "eq")
+        case "<>" => leafCmp("ne", "ne")
+        case "<" => leafCmp("lt", "gt")
+        case "<=" => leafCmp("le", "ge")
+        case ">" => leafCmp("gt", "lt")
+        case ">=" => leafCmp("ge", "le")
+        case "IN" =>
+          p.children().headOption match {
+            case Some(r: NamedReference) =>
+              val tail = p.children().drop(1)
+              fieldType(r).flatMap { dt =>
+                val vs = tail.flatMap {
+                  case l: V2Literal[_] => encValue(l.value(), dt)
+                  case _ => return None
+                }
+                if (vs.length == tail.length) Some(Leaf("in", colName(r), vs.toSeq))
+                else None // a null or untranslatable element: fall back
+              }
+            case _ => None
+          }
+        case "IS_NULL" => p.children() match {
+          case Array(r: NamedReference) if fieldType(r).isDefined =>
+            Some(Leaf("isnull", colName(r), Nil))
+          case _ => None
+        }
+        case "IS_NOT_NULL" => p.children() match {
+          case Array(r: NamedReference) if fieldType(r).isDefined =>
+            Some(Leaf("notnull", colName(r), Nil))
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+  }
+
+  // ---- renderers ----
+
+  /** Catalyst expression over `attrs` (reader-side). Missing column =
+    * corrupted store: throwing beats silently resurrecting rows. */
+  def toCatalyst(n: Node, attrs: Seq[Attribute]): CExpression = {
+    def attr(c: String): Attribute =
+      attrs.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalStateException(
+          s"delete predicate column $c is missing from the read schema — " +
+            "the _deletes sidecar does not match the table"))
+    n match {
+      case AndN(l, r) => CAnd(toCatalyst(l, attrs), toCatalyst(r, attrs))
+      case OrN(l, r) => COr(toCatalyst(l, attrs), toCatalyst(r, attrs))
+      case Leaf(op, c, vs) =>
+        val a = attr(c)
+        def l(i: Int) = CLiteral(decValue(vs(i), a.dataType), a.dataType)
+        op match {
+          case "eq" => EqualTo(a, l(0))
+          case "ne" => Not(EqualTo(a, l(0)))
+          case "lt" => LessThan(a, l(0))
+          case "le" => LessThanOrEqual(a, l(0))
+          case "gt" => GreaterThan(a, l(0))
+          case "ge" => GreaterThanOrEqual(a, l(0))
+          case "in" => In(a, vs.indices.map(l))
+          case "isnull" => IsNull(a)
+          case "notnull" => IsNotNull(a)
+          case other => throw new IllegalStateException(
+            s"unknown delete predicate op $other")
+        }
+    }
+  }
+
+  /** DataFrame Column (maintenance-read side). */
+  def toColumn(n: Node, schema: StructType): Column = {
+    import org.apache.spark.sql.functions.col
+    def dtOf(c: String): DataType =
+      schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+        .getOrElse(throw new IllegalStateException(
+          s"delete predicate column $c is missing from the table schema"))
+    n match {
+      case AndN(l, r) => toColumn(l, schema) && toColumn(r, schema)
+      case OrN(l, r) => toColumn(l, schema) || toColumn(r, schema)
+      case Leaf(op, c, vs) =>
+        val dt = dtOf(c)
+        def l(i: Int) = decExternal(vs(i), dt)
+        op match {
+          case "eq" => col(c) === l(0)
+          case "ne" => col(c) =!= l(0)
+          case "lt" => col(c) < l(0)
+          case "le" => col(c) <= l(0)
+          case "gt" => col(c) > l(0)
+          case "ge" => col(c) >= l(0)
+          case "in" => vs.indices.map(i => col(c) === l(i))
+            .reduce(_ || _)
+          case "isnull" => col(c).isNull
+          case "notnull" => col(c).isNotNull
+          case other => throw new IllegalStateException(
+            s"unknown delete predicate op $other")
+        }
+    }
+  }
+
+  /** Human-readable rendering for the `.deletes` metadata table. */
+  def show(n: Node, schema: StructType): String = n match {
+    case AndN(l, r) => s"(${show(l, schema)} AND ${show(r, schema)})"
+    case OrN(l, r) => s"(${show(l, schema)} OR ${show(r, schema)})"
+    case Leaf(op, c, vs) =>
+      def v(i: Int): String = {
+        val s = vs(i)
+        if (s.startsWith("s:"))
+          "'" + new String(Base64.getDecoder.decode(s.substring(2)),
+            "UTF-8") + "'"
+        else s.substring(2)
+      }
+      op match {
+        case "eq" => s"$c = ${v(0)}"
+        case "ne" => s"$c <> ${v(0)}"
+        case "lt" => s"$c < ${v(0)}"
+        case "le" => s"$c <= ${v(0)}"
+        case "gt" => s"$c > ${v(0)}"
+        case "ge" => s"$c >= ${v(0)}"
+        case "in" => s"$c IN (${vs.indices.map(v).mkString(", ")})"
+        case "isnull" => s"$c IS NULL"
+        case "notnull" => s"$c IS NOT NULL"
+        case other => other
+      }
+  }
+
+  // ---- per-version entry store ----
+
+  final case class DeleteEntry(id: String, node: Node, files: Set[String])
+
+  def hasLive(versionDir: JPath): Boolean = {
+    val d = versionDir.resolve(DIR)
+    if (!Files.isDirectory(d)) return false
+    val ls = Files.list(d)
+    try ls.iterator().asScala.exists(_.getFileName.toString.endsWith(".pred"))
+    finally ls.close()
+  }
+
+  def entries(versionDir: JPath): Seq[DeleteEntry] = {
+    val d = versionDir.resolve(DIR)
+    if (!Files.isDirectory(d)) return Nil
+    val ls = Files.list(d)
+    val ids =
+      try ls.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".pred")).map(_.stripSuffix(".pred")).toSeq.sorted
+      finally ls.close()
+    ids.map { id =>
+      val node = parse(new String(
+        Files.readAllBytes(d.resolve(s"$id.pred")), "UTF-8"))
+      val files = new String(
+        Files.readAllBytes(d.resolve(s"$id.files")), "UTF-8")
+        .split("\n").iterator.filter(_.nonEmpty).toSet
+      DeleteEntry(id, node, files)
+    }
+  }
+
+  /** Write one entry into `versionDir` (a staged, not-yet-committed
+    * version — no locking needed). `.files` lands before `.pred`; the
+    * `.pred` move is the entry's commit marker. */
+  def writeEntry(versionDir: JPath, node: Node, files: Set[String]): String = {
+    val d = versionDir.resolve(DIR)
+    Files.createDirectories(d)
+    val id = s"d-${UUID.randomUUID()}"
+    val tf = d.resolve(s".$id.files.tmp")
+    Files.write(tf, files.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    Files.move(tf, d.resolve(s"$id.files"), StandardCopyOption.ATOMIC_MOVE)
+    val tp = d.resolve(s".$id.pred.tmp")
+    Files.write(tp, serialize(node).getBytes("UTF-8"))
+    Files.move(tp, d.resolve(s"$id.pred"), StandardCopyOption.ATOMIC_MOVE)
+    id
+  }
+
+  /** Carry `from`'s entries into `to` — every commit that hard-links
+    * data files forward owes this call (the delete applies to those
+    * same linked files). `rebasePrefix` handles spec evolution: files
+    * that lived at the version ROOT relocate under `_spec-<k>/`, so
+    * their recorded paths rebase; paths already inside a legacy
+    * subtree stay. */
+  def carry(from: JPath, to: JPath,
+            rebasePrefix: Option[String] = None): Unit = {
+    val src = from.resolve(DIR)
+    if (!Files.isDirectory(src)) return
+    val dst = to.resolve(DIR)
+    Files.createDirectories(dst)
+    val ls = Files.list(src)
+    val names =
+      try ls.iterator().asScala.map(_.getFileName.toString)
+        .filterNot(_.startsWith(".")).toSeq
+      finally ls.close()
+    for (n <- names) {
+      val out = dst.resolve(n)
+      if (n.endsWith(".files") && rebasePrefix.isDefined) {
+        val pfx = rebasePrefix.get
+        val rebased = new String(Files.readAllBytes(src.resolve(n)), "UTF-8")
+          .split("\n").iterator.filter(_.nonEmpty)
+          .map(f => if (f.startsWith("_spec-")) f else s"$pfx/$f")
+          .mkString("\n")
+        Files.write(out, rebased.getBytes("UTF-8"))
+      } else {
+        try { Files.createLink(out, src.resolve(n)); () }
+        catch {
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            Files.copy(src.resolve(n), out,
+              StandardCopyOption.REPLACE_EXISTING); ()
+        }
+      }
+    }
+  }
+
+  // ---- exact application for maintenance/CDC reads ----
+
+  /** Read `relFiles` of `versionDir` (grouped per layout root, like the
+    * CDC reader) with this VERSION's delete entries applied EXACTLY:
+    * files split by applicable-entry signature, each cohort filtered by
+    * the conjunction of its entries' negations. The split is
+    * driver-side set arithmetic over the sidecar manifests — never a
+    * row-side file-name comparison, so hive/URI escaping can't corrupt
+    * it. */
+  def readFiles(s: SparkSession, versionDir: JPath, relFiles: Set[String],
+                schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val cols = schema.fieldNames.toSeq.map(col)
+    val es = entries(versionDir)
+    def layoutRoot(rel: String): String = {
+      val first = rel.takeWhile(c => c != '/' && c != '\\')
+      if (first != rel && first.startsWith("_") && !first.contains("="))
+        first
+      else ""
+    }
+    val bySig: Map[(String, Seq[String]), Set[String]] =
+      relFiles.groupBy(f =>
+        (layoutRoot(f), es.filter(_.files.contains(f)).map(_.id)))
+    val dfs = bySig.toSeq.sortBy(_._1.toString).map { case ((root, sig), fs) =>
+      val base =
+        if (root.isEmpty) versionDir else versionDir.resolve(root)
+      val paths = fs.toSeq.sorted.map(f => versionDir.resolve(f).toString)
+      val raw = s.read.option("basePath", base.toString)
+        .schema(schema).parquet(paths: _*).select(cols: _*)
+      es.filter(e => sig.contains(e.id)).foldLeft(raw) { (df, e) =>
+        df.where(!toColumn(e.node, schema))
+      }
+    }
+    dfs.reduceOption(_ unionByName _).getOrElse(
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema))
+  }
+}
+
+/** The scan wrapper that applies live delete entries at read: planned
+  * file groups are SPLIT by applicable-delete signature (one partition
+  * never mixes two signatures), and the reader factory filters each
+  * task's rows by the conjunction of its signature's negated
+  * predicates, then projects away any column that was read only for
+  * the predicate. Forwards the runtime-filtering / partitioning /
+  * statistics handshakes; IS its own Batch with structural equality
+  * (the DPP-reuse contract, see FileSkippingScan). */
+private[sources] final class DeleteApplyingScan(
+    private[sources] val inner: Scan, scanName: String,
+    private[sources] val versionDir: JPath,
+    entries: Seq[MorDeletes.DeleteEntry], extraCols: Seq[String])
+    extends Scan with Batch with SupportsRuntimeV2Filtering
+    with SupportsReportPartitioning with SupportsReportStatistics {
+
+  private val serialized: Seq[(String, String, Set[String])] =
+    entries.map(e => (e.id, MorDeletes.serialize(e.node), e.files))
+
+  override def readSchema(): StructType = StructType(
+    inner.readSchema().filterNot(f =>
+      extraCols.exists(_.equalsIgnoreCase(f.name))))
+
+  override def description(): String =
+    s"graft-mor-deletes(${entries.size}) ${inner.description()}"
+
+  override def toBatch: Batch = this
+
+  override def equals(o: Any): Boolean = o match {
+    case d: DeleteApplyingScan =>
+      inner == d.inner && versionDir == d.versionDir
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(inner, versionDir)
+
+  private def relOf(urlEncoded: String): Option[String] = {
+    val vPrefix = versionDir.toString + "/"
+    val disk =
+      try new java.net.URI(urlEncoded).getPath
+      catch { case _: java.net.URISyntaxException => null }
+    if (disk == null || !disk.startsWith(vPrefix)) None
+    else Some(disk.substring(vPrefix.length))
+  }
+
+  /** Applicable entry ids for one file. */
+  private def sigOf(urlEncoded: String): Seq[String] = relOf(urlEncoded) match {
+    case Some(rel) => serialized.collect {
+      case (id, _, files) if files.contains(rel) => id
+    }
+    case None => Nil
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val out = Seq.newBuilder[InputPartition]
+    var idx = 0
+    def nextIdx(): Int = { val i = idx; idx += 1; i }
+    def split(p: InputPartition): Unit = p match {
+      case k: KeyedFilePartition =>
+        k.files.groupBy(f => sigOf(f.urlEncodedPath)).toSeq
+          .sortBy(_._1.mkString(","))
+          .foreach { case (_, fs) =>
+            out += new KeyedFilePartition(nextIdx(), fs, k.partitionKey())
+          }
+      case f: FilePartition =>
+        f.files.groupBy(x => sigOf(x.urlEncodedPath)).toSeq
+          .sortBy(_._1.mkString(","))
+          .foreach { case (_, fs) => out += FilePartition(nextIdx(), fs) }
+      case d: DispatchedPartition =>
+        // split the embedded file partition, keep the dispatch wrapper
+        d.inner match {
+          case f: FilePartition =>
+            f.files.groupBy(x => sigOf(x.urlEncodedPath)).toSeq
+              .sortBy(_._1.mkString(","))
+              .foreach { case (_, fs) =>
+                out += d.copy(inner = FilePartition(nextIdx(), fs))
+              }
+          case _ => out += d
+        }
+      case other => out += other
+    }
+    inner.toBatch.planInputPartitions().foreach(split)
+    out.result().toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DeleteApplyingReaderFactory(inner.toBatch.createReaderFactory(),
+      versionDir.toString, serialized.map(e => (e._2, e._3)),
+      inner.readSchema(), readSchema())
+
+  override def filterAttributes(): Array[NamedReference] = inner match {
+    case f: SupportsRuntimeV2Filtering => f.filterAttributes()
+    case _ => Array.empty
+  }
+  override def filter(predicates: Array[V2Predicate]): Unit = inner match {
+    case f: SupportsRuntimeV2Filtering => f.filter(predicates)
+    case _ => ()
+  }
+  override def outputPartitioning(): Partitioning = inner match {
+    case p: SupportsReportPartitioning => p.outputPartitioning()
+    case _ => new UnknownPartitioning(0)
+  }
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    inner match {
+      case s: SupportsReportStatistics => s.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes() = java.util.OptionalLong.empty()
+        override def numRows() = java.util.OptionalLong.empty()
+      }
+    }
+}
+
+/** Task-side delete application: rows whose partition's applicable
+  * delete predicates evaluate TRUE are dropped; survivors project to
+  * the target schema (by name — the inner row may carry extra
+  * predicate-only columns). Row readers only: a delete filter inside a
+  * ColumnarBatch would mean rewriting the batch, so columnar turns off
+  * for the (bounded) life of the delete entries. */
+private[sources] final class DeleteApplyingReaderFactory(
+    inner: PartitionReaderFactory, versionDirStr: String,
+    entries: Seq[(String, Set[String])], innerSchema: StructType,
+    target: StructType) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = false
+
+  private def relFiles(p: InputPartition): Seq[String] = p match {
+    case d: DispatchedPartition => relFiles(d.inner)
+    case f: FilePartition =>
+      val vPrefix = versionDirStr + "/"
+      f.files.toSeq.flatMap { pf =>
+        val disk =
+          try new java.net.URI(pf.urlEncodedPath).getPath
+          catch { case _: java.net.URISyntaxException => null }
+        if (disk == null || !disk.startsWith(vPrefix)) None
+        else Some(disk.substring(vPrefix.length))
+      }
+    case _ => Nil
+  }
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val files = relFiles(p).toSet
+    val applicable = entries.collect {
+      case (ser, fs) if fs.exists(files.contains) => ser
+    }
+    val r = inner.createReader(p)
+    val sameSchema = target == innerSchema
+    if (applicable.isEmpty && sameSchema) return r
+    val attrs = DataTypeUtils.toAttributes(innerSchema)
+    val preds = applicable.map(ser => CPredicate.create(
+      MorDeletes.toCatalyst(MorDeletes.parse(ser), attrs), attrs))
+    val proj =
+      if (sameSchema) null
+      else UnsafeProjection.create(
+        target.fields.toSeq.map(f => attrs.find(
+          _.name.equalsIgnoreCase(f.name)).getOrElse(
+          throw new IllegalStateException(
+            s"target column ${f.name} missing from inner read schema"))
+          .asInstanceOf[CExpression]), attrs)
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        while (r.next()) {
+          val row = r.get()
+          if (!preds.exists(_.eval(row))) { cur = row; return true }
+        }
+        false
+      }
+      override def get(): InternalRow =
+        if (proj == null) cur else proj(cur)
+      override def close(): Unit = r.close()
+    }
+  }
+}

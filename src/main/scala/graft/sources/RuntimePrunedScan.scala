@@ -123,6 +123,20 @@ private[sources] object PartitionRuntimeFilters {
       !(seg.startsWith("_") || seg.startsWith(".")) || seg.contains("=")
     }
 
+  /** Is `rel` (a version-relative FILE path) a data file's path — i.e.
+    * every directory segment is either a layout level (`k=v`, hidden
+    * `_gb_`/`_gd_` dirs included via their `=`) or a legacy-spec
+    * subtree root (`_spec-<k>`, the ONE underscore subtree that holds
+    * data)? Entries of metadata subtrees (`_deletes/`, `_staging/`)
+    * are NOT data, whatever their own file names look like. */
+  def isDataRel(rel: String): Boolean = {
+    val segs = rel.split('/')
+    segs.iterator.take(segs.length - 1).forall { seg =>
+      !(seg.startsWith("_") || seg.startsWith(".")) ||
+        seg.contains("=") || seg.startsWith("_spec-")
+    }
+  }
+
   /** The distinct partition directories holding data files under a
     * version dir ("" for unpartitioned files at the root) — a plain
     * filesystem walk, shared statically so scans built outside the

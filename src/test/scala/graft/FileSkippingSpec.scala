@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** FILE-LEVEL DATA SKIPPING (FileStats.scala): footer min/max stats are
+  * recorded at commit and consulted at scan planning, so a selective
+  * predicate over a range-laid-out table schedules only the files whose
+  * intervals overlap it. The pins here are the kept/planned FILE counts
+  * published by the skipping scan, plus the invariants that make the
+  * feature safe to default on: identical results with skipping off,
+  * conservative keeps for statless files, null-test semantics, and —
+  * the one that guards correctness of the whole catalog — row-level
+  * COW rewrites never lose carried rows to skipping. */
+class FileSkippingSpec extends AnyFunSuite {
+  lazy val warehouse: String =
+    java.nio.file.Files.createTempDirectory("graft_fsk_wh").toString
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.conf.set("spark.sql.catalog.graft_fsk",
+      "graft.sources.AtomicParquetCatalog")
+    s.conf.set("spark.sql.catalog.graft_fsk.warehouse", warehouse)
+    s
+  }
+
+  private def counts(tbl: String): (Int, Int) =
+    Option(graft.sources.FileSkippingScan.counts.get(s"db.$tbl"))
+      .getOrElse((-1, -1))
+
+  test("range query over a range-laid-out table skips non-overlapping files") {
+    val s = spark
+    import s.implicits._
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_fsk.db")
+    s.sql("DROP TABLE IF EXISTS graft_fsk.db.sorted")
+    // 8 files with DISJOINT k ranges: repartitionByRange gives each
+    // task a contiguous slice, so footer min/max intervals tile [0, 8000)
+    s.range(8000).select($"id".as("k"), ($"id" % 7).as("v"))
+      .repartitionByRange(8, $"k")
+      .writeTo("graft_fsk.db.sorted").create()
+    graft.sources.FileSkippingScan.counts.clear()
+    val got = s.table("graft_fsk.db.sorted")
+      .where($"k" >= 2000L && $"k" < 3000L).agg(count(lit(1))).head.getLong(0)
+    assert(got === 1000L)
+    val (kept, total) = counts("sorted")
+    assert(total === 8, "the batch should have planned against all 8 files")
+    assert(kept <= 2, s"a 1/8-width range must keep at most 2 of 8 " +
+      s"range-tiled files, kept $kept")
+
+    // point lookup: exactly one file can hold k = 4242
+    graft.sources.FileSkippingScan.counts.clear()
+    val one = s.table("graft_fsk.db.sorted").where($"k" === 4242L).collect()
+    assert(one.length === 1 && one.head.getLong(1) === 4242L % 7)
+    assert(counts("sorted")._1 === 1)
+  }
+
+  test("skipping off → same rows, all files planned") {
+    val s = spark
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft.read.fileSkipping", "false")
+    try {
+      graft.sources.FileSkippingScan.counts.clear()
+      val got = s.table("graft_fsk.db.sorted")
+        .where($"k" >= 2000L && $"k" < 3000L).agg(count(lit(1))).head.getLong(0)
+      assert(got === 1000L)
+      assert(counts("sorted") === ((-1, -1)),
+        "no skipping scan should have been planned with the conf off")
+    } finally s.conf.unset("spark.sql.catalog.graft.read.fileSkipping")
+  }
+
+  test("appended overlapping files get their own stats and stay kept") {
+    val s = spark
+    import s.implicits._
+    // one appended file spanning the WHOLE range: overlaps every query
+    s.range(8000).select($"id".as("k"), lit(99L).as("v"))
+      .coalesce(1).writeTo("graft_fsk.db.sorted").append()
+    graft.sources.FileSkippingScan.counts.clear()
+    val got = s.table("graft_fsk.db.sorted")
+      .where($"k" === 4242L).collect()
+    assert(got.length === 2) // original row + appended row
+    val (kept, total) = counts("sorted")
+    assert(total === 9)
+    assert(kept === 2, "the one range file plus the full-span appended file")
+  }
+
+  test("null-test predicates skip on nullCount") {
+    val s = spark
+    import s.implicits._
+    s.sql("DROP TABLE IF EXISTS graft_fsk.db.nulls")
+    // file A: v never null; file B: v always null
+    val a = s.range(100).select($"id".as("k"), $"id".cast("string").as("v"))
+      .coalesce(1)
+    a.writeTo("graft_fsk.db.nulls").create()
+    s.range(100, 200).select($"id".as("k"),
+      lit(null).cast("string").as("v")).coalesce(1)
+      .writeTo("graft_fsk.db.nulls").append()
+
+    graft.sources.FileSkippingScan.counts.clear()
+    assert(s.table("graft_fsk.db.nulls").where($"v".isNull).count() === 100L)
+    assert(counts("nulls") === ((1, 2)), "IS NULL must skip the no-null file")
+
+    graft.sources.FileSkippingScan.counts.clear()
+    assert(s.table("graft_fsk.db.nulls").where($"v".isNotNull).count() === 100L)
+    assert(counts("nulls") === ((1, 2)), "IS NOT NULL must skip the all-null file")
+
+    // a VALUE predicate can never match the all-null file either
+    graft.sources.FileSkippingScan.counts.clear()
+    assert(s.table("graft_fsk.db.nulls").where($"v" === "42").count() === 1L)
+    assert(counts("nulls") === ((1, 2)))
+  }
+
+  test("string equality skips by min/max; OR widens conservatively") {
+    val s = spark
+    import s.implicits._
+    s.sql("DROP TABLE IF EXISTS graft_fsk.db.strs")
+    Seq(("apple", 1), ("banana", 2)).toDF("w", "n").coalesce(1)
+      .writeTo("graft_fsk.db.strs").create()
+    Seq(("yam", 3), ("zucchini", 4)).toDF("w", "n").coalesce(1)
+      .writeTo("graft_fsk.db.strs").append()
+
+    graft.sources.FileSkippingScan.counts.clear()
+    assert(s.table("graft_fsk.db.strs").where($"w" === "apple").count() === 1L)
+    assert(counts("strs") === ((1, 2)))
+
+    // OR across both files' ranges keeps both
+    graft.sources.FileSkippingScan.counts.clear()
+    assert(s.table("graft_fsk.db.strs")
+      .where($"w" === "apple" || $"w" === "yam").count() === 2L)
+    assert(counts("strs") === ((2, 2)))
+  }
+
+  test("skipping composes with partition pruning inside kept partitions") {
+    val s = spark
+    import s.implicits._
+    s.sql("DROP TABLE IF EXISTS graft_fsk.db.parted")
+    s.sql("""CREATE TABLE graft_fsk.db.parted (k BIGINT, ch STRING)
+            | USING parquet PARTITIONED BY (ch)""".stripMargin)
+    // per partition value, 4 range-tiled files on k
+    s.range(4000).select($"id".as("k"),
+        when($"id" % 2 === 0, "a").otherwise("b").as("ch"))
+      .repartitionByRange(4, $"k")
+      .sortWithinPartitions($"k")
+      .writeTo("graft_fsk.db.parted").append()
+    graft.sources.FileSkippingScan.counts.clear()
+    val got = s.table("graft_fsk.db.parted")
+      .where($"ch" === "a" && $"k" < 1000L).count()
+    assert(got === 500L)
+    val (kept, total) = counts("parted")
+    // partition pruning already dropped ch=b's files at listing; of
+    // ch=a's 4 range files the k-predicate keeps 1 (plus at most one
+    // boundary straddler)
+    assert(total <= 4 && kept <= 2,
+      s"expected <=2 of <=4 files kept, got ($kept, $total)")
+  }
+
+  test("row-level COW rewrites never lose rows to skipping") {
+    val s = spark
+    import s.implicits._
+    s.sql("DROP TABLE IF EXISTS graft_fsk.db.cow")
+    s.range(8000).select($"id".as("k"), ($"id" % 7).as("v"))
+      .repartitionByRange(8, $"k")
+      .writeTo("graft_fsk.db.cow").create()
+    // the DELETE condition is selective enough that a (hypothetically
+    // unsound) skipped rewrite would drop the other files' rows
+    s.sql("DELETE FROM graft_fsk.db.cow WHERE k = 4242")
+    assert(s.table("graft_fsk.db.cow").count() === 7999L)
+    s.sql("UPDATE graft_fsk.db.cow SET v = -1 WHERE k = 17")
+    assert(s.table("graft_fsk.db.cow").count() === 7999L)
+    assert(s.table("graft_fsk.db.cow").where($"v" === -1L).count() === 1L)
+    // and the rewritten table's NEW files are themselves skippable
+    graft.sources.FileSkippingScan.counts.clear()
+    assert(s.table("graft_fsk.db.cow").where($"k" === 17L).head.getLong(1) === -1L)
+    val (kept, total) = counts("cow")
+    assert(kept < total, s"rewritten files should carry stats ($kept, $total)")
+  }
+}
