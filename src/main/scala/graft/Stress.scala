@@ -387,6 +387,49 @@ object Stress {
       require(nEvolved == nDocs,
         s"mixed-spec read after evolve served $nEvolved of $nDocs rows")
       spark.sql("DROP TABLE graft_sx.db.blay")
+      // round-13: merge-on-read DELETE vs COW delete at scale, plus
+      // file skipping's read-side shape. cluster_s re-lays the grown
+      // table range-clustered (one sampled exchange — must scale ~K
+      // like any rewrite). skip_off_s/skip_on_s run the SAME selective
+      // range aggregate with skipping disabled/enabled — skipping
+      // plans ~1 of 32 files whatever K is, so its advantage holds as
+      // files grow. mor_delete_s is the O(metadata) claim MEASURED:
+      // one link pass + a predicate sidecar, ~FLAT in K, while
+      // cow_delete_s (same predicate, same data, COW mode) carries the
+      // whole-table rewrite term. rewrite_deletes_s materializes the
+      // entry touching ONLY the stats-may-match files of the clustered
+      // layout — priced by the range the delete hit, not the table.
+      docs.select($"doc_id", $"text", $"n_chars").repartition(32)
+        .writeTo("graft_sx.db.morst").using("parquet").createOrReplace()
+      val (tCluster, _) = secs(spark.sql(
+        "CALL graft_sx.system.cluster_by('db.morst', 'doc_id', 32)")
+        .collect())
+      def morstRange(): Long = spark.table("graft_sx.db.morst")
+        .where($"doc_id" >= 100L && $"doc_id" < 200L)
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1))).head.getLong(0)
+      spark.conf.set("spark.sql.catalog.graft.read.fileSkipping", "false")
+      val (tSkipOff, _) = secs(morstRange())
+      spark.conf.unset("spark.sql.catalog.graft.read.fileSkipping")
+      val (tSkipOn, nInRange) = secs(morstRange())
+      require(nInRange == 100L, s"range read served $nInRange of 100")
+      spark.conf.set("spark.sql.catalog.graft.write.deleteMode",
+        "merge-on-read")
+      val (tMorDelete, _) = secs(spark.sql(
+        "DELETE FROM graft_sx.db.morst WHERE doc_id >= 100 AND doc_id < 200"))
+      spark.conf.unset("spark.sql.catalog.graft.write.deleteMode")
+      require(spark.table("graft_sx.db.morst").count() == nDocs - 100,
+        "merge-on-read delete must remove exactly the range")
+      val (tRewriteDel, _) = secs(spark.sql(
+        "CALL graft_sx.system.rewrite_deletes('db.morst')").collect())
+      require(spark.table("graft_sx.db.morst").count() == nDocs - 100,
+        "rewrite_deletes must preserve the survivor set")
+      spark.sql("DROP TABLE graft_sx.db.morst")
+      docs.select($"doc_id", $"text", $"n_chars").repartition(32)
+        .writeTo("graft_sx.db.morcw").using("parquet").createOrReplace()
+      val (tCowDelete, _) = secs(spark.sql(
+        "DELETE FROM graft_sx.db.morcw WHERE doc_id >= 100 AND doc_id < 200"))
+      spark.sql("DROP TABLE graft_sx.db.morcw")
       // q78-shape snapshot diff against a LONG version history (VERDICT
       // r11 #6): 2 + 3*K single-row commits deep with retention wide
       // enough to keep them all. The diff must price the TWO diffed
@@ -457,7 +500,7 @@ object Stress {
       rmTree(gateDir)
 
       docs.unpersist()
-      f"""{"k":$n,"n_docs":$nDocs,"sig_s":$tSig%.2f,"pairs_s":$tPairs%.2f,"n_pairs":$nPairs,"verify_s":$tVerify%.2f,"n_edges":$nEdges,"dedup_s":$tDedup%.2f,"n_kept":$nKept,"contam_s":$tContam%.2f,"contam_bloom_s":$tContamB%.2f,"repetition_s":$tRep%.2f,"boilerplate_s":$tBp%.2f,"clean_s":$tClean%.2f,"n_clean":$nClean,"semantic_s":$tSem%.2f,"n_semantic":$nSem,"bpe_s":$tBpe%.2f,"n_merges":$nMergesGot,"fluency_s":$tFluency%.2f,"chunk_s":$tChunk%.2f,"score_s":$tScore%.2f,"triangles_s":$tTri%.2f,"n_triangles":$nTri,"cc_local_s":$tCcLocal%.2f,"cc_dist_s":$tCcDist%.2f,"cdc_s":$tCdc%.2f,"n_cdc_chunks":$nCdcChunks,"overlap_s":$tOv%.2f,"overlap_sketch_s":$tOvSk%.2f,"robust_s":$tRob%.2f,"spans_s":$tSpans%.2f,"excise_s":$tExcise%.2f,"contain_s":$tContain%.2f,"n_contain":$nContain,"split_s":$tSplit%.2f,"n_split":$nSplit,"budget_s":$tBudget%.2f,"n_budget":$nBudget,"budget_group_s":$tBudgetG%.2f,"n_budget_group":$nBudgetG,"hh_s":$tHh%.2f,"n_hh":$nHh,"vocab_s":$tVocab%.2f,"n_vocab":$nVocab,"kn_s":$tKn%.2f,"iw_s":$tIw%.2f,"drift_s":$tDrift%.2f,"mm04_s":$tMm04%.2f,"n_mm04":$nMm04,"t43_s":$tT43%.2f,"t44_s":$tT44%.2f,"st09_s":$tSt09%.2f,"st10_s":$tSt10%.2f,"merge_part_s":$tMergePart%.2f,"upsert_s":$tUpsert%.2f,"upsert_replay_s":$tUpsertReplay%.2f,"relayout_s":$tRelayout%.2f,"bucket_merge_s":$tBucketMerge%.2f,"evolve_s":$tEvolve%.2f,"hist_diff_s":$tHist%.2f,"n_hist_changed":$nChanged,"st13_catchup_s":$tCatch%.2f,"st13_catchup_batches":${nCatchB.get()}}"""
+      f"""{"k":$n,"n_docs":$nDocs,"sig_s":$tSig%.2f,"pairs_s":$tPairs%.2f,"n_pairs":$nPairs,"verify_s":$tVerify%.2f,"n_edges":$nEdges,"dedup_s":$tDedup%.2f,"n_kept":$nKept,"contam_s":$tContam%.2f,"contam_bloom_s":$tContamB%.2f,"repetition_s":$tRep%.2f,"boilerplate_s":$tBp%.2f,"clean_s":$tClean%.2f,"n_clean":$nClean,"semantic_s":$tSem%.2f,"n_semantic":$nSem,"bpe_s":$tBpe%.2f,"n_merges":$nMergesGot,"fluency_s":$tFluency%.2f,"chunk_s":$tChunk%.2f,"score_s":$tScore%.2f,"triangles_s":$tTri%.2f,"n_triangles":$nTri,"cc_local_s":$tCcLocal%.2f,"cc_dist_s":$tCcDist%.2f,"cdc_s":$tCdc%.2f,"n_cdc_chunks":$nCdcChunks,"overlap_s":$tOv%.2f,"overlap_sketch_s":$tOvSk%.2f,"robust_s":$tRob%.2f,"spans_s":$tSpans%.2f,"excise_s":$tExcise%.2f,"contain_s":$tContain%.2f,"n_contain":$nContain,"split_s":$tSplit%.2f,"n_split":$nSplit,"budget_s":$tBudget%.2f,"n_budget":$nBudget,"budget_group_s":$tBudgetG%.2f,"n_budget_group":$nBudgetG,"hh_s":$tHh%.2f,"n_hh":$nHh,"vocab_s":$tVocab%.2f,"n_vocab":$nVocab,"kn_s":$tKn%.2f,"iw_s":$tIw%.2f,"drift_s":$tDrift%.2f,"mm04_s":$tMm04%.2f,"n_mm04":$nMm04,"t43_s":$tT43%.2f,"t44_s":$tT44%.2f,"st09_s":$tSt09%.2f,"st10_s":$tSt10%.2f,"merge_part_s":$tMergePart%.2f,"upsert_s":$tUpsert%.2f,"upsert_replay_s":$tUpsertReplay%.2f,"relayout_s":$tRelayout%.2f,"bucket_merge_s":$tBucketMerge%.2f,"evolve_s":$tEvolve%.2f,"hist_diff_s":$tHist%.2f,"n_hist_changed":$nChanged,"st13_catchup_s":$tCatch%.2f,"st13_catchup_batches":${nCatchB.get()},"cluster_s":$tCluster%.2f,"skip_off_s":$tSkipOff%.2f,"skip_on_s":$tSkipOn%.2f,"mor_delete_s":$tMorDelete%.2f,"rewrite_deletes_s":$tRewriteDel%.2f,"cow_delete_s":$tCowDelete%.2f}"""
     }
     println(s"""{"stress":[${results.mkString(",")}],"sf":"$dir"}""")
     spark.stop()

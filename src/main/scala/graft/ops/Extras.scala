@@ -1106,6 +1106,37 @@ object Extras {
       .orderBy($"o_orderstatus")
   }
 
+  /** q96: `CALL system.cluster_by` — OPTIMIZE ZORDER for catalog
+    * tables, completing the q94 skipping story: a hash-shuffled table
+    * (every file spanning the full key range — nothing skippable)
+    * rewrites range-clustered on the key through one sampled range
+    * exchange, the commit records fresh footer stats, and the same
+    * selective query now plans ~1 of 16 files (FileSkippingSpec pins
+    * the before/after counts; this gate pins the cross-engine result
+    * on the clustered table). */
+  def q96ClusterBy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    s.sql("DROP TABLE IF EXISTS graft_ma.db.ord_clu")
+    Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+      .repartition(16) // round-robin: every file spans the key range
+      .writeTo("graft_ma.db.ord_clu").create()
+    val sum = s.sql(
+      "CALL graft_ma.system.cluster_by('db.ord_clu', 'o_custkey', 16)")
+      .collect().head
+    require(sum.getString(0) == "o_custkey" && sum.getLong(1) == 16L,
+      s"cluster_by should have written 16 range-clustered files: $sum")
+    s.table("graft_ma.db.ord_clu")
+      .where($"o_custkey" >= 700L && $"o_custkey" <= 900L)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct($"o_custkey").as("n_custs"),
+        moneySum($"o_totalprice").as("total"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** Export path q76's oracle reads. Verify and the DuckDB oracle run on
     * the same host within one gate round, and the oracle SQL (which
     * embeds this path) is DUMPED BY THE SAME JVM that ran the export —
@@ -1428,6 +1459,7 @@ object Extras {
     "q93_table_changes" -> q93TableChanges,
     "q94_file_skipping" -> q94FileSkipping,
     "q95_mor_delete" -> q95MorDelete,
+    "q96_cluster_by" -> q96ClusterBy,
     "q76_catalog_external" -> q76CatalogExternal,
     "q77_partitions_metadata" -> q77PartitionsMetadata,
     "q78_snapshot_changes" -> q78SnapshotChanges,
@@ -1884,6 +1916,13 @@ object Extras {
         |FROM orders
         |WHERE NOT (o_custkey >= 100 AND o_custkey <= 400)
         |  AND NOT (o_orderpriority = '1-URGENT' AND o_totalprice > 250000.0)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q96_cluster_by" ->
+      """SELECT o_orderstatus,
+        | CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_custkey BETWEEN 700 AND 900
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q94_file_skipping" ->
       """SELECT o_orderstatus,

@@ -127,6 +127,17 @@ object AtomicParquetCatalog {
     * legacy subtree must be read: its underscore root would be dropped
     * by Spark's hidden-path listing filter, but explicitly-passed LEAF
     * files (and their `k=v` partition dirs) pass it. */
+  /** Persisted TBLPROPERTIES of a table directory (see the class-side
+    * doc at writeProps) — static so write paths owned by table objects
+    * can consult them without a catalog instance. */
+  private[sources] def readProps(dir: JPath): Map[String, String] = {
+    val p = dir.resolve("_props")
+    if (!Files.exists(p)) Map.empty
+    else new String(Files.readAllBytes(p), "UTF-8").split("\n").toSeq
+      .map(_.trim).filter(_.nonEmpty)
+      .map { l => val Array(n, v) = l.split("\t", 2); n -> v }.toMap
+  }
+
   private[sources] def walkDataFiles(root: JPath): Seq[String] = {
     if (!Files.isDirectory(root)) return Nil
     val walk = Files.walk(root)
@@ -427,6 +438,37 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
       .map(_.trim).filter(_.nonEmpty)
       .map { l => val Array(n, v) = l.split("\t", 2); n -> v }.toMap
   }
+
+  /** Persisted TABLE PROPERTIES — a `_props` sidecar at the TABLE
+    * level, refs-shaped (tab-separated lines, atomic swap): the
+    * `TBLPROPERTIES` surface a lakehouse table owes its operators
+    * (`write.delete.mode = merge-on-read` is the load-bearing one —
+    * see MorDeletes). Properties are table-scoped rather than
+    * snapshot-scoped BY CHOICE: they configure future behavior, so
+    * pinning them to time-traveled snapshots would only let an old
+    * reader resurrect an old write mode. Reserved catalog keys
+    * (provider/location/owner) are never persisted. */
+  private[sources] def readProps(dir: JPath): Map[String, String] =
+    AtomicParquetCatalog.readProps(dir)
+
+  private def writeProps(dir: JPath, props: Map[String, String]): Unit = {
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s"_props.tmp-${UUID.randomUUID()}")
+    Files.write(tmp, props.toSeq.sorted.map { case (n, v) => s"$n\t$v" }
+      .mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, dir.resolve("_props"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private val reservedProps =
+    Set("provider", "location", "owner", "external", "path")
+
+  private def persistableProps(
+      properties: java.util.Map[String, String]): Map[String, String] =
+    properties.asScala.toMap.filter { case (k, _) =>
+      !reservedProps.contains(k.toLowerCase) &&
+        !k.toLowerCase.startsWith("option.")
+    }
 
   private def writeRefs(dir: JPath, refs: Map[String, String]): Unit = {
     val tmp = dir.resolve(s"_refs.tmp-${UUID.randomUUID()}")
@@ -808,16 +850,26 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
         val schema = StructType(Seq(
           StructField("path", StringType, nullable = false),
           StructField("partition_path", StringType, nullable = false),
-          StructField("size_bytes", LongType, nullable = false)))
+          StructField("size_bytes", LongType, nullable = false),
+          StructField("row_count", LongType, nullable = true),
+          StructField("skipping_stats", StringType, nullable = true)))
         Some(new LocalScanTable(s"$parent.files", schema, () => {
           val v = currentVersion(pdir).get
+          // footer-stats sidecar joined in for observability: the
+          // operator sees per-file row counts and which columns carry
+          // skippable min/max without opening a single footer
+          val fstats = FileStats.load(pdir)
           dataFiles(v).map { f =>
             val rel = v.relativize(f)
+            val st = fstats.get(rel.toString)
             org.apache.spark.sql.catalyst.InternalRow(
               UTF8String.fromString(rel.toString),
               UTF8String.fromString(
                 Option(rel.getParent).map(_.toString).getOrElse("")),
-              Files.size(f))
+              Files.size(f),
+              st.map(s => java.lang.Long.valueOf(s.rows)).orNull,
+              st.map(s => UTF8String.fromString(
+                s.cols.keys.toSeq.sorted.mkString(","))).orNull)
           }
         }))
       case _ => None
@@ -899,6 +951,8 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     val version = s"v-${UUID.randomUUID()}"
     writeMeta(dir.resolve(version), schema,
       parsePartitionTransforms(partitions, schema))
+    val props = persistableProps(properties)
+    if (props.nonEmpty) writeProps(dir, props)
     commitPointer(dir, version, expectedBase = None)
     loadTable(ident)
   }
@@ -923,8 +977,29 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     val dir = tableDir(ident)
     val cur = currentVersion(dir)
       .getOrElse(throw new NoSuchTableException(ident))
+    // SET / UNSET TBLPROPERTIES: table-level sidecar swap under the
+    // commit lock, no new snapshot (see readProps) — split out before
+    // the schema fold, which owns the remaining change kinds
+    val (propChanges, schemaChanges) = changes.partition {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
+      case _ => false
+    }
+    if (propChanges.nonEmpty) withCommitLock(dir) {
+      val next = propChanges.foldLeft(readProps(dir)) { (ps, c) =>
+        c match {
+          case s: TableChange.SetProperty =>
+            require(!reservedProps.contains(s.property.toLowerCase),
+              s"$ident: property ${s.property} is reserved")
+            ps + (s.property -> s.value)
+          case r: TableChange.RemoveProperty => ps - r.property
+          case _ => ps
+        }
+      }
+      writeProps(dir, next)
+    }
+    if (schemaChanges.isEmpty) return loadTable(ident)
     val (schema0, fields) = readMeta(cur)
-    val evolved = changes.foldLeft(schema0) { (s, change) =>
+    val evolved = schemaChanges.foldLeft(schema0) { (s, change) =>
       change match {
         case a: TableChange.AddColumn =>
           require(a.fieldNames.length == 1, s"$ident: nested ADD COLUMN " +
@@ -1048,11 +1123,14 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
   // happens only at commitStagedChanges' pointer swap ----
 
   private def stage(ident: Identifier, schema: StructType,
-                    partitions: Array[Transform]): StagedTable = {
+                    partitions: Array[Transform],
+                    properties: java.util.Map[String, String]): StagedTable = {
     val dir = tableDir(ident)
     val version = s"v-${UUID.randomUUID()}"
     val fields = parsePartitionTransforms(partitions, schema)
     writeMeta(dir.resolve(version), schema, fields)
+    val props = persistableProps(properties)
+    if (props.nonEmpty) writeProps(dir, props)
     // the optimistic-concurrency base: whatever is current AT STAGE TIME
     // must still be current at commit, or the commit conflicts
     new StagedPointerTable(this, ident, dir, version, schema, fields,
@@ -1063,20 +1141,20 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): StagedTable = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    stage(ident, schema, partitions)
+    stage(ident, schema, partitions, properties)
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
                             partitions: Array[Transform],
                             properties: java.util.Map[String, String]): StagedTable = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    stage(ident, schema, partitions)
+    stage(ident, schema, partitions, properties)
   }
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
                                     partitions: Array[Transform],
                                     properties: java.util.Map[String, String]): StagedTable =
-    stage(ident, schema, partitions)
+    stage(ident, schema, partitions, properties)
 
   private[sources] def commitVersion(dir: JPath, version: String,
       expectedBase: Option[String]): Unit =
@@ -1281,7 +1359,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("expire_snapshots", "rollback_to", "compact", "rewrite_layout",
-        "rewrite_deletes",
+        "rewrite_deletes", "cluster_by",
         "evolve_layout", "tag", "drop_tag", "analyze", "clone",
         "remove_orphans")
         .map(Identifier.of(Array("system"), _))
@@ -1387,6 +1465,77 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
               StructField("files_after", LongType, nullable = false),
               StructField("new_version", StringType, nullable = false))),
               InternalRow(nFiles(cur), nFiles(nv), UTF8String.fromString(v)))
+          }
+        }
+      case "cluster_by" =>
+        // CALL cat.system.cluster_by('db.tbl', 'c1[,c2]', target_files)
+        // — OPTIMIZE ZORDER for catalog tables: rewrite the current
+        // snapshot range-clustered on one column (total-order
+        // clustering) or on the interleaved z-value of two numeric
+        // columns, so every written file covers a tight value range
+        // and [[FileStats]] data skipping (recorded at this commit,
+        // like any other) turns selective predicates into
+        // few-files-planned scans. One sampled range exchange + an
+        // in-partition sort — never a global single-partition sort.
+        // Unpartitioned tables only: a directory layout and a global
+        // range clustering fight over file placement; re-layout first
+        // (rewrite_layout) if directories are no longer wanted.
+        // Reads through the delete-applying version read, so live
+        // merge-on-read deletes MATERIALIZE here (sidecar cleared),
+        // same as compact.
+        new GraftProcedure("cluster_by", Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("columns", StringType).build(),
+          ProcedureParameter.in("target_files", IntegerType).build())) {
+          override def call(input: InternalRow): java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val tbl = input.getUTF8String(0).toString
+            val colNames = input.getUTF8String(1).toString
+              .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            val target = input.getInt(2)
+            require(target >= 1, s"target_files must be >= 1, got $target")
+            require(colNames.nonEmpty && colNames.size <= 2,
+              s"cluster_by takes 1 (range) or 2 (z-order) columns, " +
+                s"got ${colNames.size}")
+            val dir = procTableDir(tbl)
+            val base = versionLog(dir).head
+            val cur = dir.resolve(base)
+            val (schema, fields) = readMeta(cur)
+            require(fields.isEmpty,
+              s"$tbl is partitioned — cluster_by rewrites a GLOBAL file " +
+                "order, which a directory layout would shred into " +
+                "per-task small files; rewrite_layout to an " +
+                "unpartitioned spec first if clustering should replace " +
+                "the directories")
+            colNames.foreach(c => require(
+              schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+              s"$tbl has no column $c"))
+            import org.apache.spark.sql.functions.col
+            val sortKey = colNames match {
+              case Seq(c) => col(c)
+              case Seq(a, b) => graft.api.Graft.zorderValue(col(a), col(b), 16)
+            }
+            val df = readVersionDf(cur, schema)
+            val v = s"v-${UUID.randomUUID()}"
+            val nv = dir.resolve(v)
+            writeMeta(nv, schema, fields)
+            df.repartitionByRange(target, sortKey)
+              .sortWithinPartitions(sortKey)
+              .write.mode("append").parquet(nv.toString)
+            try commitPointer(dir, v, expectedBase = Some(base))
+            catch { case e: Throwable => dropOrphan(nv); throw e }
+            def nFiles(p: JPath): Long =
+              Files.walk(p).iterator().asScala.count(f =>
+                Files.isRegularFile(f) &&
+                  !f.getFileName.toString.startsWith("_") &&
+                  !f.getFileName.toString.startsWith(".") &&
+                  PartitionRuntimeFilters.isDataRel(
+                    p.relativize(f).toString))
+            summaryScan(StructType(Seq(
+              StructField("clustered_by", StringType, nullable = false),
+              StructField("files_written", LongType, nullable = false),
+              StructField("new_version", StringType, nullable = false))),
+              InternalRow(UTF8String.fromString(colNames.mkString(", ")),
+                nFiles(nv), UTF8String.fromString(v)))
           }
         }
       case "rewrite_deletes" =>
@@ -1731,6 +1880,9 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             // as links too, or the clone commit would re-read every
             // footer the source already priced
             FileStats.carryStore(srcDir, dstDir)
+            if (Files.exists(srcDir.resolve("_props")))
+              Files.copy(srcDir.resolve("_props"), dstDir.resolve("_props"),
+                StandardCopyOption.REPLACE_EXISTING)
             commitPointer(dstDir, v, expectedBase = None)
             summaryScan(StructType(Seq(
               StructField("cloned_from", StringType, nullable = false),
@@ -1888,7 +2040,18 @@ private[sources] abstract class VersionedTable(
       if (parts.nonEmpty && PartitionField.clusterWrite(spark, fields))
         routed.repartition(parts.map(org.apache.spark.sql.functions.col): _*)
       else routed
-    clustered.write.mode(mode).partitionBy(parts: _*).parquet(target.toString)
+    // `write.target-file-size-rows` TBLPROPERTY (Iceberg's
+    // write.target-file-size posture, row-denominated because rows are
+    // what local parquet writers can bound deterministically): caps
+    // every written file via maxRecordsPerFile, so one fat task cannot
+    // mint a file that dwarfs the layout
+    val w = AtomicParquetCatalog
+      .readProps(versionDir.getParent).get("write.target-file-size-rows")
+      .flatMap(_.toLongOption).filter(_ > 0L)
+      .foldLeft(clustered.write.mode(mode)) { (wr, n) =>
+        wr.option("maxRecordsPerFile", n.toString)
+      }
+    w.partitionBy(parts: _*).parquet(target.toString)
   }
 }
 
@@ -1948,8 +2111,13 @@ private[sources] final class PointerTable(
     * Anything untranslatable (expressions over functions, decimals,
     * nested fields) answers false and keeps the COW path — correct at
     * any scale, just not O(metadata). */
+  private def morDeleteMode: Boolean =
+    MorDeletes.morEnabled(spark) ||
+      catalog.readProps(dir).get("write.delete.mode")
+        .contains("merge-on-read")
+
   override def canDeleteWhere(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
-    MorDeletes.morEnabled(spark) && !historical && predicates.nonEmpty &&
+    morDeleteMode && !historical && predicates.nonEmpty &&
       predicates.forall(p => MorDeletes.translate(p, tableSchema).isDefined)
 
   override def deleteWhere(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
@@ -1998,6 +2166,14 @@ private[sources] final class PointerTable(
 
   override protected def legacySpecs: Seq[(String, Seq[PartitionField])] =
     legacy
+
+  // persisted TBLPROPERTIES + the location every catalog table reports
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    catalog.readProps(dir).foreach { case (k, v) => m.put(k, v) }
+    m.put(TableCatalog.PROP_LOCATION, versionDir.toString)
+    m
+  }
 
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,

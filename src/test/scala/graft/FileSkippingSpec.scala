@@ -159,6 +159,37 @@ class FileSkippingSpec extends AnyFunSuite {
       s"expected <=2 of <=4 files kept, got ($kept, $total)")
   }
 
+  test("cluster_by turns a shuffled layout into a skipping-friendly one") {
+    val s = spark
+    import s.implicits._
+    s.sql("DROP TABLE IF EXISTS graft_fsk.db.clu")
+    // round-robin placement: every file's k range spans ~[0, 8000) —
+    // min/max intervals all overlap any query range, nothing skips
+    s.range(8000).select($"id".as("k"), ($"id" % 7).as("v"))
+      .repartition(8)
+      .writeTo("graft_fsk.db.clu").create()
+    graft.sources.FileSkippingScan.counts.clear()
+    assert(s.table("graft_fsk.db.clu")
+      .where($"k" >= 2000L && $"k" < 2100L).count() === 100L)
+    val (k0, t0) = counts("clu")
+    assert(k0 === t0 && t0 >= 8, s"shuffled layout must keep all files ($k0/$t0)")
+
+    val sum = s.sql("CALL graft_fsk.system.cluster_by('db.clu', 'k', 8)")
+      .collect().head
+    assert(sum.getString(0) === "k" && sum.getLong(1) === 8L)
+    graft.sources.FileSkippingScan.counts.clear()
+    assert(s.table("graft_fsk.db.clu")
+      .where($"k" >= 2000L && $"k" < 2100L).count() === 100L)
+    val (k1, t1) = counts("clu")
+    assert(t1 === 8 && k1 <= 2,
+      s"clustered layout must skip non-overlapping files ($k1/$t1)")
+    // partitioned tables refuse pointedly
+    val e = intercept[Exception] {
+      s.sql("CALL graft_fsk.system.cluster_by('db.parted', 'k', 4)").collect()
+    }
+    assert(e.getMessage.contains("partitioned"))
+  }
+
   test("row-level COW rewrites never lose rows to skipping") {
     val s = spark
     import s.implicits._
