@@ -151,6 +151,49 @@ object AtomicParquetCatalog {
     finally walk.close() // NIO walk streams hold directory handles
   }
 
+  /** Hard-link `src` to `dst` (fall back: copy, for filesystems
+    * without links) — the single-file unit of every no-data-copy path. */
+  private[sources] def linkOrCopy(src: JPath, dst: JPath): Unit = {
+    Files.createDirectories(dst.getParent)
+    try { Files.createLink(dst, src); () }
+    catch {
+      case _: UnsupportedOperationException | _: java.io.IOException =>
+        Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING); ()
+    }
+  }
+
+  private[sources] def deleteTree(p: JPath): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+
+  /** Write `df` into `target` as a hive-partitioned parquet layout
+    * under `fields` — the one write-time router shared by every path
+    * that lays table rows out (batch appends/merges via
+    * [[VersionedTable.writeInto]], the streaming sink's per-epoch
+    * commits, which must follow the head's CURRENT spec rather than a
+    * table object pinned at query start). Bucket/time-transform fields
+    * materialize their hidden directory columns; fine layouts are
+    * hash-clustered per [[PartitionField.clusterWrite]]; the
+    * `write.target-file-size-rows` TBLPROPERTY of `tableDir` caps file
+    * size. */
+  private[sources] def writeLayout(spark: SparkSession, tableDir: JPath,
+      target: JPath, df: org.apache.spark.sql.DataFrame,
+      fields: Seq[PartitionField], mode: String): Unit = {
+    val parts = fields.map(_.dirName)
+    val routed = PartitionField.materializeDirCols(df, fields)
+    val clustered =
+      if (parts.nonEmpty && PartitionField.clusterWrite(spark, fields))
+        routed.repartition(parts.map(org.apache.spark.sql.functions.col): _*)
+      else routed
+    val w = readProps(tableDir).get("write.target-file-size-rows")
+      .flatMap(_.toLongOption).filter(_ > 0L)
+      .foldLeft(clustered.write.mode(mode)) { (wr, n) =>
+        wr.option("maxRecordsPerFile", n.toString)
+      }
+    w.partitionBy(parts: _*).parquet(target.toString)
+  }
+
   /** Row-level CHANGE FEED between two snapshots — Delta's
     * `table_changes`, derived from the commit chain: for each commit
     * step the reader loads ONLY the files that commit added or
@@ -375,6 +418,20 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             s"base ${expectedBase.getOrElse("<no table>")} but the table " +
             s"is now at ${old.headOption.getOrElse("<no table>")}; re-run " +
             "the write against the current version (nothing was overwritten)")
+      // carry the streaming sink's epoch ledger from the outgoing head
+      // into any commit that did not write its own — a batch append
+      // landing between two stream epochs must not erase the stream's
+      // high watermark (the crash-replay guard) — see StreamEpochs
+      old.headOption.foreach { h =>
+        try StreamEpochs.carry(dir.resolve(h), dir.resolve(version))
+        catch {
+          case e: java.io.IOException =>
+            // commit availability wins, but say so: a crash-replayed
+            // stream epoch could double-apply past a dropped ledger
+            System.err.println(s"[graft-atomic] WARN: stream-epoch " +
+              s"ledger carry into $dir/$version failed (${e.getMessage})")
+        }
+      }
       // file-level column stats for the version's NEW data files —
       // recorded before the pointer swap so a committed version is
       // born skippable; best-effort (a failure degrades to no-skipping
@@ -2034,25 +2091,9 @@ private[sources] abstract class VersionedTable(
     * big bucket products, days×bucket composites), off for coarse
     * layouts where the exchange would cost parallelism for nothing;
     * WriteDistributionSpec pins the clustered file count. */
-  protected def writeInto(target: JPath, df: DataFrame, mode: String): Unit = {
-    val routed = PartitionField.materializeDirCols(df, fields)
-    val clustered =
-      if (parts.nonEmpty && PartitionField.clusterWrite(spark, fields))
-        routed.repartition(parts.map(org.apache.spark.sql.functions.col): _*)
-      else routed
-    // `write.target-file-size-rows` TBLPROPERTY (Iceberg's
-    // write.target-file-size posture, row-denominated because rows are
-    // what local parquet writers can bound deterministically): caps
-    // every written file via maxRecordsPerFile, so one fat task cannot
-    // mint a file that dwarfs the layout
-    val w = AtomicParquetCatalog
-      .readProps(versionDir.getParent).get("write.target-file-size-rows")
-      .flatMap(_.toLongOption).filter(_ > 0L)
-      .foldLeft(clustered.write.mode(mode)) { (wr, n) =>
-        wr.option("maxRecordsPerFile", n.toString)
-      }
-    w.partitionBy(parts: _*).parquet(target.toString)
-  }
+  protected def writeInto(target: JPath, df: DataFrame, mode: String): Unit =
+    AtomicParquetCatalog.writeLayout(spark, versionDir.getParent, target,
+      df, fields, mode)
 }
 
 /** A committed table: reads serve the pinned version directory (immutable
@@ -2183,9 +2224,13 @@ private[sources] final class PointerTable(
       // this catalog's alterTable (a metadata-only snapshot) before the
       // row-level rewrite; old files null-fill the added columns on read
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
-    // streaming reads tail the pointer log — meaningful only on the
-    // CURRENT table (a pinned historical snapshot never advances)
-    if (!historical) caps.add(TableCapability.MICRO_BATCH_READ)
+    // streaming reads tail the pointer log, streaming writes append
+    // epoch snapshots to it — meaningful only on the CURRENT table (a
+    // pinned historical snapshot never advances)
+    if (!historical) {
+      caps.add(TableCapability.MICRO_BATCH_READ)
+      caps.add(TableCapability.STREAMING_WRITE)
+    }
     caps
   }
 
@@ -2546,6 +2591,20 @@ private[sources] final class PointerTable(
       override def build(): Write =
         if (mode == "dynamic") dynamicOverwriteWrite(info)
         else new V1Write {
+        /** The NATIVE streaming sink (`df.writeStream.toTable(...)`):
+          * per-epoch fast-append snapshots with an exactly-once epoch
+          * ledger — see [[GraftStreamingWrite]]. Append output mode
+          * only: Complete would truncate the table every epoch, which
+          * a versioned catalog expresses better as foreachBatch +
+          * replace (st09's posture). */
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          if (mode != "append") throw new UnsupportedOperationException(
+            s"$ident: streaming writes support the Append output mode " +
+              "only; use foreachBatch with a replace for Complete")
+          new GraftStreamingWrite(catalog, ident, dir, info.schema(),
+            info.queryId())
+        }
         override def toInsertableRelation: InsertableRelation =
           (data: DataFrame, _: Boolean) => {
             // both paths: fresh version dir + CAS'd pointer swap on the
@@ -2557,6 +2616,10 @@ private[sources] final class PointerTable(
             Files.copy(versionDir.resolve("_schema.json"), nv.resolve("_schema.json"))
             Files.copy(versionDir.resolve("_partitions.txt"), nv.resolve("_partitions.txt"))
             writeInto(nv, data, "append")
+            // the files THIS write produced, before any links ride in —
+            // exactly what a conflict rebase must replay onto a new head
+            val newFiles = AtomicParquetCatalog.walkDataFiles(nv)
+              .map(p => nv.relativize(Paths.get(p)).toString)
             // fast-append: the prior version's data files ride along as
             // hard links (no data copy) — legacy `_spec-<k>` subtrees
             // keep their relative layout, so their sidecar rides too; a
@@ -2569,10 +2632,85 @@ private[sources] final class PointerTable(
             }
             try catalog.commitVersion(dir, v,
               expectedBase = Some(versionDir.getFileName.toString))
-            catch { // CAS conflict: the staged version is unreachable
-              case e: Throwable => catalog.dropOrphan(nv); throw e
+            catch {
+              case e: java.util.ConcurrentModificationException
+                  if mode == "append" =>
+                // fast-append REBASE (Iceberg's retry semantics): an
+                // append validates nothing about concurrent commits, so
+                // a CAS conflict re-stages the same new files onto the
+                // new head instead of failing the writer — at 1000
+                // executors many jobs append concurrently and
+                // one-writer-at-a-time is not a posture. OVERWRITEs
+                // (static/dynamic) still conflict: they asserted a
+                // table state a concurrent commit falsified.
+                commitAppendRebasing(nv, newFiles, e)
+              case e: Throwable => // non-conflict failure, or overwrite
+                catalog.dropOrphan(nv); throw e
             }
           }
+      }
+    }
+  }
+
+  /** Rebase-and-retry for a conflicted fast-append: re-stage `newFiles`
+    * (this append's own data files, hard-linked — no data copy) onto
+    * the CURRENT head and CAS again, bounded. Rebase is sound exactly
+    * when the new head kept the schema and partition spec the files
+    * were laid out under; a concurrent replace/evolve that changed
+    * either surfaces as the original conflict (the append's rows would
+    * land with a stale shape). Each retry prices O(this append's
+    * files + head's files) link work — never a data copy, never an
+    * O(history) walk. */
+  private def commitAppendRebasing(staged: JPath, newFiles: Seq[String],
+      conflict: java.util.ConcurrentModificationException): Unit = {
+    var cur = staged
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val head = catalog.versionLog(dir).headOption.getOrElse {
+        catalog.dropOrphan(cur); throw conflict // table dropped: real conflict
+      }
+      val headDir = dir.resolve(head)
+      val sameShape =
+        try java.util.Arrays.equals(
+          Files.readAllBytes(headDir.resolve("_schema.json")),
+          Files.readAllBytes(cur.resolve("_schema.json"))) &&
+          java.util.Arrays.equals(
+            Files.readAllBytes(headDir.resolve("_partitions.txt")),
+            Files.readAllBytes(cur.resolve("_partitions.txt"))) &&
+          Files.exists(headDir.resolve("_legacy_specs.txt")) ==
+            Files.exists(cur.resolve("_legacy_specs.txt"))
+        catch { case _: java.io.IOException => false }
+      if (!sameShape) {
+        catalog.dropOrphan(cur)
+        throw new java.util.ConcurrentModificationException(
+          s"$ident: append raced a commit that changed the table's " +
+            s"schema or partition spec (now at $head) — the staged rows' " +
+            "layout is stale; re-run the append against the current table",
+          )
+      }
+      val v2 = s"v-${UUID.randomUUID()}"
+      val nv2 = dir.resolve(v2)
+      Files.createDirectories(nv2)
+      Files.copy(headDir.resolve("_schema.json"), nv2.resolve("_schema.json"))
+      Files.copy(headDir.resolve("_partitions.txt"),
+        nv2.resolve("_partitions.txt"))
+      newFiles.foreach { rel =>
+        AtomicParquetCatalog.linkOrCopy(cur.resolve(rel), nv2.resolve(rel))
+      }
+      catalog.linkDataFiles(headDir, nv2)
+      catalog.carryLegacySpecs(headDir, nv2)
+      MorDeletes.carry(headDir, nv2)
+      catalog.dropOrphan(cur) // hard links outlive the old staging dir
+      try {
+        catalog.commitVersion(dir, v2, expectedBase = Some(head))
+        return
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempts >= 5) { catalog.dropOrphan(nv2); throw e }
+          cur = nv2 // lost the race again: rebase onto the newer head
+        case e: Throwable =>
+          catalog.dropOrphan(nv2); throw e
       }
     }
   }
