@@ -1137,6 +1137,50 @@ object Extras {
       .orderBy($"o_orderstatus")
   }
 
+  /** q97: CONCURRENT WRITERS — two appends racing into the same
+    * bucket-partitioned catalog table from two threads, started
+    * through a barrier so both stage against the SAME base version.
+    * The loser's CAS conflicts and REBASES (Iceberg's fast-append
+    * retry: its files hard-link onto the winner's head — no data
+    * copy, no failed writer), so the final table holds BOTH halves
+    * exactly once — the posture a 1000-executor deployment needs,
+    * where many jobs append to one table and one-writer-at-a-time is
+    * not an option. StreamingWriteSpec pins the deterministic rebase
+    * and the shape-change refusal; this gate proves the LIVE race
+    * end-to-end against the oracle. */
+  def q97ConcurrentAppend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    s.sql("DROP TABLE IF EXISTS graft_ma.db.ev_race")
+    val ev = Tables.load(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    ev.where($"event_id" % 3 === 0)
+      .writeTo("graft_ma.db.ev_race").using("parquet")
+      .partitionedBy(bucket(8, $"user_id")).createOrReplace()
+    // both writers resolve the table (pinning the same base), then race
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fs = Seq(1, 2).map { k =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            val half = ev.where($"event_id" % 3 === k)
+            gate.await()
+            half.writeTo("graft_ma.db.ev_race").append()
+          }
+        })
+      }
+      fs.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    s.table("graft_ma.db.ev_race")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"event_id").as("n_distinct"),
+        moneySum($"value").as("total"))
+      .orderBy($"event_type")
+  }
+
   /** Export path q76's oracle reads. Verify and the DuckDB oracle run on
     * the same host within one gate round, and the oracle SQL (which
     * embeds this path) is DUMPED BY THE SAME JVM that ran the export —
@@ -1460,6 +1504,7 @@ object Extras {
     "q94_file_skipping" -> q94FileSkipping,
     "q95_mor_delete" -> q95MorDelete,
     "q96_cluster_by" -> q96ClusterBy,
+    "q97_concurrent_append" -> q97ConcurrentAppend,
     "q76_catalog_external" -> q76CatalogExternal,
     "q77_partitions_metadata" -> q77PartitionsMetadata,
     "q78_snapshot_changes" -> q78SnapshotChanges,
@@ -1917,6 +1962,14 @@ object Extras {
         |WHERE NOT (o_custkey >= 100 AND o_custkey <= 400)
         |  AND NOT (o_orderpriority = '1-URGENT' AND o_totalprice > 250000.0)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // two appends raced through the barrier; the loser REBASED — the
+    // final table is the plain union of all three thirds, exactly once
+    "q97_concurrent_append" ->
+      """SELECT event_type,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q96_cluster_by" ->
       """SELECT o_orderstatus,
         | CAST(count(*) AS BIGINT) AS n_orders,

@@ -698,7 +698,60 @@ object Streams {
       .orderBy($"event_type")
   }
 
+  /** st16: the NATIVE streaming sink — `writeStream.toTable` straight
+    * into a catalog table, no foreachBatch detour: executors stream
+    * rows into per-epoch parquet files, each epoch commits a
+    * fast-append snapshot carrying the query's epoch high-watermark
+    * (exactly-once across crash-replays — StreamingWriteSpec pins the
+    * replay no-op), and the sink table is PARTITIONED, so every epoch
+    * re-lays its own rows under the bucket spec. The full catalog-to-
+    * catalog loop: admission-controlled catalog SOURCE (several
+    * micro-batches) → native catalog SINK, resumed once mid-history
+    * from the real checkpoint. The oracle is the plain batch aggregate
+    * over all events; n_distinct pins that no epoch landed twice. */
+  def st16StreamNativeSink(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_st")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_st.db")
+    val ev = Tables.load(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    ev.where($"event_id" % 3 === 0)
+      .writeTo("graft_st.db.ev_nsrc").using("parquet")
+      .partitionedBy(bucket(8, $"user_id")).createOrReplace()
+    ev.limit(0).writeTo("graft_st.db.ev_nsink").using("parquet")
+      .partitionedBy(bucket(8, $"user_id")).createOrReplace()
+    // a third of the snapshot's files per trigger: the drain takes
+    // several epochs, so the sink commits several snapshots
+    val nFiles = s.sql("SELECT count(*) FROM graft_st.db.ev_nsrc.files")
+      .head().getLong(0)
+    val mft = math.max(1L, nFiles / 3).toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_st16_ckpt").toString
+    def drainNative(): Unit = {
+      val q = s.readStream
+        .option("maxFilesPerTrigger", mft)
+        .table("graft_st.db.ev_nsrc")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("graft_st.db.ev_nsink")
+      q.awaitTermination(120000)
+      q.stop()
+    }
+    drainNative() // the snapshot third, in several epoch snapshots
+    ev.where($"event_id" % 3 === 1).writeTo("graft_st.db.ev_nsrc").append()
+    ev.where($"event_id" % 3 === 2).writeTo("graft_st.db.ev_nsrc").append()
+    drainNative() // resumed: exactly the two appended thirds
+    s.table("graft_st.db.ev_nsink")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"event_id").as("n_distinct"),
+        Det.moneySum($"value").as("total_value"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st16_stream_native_sink" -> st16StreamNativeSink,
     "st15_stream_starting_version" -> st15StreamStartingVersion,
     "st14_stream_restart_recovery" -> st14StreamRestartRecovery,
     "st13_stream_table_source" -> st13StreamTableSource,
@@ -716,6 +769,14 @@ object Streams {
     "st05_stream_static_join" -> st05StreamStaticJoin)
 
   val oracles: Map[String, String] = Map(
+    // native writeStream.toTable sink, resumed mid-history == the
+    // plain batch aggregate (n_distinct pins no epoch landed twice)
+    "st16_stream_native_sink" ->
+      """SELECT event_type,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // crash-injected, checkpoint-resumed guarded merge == the plain
     // batch aggregate: a lost batch, a double-applied replay or a
     // wrong resume offset all hash-mismatch
