@@ -1181,6 +1181,48 @@ object Extras {
       .orderBy($"event_type")
   }
 
+  /** q98: DEFAULT COLUMN VALUES — metadata-only schema evolution with
+    * semantics (the Iceberg/Delta default-value surface): ADD COLUMN
+    * DEFAULT commits a snapshot whose files are all hard links (zero
+    * rewrite — DefaultColumnSpec pins inode equality), rows in
+    * pre-column files read the frozen add-time EXISTS_DEFAULT, an
+    * INSERT that omits the column gets CURRENT_DEFAULT from the
+    * analyzer, and explicit values win. At 100 TB this is the
+    * difference between "add a column" being a metadata commit and a
+    * day-long rewrite. Three generations in one table: pre-column
+    * rows, default-filled rows, explicit rows — the oracle recomputes
+    * all three with CASE. */
+  def q98DefaultColumn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    s.sql("DROP TABLE IF EXISTS graft_ma.db.ord_dc")
+    val ord = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+    ord.where($"o_orderkey" % 3 === 0)
+      .writeTo("graft_ma.db.ord_dc").using("parquet").createOrReplace()
+    s.sql("ALTER TABLE graft_ma.db.ord_dc " +
+      "ADD COLUMN channel STRING DEFAULT 'store'")
+    // generation 2: explicit values
+    ord.where($"o_orderkey" % 3 === 1)
+      .withColumn("channel",
+        when($"o_orderkey" % 2 === 0, lit("web")).otherwise(lit("app")))
+      .writeTo("graft_ma.db.ord_dc").append()
+    // generation 3: the column omitted — the analyzer fills the default
+    ord.where($"o_orderkey" % 3 === 2)
+      .createOrReplaceTempView("q98_gen3")
+    s.sql("""INSERT INTO graft_ma.db.ord_dc
+            | (o_orderkey, o_custkey, o_orderstatus, o_totalprice)
+            |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            |FROM q98_gen3""".stripMargin)
+    s.table("graft_ma.db.ord_dc")
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct($"o_orderkey").as("n_keys"),
+        moneySum($"o_totalprice").as("total"))
+      .orderBy($"channel")
+  }
+
   /** Export path q76's oracle reads. Verify and the DuckDB oracle run on
     * the same host within one gate round, and the oracle SQL (which
     * embeds this path) is DUMPED BY THE SAME JVM that ran the export —
@@ -1505,6 +1547,7 @@ object Extras {
     "q95_mor_delete" -> q95MorDelete,
     "q96_cluster_by" -> q96ClusterBy,
     "q97_concurrent_append" -> q97ConcurrentAppend,
+    "q98_default_column" -> q98DefaultColumn,
     "q76_catalog_external" -> q76CatalogExternal,
     "q77_partitions_metadata" -> q77PartitionsMetadata,
     "q78_snapshot_changes" -> q78SnapshotChanges,
@@ -1962,6 +2005,17 @@ object Extras {
         |WHERE NOT (o_custkey >= 100 AND o_custkey <= 400)
         |  AND NOT (o_orderpriority = '1-URGENT' AND o_totalprice > 250000.0)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // three column generations: pre-column rows read the frozen
+    // existence default, omitted-column inserts the current default,
+    // explicit values win — all recomputed by CASE over the source
+    "q98_default_column" ->
+      """SELECT CASE WHEN o_orderkey % 3 = 1 THEN
+        |   CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'app' END
+        | ELSE 'store' END AS channel,
+        | CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY channel""".stripMargin,
     // two appends raced through the barrier; the loser REBASED — the
     // final table is the plain union of all three thirds, exactly once
     "q97_concurrent_append" ->

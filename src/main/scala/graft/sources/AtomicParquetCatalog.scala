@@ -353,6 +353,12 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
 
   override def name(): String = catalogName
 
+  /** DEFAULT column values are supported (`CREATE/ALTER ... DEFAULT v`)
+    * — without this declaration Spark's DDL refuses the syntax before
+    * the catalog ever sees it. See the AddColumn case in alterTable. */
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private[sources] def warehouseDir: JPath = warehouse
   private[sources] def readMetaOf(versionDir: JPath): (StructType, Seq[PartitionField]) =
     readMeta(versionDir)
@@ -1067,8 +1073,32 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             "add it nullable, backfill, then enforce in a rewrite")
           require(!s.fieldNames.exists(_.equalsIgnoreCase(name)),
             s"$ident: column $name already exists")
-          val field = org.apache.spark.sql.types.StructField(name,
-            a.dataType, nullable = true)
+          // ADD COLUMN ... DEFAULT <v>: METADATA-ONLY — the default
+          // rides in the field's metadata under Spark's own keys:
+          // CURRENT_DEFAULT (the declared SQL, for future inserts that
+          // omit the column) and EXISTS_DEFAULT (the value FOLDED AT
+          // ADD TIME, which Spark's parquet readers serve for the
+          // column's absence in files that predate it). A 100 TB table
+          // gains a defaulted column with zero rewrite — the
+          // Iceberg/Delta default-value semantics.
+          val field = Option(a.defaultValue()) match {
+            case Some(dv) =>
+              import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+              val folded = org.apache.spark.sql.catalyst.expressions
+                .Literal(dv.getValue.value, dv.getValue.dataType).sql
+              val md = new org.apache.spark.sql.types.MetadataBuilder()
+                .putString(
+                  ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY,
+                  Option(dv.getSql).getOrElse(folded))
+                .putString(
+                  ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY,
+                  folded)
+                .build()
+              org.apache.spark.sql.types.StructField(name, a.dataType,
+                nullable = true, metadata = md)
+            case None => org.apache.spark.sql.types.StructField(name,
+              a.dataType, nullable = true)
+          }
           // honor FIRST / AFTER x — appending silently would bind later
           // positional INSERTs to the wrong columns
           import org.apache.spark.sql.connector.catalog.TableChange._
@@ -1139,6 +1169,26 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
               "(current or legacy spec) derives from it and its ids are " +
               "type-qualified; re-partition with rewrite_layout first")
           StructType(s.fields.updated(i, s.fields(i).copy(dataType = to)))
+        case u: TableChange.UpdateColumnDefaultValue =>
+          // SET / DROP DEFAULT: rewrites CURRENT_DEFAULT only — future
+          // inserts pick up the new default; EXISTS_DEFAULT stays
+          // frozen at the value the column was ADDED with, because
+          // that is what rows in pre-column files must keep reading as
+          // (changing it would retroactively rewrite history's
+          // semantics without touching a file — Spark's own contract)
+          require(u.fieldNames.length == 1, s"$ident: nested ALTER COLUMN " +
+            s"(${u.fieldNames.mkString(".")}) is not supported")
+          val name = u.fieldNames()(0)
+          val i = s.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+          require(i >= 0, s"$ident: no such column $name")
+          val f = s.fields(i)
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+          val key = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+            .CURRENT_DEFAULT_COLUMN_METADATA_KEY
+          val sql = Option(u.newCurrentDefault()).map(_.getSql).getOrElse("")
+          if (sql.isEmpty) mb.remove(key) else mb.putString(key, sql)
+          StructType(s.fields.updated(i, f.copy(metadata = mb.build())))
         case _: TableChange.RenameColumn =>
           throw new UnsupportedOperationException(
             s"$ident: RENAME COLUMN needs field-id column binding " +
