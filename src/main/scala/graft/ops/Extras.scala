@@ -1223,6 +1223,50 @@ object Extras {
       .orderBy($"channel")
   }
 
+  /** q99: CHECK CONSTRAINTS, ENFORCED (Spark 4's connector constraint
+    * surface; Delta's CHECK-constraint semantics): the table declares
+    * `CHECK (value >= 0) ENFORCED`, Spark's analyzer injects the
+    * validation into every write's own query plan — a per-row
+    * predicate inside the write stage's codegen, no extra pass — and
+    * a write containing one violating row FAILS WHOLE, committing
+    * nothing (the snapshot CAS never runs). The gate appends a clean
+    * third, proves a dirty batch is refused atomically (the violating
+    * rows AND their clean siblings both absent), then appends the
+    * same batch cleaned. TableConstraintSpec pins the DDL validation
+    * path (ADD CONSTRAINT over dirty data fails) and PK/UNIQUE
+    * informational persistence. */
+  def q99CheckConstraint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    s.sql("DROP TABLE IF EXISTS graft_ma.db.ev_chk")
+    val ev = Tables.load(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    ev.where($"event_id" % 3 === 0)
+      .writeTo("graft_ma.db.ev_chk").using("parquet").createOrReplace()
+    s.sql("ALTER TABLE graft_ma.db.ev_chk " +
+      "ADD CONSTRAINT value_nonneg CHECK (value >= 0)")
+    ev.where($"event_id" % 3 === 1)
+      .writeTo("graft_ma.db.ev_chk").append() // clean: passes
+    // a batch with violations is refused WHOLE — nothing lands
+    val dirty = ev.where($"event_id" % 3 === 2)
+      .withColumn("value",
+        when($"event_id" % 7 === 0, -$"value" - lit(1)).otherwise($"value"))
+    val refused =
+      try { dirty.writeTo("graft_ma.db.ev_chk").append(); false }
+      catch { case _: Exception => true }
+    require(refused, "q99: the dirty batch should have been refused")
+    // the same batch, cleaned, commits
+    dirty.withColumn("value", abs($"value") - when($"value" < 0, lit(1))
+      .otherwise(lit(0))).writeTo("graft_ma.db.ev_chk").append()
+    s.table("graft_ma.db.ev_chk")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"event_id").as("n_distinct"),
+        moneySum($"value").as("total"))
+      .orderBy($"event_type")
+  }
+
   /** Export path q76's oracle reads. Verify and the DuckDB oracle run on
     * the same host within one gate round, and the oracle SQL (which
     * embeds this path) is DUMPED BY THE SAME JVM that ran the export —
@@ -1548,6 +1592,7 @@ object Extras {
     "q96_cluster_by" -> q96ClusterBy,
     "q97_concurrent_append" -> q97ConcurrentAppend,
     "q98_default_column" -> q98DefaultColumn,
+    "q99_check_constraint" -> q99CheckConstraint,
     "q76_catalog_external" -> q76CatalogExternal,
     "q77_partitions_metadata" -> q77PartitionsMetadata,
     "q78_snapshot_changes" -> q78SnapshotChanges,
@@ -2005,6 +2050,16 @@ object Extras {
         |WHERE NOT (o_custkey >= 100 AND o_custkey <= 400)
         |  AND NOT (o_orderpriority = '1-URGENT' AND o_totalprice > 250000.0)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the dirty batch was refused WHOLE and re-appended cleaned (the
+    // clean transform is value-identity after DECIMAL(12,2) rounding),
+    // so the final table is the plain aggregate — a partially-applied
+    // refused batch or a lost clean sibling row hash-mismatches
+    "q99_check_constraint" ->
+      """SELECT event_type,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // three column generations: pre-column rows read the frozen
     // existence default, omitted-column inserts the current default,
     // explicit values win — all recomputed by CASE over the source

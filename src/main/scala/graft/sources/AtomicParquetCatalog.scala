@@ -353,11 +353,14 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
 
   override def name(): String = catalogName
 
-  /** DEFAULT column values are supported (`CREATE/ALTER ... DEFAULT v`)
-    * — without this declaration Spark's DDL refuses the syntax before
-    * the catalog ever sees it. See the AddColumn case in alterTable. */
+  /** DEFAULT column values (`CREATE/ALTER ... DEFAULT v`) and TABLE
+    * CONSTRAINTS (`ALTER TABLE ADD CONSTRAINT ... CHECK`) are
+    * supported — without these declarations Spark's DDL refuses the
+    * syntax before the catalog ever sees it. See the AddColumn /
+    * AddConstraint handling in alterTable and [[TableConstraints]]. */
   override def capabilities(): java.util.Set[TableCatalogCapability] =
-    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   private[sources] def warehouseDir: JPath = warehouse
   private[sources] def readMetaOf(versionDir: JPath): (StructType, Seq[PartitionField]) =
@@ -1040,12 +1043,47 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     val dir = tableDir(ident)
     val cur = currentVersion(dir)
       .getOrElse(throw new NoSuchTableException(ident))
-    // SET / UNSET TBLPROPERTIES: table-level sidecar swap under the
-    // commit lock, no new snapshot (see readProps) — split out before
-    // the schema fold, which owns the remaining change kinds
-    val (propChanges, schemaChanges) = changes.partition {
+    // SET / UNSET TBLPROPERTIES and ADD/DROP CONSTRAINT: table-level
+    // sidecar swaps under the commit lock, no new snapshot (see
+    // readProps / TableConstraints) — split out before the schema
+    // fold, which owns the remaining change kinds
+    val (tableLevel, schemaChanges) = changes.partition {
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
+      case _: TableChange.AddConstraint | _: TableChange.DropConstraint => true
       case _ => false
+    }
+    val (constraintChanges, propChanges) = tableLevel.partition {
+      case _: TableChange.AddConstraint | _: TableChange.DropConstraint => true
+      case _ => false
+    }
+    if (constraintChanges.nonEmpty) withCommitLock(dir) {
+      val next = constraintChanges.foldLeft(
+        TableConstraints.read(dir).toSeq) { (cs, c) =>
+        c match {
+          case a: TableChange.AddConstraint =>
+            val con = a.constraint()
+            require(!cs.exists(_.name().equalsIgnoreCase(con.name())),
+              s"$ident: constraint ${con.name()} already exists")
+            // enforced UNIQUE/PK would need a global shuffle per write;
+            // Spark's own DDL only produces them NOT ENFORCED — refuse
+            // anything else pointedly rather than silently not enforcing
+            con match {
+              case _: org.apache.spark.sql.connector.catalog.constraints.Check =>
+              case other => require(!other.enforced(),
+                s"$ident: ${other.toDDL} ENFORCED is not supported — " +
+                  "PRIMARY KEY / UNIQUE are informational (NOT ENFORCED)")
+            }
+            cs :+ con
+          case d: TableChange.DropConstraint =>
+            if (!cs.exists(_.name().equalsIgnoreCase(d.name()))) {
+              if (d.ifExists) cs
+              else throw new IllegalArgumentException(
+                s"$ident: no such constraint ${d.name()}")
+            } else cs.filterNot(_.name().equalsIgnoreCase(d.name()))
+          case _ => cs
+        }
+      }
+      TableConstraints.write(dir, next)
     }
     if (propChanges.nonEmpty) withCommitLock(dir) {
       val next = propChanges.foldLeft(readProps(dir)) { (ps, c) =>
@@ -2257,6 +2295,14 @@ private[sources] final class PointerTable(
 
   override protected def legacySpecs: Seq[(String, Seq[PartitionField])] =
     legacy
+
+  /** Persisted table constraints (see [[TableConstraints]]): the
+    * analyzer reads these off the table and injects ENFORCED CHECK
+    * validation into every write's own query plan — a violating row
+    * fails the write inside its projection, no extra pass. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    TableConstraints.read(dir)
 
   // persisted TBLPROPERTIES + the location every catalog table reports
   override def properties(): java.util.Map[String, String] = {
