@@ -1267,6 +1267,47 @@ object Extras {
       .orderBy($"event_type")
   }
 
+  /** q100: AGGREGATE PUSHDOWN — COUNT(*)/MIN/MAX over a catalog table
+    * answered from parquet FOOTER metadata (`spark.sql.parquet
+    * .aggregatePushdown`, forwarded through the catalog's scan
+    * builder): the scan reports `PushedAggregation` and materializes
+    * one pre-aggregated row per file instead of the rows. At 100 TB a
+    * table-wide count/min/max becomes a metadata sweep, not a read.
+    * The gate REQUIRES the pushed plan shape (a silent fallback to a
+    * full scan would still produce the right numbers — the require
+    * makes the gate fail instead), conf-windowed with prior-value
+    * restore so no other gate inherits the override. */
+  def q100AggPushdown(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    s.sql("DROP TABLE IF EXISTS graft_ma.db.ord_agg")
+    Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .repartition(8)
+      .writeTo("graft_ma.db.ord_agg").using("parquet").createOrReplace()
+    val key = "spark.sql.parquet.aggregatePushdown"
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try {
+      val df = s.sql(
+        """SELECT CAST(count(*) AS BIGINT) AS n_orders,
+          | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+          | min(o_custkey) AS min_cust, max(o_custkey) AS max_cust
+          |FROM graft_ma.db.ord_agg""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("PushedAggregation: [COUNT("),
+        s"q100: aggregate was not pushed to the scan:\n$plan")
+      // executed EAGERLY inside the conf window (cache + count), so the
+      // session-global conf is restored before other gates plan
+      df.cache().count()
+      df
+    } finally prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Export path q76's oracle reads. Verify and the DuckDB oracle run on
     * the same host within one gate round, and the oracle SQL (which
     * embeds this path) is DUMPED BY THE SAME JVM that ran the export —
@@ -1593,6 +1634,7 @@ object Extras {
     "q97_concurrent_append" -> q97ConcurrentAppend,
     "q98_default_column" -> q98DefaultColumn,
     "q99_check_constraint" -> q99CheckConstraint,
+    "q100_agg_pushdown" -> q100AggPushdown,
     "q76_catalog_external" -> q76CatalogExternal,
     "q77_partitions_metadata" -> q77PartitionsMetadata,
     "q78_snapshot_changes" -> q78SnapshotChanges,
@@ -2050,6 +2092,12 @@ object Extras {
         |WHERE NOT (o_custkey >= 100 AND o_custkey <= 400)
         |  AND NOT (o_orderpriority = '1-URGENT' AND o_totalprice > 250000.0)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // footer-metadata aggregate == the row-scan aggregate
+    "q100_agg_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        | min(o_custkey) AS min_cust, max(o_custkey) AS max_cust
+        |FROM orders""".stripMargin,
     // the dirty batch was refused WHOLE and re-appended cleaned (the
     // clean transform is value-identity after DECIMAL(12,2) rounding),
     // so the final table is the plain aggregate — a partially-applied
