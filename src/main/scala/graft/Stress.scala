@@ -491,6 +491,83 @@ object Stress {
       require(catchRows.get() == 30L * n + 1,
         s"catch-up served ${catchRows.get()} rows, expected ${30 * n + 1}")
       spark.sql("DROP TABLE graft_sc.db.hist2")
+      // round-13: NATIVE streaming sink at scale (writeStream.toTable,
+      // VERDICT r12 #2's surface promoted to a first-class sink): the
+      // K-grown events table (one commit, 32 files) drains at 8
+      // files/trigger — every epoch commits one fast-append snapshot
+      // into the catalog sink. Per-EPOCH cost must track the admitted
+      // files (the accumulated-link work is microseconds per hard
+      // link), never the history depth: stream_sink_s / epochs stays
+      // ~flat in K even as the drain takes ~4x the epochs.
+      spark.conf.set("spark.sql.catalog.graft_sn",
+        classOf[graft.sources.AtomicParquetCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft_sn.warehouse",
+        java.nio.file.Files.createTempDirectory("graft_sn_wh").toString)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_sn.db")
+      val evCols = eventsK.select($"event_id", $"user_id", $"event_type",
+        $"value")
+      evCols.repartition(32)
+        .writeTo("graft_sn.db.src").using("parquet").createOrReplace()
+      evCols.limit(0)
+        .writeTo("graft_sn.db.sink").using("parquet").createOrReplace()
+      val nSrcFiles = spark.sql(
+        "SELECT count(*) FROM graft_sn.db.src.files").head.getLong(0)
+      val sinkEpochs = (nSrcFiles + 7) / 8
+      val (tStreamSink, _) = secs {
+        val q = spark.readStream
+          .option("maxFilesPerTrigger", 8)
+          .table("graft_sn.db.src")
+          .writeStream
+          .option("checkpointLocation", java.nio.file.Files
+            .createTempDirectory("graft_sn_ck").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable("graft_sn.db.sink")
+        q.awaitTermination(300000)
+        q.stop()
+      }
+      val nSinkRows = spark.table("graft_sn.db.sink").count()
+      val nSrcRows = spark.table("graft_sn.db.src").count()
+      require(nSinkRows == nSrcRows,
+        s"native sink served $nSinkRows of $nSrcRows rows")
+      // round-13: CONCURRENT WRITERS at scale — 8 threads appending
+      // disjoint eighths of the K-grown events into ONE table through a
+      // barrier; every CAS loser REBASES (links only, no data copy, no
+      // failed writer). The claim: the race costs retries, not
+      // serialization — conc wall stays in the serial drain's order
+      // (rebase link work is noise against the write itself), and every
+      // row lands exactly once.
+      evCols.limit(0)
+        .writeTo("graft_sn.db.ser").using("parquet").createOrReplace()
+      val (tSerial8, _) = secs {
+        (0 until 8).foreach { i =>
+          evCols.where($"event_id" % 8 === i)
+            .writeTo("graft_sn.db.ser").append()
+        }
+      }
+      evCols.limit(0)
+        .writeTo("graft_sn.db.conc").using("parquet").createOrReplace()
+      val barrier = new java.util.concurrent.CyclicBarrier(8)
+      val pool8 = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val (tConc8, _) = secs {
+        val fs = (0 until 8).map { i =>
+          pool8.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = {
+              val part = evCols.where($"event_id" % 8 === i)
+              barrier.await()
+              part.writeTo("graft_sn.db.conc").append()
+            }
+          })
+        }
+        fs.foreach(_.get(600, java.util.concurrent.TimeUnit.SECONDS))
+      }
+      pool8.shutdown()
+      require(spark.table("graft_sn.db.conc").count() == nSrcRows,
+        "concurrent appends must land every row exactly once")
+      spark.sql("DROP TABLE graft_sn.db.src")
+      spark.sql("DROP TABLE graft_sn.db.sink")
+      spark.sql("DROP TABLE graft_sn.db.ser")
+      spark.sql("DROP TABLE graft_sn.db.conc")
+
       def rmTree(p: java.nio.file.Path): Unit = {
         import scala.jdk.CollectionConverters._
         if (java.nio.file.Files.exists(p))
@@ -500,7 +577,7 @@ object Stress {
       rmTree(gateDir)
 
       docs.unpersist()
-      f"""{"k":$n,"n_docs":$nDocs,"sig_s":$tSig%.2f,"pairs_s":$tPairs%.2f,"n_pairs":$nPairs,"verify_s":$tVerify%.2f,"n_edges":$nEdges,"dedup_s":$tDedup%.2f,"n_kept":$nKept,"contam_s":$tContam%.2f,"contam_bloom_s":$tContamB%.2f,"repetition_s":$tRep%.2f,"boilerplate_s":$tBp%.2f,"clean_s":$tClean%.2f,"n_clean":$nClean,"semantic_s":$tSem%.2f,"n_semantic":$nSem,"bpe_s":$tBpe%.2f,"n_merges":$nMergesGot,"fluency_s":$tFluency%.2f,"chunk_s":$tChunk%.2f,"score_s":$tScore%.2f,"triangles_s":$tTri%.2f,"n_triangles":$nTri,"cc_local_s":$tCcLocal%.2f,"cc_dist_s":$tCcDist%.2f,"cdc_s":$tCdc%.2f,"n_cdc_chunks":$nCdcChunks,"overlap_s":$tOv%.2f,"overlap_sketch_s":$tOvSk%.2f,"robust_s":$tRob%.2f,"spans_s":$tSpans%.2f,"excise_s":$tExcise%.2f,"contain_s":$tContain%.2f,"n_contain":$nContain,"split_s":$tSplit%.2f,"n_split":$nSplit,"budget_s":$tBudget%.2f,"n_budget":$nBudget,"budget_group_s":$tBudgetG%.2f,"n_budget_group":$nBudgetG,"hh_s":$tHh%.2f,"n_hh":$nHh,"vocab_s":$tVocab%.2f,"n_vocab":$nVocab,"kn_s":$tKn%.2f,"iw_s":$tIw%.2f,"drift_s":$tDrift%.2f,"mm04_s":$tMm04%.2f,"n_mm04":$nMm04,"t43_s":$tT43%.2f,"t44_s":$tT44%.2f,"st09_s":$tSt09%.2f,"st10_s":$tSt10%.2f,"merge_part_s":$tMergePart%.2f,"upsert_s":$tUpsert%.2f,"upsert_replay_s":$tUpsertReplay%.2f,"relayout_s":$tRelayout%.2f,"bucket_merge_s":$tBucketMerge%.2f,"evolve_s":$tEvolve%.2f,"hist_diff_s":$tHist%.2f,"n_hist_changed":$nChanged,"st13_catchup_s":$tCatch%.2f,"st13_catchup_batches":${nCatchB.get()},"cluster_s":$tCluster%.2f,"skip_off_s":$tSkipOff%.2f,"skip_on_s":$tSkipOn%.2f,"mor_delete_s":$tMorDelete%.2f,"rewrite_deletes_s":$tRewriteDel%.2f,"cow_delete_s":$tCowDelete%.2f}"""
+      f"""{"k":$n,"n_docs":$nDocs,"sig_s":$tSig%.2f,"pairs_s":$tPairs%.2f,"n_pairs":$nPairs,"verify_s":$tVerify%.2f,"n_edges":$nEdges,"dedup_s":$tDedup%.2f,"n_kept":$nKept,"contam_s":$tContam%.2f,"contam_bloom_s":$tContamB%.2f,"repetition_s":$tRep%.2f,"boilerplate_s":$tBp%.2f,"clean_s":$tClean%.2f,"n_clean":$nClean,"semantic_s":$tSem%.2f,"n_semantic":$nSem,"bpe_s":$tBpe%.2f,"n_merges":$nMergesGot,"fluency_s":$tFluency%.2f,"chunk_s":$tChunk%.2f,"score_s":$tScore%.2f,"triangles_s":$tTri%.2f,"n_triangles":$nTri,"cc_local_s":$tCcLocal%.2f,"cc_dist_s":$tCcDist%.2f,"cdc_s":$tCdc%.2f,"n_cdc_chunks":$nCdcChunks,"overlap_s":$tOv%.2f,"overlap_sketch_s":$tOvSk%.2f,"robust_s":$tRob%.2f,"spans_s":$tSpans%.2f,"excise_s":$tExcise%.2f,"contain_s":$tContain%.2f,"n_contain":$nContain,"split_s":$tSplit%.2f,"n_split":$nSplit,"budget_s":$tBudget%.2f,"n_budget":$nBudget,"budget_group_s":$tBudgetG%.2f,"n_budget_group":$nBudgetG,"hh_s":$tHh%.2f,"n_hh":$nHh,"vocab_s":$tVocab%.2f,"n_vocab":$nVocab,"kn_s":$tKn%.2f,"iw_s":$tIw%.2f,"drift_s":$tDrift%.2f,"mm04_s":$tMm04%.2f,"n_mm04":$nMm04,"t43_s":$tT43%.2f,"t44_s":$tT44%.2f,"st09_s":$tSt09%.2f,"st10_s":$tSt10%.2f,"merge_part_s":$tMergePart%.2f,"upsert_s":$tUpsert%.2f,"upsert_replay_s":$tUpsertReplay%.2f,"relayout_s":$tRelayout%.2f,"bucket_merge_s":$tBucketMerge%.2f,"evolve_s":$tEvolve%.2f,"hist_diff_s":$tHist%.2f,"n_hist_changed":$nChanged,"st13_catchup_s":$tCatch%.2f,"st13_catchup_batches":${nCatchB.get()},"cluster_s":$tCluster%.2f,"skip_off_s":$tSkipOff%.2f,"skip_on_s":$tSkipOn%.2f,"mor_delete_s":$tMorDelete%.2f,"rewrite_deletes_s":$tRewriteDel%.2f,"cow_delete_s":$tCowDelete%.2f,"stream_sink_s":$tStreamSink%.2f,"stream_sink_epochs":$sinkEpochs,"serial_append8_s":$tSerial8%.2f,"conc_append8_s":$tConc8%.2f}"""
     }
     println(s"""{"stress":[${results.mkString(",")}],"sf":"$dir"}""")
     spark.stop()
