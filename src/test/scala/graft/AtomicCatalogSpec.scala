@@ -315,15 +315,20 @@ class AtomicCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_atomic.db.tev")
   }
 
-  test("an append racing a replace conflicts instead of mutating history") {
+  test("an append racing a same-shape replace rebases onto it") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
     Seq((1L, "base")).toDF("id", "s")
       .writeTo("graft_atomic.db.t10").using("parquet").createOrReplace()
     // pin the append's table resolution (loadTable resolves the version),
-    // then let a replace land before the append commits: the append's CAS
-    // must conflict — under the old in-place semantics it silently wrote
-    // into the now-historical directory and was later vacuumed
+    // then let a replace land before the append commits: the append's
+    // CAS fails and the fast-append REBASE re-stages its rows onto the
+    // replace's head (Iceberg's retry semantics — an append validates
+    // nothing about concurrent commits, so it must never lose to one).
+    // Under the pre-rebase semantics this was pinned as a hard
+    // conflict; the SHAPE-CHANGED race still is (StreamingWriteSpec).
+    // The load-bearing half is unchanged either way: the replace's
+    // snapshot is never silently mutated — the append lands ON TOP.
     val cat = spark.sessionState.catalogManager.catalog("graft_atomic")
       .asInstanceOf[graft.sources.AtomicParquetCatalog]
     val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
@@ -343,12 +348,16 @@ class AtomicCatalogSpec extends AnyFunSuite {
       .newWriteBuilder(info).build()
       .asInstanceOf[org.apache.spark.sql.connector.write.V1Write]
       .toInsertableRelation
-    val err = intercept[java.util.ConcurrentModificationException](
-      rel.insert(Seq((2L, "appender")).toDF("id", "s"), false))
-    assert(err.getMessage.contains("concurrent update"), err.getMessage)
-    // the replace's table is untouched and the log head is the replace
+    rel.insert(Seq((2L, "appender")).toDF("id", "s"), false)
+    // the rebase kept the replace AND the append; the base row the
+    // append staged against is gone (the replace removed it) — the
+    // append's rows were re-staged, not the whole staging snapshot
     assert(spark.table("graft_atomic.db.t10").as[(Long, String)]
-      .collect().toSeq == Seq((9L, "replacer")))
+      .collect().toSeq.sorted == Seq((2L, "appender"), (9L, "replacer")))
+    // and history agrees: one version back is the replace alone
+    assert(spark.sql(
+      "SELECT * FROM graft_atomic.db.t10 VERSION AS OF 1")
+      .as[(Long, String)].collect().toSeq == Seq((9L, "replacer")))
     spark.sql("DROP TABLE graft_atomic.db.t10")
   }
 
