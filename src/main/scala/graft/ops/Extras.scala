@@ -1308,6 +1308,47 @@ object Extras {
     }
   }
 
+  /** q101: IDENTITY COLUMNS (`GENERATED ALWAYS AS IDENTITY`, the
+    * Delta/Iceberg-v3 surface) — the connector allocates omitted
+    * values on the append path, continuing from the commit-time
+    * footer-stats watermark across THREE separate appends
+    * (O(metadata) per write, no data scan). Identity values are
+    * unique-and-directional but not deterministic, so the gate checks
+    * INVARIANTS the oracle can reproduce: per-group distinct-id count
+    * equals row count (no duplicate allocation), every id sits on the
+    * (start, step) grid, and a gate-internal require pins GLOBAL
+    * uniqueness. IdentityColumnSpec pins ALWAYS-refusal, BY DEFAULT
+    * explicit values, merge allocation and the no-rebase race rule. */
+  def q101IdentityColumn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    s.sql("DROP TABLE IF EXISTS graft_ma.db.ev_id")
+    s.sql("""CREATE TABLE graft_ma.db.ev_id (
+            |  rid BIGINT GENERATED ALWAYS AS IDENTITY
+            |    (START WITH 1000 INCREMENT BY 3),
+            |  event_id BIGINT, event_type STRING, value DOUBLE)
+            |USING parquet""".stripMargin)
+    Tables.load(s, dir, "events")
+      .select($"event_id", $"event_type", $"value")
+      .createOrReplaceTempView("q101_src")
+    for (k <- 0 to 2) // three appends: the watermark must carry across
+      s.sql(s"""INSERT INTO graft_ma.db.ev_id (event_id, event_type, value)
+               |SELECT event_id, event_type, value FROM q101_src
+               |WHERE event_id % 3 = $k""".stripMargin)
+    val t = s.table("graft_ma.db.ev_id")
+    val uniq = t.agg(count(lit(1)), countDistinct($"rid")).head
+    require(uniq.getLong(0) == uniq.getLong(1),
+      s"q101: identity allocation duplicated values ($uniq)")
+    t.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"rid").as("n_rids"),
+        sum(when(($"rid" - 1000) % 3 === 0, lit(0L)).otherwise(lit(1L)))
+          .as("off_grid"),
+        moneySum($"value").as("total"))
+      .orderBy($"event_type")
+  }
+
   /** Export path q76's oracle reads. Verify and the DuckDB oracle run on
     * the same host within one gate round, and the oracle SQL (which
     * embeds this path) is DUMPED BY THE SAME JVM that ran the export —
@@ -1635,6 +1676,7 @@ object Extras {
     "q98_default_column" -> q98DefaultColumn,
     "q99_check_constraint" -> q99CheckConstraint,
     "q100_agg_pushdown" -> q100AggPushdown,
+    "q101_identity_column" -> q101IdentityColumn,
     "q76_catalog_external" -> q76CatalogExternal,
     "q77_partitions_metadata" -> q77PartitionsMetadata,
     "q78_snapshot_changes" -> q78SnapshotChanges,
@@ -2092,6 +2134,16 @@ object Extras {
         |WHERE NOT (o_custkey >= 100 AND o_custkey <= 400)
         |  AND NOT (o_orderpriority = '1-URGENT' AND o_totalprice > 250000.0)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // identity values are unique-per-row and on the (1000,3) grid, so
+    // the invariant columns reduce to count / count / zero — a
+    // duplicate or off-grid allocation hash-mismatches
+    "q101_identity_column" ->
+      """SELECT event_type,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(count(*) AS BIGINT) AS n_rids,
+        | CAST(0 AS BIGINT) AS off_grid,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // footer-metadata aggregate == the row-scan aggregate
     "q100_agg_pushdown" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_orders,

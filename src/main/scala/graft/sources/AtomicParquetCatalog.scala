@@ -360,7 +360,8 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     * AddConstraint handling in alterTable and [[TableConstraints]]. */
   override def capabilities(): java.util.Set[TableCatalogCapability] =
     java.util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
-      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   private[sources] def warehouseDir: JPath = warehouse
   private[sources] def readMetaOf(versionDir: JPath): (StructType, Seq[PartitionField]) =
@@ -1008,6 +1009,17 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
 
   override def tableExists(ident: Identifier): Boolean =
     Files.exists(pointer(tableDir(ident)))
+
+  /** The Column[] create path: Spark's DEFAULT implementation of this
+    * variant converts columns to a StructType and DROPS the identity
+    * spec on the floor — overridden so IDENTITY (and comment/DEFAULT)
+    * metadata survives into `_schema.json`. See [[IdentityColumns]]. */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    createTable(ident, StructType(columns.map(IdentityColumns.toField)),
+      partitions, properties)
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
@@ -2540,8 +2552,10 @@ private[sources] final class PointerTable(
                     // partition the scan did not read.
                     Files.write(nv.resolve("_partitions.txt"),
                       PartitionField.serialize(fields).getBytes("UTF-8"))
-                    val staged = spark.read.schema(winfo.schema())
-                      .parquet(staging.toString)
+                    val staged = IdentityColumns.refuseNulls(
+                      spark.read.schema(winfo.schema())
+                        .parquet(staging.toString),
+                      tableSchema, "a row-level MERGE/UPDATE")
                     writeInto(nv, staged, "append")
                     catalog.dropOrphan(staging)
                     catalog.linkDataFiles(versionDir, nv,
@@ -2566,8 +2580,23 @@ private[sources] final class PointerTable(
                     // anyway (AtomicCatalogSpec pins layout survival).
                     Files.write(nv.resolve("_partitions.txt"),
                       PartitionField.serialize(fields).getBytes("UTF-8"))
-                    val staged = spark.read.schema(winfo.schema())
-                      .parquet(staging.toString)
+                    val staged = IdentityColumns.refuseNulls(
+                      spark.read.schema(winfo.schema())
+                        .parquet(staging.toString),
+                      tableSchema, "a row-level MERGE/UPDATE")
+                    writeInto(nv, staged, "append")
+                    catalog.dropOrphan(staging)
+                  case _ if IdentityColumns.has(tableSchema) =>
+                    // whole-table COW on an UNPARTITIONED identity
+                    // table: the raw-move shortcut below would let a
+                    // merge-inserted row slip a NULL identity value
+                    // into the table — take the one-extra-pass re-read
+                    // so the refusal guard sees every row
+                    Files.write(nv.resolve("_partitions.txt"), Array.empty[Byte])
+                    val staged = IdentityColumns.refuseNulls(
+                      spark.read.schema(winfo.schema())
+                        .parquet(staging.toString),
+                      tableSchema, "a row-level MERGE/UPDATE")
                     writeInto(nv, staged, "append")
                     catalog.dropOrphan(staging)
                   case _ =>
@@ -2651,8 +2680,9 @@ private[sources] final class PointerTable(
           Files.createDirectories(nv)
           Files.copy(versionDir.resolve("_schema.json"), nv.resolve("_schema.json"))
           Files.copy(versionDir.resolve("_partitions.txt"), nv.resolve("_partitions.txt"))
-          val staged = spark.read.schema(winfo.schema())
-            .parquet(staging.toString)
+          val staged = IdentityColumns.refuseNulls(
+            spark.read.schema(winfo.schema()).parquet(staging.toString),
+            tableSchema, "a dynamic partition overwrite")
           writeInto(nv, staged, "append")
           catalog.dropOrphan(staging)
           val written = catalog.dataFilePartitions(nv)
@@ -2698,6 +2728,12 @@ private[sources] final class PointerTable(
           if (mode != "append") throw new UnsupportedOperationException(
             s"$ident: streaming writes support the Append output mode " +
               "only; use foreachBatch with a replace for Complete")
+          if (IdentityColumns.has(tableSchema))
+            throw new UnsupportedOperationException(
+              s"$ident: streaming writes into an IDENTITY-column table " +
+                "are not supported — per-epoch identity allocation would " +
+                "race the stream's own commits; generate the values in " +
+                "the stream (or use foreachBatch with a batch append)")
           new GraftStreamingWrite(catalog, ident, dir, info.schema(),
             info.queryId())
         }
@@ -2711,7 +2747,14 @@ private[sources] final class PointerTable(
             Files.createDirectories(nv)
             Files.copy(versionDir.resolve("_schema.json"), nv.resolve("_schema.json"))
             Files.copy(versionDir.resolve("_partitions.txt"), nv.resolve("_partitions.txt"))
-            writeInto(nv, data, "append")
+            // identity columns: allocate values for omitted (null) ids,
+            // continuing from the base version's footer-stats watermark
+            val hasIdentity = IdentityColumns.has(tableSchema)
+            val routed =
+              if (hasIdentity) IdentityColumns.fillGenerated(spark, data,
+                tableSchema, dir, versionDir)
+              else data
+            writeInto(nv, routed, "append")
             // the files THIS write produced, before any links ride in —
             // exactly what a conflict rebase must replay onto a new head
             val newFiles = AtomicParquetCatalog.walkDataFiles(nv)
@@ -2730,7 +2773,7 @@ private[sources] final class PointerTable(
               expectedBase = Some(versionDir.getFileName.toString))
             catch {
               case e: java.util.ConcurrentModificationException
-                  if mode == "append" =>
+                  if mode == "append" && !hasIdentity =>
                 // fast-append REBASE (Iceberg's retry semantics): an
                 // append validates nothing about concurrent commits, so
                 // a CAS conflict re-stages the same new files onto the
@@ -2738,7 +2781,10 @@ private[sources] final class PointerTable(
                 // executors many jobs append concurrently and
                 // one-writer-at-a-time is not a posture. OVERWRITEs
                 // (static/dynamic) still conflict: they asserted a
-                // table state a concurrent commit falsified.
+                // table state a concurrent commit falsified — and so
+                // do IDENTITY-table appends, whose racing allocations
+                // drew overlapping value ranges from one watermark
+                // (Delta's identity conflict rule).
                 commitAppendRebasing(nv, newFiles, e)
               case e: Throwable => // non-conflict failure, or overwrite
                 catalog.dropOrphan(nv); throw e
