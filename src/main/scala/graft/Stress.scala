@@ -548,19 +548,19 @@ object Stress {
         .writeTo("graft_sn.db.conc").using("parquet").createOrReplace()
       val barrier = new java.util.concurrent.CyclicBarrier(8)
       val pool8 = java.util.concurrent.Executors.newFixedThreadPool(8)
-      val (tConc8, _) = secs {
-        val fs = (0 until 8).map { i =>
-          pool8.submit(new java.util.concurrent.Callable[Unit] {
-            override def call(): Unit = {
-              val part = evCols.where($"event_id" % 8 === i)
-              barrier.await()
-              part.writeTo("graft_sn.db.conc").append()
-            }
-          })
-        }
-        fs.foreach(_.get(600, java.util.concurrent.TimeUnit.SECONDS))
-      }
-      pool8.shutdown()
+      val (tConc8, _) =
+        try secs {
+          val fs = (0 until 8).map { i =>
+            pool8.submit(new java.util.concurrent.Callable[Unit] {
+              override def call(): Unit = {
+                val part = evCols.where($"event_id" % 8 === i)
+                barrier.await()
+                part.writeTo("graft_sn.db.conc").append()
+              }
+            })
+          }
+          fs.foreach(_.get(600, java.util.concurrent.TimeUnit.SECONDS))
+        } finally pool8.shutdown() // non-daemon workers must not pin the JVM
       require(spark.table("graft_sn.db.conc").count() == nSrcRows,
         "concurrent appends must land every row exactly once")
       spark.sql("DROP TABLE graft_sn.db.src")

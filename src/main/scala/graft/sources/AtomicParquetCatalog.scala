@@ -2849,7 +2849,14 @@ private[sources] final class PointerTable(
         return
       } catch {
         case e: java.util.ConcurrentModificationException =>
-          if (attempts >= 5) { catalog.dropOrphan(nv2); throw e }
+          // N writers racing one head resolve one per round, so the
+          // last needs ~N rounds: 12 attempts serves a dozen
+          // simultaneous appenders, and the growing backoff keeps the
+          // retry herd from re-colliding on every CAS (Iceberg's
+          // commit.retry posture — measured: 8 barrier-released
+          // writers exhaust a backoff-less bound of 5)
+          if (attempts >= 12) { catalog.dropOrphan(nv2); throw e }
+          Thread.sleep(15L * attempts)
           cur = nv2 // lost the race again: rebase onto the newer head
         case e: Throwable =>
           catalog.dropOrphan(nv2); throw e

@@ -171,7 +171,8 @@ private[sources] final class GraftStreamingWrite(
             case e: java.util.ConcurrentModificationException =>
               catalog.dropOrphan(nv)
               attempts += 1
-              if (attempts >= 5) throw e // persistent contention: surface it
+              if (attempts >= 8) throw e // persistent contention: surface it
+              Thread.sleep(15L * attempts) // de-herd racing batch writers
             // loop: rebase the epoch onto the new head
           }
         }
