@@ -2764,14 +2764,26 @@ private[sources] final class PointerTable(
             // keep their relative layout, so their sidecar rides too; a
             // STATIC overwrite (the truncate() path, whole-table
             // semantics) starts empty AND single-spec
-            if (mode == "append") {
-              catalog.linkDataFiles(versionDir, nv)
-              catalog.carryLegacySpecs(versionDir, nv)
-              MorDeletes.carry(versionDir, nv)
-            }
-            try catalog.commitVersion(dir, v,
-              expectedBase = Some(versionDir.getFileName.toString))
-            catch {
+            try {
+              if (mode == "append") {
+                catalog.linkDataFiles(versionDir, nv)
+                catalog.carryLegacySpecs(versionDir, nv)
+                MorDeletes.carry(versionDir, nv)
+              }
+              catalog.commitVersion(dir, v,
+                expectedBase = Some(versionDir.getFileName.toString))
+            } catch {
+              case e: java.io.IOException
+                  if mode == "append" && !hasIdentity =>
+                // the PINNED base vanished mid-link (racing commits
+                // pushed it past retention and vacuumed it): the
+                // rebase loop re-reads the live head and re-stages the
+                // new files — stale partial links in nv never ride (the
+                // rebase links ONLY this write's own files out of it)
+                commitAppendRebasing(nv, newFiles,
+                  new java.util.ConcurrentModificationException(
+                    s"$ident: append base was vacuumed mid-commit " +
+                      s"(${e.getMessage})"))
               case e: java.util.ConcurrentModificationException
                   if mode == "append" && !hasIdentity =>
                 // fast-append REBASE (Iceberg's retry semantics): an
@@ -2807,6 +2819,22 @@ private[sources] final class PointerTable(
       conflict: java.util.ConcurrentModificationException): Unit = {
     var cur = staged
     var attempts = 0
+    // N writers racing one head resolve one per round, so the last
+    // needs ~N rounds: 12 attempts serves a dozen simultaneous
+    // appenders, and the growing backoff keeps the retry herd from
+    // re-colliding on every CAS (Iceberg's commit.retry posture —
+    // measured: 8 barrier-released writers exhaust a backoff-less
+    // bound of 5). A head VANISHING mid-rebase (racing commits pushed
+    // it past the retention window and vacuumed it — measured under 8
+    // writers with history=3) is the same event as losing the CAS:
+    // back off and re-read the log, never a crash.
+    def backoffOrGiveUp(e: Throwable): Unit =
+      if (attempts >= 12) {
+        catalog.dropOrphan(cur)
+        throw new java.util.ConcurrentModificationException(
+          s"$ident: append could not rebase after $attempts attempts " +
+            s"(${e.getMessage}); re-run the append")
+      } else Thread.sleep(15L * attempts)
     while (true) {
       attempts += 1
       val head = catalog.versionLog(dir).headOption.getOrElse {
@@ -2814,52 +2842,60 @@ private[sources] final class PointerTable(
       }
       val headDir = dir.resolve(head)
       val sameShape =
-        try java.util.Arrays.equals(
+        try Some(java.util.Arrays.equals(
           Files.readAllBytes(headDir.resolve("_schema.json")),
           Files.readAllBytes(cur.resolve("_schema.json"))) &&
           java.util.Arrays.equals(
             Files.readAllBytes(headDir.resolve("_partitions.txt")),
             Files.readAllBytes(cur.resolve("_partitions.txt"))) &&
           Files.exists(headDir.resolve("_legacy_specs.txt")) ==
-            Files.exists(cur.resolve("_legacy_specs.txt"))
-        catch { case _: java.io.IOException => false }
-      if (!sameShape) {
-        catalog.dropOrphan(cur)
-        throw new java.util.ConcurrentModificationException(
-          s"$ident: append raced a commit that changed the table's " +
-            s"schema or partition spec (now at $head) — the staged rows' " +
-            "layout is stale; re-run the append against the current table",
-          )
-      }
-      val v2 = s"v-${UUID.randomUUID()}"
-      val nv2 = dir.resolve(v2)
-      Files.createDirectories(nv2)
-      Files.copy(headDir.resolve("_schema.json"), nv2.resolve("_schema.json"))
-      Files.copy(headDir.resolve("_partitions.txt"),
-        nv2.resolve("_partitions.txt"))
-      newFiles.foreach { rel =>
-        AtomicParquetCatalog.linkOrCopy(cur.resolve(rel), nv2.resolve(rel))
-      }
-      catalog.linkDataFiles(headDir, nv2)
-      catalog.carryLegacySpecs(headDir, nv2)
-      MorDeletes.carry(headDir, nv2)
-      catalog.dropOrphan(cur) // hard links outlive the old staging dir
-      try {
-        catalog.commitVersion(dir, v2, expectedBase = Some(head))
-        return
-      } catch {
-        case e: java.util.ConcurrentModificationException =>
-          // N writers racing one head resolve one per round, so the
-          // last needs ~N rounds: 12 attempts serves a dozen
-          // simultaneous appenders, and the growing backoff keeps the
-          // retry herd from re-colliding on every CAS (Iceberg's
-          // commit.retry posture — measured: 8 barrier-released
-          // writers exhaust a backoff-less bound of 5)
-          if (attempts >= 12) { catalog.dropOrphan(nv2); throw e }
-          Thread.sleep(15L * attempts)
-          cur = nv2 // lost the race again: rebase onto the newer head
-        case e: Throwable =>
-          catalog.dropOrphan(nv2); throw e
+            Files.exists(cur.resolve("_legacy_specs.txt")))
+        catch { case e: java.io.IOException => None } // head vacuumed: re-read
+      sameShape match {
+        case None => backoffOrGiveUp(conflict)
+        case Some(false) =>
+          catalog.dropOrphan(cur)
+          throw new java.util.ConcurrentModificationException(
+            s"$ident: append raced a commit that changed the table's " +
+              s"schema or partition spec (now at $head) — the staged " +
+              "rows' layout is stale; re-run the append against the " +
+              "current table")
+        case Some(true) =>
+          val v2 = s"v-${UUID.randomUUID()}"
+          val nv2 = dir.resolve(v2)
+          val stagedOk =
+            try {
+              Files.createDirectories(nv2)
+              Files.copy(headDir.resolve("_schema.json"),
+                nv2.resolve("_schema.json"))
+              Files.copy(headDir.resolve("_partitions.txt"),
+                nv2.resolve("_partitions.txt"))
+              newFiles.foreach { rel =>
+                AtomicParquetCatalog.linkOrCopy(cur.resolve(rel),
+                  nv2.resolve(rel))
+              }
+              catalog.linkDataFiles(headDir, nv2)
+              catalog.carryLegacySpecs(headDir, nv2)
+              MorDeletes.carry(headDir, nv2)
+              true
+            } catch { // head vacuumed mid-link: cur is intact, retry
+              case e: java.io.IOException =>
+                catalog.dropOrphan(nv2); backoffOrGiveUp(e); false
+            }
+          if (stagedOk) {
+            catalog.dropOrphan(cur) // hard links outlive the staging dir
+            try {
+              catalog.commitVersion(dir, v2, expectedBase = Some(head))
+              return
+            } catch {
+              case e: java.util.ConcurrentModificationException =>
+                if (attempts >= 12) { catalog.dropOrphan(nv2); throw e }
+                Thread.sleep(15L * attempts)
+                cur = nv2 // lost the race again: rebase onto the newer head
+              case e: Throwable =>
+                catalog.dropOrphan(nv2); throw e
+            }
+          }
       }
     }
   }

@@ -138,42 +138,66 @@ private[sources] final class GraftStreamingWrite(
                 "so it re-binds to the current schema")
           val v = s"v-${UUID.randomUUID()}"
           val nv = dir.resolve(v)
-          Files.createDirectories(nv)
-          Files.copy(headDir.resolve("_schema.json"),
-            nv.resolve("_schema.json"))
-          Files.copy(headDir.resolve("_partitions.txt"),
-            nv.resolve("_partitions.txt"))
-          if (headFields.isEmpty) {
-            // unpartitioned: the staged files ARE the layout — hard-link
-            // them in (names embed partition/task/uuid, collision-free)
-            files.foreach { f =>
-              val src = Paths.get(f)
-              AtomicParquetCatalog.linkOrCopy(src,
-                nv.resolve(src.getFileName.toString))
+          // staging in its own try: the head VANISHING mid-stage
+          // (racing commits pushed it past retention and vacuumed it)
+          // is the same event as losing the CAS — drop the partial
+          // version, back off, re-read the log. Scoped to EXCLUDE
+          // commitVersion: an I/O hiccup after the pointer swap must
+          // never drop a version the log now references.
+          val stagedOk =
+            try {
+              Files.createDirectories(nv)
+              Files.copy(headDir.resolve("_schema.json"),
+                nv.resolve("_schema.json"))
+              Files.copy(headDir.resolve("_partitions.txt"),
+                nv.resolve("_partitions.txt"))
+              if (headFields.isEmpty) {
+                // unpartitioned: the staged files ARE the layout —
+                // hard-link them in (names embed partition/task/uuid,
+                // collision-free)
+                files.foreach { f =>
+                  val src = Paths.get(f)
+                  AtomicParquetCatalog.linkOrCopy(src,
+                    nv.resolve(src.getFileName.toString))
+                }
+              } else {
+                // partitioned: one extra pass over the EPOCH's rows
+                // only, laid out under the head's CURRENT spec
+                // (clustered where the spec's fineness calls for it —
+                // same rule as batch)
+                val staged = spark.read.schema(writeSchema)
+                  .parquet(files: _*)
+                AtomicParquetCatalog.writeLayout(spark, dir, nv, staged,
+                  headFields, "append")
+              }
+              catalog.linkDataFiles(headDir, nv)
+              catalog.carryLegacySpecs(headDir, nv)
+              MorDeletes.carry(headDir, nv)
+              StreamEpochs.write(nv,
+                StreamEpochs.read(headDir) + (queryId -> epochId))
+              true
+            } catch {
+              case e: java.io.IOException =>
+                catalog.dropOrphan(nv)
+                attempts += 1
+                if (attempts >= 8) throw new IllegalStateException(
+                  s"$ident: epoch $epochId could not commit after " +
+                    s"$attempts attempts (${e.getMessage})", e)
+                Thread.sleep(15L * attempts)
+                false
             }
-          } else {
-            // partitioned: one extra pass over the EPOCH's rows only,
-            // laid out under the head's CURRENT spec (clustered where
-            // the spec's fineness calls for it — same rule as batch)
-            val staged = spark.read.schema(writeSchema).parquet(files: _*)
-            AtomicParquetCatalog.writeLayout(spark, dir, nv, staged,
-              headFields, "append")
-          }
-          catalog.linkDataFiles(headDir, nv)
-          catalog.carryLegacySpecs(headDir, nv)
-          MorDeletes.carry(headDir, nv)
-          StreamEpochs.write(nv,
-            StreamEpochs.read(headDir) + (queryId -> epochId))
-          try {
-            catalog.commitVersion(dir, v, expectedBase = Some(head))
-            committed = true
-          } catch {
-            case e: java.util.ConcurrentModificationException =>
-              catalog.dropOrphan(nv)
-              attempts += 1
-              if (attempts >= 8) throw e // persistent contention: surface it
-              Thread.sleep(15L * attempts) // de-herd racing batch writers
-            // loop: rebase the epoch onto the new head
+          if (stagedOk) {
+            try {
+              catalog.commitVersion(dir, v, expectedBase = Some(head))
+              committed = true
+            } catch {
+              case e: java.util.ConcurrentModificationException =>
+                catalog.dropOrphan(nv)
+                attempts += 1
+                if (attempts >= 8) throw e // persistent contention
+                Thread.sleep(15L * attempts) // de-herd racing writers
+              // loop: rebase the epoch onto the new head
+            }
           }
         }
       }

@@ -70,6 +70,14 @@ class StreamingWriteSpec extends AnyFunSuite {
     val got = spark.table("graft_sw.db.out").select("id")
       .as[Long].collect().sorted
     assert(got === (1L to 12L).toArray) // every row once, none twice
+    // the epoch ledger keys on the STABLE query id (not the per-run
+    // id): two separate runs of the same checkpointed query must share
+    // ONE ledger entry — an unstable key would let a crash-replayed
+    // epoch double-apply after a restart
+    val outDir = java.nio.file.Paths.get(warehouse, "db", "out")
+    val headDir = outDir.resolve(catalog.versionLog(outDir).head)
+    assert(StreamEpochs.read(headDir).size === 1,
+      s"ledger must have one entry: ${StreamEpochs.read(headDir)}")
     // a third drain with nothing new appends nothing (and creates no
     // empty snapshot — empty batches commit nothing)
     val versions = catalog.versionLog(
