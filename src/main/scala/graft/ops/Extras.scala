@@ -1349,6 +1349,78 @@ object Extras {
       .orderBy($"event_type")
   }
 
+  /** q102: MERGE-ON-READ MERGE (DeltaRowLevel.scala) — Iceberg v2's
+    * equality-delete posture through Spark's native `SupportsDelta`
+    * plumbing. The table declares `write.merge.mode = merge-on-read`
+    * and a PRIMARY KEY (which this catalog treats as NOT NULL, RELY
+    * semantics — the row id Spark's delta rewrite requires); a MERGE
+    * whose matched keys scatter across EVERY partition then commits
+    * O(changed rows): the gate `require`s every base data file rides
+    * as a hard link (inode-pinned — group-based COW would have
+    * rewritten all partitions for this key set) and exactly one
+    * equality-delete sidecar entry lands. The oracle replays the merge
+    * arithmetic over the raw table, so the cross-engine hash also pins
+    * the read-side exact application of the equality deletes. */
+  def q102MorMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    s.sql("DROP TABLE IF EXISTS graft_ma.db.ord_mm")
+    Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+      .writeTo("graft_ma.db.ord_mm").using("parquet")
+      .tableProperty("write.merge.mode", "merge-on-read")
+      .partitionedBy($"o_orderstatus").create()
+    s.sql("ALTER TABLE graft_ma.db.ord_mm " +
+      "ADD CONSTRAINT ord_mm_pk PRIMARY KEY (o_orderkey) NOT ENFORCED")
+    def inodes(): Map[String, Any] = {
+      val wh = s.conf.get("spark.sql.catalog.graft_ma.warehouse")
+      val tdir = java.nio.file.Paths.get(wh, "db", "ord_mm")
+      val cur = tdir.resolve(new String(java.nio.file.Files.readAllBytes(
+        tdir.resolve("_current")), "UTF-8").split("\n").head.trim)
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(cur)
+      try walk.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") &&
+          !n.startsWith(".") &&
+          !cur.relativize(p).toString.startsWith("_deletes/")
+      }.map(p => cur.relativize(p).toString ->
+        java.nio.file.Files.getAttribute(p, "unix:ino")).toMap
+      finally walk.close()
+    }
+    val before = inodes()
+    // matched keys hit every o_orderstatus partition (modulo sweeps the
+    // key space); unmatched keys land in a NEW partition 'Z'
+    Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+      .where($"o_orderkey" % 97 === 0)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+        (-$"o_totalprice").as("o_totalprice"))
+      .unionByName(Tables.load(s, dir, "orders")
+        .where($"o_orderkey" % 89 === 0)
+        .select(($"o_orderkey" + 10000000L).as("o_orderkey"), $"o_custkey",
+          lit("Z").as("o_orderstatus"), $"o_totalprice"))
+      .createOrReplaceTempView("q102_src")
+    s.sql("""MERGE INTO graft_ma.db.ord_mm t USING q102_src s
+            |ON t.o_orderkey = s.o_orderkey
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after = inodes()
+    require(before.forall { case (k, v) => after.get(k).contains(v) },
+      "merge-on-read MERGE must hard-link every base data file unchanged")
+    require(after.size > before.size,
+      "the merge's delta rows must land as NEW files")
+    require(s.table("graft_ma.db.ord_mm.deletes").count() == 1L,
+      "exactly one equality-delete entry expected")
+    s.table("graft_ma.db.ord_mm")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct($"o_custkey").as("n_custs"),
+        moneySum($"o_totalprice").as("total"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** Export path q76's oracle reads. Verify and the DuckDB oracle run on
     * the same host within one gate round, and the oracle SQL (which
     * embeds this path) is DUMPED BY THE SAME JVM that ran the export —
@@ -1677,6 +1749,7 @@ object Extras {
     "q99_check_constraint" -> q99CheckConstraint,
     "q100_agg_pushdown" -> q100AggPushdown,
     "q101_identity_column" -> q101IdentityColumn,
+    "q102_mor_merge" -> q102MorMerge,
     "q76_catalog_external" -> q76CatalogExternal,
     "q77_partitions_metadata" -> q77PartitionsMetadata,
     "q78_snapshot_changes" -> q78SnapshotChanges,
@@ -2133,6 +2206,27 @@ object Extras {
         |FROM orders
         |WHERE NOT (o_custkey >= 100 AND o_custkey <= 400)
         |  AND NOT (o_orderpriority = '1-URGENT' AND o_totalprice > 250000.0)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the oracle replays the merge arithmetic over the raw table:
+    // matched keys (mod 97) take the negated price, the inserted rows
+    // (mod 89, shifted keys) land in partition 'Z' — an equality
+    // delete the read side failed to apply (a resurrected old row)
+    // hash-mismatches the totals
+    "q102_mor_merge" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, 'Z', o_totalprice
+        |  FROM orders WHERE o_orderkey % 89 = 0
+        |)
+        |SELECT o_orderstatus,
+        | CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM merged
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // identity values are unique-per-row and on the (1000,3) grid, so
     // the invariant columns reduce to count / count / zero — a

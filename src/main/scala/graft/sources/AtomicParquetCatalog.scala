@@ -1097,6 +1097,54 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
       }
       TableConstraints.write(dir, next)
     }
+    // PRIMARY KEY implies NOT NULL (RELY semantics — the same trust
+    // Iceberg places in identifier fields): flip the declared columns
+    // non-nullable in a METADATA-ONLY snapshot, so the optimizer and
+    // the merge-on-read row-level path (Spark refuses nullable row ids
+    // outright, NULLABLE_ROW_ID_ATTRIBUTES) can lean on the key.
+    // Outside the constraint lock — commitVersion takes it itself.
+    val pkCols = constraintChanges.collect {
+      case a: TableChange.AddConstraint => a.constraint()
+    }.collect {
+      case pk: org.apache.spark.sql.connector.catalog.constraints.PrimaryKey =>
+        pk.columns().toSeq.map(_.fieldNames().mkString("."))
+    }.flatten
+    if (pkCols.nonEmpty) {
+      var flipped = false
+      var attempts = 0
+      while (!flipped) {
+        attempts += 1
+        val base = currentVersion(dir).getOrElse(
+          throw new NoSuchTableException(ident))
+        val (schema0, flds) = readMeta(base)
+        pkCols.foreach { c => require(
+          schema0.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"$ident: PRIMARY KEY column $c does not exist") }
+        val evolvedPk = StructType(schema0.fields.map { f =>
+          if (pkCols.exists(_.equalsIgnoreCase(f.name))) f.copy(nullable = false)
+          else f
+        })
+        if (evolvedPk == schema0) flipped = true // already non-null
+        else {
+          val v = s"v-${UUID.randomUUID()}"
+          val nv = dir.resolve(v)
+          writeMeta(nv, evolvedPk, flds)
+          linkDataFiles(base, nv)
+          carryLegacySpecs(base, nv)
+          MorDeletes.carry(base, nv)
+          try {
+            commitVersion(dir, v,
+              expectedBase = Some(base.getFileName.toString))
+            flipped = true
+          } catch {
+            case e: java.util.ConcurrentModificationException =>
+              dropOrphan(nv)
+              if (attempts >= 5) throw e // a racing commit each round
+            case e: Throwable => dropOrphan(nv); throw e
+          }
+        }
+      }
+    }
     if (propChanges.nonEmpty) withCommitLock(dir) {
       val next = propChanges.foldLeft(readProps(dir)) { (ps, c) =>
         c match {
@@ -2347,6 +2395,28 @@ private[sources] final class PointerTable(
     if (historical) throw new UnsupportedOperationException(
       s"$ident: cannot MERGE/UPDATE/DELETE through a VERSION AS OF read — " +
         "historical snapshots are immutable; target the current table")
+    // MERGE-ON-READ delta path (DeltaRowLevel.scala): when the table
+    // requests it and declares a usable PRIMARY KEY, the operation
+    // commits O(changed rows) — equality-delete sidecar + appended
+    // files, every base file hard-linked — instead of any rewrite.
+    // Ineligible tables fall through to group-based COW silently.
+    DeltaRowLevel.eligibleRowId(catalog, dir, tableSchema,
+        info.command(), spark).foreach { rowIdCol =>
+      return () => new DeltaRowLevelOperation(catalog, ident, dir,
+        versionDir, fields, info.command(), rowIdCol,
+        opts => {
+          val b = PointerTable.this.newScanBuilder(opts)
+          // same schema pin as the COW scan: a hidden-transform
+          // layout's inner table appends its `_gb_col`; the rewrite's
+          // relation output is the table schema
+          b match {
+            case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+              p.pruneColumns(tableSchema)
+            case _ => ()
+          }
+          b
+        })
+    }
     // multi-column partition specs: Spark's runtime-filter translation
     // drops the multi-key pruning subquery (struct child), so the split
     // rule below rewrites it into per-column subqueries that DO

@@ -1,0 +1,335 @@
+package graft.sources
+
+import java.nio.file.{Files, Path => JPath, Paths}
+import java.util.UUID
+
+import org.apache.hadoop.mapreduce.{Job, JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.constraints.PrimaryKey
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, SupportsDelta, WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.OutputWriterFactory
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+/** MERGE-ON-READ row-level writes — Iceberg v2's equality-delete
+  * posture through Spark's native delta plumbing ([[SupportsDelta]]):
+  * with `write.merge.mode` / `write.update.mode` / `write.delete.mode`
+  * = `merge-on-read` (table property, or the session-wide
+  * `spark.sql.catalog.graft.write.rowLevelMode`) and a single-column
+  * PRIMARY KEY declared on the table, a MERGE/UPDATE/DELETE commits
+  * **O(changed rows), never a rewrite**:
+  *
+  *  - every base data file HARD-LINKS forward untouched;
+  *  - rows the operation deletes (or replaces — updates arrive as
+  *    delete+reinsert, `representUpdateAsDeleteAndInsert`) land as one
+  *    EQUALITY-DELETE entry (`pk IN (ids…)`) in the `_deletes/`
+  *    sidecar, scoped to exactly the files present at operation time
+  *    (snapshot semantics — the same Iceberg sequence-number rule the
+  *    predicate-delete path follows);
+  *  - inserted/updated rows stream from the executors through Spark's
+  *    own parquet [[OutputWriterFactory]] (codegen'd write path) into
+  *    a staging area and fold into the snapshot like a fast-append —
+  *    partitioned tables re-lay ONLY those rows under the current
+  *    spec, the streaming sink's exact posture.
+  *
+  * Why this matters at 100 TB: group-based copy-on-write prices a
+  * merge at the TOUCHED PARTITIONS, which is the right call when keys
+  * cluster — but a CDC upsert whose 10k keys scatter across every
+  * partition rewrites the whole table. This path prices the same merge
+  * at ~10k rows + one sidecar entry. The read-side debt is one
+  * hash-set probe per row ([[MorDeletes.toCatalyst]] renders large key
+  * lists as `InSet`) until `CALL system.rewrite_deletes` (or compact /
+  * rewrite_layout) materializes the deletes away — the standard
+  * amortize-vs-rewrite dial, both ends measured in PERF.md.
+  *
+  * The row id is the declared PRIMARY KEY (informational constraints
+  * carry real weight here — exactly how Iceberg uses identifier
+  * fields for equality deletes). The source must actually keep it
+  * unique; this engine does not re-validate per write (no lakehouse
+  * does — enforcement would cost a global shuffle).
+  *
+  * Scale bound, explicit: the matched-key set of ONE commit funnels
+  * through the driver into the sidecar entry (distinct + collect),
+  * capped by `write.mor.max-delete-keys` (default 1M ≈ tens of MB).
+  * Beyond the cap the operation FAILS with a pointed error naming the
+  * copy-on-write fallback — a merge replacing more than a million
+  * scattered rows is bulk maintenance, where the rewrite is the right
+  * price anyway. Fallbacks to copy-on-write are automatic (not errors)
+  * when the table is ineligible: no single-column PK of an encodable
+  * type, or identity columns (their allocation guard lives on the COW
+  * path). */
+private[sources] object DeltaRowLevel {
+
+  val MaxKeysProp = "write.mor.max-delete-keys"
+  val SessionModeConf = "spark.sql.catalog.graft.write.rowLevelMode"
+
+  private def propFor(cmd: RowLevelOperation.Command): String =
+    cmd match {
+      case RowLevelOperation.Command.DELETE => "write.delete.mode"
+      case RowLevelOperation.Command.UPDATE => "write.update.mode"
+      case RowLevelOperation.Command.MERGE => "write.merge.mode"
+    }
+
+  /** The row-id column when this operation should run merge-on-read:
+    * mode requested (per-command table property or session conf) AND
+    * a single-column PRIMARY KEY whose type the delete sidecar can
+    * encode AND no identity columns (their null-refusal/allocation
+    * guard is built into the COW write). None → group-based COW. */
+  def eligibleRowId(catalog: AtomicParquetCatalog, dir: JPath,
+      schema: StructType, cmd: RowLevelOperation.Command,
+      spark: SparkSession): Option[String] = {
+    val mode = catalog.readProps(dir).get(propFor(cmd))
+      .orElse(spark.conf.getOption(SessionModeConf))
+    if (!mode.contains("merge-on-read")) return None
+    if (IdentityColumns.has(schema)) return None
+    TableConstraints.read(dir).collectFirst {
+      case pk: PrimaryKey if pk.columns().length == 1 =>
+        pk.columns()(0).fieldNames().mkString(".")
+    }.filter { c =>
+      schema.fields.exists(f =>
+        f.name.equalsIgnoreCase(c) && MorDeletes.encodableType(f.dataType))
+    }
+  }
+
+  def maxDeleteKeys(catalog: AtomicParquetCatalog, dir: JPath): Int =
+    catalog.readProps(dir).get(MaxKeysProp)
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1000000)
+}
+
+/** One task's delta contribution: its insert-rows file and/or its
+  * deleted-row-ids file (either may be absent — a pure-insert or
+  * pure-delete task writes one file, an untouched task none). */
+private[sources] final case class DeltaFilesMessage(
+    dataPath: Option[String], idPath: Option[String],
+    inserted: Long, deleted: Long) extends WriterCommitMessage
+
+private[sources] final class DeltaRowLevelOperation(
+    catalog: AtomicParquetCatalog, ident: Identifier, dir: JPath,
+    versionDir: JPath, fields: Seq[PartitionField],
+    cmd: RowLevelOperation.Command, rowIdCol: String,
+    scanBuilderFn: CaseInsensitiveStringMap => ScanBuilder)
+    extends RowLevelOperation with SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graft-atomic-mor $ident"
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(rowIdCol).asInstanceOf[NamedReference])
+  // updates arrive as delete + reinsert: one sidecar entry + one data
+  // file per task covers all three commands
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  // the table's NORMAL scan (exact MoR application, pushdown allowed):
+  // unlike the COW path, delta rewrites need no survivor rows — only
+  // the matched ones — so compile-time filter pushdown is sound here
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    scanBuilderFn(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new GraftDeltaWrite(
+        catalog, ident, dir, versionDir, fields, rowIdCol,
+        info.schema(),
+        info.rowIdSchema().orElseThrow(() => new IllegalStateException(
+          s"$ident: delta write planned without a row-id schema")))
+    }
+}
+
+private[sources] final class GraftDeltaWrite(
+    catalog: AtomicParquetCatalog, ident: Identifier, dir: JPath,
+    versionDir: JPath, fields: Seq[PartitionField], rowIdCol: String,
+    writeSchema: StructType, rowIdSchema: StructType) extends DeltaWrite {
+
+  override def description(): String = s"graft-atomic-mor-write $ident"
+
+  override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
+    private val staging =
+      dir.resolve("_rowdelta_staging").resolve(s"w-${UUID.randomUUID()}")
+
+    override def createBatchWriterFactory(
+        info: PhysicalWriteInfo): DeltaWriterFactory = {
+      val spark = SparkSession.active
+      def prepared(schema: StructType): (SerializableConfiguration, OutputWriterFactory) = {
+        val job = Job.getInstance(spark.sessionState.newHadoopConf())
+        val owf = new ParquetFileFormat()
+          .prepareWrite(spark, job, Map.empty, schema)
+        (new SerializableConfiguration(job.getConfiguration), owf)
+      }
+      val (dataConf, dataOwf) = prepared(writeSchema)
+      val (idConf, idOwf) = prepared(rowIdSchema)
+      new GraftDeltaWriterFactory(dataConf, dataOwf, writeSchema,
+        idConf, idOwf, rowIdSchema, staging.toString)
+    }
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val spark = SparkSession.active
+      val msgs = messages.collect { case m: DeltaFilesMessage => m }
+      val dataFiles = msgs.flatMap(m => m.dataPath.filter(_ => m.inserted > 0L))
+      val idFiles = msgs.flatMap(m => m.idPath.filter(_ => m.deleted > 0L))
+      try {
+        if (dataFiles.isEmpty && idFiles.isEmpty) return // no-op operation
+        val v = s"v-${UUID.randomUUID()}"
+        val nv = dir.resolve(v)
+        val committed =
+          try {
+            Files.createDirectories(nv)
+            Files.copy(versionDir.resolve("_schema.json"),
+              nv.resolve("_schema.json"))
+            Files.copy(versionDir.resolve("_partitions.txt"),
+              nv.resolve("_partitions.txt"))
+            catalog.linkDataFiles(versionDir, nv)
+            catalog.carryLegacySpecs(versionDir, nv)
+            MorDeletes.carry(versionDir, nv)
+            // the base file set BEFORE the new files land — the
+            // equality deletes scope to it, so rows this same commit
+            // inserts (and rows of later appends) are never touched
+            val baseFiles = AtomicParquetCatalog.walkDataFiles(versionDir)
+              .map(p => versionDir.relativize(Paths.get(p)).toString).toSet
+            if (idFiles.nonEmpty && baseFiles.nonEmpty) {
+              val cap = DeltaRowLevel.maxDeleteKeys(catalog, dir)
+              val ids = spark.read.schema(rowIdSchema)
+                .parquet(idFiles.toSeq: _*).distinct()
+                .limit(cap + 1).collect()
+              if (ids.length > cap) throw new IllegalStateException(
+                s"$ident: merge-on-read ${ident.name()} matched more than " +
+                  s"$cap distinct row ids in one commit — a change this " +
+                  "bulk should pay the rewrite: set " +
+                  "write.merge.mode/write.update.mode/write.delete.mode " +
+                  s"to copy-on-write for it (or raise " +
+                  s"${DeltaRowLevel.MaxKeysProp})")
+              val dt = rowIdSchema.fields(0).dataType
+              val toInternal = CatalystTypeConverters.createToCatalystConverter(dt)
+              val node = MorDeletes.inNode(rowIdCol, dt,
+                ids.toSeq.map(r => toInternal(r.get(0)))).getOrElse(
+                throw new IllegalStateException(
+                  s"$ident: a matched row id failed to encode (null id?) — " +
+                    "the PRIMARY KEY column must be non-null for " +
+                    "merge-on-read row-level operations"))
+              MorDeletes.writeEntry(nv, node, baseFiles)
+            }
+            if (dataFiles.nonEmpty) {
+              if (fields.isEmpty) {
+                // unpartitioned: the staged files ARE the layout
+                dataFiles.foreach { f =>
+                  val src = Paths.get(f)
+                  Files.move(src, nv.resolve(src.getFileName.toString))
+                }
+              } else {
+                // partitioned: one extra pass over the INSERTED rows
+                // only, laid out under the current spec (the streaming
+                // sink's exact posture — never a table-sized pass)
+                val staged = spark.read.schema(writeSchema)
+                  .parquet(dataFiles.toSeq: _*)
+                AtomicParquetCatalog.writeLayout(spark, dir, nv, staged,
+                  fields, "append")
+              }
+            }
+            true
+          } catch {
+            case e: Throwable => catalog.dropOrphan(nv); throw e
+          }
+        if (committed) {
+          // a conflict here is a real conflict (another commit moved the
+          // head past the pinned base): row-level semantics refuse to
+          // blindly rebase — the other writer may have changed the rows
+          // this operation read
+          try catalog.commitVersion(dir, v,
+            expectedBase = Some(versionDir.getFileName.toString))
+          catch { case e: Throwable => catalog.dropOrphan(nv); throw e }
+        }
+      // only THIS write's staging dir — the shared `_rowdelta_staging`
+      // root stays (a list-then-delete of the root would race a
+      // concurrent delta write creating its own staging under it; the
+      // empty root is metadata-invisible, `_`-prefixed)
+      } finally catalog.dropOrphan(staging)
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      catalog.dropOrphan(staging)
+  }
+}
+
+/** Executor side: one lazily-opened parquet file per task for the
+  * inserted rows, one for the deleted row ids — both through Spark's
+  * codegen'd parquet write path, both absent when the task contributed
+  * nothing of that kind. */
+private[sources] final class GraftDeltaWriterFactory(
+    dataConf: SerializableConfiguration, dataOwf: OutputWriterFactory,
+    dataSchema: StructType,
+    idConf: SerializableConfiguration, idOwf: OutputWriterFactory,
+    idSchema: StructType, stagingRoot: String)
+    extends DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int,
+      taskId: Long): DeltaWriter[InternalRow] = {
+    val stagingDir = Paths.get(stagingRoot)
+    Files.createDirectories(stagingDir)
+
+    def open(owf: OutputWriterFactory, conf: SerializableConfiguration,
+        schema: StructType, kind: String) = {
+      val attempt = new TaskAttemptID(
+        new TaskID(new JobID("graft-delta", partitionId), TaskType.MAP,
+          partitionId),
+        (taskId & 0x7fffffff).toInt)
+      val ctx = new TaskAttemptContextImpl(conf.value, attempt)
+      val path = stagingDir.resolve(
+        s"$kind-$partitionId-$taskId-${UUID.randomUUID()}" +
+          owf.getFileExtension(ctx)).toString
+      (owf.newInstance(path, schema, ctx), path)
+    }
+
+    new DeltaWriter[InternalRow] {
+      private var dataWriter: org.apache.spark.sql.execution.datasources.OutputWriter = _
+      private var dataPath: String = _
+      private var idWriter: org.apache.spark.sql.execution.datasources.OutputWriter = _
+      private var idPath: String = _
+      private var inserted = 0L
+      private var deleted = 0L
+
+      override def insert(row: InternalRow): Unit = {
+        if (dataWriter == null) {
+          val (w, p) = open(dataOwf, dataConf, dataSchema, "data")
+          dataWriter = w; dataPath = p
+        }
+        dataWriter.write(row); inserted += 1
+      }
+
+      override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+        if (idWriter == null) {
+          val (w, p) = open(idOwf, idConf, idSchema, "ids")
+          idWriter = w; idPath = p
+        }
+        idWriter.write(id); deleted += 1
+      }
+
+      // representUpdateAsDeleteAndInsert routes updates through
+      // delete+reinsert; keep the direct form correct anyway
+      override def update(metadata: InternalRow, id: InternalRow,
+          row: InternalRow): Unit = {
+        delete(metadata, id); insert(row)
+      }
+
+      override def commit(): WriterCommitMessage = {
+        if (dataWriter != null) dataWriter.close()
+        if (idWriter != null) idWriter.close()
+        DeltaFilesMessage(Option(dataPath), Option(idPath), inserted, deleted)
+      }
+
+      override def abort(): Unit = {
+        if (dataWriter != null) { dataWriter.close()
+          Files.deleteIfExists(Paths.get(dataPath)) }
+        if (idWriter != null) { idWriter.close()
+          Files.deleteIfExists(Paths.get(idPath)) }
+        ()
+      }
+
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Attribute, EqualTo, Expression => CExpression, GreaterThan, GreaterThanOrEqual, In, IsNull, IsNotNull, LessThan, LessThanOrEqual, Literal => CLiteral, Not, Or => COr, Predicate => CPredicate, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Attribute, EqualTo, Expression => CExpression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNull, IsNotNull, LessThan, LessThanOrEqual, Literal => CLiteral, Not, Or => COr, Predicate => CPredicate, UnsafeProjection}
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
 import org.apache.spark.sql.connector.expressions.{NamedReference, Literal => V2Literal}
 import org.apache.spark.sql.connector.expressions.filter.{And => V2And, Or => V2Or, Predicate => V2Predicate}
@@ -116,6 +116,27 @@ private[sources] object MorDeletes {
     case (s: String, StringType) =>
       Some(s"s:${Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))}")
     case _ => None // decimals, binary, nested: not translatable → COW
+  }
+
+  /** Can a column of type `dt` carry delete-predicate values? (The
+    * same set [[encValue]] accepts — the eligibility test callers run
+    * BEFORE committing to a merge-on-read plan.) */
+  def encodableType(dt: DataType): Boolean = dt match {
+    case BooleanType | IntegerType | DateType | ShortType | ByteType |
+         LongType | TimestampType | TimestampNTZType | FloatType |
+         DoubleType | StringType => true
+    case _ => false
+  }
+
+  /** An `IN`-list node over CATALYST-INTERNAL values (UTF8String for
+    * strings, epoch days/micros for date/timestamp) — the equality-
+    * delete entry a MoR MERGE/UPDATE/DELETE writes for its matched row
+    * ids. None if any value fails to encode (null id, unsupported
+    * type) — the caller must have fallen back to copy-on-write. */
+  def inNode(col: String, dt: DataType, internalValues: Seq[Any]): Option[Node] = {
+    val vs = internalValues.map(encValue(_, dt))
+    if (vs.exists(_.isEmpty)) None
+    else Some(Leaf("in", col, vs.map(_.get)))
   }
 
   /** Decoded to the CATALYST-internal value of column type `dt`. */
@@ -246,6 +267,11 @@ private[sources] object MorDeletes {
           case "le" => LessThanOrEqual(a, l(0))
           case "gt" => GreaterThan(a, l(0))
           case "ge" => GreaterThanOrEqual(a, l(0))
+          // the reader-side expression is NOT optimizer-visited, so a
+          // large equality-delete key list must become a hash-set probe
+          // here (O(1)/row) — a literal In would scan the list per row
+          case "in" if vs.length > 10 =>
+            InSet(a, vs.indices.map(i => decValue(vs(i), a.dataType)).toSet)
           case "in" => In(a, vs.indices.map(l))
           case "isnull" => IsNull(a)
           case "notnull" => IsNotNull(a)
@@ -275,8 +301,11 @@ private[sources] object MorDeletes {
           case "le" => col(c) <= l(0)
           case "gt" => col(c) > l(0)
           case "ge" => col(c) >= l(0)
-          case "in" => vs.indices.map(i => col(c) === l(i))
-            .reduce(_ || _)
+          // isin, never a chained OR: a large equality-delete key list
+          // as a reduce would build a list-deep expression tree (stack
+          // overflow in analysis ~10k keys); In's flat children pass
+          // through OptimizeIn, which converts to an InSet hash probe
+          case "in" => col(c).isin(vs.indices.map(l): _*)
           case "isnull" => col(c).isNull
           case "notnull" => col(c).isNotNull
           case other => throw new IllegalStateException(

@@ -517,6 +517,89 @@ object Streams {
       .orderBy($"user_id")
   }
 
+  /** st17: STREAMING CDC UPSERT THROUGH MERGE-ON-READ — st11's
+    * per-micro-batch MERGE with the target in `write.merge.mode =
+    * merge-on-read` (+ the PRIMARY KEY the delta path keys on): each
+    * batch's matched users scatter across EVERY bucket partition —
+    * partition-COW's worst case (all partitions rewritten per batch) —
+    * and the MoR path commits them as O(batch): the gate REQUIREs
+    * every seeded data file rides as a hard link (inode-pinned) and an
+    * equality-delete sidecar entry landed. This is THE motivating MoR
+    * workload: at 100 TB a CDC stream whose keys hash everywhere would
+    * otherwise rewrite the table once per trigger. Oracle: st11's
+    * final-state aggregate verbatim — the read side must apply the
+    * equality deletes exactly or the totals double. */
+  def st17StreamUpsertMor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_st")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_st.db")
+    val cutoff = to_timestamp(lit("2024-01-15 00:00:00"))
+    Tables.load(s, dir, "events").where($"ts" < cutoff)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), Det.moneySum($"value").as("total"))
+      .withColumn("bucket", ($"user_id" % 8).cast("string"))
+      .select($"user_id", $"bucket", $"n_events", $"total")
+      .writeTo("graft_st.db.user_totals_mor").using("parquet")
+      .tableProperty("write.merge.mode", "merge-on-read")
+      .partitionedBy($"bucket").createOrReplace()
+    s.sql("ALTER TABLE graft_st.db.user_totals_mor " +
+      "ADD CONSTRAINT utm_pk PRIMARY KEY (user_id) NOT ENFORCED")
+    def seedInodes(): Map[String, Any] = {
+      val wh = s.conf.get("spark.sql.catalog.graft_st.warehouse")
+      val tdir = java.nio.file.Paths.get(wh, "db", "user_totals_mor")
+      val cur = tdir.resolve(new String(java.nio.file.Files.readAllBytes(
+        tdir.resolve("_current")), "UTF-8").split("\n").head.trim)
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(cur)
+      try walk.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") &&
+          !n.startsWith(".") &&
+          !cur.relativize(p).toString.startsWith("_deletes/")
+      }.map(p => cur.relativize(p).toString ->
+        java.nio.file.Files.getAttribute(p, "unix:ino")).toMap
+      finally walk.close()
+    }
+    val seeded = seedInodes()
+    val src = eventsStream(s, dir).where($"ts" >= cutoff)
+      .select($"user_id", $"value")
+    val nBatches = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        nBatches.incrementAndGet()
+        val ss = batch.sparkSession
+        batch.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            Det.moneySum(col("value")).as("total"))
+          .withColumn("bucket", (col("user_id") % 8).cast("string"))
+          .createOrReplaceTempView("st17_delta")
+        ss.sql("""MERGE INTO graft_st.db.user_totals_mor t
+                 |USING st17_delta s ON t.user_id = s.user_id
+                 |WHEN MATCHED THEN UPDATE SET
+                 |  n_events = t.n_events + s.n_events,
+                 |  total = t.total + s.total
+                 |WHEN NOT MATCHED THEN
+                 |  INSERT (user_id, bucket, n_events, total)
+                 |  VALUES (s.user_id, s.bucket, s.n_events, s.total)
+                 |""".stripMargin)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    require(nBatches.get() == 1,
+      s"st17's oracle assumes ONE micro-batch (single two-slice double " +
+        s"addition); the file source delivered ${nBatches.get()}")
+    val after = seedInodes()
+    require(seeded.forall { case (k, v) => after.get(k).contains(v) },
+      "st17: the MoR streaming merge must hard-link every seeded file — " +
+        "a rewritten partition means the delta path did not engage")
+    require(s.table("graft_st.db.user_totals_mor.deletes").count() >= 1L,
+      "st17: the merge's matched users must land as an equality-delete entry")
+    s.table("graft_st.db.user_totals_mor")
+      .select($"user_id", $"bucket", $"n_events", $"total")
+      .orderBy($"user_id")
+  }
+
   /** st13: the catalog table AS A STREAMING SOURCE —
     * `spark.readStream.table(t)`, the Delta/Iceberg capability that
     * closes the loop st09 opened (stream INTO the catalog; this
@@ -752,6 +835,7 @@ object Streams {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st16_stream_native_sink" -> st16StreamNativeSink,
+    "st17_stream_upsert_mor" -> st17StreamUpsertMor,
     "st15_stream_starting_version" -> st15StreamStartingVersion,
     "st14_stream_restart_recovery" -> st14StreamRestartRecovery,
     "st13_stream_table_source" -> st13StreamTableSource,
@@ -811,6 +895,28 @@ object Streams {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // seeded pre-cutoff totals + streamed post-cutoff deltas, composed
     // with the same two-slice double addition the merge performs
+    // the MoR streaming upsert ends at the SAME final state as st11's
+    // COW variant — the equality deletes must apply exactly on read or
+    // matched users' totals double
+    "st17_stream_upsert_mor" ->
+      """WITH pre AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n0,
+        |   CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS t0
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+        |  GROUP BY user_id),
+        |post AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n1,
+        |   CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS t1
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |  GROUP BY user_id)
+        |SELECT coalesce(pre.user_id, post.user_id) AS user_id,
+        | CAST(coalesce(pre.user_id, post.user_id) % 8 AS VARCHAR) AS bucket,
+        | coalesce(n0, 0) + coalesce(n1, 0) AS n_events,
+        | CASE WHEN pre.user_id IS NOT NULL AND post.user_id IS NOT NULL
+        |      THEN t0 + t1
+        |      WHEN pre.user_id IS NOT NULL THEN t0 ELSE t1 END AS total
+        |FROM pre FULL OUTER JOIN post ON pre.user_id = post.user_id
+        |ORDER BY user_id""".stripMargin,
     "st11_stream_upsert" ->
       """WITH pre AS (
         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n0,
