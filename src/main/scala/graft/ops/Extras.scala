@@ -1421,6 +1421,52 @@ object Extras {
       .orderBy($"o_orderstatus")
   }
 
+  /** q103: BRANCHES — fork/write/publish (Iceberg branch refs + git
+    * fast-forward, re-expressed as parallel pointer logs): fork a
+    * branch at the current head, run a whole-table UPDATE *on the
+    * branch* (`t@audit`), REQUIRE main still serves the pre-branch
+    * rows (write isolation is the point of a branch), then
+    * `fast_forward` publishes the branch and the oracle hash-checks
+    * the published state. The staging/audit workflow every curated
+    * 100 TB table wants: experiments and backfills run on a branch at
+    * full engine capability (appends, MERGE, row-level ops), main
+    * readers never see a half-done state, publish is one atomic
+    * pointer swap. */
+  def q103Branches(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    s.sql("DROP TABLE IF EXISTS graft_ma.db.ord_br")
+    Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+      .writeTo("graft_ma.db.ord_br").using("parquet").create()
+    s.sql("CALL graft_ma.system.create_branch('db.ord_br', 'audit')")
+    // branch work: discount urgent-ish orders, add a review batch
+    s.sql("UPDATE graft_ma.db.`ord_br@audit` " +
+      "SET o_totalprice = -o_totalprice WHERE o_orderkey % 53 = 0")
+    Tables.load(s, dir, "orders").where($"o_orderkey" % 71 === 0)
+      .select(($"o_orderkey" + 20000000L).as("o_orderkey"), $"o_custkey",
+        lit("B").as("o_orderstatus"), $"o_totalprice")
+      .writeTo("graft_ma.db.`ord_br@audit`").append()
+    // isolation: main is untouched while the branch carries both edits
+    val mainNeg = s.table("graft_ma.db.ord_br")
+      .where($"o_totalprice" < 0).count()
+    require(mainNeg == 0L,
+      s"q103: branch writes leaked into main ($mainNeg negative rows)")
+    val nMain = s.table("graft_ma.db.ord_br").count()
+    val nBranch = s.table("graft_ma.db.`ord_br@audit`").count()
+    require(nBranch > nMain,
+      s"q103: the branch append is missing ($nBranch <= $nMain)")
+    // publish: one atomic swap
+    s.sql("CALL graft_ma.system.fast_forward('db.ord_br', 'audit')")
+    s.table("graft_ma.db.ord_br")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct($"o_custkey").as("n_custs"),
+        moneySum($"o_totalprice").as("total"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** Export path q76's oracle reads. Verify and the DuckDB oracle run on
     * the same host within one gate round, and the oracle SQL (which
     * embeds this path) is DUMPED BY THE SAME JVM that ran the export —
@@ -1750,6 +1796,7 @@ object Extras {
     "q100_agg_pushdown" -> q100AggPushdown,
     "q101_identity_column" -> q101IdentityColumn,
     "q102_mor_merge" -> q102MorMerge,
+    "q103_branches" -> q103Branches,
     "q76_catalog_external" -> q76CatalogExternal,
     "q77_partitions_metadata" -> q77PartitionsMetadata,
     "q78_snapshot_changes" -> q78SnapshotChanges,
@@ -2206,6 +2253,25 @@ object Extras {
         |FROM orders
         |WHERE NOT (o_custkey >= 100 AND o_custkey <= 400)
         |  AND NOT (o_orderpriority = '1-URGENT' AND o_totalprice > 250000.0)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the PUBLISHED (fast-forwarded) state == the branch's two edits
+    // replayed over the raw table; a leak into main pre-publish is
+    // caught by the gate's own require, a lost branch edit by the hash
+    "q103_branches" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 53 = 0 THEN -o_totalprice
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, o_custkey, 'B', o_totalprice
+        |  FROM orders WHERE o_orderkey % 71 = 0
+        |)
+        |SELECT o_orderstatus,
+        | CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM merged
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the oracle replays the merge arithmetic over the raw table:
     // matched keys (mod 97) take the negated price, the inserted rows

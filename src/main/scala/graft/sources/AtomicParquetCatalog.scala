@@ -83,6 +83,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * }}}
   */
 object AtomicParquetCatalog {
+  /** The main pointer log's file name; branch logs are `_branch_<b>`. */
+  private[sources] val MainRef = "_current"
+
+  /** `t@branch` identifier convention: split a table name into
+    * (table, branch). A name without `@` is (name, None) = main. */
+  private[sources] def splitBranch(name: String): (String, Option[String]) =
+    name.indexOf('@') match {
+      case -1 => (name, None)
+      case i => (name.substring(0, i), Some(name.substring(i + 1)))
+    }
+
   /** Register catalog `name` on the session with a fresh temp warehouse
     * if absent — the shared idempotent setup the catalog-backed gates
     * use (one place to change registration, not one copy per gate). */
@@ -377,12 +388,40 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
   /** The pointer file IS the snapshot log: newline-separated version dir
     * names, newest first. The whole file swaps atomically at commit, so
     * history and currency can never disagree — an orphaned staging dir
-    * (writer died pre-commit) never enters it. */
-  private[graft] def versionLog(dir: JPath): Seq[String] = {
-    val p = pointer(dir)
+    * (writer died pre-commit) never enters it.
+    *
+    * BRANCHES are parallel pointer logs (`_branch_<name>`, identical
+    * format): a branch-bound table commits against ITS log with the
+    * same CAS + retention machinery, main never moves — git semantics
+    * re-expressed in the pointer-log model. Every ref's versions are
+    * vacuum-protected from every OTHER ref's retention sweep, so a
+    * branch can hold history main has expired and vice versa. */
+  private[graft] def versionLog(dir: JPath): Seq[String] =
+    versionLog(dir, AtomicParquetCatalog.MainRef)
+
+  private[sources] def versionLog(dir: JPath, ref: String): Seq[String] = {
+    val p = dir.resolve(ref)
     if (!Files.exists(p)) Nil
     else new String(Files.readAllBytes(p), "UTF-8")
       .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Live branch names of `dir` (without the `_branch_` prefix). */
+  private[sources] def listBranches(dir: JPath): Seq[String] = {
+    if (!Files.isDirectory(dir)) return Nil
+    val ls = Files.list(dir)
+    try ls.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith("_branch_") && !n.contains(".tmp-"))
+      .map(_.stripPrefix("_branch_")).toSeq.sorted
+    finally ls.close()
+  }
+
+  /** Versions referenced by tags or by any pointer log OTHER than
+    * `ref` — the set a retention sweep of `ref` must never vacuum. */
+  private def protectedVersions(dir: JPath, ref: String): Set[String] = {
+    val refs = (AtomicParquetCatalog.MainRef +:
+      listBranches(dir).map(b => s"_branch_$b")).filterNot(_ == ref)
+    readRefs(dir).values.toSet ++ refs.flatMap(versionLog(dir, _))
   }
 
   private def currentVersion(dir: JPath): Option[JPath] =
@@ -419,9 +458,10 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     * is inherent to lease-style crash recovery; tune lockStaleMs to the
     * deployment's pause ceiling. */
   private def commitPointer(dir: JPath, version: String,
-                            expectedBase: Option[String]): Unit =
+                            expectedBase: Option[String],
+                            ref: String = AtomicParquetCatalog.MainRef): Unit =
     withCommitLock(dir) {
-      val old = versionLog(dir)
+      val old = versionLog(dir, ref)
       if (old.headOption != expectedBase)
         throw new java.util.ConcurrentModificationException(
           s"$dir: concurrent update detected — this write staged from " +
@@ -467,7 +507,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             s"for $dir/$version failed (${e.getMessage}); TIMESTAMP AS OF " +
             "will approximate this snapshot by directory mtime")
       }
-      swapLog(dir, version +: old)
+      swapLog(dir, version +: old, ref = ref)
     }
 
   /** Swap the snapshot log to `entries` truncated to the retention
@@ -477,19 +517,24 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     * retention-exempt, Iceberg's ref semantics: they stay in the log's
     * tail (still ordinal-addressable, still listed by `.history`) and
     * are never vacuumed while the tag lives; dropping the tag leaves
-    * them to the NEXT log swap's sweep. Returns `(deleted, kept)` — the
-    * versions actually vacuumed and actually retained (tag-exempt
-    * survivors included), so callers report reality, not arithmetic. */
+    * them to the NEXT log swap's sweep. Versions referenced by ANY
+    * OTHER pointer log (main from a branch sweep, every branch from
+    * main's) are equally exempt — a ref can never vacuum another ref's
+    * history. Returns `(deleted, kept)` — the versions actually
+    * vacuumed and actually retained (exempt survivors included), so
+    * callers report reality, not arithmetic. */
   private def swapLog(dir: JPath, entries: Seq[String],
-                      keep: Int = historyKeep): (Seq[String], Seq[String]) = {
-    val tagged = readRefs(dir).values.toSet
+                      keep: Int = historyKeep,
+                      ref: String = AtomicParquetCatalog.MainRef)
+      : (Seq[String], Seq[String]) = {
+    val pinned = protectedVersions(dir, ref)
     val (window, tail) = entries.splitAt(keep + 1)
-    val kept = window ++ tail.filter(tagged)
-    val tmp = dir.resolve(s"_current.tmp-${UUID.randomUUID()}")
+    val kept = window ++ tail.filter(pinned)
+    val tmp = dir.resolve(s"$ref.tmp-${UUID.randomUUID()}")
     Files.write(tmp, kept.mkString("\n").getBytes("UTF-8"))
-    Files.move(tmp, pointer(dir), StandardCopyOption.ATOMIC_MOVE,
+    Files.move(tmp, dir.resolve(ref), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    val deleted = tail.filterNot(tagged)
+    val deleted = tail.filterNot(pinned)
     deleted.foreach(v => deleteRecursively(dir.resolve(v)))
     (deleted, kept)
   }
@@ -753,6 +798,28 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // `t@branch` binds the table to a BRANCH pointer log: reads serve
+    // the branch head, writes (appends, MERGE/UPDATE/DELETE, overwrite)
+    // CAS the branch log — main never moves. Iceberg/Delta's branch
+    // workflow in this catalog's model; `CALL system.fast_forward`
+    // publishes a branch back to main.
+    val (baseName, branch) = AtomicParquetCatalog.splitBranch(ident.name)
+    branch.foreach { b =>
+      val baseIdent = Identifier.of(ident.namespace, baseName)
+      val dir = tableDir(baseIdent)
+      val ref = s"_branch_$b"
+      val head = versionLog(dir, ref).headOption.getOrElse {
+        if (Files.exists(pointer(dir))) throw new IllegalArgumentException(
+          s"$baseIdent has no branch '$b' — create it with " +
+            s"CALL $catalogName.system.create_branch('" +
+            s"${(ident.namespace :+ baseName).mkString(".")}', '$b')")
+        else throw new NoSuchTableException(baseIdent)
+      }
+      val versionDir = dir.resolve(head)
+      val (schema, parts) = readMeta(versionDir)
+      return new PointerTable(this, ident, dir, versionDir, schema, parts,
+        readLegacySpecs(versionDir), ref = ref)
+    }
     val dir = tableDir(ident)
     currentVersion(dir) match {
       case Some(version) =>
@@ -816,6 +883,21 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
               i, UTF8String.fromString(v), commitMs(v) * 1000L, i == 0,
               fs.size.toLong, fs.map(Files.size).sum)
           }))
+      case "branches" =>
+        val schema = StructType(Seq(
+          StructField("branch", StringType, nullable = false),
+          StructField("head", StringType, nullable = false),
+          StructField("n_commits_ahead", IntegerType, nullable = false)))
+        Some(new LocalScanTable(s"$parent.branches", schema, () => {
+          val main = versionLog(pdir).toSet
+          listBranches(pdir).map { b =>
+            val bl = versionLog(pdir, s"_branch_$b")
+            org.apache.spark.sql.catalyst.InternalRow(
+              UTF8String.fromString(b),
+              UTF8String.fromString(bl.headOption.getOrElse("")),
+              bl.takeWhile(!main.contains(_)).size)
+          }
+        }))
       case "refs" =>
         val schema = StructType(Seq(
           StructField("tag", StringType, nullable = false),
@@ -951,8 +1033,13 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     * lakehouse snapshot would. Reads of a prior version serve its pinned
     * immutable directory with the same pushdown/pruning as current. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val dir = tableDir(ident)
-    val log = versionLog(dir)
+    // time travel within a branch: `t@b VERSION AS OF k` resolves the
+    // ordinal/uuid against the BRANCH's own log
+    val (baseName, branch) = AtomicParquetCatalog.splitBranch(ident.name)
+    val dir = tableDir(branch.fold(ident)(_ =>
+      Identifier.of(ident.namespace, baseName)))
+    val log = branch.fold(versionLog(dir))(b =>
+      versionLog(dir, s"_branch_$b"))
     if (log.isEmpty) throw new NoSuchTableException(ident)
     val v = version.trim
     // tags resolve first (their names are barred from the v-/digit forms
@@ -961,14 +1048,20 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     val refs = readRefs(dir)
     val resolved =
       if (refs.contains(v)) refs.get(v).filter(log.contains)
+      // a live BRANCH name resolves to its head (Iceberg's
+      // `VERSION AS OF 'branch'` read) — the head dir is protected by
+      // the branch log, so it exists even when main expired it
+      else if (listBranches(dir).contains(v))
+        versionLog(dir, s"_branch_$v").headOption
       else if (v.startsWith("v-")) log.find(_ == v)
       else scala.util.Try(v.toInt).toOption.filter(_ >= 0).flatMap(log.lift)
     val versionDir = resolved.map(dir.resolve).getOrElse(
       throw new IllegalArgumentException(
         s"$ident has no snapshot '$version' in its retention window " +
           s"(${log.size} snapshots kept: ${log.mkString(", ")}; tags: " +
-          s"${refs.keys.toSeq.sorted.mkString(", ")}); pass 0..n commits " +
-          "back, an exact v-<uuid> from the log, or a tag name"))
+          s"${refs.keys.toSeq.sorted.mkString(", ")}; branches: " +
+          s"${listBranches(dir).mkString(", ")}); pass 0..n commits " +
+          "back, an exact v-<uuid> from the log, a tag or a branch name"))
     val (schema, parts) = readMeta(versionDir)
     // a historical read serves the pinned immutable directory; writes
     // through it would silently rewrite history, so they are refused
@@ -1007,13 +1100,30 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
       readLegacySpecs(versionDir), historical = true)
   }
 
-  override def tableExists(ident: Identifier): Boolean =
-    Files.exists(pointer(tableDir(ident)))
+  override def tableExists(ident: Identifier): Boolean = {
+    val (baseName, branch) = AtomicParquetCatalog.splitBranch(ident.name)
+    branch match {
+      case Some(b) => versionLog(
+        tableDir(Identifier.of(ident.namespace, baseName)),
+        s"_branch_$b").nonEmpty
+      case None => Files.exists(pointer(tableDir(ident)))
+    }
+  }
 
   /** The Column[] create path: Spark's DEFAULT implementation of this
     * variant converts columns to a StructType and DROPS the identity
     * spec on the floor — overridden so IDENTITY (and comment/DEFAULT)
     * metadata survives into `_schema.json`. See [[IdentityColumns]]. */
+
+  /** DDL (create/alter/drop/rename/stage) targets the TABLE — a
+    * branch-bound `t@b` identifier is a read/write binding, and
+    * letting it through would silently create a table literally named
+    * "t@b". Refused pointedly. */
+  private def refuseBranchIdent(ident: Identifier, op: String): Unit =
+    if (ident.name.contains('@')) throw new UnsupportedOperationException(
+      s"$ident: $op cannot target a branch-bound identifier — metadata " +
+        "is table-level; strip the '@branch' suffix")
+
   override def createTable(ident: Identifier,
       columns: Array[org.apache.spark.sql.connector.catalog.Column],
       partitions: Array[Transform],
@@ -1024,6 +1134,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {
+    refuseBranchIdent(ident, "CREATE TABLE")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val dir = tableDir(ident)
     val version = s"v-${UUID.randomUUID()}"
@@ -1052,6 +1163,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     * the constraint), nested fields, and dropping a partition column
     * (the directory layout embeds it). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    refuseBranchIdent(ident, "ALTER TABLE")
     val dir = tableDir(ident)
     val cur = currentVersion(dir)
       .getOrElse(throw new NoSuchTableException(ident))
@@ -1311,6 +1423,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
   }
 
   override def dropTable(ident: Identifier): Boolean = {
+    refuseBranchIdent(ident, "DROP TABLE")
     val dir = tableDir(ident)
     val existed = Files.exists(pointer(dir))
     deleteRecursively(dir)
@@ -1318,6 +1431,8 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    refuseBranchIdent(oldIdent, "RENAME TABLE")
+    refuseBranchIdent(newIdent, "RENAME TABLE")
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
     Files.createDirectories(tableDir(newIdent).getParent)
@@ -1330,6 +1445,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
   private def stage(ident: Identifier, schema: StructType,
                     partitions: Array[Transform],
                     properties: java.util.Map[String, String]): StagedTable = {
+    refuseBranchIdent(ident, "REPLACE TABLE") // RTAS targets the table
     val dir = tableDir(ident)
     val version = s"v-${UUID.randomUUID()}"
     val fields = parsePartitionTransforms(partitions, schema)
@@ -1345,6 +1461,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
   override def stageCreate(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): StagedTable = {
+    refuseBranchIdent(ident, "CREATE TABLE AS SELECT")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     stage(ident, schema, partitions, properties)
   }
@@ -1362,8 +1479,9 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     stage(ident, schema, partitions, properties)
 
   private[sources] def commitVersion(dir: JPath, version: String,
-      expectedBase: Option[String]): Unit =
-    commitPointer(dir, version, expectedBase)
+      expectedBase: Option[String],
+      ref: String = AtomicParquetCatalog.MainRef): Unit =
+    commitPointer(dir, version, expectedBase, ref)
 
   private[sources] def dropOrphan(p: JPath): Unit = deleteRecursively(p)
 
@@ -1566,7 +1684,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
       Array("expire_snapshots", "rollback_to", "compact", "rewrite_layout",
         "rewrite_deletes", "cluster_by",
         "evolve_layout", "tag", "drop_tag", "analyze", "clone",
-        "remove_orphans")
+        "remove_orphans", "create_branch", "drop_branch", "fast_forward")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -1933,6 +2051,103 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
                 entries.size, UTF8String.fromString(v)))
           }
         }
+      case "create_branch" =>
+        // CALL cat.system.create_branch('db.tbl', 'name') — fork a
+        // writable BRANCH at the current head: a parallel pointer log
+        // (`_branch_<name>`, same format/CAS/retention machinery as
+        // `_current`). Reads/writes bind via the `t@name` identifier
+        // (`SELECT ... FROM cat.db.\`tbl@name\``, MERGE INTO the same);
+        // main never moves until `fast_forward` publishes the branch.
+        // The branch starts with main's whole retained history, so
+        // branch-side `VERSION AS OF` works from commit zero.
+        new GraftProcedure("create_branch", Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build())) {
+          override def call(input: InternalRow): java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val dir = procTableDir(input.getUTF8String(0).toString)
+            val b = input.getUTF8String(1).toString
+            require(b.nonEmpty && b.forall(c => c.isLetterOrDigit ||
+              c == '_' || c == '-') && !b.forall(_.isDigit) &&
+              !b.startsWith("v-") && b != "main",
+              s"branch name '$b' must be [A-Za-z0-9_-]+, not all-digit, " +
+                "not v-<uuid>-shaped, not 'main'")
+            val head = withCommitLock(dir) {
+              require(listBranches(dir).forall(_ != b),
+                s"branch '$b' already exists; drop_branch it first")
+              require(!readRefs(dir).contains(b),
+                s"a tag named '$b' already exists — names are shared " +
+                  "between tags and branches (both resolve in VERSION AS OF)")
+              val log = versionLog(dir)
+              require(log.nonEmpty, "cannot branch an uncommitted table")
+              val tmp = dir.resolve(s"_branch_$b.tmp-${UUID.randomUUID()}")
+              Files.write(tmp, log.mkString("\n").getBytes("UTF-8"))
+              Files.move(tmp, dir.resolve(s"_branch_$b"),
+                StandardCopyOption.ATOMIC_MOVE)
+              log.head
+            }
+            summaryScan(StructType(Seq(
+              StructField("branch", StringType, nullable = false),
+              StructField("forked_at", StringType, nullable = false))),
+              InternalRow(UTF8String.fromString(b),
+                UTF8String.fromString(head)))
+          }
+        }
+      case "drop_branch" =>
+        // CALL cat.system.drop_branch('db.tbl', 'name') — delete the
+        // branch log; versions only it referenced become orphans for
+        // remove_orphans / the next retention sweep.
+        new GraftProcedure("drop_branch", Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build())) {
+          override def call(input: InternalRow): java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val dir = procTableDir(input.getUTF8String(0).toString)
+            val b = input.getUTF8String(1).toString
+            val existed = withCommitLock(dir) {
+              Files.deleteIfExists(dir.resolve(s"_branch_$b"))
+            }
+            require(existed, s"no such branch '$b' (live: " +
+              s"${listBranches(dir).mkString(", ")})")
+            summaryScan(StructType(Seq(
+              StructField("dropped_branch", StringType, nullable = false))),
+              InternalRow(UTF8String.fromString(b)))
+          }
+        }
+      case "fast_forward" =>
+        // CALL cat.system.fast_forward('db.tbl', 'name') — publish a
+        // branch: require main's head is an ANCESTOR of the branch head
+        // (present in the branch log — the git fast-forward condition,
+        // so no main commit can be silently discarded), then swap
+        // `_current` to the branch's log. Snapshots main accumulated
+        // past the fork would be lost — that case fails with the
+        // pointed error; resolve by re-running the branch work on a
+        // fresh branch (this catalog does not merge diverged lineages).
+        new GraftProcedure("fast_forward", Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build())) {
+          override def call(input: InternalRow): java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val dir = procTableDir(input.getUTF8String(0).toString)
+            val b = input.getUTF8String(1).toString
+            val (from, to) = withCommitLock(dir) {
+              val bLog = versionLog(dir, s"_branch_$b")
+              require(bLog.nonEmpty, s"no such branch '$b' (live: " +
+                s"${listBranches(dir).mkString(", ")})")
+              val cur = versionLog(dir)
+              val head = cur.headOption.getOrElse(
+                throw new IllegalStateException("table has no snapshots"))
+              require(bLog.contains(head),
+                s"cannot fast-forward: main's head $head is not an " +
+                  s"ancestor of branch '$b' — main advanced past the " +
+                  "fork point; the branch is stale (re-branch and re-run)")
+              swapLog(dir, bLog, ref = AtomicParquetCatalog.MainRef)
+              (head, bLog.head)
+            }
+            summaryScan(StructType(Seq(
+              StructField("from_version", StringType, nullable = false),
+              StructField("to_version", StringType, nullable = false))),
+              InternalRow(UTF8String.fromString(from),
+                UTF8String.fromString(to)))
+          }
+        }
       case "tag" =>
         // CALL cat.system.tag('db.tbl', 'name', ordinal) — pin the
         // snapshot `ordinal` commits back under a stable name: it
@@ -2114,7 +2329,10 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             val minAgeS = input.getInt(1)
             require(minAgeS >= 0, s"min_age_s must be >= 0, got $minAgeS")
             val removed = withCommitLock(dir) {
-              val live = versionLog(dir).toSet ++ readRefs(dir).values
+              // live = main log + every branch log + tags: a branch-only
+              // version is NOT an orphan
+              val live = versionLog(dir).toSet ++ readRefs(dir).values ++
+                listBranches(dir).flatMap(b => versionLog(dir, s"_branch_$b"))
               val cutoff = System.currentTimeMillis() - minAgeS * 1000L
               val listing = Files.list(dir)
               val candidates =
@@ -2141,7 +2359,9 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             "expire_snapshots(table, keep), rollback_to(table, ordinal), " +
             "compact(table, target_files), rewrite_layout(table, spec), " +
             "evolve_layout(table, spec), tag(table, name, ordinal), " +
-            "drop_tag(table, name), analyze(table), " +
+            "drop_tag(table, name), create_branch(table, name), " +
+            "drop_branch(table, name), fast_forward(table, name), " +
+            "analyze(table), " +
             "clone(source, destination), remove_orphans(table, min_age_s)")
     }
   }
@@ -2287,7 +2507,12 @@ private[sources] final class PointerTable(
     catalog: AtomicParquetCatalog, ident: Identifier, dir: JPath,
     versionDir: JPath, tableSchema: StructType, fields: Seq[PartitionField],
     legacy: Seq[(String, Seq[PartitionField])] = Nil,
-    historical: Boolean = false)
+    historical: Boolean = false,
+    // the pointer log this table's commits CAS: `_current` (main) or a
+    // `_branch_<name>` log for a `t@name`-bound table — every write
+    // path below routes through it, so branch isolation needs no
+    // per-path logic
+    ref: String = "_current")
     extends VersionedTable(ident, versionDir, tableSchema, fields)
     with SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
@@ -2333,7 +2558,7 @@ private[sources] final class PointerTable(
       .toSet
     MorDeletes.writeEntry(nv, node, files)
     try catalog.commitVersion(dir, v,
-      expectedBase = Some(versionDir.getFileName.toString))
+      expectedBase = Some(versionDir.getFileName.toString), ref = ref)
     catch { case e: Throwable => catalog.dropOrphan(nv); throw e }
   }
 
@@ -2348,7 +2573,7 @@ private[sources] final class PointerTable(
     Files.copy(versionDir.resolve("_partitions.txt"),
       nv.resolve("_partitions.txt"))
     try catalog.commitVersion(dir, v,
-      expectedBase = Some(versionDir.getFileName.toString))
+      expectedBase = Some(versionDir.getFileName.toString), ref = ref)
     catch { case e: Throwable => catalog.dropOrphan(nv); throw e }
     true
   }
@@ -2382,8 +2607,11 @@ private[sources] final class PointerTable(
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
     // streaming reads tail the pointer log, streaming writes append
     // epoch snapshots to it — meaningful only on the CURRENT table (a
-    // pinned historical snapshot never advances)
-    if (!historical) {
+    // pinned historical snapshot never advances), and only on MAIN:
+    // the streaming machinery resolves heads through `_current`, so a
+    // branch-bound stream would silently cross-commit — refused here
+    // until the stream paths are branch-threaded
+    if (!historical && ref == AtomicParquetCatalog.MainRef) {
       caps.add(TableCapability.MICRO_BATCH_READ)
       caps.add(TableCapability.STREAMING_WRITE)
     }
@@ -2403,7 +2631,7 @@ private[sources] final class PointerTable(
     DeltaRowLevel.eligibleRowId(catalog, dir, tableSchema,
         info.command(), spark).foreach { rowIdCol =>
       return () => new DeltaRowLevelOperation(catalog, ident, dir,
-        versionDir, fields, info.command(), rowIdCol,
+        versionDir, fields, info.command(), rowIdCol, ref,
         opts => {
           val b = PointerTable.this.newScanBuilder(opts)
           // same schema pin as the COW scan: a hidden-transform
@@ -2685,7 +2913,7 @@ private[sources] final class PointerTable(
                     }
                 }
                 try catalog.commitVersion(dir, v,
-                  expectedBase = Some(versionDir.getFileName.toString))
+                  expectedBase = Some(versionDir.getFileName.toString), ref = ref)
                 catch { // CAS conflict: the staged version is unreachable
                   case e: Throwable => catalog.dropOrphan(nv); throw e
                 }
@@ -2760,7 +2988,7 @@ private[sources] final class PointerTable(
           catalog.linkDataFiles(versionDir, nv,
             keepPartition = p => !written.contains(p))
           try catalog.commitVersion(dir, v,
-            expectedBase = Some(versionDir.getFileName.toString))
+            expectedBase = Some(versionDir.getFileName.toString), ref = ref)
           catch { // CAS conflict: the staged version is unreachable
             case e: Throwable => catalog.dropOrphan(nv); throw e
           }
@@ -2841,7 +3069,7 @@ private[sources] final class PointerTable(
                 MorDeletes.carry(versionDir, nv)
               }
               catalog.commitVersion(dir, v,
-                expectedBase = Some(versionDir.getFileName.toString))
+                expectedBase = Some(versionDir.getFileName.toString), ref = ref)
             } catch {
               case e: java.io.IOException
                   if mode == "append" && !hasIdentity =>
@@ -2907,7 +3135,7 @@ private[sources] final class PointerTable(
       } else Thread.sleep(15L * attempts)
     while (true) {
       attempts += 1
-      val head = catalog.versionLog(dir).headOption.getOrElse {
+      val head = catalog.versionLog(dir, ref).headOption.getOrElse {
         catalog.dropOrphan(cur); throw conflict // table dropped: real conflict
       }
       val headDir = dir.resolve(head)
@@ -2955,7 +3183,7 @@ private[sources] final class PointerTable(
           if (stagedOk) {
             catalog.dropOrphan(cur) // hard links outlive the staging dir
             try {
-              catalog.commitVersion(dir, v2, expectedBase = Some(head))
+              catalog.commitVersion(dir, v2, expectedBase = Some(head), ref = ref)
               return
             } catch {
               case e: java.util.ConcurrentModificationException =>

@@ -113,7 +113,7 @@ private[sources] final case class DeltaFilesMessage(
 private[sources] final class DeltaRowLevelOperation(
     catalog: AtomicParquetCatalog, ident: Identifier, dir: JPath,
     versionDir: JPath, fields: Seq[PartitionField],
-    cmd: RowLevelOperation.Command, rowIdCol: String,
+    cmd: RowLevelOperation.Command, rowIdCol: String, ref: String,
     scanBuilderFn: CaseInsensitiveStringMap => ScanBuilder)
     extends RowLevelOperation with SupportsDelta {
 
@@ -134,7 +134,7 @@ private[sources] final class DeltaRowLevelOperation(
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new GraftDeltaWrite(
-        catalog, ident, dir, versionDir, fields, rowIdCol,
+        catalog, ident, dir, versionDir, fields, rowIdCol, ref,
         info.schema(),
         info.rowIdSchema().orElseThrow(() => new IllegalStateException(
           s"$ident: delta write planned without a row-id schema")))
@@ -144,7 +144,8 @@ private[sources] final class DeltaRowLevelOperation(
 private[sources] final class GraftDeltaWrite(
     catalog: AtomicParquetCatalog, ident: Identifier, dir: JPath,
     versionDir: JPath, fields: Seq[PartitionField], rowIdCol: String,
-    writeSchema: StructType, rowIdSchema: StructType) extends DeltaWrite {
+    ref: String, writeSchema: StructType,
+    rowIdSchema: StructType) extends DeltaWrite {
 
   override def description(): String = s"graft-atomic-mor-write $ident"
 
@@ -240,7 +241,7 @@ private[sources] final class GraftDeltaWrite(
           // blindly rebase — the other writer may have changed the rows
           // this operation read
           try catalog.commitVersion(dir, v,
-            expectedBase = Some(versionDir.getFileName.toString))
+            expectedBase = Some(versionDir.getFileName.toString), ref = ref)
           catch { case e: Throwable => catalog.dropOrphan(nv); throw e }
         }
       // only THIS write's staging dir — the shared `_rowdelta_staging`

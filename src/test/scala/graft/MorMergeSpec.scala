@@ -19,7 +19,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * CAS conflict on a racing commit. */
 class MorMergeSpec extends AnyFunSuite {
   lazy val warehouse: String =
-    Files.createTempDirectory("graft_mor_wh").toString
+    Files.createTempDirectory("graft_mrg_wh").toString
 
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
@@ -28,10 +28,10 @@ class MorMergeSpec extends AnyFunSuite {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    s.conf.set("spark.sql.catalog.graft_mor",
+    s.conf.set("spark.sql.catalog.graft_mrg",
       "graft.sources.AtomicParquetCatalog")
-    s.conf.set("spark.sql.catalog.graft_mor.warehouse", warehouse)
-    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_mor.db")
+    s.conf.set("spark.sql.catalog.graft_mrg.warehouse", warehouse)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_mrg.db")
     s
   }
 
@@ -75,11 +75,11 @@ class MorMergeSpec extends AnyFunSuite {
     import spark.implicits._
     val df = (1L to 100L).map(i => (i, s"grp${i % 5}", i * 1.0))
       .toDF("id", "grp", "v")
-    val w = df.writeTo(s"graft_mor.db.$name").using("parquet")
+    val w = df.writeTo(s"graft_mrg.db.$name").using("parquet")
       .tableProperty("write.merge.mode", "merge-on-read")
       .tableProperty("write.update.mode", "merge-on-read")
     (if (partitioned) w.partitionedBy(col("grp")) else w).createOrReplace()
-    spark.sql(s"ALTER TABLE graft_mor.db.$name " +
+    spark.sql(s"ALTER TABLE graft_mrg.db.$name " +
       "ADD CONSTRAINT pk PRIMARY KEY (id) NOT ENFORCED")
   }
 
@@ -93,12 +93,12 @@ class MorMergeSpec extends AnyFunSuite {
 
     Seq((2L, "gX", 222.0), (7L, "gY", 777.0), (200L, "gN", 200.0))
       .toDF("id", "grp", "v").createOrReplaceTempView("src1")
-    spark.sql("""MERGE INTO graft_mor.db.t1 t USING src1 s ON t.id = s.id
+    spark.sql("""MERGE INTO graft_mrg.db.t1 t USING src1 s ON t.id = s.id
       WHEN MATCHED THEN UPDATE SET *
       WHEN NOT MATCHED THEN INSERT *""")
 
     // results: 2 and 7 replaced, 200 inserted, everything else intact
-    val got = spark.table("graft_mor.db.t1")
+    val got = spark.table("graft_mrg.db.t1")
       .orderBy("id").as[(Long, String, Double)].collect()
     assert(got.length == 101)
     assert(got.find(_._1 == 2L).get == ((2L, "gX", 222.0)))
@@ -124,7 +124,7 @@ class MorMergeSpec extends AnyFunSuite {
 
     // time travel: the pre-merge snapshot still serves the old rows
     // (VERSION AS OF k = k commits back)
-    val old = spark.sql("SELECT * FROM graft_mor.db.t1 VERSION AS OF 1")
+    val old = spark.sql("SELECT * FROM graft_mrg.db.t1 VERSION AS OF 1")
     assert(old.where($"id" === 2L).select("v").as[Double].head() == 2.0)
     assert(old.count() == 100)
   }
@@ -135,8 +135,8 @@ class MorMergeSpec extends AnyFunSuite {
     // id=2 was deleted+reinserted above; append ANOTHER row with id=2
     // (PK discipline is the writer's job — the entry must not eat it)
     Seq((2L, "late", 999.0)).toDF("id", "grp", "v")
-      .writeTo("graft_mor.db.t1").append()
-    val twos = spark.table("graft_mor.db.t1").where($"id" === 2L)
+      .writeTo("graft_mrg.db.t1").append()
+    val twos = spark.table("graft_mrg.db.t1").where($"id" === 2L)
       .select("v").as[Double].collect().sorted
     assert(twos.toSeq == Seq(222.0, 999.0),
       s"the late append was eaten by the earlier delete entry: ${twos.toSeq}")
@@ -144,17 +144,17 @@ class MorMergeSpec extends AnyFunSuite {
 
   test("MoR UPDATE routes through delete+reinsert; rewrite_deletes compacts") {
     import spark.implicits._
-    spark.sql("UPDATE graft_mor.db.t1 SET v = v + 1000 WHERE id IN (10, 20)")
+    spark.sql("UPDATE graft_mrg.db.t1 SET v = v + 1000 WHERE id IN (10, 20)")
     val head = headDir("t1")
     assert(deleteEntryCount(head) >= 1)
-    assert(spark.table("graft_mor.db.t1").where($"id" === 10L)
+    assert(spark.table("graft_mrg.db.t1").where($"id" === 10L)
       .select("v").as[Double].head() == 1010.0)
-    val before = spark.table("graft_mor.db.t1").orderBy("id", "v")
+    val before = spark.table("graft_mrg.db.t1").orderBy("id", "v")
       .as[(Long, String, Double)].collect().toSeq
-    spark.sql("CALL graft_mor.system.rewrite_deletes('db.t1')")
+    spark.sql("CALL graft_mrg.system.rewrite_deletes('db.t1')")
     val compacted = headDir("t1")
     assert(deleteEntryCount(compacted) == 0, "rewrite_deletes left live entries")
-    val after = spark.table("graft_mor.db.t1").orderBy("id", "v")
+    val after = spark.table("graft_mrg.db.t1").orderBy("id", "v")
       .as[(Long, String, Double)].collect().toSeq
     assert(after == before, "compaction changed the table's rows")
   }
@@ -171,7 +171,7 @@ class MorMergeSpec extends AnyFunSuite {
     // rewrite every partition; MoR writes ~5 rows
     (1L to 5L).map(i => (i, s"grp${i % 5}", -i * 1.0))
       .toDF("id", "grp", "v").createOrReplaceTempView("src2")
-    spark.sql("""MERGE INTO graft_mor.db.t2 t USING src2 s ON t.id = s.id
+    spark.sql("""MERGE INTO graft_mrg.db.t2 t USING src2 s ON t.id = s.id
       WHEN MATCHED THEN UPDATE SET t.v = s.v""")
 
     val head = headDir("t2")
@@ -183,12 +183,12 @@ class MorMergeSpec extends AnyFunSuite {
     }
     assert(deleteEntryCount(head) == 1)
     // updated rows landed under the partition layout and read back
-    val got = spark.table("graft_mor.db.t2").where($"id" <= 5L)
+    val got = spark.table("graft_mrg.db.t2").where($"id" <= 5L)
       .orderBy("id").select("v").as[Double].collect().toSeq
     assert(got == Seq(-1.0, -2.0, -3.0, -4.0, -5.0))
-    assert(spark.table("graft_mor.db.t2").count() == 100)
+    assert(spark.table("graft_mrg.db.t2").count() == 100)
     // partition pruning still serves the updated partition correctly
-    val g1 = spark.table("graft_mor.db.t2").where($"grp" === "grp1")
+    val g1 = spark.table("graft_mrg.db.t2").where($"grp" === "grp1")
       .select(sum($"v")).head().getDouble(0)
     val expect = (1L to 100L).filter(_ % 5 == 1)
       .map(i => if (i == 1L) -1.0 else i * 1.0).sum
@@ -197,37 +197,37 @@ class MorMergeSpec extends AnyFunSuite {
 
   test("max-delete-keys cap fails with the pointed error") {
     import spark.implicits._
-    spark.sql("ALTER TABLE graft_mor.db.t2 " +
+    spark.sql("ALTER TABLE graft_mrg.db.t2 " +
       "SET TBLPROPERTIES ('write.mor.max-delete-keys' = '2')")
     (10L to 20L).map(i => (i, "g", 0.0)).toDF("id", "grp", "v")
       .createOrReplaceTempView("src3")
     val e = intercept[Exception] {
-      spark.sql("""MERGE INTO graft_mor.db.t2 t USING src3 s ON t.id = s.id
+      spark.sql("""MERGE INTO graft_mrg.db.t2 t USING src3 s ON t.id = s.id
         WHEN MATCHED THEN UPDATE SET t.v = s.v""")
     }
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("copy-on-write")),
       s"wrong error: ${msgs(e).mkString(" | ")}")
-    spark.sql("ALTER TABLE graft_mor.db.t2 " +
+    spark.sql("ALTER TABLE graft_mrg.db.t2 " +
       "UNSET TBLPROPERTIES ('write.mor.max-delete-keys')")
     // the failed merge committed nothing
-    assert(spark.table("graft_mor.db.t2").where($"id" === 15L)
+    assert(spark.table("graft_mrg.db.t2").where($"id" === 15L)
       .select("v").as[Double].head() == 15.0)
   }
 
   test("no PRIMARY KEY: the mode falls back to group COW, result correct") {
     import spark.implicits._
     Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
-      .writeTo("graft_mor.db.t3").using("parquet")
+      .writeTo("graft_mrg.db.t3").using("parquet")
       .tableProperty("write.merge.mode", "merge-on-read")
       .createOrReplace()
     val base = headDir("t3")
     Seq((2L, 22.0), (3L, 33.0)).toDF("id", "v")
       .createOrReplaceTempView("src4")
-    spark.sql("""MERGE INTO graft_mor.db.t3 t USING src4 s ON t.id = s.id
+    spark.sql("""MERGE INTO graft_mrg.db.t3 t USING src4 s ON t.id = s.id
       WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
-    val got = spark.table("graft_mor.db.t3").orderBy("id")
+    val got = spark.table("graft_mrg.db.t3").orderBy("id")
       .as[(Long, Double)].collect().toSeq
     assert(got == Seq((1L, 1.0), (2L, 22.0), (3L, 33.0)))
     // COW path: no delete sidecar was written
@@ -240,10 +240,10 @@ class MorMergeSpec extends AnyFunSuite {
     setupPkTable("t4", partitioned = false)
     Seq((1L, "gZ", -1.0)).toDF("id", "grp", "v")
       .createOrReplaceTempView("src5")
-    spark.sql("""MERGE INTO graft_mor.db.t4 t USING src5 s ON t.id = s.id
+    spark.sql("""MERGE INTO graft_mrg.db.t4 t USING src5 s ON t.id = s.id
       WHEN MATCHED THEN UPDATE SET *""")
     val changes = graft.sources.AtomicParquetCatalog
-      .tableChanges(spark, "graft_mor.db.t4", 1, 0)
+      .tableChanges(spark, "graft_mrg.db.t4", 1, 0)
       .where($"id" === 1L)
       .select("_change_type", "v").as[(String, Double)].collect().toSet
     assert(changes == Set(("delete", 1.0), ("insert", -1.0)),
@@ -253,19 +253,19 @@ class MorMergeSpec extends AnyFunSuite {
   test("enforced CHECK constraints hold on the delta write path") {
     import spark.implicits._
     setupPkTable("t6", partitioned = false)
-    spark.sql("ALTER TABLE graft_mor.db.t6 " +
+    spark.sql("ALTER TABLE graft_mrg.db.t6 " +
       "ADD CONSTRAINT v_nonneg CHECK (v >= 0)")
     Seq((300L, "g", -5.0)).toDF("id", "grp", "v")
       .createOrReplaceTempView("src7")
     val refused =
       try {
-        spark.sql("""MERGE INTO graft_mor.db.t6 t USING src7 s ON t.id = s.id
+        spark.sql("""MERGE INTO graft_mrg.db.t6 t USING src7 s ON t.id = s.id
           WHEN NOT MATCHED THEN INSERT *""")
         false
       } catch { case _: Exception => true }
     assert(refused,
       "a CHECK-violating insert slipped through the merge-on-read path")
-    assert(spark.table("graft_mor.db.t6").count() == 100,
+    assert(spark.table("graft_mrg.db.t6").count() == 100,
       "the refused merge must commit nothing")
   }
 
@@ -280,12 +280,12 @@ class MorMergeSpec extends AnyFunSuite {
     // the log grows by exactly two versions (each CAS'd on its own base)
     val v0 = versions("t5").size
     Seq((1L, "a", 0.0)).toDF("id", "grp", "v").createOrReplaceTempView("src6")
-    spark.sql("""MERGE INTO graft_mor.db.t5 t USING src6 s ON t.id = s.id
+    spark.sql("""MERGE INTO graft_mrg.db.t5 t USING src6 s ON t.id = s.id
       WHEN MATCHED THEN UPDATE SET *""")
-    spark.sql("""MERGE INTO graft_mor.db.t5 t USING src6 s ON t.id = s.id
+    spark.sql("""MERGE INTO graft_mrg.db.t5 t USING src6 s ON t.id = s.id
       WHEN MATCHED THEN UPDATE SET t.v = t.v + 1""")
     assert(versions("t5").size == v0 + 2)
-    assert(spark.table("graft_mor.db.t5").where($"id" === 1L)
+    assert(spark.table("graft_mrg.db.t5").where($"id" === 1L)
       .select("v").as[Double].head() == 1.0)
   }
 }
