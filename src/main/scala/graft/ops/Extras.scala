@@ -1467,6 +1467,217 @@ object Extras {
       .orderBy($"o_orderstatus")
   }
 
+  /** q104: COMPOSITE-KEY MERGE-ON-READ MERGE — the multi-column
+    * identifier-field posture (Iceberg v2) over the same
+    * `SupportsDelta` plumbing as q102: the table's PRIMARY KEY is
+    * `(user_id, event_id)` — deliberately NOT the schema's column
+    * order, pinning key-order robustness end-to-end — and a MERGE
+    * whose matched composite keys scatter across every `event_type`
+    * partition commits O(changed rows): every base file `require`d
+    * inode-identical, exactly ONE equality-delete sidecar entry of
+    * tuple form `(k1,k2) IN ((…),…)` (an entry keyed on user_id alone
+    * would delete every event of the matched users and hash-mismatch;
+    * MorMergeSpec pins full tuple semantics with sibling keys). Real
+    * CDC feeds key on composite ids far more often than single columns
+    * (the reference's own silver rows key on
+    * (customer_id, interaction_id)-style pairs, CM:48–52) — before
+    * this path they silently paid the copy-on-write full rewrite
+    * PERF.md measures as the wrong price for scattered keys. The PK is
+    * added WITHOUT RELY, so the ALTER also exercises the
+    * NULL-validation scan guarding the non-null flip. */
+  def q104MorMergeComposite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    s.sql("DROP TABLE IF EXISTS graft_ma.db.ev_mm2")
+    Tables.load(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .writeTo("graft_ma.db.ev_mm2").using("parquet")
+      .tableProperty("write.merge.mode", "merge-on-read")
+      .partitionedBy($"event_type").create()
+    s.sql("ALTER TABLE graft_ma.db.ev_mm2 ADD CONSTRAINT ev_mm2_pk " +
+      "PRIMARY KEY (user_id, event_id) NOT ENFORCED")
+    def inodes(): Map[String, Any] = {
+      val wh = s.conf.get("spark.sql.catalog.graft_ma.warehouse")
+      val tdir = java.nio.file.Paths.get(wh, "db", "ev_mm2")
+      val cur = tdir.resolve(new String(java.nio.file.Files.readAllBytes(
+        tdir.resolve("_current")), "UTF-8").split("\n").head.trim)
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(cur)
+      try walk.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") &&
+          !n.startsWith(".") &&
+          !cur.relativize(p).toString.startsWith("_deletes/")
+      }.map(p => cur.relativize(p).toString ->
+        java.nio.file.Files.getAttribute(p, "unix:ino")).toMap
+      finally walk.close()
+    }
+    val before = inodes()
+    // matched composite keys hit every event_type partition (the mod
+    // sweeps event ids across all types and users); unmatched keys
+    // land in a NEW partition 'Z'
+    Tables.load(s, dir, "events")
+      .where($"event_id" % 97 === 0)
+      .select($"event_id", $"user_id", $"event_type",
+        (-$"value").as("value"))
+      .unionByName(Tables.load(s, dir, "events")
+        .where($"event_id" % 89 === 0)
+        .select(($"event_id" + 10000000L).as("event_id"), $"user_id",
+          lit("Z").as("event_type"), $"value"))
+      .createOrReplaceTempView("q104_src")
+    s.sql("""MERGE INTO graft_ma.db.ev_mm2 t USING q104_src s
+            |ON t.user_id = s.user_id AND t.event_id = s.event_id
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after = inodes()
+    require(before.forall { case (k, v) => after.get(k).contains(v) },
+      "composite-key merge-on-read MERGE must hard-link every base " +
+        "data file unchanged")
+    require(after.size > before.size,
+      "the merge's delta rows must land as NEW files")
+    require(s.table("graft_ma.db.ev_mm2.deletes").count() == 1L,
+      "exactly one equality-delete entry expected")
+    val shown = s.table("graft_ma.db.ev_mm2.deletes")
+      .select($"predicate").as[String].head()
+    require(shown.startsWith("("),
+      s"expected a composite-tuple delete entry, got: ${shown.take(60)}")
+    s.table("graft_ma.db.ev_mm2")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        moneySum($"value").as("total"))
+      .orderBy($"event_type")
+  }
+
+  /** q105: PARTIAL SPEC-UNIFICATION COMPACTION — `CALL
+    * system.unify_layout`, the missing middle the r13 verdict named
+    * between `evolve_layout` (O(metadata), reads stay mixed-spec) and
+    * `rewrite_layout` (single-spec, O(table)): rewrite ONLY the legacy
+    * `_spec-<k>` subtree into the current spec, hard-link everything
+    * else. The gate seeds a third under `days(ts)`, evolves to the
+    * composite, appends the other two thirds into the NEW layout, runs
+    * a merge-on-read DELETE whose predicate hits rows in BOTH layouts,
+    * then unifies — and `require`s every current-layout file rides as
+    * a hard link (cost ∝ legacy fraction, inode-pinned), the legacy
+    * sidecar and subtree are gone, and the root-file delete entries
+    * survived the restricted carry while the legacy files' deletes
+    * were MATERIALIZED by the rewrite. The oracle replays the delete
+    * over raw events inside the ts window — a row the partial rewrite
+    * lost, duplicated, or resurrected hash-mismatches. */
+  def q105UnifyLayout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    s.sql("DROP TABLE IF EXISTS graft_ma.db.unify")
+    val ev = Tables.load(s, dir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    ev.where($"event_id" % 3 === 0)
+      .writeTo("graft_ma.db.unify").using("parquet")
+      .partitionedBy(days($"ts")).createOrReplace()
+    s.sql("CALL graft_ma.system.evolve_layout('db.unify', " +
+      "'days(ts), bucket(8,user_id)')")
+    ev.where($"event_id" % 3 =!= 0).writeTo("graft_ma.db.unify").append()
+    // a MoR DELETE spanning BOTH layouts: its entry must survive the
+    // unify restricted to the linked current-layout files while the
+    // legacy files' share is materialized by the partial rewrite
+    s.conf.set("spark.sql.catalog.graft.write.deleteMode", "merge-on-read")
+    try s.sql("DELETE FROM graft_ma.db.unify " +
+      "WHERE user_id >= 10 AND user_id <= 40")
+    finally s.conf.unset("spark.sql.catalog.graft.write.deleteMode")
+    def headDir(): java.nio.file.Path = {
+      val wh = s.conf.get("spark.sql.catalog.graft_ma.warehouse")
+      val tdir = java.nio.file.Paths.get(wh, "db", "unify")
+      tdir.resolve(new String(java.nio.file.Files.readAllBytes(
+        tdir.resolve("_current")), "UTF-8").split("\n").head.trim)
+    }
+    def dataInodes(v: java.nio.file.Path,
+        prefix: String => Boolean): Map[String, Any] = {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(v)
+      try walk.iterator().asScala.filter { p =>
+        val rel = v.relativize(p).toString
+        java.nio.file.Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith(".") &&
+          !rel.startsWith("_deletes/") && prefix(rel)
+      }.map(p => v.relativize(p).toString ->
+        java.nio.file.Files.getAttribute(p, "unix:ino")).toMap
+      finally walk.close()
+    }
+    val pre = headDir()
+    require(java.nio.file.Files.exists(pre.resolve("_legacy_specs.txt")),
+      "q105 setup: the evolve must have left a legacy sidecar")
+    val rootBefore = dataInodes(pre, !_.startsWith("_spec-"))
+    val legacyBefore = dataInodes(pre, _.startsWith("_spec-"))
+    require(rootBefore.nonEmpty && legacyBefore.nonEmpty,
+      "q105 setup: both layouts must hold data files")
+    val summary =
+      s.sql("CALL graft_ma.system.unify_layout('db.unify')").collect().head
+    require(summary.getAs[Int]("n_legacy_specs") == 1 &&
+      summary.getAs[Long]("n_legacy_files_rewritten") > 0L,
+      s"unexpected unify summary: $summary")
+    val post = headDir()
+    require(!java.nio.file.Files.exists(post.resolve("_legacy_specs.txt")),
+      "unify_layout must leave a single-spec version")
+    val rootAfter = dataInodes(post, _ => true)
+    require(rootAfter.keys.forall(!_.startsWith("_spec-")),
+      "legacy subtree files leaked into the unified version")
+    require(rootBefore.forall { case (k, v) => rootAfter.get(k).contains(v) },
+      "unify_layout must hard-link every current-layout file unchanged " +
+        "— the partial-compaction cost claim")
+    require(rootAfter.size > rootBefore.size,
+      "the rewritten legacy rows must land as NEW files")
+    require(s.table("graft_ma.db.unify.deletes").count() >= 1L,
+      "the root-file share of the spanning delete entry must survive")
+    s.table("graft_ma.db.unify")
+      .where($"ts" >= lit("2024-01-08 00:00:00").cast(TimestampType) &&
+        $"ts" < lit("2024-01-22 00:00:00").cast(TimestampType))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"event_id").as("n_distinct"),
+        moneySum($"value").as("total"))
+      .orderBy($"event_type")
+  }
+
+  /** q106: CHANGE FEED ACROSS THE FORK — `table_changes` on a BRANCH
+    * (q93 composed with q103), the audit half of write-audit-publish:
+    * the net row-level changes a branch accumulated since its fork are
+    * exactly what `fast_forward` would publish, reviewable BEFORE the
+    * swap. The gate forks `audit`, runs a whole-table UPDATE and an
+    * append on the branch, `require`s main's log never moved, and
+    * pins the branch's per-step change aggregate cross-engine: step 1
+    * must be exactly the updated rows as delete+insert pairs (rows the
+    * COW rewrite merely carried cancel in the exceptAll), step 2
+    * exactly the appended batch as inserts. */
+  def q106BranchChanges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    s.sql("DROP TABLE IF EXISTS graft_ma.db.brcdc")
+    Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .writeTo("graft_ma.db.brcdc").using("parquet").create()
+    s.sql("CALL graft_ma.system.create_branch('db.brcdc', 'audit')")
+    s.sql("UPDATE graft_ma.db.`brcdc@audit` " +
+      "SET o_totalprice = -o_totalprice WHERE o_orderkey % 53 = 0")
+    Tables.load(s, dir, "orders").where($"o_orderkey" % 71 === 0)
+      .select(($"o_orderkey" + 20000000L).as("o_orderkey"), $"o_custkey",
+        $"o_totalprice")
+      .writeTo("graft_ma.db.`brcdc@audit`").append()
+    // isolation rail: the branch edits never moved main
+    require(s.table("graft_ma.db.brcdc")
+      .where($"o_totalprice" < 0).count() == 0L,
+      "q106: branch edits leaked into main")
+    graft.sources.AtomicParquetCatalog
+      .tableChanges(s, "graft_ma.db.brcdc@audit", fromCommitsBack = 2)
+      .groupBy($"_commit_step", $"_change_type")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"o_orderkey").as("n_distinct"),
+        moneySum($"o_totalprice").as("total"))
+      .orderBy($"_commit_step", $"_change_type")
+  }
+
   /** Export path q76's oracle reads. Verify and the DuckDB oracle run on
     * the same host within one gate round, and the oracle SQL (which
     * embeds this path) is DUMPED BY THE SAME JVM that ran the export —
@@ -1797,6 +2008,9 @@ object Extras {
     "q101_identity_column" -> q101IdentityColumn,
     "q102_mor_merge" -> q102MorMerge,
     "q103_branches" -> q103Branches,
+    "q104_mor_merge_composite" -> q104MorMergeComposite,
+    "q105_unify_layout" -> q105UnifyLayout,
+    "q106_branch_changes" -> q106BranchChanges,
     "q76_catalog_external" -> q76CatalogExternal,
     "q77_partitions_metadata" -> q77PartitionsMetadata,
     "q78_snapshot_changes" -> q78SnapshotChanges,
@@ -2203,6 +2417,21 @@ object Extras {
         | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2
         |ORDER BY day, event_type""".stripMargin,
+    // the partially-compacted table == raw events in the ts window
+    // with the spanning MoR delete replayed — a legacy row the partial
+    // rewrite lost or duplicated, a root delete the restricted carry
+    // dropped (resurrected rows), or a legacy delete the rewrite
+    // failed to materialize all hash-mismatch here
+    "q105_unify_layout" ->
+      """SELECT event_type,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-22 00:00:00'
+        |  AND NOT (user_id >= 10 AND user_id <= 40)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the mixed-spec table (old third under days(ts), new thirds under
     // the composite) == all events inside the ts window, exactly once
     "q91_evolve_layout" ->
@@ -2214,6 +2443,29 @@ object Extras {
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
         |  AND ts <  TIMESTAMP '2024-01-22 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the branch's net changes since the fork: step 1 = the updated
+    // rows as delete(+price)/insert(-price) pairs, step 2 = the
+    // appended batch as inserts — a carried-row leak from the COW
+    // rewrite or a change main's log contributed would mismatch
+    "q106_branch_changes" ->
+      """SELECT 1 AS _commit_step, 'delete' AS _change_type,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 53 = 0
+        |UNION ALL
+        |SELECT 1, 'insert',
+        | CAST(count(*) AS BIGINT),
+        | CAST(count(DISTINCT o_orderkey) AS BIGINT),
+        | CAST(sum(CAST(-o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 53 = 0
+        |UNION ALL
+        |SELECT 2, 'insert',
+        | CAST(count(*) AS BIGINT),
+        | CAST(count(DISTINCT o_orderkey) AS BIGINT),
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 71 = 0
+        |ORDER BY _commit_step, _change_type""".stripMargin,
     // step 1 = the appended third as pure inserts; step 2 = exactly
     // the deleted rows as deletes (rows the bucket rewrites merely
     // carried cancel in the exceptAll)
@@ -2273,6 +2525,27 @@ object Extras {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM merged
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the composite-key merge replayed over the raw table: matched
+    // (l_orderkey, l_linenumber) pairs (mod 97 on the order key) take
+    // the negated price, inserts (mod 89, shifted keys) land in 'Z' —
+    // a tuple equality-delete the read side failed to apply (a
+    // resurrected pre-update row) hash-mismatches the totals
+    "q104_mor_merge_composite" ->
+      """WITH merged AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CASE WHEN event_id % 97 = 0 THEN -value
+        |         ELSE value END AS value
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id + 10000000, user_id, 'Z', value
+        |  FROM events WHERE event_id % 89 = 0
+        |)
+        |SELECT event_type,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM merged
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the oracle replays the merge arithmetic over the raw table:
     // matched keys (mod 97) take the negated price, the inserted rows
     // (mod 89, shifted keys) land in partition 'Z' — an equality

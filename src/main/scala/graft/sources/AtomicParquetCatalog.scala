@@ -232,8 +232,18 @@ object AtomicParquetCatalog {
         s"catalog ${parts.head} is ${other.getClass.getName}, not an " +
           "AtomicParquetCatalog")
     }
-    val dir = parts.tail.foldLeft(plugin.warehouseDir)(_.resolve(_))
-    val log = plugin.versionLog(dir) // newest first
+    // `cat.db.tbl@branch` serves the BRANCH's change feed — the audit
+    // half of write-audit-publish: table_changes over the commits a
+    // branch accumulated since the fork is exactly what a fast_forward
+    // would publish, reviewable before the swap
+    val (baseName, branch) = AtomicParquetCatalog.splitBranch(parts.last)
+    val dir = (parts.tail.dropRight(1) :+ baseName)
+      .foldLeft(plugin.warehouseDir)(_.resolve(_))
+    val ref = branch.map(b => s"_branch_$b")
+      .getOrElse(AtomicParquetCatalog.MainRef)
+    val log = plugin.versionLog(dir, ref) // newest first
+    require(branch.isEmpty || log.nonEmpty,
+      s"$table: no such branch '${branch.get}'")
     require(fromCommitsBack > toCommitsBack && toCommitsBack >= 0,
       s"need fromCommitsBack > toCommitsBack >= 0, got " +
         s"$fromCommitsBack > $toCommitsBack")
@@ -406,6 +416,17 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
       .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
+  /** Branch-name charset gate shared by every procedure that resolves
+    * `_branch_<name>` as a path: [A-Za-z0-9_-]+ only, so a crafted
+    * name ('x/../_current') can never traverse out of the branch
+    * namespace. Shape-only — existence is each caller's own check. */
+  private[sources] def requireBranchNameShape(b: String): Unit =
+    require(b.nonEmpty && b.forall(c => c.isLetterOrDigit ||
+      c == '_' || c == '-') && !b.forall(_.isDigit) &&
+      !b.startsWith("v-") && b != "main",
+      s"branch name '$b' must be [A-Za-z0-9_-]+, not all-digit, " +
+        "not v-<uuid>-shaped, not 'main'")
+
   /** Live branch names of `dir` (without the `_branch_` prefix). */
   private[sources] def listBranches(dir: JPath): Seq[String] = {
     if (!Files.isDirectory(dir)) return Nil
@@ -476,10 +497,16 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
         try StreamEpochs.carry(dir.resolve(h), dir.resolve(version))
         catch {
           case e: java.io.IOException =>
-            // commit availability wins, but say so: a crash-replayed
-            // stream epoch could double-apply past a dropped ledger
-            System.err.println(s"[graft-atomic] WARN: stream-epoch " +
-              s"ledger carry into $dir/$version failed (${e.getMessage})")
+            // FAIL the commit, never commit without the ledger: the CAS
+            // has not swapped yet, so the writer can safely retry — but
+            // a commit that dropped the stream's epoch high-watermark
+            // would let a crash-replayed epoch double-apply, silently
+            // degrading the exactly-once sink to at-least-once
+            throw new IllegalStateException(
+              s"$dir: failed to carry the streaming epoch ledger from " +
+                s"$h into $version — refusing to commit without it " +
+                "(a dropped ledger breaks the sink's exactly-once " +
+                "crash-replay guard); retry the write", e)
         }
       }
       // file-level column stats for the version's NEW data files —
@@ -1180,6 +1207,39 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
       case _: TableChange.AddConstraint | _: TableChange.DropConstraint => true
       case _ => false
     }
+    // PRIMARY KEY validation BEFORE the sidecar write: a failed require
+    // after TableConstraints.write would leave a phantom constraint
+    // behind the failed ALTER. Column existence always; for a PK added
+    // WITHOUT RELY additionally a NULL-count scan — the non-null flip
+    // below feeds the optimizer and the merge-on-read row-id path, so
+    // flipping over pre-existing NULLs would silently corrupt reads.
+    // RELY skips the scan (the user asserts the trust — Iceberg's
+    // identifier-field posture).
+    locally {
+      val addedPks = constraintChanges.collect {
+        case a: TableChange.AddConstraint => a.constraint()
+      }.collect {
+        case pk: org.apache.spark.sql.connector.catalog.constraints.PrimaryKey => pk
+      }
+      if (addedPks.nonEmpty) {
+        val (schemaNow, _) = readMeta(cur)
+        val cols = addedPks.flatMap(_.columns().toSeq
+          .map(_.fieldNames().mkString(".")))
+        cols.foreach { c => require(
+          schemaNow.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"$ident: PRIMARY KEY column $c does not exist") }
+        if (addedPks.exists(!_.rely())) {
+          import org.apache.spark.sql.functions.{col => fcol}
+          val nulls = readVersionDf(cur, schemaNow)
+            .where(cols.map(fcol(_).isNull).reduce(_ || _)).limit(1).count()
+          require(nulls == 0L,
+            s"$ident: PRIMARY KEY (${cols.mkString(", ")}) declared over " +
+              "existing NULL key values — clean the data first, or add " +
+              "the constraint with RELY to assert the data is clean " +
+              "without a scan")
+        }
+      }
+    }
     if (constraintChanges.nonEmpty) withCommitLock(dir) {
       val next = constraintChanges.foldLeft(
         TableConstraints.read(dir).toSeq) { (cs, c) =>
@@ -1683,7 +1743,8 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     if (namespace.sameElements(Array("system")))
       Array("expire_snapshots", "rollback_to", "compact", "rewrite_layout",
         "rewrite_deletes", "cluster_by",
-        "evolve_layout", "tag", "drop_tag", "analyze", "clone",
+        "evolve_layout", "unify_layout", "tag", "drop_tag", "analyze",
+        "clone",
         "remove_orphans", "create_branch", "drop_branch", "fast_forward")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
@@ -2051,6 +2112,84 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
                 entries.size, UTF8String.fromString(v)))
           }
         }
+      case "unify_layout" =>
+        // CALL cat.system.unify_layout('db.tbl') — PARTIAL spec-
+        // unification compaction, the missing middle between
+        // evolve_layout (O(metadata), but reads stay mixed-spec) and
+        // rewrite_layout (single-spec again, but O(table)): rewrite
+        // ONLY the legacy `_spec-<k>` subtrees into the table's
+        // CURRENT spec and hard-link every current-layout file forward
+        // untouched. Cost ∝ the legacy fraction — at 100 TB, evolving
+        // then unifying after the old third has aged out of hot reads
+        // pays a third of the table instead of all of it, and the
+        // table exits the mixed-spec state (SPJ / aggregate pushdown /
+        // key-grouped reporting eligibility come back — SpecUnionScan
+        // declines them on purpose while two specs coexist). Delete
+        // entries over the rewritten legacy files are MATERIALIZED by
+        // the rewrite; entries over the linked current-layout files
+        // ride forward restricted to those files.
+        new GraftProcedure("unify_layout", Seq(
+          ProcedureParameter.in("table", StringType).build())) {
+          override def call(input: InternalRow): java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val tbl = input.getUTF8String(0).toString
+            val dir = procTableDir(tbl)
+            val base = versionLog(dir).head
+            val cur = dir.resolve(base)
+            val (schema, fields) = readMeta(cur)
+            val legacy = readLegacySpecs(cur)
+            require(legacy.nonEmpty,
+              s"$tbl has no legacy spec subtrees — nothing to unify " +
+                "(metadata-only evolve_layout creates them; " +
+                "rewrite_layout/compact already unify whole tables)")
+            val v = s"v-${UUID.randomUUID()}"
+            val nv = dir.resolve(v)
+            writeMeta(nv, schema, fields)
+            // current-layout files ride forward as hard links — the
+            // whole point: the current fraction is never rewritten
+            linkDataFiles(cur, nv,
+              keepPartition = PartitionRuntimeFilters.isLayoutDir)
+            // delete entries restricted to the surviving linked files;
+            // the legacy files' deletes are materialized by the read
+            MorDeletes.carryRestricted(cur, nv,
+              f => !f.startsWith("_spec-"))
+            // the rewrite's input: ONLY the legacy subtrees' rows, each
+            // read under its own layout with its delete entries applied
+            // exactly (per-cohort), landed under the CURRENT spec
+            val legacyRels = AtomicParquetCatalog.walkDataFiles(cur)
+              .map(p => cur.relativize(java.nio.file.Paths.get(p)).toString)
+              .filter(_.startsWith("_spec-")).toSet
+            var rewritten = 0L
+            if (legacyRels.nonEmpty) {
+              val df = MorDeletes.readFiles(spark, cur, legacyRels, schema)
+              val routed = PartitionField.materializeDirCols(df, fields)
+              val clustered =
+                if (fields.nonEmpty &&
+                    PartitionField.clusterWrite(spark, fields))
+                  routed.repartition(fields.map(f =>
+                    org.apache.spark.sql.functions.col(f.dirName)): _*)
+                else routed
+              if (fields.nonEmpty)
+                clustered.write.mode("append")
+                  .partitionBy(fields.map(_.dirName): _*)
+                  .parquet(nv.toString)
+              else clustered.write.mode("append").parquet(nv.toString)
+              rewritten = legacyRels.size.toLong
+            }
+            // no _legacy_specs.txt in the new version: single-spec again
+            try commitPointer(dir, v, expectedBase = Some(base))
+            catch { case e: Throwable => dropOrphan(nv); throw e }
+            summaryScan(StructType(Seq(
+              StructField("unified_spec", StringType, nullable = false),
+              StructField("n_legacy_specs", IntegerType, nullable = false),
+              StructField("n_legacy_files_rewritten", LongType,
+                nullable = false),
+              StructField("new_version", StringType, nullable = false))),
+              InternalRow(
+                UTF8String.fromString(fields.map(PartitionField.show)
+                  .mkString(", ")),
+                legacy.size, rewritten, UTF8String.fromString(v)))
+          }
+        }
       case "create_branch" =>
         // CALL cat.system.create_branch('db.tbl', 'name') — fork a
         // writable BRANCH at the current head: a parallel pointer log
@@ -2066,11 +2205,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
           override def call(input: InternalRow): java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
             val dir = procTableDir(input.getUTF8String(0).toString)
             val b = input.getUTF8String(1).toString
-            require(b.nonEmpty && b.forall(c => c.isLetterOrDigit ||
-              c == '_' || c == '-') && !b.forall(_.isDigit) &&
-              !b.startsWith("v-") && b != "main",
-              s"branch name '$b' must be [A-Za-z0-9_-]+, not all-digit, " +
-                "not v-<uuid>-shaped, not 'main'")
+            requireBranchNameShape(b)
             val head = withCommitLock(dir) {
               require(listBranches(dir).forall(_ != b),
                 s"branch '$b' already exists; drop_branch it first")
@@ -2102,6 +2237,12 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
           override def call(input: InternalRow): java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
             val dir = procTableDir(input.getUTF8String(0).toString)
             val b = input.getUTF8String(1).toString
+            // same charset gate as create_branch BEFORE any path
+            // resolution: without it a name like 'x/../_current'
+            // normalizes dir.resolve("_branch_" + b) onto the table's
+            // main pointer file and the delete below would orphan the
+            // whole table head
+            requireBranchNameShape(b)
             val existed = withCommitLock(dir) {
               Files.deleteIfExists(dir.resolve(s"_branch_$b"))
             }
@@ -2127,6 +2268,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
           override def call(input: InternalRow): java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
             val dir = procTableDir(input.getUTF8String(0).toString)
             val b = input.getUTF8String(1).toString
+            requireBranchNameShape(b) // path-shape gate, see drop_branch
             val (from, to) = withCommitLock(dir) {
               val bLog = versionLog(dir, s"_branch_$b")
               require(bLog.nonEmpty, s"no such branch '$b' (live: " +
@@ -2174,6 +2316,13 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
               require(!refs.contains(tagName),
                 s"tag '$tagName' already exists (-> ${refs(tagName)}); " +
                   "drop_tag it first")
+              // mirror of create_branch's tag check: tags resolve FIRST
+              // in VERSION AS OF, so a tag named after a live branch
+              // would silently shadow the branch for time-travel reads
+              require(!listBranches(dir).contains(tagName),
+                s"a branch named '$tagName' already exists — names are " +
+                  "shared between tags and branches (both resolve in " +
+                  "VERSION AS OF)")
               writeRefs(dir, refs + (tagName -> log(ordinal)))
               log(ordinal)
             }
@@ -2358,7 +2507,8 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
           s"unknown procedure system.$other — available: " +
             "expire_snapshots(table, keep), rollback_to(table, ordinal), " +
             "compact(table, target_files), rewrite_layout(table, spec), " +
-            "evolve_layout(table, spec), tag(table, name, ordinal), " +
+            "evolve_layout(table, spec), unify_layout(table), " +
+            "tag(table, name, ordinal), " +
             "drop_tag(table, name), create_branch(table, name), " +
             "drop_branch(table, name), fast_forward(table, name), " +
             "analyze(table), " +
@@ -2409,6 +2559,12 @@ private[sources] abstract class VersionedTable(
     * table. Overridden by [[PointerTable]]. */
   protected def legacySpecs: Seq[(String, Seq[PartitionField])] = Nil
 
+  /** The pointer log a streaming read of this table tails — main for
+    * every table except a `t@branch`-bound [[PointerTable]], which
+    * overrides with its branch log so the stream follows the branch's
+    * commits (write-audit-publish for streams). */
+  protected def streamRef: String = AtomicParquetCatalog.MainRef
+
   /** Directory-level column names of the hive layout — identity columns
     * verbatim, hidden `_gb_<col>` ids for bucket fields. All the
     * directory-walking machinery (hard links, partition pruning,
@@ -2441,7 +2597,8 @@ private[sources] abstract class VersionedTable(
       // (see KeyGroupedScan.scala)
       case psb: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder =>
         new KeyGroupedParquetScanBuilder(psb, spark, name(), versionDir,
-          tableSchema, fields, StreamReadOptions.fromOptions(options),
+          tableSchema, fields,
+          StreamReadOptions.fromOptions(options).copy(ref = streamRef),
           legacySpecs)
       case _ => inner
     }
@@ -2516,6 +2673,8 @@ private[sources] final class PointerTable(
     extends VersionedTable(ident, versionDir, tableSchema, fields)
     with SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+
+  override protected def streamRef: String = ref
 
   /** MERGE-ON-READ DELETE (MorDeletes.scala): with
     * `spark.sql.catalog.graft.write.deleteMode = merge-on-read`, a
@@ -2607,11 +2766,14 @@ private[sources] final class PointerTable(
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
     // streaming reads tail the pointer log, streaming writes append
     // epoch snapshots to it — meaningful only on the CURRENT table (a
-    // pinned historical snapshot never advances), and only on MAIN:
-    // the streaming machinery resolves heads through `_current`, so a
-    // branch-bound stream would silently cross-commit — refused here
-    // until the stream paths are branch-threaded
-    if (!historical && ref == AtomicParquetCatalog.MainRef) {
+    // pinned historical snapshot never advances). Branch-bound tables
+    // (`t@branch`) stream too: the ref threads through the stream
+    // read's log tail and the sink's rebase/commit loop, so a stream
+    // can land on an audit branch (write-audit-publish) and
+    // `fast_forward` publishes it — main readers never see a half-done
+    // state. The epoch ledger rides inside the branch's versions, so
+    // exactly-once survives the publish swap unchanged.
+    if (!historical) {
       caps.add(TableCapability.MICRO_BATCH_READ)
       caps.add(TableCapability.STREAMING_WRITE)
     }
@@ -2629,9 +2791,9 @@ private[sources] final class PointerTable(
     // files, every base file hard-linked — instead of any rewrite.
     // Ineligible tables fall through to group-based COW silently.
     DeltaRowLevel.eligibleRowId(catalog, dir, tableSchema,
-        info.command(), spark).foreach { rowIdCol =>
+        info.command(), spark).foreach { rowIdCols =>
       return () => new DeltaRowLevelOperation(catalog, ident, dir,
-        versionDir, fields, info.command(), rowIdCol, ref,
+        versionDir, fields, info.command(), rowIdCols, ref,
         opts => {
           val b = PointerTable.this.newScanBuilder(opts)
           // same schema pin as the COW scan: a hidden-transform
@@ -3033,7 +3195,7 @@ private[sources] final class PointerTable(
                 "race the stream's own commits; generate the values in " +
                 "the stream (or use foreachBatch with a batch append)")
           new GraftStreamingWrite(catalog, ident, dir, info.schema(),
-            info.queryId())
+            info.queryId(), ref)
         }
         override def toInsertableRelation: InsertableRelation =
           (data: DataFrame, _: Boolean) => {

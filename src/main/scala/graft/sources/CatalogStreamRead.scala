@@ -23,7 +23,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 private[sources] final case class StreamReadOptions(
     maxFilesPerTrigger: Option[Int], skipChangeCommits: Boolean,
     startingVersion: Option[String], startingTimestamp: Option[String],
-    maxBytesPerTrigger: Option[Long] = None) {
+    maxBytesPerTrigger: Option[Long] = None,
+    // the pointer log this stream tails — `_current` (main) or a
+    // `_branch_<name>` log for a branch-bound stream (`t@branch`);
+    // set by the catalog's scan builder, never by a user option
+    ref: String = "_current") {
   require(startingVersion.isEmpty || startingTimestamp.isEmpty,
     "set startingVersion OR startingTimestamp, not both")
 }
@@ -88,7 +92,7 @@ private[sources] final class CatalogMicroBatchStream(
   }
 
   private def log(): Seq[String] = {
-    val p = tableDir.resolve("_current")
+    val p = tableDir.resolve(opts.ref)
     if (!Files.exists(p)) Seq.empty
     else new String(Files.readAllBytes(p), "UTF-8").linesIterator
       .map(_.trim).filter(_.nonEmpty).toSeq

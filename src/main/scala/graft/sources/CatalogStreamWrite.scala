@@ -88,7 +88,8 @@ private[sources] final case class EpochFileMessage(path: String, rows: Long)
   * rows (identical to the batch append path's posture). */
 private[sources] final class GraftStreamingWrite(
     catalog: AtomicParquetCatalog, ident: Identifier, dir: JPath,
-    writeSchema: StructType, queryId: String) extends StreamingWrite {
+    writeSchema: StructType, queryId: String,
+    ref: String = AtomicParquetCatalog.MainRef) extends StreamingWrite {
 
   private def stagingRoot: JPath =
     dir.resolve("_stream_staging").resolve(queryId)
@@ -119,7 +120,7 @@ private[sources] final class GraftStreamingWrite(
       var attempts = 0
       var committed = false
       while (!committed) {
-        val head = catalog.versionLog(dir).headOption.getOrElse(
+        val head = catalog.versionLog(dir, ref).headOption.getOrElse(
           throw new IllegalStateException(
             s"$ident: table dropped while a stream was writing to it"))
         val headDir = dir.resolve(head)
@@ -188,7 +189,8 @@ private[sources] final class GraftStreamingWrite(
             }
           if (stagedOk) {
             try {
-              catalog.commitVersion(dir, v, expectedBase = Some(head))
+              catalog.commitVersion(dir, v, expectedBase = Some(head),
+                ref = ref)
               committed = true
             } catch {
               case e: java.util.ConcurrentModificationException =>

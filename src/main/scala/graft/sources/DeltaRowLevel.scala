@@ -22,14 +22,16 @@ import org.apache.spark.util.SerializableConfiguration
   * posture through Spark's native delta plumbing ([[SupportsDelta]]):
   * with `write.merge.mode` / `write.update.mode` / `write.delete.mode`
   * = `merge-on-read` (table property, or the session-wide
-  * `spark.sql.catalog.graft.write.rowLevelMode`) and a single-column
-  * PRIMARY KEY declared on the table, a MERGE/UPDATE/DELETE commits
+  * `spark.sql.catalog.graft.write.rowLevelMode`) and a PRIMARY KEY —
+  * single- OR multi-column — declared on the table, a
+  * MERGE/UPDATE/DELETE commits
   * **O(changed rows), never a rewrite**:
   *
   *  - every base data file HARD-LINKS forward untouched;
   *  - rows the operation deletes (or replaces — updates arrive as
   *    delete+reinsert, `representUpdateAsDeleteAndInsert`) land as one
-  *    EQUALITY-DELETE entry (`pk IN (ids…)`) in the `_deletes/`
+  *    EQUALITY-DELETE entry (`pk IN (ids…)`, or `(k1,…,kN) IN
+  *    ((t…),…)` for a composite key) in the `_deletes/`
   *    sidecar, scoped to exactly the files present at operation time
   *    (snapshot semantics — the same Iceberg sequence-number rule the
   *    predicate-delete path follows);
@@ -62,9 +64,9 @@ import org.apache.spark.util.SerializableConfiguration
   * copy-on-write fallback — a merge replacing more than a million
   * scattered rows is bulk maintenance, where the rewrite is the right
   * price anyway. Fallbacks to copy-on-write are automatic (not errors)
-  * when the table is ineligible: no single-column PK of an encodable
-  * type, or identity columns (their allocation guard lives on the COW
-  * path). */
+  * when the table is ineligible: no PK, a PK with a nested or
+  * non-encodable column, or identity columns (their allocation guard
+  * lives on the COW path). */
 private[sources] object DeltaRowLevel {
 
   val MaxKeysProp = "write.mor.max-delete-keys"
@@ -77,24 +79,32 @@ private[sources] object DeltaRowLevel {
       case RowLevelOperation.Command.MERGE => "write.merge.mode"
     }
 
-  /** The row-id column when this operation should run merge-on-read:
-    * mode requested (per-command table property or session conf) AND
-    * a single-column PRIMARY KEY whose type the delete sidecar can
-    * encode AND no identity columns (their null-refusal/allocation
-    * guard is built into the COW write). None → group-based COW. */
+  /** The row-id columns when this operation should run merge-on-read:
+    * mode requested (per-command table property or session conf) AND a
+    * PRIMARY KEY — single- or multi-column (Iceberg's identifier-field
+    * posture), every key column a top-level field of a type the delete
+    * sidecar can encode — AND no identity columns (their null-refusal/
+    * allocation guard is built into the COW write). None → group-based
+    * COW. */
   def eligibleRowId(catalog: AtomicParquetCatalog, dir: JPath,
       schema: StructType, cmd: RowLevelOperation.Command,
-      spark: SparkSession): Option[String] = {
+      spark: SparkSession): Option[Seq[String]] = {
     val mode = catalog.readProps(dir).get(propFor(cmd))
       .orElse(spark.conf.getOption(SessionModeConf))
     if (!mode.contains("merge-on-read")) return None
     if (IdentityColumns.has(schema)) return None
     TableConstraints.read(dir).collectFirst {
-      case pk: PrimaryKey if pk.columns().length == 1 =>
-        pk.columns()(0).fieldNames().mkString(".")
-    }.filter { c =>
-      schema.fields.exists(f =>
-        f.name.equalsIgnoreCase(c) && MorDeletes.encodableType(f.dataType))
+      case pk: PrimaryKey => pk.columns().toSeq.map(_.fieldNames().toSeq)
+    }.flatMap { parts =>
+      if (parts.isEmpty || parts.exists(_.length != 1)) None // nested: COW
+      else {
+        // resolve to the SCHEMA's casing — the sidecar entry's column
+        // names must match what the read side resolves
+        val resolved = parts.map(_.head).map(c =>
+          schema.fields.find(f => f.name.equalsIgnoreCase(c) &&
+            MorDeletes.encodableType(f.dataType)).map(_.name))
+        if (resolved.exists(_.isEmpty)) None else Some(resolved.map(_.get))
+      }
     }
   }
 
@@ -113,14 +123,15 @@ private[sources] final case class DeltaFilesMessage(
 private[sources] final class DeltaRowLevelOperation(
     catalog: AtomicParquetCatalog, ident: Identifier, dir: JPath,
     versionDir: JPath, fields: Seq[PartitionField],
-    cmd: RowLevelOperation.Command, rowIdCol: String, ref: String,
+    cmd: RowLevelOperation.Command, rowIdCols: Seq[String], ref: String,
     scanBuilderFn: CaseInsensitiveStringMap => ScanBuilder)
     extends RowLevelOperation with SupportsDelta {
 
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"graft-atomic-mor $ident"
   override def rowId(): Array[NamedReference] =
-    Array(Expressions.column(rowIdCol).asInstanceOf[NamedReference])
+    rowIdCols.map(c =>
+      Expressions.column(c).asInstanceOf[NamedReference]).toArray
   // updates arrive as delete + reinsert: one sidecar entry + one data
   // file per task covers all three commands
   override def representUpdateAsDeleteAndInsert(): Boolean = true
@@ -134,7 +145,7 @@ private[sources] final class DeltaRowLevelOperation(
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new GraftDeltaWrite(
-        catalog, ident, dir, versionDir, fields, rowIdCol, ref,
+        catalog, ident, dir, versionDir, fields, ref,
         info.schema(),
         info.rowIdSchema().orElseThrow(() => new IllegalStateException(
           s"$ident: delta write planned without a row-id schema")))
@@ -143,11 +154,20 @@ private[sources] final class DeltaRowLevelOperation(
 
 private[sources] final class GraftDeltaWrite(
     catalog: AtomicParquetCatalog, ident: Identifier, dir: JPath,
-    versionDir: JPath, fields: Seq[PartitionField], rowIdCol: String,
+    versionDir: JPath, fields: Seq[PartitionField],
     ref: String, writeSchema: StructType,
     rowIdSchema: StructType) extends DeltaWrite {
 
   override def description(): String = s"graft-atomic-mor-write $ident"
+
+  // the id sidecar file is written/read FULLY NULLABLE regardless of
+  // the table's declared key nullability: a corrupt NULL key component
+  // (PK added with RELY over dirty data) must round-trip as null so the
+  // commit-time encode check can refuse it pointedly — under a
+  // non-nullable schema the parquet round-trip silently turns the null
+  // into the type's zero value and the delete entry deletes wrong rows
+  private val idFileSchema =
+    StructType(rowIdSchema.fields.map(_.copy(nullable = true)))
 
   override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
     private val staging =
@@ -163,9 +183,9 @@ private[sources] final class GraftDeltaWrite(
         (new SerializableConfiguration(job.getConfiguration), owf)
       }
       val (dataConf, dataOwf) = prepared(writeSchema)
-      val (idConf, idOwf) = prepared(rowIdSchema)
+      val (idConf, idOwf) = prepared(idFileSchema)
       new GraftDeltaWriterFactory(dataConf, dataOwf, writeSchema,
-        idConf, idOwf, rowIdSchema, staging.toString)
+        idConf, idOwf, idFileSchema, staging.toString)
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -194,7 +214,7 @@ private[sources] final class GraftDeltaWrite(
               .map(p => versionDir.relativize(Paths.get(p)).toString).toSet
             if (idFiles.nonEmpty && baseFiles.nonEmpty) {
               val cap = DeltaRowLevel.maxDeleteKeys(catalog, dir)
-              val ids = spark.read.schema(rowIdSchema)
+              val ids = spark.read.schema(idFileSchema)
                 .parquet(idFiles.toSeq: _*).distinct()
                 .limit(cap + 1).collect()
               if (ids.length > cap) throw new IllegalStateException(
@@ -204,14 +224,22 @@ private[sources] final class GraftDeltaWrite(
                   "write.merge.mode/write.update.mode/write.delete.mode " +
                   s"to copy-on-write for it (or raise " +
                   s"${DeltaRowLevel.MaxKeysProp})")
-              val dt = rowIdSchema.fields(0).dataType
-              val toInternal = CatalystTypeConverters.createToCatalystConverter(dt)
-              val node = MorDeletes.inNode(rowIdCol, dt,
-                ids.toSeq.map(r => toInternal(r.get(0)))).getOrElse(
-                throw new IllegalStateException(
-                  s"$ident: a matched row id failed to encode (null id?) — " +
-                    "the PRIMARY KEY column must be non-null for " +
-                    "merge-on-read row-level operations"))
+              val dts = rowIdSchema.fields.map(_.dataType)
+              val convs =
+                dts.map(CatalystTypeConverters.createToCatalystConverter)
+              val node = (if (dts.length == 1)
+                  MorDeletes.inNode(rowIdSchema.fields(0).name, dts(0),
+                    ids.toSeq.map(r => convs(0)(r.get(0))))
+                else
+                  // composite PRIMARY KEY: one tuple per matched row id
+                  // (Iceberg's multi-field identifier posture)
+                  MorDeletes.inTupleNode(rowIdSchema.fieldNames.toSeq,
+                    dts.toSeq, ids.toSeq.map(r =>
+                      dts.indices.map(i => convs(i)(r.get(i))))))
+                .getOrElse(throw new IllegalStateException(
+                  s"$ident: a matched row id failed to encode (null key " +
+                    "component?) — every PRIMARY KEY column must be " +
+                    "non-null for merge-on-read row-level operations"))
               MorDeletes.writeEntry(nv, node, baseFiles)
             }
             if (dataFiles.nonEmpty) {

@@ -60,6 +60,13 @@ private[sources] object IdentityColumns {
     }
     Option(c.identityColumnSpec()).foreach { spec =>
       require(spec.getStep != 0, s"column ${c.name()}: identity step 0")
+      // BIGINT only (Delta's posture): generation allocates per-partition
+      // blocks of 2^33 via monotonically_increasing_id, so a narrower
+      // type's cast would silently wrap or null — duplicate identities
+      require(c.dataType() == LongType,
+        s"column ${c.name()}: IDENTITY columns must be BIGINT — " +
+          s"${c.dataType().simpleString} cannot hold the allocated " +
+          "value ranges (per-partition blocks spread across 2^33)")
       mb.putLong(IdentityColumn.IDENTITY_INFO_START, spec.getStart)
       mb.putLong(IdentityColumn.IDENTITY_INFO_STEP, spec.getStep)
       mb.putBoolean(IdentityColumn.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT,

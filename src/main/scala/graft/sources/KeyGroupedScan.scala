@@ -147,7 +147,11 @@ private[sources] final class KeyGroupedParquetScanBuilder(
       if (legacy.isEmpty) buildInner()
       else new SpecUnionScan(buildInner() +: legacy.map {
         case (sub, lf) => legacyScan(sub, lf)
-      }, scanName)
+      }, scanName, () =>
+        AtomicParquetCatalog.walkDataFiles(versionDir).map { p =>
+          try java.nio.file.Files.size(java.nio.file.Paths.get(p))
+          catch { case _: java.io.IOException => 0L }
+        }.sum)
     // MERGE-ON-READ DELETES (MorDeletes.scala): live delete entries
     // apply as an exact per-task row filter; the wrapper also projects
     // away any column read only for the predicates. Applies to EVERY

@@ -63,18 +63,29 @@ private[sources] object MorDeletes {
   sealed trait Node extends Serializable
   final case class Leaf(op: String, col: String,
                         values: Seq[String]) extends Node
+  /** Composite-key membership: `(c1, …, cN) IN ((v…), …)` — the
+    * equality-delete entry a multi-column PRIMARY KEY's MoR
+    * MERGE/UPDATE/DELETE writes (Iceberg's multi-field identifier
+    * posture). `rows` holds encoded per-column values, all tuples the
+    * same arity as `cols`. */
+  final case class TupleLeaf(cols: Seq[String],
+                             rows: Seq[Seq[String]]) extends Node
   final case class AndN(l: Node, r: Node) extends Node
   final case class OrN(l: Node, r: Node) extends Node
 
   /** Columns a node references (lower-cased). */
   def colsOf(n: Node): Set[String] = n match {
     case Leaf(_, c, _) => Set(c.toLowerCase)
+    case TupleLeaf(cs, _) => cs.map(_.toLowerCase).toSet
     case AndN(l, r) => colsOf(l) ++ colsOf(r)
     case OrN(l, r) => colsOf(l) ++ colsOf(r)
   }
 
   // serialized as pre-order lines: "A" / "O" introduce two children,
-  // "L\top\tcol\tv1,v2" is a leaf (enc'd values never contain , or \t)
+  // "L\top\tcol\tv1,v2" is a leaf (enc'd values never contain , or \t),
+  // "T\tc1,c2\tv1|v2,v1|v2" a composite-key IN (enc'd values never
+  // contain | either — base64 / numeric only; column names are gated
+  // against the delimiters at entry-build time, inTupleNode)
   def serialize(n: Node): String = {
     val sb = new StringBuilder
     def go(x: Node): Unit = x match {
@@ -82,6 +93,10 @@ private[sources] object MorDeletes {
       case OrN(l, r) => sb.append("O\n"); go(l); go(r)
       case Leaf(op, c, vs) =>
         sb.append(s"L\t$op\t$c\t${vs.mkString(",")}\n")
+      case TupleLeaf(cs, rows) =>
+        sb.append(s"T\tin\t${cs.mkString(",")}\t")
+        sb.append(rows.map(_.mkString("|")).mkString(","))
+        sb.append('\n')
     }
     go(n)
     sb.result()
@@ -94,8 +109,14 @@ private[sources] object MorDeletes {
       case "O" => OrN(go(), go())
       case l =>
         val f = l.split("\t", -1)
-        require(f.length == 4 && f(0) == "L", s"bad delete predicate line: $l")
-        Leaf(f(1), f(2), if (f(3).isEmpty) Nil else f(3).split(",").toSeq)
+        require(f.length == 4 && (f(0) == "L" || f(0) == "T"),
+          s"bad delete predicate line: $l")
+        if (f(0) == "L")
+          Leaf(f(1), f(2), if (f(3).isEmpty) Nil else f(3).split(",").toSeq)
+        else
+          TupleLeaf(f(2).split(",").toSeq,
+            if (f(3).isEmpty) Nil
+            else f(3).split(",").toSeq.map(_.split("\\|", -1).toSeq))
     }
     go()
   }
@@ -137,6 +158,25 @@ private[sources] object MorDeletes {
     val vs = internalValues.map(encValue(_, dt))
     if (vs.exists(_.isEmpty)) None
     else Some(Leaf("in", col, vs.map(_.get)))
+  }
+
+  /** The composite-key counterpart of [[inNode]]: one tuple per matched
+    * row id, CATALYST-internal component values in `cols` order. None
+    * if any component fails to encode (null component, unsupported
+    * type) — the caller must have fallen back to copy-on-write.
+    * Column names are gated against the serialization delimiters here
+    * (a name with , | or tab would corrupt the sidecar line). */
+  def inTupleNode(cols: Seq[String], dts: Seq[DataType],
+      internalRows: Seq[Seq[Any]]): Option[Node] = {
+    require(cols.length == dts.length && cols.length > 1,
+      s"composite row id needs >1 columns, got $cols")
+    if (cols.exists(c => c.exists(ch => ch == ',' || ch == '|' ||
+        ch == '\t' || ch == '\n'))) return None
+    val encoded = internalRows.map(r => r.zip(dts).map {
+      case (v, dt) => encValue(v, dt)
+    })
+    if (encoded.exists(_.exists(_.isEmpty))) None
+    else Some(TupleLeaf(cols, encoded.map(_.map(_.get))))
   }
 
   /** Decoded to the CATALYST-internal value of column type `dt`. */
@@ -257,6 +297,19 @@ private[sources] object MorDeletes {
     n match {
       case AndN(l, r) => CAnd(toCatalyst(l, attrs), toCatalyst(r, attrs))
       case OrN(l, r) => COr(toCatalyst(l, attrs), toCatalyst(r, attrs))
+      case TupleLeaf(cs, rows) =>
+        // composite-key probe: InSet over a struct of the key columns.
+        // For non-atomic child types InSet's set is an ordering-backed
+        // TreeSet, so membership is O(log n) struct comparisons per
+        // row with correct InternalRow value equality — never the
+        // O(n)/row a literal In over a large tuple list would pay
+        val as = cs.map(attr)
+        val vals = rows.map { r =>
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            r.zip(as).map { case (s, a) => decValue(s, a.dataType) }.toArray)
+        }
+        InSet(org.apache.spark.sql.catalyst.expressions.CreateStruct(as),
+          vals.toSet)
       case Leaf(op, c, vs) =>
         val a = attr(c)
         def l(i: Int) = CLiteral(decValue(vs(i), a.dataType), a.dataType)
@@ -291,6 +344,17 @@ private[sources] object MorDeletes {
     n match {
       case AndN(l, r) => toColumn(l, schema) && toColumn(r, schema)
       case OrN(l, r) => toColumn(l, schema) || toColumn(r, schema)
+      case TupleLeaf(cs, rows) =>
+        // struct-IN: flat children pass through OptimizeIn → InSet's
+        // ordering-backed set (struct types are not hashable), same
+        // probe the reader-side rendering builds directly
+        import org.apache.spark.sql.functions.struct
+        val key = struct(cs.map(col): _*)
+        key.isin(rows.map { r =>
+          struct(r.zip(cs).map { case (v, c) =>
+            decExternal(v, dtOf(c))
+          }: _*)
+        }: _*)
       case Leaf(op, c, vs) =>
         val dt = dtOf(c)
         def l(i: Int) = decExternal(vs(i), dt)
@@ -318,6 +382,14 @@ private[sources] object MorDeletes {
   def show(n: Node, schema: StructType): String = n match {
     case AndN(l, r) => s"(${show(l, schema)} AND ${show(r, schema)})"
     case OrN(l, r) => s"(${show(l, schema)} OR ${show(r, schema)})"
+    case TupleLeaf(cs, rows) =>
+      def one(s: String): String =
+        if (s.startsWith("s:"))
+          "'" + new String(Base64.getDecoder.decode(s.substring(2)),
+            "UTF-8") + "'"
+        else s.substring(2)
+      s"(${cs.mkString(", ")}) IN (${rows.map(r =>
+        r.map(one).mkString("(", ", ", ")")).mkString(", ")})"
     case Leaf(op, c, vs) =>
       def v(i: Int): String = {
         val s = vs(i)
@@ -422,6 +494,21 @@ private[sources] object MorDeletes {
       }
     }
   }
+
+  /** Carry `from`'s entries into `to` RESTRICTED to the files `keep`
+    * accepts: each entry's manifest is intersected with the surviving
+    * file set; entries left with no files are dropped. The partial-
+    * compaction path (`unify_layout`) owes this — its rewrite
+    * MATERIALIZES the deletes of the legacy files it rewrites, so
+    * carrying those paths forward would point entries at files that no
+    * longer exist, while entries over the hard-linked current-layout
+    * files must survive intact. */
+  def carryRestricted(from: JPath, to: JPath,
+      keep: String => Boolean): Unit =
+    entries(from).foreach { e =>
+      val kept = e.files.filter(keep)
+      if (kept.nonEmpty) { writeEntry(to, e.node, kept); () }
+    }
 
   // ---- exact application for maintenance/CDC reads ----
 

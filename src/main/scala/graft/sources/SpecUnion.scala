@@ -114,12 +114,19 @@ private[sources] final class SpecUnionBatch(
   * grouping, so a mixed version never claims SPJ (compaction /
   * `rewrite_layout` unifies the spec and SPJ returns). */
 private[sources] final class SpecUnionScan(
-    parts: Seq[Scan], scanName: String) extends Scan
+    parts: Seq[Scan], scanName: String,
+    diskSizeFallback: () => Long = () => -1L) extends Scan
     with SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   require(parts.nonEmpty, s"$scanName: spec union needs at least one part")
   private val target: StructType = parts.head.readSchema()
+
+  // computed at most once per scan: an O(file metadata) walk over the
+  // version — the honest floor when any part declines exact stats, so
+  // a small post-evolve table never loses its AQE broadcast decision
+  // to a missing estimate (empty stats read as "unknown = huge")
+  private lazy val diskBytes: Long = diskSizeFallback()
 
   override def readSchema(): StructType = target
   override def description(): String =
@@ -154,6 +161,7 @@ private[sources] final class SpecUnionScan(
         if (stats.forall(_.exists(_.sizeInBytes().isPresent)))
           java.util.OptionalLong.of(
             stats.map(_.get.sizeInBytes().getAsLong).sum)
+        else if (diskBytes >= 0L) java.util.OptionalLong.of(diskBytes)
         else java.util.OptionalLong.empty()
       override def numRows(): java.util.OptionalLong =
         if (stats.forall(_.exists(_.numRows().isPresent)))

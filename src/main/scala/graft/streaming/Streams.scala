@@ -833,7 +833,70 @@ object Streams {
       .orderBy($"event_type")
   }
 
+  /** st18: WRITE-AUDIT-PUBLISH FOR STREAMS — a stream landing on a
+    * BRANCH (`writeStream.toTable("….`t@branch`")`), audited, then
+    * `fast_forward`-published: the branch ref threads through the
+    * native sink's rebase/commit loop and the source's log tail, so
+    * the stream's epoch snapshots CAS the branch log while main never
+    * moves (require-pinned: main still serves exactly the seed third
+    * mid-stream). The curated-table pattern at 100 TB: a continuous
+    * ingest lands on `ingest`, validation reads the branch at full
+    * engine capability, publish is one atomic pointer swap and main
+    * readers never see a half-drained backlog. The oracle is the
+    * plain batch aggregate over all events on PUBLISHED main;
+    * n_distinct pins that no epoch landed twice across the swap. */
+  def st18StreamWapBranch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_st")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_st.db")
+    s.sql("DROP TABLE IF EXISTS graft_st.db.ev_wap")
+    val ev = Tables.load(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    ev.where($"event_id" % 3 === 0)
+      .writeTo("graft_st.db.ev_wap").using("parquet")
+      .partitionedBy(bucket(8, $"user_id")).createOrReplace()
+    s.sql("CALL graft_st.system.create_branch('db.ev_wap', 'ingest')")
+    // the backlog: the other two thirds, drained in several epochs
+    ev.where($"event_id" % 3 =!= 0)
+      .writeTo("graft_st.db.ev_wap_src").using("parquet").createOrReplace()
+    val nFiles = s.sql("SELECT count(*) FROM graft_st.db.ev_wap_src.files")
+      .head().getLong(0)
+    val mft = math.max(1L, nFiles / 3).toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_st18_ckpt").toString
+    val q = s.readStream
+      .option("maxFilesPerTrigger", mft)
+      .table("graft_st.db.ev_wap_src")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("graft_st.db.`ev_wap@ingest`")
+    q.awaitTermination(120000)
+    q.stop()
+    // audit: main untouched while the branch carries the epochs
+    require(s.table("graft_st.db.ev_wap")
+      .where($"event_id" % 3 =!= 0).count() == 0L,
+      "st18: streamed epochs leaked into main before publish")
+    val nBranch = s.table("graft_st.db.`ev_wap@ingest`").count()
+    val nMain = s.table("graft_st.db.ev_wap").count()
+    require(nBranch > nMain,
+      s"st18: the branch is missing the streamed epochs " +
+        s"($nBranch <= $nMain)")
+    // validation gate on the branch (the AUDIT half), then publish
+    require(s.table("graft_st.db.`ev_wap@ingest`")
+      .where($"event_id".isNull || $"value".isNull).count() == 0L,
+      "st18: audit failed — null keys in the branch state")
+    s.sql("CALL graft_st.system.fast_forward('db.ev_wap', 'ingest')")
+    s.table("graft_st.db.ev_wap")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"event_id").as("n_distinct"),
+        Det.moneySum($"value").as("total_value"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st18_stream_wap_branch" -> st18StreamWapBranch,
     "st16_stream_native_sink" -> st16StreamNativeSink,
     "st17_stream_upsert_mor" -> st17StreamUpsertMor,
     "st15_stream_starting_version" -> st15StreamStartingVersion,
@@ -853,6 +916,16 @@ object Streams {
     "st05_stream_static_join" -> st05StreamStaticJoin)
 
   val oracles: Map[String, String] = Map(
+    // stream → branch → audit → fast_forward == the plain batch
+    // aggregate on published main (n_distinct pins no epoch doubled
+    // across the publish swap; a lost epoch or a leak into main
+    // pre-publish is require-pinned in the gate)
+    "st18_stream_wap_branch" ->
+      """SELECT event_type,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // native writeStream.toTable sink, resumed mid-history == the
     // plain batch aggregate (n_distinct pins no epoch landed twice)
     "st16_stream_native_sink" ->

@@ -269,6 +269,106 @@ class MorMergeSpec extends AnyFunSuite {
       "the refused merge must commit nothing")
   }
 
+  test("composite PRIMARY KEY MoR MERGE: tuple semantics, key order " +
+      "independent of schema column order") {
+    import spark.implicits._
+    // two line numbers per order key — (ok, ln) is the identity; the
+    // PK is declared REVERSED vs the schema's column order
+    (1L to 30L).flatMap(ok => Seq(1, 2).map(ln =>
+        (ok, ln, s"g${ok % 3}", ok * 10.0 + ln)))
+      .toDF("ok", "ln", "grp", "v")
+      .writeTo("graft_mrg.db.tc1").using("parquet")
+      .tableProperty("write.merge.mode", "merge-on-read")
+      .partitionedBy(col("grp")).createOrReplace()
+    spark.sql("ALTER TABLE graft_mrg.db.tc1 " +
+      "ADD CONSTRAINT tc1_pk PRIMARY KEY (ln, ok) NOT ENFORCED")
+    val base = headDir("tc1")
+    val baseInodes = dataFiles(base).map(f =>
+      base.relativize(f).toString -> inode(f)).toMap
+    // matched keys scatter across all three grp partitions; ln=2 only —
+    // the sibling (ok, 1) rows are the tuple-semantics discriminator
+    Seq((1L, 2, "g1", -12.0), (2L, 2, "g2", -22.0), (3L, 2, "g0", -32.0),
+        (31L, 1, "gN", 311.0))
+      .toDF("ok", "ln", "grp", "v").createOrReplaceTempView("csrc")
+    spark.sql("""MERGE INTO graft_mrg.db.tc1 t USING csrc s
+      ON t.ok = s.ok AND t.ln = s.ln
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    // O(changed rows): every base file hard-linked, ONE tuple entry
+    val head = headDir("tc1")
+    val headFiles = dataFiles(head).map(f => head.relativize(f).toString -> f).toMap
+    baseInodes.foreach { case (rel, ino) =>
+      assert(headFiles.contains(rel), s"base file $rel missing")
+      assert(inode(headFiles(rel)) == ino,
+        s"base file $rel was REWRITTEN by a composite-key MoR merge")
+    }
+    assert(deleteEntryCount(head) == 1)
+    assert(spark.table("graft_mrg.db.tc1").count() == 61)
+    // updated tuples took the new values...
+    val got = spark.table("graft_mrg.db.tc1")
+      .where($"ok" <= 3L && $"ln" === 2).orderBy("ok")
+      .select("v").as[Double].collect().toSeq
+    assert(got == Seq(-12.0, -22.0, -32.0))
+    // ...and the SIBLING (ok, ln=1) rows survived — a delete keyed on
+    // ok alone (or any per-column cross product) would have eaten them
+    val siblings = spark.table("graft_mrg.db.tc1")
+      .where($"ok" <= 3L && $"ln" === 1).orderBy("ok")
+      .select("v").as[Double].collect().toSeq
+    assert(siblings == Seq(11.0, 21.0, 31.0),
+      s"sibling rows corrupted by the tuple delete: $siblings")
+    // the metadata table renders the entry in tuple form
+    val shown = spark.table("graft_mrg.db.tc1.deletes")
+      .select("predicate").as[String].head()
+    assert(shown.startsWith("(") && shown.contains(") IN ("),
+      s"expected tuple rendering, got: $shown")
+    // time travel still serves the pre-merge rows exactly
+    val old = spark.sql("SELECT * FROM graft_mrg.db.tc1 VERSION AS OF 1")
+    assert(old.count() == 60)
+    assert(old.where($"ok" === 1L && $"ln" === 2)
+      .select("v").as[Double].head() == 12.0)
+    // rewrite_deletes materializes tuple entries too
+    val pre = spark.table("graft_mrg.db.tc1").orderBy("ok", "ln")
+      .as[(Long, Int, String, Double)].collect().toSeq
+    spark.sql("CALL graft_mrg.system.rewrite_deletes('db.tc1')")
+    assert(deleteEntryCount(headDir("tc1")) == 0)
+    val post = spark.table("graft_mrg.db.tc1").orderBy("ok", "ln")
+      .as[(Long, Int, String, Double)].collect().toSeq
+    assert(post == pre, "rewrite_deletes changed the rows")
+  }
+
+  test("composite PK over a NULL key component: the ALTER's validation " +
+      "scan refuses — the row-id path never sees dirty keys") {
+    import spark.implicits._
+    // ok is clean, ln has a null: a composite key is only as clean as
+    // its dirtiest component, and the scan must check ALL of them
+    Seq((1L, Some(1), 1.0), (2L, None: Option[Int], 2.0))
+      .toDF("ok", "ln", "v")
+      .writeTo("graft_mrg.db.tcn").using("parquet")
+      .tableProperty("write.merge.mode", "merge-on-read")
+      .createOrReplace()
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_mrg.db.tcn " +
+        "ADD CONSTRAINT tcn_pk PRIMARY KEY (ok, ln) NOT ENFORCED")
+    }
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+    // without the PK the mode falls back to COW — correct, no sidecar
+    Seq((2L, 22.0)).toDF("ok", "v").createOrReplaceTempView("nsrc")
+    spark.sql("""MERGE INTO graft_mrg.db.tcn t USING nsrc s
+      ON t.ok = s.ok
+      WHEN MATCHED THEN UPDATE SET t.v = s.v""")
+    assert(spark.table("graft_mrg.db.tcn").where($"ok" === 2L)
+      .select("v").as[Double].head() == 22.0)
+    assert(deleteEntryCount(headDir("tcn")) == 0,
+      "a PK-less table must not have taken the equality-delete path")
+    // RELY is the documented escape hatch: the user ASSERTS the data is
+    // clean and skips the scan — over genuinely dirty data the non-null
+    // schema then normalizes the null at read (Iceberg's identifier-
+    // field trust posture; the scan above exists so nobody lands here
+    // by accident)
+    spark.sql("ALTER TABLE graft_mrg.db.tcn " +
+      "ADD CONSTRAINT tcn_pk PRIMARY KEY (ok, ln) NOT ENFORCED RELY")
+  }
+
   test("a MoR merge racing another commit conflicts instead of losing it") {
     import spark.implicits._
     setupPkTable("t5", partitioned = false)

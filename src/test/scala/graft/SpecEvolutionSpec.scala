@@ -247,6 +247,134 @@ class SpecEvolutionSpec extends AnyFunSuite {
       .head().getLong(0) == 40)
   }
 
+  test("unify_layout: partial compaction — current-layout files hard-link, " +
+      "legacy subtree rewritten, deletes split correctly, SPJ returns") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_sev.db")
+    df0.writeTo("graft_sev.db.u").using("parquet")
+      .partitionedBy($"g").createOrReplace()
+    spark.sql(
+      "CALL graft_sev.system.evolve_layout('db.u', 'bucket(4,k)')").collect()
+    (41 to 80).toDF("i")
+      .select($"i".cast("long").as("k"), ($"i" % 4).cast("int").as("g"),
+        (lit(1704067200L) + $"i" * 21600L).cast("timestamp").as("ts"),
+        ($"i" * 2.5).as("v"))
+      .writeTo("graft_sev.db.u").append()
+    // a MoR delete whose files span BOTH layouts: k 20..60 hits the
+    // legacy identity(g) files (k<=40) and the bucket files (k>40)
+    spark.conf.set("spark.sql.catalog.graft.write.deleteMode",
+      "merge-on-read")
+    try spark.sql("DELETE FROM graft_sev.db.u WHERE k >= 20 AND k <= 60")
+    finally spark.conf.unset("spark.sql.catalog.graft.write.deleteMode")
+    val pre = currentVersionDir("u")
+    // data files only: the delete sidecar's entries get NEW ids on the
+    // restricted carry, so their files are not inode-stable (nor data)
+    val rootBefore = inodes(pre).filterNot(kv =>
+      kv._1.startsWith("_spec-") || kv._1.startsWith("_deletes/"))
+    assert(rootBefore.nonEmpty)
+    // the MIXED table joins with exchanges (SpecUnionScan declines
+    // key-grouped reporting on purpose — two specs, no single grouping)
+    (1L to 100L).map(i => (i, i * 1.0)).toDF("k", "dv")
+      .writeTo("graft_sev.db.u_dim").using("parquet")
+      .partitionedBy(bucket(4, $"k")).createOrReplace()
+    def spjShuffles(): Int = {
+      val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+      val prior = keys.map(kk => kk -> spark.conf.getOption(kk))
+      val savedBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      keys.foreach(spark.conf.set(_, "true"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // AQE off for the probe: the adaptive wrapper hides exchanges
+      // from a static executedPlan walk until execution finalizes it
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val j = spark.table("graft_sev.db.u")
+          .join(spark.table("graft_sev.db.u_dim"), Seq("k"))
+          .groupBy($"k").agg(sum($"v" + $"dv"))
+        var n = 0
+        j.queryExecution.executedPlan.foreachUp {
+          case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            n += 1
+          case _ => ()
+        }
+        n
+      } finally {
+        prior.foreach { case (kk, Some(vv)) => spark.conf.set(kk, vv)
+                        case (kk, None) => spark.conf.unset(kk) }
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+        spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      }
+    }
+    assert(spjShuffles() > 0, "mixed-spec read unexpectedly reported SPJ")
+
+    val r = spark.sql("CALL graft_sev.system.unify_layout('db.u')").head()
+    assert(r.getInt(1) == 1 && r.getLong(2) > 0L, s"unify summary: $r")
+    val v = currentVersionDir("u")
+    assert(!java.nio.file.Files.exists(v.resolve("_legacy_specs.txt")))
+    val after = inodes(v).filterNot(_._1.startsWith("_deletes/"))
+    assert(after.keySet.forall(_.startsWith("_gb_k=")),
+      s"unified layout should be bucket(4,k): ${after.keySet.take(5)}")
+    // the current-layout fraction was NEVER rewritten (cost claim)
+    rootBefore.foreach { case (rel, ino) =>
+      assert(after.get(rel).contains(ino),
+        s"current-layout file $rel was rewritten by the PARTIAL compaction")
+    }
+    // rows: 80 - 41 deleted (k in 20..60) = 39; deletes stay exact on
+    // both the rewritten legacy rows and the linked current rows
+    assert(spark.table("graft_sev.db.u").count() == 39)
+    assert(spark.table("graft_sev.db.u").where($"k" === 10L).count() == 1)
+    // k=30: a LEGACY row — its delete was materialized by the rewrite
+    assert(spark.table("graft_sev.db.u").where($"k" === 30L).count() == 0)
+    // k=50: a CURRENT-layout row — its delete survives as the carried,
+    // file-restricted entry and still applies on read
+    assert(spark.table("graft_sev.db.u").where($"k" === 50L).count() == 0)
+    // k=70: outside the deleted range, must survive in the new layout
+    assert(spark.table("graft_sev.db.u").where($"k" === 70L).count() == 1)
+    // idempotence rail: a second unify refuses (nothing legacy left)
+    val e = intercept[Exception] {
+      spark.sql("CALL graft_sev.system.unify_layout('db.u')").collect()
+    }
+    assert(e.getMessage.contains("nothing to unify"), e.getMessage)
+    // after materializing the residual delete entries, the unified
+    // single-spec table joins its co-bucketed dim with ZERO exchanges
+    spark.sql("CALL graft_sev.system.rewrite_deletes('db.u')").collect()
+    assert(spjShuffles() == 0,
+      "SPJ did not come back after unify_layout + rewrite_deletes")
+    assert(spark.table("graft_sev.db.u").count() == 39)
+  }
+
+  test("a small mixed-spec table still broadcasts: the union scan's " +
+      "statistics survive spec evolution (disk-size floor as fallback)") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_sev.db")
+    df0.writeTo("graft_sev.db.bsm").using("parquet")
+      .partitionedBy($"g").createOrReplace()
+    spark.sql(
+      "CALL graft_sev.system.evolve_layout('db.bsm', 'bucket(4,k)')").collect()
+    (41 to 60).toDF("i")
+      .select($"i".cast("long").as("k"), ($"i" % 4).cast("int").as("g"),
+        (lit(1704067200L) + $"i" * 21600L).cast("timestamp").as("ts"),
+        ($"i" * 2.5).as("v"))
+      .writeTo("graft_sev.db.bsm").append()
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val big = spark.range(1L, 100000L)
+        .select($"id".as("k"), ($"id" * 2.0).as("bv"))
+      val j = big.join(spark.table("graft_sev.db.bsm"), Seq("k"))
+      val hasBroadcast = j.queryExecution.executedPlan.exists {
+        case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          true
+        case _ => false
+      }
+      assert(hasBroadcast,
+        "a 60-row mixed-spec table lost its broadcast decision — the " +
+          s"union scan reported no size:\n${j.queryExecution.executedPlan}")
+      assert(j.count() == 60)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+  }
+
   test("refusals: same-spec evolve; widening a legacy transform's source") {
     import spark.implicits._
     val e1 = intercept[Exception] {

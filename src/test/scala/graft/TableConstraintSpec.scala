@@ -89,4 +89,40 @@ class TableConstraintSpec extends AnyFunSuite {
         "ADD CONSTRAINT pay_pk UNIQUE (id) NOT ENFORCED")
     }
   }
+
+  test("PRIMARY KEY over NULL key data: refused without RELY (the " +
+      "non-null flip would corrupt reads); RELY asserts past the scan") {
+    import spark.implicits._
+    Seq((Some(1L), 1.0), (None: Option[Long], 2.0)).toDF("id", "amount")
+      .writeTo("graft_tc.db.nk").using("parquet").createOrReplace()
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_tc.db.nk " +
+        "ADD CONSTRAINT nk_pk PRIMARY KEY (id) NOT ENFORCED")
+    }
+    assert(e.getMessage.contains("NULL"),
+      s"expected the NULL-validation error, got: ${e.getMessage}")
+    // the refused constraint was NOT persisted (no phantom): adding a
+    // same-named constraint later must not hit "already exists"
+    val desc = spark.sql("DESCRIBE EXTENDED graft_tc.db.nk")
+      .collect().map(_.mkString(" ")).mkString("\n")
+    assert(!desc.contains("nk_pk"), "phantom constraint persisted")
+    // ...and the schema was not flipped non-null
+    assert(spark.table("graft_tc.db.nk").schema("id").nullable)
+    // RELY skips the scan — the user asserts the trust explicitly
+    spark.sql("ALTER TABLE graft_tc.db.nk " +
+      "ADD CONSTRAINT nk_pk PRIMARY KEY (id) NOT ENFORCED RELY")
+  }
+
+  test("PRIMARY KEY on a nonexistent column fails and persists nothing") {
+    import spark.implicits._
+    Seq((1L, 1.0)).toDF("id", "amount")
+      .writeTo("graft_tc.db.ghost").using("parquet").createOrReplace()
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_tc.db.ghost " +
+        "ADD CONSTRAINT g_pk PRIMARY KEY (no_such_col) NOT ENFORCED")
+    }
+    // no phantom left behind the failed ALTER: the same name is free
+    spark.sql("ALTER TABLE graft_tc.db.ghost " +
+      "ADD CONSTRAINT g_pk PRIMARY KEY (id) NOT ENFORCED")
+  }
 }
