@@ -1640,6 +1640,81 @@ object Extras {
       .orderBy($"event_type")
   }
 
+  /** q107: POSITIONAL MERGE-ON-READ — Iceberg v2's SECOND delete-file
+    * format, for tables with NO usable PRIMARY KEY (the r13 verdict's
+    * standing gap: such tables always paid the copy-on-write rewrite):
+    * the row id is the `(_file, _pos)` metadata pair — file identity
+    * plus parquet row index — so matched rows are addressed by where
+    * they sit, with no key column, type, or uniqueness discipline
+    * asked of the table. The gate runs a scattered-key MERGE and then
+    * an UNTRANSLATABLE-predicate DELETE (modulo — the predicate
+    * sidecar path must decline it) on a PK-less partitioned table and
+    * `require`s every base file hard-links (inode-pinned), exactly two
+    * positional sidecar entries land, and the read-back aggregate
+    * hash-matches DuckDB replaying merge+delete — a row dropped at the
+    * wrong ordinal, resurrected, or double-applied mismatches. */
+  def q107MorPositional(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    s.sql("DROP TABLE IF EXISTS graft_ma.db.ord_pos")
+    Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+      .writeTo("graft_ma.db.ord_pos").using("parquet")
+      .tableProperty("write.merge.mode", "merge-on-read")
+      .tableProperty("write.delete.mode", "merge-on-read")
+      .partitionedBy($"o_orderstatus").create()
+    def inodes(): Map[String, Any] = {
+      val wh = s.conf.get("spark.sql.catalog.graft_ma.warehouse")
+      val tdir = java.nio.file.Paths.get(wh, "db", "ord_pos")
+      val cur = tdir.resolve(new String(java.nio.file.Files.readAllBytes(
+        tdir.resolve("_current")), "UTF-8").split("\n").head.trim)
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(cur)
+      try walk.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") &&
+          !n.startsWith(".") &&
+          !cur.relativize(p).toString.startsWith("_deletes/")
+      }.map(p => cur.relativize(p).toString ->
+        java.nio.file.Files.getAttribute(p, "unix:ino")).toMap
+      finally walk.close()
+    }
+    val before = inodes()
+    Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+      .where($"o_orderkey" % 97 === 0)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+        (-$"o_totalprice").as("o_totalprice"))
+      .unionByName(Tables.load(s, dir, "orders")
+        .where($"o_orderkey" % 89 === 0)
+        .select(($"o_orderkey" + 10000000L).as("o_orderkey"), $"o_custkey",
+          lit("Z").as("o_orderstatus"), $"o_totalprice"))
+      .createOrReplaceTempView("q107_src")
+    s.sql("""MERGE INTO graft_ma.db.ord_pos t USING q107_src s
+            |ON t.o_orderkey = s.o_orderkey
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // modulo does not translate to a V2 predicate, so the equality/
+    // predicate sidecar paths both decline — positional or nothing
+    s.sql("DELETE FROM graft_ma.db.ord_pos WHERE o_custkey % 50 = 3")
+    val after = inodes()
+    require(before.forall { case (k, v) => after.get(k).contains(v) },
+      "positional merge-on-read must hard-link every base data file")
+    require(s.table("graft_ma.db.ord_pos.deletes").count() == 2L,
+      "two positional entries expected (merge + delete)")
+    val shown = s.table("graft_ma.db.ord_pos.deletes")
+      .select($"predicate").as[String].collect()
+    require(shown.forall(_.startsWith("POSITIONAL")),
+      s"expected positional entries, got: ${shown.mkString("; ")}")
+    s.table("graft_ma.db.ord_pos")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct($"o_custkey").as("n_custs"),
+        moneySum($"o_totalprice").as("total"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** q106: CHANGE FEED ACROSS THE FORK — `table_changes` on a BRANCH
     * (q93 composed with q103), the audit half of write-audit-publish:
     * the net row-level changes a branch accumulated since its fork are
@@ -2011,6 +2086,7 @@ object Extras {
     "q104_mor_merge_composite" -> q104MorMergeComposite,
     "q105_unify_layout" -> q105UnifyLayout,
     "q106_branch_changes" -> q106BranchChanges,
+    "q107_mor_positional" -> q107MorPositional,
     "q76_catalog_external" -> q76CatalogExternal,
     "q77_partitions_metadata" -> q77PartitionsMetadata,
     "q78_snapshot_changes" -> q78SnapshotChanges,
@@ -2443,6 +2519,27 @@ object Extras {
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
         |  AND ts <  TIMESTAMP '2024-01-22 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // merge + untranslatable-predicate delete replayed over the raw
+    // table: matched keys (mod 97) negate, inserts (mod 89) land in
+    // 'Z', then every row with o_custkey % 50 = 3 dies — a positional
+    // entry applied at the wrong ordinal (or not at all) mismatches
+    "q107_mor_positional" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, 'Z', o_totalprice
+        |  FROM orders WHERE o_orderkey % 89 = 0
+        |)
+        |SELECT o_orderstatus,
+        | CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM merged
+        |WHERE NOT (o_custkey % 50 = 3)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the branch's net changes since the fork: step 1 = the updated
     // rows as delete(+price)/insert(-price) pairs, step 2 = the
     // appended batch as inserts — a carried-row leak from the COW

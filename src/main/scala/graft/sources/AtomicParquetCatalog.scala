@@ -281,14 +281,23 @@ object AtomicParquetCatalog {
         val removed = rowsOf(dir.resolve(prev), pf -- nf)
         // a MERGE-ON-READ delete commit moves no files; its removed
         // rows are the PREV version's survivors matching the new
-        // entry's predicate, scoped to the entry's file manifest
+        // entry's predicate, scoped to the entry's file manifest —
+        // or, for a POSITIONAL entry, exactly the rows at its ordinals
         val prevIds = MorDeletes.entries(dir.resolve(prev)).map(_.id).toSet
         val newEntries = MorDeletes.entries(dir.resolve(next))
           .filterNot(e => prevIds.contains(e.id))
-        val morDel = newEntries.map { e =>
+        val prevPosIds =
+          MorDeletes.posEntries(dir.resolve(prev)).map(_.id).toSet
+        val newPos = MorDeletes.posEntries(dir.resolve(next))
+          .filterNot(e => prevPosIds.contains(e.id))
+        val morDel = (newEntries.map { e =>
           rowsOf(dir.resolve(prev), e.files intersect pf)
             .where(MorDeletes.toColumn(e.node, latestSchema))
-        }.reduceOption(_ unionByName _)
+        } ++ newPos.map { e =>
+          MorDeletes.readDeletedRows(s, dir.resolve(prev),
+            e.copy(ords = e.ords.filter(kv => pf.contains(kv._1))),
+            latestSchema)
+        }).reduceOption(_ unionByName _)
         val ins = added.exceptAll(removed)
           .withColumn("_change_type", lit("insert"))
         val del = morDel.foldLeft(removed.exceptAll(added))(_ unionByName _)
@@ -953,6 +962,12 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             org.apache.spark.sql.catalyst.InternalRow(
               UTF8String.fromString(e.id),
               UTF8String.fromString(MorDeletes.show(e.node, tblSchema)),
+              e.files.size.toLong)
+          } ++ MorDeletes.posEntries(cur).map { e =>
+            org.apache.spark.sql.catalyst.InternalRow(
+              UTF8String.fromString(e.id),
+              UTF8String.fromString(
+                s"POSITIONAL (${e.nRows} rows in ${e.files.size} files)"),
               e.files.size.toLong)
           }
         }))
@@ -1941,11 +1956,12 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             val cur = dir.resolve(base)
             val (schema, fields) = readMeta(cur)
             val es = MorDeletes.entries(cur)
+            val pes = MorDeletes.posEntries(cur)
             val summarySchema = StructType(Seq(
               StructField("entries_removed", LongType, nullable = false),
               StructField("files_rewritten", LongType, nullable = false),
               StructField("new_version", StringType, nullable = false)))
-            if (es.isEmpty)
+            if (es.isEmpty && pes.isEmpty)
               return summaryScan(summarySchema,
                 InternalRow(0L, 0L, UTF8String.fromString(base)))
             val liveRels = AtomicParquetCatalog.walkDataFiles(cur)
@@ -1954,7 +1970,9 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             // predicate matches nothing needs no rewrite — the same
             // may-match pruning the read side uses, here saving write
             // amplification: a targeted delete rewrites the files it
-            // touched, not every file that existed at delete time
+            // touched, not every file that existed at delete time.
+            // POSITIONAL entries name their rows outright: every named
+            // file rewrites, no stats question to ask.
             val stats = FileStats.load(dir)
             val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
               .toAttributes(schema)
@@ -1963,7 +1981,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
               (e.files intersect liveRels).filter(f =>
                 stats.get(f).forall(
                   FileStats.mayMatch(Seq(expr), _, schema)))
-            }.toSet
+            }.toSet ++ pes.flatMap(_.files intersect liveRels)
             require(affected.forall(!_.startsWith("_spec-")),
               s"$tbl: delete entries touch legacy-spec subtrees — run " +
                 "CALL system.compact to materialize and unify instead")
@@ -1981,7 +1999,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             // _deletes deliberately NOT carried: materialized
             try commitPointer(dir, v, expectedBase = Some(base))
             catch { case e: Throwable => dropOrphan(nv); throw e }
-            summaryScan(summarySchema, InternalRow(es.size.toLong,
+            summaryScan(summarySchema, InternalRow((es.size + pes.size).toLong,
               affected.size.toLong, UTF8String.fromString(v)))
           }
         }
@@ -2583,8 +2601,11 @@ private[sources] abstract class VersionedTable(
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // the inner table carries the reserved row-index field so any
+    // scan can request per-file row ordinals (positional deletes,
+    // the `_pos` metadata column); never part of query output
     val inner = ParquetTable(name(), spark, options,
-      Seq(versionDir.toString), Some(tableSchema),
+      Seq(versionDir.toString), Some(MorDeletes.withRowIndex(tableSchema)),
       classOf[ParquetFileFormat]).newScanBuilder(options)
     inner match {
       // every table routes through the graft builder: partitioned
@@ -2672,9 +2693,19 @@ private[sources] final class PointerTable(
     ref: String = "_current")
     extends VersionedTable(ident, versionDir, tableSchema, fields)
     with SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
 
   override protected def streamRef: String = ref
+
+  /** `_file` / `_pos` row lineage (see [[GraftMetadataColumns]]) — and
+    * the row id of the POSITIONAL merge-on-read path for tables with
+    * no usable PRIMARY KEY. A (pathological) data column with the same
+    * name wins: the metadata column is hidden rather than shadowing
+    * user data. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    GraftMetadataColumns.columns.filterNot(m =>
+      tableSchema.fieldNames.exists(_.equalsIgnoreCase(m.name())))
 
   /** MERGE-ON-READ DELETE (MorDeletes.scala): with
     * `spark.sql.catalog.graft.write.deleteMode = merge-on-read`, a
@@ -2786,26 +2817,35 @@ private[sources] final class PointerTable(
       s"$ident: cannot MERGE/UPDATE/DELETE through a VERSION AS OF read — " +
         "historical snapshots are immutable; target the current table")
     // MERGE-ON-READ delta path (DeltaRowLevel.scala): when the table
-    // requests it and declares a usable PRIMARY KEY, the operation
-    // commits O(changed rows) — equality-delete sidecar + appended
-    // files, every base file hard-linked — instead of any rewrite.
+    // requests it, the operation commits O(changed rows) — a delete
+    // sidecar + appended files, every base file hard-linked — instead
+    // of any rewrite. Row id: the declared PRIMARY KEY (equality
+    // deletes), or the (_file, _pos) metadata pair when no usable PK
+    // exists (POSITIONAL deletes — Iceberg v2's second format).
     // Ineligible tables fall through to group-based COW silently.
-    DeltaRowLevel.eligibleRowId(catalog, dir, tableSchema,
-        info.command(), spark).foreach { rowIdCols =>
-      return () => new DeltaRowLevelOperation(catalog, ident, dir,
-        versionDir, fields, info.command(), rowIdCols, ref,
-        opts => {
-          val b = PointerTable.this.newScanBuilder(opts)
-          // same schema pin as the COW scan: a hidden-transform
-          // layout's inner table appends its `_gb_col`; the rewrite's
-          // relation output is the table schema
-          b match {
-            case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
-              p.pruneColumns(tableSchema)
-            case _ => ()
-          }
-          b
-        })
+    locally {
+      val rowIds = DeltaRowLevel.eligibleRowId(catalog, dir, tableSchema,
+          info.command(), spark)
+        .orElse(if (DeltaRowLevel.eligiblePositional(catalog, dir,
+            tableSchema, info.command(), spark))
+          Some(DeltaRowLevel.PositionalRowId) else None)
+      rowIds.foreach { rowIdCols =>
+        return () => new DeltaRowLevelOperation(catalog, ident, dir,
+          versionDir, fields, info.command(), rowIdCols, ref,
+          opts => {
+            val b = PointerTable.this.newScanBuilder(opts)
+            // same schema pin as the COW scan: a hidden-transform
+            // layout's inner table appends its `_gb_col`; the rewrite's
+            // relation output is the table schema (Spark re-prunes with
+            // the rowId metadata columns for the positional path)
+            b match {
+              case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+                p.pruneColumns(tableSchema)
+              case _ => ()
+            }
+            b
+          })
+      }
     }
     // multi-column partition specs: Spark's runtime-filter translation
     // drops the multi-key pruning subquery (struct child), so the split
@@ -2944,29 +2984,34 @@ private[sources] final class PointerTable(
             scannedPartitions = Some(kept)
             val options = new CaseInsensitiveStringMap(
               java.util.Collections.singletonMap("basePath", versionDir.toString))
+            // live MOR deletes must re-apply on the rebuilt scan (it
+            // BYPASSES the table's own builder) or the COW rewrite
+            // would resurrect deleted rows; positional entries need the
+            // row-index column in the rebuilt read, projected away after
+            val live = MorDeletes.entries(versionDir)
+            val livePos = MorDeletes.posEntries(versionDir)
+            val pinSchema =
+              if (livePos.isEmpty) tableSchema
+              else MorDeletes.withRowIndex(tableSchema)
             val prunedBuilder = ParquetTable(s"$ident-cow-pruned", spark,
               options,
               kept.toSeq.sorted.map(p => versionDir.resolve(p).toString),
-              Some(tableSchema), classOf[ParquetFileFormat])
+              Some(pinSchema), classOf[ParquetFileFormat])
               .newScanBuilder(options)
             prunedBuilder match {
               // same schema pin as the outer builder: the rebuilt
               // delegate must serve rows of exactly the table schema,
               // never an appended hidden `_gb_col`
               case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
-                p.pruneColumns(tableSchema)
+                p.pruneColumns(pinSchema)
               case _ => ()
             }
             val rebuilt = prunedBuilder.build()
-            // the rebuild BYPASSES the table's own scan builder, so
-            // live MOR deletes must re-wrap here or the COW rewrite
-            // would resurrect deleted rows into the new files (the
-            // full tableSchema is read — no extra columns to project)
-            val live = MorDeletes.entries(versionDir)
             delegate =
-              if (live.isEmpty) rebuilt
+              if (live.isEmpty && livePos.isEmpty) rebuilt
               else new DeleteApplyingScan(rebuilt, s"$ident-cow-pruned",
-                versionDir, live, Nil)
+                versionDir, live, livePos,
+                if (livePos.isEmpty) Nil else Seq(MorDeletes.RowIndexCol))
           }
         }
       }

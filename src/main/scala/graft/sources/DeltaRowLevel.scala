@@ -57,6 +57,15 @@ import org.apache.spark.util.SerializableConfiguration
   * unique; this engine does not re-validate per write (no lakehouse
   * does — enforcement would cost a global shuffle).
   *
+  * Tables with NO usable PRIMARY KEY take the POSITIONAL path instead
+  * (Iceberg v2's second delete format): the row id is the
+  * `(_file, _pos)` metadata pair served by the catalog scan
+  * ([[GraftMetadataColumns]]), matched rows land as a per-file
+  * ordinal sidecar ([[MorDeletes.PosEntry]]), and the read side drops
+  * them by probing the parquet row index — no key column, type, or
+  * uniqueness discipline asked of the table, and duplicate rows
+  * delete individually (the case no key can express).
+  *
   * Scale bound, explicit: the matched-key set of ONE commit funnels
   * through the driver into the sidecar entry (distinct + collect),
   * capped by `write.mor.max-delete-keys` (default 1M ≈ tens of MB).
@@ -111,6 +120,27 @@ private[sources] object DeltaRowLevel {
   def maxDeleteKeys(catalog: AtomicParquetCatalog, dir: JPath): Int =
     catalog.readProps(dir).get(MaxKeysProp)
       .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1000000)
+
+  /** Should this operation run POSITIONAL merge-on-read — Iceberg v2's
+    * second delete format, for tables [[eligibleRowId]] declined (no
+    * usable PRIMARY KEY): the row id is the `(_file, _pos)` metadata
+    * pair, so NO key column, type, or uniqueness discipline is asked
+    * of the table — matched rows are addressed by where they sit.
+    * Identity tables still fall to COW (allocation guard). */
+  def eligiblePositional(catalog: AtomicParquetCatalog, dir: JPath,
+      schema: StructType, cmd: RowLevelOperation.Command,
+      spark: SparkSession): Boolean = {
+    val mode = catalog.readProps(dir).get(propFor(cmd))
+      .orElse(spark.conf.getOption(SessionModeConf))
+    mode.contains("merge-on-read") && !IdentityColumns.has(schema) &&
+      // the metadata pair must not be shadowed by data columns
+      GraftMetadataColumns.columns.forall(m =>
+        !schema.fieldNames.exists(_.equalsIgnoreCase(m.name())))
+  }
+
+  /** The metadata-pair row id of the positional path. */
+  val PositionalRowId: Seq[String] =
+    Seq(GraftMetadataColumns.FileName, GraftMetadataColumns.PosName)
 }
 
 /** One task's delta contribution: its insert-rows file and/or its
@@ -224,23 +254,41 @@ private[sources] final class GraftDeltaWrite(
                   "write.merge.mode/write.update.mode/write.delete.mode " +
                   s"to copy-on-write for it (or raise " +
                   s"${DeltaRowLevel.MaxKeysProp})")
-              val dts = rowIdSchema.fields.map(_.dataType)
-              val convs =
-                dts.map(CatalystTypeConverters.createToCatalystConverter)
-              val node = (if (dts.length == 1)
-                  MorDeletes.inNode(rowIdSchema.fields(0).name, dts(0),
-                    ids.toSeq.map(r => convs(0)(r.get(0))))
-                else
-                  // composite PRIMARY KEY: one tuple per matched row id
-                  // (Iceberg's multi-field identifier posture)
-                  MorDeletes.inTupleNode(rowIdSchema.fieldNames.toSeq,
-                    dts.toSeq, ids.toSeq.map(r =>
-                      dts.indices.map(i => convs(i)(r.get(i))))))
-                .getOrElse(throw new IllegalStateException(
-                  s"$ident: a matched row id failed to encode (null key " +
-                    "component?) — every PRIMARY KEY column must be " +
-                    "non-null for merge-on-read row-level operations"))
-              MorDeletes.writeEntry(nv, node, baseFiles)
+              if (rowIdSchema.fieldNames.map(_.toLowerCase).toSeq ==
+                  DeltaRowLevel.PositionalRowId.map(_.toLowerCase)) {
+                // POSITIONAL row id: group the matched (_file, _pos)
+                // pairs per file into one positional delete entry —
+                // inherently scoped (an ordinal addresses a row of one
+                // immutable base file)
+                val byFile = ids.toSeq
+                  .map(r => (r.getString(0), r.getLong(1)))
+                  .groupBy(_._1).map { case (f, xs) =>
+                    f -> xs.map(_._2).distinct.sorted.toArray
+                  }
+                val unknown = byFile.keySet -- baseFiles
+                require(unknown.isEmpty,
+                  s"$ident: positional delete references files outside " +
+                    s"the pinned base version: ${unknown.take(3)}")
+                MorDeletes.writePosEntry(nv, byFile)
+              } else {
+                val dts = rowIdSchema.fields.map(_.dataType)
+                val convs =
+                  dts.map(CatalystTypeConverters.createToCatalystConverter)
+                val node = (if (dts.length == 1)
+                    MorDeletes.inNode(rowIdSchema.fields(0).name, dts(0),
+                      ids.toSeq.map(r => convs(0)(r.get(0))))
+                  else
+                    // composite PRIMARY KEY: one tuple per matched row
+                    // id (Iceberg's multi-field identifier posture)
+                    MorDeletes.inTupleNode(rowIdSchema.fieldNames.toSeq,
+                      dts.toSeq, ids.toSeq.map(r =>
+                        dts.indices.map(i => convs(i)(r.get(i))))))
+                  .getOrElse(throw new IllegalStateException(
+                    s"$ident: a matched row id failed to encode (null key " +
+                      "component?) — every PRIMARY KEY column must be " +
+                      "non-null for merge-on-read row-level operations"))
+                MorDeletes.writeEntry(nv, node, baseFiles)
+              }
             }
             if (dataFiles.nonEmpty) {
               if (fields.isEmpty) {

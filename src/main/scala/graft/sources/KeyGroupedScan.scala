@@ -82,30 +82,59 @@ private[sources] final class KeyGroupedParquetScanBuilder(
   private var requiredSchema: Option[StructType] = None
   private var dataFilters: Seq[CExpression] = Nil
   private var aggPushed = false
-  // columns read ONLY for live delete predicates (projected away by the
-  // DeleteApplyingScan after the row filter)
+  // columns read ONLY for live delete predicates / positional ordinal
+  // checks (projected away by the DeleteApplyingScan after the filter)
   private var deleteExtraCols: Seq[String] = Nil
+  // the full output schema when `_file`/`_pos` metadata columns were
+  // requested — the MetadataColumnsScan wrapper serves them
+  private var metaOutput: Option[StructType] = None
   private lazy val liveDeletes: Seq[MorDeletes.DeleteEntry] =
     MorDeletes.entries(versionDir)
+  private lazy val livePosDeletes: Seq[MorDeletes.PosEntry] =
+    MorDeletes.posEntries(versionDir)
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
+    // `_file`/`_pos` metadata columns surface through the
+    // MetadataColumnsScan wrapper — the parquet builder sees data
+    // columns only, plus the reserved row-index column whenever row
+    // ordinals are needed (a requested `_pos`, or live POSITIONAL
+    // delete entries to apply)
+    val (metaFields, dataFields) = requiredSchema.fields.partition(f =>
+      GraftMetadataColumns.isMeta(f.name) &&
+        !tableSchema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+    metaOutput = if (metaFields.isEmpty) None else Some(requiredSchema)
+    val posRequested = metaFields.exists(
+      _.name.equalsIgnoreCase(GraftMetadataColumns.PosName))
+    val requested = StructType(dataFields)
     // live merge-on-read deletes: the row filter needs its predicate
     // columns IN the row, whatever the query selected — extend the
     // pruned schema (table order) and remember what to project away
+    var predExtras: Seq[String] = Nil
     val extended =
-      if (liveDeletes.isEmpty) requiredSchema
+      if (liveDeletes.isEmpty) requested
       else {
         val needed = liveDeletes.flatMap(e => MorDeletes.colsOf(e.node)).toSet
-        val have = requiredSchema.fieldNames.map(_.toLowerCase).toSet
+        val have = requested.fieldNames.map(_.toLowerCase).toSet
         val extra = tableSchema.fields.filter(f =>
           needed.contains(f.name.toLowerCase) &&
             !have.contains(f.name.toLowerCase))
-        deleteExtraCols = extra.map(_.name).toSeq
-        if (extra.isEmpty) requiredSchema
-        else StructType(requiredSchema.fields ++ extra)
+        predExtras = extra.map(_.name).toSeq
+        if (extra.isEmpty) requested
+        else StructType(requested.fields ++ extra)
       }
-    this.requiredSchema = Some(extended)
-    inner.pruneColumns(extended)
+    val needRix = posRequested || livePosDeletes.nonEmpty
+    val withRix =
+      if (!needRix || extended.fieldNames.exists(
+          _.equalsIgnoreCase(MorDeletes.RowIndexCol))) extended
+      else StructType(extended.fields :+
+        org.apache.spark.sql.types.StructField(MorDeletes.RowIndexCol,
+          org.apache.spark.sql.types.LongType))
+    // the row-index column is delete-internal unless `_pos` needs it
+    // downstream in the metadata wrapper
+    deleteExtraCols = predExtras ++
+      (if (needRix && !posRequested) Seq(MorDeletes.RowIndexCol) else Nil)
+    this.requiredSchema = Some(withRix)
+    inner.pruneColumns(withRix)
   }
   override def pushFilters(filters: Seq[CExpression]): Seq[CExpression] = {
     dataFilters = filters
@@ -118,17 +147,19 @@ private[sources] final class KeyGroupedParquetScanBuilder(
   // would silently aggregate a SUBSET of the table. Live MOR deletes
   // refuse too — a footer-computed aggregate would count deleted rows.
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    if (legacy.nonEmpty || liveDeletes.nonEmpty) return false
+    if (legacy.nonEmpty || liveDeletes.nonEmpty ||
+      livePosDeletes.nonEmpty) return false
     val pushed = inner.pushAggregation(aggregation)
     aggPushed ||= pushed
     pushed
   }
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    legacy.isEmpty && liveDeletes.isEmpty &&
+    legacy.isEmpty && liveDeletes.isEmpty && livePosDeletes.isEmpty &&
       inner.supportCompletePushDown(aggregation)
   override def pushVariantExtractions(
       extractions: Array[VariantExtraction]): Array[Boolean] =
-    if (legacy.nonEmpty || liveDeletes.nonEmpty) extractions.map(_ => false)
+    if (legacy.nonEmpty || liveDeletes.nonEmpty || livePosDeletes.nonEmpty)
+      extractions.map(_ => false)
     else inner.pushVariantExtractions(extractions)
 
   private def parts: Seq[String] = fields.map(_.dirName)
@@ -158,9 +189,9 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     // read of the version — including row-level COW scans, whose
     // rewrite must not resurrect deleted rows into the new files.
     val withDeletes =
-      if (liveDeletes.isEmpty) base
+      if (liveDeletes.isEmpty && livePosDeletes.isEmpty) base
       else new DeleteApplyingScan(base, scanName, versionDir, liveDeletes,
-        deleteExtraCols)
+        livePosDeletes, deleteExtraCols)
     // FILE-LEVEL DATA SKIPPING (FileStats.scala): when compile-time
     // filters were pushed and the table has a footer-stats store, plan
     // only the files the filters can possibly match. Engages on exactly
@@ -177,10 +208,19 @@ private[sources] final class KeyGroupedParquetScanBuilder(
         new FileSkippingScan(withDeletes, scanName, tableDir, versionDir,
           tableSchema, dataFilters)
       else withDeletes
+    // `_file`/`_pos` metadata columns, when requested: the wrapper
+    // splits tasks per file and projects rows to the requested order —
+    // OUTSIDE the delete wrapper so `_pos` is the original ordinal of
+    // the SURVIVING rows (the stable row address positional deletes
+    // resolve against)
+    val withMeta = metaOutput match {
+      case Some(out) => new MetadataColumnsScan(skipping, versionDir, out)
+      case None => skipping
+    }
     // every catalog batch scan leaves wrapped in StreamCapableScan —
     // behavior-preserving for batch (conditional forwarding), and the
     // hook that makes `readStream.table` work on every layout
-    new StreamCapableScan(skipping, session, scanName,
+    new StreamCapableScan(withMeta, session, scanName,
       tableDir, tableSchema, streamOpts)
   }
 
@@ -198,7 +238,7 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     val files = AtomicParquetCatalog.walkDataFiles(subDir)
     val builder = org.apache.spark.sql.execution.datasources.v2.parquet
       .ParquetTable(s"$scanName-$sub", session, options,
-        files, Some(tableSchema),
+        files, Some(MorDeletes.withRowIndex(tableSchema)),
         classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
       .newScanBuilder(options)
     builder match {
@@ -271,7 +311,7 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     val builder = org.apache.spark.sql.execution.datasources.v2.parquet
       .ParquetTable(s"$name-static-pruned", session, options,
         kept.toSeq.sorted.map(p => dir.resolve(p).toString),
-        Some(tableSchema),
+        Some(MorDeletes.withRowIndex(tableSchema)),
         classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
       .newScanBuilder(options)
     builder match {

@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.expressions.{NamedReference, Literal => V2
 import org.apache.spark.sql.connector.expressions.filter.{And => V2And, Or => V2Or, Predicate => V2Predicate}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.partitioning.{Partitioning, UnknownPartitioning}
-import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -416,11 +416,47 @@ private[sources] object MorDeletes {
 
   final case class DeleteEntry(id: String, node: Node, files: Set[String])
 
+  /** A POSITIONAL delete entry — Iceberg v2's second delete-file
+    * format, for tables with no usable PRIMARY KEY: per data file, the
+    * sorted ordinals (parquet row indexes) of the deleted rows. Rows
+    * are addressed by WHERE THEY SIT, so no key column, encodability,
+    * or uniqueness discipline is required of the table; scoping is
+    * inherent (an ordinal names a row of one immutable file — later
+    * appends are untouched by construction). File paths are
+    * version-relative, exactly like `.files` manifests. */
+  final case class PosEntry(id: String, ords: Map[String, Array[Long]]) {
+    def files: Set[String] = ords.keySet
+    def nRows: Long = ords.valuesIterator.map(_.length.toLong).sum
+  }
+
+  /** The reserved row-index column name the parquet readers (v1 and
+    * DSv2, vectorized and row-based) populate with each row's index in
+    * its FILE when the read schema requests it — the addressing scheme
+    * positional deletes resolve against. Exposed to queries as the
+    * `_pos` metadata column. */
+  val RowIndexCol: String =
+    org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+      .ROW_INDEX_TEMPORARY_COLUMN_NAME
+
+  /** `schema` with the reserved row-index field appended (idempotent).
+    * The inner parquet tables are constructed over THIS schema so a
+    * scan can request the row-index column whenever ordinals are
+    * needed — the field never reaches query output (the builder prunes
+    * it in, the wrappers project it away or surface it as `_pos`). */
+  def withRowIndex(schema: StructType): StructType =
+    if (schema.fieldNames.exists(_.equalsIgnoreCase(RowIndexCol))) schema
+    else StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(RowIndexCol,
+        org.apache.spark.sql.types.LongType))
+
   def hasLive(versionDir: JPath): Boolean = {
     val d = versionDir.resolve(DIR)
     if (!Files.isDirectory(d)) return false
     val ls = Files.list(d)
-    try ls.iterator().asScala.exists(_.getFileName.toString.endsWith(".pred"))
+    try ls.iterator().asScala.exists { p =>
+      val n = p.getFileName.toString
+      n.endsWith(".pred") || n.endsWith(".pos")
+    }
     finally ls.close()
   }
 
@@ -440,6 +476,54 @@ private[sources] object MorDeletes {
         .split("\n").iterator.filter(_.nonEmpty).toSet
       DeleteEntry(id, node, files)
     }
+  }
+
+  /** Live POSITIONAL entries of a version (see [[PosEntry]]).
+    * `.pos` format: one line per file, `relpath<TAB>ord,ord,…`
+    * (ordinals sorted ascending; relpaths never contain tabs — the
+    * write path stages them itself). */
+  def posEntries(versionDir: JPath): Seq[PosEntry] = {
+    val d = versionDir.resolve(DIR)
+    if (!Files.isDirectory(d)) return Nil
+    val ls = Files.list(d)
+    val ids =
+      try ls.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.endsWith(".pos") && !n.startsWith("."))
+        .map(_.stripSuffix(".pos")).toSeq.sorted
+      finally ls.close()
+    ids.map { id =>
+      val ords = new String(
+        Files.readAllBytes(d.resolve(s"$id.pos")), "UTF-8")
+        .split("\n").iterator.filter(_.nonEmpty).map { l =>
+          val Array(f, os) = l.split("\t", 2)
+          f -> (if (os.isEmpty) Array.empty[Long]
+                else os.split(",").map(_.toLong))
+        }.toMap
+      PosEntry(id, ords)
+    }
+  }
+
+  /** Per-file union of every live positional entry's ordinals — the
+    * map the read side probes (sorted, deduplicated). */
+  def posOrdinalsByFile(entries: Seq[PosEntry]): Map[String, Array[Long]] =
+    entries.flatMap(_.ords.toSeq).groupBy(_._1).map { case (f, xs) =>
+      f -> xs.flatMap(_._2).distinct.sorted.toArray
+    }
+
+  /** Write one positional entry into a staged version. The `.pos`
+    * move is the entry's commit marker (single-file entries — no
+    * second manifest to order against). */
+  def writePosEntry(versionDir: JPath,
+      ords: Map[String, Array[Long]]): String = {
+    val d = versionDir.resolve(DIR)
+    Files.createDirectories(d)
+    val id = s"p-${UUID.randomUUID()}"
+    val tp = d.resolve(s".$id.pos.tmp")
+    Files.write(tp, ords.toSeq.sortBy(_._1).map { case (f, os) =>
+      s"$f\t${os.sorted.mkString(",")}"
+    }.mkString("\n").getBytes("UTF-8"))
+    Files.move(tp, d.resolve(s"$id.pos"), StandardCopyOption.ATOMIC_MOVE)
+    id
   }
 
   /** Write one entry into `versionDir` (a staged, not-yet-committed
@@ -484,6 +568,18 @@ private[sources] object MorDeletes {
           .map(f => if (f.startsWith("_spec-")) f else s"$pfx/$f")
           .mkString("\n")
         Files.write(out, rebased.getBytes("UTF-8"))
+      } else if (n.endsWith(".pos") && rebasePrefix.isDefined) {
+        // positional entries embed their file paths in the payload
+        // lines — rebase those the same way as `.files` manifests
+        val pfx = rebasePrefix.get
+        val rebased = new String(Files.readAllBytes(src.resolve(n)), "UTF-8")
+          .split("\n").iterator.filter(_.nonEmpty)
+          .map { l =>
+            val Array(f, os) = l.split("\t", 2)
+            val nf = if (f.startsWith("_spec-")) f else s"$pfx/$f"
+            s"$nf\t$os"
+          }.mkString("\n")
+        Files.write(out, rebased.getBytes("UTF-8"))
       } else {
         try { Files.createLink(out, src.resolve(n)); () }
         catch {
@@ -504,11 +600,16 @@ private[sources] object MorDeletes {
     * longer exist, while entries over the hard-linked current-layout
     * files must survive intact. */
   def carryRestricted(from: JPath, to: JPath,
-      keep: String => Boolean): Unit =
+      keep: String => Boolean): Unit = {
     entries(from).foreach { e =>
       val kept = e.files.filter(keep)
       if (kept.nonEmpty) { writeEntry(to, e.node, kept); () }
     }
+    posEntries(from).foreach { e =>
+      val kept = e.ords.filter { case (f, _) => keep(f) }
+      if (kept.nonEmpty) { writePosEntry(to, kept); () }
+    }
+  }
 
   // ---- exact application for maintenance/CDC reads ----
 
@@ -524,14 +625,32 @@ private[sources] object MorDeletes {
     import org.apache.spark.sql.functions.col
     val cols = schema.fieldNames.toSeq.map(col)
     val es = entries(versionDir)
+    val posByFile = posOrdinalsByFile(posEntries(versionDir))
     def layoutRoot(rel: String): String = {
       val first = rel.takeWhile(c => c != '/' && c != '\\')
       if (first != rel && first.startsWith("_") && !first.contains("="))
         first
       else ""
     }
+    // positionally-deleted files read ONE AT A TIME with the parquet
+    // row-index column requested, so each file filters against its own
+    // ordinal set — ordinals are file-local by definition
+    val (posFiles, plainFiles) = relFiles.partition(posByFile.contains)
+    val rixSchema = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(RowIndexCol,
+        org.apache.spark.sql.types.LongType))
+    val posDfs = posFiles.toSeq.sorted.map { f =>
+      val root = layoutRoot(f)
+      val base = if (root.isEmpty) versionDir else versionDir.resolve(root)
+      val raw = s.read.option("basePath", base.toString)
+        .schema(rixSchema).parquet(versionDir.resolve(f).toString)
+      val filtered = filterOutOrdinals(s, raw, posByFile(f)).select(cols: _*)
+      es.filter(_.files.contains(f)).foldLeft(filtered) { (df, e) =>
+        df.where(!toColumn(e.node, schema))
+      }
+    }
     val bySig: Map[(String, Seq[String]), Set[String]] =
-      relFiles.groupBy(f =>
+      plainFiles.groupBy(f =>
         (layoutRoot(f), es.filter(_.files.contains(f)).map(_.id)))
     val dfs = bySig.toSeq.sortBy(_._1.toString).map { case ((root, sig), fs) =>
       val base =
@@ -542,6 +661,63 @@ private[sources] object MorDeletes {
       es.filter(e => sig.contains(e.id)).foldLeft(raw) { (df, e) =>
         df.where(!toColumn(e.node, schema))
       }
+    } ++ posDfs
+    dfs.reduceOption(_ unionByName _).getOrElse(
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema))
+  }
+
+  /** Drop the rows of `df` whose [[RowIndexCol]] value is in `ords` —
+    * small sets as an `isin` (OptimizeIn → hash probe), large sets as
+    * a broadcast anti-join (an isin of 10^6 literals would bloat the
+    * plan tree). */
+  private def filterOutOrdinals(s: SparkSession, df: DataFrame,
+      ords: Array[Long]): DataFrame =
+    ordinalFilter(s, df, ords, keep = false)
+
+  private def ordinalFilter(s: SparkSession, df: DataFrame,
+      ords: Array[Long], keep: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    if (ords.length <= 1000) {
+      val in = col(RowIndexCol).isin(ords.toSeq: _*)
+      df.where(if (keep) in else !in)
+    } else {
+      val ds = s.createDataFrame(
+        s.sparkContext.parallelize(
+          ords.toSeq.map(org.apache.spark.sql.Row(_)), 1),
+        StructType(Seq(org.apache.spark.sql.types.StructField(
+          "__graft_del_ord", org.apache.spark.sql.types.LongType))))
+      df.join(broadcast(ds),
+        col(RowIndexCol) === col("__graft_del_ord"),
+        if (keep) "left_semi" else "left_anti")
+    }
+  }
+
+  /** The rows of `versionDir` a positional entry DELETED — the CDC
+    * reader's removed-rows source for a positional commit: each file
+    * read with the row-index column, kept where the ordinal IS in the
+    * entry's set. */
+  def readDeletedRows(s: SparkSession, versionDir: JPath, e: PosEntry,
+      schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val cols = schema.fieldNames.toSeq.map(col)
+    val rixSchema = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(RowIndexCol,
+        org.apache.spark.sql.types.LongType))
+    def layoutRoot(rel: String): String = {
+      val first = rel.takeWhile(c => c != '/' && c != '\\')
+      if (first != rel && first.startsWith("_") && !first.contains("="))
+        first
+      else ""
+    }
+    val dfs = e.ords.toSeq.sortBy(_._1).map { case (f, os) =>
+      val root = layoutRoot(f)
+      val base = if (root.isEmpty) versionDir else versionDir.resolve(root)
+      ordinalFilter(s,
+        s.read.option("basePath", base.toString)
+          .schema(rixSchema).parquet(versionDir.resolve(f).toString),
+        os, keep = true)
+        .select(cols: _*)
     }
     dfs.reduceOption(_ unionByName _).getOrElse(
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -560,12 +736,19 @@ private[sources] object MorDeletes {
 private[sources] final class DeleteApplyingScan(
     private[sources] val inner: Scan, scanName: String,
     private[sources] val versionDir: JPath,
-    entries: Seq[MorDeletes.DeleteEntry], extraCols: Seq[String])
+    entries: Seq[MorDeletes.DeleteEntry],
+    posEntries: Seq[MorDeletes.PosEntry],
+    extraCols: Seq[String])
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning with SupportsReportStatistics {
 
   private val serialized: Seq[(String, String, Set[String])] =
     entries.map(e => (e.id, MorDeletes.serialize(e.node), e.files))
+  // per-file union of positional ordinals (sorted — the reader probes
+  // with a binary search); files carrying positional deletes are
+  // planned ONE PER TASK so each reader owns a single ordinal set
+  private val posByFile: Map[String, Array[Long]] =
+    MorDeletes.posOrdinalsByFile(posEntries)
 
   override def readSchema(): StructType = StructType(
     inner.readSchema().filterNot(f =>
@@ -600,30 +783,38 @@ private[sources] final class DeleteApplyingScan(
     case None => Nil
   }
 
+  private def hasPos(urlEncoded: String): Boolean =
+    relOf(urlEncoded).exists(posByFile.contains)
+
   override def planInputPartitions(): Array[InputPartition] = {
     val out = Seq.newBuilder[InputPartition]
     var idx = 0
     def nextIdx(): Int = { val i = idx; idx += 1; i }
+    // group by predicate signature; within a group, each positionally-
+    // deleted FILE becomes its own task (its reader must bind one
+    // ordinal set — splits of the same file share it, file-global
+    // ordinals make that correct)
+    def regroup(files: Array[PartitionedFile],
+        emit: Array[PartitionedFile] => Unit): Unit =
+      files.groupBy(f => sigOf(f.urlEncodedPath)).toSeq
+        .sortBy(_._1.mkString(",")).foreach { case (_, fs) =>
+          val (pos, plain) = fs.partition(f => hasPos(f.urlEncodedPath))
+          if (plain.nonEmpty) emit(plain)
+          pos.groupBy(_.urlEncodedPath).toSeq.sortBy(_._1)
+            .foreach { case (_, one) => emit(one) }
+        }
     def split(p: InputPartition): Unit = p match {
       case k: KeyedFilePartition =>
-        k.files.groupBy(f => sigOf(f.urlEncodedPath)).toSeq
-          .sortBy(_._1.mkString(","))
-          .foreach { case (_, fs) =>
-            out += new KeyedFilePartition(nextIdx(), fs, k.partitionKey())
-          }
+        regroup(k.files,
+          fs => out += new KeyedFilePartition(nextIdx(), fs, k.partitionKey()))
       case f: FilePartition =>
-        f.files.groupBy(x => sigOf(x.urlEncodedPath)).toSeq
-          .sortBy(_._1.mkString(","))
-          .foreach { case (_, fs) => out += FilePartition(nextIdx(), fs) }
+        regroup(f.files, fs => out += FilePartition(nextIdx(), fs))
       case d: DispatchedPartition =>
         // split the embedded file partition, keep the dispatch wrapper
         d.inner match {
           case f: FilePartition =>
-            f.files.groupBy(x => sigOf(x.urlEncodedPath)).toSeq
-              .sortBy(_._1.mkString(","))
-              .foreach { case (_, fs) =>
-                out += d.copy(inner = FilePartition(nextIdx(), fs))
-              }
+            regroup(f.files,
+              fs => out += d.copy(inner = FilePartition(nextIdx(), fs)))
           case _ => out += d
         }
       case other => out += other
@@ -635,7 +826,7 @@ private[sources] final class DeleteApplyingScan(
   override def createReaderFactory(): PartitionReaderFactory =
     new DeleteApplyingReaderFactory(inner.toBatch.createReaderFactory(),
       versionDir.toString, serialized.map(e => (e._2, e._3)),
-      inner.readSchema(), readSchema())
+      posByFile, inner.readSchema(), readSchema())
 
   override def filterAttributes(): Array[NamedReference] = inner match {
     case f: SupportsRuntimeV2Filtering => f.filterAttributes()
@@ -667,7 +858,8 @@ private[sources] final class DeleteApplyingScan(
   * for the (bounded) life of the delete entries. */
 private[sources] final class DeleteApplyingReaderFactory(
     inner: PartitionReaderFactory, versionDirStr: String,
-    entries: Seq[(String, Set[String])], innerSchema: StructType,
+    entries: Seq[(String, Set[String])],
+    posByFile: Map[String, Array[Long]], innerSchema: StructType,
     target: StructType) extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = false
@@ -691,9 +883,29 @@ private[sources] final class DeleteApplyingReaderFactory(
     val applicable = entries.collect {
       case (ser, fs) if fs.exists(files.contains) => ser
     }
+    // positional ordinals: the planner put each positionally-deleted
+    // file in its own task, so at most one set applies here
+    val posFiles = files.filter(posByFile.contains)
+    val posOrds: Array[Long] = posFiles.size match {
+      case 0 => null
+      case 1 => posByFile(posFiles.head)
+      case _ => throw new IllegalStateException(
+        "a task mixed two positionally-deleted files — the split " +
+          s"planner must isolate them: $files")
+    }
+    val rixIdx =
+      if (posOrds == null) -1
+      else {
+        val i = innerSchema.fieldNames.indexWhere(
+          _.equalsIgnoreCase(MorDeletes.RowIndexCol))
+        if (i < 0) throw new IllegalStateException(
+          "positional delete entries live but the inner scan carries " +
+            "no row-index column")
+        i
+      }
     val r = inner.createReader(p)
     val sameSchema = target == innerSchema
-    if (applicable.isEmpty && sameSchema) return r
+    if (applicable.isEmpty && posOrds == null && sameSchema) return r
     val attrs = DataTypeUtils.toAttributes(innerSchema)
     val preds = applicable.map(ser => CPredicate.create(
       MorDeletes.toCatalyst(MorDeletes.parse(ser), attrs), attrs))
@@ -710,7 +922,11 @@ private[sources] final class DeleteApplyingReaderFactory(
       override def next(): Boolean = {
         while (r.next()) {
           val row = r.get()
-          if (!preds.exists(_.eval(row))) { cur = row; return true }
+          val posDeleted = posOrds != null &&
+            java.util.Arrays.binarySearch(posOrds, row.getLong(rixIdx)) >= 0
+          if (!posDeleted && !preds.exists(_.eval(row))) {
+            cur = row; return true
+          }
         }
         false
       }

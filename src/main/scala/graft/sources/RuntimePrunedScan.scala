@@ -399,7 +399,7 @@ private[sources] final class RuntimePrunedParquetScan(
         java.util.Collections.singletonMap("basePath", versionDir.toString))
       val builder = ParquetTable(s"$scanName-dpp", session, options,
         kept.toSeq.sorted.map(p => versionDir.resolve(p).toString),
-        Some(tableSchema), classOf[ParquetFileFormat])
+        Some(MorDeletes.withRowIndex(tableSchema)), classOf[ParquetFileFormat])
         .newScanBuilder(options)
       builder match {
         case fb: FileScanBuilder =>

@@ -358,7 +358,11 @@ class SpecEvolutionSpec extends AnyFunSuite {
         ($"i" * 2.5).as("v"))
       .writeTo("graft_sev.db.bsm").append()
     val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    // pin the broadcast threshold explicitly: the suite shares one
+    // session and another suite's conf window may be mid-flight
+    val savedBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     try {
       val big = spark.range(1L, 100000L)
         .select($"id".as("k"), ($"id" * 2.0).as("bv"))
@@ -372,7 +376,10 @@ class SpecEvolutionSpec extends AnyFunSuite {
         "a 60-row mixed-spec table lost its broadcast decision — the " +
           s"union scan reported no size:\n${j.queryExecution.executedPlan}")
       assert(j.count() == 60)
-    } finally spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+    }
   }
 
   test("refusals: same-spec evolve; widening a legacy transform's source") {
