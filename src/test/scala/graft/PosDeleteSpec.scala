@@ -257,6 +257,56 @@ class PosDeleteSpec extends AnyFunSuite {
       .where($"id" === 5L).select("v").as[Double].head() == -5.0)
   }
 
+  test("surgical row repair: DELETE by (_file, _pos) predicate removes " +
+      "exactly one of two identical rows") {
+    import spark.implicits._
+    // the 100 TB operator story: one corrupt row, no key to name it —
+    // address it by where it sits
+    Seq((1L, 5.0), (1L, 5.0)).toDF("id", "v").coalesce(1)
+      .writeTo("graft_pos.db.psurg").using("parquet")
+      .tableProperty("write.delete.mode", "merge-on-read")
+      .createOrReplace()
+    val target = spark.sql(
+      "SELECT _file, _pos FROM graft_pos.db.psurg ORDER BY _pos").head()
+    val (f, p) = (target.getString(0), target.getLong(1))
+    val baseInodes = dataInodes(headDir("psurg"))
+    spark.sql("DELETE FROM graft_pos.db.psurg " +
+      s"WHERE _file = '$f' AND _pos = $p")
+    val headInodes = dataInodes(headDir("psurg"))
+    baseInodes.foreach { case (rel, ino) =>
+      assert(headInodes.get(rel).contains(ino), s"$rel rewritten")
+    }
+    assert(posEntryCount(headDir("psurg")) == 1)
+    val got = spark.table("graft_pos.db.psurg")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 5.0)),
+      s"surgical delete removed the wrong rows: $got")
+  }
+
+  test("MERGE ... NOT MATCHED BY SOURCE deletes through the positional " +
+      "delta path") {
+    import spark.implicits._
+    (1L to 10L).map(i => (i, i * 1.0)).toDF("id", "v")
+      .writeTo("graft_pos.db.pnmbs").using("parquet")
+      .tableProperty("write.merge.mode", "merge-on-read")
+      .createOrReplace()
+    val baseInodes = dataInodes(headDir("pnmbs"))
+    Seq((2L, 22.0), (4L, 44.0)).toDF("id", "v")
+      .createOrReplaceTempView("pnmbs_src")
+    spark.sql("""MERGE INTO graft_pos.db.pnmbs t USING pnmbs_src s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    val headInodes = dataInodes(headDir("pnmbs"))
+    baseInodes.foreach { case (rel, ino) =>
+      assert(headInodes.get(rel).contains(ino), s"$rel rewritten")
+    }
+    val got = spark.table("graft_pos.db.pnmbs").orderBy("id")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((2L, 22.0), (4L, 44.0)),
+      s"NMBS positional merge wrong: $got")
+  }
+
   test("an equality-keyed table still uses equality deletes (positional " +
       "is the fallback, not a replacement)") {
     import spark.implicits._
