@@ -1715,6 +1715,49 @@ object Extras {
       .orderBy($"o_orderstatus")
   }
 
+  /** q108: SORT-ORDERED WRITES — `write.sort-cols` (Iceberg's
+    * write.sort-order posture): every write into the table
+    * range-distributes and locally sorts on the named columns, so the
+    * commit-time footer stats stay tight and q94-style file skipping
+    * bites on EVERY read — without the separate `cluster_by`
+    * maintenance pass. At 100 TB this is the difference between a
+    * layout that decays with every append and one whose appends keep
+    * the skip-index sharp by construction. The gate appends orders
+    * (scrambled in the sort key), `require`s the skipping scan kept a
+    * strict subset of files for a selective key range, and
+    * hash-matches the filtered aggregate vs DuckDB — skipping is a
+    * may-match over-approximation, so a single lost row mismatches. */
+  def q108SortedWrite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    s.sql("DROP TABLE IF EXISTS graft_ma.db.ord_ws")
+    val ord = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+    // the small file cap gives the skip index granularity even when
+    // AQE coalesces the range exchange to few tasks (maxRecordsPerFile
+    // splits WITHIN a task preserving the sort, so files stay tiled)
+    ord.limit(0).writeTo("graft_ma.db.ord_ws")
+      .tableProperty("write.sort-cols", "o_custkey")
+      .tableProperty("write.target-file-size-rows", "2000")
+      .create()
+    ord.writeTo("graft_ma.db.ord_ws").append()
+    graft.sources.FileSkippingScan.counts.clear()
+    val out = s.table("graft_ma.db.ord_ws")
+      .where($"o_custkey" >= 100L && $"o_custkey" <= 400L)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct($"o_custkey").as("n_custs"),
+        moneySum($"o_totalprice").as("total"))
+      .orderBy($"o_orderstatus")
+      .cache()
+    out.count() // execute now so the skipping counts are observable
+    val kc = graft.sources.FileSkippingScan.counts.get("db.ord_ws")
+    require(kc != null && kc._2 > 1 && kc._1 < kc._2,
+      s"sorted-write skipping must keep a strict subset of files, got $kc")
+    out
+  }
+
   /** q106: CHANGE FEED ACROSS THE FORK — `table_changes` on a BRANCH
     * (q93 composed with q103), the audit half of write-audit-publish:
     * the net row-level changes a branch accumulated since its fork are
@@ -2087,6 +2130,7 @@ object Extras {
     "q105_unify_layout" -> q105UnifyLayout,
     "q106_branch_changes" -> q106BranchChanges,
     "q107_mor_positional" -> q107MorPositional,
+    "q108_sorted_write" -> q108SortedWrite,
     "q76_catalog_external" -> q76CatalogExternal,
     "q77_partitions_metadata" -> q77PartitionsMetadata,
     "q78_snapshot_changes" -> q78SnapshotChanges,
@@ -2519,6 +2563,17 @@ object Extras {
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
         |  AND ts <  TIMESTAMP '2024-01-22 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the sorted-write table serves exactly the raw filtered
+    // aggregate — skipping may only over-keep, never drop, and the
+    // gate's own require pins that it actually skipped
+    "q108_sorted_write" ->
+      """SELECT o_orderstatus,
+        | CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_custkey >= 100 AND o_custkey <= 400
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // merge + untranslatable-predicate delete replayed over the raw
     // table: matched keys (mod 97) negate, inserts (mod 89) land in
     // 'Z', then every row with o_custkey % 50 = 3 dies — a positional

@@ -191,15 +191,47 @@ object AtomicParquetCatalog {
   private[sources] def writeLayout(spark: SparkSession, tableDir: JPath,
       target: JPath, df: org.apache.spark.sql.DataFrame,
       fields: Seq[PartitionField], mode: String): Unit = {
+    import org.apache.spark.sql.functions.col
     val parts = fields.map(_.dirName)
     val routed = PartitionField.materializeDirCols(df, fields)
-    val clustered =
-      if (parts.nonEmpty && PartitionField.clusterWrite(spark, fields))
-        routed.repartition(parts.map(org.apache.spark.sql.functions.col): _*)
-      else routed
+    // `write.sort-cols` (Iceberg's write.sort-order posture): keep the
+    // table's files SORTED on the named columns at write time, so the
+    // commit-time footer stats (FileStats) stay tight and q94-style
+    // file skipping bites on every read without a later cluster_by.
+    // Unpartitioned tables RANGE-distribute first (disjoint per-file
+    // ranges — the file-skipping win needs cross-file disjointness);
+    // partitioned tables keep their partition clustering and sort
+    // WITHIN it (partition dirs already split the space — a range
+    // exchange would re-scatter dir values into tasks x dirs files).
+    val sortCols = readProps(tableDir).get("write.sort-cols")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+    sortCols.foreach(_.foreach { c =>
+      require(routed.columns.exists(_.equalsIgnoreCase(c)),
+        s"write.sort-cols column $c does not exist in the write schema " +
+          s"(${df.columns.mkString(", ")})")
+    })
+    val distributed = sortCols match {
+      case Some(sc) if parts.isEmpty =>
+        routed.repartitionByRange(sc.map(col): _*)
+      case _ =>
+        if (parts.nonEmpty && PartitionField.clusterWrite(spark, fields))
+          routed.repartition(parts.map(col): _*)
+        else routed
+    }
+    // sort by (partition dirs ++ sort cols): the writer's own required
+    // ordering (partition columns first) is then already satisfied, so
+    // it PRESERVES the secondary order instead of re-sorting it away
+    val sorted = sortCols match {
+      case Some(sc) =>
+        distributed.sortWithinPartitions(
+          (parts ++ sc.filterNot(c =>
+            parts.exists(_.equalsIgnoreCase(c)))).map(col): _*)
+      case None => distributed
+    }
     val w = readProps(tableDir).get("write.target-file-size-rows")
       .flatMap(_.toLongOption).filter(_ > 0L)
-      .foldLeft(clustered.write.mode(mode)) { (wr, n) =>
+      .foldLeft(sorted.write.mode(mode)) { (wr, n) =>
         wr.option("maxRecordsPerFile", n.toString)
       }
     w.partitionBy(parts: _*).parquet(target.toString)

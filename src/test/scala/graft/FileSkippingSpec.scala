@@ -190,6 +190,74 @@ class FileSkippingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("partitioned"))
   }
 
+  test("write.sort-cols keeps UNSORTED appends skippable: range " +
+      "distribution + local sort at write time, no cluster_by needed") {
+    val s = spark
+    import s.implicits._
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_fsk.db")
+    s.sql("DROP TABLE IF EXISTS graft_fsk.db.autosorted")
+    // deliberately SCRAMBLED input: without the property every file
+    // would span the whole key range and nothing could skip
+    val scrambled = s.range(8000)
+      .select((($"id" * 2654435761L) % 8000L).as("k"), ($"id" % 7).as("v"))
+    scrambled.limit(0).writeTo("graft_fsk.db.autosorted")
+      .tableProperty("write.sort-cols", "k")
+      .tableProperty("write.target-file-size-rows", "1000").create()
+    scrambled.writeTo("graft_fsk.db.autosorted").append()
+    graft.sources.FileSkippingScan.counts.clear()
+    val got = s.table("graft_fsk.db.autosorted")
+      .where($"k" >= 2000L && $"k" < 3000L).agg(count(lit(1)))
+      .head.getLong(0)
+    val expect = (0L until 8000L)
+      .count(i => { val k = (i * 2654435761L) % 8000L; k >= 2000L && k < 3000L })
+    assert(got === expect.toLong)
+    val (kept, total) = counts("autosorted")
+    assert(total >= 4, s"expected several files, got $total")
+    assert(kept * 3 <= total,
+      s"a 1/8-width range should skip most sorted files: kept $kept/$total")
+    // a misspelled sort column fails the write pointedly, commits nothing
+    s.sql("ALTER TABLE graft_fsk.db.autosorted " +
+      "SET TBLPROPERTIES ('write.sort-cols' = 'no_such')")
+    val e = intercept[Exception] {
+      Seq((1L, 1L)).toDF("k", "v")
+        .writeTo("graft_fsk.db.autosorted").append()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("write.sort-cols")),
+      s"wrong error: ${msgs(e).mkString(" | ").take(300)}")
+    assert(s.table("graft_fsk.db.autosorted").count() === 8000L)
+  }
+
+  test("write.sort-cols on a PARTITIONED table: partition clustering " +
+      "kept, files sorted within each partition dir") {
+    val s = spark
+    import s.implicits._
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_fsk.db")
+    s.sql("DROP TABLE IF EXISTS graft_fsk.db.psorted")
+    val scrambled = s.range(8000)
+      .select((($"id" * 2654435761L) % 8000L).as("k"),
+        ($"id" % 2).cast("int").as("g"), ($"id" % 7).as("v"))
+    scrambled.limit(0).writeTo("graft_fsk.db.psorted")
+      .tableProperty("write.sort-cols", "k")
+      .tableProperty("write.target-file-size-rows", "500")
+      .partitionedBy(col("g")).create()
+    scrambled.writeTo("graft_fsk.db.psorted").append()
+    graft.sources.FileSkippingScan.counts.clear()
+    // partition pruning keeps g=1; inside it, the sorted tiling skips
+    val got = s.table("graft_fsk.db.psorted")
+      .where($"g" === 1 && $"k" >= 1000L && $"k" < 2000L)
+      .agg(count(lit(1))).head.getLong(0)
+    val expect = (0L until 8000L).count { i =>
+      val k = (i * 2654435761L) % 8000L
+      i % 2 == 1 && k >= 1000L && k < 2000L
+    }
+    assert(got === expect.toLong)
+    val (kept, total) = counts("psorted")
+    assert(total >= 4 && kept * 2 <= total,
+      s"in-partition sorted tiling should skip most files: $kept/$total")
+  }
+
   test("row-level COW rewrites never lose rows to skipping") {
     val s = spark
     import s.implicits._
