@@ -1070,22 +1070,7 @@ object Extras {
         $"o_totalprice", $"o_orderpriority")
       .writeTo("graft_ma.db.ord_mor").using("parquet")
       .partitionedBy($"o_orderstatus").create()
-    def inodes(): Map[String, Any] = {
-      val wh = s.conf.get("spark.sql.catalog.graft_ma.warehouse")
-      val tdir = java.nio.file.Paths.get(wh, "db", "ord_mor")
-      val cur = tdir.resolve(new String(java.nio.file.Files.readAllBytes(
-        tdir.resolve("_current")), "UTF-8").split("\n").head.trim)
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(cur)
-      try walk.iterator().asScala.filter { p =>
-        val n = p.getFileName.toString
-        java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") &&
-          !n.startsWith(".") &&
-          !cur.relativize(p).toString.startsWith("_deletes/")
-      }.map(p => cur.relativize(p).toString ->
-        java.nio.file.Files.getAttribute(p, "unix:ino")).toMap
-      finally walk.close()
-    }
+    def inodes(): Map[String, Any] = gmaDataInodes(gmaHeadDir(s, "ord_mor"))
     val before = inodes()
     s.conf.set("spark.sql.catalog.graft.write.deleteMode", "merge-on-read")
     try {
@@ -1349,6 +1334,32 @@ object Extras {
       .orderBy($"event_type")
   }
 
+  /** The CURRENT head version dir of `graft_ma.db.<name>` — shared by
+    * the inode-pinning gates. */
+  private def gmaHeadDir(s: SparkSession, name: String): java.nio.file.Path = {
+    val wh = s.conf.get("spark.sql.catalog.graft_ma.warehouse")
+    val tdir = java.nio.file.Paths.get(wh, "db", name)
+    tdir.resolve(new String(java.nio.file.Files.readAllBytes(
+      tdir.resolve("_current")), "UTF-8").split("\n").head.trim)
+  }
+
+  /** Version-relative data-file path -> inode of one version dir
+    * (delete-sidecar files excluded; `keep` narrows further) — the ONE
+    * walker every zero-rewrite gate pins hard links with. */
+  private def gmaDataInodes(v: java.nio.file.Path,
+      keep: String => Boolean = _ => true): Map[String, Any] = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(v)
+    try walk.iterator().asScala.filter { p =>
+      val n = p.getFileName.toString
+      val rel = v.relativize(p).toString
+      java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") &&
+        !n.startsWith(".") && !rel.startsWith("_deletes/") && keep(rel)
+    }.map(p => v.relativize(p).toString ->
+      java.nio.file.Files.getAttribute(p, "unix:ino")).toMap
+    finally walk.close()
+  }
+
   /** q102: MERGE-ON-READ MERGE (DeltaRowLevel.scala) — Iceberg v2's
     * equality-delete posture through Spark's native `SupportsDelta`
     * plumbing. The table declares `write.merge.mode = merge-on-read`
@@ -1373,22 +1384,7 @@ object Extras {
       .partitionedBy($"o_orderstatus").create()
     s.sql("ALTER TABLE graft_ma.db.ord_mm " +
       "ADD CONSTRAINT ord_mm_pk PRIMARY KEY (o_orderkey) NOT ENFORCED")
-    def inodes(): Map[String, Any] = {
-      val wh = s.conf.get("spark.sql.catalog.graft_ma.warehouse")
-      val tdir = java.nio.file.Paths.get(wh, "db", "ord_mm")
-      val cur = tdir.resolve(new String(java.nio.file.Files.readAllBytes(
-        tdir.resolve("_current")), "UTF-8").split("\n").head.trim)
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(cur)
-      try walk.iterator().asScala.filter { p =>
-        val n = p.getFileName.toString
-        java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") &&
-          !n.startsWith(".") &&
-          !cur.relativize(p).toString.startsWith("_deletes/")
-      }.map(p => cur.relativize(p).toString ->
-        java.nio.file.Files.getAttribute(p, "unix:ino")).toMap
-      finally walk.close()
-    }
+    def inodes(): Map[String, Any] = gmaDataInodes(gmaHeadDir(s, "ord_mm"))
     val before = inodes()
     // matched keys hit every o_orderstatus partition (modulo sweeps the
     // key space); unmatched keys land in a NEW partition 'Z'
@@ -1497,22 +1493,7 @@ object Extras {
       .partitionedBy($"event_type").create()
     s.sql("ALTER TABLE graft_ma.db.ev_mm2 ADD CONSTRAINT ev_mm2_pk " +
       "PRIMARY KEY (user_id, event_id) NOT ENFORCED")
-    def inodes(): Map[String, Any] = {
-      val wh = s.conf.get("spark.sql.catalog.graft_ma.warehouse")
-      val tdir = java.nio.file.Paths.get(wh, "db", "ev_mm2")
-      val cur = tdir.resolve(new String(java.nio.file.Files.readAllBytes(
-        tdir.resolve("_current")), "UTF-8").split("\n").head.trim)
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(cur)
-      try walk.iterator().asScala.filter { p =>
-        val n = p.getFileName.toString
-        java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") &&
-          !n.startsWith(".") &&
-          !cur.relativize(p).toString.startsWith("_deletes/")
-      }.map(p => cur.relativize(p).toString ->
-        java.nio.file.Files.getAttribute(p, "unix:ino")).toMap
-      finally walk.close()
-    }
+    def inodes(): Map[String, Any] = gmaDataInodes(gmaHeadDir(s, "ev_mm2"))
     val before = inodes()
     // matched composite keys hit every event_type partition (the mod
     // sweeps event ids across all types and users); unmatched keys
@@ -1585,26 +1566,10 @@ object Extras {
     try s.sql("DELETE FROM graft_ma.db.unify " +
       "WHERE user_id >= 10 AND user_id <= 40")
     finally s.conf.unset("spark.sql.catalog.graft.write.deleteMode")
-    def headDir(): java.nio.file.Path = {
-      val wh = s.conf.get("spark.sql.catalog.graft_ma.warehouse")
-      val tdir = java.nio.file.Paths.get(wh, "db", "unify")
-      tdir.resolve(new String(java.nio.file.Files.readAllBytes(
-        tdir.resolve("_current")), "UTF-8").split("\n").head.trim)
-    }
+    def headDir(): java.nio.file.Path = gmaHeadDir(s, "unify")
     def dataInodes(v: java.nio.file.Path,
-        prefix: String => Boolean): Map[String, Any] = {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(v)
-      try walk.iterator().asScala.filter { p =>
-        val rel = v.relativize(p).toString
-        java.nio.file.Files.isRegularFile(p) &&
-          !p.getFileName.toString.startsWith("_") &&
-          !p.getFileName.toString.startsWith(".") &&
-          !rel.startsWith("_deletes/") && prefix(rel)
-      }.map(p => v.relativize(p).toString ->
-        java.nio.file.Files.getAttribute(p, "unix:ino")).toMap
-      finally walk.close()
-    }
+        prefix: String => Boolean): Map[String, Any] =
+      gmaDataInodes(v, prefix)
     val pre = headDir()
     require(java.nio.file.Files.exists(pre.resolve("_legacy_specs.txt")),
       "q105 setup: the evolve must have left a legacy sidecar")
@@ -1664,22 +1629,7 @@ object Extras {
       .tableProperty("write.merge.mode", "merge-on-read")
       .tableProperty("write.delete.mode", "merge-on-read")
       .partitionedBy($"o_orderstatus").create()
-    def inodes(): Map[String, Any] = {
-      val wh = s.conf.get("spark.sql.catalog.graft_ma.warehouse")
-      val tdir = java.nio.file.Paths.get(wh, "db", "ord_pos")
-      val cur = tdir.resolve(new String(java.nio.file.Files.readAllBytes(
-        tdir.resolve("_current")), "UTF-8").split("\n").head.trim)
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(cur)
-      try walk.iterator().asScala.filter { p =>
-        val n = p.getFileName.toString
-        java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") &&
-          !n.startsWith(".") &&
-          !cur.relativize(p).toString.startsWith("_deletes/")
-      }.map(p => cur.relativize(p).toString ->
-        java.nio.file.Files.getAttribute(p, "unix:ino")).toMap
-      finally walk.close()
-    }
+    def inodes(): Map[String, Any] = gmaDataInodes(gmaHeadDir(s, "ord_pos"))
     val before = inodes()
     Tables.load(s, dir, "orders")
       .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")

@@ -203,7 +203,8 @@ object AtomicParquetCatalog {
     // partitioned tables keep their partition clustering and sort
     // WITHIN it (partition dirs already split the space — a range
     // exchange would re-scatter dir values into tasks x dirs files).
-    val sortCols = readProps(tableDir).get("write.sort-cols")
+    val props = readProps(tableDir) // one sidecar read per write
+    val sortCols = props.get("write.sort-cols")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .filter(_.nonEmpty)
     sortCols.foreach(_.foreach { c =>
@@ -229,7 +230,7 @@ object AtomicParquetCatalog {
             parts.exists(_.equalsIgnoreCase(c)))).map(col): _*)
       case None => distributed
     }
-    val w = readProps(tableDir).get("write.target-file-size-rows")
+    val w = props.get("write.target-file-size-rows")
       .flatMap(_.toLongOption).filter(_ > 0L)
       .foldLeft(sorted.write.mode(mode)) { (wr, n) =>
         wr.option("maxRecordsPerFile", n.toString)
@@ -269,6 +270,10 @@ object AtomicParquetCatalog {
     // branch accumulated since the fork is exactly what a fast_forward
     // would publish, reviewable before the swap
     val (baseName, branch) = AtomicParquetCatalog.splitBranch(parts.last)
+    // same path-shape gate as every branch-resolving entry point: a
+    // name like 'x/../_current' would otherwise normalize onto the
+    // main pointer and silently serve MAIN's feed labeled as a branch
+    branch.foreach(plugin.requireBranchNameShape)
     val dir = (parts.tail.dropRight(1) :+ baseName)
       .foldLeft(plugin.warehouseDir)(_.resolve(_))
     val ref = branch.map(b => s"_branch_$b")
@@ -1261,33 +1266,13 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     // below feeds the optimizer and the merge-on-read row-id path, so
     // flipping over pre-existing NULLs would silently corrupt reads.
     // RELY skips the scan (the user asserts the trust — Iceberg's
-    // identifier-field posture).
-    locally {
-      val addedPks = constraintChanges.collect {
-        case a: TableChange.AddConstraint => a.constraint()
-      }.collect {
-        case pk: org.apache.spark.sql.connector.catalog.constraints.PrimaryKey => pk
-      }
-      if (addedPks.nonEmpty) {
-        val (schemaNow, _) = readMeta(cur)
-        val cols = addedPks.flatMap(_.columns().toSeq
-          .map(_.fieldNames().mkString(".")))
-        cols.foreach { c => require(
-          schemaNow.fieldNames.exists(_.equalsIgnoreCase(c)),
-          s"$ident: PRIMARY KEY column $c does not exist") }
-        if (addedPks.exists(!_.rely())) {
-          import org.apache.spark.sql.functions.{col => fcol}
-          val nulls = readVersionDf(cur, schemaNow)
-            .where(cols.map(fcol(_).isNull).reduce(_ || _)).limit(1).count()
-          require(nulls == 0L,
-            s"$ident: PRIMARY KEY (${cols.mkString(", ")}) declared over " +
-              "existing NULL key values — clean the data first, or add " +
-              "the constraint with RELY to assert the data is clean " +
-              "without a scan")
-        }
-      }
-    }
-    if (constraintChanges.nonEmpty) withCommitLock(dir) {
+    // identifier-field posture). The scan runs OUTSIDE the commit lock
+    // (a table-sized scan must not block every writer), so the persist
+    // step below re-checks the head under the lock and RE-VALIDATES if
+    // a write landed in between — the scan proved nothing about rows
+    // it never saw.
+    // the fold itself — caller must HOLD the commit lock
+    def persistConstraintChangesLocked(): Unit = {
       val next = constraintChanges.foldLeft(
         TableConstraints.read(dir).toSeq) { (cs, c) =>
         c match {
@@ -1315,6 +1300,52 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
         }
       }
       TableConstraints.write(dir, next)
+    }
+    if (constraintChanges.nonEmpty) {
+      val addedPks = constraintChanges.collect {
+        case a: TableChange.AddConstraint => a.constraint()
+      }.collect {
+        case pk: org.apache.spark.sql.connector.catalog.constraints.PrimaryKey => pk
+      }
+      if (addedPks.isEmpty)
+        withCommitLock(dir)(persistConstraintChangesLocked())
+      else {
+        val cols = addedPks.flatMap(_.columns().toSeq
+          .map(_.fieldNames().mkString(".")))
+        var persisted = false
+        var attempts = 0
+        while (!persisted) {
+          attempts += 1
+          val scanHead = currentVersion(dir)
+            .getOrElse(throw new NoSuchTableException(ident))
+          val (schemaNow, _) = readMeta(scanHead)
+          cols.foreach { c => require(
+            schemaNow.fieldNames.exists(_.equalsIgnoreCase(c)),
+            s"$ident: PRIMARY KEY column $c does not exist") }
+          if (addedPks.exists(!_.rely())) {
+            import org.apache.spark.sql.functions.{col => fcol}
+            val nulls = readVersionDf(scanHead, schemaNow)
+              .where(cols.map(fcol(_).isNull).reduce(_ || _))
+              .limit(1).count()
+            require(nulls == 0L,
+              s"$ident: PRIMARY KEY (${cols.mkString(", ")}) declared " +
+                "over existing NULL key values — clean the data first, " +
+                "or add the constraint with RELY to assert the data is " +
+                "clean without a scan")
+          }
+          persisted = withCommitLock(dir) {
+            if (currentVersion(dir).map(_.getFileName.toString) !=
+                Some(scanHead.getFileName.toString)) false // re-scan
+            else {
+              persistConstraintChangesLocked(); true
+            }
+          }
+          if (!persisted && attempts >= 5) throw new IllegalStateException(
+            s"$ident: could not validate the PRIMARY KEY — a racing " +
+              "writer advanced the table on every attempt; retry the " +
+              "ALTER when the write load settles")
+        }
+      }
     }
     // PRIMARY KEY implies NOT NULL (RELY semantics — the same trust
     // Iceberg places in identifier fields): flip the declared columns
@@ -2211,18 +2242,12 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             var rewritten = 0L
             if (legacyRels.nonEmpty) {
               val df = MorDeletes.readFiles(spark, cur, legacyRels, schema)
-              val routed = PartitionField.materializeDirCols(df, fields)
-              val clustered =
-                if (fields.nonEmpty &&
-                    PartitionField.clusterWrite(spark, fields))
-                  routed.repartition(fields.map(f =>
-                    org.apache.spark.sql.functions.col(f.dirName)): _*)
-                else routed
-              if (fields.nonEmpty)
-                clustered.write.mode("append")
-                  .partitionBy(fields.map(_.dirName): _*)
-                  .parquet(nv.toString)
-              else clustered.write.mode("append").parquet(nv.toString)
+              // the shared layout router: same clustering policy as any
+              // write, plus write.sort-cols / write.target-file-size-
+              // rows — the rewritten legacy rows must land as sharp as
+              // a fresh append, not dull the table's skip index
+              AtomicParquetCatalog.writeLayout(spark, dir, nv, df,
+                fields, "append")
               rewritten = legacyRels.size.toLong
             }
             // no _legacy_specs.txt in the new version: single-spec again

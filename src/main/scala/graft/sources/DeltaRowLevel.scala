@@ -108,10 +108,16 @@ private[sources] object DeltaRowLevel {
       if (parts.isEmpty || parts.exists(_.length != 1)) None // nested: COW
       else {
         // resolve to the SCHEMA's casing — the sidecar entry's column
-        // names must match what the read side resolves
+        // names must match what the read side resolves. A column name
+        // carrying a sidecar delimiter (, | tab newline) would corrupt
+        // the serialized tuple entry, so such keys are INELIGIBLE here
+        // (planning-time COW fallback) rather than a commit-time
+        // failure inside inTupleNode's backstop.
         val resolved = parts.map(_.head).map(c =>
           schema.fields.find(f => f.name.equalsIgnoreCase(c) &&
-            MorDeletes.encodableType(f.dataType)).map(_.name))
+            MorDeletes.encodableType(f.dataType) &&
+            !f.name.exists(ch => ch == ',' || ch == '|' ||
+              ch == '\t' || ch == '\n')).map(_.name))
         if (resolved.exists(_.isEmpty)) None else Some(resolved.map(_.get))
       }
     }

@@ -179,4 +179,28 @@ class BranchSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("already exists") ||
       Option(e2.getCause).exists(_.getMessage.contains("already exists")))
   }
+
+  test("path-shaped branch names are refused at every resolving entry " +
+      "point — drop_branch, fast_forward, table_changes") {
+    def shapeErr(body: => Unit): Unit = {
+      val e = intercept[Exception](body)
+      assert(e.getMessage.contains("[A-Za-z0-9_-]") ||
+        Option(e.getCause).exists(_.getMessage.contains("[A-Za-z0-9_-]")),
+        s"expected the name-shape error, got: ${e.getMessage}")
+    }
+    // each of these would otherwise resolve '_branch_x/../_current'
+    // onto the table's MAIN pointer (delete it, swap it, or serve
+    // main's change feed labeled as a branch)
+    shapeErr(spark.sql(
+      "CALL graft_br.system.drop_branch('db.t1', 'x/../_current')"))
+    shapeErr(spark.sql(
+      "CALL graft_br.system.fast_forward('db.t1', 'x/../_current')"))
+    // (a literal '..' cannot even reach the branch resolver here — the
+    // table string splits on dots first — but any slash-carrying name
+    // is refused before it touches the filesystem)
+    shapeErr(graft.sources.AtomicParquetCatalog
+      .tableChanges(spark, "graft_br.db.t1@x/y", 1))
+    // the main pointer survived the attempts
+    assert(spark.table("graft_br.db.t1").count() > 0)
+  }
 }
