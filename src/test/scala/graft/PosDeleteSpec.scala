@@ -168,6 +168,12 @@ class PosDeleteSpec extends AnyFunSuite {
     }
     // count(*) with positional deletes live still filters exactly
     assert(spark.table("graft_pos.db.pdup").count() == 3)
+    // a metadata-ONLY projection (no data columns in the scan) still
+    // serves: per-file row counts via _file alone
+    val perFile = spark.sql(
+      "SELECT _file, count(*) AS n FROM graft_pos.db.pdup GROUP BY _file")
+      .collect()
+    assert(perFile.map(_.getLong(1)).sum == 3L, perFile.mkString(", "))
   }
 
   test("rewrite_deletes materializes positional entries") {
