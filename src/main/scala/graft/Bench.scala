@@ -72,7 +72,12 @@ object Bench {
       }
 
     // Medallion ETL throughput (bronze gen -> silver enrich -> gold KPIs):
-    // the full chain runs `iters` times; per-stage best-of.
+    // the full chain runs `iters` times; per-stage best-of. Stage
+    // timings ALSO feed the pin/drift machinery below (r14 lesson: the
+    // payload-256 chain read 13.1s in the official sweep with no pin to
+    // name it, so the regression question surfaced a round late as a
+    // judge-level anomaly instead of a drift row).
+    var mdpTimes: Seq[(String, Double)] = Nil
     val cfg = MdpConfig.fromEnv(mdpDir)
     val mdp = if (sys.env.contains("SPARK_GRAFT_SKIP_MDP")) """"medallion_skipped":1"""
     else try {
@@ -101,6 +106,9 @@ object Bench {
         Pipeline.bronze(spark, cfg256); Pipeline.silver(spark, cfg256)
       }
       val gbpm256 = cfg256.ingestGb / t256 * 60
+      mdpTimes = Seq("medallion_bronze" -> tBronze,
+        "medallion_silver" -> tSilver, "medallion_gold" -> tGold,
+        "medallion_payload256_sec" -> t256)
       f""""medallion_bronze":$tBronze%.3f,"medallion_silver":$tSilver%.3f,"medallion_gold":$tGold%.3f,"medallion_gb":$gb%.3f,"medallion_gbpm":$gbpm%.3f,"medallion_payload256_sec":$t256%.3f,"medallion_payload256_gbpm":$gbpm256%.3f"""
     } catch { case _: Throwable => """"medallion_error":1""" }
     try {
@@ -134,10 +142,14 @@ object Bench {
       else {
         val txt = scala.io.Source.fromFile(pinsPath).mkString
         val pin = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r
+        // medallion stage timings join the comparison pool: the chain
+        // is the engine's headline number and must drift-flag like any
+        // carried query
+        val pool = results ++ mdpTimes
         pin.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
           .toMap.toSeq.collect {
             case (k, p) if p >= 0.2 =>
-              results.collectFirst { case (`k`, v) if v > 0 => (k, p, v / p) }
+              pool.collectFirst { case (`k`, v) if v > 0 => (k, p, v / p) }
           }.flatten.filter(_._3 > 1.5).sortBy(-_._3)
       }
     drift.foreach { case (k, p, r) =>

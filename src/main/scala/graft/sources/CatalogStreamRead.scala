@@ -61,6 +61,17 @@ private[sources] object StreamReadOptions {
   * `.option("skipChangeCommits", true)` for pure-append consumption
   * (change commits are skipped whole — updated rows never replay, at
   * the price that a change commit's own inserts are skipped with it).
+  * MERGE-ON-READ delete commits follow the same two semantics (where
+  * Iceberg's incremental scan simply refuses live delete files): in
+  * default mode an entry-adding commit is the logical rewrite it is —
+  * every file whose applicable-entry signature changed re-emits its
+  * SURVIVOR rows (the batch reader's exact DeleteApplyingScan split,
+  * so deleted rows are never served), with the re-emission set priced
+  * by the entry's stats-narrowed file scope; in skipChangeCommits
+  * mode an entry-adding commit is a change commit and skips whole.
+  * The engine's flagship composition — MoR CDC upserts tailed by
+  * `readStream.table` — therefore works with no manual
+  * rewrite_deletes between writer and reader.
   * A version vacuumed out of the retention window before the stream
   * consumed it fails with a pointed error — the stream must restart
   * from a fresh checkpoint (same contract as an expired Iceberg
@@ -131,23 +142,100 @@ private[sources] final class CatalogMicroBatchStream(
     files
   }
 
+  /** Per-file APPLICABLE-DELETE signature of a committed version: the
+    * sorted ids of the merge-on-read entries (equality and positional)
+    * whose scope names the file. Entry ids are identity across carries
+    * ([[MorDeletes.carryRestricted]] preserves them), so a signature
+    * CHANGE between two versions means a delete commit logically
+    * rewrote the file. Cached like [[dataFiles]] — version dirs are
+    * immutable. */
+  private val sigCache =
+    new java.util.LinkedHashMap[String, Map[String, String]](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Map[String, String]]): Boolean =
+        size() > 16
+    }
+
+  private def deleteSigs(version: String): Map[String, String] =
+    sigCache.synchronized {
+      val cached = sigCache.get(version)
+      if (cached != null) return cached
+      val v = tableDir.resolve(version)
+      val byFile = scala.collection.mutable.Map.empty[String, List[String]]
+      MorDeletes.entries(v).foreach(e =>
+        e.files.foreach(f => byFile(f) = e.id :: byFile.getOrElse(f, Nil)))
+      MorDeletes.posEntries(v).foreach(e =>
+        e.files.foreach(f => byFile(f) = e.id :: byFile.getOrElse(f, Nil)))
+      val sigs = byFile.map { case (f, ids) =>
+        f -> ids.sorted.mkString(",")
+      }.toMap
+      sigCache.put(version, sigs)
+      sigs
+    }
+
+  /** All live entry ids of a version — the skip-mode change-commit
+    * test (a commit that ADDED a delete entry removed rows, whether or
+    * not it moved files). */
+  private def deleteIds(version: String): Set[String] =
+    deleteSigs(version).valuesIterator
+      .flatMap(_.split(",").iterator.filter(_.nonEmpty)).toSet
+
   /** A scan over explicit file paths of ONE layout root (a version
     * dir, or one `_spec-<k>` legacy subtree inside it), constructed
     * with `basePath` at that root so partition-column inference
     * matches the layout that wrote the files. */
-  private def scanOver(baseDir: JPath, paths: Seq[String]): Scan = {
+  private def scanOver(baseDir: JPath, paths: Seq[String],
+      pruneTo: StructType = readSchema,
+      needRowIndex: Boolean = false): Scan = {
     val options = new CaseInsensitiveStringMap(
       java.util.Collections.singletonMap("basePath", baseDir.toString))
+    // only a positional-delete group declares the parquet row-index
+    // column (its ordinals must be probed); plain scans keep the bare
+    // table schema — the reserved column changes the vectorized
+    // reader's batch shape and must never ride along uninvited
+    val declared =
+      if (needRowIndex) MorDeletes.withRowIndex(tableSchema) else tableSchema
     val b = ParquetTable(s"$name-stream", session, options,
       paths.map(p => baseDir.resolve(p).toString),
-      Some(tableSchema), classOf[ParquetFileFormat])
+      Some(declared), classOf[ParquetFileFormat])
       .newScanBuilder(options)
     b match {
       case fb: org.apache.spark.sql.execution.datasources.v2.FileScanBuilder =>
-        fb.pruneColumns(readSchema)
+        fb.pruneColumns(pruneTo)
       case _ => ()
     }
     b.build()
+  }
+
+  /** The scan for one (version, layout-root) group of a planned batch:
+    * when live merge-on-read entries of the SERVING version apply to
+    * any of the group's files, the plain scan extends its read schema
+    * by the predicate columns (and the row-index column for positional
+    * ordinals) and wraps in a [[DeleteApplyingScan]] — the same exact
+    * per-signature split and row filter every batch read runs; files
+    * without applicable entries pass through it untouched. */
+  private def scanGroup(version: String, baseDir: JPath,
+      rels: Seq[String], fullRels: Seq[String]): Scan = {
+    val vd = tableDir.resolve(version)
+    val fullSet = fullRels.toSet
+    val es = MorDeletes.entries(vd)
+      .filter(_.files.exists(fullSet.contains))
+    val pos = MorDeletes.posEntries(vd)
+      .filter(_.files.exists(fullSet.contains))
+    if (es.isEmpty && pos.isEmpty) return scanOver(baseDir, rels)
+    val needed = es.flatMap(e => MorDeletes.colsOf(e.node)).toSet
+    val have = readSchema.fieldNames.map(_.toLowerCase).toSet
+    val extra = tableSchema.fields.filter(f =>
+      needed.contains(f.name.toLowerCase) &&
+        !have.contains(f.name.toLowerCase)).toSeq
+    val extended0 = StructType(readSchema.fields ++ extra)
+    val extended =
+      if (pos.isEmpty) extended0 else MorDeletes.withRowIndex(extended0)
+    val extraCols = extra.map(_.name) ++
+      (if (pos.isEmpty) Nil else Seq(MorDeletes.RowIndexCol))
+    new DeleteApplyingScan(
+      scanOver(baseDir, rels, extended, needRowIndex = pos.nonEmpty),
+      s"$name-stream-mor", vd, es, pos, extraCols)
   }
 
   /** The (sourceVersion, relativePath) file list a consumer owes for
@@ -166,23 +254,26 @@ private[sources] final class CatalogMicroBatchStream(
     * versions retained (an expired chain fails with the same pointed
     * restart-fresh error as any vacuumed offset). */
   private def addedFiles(base: String, upto: String): Seq[(String, String)] = {
-    // LIVE merge-on-read delete entries poison a streaming read: the
-    // per-version file reads below serve raw files, so deleted rows
-    // would be (re-)served as if present. Iceberg's incremental scan
-    // refuses delete files the same way. rewrite_deletes / compact
-    // materializes them, after which streaming resumes.
-    if (upto.nonEmpty &&
-        MorDeletes.hasLive(tableDir.resolve(upto)))
-      throw new IllegalStateException(
-        s"$name: the table has live merge-on-read delete entries — a " +
-          "streaming read cannot apply them; run CALL system." +
-          "rewrite_deletes (or compact) to materialize the deletes, " +
-          "then restart the stream")
-    if (!opts.skipChangeCommits)
-      (dataFiles(upto) --
-        (if (base.isEmpty) Set.empty[String] else dataFiles(base)))
-        .toSeq.sorted.map(upto -> _)
-    else {
+    // LIVE merge-on-read delete entries are SERVED, not refused: the
+    // planner wraps each batch's scans in a DeleteApplyingScan for the
+    // serving version, so the engine's flagship composition (MoR CDC
+    // upsert -> downstream readStream.table) works without a manual
+    // rewrite_deletes. Default mode treats a delete commit as the
+    // LOGICAL rewrite it is: every file whose applicable-entry
+    // signature changed re-emits (survivor rows only — deletes applied
+    // at read), the exact analogue of COW re-emission, with the
+    // re-emission set priced by the entry's stats-narrowed file scope
+    // rather than the snapshot.
+    if (!opts.skipChangeCommits) {
+      val uf = dataFiles(upto)
+      val bf = if (base.isEmpty) Set.empty[String] else dataFiles(base)
+      val us = deleteSigs(upto)
+      val bs = if (base.isEmpty) Map.empty[String, String]
+        else deleteSigs(base)
+      val changed = (uf intersect bf).filter(f =>
+        us.getOrElse(f, "") != bs.getOrElse(f, ""))
+      ((uf -- bf) ++ changed).toSeq.sorted.map(upto -> _)
+    } else {
       val l = log() // newest first
       val ui = l.indexOf(upto)
       val bi = if (base.isEmpty) l.size else l.indexOf(base)
@@ -192,12 +283,23 @@ private[sources] final class CatalogMicroBatchStream(
           "stream from a fresh checkpoint")
       val chain = l.slice(ui, bi).reverse // oldest → upto
       var prev = if (base.isEmpty) Set.empty[String] else dataFiles(base)
+      var prevIds = if (base.isEmpty) Set.empty[String] else deleteIds(base)
+      var first = true
       val out = Seq.newBuilder[(String, String)]
       for (v <- chain) {
         val cur = dataFiles(v)
-        if ((prev -- cur).isEmpty)
+        // a change commit either MOVED files (COW/compaction) or ADDED
+        // a delete entry (merge-on-read — no file moves, rows removed);
+        // both skip whole. The chain's first element under base=""
+        // is the initial SNAPSHOT, not a commit: it serves regardless
+        // (its own live entries apply at read).
+        val isSnapshot = first && base.isEmpty
+        if (isSnapshot ||
+            ((prev -- cur).isEmpty && (deleteIds(v) -- prevIds).isEmpty))
           out ++= (cur -- prev).toSeq.sorted.map(v -> _)
         prev = cur
+        prevIds = deleteIds(v)
+        first = false
       }
       out.result()
     }
@@ -385,7 +487,7 @@ private[sources] final class CatalogMicroBatchStream(
       val rels = fs.map { case (_, rel) =>
         if (g.isEmpty) rel else rel.stripPrefix(g).stripPrefix("/")
       }
-      val scan = scanOver(baseDir, rels)
+      val scan = scanGroup(v, baseDir, rels, fs.map(_._2))
       val batch = scan.toBatch
       (batch.planInputPartitions(), batch.createReaderFactory(),
         scan.readSchema())
@@ -443,9 +545,29 @@ private[sources] final class StreamCapableScan(
   override def description(): String = inner.description()
   override def toBatch: Batch = inner.toBatch
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // the stream's declared read schema must follow the RELATION's
+    // column order (table-schema order), not the file scan's
+    // data-columns-then-partition-columns order: Spark binds the
+    // exec's output attributes positionally against the served
+    // batches, so an identity-partitioned table (whose partition
+    // column sits mid-schema) would otherwise read a double vector as
+    // a string (latent until r15 — every earlier stream gate was
+    // bucket-partitioned or unpartitioned, where the two orders
+    // coincide). Groups whose scans still serve scan order fall off
+    // the columnar path (sch != readSchema) and re-align row-by-row
+    // through DispatchReaderFactory's by-name projection.
+    // ...and it must carry TABLE columns only: the batch scan's
+    // readSchema may have been extended by delete-internal fields
+    // (the reserved row-index column, predicate-only columns) that a
+    // stream never serves — the per-batch scans re-derive what they
+    // need from the serving version's own entries.
+    val scanned = inner.readSchema()
+    val inTableOrder = tableSchema.fields.flatMap(tf =>
+      scanned.fields.find(_.name.equalsIgnoreCase(tf.name)))
     new CatalogMicroBatchStream(session, name, tableDir, tableSchema,
-      inner.readSchema(), opts)
+      StructType(inTableOrder), opts)
+  }
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     inner match {

@@ -57,14 +57,25 @@ import org.apache.spark.util.SerializableConfiguration
   * unique; this engine does not re-validate per write (no lakehouse
   * does — enforcement would cost a global shuffle).
   *
-  * Tables with NO usable PRIMARY KEY take the POSITIONAL path instead
-  * (Iceberg v2's second delete format): the row id is the
-  * `(_file, _pos)` metadata pair served by the catalog scan
-  * ([[GraftMetadataColumns]]), matched rows land as a per-file
+  * Tables with NO usable PRIMARY KEY (none declared, or a key with a
+  * nested / non-encodable / delimiter-carrying column) take the
+  * POSITIONAL path instead (Iceberg v2's second delete format): the
+  * row id is the `(_file, _pos)` metadata pair served by the catalog
+  * scan ([[GraftMetadataColumns]]), matched rows land as a per-file
   * ordinal sidecar ([[MorDeletes.PosEntry]]), and the read side drops
   * them by probing the parquet row index — no key column, type, or
   * uniqueness discipline asked of the table, and duplicate rows
   * delete individually (the case no key can express).
+  *
+  * IDENTITY-columned tables are MoR-eligible too — exactly the
+  * surrogate-keyed dimension tables CDC upserts target. The COW
+  * path's allocation/null-refusal guard moves onto the delta write:
+  * Spark's delta plumbing distinguishes REINSERTS (the row half of an
+  * update — [[DeltaWriter.reinsert]]) from genuine inserts, so at
+  * commit the reinserted rows keep their identity values (nulls
+  * refused pointedly) while fresh inserts allocate from the pinned
+  * base version's watermark, GENERATED ALWAYS refusing explicit
+  * values — the same [[IdentityColumns]] policy as an append.
   *
   * Scale bound, explicit: the matched-key set of ONE commit funnels
   * through the driver into the sidecar entry (distinct + collect),
@@ -72,10 +83,12 @@ import org.apache.spark.util.SerializableConfiguration
   * Beyond the cap the operation FAILS with a pointed error naming the
   * copy-on-write fallback — a merge replacing more than a million
   * scattered rows is bulk maintenance, where the rewrite is the right
-  * price anyway. Fallbacks to copy-on-write are automatic (not errors)
-  * when the table is ineligible: no PK, a PK with a nested or
-  * non-encodable column, or identity columns (their allocation guard
-  * lives on the COW path). */
+  * price anyway. The equality entry's file scope is NARROWED at
+  * commit by the footer-stats store ([[FileStats
+  * .filesMayContainKeys]]): a clustered-key delete scopes to the
+  * files whose key range it intersects, not the whole snapshot — the
+  * scope prices every later consumer (CDC reads, stream re-emission,
+  * rewrite_deletes). */
 private[sources] object DeltaRowLevel {
 
   val MaxKeysProp = "write.mor.max-delete-keys"
@@ -92,16 +105,15 @@ private[sources] object DeltaRowLevel {
     * mode requested (per-command table property or session conf) AND a
     * PRIMARY KEY — single- or multi-column (Iceberg's identifier-field
     * posture), every key column a top-level field of a type the delete
-    * sidecar can encode — AND no identity columns (their null-refusal/
-    * allocation guard is built into the COW write). None → group-based
-    * COW. */
+    * sidecar can encode. None → positional MoR or group-based COW.
+    * Identity columns do NOT disqualify: their allocation/null-refusal
+    * guard runs on the delta commit ([[GraftDeltaWrite]]). */
   def eligibleRowId(catalog: AtomicParquetCatalog, dir: JPath,
       schema: StructType, cmd: RowLevelOperation.Command,
       spark: SparkSession): Option[Seq[String]] = {
     val mode = catalog.readProps(dir).get(propFor(cmd))
       .orElse(spark.conf.getOption(SessionModeConf))
     if (!mode.contains("merge-on-read")) return None
-    if (IdentityColumns.has(schema)) return None
     TableConstraints.read(dir).collectFirst {
       case pk: PrimaryKey => pk.columns().toSeq.map(_.fieldNames().toSeq)
     }.flatMap { parts =>
@@ -132,13 +144,13 @@ private[sources] object DeltaRowLevel {
     * usable PRIMARY KEY): the row id is the `(_file, _pos)` metadata
     * pair, so NO key column, type, or uniqueness discipline is asked
     * of the table — matched rows are addressed by where they sit.
-    * Identity tables still fall to COW (allocation guard). */
+    * Identity tables qualify too (guard on the delta commit). */
   def eligiblePositional(catalog: AtomicParquetCatalog, dir: JPath,
       schema: StructType, cmd: RowLevelOperation.Command,
       spark: SparkSession): Boolean = {
     val mode = catalog.readProps(dir).get(propFor(cmd))
       .orElse(spark.conf.getOption(SessionModeConf))
-    mode.contains("merge-on-read") && !IdentityColumns.has(schema) &&
+    mode.contains("merge-on-read") &&
       // the metadata pair must not be shadowed by data columns
       GraftMetadataColumns.columns.forall(m =>
         !schema.fieldNames.exists(_.equalsIgnoreCase(m.name())))
@@ -149,17 +161,23 @@ private[sources] object DeltaRowLevel {
     Seq(GraftMetadataColumns.FileName, GraftMetadataColumns.PosName)
 }
 
-/** One task's delta contribution: its insert-rows file and/or its
-  * deleted-row-ids file (either may be absent — a pure-insert or
-  * pure-delete task writes one file, an untouched task none). */
+/** One task's delta contribution: its insert-rows file, its
+  * REINSERT-rows file (the row half of updates — kept apart so the
+  * identity guard can treat carried values and fresh rows
+  * differently), and/or its deleted-row-ids file (any may be absent —
+  * a pure-insert or pure-delete task writes one file, an untouched
+  * task none). */
 private[sources] final case class DeltaFilesMessage(
-    dataPath: Option[String], idPath: Option[String],
-    inserted: Long, deleted: Long) extends WriterCommitMessage
+    dataPath: Option[String], reinsertPath: Option[String],
+    idPath: Option[String],
+    inserted: Long, reinserted: Long, deleted: Long)
+    extends WriterCommitMessage
 
 private[sources] final class DeltaRowLevelOperation(
     catalog: AtomicParquetCatalog, ident: Identifier, dir: JPath,
     versionDir: JPath, fields: Seq[PartitionField],
-    cmd: RowLevelOperation.Command, rowIdCols: Seq[String], ref: String,
+    cmd: RowLevelOperation.Command, rowIdCols: Seq[String],
+    positional: Boolean, tableSchema: StructType, ref: String,
     scanBuilderFn: CaseInsensitiveStringMap => ScanBuilder)
     extends RowLevelOperation with SupportsDelta {
 
@@ -169,7 +187,8 @@ private[sources] final class DeltaRowLevelOperation(
     rowIdCols.map(c =>
       Expressions.column(c).asInstanceOf[NamedReference]).toArray
   // updates arrive as delete + reinsert: one sidecar entry + one data
-  // file per task covers all three commands
+  // file per task covers all three commands (the reinserted row rides
+  // through DeltaWriter.reinsert, still distinguishable from inserts)
   override def representUpdateAsDeleteAndInsert(): Boolean = true
 
   // the table's NORMAL scan (exact MoR application, pushdown allowed):
@@ -181,8 +200,8 @@ private[sources] final class DeltaRowLevelOperation(
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new GraftDeltaWrite(
-        catalog, ident, dir, versionDir, fields, ref,
-        info.schema(),
+        catalog, ident, dir, versionDir, fields, positional, tableSchema,
+        ref, info.schema(),
         info.rowIdSchema().orElseThrow(() => new IllegalStateException(
           s"$ident: delta write planned without a row-id schema")))
     }
@@ -191,6 +210,7 @@ private[sources] final class DeltaRowLevelOperation(
 private[sources] final class GraftDeltaWrite(
     catalog: AtomicParquetCatalog, ident: Identifier, dir: JPath,
     versionDir: JPath, fields: Seq[PartitionField],
+    positional: Boolean, tableSchema: StructType,
     ref: String, writeSchema: StructType,
     rowIdSchema: StructType) extends DeltaWrite {
 
@@ -228,9 +248,13 @@ private[sources] final class GraftDeltaWrite(
       val spark = SparkSession.active
       val msgs = messages.collect { case m: DeltaFilesMessage => m }
       val dataFiles = msgs.flatMap(m => m.dataPath.filter(_ => m.inserted > 0L))
+      val rinsFiles = msgs.flatMap(m =>
+        m.reinsertPath.filter(_ => m.reinserted > 0L))
       val idFiles = msgs.flatMap(m => m.idPath.filter(_ => m.deleted > 0L))
+      val hasIdentity = IdentityColumns.has(tableSchema)
       try {
-        if (dataFiles.isEmpty && idFiles.isEmpty) return // no-op operation
+        if (dataFiles.isEmpty && rinsFiles.isEmpty && idFiles.isEmpty)
+          return // no-op operation
         val v = s"v-${UUID.randomUUID()}"
         val nv = dir.resolve(v)
         val committed =
@@ -260,8 +284,12 @@ private[sources] final class GraftDeltaWrite(
                   "write.merge.mode/write.update.mode/write.delete.mode " +
                   s"to copy-on-write for it (or raise " +
                   s"${DeltaRowLevel.MaxKeysProp})")
-              if (rowIdSchema.fieldNames.map(_.toLowerCase).toSeq ==
-                  DeltaRowLevel.PositionalRowId.map(_.toLowerCase)) {
+              // the path is the one the PLANNER chose (threaded as an
+              // explicit flag), never inferred from row-id column
+              // names — a table with real data columns named
+              // _file/_pos must not be misrouted into the positional
+              // branch
+              if (positional) {
                 // POSITIONAL row id: group the matched (_file, _pos)
                 // pairs per file into one positional delete entry —
                 // inherently scoped (an ordinal addresses a row of one
@@ -293,22 +321,62 @@ private[sources] final class GraftDeltaWrite(
                     s"$ident: a matched row id failed to encode (null key " +
                       "component?) — every PRIMARY KEY column must be " +
                       "non-null for merge-on-read row-level operations"))
-                MorDeletes.writeEntry(nv, node, baseFiles)
+                // NARROW the entry's file scope by the footer-stats
+                // store: only files whose key range intersects the
+                // matched keys stay — every later consumer of the
+                // scope (CDC, stream re-emission, rewrite_deletes)
+                // then prices the files the delete touched, not the
+                // snapshot. Composite keys narrow on their FIRST
+                // component (per-column ranges cannot see tuples;
+                // still a sound over-approximation).
+                val scoped = {
+                  val keyCol = rowIdSchema.fields(0).name
+                  val keys = ids.toSeq.map(r => convs(0)(r.get(0)))
+                  FileStats.filesMayContainKeys(FileStats.load(dir),
+                    baseFiles, keyCol, dts(0), keys)
+                }
+                if (scoped.nonEmpty) { MorDeletes.writeEntry(nv, node, scoped); () }
               }
             }
-            if (dataFiles.nonEmpty) {
-              if (fields.isEmpty) {
+            if (dataFiles.nonEmpty || rinsFiles.nonEmpty) {
+              val sorted = catalog.readProps(dir).contains("write.sort-cols")
+              if (!hasIdentity && !sorted && fields.isEmpty) {
                 // unpartitioned: the staged files ARE the layout
-                dataFiles.foreach { f =>
+                // (sort-ordered tables skip the shortcut — their delta
+                // rows land through the layout router's range sort)
+                (dataFiles ++ rinsFiles).foreach { f =>
                   val src = Paths.get(f)
                   Files.move(src, nv.resolve(src.getFileName.toString))
                 }
               } else {
-                // partitioned: one extra pass over the INSERTED rows
-                // only, laid out under the current spec (the streaming
-                // sink's exact posture — never a table-sized pass)
-                val staged = spark.read.schema(writeSchema)
-                  .parquet(dataFiles.toSeq: _*)
+                // one extra pass over the CHANGED rows only, laid out
+                // under the current spec (the streaming sink's exact
+                // posture — never a table-sized pass). Identity
+                // tables apply the allocation guard here: REINSERTED
+                // rows keep the values they carried (null refused
+                // pointedly — an update cannot lose its surrogate
+                // key), fresh INSERTS allocate from the pinned base's
+                // watermark with GENERATED ALWAYS refusing explicit
+                // values — the same IdentityColumns policy an append
+                // runs, on the delta batch instead of the table.
+                def readStaged(paths: Seq[String]) =
+                  spark.read.schema(writeSchema).parquet(paths: _*)
+                val fresh =
+                  if (dataFiles.isEmpty) None
+                  else Some(if (hasIdentity)
+                    IdentityColumns.fillGenerated(spark,
+                      readStaged(dataFiles.toSeq), tableSchema, dir,
+                      versionDir)
+                  else readStaged(dataFiles.toSeq))
+                val reins =
+                  if (rinsFiles.isEmpty) None
+                  else Some(if (hasIdentity)
+                    IdentityColumns.refuseNulls(
+                      readStaged(rinsFiles.toSeq), tableSchema,
+                      s"the merge-on-read update path of $ident")
+                  else readStaged(rinsFiles.toSeq))
+                val staged = (fresh.toSeq ++ reins.toSeq)
+                  .reduce(_ unionByName _)
                 AtomicParquetCatalog.writeLayout(spark, dir, nv, staged,
                   fields, "append")
               }
@@ -370,9 +438,12 @@ private[sources] final class GraftDeltaWriterFactory(
     new DeltaWriter[InternalRow] {
       private var dataWriter: org.apache.spark.sql.execution.datasources.OutputWriter = _
       private var dataPath: String = _
+      private var rinsWriter: org.apache.spark.sql.execution.datasources.OutputWriter = _
+      private var rinsPath: String = _
       private var idWriter: org.apache.spark.sql.execution.datasources.OutputWriter = _
       private var idPath: String = _
       private var inserted = 0L
+      private var reinserted = 0L
       private var deleted = 0L
 
       override def insert(row: InternalRow): Unit = {
@@ -381,6 +452,17 @@ private[sources] final class GraftDeltaWriterFactory(
           dataWriter = w; dataPath = p
         }
         dataWriter.write(row); inserted += 1
+      }
+
+      // the row half of an update (representUpdateAsDeleteAndInsert):
+      // staged APART from genuine inserts so the commit-time identity
+      // guard can keep carried values while fresh rows allocate
+      override def reinsert(metadata: InternalRow, row: InternalRow): Unit = {
+        if (rinsWriter == null) {
+          val (w, p) = open(dataOwf, dataConf, dataSchema, "rins")
+          rinsWriter = w; rinsPath = p
+        }
+        rinsWriter.write(row); reinserted += 1
       }
 
       override def delete(metadata: InternalRow, id: InternalRow): Unit = {
@@ -395,18 +477,22 @@ private[sources] final class GraftDeltaWriterFactory(
       // delete+reinsert; keep the direct form correct anyway
       override def update(metadata: InternalRow, id: InternalRow,
           row: InternalRow): Unit = {
-        delete(metadata, id); insert(row)
+        delete(metadata, id); reinsert(metadata, row)
       }
 
       override def commit(): WriterCommitMessage = {
         if (dataWriter != null) dataWriter.close()
+        if (rinsWriter != null) rinsWriter.close()
         if (idWriter != null) idWriter.close()
-        DeltaFilesMessage(Option(dataPath), Option(idPath), inserted, deleted)
+        DeltaFilesMessage(Option(dataPath), Option(rinsPath),
+          Option(idPath), inserted, reinserted, deleted)
       }
 
       override def abort(): Unit = {
         if (dataWriter != null) { dataWriter.close()
           Files.deleteIfExists(Paths.get(dataPath)) }
+        if (rinsWriter != null) { rinsWriter.close()
+          Files.deleteIfExists(Paths.get(rinsPath)) }
         if (idWriter != null) { idWriter.close()
           Files.deleteIfExists(Paths.get(idPath)) }
         ()

@@ -393,6 +393,51 @@ private[sources] object FileStats {
                schema: StructType): Boolean =
     filters.forall(may(_, st, schema))
 
+  /** The subset of `files` whose footer stats CANNOT rule out holding
+    * at least one of `keys` in column `colName` — write-time scope
+    * narrowing for equality-delete entries: a MoR delete of k keys
+    * then scopes (and later CDC-reads, stream-re-emits, rewrites) only
+    * the files whose [min,max] range intersects the key set, never the
+    * whole snapshot. Keys are CATALYST-INTERNAL values of the column's
+    * type; files without stats (or stats of another shape) stay in
+    * scope — may-match semantics, the [[mayMatch]] contract. An empty
+    * file (0 rows) leaves scope: it holds no rows an entry could
+    * delete; so does a file whose key column is entirely null (keys
+    * are non-null by the equality-entry encode check).
+    * O(|files| log |keys|) — never keys×files. */
+  def filesMayContainKeys(stats: Map[String, FileStat], files: Set[String],
+      colName: String, dt: DataType, keys: Seq[Any]): Set[String] = {
+    if (stats.isEmpty || keys.isEmpty) return files
+    val conv = keys.map(litValue(_, dt))
+    if (conv.exists(_.isEmpty)) return files
+    val sorted = conv.flatten.toArray.sortWith(cmpValues(_, _) < 0)
+    files.filter { f =>
+      stats.get(f) match {
+        case None => true
+        case Some(fs) if fs.rows == 0L => false
+        case Some(fs) =>
+          fs.cols.find(_._1.equalsIgnoreCase(colName)).map(_._2) match {
+            case None => true
+            case Some(cs) =>
+              if (cs.nulls.contains(fs.rows)) false // all-null column
+              else (cs.mn, cs.mx) match {
+                case (Some(mn), Some(mx)) if sameShape(mn, sorted.head) &&
+                    sameShape(mx, sorted.head) =>
+                  // smallest key >= mn, then in range iff it is <= mx
+                  var lo = 0; var hi = sorted.length
+                  while (lo < hi) {
+                    val mid = (lo + hi) >>> 1
+                    if (cmpValues(sorted(mid), mn) < 0) lo = mid + 1
+                    else hi = mid
+                  }
+                  lo < sorted.length && cmpValues(sorted(lo), mx) <= 0
+                case _ => true
+              }
+          }
+      }
+    }
+  }
+
   private def may(e: CExpression, st: FileStat, schema: StructType): Boolean = {
     def colType(a: AttributeReference): Option[DataType] =
       schema.fields.find(_.name.equalsIgnoreCase(a.name)).map(_.dataType)

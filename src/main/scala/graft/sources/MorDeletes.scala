@@ -514,10 +514,19 @@ private[sources] object MorDeletes {
     * move is the entry's commit marker (single-file entries — no
     * second manifest to order against). */
   def writePosEntry(versionDir: JPath,
+      ords: Map[String, Array[Long]]): String =
+    writePosEntryAs(versionDir, s"p-${UUID.randomUUID()}", ords)
+
+  /** [[writePosEntry]] under a CALLER-CHOSEN id — the restricted-carry
+    * path owes this: entry ids are IDENTITY across commits (the CDC
+    * reader detects new deletes by id, [[AtomicParquetCatalog
+    * .tableChanges]]), so a carried entry that re-materialized under a
+    * fresh id would be re-reported as a fresh delete of rows removed
+    * commits ago. */
+  def writePosEntryAs(versionDir: JPath, id: String,
       ords: Map[String, Array[Long]]): String = {
     val d = versionDir.resolve(DIR)
     Files.createDirectories(d)
-    val id = s"p-${UUID.randomUUID()}"
     val tp = d.resolve(s".$id.pos.tmp")
     Files.write(tp, ords.toSeq.sortBy(_._1).map { case (f, os) =>
       s"$f\t${os.sorted.mkString(",")}"
@@ -529,10 +538,15 @@ private[sources] object MorDeletes {
   /** Write one entry into `versionDir` (a staged, not-yet-committed
     * version — no locking needed). `.files` lands before `.pred`; the
     * `.pred` move is the entry's commit marker. */
-  def writeEntry(versionDir: JPath, node: Node, files: Set[String]): String = {
+  def writeEntry(versionDir: JPath, node: Node, files: Set[String]): String =
+    writeEntryAs(versionDir, s"d-${UUID.randomUUID()}", node, files)
+
+  /** [[writeEntry]] under a caller-chosen id — see [[writePosEntryAs]]
+    * for why restricted carries must preserve entry identity. */
+  def writeEntryAs(versionDir: JPath, id: String, node: Node,
+      files: Set[String]): String = {
     val d = versionDir.resolve(DIR)
     Files.createDirectories(d)
-    val id = s"d-${UUID.randomUUID()}"
     val tf = d.resolve(s".$id.files.tmp")
     Files.write(tf, files.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
     Files.move(tf, d.resolve(s"$id.files"), StandardCopyOption.ATOMIC_MOVE)
@@ -601,13 +615,17 @@ private[sources] object MorDeletes {
     * files must survive intact. */
   def carryRestricted(from: JPath, to: JPath,
       keep: String => Boolean): Unit = {
+    // ids are PRESERVED on the carry: the CDC reader (tableChanges)
+    // detects new deletes by entry id, so a carried entry under a
+    // fresh id would re-report rows deleted in earlier commits as
+    // fresh deletes across the carrying commit
     entries(from).foreach { e =>
       val kept = e.files.filter(keep)
-      if (kept.nonEmpty) { writeEntry(to, e.node, kept); () }
+      if (kept.nonEmpty) { writeEntryAs(to, e.id, e.node, kept); () }
     }
     posEntries(from).foreach { e =>
       val kept = e.ords.filter { case (f, _) => keep(f) }
-      if (kept.nonEmpty) { writePosEntry(to, kept); () }
+      if (kept.nonEmpty) { writePosEntryAs(to, e.id, kept); () }
     }
   }
 

@@ -895,7 +895,93 @@ object Streams {
       .orderBy($"event_type")
   }
 
+  /** st19: MERGE-ON-READ UPSERTS TAILED BY A STREAM — the engine's
+    * flagship composition, closed: before r15, `readStream.table` on a
+    * table with live MoR delete entries failed pointedly and demanded
+    * a manual rewrite_deletes between the CDC writer and the stream
+    * reader. The incremental scan now SERVES the entries
+    * (CatalogStreamRead wraps each batch's scans in the batch
+    * reader's own DeleteApplyingScan, and a delete commit re-emits
+    * the affected files' SURVIVORS — the COW re-emission analogue).
+    * The gate seeds a PK'd MoR table, drains the snapshot into a
+    * downstream state table through a checkpointed stream, commits a
+    * scattered MoR MERGE (updates + inserts; one equality entry, base
+    * files inode-pinned by MorMergeSpec's family), RESUMES the stream
+    * from the same checkpoint, and REQUIREs the sidecar stayed live
+    * through the drain (no hidden rewrite). The downstream upsert
+    * would throw a duplicate-key MERGE error if a deleted row were
+    * served beside its replacement — retraction is structurally
+    * pinned. Oracle: the recomputed logical table aggregated from the
+    * DOWNSTREAM state. */
+  def st19StreamMorTail(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_st")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_st.db")
+    s.sql("DROP TABLE IF EXISTS graft_st.db.ord_mortail")
+    val ord = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+    ord.where($"o_orderkey" % 3 === 0)
+      .writeTo("graft_st.db.ord_mortail").using("parquet")
+      .tableProperty("write.merge.mode", "merge-on-read")
+      .partitionedBy($"o_orderstatus").createOrReplace()
+    s.sql("ALTER TABLE graft_st.db.ord_mortail ADD CONSTRAINT omt_pk " +
+      "PRIMARY KEY (o_orderkey) NOT ENFORCED")
+    ord.limit(0).writeTo("graft_st.db.ord_tailed").using("parquet")
+      .createOrReplace()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_st19_ckpt").toString
+    def drainInto(): Unit = {
+      val q = s.readStream.table("graft_st.db.ord_mortail")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val ss = batch.sparkSession
+          batch.createOrReplaceTempView("st19_batch")
+          // idempotent downstream upsert (the documented re-emission
+          // consumer shape). A deleted row served beside its
+          // replacement = the same key twice in one source batch =
+          // Spark's duplicate-match MERGE error — the retraction
+          // contract enforces itself here.
+          ss.sql("""MERGE INTO graft_st.db.ord_tailed t
+                   |USING st19_batch s ON t.o_orderkey = s.o_orderkey
+                   |WHEN MATCHED THEN UPDATE SET *
+                   |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drainInto() // batch 1: the seeded snapshot
+    // the CDC commit: matched keys scatter (one equality entry, every
+    // base file hard-links), unmatched land in a new partition
+    ord.where($"o_orderkey" % 3 === 0 && $"o_orderkey" % 97 === 0)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+        (-$"o_totalprice").as("o_totalprice"))
+      .unionByName(Tables.load(s, dir, "orders")
+        .where($"o_orderkey" % 3 === 1)
+        .select(($"o_orderkey" + 10000000L).as("o_orderkey"), $"o_custkey",
+          lit("Z").as("o_orderstatus"), $"o_totalprice"))
+      .createOrReplaceTempView("st19_src")
+    s.sql("""MERGE INTO graft_st.db.ord_mortail t USING st19_src s
+            |ON t.o_orderkey = s.o_orderkey
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    require(s.table("graft_st.db.ord_mortail.deletes").count() >= 1L,
+      "st19: the CDC merge must land as a live equality-delete entry")
+    drainInto() // batch 2: new files + affected files' survivors
+    require(s.table("graft_st.db.ord_mortail.deletes").count() >= 1L,
+      "st19: the stream drain must SERVE the live entries, not " +
+        "depend on a hidden rewrite materializing them")
+    s.table("graft_st.db.ord_tailed")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct($"o_custkey").as("n_custs"),
+        Det.moneySum($"o_totalprice").as("total"))
+      .orderBy($"o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st19_stream_mor_tail" -> st19StreamMorTail,
     "st18_stream_wap_branch" -> st18StreamWapBranch,
     "st16_stream_native_sink" -> st16StreamNativeSink,
     "st17_stream_upsert_mor" -> st17StreamUpsertMor,
@@ -916,6 +1002,26 @@ object Streams {
     "st05_stream_static_join" -> st05StreamStaticJoin)
 
   val oracles: Map[String, String] = Map(
+    // MoR CDC upserts tailed by a checkpointed stream into a
+    // downstream upsert state == the recomputed logical table: a
+    // deleted row served un-retracted dup-key-faults the downstream
+    // MERGE; a lost insert or a stale survivor price mismatches here
+    "st19_stream_mor_tail" ->
+      """WITH logical AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, 'Z', o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 1
+        |)
+        |SELECT o_orderstatus,
+        | CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM logical
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // stream → branch → audit → fast_forward == the plain batch
     // aggregate on published main (n_distinct pins no epoch doubled
     // across the publish swap; a lost epoch or a leak into main

@@ -199,24 +199,29 @@ class MorDeleteSpec extends AnyFunSuite {
     assert(s.table("graft_mor.db.t5").agg(max($"k")).head.getLong(0) === 899L)
   }
 
-  test("streaming a table with live deletes fails pointedly") {
+  test("streaming a table with live deletes SERVES them applied " +
+      "(the r14 refusal, replaced by delete-aware incremental scans)") {
     val s = spark
     import s.implicits._
     mkTable("t6")
-    withMor { s.sql("DELETE FROM graft_mor.db.t6 WHERE k = 1") }
-    val err = intercept[Exception] {
-      val q = s.readStream.table("graft_mor.db.t6").writeStream
-        .format("memory").queryName("mor_t6")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination(30000) finally q.stop()
-    }
-    def causes(t: Throwable): Seq[Throwable] =
-      if (t == null) Nil else t +: causes(t.getCause)
-    assert(causes(err).exists(_.getMessage != null) &&
-      causes(err).map(_.getMessage).filter(_ != null)
-        .exists(_.contains("rewrite_deletes")),
-      s"wanted the pointed live-deletes refusal, got $err")
+    // tag = 'u1' translates (string equality) and scatters: 20 rows
+    // across every p partition
+    withMor { s.sql("DELETE FROM graft_mor.db.t6 WHERE tag = 'u1'") }
+    // the entry stays live (no hidden rewrite) and the snapshot batch
+    // applies it: deleted rows are never served to the stream
+    assert(s.table("graft_mor.db.t6.deletes").count() >= 1L)
+    val q = s.readStream.table("graft_mor.db.t6").writeStream
+      .format("memory").queryName("mor_t6")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(30000) finally q.stop()
+    val got = s.table("mor_t6")
+    assert(got.count() === 980L,
+      "the stream must serve exactly the survivors")
+    assert(got.where($"tag" === "u1").count() === 0L,
+      "a deleted row was served to the stream")
+    assert(s.table("graft_mor.db.t6.deletes").count() >= 1L,
+      "the drain must not depend on materializing the sidecar")
   }
 
   test("tableChanges reports a MOR delete as row-level deletes") {

@@ -61,15 +61,19 @@ class MorMergeSpec extends AnyFunSuite {
   private def inode(p: JPath): Long =
     Files.getAttribute(p, "unix:ino").asInstanceOf[Long]
 
-  private def deleteEntryCount(v: JPath): Int = {
+  private def sidecarCount(v: JPath, suffix: String): Int = {
     val d = v.resolve("_deletes")
     if (!Files.isDirectory(d)) 0
     else {
       val ls = Files.list(d)
-      try ls.iterator().asScala.count(_.getFileName.toString.endsWith(".pred"))
+      try ls.iterator().asScala.count(_.getFileName.toString.endsWith(suffix))
       finally ls.close()
     }
   }
+  // equality entries only; posEntryCount counts the positional format —
+  // a "no equality entry" assert alone cannot tell COW from positional
+  private def deleteEntryCount(v: JPath): Int = sidecarCount(v, ".pred")
+  private def posEntryCount(v: JPath): Int = sidecarCount(v, ".pos")
 
   private def setupPkTable(name: String, partitioned: Boolean): Unit = {
     import spark.implicits._
@@ -216,7 +220,7 @@ class MorMergeSpec extends AnyFunSuite {
       .select("v").as[Double].head() == 15.0)
   }
 
-  test("no PRIMARY KEY: the mode falls back to group COW, result correct") {
+  test("no PRIMARY KEY: the mode takes the POSITIONAL path, result correct") {
     import spark.implicits._
     Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
       .writeTo("graft_mrg.db.t3").using("parquet")
@@ -230,8 +234,12 @@ class MorMergeSpec extends AnyFunSuite {
     val got = spark.table("graft_mrg.db.t3").orderBy("id")
       .as[(Long, Double)].collect().toSeq
     assert(got == Seq((1L, 1.0), (2L, 22.0), (3L, 33.0)))
-    // COW path: no delete sidecar was written
+    // PK-less MoR mode routes POSITIONAL (Iceberg v2's second delete
+    // format): a (_file,_pos) sidecar, never an equality entry — and
+    // never a COW rewrite (every base file hard-links forward)
     assert(deleteEntryCount(headDir("t3")) == 0)
+    assert(posEntryCount(headDir("t3")) == 1,
+      "a PK-less MoR merge must write exactly one positional entry")
     assert(headDir("t3") != base)
   }
 
@@ -351,7 +359,8 @@ class MorMergeSpec extends AnyFunSuite {
         "ADD CONSTRAINT tcn_pk PRIMARY KEY (ok, ln) NOT ENFORCED")
     }
     assert(e.getMessage.contains("NULL"), e.getMessage)
-    // without the PK the mode falls back to COW — correct, no sidecar
+    // without the PK the MoR mode routes POSITIONAL — correct result,
+    // a (_file,_pos) sidecar instead of an equality entry
     Seq((2L, 22.0)).toDF("ok", "v").createOrReplaceTempView("nsrc")
     spark.sql("""MERGE INTO graft_mrg.db.tcn t USING nsrc s
       ON t.ok = s.ok
@@ -360,6 +369,8 @@ class MorMergeSpec extends AnyFunSuite {
       .select("v").as[Double].head() == 22.0)
     assert(deleteEntryCount(headDir("tcn")) == 0,
       "a PK-less table must not have taken the equality-delete path")
+    assert(posEntryCount(headDir("tcn")) == 1,
+      "a PK-less MoR merge must have taken the positional path")
     // RELY is the documented escape hatch: the user ASSERTS the data is
     // clean and skips the scan — over genuinely dirty data the non-null
     // schema then normalizes the null at read (Iceberg's identifier-
