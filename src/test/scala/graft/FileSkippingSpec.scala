@@ -258,6 +258,114 @@ class FileSkippingSpec extends AnyFunSuite {
       s"in-partition sorted tiling should skip most files: $kept/$total")
   }
 
+  // ---- write.sort-cols composed with MAINTENANCE (every rewriter
+  // routes through the shared layout writer, so a sorted table's skip
+  // index survives compaction instead of dulling on the first pass) ----
+
+  private def mkSorted(tbl: String, fileRows: Int = 1000): Unit = {
+    val s = spark
+    import s.implicits._
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_fsk.db")
+    s.sql(s"DROP TABLE IF EXISTS graft_fsk.db.$tbl")
+    val scrambled = s.range(8000)
+      .select((($"id" * 2654435761L) % 8000L).as("k"), ($"id" % 7).as("v"))
+    scrambled.limit(0).writeTo(s"graft_fsk.db.$tbl")
+      .tableProperty("write.sort-cols", "k")
+      .tableProperty("write.target-file-size-rows", fileRows.toString)
+      .create()
+    scrambled.writeTo(s"graft_fsk.db.$tbl").append()
+  }
+
+  private def rangeKept(tbl: String): (Long, Int, Int) = {
+    val s = spark
+    import s.implicits._
+    graft.sources.FileSkippingScan.counts.clear()
+    val got = s.table(s"graft_fsk.db.$tbl")
+      .where($"k" >= 2000L && $"k" < 3000L).agg(count(lit(1)))
+      .head.getLong(0)
+    val (kept, total) = counts(tbl)
+    (got, kept, total)
+  }
+
+  private val expectIn2k3k: Long = (0L until 8000L)
+    .count(i => { val k = (i * 2654435761L) % 8000L; k >= 2000L && k < 3000L })
+    .toLong
+
+  test("compact preserves write.sort-cols: the compacted files still " +
+      "tile the key space and the range query keeps a strict subset") {
+    val s = spark
+    mkSorted("msort1")
+    s.sql("CALL graft_fsk.system.compact('db.msort1', 4)").collect()
+    val (got, kept, total) = rangeKept("msort1")
+    assert(got === expectIn2k3k)
+    assert(total >= 4, s"compaction to 4 range partitions with the " +
+      s"1000-row file cap should leave several files, got $total")
+    assert(kept * 3 <= total,
+      s"compaction dulled the skip index: kept $kept/$total")
+  }
+
+  test("rewrite_deletes preserves write.sort-cols: materialized " +
+      "survivor files stay as sharp as a fresh append") {
+    val s = spark
+    mkSorted("msort2")
+    s.conf.set("spark.sql.catalog.graft.write.deleteMode", "merge-on-read")
+    try s.sql("DELETE FROM graft_fsk.db.msort2 WHERE k >= 2100 AND k < 2200")
+    finally s.conf.unset("spark.sql.catalog.graft.write.deleteMode")
+    s.sql("CALL graft_fsk.system.rewrite_deletes('db.msort2')").collect()
+    assert(s.table("graft_fsk.db.msort2").count() === 7900L)
+    val (got, kept, total) = rangeKept("msort2")
+    assert(got === expectIn2k3k - 100L)
+    assert(kept * 2 <= total,
+      s"rewrite_deletes dulled the skip index: kept $kept/$total")
+  }
+
+  test("an unpartitioned COW merge preserves write.sort-cols (the " +
+      "raw staged-file move is skipped for sorted tables)") {
+    val s = spark
+    import s.implicits._
+    mkSorted("msort3")
+    // whole-table COW merge (no PK, no MoR mode): without the sorted
+    // re-layout the staged flat files would each span the key space
+    Seq((2500L, -1L), (9000L, -2L)).toDF("k", "v")
+      .createOrReplaceTempView("msort3_src")
+    s.sql("""MERGE INTO graft_fsk.db.msort3 t USING msort3_src s
+      |ON t.k = s.k
+      |WHEN MATCHED THEN UPDATE SET t.v = s.v
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(s.table("graft_fsk.db.msort3").count() === 8001L)
+    val (got, kept, total) = rangeKept("msort3")
+    assert(got === expectIn2k3k)
+    assert(kept * 3 <= total,
+      s"the COW merge dulled the skip index: kept $kept/$total")
+    assert(s.table("graft_fsk.db.msort3").where($"k" === 2500L)
+      .head.getLong(1) === -1L)
+  }
+
+  test("branch reads serve the footer-stats skip index too: a range " +
+      "query on t@branch keeps a strict subset of the BRANCH's files") {
+    val s = spark
+    import s.implicits._
+    mkSorted("msort4")
+    s.sql("CALL graft_fsk.system.create_branch('db.msort4', 'work')")
+    // branch-only append widens the branch's file set; main untouched
+    s.range(100).select(($"id" + 10000L).as("k"), lit(0L).as("v"))
+      .writeTo("graft_fsk.db.`msort4@work`").append()
+    graft.sources.FileSkippingScan.counts.clear()
+    val got = s.table("graft_fsk.db.`msort4@work`")
+      .where($"k" >= 2000L && $"k" < 3000L).agg(count(lit(1)))
+      .head.getLong(0)
+    assert(got === expectIn2k3k)
+    // counts are keyed by scan name; grab whichever key the branch
+    // read published rather than assuming its rendering
+    import scala.jdk.CollectionConverters._
+    val entry = graft.sources.FileSkippingScan.counts.asScala
+      .find(_._1.contains("msort4"))
+    assert(entry.isDefined, "the branch read must plan a skipping scan")
+    val (kept, total) = entry.get._2
+    assert(kept * 2 <= total,
+      s"branch read did not skip: kept $kept/$total")
+  }
+
   test("row-level COW rewrites never lose rows to skipping") {
     val s = spark
     import s.implicits._

@@ -380,6 +380,50 @@ class MorMergeSpec extends AnyFunSuite {
       "ADD CONSTRAINT tcn_pk PRIMARY KEY (ok, ln) NOT ENFORCED RELY")
   }
 
+  test("equality-entry file scope narrows through footer stats: a " +
+      "clustered-key merge scopes the files it touched, not the table") {
+    import spark.implicits._
+    // 8 files with DISJOINT id ranges (range exchange), PK'd, MoR mode
+    spark.range(8000)
+      .select($"id", concat(lit("g"), $"id" % 5).as("grp"), ($"id" * 1.0).as("v"))
+      .repartitionByRange(8, $"id")
+      .writeTo("graft_mrg.db.t7").using("parquet")
+      .tableProperty("write.merge.mode", "merge-on-read")
+      .createOrReplace()
+    spark.sql("ALTER TABLE graft_mrg.db.t7 " +
+      "ADD CONSTRAINT t7_pk PRIMARY KEY (id) NOT ENFORCED")
+    val nBase = dataFiles(headDir("t7")).size
+    assert(nBase >= 8)
+    // matched keys CLUSTER in one range slice: only the file(s)
+    // holding [2000, 2100) can contain them
+    (2000L until 2100L).map(i => (i, s"g${i % 5}", -1.0))
+      .toDF("id", "grp", "v").createOrReplaceTempView("t7src")
+    spark.sql("""MERGE INTO graft_mrg.db.t7 t USING t7src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.v = s.v""")
+    val head = headDir("t7")
+    assert(deleteEntryCount(head) == 1)
+    // read the entry's manifest straight off disk: the scope must be
+    // a small subset of the base files (footer-stats narrowing), so
+    // CDC / stream re-emission / rewrite_deletes price those files
+    import scala.jdk.CollectionConverters._
+    val d = head.resolve("_deletes")
+    val ls = Files.list(d)
+    val filesManifest =
+      try ls.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".files")).get
+      finally ls.close()
+    val scope = new String(Files.readAllBytes(filesManifest), "UTF-8")
+      .split("\n").count(_.nonEmpty)
+    assert(scope <= nBase / 2,
+      s"clustered-key entry scoped $scope of $nBase base files — " +
+        "footer-stats narrowing did not engage")
+    // correctness unaffected: updated rows read back, others intact
+    assert(spark.table("graft_mrg.db.t7")
+      .where($"id" >= 2000L && $"id" < 2100L && $"v" =!= -1.0)
+      .count() == 0L)
+    assert(spark.table("graft_mrg.db.t7").count() == 8000L)
+  }
+
   test("a MoR merge racing another commit conflicts instead of losing it") {
     import spark.implicits._
     setupPkTable("t5", partitioned = false)

@@ -267,8 +267,9 @@ class SpecEvolutionSpec extends AnyFunSuite {
     try spark.sql("DELETE FROM graft_sev.db.u WHERE k >= 20 AND k <= 60")
     finally spark.conf.unset("spark.sql.catalog.graft.write.deleteMode")
     val pre = currentVersionDir("u")
-    // data files only: the delete sidecar's entries get NEW ids on the
-    // restricted carry, so their files are not inode-stable (nor data)
+    // data files only: the delete sidecar's entries are re-MATERIALIZED
+    // by the restricted carry (same ids, intersected manifests), so
+    // their files are not inode-stable (nor data)
     val rootBefore = inodes(pre).filterNot(kv =>
       kv._1.startsWith("_spec-") || kv._1.startsWith("_deletes/"))
     assert(rootBefore.nonEmpty)
@@ -342,6 +343,50 @@ class SpecEvolutionSpec extends AnyFunSuite {
     assert(spjShuffles() == 0,
       "SPJ did not come back after unify_layout + rewrite_deletes")
     assert(spark.table("graft_sev.db.u").count() == 39)
+  }
+
+  test("table_changes across unify_layout reports NOTHING: carried " +
+      "delete entries keep their ids, rewritten rows cancel exactly") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_sev.db")
+    df0.writeTo("graft_sev.db.u2").using("parquet")
+      .partitionedBy($"g").createOrReplace()
+    spark.sql(
+      "CALL graft_sev.system.evolve_layout('db.u2', 'bucket(4,k)')").collect()
+    (41 to 80).toDF("i")
+      .select($"i".cast("long").as("k"), ($"i" % 4).cast("int").as("g"),
+        (lit(1704067200L) + $"i" * 21600L).cast("timestamp").as("ts"),
+        ($"i" * 2.5).as("v"))
+      .writeTo("graft_sev.db.u2").append()
+    // a POSITIONAL MoR update (no PK) on CURRENT-layout rows: its
+    // ordinal sidecar survives the unify's restricted carry — the
+    // exact entry shape that was re-reported as fresh CDC deletes
+    // when the carry minted new ids
+    spark.conf.set("spark.sql.catalog.graft.write.rowLevelMode",
+      "merge-on-read")
+    try spark.sql(
+      "UPDATE graft_sev.db.u2 SET v = -1.0 WHERE k = 50 OR k = 60")
+    finally spark.conf.unset("spark.sql.catalog.graft.write.rowLevelMode")
+    val head = currentVersionDir("u2")
+    val ls = java.nio.file.Files.list(head.resolve("_deletes"))
+    val hasPos =
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.exists(_.getFileName.toString.endsWith(".pos"))
+      } finally ls.close()
+    assert(hasPos, "the PK-less update must land a positional sidecar")
+    spark.sql("CALL graft_sev.system.unify_layout('db.u2')").collect()
+    // the unify commit is pure reorganization: rewritten legacy rows
+    // cancel in the exceptAll, carried entries are NOT new (same ids)
+    val ch = graft.sources.AtomicParquetCatalog
+      .tableChanges(spark, "graft_sev.db.u2", fromCommitsBack = 1)
+    assert(ch.count() == 0L,
+      s"unify must report zero row-level changes, got ${ch.count()}: " +
+        s"${ch.limit(5).collect().toSeq}")
+    // ...while the carried entry still APPLIES on read
+    assert(spark.table("graft_sev.db.u2").where($"k" === 50L)
+      .select("v").head.getDouble(0) == -1.0)
+    assert(spark.table("graft_sev.db.u2").count() == 80)
   }
 
   test("a small mixed-spec table still broadcasts: the union scan's " +
