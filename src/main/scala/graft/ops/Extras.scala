@@ -1921,6 +1921,66 @@ object Extras {
       .orderBy($"o_orderstatus")
   }
 
+  /** q111: BLOOM-FILTER FILE INDEX (BloomIndex.scala) — point-lookup
+    * skipping where q94's min/max stats CANNOT prune: a uniform
+    * hash-shaped key (here md5 of the orderkey) written in arrival
+    * order gives every file a [min,max] spanning the whole key space,
+    * so a point lookup keeps every file by stats alone. With
+    * `write.bloom-cols` the layout writer embeds parquet's NATIVE
+    * split-block bloom filters and the commit harvests the bitsets
+    * into a table sidecar, so scan PLANNING drops the files no probe
+    * key can live in — no footer open, no task scheduled; at 100 TB
+    * the difference between "open every footer in the table" and
+    * "schedule the two files that can hold the keys" (Iceberg's
+    * Puffin-blob / Delta's bloom-index posture). The gate REQUIRES
+    * the separation claim measurably: probing OFF keeps all 12 files,
+    * probing ON keeps <=4, same hash-matched answer both ways. */
+  def q111BloomSkipping(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    s.sql("DROP TABLE IF EXISTS graft_ma.db.ord_bloom")
+    s.sql("CREATE TABLE graft_ma.db.ord_bloom (ok_hash STRING, " +
+      "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE) " +
+      "TBLPROPERTIES ('write.bloom-cols'='ok_hash'," +
+      "'write.bloom-ndv'='8192')")
+    Tables.load(s, dir, "orders")
+      .select(md5($"o_orderkey".cast("string")).as("ok_hash"),
+        $"o_orderkey", $"o_custkey", $"o_totalprice")
+      .repartition(12)
+      .writeTo("graft_ma.db.ord_bloom").append()
+    def md5Hex(v: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val mk = s.table("graft_ma.db.ord_bloom")
+      .agg(min($"o_orderkey"), max($"o_orderkey")).head
+    val probes = Seq(mk.getLong(0), mk.getLong(1)).map(k => md5Hex(k.toString))
+    def kc() = graft.sources.FileSkippingScan.counts.get("db.ord_bloom")
+    def run(): DataFrame = {
+      graft.sources.FileSkippingScan.counts.clear()
+      val out = s.table("graft_ma.db.ord_bloom")
+        .where($"ok_hash".isin(probes: _*))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct($"o_custkey").as("n_custs"),
+          moneySum($"o_totalprice").as("total"))
+        .cache()
+      out.count() // execute now so the skipping counts are observable
+      out
+    }
+    s.conf.set("spark.sql.catalog.graft.read.bloomSkipping", "false")
+    try {
+      run().unpersist()
+      require(kc() != null && kc()._1 == kc()._2 && kc()._2 == 12,
+        s"q111: min/max stats must be UNABLE to prune the uniform hash " +
+          s"key (all 12 files kept), got ${kc()}")
+    } finally s.conf.unset("spark.sql.catalog.graft.read.bloomSkipping")
+    val out = run()
+    require(kc() != null && kc()._2 == 12 && kc()._1 <= 4,
+      s"q111: bloom probing must keep <=4 of 12 files for two keys " +
+        s"(fpp slack 2), got ${kc()}")
+    out
+  }
+
   /** Export path q76's oracle reads. Verify and the DuckDB oracle run on
     * the same host within one gate round, and the oracle SQL (which
     * embeds this path) is DUMPED BY THE SAME JVM that ran the export —
@@ -2258,6 +2318,7 @@ object Extras {
     "q108_sorted_write" -> q108SortedWrite,
     "q109_mor_identity" -> q109MorIdentity,
     "q110_export_mor_live" -> q110ExportMorLive,
+    "q111_bloom_skipping" -> q111BloomSkipping,
     "q76_catalog_external" -> q76CatalogExternal,
     "q77_partitions_metadata" -> q77PartitionsMetadata,
     "q78_snapshot_changes" -> q78SnapshotChanges,
@@ -2763,6 +2824,17 @@ object Extras {
         |  hive_partitioning=true, union_by_name=true) e
         |JOIN orders o ON o.o_orderkey = e.o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the probe keys are the min/max orderkeys' md5 — DuckDB derives
+    // the same constants via scalar subqueries, so a bloom false
+    // NEGATIVE (a skipped file that held a probed row) hash-mismatches
+    "q111_bloom_skipping" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE md5(CAST(o_orderkey AS VARCHAR)) IN (
+        |  (SELECT md5(CAST(min(o_orderkey) AS VARCHAR)) FROM orders),
+        |  (SELECT md5(CAST(max(o_orderkey) AS VARCHAR)) FROM orders))""".stripMargin,
     // the branch's net changes since the fork: step 1 = the updated
     // rows as delete(+price)/insert(-price) pairs, step 2 = the
     // appended batch as inserts — a carried-row leak from the COW

@@ -175,12 +175,14 @@ object AtomicParquetCatalog {
     val liveRels = walkDataFiles(src)
       .map(p => src.relativize(Paths.get(p)).toString).toSet
     val stats = FileStats.load(src.getParent)
+    val blooms = BloomIndex.load(src.getParent)
     val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
       .toAttributes(schema)
     val affected = es.flatMap { e =>
       val expr = MorDeletes.toCatalyst(e.node, attrs)
       (e.files intersect liveRels).filter(f =>
-        stats.get(f).forall(FileStats.mayMatch(Seq(expr), _, schema)))
+        stats.get(f).forall(FileStats.mayMatch(Seq(expr), _, schema)) &&
+          blooms.get(f).forall(BloomIndex.mayMatch(Seq(expr), _)))
     }.toSet ++ pes.flatMap(_.files intersect liveRels)
     require(affected.forall(!_.startsWith("_spec-")),
       s"$src: delete entries touch legacy-spec subtrees — CALL " +
@@ -304,7 +306,15 @@ object AtomicParquetCatalog {
       .foldLeft(sorted.write.mode(mode)) { (wr, n) =>
         wr.option("maxRecordsPerFile", n.toString)
       }
-    w.partitionBy(parts: _*).parquet(target.toString)
+    // `write.bloom-cols` (Iceberg's puffin-blob posture, via parquet's
+    // NATIVE column bloom filters): the writer embeds a split-block
+    // bloom per row group for the named columns; the commit-time
+    // footer pass harvests the bitsets into `_bloomidx` so scan
+    // planning can skip files on point lookups where min/max cannot
+    // (uniform high-cardinality keys) — see BloomIndex.scala.
+    val wb = BloomIndex.writerOptions(props, routed.columns.toSeq)
+      .foldLeft(w) { case (wr, (k, v)) => wr.option(k, v) }
+    wb.partitionBy(parts: _*).parquet(target.toString)
   }
 
   /** Row-level CHANGE FEED between two snapshots — Delta's
@@ -667,19 +677,37 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     * callers report reality, not arithmetic. */
   private def swapLog(dir: JPath, entries: Seq[String],
                       keep: Int = historyKeep,
-                      ref: String = AtomicParquetCatalog.MainRef)
+                      ref: String = AtomicParquetCatalog.MainRef,
+                      keepNewerThanMs: Option[Long] = None)
       : (Seq[String], Seq[String]) = {
     val pinned = protectedVersions(dir, ref)
     val (window, tail) = entries.splitAt(keep + 1)
-    val kept = window ++ tail.filter(pinned)
+    // `older_than` (Iceberg's expire_snapshots semantics): age shields
+    // a version beyond the count window — only snapshots committed
+    // strictly before the cutoff expire
+    def youngEnough(v: String): Boolean =
+      keepNewerThanMs.exists(_ <= versionCommitMs(dir, v))
+    val kept = window ++ tail.filter(v => pinned(v) || youngEnough(v))
     val tmp = dir.resolve(s"$ref.tmp-${UUID.randomUUID()}")
     Files.write(tmp, kept.mkString("\n").getBytes("UTF-8"))
     Files.move(tmp, dir.resolve(ref), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    val deleted = tail.filterNot(pinned)
+    val deleted = tail.filterNot(v => pinned(v) || youngEnough(v))
     deleted.foreach(v => deleteRecursively(dir.resolve(v)))
     (deleted, kept)
   }
+
+  /** A version's commit time in epoch millis — the `_committed_at`
+    * sidecar when present, the directory mtime otherwise (the same
+    * resolution `.history`'s committed_at column uses). */
+  private def versionCommitMs(dir: JPath, v: String): Long =
+    try new String(Files.readAllBytes(
+      dir.resolve(v).resolve("_committed_at")), "UTF-8").trim.toLong
+    catch {
+      case _: Exception =>
+        try Files.getLastModifiedTime(dir.resolve(v)).toMillis
+        catch { case _: Exception => Long.MaxValue } // unknowable: keep
+    }
 
   /** Named snapshot refs (tags): `_refs` holds `name<TAB>version` lines,
     * swapped atomically like the pointer; tag writes happen under the
@@ -1149,16 +1177,20 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
           StructField("partition_path", StringType, nullable = false),
           StructField("size_bytes", LongType, nullable = false),
           StructField("row_count", LongType, nullable = true),
-          StructField("skipping_stats", StringType, nullable = true)))
+          StructField("skipping_stats", StringType, nullable = true),
+          StructField("bloom_cols", StringType, nullable = true)))
         Some(new LocalScanTable(s"$parent.files", schema, () => {
           val v = currentVersion(pdir).get
-          // footer-stats sidecar joined in for observability: the
-          // operator sees per-file row counts and which columns carry
-          // skippable min/max without opening a single footer
+          // footer-stats + bloom sidecars joined in for observability:
+          // the operator sees per-file row counts, which columns carry
+          // skippable min/max and which carry a harvested bloom filter
+          // without opening a single footer
           val fstats = FileStats.load(pdir)
+          val blooms = BloomIndex.load(pdir)
           dataFiles(v).map { f =>
             val rel = v.relativize(f)
             val st = fstats.get(rel.toString)
+            val bf = blooms.get(rel.toString)
             org.apache.spark.sql.catalyst.InternalRow(
               UTF8String.fromString(rel.toString),
               UTF8String.fromString(
@@ -1166,7 +1198,9 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
               Files.size(f),
               st.map(s => java.lang.Long.valueOf(s.rows)).orNull,
               st.map(s => UTF8String.fromString(
-                s.cols.keys.toSeq.sorted.mkString(","))).orNull)
+                s.cols.keys.toSeq.sorted.mkString(","))).orNull,
+              bf.map(b => UTF8String.fromString(
+                b.keys.toSeq.sorted.mkString(","))).orNull)
           }
         }))
       case _ => None
@@ -1820,7 +1854,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
 
   import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
   import org.apache.spark.sql.catalyst.InternalRow
-  import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType, TimestampType}
   import org.apache.spark.unsafe.types.UTF8String
 
   /** Resolve a procedure's `table` argument ("db.tbl" relative to this
@@ -1892,7 +1926,8 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
         "rewrite_deletes", "cluster_by",
         "evolve_layout", "unify_layout", "tag", "drop_tag", "analyze",
         "clone",
-        "remove_orphans", "create_branch", "drop_branch", "fast_forward")
+        "remove_orphans", "create_branch", "drop_branch", "fast_forward",
+        "create_changelog_view")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -1902,25 +1937,66 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
         "procedures live under `system`")
     ident.name.toLowerCase match {
       case "expire_snapshots" =>
-        // CALL cat.system.expire_snapshots('db.tbl', keep) — truncate the
-        // snapshot log to the current version + `keep` previous ones and
-        // vacuum the expired directories, immediately (the per-commit
-        // retention window does this lazily at commit time).
+        // CALL cat.system.expire_snapshots('db.tbl', keep[, older_than])
+        // — truncate the snapshot log to the current version + `keep`
+        // previous ones and vacuum the expired directories, immediately
+        // (the per-commit retention window does this lazily at commit
+        // time). The optional `older_than` TIMESTAMP is Iceberg's age
+        // guard: only snapshots committed strictly before it expire, so
+        // `keep = 0, older_than = now() - 7 days` is the standard
+        // "keep a week of history" maintenance call.
         new GraftProcedure("expire_snapshots", Seq(
           ProcedureParameter.in("table", StringType).build(),
-          ProcedureParameter.in("keep", IntegerType).build())) {
+          ProcedureParameter.in("keep", IntegerType).build(),
+          ProcedureParameter.in("older_than", TimestampType)
+            .defaultValue("NULL").build())) {
           override def call(input: InternalRow): java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
             val dir = procTableDir(input.getUTF8String(0).toString)
             val keep = input.getInt(1)
             require(keep >= 0, s"keep must be >= 0, got $keep")
+            val cutoffMs = // TimestampType rides as epoch micros
+              if (input.numFields > 2 && !input.isNullAt(2))
+                Some(Math.floorDiv(input.getLong(2), 1000L))
+              else None
             val (expired, kept) = withCommitLock(dir) {
-              val (deleted, retained) = swapLog(dir, versionLog(dir), keep = keep)
+              val (deleted, retained) = swapLog(dir, versionLog(dir),
+                keep = keep, keepNewerThanMs = cutoffMs)
               (deleted.size, retained.size)
             }
             summaryScan(StructType(Seq(
               StructField("expired_snapshots", IntegerType, nullable = false),
               StructField("kept_snapshots", IntegerType, nullable = false))),
               InternalRow(expired, kept))
+          }
+        }
+      case "create_changelog_view" =>
+        // CALL cat.system.create_changelog_view('db.tbl', 'view', back)
+        // — Iceberg's SQL surface for the change feed: register the
+        // row-level changes of the last `back` commits (the Scala
+        // tableChanges API, branches via 'db.tbl@branch' included) as
+        // a TEMP VIEW and return its name. The view's plan is the
+        // DISTRIBUTED per-commit diff — the procedure moves no rows
+        // through the driver; a SQL-only user then reads
+        // `SELECT ... FROM <view>` like any table.
+        new GraftProcedure("create_changelog_view", Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("view", StringType).build(),
+          ProcedureParameter.in("from_commits_back", IntegerType).build())) {
+          override def call(input: InternalRow): java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val tbl = input.getUTF8String(0).toString
+            val view = input.getUTF8String(1).toString
+            val back = input.getInt(2)
+            require(view.nonEmpty && view.forall(c =>
+              c.isLetterOrDigit || c == '_'),
+              s"view name must be [A-Za-z0-9_]+, got '$view'")
+            val df = AtomicParquetCatalog.tableChanges(
+              spark, s"$catalogName.$tbl", fromCommitsBack = back)
+            df.createOrReplaceTempView(view)
+            summaryScan(StructType(Seq(
+              StructField("changelog_view", StringType, nullable = false),
+              StructField("from_commits_back", IntegerType,
+                nullable = false))),
+              InternalRow(UTF8String.fromString(view), back))
           }
         }
       case "rollback_to" =>
@@ -2109,13 +2185,15 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             // POSITIONAL entries name their rows outright: every named
             // file rewrites, no stats question to ask.
             val stats = FileStats.load(dir)
+            val blooms = BloomIndex.load(dir)
             val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
               .toAttributes(schema)
             val affected = es.flatMap { e =>
               val expr = MorDeletes.toCatalyst(e.node, attrs)
               (e.files intersect liveRels).filter(f =>
                 stats.get(f).forall(
-                  FileStats.mayMatch(Seq(expr), _, schema)))
+                  FileStats.mayMatch(Seq(expr), _, schema)) &&
+                  blooms.get(f).forall(BloomIndex.mayMatch(Seq(expr), _)))
             }.toSet ++ pes.flatMap(_.files intersect liveRels)
             require(affected.forall(!_.startsWith("_spec-")),
               s"$tbl: delete entries touch legacy-spec subtrees — run " +
@@ -2878,13 +2956,15 @@ private[sources] final class PointerTable(
       .toSet
     val scoped = {
       val stats = FileStats.load(dir)
-      if (stats.isEmpty) files
+      val blooms = BloomIndex.load(dir)
+      if (stats.isEmpty && blooms.isEmpty) files
       else {
         val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
           .toAttributes(tableSchema)
         val expr = MorDeletes.toCatalyst(node, attrs)
         files.filter(f => stats.get(f).forall(
-          FileStats.mayMatch(Seq(expr), _, tableSchema)))
+          FileStats.mayMatch(Seq(expr), _, tableSchema)) &&
+          blooms.get(f).forall(BloomIndex.mayMatch(Seq(expr), _)))
       }
     }
     if (scoped.nonEmpty) { MorDeletes.writeEntry(nv, node, scoped); () }

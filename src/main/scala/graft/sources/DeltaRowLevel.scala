@@ -332,18 +332,27 @@ private[sources] final class GraftDeltaWrite(
                 val scoped = {
                   val keyCol = rowIdSchema.fields(0).name
                   val keys = ids.toSeq.map(r => convs(0)(r.get(0)))
-                  FileStats.filesMayContainKeys(FileStats.load(dir),
-                    baseFiles, keyCol, dts(0), keys)
+                  val byStats = FileStats.filesMayContainKeys(
+                    FileStats.load(dir), baseFiles, keyCol, dts(0), keys)
+                  // bloom half: on a hash-shaped key every file's
+                  // [min,max] spans the space, but the bitsets still
+                  // prove absence per file (BloomIndex.scala)
+                  BloomIndex.filesMayContainKeys(BloomIndex.load(dir),
+                    byStats, keyCol, keys)
                 }
                 if (scoped.nonEmpty) { MorDeletes.writeEntry(nv, node, scoped); () }
               }
             }
             if (dataFiles.nonEmpty || rinsFiles.nonEmpty) {
-              val sorted = catalog.readProps(dir).contains("write.sort-cols")
-              if (!hasIdentity && !sorted && fields.isEmpty) {
+              val routed = {
+                val p = catalog.readProps(dir)
+                p.contains("write.sort-cols") || p.contains("write.bloom-cols")
+              }
+              if (!hasIdentity && !routed && fields.isEmpty) {
                 // unpartitioned: the staged files ARE the layout
-                // (sort-ordered tables skip the shortcut — their delta
-                // rows land through the layout router's range sort)
+                // (sort-ordered and bloom-indexed tables skip the
+                // shortcut — their delta rows land through the layout
+                // router so the sort / native bloom options apply)
                 (dataFiles ++ rinsFiles).foreach { f =>
                   val src = Paths.get(f)
                   Files.move(src, nv.resolve(src.getFileName.toString))

@@ -94,8 +94,15 @@ private[sources] object FileStats {
     val files = AtomicParquetCatalog.walkDataFiles(versionDir)
       .map(p => (p, relOf(versionDir, p)))
       .filter { case (_, rel) => !covered.contains(rel) }
-    if (files.isEmpty) { maybeCompact(tableDir, Some(versionDir)); return }
-    val lines: Seq[String] =
+    if (files.isEmpty) {
+      maybeCompact(tableDir, Some(versionDir))
+      BloomIndex.append(tableDir, Nil, livePaths(tableDir, Some(versionDir)))
+      return
+    }
+    // one footer pass fills BOTH sidecars: min/max/nullCount lines
+    // (prefix S) for `_filestats`, harvested bloom bitsets (prefix B)
+    // for `_bloomidx` — a file is opened exactly once
+    val tagged: Seq[String] =
       if (files.size <= DRIVER_LOOP_MAX) {
         val conf = spark.sessionState.newHadoopConf()
         files.flatMap { case (p, rel) => statLines(p, rel, conf) }
@@ -107,6 +114,8 @@ private[sources] object FileStats {
           .flatMap { case (p, rel) => statLines(p, rel, sconf.value) }
           .collect().toSeq // bounded: a few short lines per footer
       }
+    val (bloomTagged, statTagged) = tagged.partition(_.startsWith("B\t"))
+    val lines = statTagged.map(_.substring(2))
     val store = tableDir.resolve(STORE)
     Files.createDirectories(store)
     val tmp = store.resolve(s".fs-tmp-${UUID.randomUUID()}")
@@ -115,6 +124,20 @@ private[sources] object FileStats {
       StandardCopyOption.ATOMIC_MOVE)
     cache.remove(tableDir.toString)
     maybeCompact(tableDir, Some(versionDir))
+    BloomIndex.append(tableDir, bloomTagged.map(_.substring(2)),
+      livePaths(tableDir, Some(versionDir)))
+  }
+
+  /** Every retained version's live data files as version-relative
+    * paths — the purge set both sidecar compactions run against. */
+  private def livePaths(tableDir: JPath, inFlight: Option[JPath]): Set[String] = {
+    val logged =
+      try new String(Files.readAllBytes(tableDir.resolve("_current")),
+        "UTF-8").split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      catch { case _: java.io.IOException => Nil }
+    (logged.map(tableDir.resolve) ++ inFlight)
+      .flatMap(v => AtomicParquetCatalog.walkDataFiles(v).map(relOf(v, _)))
+      .toSet
   }
 
   /** The store key: `p`'s path relative to the version directory, in
@@ -133,15 +156,7 @@ private[sources] object FileStats {
     if (!Files.isDirectory(store)) return
     val parts = listStoreFiles(store)
     if (parts.size <= COMPACT_AT) return
-    val live: Set[String] = {
-      val logged =
-        try new String(Files.readAllBytes(tableDir.resolve("_current")),
-          "UTF-8").split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-        catch { case _: java.io.IOException => Nil }
-      (logged.map(tableDir.resolve) ++ inFlight)
-        .flatMap(v => AtomicParquetCatalog.walkDataFiles(v).map(relOf(v, _)))
-        .toSet
-    }
+    val live: Set[String] = livePaths(tableDir, inFlight)
     val all = parts.flatMap(f =>
       new String(Files.readAllBytes(f), "UTF-8").split("\n").toSeq)
       .filter(l => l.nonEmpty && live.contains(l.takeWhile(_ != '\t')))
@@ -172,6 +187,7 @@ private[sources] object FileStats {
     * files under the same relative paths, so the source's stats are
     * the destination's. */
   def carryStore(srcTable: JPath, dstTable: JPath): Unit = {
+    BloomIndex.carryStore(srcTable, dstTable) // same link-forward contract
     val src = srcTable.resolve(STORE)
     if (!Files.isDirectory(src)) return
     val dst = dstTable.resolve(STORE)
@@ -191,6 +207,10 @@ private[sources] object FileStats {
   //   min/max: "-" = unknown, else tag:value with tag i|l|f|d|b|s
   //   (s carries base64 of the UTF-8 bytes); nulls: "-" = unknown.
   // The `rows` line (col = "") is emitted once per file.
+  // Returned lines are PREFIXED with their destination sidecar:
+  // "S\t" = this store, "B\t" = BloomIndex lines harvested from the
+  // same open footer (see BloomIndex.harvestLines) — the prefix keeps
+  // the distributed pass a flat Seq[String].
 
   private def statLines(path: String, rel: String,
                         conf: Configuration): Seq[String] = {
@@ -239,14 +259,15 @@ private[sources] object FileStats {
             }
           }
         }
-        val head = s"$name\t$rows\t\t-\t-\t-"
-        head +: agg.toSeq.collect {
+        val head = s"S\t$name\t$rows\t\t-\t-\t-"
+        val stats = head +: agg.toSeq.collect {
           case (col, (mn, mx, nn, prim))
               if !poisoned(col) && (mn.isDefined || nn.isDefined) =>
-            s"$name\t$rows\t$col\t${nn.map(_.toString).getOrElse("-")}\t" +
+            s"S\t$name\t$rows\t$col\t${nn.map(_.toString).getOrElse("-")}\t" +
               s"${mn.map(enc(_, prim)).getOrElse("-")}\t" +
               s"${mx.map(enc(_, prim)).getOrElse("-")}"
         }
+        stats ++ BloomIndex.harvestLines(reader, rel).map("B\t" + _)
       } finally reader.close()
     } catch {
       case e: Exception =>
@@ -583,7 +604,11 @@ private[sources] final class FileSkippingScan(
     // delegate swapped in by filter() must be what plans here
     val ib = inner.toBatch
     val stats = FileStats.load(tableDir)
-    if (stats.isEmpty) return ib.planInputPartitions()
+    val blooms =
+      if (BloomIndex.probingEnabled(
+          org.apache.spark.sql.SparkSession.active)) BloomIndex.load(tableDir)
+      else Map.empty: BloomIndex.Index
+    if (stats.isEmpty && blooms.isEmpty) return ib.planInputPartitions()
     val vPrefix = versionDir.toString + "/"
     def keepFile(urlEncoded: String): Boolean = {
       // store keys are version-relative DISK paths; the planned
@@ -595,8 +620,10 @@ private[sources] final class FileSkippingScan(
         try new java.net.URI(urlEncoded).getPath
         catch { case _: java.net.URISyntaxException => return true }
       if (disk == null || !disk.startsWith(vPrefix)) return true
-      stats.get(disk.substring(vPrefix.length))
-        .forall(FileStats.mayMatch(dataFilters, _, tableSchema))
+      val rel = disk.substring(vPrefix.length)
+      stats.get(rel)
+        .forall(FileStats.mayMatch(dataFilters, _, tableSchema)) &&
+        blooms.get(rel).forall(BloomIndex.mayMatch(dataFilters, _))
     }
     var total = 0
     var kept = 0

@@ -204,7 +204,8 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     val skipping =
       if (dataFilters.nonEmpty && !aggPushed &&
           FileStats.skippingEnabled(session) &&
-          java.nio.file.Files.isDirectory(tableDir.resolve("_filestats")))
+          (java.nio.file.Files.isDirectory(tableDir.resolve("_filestats")) ||
+            java.nio.file.Files.isDirectory(tableDir.resolve("_bloomidx"))))
         new FileSkippingScan(withDeletes, scanName, tableDir, versionDir,
           tableSchema, dataFilters)
       else withDeletes

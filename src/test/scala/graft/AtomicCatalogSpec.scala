@@ -553,6 +553,62 @@ class AtomicCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS graft_atomic.db.meta1")
   }
 
+  test("CALL create_changelog_view: the change feed as a SQL temp view") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
+    spark.sql("DROP TABLE IF EXISTS graft_atomic.db.cvw1")
+    (1L to 10L).map(i => (i, i * 10)).toDF("id", "v")
+      .writeTo("graft_atomic.db.cvw1").using("parquet").create()
+    spark.sql("DELETE FROM graft_atomic.db.cvw1 WHERE id > 8")
+    (11L to 12L).map(i => (i, i * 10)).toDF("id", "v")
+      .writeTo("graft_atomic.db.cvw1").append()
+    val sum = spark.sql("CALL graft_atomic.system.create_changelog_view(" +
+      "'db.cvw1', 'cvw1_changes', 2)").collect()
+    assert(sum.length == 1 &&
+      sum(0).getAs[String]("changelog_view") == "cvw1_changes")
+    // the view is the DISTRIBUTED change feed: step 1 = the delete
+    // commit (net removals only — carried rows cancel), step 2 = the
+    // appended batch as inserts
+    val rows = spark.sql(
+      "SELECT cast(_commit_step AS INT), _change_type, cast(id AS BIGINT) " +
+        "FROM cvw1_changes ORDER BY 1, 2, 3")
+      .as[(Int, String, Long)].collect().toSeq
+    assert(rows == Seq((1, "delete", 9L), (1, "delete", 10L),
+      (2, "insert", 11L), (2, "insert", 12L)), rows.mkString(", "))
+    // a hostile view name refuses before anything registers
+    intercept[Exception] {
+      spark.sql("CALL graft_atomic.system.create_changelog_view(" +
+        "'db.cvw1', 'bad name; drop', 1)").collect()
+    }
+  }
+
+  test("expire_snapshots older_than: age shields versions beyond the count") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")
+    spark.sql("DROP TABLE IF EXISTS graft_atomic.db.exp2")
+    (1 to 3).foreach { i =>
+      (1L to i * 10L).toDF("id")
+        .writeTo("graft_atomic.db.exp2").using("parquet").createOrReplace()
+    }
+    def history(): Long = spark.sql(
+      "SELECT count(*) FROM graft_atomic.db.exp2.history").head().getLong(0)
+    assert(history() == 3L)
+    // a cutoff in the deep past: nothing is old enough to expire, even
+    // at keep=0 — age SHIELDS what the count window would drop
+    val past = spark.sql("CALL graft_atomic.system.expire_snapshots(" +
+      "'db.exp2', 0, TIMESTAMP '2000-01-01 00:00:00')").collect()
+    assert(past(0).getAs[Int]("kept_snapshots") == 3, past.mkString)
+    assert(history() == 3L)
+    // a future cutoff degrades to the pure count window
+    val fut = spark.sql("CALL graft_atomic.system.expire_snapshots(" +
+      "'db.exp2', 1, TIMESTAMP '2100-01-01 00:00:00')").collect()
+    assert(fut(0).getAs[Int]("kept_snapshots") == 2, fut.mkString)
+    assert(history() == 2L)
+    // omitted entirely: the r13 two-arg call keeps working
+    spark.sql("CALL graft_atomic.system.expire_snapshots('db.exp2', 0)")
+    assert(history() == 1L)
+  }
+
   test("CALL procedures: expire_snapshots, rollback_to, compact") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_atomic.db")

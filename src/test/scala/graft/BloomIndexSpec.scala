@@ -1,0 +1,209 @@
+package graft
+
+import java.nio.file.{Files, Path => JPath, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BLOOM-FILTER FILE INDEX (BloomIndex.scala): with `write.bloom-cols`
+  * the layout writer embeds parquet's native split-block bloom filters
+  * and the commit-time footer pass harvests the bitsets into
+  * `_bloomidx`, so scan planning drops files on point lookups that
+  * min/max stats cannot prune (uniform high-cardinality keys — every
+  * file's [min,max] spans the whole space). Pinned here: the
+  * stats-cannot/bloom-can separation (kept counts with probing off vs
+  * on), identical results both ways, proof-of-absence skips (missing
+  * key → zero files), IN-list union probing, conservative keeps for
+  * files written before the property existed, and the merge-on-read
+  * composition — an equality-delete entry's file scope narrows to the
+  * files that actually hold the matched keys. */
+class BloomIndexSpec extends AnyFunSuite {
+  lazy val warehouse: String =
+    Files.createTempDirectory("graft_blm_wh").toString
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.conf.set("spark.sql.catalog.graft_blm",
+      "graft.sources.AtomicParquetCatalog")
+    s.conf.set("spark.sql.catalog.graft_blm.warehouse", warehouse)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_blm.db")
+    s
+  }
+
+  private def counts(tbl: String): (Int, Int) =
+    Option(graft.sources.FileSkippingScan.counts.get(s"db.$tbl"))
+      .getOrElse((-1, -1))
+
+  private def md5Hex(v: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def tableDir(name: String): JPath =
+    Paths.get(warehouse, "db", name)
+
+  private def headDir(name: String): JPath = {
+    val log = tableDir(name).resolve("_current")
+    val v = new String(Files.readAllBytes(log), "UTF-8").split("\n")
+      .map(_.trim).filter(_.nonEmpty).head
+    tableDir(name).resolve(v)
+  }
+
+  /** Relative paths of the head version's ONE equality entry's scope. */
+  private def entryScope(name: String): Set[String] = {
+    val d = headDir(name).resolve("_deletes")
+    val ls = Files.list(d)
+    val fs =
+      try ls.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".files")).toSeq
+      finally ls.close()
+    assert(fs.length == 1, s"expected one entry, got $fs")
+    new String(Files.readAllBytes(d.resolve(fs.head)), "UTF-8")
+      .split("\n").map(_.trim).filter(_.nonEmpty).toSet
+  }
+
+  /** A table whose key is a uniform hash (md5 of the id) written in
+    * arrival order: every file's [min,max] spans the key space, so
+    * footer stats alone can never skip a point lookup. */
+  private def mkHashTable(name: String, nFiles: Int): Unit = {
+    val s = spark
+    import s.implicits._
+    s.sql(s"DROP TABLE IF EXISTS graft_blm.db.$name")
+    s.sql(s"CREATE TABLE graft_blm.db.$name (h STRING, v BIGINT) " +
+      "TBLPROPERTIES ('write.bloom-cols'='h','write.bloom-ndv'='2000')")
+    s.range(8000)
+      .select(md5($"id".cast("string")).as("h"), ($"id" % 7).as("v"))
+      .repartition(nFiles).writeTo(s"graft_blm.db.$name").append()
+  }
+
+  test("point lookup: stats keep every file, bloom keeps ~one, " +
+      "results identical, missing key keeps zero") {
+    val s = spark
+    import s.implicits._
+    mkHashTable("pt", 8)
+    assert(Files.isDirectory(tableDir("pt").resolve("_bloomidx")),
+      "the commit-time footer pass must have harvested a bloom store")
+    val probe = md5Hex("4242")
+
+    // probing OFF: min/max spans the space in every file — all kept
+    s.conf.set("spark.sql.catalog.graft.read.bloomSkipping", "false")
+    try {
+      graft.sources.FileSkippingScan.counts.clear()
+      val off = s.table("graft_blm.db.pt").where($"h" === probe).collect()
+      assert(off.length == 1 && off.head.getLong(1) == 4242L % 7)
+      assert(counts("pt") == ((8, 8)),
+        s"stats alone must keep all 8 files, got ${counts("pt")}")
+    } finally s.conf.unset("spark.sql.catalog.graft.read.bloomSkipping")
+
+    // probing ON: only the file(s) whose bloom admits the key plan
+    graft.sources.FileSkippingScan.counts.clear()
+    val on = s.table("graft_blm.db.pt").where($"h" === probe).collect()
+    assert(on.length == 1 && on.head.getLong(1) == 4242L % 7)
+    val (kept, total) = counts("pt")
+    assert(total == 8 && kept <= 2,
+      s"bloom must keep ~1 of 8 files (fpp slack 2), got $kept/$total")
+
+    // a key that is not in the table: bloom misses are a PROOF of
+    // absence — zero files planned, empty result
+    graft.sources.FileSkippingScan.counts.clear()
+    val none = s.table("graft_blm.db.pt")
+      .where($"h" === md5Hex("not-an-id")).collect()
+    assert(none.isEmpty && counts("pt")._1 == 0,
+      s"missing key must plan zero files, got ${counts("pt")}")
+  }
+
+  test("IN-list probes the union of keys; conjunctions compose with stats") {
+    val s = spark
+    import s.implicits._
+    mkHashTable("inl", 8)
+    val keys = Seq("17", "2024", "7777").map(md5Hex)
+    graft.sources.FileSkippingScan.counts.clear()
+    val got = s.table("graft_blm.db.inl")
+      .where($"h".isin(keys: _*)).agg(sum($"v")).head.getLong(0)
+    assert(got == (17L % 7) + (2024L % 7) + (7777L % 7))
+    val (kept, total) = counts("inl")
+    assert(total == 8 && kept <= 4,
+      s"three keys must keep at most 3 files (+fpp slack), got $kept")
+
+    // conjunction: the bloom-rejected side of AND kills the file even
+    // though the other conjunct matches everywhere
+    graft.sources.FileSkippingScan.counts.clear()
+    val and = s.table("graft_blm.db.inl")
+      .where($"h" === md5Hex("absent") && $"v" >= 0L).collect()
+    assert(and.isEmpty && counts("inl")._1 == 0)
+  }
+
+  test("files written before the property keep conservatively") {
+    val s = spark
+    import s.implicits._
+    s.sql("DROP TABLE IF EXISTS graft_blm.db.mixed")
+    val mk = (lo: Long, hi: Long) => s.range(lo, hi)
+      .select(md5($"id".cast("string")).as("h"), ($"id" % 7).as("v"))
+    // first batch: NO bloom property — files carry no filters
+    mk(0L, 4000L).repartition(4).writeTo("graft_blm.db.mixed").create()
+    s.sql("ALTER TABLE graft_blm.db.mixed SET TBLPROPERTIES " +
+      "('write.bloom-cols'='h','write.bloom-ndv'='2000')")
+    mk(4000L, 8000L).repartition(4).writeTo("graft_blm.db.mixed").append()
+    // a key from the PRE-property batch: its files have no blooms and
+    // must all stay; the post-property files bloom-miss and drop
+    graft.sources.FileSkippingScan.counts.clear()
+    val got = s.table("graft_blm.db.mixed")
+      .where($"h" === md5Hex("123")).collect()
+    assert(got.length == 1 && got.head.getLong(1) == 123L % 7)
+    val (kept, total) = counts("mixed")
+    assert(total == 8 && kept >= 4 && kept <= 5,
+      s"4 statless files keep + at most 1 bloomed file, got $kept/$total")
+  }
+
+  test("compaction keeps the bloom index sharp (rewritten files re-harvest)") {
+    val s = spark
+    import s.implicits._
+    mkHashTable("cmpb", 8)
+    s.sql("CALL graft_blm.system.compact('db.cmpb', 4)")
+    val probe = md5Hex("4242")
+    graft.sources.FileSkippingScan.counts.clear()
+    val got = s.table("graft_blm.db.cmpb").where($"h" === probe).collect()
+    assert(got.length == 1 && got.head.getLong(1) == 4242L % 7)
+    val (kept, total) = counts("cmpb")
+    assert(total == 4 && kept <= 2,
+      s"the compacted files must carry fresh blooms (kept ~1 of 4), " +
+        s"got $kept/$total")
+    // proof of absence survives the rewrite too
+    graft.sources.FileSkippingScan.counts.clear()
+    assert(s.table("graft_blm.db.cmpb")
+      .where($"h" === md5Hex("gone")).isEmpty && counts("cmpb")._1 == 0)
+    // `.files` surfaces the bloom readiness without opening a footer
+    val bcols = s.table("graft_blm.db.cmpb.files")
+      .select($"bloom_cols").collect().map(_.getString(0))
+    assert(bcols.length == 4 && bcols.forall(_ == "h"), bcols.mkString(","))
+  }
+
+  test("merge-on-read equality entries scope to the files holding the keys") {
+    val s = spark
+    import s.implicits._
+    mkHashTable("morb", 8)
+    s.sql("ALTER TABLE graft_blm.db.morb " +
+      "ADD CONSTRAINT morb_pk PRIMARY KEY (h) NOT ENFORCED")
+    s.conf.set("spark.sql.catalog.graft.write.rowLevelMode", "merge-on-read")
+    try {
+      Seq(md5Hex("11"), md5Hex("22")).toDF("h")
+        .createOrReplaceTempView("morb_src")
+      s.sql("""MERGE INTO graft_blm.db.morb t USING morb_src s ON t.h = s.h
+              |WHEN MATCHED THEN DELETE""".stripMargin)
+    } finally s.conf.unset("spark.sql.catalog.graft.write.rowLevelMode")
+    val scope = entryScope("morb")
+    assert(scope.nonEmpty && scope.size <= 3,
+      s"two keys must scope the entry to at most 2 files (+fpp slack), " +
+        s"got ${scope.size}")
+    assert(s.table("graft_blm.db.morb").count() == 7998L)
+    assert(s.table("graft_blm.db.morb")
+      .where($"h" === md5Hex("11")).count() == 0L)
+  }
+}
