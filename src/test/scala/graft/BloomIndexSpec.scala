@@ -162,6 +162,30 @@ class BloomIndexSpec extends AnyFunSuite {
       s"4 statless files keep + at most 1 bloomed file, got $kept/$total")
   }
 
+  test("partitioned tables bloom per partition directory") {
+    val s = spark
+    import s.implicits._
+    s.sql("DROP TABLE IF EXISTS graft_blm.db.partb")
+    s.range(8000)
+      .select(md5($"id".cast("string")).as("h"), ($"id" % 4).cast("string")
+        .as("p"), ($"id" % 7).as("v"))
+      .repartition(2)
+      .writeTo("graft_blm.db.partb").using("parquet")
+      .tableProperty("write.bloom-cols", "h")
+      .tableProperty("write.bloom-ndv", "2000")
+      .partitionedBy($"p").create()
+    // 4 partition dirs x 2 files; the probe key lives in exactly one
+    // partition AND one file — directory pruning is unavailable (no
+    // partition predicate), so any skipping here is the bloom's
+    graft.sources.FileSkippingScan.counts.clear()
+    val got = s.table("graft_blm.db.partb")
+      .where($"h" === md5Hex("4242")).collect()
+    assert(got.length == 1 && got.head.getString(1) == (4242L % 4).toString)
+    val (kept, total) = counts("partb")
+    assert(total == 8 && kept <= 2,
+      s"bloom must keep ~1 of 8 partitioned files, got $kept/$total")
+  }
+
   test("compaction keeps the bloom index sharp (rewritten files re-harvest)") {
     val s = spark
     import s.implicits._
