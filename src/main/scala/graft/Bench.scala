@@ -90,6 +90,12 @@ object Bench {
       val tBronze = best(runs.map(_._1))
       val tSilver = best(runs.map(_._2))
       val tGold = best(runs.map(_._3))
+      // published into the drift pool HERE, before the payload-256
+      // re-run: a failure there must not discard the stage timings
+      // already measured (the r14 lesson again — a regression with no
+      // drift row surfaces a round late)
+      mdpTimes = Seq("medallion_bronze" -> tBronze,
+        "medallion_silver" -> tSilver, "medallion_gold" -> tGold)
       val gb = cfg.ingestGb
       val gbpm = gb / (tBronze + tSilver + tGold) * 60
       // Reference row-shape posture: payloadKb=256 is the production bronze
@@ -106,9 +112,7 @@ object Bench {
         Pipeline.bronze(spark, cfg256); Pipeline.silver(spark, cfg256)
       }
       val gbpm256 = cfg256.ingestGb / t256 * 60
-      mdpTimes = Seq("medallion_bronze" -> tBronze,
-        "medallion_silver" -> tSilver, "medallion_gold" -> tGold,
-        "medallion_payload256_sec" -> t256)
+      mdpTimes = mdpTimes :+ ("medallion_payload256_sec" -> t256)
       f""""medallion_bronze":$tBronze%.3f,"medallion_silver":$tSilver%.3f,"medallion_gold":$tGold%.3f,"medallion_gb":$gb%.3f,"medallion_gbpm":$gbpm%.3f,"medallion_payload256_sec":$t256%.3f,"medallion_payload256_gbpm":$gbpm256%.3f"""
     } catch { case _: Throwable => """"medallion_error":1""" }
     try {

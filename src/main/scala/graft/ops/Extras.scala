@@ -1981,6 +1981,46 @@ object Extras {
     out
   }
 
+  /** q112: `CALL system.create_changelog_view` — the change feed as a
+    * PURE SQL surface (Iceberg's procedure of the same name): q93's
+    * row-level CDC derivation registered as a temp view by a CALL, so
+    * a SQL-only consumer gets per-commit inserts/deletes with no Scala
+    * API in the loop. The gate drives CREATE → scattered UPDATE →
+    * append entirely through SQL, CALLs the procedure over the last
+    * two commits, and aggregates FROM THE VIEW; the oracle recomputes
+    * the update's delete+insert pairs and the appended inserts
+    * independently from raw orders — a carried-row leak from the COW
+    * rewrite, a missed commit or a view over the wrong span all
+    * hash-mismatch. */
+  def q112ChangelogView(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    s.sql("DROP TABLE IF EXISTS graft_ma.db.cvw")
+    Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .writeTo("graft_ma.db.cvw").using("parquet").create()
+    s.sql("UPDATE graft_ma.db.cvw " +
+      "SET o_totalprice = -o_totalprice WHERE o_orderkey % 59 = 0")
+    Tables.load(s, dir, "orders").where($"o_orderkey" % 73 === 0)
+      .select(($"o_orderkey" + 30000000L).as("o_orderkey"), $"o_custkey",
+        $"o_totalprice")
+      .writeTo("graft_ma.db.cvw").append()
+    val summary = s.sql("CALL graft_ma.system.create_changelog_view(" +
+      "'db.cvw', 'q112_changes', 2)").collect()
+    require(summary.length == 1 &&
+      summary(0).getAs[String]("changelog_view") == "q112_changes",
+      s"q112: unexpected procedure summary ${summary.mkString}")
+    s.sql("""SELECT _commit_step, _change_type,
+            | count(*) AS n_rows,
+            | count(DISTINCT o_orderkey) AS n_distinct,
+            | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+            |   AS total
+            |FROM q112_changes
+            |GROUP BY _commit_step, _change_type
+            |ORDER BY _commit_step, _change_type""".stripMargin)
+  }
+
   /** Export path q76's oracle reads. Verify and the DuckDB oracle run on
     * the same host within one gate round, and the oracle SQL (which
     * embeds this path) is DUMPED BY THE SAME JVM that ran the export —
@@ -2319,6 +2359,7 @@ object Extras {
     "q109_mor_identity" -> q109MorIdentity,
     "q110_export_mor_live" -> q110ExportMorLive,
     "q111_bloom_skipping" -> q111BloomSkipping,
+    "q112_changelog_view" -> q112ChangelogView,
     "q76_catalog_external" -> q76CatalogExternal,
     "q77_partitions_metadata" -> q77PartitionsMetadata,
     "q78_snapshot_changes" -> q78SnapshotChanges,
@@ -2835,6 +2876,28 @@ object Extras {
         |WHERE md5(CAST(o_orderkey AS VARCHAR)) IN (
         |  (SELECT md5(CAST(min(o_orderkey) AS VARCHAR)) FROM orders),
         |  (SELECT md5(CAST(max(o_orderkey) AS VARCHAR)) FROM orders))""".stripMargin,
+    // the last two commits' net changes, read through the SQL-only
+    // CALL + view surface: step 1 = the update's delete(+price)/
+    // insert(-price) pairs, step 2 = the appended batch as inserts
+    "q112_changelog_view" ->
+      """SELECT 1 AS _commit_step, 'delete' AS _change_type,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 59 = 0
+        |UNION ALL
+        |SELECT 1, 'insert',
+        | CAST(count(*) AS BIGINT),
+        | CAST(count(DISTINCT o_orderkey) AS BIGINT),
+        | CAST(sum(CAST(-o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 59 = 0
+        |UNION ALL
+        |SELECT 2, 'insert',
+        | CAST(count(*) AS BIGINT),
+        | CAST(count(DISTINCT o_orderkey) AS BIGINT),
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 73 = 0
+        |ORDER BY _commit_step, _change_type""".stripMargin,
     // the branch's net changes since the fork: step 1 = the updated
     // rows as delete(+price)/insert(-price) pairs, step 2 = the
     // appended batch as inserts — a carried-row leak from the COW

@@ -312,7 +312,7 @@ object AtomicParquetCatalog {
     // footer pass harvests the bitsets into `_bloomidx` so scan
     // planning can skip files on point lookups where min/max cannot
     // (uniform high-cardinality keys) — see BloomIndex.scala.
-    val wb = BloomIndex.writerOptions(props, routed.columns.toSeq)
+    val wb = BloomIndex.writerOptions(props, routed.schema)
       .foldLeft(w) { case (wr, (k, v)) => wr.option(k, v) }
     wb.partitionBy(parts: _*).parquet(target.toString)
   }
@@ -3318,16 +3318,20 @@ private[sources] final class PointerTable(
                       tableSchema, "a row-level MERGE/UPDATE")
                     writeInto(nv, staged, "append")
                     catalog.dropOrphan(staging)
-                  case _ if IdentityColumns.has(tableSchema) ||
-                      AtomicParquetCatalog.readProps(dir)
-                        .contains("write.sort-cols") =>
-                    // whole-table COW on an UNPARTITIONED identity or
-                    // sort-ordered table: the raw-move shortcut below
-                    // would let a merge-inserted row slip a NULL
-                    // identity value into the table (or land the
-                    // merged rows unsorted, dulling the skip index) —
-                    // take the one-extra-pass re-read so the refusal
-                    // guard / the layout router's range sort sees
+                  case _ if IdentityColumns.has(tableSchema) || {
+                      val p = AtomicParquetCatalog.readProps(dir)
+                      p.contains("write.sort-cols") ||
+                        p.contains("write.bloom-cols")
+                    } =>
+                    // whole-table COW on an UNPARTITIONED identity,
+                    // sort-ordered or bloom-indexed table: the raw-move
+                    // shortcut below would let a merge-inserted row
+                    // slip a NULL identity value into the table, land
+                    // the merged rows unsorted (dulling the skip
+                    // index), or write files with no native bloom
+                    // filters (permanently unskippable) — take the
+                    // one-extra-pass re-read so the refusal guard /
+                    // the layout router's sort + bloom options see
                     // every row
                     Files.write(nv.resolve("_partitions.txt"), Array.empty[Byte])
                     val staged = IdentityColumns.refuseNulls(

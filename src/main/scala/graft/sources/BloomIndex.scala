@@ -58,6 +58,11 @@ private[sources] object BloomIndex {
     * `write.target-file-size-rows` says better (~117 KiB bitset at
     * parquet's default 1% fpp). */
   private val DEFAULT_NDV = 100000L
+  /** Decoded-bitset cap for the scan-planning cache: a table whose
+    * store exceeds it keeps parquet's in-task row-group blooms but
+    * forgoes file-level probing instead of pinning unbounded driver
+    * heap. */
+  private val CACHE_MAX_BYTES = 256L << 20
 
   def probingEnabled(s: org.apache.spark.sql.SparkSession): Boolean =
     s.conf.getOption("spark.sql.catalog.graft.read.bloomSkipping")
@@ -69,11 +74,18 @@ private[sources] object BloomIndex {
     * native bloom filter on each named column, sized by
     * `write.bloom-ndv` (falling back to the per-file row cap: a file
     * holds at most that many distinct values). Column names are
-    * resolved against `cols` case-insensitively; a name that does not
-    * exist in the write schema refuses (same stance as
-    * write.sort-cols). */
+    * resolved against the write schema case-insensitively; a name
+    * that does not exist refuses (same stance as write.sort-cols).
+    * FLOAT/DOUBLE columns refuse POINTEDLY: parquet's bloom hashes
+    * raw IEEE bits and its own in-task row-group filtering applies
+    * them bit-exactly, so a file this engine wrote with a float bloom
+    * would drop a stored -0.0 row from a `= 0.0` probe in ANY
+    * parquet reader (measured on vanilla Spark) — a write option
+    * must never make plain reads wrong. (Foreign files that already
+    * carry float blooms still PROBE soundly here: [[hashesOf]] tries
+    * both zero encodings.) */
   def writerOptions(props: Map[String, String],
-                    cols: Seq[String]): Map[String, String] = {
+                    schema: StructType): Map[String, String] = {
     val named = props.get("write.bloom-cols")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .filter(_.nonEmpty)
@@ -82,12 +94,22 @@ private[sources] object BloomIndex {
       .orElse(props.get("write.target-file-size-rows").flatMap(_.toLongOption))
       .filter(_ > 0L).getOrElse(DEFAULT_NDV)
     named.flatMap { c =>
-      val exact = cols.find(_.equalsIgnoreCase(c)).getOrElse(
+      val field = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(
           s"write.bloom-cols column $c does not exist in the write " +
-            s"schema (${cols.mkString(", ")})"))
-      Seq(s"parquet.bloom.filter.enabled#$exact" -> "true",
-        s"parquet.bloom.filter.expected.ndv#$exact" -> ndv.toString)
+            s"schema (${schema.fieldNames.mkString(", ")})"))
+      field.dataType match {
+        case FloatType | DoubleType =>
+          throw new IllegalArgumentException(
+            s"write.bloom-cols column ${field.name} is " +
+              s"${field.dataType.simpleString}: parquet blooms hash raw " +
+              "IEEE bits, so in-task row-group filtering would drop a " +
+              "stored -0.0 from a `= 0.0` probe — float/double columns " +
+              "cannot be bloom-indexed")
+        case _ => ()
+      }
+      Seq(s"parquet.bloom.filter.enabled#${field.name}" -> "true",
+        s"parquet.bloom.filter.expected.ndv#${field.name}" -> ndv.toString)
     }.toMap
   }
 
@@ -116,20 +138,37 @@ private[sources] object BloomIndex {
   }
 
   /** Bloom lines for one already-open footer reader — one line per
-    * (top-level column, row group) that carries a filter within the
-    * size cap. Runs inside [[FileStats]]' footer pass, so a file is
-    * opened exactly once for both sidecars. */
+    * (top-level column, row group). Runs inside [[FileStats]]' footer
+    * pass, so a file is opened exactly once for both sidecars.
+    *
+    * ALL-OR-NOTHING per column: a probe treats a column's filter list
+    * as covering EVERY row group of the file (any-of-them-may-contain
+    * = file may contain), so a partially harvested column — one row
+    * group's filter absent (adaptive writers can size row groups past
+    * the cap individually), unreadable, or over the size cap while
+    * its siblings land — would let a key living in the uncovered row
+    * group bloom-miss everywhere and wrongly skip the file. A column
+    * yields a line for every row group or no lines at all. */
   def harvestLines(reader: ParquetFileReader, rel: String): Seq[String] = {
     val footer = reader.getFooter
     val fileSchema = footer.getFileMetaData.getSchema
-    footer.getBlocks.asScala.toSeq.flatMap { b: BlockMetaData =>
-      b.getColumns.asScala.toSeq
-        .filter(c => c.getPath.size == 1 && c.getBloomFilterOffset >= 0L)
+    val blocks: Seq[BlockMetaData] = footer.getBlocks.asScala.toSeq
+    if (blocks.isEmpty) return Nil
+    val candidates: Seq[(String, Char)] =
+      blocks.head.getColumns.asScala.toSeq
+        .filter(_.getPath.size == 1)
         .flatMap { c =>
           val col = c.getPath.toDotString
           val prim = fileSchema
             .getType(fileSchema.getFieldIndex(col)).asPrimitiveType()
-          tagOf(prim).flatMap { tag =>
+          tagOf(prim).map(col -> _)
+        }
+    candidates.flatMap { case (col, tag) =>
+      val perGroup: Seq[Option[String]] = blocks.map { b =>
+        b.getColumns.asScala
+          .find(c => c.getPath.size == 1 && c.getPath.toDotString == col)
+          .filter(_.getBloomFilterOffset >= 0L)
+          .flatMap { c =>
             try {
               reader.getBloomFilterDataReader(b).readBloomFilter(c) match {
                 case bf: BlockSplitBloomFilter
@@ -144,29 +183,46 @@ private[sources] object BloomIndex {
             } catch {
               case e: Exception =>
                 System.err.println(s"[graft-bloomidx] WARN: bloom read " +
-                  s"failed for $rel/$col (${e.getMessage}); column stays " +
-                  "unskippable-by-bloom")
+                  s"failed for $rel/$col (${e.getMessage})")
                 None
             }
           }
-        }
+      }
+      if (perGroup.forall(_.isDefined)) perGroup.flatten
+      else {
+        if (perGroup.exists(_.isDefined))
+          System.err.println(s"[graft-bloomidx] WARN: $rel/$col covered " +
+            s"only ${perGroup.count(_.isDefined)} of ${blocks.size} row " +
+            "groups; column not indexed (a partial set could skip wrongly)")
+        Nil
+      }
     }
+  }
+
+  /** One atomic store-file write — also called from EXECUTOR tasks by
+    * the distributed footer pass, which writes its partition's bloom
+    * lines directly instead of collecting megabyte bitsets onto the
+    * driver (the store is append-only, so per-task files compose; a
+    * retried task at worst duplicates identical filter lines, which
+    * probing treats as one). */
+  def writeStoreFile(tableDir: JPath, lines: Seq[String]): Unit = {
+    val store = tableDir.resolve(STORE)
+    Files.createDirectories(store)
+    val tmp = store.resolve(s".bf-tmp-${UUID.randomUUID()}")
+    Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, store.resolve(s"bf-${UUID.randomUUID()}.tsv"),
+      StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Append harvested lines and compact the store against the live
     * relative paths on the usual cadence. Called under the commit lock
-    * (from FileStats.record). */
+    * (from FileStats.record); always drops the planning cache — the
+    * distributed pass appends store files from tasks, which this
+    * call's caller then accounts for. */
   def append(tableDir: JPath, lines: Seq[String],
              livePaths: => Set[String]): Unit = {
-    if (lines.nonEmpty) {
-      val store = tableDir.resolve(STORE)
-      Files.createDirectories(store)
-      val tmp = store.resolve(s".bf-tmp-${UUID.randomUUID()}")
-      Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
-      Files.move(tmp, store.resolve(s"bf-${UUID.randomUUID()}.tsv"),
-        StandardCopyOption.ATOMIC_MOVE)
-      cache.remove(tableDir.toString)
-    }
+    if (lines.nonEmpty) writeStoreFile(tableDir, lines)
+    cache.remove(tableDir.toString)
     maybeCompact(tableDir, livePaths)
   }
 
@@ -231,11 +287,20 @@ private[sources] object BloomIndex {
     if (hit != null && hit._1 == fp) return hit._2
     val byFile = scala.collection.mutable.Map.empty[String,
       scala.collection.mutable.Map[String, (Char, Vector[BlockSplitBloomFilter])]]
+    // a malformed line or cross-line shape conflict POISONS its
+    // (file, column) permanently — later lines must not re-admit a
+    // partial filter set a probe would trust as complete
+    val poisoned = scala.collection.mutable.Set.empty[(String, String)]
     for (p <- parts;
-         line <- new String(Files.readAllBytes(p), "UTF-8").split("\n")
+         // a commit-side store compaction may delete a part file
+         // between our listing and this read: treat the store as
+         // absent this plan (conservative keep), never fail the query
+         content <- (try Some(new String(Files.readAllBytes(p), "UTF-8"))
+                     catch { case _: java.io.IOException => None }).toSeq;
+         line <- content.split("\n")
          if line.nonEmpty) {
       val f = line.split("\t", -1)
-      if (f.length == 4 && f(2).length == 1) {
+      if (f.length == 4 && f(2).length == 1 && !poisoned((f(0), f(1)))) {
         try {
           val bits = Base64.getDecoder.decode(f(3))
           val filt = new BlockSplitBloomFilter(bits)
@@ -244,40 +309,85 @@ private[sources] object BloomIndex {
           cols.get(f(1)) match {
             case Some((t, fs)) if t == f(2).charAt(0) =>
               cols(f(1)) = (t, fs :+ filt)
-            case Some(_) => // shape conflict across row groups: distrust
-              cols.remove(f(1)); ()
+            case Some(_) => // shape conflict across lines: distrust
+              poisoned += ((f(0), f(1))); cols.remove(f(1)); ()
             case None => cols(f(1)) = (f(2).charAt(0), Vector(filt))
           }
-        } catch { case _: IllegalArgumentException => () }
+        } catch {
+          case _: IllegalArgumentException =>
+            poisoned += ((f(0), f(1)))
+            byFile.get(f(0)).foreach(_.remove(f(1)))
+        }
       }
     }
     val out: Index = byFile.map { case (n, m) =>
       n -> m.map { case (c, (t, fs)) => c -> (t, fs: Seq[BlockSplitBloomFilter]) }.toMap
     }.toMap
-    cache.put(tableDir.toString, (fp, out))
-    out
+    // driver-heap guard: the cache holds DECODED bitsets; a store past
+    // the cap (a very large table) disables file-level bloom probing
+    // rather than pinning unbounded memory — parquet's own in-task
+    // row-group blooms (which this index harvests FROM) still prune
+    // the data pages for such tables
+    val bytes = out.valuesIterator
+      .flatMap(_.valuesIterator).flatMap(_._2).map(_.getBitsetSize.toLong)
+      .foldLeft(0L)(_ + _)
+    val fin: Index =
+      if (bytes <= CACHE_MAX_BYTES) out
+      else {
+        System.err.println(s"[graft-bloomidx] WARN: $tableDir store " +
+          s"decodes to $bytes bytes > cap $CACHE_MAX_BYTES; file-level " +
+          "bloom probing disabled for this table (row-group blooms " +
+          "still apply in-task)")
+        Map.empty
+      }
+    cache.put(tableDir.toString, (fp, fin))
+    fin
   }
 
   // ---- probing ----
 
-  /** Hash `v` (a catalyst-internal value) the way parquet's writer
-    * hashed column values of physical shape `tag`, or None when the
-    * shapes don't line up (probe keeps the file). */
-  private def hashOf(bf: BloomFilter, tag: Char, v: Any): Option[Long] =
+  /** The candidate hashes for `v` (a catalyst-internal value) under
+    * physical shape `tag` — the way parquet's writer hashed column
+    * values — or None when the shapes don't line up (probe keeps the
+    * file). Floats need TWO candidates at zero: the writer hashed the
+    * raw IEEE bits, so a file holding -0.0 must not bloom-miss a
+    * `= 0.0` probe (SQL equality unifies the two encodings). NaN
+    * probes return None (SQL `= NaN` matches nothing; keeping the
+    * file is the conservative no-op). */
+  private def hashesOf(bf: BloomFilter, tag: Char, v: Any): Option[Seq[Long]] =
     (tag, v) match {
       case (_, null) => None
-      case ('i', i: Int) => Some(bf.hash(i))
-      case ('i', s: Short) => Some(bf.hash(s.toInt))
-      case ('i', b: Byte) => Some(bf.hash(b.toInt))
-      case ('l', l: Long) => Some(bf.hash(l))
-      case ('f', f: Float) => Some(bf.hash(f))
-      case ('d', d: Double) => Some(bf.hash(d))
+      case ('i', i: Int) => Some(Seq(bf.hash(i)))
+      case ('i', s: Short) => Some(Seq(bf.hash(s.toInt)))
+      case ('i', b: Byte) => Some(Seq(bf.hash(b.toInt)))
+      case ('l', l: Long) => Some(Seq(bf.hash(l)))
+      case ('f', f: Float) =>
+        if (f.isNaN) None
+        else if (f == 0.0f) Some(Seq(bf.hash(0.0f), bf.hash(-0.0f)))
+        else Some(Seq(bf.hash(f)))
+      case ('d', d: Double) =>
+        if (d.isNaN) None
+        else if (d == 0.0d) Some(Seq(bf.hash(0.0d), bf.hash(-0.0d)))
+        else Some(Seq(bf.hash(d)))
       case ('s', u: UTF8String) =>
-        Some(bf.hash(Binary.fromConstantByteArray(u.getBytes)))
+        Some(Seq(bf.hash(Binary.fromConstantByteArray(u.getBytes))))
       case ('y', b: Array[Byte]) =>
-        Some(bf.hash(Binary.fromConstantByteArray(b)))
+        Some(Seq(bf.hash(Binary.fromConstantByteArray(b))))
       case _ => None
     }
+
+  /** May any of `keys` live in a column whose row-group filters are
+    * `fs`? The one probe loop both [[mayMatch]] and
+    * [[filesMayContainKeys]] run: true on an empty filter list, an
+    * un-hashable key shape, or any single filter hit. */
+  private def anyKeyMay(fs: Seq[BlockSplitBloomFilter], tag: Char,
+                        keys: Seq[Any]): Boolean =
+    fs.isEmpty || keys.exists(k => fs.exists { bf =>
+      hashesOf(bf, tag, k) match {
+        case Some(hs) => hs.exists(bf.findHash)
+        case None => true
+      }
+    })
 
   /** Could a row of `file` match every filter, as far as its bloom
     * filters can tell? Over-approximating: only an equality/IN leaf
@@ -292,13 +402,7 @@ private[sources] object BloomIndex {
     def probe(a: AttributeReference, v: Any): Boolean =
       cols.find(_._1.equalsIgnoreCase(a.name)).map(_._2) match {
         case None => true
-        case Some((tag, fs)) =>
-          fs.isEmpty || fs.exists { f =>
-            hashOf(f, tag, v) match {
-              case Some(h) => f.findHash(h)
-              case None => true
-            }
-          }
+        case Some((tag, fs)) => anyKeyMay(fs, tag, Seq(v))
       }
     e match {
       case And(l, r) => may(l, cols) && may(r, cols)
@@ -331,13 +435,7 @@ private[sources] object BloomIndex {
     files.filter { f =>
       idx.get(f).flatMap(_.find(_._1.equalsIgnoreCase(colName)).map(_._2)) match {
         case None => true
-        case Some((tag, fs)) =>
-          fs.isEmpty || keys.exists(k => fs.exists { bf =>
-            hashOf(bf, tag, k) match {
-              case Some(h) => bf.findHash(h)
-              case None => true
-            }
-          })
+        case Some((tag, fs)) => anyKeyMay(fs, tag, keys)
       }
     }
   }

@@ -101,7 +101,13 @@ private[sources] object FileStats {
     }
     // one footer pass fills BOTH sidecars: min/max/nullCount lines
     // (prefix S) for `_filestats`, harvested bloom bitsets (prefix B)
-    // for `_bloomidx` — a file is opened exactly once
+    // for `_bloomidx` — a file is opened exactly once. The distributed
+    // branch writes bloom lines into the store FROM THE TASKS
+    // (BloomIndex.writeStoreFile — append-only store files compose),
+    // so only the short stats lines ride the collect(): a 10k-file
+    // backfill on a bloomed table must not funnel gigabytes of
+    // bitsets through the driver
+    val tableDirStr = tableDir.toString
     val tagged: Seq[String] =
       if (files.size <= DRIVER_LOOP_MAX) {
         val conf = spark.sessionState.newHadoopConf()
@@ -111,8 +117,16 @@ private[sources] object FileStats {
           spark.sessionState.newHadoopConf())
         spark.sparkContext
           .parallelize(files, math.min(files.size, 32))
-          .flatMap { case (p, rel) => statLines(p, rel, sconf.value) }
-          .collect().toSeq // bounded: a few short lines per footer
+          .mapPartitions { it =>
+            val all = it.flatMap { case (p, rel) =>
+              statLines(p, rel, sconf.value) }.toSeq
+            val (bl, st) = all.partition(_.startsWith("B\t"))
+            if (bl.nonEmpty)
+              BloomIndex.writeStoreFile(
+                java.nio.file.Paths.get(tableDirStr), bl.map(_.substring(2)))
+            st.iterator
+          }
+          .collect().toSeq // bounded: a few short stats lines per footer
       }
     val (bloomTagged, statTagged) = tagged.partition(_.startsWith("B\t"))
     val lines = statTagged.map(_.substring(2))
@@ -388,7 +402,12 @@ private[sources] object FileStats {
     val byFile = scala.collection.mutable.Map.empty[String, (Long,
       scala.collection.mutable.Map[String, ColStat])]
     for (p <- parts;
-         line <- new String(Files.readAllBytes(p), "UTF-8").split("\n")
+         // a commit-side store compaction may delete a part file
+         // between listing and read (the reader takes no lock): lose
+         // those stats this plan — conservative keep — not the query
+         content <- (try Some(new String(Files.readAllBytes(p), "UTF-8"))
+                     catch { case _: java.io.IOException => None }).toSeq;
+         line <- content.split("\n")
          if line.nonEmpty) {
       val f = line.split("\t", -1)
       if (f.length == 6) {

@@ -162,6 +162,30 @@ class BloomIndexSpec extends AnyFunSuite {
       s"4 statless files keep + at most 1 bloomed file, got $kept/$total")
   }
 
+  test("float/double bloom-cols refuse pointedly (raw-bits hash vs ±0.0)") {
+    val s = spark
+    import s.implicits._
+    s.sql("DROP TABLE IF EXISTS graft_blm.db.zd")
+    // measured on vanilla Spark: with a parquet bloom on a double
+    // column, the reader's own in-task row-group filtering drops a
+    // stored -0.0 from a `= 0.0` probe (bit-exact hash, SQL-equal
+    // values) — so the write option must refuse rather than mint
+    // files that make plain reads wrong
+    s.sql("CREATE TABLE graft_blm.db.zd (d DOUBLE, id BIGINT) " +
+      "TBLPROPERTIES ('write.bloom-cols'='d','write.bloom-ndv'='2000')")
+    val e = intercept[Exception] {
+      s.range(100).select(($"id" + 0.5d).as("d"), $"id")
+        .repartition(2).writeTo("graft_blm.db.zd").append()
+    }
+    def rootMsgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ rootMsgs(x.getCause))
+    assert(rootMsgs(e).exists(_.contains("cannot be bloom-indexed")),
+      s"expected the pointed float/double refusal, got ${rootMsgs(e)}")
+    // nothing committed
+    assert(s.table("graft_blm.db.zd").count() == 0L)
+  }
+
   test("partitioned tables bloom per partition directory") {
     val s = spark
     import s.implicits._
