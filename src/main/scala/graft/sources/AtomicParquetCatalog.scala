@@ -175,7 +175,7 @@ object AtomicParquetCatalog {
     val liveRels = walkDataFiles(src)
       .map(p => src.relativize(Paths.get(p)).toString).toSet
     val stats = FileStats.load(src.getParent)
-    val blooms = BloomIndex.load(src.getParent)
+    val blooms = BloomIndex.loadIfEnabled(src.getParent)
     val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
       .toAttributes(schema)
     val affected = es.flatMap { e =>
@@ -285,7 +285,14 @@ object AtomicParquetCatalog {
         numFiles.map(n => routed.repartitionByRange(n, sc.map(col): _*))
           .getOrElse(routed.repartitionByRange(sc.map(col): _*))
       case _ if numFiles.isDefined =>
-        routed.repartition(numFiles.get)
+        // partitioned: cluster the pinned-width exchange on the dir
+        // columns — a bare repartition(n) would scatter every dir
+        // across every task (the tasks x dirs small-files cliff), and
+        // on a sorted table overlap the per-dir key ranges; clustered,
+        // each dir lands whole in one task and the within-partition
+        // sort below keeps its range tight
+        if (parts.isEmpty) routed.repartition(numFiles.get)
+        else routed.repartition(numFiles.get, parts.map(col): _*)
       case _ =>
         if (parts.nonEmpty && PartitionField.clusterWrite(spark, fields))
           routed.repartition(parts.map(col): _*)
@@ -2185,7 +2192,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             // POSITIONAL entries name their rows outright: every named
             // file rewrites, no stats question to ask.
             val stats = FileStats.load(dir)
-            val blooms = BloomIndex.load(dir)
+            val blooms = BloomIndex.loadIfEnabled(dir)
             val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
               .toAttributes(schema)
             val affected = es.flatMap { e =>
@@ -2956,7 +2963,7 @@ private[sources] final class PointerTable(
       .toSet
     val scoped = {
       val stats = FileStats.load(dir)
-      val blooms = BloomIndex.load(dir)
+      val blooms = BloomIndex.loadIfEnabled(dir)
       if (stats.isEmpty && blooms.isEmpty) files
       else {
         val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils

@@ -205,69 +205,28 @@ private[sources] object BloomIndex {
     * driver (the store is append-only, so per-task files compose; a
     * retried task at worst duplicates identical filter lines, which
     * probing treats as one). */
-  def writeStoreFile(tableDir: JPath, lines: Seq[String]): Unit = {
-    val store = tableDir.resolve(STORE)
-    Files.createDirectories(store)
-    val tmp = store.resolve(s".bf-tmp-${UUID.randomUUID()}")
-    Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
-    Files.move(tmp, store.resolve(s"bf-${UUID.randomUUID()}.tsv"),
-      StandardCopyOption.ATOMIC_MOVE)
-  }
+  def writeStoreFile(tableDir: JPath, lines: Seq[String]): Unit =
+    SidecarStore.writeFile(tableDir.resolve(STORE), "bf", lines)
 
   /** Append harvested lines and compact the store against the live
     * relative paths on the usual cadence. Called under the commit lock
-    * (from FileStats.record); always drops the planning cache — the
-    * distributed pass appends store files from tasks, which this
-    * call's caller then accounts for. */
+    * (from FileStats.record). The planning cache drops only when the
+    * store actually changed — task-side appends already change the
+    * fingerprint, so the frequent no-op `append(Nil)` of a
+    * fully-covered commit must not force the next plan to re-decode an
+    * unchanged store. */
   def append(tableDir: JPath, lines: Seq[String],
              livePaths: => Set[String]): Unit = {
     if (lines.nonEmpty) writeStoreFile(tableDir, lines)
-    cache.remove(tableDir.toString)
-    maybeCompact(tableDir, livePaths)
-  }
-
-  private def maybeCompact(tableDir: JPath,
-                           livePaths: => Set[String]): Unit = {
-    val store = tableDir.resolve(STORE)
-    if (!Files.isDirectory(store)) return
-    val parts = listStoreFiles(store)
-    if (parts.size <= COMPACT_AT) return
-    val live = livePaths
-    val all = parts.flatMap(f =>
-      new String(Files.readAllBytes(f), "UTF-8").split("\n").toSeq)
-      .filter(l => l.nonEmpty && live.contains(l.takeWhile(_ != '\t')))
-    val tmp = store.resolve(s".bf-tmp-${UUID.randomUUID()}")
-    Files.write(tmp, all.mkString("\n").getBytes("UTF-8"))
-    Files.move(tmp, store.resolve(s"bf-${UUID.randomUUID()}.tsv"),
-      StandardCopyOption.ATOMIC_MOVE)
-    parts.foreach(Files.deleteIfExists(_))
-    cache.remove(tableDir.toString)
-  }
-
-  private def listStoreFiles(store: JPath): Seq[JPath] = {
-    if (!Files.isDirectory(store)) return Nil
-    val ls = Files.list(store)
-    try ls.iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".tsv")).toSeq.sortBy(_.toString)
-    finally ls.close()
+    val compacted = SidecarStore.maybeCompact(tableDir.resolve(STORE),
+      "bf", COMPACT_AT, livePaths)
+    if (lines.nonEmpty || compacted) cache.remove(tableDir.toString)
   }
 
   /** Clone-time carry — the destination links the same data files
     * under the same relative paths (see FileStats.carryStore). */
-  def carryStore(srcTable: JPath, dstTable: JPath): Unit = {
-    val src = srcTable.resolve(STORE)
-    if (!Files.isDirectory(src)) return
-    val dst = dstTable.resolve(STORE)
-    Files.createDirectories(dst)
-    listStoreFiles(src).foreach { f =>
-      val out = dst.resolve(f.getFileName.toString)
-      try { Files.createLink(out, f); () }
-      catch {
-        case _: UnsupportedOperationException | _: java.io.IOException =>
-          Files.copy(f, out, StandardCopyOption.REPLACE_EXISTING); ()
-      }
-    }
-  }
+  def carryStore(srcTable: JPath, dstTable: JPath): Unit =
+    SidecarStore.carry(srcTable.resolve(STORE), dstTable.resolve(STORE))
 
   // ---- scan-time loading (cached per store fingerprint) ----
 
@@ -277,12 +236,22 @@ private[sources] object BloomIndex {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Index)]()
 
+  /** [[load]], gated on the session kill-switch — the form every
+    * NARROWING consumer must use (scan planning AND the commit-time
+    * scoping of persisted delete entries): with probing disabled a
+    * suspect sidecar must not be able to bake a wrong file scope into
+    * a persisted entry, where scan-time disablement could never
+    * repair it. Observability readers (`.files`) may use [[load]]
+    * directly. */
+  def loadIfEnabled(tableDir: JPath): Index =
+    if (probingEnabled(org.apache.spark.sql.SparkSession.active))
+      load(tableDir)
+    else Map.empty
+
   def load(tableDir: JPath): Index = {
-    val store = tableDir.resolve(STORE)
-    val parts = listStoreFiles(store)
+    val parts = SidecarStore.list(tableDir.resolve(STORE))
     if (parts.isEmpty) return Map.empty
-    val fp = parts.map(p =>
-      s"${p.getFileName}:${Files.size(p)}").mkString(",")
+    val fp = SidecarStore.fingerprint(parts)
     val hit = cache.get(tableDir.toString)
     if (hit != null && hit._1 == fp) return hit._2
     val byFile = scala.collection.mutable.Map.empty[String,
@@ -295,8 +264,7 @@ private[sources] object BloomIndex {
          // a commit-side store compaction may delete a part file
          // between our listing and this read: treat the store as
          // absent this plan (conservative keep), never fail the query
-         content <- (try Some(new String(Files.readAllBytes(p), "UTF-8"))
-                     catch { case _: java.io.IOException => None }).toSeq;
+         content <- SidecarStore.readSafe(p).toSeq;
          line <- content.split("\n")
          if line.nonEmpty) {
       val f = line.split("\t", -1)

@@ -337,7 +337,7 @@ private[sources] final class GraftDeltaWrite(
                   // bloom half: on a hash-shaped key every file's
                   // [min,max] spans the space, but the bitsets still
                   // prove absence per file (BloomIndex.scala)
-                  BloomIndex.filesMayContainKeys(BloomIndex.load(dir),
+                  BloomIndex.filesMayContainKeys(BloomIndex.loadIfEnabled(dir),
                     byStats, keyCol, keys)
                 }
                 if (scoped.nonEmpty) { MorDeletes.writeEntry(nv, node, scoped); () }

@@ -59,6 +59,83 @@ import org.apache.spark.util.SerializableConfiguration
   * never receive compile-time filters (their builder hides pushdown —
   * see PointerTable.newRowLevelOperationBuilder), so a COW rewrite can
   * never lose carried rows to skipping. */
+/** Shared mechanics of the append-only TSV sidecar stores
+  * (`_filestats`, `_bloomidx`): atomic part-file writes, race-tolerant
+  * listing/read/fingerprinting (a commit-side store compaction may
+  * delete a part file under a lock-free reader — every reader degrades
+  * to "no sidecar this plan", conservative keep, never a failed
+  * query), live-path compaction keyed on the first TSV field, and
+  * clone-time link carry. One implementation so the two stores'
+  * contracts cannot drift apart. */
+private[sources] object SidecarStore {
+
+  def list(store: JPath): Seq[JPath] = {
+    if (!Files.isDirectory(store)) return Nil
+    val ls =
+      try Files.list(store)
+      catch { case _: java.io.IOException => return Nil }
+    try ls.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".tsv")).toSeq.sortBy(_.toString)
+    finally ls.close()
+  }
+
+  /** None when the file vanished mid-read (the compaction race). */
+  def readSafe(p: JPath): Option[String] =
+    try Some(new String(Files.readAllBytes(p), "UTF-8"))
+    catch { case _: java.io.IOException => None }
+
+  /** Cache fingerprint over the listed parts. A part that vanishes
+    * between listing and stat contributes "?" — such a fingerprint can
+    * never match the next call's (the vanished part won't be listed
+    * again), so a racy read is never served stale from cache. */
+  def fingerprint(parts: Seq[JPath]): String =
+    parts.map { p =>
+      val sz = try Files.size(p).toString
+               catch { case _: java.io.IOException => "?" }
+      s"${p.getFileName}:$sz"
+    }.mkString(",")
+
+  def writeFile(store: JPath, prefix: String, lines: Seq[String]): Unit = {
+    Files.createDirectories(store)
+    val tmp = store.resolve(s".$prefix-tmp-${UUID.randomUUID()}")
+    Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, store.resolve(s"$prefix-${UUID.randomUUID()}.tsv"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Merge a many-part store into one file and PURGE lines whose
+    * first TSV field is not in `live` (vacuumed / relocated files).
+    * Runs under the commit lock. Returns true when a compaction
+    * actually rewrote the store. */
+  def maybeCompact(store: JPath, prefix: String, compactAt: Int,
+                   live: => Set[String]): Boolean = {
+    val parts = list(store)
+    if (parts.size <= compactAt) return false
+    val liveSet = live
+    val all = parts.flatMap(f => readSafe(f).toSeq.flatMap(_.split("\n")))
+      .filter(l => l.nonEmpty && liveSet.contains(l.takeWhile(_ != '\t')))
+    writeFile(store, prefix, all)
+    parts.foreach(Files.deleteIfExists(_))
+    true
+  }
+
+  /** Clone-time carry: the destination links the same data files
+    * under the same relative paths, so the source's sidecar lines are
+    * the destination's. */
+  def carry(src: JPath, dst: JPath): Unit = {
+    if (!Files.isDirectory(src)) return
+    Files.createDirectories(dst)
+    list(src).foreach { f =>
+      val out = dst.resolve(f.getFileName.toString)
+      try { Files.createLink(out, f); () }
+      catch {
+        case _: UnsupportedOperationException | _: java.io.IOException =>
+          Files.copy(f, out, StandardCopyOption.REPLACE_EXISTING); ()
+      }
+    }
+  }
+}
+
 private[sources] object FileStats {
 
   private val STORE = "_filestats"
@@ -129,13 +206,8 @@ private[sources] object FileStats {
           .collect().toSeq // bounded: a few short stats lines per footer
       }
     val (bloomTagged, statTagged) = tagged.partition(_.startsWith("B\t"))
-    val lines = statTagged.map(_.substring(2))
-    val store = tableDir.resolve(STORE)
-    Files.createDirectories(store)
-    val tmp = store.resolve(s".fs-tmp-${UUID.randomUUID()}")
-    Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
-    Files.move(tmp, store.resolve(s"fs-${UUID.randomUUID()}.tsv"),
-      StandardCopyOption.ATOMIC_MOVE)
+    SidecarStore.writeFile(tableDir.resolve(STORE), "fs",
+      statTagged.map(_.substring(2)))
     cache.remove(tableDir.toString)
     maybeCompact(tableDir, Some(versionDir))
     BloomIndex.append(tableDir, bloomTagged.map(_.substring(2)),
@@ -165,55 +237,22 @@ private[sources] object FileStats {
     * under the commit lock (its only caller is `record`); the in-flight
     * version being committed is passed explicitly because the pointer
     * log does not list it yet. */
-  private def maybeCompact(tableDir: JPath, inFlight: Option[JPath]): Unit = {
-    val store = tableDir.resolve(STORE)
-    if (!Files.isDirectory(store)) return
-    val parts = listStoreFiles(store)
-    if (parts.size <= COMPACT_AT) return
-    val live: Set[String] = livePaths(tableDir, inFlight)
-    val all = parts.flatMap(f =>
-      new String(Files.readAllBytes(f), "UTF-8").split("\n").toSeq)
-      .filter(l => l.nonEmpty && live.contains(l.takeWhile(_ != '\t')))
-    val tmp = store.resolve(s".fs-tmp-${UUID.randomUUID()}")
-    Files.write(tmp, all.mkString("\n").getBytes("UTF-8"))
-    Files.move(tmp, store.resolve(s"fs-${UUID.randomUUID()}.tsv"),
-      StandardCopyOption.ATOMIC_MOVE)
-    parts.foreach(Files.deleteIfExists(_))
-    cache.remove(tableDir.toString)
-  }
+  private def maybeCompact(tableDir: JPath, inFlight: Option[JPath]): Unit =
+    if (SidecarStore.maybeCompact(tableDir.resolve(STORE), "fs", COMPACT_AT,
+        livePaths(tableDir, inFlight)))
+      cache.remove(tableDir.toString)
 
-  private def listStoreFiles(store: JPath): Seq[JPath] = {
-    val ls = Files.list(store)
-    try ls.iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".tsv")).toSeq.sortBy(_.toString)
-    finally ls.close()
-  }
-
-  private def coveredKeys(tableDir: JPath): Set[String] = {
-    val store = tableDir.resolve(STORE)
-    if (!Files.isDirectory(store)) return Set.empty
-    listStoreFiles(store).flatMap(f =>
-      new String(Files.readAllBytes(f), "UTF-8").split("\n").iterator
-        .filter(_.nonEmpty).map(_.takeWhile(_ != '\t'))).toSet
-  }
+  private def coveredKeys(tableDir: JPath): Set[String] =
+    SidecarStore.list(tableDir.resolve(STORE)).flatMap(f =>
+      SidecarStore.readSafe(f).toSeq.flatMap(_.split("\n").iterator
+        .filter(_.nonEmpty).map(_.takeWhile(_ != '\t')))).toSet
 
   /** Clone-time sidecar carry: the destination links the same data
     * files under the same relative paths, so the source's stats are
     * the destination's. */
   def carryStore(srcTable: JPath, dstTable: JPath): Unit = {
     BloomIndex.carryStore(srcTable, dstTable) // same link-forward contract
-    val src = srcTable.resolve(STORE)
-    if (!Files.isDirectory(src)) return
-    val dst = dstTable.resolve(STORE)
-    Files.createDirectories(dst)
-    listStoreFiles(src).foreach { f =>
-      val out = dst.resolve(f.getFileName.toString)
-      try { Files.createLink(out, f); () }
-      catch {
-        case _: UnsupportedOperationException | _: java.io.IOException =>
-          Files.copy(f, out, StandardCopyOption.REPLACE_EXISTING); ()
-      }
-    }
+    SidecarStore.carry(srcTable.resolve(STORE), dstTable.resolve(STORE))
   }
 
   // ---- footer → TSV lines ----
@@ -391,12 +430,9 @@ private[sources] object FileStats {
     new java.util.concurrent.ConcurrentHashMap[String, (String, Map[String, FileStat])]()
 
   def load(tableDir: JPath): Map[String, FileStat] = {
-    val store = tableDir.resolve(STORE)
-    if (!Files.isDirectory(store)) return Map.empty
-    val parts = listStoreFiles(store)
+    val parts = SidecarStore.list(tableDir.resolve(STORE))
     if (parts.isEmpty) return Map.empty
-    val fp = parts.map(p =>
-      s"${p.getFileName}:${Files.size(p)}").mkString(",")
+    val fp = SidecarStore.fingerprint(parts)
     val hit = cache.get(tableDir.toString)
     if (hit != null && hit._1 == fp) return hit._2
     val byFile = scala.collection.mutable.Map.empty[String, (Long,
@@ -405,8 +441,7 @@ private[sources] object FileStats {
          // a commit-side store compaction may delete a part file
          // between listing and read (the reader takes no lock): lose
          // those stats this plan — conservative keep — not the query
-         content <- (try Some(new String(Files.readAllBytes(p), "UTF-8"))
-                     catch { case _: java.io.IOException => None }).toSeq;
+         content <- SidecarStore.readSafe(p).toSeq;
          line <- content.split("\n")
          if line.nonEmpty) {
       val f = line.split("\t", -1)

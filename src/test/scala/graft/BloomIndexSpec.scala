@@ -233,6 +233,32 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(bcols.length == 4 && bcols.forall(_ == "h"), bcols.mkString(","))
   }
 
+  test("bloomSkipping=false also disables COMMIT-TIME entry scoping") {
+    val s = spark
+    import s.implicits._
+    // a suspect sidecar must not be able to bake a wrong file scope
+    // into a PERSISTED delete entry while the operator has probing
+    // off — scan-time disablement could never repair that
+    mkHashTable("morko", 8)
+    s.sql("ALTER TABLE graft_blm.db.morko " +
+      "ADD CONSTRAINT morko_pk PRIMARY KEY (h) NOT ENFORCED")
+    s.conf.set("spark.sql.catalog.graft.read.bloomSkipping", "false")
+    s.conf.set("spark.sql.catalog.graft.write.rowLevelMode", "merge-on-read")
+    try {
+      Seq(md5Hex("33")).toDF("h").createOrReplaceTempView("morko_src")
+      s.sql("""MERGE INTO graft_blm.db.morko t USING morko_src s
+              |ON t.h = s.h WHEN MATCHED THEN DELETE""".stripMargin)
+    } finally {
+      s.conf.unset("spark.sql.catalog.graft.write.rowLevelMode")
+      s.conf.unset("spark.sql.catalog.graft.read.bloomSkipping")
+    }
+    // uniform hash key: stats cannot narrow, and bloom was OFF — the
+    // entry must scope to ALL files (with probing on it scopes to ~1)
+    assert(entryScope("morko").size == 8,
+      s"probing-off merge must not bloom-narrow, got ${entryScope("morko")}")
+    assert(s.table("graft_blm.db.morko").count() == 7999L)
+  }
+
   test("merge-on-read equality entries scope to the files holding the keys") {
     val s = spark
     import s.implicits._

@@ -304,6 +304,32 @@ class FileSkippingSpec extends AnyFunSuite {
       s"compaction dulled the skip index: kept $kept/$total")
   }
 
+  test("compact(target_files) on a PARTITIONED table clusters the " +
+      "exchange: ~1 file per dir, never tasks x dirs") {
+    val s = spark
+    import s.implicits._
+    s.sql("DROP TABLE IF EXISTS graft_fsk.db.pcomp")
+    s.range(8000)
+      .select($"id".as("k"), ($"id" % 4).cast("string").as("p"),
+        ($"id" % 7).as("v"))
+      .repartition(8) // scrambled: 8 tasks x 4 dirs = 32 small files
+      .writeTo("graft_fsk.db.pcomp").using("parquet")
+      .tableProperty("write.sort-cols", "k")
+      .partitionedBy($"p").create()
+    def nFiles(): Long = s.sql(
+      "SELECT count(*) FROM graft_fsk.db.pcomp.files").head().getLong(0)
+    assert(nFiles() == 32L, s"setup should scatter, got ${nFiles()}")
+    s.sql("CALL graft_fsk.system.compact('db.pcomp', 2)").collect()
+    // clustered exchange: each of the 4 dirs lands whole in one of the
+    // 2 tasks -> one file per dir; an unclustered repartition(2) would
+    // write 2 tasks x 4 dirs = 8, and repartition(target) at a real
+    // task count scatters into every dir (the small-files cliff)
+    assert(nFiles() == 4L,
+      s"partitioned compact must write ~1 file per dir, got ${nFiles()}")
+    assert(s.table("graft_fsk.db.pcomp").agg(sum($"k")).head.getLong(0)
+      === (0L until 8000L).sum)
+  }
+
   test("rewrite_deletes preserves write.sort-cols: materialized " +
       "survivor files stay as sharp as a fresh append") {
     val s = spark
