@@ -389,17 +389,26 @@ private[sources] object BloomIndex {
     }
   }
 
+  /** Above this many matched keys the commit-time bloom narrowing
+    * stands down (scope stays stats-narrowed): unlike the stats half's
+    * O(files·log keys) interval search, a bloom probe is per-key — a
+    * ruled-OUT file costs |keys| probes, so a max-delete-keys-sized
+    * merge (1M) against a large snapshot would stall the commit for a
+    * scope refinement that CDC-sized batches get for free. */
+  private val MAX_NARROW_KEYS = 10000
+
   /** The subset of `files` whose bloom filters cannot rule out holding
     * at least one of `keys` in `colName` — the bloom half of
     * [[FileStats.filesMayContainKeys]], composed after it on the
     * merge-on-read equality-entry write path so a scattered CDC merge
     * on a hash-shaped key scopes its entry to the files that actually
     * hold the keys (min/max sees the whole space there). Same
-    * may-match contract: no store / no column / shape mismatch keeps
-    * the file. */
+    * may-match contract: no store / no column / shape mismatch / a
+    * key set past [[MAX_NARROW_KEYS]] keeps the file. */
   def filesMayContainKeys(idx: Index, files: Set[String], colName: String,
                           keys: Seq[Any]): Set[String] = {
-    if (idx.isEmpty || keys.isEmpty) return files
+    if (idx.isEmpty || keys.isEmpty || keys.size > MAX_NARROW_KEYS)
+      return files
     files.filter { f =>
       idx.get(f).flatMap(_.find(_._1.equalsIgnoreCase(colName)).map(_._2)) match {
         case None => true
