@@ -233,6 +233,33 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(bcols.length == 4 && bcols.forall(_ == "h"), bcols.mkString(","))
   }
 
+  test("multiple bloom-cols index independently; either column can skip") {
+    val s = spark
+    import s.implicits._
+    s.sql("DROP TABLE IF EXISTS graft_blm.db.two")
+    s.sql("CREATE TABLE graft_blm.db.two (h STRING, g STRING, v BIGINT) " +
+      "TBLPROPERTIES ('write.bloom-cols'='h,g','write.bloom-ndv'='2000')")
+    s.range(8000)
+      .select(md5($"id".cast("string")).as("h"),
+        md5(($"id" + 1000000L).cast("string")).as("g"), ($"id" % 7).as("v"))
+      .repartition(8).writeTo("graft_blm.db.two").append()
+    // h probe skips
+    graft.sources.FileSkippingScan.counts.clear()
+    assert(s.table("graft_blm.db.two")
+      .where($"h" === md5Hex("4242")).count() == 1L)
+    assert(counts("two")._1 <= 2, s"h probe over-kept ${counts("two")}")
+    // g probe skips through ITS filters
+    graft.sources.FileSkippingScan.counts.clear()
+    assert(s.table("graft_blm.db.two")
+      .where($"g" === md5Hex("1004242")).count() == 1L)
+    assert(counts("two")._1 <= 2, s"g probe over-kept ${counts("two")}")
+    // conjunction of an absent h and a present g: proof of absence wins
+    graft.sources.FileSkippingScan.counts.clear()
+    assert(s.table("graft_blm.db.two")
+      .where($"h" === md5Hex("nope") && $"g" === md5Hex("1004242"))
+      .isEmpty && counts("two")._1 == 0)
+  }
+
   test("bloomSkipping=false also disables COMMIT-TIME entry scoping") {
     val s = spark
     import s.implicits._
