@@ -175,7 +175,7 @@ object AtomicParquetCatalog {
     val liveRels = walkDataFiles(src)
       .map(p => src.relativize(Paths.get(p)).toString).toSet
     val stats = FileStats.load(src.getParent)
-    val blooms = BloomIndex.loadIfEnabled(src.getParent)
+    val blooms = BloomIndex.loadIfEnabled(src.getParent, spark)
     val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
       .toAttributes(schema)
     val affected = es.flatMap { e =>
@@ -285,14 +285,22 @@ object AtomicParquetCatalog {
         numFiles.map(n => routed.repartitionByRange(n, sc.map(col): _*))
           .getOrElse(routed.repartitionByRange(sc.map(col): _*))
       case _ if numFiles.isDefined =>
-        // partitioned: cluster the pinned-width exchange on the dir
-        // columns — a bare repartition(n) would scatter every dir
-        // across every task (the tasks x dirs small-files cliff), and
-        // on a sorted table overlap the per-dir key ranges; clustered,
-        // each dir lands whole in one task and the within-partition
-        // sort below keeps its range tight
+        // partitioned: RANGE-distribute the pinned-width exchange on
+        // (dir cols ++ sort cols). A bare repartition(n) scatters
+        // every dir across every task (the tasks x dirs small-files
+        // cliff: n x dirs files) and on a sorted table overlaps the
+        // per-dir key ranges; hash-clustering on the dirs fixes that
+        // but collapses parallelism to one task per dir when
+        // dirs < target. The range exchange covers both ends: small
+        // dirs share a task (files ~ dirs when dirs >> target), a big
+        // dir spans contiguous tasks (width ~ target when
+        // dirs << target) — file count <= dirs + target - 1, and the
+        // within-partition sort below keeps each slice's key range
+        // tight
         if (parts.isEmpty) routed.repartition(numFiles.get)
-        else routed.repartition(numFiles.get, parts.map(col): _*)
+        else routed.repartitionByRange(numFiles.get,
+          (parts ++ sortCols.getOrElse(Nil).filterNot(c =>
+            parts.exists(_.equalsIgnoreCase(c)))).map(col): _*)
       case _ =>
         if (parts.nonEmpty && PartitionField.clusterWrite(spark, fields))
           routed.repartition(parts.map(col): _*)
@@ -2192,7 +2200,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             // POSITIONAL entries name their rows outright: every named
             // file rewrites, no stats question to ask.
             val stats = FileStats.load(dir)
-            val blooms = BloomIndex.loadIfEnabled(dir)
+            val blooms = BloomIndex.loadIfEnabled(dir, spark)
             val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
               .toAttributes(schema)
             val affected = es.flatMap { e =>
@@ -2963,7 +2971,8 @@ private[sources] final class PointerTable(
       .toSet
     val scoped = {
       val stats = FileStats.load(dir)
-      val blooms = BloomIndex.loadIfEnabled(dir)
+      val blooms = BloomIndex.loadIfEnabled(dir,
+        org.apache.spark.sql.SparkSession.active)
       if (stats.isEmpty && blooms.isEmpty) files
       else {
         val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils

@@ -236,17 +236,20 @@ private[sources] object BloomIndex {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Index)]()
 
-  /** [[load]], gated on the session kill-switch — the form every
-    * NARROWING consumer must use (scan planning AND the commit-time
-    * scoping of persisted delete entries): with probing disabled a
-    * suspect sidecar must not be able to bake a wrong file scope into
-    * a persisted entry, where scan-time disablement could never
-    * repair it. Observability readers (`.files`) may use [[load]]
+  /** [[load]], gated on the kill-switch of the session EXECUTING the
+    * operation — the form every NARROWING consumer must use (scan
+    * planning AND the commit-time scoping of persisted delete
+    * entries): with probing disabled a suspect sidecar must not be
+    * able to bake a wrong file scope into a persisted entry, where
+    * scan-time disablement could never repair it. The session is a
+    * parameter, not `SparkSession.active`: in a multi-session app the
+    * operator's `bloomSkipping=false` lives on the session that runs
+    * the command, and a thread whose active session differs must not
+    * sidestep it. Observability readers (`.files`) may use [[load]]
     * directly. */
-  def loadIfEnabled(tableDir: JPath): Index =
-    if (probingEnabled(org.apache.spark.sql.SparkSession.active))
-      load(tableDir)
-    else Map.empty
+  def loadIfEnabled(tableDir: JPath,
+                    spark: org.apache.spark.sql.SparkSession): Index =
+    if (probingEnabled(spark)) load(tableDir) else Map.empty
 
   def load(tableDir: JPath): Index = {
     val parts = SidecarStore.list(tableDir.resolve(STORE))

@@ -337,7 +337,8 @@ private[sources] final class GraftDeltaWrite(
                   // bloom half: on a hash-shaped key every file's
                   // [min,max] spans the space, but the bitsets still
                   // prove absence per file (BloomIndex.scala)
-                  BloomIndex.filesMayContainKeys(BloomIndex.loadIfEnabled(dir),
+                  BloomIndex.filesMayContainKeys(
+                    BloomIndex.loadIfEnabled(dir, spark),
                     byStats, keyCol, keys)
                 }
                 if (scoped.nonEmpty) { MorDeletes.writeEntry(nv, node, scoped); () }

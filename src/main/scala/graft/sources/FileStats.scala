@@ -18,47 +18,6 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
-/** FILE-LEVEL column statistics and DATA SKIPPING for the atomic
-  * catalog — the scan-planning half of what Iceberg manifests / Delta
-  * file stats buy a lakehouse table at 100 TB: per data file, min/max/
-  * nullCount per top-level column, collected ONCE from the parquet
-  * FOOTERS at commit time (metadata-only — the data pages are never
-  * read) and consulted at scan planning so a selective predicate never
-  * SCHEDULES a file it provably cannot match. Directory-level pruning
-  * (static + DPP) removes partitions; this removes files WITHIN the
-  * surviving partitions — on a sorted/z-ordered layout the pair turns a
-  * point/range query from "open every footer in the partition" into
-  * "read the two files that overlap the range".
-  *
-  * Store shape: `<tableDir>/_filestats/` TSV files, APPEND-ONLY, keyed
-  * by VERSION-RELATIVE PATH — the partition directory plus the part
-  * file name. The bare name is NOT unique (one partitioned write lands
-  * `part-00000-<jobUUID>` in EVERY partition directory), but the
-  * relative path is, and `linkDataFiles` preserves it verbatim across
-  * every hard-link commit — so one entry keys one file's stats across
-  * every version that links it, with ZERO carry logic on the commit
-  * path. A relocation (evolve_layout moving old files under
-  * `_spec-<k>/`) changes the key and simply self-heals: the next
-  * commit sees the new paths as uncovered and re-records their
-  * footers. A commit records footers only for paths not yet covered
-  * (the same mechanism backfills pre-stats tables); entries for
-  * vacuumed or relocated files are garbage collected against the
-  * retained versions' live paths by the periodic store compaction.
-  * Stats collection is distributed
-  * (a Spark job over the footer paths) above a driver-loop threshold,
-  * so a 100 TB commit's stats cost scales with the cluster, and is
-  * best-effort BY DESIGN: a failure degrades to "no stats for those
-  * files" = no skipping, never a failed commit or a wrong result.
-  *
-  * Skipping is conservative by construction, the same stance as every
-  * pruner in this catalog: a file is dropped only when the captured
-  * compile-time filters PROVE no row can match ([[mayMatch]] — an
-  * over-approximating interval evaluator over And/Or with comparison,
-  * IN, null-test and prefix leaves; unknown shapes, missing stats,
-  * cast-wrapped columns all keep the file). Row-level-operation scans
-  * never receive compile-time filters (their builder hides pushdown —
-  * see PointerTable.newRowLevelOperationBuilder), so a COW rewrite can
-  * never lose carried rows to skipping. */
 /** Shared mechanics of the append-only TSV sidecar stores
   * (`_filestats`, `_bloomidx`): atomic part-file writes, race-tolerant
   * listing/read/fingerprinting (a commit-side store compaction may
@@ -106,13 +65,24 @@ private[sources] object SidecarStore {
   /** Merge a many-part store into one file and PURGE lines whose
     * first TSV field is not in `live` (vacuumed / relocated files).
     * Runs under the commit lock. Returns true when a compaction
-    * actually rewrote the store. */
+    * actually rewrote the store. ALL parts must read — a transient
+    * failure on any one SKIPS the compaction whole (parts stay, next
+    * commit retries): merging the readable subset and then deleting
+    * every part would silently lose the unreadable part's lines
+    * forever (coverage is keyed on the stats store, so nothing would
+    * re-harvest them). */
   def maybeCompact(store: JPath, prefix: String, compactAt: Int,
                    live: => Set[String]): Boolean = {
     val parts = list(store)
     if (parts.size <= compactAt) return false
+    val contents = parts.map(readSafe)
+    if (contents.exists(_.isEmpty)) {
+      System.err.println(s"[graft-sidecar] WARN: $store compaction " +
+        "skipped — a part file failed to read; retrying next commit")
+      return false
+    }
     val liveSet = live
-    val all = parts.flatMap(f => readSafe(f).toSeq.flatMap(_.split("\n")))
+    val all = contents.flatten.flatMap(_.split("\n"))
       .filter(l => l.nonEmpty && liveSet.contains(l.takeWhile(_ != '\t')))
     writeFile(store, prefix, all)
     parts.foreach(Files.deleteIfExists(_))
@@ -136,6 +106,47 @@ private[sources] object SidecarStore {
   }
 }
 
+/** FILE-LEVEL column statistics and DATA SKIPPING for the atomic
+  * catalog — the scan-planning half of what Iceberg manifests / Delta
+  * file stats buy a lakehouse table at 100 TB: per data file, min/max/
+  * nullCount per top-level column, collected ONCE from the parquet
+  * FOOTERS at commit time (metadata-only — the data pages are never
+  * read) and consulted at scan planning so a selective predicate never
+  * SCHEDULES a file it provably cannot match. Directory-level pruning
+  * (static + DPP) removes partitions; this removes files WITHIN the
+  * surviving partitions — on a sorted/z-ordered layout the pair turns a
+  * point/range query from "open every footer in the partition" into
+  * "read the two files that overlap the range".
+  *
+  * Store shape: `<tableDir>/_filestats/` TSV files, APPEND-ONLY, keyed
+  * by VERSION-RELATIVE PATH — the partition directory plus the part
+  * file name. The bare name is NOT unique (one partitioned write lands
+  * `part-00000-<jobUUID>` in EVERY partition directory), but the
+  * relative path is, and `linkDataFiles` preserves it verbatim across
+  * every hard-link commit — so one entry keys one file's stats across
+  * every version that links it, with ZERO carry logic on the commit
+  * path. A relocation (evolve_layout moving old files under
+  * `_spec-<k>/`) changes the key and simply self-heals: the next
+  * commit sees the new paths as uncovered and re-records their
+  * footers. A commit records footers only for paths not yet covered
+  * (the same mechanism backfills pre-stats tables); entries for
+  * vacuumed or relocated files are garbage collected against the
+  * retained versions' live paths by the periodic store compaction.
+  * Stats collection is distributed
+  * (a Spark job over the footer paths) above a driver-loop threshold,
+  * so a 100 TB commit's stats cost scales with the cluster, and is
+  * best-effort BY DESIGN: a failure degrades to "no stats for those
+  * files" = no skipping, never a failed commit or a wrong result.
+  *
+  * Skipping is conservative by construction, the same stance as every
+  * pruner in this catalog: a file is dropped only when the captured
+  * compile-time filters PROVE no row can match ([[mayMatch]] — an
+  * over-approximating interval evaluator over And/Or with comparison,
+  * IN, null-test and prefix leaves; unknown shapes, missing stats,
+  * cast-wrapped columns all keep the file). Row-level-operation scans
+  * never receive compile-time filters (their builder hides pushdown —
+  * see PointerTable.newRowLevelOperationBuilder), so a COW rewrite can
+  * never lose carried rows to skipping. */
 private[sources] object FileStats {
 
   private val STORE = "_filestats"
@@ -627,7 +638,8 @@ private[sources] final class FileSkippingScan(
     private[sources] val inner: Scan, scanName: String, tableDir: JPath,
     private[sources] val versionDir: JPath,
     tableSchema: StructType,
-    private[sources] val dataFilters: Seq[CExpression])
+    private[sources] val dataFilters: Seq[CExpression],
+    session: SparkSession)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning with SupportsReportStatistics {
 
@@ -658,10 +670,7 @@ private[sources] final class FileSkippingScan(
     // delegate swapped in by filter() must be what plans here
     val ib = inner.toBatch
     val stats = FileStats.load(tableDir)
-    val blooms =
-      if (BloomIndex.probingEnabled(
-          org.apache.spark.sql.SparkSession.active)) BloomIndex.load(tableDir)
-      else Map.empty: BloomIndex.Index
+    val blooms = BloomIndex.loadIfEnabled(tableDir, session)
     if (stats.isEmpty && blooms.isEmpty) return ib.planInputPartitions()
     val vPrefix = versionDir.toString + "/"
     def keepFile(urlEncoded: String): Boolean = {

@@ -207,7 +207,7 @@ private[sources] final class KeyGroupedParquetScanBuilder(
           (java.nio.file.Files.isDirectory(tableDir.resolve("_filestats")) ||
             java.nio.file.Files.isDirectory(tableDir.resolve("_bloomidx"))))
         new FileSkippingScan(withDeletes, scanName, tableDir, versionDir,
-          tableSchema, dataFilters)
+          tableSchema, dataFilters, session)
       else withDeletes
     // `_file`/`_pos` metadata columns, when requested: the wrapper
     // splits tasks per file and projects rows to the requested order —

@@ -320,12 +320,21 @@ class FileSkippingSpec extends AnyFunSuite {
       "SELECT count(*) FROM graft_fsk.db.pcomp.files").head().getLong(0)
     assert(nFiles() == 32L, s"setup should scatter, got ${nFiles()}")
     s.sql("CALL graft_fsk.system.compact('db.pcomp', 2)").collect()
-    // clustered exchange: each of the 4 dirs lands whole in one of the
-    // 2 tasks -> one file per dir; an unclustered repartition(2) would
-    // write 2 tasks x 4 dirs = 8, and repartition(target) at a real
-    // task count scatters into every dir (the small-files cliff)
-    assert(nFiles() == 4L,
-      s"partitioned compact must write ~1 file per dir, got ${nFiles()}")
+    // range exchange on (dirs ++ sort cols): small dirs share a task,
+    // so file count is bounded by dirs + target - 1 = 5, never the
+    // unclustered 2 tasks x 4 dirs = 8 (and never repartition(target)
+    // at a real task count scattering into every dir)
+    assert(nFiles() >= 4L && nFiles() <= 5L,
+      s"partitioned compact must write ~1 file per dir " +
+        s"(<= dirs + target - 1), got ${nFiles()}")
+    assert(s.table("graft_fsk.db.pcomp").agg(sum($"k")).head.getLong(0)
+      === (0L until 8000L).sum)
+    // the dirs << target end: a wide target must not collapse to one
+    // task per dir (that was the hash-clustering regression) — it may
+    // split big dirs across tasks, and must stay far under tasks x dirs
+    s.sql("CALL graft_fsk.system.compact('db.pcomp', 8)").collect()
+    assert(nFiles() <= 11L, // dirs + target - 1
+      s"wide-target partitioned compact over-scattered: ${nFiles()}")
     assert(s.table("graft_fsk.db.pcomp").agg(sum($"k")).head.getLong(0)
       === (0L until 8000L).sum)
   }
