@@ -2021,6 +2021,93 @@ object Extras {
             |ORDER BY _commit_step, _change_type""".stripMargin)
   }
 
+  /** q113: DELETE-AWARE AGGREGATE PUSHDOWN — COUNT(*) stays a
+    * zero-scan metadata answer WHILE merge-on-read delete entries are
+    * live (q100's fast path previously died the moment CDC touched a
+    * table, paying a full scan until rewrite_deletes). The count is
+    * Σ footer-stats row counts − Σ sidecar removed-row counts:
+    * positional entries carry their ordinals outright, equality
+    * entries persist the matched-row count the commit funnel measured
+    * (MorDeletes.DeleteEntry.matched — exact because every funnel
+    * matches against the live scan, so no row is ever counted twice).
+    * The gate builds BOTH sidecar kinds (q110's shape: a PK MERGE
+    * DELETE → equality entry, drop the PK, a modulo DELETE → the
+    * untranslatable predicate routes the row-level funnel
+    * POSITIONALLY), REQUIRES both live, then REQUIRES the COUNT plan
+    * to be a LocalTableScan touching zero parquet — and cross-checks
+    * the pushed answer against the kill-switched full-scan count
+    * before the oracle re-derives it from raw orders. MIN/MAX keep
+    * refusing while entries live (a delete can remove the extremum —
+    * MorDeleteSpec pins that). */
+  def q113MorCountPushdown(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    s.sql("DROP TABLE IF EXISTS graft_ma.db.ord_cnt")
+    Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .repartition(8)
+      .writeTo("graft_ma.db.ord_cnt").using("parquet")
+      .tableProperty("write.merge.mode", "merge-on-read")
+      .tableProperty("write.delete.mode", "merge-on-read")
+      .create()
+    s.sql("ALTER TABLE graft_ma.db.ord_cnt ADD CONSTRAINT ord_cnt_pk " +
+      "PRIMARY KEY (o_orderkey) NOT ENFORCED")
+    // commit 1: scattered PK MERGE DELETE → ONE equality entry whose
+    // matched-row count the funnel persisted
+    Tables.load(s, dir, "orders").where($"o_orderkey" % 97 === 0)
+      .select($"o_orderkey").createOrReplaceTempView("q113_src")
+    s.sql("""MERGE INTO graft_ma.db.ord_cnt t USING q113_src s
+            |ON t.o_orderkey = s.o_orderkey
+            |WHEN MATCHED THEN DELETE""".stripMargin)
+    // commit 2: PK dropped → the modulo predicate is untranslatable
+    // (no metadata-only entry), so the row-level funnel routes it
+    // POSITIONALLY — ordinal sidecars, inherently counted
+    s.sql("ALTER TABLE graft_ma.db.ord_cnt DROP CONSTRAINT ord_cnt_pk")
+    s.sql("DELETE FROM graft_ma.db.ord_cnt WHERE o_custkey % 31 = 0")
+    val head = gmaHeadDir(s, "ord_cnt")
+    def sidecars(suffix: String): Int = {
+      val d = head.resolve("_deletes")
+      if (!java.nio.file.Files.isDirectory(d)) 0
+      else {
+        import scala.jdk.CollectionConverters._
+        val ls = java.nio.file.Files.list(d)
+        try ls.iterator().asScala
+          .count(_.getFileName.toString.endsWith(suffix))
+        finally ls.close()
+      }
+    }
+    require(sidecars(".pred") >= 1 && sidecars(".pos") >= 1,
+      s"q113 needs BOTH live sidecar kinds, got " +
+        s"pred=${sidecars(".pred")} pos=${sidecars(".pos")}")
+    val key = "spark.sql.parquet.aggregatePushdown"
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try {
+      val df = s.sql("SELECT CAST(count(*) AS BIGINT) AS n_live " +
+        "FROM graft_ma.db.ord_cnt")
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("LocalTableScan"),
+        s"q113: the MoR count was not served from metadata:\n$plan")
+      require(!plan.toLowerCase.contains("parquet"),
+        s"q113: the pushed count plan still scans data files:\n$plan")
+      val pushed = df.collect()(0).getLong(0)
+      // cross-check: the kill-switch forces the row-scan path — the
+      // metadata answer must agree with it exactly
+      s.conf.set("spark.sql.catalog.graft.read.morAggPushdown", "false")
+      val scanned =
+        try s.sql("SELECT count(*) FROM graft_ma.db.ord_cnt")
+          .collect()(0).getLong(0)
+        finally s.conf.unset("spark.sql.catalog.graft.read.morAggPushdown")
+      require(pushed == scanned,
+        s"q113: pushed count $pushed != scanned count $scanned")
+      df
+    } finally prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Export path q76's oracle reads. Verify and the DuckDB oracle run on
     * the same host within one gate round, and the oracle SQL (which
     * embeds this path) is DUMPED BY THE SAME JVM that ran the export —
@@ -2360,6 +2447,7 @@ object Extras {
     "q110_export_mor_live" -> q110ExportMorLive,
     "q111_bloom_skipping" -> q111BloomSkipping,
     "q112_changelog_view" -> q112ChangelogView,
+    "q113_mor_count_pushdown" -> q113MorCountPushdown,
     "q76_catalog_external" -> q76CatalogExternal,
     "q77_partitions_metadata" -> q77PartitionsMetadata,
     "q78_snapshot_changes" -> q78SnapshotChanges,
@@ -3032,6 +3120,12 @@ object Extras {
         | CAST(0 AS BIGINT) AS off_grid,
         | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the sidecar-metadata count == the raw count net of both deletes
+    // (the PK merge removed o_orderkey % 97 = 0; the positional delete
+    // removed the remaining o_custkey % 31 = 0 rows)
+    "q113_mor_count_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_live FROM orders
+        |WHERE o_orderkey % 97 <> 0 AND o_custkey % 31 <> 0""".stripMargin,
     // footer-metadata aggregate == the row-scan aggregate
     "q100_agg_pushdown" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_orders,

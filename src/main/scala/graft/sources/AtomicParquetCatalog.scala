@@ -2944,6 +2944,10 @@ private[sources] final class PointerTable(
       predicates.forall(p => MorDeletes.translate(p, tableSchema).isDefined)
 
   override def deleteWhere(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    // the EXECUTING session, captured once at entry — loadIfEnabled's
+    // contract (its kill-switch must see the session that runs this
+    // DELETE, never whatever a different thread left active)
+    val spark = org.apache.spark.sql.SparkSession.active
     val node = predicates.toSeq
       .map(p => MorDeletes.translate(p, tableSchema).getOrElse(
         throw new UnsupportedOperationException(
@@ -2971,8 +2975,7 @@ private[sources] final class PointerTable(
       .toSet
     val scoped = {
       val stats = FileStats.load(dir)
-      val blooms = BloomIndex.loadIfEnabled(dir,
-        org.apache.spark.sql.SparkSession.active)
+      val blooms = BloomIndex.loadIfEnabled(dir, spark)
       if (stats.isEmpty && blooms.isEmpty) files
       else {
         val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils

@@ -274,6 +274,15 @@ private[sources] object BloomIndex {
       if (f.length == 4 && f(2).length == 1 && !poisoned((f(0), f(1)))) {
         try {
           val bits = Base64.getDecoder.decode(f(3))
+          // parquet's byte[] ctor does NO shape validation: a bitset
+          // shorter than one split block (32 bytes) or off-granule
+          // would throw from findHash DURING SCAN PLANNING — enforce
+          // the malformed-line contract (poison, conservative keep)
+          // here instead of failing the query there
+          if (bits.length < 32 || bits.length % 32 != 0)
+            throw new IllegalArgumentException(
+              s"bloom bitset length ${bits.length} is not a positive " +
+                "multiple of the 32-byte split block")
           val filt = new BlockSplitBloomFilter(bits)
           val cols = byFile.getOrElseUpdate(f(0),
             scala.collection.mutable.Map.empty)
@@ -384,10 +393,16 @@ private[sources] object BloomIndex {
         probe(a, v)
       case EqualNullSafe(CLiteral(v, _), a: AttributeReference) if v != null =>
         probe(a, v)
+      // an IN-list past the same cap commit-time narrowing uses keeps
+      // conservatively: a large runtime/DPP InSet would otherwise cost
+      // |values| x row-group-filters hash probes PER RULED-OUT FILE on
+      // the driver at planning time
       case In(a: AttributeReference, vs)
           if vs.forall(_.isInstanceOf[CLiteral]) =>
-        vs.exists(l => probe(a, l.asInstanceOf[CLiteral].value))
-      case InSet(a: AttributeReference, vs) => vs.exists(probe(a, _))
+        vs.size > MAX_NARROW_KEYS ||
+          vs.exists(l => probe(a, l.asInstanceOf[CLiteral].value))
+      case InSet(a: AttributeReference, vs) =>
+        vs.size > MAX_NARROW_KEYS || vs.exists(probe(a, _))
       case _ => true
     }
   }

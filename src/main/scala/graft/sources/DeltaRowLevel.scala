@@ -341,7 +341,16 @@ private[sources] final class GraftDeltaWrite(
                     BloomIndex.loadIfEnabled(dir, spark),
                     byStats, keyCol, keys)
                 }
-                if (scoped.nonEmpty) { MorDeletes.writeEntry(nv, node, scoped); () }
+                // the funnel KNOWS how many base rows it matched (one
+                // delete-id row each, counted pre-distinct so duplicate
+                // keys count every physical row) — persist it with the
+                // entry so COUNT(*) pushdown stays exact while the
+                // sidecar lives: base rows − Σ matched, no scan
+                val matchedRows = msgs.map(_.deleted).sum
+                if (scoped.nonEmpty) {
+                  MorDeletes.writeEntry(nv, node, scoped,
+                    matched = Some(matchedRows)); ()
+                }
               }
             }
             if (dataFiles.nonEmpty || rinsFiles.nonEmpty) {

@@ -178,13 +178,17 @@ private[sources] object FileStats {
   def record(tableDir: JPath, versionDir: JPath): Unit = {
     val spark = SparkSession.active
     if (!enabled(spark)) return
+    // ONE retained-versions walk per commit, shared by both sidecar
+    // compactions (each takes the live set by name — when both
+    // compact in the same commit the walk must not run twice)
+    lazy val live: Set[String] = livePaths(tableDir, Some(versionDir))
     val covered = coveredKeys(tableDir)
     val files = AtomicParquetCatalog.walkDataFiles(versionDir)
       .map(p => (p, relOf(versionDir, p)))
       .filter { case (_, rel) => !covered.contains(rel) }
     if (files.isEmpty) {
-      maybeCompact(tableDir, Some(versionDir))
-      BloomIndex.append(tableDir, Nil, livePaths(tableDir, Some(versionDir)))
+      maybeCompact(tableDir, live)
+      BloomIndex.append(tableDir, Nil, live)
       return
     }
     // one footer pass fills BOTH sidecars: min/max/nullCount lines
@@ -220,9 +224,8 @@ private[sources] object FileStats {
     SidecarStore.writeFile(tableDir.resolve(STORE), "fs",
       statTagged.map(_.substring(2)))
     cache.remove(tableDir.toString)
-    maybeCompact(tableDir, Some(versionDir))
-    BloomIndex.append(tableDir, bloomTagged.map(_.substring(2)),
-      livePaths(tableDir, Some(versionDir)))
+    maybeCompact(tableDir, live)
+    BloomIndex.append(tableDir, bloomTagged.map(_.substring(2)), live)
   }
 
   /** Every retained version's live data files as version-relative
@@ -248,9 +251,9 @@ private[sources] object FileStats {
     * under the commit lock (its only caller is `record`); the in-flight
     * version being committed is passed explicitly because the pointer
     * log does not list it yet. */
-  private def maybeCompact(tableDir: JPath, inFlight: Option[JPath]): Unit =
+  private def maybeCompact(tableDir: JPath, live: => Set[String]): Unit =
     if (SidecarStore.maybeCompact(tableDir.resolve(STORE), "fs", COMPACT_AT,
-        livePaths(tableDir, inFlight)))
+        live))
       cache.remove(tableDir.toString)
 
   private def coveredKeys(tableDir: JPath): Set[String] =

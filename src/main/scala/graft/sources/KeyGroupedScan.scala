@@ -94,6 +94,10 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     MorDeletes.posEntries(versionDir)
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
+    // a completely-pushed MoR COUNT(*) serves a LocalScan: the schema
+    // Spark prunes to is the AGGREGATE's (no table column in it), so
+    // the delete-predicate/row-index extension below must not run
+    if (morCount.isDefined) { this.requiredSchema = Some(requiredSchema); return }
     // `_file`/`_pos` metadata columns surface through the
     // MetadataColumnsScan wrapper — the parquet builder sees data
     // columns only, plus the reserved row-index column whenever row
@@ -145,17 +149,84 @@ private[sources] final class KeyGroupedParquetScanBuilder(
   // evolution) must refuse aggregate / variant pushdown: the inner
   // builder sees only the version root's files, so a pushed aggregate
   // would silently aggregate a SUBSET of the table. Live MOR deletes
-  // refuse too — a footer-computed aggregate would count deleted rows.
+  // refuse MIN/MAX unconditionally (a delete can remove the extremum)
+  // — but COUNT(*) survives them when every live entry's removed-row
+  // count is known exactly: positional entries carry their ordinals
+  // outright and equality entries persist the matched-row count the
+  // commit funnel measured, so the answer is Σ footer row counts −
+  // Σ sidecar counts, computed from metadata the driver already holds
+  // (the footer-stats store). A table one CDC merge touched keeps
+  // q100's no-scan fast path instead of paying a full read until
+  // rewrite_deletes.
+  private var morCount: Option[(Long, StructType)] = None
+
+  /** Session gate shared with the inner parquet builder's rule, plus
+    * this path's own kill-switch. */
+  private def aggPushEnabled: Boolean =
+    session.conf.get("spark.sql.parquet.aggregatePushdown",
+      "false") == "true" &&
+      session.conf.get("spark.sql.catalog.graft.read.morAggPushdown",
+        "true") != "false"
+
+  private def isCountStarOnly(aggregation: Aggregation): Boolean =
+    aggregation.groupByExpressions.isEmpty &&
+      aggregation.aggregateExpressions.nonEmpty &&
+      aggregation.aggregateExpressions.forall(
+        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+
+  /** The exact live row count, when every term is known from
+    * metadata: refuses (None) on pushed data filters, any equality
+    * entry without a persisted matched count (the O(metadata)
+    * deleteWhere path, or a count dropped by a restricted carry), or
+    * any live data file missing from the footer-stats store. */
+  private def morCountAnswer(): Option[Long] = {
+    if (dataFilters.nonEmpty) return None
+    if (liveDeletes.exists(_.matched.isEmpty)) return None
+    val tableDir = versionDir.getParent
+    val stats = FileStats.load(tableDir)
+    val files = AtomicParquetCatalog.walkDataFiles(versionDir)
+      .map(p => versionDir.relativize(java.nio.file.Paths.get(p)).toString)
+    var base = 0L
+    for (f <- files) stats.get(f) match {
+      case Some(st) => base += st.rows
+      case None => return None
+    }
+    // per-file UNION of positional ordinals — two entries naming the
+    // same (file, ordinal) must not double-subtract
+    val posDeleted = MorDeletes.posOrdinalsByFile(livePosDeletes)
+      .valuesIterator.map(_.length.toLong).sum
+    val eqDeleted = liveDeletes.flatMap(_.matched).sum
+    Some(base - posDeleted - eqDeleted)
+  }
+
+  private def tryMorCount(aggregation: Aggregation): Option[(Long, StructType)] = {
+    if (legacy.nonEmpty || !aggPushEnabled ||
+      !isCountStarOnly(aggregation)) return None
+    val schema = org.apache.spark.sql.execution.datasources
+      .AggregatePushDownUtils.getSchemaForPushedAggregation(
+        aggregation, tableSchema, parts.toSet, dataFilters)
+      .getOrElse(return None)
+    morCountAnswer().map(n => (n, schema))
+  }
+
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    if (legacy.nonEmpty || liveDeletes.nonEmpty ||
-      livePosDeletes.nonEmpty) return false
+    if (legacy.nonEmpty) return false
+    if (liveDeletes.nonEmpty || livePosDeletes.nonEmpty) {
+      morCount = tryMorCount(aggregation)
+      return morCount.isDefined
+    }
     val pushed = inner.pushAggregation(aggregation)
     aggPushed ||= pushed
     pushed
   }
-  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    legacy.isEmpty && liveDeletes.isEmpty && livePosDeletes.isEmpty &&
-      inner.supportCompletePushDown(aggregation)
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = {
+    if (legacy.nonEmpty) return false
+    if (liveDeletes.nonEmpty || livePosDeletes.nonEmpty)
+      // complete-only: a partial push would make Spark re-aggregate
+      // rows this scan never materializes
+      return tryMorCount(aggregation).isDefined
+    inner.supportCompletePushDown(aggregation)
+  }
   override def pushVariantExtractions(
       extractions: Array[VariantExtraction]): Array[Boolean] =
     if (legacy.nonEmpty || liveDeletes.nonEmpty || livePosDeletes.nonEmpty)
@@ -171,6 +242,15 @@ private[sources] final class KeyGroupedParquetScanBuilder(
       "false") == "true"
 
   override def build(): Scan = {
+    // delete-aware COUNT(*): the answer was computed at push time from
+    // sidecar metadata alone — serve it as a LocalScan (zero files
+    // planned, zero tasks scheduled); every wrapper below exists to
+    // read files this scan doesn't have
+    morCount match {
+      case Some((n, schema)) =>
+        return new MorCountLocalScan(n, schema, scanName)
+      case None => ()
+    }
     // a mixed-spec version reads as the UNION of per-spec scans, each
     // fully armed for its own layout (pushdown replayed, static +
     // runtime pruning); single-spec versions keep today's path intact
@@ -633,4 +713,27 @@ private[sources] final class HiddenKeyGroupedParquetScan(
     override def createReaderFactory(): PartitionReaderFactory =
       innerBatch.createReaderFactory()
   }
+}
+
+/** The completely-pushed COUNT(*) answer over a table with live
+  * merge-on-read delete entries: one row, computed at PLANNING time
+  * from the footer-stats store's per-file row counts minus the
+  * sidecars' exact removed-row counts (positional ordinals / the
+  * commit funnel's persisted matched counts — see
+  * MorDeletes.DeleteEntry.matched for why the sum is exact). A
+  * [[org.apache.spark.sql.connector.read.LocalScan]] so the physical
+  * plan is a LocalTableScan — zero data files planned, zero tasks
+  * scheduled; at 100 TB the count of a CDC-upserted table costs a
+  * sidecar read, not a table scan. */
+private[sources] final class MorCountLocalScan(
+    count: Long, schemaOut: StructType, scanName: String)
+    extends org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType = schemaOut
+  // every output field is the same COUNT(*) (Spark may push the
+  // aggregate list verbatim, duplicates included)
+  override def rows(): Array[InternalRow] = Array(
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array.fill[Any](schemaOut.length)(count)))
+  override def description(): String =
+    s"graft-mor-count($scanName) PushedAggregation: [COUNT(*)]"
 }

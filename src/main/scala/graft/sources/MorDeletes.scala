@@ -414,7 +414,21 @@ private[sources] object MorDeletes {
 
   // ---- per-version entry store ----
 
-  final case class DeleteEntry(id: String, node: Node, files: Set[String])
+  /** `matched` — the EXACT number of base rows this entry removes,
+    * captured at commit when the writing path knew it (the row-level
+    * funnel counted the matched rows it emitted ids for); `None` for
+    * entries written without reading rows (the O(metadata)
+    * `deleteWhere` path) and for entries whose file scope was later
+    * NARROWED by a restricted carry (part of the counted rows may
+    * have been materialized away — the remainder is unknowable
+    * without a read). Counts across live entries never overlap: every
+    * funnel matches against the live scan (deletes applied), so each
+    * physically-dropped row is counted by exactly the first entry
+    * that matched it — Σ matched over live countable entries is the
+    * table's exact deleted-row total, which is what lets COUNT(*)
+    * pushdown survive live sidecars (KeyGroupedScan.scala). */
+  final case class DeleteEntry(id: String, node: Node, files: Set[String],
+                               matched: Option[Long] = None)
 
   /** A POSITIONAL delete entry — Iceberg v2's second delete-file
     * format, for tables with no usable PRIMARY KEY: per data file, the
@@ -474,7 +488,16 @@ private[sources] object MorDeletes {
       val files = new String(
         Files.readAllBytes(d.resolve(s"$id.files")), "UTF-8")
         .split("\n").iterator.filter(_.nonEmpty).toSet
-      DeleteEntry(id, node, files)
+      // optional matched-row count sidecar (written before `.pred`,
+      // so a visible entry either has its count whole or never had
+      // one); a malformed count degrades to unknown, never fails a read
+      val matched = {
+        val cf = d.resolve(s"$id.count")
+        if (!Files.isRegularFile(cf)) None
+        else try Some(new String(Files.readAllBytes(cf), "UTF-8").trim.toLong)
+        catch { case _: Exception => None }
+      }
+      DeleteEntry(id, node, files, matched)
     }
   }
 
@@ -538,18 +561,26 @@ private[sources] object MorDeletes {
   /** Write one entry into `versionDir` (a staged, not-yet-committed
     * version — no locking needed). `.files` lands before `.pred`; the
     * `.pred` move is the entry's commit marker. */
-  def writeEntry(versionDir: JPath, node: Node, files: Set[String]): String =
-    writeEntryAs(versionDir, s"d-${UUID.randomUUID()}", node, files)
+  def writeEntry(versionDir: JPath, node: Node, files: Set[String],
+      matched: Option[Long] = None): String =
+    writeEntryAs(versionDir, s"d-${UUID.randomUUID()}", node, files, matched)
 
   /** [[writeEntry]] under a caller-chosen id — see [[writePosEntryAs]]
-    * for why restricted carries must preserve entry identity. */
+    * for why restricted carries must preserve entry identity. The
+    * optional matched-row count lands BEFORE `.pred` (the commit
+    * marker), so no reader can see the entry without its count. */
   def writeEntryAs(versionDir: JPath, id: String, node: Node,
-      files: Set[String]): String = {
+      files: Set[String], matched: Option[Long] = None): String = {
     val d = versionDir.resolve(DIR)
     Files.createDirectories(d)
     val tf = d.resolve(s".$id.files.tmp")
     Files.write(tf, files.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
     Files.move(tf, d.resolve(s"$id.files"), StandardCopyOption.ATOMIC_MOVE)
+    matched.foreach { n =>
+      val tc = d.resolve(s".$id.count.tmp")
+      Files.write(tc, n.toString.getBytes("UTF-8"))
+      Files.move(tc, d.resolve(s"$id.count"), StandardCopyOption.ATOMIC_MOVE)
+    }
     val tp = d.resolve(s".$id.pred.tmp")
     Files.write(tp, serialize(node).getBytes("UTF-8"))
     Files.move(tp, d.resolve(s"$id.pred"), StandardCopyOption.ATOMIC_MOVE)
@@ -621,7 +652,12 @@ private[sources] object MorDeletes {
     // fresh deletes across the carrying commit
     entries(from).foreach { e =>
       val kept = e.files.filter(keep)
-      if (kept.nonEmpty) { writeEntryAs(to, e.id, e.node, kept); () }
+      // the matched-row count survives ONLY a whole carry: dropping a
+      // scoped file materialized part of the counted rows away, and
+      // the remainder is unknowable without a read — a stale count
+      // would make the pushed COUNT(*) silently wrong
+      val matched = if (kept == e.files) e.matched else None
+      if (kept.nonEmpty) { writeEntryAs(to, e.id, e.node, kept, matched); () }
     }
     posEntries(from).foreach { e =>
       val kept = e.ords.filter { case (f, _) => keep(f) }

@@ -1,0 +1,173 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DELETE-AWARE COUNT(*) PUSHDOWN (KeyGroupedScan.scala /
+  * MorDeletes.DeleteEntry.matched): a table with LIVE merge-on-read
+  * delete entries keeps the zero-scan COUNT(*) fast path when every
+  * entry's removed-row count is known exactly — positional ordinals
+  * outright, equality entries via the matched count the commit funnel
+  * persisted. Pins: the plan is a LocalTableScan (zero parquet), the
+  * answer equals the row-scan answer for every sidecar shape, the
+  * O(metadata) deleteWhere entry (count unknowable without a read)
+  * REFUSES back to the scan path, MIN/MAX keep refusing while any
+  * entry lives, and the kill-switch forces the scan path. */
+class MorCountPushdownSpec extends AnyFunSuite {
+  lazy val warehouse: String =
+    Files.createTempDirectory("graft_cnt_wh").toString
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.conf.set("spark.sql.catalog.graft_cnt",
+      "graft.sources.AtomicParquetCatalog")
+    s.conf.set("spark.sql.catalog.graft_cnt.warehouse", warehouse)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cnt.db")
+    s
+  }
+
+  private def countDf(tbl: String): DataFrame =
+    spark.sql(s"SELECT count(*) AS n FROM graft_cnt.db.$tbl")
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def assertMetadataServed(tbl: String, expect: Long): Unit = {
+    val df = countDf(tbl)
+    val plan = planOf(df)
+    assert(plan.contains("LocalTableScan"),
+      s"count over $tbl must serve from sidecar metadata:\n$plan")
+    assert(!plan.toLowerCase.contains("parquet"),
+      s"count over $tbl must plan zero data files:\n$plan")
+    assert(df.collect()(0).getLong(0) === expect)
+  }
+
+  private def assertScanServed(tbl: String, expect: Long): Unit = {
+    val df = countDf(tbl)
+    val plan = planOf(df)
+    assert(!plan.contains("LocalTableScan"),
+      s"count over $tbl must NOT claim a metadata answer:\n$plan")
+    assert(df.collect()(0).getLong(0) === expect)
+  }
+
+  private def mkPk(name: String): Unit = {
+    val s = spark
+    import s.implicits._
+    s.sql(s"DROP TABLE IF EXISTS graft_cnt.db.$name")
+    s.range(1000).select($"id".as("k"), ($"id" % 7).as("g"),
+        ($"id" * 2.0).as("v"))
+      .repartition(4)
+      .writeTo(s"graft_cnt.db.$name")
+      .tableProperty("write.merge.mode", "merge-on-read")
+      .tableProperty("write.update.mode", "merge-on-read")
+      .tableProperty("write.delete.mode", "merge-on-read")
+      .create()
+    s.sql(s"ALTER TABLE graft_cnt.db.$name ADD CONSTRAINT ${name}_pk " +
+      "PRIMARY KEY (k) NOT ENFORCED")
+  }
+
+  test("equality entry from the MERGE funnel: COUNT(*) serves from " +
+      "metadata, exactly") {
+    val s = spark
+    import s.implicits._
+    mkPk("c1")
+    s.range(100).select(($"id" * 10).as("k"))
+      .createOrReplaceTempView("c1_src") // k = 0,10,…,990 → 100 matches
+    s.sql("""MERGE INTO graft_cnt.db.c1 t USING c1_src s ON t.k = s.k
+            |WHEN MATCHED THEN DELETE""".stripMargin)
+    assertMetadataServed("c1", 900L)
+    // an UPDATE merge too: delete+reinsert — net count unchanged, the
+    // reinserted rows land as new files the footer stats cover
+    s.range(50).select(($"id" * 10 + 5).as("k"), lit(0L).as("g"),
+        lit(-1.0).as("v"))
+      .createOrReplaceTempView("c1_upd")
+    s.sql("""MERGE INTO graft_cnt.db.c1 t USING c1_upd s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    assertMetadataServed("c1", 900L)
+    // the answers above agree with the row scan (kill-switch)
+    s.conf.set("spark.sql.catalog.graft.read.morAggPushdown", "false")
+    try assertScanServed("c1", 900L)
+    finally s.conf.unset("spark.sql.catalog.graft.read.morAggPushdown")
+  }
+
+  test("MIN/MAX keep refusing while entries live; a filtered COUNT " +
+      "scans") {
+    val s = spark
+    val mm = s.sql("SELECT min(k) AS mn, max(k) AS mx FROM graft_cnt.db.c1")
+    val plan = planOf(mm)
+    assert(!plan.contains("LocalTableScan") &&
+      !plan.contains("PushedAggregation: [MIN"),
+      s"min/max must not push while a delete can remove the extremum:\n$plan")
+    val row = mm.collect()(0)
+    assert(row.getLong(0) === 1L && row.getLong(1) === 999L)
+    val filtered = s.sql(
+      "SELECT count(*) AS n FROM graft_cnt.db.c1 WHERE g = 3")
+    assert(!planOf(filtered).contains("LocalTableScan"))
+    // live rows: k%10 != 0; g = k%7 EXCEPT the 50 updated rows
+    // (k = 5,15,…,495) whose g was rewritten to 0 by the first test
+    assert(filtered.collect()(0).getLong(0) ===
+      (0L until 1000L).filterNot(_ % 10 == 0).count(k =>
+        (if (k % 10 == 5 && k < 500) 0L else k % 7) == 3L).toLong)
+  }
+
+  test("positional entries count their ordinals; mixed sidecars sum " +
+      "exactly; rewrite_deletes returns the footer path") {
+    val s = spark
+    import s.implicits._
+    mkPk("c2")
+    // equality entry first (PK merge), then drop the PK and route a
+    // second delete positionally — both kinds live at once
+    s.range(10).select(($"id" * 100).as("k"))
+      .createOrReplaceTempView("c2_src") // 10 matches
+    s.sql("""MERGE INTO graft_cnt.db.c2 t USING c2_src s ON t.k = s.k
+            |WHEN MATCHED THEN DELETE""".stripMargin)
+    s.sql("ALTER TABLE graft_cnt.db.c2 DROP CONSTRAINT c2_pk")
+    // modulo is untranslatable → row-level funnel, positional ids
+    s.sql("DELETE FROM graft_cnt.db.c2 WHERE k % 100 = 50")
+    val dels = Paths.get(warehouse, "db", "c2")
+    val head = dels.resolve(new String(
+      Files.readAllBytes(dels.resolve("_current")), "UTF-8")
+      .split("\n").head.trim).resolve("_deletes")
+    import scala.jdk.CollectionConverters._
+    def kinds(sfx: String): Int = {
+      val ls = Files.list(head)
+      try ls.iterator().asScala.count(_.getFileName.toString.endsWith(sfx))
+      finally ls.close()
+    }
+    assert(kinds(".pred") >= 1 && kinds(".pos") >= 1,
+      "the spec needs both sidecar kinds live")
+    assertMetadataServed("c2", 1000L - 10L - 10L)
+    // materialize: entries clear, the ordinary footer-aggregation path
+    // (PushedAggregation on the parquet scan) serves the count again
+    s.sql("CALL graft_cnt.system.rewrite_deletes('db.c2')")
+    val after = countDf("c2")
+    val plan = planOf(after)
+    assert(!plan.contains("LocalTableScan") &&
+      plan.contains("PushedAggregation: [COUNT("),
+      s"post-materialization count must ride the parquet footer path:\n$plan")
+    assert(after.collect()(0).getLong(0) === 980L)
+  }
+
+  test("the O(metadata) deleteWhere entry has no count: COUNT refuses " +
+      "to the scan path and stays exact") {
+    val s = spark
+    import s.implicits._
+    s.sql("DROP TABLE IF EXISTS graft_cnt.db.c3")
+    s.range(1000).select($"id".as("k"), ($"id" % 7).as("g"))
+      .repartition(4).writeTo("graft_cnt.db.c3").create()
+    s.conf.set("spark.sql.catalog.graft.write.deleteMode", "merge-on-read")
+    try s.sql("DELETE FROM graft_cnt.db.c3 WHERE k >= 900")
+    finally s.conf.unset("spark.sql.catalog.graft.write.deleteMode")
+    // entry present, count absent (never read a row) → no metadata claim
+    assertScanServed("c3", 900L)
+  }
+}
