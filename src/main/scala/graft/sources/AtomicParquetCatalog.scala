@@ -845,8 +845,14 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     if (!Files.exists(f)) Nil
     else new String(Files.readAllBytes(f), "UTF-8")
       .split("\n").toSeq.map(_.trim).filter(_.nonEmpty).map { l =>
-        val Array(sub, spec) = l.split("\t", 2)
-        sub -> PartitionField.parseSpecString(spec)
+        // an UNPARTITIONED legacy layout serializes as `sub<TAB>` —
+        // the trim above eats the trailing tab, so a tab-less line is
+        // that spec (empty field list), not a malformed file
+        l.indexOf('\t') match {
+          case -1 => l -> Seq.empty[PartitionField]
+          case i => l.substring(0, i) ->
+            PartitionField.parseSpecString(l.substring(i + 1))
+        }
       }
   }
 

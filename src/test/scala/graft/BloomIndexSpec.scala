@@ -286,6 +286,106 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(s.table("graft_blm.db.morko").count() == 7999L)
   }
 
+  test("branch and time-travel reads serve the bloom index: each head " +
+      "plans a strict subset of ITS OWN files") {
+    val s = spark
+    import s.implicits._
+    mkHashTable("ttb", 8)
+    // second MAIN commit so time travel has a distinct older head
+    s.range(8000, 8100)
+      .select(md5($"id".cast("string")).as("h"), ($"id" % 7).as("v"))
+      .repartition(2).writeTo("graft_blm.db.ttb").append()
+    // branch-only append widens the BRANCH's file set; main untouched
+    s.sql("CALL graft_blm.system.create_branch('db.ttb', 'work')")
+    s.range(9000, 9100)
+      .select(md5($"id".cast("string")).as("h"), ($"id" % 7).as("v"))
+      .repartition(2).writeTo("graft_blm.db.`ttb@work`").append()
+    import scala.jdk.CollectionConverters._
+    def countsLike(sub: String): (Int, Int) =
+      graft.sources.FileSkippingScan.counts.asScala
+        .find(_._1.contains(sub)).map(_._2).getOrElse((-1, -1))
+    // a branch-only key probes the branch head: its 12 files narrow to
+    // the ~1 holding the key — and the same key on MAIN proves absent
+    graft.sources.FileSkippingScan.counts.clear()
+    val br = s.table("graft_blm.db.`ttb@work`")
+      .where($"h" === md5Hex("9042")).collect()
+    assert(br.length == 1 && br.head.getLong(1) == 9042L % 7)
+    val (bk, bt) = countsLike("ttb")
+    assert(bt == 12 && bk <= 2,
+      s"branch probe must keep ~1 of the branch's 12 files, got $bk/$bt")
+    graft.sources.FileSkippingScan.counts.clear()
+    assert(s.table("graft_blm.db.ttb")
+      .where($"h" === md5Hex("9042")).isEmpty && countsLike("ttb")._1 == 0,
+      s"the branch-only key must prove absent on main: ${countsLike("ttb")}")
+    // time travel to the pre-append head: an original key narrows
+    // within THAT head's 8 files; a second-batch key proves absent
+    graft.sources.FileSkippingScan.counts.clear()
+    val tt = s.sql("SELECT v FROM graft_blm.db.ttb VERSION AS OF 1 " +
+      s"WHERE h = '${md5Hex("4242")}'").collect()
+    assert(tt.length == 1 && tt.head.getLong(0) == 4242L % 7)
+    val (tk, ttot) = countsLike("ttb")
+    assert(ttot == 8 && tk <= 2,
+      s"time-travel probe must keep ~1 of the old head's 8 files, " +
+        s"got $tk/$ttot")
+    graft.sources.FileSkippingScan.counts.clear()
+    assert(s.sql("SELECT v FROM graft_blm.db.ttb VERSION AS OF 1 " +
+      s"WHERE h = '${md5Hex("8042")}'").isEmpty &&
+      countsLike("ttb")._1 == 0,
+      "a key appended after the travelled head must prove absent there")
+  }
+
+  test("spec evolution composes: evolve_layout appends re-harvest and " +
+      "unify_layout's rewrite keeps the index sharp") {
+    val s = spark
+    import s.implicits._
+    mkHashTable("evb", 8)
+    // metadata-only evolution: the 8 legacy files relocate under
+    // `_spec-<k>`; new appends land under the bucketed layout THROUGH
+    // writeLayout, which applies BloomIndex.writerOptions
+    s.sql("CALL graft_blm.system.evolve_layout('db.evb', 'bucket(4,v)')")
+    s.range(8000, 16000)
+      .select(md5($"id".cast("string")).as("h"), ($"id" % 7).as("v"))
+      .writeTo("graft_blm.db.evb").append()
+    import scala.jdk.CollectionConverters._
+    def keptTotal(): (Int, Int) =
+      graft.sources.FileSkippingScan.counts.asScala
+        .filter(_._1.contains("evb")).values
+        .foldLeft((0, 0)) { case ((k, t), (k2, t2)) => (k + k2, t + t2) }
+    // a legacy-subtree key and a post-evolution key each narrow to ~1
+    // file across the mixed-spec union
+    graft.sources.FileSkippingScan.counts.clear()
+    val legacy = s.table("graft_blm.db.evb")
+      .where($"h" === md5Hex("4242")).collect()
+    assert(legacy.length == 1 && legacy.head.getLong(1) == 4242L % 7)
+    val (lk, lt) = keptTotal()
+    assert(lt >= 12 && lk <= 2,
+      s"mixed-spec probe must keep ~1 of all $lt files, got $lk")
+    graft.sources.FileSkippingScan.counts.clear()
+    val fresh = s.table("graft_blm.db.evb")
+      .where($"h" === md5Hex("12042")).collect()
+    assert(fresh.length == 1 && fresh.head.getLong(1) == 12042L % 7)
+    assert(keptTotal()._1 <= 2,
+      s"post-evolution probe over-kept ${keptTotal()}")
+    graft.sources.FileSkippingScan.counts.clear()
+    assert(s.table("graft_blm.db.evb")
+      .where($"h" === md5Hex("nope")).isEmpty && keptTotal()._1 == 0,
+      s"absence must hold across both specs, got ${keptTotal()}")
+    // unify: every legacy file rewrites into the current spec — the
+    // rewritten files must re-harvest (same contract as compaction)
+    s.sql("CALL graft_blm.system.unify_layout('db.evb')")
+    graft.sources.FileSkippingScan.counts.clear()
+    val post = s.table("graft_blm.db.evb")
+      .where($"h" === md5Hex("4242")).collect()
+    assert(post.length == 1 && post.head.getLong(1) == 4242L % 7)
+    val (uk, ut) = keptTotal()
+    assert(ut > 0 && uk <= 2,
+      s"post-unify probe must keep ~1 of $ut files, got $uk")
+    graft.sources.FileSkippingScan.counts.clear()
+    assert(s.table("graft_blm.db.evb")
+      .where($"h" === md5Hex("nope")).isEmpty && keptTotal()._1 == 0,
+      "absence must hold over the unified layout")
+  }
+
   test("merge-on-read equality entries scope to the files holding the keys") {
     val s = spark
     import s.implicits._
