@@ -111,6 +111,37 @@ class BranchSpec extends AnyFunSuite {
     spark.sql("CALL graft_br.system.drop_branch('db.t2', 'stale')")
   }
 
+  test("create_changelog_view accepts a branch ref: the view serves " +
+      "the BRANCH's change feed") {
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "tag")
+      .writeTo("graft_br.db.cv").using("parquet").create()
+    spark.sql("CALL graft_br.system.create_branch('db.cv', 'audit')")
+    // two branch-only commits: an append and a COW delete — main stays
+    Seq((10L, "x"), (11L, "y")).toDF("id", "tag")
+      .writeTo("graft_br.db.`cv@audit`").append()
+    spark.sql("DELETE FROM graft_br.db.`cv@audit` WHERE id = 2")
+    val summary = spark.sql("CALL graft_br.system.create_changelog_view(" +
+      "'db.cv@audit', 'cv_audit_changes', 2)").collect()
+    assert(summary.length == 1 &&
+      summary(0).getAs[String]("changelog_view") == "cv_audit_changes")
+    val got = spark.sql(
+      """SELECT _commit_step, _change_type, id FROM cv_audit_changes
+        |ORDER BY _commit_step, _change_type, id""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, "insert", 10L), (1, "insert", 11L),
+      (2, "delete", 2L)),
+      s"branch change feed mismatch: $got")
+    // main's own feed sees none of the branch's commits — only its own
+    Seq((30L, "z")).toDF("id", "tag").writeTo("graft_br.db.cv").append()
+    spark.sql("CALL graft_br.system.create_changelog_view(" +
+      "'db.cv', 'cv_main_changes', 1)")
+    val main = spark.sql("SELECT _change_type, id FROM cv_main_changes")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(main == Seq(("insert", 30L)),
+      s"main must see only its own append, got $main")
+  }
+
   test("main's retention sweep never vacuums a version a branch holds") {
     import spark.implicits._
     Seq(1L).toDF("id").writeTo("graft_br.db.t3").using("parquet").create()
