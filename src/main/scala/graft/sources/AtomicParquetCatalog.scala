@@ -1103,6 +1103,15 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
               if (ord < 0) null else ord)
           }
         }))
+      case "changes" =>
+        // the row-level change feed as a readable AND streamable
+        // relation (ChangelogRead.scala): batch = the retained
+        // window's typed changes, readStream = the admission-
+        // controlled changelog tail
+        val cur = currentVersion(pdir).get
+        val (tblSchema, _) = readMeta(cur)
+        Some(new ChangelogTable(s"$parent.changes", pdir, tblSchema,
+          () => versionLog(pdir)))
       case "deletes" =>
         // live merge-on-read delete entries of the CURRENT snapshot —
         // the operator's view of what rewrite_deletes would materialize

@@ -1,0 +1,446 @@
+package graft.sources
+
+import java.nio.file.{Files, Path => JPath, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal => CLiteral, Predicate => CPredicate, UnsafeProjection}
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The `cat.db.tbl.changes` metadata table — the ROW-LEVEL CHANGE
+  * FEED as a readable (and streamable) relation, Iceberg's changelog
+  * table / Delta's `readChangeFeed` posture: table columns plus
+  * `_change_type` ('insert' | 'delete') and `_commit_version`, one
+  * row per changed row per commit. Batch reads serve the whole
+  * retained window; `spark.readStream.table("cat.db.tbl.changes")`
+  * tails it with the same per-file admission control as the plain
+  * stream source (`maxFilesPerTrigger`), so a CDC consumer gets TYPED
+  * changes instead of re-diffing the current-state stream.
+  *
+  * What a commit contributes (exactly `tableChanges`' per-step rows,
+  * which is the oracle the st20 gate hash-matches):
+  *  - files ADDED → their rows typed `insert`, read under the adding
+  *    version with that version's own applicable delete entries
+  *    applied (the exact DeleteApplyingScan split);
+  *  - a NEW equality delete entry → the PREVIOUS version's survivors
+  *    matching the entry's predicate within its stats-narrowed file
+  *    scope, typed `delete` (survivors: the prior version's own
+  *    entries apply first, so a row deleted twice never re-reports);
+  *  - a NEW positional entry → exactly the rows at its ordinals,
+  *    typed `delete`.
+  * A commit that REMOVED files (a COW rewrite, compaction,
+  * rewrite_deletes) cannot be represented row-level without the
+  * batch exceptAll diff — the feed fails POINTEDLY there and names
+  * `table_changes` / a fresh checkpoint as the way past (Delta's CDF
+  * takes the same posture on non-CDC commits). Cost prices the
+  * CHURN: every unit is one changed file or one entry's narrowed
+  * scope — never the 100 TB around it. */
+private[sources] object ChangelogRead {
+  val TypeCol = "_change_type"
+  val VersionCol = "_commit_version"
+
+  def cdcSchema(t: StructType): StructType =
+    StructType(t.fields ++ Seq(
+      StructField(TypeCol, StringType, nullable = false),
+      StructField(VersionCol, StringType, nullable = false)))
+
+  /** One typed per-file work unit — the admission-control granule. */
+  final case class ChangeUnit(
+      serveVersion: String, commitVersion: String, rel: String,
+      changeType: String, keepNode: Option[String],
+      keepOrds: Option[Array[Long]])
+
+  /** The deterministic unit list for a `base → upto` advance.
+    * `base == ""` is the initial snapshot: every file of `upto` as
+    * inserts (that version's own entries applying at read). Otherwise
+    * the pointer-log chain walks commit by commit, so EVERY
+    * intermediate version must still be retained. */
+  def changeUnits(tableDir: JPath, log: Seq[String], tableName: String,
+      base: String, upto: String): Seq[ChangeUnit] = {
+    def filesOf(v: String): Set[String] = {
+      val vd = tableDir.resolve(v)
+      if (!Files.isDirectory(vd)) throw new IllegalStateException(
+        s"$tableName: version $v is no longer retained — the change " +
+          "window spans an expired snapshot; restart the stream from a " +
+          "fresh checkpoint")
+      AtomicParquetCatalog.walkDataFiles(vd)
+        .map(f => vd.relativize(Paths.get(f)).toString).toSet
+    }
+    if (upto.isEmpty) return Nil
+    if (base.isEmpty)
+      return filesOf(upto).toSeq.sorted.map(r =>
+        ChangeUnit(upto, upto, r, "insert", None, None))
+    if (base == upto) return Nil
+    val ui = log.indexOf(upto)
+    val bi = log.indexOf(base)
+    if (ui < 0 || bi < 0 || ui > bi) throw new IllegalStateException(
+      s"$tableName: the $base → $upto commit chain is not in the " +
+        "retention window; restart the stream from a fresh checkpoint")
+    val chain = log.slice(ui, bi + 1).reverse // oldest → upto
+    chain.sliding(2).flatMap {
+      case Seq(prev, next) =>
+        val pf = filesOf(prev); val nf = filesOf(next)
+        val removed = pf -- nf
+        if (removed.nonEmpty) throw new IllegalStateException(
+          s"$tableName: commit $next removed ${removed.size} data " +
+            "files (a copy-on-write rewrite / compaction) — a row-level " +
+            "change feed cannot represent it; read the window with " +
+            "table_changes (its exceptAll diff can) or restart the " +
+            "changelog stream from a checkpoint past the commit")
+        val pd = tableDir.resolve(prev); val nd = tableDir.resolve(next)
+        val prevIds = MorDeletes.entries(pd).map(_.id).toSet
+        val newEq = MorDeletes.entries(nd)
+          .filterNot(e => prevIds.contains(e.id)).sortBy(_.id)
+        val prevPosIds = MorDeletes.posEntries(pd).map(_.id).toSet
+        val newPos = MorDeletes.posEntries(nd)
+          .filterNot(e => prevPosIds.contains(e.id)).sortBy(_.id)
+        val ins = (nf -- pf).toSeq.sorted.map(r =>
+          ChangeUnit(next, next, r, "insert", None, None))
+        val delEq = newEq.flatMap { e =>
+          val ser = MorDeletes.serialize(e.node)
+          (e.files intersect pf).toSeq.sorted.map(r =>
+            ChangeUnit(prev, next, r, "delete", Some(ser), None))
+        }
+        val delPos = newPos.flatMap { e =>
+          e.ords.toSeq.sortBy(_._1).collect {
+            case (f, os) if pf.contains(f) =>
+              ChangeUnit(prev, next, f, "delete", None, Some(os.sorted))
+          }
+        }
+        ins ++ delEq ++ delPos
+      case _ => Nil
+    }.toSeq
+  }
+
+  private def layoutRoot(rel: String): String = {
+    val first = rel.takeWhile(c => c != '/' && c != '\\')
+    if (first != rel && first.startsWith("_") && !first.contains("=")) first
+    else ""
+  }
+
+  /** Plan the admitted units: one scan per (serving version, commit,
+    * type, keep-predicate, layout root) group — positional units plan
+    * per FILE (each binds its own ordinal set). Insert and
+    * equality-delete groups read through the batch reader's own
+    * [[DeleteApplyingScan]] for the SERVING version, so prior deletes
+    * apply exactly; positional units read the raw file with the
+    * row-index column (the entry's ordinals name live rows by
+    * construction — a dead row can never have been matched). */
+  def planUnits(session: SparkSession, name: String, tableDir: JPath,
+      tableSchema: StructType, units: Seq[ChangeUnit])
+      : Array[InputPartition] = {
+    def scanOver(baseDir: JPath, paths: Seq[String], declared: StructType,
+        pruneTo: StructType): Scan = {
+      val options = new CaseInsensitiveStringMap(
+        java.util.Collections.singletonMap("basePath", baseDir.toString))
+      val b = ParquetTable(s"$name-changes", session, options,
+        paths.map(p => baseDir.resolve(p).toString),
+        Some(declared), classOf[ParquetFileFormat])
+        .newScanBuilder(options)
+      b match {
+        case fb: org.apache.spark.sql.execution.datasources.v2.FileScanBuilder =>
+          fb.pruneColumns(pruneTo)
+        case _ => ()
+      }
+      b.build()
+    }
+    // the serving version's own entries, applied exactly (per-file
+    // applicability, predicate columns extended in then projected away)
+    def servingScan(version: String, root: String, rels: Seq[String],
+        fullRels: Seq[String]): Scan = {
+      val vd = tableDir.resolve(version)
+      val baseDir = if (root.isEmpty) vd else vd.resolve(root)
+      val fullSet = fullRels.toSet
+      val es = MorDeletes.entries(vd).filter(_.files.exists(fullSet.contains))
+      val pos = MorDeletes.posEntries(vd)
+        .filter(_.files.exists(fullSet.contains))
+      if (es.isEmpty && pos.isEmpty)
+        return scanOver(baseDir, rels, tableSchema, tableSchema)
+      val extended =
+        if (pos.isEmpty) tableSchema
+        else MorDeletes.withRowIndex(tableSchema)
+      val extraCols =
+        if (pos.isEmpty) Nil else Seq(MorDeletes.RowIndexCol)
+      new DeleteApplyingScan(
+        scanOver(baseDir, rels, extended, extended),
+        s"$name-changes-mor", vd, es, pos, extraCols)
+    }
+    val out = Seq.newBuilder[InputPartition]
+    // positional units: one scan per file, row-index requested, raw
+    val (posUnits, plainUnits) = units.partition(_.keepOrds.isDefined)
+    val plainGroups = plainUnits.groupBy(u =>
+      (u.serveVersion, u.commitVersion, u.changeType, u.keepNode,
+        layoutRoot(u.rel))).toSeq.sortBy(_._1.toString)
+    for (((v, cv, ct, keep, root), us) <- plainGroups) {
+      val rels = us.map(u =>
+        if (root.isEmpty) u.rel else u.rel.stripPrefix(root).stripPrefix("/"))
+      val scan = servingScan(v, root, rels, us.map(_.rel))
+      val batch = scan.toBatch
+      val factory = batch.createReaderFactory()
+      val sch = scan.readSchema()
+      batch.planInputPartitions().foreach { p =>
+        out += ChangelogPartition(p, factory, sch, ct, cv, keep, None)
+      }
+    }
+    for (u <- posUnits.sortBy(x => (x.commitVersion, x.rel))) {
+      val vd = tableDir.resolve(u.serveVersion)
+      val root = layoutRoot(u.rel)
+      val baseDir = if (root.isEmpty) vd else vd.resolve(root)
+      val rel = if (root.isEmpty) u.rel
+        else u.rel.stripPrefix(root).stripPrefix("/")
+      val declared = MorDeletes.withRowIndex(tableSchema)
+      val scan = scanOver(baseDir, Seq(rel), declared, declared)
+      val batch = scan.toBatch
+      val factory = batch.createReaderFactory()
+      val sch = scan.readSchema()
+      batch.planInputPartitions().foreach { p =>
+        out += ChangelogPartition(p, factory, sch, u.changeType,
+          u.commitVersion, None, u.keepOrds)
+      }
+    }
+    // dense re-index for RDD positions
+    out.result().zipWithIndex.map { case (p, i) =>
+      p match {
+        case c @ ChangelogPartition(fp: org.apache.spark.sql.execution.datasources.FilePartition, _, _, _, _, _, _) =>
+          c.copy(inner =
+            org.apache.spark.sql.execution.datasources.FilePartition(i, fp.files))
+        case other => other
+      }
+    }.toArray
+  }
+}
+
+/** A planned file partition plus the typed-change context its reader
+  * applies: the keep filter (equality predicate or positional ordinal
+  * set — None = keep all) and the `_change_type`/`_commit_version`
+  * constants appended to every surviving row. */
+private[sources] final case class ChangelogPartition(
+    inner: InputPartition, factory: PartitionReaderFactory,
+    innerSchema: StructType, changeType: String, commitVersion: String,
+    keepNode: Option[String], keepOrds: Option[Array[Long]])
+    extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Row-only (a keep filter inside a ColumnarBatch would mean
+  * rewriting the batch; changelog batches are churn-sized). */
+private[sources] final class ChangelogReaderFactory(target: StructType)
+    extends PartitionReaderFactory {
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case ChangelogPartition(inner, f, innerSchema, ct, cv, keepNode,
+          keepOrds) =>
+        val r = f.createReader(inner)
+        val attrs = DataTypeUtils.toAttributes(innerSchema)
+        val keepPred = keepNode.map(ser => CPredicate.create(
+          MorDeletes.toCatalyst(MorDeletes.parse(ser), attrs), attrs))
+        val ords = keepOrds.orNull
+        val rixIdx =
+          if (ords == null) -1
+          else {
+            val i = innerSchema.fieldNames.indexWhere(
+              _.equalsIgnoreCase(MorDeletes.RowIndexCol))
+            if (i < 0) throw new IllegalStateException(
+              "positional changelog unit without a row-index column")
+            i
+          }
+        // project the table columns by name, then the two constants
+        val dataFields = target.fields.dropRight(2)
+        val exprs = dataFields.toSeq.map { tf =>
+          val si = innerSchema.fieldNames.indexWhere(
+            _.equalsIgnoreCase(tf.name))
+          require(si >= 0, s"changelog part serves no column ${tf.name}")
+          BoundReference(si, innerSchema.fields(si).dataType,
+            innerSchema.fields(si).nullable)
+        } ++ Seq(
+          CLiteral(UTF8String.fromString(ct), StringType),
+          CLiteral(UTF8String.fromString(cv), StringType))
+        val proj = UnsafeProjection.create(exprs.toIndexedSeq)
+        new PartitionReader[InternalRow] {
+          private var cur: InternalRow = _
+          override def next(): Boolean = {
+            while (r.next()) {
+              val row = r.get()
+              val keep =
+                (ords == null || java.util.Arrays.binarySearch(
+                  ords, row.getLong(rixIdx)) >= 0) &&
+                keepPred.forall(_.eval(row))
+              if (keep) { cur = proj(row); return true }
+            }
+            false
+          }
+          override def get(): InternalRow = cur
+          override def close(): Unit = r.close()
+        }
+      case other => throw new IllegalStateException(
+        s"ChangelogReaderFactory got a non-changelog partition $other")
+    }
+}
+
+/** The `.changes` metadata table itself — batch- and stream-readable. */
+private[sources] final class ChangelogTable(
+    tableName: String, tableDir: JPath, tableSchema: StructType,
+    log: () => Seq[String]) extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = ChangelogRead.cdcSchema(tableSchema)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new ChangelogScan(
+        SparkSession.active, tableName, tableDir, tableSchema, log,
+        StreamReadOptions.fromOptions(options))
+    }
+}
+
+private[sources] final class ChangelogScan(
+    session: SparkSession, name: String, tableDir: JPath,
+    tableSchema: StructType, log: () => Seq[String],
+    opts: StreamReadOptions) extends Scan with Batch {
+
+  override def readSchema(): StructType = ChangelogRead.cdcSchema(tableSchema)
+  override def description(): String = s"graft-changelog($name)"
+  override def toBatch: Batch = this
+
+  /** Batch read: the whole retained window's changes (the oldest
+    * retained version is the base snapshot — its own rows are not
+    * changes; Iceberg's changelog table reads the same way). */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val l = log()
+    if (l.size < 2) return Array.empty
+    ChangelogRead.planUnits(session, name, tableDir, tableSchema,
+      ChangelogRead.changeUnits(tableDir, l, name, l.last, l.head))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChangelogReaderFactory(readSchema())
+
+  override def toMicroBatchStream(checkpoint: String): MicroBatchStream = {
+    require(!opts.skipChangeCommits,
+      s"$name: skipChangeCommits makes no sense on a changelog stream " +
+        "(delete commits ARE the feed) — drop the option")
+    require(opts.maxBytesPerTrigger.isEmpty,
+      s"$name: the changelog stream rate-limits by unit count " +
+        "(maxFilesPerTrigger); maxBytesPerTrigger is not supported here")
+    new ChangelogMicroBatchStream(session, name, tableDir, tableSchema,
+      log, opts)
+  }
+}
+
+/** The admission-controlled changelog stream: offsets are the same
+  * `(base, upto, k)` shape as the plain table stream, `k` counting
+  * TYPED UNITS into the deterministic `changeUnits` list instead of
+  * added files — `maxFilesPerTrigger` caps units per micro-batch, so
+  * a restart against a deep backlog drains commit by commit. */
+private[sources] final class ChangelogMicroBatchStream(
+    session: SparkSession, name: String, tableDir: JPath,
+    tableSchema: StructType, log: () => Seq[String],
+    opts: StreamReadOptions)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  @volatile private var availableNowCap: Option[String] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val l = log()
+    availableNowCap = Some(if (l.isEmpty) "" else l.head)
+  }
+
+  private def units(base: String, upto: String) =
+    ChangelogRead.changeUnits(tableDir, log(), name, base, upto)
+
+  override def initialOffset(): Offset = {
+    def consumedThrough(v: String): Offset = VersionOffset(v, v, 0)
+    (opts.startingVersion, opts.startingTimestamp) match {
+      case (None, None) => VersionOffset("", "", 0)
+      case (Some("latest"), _) =>
+        val l = log()
+        consumedThrough(if (l.isEmpty) "" else l.head)
+      case (Some(sv), _) =>
+        val l = log()
+        val i =
+          if (sv.startsWith("v-")) l.indexOf(sv)
+          else sv.toIntOption.filter(k => k >= 0 && k < l.size).getOrElse(-1)
+        if (i < 0) throw new IllegalArgumentException(
+          s"$name: startingVersion '$sv' is not in the retention window")
+        consumedThrough(if (i + 1 < l.size) l(i + 1) else "")
+      case (None, Some(_)) => throw new IllegalArgumentException(
+        s"$name: startingTimestamp is not supported on the changelog " +
+          "stream — pass startingVersion ('latest', commits-back, or " +
+          "v-<uuid>)")
+    }
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-controlled path")
+
+  override def getDefaultReadLimit: ReadLimit =
+    opts.maxFilesPerTrigger.map(ReadLimit.maxFiles)
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[VersionOffset]
+    val maxF = limit match {
+      case m: ReadMaxFiles => m.maxFiles()
+      case _ => Int.MaxValue
+    }
+    def admit(base: String, upto: String, startK: Int): VersionOffset = {
+      val total = units(base, upto).size
+      val end = math.min(startK.toLong + maxF, total.toLong).toInt
+      if (end >= total) VersionOffset(upto, upto, 0)
+      else VersionOffset(base, upto, end)
+    }
+    if (s.upto.nonEmpty && s.base != s.upto) admit(s.base, s.upto, s.k)
+    else {
+      val cur = availableNowCap.getOrElse {
+        val l = log(); if (l.isEmpty) "" else l.head
+      }
+      val base = s.upto
+      if (cur.isEmpty || cur == base) s
+      else admit(base, cur, 0)
+    }
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    if (json.isEmpty) VersionOffset("", "", 0)
+    else json.split(";", -1) match {
+      case Array(b, u, k) => VersionOffset(b, u, k.toInt)
+      case _ => VersionOffset(json, json, 0)
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[VersionOffset]
+    val e = end.asInstanceOf[VersionOffset]
+    if (e.upto.isEmpty || s == e) return Array.empty
+    val us =
+      if (s.base == e.base && s.upto == e.upto)
+        units(e.base, e.upto).slice(s.k, e.k)
+      else if (s.upto == e.upto && e.base == e.upto)
+        units(s.base, s.upto).drop(s.k)
+      else if (s.base == s.upto && e.base == e.upto)
+        units(s.upto, e.upto)
+      else if (s.base == s.upto && e.base == s.upto)
+        units(e.base, e.upto).take(e.k)
+      else throw new IllegalStateException(
+        s"$name: non-adjacent changelog offsets $s -> $e")
+    if (us.isEmpty) return Array.empty
+    ChangelogRead.planUnits(session, name, tableDir, tableSchema, us)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChangelogReaderFactory(ChangelogRead.cdcSchema(tableSchema))
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

@@ -980,7 +980,107 @@ object Streams {
       .orderBy($"o_orderstatus")
   }
 
+  /** st20: THE STREAMING CHANGELOG SCAN — `readStream` over the
+    * `.changes` metadata table (ChangelogRead.scala), the Delta-CDF /
+    * Iceberg-changelog posture that completes the CDC story: st19
+    * gives a downstream consumer the CURRENT STATE (survivors
+    * re-emitted), this gives it the row-level CHANGES — typed
+    * insert/delete rows per commit, no re-diffing. The gate drains
+    * the snapshot, commits an append AND a scattered MoR MERGE
+    * (updates + inserts — one live equality entry) while the stream
+    * is down, resumes from the same checkpoint under
+    * `maxFilesPerTrigger` admission, and REQUIREs (a) the resumed
+    * typed rows match batch `table_changes` over the same two commits
+    * ROW FOR ROW, (b) the sidecar stayed live through the drain (the
+    * delete half was SERVED from the entry's narrowed scope, not
+    * materialized). Oracle: per-type row/key/money totals re-derived
+    * independently from raw orders. */
+  def st20ChangelogStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_st")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_st.db")
+    s.sql("DROP TABLE IF EXISTS graft_st.db.ord_chg")
+    s.sql("DROP TABLE IF EXISTS graft_st.db.st20_sink")
+    val ord = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    ord.where($"o_orderkey" % 3 === 0)
+      .writeTo("graft_st.db.ord_chg").using("parquet")
+      .tableProperty("write.merge.mode", "merge-on-read")
+      .createOrReplace()
+    s.sql("ALTER TABLE graft_st.db.ord_chg ADD CONSTRAINT oc_pk " +
+      "PRIMARY KEY (o_orderkey) NOT ENFORCED")
+    ord.limit(0).withColumn("_change_type", lit(""))
+      .writeTo("graft_st.db.st20_sink").using("parquet").createOrReplace()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_st20_ckpt").toString
+    def drainInto(maxFiles: Option[Int]): Unit = {
+      var reader = s.readStream
+      maxFiles.foreach(m => reader =
+        reader.option("maxFilesPerTrigger", m.toString))
+      val q = reader.table("graft_st.db.ord_chg.changes")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select($"o_orderkey", $"o_custkey", $"o_totalprice",
+              $"_change_type")
+            .writeTo("graft_st.db.st20_sink").append()
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drainInto(None) // batch 1: the snapshot as typed inserts
+    // two commits while the stream is down: a plain append and a
+    // scattered MoR merge (updates negate the price; inserts re-key)
+    ord.where($"o_orderkey" % 3 === 1)
+      .writeTo("graft_st.db.ord_chg").append()
+    ord.where($"o_orderkey" % 3 === 0 && $"o_orderkey" % 97 === 0)
+      .select($"o_orderkey", $"o_custkey",
+        (-$"o_totalprice").as("o_totalprice"))
+      .unionByName(ord.where($"o_orderkey" % 3 === 2 &&
+          $"o_orderkey" % 53 === 0)
+        .select(($"o_orderkey" + 20000000L).as("o_orderkey"), $"o_custkey",
+          $"o_totalprice"))
+      .createOrReplaceTempView("st20_src")
+    s.sql("""MERGE INTO graft_st.db.ord_chg t USING st20_src s
+            |ON t.o_orderkey = s.o_orderkey
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    require(s.table("graft_st.db.ord_chg.deletes").count() >= 1L,
+      "st20: the CDC merge must land as a live equality-delete entry")
+    drainInto(Some(4)) // batches 2..n: the two commits, typed, admitted
+    require(s.table("graft_st.db.ord_chg.deletes").count() >= 1L,
+      "st20: the changelog drain must SERVE the live entry, not " +
+        "depend on a hidden rewrite materializing it")
+    // the whole streamed feed == the snapshot-as-inserts plus batch
+    // table_changes over the two commits, as a MULTISET (row for row,
+    // money compared in cents to sidestep float formatting)
+    val streamedSorted = s.table("graft_st.db.st20_sink").collect()
+      .map(r => (r.getString(3), r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 100))).toSeq.sorted
+    val viaBatch = graft.sources.AtomicParquetCatalog
+      .tableChanges(s, "graft_st.db.ord_chg", fromCommitsBack = 2)
+      .select($"_change_type", $"o_orderkey", $"o_custkey",
+        $"o_totalprice")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 100))).toSeq
+    val snapshotTyped = ord.where($"o_orderkey" % 3 === 0).collect()
+      .map(r => ("insert", r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 100))).toSeq
+    require(streamedSorted == (snapshotTyped ++ viaBatch).sorted,
+      s"st20: streamed feed (${streamedSorted.size} rows) != snapshot + " +
+        s"batch table_changes (${snapshotTyped.size + viaBatch.size})")
+    s.table("graft_st.db.st20_sink")
+      .groupBy($"_change_type")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"o_orderkey").as("n_keys"),
+        Det.moneySum($"o_totalprice").as("total"))
+      .orderBy($"_change_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st20_changelog_stream" -> st20ChangelogStream,
     "st19_stream_mor_tail" -> st19StreamMorTail,
     "st18_stream_wap_branch" -> st18StreamWapBranch,
     "st16_stream_native_sink" -> st16StreamNativeSink,
@@ -1006,6 +1106,37 @@ object Streams {
     // downstream upsert state == the recomputed logical table: a
     // deleted row served un-retracted dup-key-faults the downstream
     // MERGE; a lost insert or a stale survivor price mismatches here
+    // the streamed change feed, per type: inserts = the snapshot +
+    // the append + the merge's reinserts (negated price) + its fresh
+    // inserts (re-keyed); deletes = the merge-matched ORIGINAL rows.
+    // A missed commit, an unretracted delete, a reinsert served with
+    // the old price, or a snapshot row double-served all mismatch.
+    "st20_changelog_stream" ->
+      """WITH ins AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, -o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 2 AND o_orderkey % 53 = 0
+        |), del AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 97 = 0
+        |), typed AS (
+        |  SELECT 'insert' AS _change_type, * FROM ins
+        |  UNION ALL
+        |  SELECT 'delete' AS _change_type, * FROM del
+        |)
+        |SELECT _change_type,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM typed GROUP BY _change_type ORDER BY _change_type""".stripMargin,
     "st19_stream_mor_tail" ->
       """WITH logical AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -1,0 +1,182 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `.changes` metadata table (ChangelogRead.scala): the row-level
+  * change feed as a batch relation AND a streaming source. Pins:
+  * batch `.changes` equals `tableChanges` row-for-row over the same
+  * window; the STREAM drains the same typed rows (snapshot-as-inserts
+  * first) under per-unit admission control and across a
+  * checkpoint-resume; a MoR merge commit serves its delete half from
+  * the entry's narrowed scope; a COW rewrite commit fails pointedly;
+  * unsupported options refuse pointedly. */
+class ChangelogStreamSpec extends AnyFunSuite {
+  lazy val warehouse: String =
+    Files.createTempDirectory("graft_chg_wh").toString
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.conf.set("spark.sql.catalog.graft_chg",
+      "graft.sources.AtomicParquetCatalog")
+    s.conf.set("spark.sql.catalog.graft_chg.warehouse", warehouse)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_chg.db")
+    s
+  }
+
+  private def typedRows(df: DataFrame): Seq[(String, Long, String)] =
+    df.select(col("_change_type"), col("k"), col("tag"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSeq.sorted
+
+  /** Drain a changelog stream (availableNow semantics via
+    * processAllAvailable) into an accumulator, optionally rate-limited
+    * to force multi-batch admission. */
+  private def drain(table: String, ckpt: String,
+      maxFiles: Option[Int] = None): Seq[Row] = {
+    val acc = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var reader = spark.readStream
+    maxFiles.foreach(m => reader =
+      reader.option("maxFilesPerTrigger", m.toString))
+    val q = reader.table(table)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        acc.synchronized { acc ++= batch.collect() }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    acc.toSeq
+  }
+
+  test("batch .changes equals tableChanges over the retained window; " +
+      "a MoR merge serves typed inserts AND deletes") {
+    val s = spark
+    import s.implicits._
+    s.range(100).select($"id".as("k"), concat(lit("t"), $"id" % 5).as("tag"))
+      .repartition(2).writeTo("graft_chg.db.c1")
+      .tableProperty("write.merge.mode", "merge-on-read")
+      .create()
+    s.sql("ALTER TABLE graft_chg.db.c1 ADD CONSTRAINT c1_pk " +
+      "PRIMARY KEY (k) NOT ENFORCED")
+    // commit 2: plain append
+    s.range(100, 120).select($"id".as("k"), lit("new").as("tag"))
+      .repartition(1).writeTo("graft_chg.db.c1").append()
+    // commit 3: MoR merge — 5 updates (delete+reinsert) + 3 inserts
+    s.range(8).select(($"id" * 10).as("k"), lit("upd").as("tag"))
+      .union(s.range(3).select(($"id" + 200).as("k"), lit("ins").as("tag")))
+      .distinct().createOrReplaceTempView("c1_src")
+    s.sql("""MERGE INTO graft_chg.db.c1 t USING c1_src s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(s.table("graft_chg.db.c1.deletes").count() >= 1L,
+      "the merge must land as a live equality entry")
+    val batchChanges = s.table("graft_chg.db.c1.changes")
+    val viaApi = graft.sources.AtomicParquetCatalog
+      .tableChanges(s, "graft_chg.db.c1", fromCommitsBack = 2)
+      .select(batchChanges.columns.map(col).toIndexedSeq: _*)
+    assert(typedRows(batchChanges) == typedRows(viaApi),
+      "batch .changes must match tableChanges row-for-row")
+    // the merge's delete half: the 8 matched keys re-read as deletes
+    val dels = batchChanges.where($"_change_type" === "delete")
+      .select($"k").as[Long].collect().sorted.toSeq
+    assert(dels == (0L until 8L).map(_ * 10),
+      s"merge deletes mismatch: $dels")
+  }
+
+  test("the stream drains snapshot-as-inserts, then the typed feed " +
+      "commit by commit, rate-limited and across checkpoint resumes") {
+    val s = spark
+    import s.implicits._
+    s.range(100).select($"id".as("k"), concat(lit("t"), $"id" % 5).as("tag"))
+      .repartition(2).writeTo("graft_chg.db.c2")
+      .tableProperty("write.merge.mode", "merge-on-read")
+      .create()
+    s.sql("ALTER TABLE graft_chg.db.c2 ADD CONSTRAINT c2_pk " +
+      "PRIMARY KEY (k) NOT ENFORCED")
+    val ckpt = Files.createTempDirectory("graft_chg_ckpt").toString
+    // drain 1: the stream starts BEFORE any change — the current
+    // snapshot serves as inserts (Delta CDF's initial-snapshot rule)
+    val first = drain("graft_chg.db.c2.changes", ckpt)
+    val firstTyped = first.map(r =>
+      (r.getString(2), r.getLong(0), r.getString(1))).sorted
+    assert(firstTyped == (0L until 100L).map(k =>
+      ("insert", k, s"t${k % 5}")).sorted,
+      s"snapshot drain mismatch (${firstTyped.size} rows)")
+    // two commits while the stream is DOWN: an append + a MoR merge
+    s.range(100, 120).select($"id".as("k"), lit("new").as("tag"))
+      .repartition(1).writeTo("graft_chg.db.c2").append()
+    s.range(8).select(($"id" * 10).as("k"), lit("upd").as("tag"))
+      .union(s.range(3).select(($"id" + 200).as("k"), lit("ins").as("tag")))
+      .distinct().createOrReplaceTempView("c2_src")
+    s.sql("""MERGE INTO graft_chg.db.c2 t USING c2_src s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(s.table("graft_chg.db.c2.deletes").count() >= 1L)
+    // drain 2, rate-limited to one unit per micro-batch: the resumed
+    // stream serves exactly the two commits' TYPED rows — the merge's
+    // delete half carries the ORIGINAL rows, its insert half the new
+    val before = {
+      val ls = Files.list(java.nio.file.Paths.get(ckpt, "offsets"))
+      try ls.count() finally ls.close()
+    }
+    val second = drain("graft_chg.db.c2.changes", ckpt, maxFiles = Some(1))
+    val secondTyped = second.map(r =>
+      (r.getString(2), r.getLong(0), r.getString(1))).sorted
+    val expect = ((100L until 120L).map(k => ("insert", k, "new")) ++
+      (0L until 8L).map(k => ("insert", k * 10, "upd")) ++
+      (200L until 203L).map(k => ("insert", k, "ins")) ++
+      (0L until 8L).map(k => ("delete", k * 10, s"t${(k * 10) % 5}"))).sorted
+    assert(secondTyped == expect,
+      s"typed feed mismatch (${secondTyped.size} rows): $secondTyped")
+    // the rate limit actually split the advance into multiple batches
+    val after = {
+      val ls = Files.list(java.nio.file.Paths.get(ckpt, "offsets"))
+      try ls.count() finally ls.close()
+    }
+    assert(after - before >= 3,
+      s"expected multi-batch admission, got ${after - before} batches")
+    // drain 3: a commit while down again — exactly it, nothing replays
+    s.range(300, 305).select($"id".as("k"), lit("late").as("tag"))
+      .repartition(1).writeTo("graft_chg.db.c2").append()
+    val third = drain("graft_chg.db.c2.changes", ckpt)
+    val thirdTyped = third.map(r =>
+      (r.getString(2), r.getLong(0), r.getString(1))).sorted
+    assert(thirdTyped == (300L until 305L).map(k =>
+      ("insert", k, "late")).sorted,
+      s"resume must serve only the new commit, got $thirdTyped")
+  }
+
+  test("a COW rewrite commit fails the feed pointedly; options refuse") {
+    val s = spark
+    import s.implicits._
+    // COW delete (no MoR delete mode set on the session) rewrites files
+    s.sql("DELETE FROM graft_chg.db.c1 WHERE k < 3")
+    val e = intercept[Exception] {
+      s.table("graft_chg.db.c1.changes").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("table_changes")),
+      s"the COW commit must fail pointedly, got: ${msgs(e)}")
+    val e2 = intercept[Exception] {
+      val q = s.readStream.option("skipChangeCommits", "true")
+        .table("graft_chg.db.c1.changes")
+        .writeStream.format("noop")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_chg_ck2").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(msgs(e2).exists(_.contains("skipChangeCommits")), msgs(e2))
+  }
+}
