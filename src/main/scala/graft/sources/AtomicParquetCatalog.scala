@@ -1038,7 +1038,15 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
   private def metadataTable(ident: Identifier): Option[Table] = {
     if (ident.namespace.isEmpty) return None
     val parent = Identifier.of(ident.namespace.init, ident.namespace.last)
-    val pdir = tableDir(parent)
+    // a branch-ref parent (`db.\`t@branch\`.changes`) is honored for
+    // the CHANGE FEED only — the audit tail of WAP wants the branch's
+    // typed commits; every other metadata table stays main-bound
+    // rather than silently serving main's data under a branch label
+    val (pBase, pBranch) = AtomicParquetCatalog.splitBranch(parent.name)
+    if (pBranch.isDefined && ident.name.toLowerCase != "changes")
+      return None
+    pBranch.foreach(requireBranchNameShape)
+    val pdir = nsDir(ident.namespace.init).resolve(pBase)
     if (!Files.exists(pointer(pdir))) return None
 
     def dataFiles(v: JPath): Seq[JPath] =
@@ -1107,11 +1115,18 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
         // the row-level change feed as a readable AND streamable
         // relation (ChangelogRead.scala): batch = the retained
         // window's typed changes, readStream = the admission-
-        // controlled changelog tail
-        val cur = currentVersion(pdir).get
+        // controlled changelog tail; a branch-ref parent tails the
+        // BRANCH's pointer log (the audit half of WAP, streaming form)
+        val ref = pBranch.map(b => s"_branch_$b")
+          .getOrElse(AtomicParquetCatalog.MainRef)
+        val blog = versionLog(pdir, ref)
+        require(pBranch.isEmpty || blog.nonEmpty,
+          s"$parent: no such branch '${pBranch.get}'")
+        val cur = pdir.resolve(blog.headOption.getOrElse(
+          return None)) // empty main log: no committed table yet
         val (tblSchema, _) = readMeta(cur)
         Some(new ChangelogTable(s"$parent.changes", pdir, tblSchema,
-          () => versionLog(pdir)))
+          () => versionLog(pdir, ref)))
       case "deletes" =>
         // live merge-on-read delete entries of the CURRENT snapshot —
         // the operator's view of what rewrite_deletes would materialize

@@ -156,6 +156,39 @@ class ChangelogStreamSpec extends AnyFunSuite {
       s"resume must serve only the new commit, got $thirdTyped")
   }
 
+  test("a branch ref tails the BRANCH's feed (the audit half of WAP, " +
+      "streaming form); other metadata tables refuse branch refs") {
+    val s = spark
+    import s.implicits._
+    s.range(10).select($"id".as("k"), lit("m").as("tag"))
+      .writeTo("graft_chg.db.c3").create()
+    s.sql("CALL graft_chg.system.create_branch('db.c3', 'audit')")
+    s.range(100, 103).select($"id".as("k"), lit("b").as("tag"))
+      .writeTo("graft_chg.db.`c3@audit`").append()
+    val ckpt = Files.createTempDirectory("graft_chg_br_ck").toString
+    val first = drain("graft_chg.db.`c3@audit`.changes", ckpt)
+    // the branch head's snapshot (10 main-forked + 3 branch-only rows)
+    assert(first.size == 13, s"branch snapshot drain got ${first.size}")
+    // a branch-only commit while down: only the branch feed serves it
+    s.range(200, 202).select($"id".as("k"), lit("b2").as("tag"))
+      .writeTo("graft_chg.db.`c3@audit`").append()
+    val second = drain("graft_chg.db.`c3@audit`.changes", ckpt)
+    assert(second.map(r => (r.getString(2), r.getLong(0))).sorted ==
+      Seq(("insert", 200L), ("insert", 201L)),
+      s"branch resume mismatch: $second")
+    // batch form agrees; MAIN's feed never saw the branch commits
+    assert(s.table("graft_chg.db.`c3@audit`.changes").count() == 5L)
+    assert(s.table("graft_chg.db.c3.changes").count() == 0L,
+      "main's feed must not see branch-only commits")
+    // the branch-ref shorthand stays changes-only: t@branch.history
+    // must not resolve (silently serving main's data mislabeled)
+    val e = intercept[Exception] {
+      s.table("graft_chg.db.`c3@audit`.history").collect()
+    }
+    assert(e.getMessage.toUpperCase.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      e.getMessage.contains("not found"), e.getMessage)
+  }
+
   test("a COW rewrite commit fails the feed pointedly; options refuse") {
     val s = spark
     import s.implicits._

@@ -157,6 +157,34 @@ class MorCountPushdownSpec extends AnyFunSuite {
     assert(after.collect()(0).getLong(0) === 980L)
   }
 
+  test("branch and time-travel heads serve the metadata count too: " +
+      "each head's own files minus its own entries") {
+    val s = spark
+    import s.implicits._
+    mkPk("c4")
+    s.range(5).select(($"id" * 100).as("k")) // 5 matches
+      .createOrReplaceTempView("c4_src")
+    s.sql("""MERGE INTO graft_cnt.db.c4 t USING c4_src s ON t.k = s.k
+            |WHEN MATCHED THEN DELETE""".stripMargin)
+    // branch forks AT the post-merge head; a branch-only merge deletes
+    // 3 more — the branch counts 992, main still 995, the pre-merge
+    // travel head 1000: three heads, three metadata answers
+    s.sql("CALL graft_cnt.system.create_branch('db.c4', 'work')")
+    s.range(3).select(($"id" * 100 + 7).as("k"))
+      .createOrReplaceTempView("c4_bsrc")
+    s.sql("""MERGE INTO graft_cnt.db.`c4@work` t USING c4_bsrc s
+            |ON t.k = s.k WHEN MATCHED THEN DELETE""".stripMargin)
+    assertMetadataServed("`c4@work`", 992L)
+    assertMetadataServed("c4", 995L)
+    val tt = s.sql(
+      "SELECT count(*) AS n FROM graft_cnt.db.c4 VERSION AS OF 1")
+    assert(planOf(tt).contains("LocalTableScan") ||
+      planOf(tt).contains("PushedAggregation: [COUNT("),
+      s"the pre-merge head has no entries — either metadata path is " +
+        s"fine, a row scan is not:\n${planOf(tt)}")
+    assert(tt.collect()(0).getLong(0) === 1000L)
+  }
+
   test("the O(metadata) deleteWhere entry has no count: COUNT refuses " +
       "to the scan path and stays exact") {
     val s = spark
