@@ -88,7 +88,22 @@ private[sources] object ChangelogRead {
     chain.sliding(2).flatMap {
       case Seq(prev, next) =>
         val pf = filesOf(prev); val nf = filesOf(next)
-        val removed = pf -- nf
+        val added0 = nf -- pf
+        // metadata-only spec evolution RELOCATES root files under a
+        // fresh `_spec-<k>/` subtree (hard links — same bytes, new
+        // path): a relocated pair is not a row-level change, so the
+        // evolving commit stays TRANSPARENT to a running stream
+        // instead of killing it. Only exact `_spec-<k>/<old path>`
+        // pairs cancel; anything else removed is a real rewrite.
+        val relocatedTargets = (pf -- nf).flatMap { r =>
+          added0.find(a => a.startsWith("_spec-") &&
+            a.substring(a.indexOf('/') + 1) == r && a.indexOf('/') > 0)
+        }
+        val relocatedSources = (pf -- nf).filter { r =>
+          relocatedTargets.exists(a =>
+            a.substring(a.indexOf('/') + 1) == r)
+        }
+        val removed = pf -- nf -- relocatedSources
         if (removed.nonEmpty) throw new IllegalStateException(
           s"$tableName: commit $next removed ${removed.size} data " +
             "files (a copy-on-write rewrite / compaction) — a row-level " +
@@ -102,7 +117,7 @@ private[sources] object ChangelogRead {
         val prevPosIds = MorDeletes.posEntries(pd).map(_.id).toSet
         val newPos = MorDeletes.posEntries(nd)
           .filterNot(e => prevPosIds.contains(e.id)).sortBy(_.id)
-        val ins = (nf -- pf).toSeq.sorted.map(r =>
+        val ins = (added0 -- relocatedTargets).toSeq.sorted.map(r =>
           ChangeUnit(next, next, r, "insert", None, None))
         val delEq = newEq.flatMap { e =>
           val ser = MorDeletes.serialize(e.node)

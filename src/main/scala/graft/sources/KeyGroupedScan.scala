@@ -179,25 +179,39 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     * entry without a persisted matched count (the O(metadata)
     * deleteWhere path, or a count dropped by a restricted carry), or
     * any live data file missing from the footer-stats store. */
-  private def morCountAnswer(): Option[Long] = {
-    if (dataFilters.nonEmpty) return None
-    if (liveDeletes.exists(_.matched.isEmpty)) return None
-    val tableDir = versionDir.getParent
-    val stats = FileStats.load(tableDir)
-    val files = AtomicParquetCatalog.walkDataFiles(versionDir)
-      .map(p => versionDir.relativize(java.nio.file.Paths.get(p)).toString)
-    var base = 0L
-    for (f <- files) stats.get(f) match {
-      case Some(st) => base += st.rows
-      case None => return None
+  // computed once per builder: Spark consults supportCompletePushDown
+  // and pushAggregation in the same planning pass (filters are already
+  // final by then), and the answer walks the version's file list
+  private lazy val morCountCached: Option[Long] = {
+    if (liveDeletes.exists(_.matched.isEmpty)) None
+    else {
+      val tableDir = versionDir.getParent
+      val stats = FileStats.load(tableDir)
+      val files = AtomicParquetCatalog.walkDataFiles(versionDir)
+        .map(p => versionDir.relativize(java.nio.file.Paths.get(p)).toString)
+      var base = 0L
+      var covered = true
+      for (f <- files) stats.get(f) match {
+        case Some(st) => base += st.rows
+        case None => covered = false
+      }
+      if (!covered) None
+      else {
+        // per-file UNION of positional ordinals — two entries naming
+        // the same (file, ordinal) must not double-subtract
+        val posDeleted = MorDeletes.posOrdinalsByFile(livePosDeletes)
+          .valuesIterator.map(_.length.toLong).sum
+        val eqDeleted = liveDeletes.flatMap(_.matched).sum
+        val n = base - posDeleted - eqDeleted
+        // a negative answer means a corrupt sidecar — refuse to the
+        // scan path rather than serve an impossible count
+        if (n < 0) None else Some(n)
+      }
     }
-    // per-file UNION of positional ordinals — two entries naming the
-    // same (file, ordinal) must not double-subtract
-    val posDeleted = MorDeletes.posOrdinalsByFile(livePosDeletes)
-      .valuesIterator.map(_.length.toLong).sum
-    val eqDeleted = liveDeletes.flatMap(_.matched).sum
-    Some(base - posDeleted - eqDeleted)
   }
+
+  private def morCountAnswer(): Option[Long] =
+    if (dataFilters.nonEmpty) None else morCountCached
 
   private def tryMorCount(aggregation: Aggregation): Option[(Long, StructType)] = {
     if (legacy.nonEmpty || !aggPushEnabled ||

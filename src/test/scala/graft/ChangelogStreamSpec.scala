@@ -156,6 +156,27 @@ class ChangelogStreamSpec extends AnyFunSuite {
       s"resume must serve only the new commit, got $thirdTyped")
   }
 
+  test("metadata-only spec evolution is TRANSPARENT to the stream: a " +
+      "pure relocation is no row-level change") {
+    val s = spark
+    import s.implicits._
+    s.range(10).select($"id".as("k"), lit("a").as("tag"))
+      .repartition(2).writeTo("graft_chg.db.c4").create()
+    val ckpt = Files.createTempDirectory("graft_chg_ev_ck").toString
+    assert(drain("graft_chg.db.c4.changes", ckpt).size == 10)
+    // the evolving commit hard-links every root file under _spec-0/
+    // (zero rewrite) — the stream must neither die nor re-emit
+    s.sql("CALL graft_chg.system.evolve_layout('db.c4', 'bucket(2,k)')")
+    s.range(100, 103).select($"id".as("k"), lit("b").as("tag"))
+      .repartition(1).writeTo("graft_chg.db.c4").append()
+    val resumed = drain("graft_chg.db.c4.changes", ckpt)
+    assert(resumed.map(r => (r.getString(2), r.getLong(0))).sorted ==
+      (100L until 103L).map(k => ("insert", k)),
+      s"evolution must contribute nothing, got $resumed")
+    // the batch window agrees: only the 3 appended rows are changes
+    assert(s.table("graft_chg.db.c4.changes").count() == 3L)
+  }
+
   test("a branch ref tails the BRANCH's feed (the audit half of WAP, " +
       "streaming form); other metadata tables refuse branch refs") {
     val s = spark
