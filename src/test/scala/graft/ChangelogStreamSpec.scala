@@ -210,6 +210,54 @@ class ChangelogStreamSpec extends AnyFunSuite {
       e.getMessage.contains("not found"), e.getMessage)
   }
 
+  test("schema evolution inside the window: pre-evolution commits " +
+      "null-fill the evolved column (latest-schema projection)") {
+    val s = spark
+    import s.implicits._
+    s.range(5).select($"id".as("k"), lit("a").as("tag"))
+      .writeTo("graft_chg.db.c5").create()
+    val ckpt = Files.createTempDirectory("graft_chg_se_ck").toString
+    assert(drain("graft_chg.db.c5.changes", ckpt).size == 5)
+    // two commits while down: a pre-evolution append, then ALTER ADD
+    // COLUMN + a post-evolution append — one resume spans both shapes
+    s.range(10, 12).select($"id".as("k"), lit("b").as("tag"))
+      .writeTo("graft_chg.db.c5").append()
+    s.sql("ALTER TABLE graft_chg.db.c5 ADD COLUMN note STRING")
+    Seq((20L, "c", "noted")).toDF("k", "tag", "note")
+      .writeTo("graft_chg.db.c5").append()
+    val rows = drain("graft_chg.db.c5.changes", ckpt)
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)).getOrElse("NULL"))).sorted
+    assert(rows == Seq((10L, "b", "NULL"), (11L, "b", "NULL"),
+      (20L, "c", "noted")),
+      s"latest-schema projection mismatch: $rows")
+  }
+
+  test("an expired window fails the resume pointedly (retention)") {
+    val s = spark
+    import s.implicits._
+    // a dedicated short-retention catalog (history is read at catalog
+    // init, not per query)
+    s.conf.set("spark.sql.catalog.graft_chr",
+      "graft.sources.AtomicParquetCatalog")
+    s.conf.set("spark.sql.catalog.graft_chr.warehouse",
+      Files.createTempDirectory("graft_chr_wh").toString)
+    s.conf.set("spark.sql.catalog.graft_chr.history", "2")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_chr.db")
+    s.range(3).select($"id".as("k")).writeTo("graft_chr.db.c6").create()
+    val ckpt = Files.createTempDirectory("graft_chg_rt_ck").toString
+    assert(drain("graft_chr.db.c6.changes", ckpt).size == 3)
+    // three commits at history=2: the checkpointed base expires
+    for (i <- 1 to 3)
+      s.range(10L * i, 10L * i + 1).select($"id".as("k"))
+        .writeTo("graft_chr.db.c6").append()
+    val e = intercept[Exception] { drain("graft_chr.db.c6.changes", ckpt) }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("retention") ||
+      m.contains("retained")), s"want the pointed expiry error: ${msgs(e)}")
+  }
+
   test("a COW rewrite commit fails the feed pointedly; options refuse") {
     val s = spark
     import s.implicits._
