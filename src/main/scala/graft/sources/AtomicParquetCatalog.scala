@@ -1130,10 +1130,16 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
       case "deletes" =>
         // live merge-on-read delete entries of the CURRENT snapshot —
         // the operator's view of what rewrite_deletes would materialize
+        // n_matched: the entry's exact removed-row count when known
+        // (positional ordinals; the funnel-persisted equality count) —
+        // null for count-less entries, i.e. exactly the entries that
+        // refuse the pushed COUNT(*) fast path (the operator's signal
+        // that a rewrite_deletes would restore it)
         val schema = StructType(Seq(
           StructField("id", StringType, nullable = false),
           StructField("predicate", StringType, nullable = false),
-          StructField("n_files", LongType, nullable = false)))
+          StructField("n_files", LongType, nullable = false),
+          StructField("n_matched", LongType, nullable = true)))
         Some(new LocalScanTable(s"$parent.deletes", schema, () => {
           val cur = currentVersion(pdir).get
           val (tblSchema, _) = readMeta(cur)
@@ -1141,13 +1147,15 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             org.apache.spark.sql.catalyst.InternalRow(
               UTF8String.fromString(e.id),
               UTF8String.fromString(MorDeletes.show(e.node, tblSchema)),
-              e.files.size.toLong)
+              e.files.size.toLong,
+              e.matched.map(Long.box).orNull)
           } ++ MorDeletes.posEntries(cur).map { e =>
             org.apache.spark.sql.catalyst.InternalRow(
               UTF8String.fromString(e.id),
               UTF8String.fromString(
                 s"POSITIONAL (${e.nRows} rows in ${e.files.size} files)"),
-              e.files.size.toLong)
+              e.files.size.toLong,
+              Long.box(e.nRows))
           }
         }))
       case "stats" =>

@@ -197,5 +197,17 @@ class MorCountPushdownSpec extends AnyFunSuite {
     finally s.conf.unset("spark.sql.catalog.graft.write.deleteMode")
     // entry present, count absent (never read a row) → no metadata claim
     assertScanServed("c3", 900L)
+    // the .deletes observability table mirrors the distinction: the
+    // count-less deleteWhere entry shows n_matched NULL (the signal
+    // that rewrite_deletes would restore the COUNT fast path), while
+    // c1's funnel entries carry their exact counts
+    val c3d = spark.table("graft_cnt.db.c3.deletes").collect()
+    assert(c3d.length == 1 && c3d.head.isNullAt(3),
+      s"deleteWhere entry must show n_matched NULL, got ${c3d.toSeq}")
+    val c1d = spark.table("graft_cnt.db.c1.deletes").collect()
+    assert(c1d.nonEmpty && c1d.forall(r => !r.isNullAt(3)),
+      s"funnel entries must carry n_matched, got ${c1d.toSeq}")
+    assert(c1d.map(_.getLong(3)).sum == 100L + 50L,
+      s"c1's two entries matched 100 + 50 rows, got ${c1d.toSeq}")
   }
 }
