@@ -46,17 +46,34 @@ import org.apache.spark.unsafe.types.UTF8String
 private[sources] object ChangelogRead {
   val TypeCol = "_change_type"
   val VersionCol = "_commit_version"
+  val TimestampCol = "_commit_timestamp"
 
   def cdcSchema(t: StructType): StructType =
     StructType(t.fields ++ Seq(
       StructField(TypeCol, StringType, nullable = false),
-      StructField(VersionCol, StringType, nullable = false)))
+      StructField(VersionCol, StringType, nullable = false),
+      // commit instant (Delta CDF's column of the same name): version
+      // names are UUIDs, so THIS is what a consumer orders by when one
+      // batch spans commits — commits serialize under the table lock,
+      // so the instant is monotonic per table
+      StructField(TimestampCol, org.apache.spark.sql.types.TimestampType,
+        nullable = false)))
 
   /** One typed per-file work unit — the admission-control granule. */
   final case class ChangeUnit(
       serveVersion: String, commitVersion: String, rel: String,
       changeType: String, keepNode: Option[String],
-      keepOrds: Option[Array[Long]])
+      keepOrds: Option[Array[Long]], commitMs: Long = 0L)
+
+  /** Commit instant of a version directory (epoch millis). */
+  def commitMs(tableDir: JPath, v: String): Long =
+    try new String(Files.readAllBytes(
+      tableDir.resolve(v).resolve("_committed_at")), "UTF-8").trim.toLong
+    catch {
+      case _: Exception =>
+        try Files.getLastModifiedTime(tableDir.resolve(v)).toMillis
+        catch { case _: java.io.IOException => 0L }
+    }
 
   /** The deterministic unit list for a `base → upto` advance.
     * `base == ""` is the initial snapshot: every file of `upto` as
@@ -75,9 +92,11 @@ private[sources] object ChangelogRead {
         .map(f => vd.relativize(Paths.get(f)).toString).toSet
     }
     if (upto.isEmpty) return Nil
-    if (base.isEmpty)
+    if (base.isEmpty) {
+      val ms = commitMs(tableDir, upto)
       return filesOf(upto).toSeq.sorted.map(r =>
-        ChangeUnit(upto, upto, r, "insert", None, None))
+        ChangeUnit(upto, upto, r, "insert", None, None, ms))
+    }
     if (base == upto) return Nil
     val ui = log.indexOf(upto)
     val bi = log.indexOf(base)
@@ -117,17 +136,18 @@ private[sources] object ChangelogRead {
         val prevPosIds = MorDeletes.posEntries(pd).map(_.id).toSet
         val newPos = MorDeletes.posEntries(nd)
           .filterNot(e => prevPosIds.contains(e.id)).sortBy(_.id)
+        val ms = commitMs(tableDir, next)
         val ins = (added0 -- relocatedTargets).toSeq.sorted.map(r =>
-          ChangeUnit(next, next, r, "insert", None, None))
+          ChangeUnit(next, next, r, "insert", None, None, ms))
         val delEq = newEq.flatMap { e =>
           val ser = MorDeletes.serialize(e.node)
           (e.files intersect pf).toSeq.sorted.map(r =>
-            ChangeUnit(prev, next, r, "delete", Some(ser), None))
+            ChangeUnit(prev, next, r, "delete", Some(ser), None, ms))
         }
         val delPos = newPos.flatMap { e =>
           e.ords.toSeq.sortBy(_._1).collect {
             case (f, os) if pf.contains(f) =>
-              ChangeUnit(prev, next, f, "delete", None, Some(os.sorted))
+              ChangeUnit(prev, next, f, "delete", None, Some(os.sorted), ms)
           }
         }
         ins ++ delEq ++ delPos
@@ -193,8 +213,8 @@ private[sources] object ChangelogRead {
     val (posUnits, plainUnits) = units.partition(_.keepOrds.isDefined)
     val plainGroups = plainUnits.groupBy(u =>
       (u.serveVersion, u.commitVersion, u.changeType, u.keepNode,
-        layoutRoot(u.rel))).toSeq.sortBy(_._1.toString)
-    for (((v, cv, ct, keep, root), us) <- plainGroups) {
+        layoutRoot(u.rel), u.commitMs)).toSeq.sortBy(_._1.toString)
+    for (((v, cv, ct, keep, root, ms), us) <- plainGroups) {
       val rels = us.map(u =>
         if (root.isEmpty) u.rel else u.rel.stripPrefix(root).stripPrefix("/"))
       val scan = servingScan(v, root, rels, us.map(_.rel))
@@ -202,7 +222,7 @@ private[sources] object ChangelogRead {
       val factory = batch.createReaderFactory()
       val sch = scan.readSchema()
       batch.planInputPartitions().foreach { p =>
-        out += ChangelogPartition(p, factory, sch, ct, cv, keep, None)
+        out += ChangelogPartition(p, factory, sch, ct, cv, keep, None, ms)
       }
     }
     for (u <- posUnits.sortBy(x => (x.commitVersion, x.rel))) {
@@ -218,13 +238,13 @@ private[sources] object ChangelogRead {
       val sch = scan.readSchema()
       batch.planInputPartitions().foreach { p =>
         out += ChangelogPartition(p, factory, sch, u.changeType,
-          u.commitVersion, None, u.keepOrds)
+          u.commitVersion, None, u.keepOrds, u.commitMs)
       }
     }
     // dense re-index for RDD positions
     out.result().zipWithIndex.map { case (p, i) =>
       p match {
-        case c @ ChangelogPartition(fp: org.apache.spark.sql.execution.datasources.FilePartition, _, _, _, _, _, _) =>
+        case c @ ChangelogPartition(fp: org.apache.spark.sql.execution.datasources.FilePartition, _, _, _, _, _, _, _) =>
           c.copy(inner =
             org.apache.spark.sql.execution.datasources.FilePartition(i, fp.files))
         case other => other
@@ -240,8 +260,8 @@ private[sources] object ChangelogRead {
 private[sources] final case class ChangelogPartition(
     inner: InputPartition, factory: PartitionReaderFactory,
     innerSchema: StructType, changeType: String, commitVersion: String,
-    keepNode: Option[String], keepOrds: Option[Array[Long]])
-    extends InputPartition {
+    keepNode: Option[String], keepOrds: Option[Array[Long]],
+    commitMs: Long) extends InputPartition {
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
@@ -254,7 +274,7 @@ private[sources] final class ChangelogReaderFactory(target: StructType)
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case ChangelogPartition(inner, f, innerSchema, ct, cv, keepNode,
-          keepOrds) =>
+          keepOrds, commitMs) =>
         val r = f.createReader(inner)
         val attrs = DataTypeUtils.toAttributes(innerSchema)
         val keepPred = keepNode.map(ser => CPredicate.create(
@@ -269,8 +289,8 @@ private[sources] final class ChangelogReaderFactory(target: StructType)
               "positional changelog unit without a row-index column")
             i
           }
-        // project the table columns by name, then the two constants
-        val dataFields = target.fields.dropRight(2)
+        // project the table columns by name, then the three constants
+        val dataFields = target.fields.dropRight(3)
         val exprs = dataFields.toSeq.map { tf =>
           val si = innerSchema.fieldNames.indexWhere(
             _.equalsIgnoreCase(tf.name))
@@ -279,7 +299,9 @@ private[sources] final class ChangelogReaderFactory(target: StructType)
             innerSchema.fields(si).nullable)
         } ++ Seq(
           CLiteral(UTF8String.fromString(ct), StringType),
-          CLiteral(UTF8String.fromString(cv), StringType))
+          CLiteral(UTF8String.fromString(cv), StringType),
+          CLiteral(commitMs * 1000L,
+            org.apache.spark.sql.types.TimestampType))
         val proj = UnsafeProjection.create(exprs.toIndexedSeq)
         new PartitionReader[InternalRow] {
           private var cur: InternalRow = _

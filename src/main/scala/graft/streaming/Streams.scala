@@ -1079,7 +1079,104 @@ object Streams {
       .orderBy($"_change_type")
   }
 
+  /** st21: CDC REPLICATION OVER THE CHANGELOG STREAM — the end-to-end
+    * consumer st20's feed exists for: a downstream replica applies the
+    * TYPED rows (Delta CDF's documented recipe — per key keep the
+    * postimage, insert wins over delete within a commit since an
+    * update is its delete+insert pair, then a three-armed MERGE) and
+    * must converge to EXACTLY the source table through an append, a
+    * scattered MoR merge (funnel equality entry) AND a metadata-only
+    * predicate DELETE (the count-less `.pred` entry shape st20 did not
+    * exercise — its typed deletes serve from the entry's predicate
+    * over the previous version's survivors). The gate REQUIREs
+    * replica == source as a multiset after the final drain; the
+    * oracle re-derives the replica aggregate from raw orders. */
+  def st21CdcReplication(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_st")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_st.db")
+    s.sql("DROP TABLE IF EXISTS graft_st.db.ord_rep")
+    s.sql("DROP TABLE IF EXISTS graft_st.db.ord_replica")
+    val ord = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    ord.where($"o_orderkey" % 4 === 0)
+      .writeTo("graft_st.db.ord_rep").using("parquet")
+      .tableProperty("write.merge.mode", "merge-on-read")
+      .tableProperty("write.delete.mode", "merge-on-read")
+      .createOrReplace()
+    s.sql("ALTER TABLE graft_st.db.ord_rep ADD CONSTRAINT or_pk " +
+      "PRIMARY KEY (o_orderkey) NOT ENFORCED")
+    ord.limit(0).writeTo("graft_st.db.ord_replica").using("parquet")
+      .createOrReplace()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_st21_ckpt").toString
+    def drainApply(): Unit = {
+      val q = s.readStream.table("graft_st.db.ord_rep.changes")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val ss = batch.sparkSession
+          batch.createOrReplaceTempView("st21_batch")
+          ss.sql(
+            """MERGE INTO graft_st.db.ord_replica t USING (
+              |  SELECT o_orderkey, o_custkey, o_totalprice, _change_type
+              |  FROM (SELECT *, row_number() OVER (
+              |          PARTITION BY o_orderkey
+              |          ORDER BY CASE _change_type
+              |            WHEN 'insert' THEN 0 ELSE 1 END) AS rn
+              |        FROM st21_batch) WHERE rn = 1
+              |) s ON t.o_orderkey = s.o_orderkey
+              |WHEN MATCHED AND s._change_type = 'delete' THEN DELETE
+              |WHEN MATCHED THEN UPDATE SET
+              |  o_custkey = s.o_custkey, o_totalprice = s.o_totalprice
+              |WHEN NOT MATCHED AND s._change_type = 'insert' THEN INSERT
+              |  (o_orderkey, o_custkey, o_totalprice)
+              |  VALUES (s.o_orderkey, s.o_custkey, s.o_totalprice)
+              |""".stripMargin)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drainApply() // the snapshot
+    ord.where($"o_orderkey" % 4 === 1) // commit A: plain append
+      .writeTo("graft_st.db.ord_rep").append()
+    drainApply()
+    // commit B: scattered MoR merge — updates negate, inserts re-key
+    ord.where($"o_orderkey" % 4 === 0 && $"o_orderkey" % 97 === 0)
+      .select($"o_orderkey", $"o_custkey",
+        (-$"o_totalprice").as("o_totalprice"))
+      .unionByName(ord.where($"o_orderkey" % 4 === 2 &&
+          $"o_orderkey" % 53 === 0)
+        .select(($"o_orderkey" + 30000000L).as("o_orderkey"), $"o_custkey",
+          $"o_totalprice"))
+      .createOrReplaceTempView("st21_src")
+    s.sql("""MERGE INTO graft_st.db.ord_rep t USING st21_src s
+            |ON t.o_orderkey = s.o_orderkey
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    drainApply()
+    // commit C: a TRANSLATABLE predicate delete — O(metadata), a
+    // count-less `.pred` entry; the feed types its rows by evaluating
+    // the predicate over the previous version's survivors
+    s.sql("DELETE FROM graft_st.db.ord_rep " +
+      "WHERE o_custkey >= 500 AND o_custkey < 800")
+    require(s.table("graft_st.db.ord_rep.deletes")
+      .where($"n_matched".isNull).count() >= 1L,
+      "st21: the predicate delete must land as a count-less entry")
+    drainApply()
+    // the replica converged to the source, row for row
+    val src = s.table("graft_st.db.ord_rep")
+    val rep = s.table("graft_st.db.ord_replica")
+    require(rep.exceptAll(src).isEmpty && src.exceptAll(rep).isEmpty,
+      "st21: the replica diverged from the source after the drains")
+    rep.agg(count(lit(1)).as("n_rows"),
+        countDistinct($"o_orderkey").as("n_keys"),
+        Det.moneySum($"o_totalprice").as("total"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st21_cdc_replication" -> st21CdcReplication,
     "st20_changelog_stream" -> st20ChangelogStream,
     "st19_stream_mor_tail" -> st19StreamMorTail,
     "st18_stream_wap_branch" -> st18StreamWapBranch,
@@ -1106,6 +1203,30 @@ object Streams {
     // downstream upsert state == the recomputed logical table: a
     // deleted row served un-retracted dup-key-faults the downstream
     // MERGE; a lost insert or a stale survivor price mismatches here
+    // the replica after applying the full typed feed == the source's
+    // final logical state, re-derived from raw orders: the %4∈{0,1}
+    // rows (updates negating %4=0∧%97=0 keys) plus the re-keyed merge
+    // inserts, minus the predicate delete's custkey range. A replica
+    // that resurrected a deleted row, missed a commit, or applied an
+    // update as a bare insert mismatches.
+    "st21_cdc_replication" ->
+      """WITH state AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 4 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 4 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey + 30000000, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 4 = 2 AND o_orderkey % 53 = 0
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM state
+        |WHERE NOT (o_custkey >= 500 AND o_custkey < 800)""".stripMargin,
     // the streamed change feed, per type: inserts = the snapshot +
     // the append + the merge's reinserts (negated price) + its fresh
     // inserts (re-keyed); deletes = the merge-matched ORIGINAL rows.

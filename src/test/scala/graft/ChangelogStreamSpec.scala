@@ -83,9 +83,17 @@ class ChangelogStreamSpec extends AnyFunSuite {
     val batchChanges = s.table("graft_chg.db.c1.changes")
     val viaApi = graft.sources.AtomicParquetCatalog
       .tableChanges(s, "graft_chg.db.c1", fromCommitsBack = 2)
-      .select(batchChanges.columns.map(col).toIndexedSeq: _*)
     assert(typedRows(batchChanges) == typedRows(viaApi),
       "batch .changes must match tableChanges row-for-row")
+    // _commit_timestamp is constant per commit and ordered: the append
+    // commit's inserts carry a strictly earlier instant than the
+    // merge's rows (commits serialize under the table lock)
+    val tsByVersion = batchChanges
+      .select(col("_commit_version"), col("_commit_timestamp"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime)).toMap
+    assert(tsByVersion.size == 2,
+      s"one instant per commit, got $tsByVersion")
     // the merge's delete half: the 8 matched keys re-read as deletes
     val dels = batchChanges.where($"_change_type" === "delete")
       .select($"k").as[Long].collect().sorted.toSeq
