@@ -337,27 +337,66 @@ private[sources] final class ChangelogTable(
     new ScanBuilder {
       override def build(): Scan = new ChangelogScan(
         SparkSession.active, tableName, tableDir, tableSchema, log,
-        StreamReadOptions.fromOptions(options))
+        StreamReadOptions.fromOptions(options),
+        // batch-only window cap (Delta's endingVersion): inclusive,
+        // commits-back ordinal or exact v-<uuid>
+        Option(options.get("endingVersion")).map(_.trim).filter(_.nonEmpty))
     }
 }
 
 private[sources] final class ChangelogScan(
     session: SparkSession, name: String, tableDir: JPath,
     tableSchema: StructType, log: () => Seq[String],
-    opts: StreamReadOptions) extends Scan with Batch {
+    opts: StreamReadOptions, endingVersion: Option[String] = None)
+    extends Scan with Batch {
 
   override def readSchema(): StructType = ChangelogRead.cdcSchema(tableSchema)
   override def description(): String = s"graft-changelog($name)"
   override def toBatch: Batch = this
 
-  /** Batch read: the whole retained window's changes (the oldest
+  /** Resolve a version option against the newest-first log: an exact
+    * `v-<uuid>` or a commits-back ordinal, refused pointedly outside
+    * the retention window. */
+  private def resolve(l: Seq[String], opt: String, v: String): Int = {
+    val i =
+      if (v.startsWith("v-")) l.indexOf(v)
+      else v.toIntOption.filter(k => k >= 0 && k < l.size).getOrElse(-1)
+    if (i < 0) throw new IllegalArgumentException(
+      s"$name: $opt '$v' is not in the retention window " +
+        s"(${l.size} snapshots kept) — pass 0..n commits back or an " +
+        "exact v-<uuid> from the log")
+    i
+  }
+
+  /** Batch read: the retained window's changes by default (the oldest
     * retained version is the base snapshot — its own rows are not
-    * changes; Iceberg's changelog table reads the same way). */
+    * changes; Iceberg's changelog table reads the same way), windowed
+    * by Delta's batch-CDF options when set: `startingVersion` serves
+    * changes FROM that version inclusive, `endingVersion` caps the
+    * window inclusive. */
   override def planInputPartitions(): Array[InputPartition] = {
     val l = log()
     if (l.size < 2) return Array.empty
+    val upto = endingVersion.map(v => l(resolve(l, "endingVersion", v)))
+      .getOrElse(l.head)
+    val base = opts.startingVersion match {
+      case Some("latest") => throw new IllegalArgumentException(
+        s"$name: startingVersion 'latest' is a streaming option — a " +
+          "batch window needs a version or commits-back ordinal")
+      case Some(sv) =>
+        val i = resolve(l, "startingVersion", sv)
+        // FROM sv inclusive: the base is the next older version; a
+        // window starting at the oldest retained version serves it
+        // as the base snapshot (no older diff exists to derive it)
+        if (i + 1 < l.size) l(i + 1) else l(i)
+      case None => l.last
+    }
+    if (base == upto) return Array.empty
+    if (l.indexOf(upto) > l.indexOf(base)) throw new IllegalArgumentException(
+      s"$name: endingVersion precedes startingVersion — an empty window " +
+        "is a mistake worth failing on")
     ChangelogRead.planUnits(session, name, tableDir, tableSchema,
-      ChangelogRead.changeUnits(tableDir, l, name, l.last, l.head))
+      ChangelogRead.changeUnits(tableDir, l, name, base, upto))
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new ChangelogReaderFactory(readSchema())

@@ -164,6 +164,34 @@ class ChangelogStreamSpec extends AnyFunSuite {
       s"resume must serve only the new commit, got $thirdTyped")
   }
 
+  test("batch window options: startingVersion/endingVersion bound the " +
+      "served commits (Delta's batch-CDF surface)") {
+    val s = spark
+    import s.implicits._
+    // c2's log, newest first: late-append(0), merge(1), append(2),
+    // create(3) — the window [1,1] is exactly the merge commit
+    val windowed = s.read
+      .option("startingVersion", "1").option("endingVersion", "1")
+      .table("graft_chg.db.c2.changes")
+    val byType = windowed.groupBy($"_change_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byType == Map("insert" -> 11L, "delete" -> 8L),
+      s"the [merge,merge] window must serve 8 upd-deletes + 8 " +
+        s"reinserts + 3 inserts, got $byType")
+    // FROM the merge onward (no cap): the late append rides too
+    val open = s.read.option("startingVersion", "1")
+      .table("graft_chg.db.c2.changes")
+    assert(open.count() == 19L + 5L, s"got ${open.count()}")
+    // an inverted window fails pointedly, not silently-empty
+    val e = intercept[Exception] {
+      s.read.option("startingVersion", "0").option("endingVersion", "2")
+        .table("graft_chg.db.c2.changes").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("precedes")), msgs(e))
+  }
+
   test("metadata-only spec evolution is TRANSPARENT to the stream: a " +
       "pure relocation is no row-level change") {
     val s = spark
