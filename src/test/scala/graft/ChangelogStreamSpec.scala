@@ -269,6 +269,38 @@ class ChangelogStreamSpec extends AnyFunSuite {
       s"latest-schema projection mismatch: $rows")
   }
 
+  test("an identity-partitioned source serves through the feed: the " +
+      "partition column rides from the directory paths") {
+    val s = spark
+    import s.implicits._
+    s.range(40).select($"id".as("k"), ($"id" % 4).cast("int").as("p"),
+        concat(lit("u"), $"id").as("tag"))
+      .writeTo("graft_chg.db.c7")
+      .tableProperty("write.merge.mode", "merge-on-read")
+      .partitionedBy($"p").create()
+    s.sql("ALTER TABLE graft_chg.db.c7 ADD CONSTRAINT c7_pk " +
+      "PRIMARY KEY (k) NOT ENFORCED")
+    val ckpt = Files.createTempDirectory("graft_chg_pt_ck").toString
+    val snap = drain("graft_chg.db.c7.changes", ckpt)
+    assert(snap.size == 40 &&
+      snap.forall(r => r.getInt(1) == (r.getLong(0) % 4).toInt),
+      "snapshot rows must carry the partition column from the paths")
+    // a scattered merge: updates in two partitions + one insert
+    Seq((0L, 0, "upd"), (5L, 1, "upd"), (100L, 2, "new"))
+      .toDF("k", "p", "tag").createOrReplaceTempView("c7_src")
+    s.sql("""MERGE INTO graft_chg.db.c7 t USING c7_src s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val typed = drain("graft_chg.db.c7.changes", ckpt)
+      .map(r => (r.getString(3), r.getLong(0), r.getInt(1),
+        r.getString(2))).sorted
+    assert(typed == Seq(
+      ("delete", 0L, 0, "u0"), ("delete", 5L, 1, "u5"),
+      ("insert", 0L, 0, "upd"), ("insert", 5L, 1, "upd"),
+      ("insert", 100L, 2, "new")).sorted,
+      s"partitioned typed feed mismatch: $typed")
+  }
+
   test("an expired window fails the resume pointedly (retention)") {
     val s = spark
     import s.implicits._
