@@ -33,6 +33,19 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Host-load stamp: /proc/loadavg (1/5/15-min) sampled at sweep start
+    // and end, published in the output JSON. Three consecutive rounds of
+    // drift adjudication (r14's 13.1 s payload anomaly, r15's 42 rows,
+    // r16's 58 — the last dragging the official bench-vs-baseline to 1.64)
+    // were spent re-deriving "the host was hot" from prose; the stamp makes
+    // ambient contamination a recorded fact of the run itself. "-1,-1,-1"
+    // means the proc file was unreadable (non-Linux), never a quiet host.
+    def loadavg(): String = try {
+      scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString("[", ",", "]")
+    } catch { case _: Throwable => "[-1,-1,-1]" }
+    val loadStart = loadavg()
+
     // Untimed generic warmup: first-use session costs (whole-stage codegen
     // compiler, parquet reader init, noop sink lookup, task scheduler spin-
     // up) otherwise land entirely on whichever query happens to run first.
@@ -160,8 +173,9 @@ object Bench {
       System.err.println(f"[bench] DRIFT $k: ${r}%.2fx its pinned min $p%.3fs") }
     val driftJson = drift.map { case (k, _, r) => f""""$k":$r%.2f""" }
       .mkString("{", ",", "}")
+    val loadEnd = loadavg()
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$mdp,"pins":"$pinsState","drift_count":${drift.size},"drift":$driftJson,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$mdp,"pins":"$pinsState","drift_count":${drift.size},"drift":$driftJson,"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
