@@ -85,6 +85,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 object AtomicParquetCatalog {
   /** The main pointer log's file name; branch logs are `_branch_<b>`. */
   private[sources] val MainRef = "_current"
+  /** Marker file a content-preserving maintenance commit carries in its
+    * version directory (see `markContentPreserving`). */
+  private[sources] val ContentPreservingMarker = "_content_preserving"
 
   /** `t@branch` identifier convention: split a table name into
     * (table, branch). A name without `@` is (name, None) = main. */
@@ -662,9 +665,21 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
       }
       // commit-instant marker for TIMESTAMP AS OF — written under the
       // lock so marker order always matches log order; tables from older
-      // layouts fall back to the version dir's mtime on read
-      try Files.write(dir.resolve(version).resolve("_committed_at"),
-        String.valueOf(System.currentTimeMillis()).getBytes("UTF-8"))
+      // layouts fall back to the version dir's mtime on read.
+      // STRICTLY monotonic per ref (max(now, prev+1)): `_commit_timestamp`
+      // is what a CDC consumer orders multi-commit batches by and what
+      // timestamp windows resolve against, so two commits landing in one
+      // clock millisecond must never tie
+      try {
+        val prevMs = old.headOption.flatMap { h =>
+          try Some(new String(Files.readAllBytes(
+            dir.resolve(h).resolve("_committed_at")), "UTF-8").trim.toLong)
+          catch { case _: Exception => None }
+        }.getOrElse(0L)
+        Files.write(dir.resolve(version).resolve("_committed_at"),
+          String.valueOf(math.max(System.currentTimeMillis(), prevMs + 1))
+            .getBytes("UTF-8"))
+      }
       catch {
         case e: java.io.IOException =>
           // commit availability wins over marker fidelity, but say so:
@@ -1959,6 +1974,20 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
     }
   }
 
+  /** Tag a staged maintenance version as CONTENT-PRESERVING before its
+    * commit: live rows are identical before and after (compaction, a
+    * delete materialization, a re-layout), so a row-level change feed's
+    * correct representation of the commit is ZERO changes — the marker
+    * is what lets `.changes` consumers survive routine maintenance
+    * instead of dying to a "removed data files" refusal (Delta CDF
+    * skips non-CDC commits; Iceberg's changelog skips replace
+    * snapshots). Written only by the catalog's own procedures, which
+    * are the only writers that KNOW the rewrite preserved content —
+    * a genuine COW DELETE/MERGE keeps failing the feed pointedly. */
+  private def markContentPreserving(nv: JPath, kind: String): Unit =
+    Files.write(nv.resolve(AtomicParquetCatalog.ContentPreservingMarker),
+      kind.getBytes("UTF-8"))
+
   private def summaryScan(schema: StructType, row: InternalRow) =
     java.util.Collections.singletonList(
       new LocalScanTable("summary", schema, () => Seq(row))
@@ -2114,6 +2143,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             // skip index
             AtomicParquetCatalog.writeLayout(spark, dir, nv, df, fields,
               "append", numFiles = Some(target))
+            markContentPreserving(nv, "compact")
             try commitPointer(dir, v, expectedBase = Some(base))
             catch { case e: Throwable => dropOrphan(nv); throw e }
             def nFiles(p: JPath): Long =
@@ -2184,6 +2214,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             df.repartitionByRange(target, sortKey)
               .sortWithinPartitions(sortKey)
               .write.mode("append").parquet(nv.toString)
+            markContentPreserving(nv, "cluster_by")
             try commitPointer(dir, v, expectedBase = Some(base))
             catch { case e: Throwable => dropOrphan(nv); throw e }
             def nFiles(p: JPath): Long =
@@ -2265,6 +2296,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             linkDataFiles(cur, nv, keepFile = r => !affected.contains(r))
             carryLegacySpecs(cur, nv)
             // _deletes deliberately NOT carried: materialized
+            markContentPreserving(nv, "rewrite_deletes")
             try commitPointer(dir, v, expectedBase = Some(base))
             catch { case e: Throwable => dropOrphan(nv); throw e }
             summaryScan(summarySchema, InternalRow((es.size + pes.size).toLong,
@@ -2308,6 +2340,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             // keeps its sort posture
             AtomicParquetCatalog.writeLayout(spark, dir, nv, df,
               newFields, "append")
+            markContentPreserving(nv, "rewrite_layout")
             try commitPointer(dir, v, expectedBase = Some(base))
             catch { case e: Throwable => dropOrphan(nv); throw e }
             summaryScan(StructType(Seq(
@@ -2378,6 +2411,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             if (entries == oldLegacy && dataFilePartitions(cur).isEmpty)
               MorDeletes.carry(cur, nv)
             writeLegacySpecs(nv, entries)
+            markContentPreserving(nv, "evolve_layout")
             try commitPointer(dir, v, expectedBase = Some(base))
             catch { case e: Throwable => dropOrphan(nv); throw e }
             summaryScan(StructType(Seq(
@@ -2451,6 +2485,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
               rewritten = legacyRels.size.toLong
             }
             // no _legacy_specs.txt in the new version: single-spec again
+            markContentPreserving(nv, "unify_layout")
             try commitPointer(dir, v, expectedBase = Some(base))
             catch { case e: Throwable => dropOrphan(nv); throw e }
             summaryScan(StructType(Seq(

@@ -18,8 +18,10 @@ import org.apache.spark.unsafe.types.UTF8String
 /** The `cat.db.tbl.changes` metadata table — the ROW-LEVEL CHANGE
   * FEED as a readable (and streamable) relation, Iceberg's changelog
   * table / Delta's `readChangeFeed` posture: table columns plus
-  * `_change_type` ('insert' | 'delete') and `_commit_version`, one
-  * row per changed row per commit. Batch reads serve the whole
+  * `_change_type` ('insert' | 'delete', plus 'update_preimage' |
+  * 'update_postimage' on `write.cdf.typed-updates` tables whose MoR
+  * commit proved every matched row an update) and `_commit_version`,
+  * one row per changed row per commit. Batch reads serve the whole
   * retained window; `spark.readStream.table("cat.db.tbl.changes")`
   * tails it with the same per-file admission control as the plain
   * stream source (`maxFilesPerTrigger`), so a CDC consumer gets TYPED
@@ -36,13 +38,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *    entries apply first, so a row deleted twice never re-reports);
   *  - a NEW positional entry → exactly the rows at its ordinals,
   *    typed `delete`.
-  * A commit that REMOVED files (a COW rewrite, compaction,
-  * rewrite_deletes) cannot be represented row-level without the
-  * batch exceptAll diff — the feed fails POINTEDLY there and names
-  * `table_changes` / a fresh checkpoint as the way past (Delta's CDF
-  * takes the same posture on non-CDC commits). Cost prices the
-  * CHURN: every unit is one changed file or one entry's narrowed
-  * scope — never the 100 TB around it. */
+  * A commit the catalog's own maintenance procedures tagged
+  * CONTENT-PRESERVING (compact, rewrite_deletes, cluster_by,
+  * rewrite_layout, evolve_layout, unify_layout) serves as ZERO
+  * changes — live rows are identical before and after, so routine
+  * maintenance advances a running stream instead of killing it
+  * (Delta CDF skips non-CDC commits; Iceberg's changelog skips
+  * replace snapshots). Any OTHER commit that removed files (a
+  * genuine COW DELETE/MERGE rewrite) cannot be represented row-level
+  * without the batch exceptAll diff — the feed fails POINTEDLY there
+  * and names `table_changes` / a fresh checkpoint as the way past
+  * (Delta's CDF takes the same posture on non-CDC commits). Cost
+  * prices the CHURN: every unit is one changed file or one entry's
+  * narrowed scope — never the 100 TB around it. */
 private[sources] object ChangelogRead {
   val TypeCol = "_change_type"
   val VersionCol = "_commit_version"
@@ -79,17 +87,30 @@ private[sources] object ChangelogRead {
     * `base == ""` is the initial snapshot: every file of `upto` as
     * inserts (that version's own entries applying at read). Otherwise
     * the pointer-log chain walks commit by commit, so EVERY
-    * intermediate version must still be retained. */
+    * intermediate version must still be retained.
+    *
+    * `fileSets`, when non-null, caches each version's data-file walk
+    * across calls — sound because a committed version directory is
+    * immutable (only retention EXPIRY deletes it whole, and a cached
+    * entry only exists for a walk that already succeeded). The
+    * micro-batch stream passes its own map so a rate-limited drain of
+    * a deep backlog walks each version once, not once per trigger. */
   def changeUnits(tableDir: JPath, log: Seq[String], tableName: String,
-      base: String, upto: String): Seq[ChangeUnit] = {
+      base: String, upto: String,
+      fileSets: java.util.concurrent.ConcurrentHashMap[String, Set[String]] = null)
+      : Seq[ChangeUnit] = {
     def filesOf(v: String): Set[String] = {
+      val cached = if (fileSets == null) null else fileSets.get(v)
+      if (cached != null) return cached
       val vd = tableDir.resolve(v)
       if (!Files.isDirectory(vd)) throw new IllegalStateException(
         s"$tableName: version $v is no longer retained — the change " +
           "window spans an expired snapshot; restart the stream from a " +
           "fresh checkpoint")
-      AtomicParquetCatalog.walkDataFiles(vd)
+      val set = AtomicParquetCatalog.walkDataFiles(vd)
         .map(f => vd.relativize(Paths.get(f)).toString).toSet
+      if (fileSets != null) fileSets.put(v, set)
+      set
     }
     if (upto.isEmpty) return Nil
     if (base.isEmpty) {
@@ -105,6 +126,21 @@ private[sources] object ChangelogRead {
         "retention window; restart the stream from a fresh checkpoint")
     val chain = log.slice(ui, bi + 1).reverse // oldest → upto
     chain.sliding(2).flatMap {
+      case Seq(prev, next)
+          if Files.exists(tableDir.resolve(next)
+            .resolve(AtomicParquetCatalog.ContentPreservingMarker)) =>
+        // a CONTENT-PRESERVING maintenance commit (compact /
+        // rewrite_deletes / cluster_by / rewrite_layout / evolve_layout
+        // / unify_layout — tagged at commit time by the catalog's own
+        // procedures): live rows are identical before and after, so the
+        // row-level feed's correct representation is ZERO changes. The
+        // commit advances the stream instead of killing it — Delta CDF
+        // skips non-CDC commits, Iceberg's changelog skips replace
+        // snapshots; before the marker, a routine compaction forced
+        // every running changelog consumer to a fresh checkpoint + full
+        // re-snapshot. Genuine COW rewrites carry no marker and keep
+        // failing pointedly below.
+        Nil
       case Seq(prev, next) =>
         val pf = filesOf(prev); val nf = filesOf(next)
         val added0 = nf -- pf
@@ -137,17 +173,41 @@ private[sources] object ChangelogRead {
         val newPos = MorDeletes.posEntries(nd)
           .filterNot(e => prevPosIds.contains(e.id)).sortBy(_.id)
         val ms = commitMs(tableDir, next)
+        // a `write.cdf.typed-updates` commit whose matched rows were
+        // ALL updates persisted which entry is the preimage half and
+        // which files hold the postimage rows (`_cdc_types`, written
+        // by the MoR commit funnel) — its units serve Delta CDF's
+        // update_preimage/update_postimage types instead of
+        // delete/insert, so consumers stop re-pairing updates by key
+        val (preEntries, postRels) = {
+          val m = nd.resolve(DeltaRowLevel.CdcTypesMarker)
+          if (!Files.exists(m)) (Set.empty[String], Set.empty[String])
+          else {
+            val ls = new String(Files.readAllBytes(m), "UTF-8")
+              .split("\n").toSeq.filter(_.nonEmpty)
+            (ls.collect { case l if l.startsWith("preimage\t") =>
+              l.substring("preimage\t".length) }.toSet,
+              ls.collect { case l if l.startsWith("postimage\t") =>
+                l.substring("postimage\t".length) }.toSet)
+          }
+        }
         val ins = (added0 -- relocatedTargets).toSeq.sorted.map(r =>
-          ChangeUnit(next, next, r, "insert", None, None, ms))
+          ChangeUnit(next, next, r,
+            if (postRels.contains(r)) "update_postimage" else "insert",
+            None, None, ms))
         val delEq = newEq.flatMap { e =>
           val ser = MorDeletes.serialize(e.node)
+          val ct = if (preEntries.contains(e.id)) "update_preimage"
+            else "delete"
           (e.files intersect pf).toSeq.sorted.map(r =>
-            ChangeUnit(prev, next, r, "delete", Some(ser), None, ms))
+            ChangeUnit(prev, next, r, ct, Some(ser), None, ms))
         }
         val delPos = newPos.flatMap { e =>
+          val ct = if (preEntries.contains(e.id)) "update_preimage"
+            else "delete"
           e.ords.toSeq.sortBy(_._1).collect {
             case (f, os) if pf.contains(f) =>
-              ChangeUnit(prev, next, f, "delete", None, Some(os.sorted), ms)
+              ChangeUnit(prev, next, f, ct, None, Some(os.sorted), ms)
           }
         }
         ins ++ delEq ++ delPos
@@ -340,19 +400,68 @@ private[sources] final class ChangelogTable(
         StreamReadOptions.fromOptions(options),
         // batch-only window cap (Delta's endingVersion): inclusive,
         // commits-back ordinal or exact v-<uuid>
-        Option(options.get("endingVersion")).map(_.trim).filter(_.nonEmpty))
+        Option(options.get("endingVersion")).map(_.trim).filter(_.nonEmpty),
+        // the timestamp form (Delta's endingTimestamp): inclusive,
+        // resolved against the per-version commit instants
+        Option(options.get("endingTimestamp")).map(_.trim).filter(_.nonEmpty))
     }
 }
 
 private[sources] final class ChangelogScan(
     session: SparkSession, name: String, tableDir: JPath,
     tableSchema: StructType, log: () => Seq[String],
-    opts: StreamReadOptions, endingVersion: Option[String] = None)
+    opts: StreamReadOptions, endingVersion: Option[String] = None,
+    endingTimestamp: Option[String] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = ChangelogRead.cdcSchema(tableSchema)
   override def description(): String = s"graft-changelog($name)"
   override def toBatch: Batch = this
+
+  /** Parse a timestamp option: epoch millis, `yyyy-MM-dd`, or
+    * `yyyy-MM-dd HH:mm:ss[.fff]` — date forms read as UTC (the
+    * engine's session timezone posture), never the JVM default. */
+  private def parseTsMs(opt: String, v: String): Long =
+    v.toLongOption.getOrElse {
+      val s = v.trim
+      try {
+        if (s.length == 10)
+          java.time.LocalDate.parse(s)
+            .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+        else java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      } catch {
+        case _: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            s"$name: $opt '$v' is not epoch millis, 'yyyy-MM-dd', or " +
+              "'yyyy-MM-dd HH:mm:ss[.fff]' (UTC)")
+      }
+    }
+
+  /** Timestamp → log index. Commit instants are strictly monotonic per
+    * ref (the commit path enforces max(now, prev+1)), so the newest-
+    * first log's instants strictly decrease with index. `starting`
+    * resolves to the OLDEST commit at-or-after the instant (Delta's
+    * startingTimestamp contract: every change committed at or after it);
+    * `ending` to the NEWEST commit at-or-before it. Both refuse
+    * pointedly when no retained commit qualifies. */
+  private def resolveTs(l: Seq[String], opt: String, ms: Long,
+      starting: Boolean): Int = {
+    val instants = l.map(v => ChangelogRead.commitMs(tableDir, v))
+    val i =
+      if (starting) instants.lastIndexWhere(_ >= ms)
+      else instants.indexWhere(_ <= ms)
+    if (i < 0) throw new IllegalArgumentException(
+      if (starting)
+        s"$name: $opt ($ms) is after the NEWEST retained commit " +
+          s"(${instants.headOption.getOrElse(0L)}) — there are no " +
+          "changes at or after it to serve"
+      else
+        s"$name: $opt ($ms) precedes the OLDEST retained commit " +
+          s"(${instants.lastOption.getOrElse(0L)}) — every change at " +
+          "or before it has been expired")
+    i
+  }
 
   /** Resolve a version option against the newest-first log: an exact
     * `v-<uuid>` or a commits-back ordinal, refused pointedly outside
@@ -377,24 +486,45 @@ private[sources] final class ChangelogScan(
   override def planInputPartitions(): Array[InputPartition] = {
     val l = log()
     if (l.size < 2) return Array.empty
-    val upto = endingVersion.map(v => l(resolve(l, "endingVersion", v)))
-      .getOrElse(l.head)
-    val base = opts.startingVersion match {
+    require(endingVersion.isEmpty || endingTimestamp.isEmpty,
+      s"$name: set endingVersion OR endingTimestamp, not both")
+    val ei = endingVersion.map(v => resolve(l, "endingVersion", v))
+      .orElse(endingTimestamp.map(ts => resolveTs(l, "endingTimestamp",
+        parseTsMs("endingTimestamp", ts), starting = false)))
+    val si = opts.startingVersion match {
       case Some("latest") => throw new IllegalArgumentException(
         s"$name: startingVersion 'latest' is a streaming option — a " +
           "batch window needs a version or commits-back ordinal")
-      case Some(sv) =>
-        val i = resolve(l, "startingVersion", sv)
-        // FROM sv inclusive: the base is the next older version; a
-        // window starting at the oldest retained version serves it
-        // as the base snapshot (no older diff exists to derive it)
-        if (i + 1 < l.size) l(i + 1) else l(i)
-      case None => l.last
+      case Some(sv) => Some(resolve(l, "startingVersion", sv))
+      case None => opts.startingTimestamp.map(ts =>
+        resolveTs(l, "startingTimestamp",
+          parseTsMs("startingTimestamp", ts), starting = true))
     }
-    if (base == upto) return Array.empty
-    if (l.indexOf(upto) > l.indexOf(base)) throw new IllegalArgumentException(
+    // inverted windows fail on the RESOLVED indices, BEFORE any base
+    // derivation: (startingVersion=head, endingVersion=1) would
+    // otherwise resolve base == upto and return silently empty instead
+    // of the pointed error such mistakes deserve
+    for (s <- si; e <- ei) if (e > s) throw new IllegalArgumentException(
       s"$name: endingVersion precedes startingVersion — an empty window " +
         "is a mistake worth failing on")
+    // a bound resolving to the OLDEST retained snapshot cannot serve
+    // that snapshot's own changes (the prior snapshot has expired —
+    // there is nothing to diff against); serving fewer changes than the
+    // 'FROM that version inclusive' contract promises is a silent lie,
+    // so refuse pointedly instead of demoting it to the base snapshot
+    def refuseOldest(opt: String): Nothing = throw new IllegalArgumentException(
+      s"$name: $opt resolves to the OLDEST retained snapshot — its own " +
+        "changes cannot be derived (the snapshot before it is expired). " +
+        "Pass a newer version, or omit the option to read the retained " +
+        "window (the oldest snapshot serves as the base)")
+    if (si.contains(l.size - 1)) refuseOldest(
+      if (opts.startingVersion.isDefined) "startingVersion"
+      else "startingTimestamp")
+    if (ei.contains(l.size - 1)) refuseOldest(
+      if (endingVersion.isDefined) "endingVersion" else "endingTimestamp")
+    val upto = ei.map(l(_)).getOrElse(l.head)
+    val base = si.map(i => l(i + 1)).getOrElse(l.last)
+    if (base == upto) return Array.empty
     ChangelogRead.planUnits(session, name, tableDir, tableSchema,
       ChangelogRead.changeUnits(tableDir, l, name, base, upto))
   }
@@ -408,6 +538,12 @@ private[sources] final class ChangelogScan(
     require(opts.maxBytesPerTrigger.isEmpty,
       s"$name: the changelog stream rate-limits by unit count " +
         "(maxFilesPerTrigger); maxBytesPerTrigger is not supported here")
+    // silently ignoring a cap would serve UNBOUNDED changes against the
+    // caller's stated window — same posture as the refusals above
+    require(endingVersion.isEmpty,
+      s"$name: endingVersion is a batch-window option — a stream has no " +
+        "end; drop it (read the window with a batch `.changes`, or stop " +
+        "the stream once caught up)")
     new ChangelogMicroBatchStream(session, name, tableDir, tableSchema,
       log, opts)
   }
@@ -431,8 +567,22 @@ private[sources] final class ChangelogMicroBatchStream(
     availableNowCap = Some(if (l.isEmpty) "" else l.head)
   }
 
+  // the unit list of a (base, upto) advance is deterministic by
+  // construction and a committed version directory is immutable, so
+  // BOTH caches need no invalidation story — without them, every
+  // trigger of a rate-limited drain rebuilt the list twice
+  // (latestOffset sizes it, planInputPartitions slices it), each
+  // rebuild re-walking every version in the commit chain: O(triggers ×
+  // chain × files) driver metadata work against a deep backlog, where
+  // one walk per version is enough for the whole drain
+  private val fileSets =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+  private val unitLists =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[ChangelogRead.ChangeUnit]]()
+
   private def units(base: String, upto: String) =
-    ChangelogRead.changeUnits(tableDir, log(), name, base, upto)
+    unitLists.computeIfAbsent(s"$base;$upto", _ =>
+      ChangelogRead.changeUnits(tableDir, log(), name, base, upto, fileSets))
 
   override def initialOffset(): Offset = {
     def consumedThrough(v: String): Offset = VersionOffset(v, v, 0)
@@ -448,11 +598,50 @@ private[sources] final class ChangelogMicroBatchStream(
           else sv.toIntOption.filter(k => k >= 0 && k < l.size).getOrElse(-1)
         if (i < 0) throw new IllegalArgumentException(
           s"$name: startingVersion '$sv' is not in the retention window")
-        consumedThrough(if (i + 1 < l.size) l(i + 1) else "")
-      case (None, Some(_)) => throw new IllegalArgumentException(
-        s"$name: startingTimestamp is not supported on the changelog " +
-          "stream — pass startingVersion ('latest', commits-back, or " +
-          "v-<uuid>)")
+        // the OLDEST retained snapshot's own changes cannot be derived
+        // (nothing older to diff against) — refuse pointedly rather
+        // than silently demote to the full-snapshot start and serve a
+        // DIFFERENT set of rows than the version the caller named
+        if (i + 1 >= l.size) throw new IllegalArgumentException(
+          s"$name: startingVersion '$sv' resolves to the OLDEST " +
+            "retained snapshot — its own changes cannot be derived " +
+            "(the snapshot before it is expired). Pass a newer version, " +
+            "or omit startingVersion to start from the current snapshot")
+        consumedThrough(l(i + 1))
+      case (None, Some(ts)) =>
+        // Delta's startingTimestamp: every change committed at or
+        // after the instant. Commit instants are strictly monotonic
+        // per ref, so the newest-first instants strictly decrease.
+        val ms = ts.toLongOption.getOrElse {
+          val s = ts.trim
+          try {
+            if (s.length == 10)
+              java.time.LocalDate.parse(s)
+                .atStartOfDay(java.time.ZoneOffset.UTC)
+                .toInstant.toEpochMilli
+            else java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          } catch {
+            case _: java.time.format.DateTimeParseException =>
+              throw new IllegalArgumentException(
+                s"$name: startingTimestamp '$ts' is not epoch millis, " +
+                  "'yyyy-MM-dd', or 'yyyy-MM-dd HH:mm:ss[.fff]' (UTC)")
+          }
+        }
+        val l = log()
+        val i = l.lastIndexWhere(v =>
+          ChangelogRead.commitMs(tableDir, v) >= ms)
+        // an instant after the newest commit tails from NOW — the
+        // stream's natural reading of "changes at or after ts" when ts
+        // is the present (a batch window refuses instead: it would
+        // serve nothing)
+        if (i < 0) consumedThrough(if (l.isEmpty) "" else l.head)
+        else if (i + 1 >= l.size) throw new IllegalArgumentException(
+          s"$name: startingTimestamp ($ms) resolves to the OLDEST " +
+            "retained snapshot — its own changes cannot be derived " +
+            "(the snapshot before it is expired). Pass a newer instant, " +
+            "or omit the option to start from the current snapshot")
+        else consumedThrough(l(i + 1))
     }
   }
 

@@ -92,6 +92,12 @@ import org.apache.spark.util.SerializableConfiguration
 private[sources] object DeltaRowLevel {
 
   val MaxKeysProp = "write.mor.max-delete-keys"
+  /** Marker file a typed-update MoR commit writes in its version dir
+    * (`write.cdf.typed-updates` tables): `preimage\t<entry id>` +
+    * `postimage\t<data file rel>` lines — the change feed types the
+    * commit's delete units `update_preimage` and those files' rows
+    * `update_postimage` instead of delete/insert. */
+  val CdcTypesMarker = "_cdc_types"
   val SessionModeConf = "spark.sql.catalog.graft.write.rowLevelMode"
 
   private def propFor(cmd: RowLevelOperation.Command): String =
@@ -272,6 +278,31 @@ private[sources] final class GraftDeltaWrite(
             // inserts (and rows of later appends) are never touched
             val baseFiles = AtomicParquetCatalog.walkDataFiles(versionDir)
               .map(p => versionDir.relativize(Paths.get(p)).toString).toSet
+            // CDF TYPED UPDATES (`write.cdf.typed-updates`): when every
+            // matched row of this commit was an UPDATE — deleted ==
+            // reinserted, so zero matched rows took a DELETE arm — the
+            // commit KNOWS its delete entry is the preimage half and
+            // the reinserted rows are the postimage half (Delta CDF's
+            // update_preimage/update_postimage contract). That
+            // knowledge exists only HERE, at commit time: after the
+            // reinserted rows land next to fresh inserts it is gone,
+            // so it persists as a `_cdc_types` marker the change feed
+            // types its units by. Mixed merges (some matched rows
+            // deleted outright) stay untyped — their delete entry
+            // covers genuine deletes too, and typing it 'update'
+            // would lie about them.
+            val typedUpdatesOn =
+              catalog.readProps(dir).get("write.cdf.typed-updates")
+                .contains("true")
+            val deletedTotal = msgs.map(_.deleted).sum
+            val reinsertedTotal = msgs.map(_.reinserted).sum
+            val markUpdates = typedUpdatesOn && deletedTotal > 0L &&
+              deletedTotal == reinsertedTotal
+            var preimageEntry: Option[String] = None
+            var postimageRels: Seq[String] = Nil
+            def newRels(): Set[String] =
+              AtomicParquetCatalog.walkDataFiles(nv)
+                .map(p => nv.relativize(Paths.get(p)).toString).toSet
             if (idFiles.nonEmpty && baseFiles.nonEmpty) {
               val cap = DeltaRowLevel.maxDeleteKeys(catalog, dir)
               val ids = spark.read.schema(idFileSchema)
@@ -303,7 +334,7 @@ private[sources] final class GraftDeltaWrite(
                 require(unknown.isEmpty,
                   s"$ident: positional delete references files outside " +
                     s"the pinned base version: ${unknown.take(3)}")
-                MorDeletes.writePosEntry(nv, byFile)
+                preimageEntry = Some(MorDeletes.writePosEntry(nv, byFile))
               } else {
                 val dts = rowIdSchema.fields.map(_.dataType)
                 val convs =
@@ -348,8 +379,8 @@ private[sources] final class GraftDeltaWrite(
                 // sidecar lives: base rows − Σ matched, no scan
                 val matchedRows = msgs.map(_.deleted).sum
                 if (scoped.nonEmpty) {
-                  MorDeletes.writeEntry(nv, node, scoped,
-                    matched = Some(matchedRows)); ()
+                  preimageEntry = Some(MorDeletes.writeEntry(nv, node,
+                    scoped, matched = Some(matchedRows)))
                 }
               }
             }
@@ -362,11 +393,15 @@ private[sources] final class GraftDeltaWrite(
                 // unpartitioned: the staged files ARE the layout
                 // (sort-ordered and bloom-indexed tables skip the
                 // shortcut — their delta rows land through the layout
-                // router so the sort / native bloom options apply)
+                // router so the sort / native bloom options apply).
+                // Reinserted rows were staged APART ("rins-" files), so
+                // the postimage file identities survive the move for free
                 (dataFiles ++ rinsFiles).foreach { f =>
                   val src = Paths.get(f)
                   Files.move(src, nv.resolve(src.getFileName.toString))
                 }
+                if (markUpdates) postimageRels = rinsFiles.toSeq
+                  .map(f => Paths.get(f).getFileName.toString)
               } else {
                 // one extra pass over the CHANGED rows only, laid out
                 // under the current spec (the streaming sink's exact
@@ -394,11 +429,40 @@ private[sources] final class GraftDeltaWrite(
                       readStaged(rinsFiles.toSeq), tableSchema,
                       s"the merge-on-read update path of $ident")
                   else readStaged(rinsFiles.toSeq))
-                val staged = (fresh.toSeq ++ reins.toSeq)
-                  .reduce(_ unionByName _)
-                AtomicParquetCatalog.writeLayout(spark, dir, nv, staged,
-                  fields, "append")
+                if (markUpdates && fresh.isDefined && reins.isDefined) {
+                  // typed updates need the postimage FILE identities,
+                  // and the layout router unioning both kinds into one
+                  // write would blend them — two churn-sized writes
+                  // (never table-sized) keep the halves apart; the
+                  // router appends, so the second write adds files
+                  // next to the first's instead of replacing them
+                  AtomicParquetCatalog.writeLayout(spark, dir, nv,
+                    fresh.get, fields, "append")
+                  val afterFresh = newRels()
+                  AtomicParquetCatalog.writeLayout(spark, dir, nv,
+                    reins.get, fields, "append")
+                  postimageRels = (newRels() -- afterFresh).toSeq
+                } else {
+                  val before = if (markUpdates) newRels() else Set.empty[String]
+                  val staged = (fresh.toSeq ++ reins.toSeq)
+                    .reduce(_ unionByName _)
+                  AtomicParquetCatalog.writeLayout(spark, dir, nv, staged,
+                    fields, "append")
+                  // reinserts only (a pure-update MERGE with no
+                  // NOT-MATCHED inserts fired): every new file is a
+                  // postimage file
+                  if (markUpdates && fresh.isEmpty)
+                    postimageRels = (newRels() -- before).toSeq
+                }
               }
+            }
+            if (markUpdates && preimageEntry.isDefined &&
+                postimageRels.nonEmpty) {
+              val lines =
+                preimageEntry.map(id => s"preimage\t$id").toSeq ++
+                  postimageRels.sorted.map(r => s"postimage\t$r")
+              Files.write(nv.resolve(DeltaRowLevel.CdcTypesMarker),
+                lines.mkString("\n").getBytes("UTF-8"))
             }
             true
           } catch {

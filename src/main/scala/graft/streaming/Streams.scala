@@ -1082,8 +1082,12 @@ object Streams {
   /** st21: CDC REPLICATION OVER THE CHANGELOG STREAM — the end-to-end
     * consumer st20's feed exists for: a downstream replica applies the
     * TYPED rows (Delta CDF's documented recipe — per key keep the
-    * postimage, insert wins over delete within a commit since an
-    * update is its delete+insert pair, then a three-armed MERGE) and
+    * LATEST COMMIT's change first (`_commit_timestamp` DESC, strictly
+    * monotonic per table by the commit path), so a batch spanning an
+    * insert commit and a later delete commit of the same key never
+    * resurrects the row; within one commit insert wins over delete
+    * since an update is its delete+insert pair; then a three-armed
+    * MERGE) and
     * must converge to EXACTLY the source table through an append, a
     * scattered MoR merge (funnel equality entry) AND a metadata-only
     * predicate DELETE (the count-less `.pred` entry shape st20 did not
@@ -1122,8 +1126,9 @@ object Streams {
               |  SELECT o_orderkey, o_custkey, o_totalprice, _change_type
               |  FROM (SELECT *, row_number() OVER (
               |          PARTITION BY o_orderkey
-              |          ORDER BY CASE _change_type
-              |            WHEN 'insert' THEN 0 ELSE 1 END) AS rn
+              |          ORDER BY _commit_timestamp DESC,
+              |            CASE _change_type
+              |              WHEN 'insert' THEN 0 ELSE 1 END) AS rn
               |        FROM st21_batch) WHERE rn = 1
               |) s ON t.o_orderkey = s.o_orderkey
               |WHEN MATCHED AND s._change_type = 'delete' THEN DELETE
@@ -1175,7 +1180,65 @@ object Streams {
         Det.moneySum($"o_totalprice").as("total"))
   }
 
+  /** st22: TYPED UPDATES IN THE CHANGE FEED — Delta CDF's
+    * update_preimage/update_postimage contract on a
+    * `write.cdf.typed-updates` table: a MoR MERGE whose matched rows
+    * were ALL updates persists the preimage entry id + postimage file
+    * identities at commit time (`_cdc_types`, DeltaRowLevel's commit
+    * funnel — the only place that knowledge exists), and the `.changes`
+    * window over the commit serves FOUR-WAY-TYPED rows — preimages
+    * with the ORIGINAL values, postimages with the updated, fresh
+    * inserts still 'insert' — so a CDC consumer applies updates
+    * without re-pairing delete+insert rows by key (st21's rn=1
+    * dance). The oracle re-derives all three slices from raw orders;
+    * a preimage served with the new price, a postimage typed as a
+    * plain insert, or a fresh insert mis-typed as postimage all
+    * hash-mismatch. */
+  def st22TypedUpdates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_st")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_st.db")
+    s.sql("DROP TABLE IF EXISTS graft_st.db.ord_cdf")
+    val ord = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    ord.where($"o_orderkey" % 5 === 0)
+      .writeTo("graft_st.db.ord_cdf").using("parquet")
+      .tableProperty("write.merge.mode", "merge-on-read")
+      .tableProperty("write.cdf.typed-updates", "true")
+      .createOrReplace()
+    s.sql("ALTER TABLE graft_st.db.ord_cdf ADD CONSTRAINT oc_pk " +
+      "PRIMARY KEY (o_orderkey) NOT ENFORCED")
+    // one MERGE carrying BOTH kinds: updates (negated price on the
+    // matched keys) and fresh inserts (re-keyed) — the typed commit
+    // must keep them apart
+    ord.where($"o_orderkey" % 5 === 0 && $"o_orderkey" % 89 === 0)
+      .select($"o_orderkey", $"o_custkey",
+        (-$"o_totalprice").as("o_totalprice"))
+      .unionByName(ord.where($"o_orderkey" % 5 === 1 &&
+          $"o_orderkey" % 71 === 0)
+        .select(($"o_orderkey" + 40000000L).as("o_orderkey"),
+          $"o_custkey", $"o_totalprice"))
+      .createOrReplaceTempView("st22_src")
+    s.sql("""MERGE INTO graft_st.db.ord_cdf t USING st22_src s
+            |ON t.o_orderkey = s.o_orderkey
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    require(s.table("graft_st.db.ord_cdf.deletes").count() >= 1L,
+      "st22: the merge must land as a live equality entry")
+    val feed = s.table("graft_st.db.ord_cdf.changes")
+    val types = feed.select($"_change_type").distinct()
+      .as[String].collect().sorted.toSeq
+    require(types == Seq("insert", "update_postimage", "update_preimage"),
+      s"st22: expected four-way typing, got $types")
+    feed.groupBy($"_change_type")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"o_orderkey").as("n_keys"),
+        Det.moneySum($"o_totalprice").as("total"))
+      .orderBy($"_change_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st22_typed_updates" -> st22TypedUpdates,
     "st21_cdc_replication" -> st21CdcReplication,
     "st20_changelog_stream" -> st20ChangelogStream,
     "st19_stream_mor_tail" -> st19StreamMorTail,
@@ -1209,6 +1272,30 @@ object Streams {
     // inserts, minus the predicate delete's custkey range. A replica
     // that resurrected a deleted row, missed a commit, or applied an
     // update as a bare insert mismatches.
+    // the typed feed, per type: preimages are the matched ORIGINAL
+    // rows, postimages the same keys with the negated price, fresh
+    // inserts the re-keyed slice — a mis-typed or stale-valued row in
+    // any slice mismatches
+    "st22_typed_updates" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 89 = 0
+        |), typed AS (
+        |  SELECT 'update_preimage' AS _change_type, o_orderkey,
+        |    o_custkey, o_totalprice FROM upd
+        |  UNION ALL
+        |  SELECT 'update_postimage', o_orderkey, o_custkey,
+        |    -o_totalprice FROM upd
+        |  UNION ALL
+        |  SELECT 'insert', o_orderkey + 40000000, o_custkey,
+        |    o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 = 1 AND o_orderkey % 71 = 0
+        |)
+        |SELECT _change_type,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM typed GROUP BY _change_type ORDER BY _change_type""".stripMargin,
     "st21_cdc_replication" ->
       """WITH state AS (
         |  SELECT o_orderkey, o_custkey,

@@ -326,6 +326,251 @@ class ChangelogStreamSpec extends AnyFunSuite {
       m.contains("retained")), s"want the pointed expiry error: ${msgs(e)}")
   }
 
+  test("content-preserving maintenance is transparent to the feed: a " +
+      "compaction and a delete materialization serve ZERO changes and " +
+      "the stream survives them") {
+    val s = spark
+    import s.implicits._
+    // a deeper-history catalog: the resume below spans FOUR commits
+    // past the checkpointed base (merge, rewrite_deletes, compact,
+    // append), which the default history=3 window would expire
+    s.conf.set("spark.sql.catalog.graft_chm",
+      "graft.sources.AtomicParquetCatalog")
+    s.conf.set("spark.sql.catalog.graft_chm.warehouse",
+      Files.createTempDirectory("graft_chm_wh").toString)
+    s.conf.set("spark.sql.catalog.graft_chm.history", "10")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_chm.db")
+    s.range(50).select($"id".as("k"), concat(lit("v"), $"id" % 3).as("tag"))
+      .repartition(4).writeTo("graft_chm.db.c8")
+      .tableProperty("write.merge.mode", "merge-on-read")
+      .create()
+    s.sql("ALTER TABLE graft_chm.db.c8 ADD CONSTRAINT c8_pk " +
+      "PRIMARY KEY (k) NOT ENFORCED")
+    val ckpt = Files.createTempDirectory("graft_chg_mt_ck").toString
+    assert(drain("graft_chm.db.c8.changes", ckpt).size == 50)
+    // a MoR merge (live entry), then rewrite_deletes MATERIALIZES it,
+    // then compact rewrites every file — both content-preserving —
+    // then a real append; all four commits land while the stream is
+    // down, so ONE resume must span them all
+    Seq((0L, "upd"), (7L, "upd")).toDF("k", "tag")
+      .createOrReplaceTempView("c8_src")
+    s.sql("""MERGE INTO graft_chm.db.c8 t USING c8_src s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    assert(s.table("graft_chm.db.c8.deletes").count() >= 1L)
+    s.sql("CALL graft_chm.system.rewrite_deletes('db.c8')")
+    assert(s.table("graft_chm.db.c8.deletes").count() == 0L,
+      "rewrite_deletes must clear the sidecar")
+    s.sql("CALL graft_chm.system.compact('db.c8', 1)")
+    s.range(500, 503).select($"id".as("k"), lit("new").as("tag"))
+      .repartition(1).writeTo("graft_chm.db.c8").append()
+    val resumed = drain("graft_chm.db.c8.changes", ckpt)
+      .map(r => (r.getString(2), r.getLong(0), r.getString(1))).sorted
+    assert(resumed == (Seq(("delete", 0L, "v0"), ("delete", 7L, "v1"),
+      ("insert", 0L, "upd"), ("insert", 7L, "upd")) ++
+      (500L until 503L).map(k => ("insert", k, "new"))).sorted,
+      s"maintenance must contribute zero changes: $resumed")
+    // the batch window agrees: the merge commit (4) + append (3) only.
+    // the default window's base is the oldest RETAINED version — keep
+    // it anchored before the merge regardless of the catalog's
+    // retention depth by windowing explicitly from the merge commit
+    val win = s.read.option("startingVersion", "3")
+      .table("graft_chm.db.c8.changes")
+    assert(win.count() == 7L, s"got ${win.count()}")
+  }
+
+  test("window bounds refuse pointedly: an inverted window that " +
+      "resolves base == upto, a bound on the oldest retained snapshot, " +
+      "and endingVersion on a stream") {
+    val s = spark
+    import s.implicits._
+    s.range(5).select($"id".as("k")).writeTo("graft_chg.db.c9").create()
+    s.range(5, 8).select($"id".as("k")).writeTo("graft_chg.db.c9").append()
+    s.range(8, 9).select($"id".as("k")).writeTo("graft_chg.db.c9").append()
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // (startingVersion=head, endingVersion=1) previously resolved
+    // base == upto and returned silently empty
+    val e1 = intercept[Exception] {
+      s.read.option("startingVersion", "0").option("endingVersion", "1")
+        .table("graft_chg.db.c9.changes").collect()
+    }
+    assert(msgs(e1).exists(_.contains("precedes")), msgs(e1))
+    // the oldest retained snapshot's own changes are underivable —
+    // starting or ending there must refuse, not silently demote
+    val e2 = intercept[Exception] {
+      s.read.option("startingVersion", "2")
+        .table("graft_chg.db.c9.changes").collect()
+    }
+    assert(msgs(e2).exists(_.contains("OLDEST")), msgs(e2))
+    val e3 = intercept[Exception] {
+      s.read.option("endingVersion", "2")
+        .table("graft_chg.db.c9.changes").collect()
+    }
+    assert(msgs(e3).exists(_.contains("OLDEST")), msgs(e3))
+    val e4 = intercept[Exception] {
+      val q = s.readStream.option("startingVersion", "2")
+        .table("graft_chg.db.c9.changes")
+        .writeStream.format("noop")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_chg_old_ck").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(msgs(e4).exists(_.contains("OLDEST")), msgs(e4))
+    // a stream has no end: endingVersion refuses instead of being
+    // silently ignored (an unbounded read against a stated cap)
+    val e5 = intercept[Exception] {
+      val q = s.readStream.option("endingVersion", "1")
+        .table("graft_chg.db.c9.changes")
+        .writeStream.format("noop")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_chg_ev_ck2").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(msgs(e5).exists(_.contains("batch-window")), msgs(e5))
+  }
+
+  test("timestamp windows resolve against the strictly-monotonic " +
+      "commit instants: batch starting/endingTimestamp, the stream's " +
+      "startingTimestamp, and pointed out-of-window refusals") {
+    val s = spark
+    import s.implicits._
+    s.range(5).select($"id".as("k"), lit("base").as("tag"))
+      .writeTo("graft_chg.db.c10").create()
+    s.range(10, 12).select($"id".as("k"), lit("a1").as("tag"))
+      .writeTo("graft_chg.db.c10").append()
+    s.range(20, 21).select($"id".as("k"), lit("a2").as("tag"))
+      .writeTo("graft_chg.db.c10").append()
+    // learn the two append commits' instants from the feed itself
+    val tsByTag = s.table("graft_chg.db.c10.changes")
+      .select($"tag", $"_commit_timestamp").distinct().collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime)).toMap
+    val (tsA1, tsA2) = (tsByTag("a1"), tsByTag("a2"))
+    assert(tsA1 < tsA2, "commit instants must be strictly monotonic")
+    // FROM a2's instant inclusive: exactly a2's row
+    val from2 = s.read.option("startingTimestamp", tsA2.toString)
+      .table("graft_chg.db.c10.changes")
+    assert(from2.select($"k").as[Long].collect().toSeq == Seq(20L))
+    // FROM a1's instant: both appends
+    assert(s.read.option("startingTimestamp", tsA1.toString)
+      .table("graft_chg.db.c10.changes").count() == 3L)
+    // THROUGH a1's instant inclusive: exactly a1's rows
+    val thru1 = s.read.option("endingTimestamp", tsA1.toString)
+      .table("graft_chg.db.c10.changes")
+    assert(thru1.select($"k").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 11L))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // a starting instant after the newest commit: a batch window would
+    // serve nothing — refuse pointedly
+    val e1 = intercept[Exception] {
+      s.read.option("startingTimestamp", (tsA2 + 3600000L).toString)
+        .table("graft_chg.db.c10.changes").collect()
+    }
+    assert(msgs(e1).exists(_.contains("NEWEST")), msgs(e1))
+    // an ending instant before every append resolves to the oldest
+    // retained snapshot, whose changes are underivable
+    val e2 = intercept[Exception] {
+      s.read.option("endingTimestamp", (tsA1 - 1L).toString)
+        .table("graft_chg.db.c10.changes").collect()
+    }
+    assert(msgs(e2).exists(_.contains("OLDEST")), msgs(e2))
+    // the date-string form parses as UTC and resolves like any instant
+    val e3 = intercept[Exception] {
+      s.read.option("startingTimestamp", "1970-01-02")
+        .table("graft_chg.db.c10.changes").collect()
+    }
+    assert(msgs(e3).exists(_.contains("OLDEST")), msgs(e3))
+    // the STREAM from a2's instant: exactly a2's row, then it tails
+    val ck1 = Files.createTempDirectory("graft_chg_ts_ck1").toString
+    val rows = {
+      val acc = scala.collection.mutable.ArrayBuffer.empty[Row]
+      val q = s.readStream.option("startingTimestamp", tsA2.toString)
+        .table("graft_chg.db.c10.changes")
+        .writeStream.option("checkpointLocation", ck1)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          acc.synchronized { acc ++= b.collect() }; ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      acc.toSeq
+    }
+    assert(rows.map(_.getLong(0)).sorted == Seq(20L),
+      s"stream from a2's instant must serve exactly a2: $rows")
+    // a FUTURE instant tails from now: nothing at start, the next
+    // commit serves (the stream reading of 'at or after ts')
+    val ck2 = Files.createTempDirectory("graft_chg_ts_ck2").toString
+    def drainTs(): Seq[Row] = {
+      val acc = scala.collection.mutable.ArrayBuffer.empty[Row]
+      val q = s.readStream
+        .option("startingTimestamp", (tsA2 + 3600000L).toString)
+        .table("graft_chg.db.c10.changes")
+        .writeStream.option("checkpointLocation", ck2)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          acc.synchronized { acc ++= b.collect() }; ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      acc.toSeq
+    }
+    assert(drainTs().isEmpty, "a future instant must serve nothing yet")
+    s.range(30, 32).select($"id".as("k"), lit("a3").as("tag"))
+      .writeTo("graft_chg.db.c10").append()
+    assert(drainTs().map(_.getLong(0)).sorted == Seq(30L, 31L))
+  }
+
+  test("typed updates (write.cdf.typed-updates): a pure-update merge " +
+      "serves update_preimage/update_postimage through the layout " +
+      "router; a mixed merge with a DELETE arm falls back to " +
+      "delete/insert typing") {
+    val s = spark
+    import s.implicits._
+    // identity-partitioned: reinserted rows land through the layout
+    // router, so the commit must keep them apart from fresh inserts
+    // with two churn-sized writes to know the postimage files
+    s.range(20).select($"id".as("k"), ($"id" % 2).cast("int").as("p"),
+        concat(lit("v"), $"id").as("tag"))
+      .writeTo("graft_chg.db.c11")
+      .tableProperty("write.merge.mode", "merge-on-read")
+      .tableProperty("write.cdf.typed-updates", "true")
+      .partitionedBy($"p").create()
+    s.sql("ALTER TABLE graft_chg.db.c11 ADD CONSTRAINT c11_pk " +
+      "PRIMARY KEY (k) NOT ENFORCED")
+    val ckpt = Files.createTempDirectory("graft_chg_tu_ck").toString
+    assert(drain("graft_chg.db.c11.changes", ckpt).size == 20)
+    // pure-update MERGE carrying BOTH kinds: 2 updates + 2 inserts
+    Seq((0L, 0, "u0"), (3L, 1, "u3"), (100L, 0, "new"), (101L, 1, "new"))
+      .toDF("k", "p", "tag").createOrReplaceTempView("c11_src")
+    s.sql("""MERGE INTO graft_chg.db.c11 t USING c11_src s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val typed = drain("graft_chg.db.c11.changes", ckpt)
+      .map(r => (r.getString(3), r.getLong(0), r.getString(2))).sorted
+    assert(typed == Seq(
+      ("insert", 100L, "new"), ("insert", 101L, "new"),
+      ("update_postimage", 0L, "u0"), ("update_postimage", 3L, "u3"),
+      ("update_preimage", 0L, "v0"), ("update_preimage", 3L, "v3")).sorted,
+      s"typed feed mismatch: $typed")
+    // the batch window agrees with the stream
+    val batchTyped = s.read.option("startingVersion", "0")
+      .table("graft_chg.db.c11.changes")
+      .collect().map(r => (r.getString(3), r.getLong(0), r.getString(2)))
+      .toSeq.sorted
+    assert(batchTyped == typed, s"batch/stream divergence: $batchTyped")
+    // a MIXED merge (a matched row took the DELETE arm): the entry
+    // covers a genuine delete, so typing it 'update' would lie —
+    // the commit stays untyped and serves delete/insert
+    Seq((5L, 1, "kill"), (6L, 0, "u6")).toDF("k", "p", "tag")
+      .createOrReplaceTempView("c11_src2")
+    s.sql("""MERGE INTO graft_chg.db.c11 t USING c11_src2 s ON t.k = s.k
+            |WHEN MATCHED AND s.tag = 'kill' THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    val mixed = drain("graft_chg.db.c11.changes", ckpt)
+      .map(r => (r.getString(3), r.getLong(0), r.getString(2))).sorted
+    assert(mixed == Seq(("delete", 5L, "v5"), ("delete", 6L, "v6"),
+      ("insert", 6L, "u6")).sorted,
+      s"mixed merge must fall back to delete/insert: $mixed")
+  }
+
   test("a COW rewrite commit fails the feed pointedly; options refuse") {
     val s = spark
     import s.implicits._
