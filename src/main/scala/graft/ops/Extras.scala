@@ -2108,6 +2108,92 @@ object Extras {
     }
   }
 
+  /** q114: PARTITION-PRUNED DELETE-AWARE COUNT — q113's zero-scan
+    * metadata count survives the most common count shape at scale,
+    * `COUNT(*) WHERE date_col >= X` on a hidden-transform-partitioned
+    * CDC table. The scan builder CONSUMES a pushed filter when footer
+    * stats decide every live file ALL-OR-NOTHING (every row matches or
+    * provably none does — a `years(o_orderdate)` layout makes any
+    * year-boundary predicate exactly that shape), then answers from
+    * the pruned file list: Σ included files' footer rows − positional
+    * ordinals OF INCLUDED FILES − equality matched counts whose
+    * stats-narrowed file scope sits FULLY INSIDE the included set
+    * (straddling the pruned boundary refuses to the scan; the gate's
+    * keys are time-correlated — the warehouse surrogate-id shape — so
+    * the recent-keys delete scopes to recent files). The gate builds
+    * BOTH sidecar kinds live, REQUIRES the filtered COUNT plan to be a
+    * pure LocalTableScan, and cross-checks against the kill-switched
+    * full scan before the oracle re-derives from raw orders. */
+  def q114MorCountPruned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    s.sql("DROP TABLE IF EXISTS graft_ma.db.ord_cntp")
+    def k2 = ((year($"o_orderdate") - 1990).cast("long") * 100000000L +
+      $"o_orderkey").as("k")
+    Tables.load(s, dir, "orders")
+      .select(k2, $"o_custkey", $"o_totalprice", $"o_orderdate")
+      .writeTo("graft_ma.db.ord_cntp").using("parquet")
+      .partitionedBy(years($"o_orderdate"))
+      .tableProperty("write.merge.mode", "merge-on-read")
+      .tableProperty("write.delete.mode", "merge-on-read")
+      .create()
+    s.sql("ALTER TABLE graft_ma.db.ord_cntp ADD CONSTRAINT ord_cntp_pk " +
+      "PRIMARY KEY (k) NOT ENFORCED")
+    // commit 1: PK MERGE DELETE of RECENT keys (1996+) — the equality
+    // entry's scope narrows to the recent files by the key ranges
+    Tables.load(s, dir, "orders")
+      .where($"o_orderkey" % 97 === 0 && year($"o_orderdate") >= 1996)
+      .select(k2).createOrReplaceTempView("q114_src")
+    s.sql("""MERGE INTO graft_ma.db.ord_cntp t USING q114_src s
+            |ON t.k = s.k
+            |WHEN MATCHED THEN DELETE""".stripMargin)
+    // commit 2: PK dropped → the modulo predicate routes POSITIONALLY
+    s.sql("ALTER TABLE graft_ma.db.ord_cntp DROP CONSTRAINT ord_cntp_pk")
+    s.sql("DELETE FROM graft_ma.db.ord_cntp WHERE o_custkey % 31 = 0")
+    val head = gmaHeadDir(s, "ord_cntp")
+    def sidecars(suffix: String): Int = {
+      val d = head.resolve("_deletes")
+      if (!java.nio.file.Files.isDirectory(d)) 0
+      else {
+        import scala.jdk.CollectionConverters._
+        val ls = java.nio.file.Files.list(d)
+        try ls.iterator().asScala
+          .count(_.getFileName.toString.endsWith(suffix))
+        finally ls.close()
+      }
+    }
+    require(sidecars(".pred") >= 1 && sidecars(".pos") >= 1,
+      s"q114 needs BOTH live sidecar kinds, got " +
+        s"pred=${sidecars(".pred")} pos=${sidecars(".pos")}")
+    val key = "spark.sql.parquet.aggregatePushdown"
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try {
+      val df = s.sql("SELECT CAST(count(*) AS BIGINT) AS n_live " +
+        "FROM graft_ma.db.ord_cntp " +
+        "WHERE o_orderdate >= DATE '1995-01-01'")
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("LocalTableScan"),
+        s"q114: the pruned MoR count was not served from metadata:\n$plan")
+      require(!plan.toLowerCase.contains("parquet"),
+        s"q114: the pruned count plan still scans data files:\n$plan")
+      val pushed = df.collect()(0).getLong(0)
+      s.conf.set("spark.sql.catalog.graft.read.morAggPushdown", "false")
+      val scanned =
+        try s.sql("SELECT count(*) FROM graft_ma.db.ord_cntp " +
+            "WHERE o_orderdate >= DATE '1995-01-01'")
+          .collect()(0).getLong(0)
+        finally s.conf.unset("spark.sql.catalog.graft.read.morAggPushdown")
+      require(pushed == scanned,
+        s"q114: pushed count $pushed != scanned count $scanned")
+      df
+    } finally prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Export path q76's oracle reads. Verify and the DuckDB oracle run on
     * the same host within one gate round, and the oracle SQL (which
     * embeds this path) is DUMPED BY THE SAME JVM that ran the export —
@@ -2448,6 +2534,7 @@ object Extras {
     "q111_bloom_skipping" -> q111BloomSkipping,
     "q112_changelog_view" -> q112ChangelogView,
     "q113_mor_count_pushdown" -> q113MorCountPushdown,
+    "q114_mor_count_pruned" -> q114MorCountPruned,
     "q76_catalog_external" -> q76CatalogExternal,
     "q77_partitions_metadata" -> q77PartitionsMetadata,
     "q78_snapshot_changes" -> q78SnapshotChanges,
@@ -3126,6 +3213,14 @@ object Extras {
     "q113_mor_count_pushdown" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_live FROM orders
         |WHERE o_orderkey % 97 <> 0 AND o_custkey % 31 <> 0""".stripMargin,
+    // the pruned metadata count == the raw filtered count net of both
+    // deletes (the PK merge removed recent o_orderkey % 97 = 0 rows;
+    // the positional delete removed surviving o_custkey % 31 = 0 rows)
+    "q114_mor_count_pruned" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_live FROM orders
+        |WHERE o_orderdate >= DATE '1995-01-01'
+        |  AND NOT (o_orderkey % 97 = 0 AND year(o_orderdate) >= 1996)
+        |  AND o_custkey % 31 <> 0""".stripMargin,
     // footer-metadata aggregate == the row-scan aggregate
     "q100_agg_pushdown" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_orders,

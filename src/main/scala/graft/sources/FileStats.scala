@@ -527,6 +527,89 @@ private[sources] object FileStats {
     }
   }
 
+  // ---- the must-match evaluator ----
+
+  /** Does EVERY row of a file with stats `st` provably satisfy every
+    * filter? Under-approximating, the dual of [[mayMatch]]: `false`
+    * whenever the answer cannot be PROVEN `true`. Proofs lean on
+    * min/max EXACTNESS, so they are attempted only on exact-stat
+    * shapes — integral/date/timestamp/boolean columns with a known
+    * null count; strings (writer-truncatable stats) and floats (NaN
+    * rows fall outside footer ordering) never prove. Together with
+    * [[mayMatch]] this splits a file set three ways per predicate:
+    * all-rows-match / no-row-matches / undecided — the all-or-nothing
+    * split the pruned metadata COUNT(*) path needs before it may
+    * consume a filter. */
+  def mustMatch(filters: Seq[CExpression], st: FileStat,
+                schema: StructType): Boolean =
+    filters.forall(must(_, st, schema))
+
+  private def must(e: CExpression, st: FileStat,
+      schema: StructType): Boolean = {
+    def colType(a: AttributeReference): Option[DataType] =
+      schema.fields.find(_.name.equalsIgnoreCase(a.name)).map(_.dataType)
+    def stat(a: AttributeReference): Option[ColStat] =
+      st.cols.find(_._1.equalsIgnoreCase(a.name)).map(_._2)
+    def exactShape(x: Any): Boolean = x match {
+      case _: Int | _: Long | _: Boolean => true
+      case _ => false
+    }
+    /** A proof over every row needs: zero nulls (a null row fails any
+      * value predicate), both bounds known, and the literal in an
+      * exact-stat shape matching them. */
+    def valueProof(a: AttributeReference, v: Any)(
+        test: (Any, Any, Any) => Boolean): Boolean =
+      (stat(a), colType(a)) match {
+        case (Some(cs), Some(dt)) =>
+          st.rows > 0L && cs.nulls.contains(0L) &&
+            (for {
+              lv <- litValue(v, dt)
+              mn <- cs.mn
+              mx <- cs.mx
+              if exactShape(lv) && sameShape(mn, lv) && sameShape(mx, lv)
+            } yield test(mn, mx, lv)).getOrElse(false)
+        case _ => false
+      }
+    def eqMust(a: AttributeReference, v: Any): Boolean =
+      valueProof(a, v)((mn, mx, lv) =>
+        cmpValues(mn, lv) == 0 && cmpValues(mx, lv) == 0)
+    e match {
+      case And(l, r) => must(l, st, schema) && must(r, st, schema)
+      case Or(l, r) => must(l, st, schema) || must(r, st, schema)
+      case IsNotNull(a: AttributeReference) =>
+        st.rows > 0L && stat(a).exists(_.nulls.contains(0L))
+      case IsNull(a: AttributeReference) =>
+        st.rows > 0L && stat(a).exists(_.nulls.contains(st.rows))
+      case EqualTo(a: AttributeReference, CLiteral(v, _)) => eqMust(a, v)
+      case EqualTo(CLiteral(v, _), a: AttributeReference) => eqMust(a, v)
+      case EqualNullSafe(a: AttributeReference, CLiteral(v, _)) if v != null =>
+        eqMust(a, v)
+      case EqualNullSafe(CLiteral(v, _), a: AttributeReference) if v != null =>
+        eqMust(a, v)
+      case In(a: AttributeReference, vs)
+          if vs.forall(_.isInstanceOf[CLiteral]) =>
+        vs.exists(l => eqMust(a, l.asInstanceOf[CLiteral].value))
+      case InSet(a: AttributeReference, vs) => vs.exists(eqMust(a, _))
+      case GreaterThan(a: AttributeReference, CLiteral(v, _)) =>
+        valueProof(a, v)((mn, _, lv) => cmpValues(mn, lv) > 0)
+      case GreaterThanOrEqual(a: AttributeReference, CLiteral(v, _)) =>
+        valueProof(a, v)((mn, _, lv) => cmpValues(mn, lv) >= 0)
+      case LessThan(a: AttributeReference, CLiteral(v, _)) =>
+        valueProof(a, v)((_, mx, lv) => cmpValues(mx, lv) < 0)
+      case LessThanOrEqual(a: AttributeReference, CLiteral(v, _)) =>
+        valueProof(a, v)((_, mx, lv) => cmpValues(mx, lv) <= 0)
+      case GreaterThan(CLiteral(v, _), a: AttributeReference) => // lit > a
+        valueProof(a, v)((_, mx, lv) => cmpValues(mx, lv) < 0)
+      case GreaterThanOrEqual(CLiteral(v, _), a: AttributeReference) =>
+        valueProof(a, v)((_, mx, lv) => cmpValues(mx, lv) <= 0)
+      case LessThan(CLiteral(v, _), a: AttributeReference) => // lit < a
+        valueProof(a, v)((mn, _, lv) => cmpValues(mn, lv) > 0)
+      case LessThanOrEqual(CLiteral(v, _), a: AttributeReference) =>
+        valueProof(a, v)((mn, _, lv) => cmpValues(mn, lv) >= 0)
+      case _ => false
+    }
+  }
+
   private def may(e: CExpression, st: FileStat, schema: StructType): Boolean = {
     def colType(a: AttributeReference): Option[DataType] =
       schema.fields.find(_.name.equalsIgnoreCase(a.name)).map(_.dataType)

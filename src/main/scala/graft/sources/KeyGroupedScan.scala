@@ -140,9 +140,61 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     this.requiredSchema = Some(withRix)
     inner.pruneColumns(withRix)
   }
+  // filters CONSUMED by the all-or-nothing stats split (see
+  // consumePrunable) and the live files every consumed conjunct
+  // proved all-rows-match on — the pruned metadata COUNT(*) scope
+  private var consumed: Seq[CExpression] = Nil
+  private var prunedKeep: Option[Set[String]] = None
+
   override def pushFilters(filters: Seq[CExpression]): Seq[CExpression] = {
     dataFilters = filters
-    inner.pushFilters(filters)
+    consumePrunable(inner.pushFilters(filters))
+  }
+
+  /** The filter half of the PRUNED delete-aware COUNT(*): a residual
+    * conjunct whose footer stats decide EVERY live file all-or-nothing
+    * (every row matches, or provably none does — `FileStats.mustMatch`
+    * / `!mayMatch`) is consumed here instead of returned to Spark,
+    * because Spark refuses aggregate pushdown under ANY post-scan
+    * filter — and `COUNT(*) WHERE date_col >= X` on a hidden-transform
+    * partitioned CDC table is the most common count shape at scale.
+    * Consuming is sound for every read, not just counts: build()'s
+    * [[FileSkippingScan]] engages under exactly the guards checked
+    * here and plans away the none-match files, and the files it keeps
+    * hold only matching rows by the must-match proof, so dropping the
+    * Filter node loses nothing. Undecidable conjuncts (a partial file,
+    * a file missing stats, a string/float column) stay residual and
+    * everything behaves as before. Scoped deliberately tight: only
+    * MoR-live versions (the COW path already serves pushed counts from
+    * parquet footers) under the aggregate-pushdown session gate. */
+  private def consumePrunable(residual: Seq[CExpression]): Seq[CExpression] = {
+    if (residual.isEmpty || legacy.nonEmpty ||
+        (liveDeletes.isEmpty && livePosDeletes.isEmpty) ||
+        !aggPushEnabled || !FileStats.skippingEnabled(session))
+      return residual
+    val tableDir = versionDir.getParent
+    if (!java.nio.file.Files.isDirectory(tableDir.resolve("_filestats")))
+      return residual
+    val stats = FileStats.load(tableDir)
+    val files = AtomicParquetCatalog.walkDataFiles(versionDir)
+      .map(p => versionDir.relativize(java.nio.file.Paths.get(p)).toString)
+    if (files.isEmpty) return residual
+    // an empty file is decided by construction: zero rows match and
+    // zero rows fail, so it contributes nothing either way
+    def decided(c: CExpression, f: String): Boolean =
+      stats.get(f).exists(st => st.rows == 0L ||
+        FileStats.mustMatch(Seq(c), st, tableSchema) ||
+        !FileStats.mayMatch(Seq(c), st, tableSchema))
+    val use = residual.filter(c => files.forall(f => decided(c, f)))
+    if (use.isEmpty) return residual
+    val keep = files.filter { f =>
+      val st = stats(f)
+      st.rows > 0L &&
+        use.forall(c => FileStats.mustMatch(Seq(c), st, tableSchema))
+    }.toSet
+    consumed = use
+    prunedKeep = Some(keep)
+    residual.filterNot(use.contains)
   }
   override def pushedFilters: Array[V2Predicate] = inner.pushedFilters
   // a MIXED-SPEC version (legacy subtrees after metadata-only spec
@@ -189,36 +241,70 @@ private[sources] final class KeyGroupedParquetScanBuilder(
       val stats = FileStats.load(tableDir)
       val files = AtomicParquetCatalog.walkDataFiles(versionDir)
         .map(p => versionDir.relativize(java.nio.file.Paths.get(p)).toString)
+      // the PRUNED count: consumed filters restrict the answer to the
+      // files they proved all-rows-match on (everything else holds
+      // zero qualifying rows by the none-match proof)
+      val included = prunedKeep match {
+        case Some(keep) => files.filter(keep.contains)
+        case None => files
+      }
       var base = 0L
       var covered = true
-      for (f <- files) stats.get(f) match {
+      for (f <- included) stats.get(f) match {
         case Some(st) => base += st.rows
         case None => covered = false
       }
       if (!covered) None
       else {
+        val inc = included.toSet
         // per-file UNION of positional ordinals — two entries naming
-        // the same (file, ordinal) must not double-subtract
+        // the same (file, ordinal) must not double-subtract; under
+        // pruning only ordinals of INCLUDED files were counted in base
         val posDeleted = MorDeletes.posOrdinalsByFile(livePosDeletes)
+          .filter { case (f, _) => prunedKeep.isEmpty || inc.contains(f) }
           .valuesIterator.map(_.length.toLong).sum
-        val eqDeleted = liveDeletes.flatMap(_.matched).sum
-        val n = base - posDeleted - eqDeleted
-        // a negative answer means a corrupt sidecar — refuse to the
-        // scan path rather than serve an impossible count
-        if (n < 0) None else Some(n)
+        // equality entries: a per-entry matched count is exact for a
+        // pruned answer only when the entry's live file scope does not
+        // STRADDLE the pruned boundary — fully inside subtracts fully
+        // (every matched row sits in a counted file), fully outside
+        // subtracts nothing, straddling refuses to the scan
+        var eqDeleted = 0L
+        var exact = true
+        if (prunedKeep.isEmpty) eqDeleted = liveDeletes.flatMap(_.matched).sum
+        else {
+          val all = files.toSet
+          for (e <- liveDeletes) {
+            val live = e.files.filter(all.contains)
+            if (live.forall(inc.contains)) eqDeleted += e.matched.get
+            else if (live.exists(inc.contains)) exact = false
+          }
+        }
+        if (!exact) None
+        else {
+          val n = base - posDeleted - eqDeleted
+          // a negative answer means a corrupt sidecar — refuse to the
+          // scan path rather than serve an impossible count
+          if (n < 0) None else Some(n)
+        }
       }
     }
   }
 
   private def morCountAnswer(): Option[Long] =
-    if (dataFilters.nonEmpty) None else morCountCached
+    // every pushed filter must be accounted for: either consumed into
+    // the pruned file scope above, or the answer is the scan's
+    if ((dataFilters.toSet -- consumed.toSet).nonEmpty) None
+    else morCountCached
 
   private def tryMorCount(aggregation: Aggregation): Option[(Long, StructType)] = {
     if (legacy.nonEmpty || !aggPushEnabled ||
       !isCountStarOnly(aggregation)) return None
     val schema = org.apache.spark.sql.execution.datasources
       .AggregatePushDownUtils.getSchemaForPushedAggregation(
-        aggregation, tableSchema, parts.toSet, dataFilters)
+        aggregation, tableSchema, parts.toSet,
+        // consumed filters are already folded into the pruned file
+        // scope; the util refuses on any data filter it can see
+        dataFilters.filterNot(consumed.contains))
       .getOrElse(return None)
     morCountAnswer().map(n => (n, schema))
   }

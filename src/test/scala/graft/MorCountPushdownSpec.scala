@@ -185,6 +185,100 @@ class MorCountPushdownSpec extends AnyFunSuite {
     assert(tt.collect()(0).getLong(0) === 1000L)
   }
 
+  test("a file-pruning filter keeps the metadata count: all-or-nothing " +
+      "stats consumption over a years() layout, positional ordinals " +
+      "subtracted per included file, an in-scope equality entry " +
+      "subtracted whole") {
+    val s = spark
+    import s.implicits._
+    // time-correlated surrogate keys: each year's file owns a disjoint
+    // k range, so the recent-keys delete scopes to recent files
+    def y(id: Int) = 1992 + id / 200
+    def kOf(id: Int) = y(id).toLong * 100000L + id
+    val rows = (0 until 800).map(id =>
+      (kOf(id), java.sql.Date.valueOf(s"${y(id)}-0${id % 9 + 1}-15")))
+    s.sql("DROP TABLE IF EXISTS graft_cnt.db.cp1")
+    rows.toDF("k", "d")
+      .writeTo("graft_cnt.db.cp1")
+      .partitionedBy(years($"d"))
+      .tableProperty("write.merge.mode", "merge-on-read")
+      .tableProperty("write.delete.mode", "merge-on-read")
+      .create()
+    s.sql("ALTER TABLE graft_cnt.db.cp1 ADD CONSTRAINT cp1_pk " +
+      "PRIMARY KEY (k) NOT ENFORCED")
+    val eqDel = (id: Int) => id % 10 == 0 && y(id) >= 1994
+    (0 until 800).filter(eqDel).map(kOf).toDF("k")
+      .createOrReplaceTempView("cp1_src")
+    s.sql("""MERGE INTO graft_cnt.db.cp1 t USING cp1_src s ON t.k = s.k
+            |WHEN MATCHED THEN DELETE""".stripMargin)
+    s.sql("ALTER TABLE graft_cnt.db.cp1 DROP CONSTRAINT cp1_pk")
+    s.sql("DELETE FROM graft_cnt.db.cp1 WHERE k % 7 = 3") // positional
+    val posDel = (id: Int) => !eqDel(id) && kOf(id) % 7 == 3
+    val expected = (0 until 800).count(id =>
+      y(id) >= 1994 && !eqDel(id) && !posDel(id)).toLong
+    val filtered = s.sql("SELECT count(*) AS n FROM graft_cnt.db.cp1 " +
+      "WHERE d >= DATE '1994-01-01'")
+    val plan = planOf(filtered)
+    assert(plan.contains("LocalTableScan") &&
+      !plan.toLowerCase.contains("parquet"),
+      s"the pruned count must serve from metadata:\n$plan")
+    assert(filtered.collect()(0).getLong(0) === expected)
+    // the kill switch takes the whole consumption with it: the scan
+    // path re-applies the filter as rows and agrees
+    s.conf.set("spark.sql.catalog.graft.read.morAggPushdown", "false")
+    try {
+      val scanned = s.sql("SELECT count(*) AS n FROM graft_cnt.db.cp1 " +
+        "WHERE d >= DATE '1994-01-01'")
+      assert(!planOf(scanned).contains("LocalTableScan"))
+      assert(scanned.collect()(0).getLong(0) === expected)
+    } finally s.conf
+      .unset("spark.sql.catalog.graft.read.morAggPushdown")
+    // a wider window that still contains the whole entry scope serves
+    // from metadata too
+    val wider = s.sql("SELECT count(*) AS n FROM graft_cnt.db.cp1 " +
+      "WHERE d >= DATE '1993-01-01'")
+    assert(planOf(wider).contains("LocalTableScan"))
+    assert(wider.collect()(0).getLong(0) ===
+      (0 until 800).count(id =>
+        y(id) >= 1993 && !eqDel(id) && !posDel(id)).toLong)
+  }
+
+  test("an equality entry STRADDLING the pruned boundary refuses to " +
+      "the scan — and the consumed filter still yields exact rows " +
+      "there (files pruned all-or-nothing, no Filter node needed)") {
+    val s = spark
+    import s.implicits._
+    def y(id: Int) = 1992 + id / 200
+    def kOf(id: Int) = y(id).toLong * 100000L + id
+    val rows = (0 until 800).map(id =>
+      (kOf(id), java.sql.Date.valueOf(s"${y(id)}-0${id % 9 + 1}-15")))
+    s.sql("DROP TABLE IF EXISTS graft_cnt.db.cp2")
+    rows.toDF("k", "d")
+      .writeTo("graft_cnt.db.cp2")
+      .partitionedBy(years($"d"))
+      .tableProperty("write.merge.mode", "merge-on-read")
+      .tableProperty("write.delete.mode", "merge-on-read")
+      .create()
+    s.sql("ALTER TABLE graft_cnt.db.cp2 ADD CONSTRAINT cp2_pk " +
+      "PRIMARY KEY (k) NOT ENFORCED")
+    // one commit deleting keys across EVERY year: the entry's scope
+    // spans the 1994 boundary, so its per-entry matched count cannot
+    // split across it
+    (0 until 800).filter(_ % 10 == 0).map(kOf).toDF("k")
+      .createOrReplaceTempView("cp2_src")
+    s.sql("""MERGE INTO graft_cnt.db.cp2 t USING cp2_src s ON t.k = s.k
+            |WHEN MATCHED THEN DELETE""".stripMargin)
+    val expected = (0 until 800).count(id =>
+      y(id) >= 1994 && id % 10 != 0).toLong
+    val filtered = s.sql("SELECT count(*) AS n FROM graft_cnt.db.cp2 " +
+      "WHERE d >= DATE '1994-01-01'")
+    assert(!planOf(filtered).contains("LocalTableScan"),
+      "a straddling entry must refuse the metadata answer")
+    assert(filtered.collect()(0).getLong(0) === expected)
+    // the unfiltered count never cared about scope placement
+    assertMetadataServed("cp2", 800L - 80L)
+  }
+
   test("the O(metadata) deleteWhere entry has no count: COUNT refuses " +
       "to the scan path and stays exact") {
     val s = spark
