@@ -99,8 +99,12 @@ private[sources] object ChangelogRead {
       base: String, upto: String,
       fileSets: java.util.concurrent.ConcurrentHashMap[String, Set[String]] = null)
       : Seq[ChangeUnit] = {
+    // even without a caller cache, one CALL must not walk a version
+    // twice — the sliding window reads every chain version as `next`
+    // of one pair and `prev` of the following one
+    val local = new java.util.HashMap[String, Set[String]]()
     def filesOf(v: String): Set[String] = {
-      val cached = if (fileSets == null) null else fileSets.get(v)
+      val cached = if (fileSets == null) local.get(v) else fileSets.get(v)
       if (cached != null) return cached
       val vd = tableDir.resolve(v)
       if (!Files.isDirectory(vd)) throw new IllegalStateException(
@@ -109,7 +113,7 @@ private[sources] object ChangelogRead {
           "fresh checkpoint")
       val set = AtomicParquetCatalog.walkDataFiles(vd)
         .map(f => vd.relativize(Paths.get(f)).toString).toSet
-      if (fileSets != null) fileSets.put(v, set)
+      if (fileSets != null) fileSets.put(v, set) else local.put(v, set)
       set
     }
     if (upto.isEmpty) return Nil

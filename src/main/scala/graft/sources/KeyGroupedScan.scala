@@ -141,10 +141,55 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     inner.pruneColumns(withRix)
   }
   // filters CONSUMED by the all-or-nothing stats split (see
-  // consumePrunable) and the live files every consumed conjunct
+  // consumePrunable), filters ACCOUNTED for by the pruned file scope
+  // (consumed ones plus identity-partition filters the inner builder
+  // already handled), and the live files every accounted conjunct
   // proved all-rows-match on — the pruned metadata COUNT(*) scope
   private var consumed: Seq[CExpression] = Nil
+  private var accounted: Seq[CExpression] = Nil
   private var prunedKeep: Option[Set[String]] = None
+
+  /** A directory value string as the catalyst-internal stat shape of
+    * `dt` — only the exact-stat types the must-match evaluator proves
+    * on. None = unparseable (null partition dirs, exotic types). */
+  private def dirStatValue(raw: String, dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case IntegerType | ShortType | ByteType => raw.toIntOption
+      case LongType => raw.toLongOption
+      case BooleanType => raw.toBooleanOption
+      case DateType =>
+        try Some(java.time.LocalDate.parse(raw).toEpochDay.toInt)
+        catch { case _: java.time.format.DateTimeParseException => None }
+      case _ => None
+    }
+  }
+
+  /** A file's footer stats EXTENDED with its identity-partition column
+    * values synthesized from the directory path — min == max == the
+    * dir value with zero nulls, the one case where derived stats are
+    * EXACT by construction (the value never sits in the file, so the
+    * footer cannot carry it). This is what lets
+    * `COUNT(*) WHERE part_col = X` on an identity-partitioned MoR
+    * table keep the metadata fast path. */
+  private def statsWithIdentity(stats: Map[String, FileStats.FileStat],
+      f: String): Option[FileStats.FileStat] =
+    stats.get(f).map { st =>
+      val segs = f.split('/').dropRight(1)
+      val extra = fields.collect { case IdentityPart(col) => col }
+        .flatMap { col =>
+          val pre = col + "="
+          val have = st.cols.keys.exists(_.equalsIgnoreCase(col))
+          if (have) None
+          else segs.find(_.startsWith(pre)).flatMap { seg =>
+            tableSchema.fields.find(_.name.equalsIgnoreCase(col))
+              .flatMap(tf => dirStatValue(seg.substring(pre.length),
+                tf.dataType))
+              .map(v => col -> FileStats.ColStat(Some(v), Some(v), Some(0L)))
+          }
+        }
+      if (extra.isEmpty) st else st.copy(cols = st.cols ++ extra)
+    }
 
   override def pushFilters(filters: Seq[CExpression]): Seq[CExpression] = {
     dataFilters = filters
@@ -168,7 +213,10 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     * MoR-live versions (the COW path already serves pushed counts from
     * parquet footers) under the aggregate-pushdown session gate. */
   private def consumePrunable(residual: Seq[CExpression]): Seq[CExpression] = {
-    if (residual.isEmpty || legacy.nonEmpty ||
+    // dataFilters (not residual): an identity-partition-only query has
+    // an EMPTY residual yet still needs its filter folded into the
+    // pruned count scope
+    if (dataFilters.isEmpty || legacy.nonEmpty ||
         (liveDeletes.isEmpty && livePosDeletes.isEmpty) ||
         !aggPushEnabled || !FileStats.skippingEnabled(session))
       return residual
@@ -179,20 +227,28 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     val files = AtomicParquetCatalog.walkDataFiles(versionDir)
       .map(p => versionDir.relativize(java.nio.file.Paths.get(p)).toString)
     if (files.isEmpty) return residual
+    // decide over the FULL pushed set, not just the residual: an
+    // identity-partition filter never reaches the residual (the inner
+    // builder consumed it against its file index), but the metadata
+    // count walks ALL the version's files itself, so the filter must
+    // fold into the pruned scope too — its per-file truth synthesizes
+    // exactly from the directory values (statsWithIdentity)
+    val candidates = dataFilters
     // an empty file is decided by construction: zero rows match and
     // zero rows fail, so it contributes nothing either way
     def decided(c: CExpression, f: String): Boolean =
-      stats.get(f).exists(st => st.rows == 0L ||
+      statsWithIdentity(stats, f).exists(st => st.rows == 0L ||
         FileStats.mustMatch(Seq(c), st, tableSchema) ||
         !FileStats.mayMatch(Seq(c), st, tableSchema))
-    val use = residual.filter(c => files.forall(f => decided(c, f)))
+    val use = candidates.filter(c => files.forall(f => decided(c, f)))
     if (use.isEmpty) return residual
     val keep = files.filter { f =>
-      val st = stats(f)
+      val st = statsWithIdentity(stats, f).get
       st.rows > 0L &&
         use.forall(c => FileStats.mustMatch(Seq(c), st, tableSchema))
     }.toSet
-    consumed = use
+    accounted = use
+    consumed = use.filter(residual.contains)
     prunedKeep = Some(keep)
     residual.filterNot(use.contains)
   }
@@ -291,9 +347,11 @@ private[sources] final class KeyGroupedParquetScanBuilder(
   }
 
   private def morCountAnswer(): Option[Long] =
-    // every pushed filter must be accounted for: either consumed into
-    // the pruned file scope above, or the answer is the scan's
-    if ((dataFilters.toSet -- consumed.toSet).nonEmpty) None
+    // every pushed filter must be accounted for: folded into the
+    // pruned file scope above (consumed from the residual, or an
+    // identity-partition filter decided from the directory values) —
+    // otherwise the answer is the scan's
+    if ((dataFilters.toSet -- accounted.toSet).nonEmpty) None
     else morCountCached
 
   private def tryMorCount(aggregation: Aggregation): Option[(Long, StructType)] = {
@@ -302,9 +360,9 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     val schema = org.apache.spark.sql.execution.datasources
       .AggregatePushDownUtils.getSchemaForPushedAggregation(
         aggregation, tableSchema, parts.toSet,
-        // consumed filters are already folded into the pruned file
+        // accounted filters are already folded into the pruned file
         // scope; the util refuses on any data filter it can see
-        dataFilters.filterNot(consumed.contains))
+        dataFilters.filterNot(accounted.contains))
       .getOrElse(return None)
     morCountAnswer().map(n => (n, schema))
   }

@@ -243,6 +243,37 @@ class MorCountPushdownSpec extends AnyFunSuite {
         y(id) >= 1993 && !eqDel(id) && !posDel(id)).toLong)
   }
 
+  test("an identity-partition filter keeps the metadata count: the " +
+      "partition value never sits in the files, so per-file stats " +
+      "synthesize EXACTLY from the directory names") {
+    val s = spark
+    import s.implicits._
+    s.sql("DROP TABLE IF EXISTS graft_cnt.db.cp3")
+    s.range(400).select($"id".as("k"), ($"id" % 4).cast("int").as("p"))
+      .writeTo("graft_cnt.db.cp3")
+      .partitionedBy($"p")
+      .tableProperty("write.delete.mode", "merge-on-read")
+      .create()
+    // untranslatable predicate → the positional funnel; per-file
+    // ordinals never straddle a pruned boundary
+    s.sql("DELETE FROM graft_cnt.db.cp3 WHERE k % 7 = 3")
+    val expected = (0 until 400).count(k => k % 4 == 2 && k % 7 != 3).toLong
+    val df = s.sql("SELECT count(*) AS n FROM graft_cnt.db.cp3 WHERE p = 2")
+    val plan = planOf(df)
+    assert(plan.contains("LocalTableScan") &&
+      !plan.toLowerCase.contains("parquet"),
+      s"identity-partition count must serve from metadata:\n$plan")
+    assert(df.collect()(0).getLong(0) === expected)
+    // an undecidable residual conjunct refuses the whole fast path —
+    // and the scan answer agrees with the arithmetic
+    val both = s.sql("SELECT count(*) AS n FROM graft_cnt.db.cp3 " +
+      "WHERE p = 2 AND k % 2 = 0")
+    assert(!planOf(both).contains("LocalTableScan"))
+    assert(both.collect()(0).getLong(0) ===
+      (0 until 400).count(k =>
+        k % 4 == 2 && k % 7 != 3 && k % 2 == 0).toLong)
+  }
+
   test("an equality entry STRADDLING the pruned boundary refuses to " +
       "the scan — and the consumed filter still yields exact rows " +
       "there (files pruned all-or-nothing, no Filter node needed)") {
