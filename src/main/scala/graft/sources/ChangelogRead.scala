@@ -539,9 +539,6 @@ private[sources] final class ChangelogScan(
     require(!opts.skipChangeCommits,
       s"$name: skipChangeCommits makes no sense on a changelog stream " +
         "(delete commits ARE the feed) — drop the option")
-    require(opts.maxBytesPerTrigger.isEmpty,
-      s"$name: the changelog stream rate-limits by unit count " +
-        "(maxFilesPerTrigger); maxBytesPerTrigger is not supported here")
     // silently ignoring a cap would serve UNBOUNDED changes against the
     // caller's stated window — same posture as the refusals above
     require(endingVersion.isEmpty,
@@ -556,8 +553,10 @@ private[sources] final class ChangelogScan(
 /** The admission-controlled changelog stream: offsets are the same
   * `(base, upto, k)` shape as the plain table stream, `k` counting
   * TYPED UNITS into the deterministic `changeUnits` list instead of
-  * added files — `maxFilesPerTrigger` caps units per micro-batch, so
-  * a restart against a deep backlog drains commit by commit. */
+  * added files — `maxFilesPerTrigger` caps units and
+  * `maxBytesPerTrigger` caps cumulative serving-file size per
+  * micro-batch (both Delta dials, composing), so a restart against a
+  * deep backlog drains commit by commit. */
 private[sources] final class ChangelogMicroBatchStream(
     session: SparkSession, name: String, tableDir: JPath,
     tableSchema: StructType, log: () => Seq[String],
@@ -653,19 +652,55 @@ private[sources] final class ChangelogMicroBatchStream(
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is the admission-controlled path")
 
-  override def getDefaultReadLimit: ReadLimit =
-    opts.maxFilesPerTrigger.map(ReadLimit.maxFiles)
-      .getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = opts.maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+      opts.maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
+  /** Admission by unit count AND/OR cumulative serving-file size —
+    * both Delta rate limits, composing (whichever binds first). A
+    * unit's cost is the file the reader opens for it (the added file
+    * for inserts/postimages, the SERVING version's file for
+    * delete/preimage re-reads), stat'd only for the considered
+    * prefix; always at least one unit, or a single oversized file
+    * would wedge the stream. Long arithmetic: a checkpoint written
+    * under maxFilesPerTrigger resumed without it advances by
+    * Int.MaxValue — Int would wrap negative and re-serve units. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[VersionOffset]
-    val maxF = limit match {
-      case m: ReadMaxFiles => m.maxFiles()
-      case _ => Int.MaxValue
+    def flatten(l: ReadLimit): Seq[ReadLimit] = l match {
+      case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+        c.getReadLimits.toSeq
+      case other => Seq(other)
     }
+    val limits = flatten(limit)
+    val maxF = limits.collectFirst { case m: ReadMaxFiles => m.maxFiles() }
+      .getOrElse(Int.MaxValue)
+    val maxB = limits.collectFirst {
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxBytes =>
+        m.maxBytes()
+    }.getOrElse(Long.MaxValue)
     def admit(base: String, upto: String, startK: Int): VersionOffset = {
-      val total = units(base, upto).size
-      val end = math.min(startK.toLong + maxF, total.toLong).toInt
+      val us = units(base, upto)
+      val total = us.size
+      var end = math.min(startK.toLong + maxF, total.toLong).toInt
+      if (maxB != Long.MaxValue) {
+        var acc = 0L
+        var i = startK
+        while (i < end) {
+          val u = us(i)
+          val sz = try Files.size(
+            tableDir.resolve(u.serveVersion).resolve(u.rel))
+          catch { case _: java.io.IOException => 0L }
+          if (i > startK && acc + sz > maxB) { end = i }
+          else { acc += sz; i += 1 }
+        }
+      }
       if (end >= total) VersionOffset(upto, upto, 0)
       else VersionOffset(base, upto, end)
     }

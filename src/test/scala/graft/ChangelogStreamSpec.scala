@@ -571,6 +571,91 @@ class ChangelogStreamSpec extends AnyFunSuite {
       s"mixed merge must fall back to delete/insert: $mixed")
   }
 
+  test("maxBytesPerTrigger admits changelog units by cumulative " +
+      "serving-file size: a 1-byte budget forces one unit per batch " +
+      "and the drained rows are identical") {
+    val s = spark
+    import s.implicits._
+    s.range(30).select($"id".as("k"), lit("a").as("tag"))
+      .repartition(3).writeTo("graft_chg.db.c12").create()
+    val ckpt = Files.createTempDirectory("graft_chg_mb_ck").toString
+    val before = {
+      val acc = scala.collection.mutable.ArrayBuffer.empty[Row]
+      val q = s.readStream.option("maxBytesPerTrigger", "1")
+        .table("graft_chg.db.c12.changes")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          acc.synchronized { acc ++= b.collect() }; ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      acc.toSeq
+    }
+    assert(before.map(_.getLong(0)).sorted == (0L until 30L),
+      s"byte-budget drain must serve every row once: ${before.size}")
+    // 3 snapshot files under a 1-byte budget = at least 3 micro-batches
+    val batches = {
+      val ls = Files.list(java.nio.file.Paths.get(ckpt, "offsets"))
+      try ls.count() finally ls.close()
+    }
+    assert(batches >= 3, s"expected per-unit admission, got $batches")
+  }
+
+  test("a typed-updates consumer needs NO per-key dedup dance: " +
+      "delete preimages, upsert postimages and inserts — the replica " +
+      "converges across rate-limited batch splits") {
+    val s = spark
+    import s.implicits._
+    s.range(30).select($"id".as("k"), concat(lit("v"), $"id").as("tag"))
+      .writeTo("graft_chg.db.c13")
+      .tableProperty("write.merge.mode", "merge-on-read")
+      .tableProperty("write.cdf.typed-updates", "true")
+      .create()
+    s.sql("ALTER TABLE graft_chg.db.c13 ADD CONSTRAINT c13_pk " +
+      "PRIMARY KEY (k) NOT ENFORCED")
+    s.range(0).select($"id".as("k"), lit("").as("tag"))
+      .writeTo("graft_chg.db.c13_rep").create()
+    val ckpt = Files.createTempDirectory("graft_chg_tr_ck").toString
+    def apply(): Unit = {
+      // Delta CDF's TYPED recipe: preimages are informational — drop
+      // them; deletes DELETE; postimages and inserts UPSERT. No
+      // row_number window, no commit-ordering tiebreak.
+      val q = s.readStream.option("maxFilesPerTrigger", "1")
+        .table("graft_chg.db.c13.changes")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.where(col("_change_type") =!= "update_preimage")
+            .createOrReplaceTempView("c13_batch")
+          b.sparkSession.sql(
+            """MERGE INTO graft_chg.db.c13_rep t USING c13_batch s
+              |ON t.k = s.k
+              |WHEN MATCHED AND s._change_type = 'delete' THEN DELETE
+              |WHEN MATCHED THEN UPDATE SET tag = s.tag
+              |WHEN NOT MATCHED AND s._change_type <> 'delete' THEN
+              |  INSERT (k, tag) VALUES (s.k, s.tag)""".stripMargin)
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    apply() // snapshot
+    // a pure-update merge + a fresh insert, then a plain delete-arm
+    // merge, each applied through rate-limited (split) batches
+    Seq((3L, "upd3"), (7L, "upd7"), (100L, "new")).toDF("k", "tag")
+      .createOrReplaceTempView("c13_src")
+    s.sql("""MERGE INTO graft_chg.db.c13 t USING c13_src s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    apply()
+    Seq((5L, "kill")).toDF("k", "tag").createOrReplaceTempView("c13_src2")
+    s.sql("""MERGE INTO graft_chg.db.c13 t USING c13_src2 s ON t.k = s.k
+            |WHEN MATCHED THEN DELETE""".stripMargin)
+    apply()
+    val src = s.table("graft_chg.db.c13").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    val rep = s.table("graft_chg.db.c13_rep").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(rep == src, s"replica diverged: ${rep.size} vs ${src.size}")
+  }
+
   test("a COW rewrite commit fails the feed pointedly; options refuse") {
     val s = spark
     import s.implicits._
