@@ -209,16 +209,25 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     * hold only matching rows by the must-match proof, so dropping the
     * Filter node loses nothing. Undecidable conjuncts (a partial file,
     * a file missing stats, a string/float column) stay residual and
-    * everything behaves as before. Scoped deliberately tight: only
-    * MoR-live versions (the COW path already serves pushed counts from
-    * parquet footers) under the aggregate-pushdown session gate. */
+    * everything behaves as before. Gated behind the aggregate-pushdown
+    * session conf plus the skipping kill-switch; applies to MoR-live
+    * AND clean versions (the inner footer path only serves UNfiltered
+    * aggregates — any data filter makes it refuse). */
   private def consumePrunable(residual: Seq[CExpression]): Seq[CExpression] = {
     // dataFilters (not residual): an identity-partition-only query has
     // an EMPTY residual yet still needs its filter folded into the
     // pruned count scope
     if (dataFilters.isEmpty || legacy.nonEmpty ||
-        (liveDeletes.isEmpty && livePosDeletes.isEmpty) ||
         !aggPushEnabled || !FileStats.skippingEnabled(session))
+      return residual
+    // clean (no-deletes) versions consume only under their own opt-in:
+    // the inner footer path already serves their UNfiltered aggregates,
+    // and a session that merely enabled aggregatePushdown should not
+    // find its plain filtered SELECT plans reshaped (the Filter node
+    // legitimately disappears under consumption — correct, but opt-in)
+    if (liveDeletes.isEmpty && livePosDeletes.isEmpty &&
+        session.conf.get("spark.sql.catalog.graft.read.cleanCountPruning",
+          "false") != "true")
       return residual
     val tableDir = versionDir.getParent
     if (!java.nio.file.Files.isDirectory(tableDir.resolve("_filestats")))
@@ -373,6 +382,16 @@ private[sources] final class KeyGroupedParquetScanBuilder(
       morCount = tryMorCount(aggregation)
       return morCount.isDefined
     }
+    // a FILTERED count on a clean table: the inner parquet builder
+    // refuses any aggregate under data filters, but the pruned
+    // metadata path serves it when every filter folded into the file
+    // scope — COUNT(*) WHERE date >= X on a COW table costs a stats
+    // read, same as the MoR case. Unfiltered aggregates keep the
+    // inner footer path (it also serves MIN/MAX).
+    if (dataFilters.nonEmpty) {
+      morCount = tryMorCount(aggregation)
+      if (morCount.isDefined) return true
+    }
     val pushed = inner.pushAggregation(aggregation)
     aggPushed ||= pushed
     pushed
@@ -383,6 +402,8 @@ private[sources] final class KeyGroupedParquetScanBuilder(
       // complete-only: a partial push would make Spark re-aggregate
       // rows this scan never materializes
       return tryMorCount(aggregation).isDefined
+    if (dataFilters.nonEmpty && tryMorCount(aggregation).isDefined)
+      return true
     inner.supportCompletePushDown(aggregation)
   }
   override def pushVariantExtractions(

@@ -274,6 +274,37 @@ class MorCountPushdownSpec extends AnyFunSuite {
         k % 4 == 2 && k % 7 != 3 && k % 2 == 0).toLong)
   }
 
+  test("a CLEAN table's filtered count serves from metadata too: the " +
+      "inner footer path refuses any data filter, the pruned path " +
+      "does not need one to be absent") {
+    val s = spark
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft.read.cleanCountPruning", "true")
+    try {
+      s.sql("DROP TABLE IF EXISTS graft_cnt.db.cp4")
+      (0 until 600).map(id =>
+          (id.toLong, java.sql.Date.valueOf(s"${1992 + id / 200}-06-15")))
+        .toDF("k", "d")
+        .writeTo("graft_cnt.db.cp4")
+        .partitionedBy(years($"d"))
+        .create()
+      val df = s.sql("SELECT count(*) AS n FROM graft_cnt.db.cp4 " +
+        "WHERE d >= DATE '1993-01-01'")
+      val plan = planOf(df)
+      assert(plan.contains("LocalTableScan") &&
+        !plan.toLowerCase.contains("parquet"),
+        s"clean filtered count must serve from metadata:\n$plan")
+      assert(df.collect()(0).getLong(0) === 400L)
+      // the unfiltered count keeps the inner footer path (it also
+      // serves MIN/MAX) — no plan change for the q100 shape
+      val plain = s.sql("SELECT count(*) AS n FROM graft_cnt.db.cp4")
+      assert(planOf(plain).contains("PushedAggregation"),
+        planOf(plain))
+      assert(plain.collect()(0).getLong(0) === 600L)
+    } finally s.conf
+      .unset("spark.sql.catalog.graft.read.cleanCountPruning")
+  }
+
   test("an equality entry STRADDLING the pruned boundary refuses to " +
       "the scan — and the consumed filter still yields exact rows " +
       "there (files pruned all-or-nothing, no Filter node needed)") {
