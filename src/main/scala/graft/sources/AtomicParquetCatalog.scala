@@ -411,7 +411,23 @@ object AtomicParquetCatalog {
     val steps = chain.sliding(2).zipWithIndex.collect {
       case (Seq(prev, next), i) =>
         val pf = filesOf(prev); val nf = filesOf(next)
-        val added = rowsOf(dir.resolve(next), nf -- pf)
+        // a typed-update commit (`write.cdf.typed-updates` tables,
+        // DeltaRowLevel's `_cdc_types` marker) named its preimage
+        // entry and postimage files at commit time — the SQL surface
+        // serves the same four-way typing as the `.changes` relation
+        val (preEntries, postRels) = {
+          val m = dir.resolve(next).resolve(DeltaRowLevel.CdcTypesMarker)
+          if (!Files.exists(m)) (Set.empty[String], Set.empty[String])
+          else {
+            val ls = new String(Files.readAllBytes(m), "UTF-8")
+              .split("\n").toSeq.filter(_.nonEmpty)
+            (ls.collect { case l if l.startsWith("preimage\t") =>
+              l.substring("preimage\t".length) }.toSet,
+              ls.collect { case l if l.startsWith("postimage\t") =>
+                l.substring("postimage\t".length) }.toSet)
+          }
+        }
+        val addedAll = rowsOf(dir.resolve(next), nf -- pf)
         val removed = rowsOf(dir.resolve(prev), pf -- nf)
         // a MERGE-ON-READ delete commit moves no files; its removed
         // rows are the PREV version's survivors matching the new
@@ -424,19 +440,32 @@ object AtomicParquetCatalog {
           MorDeletes.posEntries(dir.resolve(prev)).map(_.id).toSet
         val newPos = MorDeletes.posEntries(dir.resolve(next))
           .filterNot(e => prevPosIds.contains(e.id))
-        val morDel = (newEntries.map { e =>
-          rowsOf(dir.resolve(prev), e.files intersect pf)
-            .where(MorDeletes.toColumn(e.node, latestSchema))
+        val morTyped: Seq[(DataFrame, String)] = (newEntries.map { e =>
+          (rowsOf(dir.resolve(prev), e.files intersect pf)
+            .where(MorDeletes.toColumn(e.node, latestSchema)),
+            if (preEntries.contains(e.id)) "update_preimage" else "delete")
         } ++ newPos.map { e =>
-          MorDeletes.readDeletedRows(s, dir.resolve(prev),
+          (MorDeletes.readDeletedRows(s, dir.resolve(prev),
             e.copy(ords = e.ords.filter(kv => pf.contains(kv._1))),
-            latestSchema)
-        }).reduceOption(_ unionByName _)
-        val ins = added.exceptAll(removed)
+            latestSchema),
+            if (preEntries.contains(e.id)) "update_preimage" else "delete")
+        })
+        val morDel = morTyped.collect { case (df, "delete") => df }
+          .reduceOption(_ unionByName _)
+        val ins = rowsOf(dir.resolve(next), (nf -- pf) -- postRels)
+          .exceptAll(removed)
           .withColumn("_change_type", lit("insert"))
-        val del = morDel.foldLeft(removed.exceptAll(added))(_ unionByName _)
+        val del = morDel.foldLeft(removed.exceptAll(addedAll))(_ unionByName _)
           .withColumn("_change_type", lit("delete"))
-        ins.unionByName(del)
+        val typedSlices =
+          morTyped.collect { case (df, "update_preimage") => df }
+            .reduceOption(_ unionByName _)
+            .map(_.withColumn("_change_type", lit("update_preimage")))
+            .toSeq ++
+          (if ((nf -- pf).intersect(postRels).isEmpty) Nil
+           else Seq(rowsOf(dir.resolve(next), (nf -- pf) intersect postRels)
+             .withColumn("_change_type", lit("update_postimage"))))
+        typedSlices.foldLeft(ins.unionByName(del))(_ unionByName _)
           .withColumn("_commit_step", lit(i + 1))
           .withColumn("_commit_version", lit(next))
           .select(outCols: _*)

@@ -569,6 +569,15 @@ class ChangelogStreamSpec extends AnyFunSuite {
     assert(mixed == Seq(("delete", 5L, "v5"), ("delete", 6L, "v6"),
       ("insert", 6L, "u6")).sorted,
       s"mixed merge must fall back to delete/insert: $mixed")
+    // the SQL surface agrees: tableChanges (and so the changelog VIEW)
+    // serves the same four-way typing over the marked commit and the
+    // same delete/insert fallback over the mixed one
+    val viaApi = graft.sources.AtomicParquetCatalog
+      .tableChanges(s, "graft_chg.db.c11", fromCommitsBack = 2)
+      .collect().map(r => (r.getString(3), r.getLong(0), r.getString(2)))
+      .toSeq.sorted
+    assert(viaApi == (typed ++ mixed).sorted,
+      s"tableChanges typing diverged from the stream: $viaApi")
   }
 
   test("maxBytesPerTrigger admits changelog units by cumulative " +
