@@ -665,6 +665,34 @@ class ChangelogStreamSpec extends AnyFunSuite {
     assert(rep == src, s"replica diverged: ${rep.size} vs ${src.size}")
   }
 
+  test("typed updates on a POSITIONAL row-id table (no PK): the " +
+      "positional entry marks as preimage, the reinsert files as " +
+      "postimage") {
+    val s = spark
+    import s.implicits._
+    s.range(20).select($"id".as("k"), concat(lit("v"), $"id").as("tag"))
+      .writeTo("graft_chg.db.c14")
+      .tableProperty("write.merge.mode", "merge-on-read")
+      .tableProperty("write.cdf.typed-updates", "true")
+      .create()
+    // no PRIMARY KEY: the row-level funnel routes POSITIONALLY
+    Seq((2L, "u2"), (9L, "u9")).toDF("k", "tag")
+      .createOrReplaceTempView("c14_src")
+    s.sql("""MERGE INTO graft_chg.db.c14 t USING c14_src s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    val shown = s.table("graft_chg.db.c14.deletes")
+      .select($"predicate").as[String].collect()
+    assert(shown.nonEmpty && shown.forall(_.startsWith("POSITIONAL")),
+      s"expected a positional entry, got: ${shown.mkString("; ")}")
+    val typed = s.table("graft_chg.db.c14.changes").collect()
+      .map(r => (r.getString(2), r.getLong(0), r.getString(1)))
+      .toSeq.sorted
+    assert(typed == Seq(
+      ("update_postimage", 2L, "u2"), ("update_postimage", 9L, "u9"),
+      ("update_preimage", 2L, "v2"), ("update_preimage", 9L, "v9")).sorted,
+      s"positional typed feed mismatch: $typed")
+  }
+
   test("a COW rewrite commit fails the feed pointedly; options refuse") {
     val s = spark
     import s.implicits._
