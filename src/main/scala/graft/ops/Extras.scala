@@ -2194,6 +2194,70 @@ object Extras {
     }
   }
 
+  /** q115: MIN/MAX SURVIVAL PUSHDOWN — MIN/MAX (and COUNT) on a table
+    * with a LIVE merge-on-read entry serve from metadata when the
+    * entry's OWN predicate proves the extremum survived: the candidate
+    * is the best footer bound, the entry references only that column,
+    * and it evaluates FALSE at the candidate — no row holding the
+    * extremum value was deleted, so the footer answer is the live
+    * answer. The common CDC shape passes (a PK-keyed delete of
+    * interior keys); a deleted extremum or an entry over another
+    * column refuses to the scan (MorCountPushdownSpec pins both
+    * refusals). Plan REQUIREd pure LocalTableScan, kill-switch
+    * cross-checked, oracle re-derived from raw orders. */
+  def q115MorMinMaxSurvival(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    s.sql("DROP TABLE IF EXISTS graft_ma.db.ord_mm")
+    Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .repartition(8)
+      .writeTo("graft_ma.db.ord_mm").using("parquet")
+      .tableProperty("write.merge.mode", "merge-on-read")
+      .tableProperty("write.delete.mode", "merge-on-read")
+      .create()
+    s.sql("ALTER TABLE graft_ma.db.ord_mm ADD CONSTRAINT ord_mm_pk " +
+      "PRIMARY KEY (o_orderkey) NOT ENFORCED")
+    // INTERIOR keys deleted at every scale factor (orderkey 1 is the
+    // global min and the max is far above 1000 at every SF)
+    Tables.load(s, dir, "orders")
+      .where($"o_orderkey" % 7 === 3 &&
+        $"o_orderkey" >= 100 && $"o_orderkey" < 1000)
+      .select($"o_orderkey").createOrReplaceTempView("q115_src")
+    s.sql("""MERGE INTO graft_ma.db.ord_mm t USING q115_src s
+            |ON t.o_orderkey = s.o_orderkey
+            |WHEN MATCHED THEN DELETE""".stripMargin)
+    require(s.table("graft_ma.db.ord_mm.deletes").count() >= 1L,
+      "q115 needs a live equality entry")
+    val key = "spark.sql.parquet.aggregatePushdown"
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try {
+      val df = s.sql(
+        """SELECT CAST(count(*) AS BIGINT) AS n_live,
+          | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+          |FROM graft_ma.db.ord_mm""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("LocalTableScan"),
+        s"q115: the survived MIN/MAX was not served from metadata:\n$plan")
+      require(!plan.toLowerCase.contains("parquet"),
+        s"q115: the pushed plan still scans data files:\n$plan")
+      val pushed = df.collect()(0)
+      s.conf.set("spark.sql.catalog.graft.read.morAggPushdown", "false")
+      val scanned =
+        try s.sql("SELECT CAST(count(*) AS BIGINT), min(o_orderkey), " +
+            "max(o_orderkey) FROM graft_ma.db.ord_mm").collect()(0)
+        finally s.conf.unset("spark.sql.catalog.graft.read.morAggPushdown")
+      require(pushed.toSeq == scanned.toSeq,
+        s"q115: pushed $pushed != scanned $scanned")
+      df
+    } finally prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Export path q76's oracle reads. Verify and the DuckDB oracle run on
     * the same host within one gate round, and the oracle SQL (which
     * embeds this path) is DUMPED BY THE SAME JVM that ran the export —
@@ -2535,6 +2599,7 @@ object Extras {
     "q112_changelog_view" -> q112ChangelogView,
     "q113_mor_count_pushdown" -> q113MorCountPushdown,
     "q114_mor_count_pruned" -> q114MorCountPruned,
+    "q115_mor_minmax_survival" -> q115MorMinMaxSurvival,
     "q76_catalog_external" -> q76CatalogExternal,
     "q77_partitions_metadata" -> q77PartitionsMetadata,
     "q78_snapshot_changes" -> q78SnapshotChanges,
@@ -3221,6 +3286,14 @@ object Extras {
         |WHERE o_orderdate >= DATE '1995-01-01'
         |  AND NOT (o_orderkey % 97 = 0 AND year(o_orderdate) >= 1996)
         |  AND o_custkey % 31 <> 0""".stripMargin,
+    // the survived extremes == the raw extremes (the deleted keys are
+    // interior by construction); the count nets the deleted window
+    "q115_mor_minmax_survival" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_live,
+        | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE NOT (o_orderkey % 7 = 3
+        |  AND o_orderkey >= 100 AND o_orderkey < 1000)""".stripMargin,
     // footer-metadata aggregate == the row-scan aggregate
     "q100_agg_pushdown" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_orders,

@@ -275,7 +275,10 @@ private[sources] final class KeyGroupedParquetScanBuilder(
   // (the footer-stats store). A table one CDC merge touched keeps
   // q100's no-scan fast path instead of paying a full read until
   // rewrite_deletes.
-  private var morCount: Option[(Long, StructType)] = None
+  // the pushed-aggregate answer row (one value per aggregate term —
+  // COUNT(*)s, plus MIN/MAX values whose SURVIVAL the live delete
+  // entries' own predicates prove, see morMinMax) and its schema
+  private var morCount: Option[(Array[Any], StructType)] = None
 
   /** Session gate shared with the inner parquet builder's rule, plus
     * this path's own kill-switch. */
@@ -285,11 +288,91 @@ private[sources] final class KeyGroupedParquetScanBuilder(
       session.conf.get("spark.sql.catalog.graft.read.morAggPushdown",
         "true") != "false"
 
-  private def isCountStarOnly(aggregation: Aggregation): Boolean =
+  private def isServableAgg(aggregation: Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     aggregation.groupByExpressions.isEmpty &&
       aggregation.aggregateExpressions.nonEmpty &&
-      aggregation.aggregateExpressions.forall(
-        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+      aggregation.aggregateExpressions.forall {
+        case _: CountStar | _: Min | _: Max => true
+        case _ => false
+      }
+  }
+
+  /** The exact live MIN or MAX of `col`, when SURVIVAL is provable
+    * from metadata: the candidate extremum is the best per-file
+    * footer bound over the included files (exact-stat shapes only —
+    * integral/date/timestamp/boolean), and every live equality
+    * entry's predicate must (a) reference ONLY `col` and (b) evaluate
+    * FALSE at the candidate — the predicate depends on nothing else,
+    * so no row holding the extremum value was deleted and the footer
+    * answer is the live answer. The common CDC shape passes: a
+    * PK-keyed MERGE/DELETE entry lists the touched keys, and
+    * MIN(pk)/MAX(pk) survive whenever the extremum key is not among
+    * them. Refuses (None) on positional entries (their rows are
+    * ordinals — value-blind), entries over other columns, uncovered
+    * files, or a candidate the predicate might have removed (a
+    * deleted extremum makes the next-best unknowable from footers).
+    * `Some(null)` = a provably all-null/empty column (the SQL
+    * answer). */
+  private def morMinMax(col: String, isMin: Boolean): Option[Any] = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    if (livePosDeletes.nonEmpty) return None
+    val idx = tableSchema.fieldNames.indexWhere(_.equalsIgnoreCase(col))
+    if (idx < 0) return None
+    def exactShape(x: Any): Boolean = x match {
+      case _: Int | _: Long | _: Boolean => true
+      case _ => false
+    }
+    val tableDir = versionDir.getParent
+    val stats = FileStats.load(tableDir)
+    val files = AtomicParquetCatalog.walkDataFiles(versionDir)
+      .map(p => versionDir.relativize(java.nio.file.Paths.get(p)).toString)
+    val included = prunedKeep match {
+      case Some(keep) => files.filter(keep.contains)
+      case None => files
+    }
+    var best: Any = null
+    for (f <- included) stats.get(f) match {
+      case None => return None
+      case Some(st) if st.rows == 0L => ()
+      case Some(st) =>
+        st.cols.find(_._1.equalsIgnoreCase(col)).map(_._2) match {
+          case None => return None
+          case Some(cs) =>
+            if (cs.nulls.contains(st.rows)) () // all-null: no values
+            else {
+              val b = (if (isMin) cs.mn else cs.mx)
+                .getOrElse(return None)
+              if (!exactShape(b)) return None
+              def cmpLt(a: Any, c: Any): Option[Boolean] = (a, c) match {
+                case (x: Int, y: Int) => Some(x < y)
+                case (x: Long, y: Long) => Some(x < y)
+                case (x: Boolean, y: Boolean) => Some(!x && y)
+                case _ => None // mixed shapes across files: refuse
+              }
+              if (best == null) best = b
+              else cmpLt(if (isMin) b else best,
+                  if (isMin) best else b) match {
+                case Some(true) => best = b
+                case Some(false) => ()
+                case None => return None
+              }
+            }
+        }
+    }
+    if (best == null) return Some(null) // zero non-null values anywhere
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
+      .toAttributes(tableSchema)
+    for (e <- liveDeletes) {
+      if (MorDeletes.colsOf(e.node) != Set(col.toLowerCase)) return None
+      val pred = org.apache.spark.sql.catalyst.expressions.Predicate
+        .create(MorDeletes.toCatalyst(e.node, attrs), attrs)
+      val row = new GenericInternalRow(tableSchema.length)
+      row.update(idx, best)
+      if (pred.eval(row)) return None
+    }
+    Some(best)
+  }
 
   /** The exact live row count, when every term is known from
     * metadata: refuses (None) on pushed data filters, any equality
@@ -363,9 +446,11 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     if ((dataFilters.toSet -- accounted.toSet).nonEmpty) None
     else morCountCached
 
-  private def tryMorCount(aggregation: Aggregation): Option[(Long, StructType)] = {
+  private def tryMorCount(aggregation: Aggregation): Option[(Array[Any], StructType)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     if (legacy.nonEmpty || !aggPushEnabled ||
-      !isCountStarOnly(aggregation)) return None
+      !isServableAgg(aggregation)) return None
+    if ((dataFilters.toSet -- accounted.toSet).nonEmpty) return None
     val schema = org.apache.spark.sql.execution.datasources
       .AggregatePushDownUtils.getSchemaForPushedAggregation(
         aggregation, tableSchema, parts.toSet,
@@ -373,7 +458,22 @@ private[sources] final class KeyGroupedParquetScanBuilder(
         // scope; the util refuses on any data filter it can see
         dataFilters.filterNot(accounted.contains))
       .getOrElse(return None)
-    morCountAnswer().map(n => (n, schema))
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: org.apache.spark.sql.connector.expressions.NamedReference
+            if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+        case _ => None
+      }
+    val values = aggregation.aggregateExpressions.map {
+      case _: CountStar =>
+        morCountAnswer().getOrElse(return None): Any
+      case m: Min => morMinMax(colOf(m.column).getOrElse(return None),
+        isMin = true).getOrElse(return None)
+      case m: Max => morMinMax(colOf(m.column).getOrElse(return None),
+        isMin = false).getOrElse(return None)
+      case _ => return None
+    }
+    Some((values.toArray, schema))
   }
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
@@ -905,14 +1005,14 @@ private[sources] final class HiddenKeyGroupedParquetScan(
   * scheduled; at 100 TB the count of a CDC-upserted table costs a
   * sidecar read, not a table scan. */
 private[sources] final class MorCountLocalScan(
-    count: Long, schemaOut: StructType, scanName: String)
+    values: Array[Any], schemaOut: StructType, scanName: String)
     extends org.apache.spark.sql.connector.read.LocalScan {
   override def readSchema(): StructType = schemaOut
-  // every output field is the same COUNT(*) (Spark may push the
-  // aggregate list verbatim, duplicates included)
+  // one value per pushed aggregate term, in the aggregation's own
+  // order (COUNT(*)s and survival-proven MIN/MAX values alike)
   override def rows(): Array[InternalRow] = Array(
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array.fill[Any](schemaOut.length)(count)))
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values))
   override def description(): String =
-    s"graft-mor-count($scanName) PushedAggregation: [COUNT(*)]"
+    s"graft-mor-count($scanName) PushedAggregation: " +
+      schemaOut.fieldNames.mkString("[", ", ", "]")
 }

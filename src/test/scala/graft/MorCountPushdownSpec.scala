@@ -341,6 +341,40 @@ class MorCountPushdownSpec extends AnyFunSuite {
     assertMetadataServed("cp2", 800L - 80L)
   }
 
+  test("MIN/MAX push when the live entry's own predicate proves the " +
+      "extremum SURVIVED; a removed extremum and a value-blind entry " +
+      "both refuse to the scan") {
+    val s = spark
+    import s.implicits._
+    mkPk("cmm")
+    // interior keys deleted via the PK merge → an IN-entry over k only
+    (100L to 109L).toDF("k").createOrReplaceTempView("cmm_src")
+    s.sql("""MERGE INTO graft_cnt.db.cmm t USING cmm_src s ON t.k = s.k
+            |WHEN MATCHED THEN DELETE""".stripMargin)
+    val df = s.sql("SELECT min(k) AS mn, max(k) AS mx, " +
+      "CAST(count(*) AS BIGINT) AS n FROM graft_cnt.db.cmm")
+    val plan = planOf(df)
+    assert(plan.contains("LocalTableScan") &&
+      !plan.toLowerCase.contains("parquet"),
+      s"survived MIN/MAX + COUNT must serve from metadata:\n$plan")
+    assert(df.collect()(0).toSeq === Seq(0L, 999L, 990L))
+    // delete the extremum key: MIN must refuse back to the scan — a
+    // removed extremum makes the next-best unknowable from footers
+    Seq(0L).toDF("k").createOrReplaceTempView("cmm_src2")
+    s.sql("""MERGE INTO graft_cnt.db.cmm t USING cmm_src2 s ON t.k = s.k
+            |WHEN MATCHED THEN DELETE""".stripMargin)
+    val df2 = s.sql("SELECT min(k) AS mn FROM graft_cnt.db.cmm")
+    assert(!planOf(df2).contains("LocalTableScan"),
+      "a deleted extremum must refuse the metadata answer")
+    assert(df2.collect()(0).getLong(0) === 1L)
+    // an entry predicated on ANOTHER column is value-blind for k:
+    // refuse (it might have removed the k-extremum row)
+    s.sql("DELETE FROM graft_cnt.db.cmm WHERE g = 5") // .pred entry on g
+    val df3 = s.sql("SELECT max(k) AS mx FROM graft_cnt.db.cmm")
+    assert(!planOf(df3).contains("LocalTableScan"))
+    assert(df3.collect()(0).getLong(0) === 998L) // 999 % 7 = 5: deleted
+  }
+
   test("the O(metadata) deleteWhere entry has no count: COUNT refuses " +
       "to the scan path and stays exact") {
     val s = spark
