@@ -289,13 +289,63 @@ private[sources] final class KeyGroupedParquetScanBuilder(
         "true") != "false"
 
   private def isServableAgg(aggregation: Aggregation): Boolean = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     aggregation.groupByExpressions.isEmpty &&
       aggregation.aggregateExpressions.nonEmpty &&
       aggregation.aggregateExpressions.forall {
         case _: CountStar | _: Min | _: Max => true
+        case c: Count => !c.isDistinct
         case _ => false
       }
+  }
+
+  /** The exact live COUNT(col) — non-null count — from metadata:
+    * Σ (footer rows − footer null count) over the included files,
+    * minus the matched counts of live equality entries that reference
+    * ONLY `col`: a matched row provably has `col` non-null (a null
+    * never satisfies the entry's predicate — the delete-apply keep
+    * filter passes null-predicate rows through), so each persisted
+    * count subtracts exactly. Entries over other columns refuse (the
+    * deleted rows' nullness in `col` is unknowable from footers), as
+    * do positional entries and any file with unknown null counts. */
+  private def morCountCol(col: String): Option[Any] = {
+    if (livePosDeletes.nonEmpty) return None
+    val tableDir = versionDir.getParent
+    val stats = FileStats.load(tableDir)
+    val files = AtomicParquetCatalog.walkDataFiles(versionDir)
+      .map(p => versionDir.relativize(java.nio.file.Paths.get(p)).toString)
+    val included = prunedKeep match {
+      case Some(keep) => files.filter(keep.contains)
+      case None => files
+    }
+    var nonNull = 0L
+    for (f <- included) stats.get(f) match {
+      case None => return None
+      case Some(st) if st.rows == 0L => ()
+      case Some(st) =>
+        st.cols.find(_._1.equalsIgnoreCase(col)).map(_._2) match {
+          case None => return None
+          case Some(cs) => cs.nulls match {
+            case Some(n) => nonNull += st.rows - n
+            case None => return None
+          }
+        }
+    }
+    val inc = included.toSet
+    val all = files.toSet
+    var deleted = 0L
+    for (e <- liveDeletes) {
+      if (MorDeletes.colsOf(e.node) != Set(col.toLowerCase)) return None
+      val m = e.matched.getOrElse(return None)
+      if (prunedKeep.isEmpty) deleted += m
+      else {
+        val live = e.files.filter(all.contains)
+        if (live.forall(inc.contains)) deleted += m
+        else if (live.exists(inc.contains)) return None
+      }
+    }
+    val n = nonNull - deleted
+    if (n < 0) None else Some(n)
   }
 
   /** The exact live MIN or MAX of `col`, when SURVIVAL is provable
@@ -467,6 +517,10 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     val values = aggregation.aggregateExpressions.map {
       case _: CountStar =>
         morCountAnswer().getOrElse(return None): Any
+      case c: org.apache.spark.sql.connector.expressions.aggregate.Count
+          if !c.isDistinct =>
+        morCountCol(colOf(c.column).getOrElse(return None))
+          .getOrElse(return None)
       case m: Min => morMinMax(colOf(m.column).getOrElse(return None),
         isMin = true).getOrElse(return None)
       case m: Max => morMinMax(colOf(m.column).getOrElse(return None),

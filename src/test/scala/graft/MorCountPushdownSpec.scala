@@ -375,6 +375,42 @@ class MorCountPushdownSpec extends AnyFunSuite {
     assert(df3.collect()(0).getLong(0) === 998L) // 999 % 7 = 5: deleted
   }
 
+  test("COUNT(col) serves non-null counts from footer null counts; an " +
+      "entry on the counted column subtracts exactly (its matched rows " +
+      "are provably non-null), an entry on another column refuses") {
+    val s = spark
+    import s.implicits._
+    s.sql("DROP TABLE IF EXISTS graft_cnt.db.cnn")
+    s.range(1000).select($"id".as("k"),
+        when($"id" % 5 === 0, lit(null).cast("long"))
+          .otherwise($"id").as("n"))
+      .repartition(4)
+      .writeTo("graft_cnt.db.cnn")
+      .tableProperty("write.merge.mode", "merge-on-read")
+      .create()
+    s.sql("ALTER TABLE graft_cnt.db.cnn ADD CONSTRAINT cnn_pk " +
+      "PRIMARY KEY (k) NOT ENFORCED")
+    (10L until 20L).toDF("k").createOrReplaceTempView("cnn_src")
+    s.sql("""MERGE INTO graft_cnt.db.cnn t USING cnn_src s ON t.k = s.k
+            |WHEN MATCHED THEN DELETE""".stripMargin)
+    // count over the ENTRY's own column: matched rows are non-null in
+    // k by construction, so footer non-nulls minus matched is exact
+    val ck = s.sql("SELECT CAST(count(k) AS BIGINT) AS n, " +
+      "CAST(count(*) AS BIGINT) AS total FROM graft_cnt.db.cnn")
+    val plan = planOf(ck)
+    assert(plan.contains("LocalTableScan") &&
+      !plan.toLowerCase.contains("parquet"),
+      s"count(k) must serve from metadata:\n$plan")
+    assert(ck.collect()(0).toSeq === Seq(990L, 990L))
+    // count over ANOTHER column: the deleted rows' nullness in n is
+    // unknowable from footers (k=10 and k=15 were null in n) — refuse
+    val cn = s.sql("SELECT CAST(count(n) AS BIGINT) AS n " +
+      "FROM graft_cnt.db.cnn")
+    assert(!planOf(cn).contains("LocalTableScan"),
+      "count over a column the entry does not cover must scan")
+    assert(cn.collect()(0).getLong(0) === 792L) // 800 non-null − 8 live
+  }
+
   test("the O(metadata) deleteWhere entry has no count: COUNT refuses " +
       "to the scan path and stays exact") {
     val s = spark
