@@ -1165,7 +1165,10 @@ object Streams {
     // count-less `.pred` entry; the feed types its rows by evaluating
     // the predicate over the previous version's survivors
     s.sql("DELETE FROM graft_st.db.ord_rep " +
-      "WHERE o_custkey >= 500 AND o_custkey < 800")
+      // a band that exists at EVERY scale factor (sf0.001 keeps only
+      // 150 custkeys, so a 500..800 band would match nothing and the
+      // count-less-entry REQUIRE below would fail the smoke runs)
+      "WHERE o_custkey >= 50 AND o_custkey < 80")
     require(s.table("graft_st.db.ord_rep.deletes")
       .where($"n_matched".isNull).count() >= 1L,
       "st21: the predicate delete must land as a count-less entry")
@@ -1313,7 +1316,7 @@ object Streams {
         | CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM state
-        |WHERE NOT (o_custkey >= 500 AND o_custkey < 800)""".stripMargin,
+        |WHERE NOT (o_custkey >= 50 AND o_custkey < 80)""".stripMargin,
     // the streamed change feed, per type: inserts = the snapshot +
     // the append + the merge's reinserts (negated price) + its fresh
     // inserts (re-keyed); deletes = the merge-matched ORIGINAL rows.
