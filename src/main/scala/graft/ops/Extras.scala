@@ -1686,10 +1686,14 @@ object Extras {
       .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
     // the small file cap gives the skip index granularity even when
     // AQE coalesces the range exchange to few tasks (maxRecordsPerFile
-    // splits WITHIN a task preserving the sort, so files stay tiled)
+    // splits WITHIN a task preserving the sort, so files stay tiled).
+    // SCALE-ADAPTIVE (~8 tiles at any SF): a fixed cap left sf0.001's
+    // 1500 rows in one file, and a one-file table has no strict
+    // subset for the skipping REQUIRE below to keep
+    val cap = math.max(500L, ord.count() / 8)
     ord.limit(0).writeTo("graft_ma.db.ord_ws")
       .tableProperty("write.sort-cols", "o_custkey")
-      .tableProperty("write.target-file-size-rows", "2000")
+      .tableProperty("write.target-file-size-rows", cap.toString)
       .create()
     ord.writeTo("graft_ma.db.ord_ws").append()
     graft.sources.FileSkippingScan.counts.clear()
