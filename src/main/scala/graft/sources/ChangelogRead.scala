@@ -545,6 +545,10 @@ private[sources] final class ChangelogScan(
       s"$name: endingVersion is a batch-window option — a stream has no " +
         "end; drop it (read the window with a batch `.changes`, or stop " +
         "the stream once caught up)")
+    require(endingTimestamp.isEmpty,
+      s"$name: endingTimestamp is a batch-window option — a stream has " +
+        "no end; drop it (read the window with a batch `.changes`, or " +
+        "stop the stream once caught up)")
     new ChangelogMicroBatchStream(session, name, tableDir, tableSchema,
       log, opts)
   }
@@ -586,6 +590,11 @@ private[sources] final class ChangelogMicroBatchStream(
   private def units(base: String, upto: String) =
     unitLists.computeIfAbsent(s"$base;$upto", _ =>
       ChangelogRead.changeUnits(tableDir, log(), name, base, upto, fileSets))
+
+  /** (version file-sets cached, advance unit-lists cached) — the
+    * eviction spec's observability hook. */
+  private[sources] def cacheSizes: (Int, Int) =
+    (fileSets.size, unitLists.size)
 
   override def initialOffset(): Offset = {
     def consumedThrough(v: String): Offset = VersionOffset(v, v, 0)
@@ -745,6 +754,28 @@ private[sources] final class ChangelogMicroBatchStream(
   override def createReaderFactory(): PartitionReaderFactory =
     new ChangelogReaderFactory(ChangelogRead.cdcSchema(tableSchema))
 
-  override def commit(end: Offset): Unit = ()
+  /** Evict what a committed offset can never need again — without
+    * this, a long-running stream accumulates one file set per version
+    * ever seen and one unit list per advance, unbounded driver memory
+    * over the stream's lifetime. A mid-drain commit keeps exactly its
+    * in-flight advance's unit list (subsequent triggers slice it); a
+    * fully-consumed advance (base == upto) keeps none. File sets keep
+    * only versions at-or-newer than the committed base — every future
+    * advance chains from the base FORWARD, so strictly-older versions
+    * are never walked again. */
+  override def commit(end: Offset): Unit = end match {
+    case e: VersionOffset =>
+      val inFlight = s"${e.base};${e.upto}"
+      unitLists.keySet.removeIf(k => k != inFlight)
+      if (e.base.nonEmpty) {
+        val l = log()
+        val bi = l.indexOf(e.base) // newest-first: larger index = older
+        if (bi >= 0) {
+          val stale = l.drop(bi + 1).toSet
+          fileSets.keySet.removeIf(stale.contains)
+        }
+      }
+    case _ => ()
+  }
   override def stop(): Unit = ()
 }

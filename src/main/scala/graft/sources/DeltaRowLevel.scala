@@ -278,26 +278,36 @@ private[sources] final class GraftDeltaWrite(
             // inserts (and rows of later appends) are never touched
             val baseFiles = AtomicParquetCatalog.walkDataFiles(versionDir)
               .map(p => versionDir.relativize(Paths.get(p)).toString).toSet
-            // CDF TYPED UPDATES (`write.cdf.typed-updates`): when every
-            // matched row of this commit was an UPDATE — deleted ==
-            // reinserted, so zero matched rows took a DELETE arm — the
-            // commit KNOWS its delete entry is the preimage half and
-            // the reinserted rows are the postimage half (Delta CDF's
-            // update_preimage/update_postimage contract). That
-            // knowledge exists only HERE, at commit time: after the
-            // reinserted rows land next to fresh inserts it is gone,
-            // so it persists as a `_cdc_types` marker the change feed
-            // types its units by. Mixed merges (some matched rows
-            // deleted outright) stay untyped — their delete entry
-            // covers genuine deletes too, and typing it 'update'
-            // would lie about them.
+            // CDF TYPED UPDATES (`write.cdf.typed-updates`): the commit
+            // KNOWS which matched rows were UPDATES — their key
+            // reappears among the REINSERTED rows — and which took a
+            // DELETE arm. That knowledge exists only HERE, at commit
+            // time: after the reinserted rows land next to fresh
+            // inserts it is gone, so it persists as a `_cdc_types`
+            // marker the change feed types its units by (Delta CDF's
+            // update_preimage/update_postimage contract). A MIXED merge
+            // (UPDATE and DELETE arms in one commit) SPLITS its
+            // equality entry into an update half and a delete half,
+            // each with its own matched count and stats-narrowed scope
+            // — the feed then types per entry, so one DELETE arm no
+            // longer degrades the whole commit to untyped
+            // delete+insert. The split pairs by KEY, so it applies
+            // only when every reinserted row's key is among the
+            // matched ids (key-preserving updates — the CDC norm); a
+            // key-mutating all-update merge still types whole by the
+            // deleted == reinserted count, and anything else stays
+            // honestly untyped.
             val typedUpdatesOn =
               catalog.readProps(dir).get("write.cdf.typed-updates")
                 .contains("true")
             val deletedTotal = msgs.map(_.deleted).sum
             val reinsertedTotal = msgs.map(_.reinserted).sum
-            val markUpdates = typedUpdatesOn && deletedTotal > 0L &&
+            // every matched row provably an update by COUNT alone —
+            // the positional path's gate, and the equality path's
+            // fallback when key-pairing cannot apply
+            val allUpdates = typedUpdatesOn && deletedTotal > 0L &&
               deletedTotal == reinsertedTotal
+            var typedCommit = false
             var preimageEntry: Option[String] = None
             var postimageRels: Seq[String] = Nil
             def newRels(): Set[String] =
@@ -305,10 +315,7 @@ private[sources] final class GraftDeltaWrite(
                 .map(p => nv.relativize(Paths.get(p)).toString).toSet
             if (idFiles.nonEmpty && baseFiles.nonEmpty) {
               val cap = DeltaRowLevel.maxDeleteKeys(catalog, dir)
-              val ids = spark.read.schema(idFileSchema)
-                .parquet(idFiles.toSeq: _*).distinct()
-                .limit(cap + 1).collect()
-              if (ids.length > cap) throw new IllegalStateException(
+              def capError(): Nothing = throw new IllegalStateException(
                 s"$ident: merge-on-read ${ident.name()} matched more than " +
                   s"$cap distinct row ids in one commit — a change this " +
                   "bulk should pay the rewrite: set " +
@@ -321,6 +328,10 @@ private[sources] final class GraftDeltaWrite(
               // _file/_pos must not be misrouted into the positional
               // branch
               if (positional) {
+                val ids = spark.read.schema(idFileSchema)
+                  .parquet(idFiles.toSeq: _*).distinct()
+                  .limit(cap + 1).collect()
+                if (ids.length > cap) capError()
                 // POSITIONAL row id: group the matched (_file, _pos)
                 // pairs per file into one positional delete entry —
                 // inherently scoped (an ordinal addresses a row of one
@@ -335,53 +346,95 @@ private[sources] final class GraftDeltaWrite(
                   s"$ident: positional delete references files outside " +
                     s"the pinned base version: ${unknown.take(3)}")
                 preimageEntry = Some(MorDeletes.writePosEntry(nv, byFile))
+                // ordinals are value-blind: key-pairing cannot apply,
+                // so only an all-update commit (by count) types
+                typedCommit = allUpdates
               } else {
                 val dts = rowIdSchema.fields.map(_.dataType)
                 val convs =
                   dts.map(CatalystTypeConverters.createToCatalystConverter)
-                val node = (if (dts.length == 1)
-                    MorDeletes.inNode(rowIdSchema.fields(0).name, dts(0),
-                      ids.toSeq.map(r => convs(0)(r.get(0))))
-                  else
-                    // composite PRIMARY KEY: one tuple per matched row
-                    // id (Iceberg's multi-field identifier posture)
-                    MorDeletes.inTupleNode(rowIdSchema.fieldNames.toSeq,
-                      dts.toSeq, ids.toSeq.map(r =>
-                        dts.indices.map(i => convs(i)(r.get(i))))))
-                  .getOrElse(throw new IllegalStateException(
-                    s"$ident: a matched row id failed to encode (null key " +
-                      "component?) — every PRIMARY KEY column must be " +
-                      "non-null for merge-on-read row-level operations"))
-                // NARROW the entry's file scope by the footer-stats
-                // store: only files whose key range intersects the
-                // matched keys stay — every later consumer of the
-                // scope (CDC, stream re-emission, rewrite_deletes)
-                // then prices the files the delete touched, not the
-                // snapshot. Composite keys narrow on their FIRST
-                // component (per-column ranges cannot see tuples;
-                // still a sound over-approximation).
-                val scoped = {
-                  val keyCol = rowIdSchema.fields(0).name
-                  val keys = ids.toSeq.map(r => convs(0)(r.get(0)))
-                  val byStats = FileStats.filesMayContainKeys(
-                    FileStats.load(dir), baseFiles, keyCol, dts(0), keys)
-                  // bloom half: on a hash-shaped key every file's
-                  // [min,max] spans the space, but the bitsets still
-                  // prove absence per file (BloomIndex.scala)
-                  BloomIndex.filesMayContainKeys(
-                    BloomIndex.loadIfEnabled(dir, spark),
-                    byStats, keyCol, keys)
+                val nId = rowIdSchema.length
+                // per-distinct-id PHYSICAL match counts (duplicate key
+                // rows each took one delete() call), so a SPLIT
+                // entry's matched count stays exact under duplicates
+                val grouped = spark.read.schema(idFileSchema)
+                  .parquet(idFiles.toSeq: _*)
+                  .groupBy(idFileSchema.fieldNames.head,
+                    idFileSchema.fieldNames.tail.toSeq: _*)
+                  .count()
+                  .limit(cap + 1).collect()
+                if (grouped.length > cap) capError()
+                def keyOf(r: org.apache.spark.sql.Row): Seq[Any] =
+                  (0 until nId).map(r.get)
+                // which matched ids were UPDATES? exactly the ones
+                // whose key reappears among the reinserted rows (the
+                // reinsert carries the full row, key columns included)
+                val rinsKeys: Set[Seq[Any]] =
+                  if (typedUpdatesOn && reinsertedTotal > 0L &&
+                      rinsFiles.nonEmpty)
+                    spark.read.schema(writeSchema)
+                      .parquet(rinsFiles.toSeq: _*)
+                      .selectExpr(rowIdSchema.fieldNames
+                        .map(n => s"`$n`").toSeq: _*)
+                      .distinct().limit(cap + 1).collect()
+                      .map(keyOf).toSet
+                  else Set.empty
+                val idKeys = grouped.map(keyOf).toSet
+                // split only when EVERY reinserted row pairs with a
+                // matched id — a key-mutating UPDATE breaks pairing
+                val split = rinsKeys.nonEmpty && rinsKeys.subsetOf(idKeys)
+                val (updRows, delRows) =
+                  if (split) grouped.partition(r => rinsKeys.contains(keyOf(r)))
+                  else if (allUpdates) (grouped, Array.empty[org.apache.spark.sql.Row])
+                  else (Array.empty[org.apache.spark.sql.Row], grouped)
+                // one equality entry per half: IN-node over the half's
+                // keys, file scope NARROWED by the footer-stats store
+                // (+ bloom) to the files whose key range the HALF
+                // intersects — every later consumer (CDC, stream
+                // re-emission, rewrite_deletes) then prices the files
+                // this half touched, not the snapshot. Composite keys
+                // narrow on their FIRST component (per-column ranges
+                // cannot see tuples; still a sound over-approximation).
+                // The matched count is the half's physical row sum, so
+                // COUNT(*) pushdown stays exact: base rows − Σ matched.
+                def writeHalf(rows: Array[org.apache.spark.sql.Row])
+                    : Option[String] = {
+                  if (rows.isEmpty) return None
+                  val node = (if (dts.length == 1)
+                      MorDeletes.inNode(rowIdSchema.fields(0).name, dts(0),
+                        rows.toSeq.map(r => convs(0)(r.get(0))))
+                    else
+                      // composite PRIMARY KEY: one tuple per matched
+                      // row id (Iceberg's multi-field identifier
+                      // posture)
+                      MorDeletes.inTupleNode(rowIdSchema.fieldNames.toSeq,
+                        dts.toSeq, rows.toSeq.map(r =>
+                          dts.indices.map(i => convs(i)(r.get(i))))))
+                    .getOrElse(throw new IllegalStateException(
+                      s"$ident: a matched row id failed to encode (null " +
+                        "key component?) — every PRIMARY KEY column must " +
+                        "be non-null for merge-on-read row-level " +
+                        "operations"))
+                  val scoped = {
+                    val keyCol = rowIdSchema.fields(0).name
+                    val keys = rows.toSeq.map(r => convs(0)(r.get(0)))
+                    val byStats = FileStats.filesMayContainKeys(
+                      FileStats.load(dir), baseFiles, keyCol, dts(0), keys)
+                    // bloom half: on a hash-shaped key every file's
+                    // [min,max] spans the space, but the bitsets still
+                    // prove absence per file (BloomIndex.scala)
+                    BloomIndex.filesMayContainKeys(
+                      BloomIndex.loadIfEnabled(dir, spark),
+                      byStats, keyCol, keys)
+                  }
+                  val matchedRows = rows.map(_.getLong(nId)).sum
+                  if (scoped.isEmpty) None
+                  else Some(MorDeletes.writeEntry(nv, node, scoped,
+                    matched = Some(matchedRows)))
                 }
-                // the funnel KNOWS how many base rows it matched (one
-                // delete-id row each, counted pre-distinct so duplicate
-                // keys count every physical row) — persist it with the
-                // entry so COUNT(*) pushdown stays exact while the
-                // sidecar lives: base rows − Σ matched, no scan
-                val matchedRows = msgs.map(_.deleted).sum
-                if (scoped.nonEmpty) {
-                  preimageEntry = Some(MorDeletes.writeEntry(nv, node,
-                    scoped, matched = Some(matchedRows)))
-                }
+                writeHalf(delRows) // genuine deletes: untyped entry
+                preimageEntry = writeHalf(updRows)
+                typedCommit = (split || allUpdates) && preimageEntry.isDefined
               }
             }
             if (dataFiles.nonEmpty || rinsFiles.nonEmpty) {
@@ -400,7 +453,7 @@ private[sources] final class GraftDeltaWrite(
                   val src = Paths.get(f)
                   Files.move(src, nv.resolve(src.getFileName.toString))
                 }
-                if (markUpdates) postimageRels = rinsFiles.toSeq
+                if (typedCommit) postimageRels = rinsFiles.toSeq
                   .map(f => Paths.get(f).getFileName.toString)
               } else {
                 // one extra pass over the CHANGED rows only, laid out
@@ -429,7 +482,7 @@ private[sources] final class GraftDeltaWrite(
                       readStaged(rinsFiles.toSeq), tableSchema,
                       s"the merge-on-read update path of $ident")
                   else readStaged(rinsFiles.toSeq))
-                if (markUpdates && fresh.isDefined && reins.isDefined) {
+                if (typedCommit && fresh.isDefined && reins.isDefined) {
                   // typed updates need the postimage FILE identities,
                   // and the layout router unioning both kinds into one
                   // write would blend them — two churn-sized writes
@@ -443,7 +496,7 @@ private[sources] final class GraftDeltaWrite(
                     reins.get, fields, "append")
                   postimageRels = (newRels() -- afterFresh).toSeq
                 } else {
-                  val before = if (markUpdates) newRels() else Set.empty[String]
+                  val before = if (typedCommit) newRels() else Set.empty[String]
                   val staged = (fresh.toSeq ++ reins.toSeq)
                     .reduce(_ unionByName _)
                   AtomicParquetCatalog.writeLayout(spark, dir, nv, staged,
@@ -451,12 +504,12 @@ private[sources] final class GraftDeltaWrite(
                   // reinserts only (a pure-update MERGE with no
                   // NOT-MATCHED inserts fired): every new file is a
                   // postimage file
-                  if (markUpdates && fresh.isEmpty)
+                  if (typedCommit && fresh.isEmpty)
                     postimageRels = (newRels() -- before).toSeq
                 }
               }
             }
-            if (markUpdates && preimageEntry.isDefined &&
+            if (typedCommit && preimageEntry.isDefined &&
                 postimageRels.nonEmpty) {
               val lines =
                 preimageEntry.map(id => s"preimage\t$id").toSeq ++

@@ -196,6 +196,22 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     consumePrunable(inner.pushFilters(filters))
   }
 
+  // the (stats, files, included) triple every metadata-answer path
+  // walks — computed once per builder: Spark consults
+  // supportCompletePushDown and pushAggregation in the same planning
+  // pass (filters, and with them prunedKeep, are final by then), and
+  // each morCountCol/morMinMax term would otherwise re-run the
+  // FileStats load plus a full version walk per call
+  private lazy val metaStats: Map[String, FileStats.FileStat] =
+    FileStats.load(versionDir.getParent)
+  private lazy val metaFiles: Seq[String] =
+    AtomicParquetCatalog.walkDataFiles(versionDir)
+      .map(p => versionDir.relativize(java.nio.file.Paths.get(p)).toString)
+  private lazy val metaIncluded: Seq[String] = prunedKeep match {
+    case Some(keep) => metaFiles.filter(keep.contains)
+    case None => metaFiles
+  }
+
   /** The filter half of the PRUNED delete-aware COUNT(*): a residual
     * conjunct whose footer stats decide EVERY live file all-or-nothing
     * (every row matches, or provably none does — `FileStats.mustMatch`
@@ -203,16 +219,24 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     * because Spark refuses aggregate pushdown under ANY post-scan
     * filter — and `COUNT(*) WHERE date_col >= X` on a hidden-transform
     * partitioned CDC table is the most common count shape at scale.
-    * Consuming is sound for every read, not just counts: build()'s
-    * [[FileSkippingScan]] engages under exactly the guards checked
-    * here and plans away the none-match files, and the files it keeps
-    * hold only matching rows by the must-match proof, so dropping the
-    * Filter node loses nothing. Undecidable conjuncts (a partial file,
-    * a file missing stats, a string/float column) stay residual and
-    * everything behaves as before. Gated behind the aggregate-pushdown
-    * session conf plus the skipping kill-switch; applies to MoR-live
-    * AND clean versions (the inner footer path only serves UNfiltered
-    * aggregates — any data filter makes it refuse). */
+    * Consuming is sound for every read, not just counts, ONLY when the
+    * conjunct is decided on RAW footer stats: build()'s
+    * [[FileSkippingScan]] re-derives skipping from the raw stats (no
+    * identity synthesis) and plans away the none-match files, and the
+    * files it keeps hold only matching rows by the raw must-match
+    * proof, so dropping the Filter node loses nothing. A conjunct
+    * decided only through SYNTHESIZED identity-partition stats (the
+    * value never sits in the file, so the footer carries no stat the
+    * skipper could see — e.g. `part = 5 OR c < 3`) must therefore STAY
+    * in the residual; synthesized stats fold filters into
+    * `accounted`/`prunedKeep` for the metadata-count answer ONLY
+    * (where the pruned file scope itself is the proof). Undecidable
+    * conjuncts (a partial file, a file missing stats, a string/float
+    * column) stay residual and everything behaves as before. Gated
+    * behind the aggregate-pushdown session conf plus the skipping
+    * kill-switch; applies to MoR-live AND clean versions (the inner
+    * footer path only serves UNfiltered aggregates — any data filter
+    * makes it refuse). */
   private def consumePrunable(residual: Seq[CExpression]): Seq[CExpression] = {
     // dataFilters (not residual): an identity-partition-only query has
     // an EMPTY residual yet still needs its filter folded into the
@@ -220,21 +244,24 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     if (dataFilters.isEmpty || legacy.nonEmpty ||
         !aggPushEnabled || !FileStats.skippingEnabled(session))
       return residual
-    // clean (no-deletes) versions consume only under their own opt-in:
-    // the inner footer path already serves their UNfiltered aggregates,
-    // and a session that merely enabled aggregatePushdown should not
-    // find its plain filtered SELECT plans reshaped (the Filter node
-    // legitimately disappears under consumption — correct, but opt-in)
+    // clean (no-deletes) versions consume by DEFAULT (opt-out conf):
+    // the clean table is the common case at 100 TB, and
+    // `COUNT(*) WHERE date >= X` on it deserves the same zero-scan
+    // metadata answer a CDC table gets — the asymmetry the r17 opt-in
+    // soak protected against is now the backwards one. Consumption
+    // still engages only under the aggregatePushdown session conf
+    // (checked above), so default sessions see no plan change; within
+    // such sessions the Filter node legitimately disappears on
+    // raw-decided conjuncts (all-or-nothing proof + FileSkippingScan).
     if (liveDeletes.isEmpty && livePosDeletes.isEmpty &&
         session.conf.get("spark.sql.catalog.graft.read.cleanCountPruning",
-          "false") != "true")
+          "true") == "false")
       return residual
     val tableDir = versionDir.getParent
     if (!java.nio.file.Files.isDirectory(tableDir.resolve("_filestats")))
       return residual
-    val stats = FileStats.load(tableDir)
-    val files = AtomicParquetCatalog.walkDataFiles(versionDir)
-      .map(p => versionDir.relativize(java.nio.file.Paths.get(p)).toString)
+    val stats = metaStats
+    val files = metaFiles
     if (files.isEmpty) return residual
     // decide over the FULL pushed set, not just the residual: an
     // identity-partition filter never reaches the residual (the inner
@@ -249,17 +276,27 @@ private[sources] final class KeyGroupedParquetScanBuilder(
       statsWithIdentity(stats, f).exists(st => st.rows == 0L ||
         FileStats.mustMatch(Seq(c), st, tableSchema) ||
         !FileStats.mayMatch(Seq(c), st, tableSchema))
+    // decided on the RAW footer stats alone — the proof residual
+    // removal needs: FileSkippingScan re-decides from raw stats, so a
+    // conjunct it cannot re-decide (identity-synthesis-only) would
+    // leave its none-match files planned with the Filter node gone
+    def decidedRaw(c: CExpression, f: String): Boolean =
+      stats.get(f).exists(st => st.rows == 0L ||
+        FileStats.mustMatch(Seq(c), st, tableSchema) ||
+        !FileStats.mayMatch(Seq(c), st, tableSchema))
     val use = candidates.filter(c => files.forall(f => decided(c, f)))
     if (use.isEmpty) return residual
+    val removable = use.filter(c => residual.contains(c) &&
+      files.forall(f => decidedRaw(c, f)))
     val keep = files.filter { f =>
       val st = statsWithIdentity(stats, f).get
       st.rows > 0L &&
         use.forall(c => FileStats.mustMatch(Seq(c), st, tableSchema))
     }.toSet
     accounted = use
-    consumed = use.filter(residual.contains)
+    consumed = removable
     prunedKeep = Some(keep)
-    residual.filterNot(use.contains)
+    residual.filterNot(removable.contains)
   }
   override def pushedFilters: Array[V2Predicate] = inner.pushedFilters
   // a MIXED-SPEC version (legacy subtrees after metadata-only spec
@@ -310,14 +347,9 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     * do positional entries and any file with unknown null counts. */
   private def morCountCol(col: String): Option[Any] = {
     if (livePosDeletes.nonEmpty) return None
-    val tableDir = versionDir.getParent
-    val stats = FileStats.load(tableDir)
-    val files = AtomicParquetCatalog.walkDataFiles(versionDir)
-      .map(p => versionDir.relativize(java.nio.file.Paths.get(p)).toString)
-    val included = prunedKeep match {
-      case Some(keep) => files.filter(keep.contains)
-      case None => files
-    }
+    val stats = metaStats
+    val files = metaFiles
+    val included = metaIncluded
     var nonNull = 0L
     for (f <- included) stats.get(f) match {
       case None => return None
@@ -336,6 +368,13 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     var deleted = 0L
     for (e <- liveDeletes) {
       if (MorDeletes.colsOf(e.node) != Set(col.toLowerCase)) return None
+      // LOCAL null-guard: the subtraction claims "a matched row
+      // provably has col non-null", which a null-matching node (e.g. a
+      // counted `DELETE WHERE col IS NULL` entry) breaks — its matched
+      // rows belong to the NULL count, not the non-null one. Refusing
+      // here keeps the proof local instead of resting on "only the
+      // null-refusing MERGE funnel persists counts".
+      if (MorDeletes.matchesNulls(e.node)) return None
       val m = e.matched.getOrElse(return None)
       if (prunedKeep.isEmpty) deleted += m
       else {
@@ -373,14 +412,8 @@ private[sources] final class KeyGroupedParquetScanBuilder(
       case _: Int | _: Long | _: Boolean => true
       case _ => false
     }
-    val tableDir = versionDir.getParent
-    val stats = FileStats.load(tableDir)
-    val files = AtomicParquetCatalog.walkDataFiles(versionDir)
-      .map(p => versionDir.relativize(java.nio.file.Paths.get(p)).toString)
-    val included = prunedKeep match {
-      case Some(keep) => files.filter(keep.contains)
-      case None => files
-    }
+    val stats = metaStats
+    val included = metaIncluded
     var best: Any = null
     for (f <- included) stats.get(f) match {
       case None => return None
@@ -435,17 +468,12 @@ private[sources] final class KeyGroupedParquetScanBuilder(
   private lazy val morCountCached: Option[Long] = {
     if (liveDeletes.exists(_.matched.isEmpty)) None
     else {
-      val tableDir = versionDir.getParent
-      val stats = FileStats.load(tableDir)
-      val files = AtomicParquetCatalog.walkDataFiles(versionDir)
-        .map(p => versionDir.relativize(java.nio.file.Paths.get(p)).toString)
+      val stats = metaStats
+      val files = metaFiles
       // the PRUNED count: consumed filters restrict the answer to the
       // files they proved all-rows-match on (everything else holds
       // zero qualifying rows by the none-match proof)
-      val included = prunedKeep match {
-        case Some(keep) => files.filter(keep.contains)
-        case None => files
-      }
+      val included = metaIncluded
       var base = 0L
       var covered = true
       for (f <- included) stats.get(f) match {

@@ -73,6 +73,21 @@ private[sources] object MorDeletes {
   final case class AndN(l: Node, r: Node) extends Node
   final case class OrN(l: Node, r: Node) extends Node
 
+  /** Does the node contain any NULL-MATCHING leaf (`isnull`, under any
+    * And/Or nesting)? Every OTHER op is a value predicate SQL
+    * three-valued logic evaluates non-true on NULL (notnull included —
+    * it rejects nulls outright), so a node without one provably
+    * matches only rows whose referenced columns are all non-null —
+    * the local proof COUNT(col)'s matched-count subtraction needs
+    * (KeyGroupedScan.morCountCol), instead of the cross-module
+    * invariant "only the null-refusing MERGE funnel persists counts". */
+  def matchesNulls(n: Node): Boolean = n match {
+    case Leaf(op, _, _) => op == "isnull"
+    case _: TupleLeaf => false
+    case AndN(l, r) => matchesNulls(l) || matchesNulls(r)
+    case OrN(l, r) => matchesNulls(l) || matchesNulls(r)
+  }
+
   /** Columns a node references (lower-cased). */
   def colsOf(n: Node): Set[String] = n match {
     case Leaf(_, c, _) => Set(c.toLowerCase)

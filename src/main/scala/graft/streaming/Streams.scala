@@ -1240,7 +1240,76 @@ object Streams {
       .orderBy($"_change_type")
   }
 
+  /** st23: MIXED-MERGE TYPED SPLIT — one MERGE carrying UPDATE,
+    * DELETE and INSERT arms on a `write.cdf.typed-updates` table.
+    * Delta CDF types per ROW, so a single DELETE arm must not degrade
+    * the whole commit: the MoR commit funnel SPLITS its equality entry
+    * into an update half (ids whose key reappears among the reinserted
+    * rows) and a delete half (ids that took the DELETE arm), each with
+    * its own matched count and stats-narrowed scope
+    * (DeltaRowLevel.scala), and the `.changes` feed serves FOUR-WAY
+    * typing over the one commit — preimages/postimages for the
+    * updates, honest 'delete' rows for the deletes, 'insert' for the
+    * fresh keys. The oracle re-derives all four slices from raw
+    * orders; a delete typed 'update_preimage', a preimage served with
+    * the new price, or a lost slice all hash-mismatch. */
+  def st23MixedMergeTyped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_st")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_st.db")
+    s.sql("DROP TABLE IF EXISTS graft_st.db.ord_mix")
+    val ord = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    ord.where($"o_orderkey" % 5 === 0)
+      .writeTo("graft_st.db.ord_mix").using("parquet")
+      .tableProperty("write.merge.mode", "merge-on-read")
+      .tableProperty("write.cdf.typed-updates", "true")
+      .createOrReplace()
+    s.sql("ALTER TABLE graft_st.db.ord_mix ADD CONSTRAINT om_pk " +
+      "PRIMARY KEY (o_orderkey) NOT ENFORCED")
+    // the %5 snapshot splits by last digit: %10=0 keys take the UPDATE
+    // arm (negated price), %10=5 keys the DELETE arm; the re-keyed
+    // slice inserts fresh — all three in ONE commit
+    ord.where($"o_orderkey" % 10 === 0)
+      .select($"o_orderkey", $"o_custkey",
+        (-$"o_totalprice").as("o_totalprice"), lit("u").as("act"))
+      .unionByName(ord.where($"o_orderkey" % 10 === 5)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+          lit("d").as("act")))
+      .unionByName(ord.where($"o_orderkey" % 5 === 1 &&
+          $"o_orderkey" % 71 === 0)
+        .select(($"o_orderkey" + 50000000L).as("o_orderkey"),
+          $"o_custkey", $"o_totalprice", lit("i").as("act")))
+      .createOrReplaceTempView("st23_src")
+    s.sql("""MERGE INTO graft_st.db.ord_mix t USING st23_src s
+            |ON t.o_orderkey = s.o_orderkey
+            |WHEN MATCHED AND s.act = 'd' THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET
+            |  o_custkey = s.o_custkey, o_totalprice = s.o_totalprice
+            |WHEN NOT MATCHED THEN INSERT
+            |  (o_orderkey, o_custkey, o_totalprice)
+            |  VALUES (s.o_orderkey, s.o_custkey, s.o_totalprice)
+            |""".stripMargin)
+    // the SPLIT is structural: two live equality entries, each with
+    // its exact matched count (COUNT(*) pushdown rides both)
+    val dels = s.table("graft_st.db.ord_mix.deletes").collect()
+    require(dels.length >= 2 && dels.forall(r => !r.isNullAt(3)),
+      s"st23: the mixed merge must split into counted halves, got " +
+        s"${dels.length} entries")
+    val feed = s.table("graft_st.db.ord_mix.changes")
+    val types = feed.select($"_change_type").distinct()
+      .as[String].collect().sorted.toSeq
+    require(types == Seq("delete", "insert", "update_postimage",
+      "update_preimage"), s"st23: expected four-way typing, got $types")
+    feed.groupBy($"_change_type")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"o_orderkey").as("n_keys"),
+        Det.moneySum($"o_totalprice").as("total"))
+      .orderBy($"_change_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st23_mixed_merge_typed" -> st23MixedMergeTyped,
     "st22_typed_updates" -> st22TypedUpdates,
     "st21_cdc_replication" -> st21CdcReplication,
     "st20_changelog_stream" -> st20ChangelogStream,
@@ -1265,6 +1334,36 @@ object Streams {
     "st05_stream_static_join" -> st05StreamStaticJoin)
 
   val oracles: Map[String, String] = Map(
+    // the mixed commit, per type: preimages/deletes are the matched
+    // ORIGINAL rows of their arm's key slice, postimages the updated
+    // values, inserts the re-keyed slice — an arm's rows leaking into
+    // another type (the pre-split behavior: deletes+inserts only)
+    // mismatches on every row of the commit
+    "st23_mixed_merge_typed" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |), del AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 5
+        |), typed AS (
+        |  SELECT 'update_preimage' AS _change_type, o_orderkey,
+        |    o_custkey, o_totalprice FROM upd
+        |  UNION ALL
+        |  SELECT 'update_postimage', o_orderkey, o_custkey,
+        |    -o_totalprice FROM upd
+        |  UNION ALL
+        |  SELECT 'delete', o_orderkey, o_custkey, o_totalprice FROM del
+        |  UNION ALL
+        |  SELECT 'insert', o_orderkey + 50000000, o_custkey,
+        |    o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 = 1 AND o_orderkey % 71 = 0
+        |)
+        |SELECT _change_type,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM typed GROUP BY _change_type ORDER BY _change_type""".stripMargin,
     // MoR CDC upserts tailed by a checkpointed stream into a
     // downstream upsert state == the recomputed logical table: a
     // deleted row served un-retracted dup-key-faults the downstream

@@ -429,6 +429,20 @@ class ChangelogStreamSpec extends AnyFunSuite {
       try q.processAllAvailable() finally q.stop()
     }
     assert(msgs(e5).exists(_.contains("batch-window")), msgs(e5))
+    // endingTimestamp refuses on a stream for the same reason — before
+    // the refusal it was silently IGNORED (an unbounded read against
+    // the caller's stated end bound)
+    val e6 = intercept[Exception] {
+      val q = s.readStream.option("endingTimestamp", "2099-01-01")
+        .table("graft_chg.db.c9.changes")
+        .writeStream.format("noop")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_chg_et_ck").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(msgs(e6).exists(m => m.contains("endingTimestamp") &&
+      m.contains("batch-window")), msgs(e6))
   }
 
   test("timestamp windows resolve against the strictly-monotonic " +
@@ -520,8 +534,8 @@ class ChangelogStreamSpec extends AnyFunSuite {
 
   test("typed updates (write.cdf.typed-updates): a pure-update merge " +
       "serves update_preimage/update_postimage through the layout " +
-      "router; a mixed merge with a DELETE arm falls back to " +
-      "delete/insert typing") {
+      "router; a mixed merge with a DELETE arm SPLITS per entry — " +
+      "the update stays typed, the delete stays a delete") {
     val s = spark
     import s.implicits._
     // identity-partitioned: reinserted rows land through the layout
@@ -556,9 +570,12 @@ class ChangelogStreamSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(3), r.getLong(0), r.getString(2)))
       .toSeq.sorted
     assert(batchTyped == typed, s"batch/stream divergence: $batchTyped")
-    // a MIXED merge (a matched row took the DELETE arm): the entry
-    // covers a genuine delete, so typing it 'update' would lie —
-    // the commit stays untyped and serves delete/insert
+    // a MIXED merge (one matched row took the DELETE arm, one the
+    // UPDATE arm): the commit SPLITS its equality entry — the id
+    // reinserted pairs into a typed update half, the id that took the
+    // DELETE arm into an untyped delete half — so one DELETE arm no
+    // longer degrades the whole commit's typing (Delta CDF types per
+    // row; before the split, consumers were back to re-pairing by key)
     Seq((5L, 1, "kill"), (6L, 0, "u6")).toDF("k", "p", "tag")
       .createOrReplaceTempView("c11_src2")
     s.sql("""MERGE INTO graft_chg.db.c11 t USING c11_src2 s ON t.k = s.k
@@ -566,9 +583,15 @@ class ChangelogStreamSpec extends AnyFunSuite {
             |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
     val mixed = drain("graft_chg.db.c11.changes", ckpt)
       .map(r => (r.getString(3), r.getLong(0), r.getString(2))).sorted
-    assert(mixed == Seq(("delete", 5L, "v5"), ("delete", 6L, "v6"),
-      ("insert", 6L, "u6")).sorted,
-      s"mixed merge must fall back to delete/insert: $mixed")
+    assert(mixed == Seq(("delete", 5L, "v5"),
+      ("update_preimage", 6L, "v6"),
+      ("update_postimage", 6L, "u6")).sorted,
+      s"a mixed merge must type per entry: $mixed")
+    // the split's matched counts stay exact per half: COUNT(*) keeps
+    // its zero-scan metadata answer across the mixed commit
+    val dels = s.table("graft_chg.db.c11.deletes").collect()
+    assert(dels.length >= 3 && dels.forall(r => !r.isNullAt(3)),
+      s"both halves must persist matched counts: ${dels.toSeq}")
     // the SQL surface agrees: tableChanges (and so the changelog VIEW)
     // serves the same four-way typing over the marked commit and the
     // same delete/insert fallback over the mixed one

@@ -274,33 +274,80 @@ class MorCountPushdownSpec extends AnyFunSuite {
         k % 4 == 2 && k % 7 != 3 && k % 2 == 0).toLong)
   }
 
-  test("a CLEAN table's filtered count serves from metadata too: the " +
-      "inner footer path refuses any data filter, the pruned path " +
-      "does not need one to be absent") {
+  test("a conjunct decided only through SYNTHESIZED identity stats " +
+      "stays in the residual: the file skipper re-decides from RAW " +
+      "footer stats, so consuming it would return rows the dropped " +
+      "Filter node was supposed to remove") {
     val s = spark
     import s.implicits._
-    s.conf.set("spark.sql.catalog.graft.read.cleanCountPruning", "true")
+    s.sql("DROP TABLE IF EXISTS graft_cnt.db.cp5")
+    s.range(400).select($"id".as("k"), ($"id" % 4).cast("int").as("p"))
+      .writeTo("graft_cnt.db.cp5")
+      .partitionedBy($"p")
+      .tableProperty("write.delete.mode", "merge-on-read")
+      .create()
+    s.sql("DELETE FROM graft_cnt.db.cp5 WHERE k % 7 = 3") // live pos entry
+    // `p = 2 OR k >= 1000` references a data column, so the inner
+    // builder returns it as a residual — and no k reaches 1000, so the
+    // predicate is exactly `p = 2`, decidable per file ONLY by
+    // synthesizing p from the directory names (the footer carries no
+    // p stat the skipper could re-decide from). Consuming it dropped
+    // the Filter while the skipper kept every file: rows from p != 2
+    // surfaced on a plain SELECT.
+    val expect = (0L until 400L)
+      .filter(k => (k % 4 == 2 || k >= 1000) && k % 7 != 3).toArray
+    val df = s.sql(
+      "SELECT k FROM graft_cnt.db.cp5 WHERE p = 2 OR k >= 1000")
+    assert(df.collect().map(_.getLong(0)).sorted === expect,
+      "rows violating the WHERE must not surface")
+    // the count of the same shape refuses the metadata answer (the
+    // conjunct stays residual, so Spark never pushes the aggregate)
+    // and stays exact on the scan path
+    val cnt = s.sql("SELECT count(*) AS n FROM graft_cnt.db.cp5 " +
+      "WHERE p = 2 OR k >= 1000")
+    assert(cnt.collect()(0).getLong(0) === expect.length.toLong)
+  }
+
+  test("a CLEAN table's filtered count serves from metadata BY " +
+      "DEFAULT (the common case at scale); the opt-out conf restores " +
+      "the scan; the filtered SELECT stays exact under consumption") {
+    val s = spark
+    import s.implicits._
+    s.sql("DROP TABLE IF EXISTS graft_cnt.db.cp4")
+    (0 until 600).map(id =>
+        (id.toLong, java.sql.Date.valueOf(s"${1992 + id / 200}-06-15")))
+      .toDF("k", "d")
+      .writeTo("graft_cnt.db.cp4")
+      .partitionedBy(years($"d"))
+      .create()
+    // NO conf set: the default serves the pruned metadata count
+    val df = s.sql("SELECT count(*) AS n FROM graft_cnt.db.cp4 " +
+      "WHERE d >= DATE '1993-01-01'")
+    val plan = planOf(df)
+    assert(plan.contains("LocalTableScan") &&
+      !plan.toLowerCase.contains("parquet"),
+      s"clean filtered count must serve from metadata by default:\n$plan")
+    assert(df.collect()(0).getLong(0) === 400L)
+    // the unfiltered count keeps the inner footer path (it also
+    // serves MIN/MAX) — no plan change for the q100 shape
+    val plain = s.sql("SELECT count(*) AS n FROM graft_cnt.db.cp4")
+    assert(planOf(plain).contains("PushedAggregation"),
+      planOf(plain))
+    assert(plain.collect()(0).getLong(0) === 600L)
+    // a plain filtered SELECT under consumption: the rows are exact
+    // (files pruned all-or-nothing by the raw-stats proof)
+    val sel = s.sql("SELECT k FROM graft_cnt.db.cp4 " +
+      "WHERE d >= DATE '1993-01-01'")
+    assert(sel.collect().map(_.getLong(0)).sorted === (200L until 600L),
+      "consumed filtered SELECT must return exactly the matching rows")
+    // opt-OUT: the kill switch restores the scan path, same answer
+    s.conf.set("spark.sql.catalog.graft.read.cleanCountPruning", "false")
     try {
-      s.sql("DROP TABLE IF EXISTS graft_cnt.db.cp4")
-      (0 until 600).map(id =>
-          (id.toLong, java.sql.Date.valueOf(s"${1992 + id / 200}-06-15")))
-        .toDF("k", "d")
-        .writeTo("graft_cnt.db.cp4")
-        .partitionedBy(years($"d"))
-        .create()
-      val df = s.sql("SELECT count(*) AS n FROM graft_cnt.db.cp4 " +
+      val off = s.sql("SELECT count(*) AS n FROM graft_cnt.db.cp4 " +
         "WHERE d >= DATE '1993-01-01'")
-      val plan = planOf(df)
-      assert(plan.contains("LocalTableScan") &&
-        !plan.toLowerCase.contains("parquet"),
-        s"clean filtered count must serve from metadata:\n$plan")
-      assert(df.collect()(0).getLong(0) === 400L)
-      // the unfiltered count keeps the inner footer path (it also
-      // serves MIN/MAX) — no plan change for the q100 shape
-      val plain = s.sql("SELECT count(*) AS n FROM graft_cnt.db.cp4")
-      assert(planOf(plain).contains("PushedAggregation"),
-        planOf(plain))
-      assert(plain.collect()(0).getLong(0) === 600L)
+      assert(!planOf(off).contains("LocalTableScan"),
+        s"the opt-out must restore the scan:\n${planOf(off)}")
+      assert(off.collect()(0).getLong(0) === 400L)
     } finally s.conf
       .unset("spark.sql.catalog.graft.read.cleanCountPruning")
   }

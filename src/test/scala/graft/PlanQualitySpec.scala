@@ -452,4 +452,35 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no runtime group filter on the merge scan:\n$plan")
     spark.sql("DROP TABLE graft_pq.db.prune1")
   }
+
+  test("clean-count pruning (now default-on) reshapes NO plan in a " +
+      "default session: consumption engages only under the " +
+      "aggregatePushdown conf, so a plain filtered SELECT keeps its " +
+      "Filter + pushed scan") {
+    import spark.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(spark, "graft_pq")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_pq.db")
+    spark.range(200).select($"id".as("k"), ($"id" * 2).as("v"))
+      .writeTo("graft_pq.db.clean1").using("parquet").createOrReplace()
+    // pin the DEFAULT posture explicitly — a sibling suite in the same
+    // JVM may have leaked aggregatePushdown=true into the session
+    val prev = spark.conf.getOption("spark.sql.parquet.aggregatePushdown")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+    try {
+      val df = spark.sql(
+        "SELECT v FROM graft_pq.db.clean1 WHERE k >= 100")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Filter"),
+        s"a default session's filtered SELECT must keep its Filter:\n$plan")
+      assert(!plan.contains("LocalTableScan"), plan)
+      assert(df.collect().map(_.getLong(0)).sorted ===
+        (100L until 200L).map(_ * 2).toArray)
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", v)
+      case None =>
+        spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+    }
+    spark.sql("DROP TABLE graft_pq.db.clean1")
+  }
 }
