@@ -87,7 +87,7 @@ object AtomicParquetCatalog {
   private[sources] val MainRef = "_current"
   /** Marker file a content-preserving maintenance commit carries in its
     * version directory (see `markContentPreserving`). */
-  private[sources] val ContentPreservingMarker = "_content_preserving"
+  private[graft] val ContentPreservingMarker = "_content_preserving"
 
   /** `t@branch` identifier convention: split a table name into
     * (table, branch). A name without `@` is (name, None) = main. */
@@ -1951,7 +1951,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
 
   import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
   import org.apache.spark.sql.catalyst.InternalRow
-  import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType, TimestampType}
+  import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType, TimestampType}
   import org.apache.spark.unsafe.types.UTF8String
 
   /** Resolve a procedure's `table` argument ("db.tbl" relative to this
@@ -2038,7 +2038,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
         "evolve_layout", "unify_layout", "tag", "drop_tag", "analyze",
         "clone",
         "remove_orphans", "create_branch", "drop_branch", "fast_forward",
-        "create_changelog_view")
+        "create_changelog_view", "mark_content_preserving")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -2141,6 +2141,64 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
               StructField("new_version", StringType, nullable = false))),
               InternalRow(UTF8String.fromString(log.head),
                 UTF8String.fromString(log(ordinal)), UTF8String.fromString(v)))
+          }
+        }
+      case "mark_content_preserving" =>
+        // CALL cat.system.mark_content_preserving('db.tbl', version) —
+        // BACKFILL the content-preserving marker onto a maintenance
+        // commit an OLDER build created (markers are written at commit
+        // time from r17 on): a changelog stream whose window spans an
+        // untagged compaction dies pointedly, and without this repair
+        // the only way past was a checkpoint reset + full re-snapshot.
+        // The CALL refuses to tag a version that is NOT actually
+        // content-preserving: it diffs the version's live rows against
+        // the prior snapshot's (exact multiset, the table_changes
+        // machinery) BEFORE writing the marker — a wrong marker would
+        // silently drop real changes from every change feed, the one
+        // failure mode worse than the refusal it repairs. Cost: two
+        // snapshot reads, once, for a long-retention table that then
+        // keeps its checkpoints.
+        new GraftProcedure("mark_content_preserving", Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("version", StringType).build())) {
+          override def call(input: InternalRow): java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val dir = procTableDir(input.getUTF8String(0).toString)
+            val vArg = input.getUTF8String(1).toString.trim
+            val log = versionLog(dir)
+            val idx =
+              if (vArg.startsWith("v-")) log.indexOf(vArg)
+              else vArg.toIntOption.filter(k => k >= 0 && k < log.size)
+                .getOrElse(-1)
+            require(idx >= 0,
+              s"version '$vArg' is not in the retention window " +
+                s"(${log.size} snapshots kept) — pass 0..n commits back " +
+                "or an exact v-<uuid>")
+            require(idx + 1 < log.size,
+              s"'$vArg' is the OLDEST retained snapshot — there is no " +
+                "prior snapshot to prove content preservation against")
+            val next = dir.resolve(log(idx))
+            val already = Files.exists(
+              next.resolve(AtomicParquetCatalog.ContentPreservingMarker))
+            if (!already) {
+              val prev = dir.resolve(log(idx + 1))
+              val (schema, _) = readMeta(next)
+              def liveDf(vd: JPath) = MorDeletes.readFiles(spark, vd,
+                AtomicParquetCatalog.walkDataFiles(vd)
+                  .map(f => vd.relativize(Paths.get(f)).toString).toSet,
+                schema)
+              val n = liveDf(next)
+              val p = liveDf(prev)
+              require(n.exceptAll(p).isEmpty && p.exceptAll(n).isEmpty,
+                s"version ${log(idx)} is NOT content-preserving — its " +
+                  "live rows differ from the prior snapshot's; refusing " +
+                  "to tag (a wrong marker would silently drop real " +
+                  "changes from every change feed)")
+              markContentPreserving(next, "backfill")
+            }
+            summaryScan(StructType(Seq(
+              StructField("marked_version", StringType, nullable = false),
+              StructField("already_marked", BooleanType, nullable = false))),
+              InternalRow(UTF8String.fromString(log(idx)), already))
           }
         }
       case "compact" =>

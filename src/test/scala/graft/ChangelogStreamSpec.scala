@@ -603,6 +603,65 @@ class ChangelogStreamSpec extends AnyFunSuite {
       s"tableChanges typing diverged from the stream: $viaApi")
   }
 
+  test("mark_content_preserving backfills a PRE-r17 maintenance " +
+      "commit: the stream dies pointedly on the untagged compaction, " +
+      "the CALL validates then tags, and the SAME checkpoint drains " +
+      "on — no reset, no re-snapshot; tagging a genuine data commit " +
+      "refuses") {
+    val s = spark
+    import s.implicits._
+    s.range(10).select($"id".as("k"), lit("a").as("tag"))
+      .repartition(3).writeTo("graft_chg.db.c15").create()
+    val ckpt = Files.createTempDirectory("graft_chg_bf_ck").toString
+    assert(drain("graft_chg.db.c15.changes", ckpt).size == 10)
+    s.range(10, 14).select($"id".as("k"), lit("b").as("tag"))
+      .writeTo("graft_chg.db.c15").append()
+    assert(drain("graft_chg.db.c15.changes", ckpt).size == 4)
+    // a compaction, then SIMULATE a pre-r17 build by deleting the
+    // marker its commit wrote
+    s.sql("CALL graft_chg.system.compact('db.c15', 1)")
+    val tdir = java.nio.file.Paths.get(
+      s.conf.get("spark.sql.catalog.graft_chg.warehouse"), "db", "c15")
+    val compacted = new String(
+      Files.readAllBytes(tdir.resolve("_current")), "UTF-8")
+      .split("\n").head.trim
+    val marker = tdir.resolve(compacted)
+      .resolve(graft.sources.AtomicParquetCatalog.ContentPreservingMarker)
+    assert(Files.deleteIfExists(marker), "the compaction must have " +
+      "written the marker for the simulation to remove")
+    s.range(20, 23).select($"id".as("k"), lit("c").as("tag"))
+      .writeTo("graft_chg.db.c15").append()
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // the untagged compaction kills the stream with the pointed error
+    val e1 = intercept[Exception] {
+      drain("graft_chg.db.c15.changes", ckpt)
+    }
+    assert(msgs(e1).exists(_.contains("removed")), msgs(e1))
+    // the repair refuses a version that is NOT content-preserving
+    // (the append commit added live rows)
+    val e2 = intercept[Exception] {
+      s.sql("CALL graft_chg.system.mark_content_preserving(" +
+        "'db.c15', '0')").collect()
+    }
+    assert(msgs(e2).exists(_.contains("NOT content-preserving")), msgs(e2))
+    // the compaction validates (live rows identical) and tags
+    val marked = s.sql("CALL graft_chg.system.mark_content_preserving(" +
+      s"'db.c15', '$compacted')").collect()
+    assert(marked.head.getString(0) == compacted &&
+      !marked.head.getBoolean(1), s"unexpected ${marked.toSeq}")
+    assert(Files.exists(marker), "the CALL must write the marker")
+    // idempotent: a second CALL reports already_marked
+    assert(s.sql("CALL graft_chg.system.mark_content_preserving(" +
+      s"'db.c15', '$compacted')").collect().head.getBoolean(1))
+    // the SAME checkpoint drains on: zero rows for the compaction,
+    // the post-compaction append's rows arrive
+    val resumed = drain("graft_chg.db.c15.changes", ckpt)
+    assert(resumed.map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("k"))).sorted ==
+      Seq(("insert", 20L), ("insert", 21L), ("insert", 22L)),
+      s"resume after backfill mismatch: ${resumed.size}")
+  }
+
   test("maxBytesPerTrigger admits changelog units by cumulative " +
       "serving-file size: a 1-byte budget forces one unit per batch " +
       "and the drained rows are identical") {
