@@ -613,7 +613,8 @@ object Stress {
       spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cl.db")
       spark.sql("CREATE TABLE graft_cl.db.cl (h STRING, v BIGINT) " +
         "TBLPROPERTIES ('write.bloom-cols'='h','write.bloom-ndv'='30000'," +
-        "'write.merge.mode'='merge-on-read')")
+        "'write.merge.mode'='merge-on-read'," +
+        "'write.cdf.typed-updates'='true')")
       spark.range(25000L * 32 * n)
         .select(md5($"id".cast("string")).as("h"), ($"id" % 97).as("v"))
         .repartition(32 * n).writeTo("graft_cl.db.cl").append()
@@ -621,22 +622,38 @@ object Stress {
         "PRIMARY KEY (h) NOT ENFORCED")
       val clCkpt = java.nio.file.Files
         .createTempDirectory("graft_cl_ck").toString
-      val clRows = new java.util.concurrent.atomic.AtomicLong(0)
-      def drainChanges(): Long = {
-        val before = clRows.get()
-        val q = spark.readStream.table("graft_cl.db.cl.changes")
+      // typed rows accumulate across drains (the table is
+      // write.cdf.typed-updates, so update commits must serve
+      // update_preimage/update_postimage — at scale, for free: the
+      // typing is one marker file per commit)
+      val clTyped = new java.util.concurrent.atomic.AtomicLong(0)
+      def drainChanges(bytesCap: Option[String] = None): (Long, Long) = {
+        val rows = new java.util.concurrent.atomic.AtomicLong(0)
+        val batches = new java.util.concurrent.atomic.AtomicLong(0)
+        var reader = spark.readStream
+        bytesCap.foreach(c => reader =
+          reader.option("maxBytesPerTrigger", c))
+        val q = reader.table("graft_cl.db.cl.changes")
           .writeStream
           .option("checkpointLocation", clCkpt)
           .foreachBatch { (b: DataFrame, _: Long) =>
-            clRows.addAndGet(b.count()); ()
+            batches.incrementAndGet()
+            // ONE pass per batch: counting types separately would
+            // recompute the batch and double the drain's read cost
+            val cnts = b.groupBy("_change_type").count().collect()
+            rows.addAndGet(cnts.map(_.getLong(1)).sum)
+            clTyped.addAndGet(cnts
+              .filter(_.getString(0).startsWith("update_"))
+              .map(_.getLong(1)).sum)
+            ()
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination(300000)
         q.stop()
-        clRows.get() - before
+        (rows.get(), batches.get())
       }
-      val (tClogSnap, nClogSnap) = secs { drainChanges() }
+      val (tClogSnap, nClogSnap) = secs { drainChanges()._1 }
       require(nClogSnap == 25000L * 32 * n,
         s"changelog snapshot served $nClogSnap rows")
       def clMd5(v: Long): String = java.security.MessageDigest
@@ -647,9 +664,12 @@ object Stress {
         .toDF("h", "v").createOrReplaceTempView("cl_src")
       spark.sql("""MERGE INTO graft_cl.db.cl t USING cl_src s ON t.h = s.h
                   |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
-      val (tClogCdc, nClogCdc) = secs { drainChanges() }
+      val (tClogCdc, nClogCdc) = secs { drainChanges()._1 }
       require(nClogCdc == 128,
         s"changelog CDC resume served $nClogCdc rows, expected 64+64")
+      require(clTyped.get() == 128,
+        s"the typed-updates merge must serve 64 preimages + 64 " +
+          s"postimages, got ${clTyped.get()} typed rows")
       // round-17: the delete-aware metadata COUNT at scale (q113's
       // path, KeyGroupedScan.morCountCached): with the merge's
       // equality entry LIVE, COUNT(*) is a driver-side walk of footer
@@ -676,9 +696,31 @@ object Stress {
         spark.sql(s"CALL graft_cl.system.compact('db.cl', ${4 * n})")
           .collect()
       }
-      val (tClogMaintDrain, nClogMaint) = secs { drainChanges() }
+      val (tClogMaintDrain, nClogMaint) = secs { drainChanges()._1 }
       require(nClogMaint == 0L,
         s"changelog drain across a compaction served $nClogMaint rows")
+      // round-18: BYTE-CAPPED admission + typed updates at scale — the
+      // same 64-key merge shape re-runs post-compaction and the
+      // resumed drain is capped at 1 byte/trigger, so every trigger
+      // admits exactly ONE serving file: trigger count must track the
+      // CHURN's units (the entry's bloom/stats-narrowed scope + the
+      // postimage file), never the 32*K-file snapshot, and every row
+      // serves once, typed. clog_bytecap_s prices the same churn as
+      // changelog_cdc_s plus the per-trigger planning the cap buys.
+      spark.createDataFrame(
+          (0 until 64).map(i => (clMd5(i * 1000L + 7L), -2L)))
+        .toDF("h", "v").createOrReplaceTempView("cl_src2")
+      spark.sql("""MERGE INTO graft_cl.db.cl t USING cl_src2 s ON t.h = s.h
+                  |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+      val typedBefore = clTyped.get()
+      val (tClogByteCap, byteCapRes) = secs { drainChanges(Some("1")) }
+      val (nClogByte, nByteCapBatches) = byteCapRes
+      require(nClogByte == 128,
+        s"byte-capped drain served $nClogByte rows, expected 64+64")
+      require(clTyped.get() - typedBefore == 128,
+        "the byte-capped drain must serve the merge four-way typed")
+      require(nByteCapBatches >= 2,
+        s"a 1-byte cap must split the drain, got $nByteCapBatches batch")
       spark.sql("DROP TABLE graft_cl.db.cl")
       // round-13: NATIVE streaming sink at scale (writeStream.toTable,
       // VERDICT r12 #2's surface promoted to a first-class sink): the
@@ -766,7 +808,7 @@ object Stress {
       rmTree(gateDir)
 
       docs.unpersist()
-      f"""{"k":$n,"n_docs":$nDocs,"sig_s":$tSig%.2f,"pairs_s":$tPairs%.2f,"n_pairs":$nPairs,"verify_s":$tVerify%.2f,"n_edges":$nEdges,"dedup_s":$tDedup%.2f,"n_kept":$nKept,"contam_s":$tContam%.2f,"contam_bloom_s":$tContamB%.2f,"repetition_s":$tRep%.2f,"boilerplate_s":$tBp%.2f,"clean_s":$tClean%.2f,"n_clean":$nClean,"semantic_s":$tSem%.2f,"n_semantic":$nSem,"bpe_s":$tBpe%.2f,"n_merges":$nMergesGot,"fluency_s":$tFluency%.2f,"chunk_s":$tChunk%.2f,"score_s":$tScore%.2f,"triangles_s":$tTri%.2f,"n_triangles":$nTri,"cc_local_s":$tCcLocal%.2f,"cc_dist_s":$tCcDist%.2f,"cdc_s":$tCdc%.2f,"n_cdc_chunks":$nCdcChunks,"overlap_s":$tOv%.2f,"overlap_sketch_s":$tOvSk%.2f,"robust_s":$tRob%.2f,"spans_s":$tSpans%.2f,"excise_s":$tExcise%.2f,"contain_s":$tContain%.2f,"n_contain":$nContain,"split_s":$tSplit%.2f,"n_split":$nSplit,"budget_s":$tBudget%.2f,"n_budget":$nBudget,"budget_group_s":$tBudgetG%.2f,"n_budget_group":$nBudgetG,"hh_s":$tHh%.2f,"n_hh":$nHh,"vocab_s":$tVocab%.2f,"n_vocab":$nVocab,"kn_s":$tKn%.2f,"iw_s":$tIw%.2f,"drift_s":$tDrift%.2f,"mm04_s":$tMm04%.2f,"n_mm04":$nMm04,"t43_s":$tT43%.2f,"t44_s":$tT44%.2f,"st09_s":$tSt09%.2f,"st10_s":$tSt10%.2f,"merge_part_s":$tMergePart%.2f,"upsert_s":$tUpsert%.2f,"upsert_replay_s":$tUpsertReplay%.2f,"relayout_s":$tRelayout%.2f,"bucket_merge_s":$tBucketMerge%.2f,"evolve_s":$tEvolve%.2f,"unify_s":$tUnify%.2f,"hist_diff_s":$tHist%.2f,"n_hist_changed":$nChanged,"st13_catchup_s":$tCatch%.2f,"st13_catchup_batches":${nCatchB.get()},"changelog_snap_s":$tClogSnap%.2f,"changelog_cdc_s":$tClogCdc%.2f,"mor_count_s":$tMorCount%.2f,"clog_compact_s":$tClogCompact%.2f,"clog_maint_drain_s":$tClogMaintDrain%.2f,"cluster_s":$tCluster%.2f,"skip_off_s":$tSkipOff%.2f,"skip_on_s":$tSkipOn%.2f,"bloom_off_s":$tBloomOff%.2f,"bloom_on_s":$tBloomOn%.2f,"mor_delete_s":$tMorDelete%.2f,"rewrite_deletes_s":$tRewriteDel%.2f,"cow_delete_s":$tCowDelete%.2f,"mor_merge_s":$tMorMerge%.2f,"pos_merge_s":$tPosMerge%.2f,"cow_scatter_merge_s":$tCowScatter%.2f,"stream_sink_s":$tStreamSink%.2f,"stream_sink_epochs":$sinkEpochs,"serial_append8_s":$tSerial8%.2f,"conc_append8_s":$tConc8%.2f}"""
+      f"""{"k":$n,"n_docs":$nDocs,"sig_s":$tSig%.2f,"pairs_s":$tPairs%.2f,"n_pairs":$nPairs,"verify_s":$tVerify%.2f,"n_edges":$nEdges,"dedup_s":$tDedup%.2f,"n_kept":$nKept,"contam_s":$tContam%.2f,"contam_bloom_s":$tContamB%.2f,"repetition_s":$tRep%.2f,"boilerplate_s":$tBp%.2f,"clean_s":$tClean%.2f,"n_clean":$nClean,"semantic_s":$tSem%.2f,"n_semantic":$nSem,"bpe_s":$tBpe%.2f,"n_merges":$nMergesGot,"fluency_s":$tFluency%.2f,"chunk_s":$tChunk%.2f,"score_s":$tScore%.2f,"triangles_s":$tTri%.2f,"n_triangles":$nTri,"cc_local_s":$tCcLocal%.2f,"cc_dist_s":$tCcDist%.2f,"cdc_s":$tCdc%.2f,"n_cdc_chunks":$nCdcChunks,"overlap_s":$tOv%.2f,"overlap_sketch_s":$tOvSk%.2f,"robust_s":$tRob%.2f,"spans_s":$tSpans%.2f,"excise_s":$tExcise%.2f,"contain_s":$tContain%.2f,"n_contain":$nContain,"split_s":$tSplit%.2f,"n_split":$nSplit,"budget_s":$tBudget%.2f,"n_budget":$nBudget,"budget_group_s":$tBudgetG%.2f,"n_budget_group":$nBudgetG,"hh_s":$tHh%.2f,"n_hh":$nHh,"vocab_s":$tVocab%.2f,"n_vocab":$nVocab,"kn_s":$tKn%.2f,"iw_s":$tIw%.2f,"drift_s":$tDrift%.2f,"mm04_s":$tMm04%.2f,"n_mm04":$nMm04,"t43_s":$tT43%.2f,"t44_s":$tT44%.2f,"st09_s":$tSt09%.2f,"st10_s":$tSt10%.2f,"merge_part_s":$tMergePart%.2f,"upsert_s":$tUpsert%.2f,"upsert_replay_s":$tUpsertReplay%.2f,"relayout_s":$tRelayout%.2f,"bucket_merge_s":$tBucketMerge%.2f,"evolve_s":$tEvolve%.2f,"unify_s":$tUnify%.2f,"hist_diff_s":$tHist%.2f,"n_hist_changed":$nChanged,"st13_catchup_s":$tCatch%.2f,"st13_catchup_batches":${nCatchB.get()},"changelog_snap_s":$tClogSnap%.2f,"changelog_cdc_s":$tClogCdc%.2f,"mor_count_s":$tMorCount%.2f,"clog_compact_s":$tClogCompact%.2f,"clog_maint_drain_s":$tClogMaintDrain%.2f,"clog_bytecap_s":$tClogByteCap%.2f,"clog_bytecap_batches":$nByteCapBatches,"cluster_s":$tCluster%.2f,"skip_off_s":$tSkipOff%.2f,"skip_on_s":$tSkipOn%.2f,"bloom_off_s":$tBloomOff%.2f,"bloom_on_s":$tBloomOn%.2f,"mor_delete_s":$tMorDelete%.2f,"rewrite_deletes_s":$tRewriteDel%.2f,"cow_delete_s":$tCowDelete%.2f,"mor_merge_s":$tMorMerge%.2f,"pos_merge_s":$tPosMerge%.2f,"cow_scatter_merge_s":$tCowScatter%.2f,"stream_sink_s":$tStreamSink%.2f,"stream_sink_epochs":$sinkEpochs,"serial_append8_s":$tSerial8%.2f,"conc_append8_s":$tConc8%.2f}"""
     }
     println(s"""{"stress":[${results.mkString(",")}],"sf":"$dir"}""")
     spark.stop()

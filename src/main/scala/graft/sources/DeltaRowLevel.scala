@@ -354,15 +354,26 @@ private[sources] final class GraftDeltaWrite(
                 val convs =
                   dts.map(CatalystTypeConverters.createToCatalystConverter)
                 val nId = rowIdSchema.length
-                // per-distinct-id PHYSICAL match counts (duplicate key
-                // rows each took one delete() call), so a SPLIT
-                // entry's matched count stays exact under duplicates
-                val grouped = spark.read.schema(idFileSchema)
-                  .parquet(idFiles.toSeq: _*)
-                  .groupBy(idFileSchema.fieldNames.head,
-                    idFileSchema.fieldNames.tail.toSeq: _*)
-                  .count()
-                  .limit(cap + 1).collect()
+                // typing is possible only on an opted-in table with
+                // reinserts to pair against — every OTHER merge keeps
+                // the r17 read shape (distinct ids, one entry, matched
+                // = the physical total) and pays nothing new
+                val typingPossible = typedUpdatesOn &&
+                  reinsertedTotal > 0L && rinsFiles.nonEmpty
+                // per-distinct-id PHYSICAL match counts when a SPLIT
+                // may need per-half sums (duplicate key rows each took
+                // one delete() call); plain distinct otherwise
+                val grouped: Array[org.apache.spark.sql.Row] =
+                  if (typingPossible)
+                    spark.read.schema(idFileSchema)
+                      .parquet(idFiles.toSeq: _*)
+                      .groupBy(idFileSchema.fieldNames.head,
+                        idFileSchema.fieldNames.tail.toSeq: _*)
+                      .count()
+                      .limit(cap + 1).collect()
+                  else spark.read.schema(idFileSchema)
+                    .parquet(idFiles.toSeq: _*).distinct()
+                    .limit(cap + 1).collect()
                 if (grouped.length > cap) capError()
                 def keyOf(r: org.apache.spark.sql.Row): Seq[Any] =
                   (0 until nId).map(r.get)
@@ -370,8 +381,7 @@ private[sources] final class GraftDeltaWrite(
                 // whose key reappears among the reinserted rows (the
                 // reinsert carries the full row, key columns included)
                 val rinsKeys: Set[Seq[Any]] =
-                  if (typedUpdatesOn && reinsertedTotal > 0L &&
-                      rinsFiles.nonEmpty)
+                  if (typingPossible)
                     spark.read.schema(writeSchema)
                       .parquet(rinsFiles.toSeq: _*)
                       .selectExpr(rowIdSchema.fieldNames
@@ -379,10 +389,12 @@ private[sources] final class GraftDeltaWrite(
                       .distinct().limit(cap + 1).collect()
                       .map(keyOf).toSet
                   else Set.empty
-                val idKeys = grouped.map(keyOf).toSet
                 // split only when EVERY reinserted row pairs with a
                 // matched id — a key-mutating UPDATE breaks pairing
-                val split = rinsKeys.nonEmpty && rinsKeys.subsetOf(idKeys)
+                val split = rinsKeys.nonEmpty && {
+                  val idKeys = grouped.map(keyOf).toSet
+                  rinsKeys.subsetOf(idKeys)
+                }
                 val (updRows, delRows) =
                   if (split) grouped.partition(r => rinsKeys.contains(keyOf(r)))
                   else if (allUpdates) (grouped, Array.empty[org.apache.spark.sql.Row])
@@ -395,8 +407,10 @@ private[sources] final class GraftDeltaWrite(
                 // this half touched, not the snapshot. Composite keys
                 // narrow on their FIRST component (per-column ranges
                 // cannot see tuples; still a sound over-approximation).
-                // The matched count is the half's physical row sum, so
-                // COUNT(*) pushdown stays exact: base rows − Σ matched.
+                // The matched count is the half's physical row sum
+                // (the commit's physical total on the untyped path,
+                // whose rows carry no count column), so COUNT(*)
+                // pushdown stays exact: base rows − Σ matched.
                 def writeHalf(rows: Array[org.apache.spark.sql.Row])
                     : Option[String] = {
                   if (rows.isEmpty) return None
@@ -427,7 +441,9 @@ private[sources] final class GraftDeltaWrite(
                       BloomIndex.loadIfEnabled(dir, spark),
                       byStats, keyCol, keys)
                   }
-                  val matchedRows = rows.map(_.getLong(nId)).sum
+                  val matchedRows =
+                    if (typingPossible) rows.map(_.getLong(nId)).sum
+                    else deletedTotal
                   if (scoped.isEmpty) None
                   else Some(MorDeletes.writeEntry(nv, node, scoped,
                     matched = Some(matchedRows)))
