@@ -2262,6 +2262,89 @@ object Extras {
     }
   }
 
+  /** q116: SUM/AVG METADATA PUSHDOWN — the reference's dominant
+    * aggregate shape (CM:386–402) answered from the driver: parquet
+    * footers carry no sums, so the commit path harvests EXACT per-file
+    * column sums into `_filestats` (one churn-sized column-pruned read
+    * per commit, FileStats.appendSums) and a clean table's
+    * SUM/AVG(integral col) — unfiltered AND under a consumed pruning
+    * filter — serves as a LocalTableScan, zero data files planned. A
+    * LIVE delete entry refuses to the scan (a deleted row's
+    * contribution is unknowable from metadata); the refusal and the
+    * post-delete scan answer are part of this gate's output, and the
+    * oracle re-derives every number from raw orders. */
+  def q116SumPushdown(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.AtomicParquetCatalog.ensureRegistered(s, "graft_ma")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ma.db")
+    s.sql("DROP TABLE IF EXISTS graft_ma.db.ord_sum")
+    Tables.load(s, dir, "orders")
+      .where($"o_orderkey" % 3 === 0)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      .writeTo("graft_ma.db.ord_sum").using("parquet")
+      .partitionedBy(org.apache.spark.sql.functions.years($"o_orderdate"))
+      .tableProperty("write.merge.mode", "merge-on-read")
+      .tableProperty("write.stats.sums", "true")
+      .create()
+    val key = "spark.sql.parquet.aggregatePushdown"
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try {
+      // unfiltered SUM/AVG/COUNT: pure metadata answer
+      val pre = s.sql(
+        """SELECT sum(o_custkey) AS sum_all, avg(o_custkey) AS avg_all,
+          | CAST(count(*) AS BIGINT) AS n_all
+          |FROM graft_ma.db.ord_sum""".stripMargin)
+      val prePlan = pre.queryExecution.executedPlan.toString
+      require(prePlan.contains("LocalTableScan"),
+        s"q116: clean SUM/AVG was not served from metadata:\n$prePlan")
+      require(!prePlan.toLowerCase.contains("parquet"),
+        s"q116: the pushed plan still scans data files:\n$prePlan")
+      // PRUNED sum: the years() filter is consumed all-or-nothing and
+      // the kept files' harvested sums are exact contributions
+      val pruned = s.sql(
+        """SELECT sum(o_custkey) AS sum_recent FROM graft_ma.db.ord_sum
+          |WHERE o_orderdate >= DATE '1994-01-01'""".stripMargin)
+      val prPlan = pruned.queryExecution.executedPlan.toString
+      require(prPlan.contains("LocalTableScan"),
+        s"q116: the pruned SUM was not served from metadata:\n$prPlan")
+      // kill-switch cross-check: the scan path agrees exactly
+      s.conf.set("spark.sql.catalog.graft.read.morAggPushdown", "false")
+      val (preScan, prunedScan) =
+        try (s.sql("SELECT sum(o_custkey), avg(o_custkey), " +
+            "CAST(count(*) AS BIGINT) FROM graft_ma.db.ord_sum")
+            .collect()(0),
+          s.sql("SELECT sum(o_custkey) FROM graft_ma.db.ord_sum " +
+            "WHERE o_orderdate >= DATE '1994-01-01'").collect()(0))
+        finally s.conf.unset("spark.sql.catalog.graft.read.morAggPushdown")
+      require(pre.collect()(0).toSeq == preScan.toSeq,
+        s"q116: pushed ${pre.collect()(0)} != scanned $preScan")
+      require(pruned.collect()(0).toSeq == prunedScan.toSeq,
+        s"q116: pruned pushed ${pruned.collect()(0)} != $prunedScan")
+      // a live MoR entry REFUSES the sum back to the scan — the
+      // refusal is structural (plan), the answer stays exact (oracle)
+      s.sql("ALTER TABLE graft_ma.db.ord_sum ADD CONSTRAINT ord_sum_pk " +
+        "PRIMARY KEY (o_orderkey) NOT ENFORCED")
+      Tables.load(s, dir, "orders")
+        .where($"o_orderkey" % 3 === 0 && $"o_orderkey" % 97 === 0)
+        .select($"o_orderkey").createOrReplaceTempView("q116_src")
+      s.sql("""MERGE INTO graft_ma.db.ord_sum t USING q116_src s
+              |ON t.o_orderkey = s.o_orderkey
+              |WHEN MATCHED THEN DELETE""".stripMargin)
+      require(s.table("graft_ma.db.ord_sum.deletes").count() >= 1L,
+        "q116 needs a live equality entry")
+      val after = s.sql(
+        "SELECT sum(o_custkey) AS sum_after FROM graft_ma.db.ord_sum")
+      require(!after.queryExecution.executedPlan.toString
+          .contains("LocalTableScan"),
+        "q116: SUM under a live entry must refuse to the scan")
+      pre.crossJoin(pruned).crossJoin(after)
+    } finally prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Export path q76's oracle reads. Verify and the DuckDB oracle run on
     * the same host within one gate round, and the oracle SQL (which
     * embeds this path) is DUMPED BY THE SAME JVM that ran the export —
@@ -2604,6 +2687,7 @@ object Extras {
     "q113_mor_count_pushdown" -> q113MorCountPushdown,
     "q114_mor_count_pruned" -> q114MorCountPruned,
     "q115_mor_minmax_survival" -> q115MorMinMaxSurvival,
+    "q116_sum_pushdown" -> q116SumPushdown,
     "q76_catalog_external" -> q76CatalogExternal,
     "q77_partitions_metadata" -> q77PartitionsMetadata,
     "q78_snapshot_changes" -> q78SnapshotChanges,
@@ -3298,6 +3382,19 @@ object Extras {
         |FROM orders
         |WHERE NOT (o_orderkey % 7 = 3
         |  AND o_orderkey >= 100 AND o_orderkey < 1000)""".stripMargin,
+    // the metadata-served sums == the raw slice's sums; avg is the
+    // same exact-long-sum / count division on both engines; sum_after
+    // nets the deleted keys (served by the SCAN after the refusal)
+    "q116_sum_pushdown" ->
+      """SELECT CAST(sum(o_custkey) AS BIGINT) AS sum_all,
+        | CAST(CAST(sum(o_custkey) AS BIGINT) AS DOUBLE)
+        |   / count(o_custkey) AS avg_all,
+        | CAST(count(*) AS BIGINT) AS n_all,
+        | CAST(sum(CASE WHEN o_orderdate >= DATE '1994-01-01'
+        |   THEN o_custkey END) AS BIGINT) AS sum_recent,
+        | CAST(sum(CASE WHEN o_orderkey % 97 <> 0
+        |   THEN o_custkey END) AS BIGINT) AS sum_after
+        |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
     // footer-metadata aggregate == the row-scan aggregate
     "q100_agg_pushdown" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_orders,

@@ -156,9 +156,14 @@ private[sources] object FileStats {
   private val COMPACT_AT = 24
 
   /** One column's file-level stats; values are catalyst-internal
-    * (Int/Long/Float/Double/Boolean/UTF8String), `None` = unknown. */
+    * (Int/Long/Float/Double/Boolean/UTF8String), `None` = unknown.
+    * `sum` is the EXACT sum of the column's non-null values (integral
+    * columns only — harvested by a churn-sized column-pruned read at
+    * commit time, since parquet footers carry no sums), carried as
+    * BigInt so 100 TB of longs cannot overflow the store. */
   final case class ColStat(mn: Option[Any], mx: Option[Any],
-                           nulls: Option[Long])
+                           nulls: Option[Long],
+                           sum: Option[BigInt] = None)
   final case class FileStat(rows: Long, cols: Map[String, ColStat])
 
   // ---- commit-time recording ----
@@ -170,6 +175,72 @@ private[sources] object FileStats {
   def skippingEnabled(s: SparkSession): Boolean =
     s.conf.getOption("spark.sql.catalog.graft.read.fileSkipping")
       .forall(_ != "false")
+
+  /** Sum harvest is OPT-IN (table property `write.stats.sums`, or the
+    * session conf for a blanket enable): unlike the footer pass it
+    * costs one Spark job per commit — noise on a real commit, but a
+    * tax on single-row commit loops (streaming epochs). Same
+    * soak-then-default posture cleanCountPruning took in r17. */
+  def sumsEnabled(s: SparkSession, tableDir: JPath): Boolean =
+    AtomicParquetCatalog.readProps(tableDir)
+      .get("write.stats.sums").contains("true") ||
+      s.conf.getOption("spark.sql.catalog.graft.write.fileSums")
+        .contains("true")
+
+  /** Append per-file exact column sums (7th TSV field) to the stat
+    * lines of the just-written `files`: one column-pruned Spark
+    * aggregation, integral top-level columns only. A file or column
+    * the job did not cover keeps its 6-field line (no sum claimed). */
+  private def appendSums(spark: SparkSession,
+      files: Seq[(String, String)], lines: Seq[String]): Seq[String] =
+    try {
+      val df = spark.read.parquet(files.map(_._1): _*)
+      val numCols = df.schema.fields.collect {
+        case f if f.dataType == ByteType || f.dataType == ShortType ||
+          f.dataType == IntegerType || f.dataType == LongType => f.name
+      }.toSeq
+      if (numCols.isEmpty) return lines
+      import org.apache.spark.sql.functions.{col, input_file_name, sum}
+      val rows = df.groupBy(input_file_name().as("_f"))
+        .agg(sum(col(numCols.head).cast(DecimalType(38, 0)))
+            .as(numCols.head),
+          numCols.tail.map(c =>
+            sum(col(c).cast(DecimalType(38, 0))).as(c)): _*)
+        .collect()
+      // input_file_name is a URI; the store key is the disk path
+      // relative to the version dir
+      val relOfAbs = files.map { case (abs, rel) =>
+        java.nio.file.Paths.get(abs).toString -> rel }.toMap
+      val sums: Map[(String, String), BigInt] = rows.flatMap { r =>
+        val disk =
+          try new java.net.URI(r.getString(0)).getPath
+          catch { case _: java.net.URISyntaxException => null }
+        relOfAbs.get(if (disk == null) "" else
+            java.nio.file.Paths.get(disk).toString).toSeq
+          .flatMap { rel =>
+            numCols.zipWithIndex.map { case (c, i) =>
+              // an all-null file sums to SQL NULL = zero contribution
+              val v = if (r.isNullAt(i + 1)) BigInt(0)
+                else BigInt(r.getDecimal(i + 1).toBigInteger)
+              (rel, c.toLowerCase) -> v
+            }
+          }
+      }.toMap
+      lines.map { l =>
+        val f = l.split("\t", -1)
+        if (f.length != 6 || f(2).isEmpty) l
+        else sums.get((f(0), f(2).toLowerCase)) match {
+          case Some(s0) => s"$l\t$s0"
+          case None => l
+        }
+      }
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[graft-filestats] WARN: sum harvest " +
+          s"failed (${e.getMessage}); SUM/AVG stay scan-served for " +
+          "these files")
+        lines
+    }
 
   /** Record footer stats for every data file of `versionDir` not yet
     * covered by the table's store. Called from the commit path (under
@@ -221,8 +292,18 @@ private[sources] object FileStats {
           .collect().toSeq // bounded: a few short stats lines per footer
       }
     val (bloomTagged, statTagged) = tagged.partition(_.startsWith("B\t"))
-    SidecarStore.writeFile(tableDir.resolve(STORE), "fs",
-      statTagged.map(_.substring(2)))
+    // EXACT per-file column sums for the new files (integral columns):
+    // parquet footers carry min/max/nullCount but no sums, so this is
+    // the one stat that needs a read — a single column-pruned Spark
+    // aggregation over ONLY the uncovered files (churn-sized for
+    // appends/merges; for the initial load, a numeric-columns-only
+    // second pass). The q100-family SUM/AVG metadata answers hang off
+    // it (KeyGroupedScan.morSum). Best-effort: failure leaves the
+    // lines sum-less and the read side refuses to the scan.
+    val withSums =
+      if (!sumsEnabled(spark, tableDir)) statTagged.map(_.substring(2))
+      else appendSums(spark, files, statTagged.map(_.substring(2)))
+    SidecarStore.writeFile(tableDir.resolve(STORE), "fs", withSums)
     cache.remove(tableDir.toString)
     maybeCompact(tableDir, live)
     BloomIndex.append(tableDir, bloomTagged.map(_.substring(2)), live)
@@ -459,12 +540,18 @@ private[sources] object FileStats {
          line <- content.split("\n")
          if line.nonEmpty) {
       val f = line.split("\t", -1)
-      if (f.length == 6) {
+      // 6 fields = the r17 format; a 7th carries the exact column sum
+      if (f.length == 6 || f.length == 7) {
         f(1).toLongOption.foreach { rows =>
           val e = byFile.getOrElseUpdate(f(0),
             (rows, scala.collection.mutable.Map.empty[String, ColStat]))
-          if (f(2).nonEmpty)
-            e._2(f(2)) = ColStat(dec(f(4)), dec(f(5)), f(3).toLongOption)
+          if (f(2).nonEmpty) {
+            val s0 =
+              if (f.length < 7 || f(6) == "-") None
+              else try Some(BigInt(f(6)))
+              catch { case _: NumberFormatException => None }
+            e._2(f(2)) = ColStat(dec(f(4)), dec(f(5)), f(3).toLongOption, s0)
+          }
         }
       }
     }

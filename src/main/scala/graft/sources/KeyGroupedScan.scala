@@ -148,6 +148,13 @@ private[sources] final class KeyGroupedParquetScanBuilder(
   private var consumed: Seq[CExpression] = Nil
   private var accounted: Seq[CExpression] = Nil
   private var prunedKeep: Option[Set[String]] = None
+  // the filters actually forwarded to the inner parquet builder —
+  // dataFilters minus the consumed conjuncts. Every pushdown REPLAY
+  // onto a rebuilt FileScanBuilder (DPP delegate, static hidden
+  // pruning) must use THIS set: replaying a consumed conjunct would
+  // re-introduce the pruned-column parquet filter the withholding in
+  // pushFilters exists to prevent.
+  private var innerFilters: Seq[CExpression] = Nil
 
   /** A directory value string as the catalyst-internal stat shape of
     * `dt` — only the exact-stat types the must-match evaluator proves
@@ -193,7 +200,20 @@ private[sources] final class KeyGroupedParquetScanBuilder(
 
   override def pushFilters(filters: Seq[CExpression]): Seq[CExpression] = {
     dataFilters = filters
-    consumePrunable(inner.pushFilters(filters))
+    // Raw-consumability is decided BEFORE delegating, and a consumed
+    // conjunct is WITHHELD from the inner parquet builder: once the
+    // Filter node is gone Spark prunes the conjunct's column out of
+    // the read schema, and a parquet-side pushed filter on a column
+    // absent from that schema evaluates it as null and drops EVERY
+    // row (`SELECT v WHERE ok = 2` on a two-file table returned zero
+    // rows). Withholding costs nothing: the conjunct is
+    // all-or-nothing per file, FileSkippingScan (which keeps the FULL
+    // dataFilters) plans away the none-match files, and every kept
+    // file matches whole — no partial row group exists for the
+    // parquet filter to prune.
+    val removable = rawConsumable(filters)
+    innerFilters = filters.filterNot(removable.contains)
+    consumePrunable(removable, inner.pushFilters(innerFilters))
   }
 
   // the (stats, files, included) triple every metadata-answer path
@@ -237,13 +257,10 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     * kill-switch; applies to MoR-live AND clean versions (the inner
     * footer path only serves UNfiltered aggregates — any data filter
     * makes it refuse). */
-  private def consumePrunable(residual: Seq[CExpression]): Seq[CExpression] = {
-    // dataFilters (not residual): an identity-partition-only query has
-    // an EMPTY residual yet still needs its filter folded into the
-    // pruned count scope
+  private def consumptionGated: Boolean = {
     if (dataFilters.isEmpty || legacy.nonEmpty ||
         !aggPushEnabled || !FileStats.skippingEnabled(session))
-      return residual
+      return false
     // clean (no-deletes) versions consume by DEFAULT (opt-out conf):
     // the clean table is the common case at 100 TB, and
     // `COUNT(*) WHERE date >= X` on it deserves the same zero-scan
@@ -256,13 +273,36 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     if (liveDeletes.isEmpty && livePosDeletes.isEmpty &&
         session.conf.get("spark.sql.catalog.graft.read.cleanCountPruning",
           "true") == "false")
-      return residual
-    val tableDir = versionDir.getParent
-    if (!java.nio.file.Files.isDirectory(tableDir.resolve("_filestats")))
-      return residual
+      return false
+    java.nio.file.Files.isDirectory(
+      versionDir.getParent.resolve("_filestats")) && metaFiles.nonEmpty
+  }
+
+  // decided on the RAW footer stats alone — the proof Filter-node
+  // removal needs: FileSkippingScan re-decides from raw stats, so a
+  // conjunct it cannot re-decide (identity-synthesis-only) would
+  // leave its none-match files planned with the Filter node gone.
+  // An empty file is decided by construction: zero rows match and
+  // zero rows fail, so it contributes nothing either way.
+  private def decidedRaw(c: CExpression, f: String): Boolean =
+    metaStats.get(f).exists(st => st.rows == 0L ||
+      FileStats.mustMatch(Seq(c), st, tableSchema) ||
+      !FileStats.mayMatch(Seq(c), st, tableSchema))
+
+  /** The conjuncts whose RAW footer stats decide every file of the
+    * version all-or-nothing — safe to consume from the residual AND
+    * (equivalently: REQUIRED to be) withheld from the inner parquet
+    * builder. Raw-decided implies synthesized-decided, so these always
+    * land in `accounted` too. */
+  private def rawConsumable(filters: Seq[CExpression]): Seq[CExpression] =
+    if (!consumptionGated) Nil
+    else filters.filter(c => metaFiles.forall(f => decidedRaw(c, f)))
+
+  private def consumePrunable(removable: Seq[CExpression],
+      residual: Seq[CExpression]): Seq[CExpression] = {
+    if (!consumptionGated) return residual
     val stats = metaStats
     val files = metaFiles
-    if (files.isEmpty) return residual
     // decide over the FULL pushed set, not just the residual: an
     // identity-partition filter never reaches the residual (the inner
     // builder consumed it against its file index), but the metadata
@@ -270,24 +310,12 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     // fold into the pruned scope too — its per-file truth synthesizes
     // exactly from the directory values (statsWithIdentity)
     val candidates = dataFilters
-    // an empty file is decided by construction: zero rows match and
-    // zero rows fail, so it contributes nothing either way
     def decided(c: CExpression, f: String): Boolean =
       statsWithIdentity(stats, f).exists(st => st.rows == 0L ||
         FileStats.mustMatch(Seq(c), st, tableSchema) ||
         !FileStats.mayMatch(Seq(c), st, tableSchema))
-    // decided on the RAW footer stats alone — the proof residual
-    // removal needs: FileSkippingScan re-decides from raw stats, so a
-    // conjunct it cannot re-decide (identity-synthesis-only) would
-    // leave its none-match files planned with the Filter node gone
-    def decidedRaw(c: CExpression, f: String): Boolean =
-      stats.get(f).exists(st => st.rows == 0L ||
-        FileStats.mustMatch(Seq(c), st, tableSchema) ||
-        !FileStats.mayMatch(Seq(c), st, tableSchema))
     val use = candidates.filter(c => files.forall(f => decided(c, f)))
     if (use.isEmpty) return residual
-    val removable = use.filter(c => residual.contains(c) &&
-      files.forall(f => decidedRaw(c, f)))
     val keep = files.filter { f =>
       val st = statsWithIdentity(stats, f).get
       st.rows > 0L &&
@@ -296,7 +324,10 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     accounted = use
     consumed = removable
     prunedKeep = Some(keep)
-    residual.filterNot(removable.contains)
+    // the removable conjuncts were never forwarded to the inner
+    // builder (pushFilters withheld them), so the residual it returned
+    // cannot contain them — returning it as-is IS the consumption
+    residual
   }
   override def pushedFilters: Array[V2Predicate] = inner.pushedFilters
   // a MIXED-SPEC version (legacy subtrees after metadata-only spec
@@ -326,14 +357,65 @@ private[sources] final class KeyGroupedParquetScanBuilder(
         "true") != "false"
 
   private def isServableAgg(aggregation: Aggregation): Boolean = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Avg, Count, CountStar, Max, Min, Sum}
     aggregation.groupByExpressions.isEmpty &&
       aggregation.aggregateExpressions.nonEmpty &&
       aggregation.aggregateExpressions.forall {
         case _: CountStar | _: Min | _: Max => true
         case c: Count => !c.isDistinct
+        case s: Sum => !s.isDistinct
+        case a: Avg => !a.isDistinct
         case _ => false
       }
+  }
+
+  /** Does the aggregation carry a SUM or AVG term — the two the
+    * parquet footer util cannot schema (footers have no sums), so the
+    * pushed-aggregate schema is built by hand and the answer comes
+    * from the store's harvested exact per-file sums. */
+  private def hasSumAvg(aggregation: Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Avg, Sum}
+    aggregation.aggregateExpressions.exists {
+      case _: Sum | _: Avg => true
+      case _ => false
+    }
+  }
+
+  /** The exact SUM (or AVG) of an integral column from the store's
+    * harvested per-file sums — clean versions only: any live delete
+    * entry refuses (a deleted row's contribution is unknowable from
+    * metadata), as does any included file or column without a
+    * harvested sum + known null count, a non-integral column, or a
+    * total outside Long range (catalyst sums integrals in Long).
+    * `Some(null)` = zero non-null values anywhere (SQL's answer). */
+  private def morSum(col: String, avg: Boolean): Option[Any] = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    if (liveDeletes.nonEmpty || livePosDeletes.nonEmpty) return None
+    val field = tableSchema.fields.find(_.name.equalsIgnoreCase(col))
+      .getOrElse(return None)
+    field.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case _ => return None
+    }
+    val stats = metaStats
+    var total = BigInt(0)
+    var nonNull = 0L
+    for (f <- metaIncluded) stats.get(f) match {
+      case None => return None
+      case Some(st) if st.rows == 0L => ()
+      case Some(st) =>
+        st.cols.find(_._1.equalsIgnoreCase(col)).map(_._2) match {
+          case None => return None
+          case Some(cs) => (cs.sum, cs.nulls) match {
+            case (Some(s0), Some(n)) => total += s0; nonNull += st.rows - n
+            case _ => return None
+          }
+        }
+    }
+    if (nonNull == 0L) Some(null)
+    else if (!total.isValidLong) None
+    else if (avg) Some(total.toLong.toDouble / nonNull.toDouble)
+    else Some(total.toLong)
   }
 
   /** The exact live COUNT(col) — non-null count — from metadata:
@@ -525,34 +607,78 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     else morCountCached
 
   private def tryMorCount(aggregation: Aggregation): Option[(Array[Any], StructType)] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Avg, Count, CountStar, Max, Min, Sum}
+    import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType, StructField}
     if (legacy.nonEmpty || !aggPushEnabled ||
       !isServableAgg(aggregation)) return None
     if ((dataFilters.toSet -- accounted.toSet).nonEmpty) return None
-    val schema = org.apache.spark.sql.execution.datasources
-      .AggregatePushDownUtils.getSchemaForPushedAggregation(
-        aggregation, tableSchema, parts.toSet,
-        // accounted filters are already folded into the pruned file
-        // scope; the util refuses on any data filter it can see
-        dataFilters.filterNot(accounted.contains))
-      .getOrElse(return None)
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case nr: org.apache.spark.sql.connector.expressions.NamedReference
             if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
         case _ => None
       }
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression) =
+      colOf(e).flatMap(c =>
+        tableSchema.fields.find(_.name.equalsIgnoreCase(c)))
+    val schema =
+      if (!hasSumAvg(aggregation))
+        org.apache.spark.sql.execution.datasources
+          .AggregatePushDownUtils.getSchemaForPushedAggregation(
+            aggregation, tableSchema, parts.toSet,
+            // accounted filters are already folded into the pruned file
+            // scope; the util refuses on any data filter it can see
+            dataFilters.filterNot(accounted.contains))
+          .getOrElse(return None)
+      else {
+        // the util cannot schema SUM/AVG (footers carry no sums) —
+        // build the one-row schema by hand, mirroring catalyst result
+        // types exactly: SUM(integral) is LongType, AVG is DoubleType
+        val fields = aggregation.aggregateExpressions.map {
+          case _: CountStar => StructField("count(*)", LongType)
+          case c: Count if !c.isDistinct =>
+            val f = fieldOf(c.column).getOrElse(return None)
+            StructField(s"count(${f.name})", LongType)
+          case m: Min =>
+            val f = fieldOf(m.column).getOrElse(return None)
+            StructField(s"min(${f.name})", f.dataType)
+          case m: Max =>
+            val f = fieldOf(m.column).getOrElse(return None)
+            StructField(s"max(${f.name})", f.dataType)
+          case s0: Sum if !s0.isDistinct =>
+            val f = fieldOf(s0.column).getOrElse(return None)
+            f.dataType match {
+              case ByteType | ShortType | IntegerType | LongType =>
+                StructField(s"sum(${f.name})", LongType)
+              case _ => return None
+            }
+          case a: Avg if !a.isDistinct =>
+            val f = fieldOf(a.column).getOrElse(return None)
+            f.dataType match {
+              case ByteType | ShortType | IntegerType | LongType =>
+                StructField(s"avg(${f.name})", DoubleType)
+              case _ => return None
+            }
+          case _ => return None
+        }
+        StructType(fields.toArray)
+      }
     val values = aggregation.aggregateExpressions.map {
       case _: CountStar =>
         morCountAnswer().getOrElse(return None): Any
-      case c: org.apache.spark.sql.connector.expressions.aggregate.Count
-          if !c.isDistinct =>
+      case c: Count if !c.isDistinct =>
         morCountCol(colOf(c.column).getOrElse(return None))
           .getOrElse(return None)
       case m: Min => morMinMax(colOf(m.column).getOrElse(return None),
         isMin = true).getOrElse(return None)
       case m: Max => morMinMax(colOf(m.column).getOrElse(return None),
         isMin = false).getOrElse(return None)
+      case s0: Sum if !s0.isDistinct =>
+        morSum(colOf(s0.column).getOrElse(return None), avg = false)
+          .getOrElse(return None)
+      case a: Avg if !a.isDistinct =>
+        morSum(colOf(a.column).getOrElse(return None), avg = true)
+          .getOrElse(return None)
       case _ => return None
     }
     Some((values.toArray, schema))
@@ -568,12 +694,20 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     // refuses any aggregate under data filters, but the pruned
     // metadata path serves it when every filter folded into the file
     // scope — COUNT(*) WHERE date >= X on a COW table costs a stats
-    // read, same as the MoR case. Unfiltered aggregates keep the
-    // inner footer path (it also serves MIN/MAX).
-    if (dataFilters.nonEmpty) {
+    // read, same as the MoR case. SUM/AVG terms take the metadata
+    // path too (footers carry no sums, so the inner builder can never
+    // serve them). Other unfiltered aggregates keep the inner footer
+    // path (it also serves MIN/MAX).
+    if (dataFilters.nonEmpty || hasSumAvg(aggregation)) {
       morCount = tryMorCount(aggregation)
       if (morCount.isDefined) return true
     }
+    // consumed conjuncts were withheld from the inner builder, so its
+    // "no pushed data filters" aggregate precondition is a lie here —
+    // an inner footer aggregate would ignore the consumed WHERE (and
+    // skipping, which enforces it, disengages under a pushed
+    // aggregate). Refuse; Spark keeps the row-level plan.
+    if (consumed.nonEmpty) return false
     val pushed = inner.pushAggregation(aggregation)
     aggPushed ||= pushed
     pushed
@@ -584,8 +718,10 @@ private[sources] final class KeyGroupedParquetScanBuilder(
       // complete-only: a partial push would make Spark re-aggregate
       // rows this scan never materializes
       return tryMorCount(aggregation).isDefined
-    if (dataFilters.nonEmpty && tryMorCount(aggregation).isDefined)
+    if ((dataFilters.nonEmpty || hasSumAvg(aggregation)) &&
+        tryMorCount(aggregation).isDefined)
       return true
+    if (consumed.nonEmpty) return false // see pushAggregation
     inner.supportCompletePushDown(aggregation)
   }
   override def pushVariantExtractions(
@@ -686,7 +822,9 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     builder match {
       case fb: org.apache.spark.sql.execution.datasources.v2.FileScanBuilder =>
         requiredSchema.foreach(fb.pruneColumns)
-        if (dataFilters.nonEmpty) fb.pushFilters(dataFilters)
+        // == dataFilters here (consumption is gated off under legacy),
+        // but replay the inner set on principle
+        if (innerFilters.nonEmpty) fb.pushFilters(innerFilters)
       case _ => ()
     }
     val ps = builder.build()
@@ -712,7 +850,7 @@ private[sources] final class KeyGroupedParquetScanBuilder(
       // rows — the DPP rebuild cannot replay that, so serve it as-is
       else if (aggPushed) ps
       else new RuntimePrunedParquetScan(ps, session, scanName, versionDir,
-        tableSchema, fields, requiredSchema, dataFilters)
+        tableSchema, fields, requiredSchema, innerFilters)
     // a hidden-transform spec (`_gb_`/`_gd_` dirs): the dir id is never
     // a scan column, so keys come from the file PATHS instead. First
     // STATIC pruning — compile-time filters on the source key hash /
@@ -729,7 +867,7 @@ private[sources] final class KeyGroupedParquetScanBuilder(
           .exists(_.equalsIgnoreCase(f.srcCol))))
         new HiddenKeyGroupedParquetScan(inner2, fields, tableSchema)
       else new RuntimePrunedParquetScan(inner2, session, scanName,
-        versionDir, tableSchema, fields, requiredSchema, dataFilters,
+        versionDir, tableSchema, fields, requiredSchema, innerFilters,
         staticKeep)
     case other => other
   }
@@ -759,7 +897,10 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     builder match {
       case fb: org.apache.spark.sql.execution.datasources.v2.FileScanBuilder =>
         requiredSchema.foreach(fb.pruneColumns)
-        if (dataFilters.nonEmpty) fb.pushFilters(dataFilters)
+        // innerFilters, not dataFilters: the replay must mirror what
+        // the original inner builder received (consumed conjuncts
+        // withheld — see pushFilters)
+        if (innerFilters.nonEmpty) fb.pushFilters(innerFilters)
       case _ => ()
     }
     val pruned = builder.build()

@@ -31,6 +31,11 @@ class BloomIndexSpec extends AnyFunSuite {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // this suite measures SCAN-level skipping: pin the shared
+    // session's aggregate pushdown OFF so another suite's
+    // builder-level leak cannot reroute its counts to the
+    // metadata path (same defense PlanQualitySpec carries)
+    s.conf.set("spark.sql.parquet.aggregatePushdown", "false")
     s.conf.set("spark.sql.catalog.graft_blm",
       "graft.sources.AtomicParquetCatalog")
     s.conf.set("spark.sql.catalog.graft_blm.warehouse", warehouse)

@@ -99,6 +99,46 @@ class MorCountPushdownSpec extends AnyFunSuite {
     finally s.conf.unset("spark.sql.catalog.graft.read.morAggPushdown")
   }
 
+  test("a CONSUMED conjunct never reaches the inner parquet scan: a " +
+      "plain SELECT that projects AWAY the filter column returns the " +
+      "right rows (the regression: the pushed parquet filter on the " +
+      "pruned-out column evaluated null and dropped every row)") {
+    val s = spark
+    import s.implicits._
+    s.sql("DROP TABLE IF EXISTS graft_cnt.db.cw1")
+    // two single-row files with disjoint k ranges plus a positional
+    // merge — the exact shape that returned ZERO rows: k=2's file is
+    // must-match, k=1's none-match, `k = 2` is raw-decided on every
+    // file and gets consumed, and the projection drops k from the
+    // read schema
+    Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v").repartitionByRange(2, $"k")
+      .writeTo("graft_cnt.db.cw1")
+      .tableProperty("write.merge.mode", "merge-on-read")
+      .create()
+    Seq((2L, 22.0)).toDF("k", "v").createOrReplaceTempView("cw1_src")
+    // no PK → positional row ids; the UPDATE deletes (file, pos) and
+    // reinserts into a fresh file
+    s.sql("""MERGE INTO graft_cnt.db.cw1 t USING cw1_src s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
+    val df = s.table("graft_cnt.db.cw1").where($"k" === 2L).select("v")
+    val plan = planOf(df)
+    // the conjunct IS consumed (no post-scan Filter) and the inner
+    // parquet scan carries no filter on the pruned-out column
+    assert(!plan.contains("Filter ("), s"expected the consumed plan:\n$plan")
+    assert(df.collect().map(_.getDouble(0)).toSeq === Seq(22.0))
+    // same read with the filter column kept agrees
+    assert(s.table("graft_cnt.db.cw1").where($"k" === 2L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((2L, 22.0)))
+    // and an aggregate the metadata path cannot serve under the
+    // consumed filter refuses to the inner footer path (which cannot
+    // see the withheld conjunct) — the row plan answers it
+    val sm = s.sql("SELECT sum(v) AS sv FROM graft_cnt.db.cw1 WHERE k = 2")
+    assert(!planOf(sm).contains("PushedAggregation: [SUM"),
+      s"inner footer aggregate must not engage under a consumed filter:\n${planOf(sm)}")
+    assert(sm.collect()(0).getDouble(0) === 22.0)
+  }
+
   test("MIN/MAX keep refusing while entries live; a filtered COUNT " +
       "scans") {
     val s = spark
@@ -456,6 +496,75 @@ class MorCountPushdownSpec extends AnyFunSuite {
     assert(!planOf(cn).contains("LocalTableScan"),
       "count over a column the entry does not cover must scan")
     assert(cn.collect()(0).getLong(0) === 792L) // 800 non-null − 8 live
+  }
+
+  test("SUM/AVG serve from the store's harvested per-file sums on a " +
+      "clean table (unfiltered AND pruned), refuse under any live " +
+      "entry, refuse on non-integral columns, and return after " +
+      "rewrite_deletes") {
+    val s = spark
+    import s.implicits._
+    s.sql("DROP TABLE IF EXISTS graft_cnt.db.cs1")
+    s.range(1000).select($"id".as("k"), ($"id" % 5 === 0).as("flag"),
+        when($"id" % 4 === 0, lit(null).cast("long"))
+          .otherwise($"id" * 3).as("n"),
+        ($"id" * 0.5).as("v"))
+      .repartition(4)
+      .writeTo("graft_cnt.db.cs1")
+      .tableProperty("write.merge.mode", "merge-on-read")
+      .tableProperty("write.stats.sums", "true")
+      .create()
+    val expSum = (0L until 1000L).filter(_ % 4 != 0).map(_ * 3).sum
+    val expCnt = (0L until 1000L).count(_ % 4 != 0).toLong
+    val df = s.sql("SELECT sum(n) AS sn, avg(n) AS an, sum(k) AS sk " +
+      "FROM graft_cnt.db.cs1")
+    val plan = planOf(df)
+    assert(plan.contains("LocalTableScan") &&
+      !plan.toLowerCase.contains("parquet"),
+      s"clean SUM/AVG must serve from harvested sums:\n$plan")
+    val row = df.collect()(0)
+    assert(row.getLong(0) === expSum)
+    assert(row.getDouble(1) === expSum.toDouble / expCnt)
+    assert(row.getLong(2) === (0L until 1000L).sum)
+    // the kill switch agrees with the scan
+    s.conf.set("spark.sql.catalog.graft.read.morAggPushdown", "false")
+    try {
+      val scan = s.sql("SELECT sum(n) AS sn, avg(n) AS an, sum(k) AS sk " +
+        "FROM graft_cnt.db.cs1")
+      assert(!planOf(scan).contains("LocalTableScan"))
+      assert(scan.collect()(0).toSeq === row.toSeq)
+    } finally s.conf.unset("spark.sql.catalog.graft.read.morAggPushdown")
+    // a PRUNED sum: the consumed filter restricts to all-rows-match
+    // files, whose harvested sums are exact contributions
+    val pruned = s.sql("SELECT sum(k) AS sk FROM graft_cnt.db.cs1 " +
+      "WHERE k >= 0")
+    assert(planOf(pruned).contains("LocalTableScan"), planOf(pruned))
+    assert(pruned.collect()(0).getLong(0) === (0L until 1000L).sum)
+    // a DOUBLE column refuses (float sums are order-sensitive)
+    val dbl = s.sql("SELECT sum(v) AS sv FROM graft_cnt.db.cs1")
+    assert(!planOf(dbl).contains("LocalTableScan"),
+      "non-integral SUM must scan")
+    // a live entry refuses: the deleted rows' contribution is
+    // unknowable from metadata
+    s.sql("ALTER TABLE graft_cnt.db.cs1 ADD CONSTRAINT cs1_pk " +
+      "PRIMARY KEY (k) NOT ENFORCED")
+    (0L until 50L).map(_ * 20).toDF("k")
+      .createOrReplaceTempView("cs1_src")
+    s.sql("""MERGE INTO graft_cnt.db.cs1 t USING cs1_src s ON t.k = s.k
+            |WHEN MATCHED THEN DELETE""".stripMargin)
+    val live = s.sql("SELECT sum(n) AS sn FROM graft_cnt.db.cs1")
+    assert(!planOf(live).contains("LocalTableScan"),
+      "SUM under a live entry must refuse to the scan")
+    val expAfter = (0L until 1000L)
+      .filter(k => k % 4 != 0 && k % 20 != 0).map(_ * 3).sum
+    assert(live.collect()(0).getLong(0) === expAfter)
+    // rewrite_deletes materializes: the NEW files' sums were harvested
+    // at the rewrite commit, so the metadata path returns
+    s.sql("CALL graft_cnt.system.rewrite_deletes('db.cs1')")
+    val back = s.sql("SELECT sum(n) AS sn FROM graft_cnt.db.cs1")
+    assert(planOf(back).contains("LocalTableScan"),
+      s"post-materialization SUM must serve from metadata:\n${planOf(back)}")
+    assert(back.collect()(0).getLong(0) === expAfter)
   }
 
   test("the O(metadata) deleteWhere entry has no count: COUNT refuses " +
