@@ -391,6 +391,21 @@ private[sources] final class GraftDeltaWrite(
                   else Set.empty
                 // split only when EVERY reinserted row pairs with a
                 // matched id — a key-mutating UPDATE breaks pairing
+                // and the commit stays untyped. KNOWN LIMIT of the
+                // commit-time reconstruction: pairing is BY KEY, so a
+                // key-mutating UPDATE whose new key happens to equal a
+                // same-commit-DELETED matched id's key is
+                // indistinguishable from the key-preserving reading —
+                // the funnel sees identical (ids, reinserted keys,
+                // counts) for both. The feed then swaps the TYPE tags
+                // between those two rows (the row VALUES, and any
+                // replica applying postimage-wins + deletes, stay
+                // exactly right — only preimage attribution is
+                // affected). Delta CDF avoids this corner only by
+                // typing per row DURING merge execution, which the
+                // delete/reinsert funnel never observes; typed-updates
+                // is opt-in and documents key-preserving updates (the
+                // CDC norm) as its contract.
                 val split = rinsKeys.nonEmpty && {
                   val idKeys = grouped.map(keyOf).toSet
                   rinsKeys.subsetOf(idKeys)

@@ -385,9 +385,22 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     * harvested per-file sums — clean versions only: any live delete
     * entry refuses (a deleted row's contribution is unknowable from
     * metadata), as does any included file or column without a
-    * harvested sum + known null count, a non-integral column, or a
-    * total outside Long range (catalyst sums integrals in Long).
-    * `Some(null)` = zero non-null values anywhere (SQL's answer). */
+    * harvested sum + known null count, or a non-integral column.
+    * `Some(null)` = zero non-null values anywhere (SQL's answer).
+    *
+    * The metadata answer must be BIT-IDENTICAL to what the row scan
+    * would produce, which constrains more than Long-range totals:
+    * catalyst's Sum accumulates integrals in Long (a PARTIAL sum can
+    * overflow even when the total fits — ANSI errors, legacy wraps)
+    * and Average accumulates them in Double (a partial can exceed
+    * 2^53 and round). Both divergences need sign-mixed data: when
+    * every file's values share one sign (footer min >= 0 everywhere,
+    * or max <= 0 everywhere), every partial sum is bounded in
+    * magnitude by the total, so total-in-Long-range makes the scan's
+    * Long path exact and |total| <= 2^53 makes its Double path exact.
+    * Serve exactly under those proofs; refuse sign-mixed columns and
+    * over-2^53 AVG totals to the scan rather than return an answer
+    * the kill-switch could contradict at the ULP. */
   private def morSum(col: String, avg: Boolean): Option[Any] = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     if (liveDeletes.nonEmpty || livePosDeletes.nonEmpty) return None
@@ -397,9 +410,18 @@ private[sources] final class KeyGroupedParquetScanBuilder(
       case ByteType | ShortType | IntegerType | LongType => ()
       case _ => return None
     }
+    def asLong(v: Any): Option[Long] = v match {
+      case b: Byte => Some(b.toLong)
+      case s0: Short => Some(s0.toLong)
+      case i: Int => Some(i.toLong)
+      case l: Long => Some(l)
+      case _ => None
+    }
     val stats = metaStats
     var total = BigInt(0)
     var nonNull = 0L
+    var allNonNeg = true
+    var allNonPos = true
     for (f <- metaIncluded) stats.get(f) match {
       case None => return None
       case Some(st) if st.rows == 0L => ()
@@ -407,15 +429,26 @@ private[sources] final class KeyGroupedParquetScanBuilder(
         st.cols.find(_._1.equalsIgnoreCase(col)).map(_._2) match {
           case None => return None
           case Some(cs) => (cs.sum, cs.nulls) match {
-            case (Some(s0), Some(n)) => total += s0; nonNull += st.rows - n
+            case (Some(s0), Some(n)) =>
+              total += s0
+              nonNull += st.rows - n
+              if (st.rows - n > 0L) {
+                // sign homogeneity is proven per file from its own
+                // footer min/max; an unknown bound cannot prove it
+                allNonNeg &&= cs.mn.flatMap(asLong).exists(_ >= 0L)
+                allNonPos &&= cs.mx.flatMap(asLong).exists(_ <= 0L)
+              }
             case _ => return None
           }
         }
     }
     if (nonNull == 0L) Some(null)
+    else if (!(allNonNeg || allNonPos)) None
     else if (!total.isValidLong) None
-    else if (avg) Some(total.toLong.toDouble / nonNull.toDouble)
-    else Some(total.toLong)
+    else if (avg) {
+      if (total.abs > BigInt(1L << 53)) None
+      else Some(total.toLong.toDouble / nonNull.toDouble)
+    } else Some(total.toLong)
   }
 
   /** The exact live COUNT(col) — non-null count — from metadata:

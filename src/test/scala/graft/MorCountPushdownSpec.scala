@@ -544,6 +544,27 @@ class MorCountPushdownSpec extends AnyFunSuite {
     val dbl = s.sql("SELECT sum(v) AS sv FROM graft_cnt.db.cs1")
     assert(!planOf(dbl).contains("LocalTableScan"),
       "non-integral SUM must scan")
+    // a SIGN-MIXED integral column refuses: a partial Long sum can
+    // overflow (and a partial Double sum can round) even when the
+    // total fits, so only sign-homogeneous columns are provably
+    // bit-identical to the scan's accumulation
+    s.sql("DROP TABLE IF EXISTS graft_cnt.db.cs2")
+    s.range(100).select($"id".as("k"),
+        when($"id" % 2 === 0, $"id").otherwise(-$"id").as("m"),
+        ($"id" + 1).as("p"))
+      .repartition(2)
+      .writeTo("graft_cnt.db.cs2")
+      .tableProperty("write.stats.sums", "true")
+      .create()
+    val mixed = s.sql("SELECT sum(m) AS sm FROM graft_cnt.db.cs2")
+    assert(!planOf(mixed).contains("LocalTableScan"),
+      s"sign-mixed SUM must refuse to the scan:\n${planOf(mixed)}")
+    assert(mixed.collect()(0).getLong(0) ===
+      (0L until 100L).map(i => if (i % 2 == 0) i else -i).sum)
+    // …while the non-negative column on the SAME table still serves
+    val pos = s.sql("SELECT sum(p) AS sp, avg(p) AS ap FROM graft_cnt.db.cs2")
+    assert(planOf(pos).contains("LocalTableScan"), planOf(pos))
+    assert(pos.collect()(0).getLong(0) === (1L to 100L).sum)
     // a live entry refuses: the deleted rows' contribution is
     // unknowable from metadata
     s.sql("ALTER TABLE graft_cnt.db.cs1 ADD CONSTRAINT cs1_pk " +

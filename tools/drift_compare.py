@@ -27,14 +27,15 @@ def main():
     driver = load_queries(sys.argv[2]) if len(sys.argv) > 2 else None
     rows = []
     newmins = []
+    unpinned = []
     for q, sec in sorted(sweep['queries'].items()):
         pin = pinmap.get(q)
         if isinstance(pin, dict):
             pin = pin.get('min') or pin.get('sec') or pin.get('value')
-        if pin is None:
-            rows.append((float('inf'), q, sec, None, None))
+        if not pin:  # new gate (or degenerate 0 pin): not a drift row
+            unpinned.append((q, sec))
             continue
-        r = sec / pin if pin else float('inf')
+        r = sec / pin
         d = driver['queries'].get(q) / pin if driver and q in driver['queries'] else None
         if sec < pin:
             newmins.append((q, pin, sec))
@@ -44,8 +45,11 @@ def main():
     print(f"drift rows (quiet >=1.5x, or driver >=2x): {len(rows)}")
     for r, q, sec, pin, d in sorted(rows, reverse=True):
         dtxt = f" driver={d:.2f}x" if d is not None else ""
-        ptxt = f" pin={pin}" if pin is not None else " pin=NONE"
-        print(f"  {q}: {sec:.3f}s {r:.2f}x{ptxt}{dtxt}")
+        print(f"  {q}: {sec:.3f}s {r:.2f}x pin={pin}{dtxt}")
+    if unpinned:
+        print(f"unpinned gates ({len(unpinned)}) — pin from a full-sweep minimum:")
+        for q, sec in unpinned:
+            print(f"  {q}: {sec:.3f}s")
     if newmins:
         print(f"new minima ({len(newmins)}):")
         for q, pin, sec in newmins:
