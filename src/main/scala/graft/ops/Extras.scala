@@ -2280,7 +2280,8 @@ object Extras {
     s.sql("DROP TABLE IF EXISTS graft_ma.db.ord_sum")
     Tables.load(s, dir, "orders")
       .where($"o_orderkey" % 3 === 0)
-      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        $"o_totalprice".cast("decimal(12,2)").as("o_price"))
       .writeTo("graft_ma.db.ord_sum").using("parquet")
       .partitionedBy(org.apache.spark.sql.functions.years($"o_orderdate"))
       .tableProperty("write.merge.mode", "merge-on-read")
@@ -2290,10 +2291,12 @@ object Extras {
     val prior = s.conf.getOption(key)
     s.conf.set(key, "true")
     try {
-      // unfiltered SUM/AVG/COUNT: pure metadata answer
+      // unfiltered SUM/AVG/COUNT — and the reference's dominant money
+      // shape, an exact DECIMAL sum — all pure metadata answers
       val pre = s.sql(
         """SELECT sum(o_custkey) AS sum_all, avg(o_custkey) AS avg_all,
-          | CAST(count(*) AS BIGINT) AS n_all
+          | CAST(count(*) AS BIGINT) AS n_all,
+          | sum(o_price) AS sum_price
           |FROM graft_ma.db.ord_sum""".stripMargin)
       val prePlan = pre.queryExecution.executedPlan.toString
       require(prePlan.contains("LocalTableScan"),
@@ -2312,7 +2315,8 @@ object Extras {
       s.conf.set("spark.sql.catalog.graft.read.morAggPushdown", "false")
       val (preScan, prunedScan) =
         try (s.sql("SELECT sum(o_custkey), avg(o_custkey), " +
-            "CAST(count(*) AS BIGINT) FROM graft_ma.db.ord_sum")
+            "CAST(count(*) AS BIGINT), sum(o_price) " +
+            "FROM graft_ma.db.ord_sum")
             .collect()(0),
           s.sql("SELECT sum(o_custkey) FROM graft_ma.db.ord_sum " +
             "WHERE o_orderdate >= DATE '1994-01-01'").collect()(0))
@@ -3390,6 +3394,8 @@ object Extras {
         | CAST(CAST(sum(o_custkey) AS BIGINT) AS DOUBLE)
         |   / count(o_custkey) AS avg_all,
         | CAST(count(*) AS BIGINT) AS n_all,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+        |   AS DECIMAL(22,2)) AS sum_price,
         | CAST(sum(CASE WHEN o_orderdate >= DATE '1994-01-01'
         |   THEN o_custkey END) AS BIGINT) AS sum_recent,
         | CAST(sum(CASE WHEN o_orderkey % 97 <> 0

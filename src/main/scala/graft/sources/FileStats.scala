@@ -158,12 +158,17 @@ private[sources] object FileStats {
   /** One column's file-level stats; values are catalyst-internal
     * (Int/Long/Float/Double/Boolean/UTF8String), `None` = unknown.
     * `sum` is the EXACT sum of the column's non-null values (integral
-    * columns only — harvested by a churn-sized column-pruned read at
-    * commit time, since parquet footers carry no sums), carried as
-    * BigInt so 100 TB of longs cannot overflow the store. */
+    * and decimal columns — harvested by a churn-sized column-pruned
+    * read at commit time, since parquet footers carry no sums) and
+    * `absSum` the sum of their absolute values, both carried as
+    * UNSCALED BigInt at the column's own scale so 100 TB of values
+    * cannot overflow the store. The abs-sum is the read side's
+    * exactness proof: Σ|values| bounds every partial sum the scan
+    * could form (see KeyGroupedScan.morSum). */
   final case class ColStat(mn: Option[Any], mx: Option[Any],
                            nulls: Option[Long],
-                           sum: Option[BigInt] = None)
+                           sum: Option[BigInt] = None,
+                           absSum: Option[BigInt] = None)
   final case class FileStat(rows: Long, cols: Map[String, ColStat])
 
   // ---- commit-time recording ----
@@ -187,42 +192,63 @@ private[sources] object FileStats {
       s.conf.getOption("spark.sql.catalog.graft.write.fileSums")
         .contains("true")
 
-  /** Append per-file exact column sums (7th TSV field) to the stat
-    * lines of the just-written `files`: one column-pruned Spark
-    * aggregation, integral top-level columns only. A file or column
-    * the job did not cover keeps its 6-field line (no sum claimed). */
+  /** Append per-file exact column sums (7th TSV field) AND
+    * absolute-value sums (8th field) to the stat lines of the
+    * just-written `files`: one column-pruned Spark aggregation over
+    * integral and decimal top-level columns. The abs-sum is the read
+    * side's EXACTNESS proof — Σ|values| bounds the magnitude of every
+    * partial sum any execution order can form, so "Σ|values| fits the
+    * accumulator" proves the scan's own accumulation (Long for
+    * integral SUM, Double for integral AVG, bounded decimal for
+    * decimal SUM) cannot overflow or round, and the metadata answer
+    * is bit-identical. Decimal sums are stored as the UNSCALED BigInt
+    * at the column's own scale (exact by construction; the reader
+    * knows the scale from the table schema). A per-column COUNT
+    * distinguishes "all null in this file" (sum = 0 exactly) from a
+    * NULL produced by cast/sum overflow (no sum claimed — the line
+    * keeps 6 fields and the read side refuses). */
   private def appendSums(spark: SparkSession,
       files: Seq[(String, String)], lines: Seq[String]): Seq[String] =
     try {
       val df = spark.read.parquet(files.map(_._1): _*)
-      val numCols = df.schema.fields.collect {
+      val numCols: Seq[(String, DecimalType)] = df.schema.fields.collect {
         case f if f.dataType == ByteType || f.dataType == ShortType ||
-          f.dataType == IntegerType || f.dataType == LongType => f.name
+          f.dataType == IntegerType || f.dataType == LongType =>
+          f.name -> DecimalType(38, 0)
+        case f if f.dataType.isInstanceOf[DecimalType] =>
+          f.name -> DecimalType(38,
+            f.dataType.asInstanceOf[DecimalType].scale)
       }.toSeq
       if (numCols.isEmpty) return lines
-      import org.apache.spark.sql.functions.{col, input_file_name, sum}
+      import org.apache.spark.sql.functions.{abs, col, count, input_file_name, sum}
+      val aggs = numCols.flatMap { case (c, dt) => Seq(
+        sum(col(c).cast(dt)).as(s"s_$c"),
+        sum(abs(col(c).cast(dt))).as(s"a_$c"),
+        count(col(c)).as(s"n_$c")) }
       val rows = df.groupBy(input_file_name().as("_f"))
-        .agg(sum(col(numCols.head).cast(DecimalType(38, 0)))
-            .as(numCols.head),
-          numCols.tail.map(c =>
-            sum(col(c).cast(DecimalType(38, 0))).as(c)): _*)
+        .agg(aggs.head, aggs.tail: _*)
         .collect()
       // input_file_name is a URI; the store key is the disk path
       // relative to the version dir
-      val relOfAbs = files.map { case (abs, rel) =>
-        java.nio.file.Paths.get(abs).toString -> rel }.toMap
-      val sums: Map[(String, String), BigInt] = rows.flatMap { r =>
+      val relOfAbs = files.map { case (abs0, rel) =>
+        java.nio.file.Paths.get(abs0).toString -> rel }.toMap
+      val sums: Map[(String, String), (BigInt, BigInt)] = rows.flatMap { r =>
         val disk =
           try new java.net.URI(r.getString(0)).getPath
           catch { case _: java.net.URISyntaxException => null }
         relOfAbs.get(if (disk == null) "" else
             java.nio.file.Paths.get(disk).toString).toSeq
           .flatMap { rel =>
-            numCols.zipWithIndex.map { case (c, i) =>
-              // an all-null file sums to SQL NULL = zero contribution
-              val v = if (r.isNullAt(i + 1)) BigInt(0)
-                else BigInt(r.getDecimal(i + 1).toBigInteger)
-              (rel, c.toLowerCase) -> v
+            numCols.zipWithIndex.flatMap { case ((c, _), i) =>
+              val (si, ai, ni) = (1 + 3 * i, 2 + 3 * i, 3 + 3 * i)
+              if (r.getLong(ni) == 0L)
+                // all-null file: zero contribution, exactly
+                Some((rel, c.toLowerCase) -> (BigInt(0), BigInt(0)))
+              else if (r.isNullAt(si) || r.isNullAt(ai))
+                None // cast/sum overflow: claim nothing
+              else Some((rel, c.toLowerCase) ->
+                (BigInt(r.getDecimal(si).unscaledValue()),
+                  BigInt(r.getDecimal(ai).unscaledValue())))
             }
           }
       }.toMap
@@ -230,7 +256,7 @@ private[sources] object FileStats {
         val f = l.split("\t", -1)
         if (f.length != 6 || f(2).isEmpty) l
         else sums.get((f(0), f(2).toLowerCase)) match {
-          case Some(s0) => s"$l\t$s0"
+          case Some((s0, a0)) => s"$l\t$s0\t$a0"
           case None => l
         }
       }
@@ -541,16 +567,17 @@ private[sources] object FileStats {
          if line.nonEmpty) {
       val f = line.split("\t", -1)
       // 6 fields = the r17 format; a 7th carries the exact column sum
-      if (f.length == 6 || f.length == 7) {
+      if (f.length >= 6 && f.length <= 8) {
         f(1).toLongOption.foreach { rows =>
           val e = byFile.getOrElseUpdate(f(0),
             (rows, scala.collection.mutable.Map.empty[String, ColStat]))
           if (f(2).nonEmpty) {
-            val s0 =
-              if (f.length < 7 || f(6) == "-") None
-              else try Some(BigInt(f(6)))
+            def big(i: Int): Option[BigInt] =
+              if (f.length <= i || f(i) == "-") None
+              else try Some(BigInt(f(i)))
               catch { case _: NumberFormatException => None }
-            e._2(f(2)) = ColStat(dec(f(4)), dec(f(5)), f(3).toLongOption, s0)
+            e._2(f(2)) = ColStat(dec(f(4)), dec(f(5)), f(3).toLongOption,
+              big(6), big(7))
           }
         }
       }

@@ -381,33 +381,40 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     }
   }
 
-  /** The exact SUM (or AVG) of an integral column from the store's
-    * harvested per-file sums — clean versions only: any live delete
-    * entry refuses (a deleted row's contribution is unknowable from
-    * metadata), as does any included file or column without a
-    * harvested sum + known null count, or a non-integral column.
+  /** The exact SUM (or AVG) of an integral or decimal column from the
+    * store's harvested per-file sums — clean versions only: any live
+    * delete entry refuses (a deleted row's contribution is unknowable
+    * from metadata), as does any included file or column without a
+    * harvested sum + known null count, or an unsupported column type.
     * `Some(null)` = zero non-null values anywhere (SQL's answer).
     *
     * The metadata answer must be BIT-IDENTICAL to what the row scan
-    * would produce, which constrains more than Long-range totals:
+    * would produce, which constrains more than total ranges:
     * catalyst's Sum accumulates integrals in Long (a PARTIAL sum can
-    * overflow even when the total fits — ANSI errors, legacy wraps)
-    * and Average accumulates them in Double (a partial can exceed
-    * 2^53 and round). Both divergences need sign-mixed data: when
-    * every file's values share one sign (footer min >= 0 everywhere,
-    * or max <= 0 everywhere), every partial sum is bounded in
-    * magnitude by the total, so total-in-Long-range makes the scan's
-    * Long path exact and |total| <= 2^53 makes its Double path exact.
-    * Serve exactly under those proofs; refuse sign-mixed columns and
-    * over-2^53 AVG totals to the scan rather than return an answer
-    * the kill-switch could contradict at the ULP. */
+    * overflow even when the total fits — ANSI errors, legacy wraps),
+    * Average accumulates them in Double (a partial can exceed 2^53
+    * and round), and decimal Sum accumulates in
+    * DecimalType(p+10, s). The store's harvested Σ|values| (absSum)
+    * bounds the MAGNITUDE of every partial sum any execution order
+    * can form, so "Σ|values| fits the accumulator" is a complete
+    * exactness proof for all three — sign-mixed data included.
+    * Legacy 7-field store lines (sum without absSum) fall back to a
+    * footer-stat sign-homogeneity proof for integrals: one-signed
+    * partials are bounded by the total itself. Anything unprovable
+    * refuses to the scan rather than return an answer the
+    * kill-switch could contradict at the ULP. A direct decimal AVG
+    * term refuses here — and still serves in practice, because
+    * Spark's pushdown rule rewrites AVG into SUM+COUNT (both exact
+    * from this path) and keeps the decimal division in the Project,
+    * so the rounding lattice stays catalyst's own. */
   private def morSum(col: String, avg: Boolean): Option[Any] = {
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    import org.apache.spark.sql.types.{ByteType, Decimal, DecimalType, IntegerType, LongType, ShortType}
     if (liveDeletes.nonEmpty || livePosDeletes.nonEmpty) return None
     val field = tableSchema.fields.find(_.name.equalsIgnoreCase(col))
       .getOrElse(return None)
-    field.dataType match {
-      case ByteType | ShortType | IntegerType | LongType => ()
+    val decType: Option[DecimalType] = field.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => None
+      case d: DecimalType => if (avg) return None else Some(d)
       case _ => return None
     }
     def asLong(v: Any): Option[Long] = v match {
@@ -419,6 +426,7 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     }
     val stats = metaStats
     var total = BigInt(0)
+    var totalAbs = Option(BigInt(0)) // None once any file lacks absSum
     var nonNull = 0L
     var allNonNeg = true
     var allNonPos = true
@@ -431,10 +439,9 @@ private[sources] final class KeyGroupedParquetScanBuilder(
           case Some(cs) => (cs.sum, cs.nulls) match {
             case (Some(s0), Some(n)) =>
               total += s0
+              totalAbs = for (t <- totalAbs; a <- cs.absSum) yield t + a
               nonNull += st.rows - n
               if (st.rows - n > 0L) {
-                // sign homogeneity is proven per file from its own
-                // footer min/max; an unknown bound cannot prove it
                 allNonNeg &&= cs.mn.flatMap(asLong).exists(_ >= 0L)
                 allNonPos &&= cs.mx.flatMap(asLong).exists(_ <= 0L)
               }
@@ -442,13 +449,28 @@ private[sources] final class KeyGroupedParquetScanBuilder(
           }
         }
     }
-    if (nonNull == 0L) Some(null)
-    else if (!(allNonNeg || allNonPos)) None
-    else if (!total.isValidLong) None
-    else if (avg) {
-      if (total.abs > BigInt(1L << 53)) None
-      else Some(total.toLong.toDouble / nonNull.toDouble)
-    } else Some(total.toLong)
+    if (nonNull == 0L) return Some(null)
+    // the partial-sum magnitude bound: Σ|values| when harvested, else
+    // |total| itself under the sign-homogeneity proof
+    val bound: BigInt = totalAbs match {
+      case Some(a) => a
+      case None if allNonNeg || allNonPos => total.abs
+      case None => return None
+    }
+    decType match {
+      case Some(d) =>
+        // catalyst sums DecimalType(p, s) in DecimalType.bounded(p+10, s):
+        // exact iff no partial needs more than that precision
+        val resPrec = math.min(38, d.precision + 10)
+        if (bound >= BigInt(10).pow(resPrec)) None
+        else Some(Decimal(BigDecimal(new java.math.BigDecimal(
+          total.bigInteger, d.scale)), resPrec, d.scale))
+      case None if avg =>
+        if (bound > BigInt(1L << 53)) None
+        else Some(total.toLong.toDouble / nonNull.toDouble)
+      case None =>
+        if (!bound.isValidLong) None else Some(total.toLong)
+    }
   }
 
   /** The exact live COUNT(col) — non-null count — from metadata:
@@ -683,6 +705,11 @@ private[sources] final class KeyGroupedParquetScanBuilder(
             f.dataType match {
               case ByteType | ShortType | IntegerType | LongType =>
                 StructField(s"sum(${f.name})", LongType)
+              case d: org.apache.spark.sql.types.DecimalType =>
+                // catalyst's Sum result type for decimals
+                StructField(s"sum(${f.name})",
+                  org.apache.spark.sql.types.DecimalType(
+                    math.min(38, d.precision + 10), d.scale))
               case _ => return None
             }
           case a: Avg if !a.isDistinct =>

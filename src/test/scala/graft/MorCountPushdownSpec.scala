@@ -544,27 +544,50 @@ class MorCountPushdownSpec extends AnyFunSuite {
     val dbl = s.sql("SELECT sum(v) AS sv FROM graft_cnt.db.cs1")
     assert(!planOf(dbl).contains("LocalTableScan"),
       "non-integral SUM must scan")
-    // a SIGN-MIXED integral column refuses: a partial Long sum can
-    // overflow (and a partial Double sum can round) even when the
-    // total fits, so only sign-homogeneous columns are provably
-    // bit-identical to the scan's accumulation
+    // a SIGN-MIXED integral column SERVES under the abs-sum proof
+    // (Σ|values| bounds every partial the scan could form), a DECIMAL
+    // money column serves catalyst's exact decimal sum, and a column
+    // whose Σ|values| overflows the scan's Long accumulator REFUSES
+    // even though its total fits
     s.sql("DROP TABLE IF EXISTS graft_cnt.db.cs2")
     s.range(100).select($"id".as("k"),
         when($"id" % 2 === 0, $"id").otherwise(-$"id").as("m"),
-        ($"id" + 1).as("p"))
+        ($"id" + 1).as("p"),
+        ($"id" * 2).cast("decimal(12,2)").as("price"),
+        when($"id" === 0, java.lang.Long.MAX_VALUE)
+          .otherwise(lit(10L)).as("huge"))
       .repartition(2)
       .writeTo("graft_cnt.db.cs2")
       .tableProperty("write.stats.sums", "true")
       .create()
-    val mixed = s.sql("SELECT sum(m) AS sm FROM graft_cnt.db.cs2")
-    assert(!planOf(mixed).contains("LocalTableScan"),
-      s"sign-mixed SUM must refuse to the scan:\n${planOf(mixed)}")
-    assert(mixed.collect()(0).getLong(0) ===
-      (0L until 100L).map(i => if (i % 2 == 0) i else -i).sum)
-    // …while the non-negative column on the SAME table still serves
-    val pos = s.sql("SELECT sum(p) AS sp, avg(p) AS ap FROM graft_cnt.db.cs2")
-    assert(planOf(pos).contains("LocalTableScan"), planOf(pos))
-    assert(pos.collect()(0).getLong(0) === (1L to 100L).sum)
+    val mixed = s.sql("SELECT sum(m) AS sm, avg(m) AS am FROM graft_cnt.db.cs2")
+    assert(planOf(mixed).contains("LocalTableScan"),
+      s"sign-mixed SUM under the abs-sum bound must serve:\n${planOf(mixed)}")
+    val expMixed = (0L until 100L).map(i => if (i % 2 == 0) i else -i).sum
+    assert(mixed.collect()(0).getLong(0) === expMixed)
+    assert(mixed.collect()(0).getDouble(1) === expMixed.toDouble / 100L)
+    val price = s.sql("SELECT sum(price) AS sp FROM graft_cnt.db.cs2")
+    assert(planOf(price).contains("LocalTableScan"),
+      s"decimal SUM must serve from harvested unscaled sums:\n${planOf(price)}")
+    assert(price.collect()(0).getDecimal(0) ===
+      new java.math.BigDecimal("9900.00"))
+    // decimal AVG serves through SPARK'S OWN sum/count rewrite: the
+    // rule pushes SUM+COUNT (both exact from metadata) and keeps the
+    // decimal division in the Project, so the division semantics are
+    // catalyst's in both plans — morSum itself never risks them
+    val ap = s.sql("SELECT avg(price) AS ap FROM graft_cnt.db.cs2")
+    assert(planOf(ap).contains("LocalTableScan"), planOf(ap))
+    s.conf.set("spark.sql.catalog.graft.read.morAggPushdown", "false")
+    try assert(ap.collect()(0).getDecimal(0) ===
+      s.sql("SELECT avg(price) AS ap FROM graft_cnt.db.cs2")
+        .collect()(0).getDecimal(0))
+    finally s.conf.unset("spark.sql.catalog.graft.read.morAggPushdown")
+    // Σ|huge| > Long.Max: a partial CAN overflow the scan's Long
+    // accumulator, so the metadata path refuses (plan-only assert —
+    // the scan itself may raise under ANSI, which is the point)
+    assert(!planOf(s.sql("SELECT sum(huge) AS sh FROM graft_cnt.db.cs2"))
+      .contains("LocalTableScan"),
+      "an abs-sum past the accumulator bound must refuse")
     // a live entry refuses: the deleted rows' contribution is
     // unknowable from metadata
     s.sql("ALTER TABLE graft_cnt.db.cs1 ADD CONSTRAINT cs1_pk " +
