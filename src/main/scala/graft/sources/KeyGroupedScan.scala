@@ -409,7 +409,18 @@ private[sources] final class KeyGroupedParquetScanBuilder(
     * so the rounding lattice stays catalyst's own. */
   private def morSum(col: String, avg: Boolean): Option[Any] = {
     import org.apache.spark.sql.types.{ByteType, Decimal, DecimalType, IntegerType, LongType, ShortType}
-    if (liveDeletes.nonEmpty || livePosDeletes.nonEmpty) return None
+    // a live entry refuses ONLY when its stats-narrowed file scope
+    // intersects the included (pruned) set: an entry scoped wholly
+    // outside it cannot have deleted a row of an included file, so a
+    // pruned SUM over partition A survives a CDC merge that touched
+    // partition B. Unfiltered reads include every file, where any
+    // live entry intersects — the r18 blanket refusal, unchanged.
+    if (liveDeletes.nonEmpty || livePosDeletes.nonEmpty) {
+      val included = metaIncluded.toSet
+      if (liveDeletes.exists(_.files.exists(included.contains)) ||
+          livePosDeletes.exists(_.files.exists(included.contains)))
+        return None
+    }
     val field = tableSchema.fields.find(_.name.equalsIgnoreCase(col))
       .getOrElse(return None)
     val decType: Option[DecimalType] = field.dataType match {

@@ -588,6 +588,49 @@ class MorCountPushdownSpec extends AnyFunSuite {
     assert(!planOf(s.sql("SELECT sum(huge) AS sh FROM graft_cnt.db.cs2"))
       .contains("LocalTableScan"),
       "an abs-sum past the accumulator bound must refuse")
+  }
+
+  test("a PRUNED SUM survives a live entry scoped wholly OUTSIDE the " +
+      "pruned file set: the merge touched partition B, the partition-A " +
+      "sum stays a metadata answer; overall and partition-B sums refuse") {
+    val s = spark
+    import s.implicits._
+    s.sql("DROP TABLE IF EXISTS graft_cnt.db.cs3")
+    // keys RANGE-SEPARATE by partition (part 0: k<200, part 1:
+    // k>=200) so the entry's footer-stats narrowing can actually
+    // exclude partition A's file from its scope
+    s.range(400).select($"id".as("k"),
+        when($"id" < 200, 0).otherwise(1).as("part"),
+        ($"id" + 1).as("n"))
+      .repartition($"part")
+      .writeTo("graft_cnt.db.cs3")
+      .partitionedBy($"part")
+      .tableProperty("write.merge.mode", "merge-on-read")
+      .tableProperty("write.stats.sums", "true")
+      .create()
+    s.sql("ALTER TABLE graft_cnt.db.cs3 ADD CONSTRAINT cs3_pk " +
+      "PRIMARY KEY (k) NOT ENFORCED")
+    // delete keys 300–319 — every one inside partition B's [200,399]
+    // range, outside partition A's [0,199]
+    (300L until 320L).toDF("k").createOrReplaceTempView("cs3_src")
+    s.sql("""MERGE INTO graft_cnt.db.cs3 t USING cs3_src s ON t.k = s.k
+            |WHEN MATCHED THEN DELETE""".stripMargin)
+    require(s.table("graft_cnt.db.cs3.deletes").count() >= 1L)
+    val a = s.sql(
+      "SELECT sum(n) AS sn FROM graft_cnt.db.cs3 WHERE part = 0")
+    assert(planOf(a).contains("LocalTableScan"),
+      s"partition-A SUM must survive the partition-B entry:\n${planOf(a)}")
+    assert(a.collect()(0).getLong(0) === (1L to 200L).sum)
+    val all = s.sql("SELECT sum(n) AS sn FROM graft_cnt.db.cs3")
+    assert(!planOf(all).contains("LocalTableScan"),
+      "the unfiltered SUM includes the entry's files and must refuse")
+    val b = s.sql(
+      "SELECT sum(n) AS sn FROM graft_cnt.db.cs3 WHERE part = 1")
+    assert(!planOf(b).contains("LocalTableScan"),
+      "the partition-B SUM intersects the live entry and must refuse")
+    assert(b.collect()(0).getLong(0) ===
+      (200L until 400L).filterNot(k => k >= 300L && k < 320L)
+        .map(_ + 1).sum)
     // a live entry refuses: the deleted rows' contribution is
     // unknowable from metadata
     s.sql("ALTER TABLE graft_cnt.db.cs1 ADD CONSTRAINT cs1_pk " +
