@@ -306,7 +306,21 @@ object AtomicParquetCatalog {
             parts.exists(_.equalsIgnoreCase(c)))).map(col): _*)
       case _ =>
         if (parts.nonEmpty && PartitionField.clusterWrite(spark, fields))
-          routed.repartition(parts.map(col): _*)
+          // PINNED-width hash exchange, not repartition(cols): AQE's
+          // byte-based coalescing sees a clustered append as "small"
+          // and collapses it to one task, which then writes every
+          // partition dir's file SEQUENTIALLY — per-task cost here
+          // scales with the number of dirs (file opens/footers), not
+          // bytes, which AQE's model cannot see. An explicit width
+          // (the session's shuffle parallelism — the cluster-sized
+          // knob, 32 locally, e.g. 4096 on the reference cluster) is
+          // exempt from coalescing; rows still hash on the dir cols,
+          // so each dir lands in exactly one task and the file count
+          // is unchanged (~one file per dir). Measured 3.9-5.9 s ->
+          // 1.0-1.4 s on a 240-dir composite append at sf0.1.
+          routed.repartition(
+            math.max(1, spark.sessionState.conf.numShufflePartitions),
+            parts.map(col): _*)
         else routed
     }
     // sort by (partition dirs ++ sort cols): the writer's own required
