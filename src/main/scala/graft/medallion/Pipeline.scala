@@ -202,6 +202,13 @@ object Pipeline {
     // Iceberg write.distribution-mode=hash posture, docs/TUNING.md:50-53):
     // one shuffle, then each task writes whole partitions — without it every
     // task writes a sliver of every partition (files = tasks x partitions).
+    // Keyless repartition(cols) deliberately: unlike the catalog's
+    // clustered fine-spec writes (file-open-bound, see writeLayout's
+    // pinned width), this layer's write is BYTE-bound (0.25 GB+ of
+    // payload across ~dozens of dirs), where AQE's byte-based coalesce
+    // sizes tasks correctly — an r18 A/B (alternating focused medallion
+    // runs, bronze as the ambient control) read the pinned variant as a
+    // wash-to-regression here, so the pin stays catalog-only.
     val dist =
       if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*) else df
     try {

@@ -83,6 +83,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * }}}
   */
 object AtomicParquetCatalog {
+  /** Commit-path stopwatch, env-gated (SPARK_GRAFT_COMMIT_TIMING=1):
+    * prints per-phase seconds of every catalog commit to stderr. Off by
+    * default and zero-cost when off — the profiling hook behind the r18
+    * commit-overhead numbers in OPTIMIZATION_r18.md. */
+  private[sources] val commitTiming: Boolean =
+    sys.env.contains("SPARK_GRAFT_COMMIT_TIMING")
+  private[sources] def ctime[A](label: String)(f: => A): A =
+    if (!commitTiming) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"[graft-commit] $label%-24s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      r
+    }
+
   /** The main pointer log's file name; branch logs are `_branch_<b>`. */
   private[sources] val MainRef = "_current"
   /** Marker file a content-preserving maintenance commit carries in its
@@ -668,7 +684,7 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
                             expectedBase: Option[String],
                             ref: String = AtomicParquetCatalog.MainRef): Unit =
     withCommitLock(dir) {
-      val old = versionLog(dir, ref)
+      val old = AtomicParquetCatalog.ctime("versionLog")(versionLog(dir, ref))
       if (old.headOption != expectedBase)
         throw new java.util.ConcurrentModificationException(
           s"$dir: concurrent update detected — this write staged from " +
@@ -680,7 +696,8 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
       // landing between two stream epochs must not erase the stream's
       // high watermark (the crash-replay guard) — see StreamEpochs
       old.headOption.foreach { h =>
-        try StreamEpochs.carry(dir.resolve(h), dir.resolve(version))
+        try AtomicParquetCatalog.ctime("epochCarry")(
+          StreamEpochs.carry(dir.resolve(h), dir.resolve(version)))
         catch {
           case e: java.io.IOException =>
             // FAIL the commit, never commit without the ledger: the CAS
@@ -699,7 +716,8 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
       // recorded before the pointer swap so a committed version is
       // born skippable; best-effort (a failure degrades to no-skipping
       // for those files, never a failed commit)
-      try FileStats.record(dir, dir.resolve(version))
+      try AtomicParquetCatalog.ctime("fileStats")(
+        FileStats.record(dir, dir.resolve(version)))
       catch {
         case e: Exception =>
           System.err.println(s"[graft-filestats] WARN: stats collection " +
@@ -732,7 +750,9 @@ class AtomicParquetCatalog extends TableCatalog with StagingTableCatalog
             s"for $dir/$version failed (${e.getMessage}); TIMESTAMP AS OF " +
             "will approximate this snapshot by directory mtime")
       }
-      swapLog(dir, version +: old, ref = ref)
+      AtomicParquetCatalog.ctime("swapLog")(
+        swapLog(dir, version +: old, ref = ref))
+      ()
     }
 
   /** Swap the snapshot log to `entries` truncated to the retention
@@ -3688,7 +3708,8 @@ private[sources] final class PointerTable(
               if (hasIdentity) IdentityColumns.fillGenerated(spark, data,
                 tableSchema, dir, versionDir)
               else data
-            writeInto(nv, routed, "append")
+            AtomicParquetCatalog.ctime("writeInto")(
+              writeInto(nv, routed, "append"))
             // the files THIS write produced, before any links ride in —
             // exactly what a conflict rebase must replay onto a new head
             val newFiles = AtomicParquetCatalog.walkDataFiles(nv)
@@ -3699,13 +3720,15 @@ private[sources] final class PointerTable(
             // STATIC overwrite (the truncate() path, whole-table
             // semantics) starts empty AND single-spec
             try {
-              if (mode == "append") {
+              if (mode == "append") AtomicParquetCatalog.ctime("linkCarry") {
                 catalog.linkDataFiles(versionDir, nv)
                 catalog.carryLegacySpecs(versionDir, nv)
                 MorDeletes.carry(versionDir, nv)
               }
-              catalog.commitVersion(dir, v,
-                expectedBase = Some(versionDir.getFileName.toString), ref = ref)
+              AtomicParquetCatalog.ctime("commitVersion")(
+                catalog.commitVersion(dir, v,
+                  expectedBase = Some(versionDir.getFileName.toString),
+                  ref = ref))
             } catch {
               case e: java.io.IOException
                   if mode == "append" && !hasIdentity =>
