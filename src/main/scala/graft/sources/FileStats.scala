@@ -150,8 +150,17 @@ private[sources] object SidecarStore {
 private[sources] object FileStats {
 
   private val STORE = "_filestats"
-  /** Above this many new files the footer pass runs as a Spark job. */
+  /** Above this many new files the footer pass leaves the sequential
+    * driver loop. */
   private val DRIVER_LOOP_MAX = 64
+  /** Up to this many new files the pass runs on a bounded driver
+    * thread pool — footer reads are independent ~ms local I/O, and a
+    * Spark job's scheduling overhead (~0.2-0.3 s) costs more than the
+    * reads themselves at this scale (measured r18: the 240-file
+    * composite-append commit). Above it, the distributed job: task-side
+    * bloom-store writes keep a 10k-file backfill's bitsets from
+    * funneling through driver memory. */
+  private val DRIVER_POOL_MAX = 1024
   /** Store files above this count are compacted into one. */
   private val COMPACT_AT = 24
 
@@ -301,6 +310,22 @@ private[sources] object FileStats {
       if (files.size <= DRIVER_LOOP_MAX) {
         val conf = spark.sessionState.newHadoopConf()
         files.flatMap { case (p, rel) => statLines(p, rel, conf) }
+      } else if (files.size <= DRIVER_POOL_MAX) {
+        // bounded driver pool (statLines opens its own reader per file;
+        // the shared Configuration is only read). Bloom lines ride the
+        // same "B\t" tagging as the sequential branch.
+        val conf = spark.sessionState.newHadoopConf()
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+        try {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutor(pool)
+          Await.result(
+            Future.traverse(files.toSeq) { case (p, rel) =>
+              Future(statLines(p, rel, conf))
+            }, Duration.Inf).flatten
+        } finally { pool.shutdown(); () }
       } else {
         val sconf = new SerializableConfiguration(
           spark.sessionState.newHadoopConf())
