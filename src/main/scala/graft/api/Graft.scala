@@ -1748,8 +1748,15 @@ object Graft {
                      window: Int = 20, stride: Int = 1): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(stride >= 1, s"stride must be >= 1, got $stride")
-    val toks = filter(split(trim(text), "\\s+"), t => t =!= lit(""))
-    val base = df.select(id.as("id"), toks.as("__t"))
+    // fanOut BEFORE tokenizing: the ~window-fold explode + per-window md5
+    // otherwise runs on the input's scan tasks (one task for a one-file
+    // table), and raw text shuffles narrower than the token array it
+    // becomes (r18 counterbalanced A/B: spans floor 1.91 -> 0.79 s, fan
+    // won 5/6 reps in BOTH block orders; no-op when input parallelism
+    // already matches the session's, the normal case at scale)
+    val toks = filter(split(trim(col("__raw")), "\\s+"), t => t =!= lit(""))
+    val base = fanOut(df.select(id.as("id"), text.as("__raw")))
+      .select(col("id"), toks.as("__t"))
       .withColumn("__n", size(col("__t")).cast(LongType))
     val starts = when(col("__n") >= window,
       sequence(lit(1), (col("__n") - (window - 1)).cast(IntegerType), lit(stride)))
@@ -1811,8 +1818,11 @@ object Graft {
                            window: Int = 20, stride: Int = 1): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(stride >= 1, s"stride must be >= 1, got $stride")
-    val toks = filter(split(trim(text), "\\s+"), t => t =!= lit(""))
-    val base = df.select(id.as("id"), toks.as("__t"))
+    // same fanOut-before-tokenize as [[duplicateSpans]] (shared window
+    // pass; see the A/B note there)
+    val toks = filter(split(trim(col("__raw")), "\\s+"), t => t =!= lit(""))
+    val base = fanOut(df.select(id.as("id"), text.as("__raw")))
+      .select(col("id"), toks.as("__t"))
       .withColumn("__n", size(col("__t")).cast(LongType))
     val starts = when(col("__n") >= window,
       sequence(lit(1), (col("__n") - (window - 1)).cast(IntegerType), lit(stride)))
